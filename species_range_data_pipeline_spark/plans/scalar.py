@@ -1,0 +1,281 @@
+"""Scalar-function surface: strings (T2/T6/F1/F2), dates (C2), JSON, math,
+and the errors-as-data routing that replaces the reference's swallowed
+exceptions (O1 hazard, ``species_range_etl.py:172-173,254-255``).
+
+Everything here is a pure column expression — JVM-side, whole-stage-codegen
+friendly, no Python UDFs.  At 100 TB these run inside the scan stage at
+memory bandwidth; that is the point of keeping them out of Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+# --------------------------------------------------------------------------
+# T6 — the filename -> attribute parser, the reference's most bug-prone logic
+# --------------------------------------------------------------------------
+
+# Reference semantics (species_range_etl.py:188-198): strip ".shp", split on
+# "_".  2 tokens (threshold, "current") => source="vtech", scenario="current",
+# year="2020"; 4 tokens (threshold, source, scenario, "yYYYY") => year strips
+# the leading "y".  All outputs stay strings — reference fidelity (the year
+# to_datetime cast is commented out at species_range_etl.py:226).
+
+
+def _synth_filenames(part: DataFrame) -> DataFrame:
+    """Deterministic scenario filenames synthesized from the part table, so
+    the parser can be oracle-checked without the reference's scraped files."""
+    thr = (F.lit(25) + (F.col("p_partkey") % 3) * 25).cast("string")
+    current = F.concat_ws("_", thr, F.lit("current"))
+    future = F.concat_ws(
+        "_",
+        thr,
+        F.concat(F.lit("model"), (F.col("p_partkey") % 5).cast("string")),
+        F.concat(F.lit("rcp"), (F.col("p_partkey") % 9).cast("string")),
+        F.concat(F.lit("y"), (F.lit(2000) + F.col("p_partkey") % 100).cast("string")),
+    )
+    fname = F.concat(
+        F.when(F.col("p_partkey") % 2 == 0, current).otherwise(future), F.lit(".shp")
+    )
+    return part.select("p_partkey", fname.alias("fname"))
+
+
+def filename_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator T6 as a reusable column expression (split + when + substring)."""
+    part = load_table(spark, sf_dir, "part")
+    named = _synth_filenames(part)
+    base = F.regexp_replace(F.col("fname"), r"\.shp$", "")
+    toks = F.split(base, "_")
+    two = F.size(toks) == 2
+    return (
+        named.select(
+            "p_partkey",
+            "fname",
+            toks.getItem(0).alias("threshold"),
+            F.when(two, F.lit("vtech")).otherwise(toks.getItem(1)).alias("source"),
+            F.when(two, F.lit("current")).otherwise(toks.getItem(2)).alias("scenario"),
+            F.when(two, F.lit("2020"))
+            .otherwise(F.expr("substring(element_at(split(regexp_replace(fname, '\\\\.shp$', ''), '_'), 4), 2)"))
+            .alias("year"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+FILENAME_PARSE_ORACLE = """
+WITH named AS (
+    SELECT p_partkey,
+           (CASE WHEN p_partkey % 2 = 0
+                 THEN CAST(25 + (p_partkey % 3) * 25 AS VARCHAR) || '_current'
+                 ELSE CAST(25 + (p_partkey % 3) * 25 AS VARCHAR)
+                      || '_model' || CAST(p_partkey % 5 AS VARCHAR)
+                      || '_rcp' || CAST(p_partkey % 9 AS VARCHAR)
+                      || '_y' || CAST(2000 + p_partkey % 100 AS VARCHAR)
+            END) || '.shp' AS fname
+    FROM part
+), toks AS (
+    SELECT p_partkey, fname,
+           string_split(regexp_replace(fname, '\\.shp$', ''), '_') AS t
+    FROM named
+)
+SELECT p_partkey, fname,
+       t[1] AS threshold,
+       CASE WHEN len(t) = 2 THEN 'vtech' ELSE t[2] END AS source,
+       CASE WHEN len(t) = 2 THEN 'current' ELSE t[3] END AS scenario,
+       CASE WHEN len(t) = 2 THEN '2020' ELSE substring(t[4], 2) END AS year
+FROM toks
+ORDER BY p_partkey
+"""
+
+
+def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2-family string ops: regex rename, case, substring, split, predicates."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            # T2: the .txt -> .asc regex rename shape (species_range_etl.py:63)
+            F.regexp_replace(F.col("p_type"), "^ECONOMY", "BUDGET").alias("retyped"),
+            F.upper("p_name").alias("name_upper"),
+            F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+            F.substring(F.col("p_brand"), 7, 2).alias("brand_num"),
+            F.length("p_name").cast("long").alias("name_len"),
+            F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+            # F1/F2-family predicates as boolean columns
+            F.col("p_name").endswith("widget").alias("is_widget"),
+            F.col("p_type").contains("ECONO").alias("is_economy"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+STR_FUNCS_ORACLE = """
+SELECT p_partkey,
+       regexp_replace(p_type, '^ECONOMY', 'BUDGET') AS retyped,
+       upper(p_name) AS name_upper,
+       string_split(p_name, ' ')[1] AS first_word,
+       substring(p_brand, 7, 2) AS brand_num,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       p_brand || '/' || p_type AS brand_type,
+       suffix(p_name, 'widget') AS is_widget,
+       contains(p_type, 'ECONO') AS is_economy
+FROM part
+ORDER BY p_partkey
+"""
+
+
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/timestamp surface incl. C2, the reference's latent year cast
+    (``species_range_etl.py:226``): year-string -> timestamp -> parts."""
+    orders = load_table(spark, sf_dir, "orders")
+    year_str = F.year("o_orderdate").cast("string")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.month("o_orderdate").cast("int").alias("order_month"),
+            F.dayofmonth("o_orderdate").cast("int").alias("order_day"),
+            # C2: to_timestamp(year, "yyyy"), rendered as a string for hashing
+            F.date_format(F.to_timestamp(year_str, "yyyy"), "yyyy-MM-dd HH:mm:ss").alias(
+                "year_ts"
+            ),
+            F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+            .cast("long")
+            .alias("days_to_cutoff"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_ym"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+DATE_FUNCS_ORACLE = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(month(o_orderdate) AS INTEGER) AS order_month,
+       CAST(day(o_orderdate) AS INTEGER) AS order_day,
+       strftime(strptime(CAST(year(o_orderdate) AS VARCHAR), '%Y'),
+                '%Y-%m-%d %H:%M:%S') AS year_ts,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT)
+           AS days_to_cutoff,
+       strftime(o_orderdate, '%Y-%m') AS order_ym
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON access over events.props (SURVEY.md §2.1 scalar-functions row)."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_FUNCS_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar surface over lineitem, fixed-scale rounded for hashing."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.abs(F.col("l_extendedprice") - 30000.0), 2).alias("abs_dev"),
+            F.ceil("l_quantity").cast("long").alias("qty_ceil"),
+            F.floor(F.col("l_extendedprice") / 1000.0).cast("long").alias("price_k"),
+            F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+            F.round(F.log(F.col("l_extendedprice") + 1.0), 4).alias("price_ln"),
+            F.round(F.pow(F.col("l_discount") + 1.0, 2.0), 4).alias("disc_sq"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+MATH_FUNCS_ORACLE = """
+SELECT l_orderkey,
+       l_linenumber,
+       round(abs(l_extendedprice - 30000.0), 2) AS abs_dev,
+       CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+       CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k,
+       round(sqrt(l_extendedprice), 4) AS price_sqrt,
+       round(ln(l_extendedprice + 1.0), 4) AS price_ln,
+       round(pow(l_discount + 1.0, 2.0), 4) AS disc_sq
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def error_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Errors-as-DataFrame side channel (fixes the reference's O1 hazard).
+
+    The reference silently drops worker exceptions because ``executor.map``
+    results are never iterated (``species_range_etl.py:254-255``).  Here,
+    rows are routed to ok/warn/error channels with CASE and every channel is
+    counted — nothing vanishes.
+    """
+    events = load_table(spark, sf_dir, "events")
+    channel = (
+        F.when(F.col("event_type") == "error", F.lit("error"))
+        .when(F.col("value") > 190.0, F.lit("warn"))
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        events.groupBy(channel.alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+ERROR_ROUTING_ORACLE = """
+SELECT CASE WHEN event_type = 'error' THEN 'error'
+            WHEN value > 190.0 THEN 'warn'
+            ELSE 'ok' END AS channel,
+       count(*) AS n_rows,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1
+ORDER BY channel
+"""
+
+
+QUERIES = {
+    "filename_parse": filename_parse,
+    "str_funcs": str_funcs,
+    "date_funcs": date_funcs,
+    "json_funcs": json_funcs,
+    "math_funcs": math_funcs,
+    "error_routing": error_routing,
+}
+
+ORACLES = {
+    "filename_parse": FILENAME_PARSE_ORACLE,
+    "str_funcs": STR_FUNCS_ORACLE,
+    "date_funcs": DATE_FUNCS_ORACLE,
+    "json_funcs": JSON_FUNCS_ORACLE,
+    "math_funcs": MATH_FUNCS_ORACLE,
+    "error_routing": ERROR_ROUTING_ORACLE,
+}
