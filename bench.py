@@ -1,0 +1,83 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query executes fully via the `noop` sink (no driver-side collect skew);
+value = sum of per-query wall seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+from species_range_data_pipeline_spark.plans import registry  # noqa: E402
+from species_range_data_pipeline_spark.session import get_spark  # noqa: E402
+
+# Headline set: the flagship shape + one representative per operator family
+# that exists at bench time (registry is partial early in the build).
+HEADLINE = [
+    "flagship_threshold_rollup",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_volume",
+    "window_topk_per_group",
+    "agg_distinct",
+    "join_anti_idempotent",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "cosine_topk",
+    "ev_sessionization",
+    "geo_dissolve_area",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = registry.all_queries()
+
+    # Warm up JVM/codegen/parquet footer caches so per-query numbers measure
+    # the plan, not first-touch initialization.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # sf parsed from the dir name (sf0.1 -> 0.1); fall back to the raw string.
+    tail = Path(sf_dir).name.removeprefix("sf")
+    try:
+        sf: float | str = float(tail)
+    except ValueError:
+        sf = tail
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

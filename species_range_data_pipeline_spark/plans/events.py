@@ -1,0 +1,186 @@
+"""Event-time windowing over the events table, batch form (SURVEY.md §2.1
+streaming row: the reference is batch-only, so these land first with DuckDB
+oracles; the same plans run as Structured Streaming in streaming/events.py).
+
+Spark's native window operators are exercised directly — ``F.window`` for
+tumbling/sliding and ``F.session_window`` for sessionization — and the
+oracles restate the semantics in ANSI SQL (time_bucket / gaps-and-islands).
+Window bounds are rendered as formatted strings so the value hash is
+engine-neutral.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+_DUCK_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+def ev_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate (count, sum, distinct users)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format("w.start", _FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "n_users",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+EV_TUMBLING_ORACLE = f"""
+SELECT strftime(date_trunc('hour', ts), '{_DUCK_FMT}') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+def ev_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1 hour wide, every 30 minutes (each event lands in 2)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # sum not avg: small windows make avg land exactly on rounding
+            # boundaries where engine summation order flips the hash; the
+            # sum of 2-decimal values rounds exactly.
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", _FMT).alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+EV_SLIDING_ORACLE = f"""
+WITH assigned AS (
+    SELECT time_bucket(INTERVAL '30 minutes', ts)
+               - k * INTERVAL '30 minutes' AS wstart,
+           value
+    FROM events, (VALUES (0), (1)) AS offs(k)
+)
+SELECT strftime(wstart, '{_DUCK_FMT}') AS window_start,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM assigned
+GROUP BY 1
+ORDER BY window_start
+"""
+
+
+def ev_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 15-minute inactivity gap, per user.
+
+    Uses Spark's native ``session_window`` (dynamic merging windows); the
+    oracle restates it as gaps-and-islands.  Session end is reported as the
+    max event ts (not ts+gap) to keep the output engine-neutral.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "15 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.max("ts").alias("last_ts"),
+            F.min("ts").alias("first_ts"),
+        )
+        .select(
+            "user_id",
+            F.date_format("first_ts", _FMT).alias("session_start"),
+            F.date_format("last_ts", _FMT).alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+EV_SESSION_ORACLE = f"""
+WITH flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     > INTERVAL '15 minutes'
+                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+), islands AS (
+    SELECT user_id, ts, value,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '{_DUCK_FMT}') AS session_start,
+       strftime(max(ts), '{_DUCK_FMT}') AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM islands
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+def ev_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts by type, one column per type."""
+    events = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select(
+            "user_id", *[F.col(t).cast("long").alias(f"n_{t}") for t in types]
+        )
+        .orderBy("user_id")
+    )
+
+
+EV_PIVOT_ORACLE = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'error') AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'view') AS n_view
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+QUERIES = {
+    "ev_tumbling": ev_tumbling,
+    "ev_sliding": ev_sliding,
+    "ev_sessionization": ev_sessionization,
+    "ev_type_pivot": ev_type_pivot,
+}
+
+ORACLES = {
+    "ev_tumbling": EV_TUMBLING_ORACLE,
+    "ev_sliding": EV_SLIDING_ORACLE,
+    "ev_sessionization": EV_SESSION_ORACLE,
+    "ev_type_pivot": EV_PIVOT_ORACLE,
+}

@@ -1,0 +1,512 @@
+"""Text analysis + deduplication over the documents table (SURVEY.md §2.1
+north-star extensions; BASELINE.json: dedup, text analysis for training-data
+pipelines).
+
+Scale design:
+- Everything is column expressions (JVM, codegen) — no Python in the path.
+- Exact dedup: hash-groupBy on a fingerprint, one shuffle on the hash.
+- MinHash+LSH: shingle explode -> salted-min signatures (one groupBy on
+  doc_id) -> band keys -> join inside band buckets.  At 100 TB the band
+  bucket join replaces the quadratic all-pairs shingle join: candidate
+  generation cost is O(sum of bucket^2) with bucket sizes controlled by
+  band width, and the doc_id<doc_id guard keeps pairs unique.
+- SimHash: token-bit fan-out (docs x 64 bits) is a wide but shuffle-light
+  map; the only shuffle is the (doc, bit) partial-sum groupBy which Catalyst
+  plans with map-side combine.
+- Hash parity with the DuckDB oracle uses md5 (both engines, identical), and
+  lexicographic MIN over hex strings == numeric min over the 128-bit values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+# salts give k independent MinHash functions from one md5
+_MINHASH_SALTS = [f"s{i}" for i in range(8)]
+_LSH_BANDS = 4  # 8 hashes / 4 bands = 2 hashes per band
+_STOPWORDS = ["the", "and", "of", "to", "in"]
+
+
+def _tokens(col: str = "text"):
+    """Whitespace tokenizer (the BPE-ish regex variant is in functions.text)."""
+    return F.split(F.trim(F.regexp_replace(F.col(col), r"\s+", " ")), " ")
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + chars per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(_tokens()).cast("long").alias("n_tokens"),
+            F.length("text").cast("long").alias("n_chars_actual"),
+            "lang",
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_TOKEN_COUNT_ORACLE = """
+SELECT doc_id,
+       CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS BIGINT)
+           AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_actual,
+       lang
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def text_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize -> explode -> count -> top 20 words (tf step of tf-idf)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_tokens()).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "word")
+        .limit(20)
+    )
+
+
+TEXT_WORD_TOPK_ORACLE = """
+SELECT word, count(*) AS freq
+FROM (SELECT unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS word
+      FROM documents)
+WHERE word != ''
+GROUP BY word
+ORDER BY freq DESC, word
+LIMIT 20
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, mean token length, stopword ratio, alpha ratio.
+
+    The heuristic-score family a training-data pipeline gates documents on;
+    all closed-form column math so it runs inside the scan stage.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(_STOPWORDS))
+    )
+    alpha_chars = F.length(F.regexp_replace("text", r"[^a-zA-Z]", ""))
+    return (
+        docs.select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars_actual"),
+            n_tokens.cast("long").alias("n_tokens"),
+            F.round(F.length("text") / n_tokens, 4).alias("mean_token_len"),
+            F.round(stop_hits / n_tokens, 4).alias("stopword_ratio"),
+            F.round(alpha_chars / F.length("text"), 4).alias("alpha_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_QUALITY_ORACLE = """
+WITH t AS (
+    SELECT doc_id, text,
+           string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+    FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_actual,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       round(length(text) / len(toks), 4) AS mean_token_len,
+       round(len(list_filter(toks, x -> x IN ('the', 'and', 'of', 'to', 'in')))
+             / len(toks), 4) AS stopword_ratio,
+       round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text), 4)
+           AS alpha_ratio
+FROM t
+ORDER BY doc_id
+"""
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-set hit counts per language, argmax.
+
+    A real n-gram langid model is this exact dataflow with a bigger weight
+    table; the per-language score columns keep it whole-stage-codegen.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    en = F.size(F.filter(toks, lambda t: t.isin(["the", "and", "of"])))
+    es = F.size(F.filter(toks, lambda t: t.isin(["el", "la", "de"])))
+    fr = F.size(F.filter(toks, lambda t: t.isin(["le", "la", "et"])))
+    best = (
+        F.when((en >= es) & (en >= fr), F.lit("en"))
+        .when(es >= fr, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return (
+        docs.select(
+            "doc_id",
+            en.cast("long").alias("score_en"),
+            es.cast("long").alias("score_es"),
+            fr.cast("long").alias("score_fr"),
+            best.alias("lang_guess"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_LANGID_ORACLE = """
+WITH t AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+    FROM documents
+), s AS (
+    SELECT doc_id,
+           CAST(len(list_filter(toks, x -> x IN ('the','and','of'))) AS BIGINT) AS score_en,
+           CAST(len(list_filter(toks, x -> x IN ('el','la','de'))) AS BIGINT) AS score_es,
+           CAST(len(list_filter(toks, x -> x IN ('le','la','et'))) AS BIGINT) AS score_fr
+    FROM t
+)
+SELECT doc_id, score_en, score_es, score_fr,
+       CASE WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+            WHEN score_es >= score_fr THEN 'es'
+            ELSE 'fr' END AS lang_guess
+FROM s
+ORDER BY doc_id
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase text.
+
+    The exact-dedup key; 16 hex chars (64 bits) is collision-safe to ~billions
+    of docs, and the fingerprint is computed in the scan stage.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return (
+        docs.select(
+            "doc_id",
+            F.substring(F.md5(norm), 1, 16).alias("fingerprint"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_FINGERPRINT_ORACLE = """
+SELECT doc_id,
+       substring(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 16)
+           AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy: keep min doc_id per fingerprint.
+
+    Deterministic survivor choice (min id), unlike dropDuplicates' arbitrary
+    row — required for oracle parity and for reproducible pipelines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return (
+        docs.select(F.md5(norm).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("keep_doc_id")
+    )
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+ORDER BY keep_doc_id
+"""
+
+
+def _shingles_expr():
+    """3-token shingles as strings: transform over token index range."""
+    toks = _tokens()
+    n = F.size(toks)
+    # sequence(1, n-2) -> element_at is 1-based; guard docs shorter than 3 tokens
+    return F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates.
+
+    shingle explode -> 8 salted min-md5 per doc (MinHash signature) ->
+    4 bands x 2 hashes -> docs sharing any band bucket are candidates.
+    The only joins are within band buckets (the LSH point: at 100 TB this is
+    the difference between a bucket-local join and an all-pairs explosion).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", F.explode(_shingles_expr()).alias("shingle"))
+        .distinct()
+    )
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(s), F.lit("|"), F.col("shingle")))).alias(
+                f"mh{i}"
+            )
+            for i, s in enumerate(_MINHASH_SALTS)
+        ]
+    )
+    bands = []
+    per_band = len(_MINHASH_SALTS) // _LSH_BANDS
+    for b in range(_LSH_BANDS):
+        cols = [f"mh{b * per_band + j}" for j in range(per_band)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).cast("int").alias("band"),
+                F.concat_ws("#", *cols).alias("bucket"),
+            )
+        )
+    banded = bands[0]
+    for other in bands[1:]:
+        banded = banded.unionByName(other)
+    left = banded.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+    right = banded.select("band", "bucket", F.col("doc_id").alias("doc_b"))
+    return (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_MINHASH_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+    FROM documents
+), idx AS (
+    SELECT doc_id, t,
+           unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+    FROM toks
+), sh AS (
+    SELECT DISTINCT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                ELSE array_to_string(t, ' ') END AS shingle
+    FROM idx
+), sig AS (
+    SELECT doc_id,
+           min(md5('s0|' || shingle)) AS mh0, min(md5('s1|' || shingle)) AS mh1,
+           min(md5('s2|' || shingle)) AS mh2, min(md5('s3|' || shingle)) AS mh3,
+           min(md5('s4|' || shingle)) AS mh4, min(md5('s5|' || shingle)) AS mh5,
+           min(md5('s6|' || shingle)) AS mh6, min(md5('s7|' || shingle)) AS mh7
+    FROM sh GROUP BY doc_id
+), banded AS (
+    SELECT doc_id, 0 AS band, mh0 || '#' || mh1 AS bucket FROM sig
+    UNION ALL SELECT doc_id, 1, mh2 || '#' || mh3 FROM sig
+    UNION ALL SELECT doc_id, 2, mh4 || '#' || mh5 FROM sig
+    UNION ALL SELECT doc_id, 3, mh6 || '#' || mh7 FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all overlapping pairs.
+
+    The brute-force ground truth LSH approximates: shingle self-join counts
+    the intersection, |A|+|B|-|A∩B| gives the union.  Only pairs sharing at
+    least one shingle materialize (the join does the candidate pruning).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", F.explode(_shingles_expr()).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sh_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common") / (F.col("sh_a") + F.col("sh_b") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.2)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_NGRAM_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+    FROM documents
+), idx AS (
+    SELECT doc_id, t,
+           unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+    FROM toks
+), sh AS (
+    SELECT DISTINCT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                ELSE array_to_string(t, ' ') END AS shingle
+    FROM idx
+), sizes AS (
+    SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.2
+ORDER BY doc_a, doc_b
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signature per document (near-dup fingerprint).
+
+    Per token, 64 bits come from its md5 prefix; the signature bit is the
+    sign of the +-1 vote sum.  The (doc, bit) partial-sum groupBy is the only
+    shuffle; at scale the 64x row fan-out stays map-local (explode feeding a
+    partial aggregate).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(_tokens()).alias("token"))
+        .where(F.col("token") != "")
+        .withColumn("h", F.md5("token"))
+    )
+    # hex digit (b // 4) of the token hash, bit (b % 4) within it; floor-div
+    # explicitly on both sides — DuckDB CAST(x/4 AS INT) would round, not
+    # truncate, so the oracle uses `//` and Spark uses floor().
+    pos = (F.floor(F.col("b") / 4) + 1).cast("int")
+    hv = F.conv(F.expr("substring(h, pos, 1)"), 16, 10).cast("int")
+    bits = (
+        tok.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+            F.col("h"),
+        )
+        .withColumn("pos", pos)
+        .withColumn("hv", hv)
+        .select(
+            "doc_id",
+            "b",
+            F.when(
+                F.expr("shiftright(hv, CAST(b % 4 AS INT)) & 1") == 1, F.lit(1)
+            )
+            .otherwise(F.lit(-1))
+            .alias("vote"),
+        )
+    )
+    sig = (
+        bits.groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("s"))
+        .select(
+            "doc_id",
+            "b",
+            F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0")).alias("bit"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("b", "bit"))),
+                    lambda x: x["bit"],
+                ),
+                "",
+            ).alias("simhash")
+        )
+    )
+    return sig.orderBy("doc_id")
+
+
+DEDUP_SIMHASH_ORACLE = """
+WITH tok AS (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS token
+    FROM documents
+), th AS (
+    SELECT doc_id, md5(token) AS h FROM tok WHERE token != ''
+), bits AS (
+    SELECT doc_id, b,
+           CASE WHEN ((strpos('0123456789abcdef',
+                              substring(h, (b // 4) + 1, 1)) - 1)
+                      >> (b % 4)) & 1 = 1
+                THEN 1 ELSE -1 END AS vote
+    FROM th, range(0, 64) r(b)
+), sums AS (
+    SELECT doc_id, b, sum(vote) AS s FROM bits GROUP BY doc_id, b
+)
+SELECT doc_id,
+       string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+FROM sums
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "text_token_count": text_token_count,
+    "text_word_topk": text_word_topk,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+}
+
+ORACLES = {
+    "text_token_count": TEXT_TOKEN_COUNT_ORACLE,
+    "text_word_topk": TEXT_WORD_TOPK_ORACLE,
+    "text_quality": TEXT_QUALITY_ORACLE,
+    "text_langid": TEXT_LANGID_ORACLE,
+    "text_fingerprint": TEXT_FINGERPRINT_ORACLE,
+    "dedup_exact": DEDUP_EXACT_ORACLE,
+    "dedup_minhash_lsh": DEDUP_MINHASH_ORACLE,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_ORACLE,
+    "dedup_simhash": DEDUP_SIMHASH_ORACLE,
+}

@@ -1,0 +1,252 @@
+"""Similarity search over the embeddings table (BASELINE.json north star).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.  The
+  query side is tiny (broadcast), so the "cross join" is a broadcast
+  nested-loop over one pass of the candidate table: at 100 TB the cost is
+  one scan, no shuffle.
+- ``ann_ivf_topk``: the scale path.  IVF = coarse quantize (centroid per
+  partition key), probe the top-nprobe nearest centroids, search only those
+  buckets.  Candidate set shrinks by ~nlist/nprobe; the bucket join is an
+  equi-join on the cluster id, so Spark shuffles candidates once instead of
+  scoring everything.
+- ``emb_near_dup``: embedding-cosine near-duplicate pairs above a threshold
+  (the dedup-by-embedding variant of plans/text.py's lexical dedup family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.vectors import as_double, cosine
+
+_DIM = 64
+_NPROBE = 2
+
+
+def emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm per embedding (sanity surface for the vector math library)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double("embedding")
+    return (
+        emb.select(
+            "vec_id",
+            F.round(F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)), 6).alias("l2_norm"),
+            F.size("embedding").cast("long").alias("dim"),
+            "label",
+        )
+        .orderBy("vec_id")
+    )
+
+
+EMB_NORMS_ORACLE = """
+SELECT vec_id,
+       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+           AS l2_norm,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       label
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 nearest neighbors by cosine for query vectors vec_id < 5.
+
+    Broadcast the (tiny) query side; candidates stream through in one scan.
+    Ranking uses the ROUNDED score so ordering is reproducible across
+    engines/precisions (ties broken by vec_id).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cand = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cvec"))
+    scored = (
+        cand.crossJoin(F.broadcast(queries))
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(as_double("qvec"), as_double("cvec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .orderBy("query_id", "rnk")
+    )
+
+
+COSINE_TOPK_ORACLE = """
+WITH scored AS (
+    SELECT q.vec_id AS query_id,
+           c.vec_id AS cand_id,
+           round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM embeddings q
+    JOIN embeddings c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < 5
+), ranked AS (
+    SELECT query_id, cand_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, cand_id) AS BIGINT) AS rnk
+    FROM scored
+)
+SELECT query_id, cand_id, cos_sim, rnk
+FROM ranked WHERE rnk <= 3
+ORDER BY query_id, rnk
+"""
+
+
+def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with cosine >= 0.4 (embedding near-duplicate detection).
+
+    Brute force is the spec; the LSH-bucketed variant in
+    operators/similarity.py is the 100 TB path (verified against this).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(as_double("va"), as_double("vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.4)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+EMB_NEAR_DUP_ORACLE = """
+SELECT a.vec_id AS vec_a,
+       b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cos_sim
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 6) >= 0.4
+ORDER BY vec_a, vec_b
+"""
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse centroids (one per label), probe top-2, search
+    only probed buckets, exact re-rank inside them.
+
+    The centroid build is a posexplode + (cluster, dim) average — one
+    shuffle over nlist*dim rows regardless of table size (partial aggregation
+    does the heavy lifting map-side).  Probing turns the full scan into an
+    equi-join on cluster id.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    # --- build: centroid per label (the coarse quantizer) ---
+    cent = (
+        emb.select("label", F.posexplode(as_double("embedding")).alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("v"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "v"))), lambda s: s["v"]
+            ).alias("cvec")
+        )
+        .withColumnRenamed("label", "cluster")
+    )
+    # --- probe: top-2 clusters per query by rounded cosine ---
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    qc = (
+        queries.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qvec",
+            "cluster",
+            F.round(cosine(as_double("qvec"), F.col("cvec")), 6).alias("ccos"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cluster"))
+    probed = qc.withColumn("crnk", F.row_number().over(wq)).where(
+        F.col("crnk") <= _NPROBE
+    )
+    # --- search: exact cosine inside probed buckets only ---
+    cand = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cvec_raw"),
+        F.col("label").alias("cluster"),
+    )
+    scored = (
+        probed.select("query_id", "qvec", "cluster")
+        .join(cand, "cluster")
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(as_double("qvec"), as_double("cvec_raw")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .orderBy("query_id", "rnk")
+    )
+
+
+ANN_IVF_ORACLE = """
+WITH flat AS (
+    SELECT label, i, e[i] AS x
+    FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+         unnest(generate_series(1, 64)) AS t(i)
+), cent AS (
+    SELECT label AS cluster, list(v ORDER BY i) AS cvec
+    FROM (SELECT label, i, avg(x) AS v FROM flat GROUP BY label, i)
+    GROUP BY label
+), qc AS (
+    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cluster,
+           round(list_cosine_similarity(q.embedding::DOUBLE[], c.cvec), 6) AS ccos
+    FROM embeddings q, cent c
+    WHERE q.vec_id < 5
+), probed AS (
+    SELECT query_id, qvec, cluster
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY ccos DESC, cluster) AS crnk FROM qc)
+    WHERE crnk <= 2
+), scored AS (
+    SELECT p.query_id, e.vec_id AS cand_id,
+           round(list_cosine_similarity(p.qvec::DOUBLE[],
+                                        e.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM probed p
+    JOIN embeddings e ON e.label = p.cluster AND e.vec_id != p.query_id
+)
+SELECT query_id, cand_id, cos_sim,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY cos_sim DESC, cand_id) AS rnk FROM scored)
+WHERE rnk <= 3
+ORDER BY query_id, rnk
+"""
+
+
+QUERIES = {
+    "emb_norms": emb_norms,
+    "cosine_topk": cosine_topk,
+    "emb_near_dup": emb_near_dup,
+    "ann_ivf_topk": ann_ivf_topk,
+}
+
+ORACLES = {
+    "emb_norms": EMB_NORMS_ORACLE,
+    "cosine_topk": COSINE_TOPK_ORACLE,
+    "emb_near_dup": EMB_NEAR_DUP_ORACLE,
+    "ann_ivf_topk": ANN_IVF_ORACLE,
+}
