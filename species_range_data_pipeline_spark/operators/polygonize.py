@@ -1,0 +1,139 @@
+"""Raster -> polygon (T4) and grouped geometric dissolve (A1) as Spark
+operators.
+
+Reference: ``arcpy.RasterToPolygon_conversion`` at
+``species_range_etl.py:127`` and ``GeoDataFrame.dissolve(by="species")`` at
+``:205``.  No Spark built-in exists (SURVEY.md §7 "what's hard"), so these
+are ``applyInPandas`` over the long-format cell model — Arrow-batched, one
+numpy kernel call per group, no Python row loop.
+
+Scale notes:
+- Group = (raster key..., threshold): bounded by one raster's kept cells, so
+  executor memory is bounded by raster size, not table size.  Rasters too
+  large for one task would be tiled first (tile key appended to the group)
+  and stitched with the same cell-space union used by dissolve.
+- Dissolve unions cell SETS, not WKB blobs: distinct() dedupes map-side
+  before the shuffle, which is the two-level (partial-then-final) union
+  SURVEY.md §7 calls for.  The expensive polygonize runs once per output
+  group, after the cheap set union.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.geometry import polygonize_cells, union_cells_to_multipolygon
+
+
+def _affine_of(pdf: pd.DataFrame, default):
+    """Per-group georeferencing: read (xll, yll, cellsize, nrows) columns if
+    present (decode_ascii_members emits them), else the supplied defaults.
+    A group must share one lattice — rasters on different grids belong in
+    different groups (tile key), not one union."""
+    if "xll" in pdf.columns:
+        return (
+            float(pdf["xll"].iloc[0]),
+            float(pdf["yll"].iloc[0]),
+            float(pdf["cellsize"].iloc[0]),
+            int(pdf["nrows"].iloc[0]),
+        )
+    return default
+
+
+def polygonize(
+    cells: DataFrame,
+    group_cols: Sequence[str],
+    x0: float = 0.0,
+    y0: float = 0.0,
+    cellsize: float = 1.0,
+    nrows: int | None = None,
+) -> DataFrame:
+    """Cells (group_cols..., row, col) -> one row per connected component:
+    (group_cols..., component_id, geometry WKB, n_cells, area)."""
+    group_cols = list(group_cols)
+    schema = T.StructType(
+        [cells.schema[c] for c in group_cols]
+        + [
+            T.StructField("component_id", T.LongType()),
+            T.StructField("geometry", T.BinaryType()),
+            T.StructField("n_cells", T.LongType()),
+            T.StructField("area", T.DoubleType()),
+        ]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = {c: pdf[c].iloc[0] for c in group_cols}
+        gx0, gy0, gcs, gnr = _affine_of(pdf, (x0, y0, cellsize, nrows))
+        parts = polygonize_cells(
+            pdf["row"].to_numpy(), pdf["col"].to_numpy(), gx0, gy0, gcs, gnr
+        )
+        return pd.DataFrame(
+            [
+                {**keys, "component_id": comp, "geometry": wkb, "n_cells": n, "area": area}
+                for comp, wkb, n, area in parts
+            ],
+            columns=group_cols + ["component_id", "geometry", "n_cells", "area"],
+        )
+
+    return cells.groupBy(*group_cols).applyInPandas(fn, schema)
+
+
+def dissolve(
+    cells: DataFrame,
+    by: Sequence[str],
+    x0: float = 0.0,
+    y0: float = 0.0,
+    cellsize: float = 1.0,
+    nrows: int | None = None,
+) -> DataFrame:
+    """GROUP BY ``by`` with geometry -> union (A1).  Input is cell rows;
+    output one MultiPolygon per group with its area and part count.
+
+    The map-side ``distinct()`` is the partial union: duplicate cells from
+    overlapping scenario rasters collapse before the shuffle.
+    """
+    by = list(by)
+    affine_cols = [c for c in ("xll", "yll", "cellsize", "nrows") if c in cells.columns]
+    deduped = cells.select(*by, "row", "col", *affine_cols).distinct()
+    schema = T.StructType(
+        [cells.schema[c] for c in by]
+        + [
+            T.StructField("geometry", T.BinaryType()),
+            T.StructField("area", T.DoubleType()),
+            T.StructField("n_parts", T.LongType()),
+            T.StructField("n_cells", T.LongType()),
+        ]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = {c: pdf[c].iloc[0] for c in by}
+        gx0, gy0, gcs, gnr = _affine_of(pdf, (x0, y0, cellsize, nrows))
+        wkb, area, n_parts = union_cells_to_multipolygon(
+            pdf["row"].to_numpy(), pdf["col"].to_numpy(), gx0, gy0, gcs, gnr
+        )
+        return pd.DataFrame(
+            [{**keys, "geometry": wkb, "area": area, "n_parts": n_parts, "n_cells": len(pdf)}],
+            columns=by + ["geometry", "area", "n_parts", "n_cells"],
+        )
+
+    return deduped.groupBy(*by).applyInPandas(fn, schema)
+
+
+def with_area(geo_df: DataFrame, geometry_col: str = "geometry") -> DataFrame:
+    """Scalar geometry area (C1, ``species_range_etl.py:227``) over WKB via
+    an Arrow-batched pandas UDF — square-unit semantics preserved."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def area_udf(wkb: pd.Series) -> pd.Series:
+        from ..functions.wkb import wkb_area
+
+        return wkb.map(lambda b: wkb_area(bytes(b)) if b is not None else None)
+
+    return geo_df.withColumn("area", area_udf(F.col(geometry_col)))

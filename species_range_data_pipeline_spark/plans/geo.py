@@ -1,0 +1,103 @@
+"""Geometry operators exposed on the fixture tables (T4 polygonize, A1
+dissolve, C1 area — SURVEY.md §2).
+
+There is no raster fixture, so a deterministic grid is derived from
+lineitem: cell (l_orderkey % 32, l_partkey % 32) with presence value
+l_quantity / 50 — the same species x threshold x cells shape the reference
+processes.  The REAL geometry kernels run (applyInPandas -> numpy
+polygonize/union); the DuckDB oracle checks every numeric output
+(n_cells via count-distinct, area == n_cells x cellsize^2 for the unit
+lattice — the identity the pytest goldens prove for the kernels).  The WKB
+geometry itself is covered by tests/test_geometry.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.polygonize import dissolve, polygonize
+
+_GRID = 32
+
+
+def _cells_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.withColumn(
+            "threshold", F.explode(F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+        )
+        .where((F.col("l_quantity") / F.lit(50.0)) >= F.col("threshold"))
+        .select(
+            F.col("l_returnflag").alias("species"),
+            (F.col("threshold") * 100).cast("int").cast("string").alias("threshold_s"),
+            (F.col("l_orderkey") % _GRID).cast("int").alias("row"),
+            (F.col("l_partkey") % _GRID).cast("int").alias("col"),
+        )
+    )
+
+
+def geo_dissolve_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+C1: grouped geometric union and its area, numerics oracle-checked."""
+    cells = _cells_from_lineitem(spark, sf_dir)
+    out = dissolve(cells, by=["species", "threshold_s"])
+    return (
+        out.select(
+            "species",
+            F.col("threshold_s").alias("threshold"),
+            "n_cells",
+            F.round("area", 2).alias("area"),
+        )
+        .orderBy("species", "threshold")
+    )
+
+
+GEO_DISSOLVE_ORACLE = f"""
+WITH cells AS (
+    SELECT DISTINCT l_returnflag AS species,
+           CAST(CAST(threshold * 100 AS INTEGER) AS VARCHAR) AS threshold,
+           l_orderkey % {_GRID} AS row,
+           l_partkey % {_GRID} AS col
+    FROM lineitem
+    CROSS JOIN (VALUES (0.25), (0.5), (0.75)) AS t(threshold)
+    WHERE l_quantity / 50.0 >= threshold
+)
+SELECT species, threshold,
+       count(*) AS n_cells,
+       round(count(*) * 1.0, 2) AS area
+FROM cells
+GROUP BY species, threshold
+ORDER BY species, threshold
+"""
+
+
+def geo_polygonize_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: connected-component polygonization per (species, threshold).
+
+    Component counts/shapes are not SQL-expressible — rows-only check by the
+    driver; the kernels are golden-tested in tests/test_geometry.py.
+    """
+    cells = _cells_from_lineitem(spark, sf_dir).distinct()
+    out = polygonize(cells, ["species", "threshold_s"])
+    return (
+        out.groupBy("species", F.col("threshold_s").alias("threshold"))
+        .agg(
+            F.count(F.lit(1)).alias("n_components"),
+            F.sum("n_cells").alias("n_cells"),
+            F.round(F.sum("area"), 2).alias("area"),
+            F.max("n_cells").alias("largest_component"),
+        )
+        .orderBy("species", "threshold")
+    )
+
+
+QUERIES = {
+    "geo_dissolve_area": geo_dissolve_area,
+    "geo_polygonize_components": geo_polygonize_components,
+}
+
+ORACLES = {
+    "geo_dissolve_area": GEO_DISSOLVE_ORACLE,
+    # geo_polygonize_components: rows-only (connected components not SQL-expressible)
+}

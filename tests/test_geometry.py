@@ -1,0 +1,157 @@
+"""Golden tests for the grid geometry kernels (polygonize T4, dissolve A1,
+area C1) — hand-computed expectations on tiny grids, plus property checks
+(area == n_cells for unit cells; WKB round-trip)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from species_range_data_pipeline_spark.functions.geometry import (
+    label_components,
+    polygonize_cells,
+    union_cells_to_multipolygon,
+)
+from species_range_data_pipeline_spark.functions.wkb import (
+    decode,
+    encode_polygon,
+    ring_signed_area,
+    wkb_area,
+)
+
+
+def cells(*rc):
+    arr = np.array(rc, dtype=np.int64)
+    return arr[:, 0], arr[:, 1]
+
+
+def test_single_cell():
+    parts = polygonize_cells(*cells((0, 0)))
+    assert len(parts) == 1
+    comp, wkb, n, area = parts[0]
+    assert (n, area) == (1, 1.0)
+    name, polys = decode(wkb)
+    assert name == "Polygon"
+    # unit square corners (y = -row convention without nrows)
+    assert set(polys[0][0]) == {(0.0, -1.0), (1.0, -1.0), (1.0, 0.0), (0.0, 0.0)}
+
+
+def test_block_2x2_merges_to_one_square():
+    parts = polygonize_cells(*cells((0, 0), (0, 1), (1, 0), (1, 1)))
+    assert len(parts) == 1
+    _, wkb, n, area = parts[0]
+    assert (n, area) == (4, 4.0)
+    _, polys = decode(wkb)
+    assert len(polys[0]) == 1  # no holes
+    assert len(polys[0][0]) == 5  # 4 corners + closing point; collinear collapsed
+
+
+def test_l_shape_area_and_vertices():
+    parts = polygonize_cells(*cells((0, 0), (1, 0), (1, 1)))
+    assert len(parts) == 1
+    _, wkb, n, area = parts[0]
+    assert (n, area) == (3, 3.0)
+    _, polys = decode(wkb)
+    assert len(polys[0][0]) == 7  # L has 6 corners + closing point
+
+
+def test_diagonal_cells_are_two_components():
+    parts = polygonize_cells(*cells((0, 0), (1, 1)))
+    assert len(parts) == 2
+    assert all(area == 1.0 for _, _, _, area in parts)
+
+
+def test_donut_has_hole():
+    ring = [(r, c) for r in range(3) for c in range(3) if not (r == 1 and c == 1)]
+    parts = polygonize_cells(*cells(*ring))
+    assert len(parts) == 1
+    _, wkb, n, area = parts[0]
+    assert (n, area) == (8, 8.0)
+    _, polys = decode(wkb)
+    rings = polys[0]
+    assert len(rings) == 2
+    assert ring_signed_area(rings[0]) == 9.0  # exterior 3x3
+    assert ring_signed_area(rings[1]) == -1.0  # CW hole
+
+
+def test_affine_georeferencing():
+    parts = polygonize_cells(*cells((0, 0)), x0=10.0, y0=20.0, cellsize=0.5, nrows=3)
+    _, wkb, _, area = parts[0]
+    assert area == pytest.approx(0.25)
+    _, polys = decode(wkb)
+    # row 0 of a 3-row grid is the TOP row: y in [21.0, 21.5]
+    assert set(polys[0][0]) == {(10.0, 21.0), (10.5, 21.0), (10.5, 21.5), (10.0, 21.5)}
+
+
+def test_components_labels_match_bfs_semantics():
+    r, c = cells((0, 0), (0, 1), (5, 5), (5, 6), (6, 6))
+    labels = label_components(r, c)
+    assert labels[0] == labels[1]
+    assert labels[2] == labels[3] == labels[4]
+    assert labels[0] != labels[2]
+
+
+def test_random_grids_area_equals_cell_count():
+    rng = np.random.RandomState(7)
+    for trial in range(20):
+        n = rng.randint(1, 120)
+        rc = set()
+        while len(rc) < n:
+            rc.add((int(rng.randint(0, 12)), int(rng.randint(0, 12))))
+        rows = np.array([r for r, _ in rc])
+        colz = np.array([c for _, c in rc])
+        parts = polygonize_cells(rows, colz)
+        assert sum(a for _, _, _, a in parts) == pytest.approx(len(rc))
+        assert sum(nc for _, _, nc, _ in parts) == len(rc)
+        for _, wkb, _, a in parts:
+            assert wkb_area(wkb) == pytest.approx(a)
+
+
+def test_union_cells_dedupes_and_sums():
+    rows = np.array([0, 0, 0, 1])
+    colz = np.array([0, 0, 2, 2])  # duplicate (0,0); (0,2)+(1,2) connected
+    wkb, area, n_parts = union_cells_to_multipolygon(rows, colz)
+    assert area == 3.0
+    assert n_parts == 2
+    name, polys = decode(wkb)
+    assert name == "MultiPolygon"
+    assert len(polys) == 2
+
+
+def test_wkb_roundtrip():
+    square = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]
+    wkb = encode_polygon([square])
+    name, polys = decode(wkb)
+    assert name == "Polygon"
+    assert polys[0][0][:4] == square
+    assert wkb_area(wkb) == 1.0
+
+
+def test_spark_polygonize_and_dissolve(spark):
+    import pandas as pd
+
+    from species_range_data_pipeline_spark.operators.polygonize import (
+        dissolve,
+        polygonize,
+        with_area,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "species": ["a"] * 3 + ["b"] * 4,
+            "row": [0, 0, 5, 0, 0, 1, 1],
+            "col": [0, 1, 5, 0, 1, 0, 1],
+        }
+    )
+    cells_df = spark.createDataFrame(pdf)
+    polys = polygonize(cells_df, ["species"]).orderBy("species", "component_id")
+    got = [(r.species, r.n_cells, r.area) for r in polys.collect()]
+    assert got == [("a", 2, 2.0), ("a", 1, 1.0), ("b", 4, 4.0)]
+
+    dis = dissolve(cells_df.union(cells_df), by=["species"])  # dup rows union out
+    got2 = {(r.species): (r.area, r.n_parts) for r in dis.collect()}
+    assert got2 == {"a": (3.0, 2), "b": (4.0, 1)}
+
+    with_a = with_area(dis.select("species", "geometry"))
+    got3 = {r.species: r.area for r in with_a.collect()}
+    assert got3 == {"a": 3.0, "b": 4.0}

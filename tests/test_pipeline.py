@@ -1,0 +1,131 @@
+"""End-to-end species pipeline test: synthetic ASCII-grid zips -> cells ->
+thresholds -> polygonize -> dissolve -> speciesdata table, with expectations
+computed independently in numpy."""
+
+from __future__ import annotations
+
+import zipfile
+
+import numpy as np
+import pytest
+
+from species_range_data_pipeline_spark.pipeline.raster import parse_ascii_grid
+from species_range_data_pipeline_spark.pipeline.species import (
+    load_cells_from_zips,
+    run_pipeline,
+)
+
+NCOLS, NROWS = 8, 6
+XLL, YLL, CS = -100.0, 40.0, 0.5
+
+
+def _grid(seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    g = rng.rand(NROWS, NCOLS).round(2)
+    g[0, 0] = -9999.0  # a NODATA hole
+    return g
+
+
+def _asc_bytes(g: np.ndarray) -> bytes:
+    lines = [
+        f"ncols {NCOLS}",
+        f"nrows {NROWS}",
+        f"xllcorner {XLL}",
+        f"yllcorner {YLL}",
+        f"cellsize {CS}",
+        "NODATA_value -9999",
+    ]
+    lines += [" ".join(str(v) for v in row) for row in g]
+    return "\n".join(lines).encode()
+
+
+SPECIES_FILES = {
+    # reference naming: 2-token current form and 4-token future form
+    "abies-balsamea__25_current.asc": 1,
+    "abies-balsamea__25_gfdl_rcp45_y2080.asc": 2,
+    "acer-rubrum__25_current.asc": 3,
+}
+
+
+@pytest.fixture(scope="module")
+def zip_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("zips")
+    z1 = d / "abies-balsamea.zip"
+    with zipfile.ZipFile(z1, "w") as zf:
+        for name in list(SPECIES_FILES)[:2]:
+            zf.writestr(name, _asc_bytes(_grid(SPECIES_FILES[name])))
+    z2 = d / "acer-rubrum.zip"
+    with zipfile.ZipFile(z2, "w") as zf:
+        name = "acer-rubrum__25_current.asc"
+        zf.writestr(name, _asc_bytes(_grid(SPECIES_FILES[name])))
+    # a corrupt archive that must surface in the error channel, not vanish
+    (d / "broken.zip").write_bytes(b"this is not a zip file")
+    return str(d)
+
+
+def test_parse_ascii_grid_roundtrip():
+    g = _grid(1)
+    header, cells = parse_ascii_grid(_asc_bytes(g))
+    assert header["ncols"] == NCOLS and header["nrows"] == NROWS
+    assert len(cells) == NROWS * NCOLS - 1  # one NODATA dropped
+    vals = {(r, c): v for r, c, v in cells}
+    assert vals[(2, 3)] == pytest.approx(g[2, 3])
+    assert (0, 0) not in vals
+
+
+def test_pipeline_end_to_end(spark, zip_dir):
+    cells, errors = load_cells_from_zips(spark, zip_dir)
+    err_rows = errors.collect()
+    assert len(err_rows) == 1 and "BadZipFile" in err_rows[0].error
+
+    result = run_pipeline(cells)
+    rows = result.collect()
+
+    # expected groups: (species, threshold, source, year, scenario)
+    keys = {(r.species, r.threshold, r.source, r.year, r.scenario) for r in rows}
+    expected_keys = set()
+    for t in ("25", "50", "75"):
+        expected_keys.add(("abies-balsamea", t, "vtech", "2020", "current"))
+        expected_keys.add(("abies-balsamea", t, "gfdl", "2080", "rcp45"))
+        expected_keys.add(("acer-rubrum", t, "vtech", "2020", "current"))
+    assert keys == expected_keys
+
+    # area oracle: kept-cell count x cellsize^2, computed in numpy
+    for r in rows:
+        seed = SPECIES_FILES[
+            {
+                ("abies-balsamea", "vtech"): "abies-balsamea__25_current.asc",
+                ("abies-balsamea", "gfdl"): "abies-balsamea__25_gfdl_rcp45_y2080.asc",
+                ("acer-rubrum", "vtech"): "acer-rubrum__25_current.asc",
+            }[(r.species, r.source)]
+        ]
+        g = _grid(seed)
+        thr = int(r.threshold) / 100.0
+        kept = int(((g != -9999.0) & (g >= thr)).sum())
+        assert r.area == pytest.approx(kept * CS * CS), (r.species, r.threshold)
+
+    # sid: dense 0..n-1, deterministic order
+    sids = sorted(r.sid for r in rows)
+    assert sids == list(range(len(rows)))
+
+    # schema parity with the reference output table (SURVEY.md §1.4)
+    assert result.columns == [
+        "sid", "species", "species_id", "geometry", "threshold",
+        "source", "year", "scenario", "area",
+    ]
+    # reference quirks: threshold and year stay strings
+    assert dict(result.dtypes)["threshold"] == "string"
+    assert dict(result.dtypes)["year"] == "string"
+
+
+def test_pipeline_geometry_is_georeferenced(spark, zip_dir):
+    from species_range_data_pipeline_spark.functions.wkb import decode
+
+    cells, _ = load_cells_from_zips(spark, zip_dir)
+    result = run_pipeline(cells)
+    row = result.where("species = 'acer-rubrum' AND threshold = '25'").first()
+    _, polys = decode(bytes(row.geometry))
+    xs = [x for rings in polys for ring in rings for x, _ in ring]
+    ys = [y for rings in polys for ring in rings for _, y in ring]
+    assert min(xs) >= XLL and max(xs) <= XLL + NCOLS * CS
+    assert min(ys) >= YLL and max(ys) <= YLL + NROWS * CS
