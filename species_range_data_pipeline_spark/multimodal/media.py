@@ -1,0 +1,198 @@
+"""Multimodal media operators over opaque binary columns.
+
+Payload format (deterministic fake codec, documented so tests and the
+synthetic generator agree):
+
+  FAKEIMG | uint16 width | uint16 height | uint8 channels | pixels (w*h*c bytes)
+  FAKEVID | uint16 n_frames | uint16 width | uint16 height | frames (n*w*h bytes)
+
+Real formats (JPEG/PNG/WAV/MP4) raise ``NotImplementedError`` in
+``_decode_payload`` — the single seam where a real codec library would slot
+in; everything around it (schemas, mapInPandas batching, metadata structs,
+partition behavior) is production-shaped.
+
+Scale notes: payloads stay in executor memory one Arrow batch at a time
+(``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds it); decode output
+drops the payload column as early as possible (column pruning does the rest)
+so only features/metadata shuffle.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+        T.StructField("channel_means", T.ArrayType(T.DoubleType())),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def encode_fake_image(width: int, height: int, channels: int, seed: int) -> bytes:
+    rng = np.random.RandomState(seed)
+    pixels = rng.randint(0, 256, size=width * height * channels, dtype=np.uint8)
+    return b"FAKEIMG" + struct.pack("<HHB", width, height, channels) + pixels.tobytes()
+
+
+def encode_fake_video(n_frames: int, width: int, height: int, seed: int) -> bytes:
+    rng = np.random.RandomState(seed)
+    frames = rng.randint(0, 256, size=n_frames * width * height, dtype=np.uint8)
+    return b"FAKEVID" + struct.pack("<HHH", n_frames, width, height) + frames.tobytes()
+
+
+def make_media_table(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic synthetic media table (the fixture tables carry no
+    binary column; seed-stable so tests are reproducible)."""
+    rows = []
+    for i in range(n):
+        if i % 4 == 3:
+            payload = encode_fake_video(4 + i % 3, 8, 6, seed=i)
+            rows.append((i, "video", payload, "fakevid"))
+        else:
+            payload = encode_fake_image(8 + i % 5, 6 + i % 3, 3, seed=i)
+            rows.append((i, "image", payload, "fakeimg"))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _decode_payload(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """The codec seam.  Fake format decodes for real; real formats stub."""
+    if payload[:7] == b"FAKEIMG":
+        w, h, c = struct.unpack_from("<HHB", payload, 7)
+        px = np.frombuffer(payload, dtype=np.uint8, offset=12)
+        return w, h, c, px.reshape(h, w, c)
+    raise NotImplementedError(
+        "real image codecs (JPEG/PNG) are not available in this container; "
+        "plug a decoder in here"
+    )
+
+
+def decode_images(media: DataFrame) -> DataFrame:
+    """Image decode + feature extraction: mean pixel, per-channel means.
+
+    mapInPandas so one Arrow batch of payloads is decoded per call; decode
+    failures become error rows (never swallowed)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, c, px = _decode_payload(bytes(payload))
+                    out.append(
+                        {
+                            "media_id": mid,
+                            "width": w,
+                            "height": h,
+                            "channels": c,
+                            "mean_pixel": float(px.mean()),
+                            "channel_means": [float(m) for m in px.mean(axis=(0, 1))],
+                            "error": None,
+                        }
+                    )
+                except Exception as exc:
+                    out.append(
+                        {"media_id": mid, "width": None, "height": None,
+                         "channels": None, "mean_pixel": None,
+                         "channel_means": None,
+                         "error": f"{type(exc).__name__}: {exc}"}
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
+
+    return (
+        media.where(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(fn, IMAGE_FEATURES_SCHEMA)
+    )
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize, re-encoded in the fake format (the resize
+    math is real numpy; a real pipeline would swap codec + interpolation)."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("format", T.StringType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, c, px = _decode_payload(bytes(payload))
+                yi = (np.arange(out_h) * h // out_h).astype(int)
+                xi = (np.arange(out_w) * w // out_w).astype(int)
+                resized = px[np.ix_(yi, xi)]
+                blob = (
+                    b"FAKEIMG"
+                    + struct.pack("<HHB", out_w, out_h, c)
+                    + resized.astype(np.uint8).tobytes()
+                )
+                out.append({"media_id": mid, "payload": blob, "format": "fakeimg"})
+            yield pd.DataFrame(out, columns=["media_id", "payload", "format"])
+
+    return (
+        media.where(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(fn, schema)
+    )
+
+
+def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
+    """Video frame sampling: one output row per kept frame (UDTF shape)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                blob = bytes(payload)
+                if blob[:7] != b"FAKEVID":
+                    raise NotImplementedError("real video codecs not available")
+                n, w, h = struct.unpack_from("<HHH", blob, 7)
+                frames = np.frombuffer(blob, dtype=np.uint8, offset=13).reshape(n, h, w)
+                for idx in range(0, n, every):
+                    out.append(
+                        {"media_id": mid, "frame_idx": idx,
+                         "frame": frames[idx].tobytes(), "width": w, "height": h}
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return (
+        media.where(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(fn, FRAME_SCHEMA)
+    )

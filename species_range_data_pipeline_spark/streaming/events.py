@@ -1,0 +1,99 @@
+"""Streaming event pipelines: file-source streams with watermarked windowed
+aggregation, sessionization, and streaming dedup.
+
+The batch twins of these plans live in plans/events.py and are DuckDB
+oracle-checked; the streaming forms are validated in tests by running a
+bounded stream to completion and comparing against the batch result — the
+strongest check available for plans with no SQL oracle.
+
+Scale notes: a file-source stream with ``maxFilesPerTrigger`` is the local
+stand-in for Kafka partitions; the state store (watermark + window state)
+is partitioned by group key, so the same plan runs on a real cluster with
+checkpointing to object storage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import SCHEMAS
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream of event parquet with the engine's events schema.
+
+    (The fixture's TIMESTAMP(NANOS) column arrives as long under
+    ``nanosAsLong``; converted exactly like catalog.load_table.)
+    """
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1h windows with late-data handling via watermark."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionized(stream: DataFrame, gap: str = "15 minutes") -> DataFrame:
+    """Streaming session windows (dynamic gap-merging state)."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon —
+    the streaming form of the pipeline's idempotency operator (D1)."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_stream_to_memory(
+    query_df: DataFrame, name: str, output_mode: str = "append"
+) -> "object":
+    """Start a memory-sink query (tests drain it with processAllAvailable)."""
+    return (
+        query_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )

@@ -1,0 +1,76 @@
+"""Multimodal plumbing tests: fake codec decodes for real, real formats stub
+cleanly, and the Spark-side batch shapes hold."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from species_range_data_pipeline_spark.multimodal.media import (
+    _decode_payload,
+    decode_images,
+    encode_fake_image,
+    make_media_table,
+    resize_images,
+    sample_frames,
+)
+
+
+def test_fake_image_roundtrip():
+    blob = encode_fake_image(4, 3, 3, seed=42)
+    w, h, c, px = _decode_payload(blob)
+    assert (w, h, c) == (4, 3, 3)
+    assert px.shape == (3, 4, 3)
+    rng = np.random.RandomState(42)
+    assert (px.ravel() == rng.randint(0, 256, size=36, dtype=np.uint8)).all()
+
+
+def test_real_format_is_stubbed():
+    with pytest.raises(NotImplementedError, match="not available"):
+        _decode_payload(b"\x89PNG\r\n\x1a\nxxxx")
+
+
+def test_decode_images_features(spark):
+    media = make_media_table(spark, n=16)
+    feats = decode_images(media).orderBy("media_id")
+    rows = feats.collect()
+    assert len(rows) == 12  # 16 minus every 4th (video)
+    for r in rows:
+        assert r.error is None
+        assert len(r.channel_means) == r.channels == 3
+        # mean of per-channel means == overall mean
+        assert np.mean(r.channel_means) == pytest.approx(r.mean_pixel)
+        # independently recompute from the seed
+        w, h, c, px = _decode_payload(
+            encode_fake_image(8 + r.media_id % 5, 6 + r.media_id % 3, 3, seed=r.media_id)
+        )
+        assert r.mean_pixel == pytest.approx(float(px.mean()))
+
+
+def test_decode_error_channel(spark):
+    bad = spark.createDataFrame(
+        [(99, "image", b"\xff\xd8\xff\xe0 jpeg bytes", "jpeg")],
+        "media_id long, kind string, payload binary, format string",
+    )
+    rows = decode_images(bad).collect()
+    assert len(rows) == 1
+    assert "NotImplementedError" in rows[0].error
+
+
+def test_resize_images(spark):
+    media = make_media_table(spark, n=8)
+    small = resize_images(media, 4, 2).orderBy("media_id").collect()
+    for r in small:
+        w, h, c, px = _decode_payload(bytes(r.payload))
+        assert (w, h, c) == (4, 2, 3)
+
+
+def test_sample_frames(spark):
+    media = make_media_table(spark, n=16)
+    frames = sample_frames(media, every=2).collect()
+    assert frames
+    for r in frames:
+        assert r.frame_idx % 2 == 0
+        assert len(bytes(r.frame)) == r.width * r.height

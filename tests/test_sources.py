@@ -1,0 +1,104 @@
+"""Sources: species-list TSV (S1/S2), HTML scenario scrape (S3) with the
+availability filter (F1), and the idempotency anti-join (D1)."""
+
+from __future__ import annotations
+
+from species_range_data_pipeline_spark.operators.idempotency import (
+    materialized_keys,
+    pending_work,
+)
+from species_range_data_pipeline_spark.sources.scrape import (
+    parse_species_page,
+    scrape_scenarios,
+)
+from species_range_data_pipeline_spark.sources.species_list import (
+    fetch_species_list,
+    read_species_list_csv,
+)
+
+TSV = (
+    "abies-balsamea\tBalsam Fir\tAbies balsamea\tvtech\n"
+    "acer-rubrum\tRed Maple\tAcer rubrum\tvtech\n"
+)
+
+PAGE = """
+<html><body>
+<div class="row">
+  <div class="col-md-3 block"><h4>Current</h4>
+    <ul><li><a href="/img/a.png">img</a></li>
+        <li><a href="/zips/abies_25_current.zip">zip</a></li></ul>
+  </div>
+  <div class="col-md-3 block"><h4>GFDL RCP4.5 2080</h4>
+    <ul><li><a href="/img/b.png">img</a></li>
+        <li><a href="/zips/abies_25_gfdl_rcp45_y2080.zip">zip</a></li></ul>
+  </div>
+  <div class="col-md-3 block"><h4>HadGEM RCP8.5 2080</h4>
+    <p>Image not available</p>
+  </div>
+</div>
+</body></html>
+"""
+
+
+def test_species_list_fetch_and_schema(spark):
+    df = fetch_species_list(spark, "https://example.invalid/speciesList.txt", lambda url: TSV)
+    assert df.columns == ["hyphenated_name", "regular_name", "scientific_name", "source_site"]
+    rows = df.orderBy("hyphenated_name").collect()
+    assert [r.hyphenated_name for r in rows] == ["abies-balsamea", "acer-rubrum"]
+    assert rows[0].scientific_name == "Abies balsamea"
+
+
+def test_species_list_csv_path(spark, tmp_path):
+    p = tmp_path / "speciesList.txt"
+    p.write_text(TSV)
+    df = read_species_list_csv(spark, str(p))
+    assert df.count() == 2
+    assert dict(df.dtypes) == {
+        "hyphenated_name": "string",
+        "regular_name": "string",
+        "scientific_name": "string",
+        "source_site": "string",
+    }
+
+
+def test_parse_species_page_selection_and_availability():
+    got = parse_species_page(PAGE)
+    assert got == [
+        ("Current", "/zips/abies_25_current.zip", True),
+        ("GFDL RCP4.5 2080", "/zips/abies_25_gfdl_rcp45_y2080.zip", True),
+        ("HadGEM RCP8.5 2080", None, False),
+    ]
+
+
+def test_scrape_scenarios_dataflow(spark):
+    species = fetch_species_list(spark, "u", lambda url: TSV)
+    fetched_urls = []
+
+    def fetcher(url: str) -> str:
+        fetched_urls.append(url)
+        if "acer" in url:
+            raise OSError("HTTP 503")
+        return PAGE
+
+    out = scrape_scenarios(species, fetcher).collect()
+    ok = [r for r in out if r.error is None]
+    errs = [r for r in out if r.error is not None]
+    assert len(ok) == 3 and len(errs) == 1
+    assert errs[0].species == "acer-rubrum" and "OSError" in errs[0].error
+    # F1: the declarative availability filter drops the unavailable scenario
+    available = [r for r in ok if r.available]
+    assert len(available) == 2
+
+
+def test_idempotency_anti_join(spark, tmp_path):
+    work = spark.createDataFrame(
+        [("a", "25"), ("a", "50"), ("b", "25")], "species string, threshold string"
+    )
+    done = spark.createDataFrame([("a", "50")], "species string, threshold string")
+    pending = pending_work(work, done, ["species", "threshold"])
+    assert {(r.species, r.threshold) for r in pending.collect()} == {("a", "25"), ("b", "25")}
+
+    # sink listing: absent path -> empty keys -> everything pending
+    empty = materialized_keys(spark, str(tmp_path / "nope"), ["species"])
+    assert empty.count() == 0
+    assert pending_work(work, empty, ["species"]).count() == 3

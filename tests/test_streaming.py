@@ -1,0 +1,85 @@
+"""Structured Streaming validation: run bounded streams to completion and
+compare with the batch twins (plans/events.py), which are themselves DuckDB
+oracle-checked — transitively anchoring the streaming results."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from species_range_data_pipeline_spark.streaming.events import (
+    read_event_stream,
+    run_stream_to_memory,
+    sessionized,
+    stream_dedup,
+    windowed_counts,
+)
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def event_dir(tmp_path):
+    # stream source dir with the single fixture file (bounded stream)
+    d = tmp_path / "events"
+    d.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def _drain(q):
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_windowed_counts_match_batch(spark, event_dir):
+    stream = read_event_stream(spark, event_dir)
+    assert stream.isStreaming
+    q = run_stream_to_memory(windowed_counts(stream), "win_counts", "complete")
+    _drain(q)
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+
+    from species_range_data_pipeline_spark.plans.events import ev_tumbling
+
+    batch = ev_tumbling(spark, SF_SMOKE)
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_sessionization_stream_matches_batch(spark, event_dir):
+    stream = read_event_stream(spark, event_dir)
+    q = run_stream_to_memory(sessionized(stream), "sess", "complete")
+    _drain(q)
+    got = {
+        (r.user_id, r.session_start): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM sess").collect()
+    }
+
+    from species_range_data_pipeline_spark.plans.events import ev_sessionization
+
+    want = {
+        (r.user_id, r.session_start): (r.n_events, r.total_value)
+        for r in ev_sessionization(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_stream_dedup_drops_replayed_file(spark, event_dir, tmp_path):
+    # replay the same file twice (same event_ids) -> dedup keeps one copy
+    d = tmp_path / "replay"
+    d.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", d / "a.parquet")
+    shutil.copy(f"{SF_SMOKE}/events.parquet", d / "b.parquet")
+    stream = read_event_stream(spark, str(d))
+    q = run_stream_to_memory(stream_dedup(stream).select("event_id"), "dedup")
+    _drain(q)
+    n = spark.sql("SELECT count(DISTINCT event_id) c, count(*) t FROM dedup").first()
+    base = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert n.t == n.c == base
