@@ -213,11 +213,12 @@ def union_cells_to_multipolygon(
     y0: float = 0.0,
     cellsize: float = 1.0,
     nrows: int | None = None,
-) -> tuple[bytes, float, int]:
+) -> tuple[bytes, float, int, int]:
     """Geometric union in cell space (the dissolve kernel, A1): dedupe cells,
-    polygonize, emit one MultiPolygon + total area + polygon count."""
+    polygonize, emit (MultiPolygon WKB, total area, polygon count,
+    unique-cell count)."""
     if len(rows) == 0:
-        return encode_multipolygon([]), 0.0, 0
+        return encode_multipolygon([]), 0.0, 0, 0
     uniq = np.unique(np.stack([np.asarray(rows), np.asarray(cols)], axis=1), axis=0)
     parts = polygonize_cells(uniq[:, 0], uniq[:, 1], x0, y0, cellsize, nrows)
     from .wkb import decode
@@ -228,4 +229,4 @@ def union_cells_to_multipolygon(
         _, rings = decode(wkb)
         polys.extend(rings)
         total_area += area
-    return encode_multipolygon(polys), float(total_area), len(parts)
+    return encode_multipolygon(polys), float(total_area), len(parts), len(uniq)

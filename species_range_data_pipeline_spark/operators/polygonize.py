@@ -95,12 +95,19 @@ def dissolve(
     """GROUP BY ``by`` with geometry -> union (A1).  Input is cell rows;
     output one MultiPolygon per group with its area and part count.
 
-    The map-side ``distinct()`` is the partial union: duplicate cells from
-    overlapping scenario rasters collapse before the shuffle.
+    Shuffle strategy — the SURVEY.md §7 two-level union, concretely:
+    1. JVM pre-aggregation groupBy(by, row, col): HashAggregate partial
+       collapses duplicate cells MAP-SIDE, so the shuffle and (crucially)
+       the Arrow->Python transfer carry unique cells only — at sf0.1 this is
+       ~100x fewer rows into the pandas kernel.
+    2. applyInPandas on the group key runs the polygonize kernel once per
+       output group (np.unique stays as a safety net).
     """
     by = list(by)
     affine_cols = [c for c in ("xll", "yll", "cellsize", "nrows") if c in cells.columns]
-    deduped = cells.select(*by, "row", "col", *affine_cols).distinct()
+    deduped = cells.groupBy(*by, "row", "col", *affine_cols).agg(
+        F.count(F.lit(1)).alias("_dup_count")
+    )
     schema = T.StructType(
         [cells.schema[c] for c in by]
         + [
@@ -114,11 +121,11 @@ def dissolve(
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         keys = {c: pdf[c].iloc[0] for c in by}
         gx0, gy0, gcs, gnr = _affine_of(pdf, (x0, y0, cellsize, nrows))
-        wkb, area, n_parts = union_cells_to_multipolygon(
+        wkb, area, n_parts, n_cells = union_cells_to_multipolygon(
             pdf["row"].to_numpy(), pdf["col"].to_numpy(), gx0, gy0, gcs, gnr
         )
         return pd.DataFrame(
-            [{**keys, "geometry": wkb, "area": area, "n_parts": n_parts, "n_cells": len(pdf)}],
+            [{**keys, "geometry": wkb, "area": area, "n_parts": n_parts, "n_cells": n_cells}],
             columns=by + ["geometry", "area", "n_parts", "n_cells"],
         )
 

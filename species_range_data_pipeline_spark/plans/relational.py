@@ -55,7 +55,10 @@ def flagship_threshold_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "range_area"
             ),
             F.count(F.lit(1)).alias("cell_count"),
-            F.min("l_linestatus").alias("status_carry"),
+            # min over a STRING buffer forces SortAggregate; min(ascii) keeps
+            # the whole aggregate in HashAggregate (fixed-width buffer) and is
+            # identical for the single-char status flag.
+            F.expr("char(min(ascii(l_linestatus)))").alias("status_carry"),
         )
         .orderBy("species", "threshold")
     )
@@ -66,7 +69,7 @@ SELECT l_returnflag AS species,
        threshold,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS range_area,
        count(*) AS cell_count,
-       min(l_linestatus) AS status_carry
+       chr(min(ascii(l_linestatus))) AS status_carry
 FROM lineitem
 CROSS JOIN (VALUES (0.25), (0.5), (0.75)) AS t(threshold)
 WHERE l_quantity / 50.0 >= threshold

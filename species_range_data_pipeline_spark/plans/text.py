@@ -273,26 +273,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, s in enumerate(_MINHASH_SALTS)
         ]
     )
-    bands = []
+    # One explode instead of a 4-way union (the union re-evaluated the whole
+    # shingle->signature lineage per band), and bucket-local pair generation
+    # via collect_list instead of a self-join (which evaluated it twice
+    # more).  The signature pipeline now runs exactly once; bucket arrays
+    # are bounded by band selectivity, so the pair explode is local work.
     per_band = len(_MINHASH_SALTS) // _LSH_BANDS
-    for b in range(_LSH_BANDS):
-        cols = [f"mh{b * per_band + j}" for j in range(per_band)]
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).cast("int").alias("band"),
-                F.concat_ws("#", *cols).alias("bucket"),
-            )
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("int").alias("band"),
+            F.concat_ws(
+                "#", *[f"mh{b * per_band + j}" for j in range(per_band)]
+            ).alias("bucket"),
         )
-    banded = bands[0]
-    for other in bands[1:]:
-        banded = banded.unionByName(other)
-    left = banded.select("band", "bucket", F.col("doc_id").alias("doc_a"))
-    right = banded.select("band", "bucket", F.col("doc_id").alias("doc_b"))
+        for b in range(_LSH_BANDS)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") > 1)
+    )
     return (
-        left.join(right, ["band", "bucket"])
+        buckets.select("ids", F.explode("ids").alias("doc_a"))
+        .select("doc_a", F.explode("ids").alias("doc_b"))
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
         .distinct()
         .orderBy("doc_a", "doc_b")
     )

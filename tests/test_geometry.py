@@ -110,9 +110,10 @@ def test_random_grids_area_equals_cell_count():
 def test_union_cells_dedupes_and_sums():
     rows = np.array([0, 0, 0, 1])
     colz = np.array([0, 0, 2, 2])  # duplicate (0,0); (0,2)+(1,2) connected
-    wkb, area, n_parts = union_cells_to_multipolygon(rows, colz)
+    wkb, area, n_parts, n_cells = union_cells_to_multipolygon(rows, colz)
     assert area == 3.0
     assert n_parts == 2
+    assert n_cells == 3  # the duplicate (0,0) collapsed
     name, polys = decode(wkb)
     assert name == "MultiPolygon"
     assert len(polys) == 2
