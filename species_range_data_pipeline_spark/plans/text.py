@@ -91,14 +91,15 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     all closed-form column math so it runs inside the scan stage.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
+    toks = F.col("toks")  # materialized below: one tokenizer eval per row
     n_tokens = F.size(toks)
     stop_hits = F.size(
         F.filter(toks, lambda t: t.isin(_STOPWORDS))
     )
     alpha_chars = F.length(F.regexp_replace("text", r"[^a-zA-Z]", ""))
     return (
-        docs.select(
+        docs.select("doc_id", "text", _tokens().alias("toks"))
+        .select(
             "doc_id",
             F.length("text").cast("long").alias("n_chars_actual"),
             n_tokens.cast("long").alias("n_tokens"),
@@ -136,7 +137,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     table; the per-language score columns keep it whole-stage-codegen.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
+    toks = F.col("toks")  # materialized below: one tokenizer eval per row
     en = F.size(F.filter(toks, lambda t: t.isin(["the", "and", "of"])))
     es = F.size(F.filter(toks, lambda t: t.isin(["el", "la", "de"])))
     fr = F.size(F.filter(toks, lambda t: t.isin(["le", "la", "et"])))
@@ -146,7 +147,8 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("fr"))
     )
     return (
-        docs.select(
+        docs.select("doc_id", _tokens().alias("toks"))
+        .select(
             "doc_id",
             en.cast("long").alias("score_en"),
             es.cast("long").alias("score_es"),
@@ -233,9 +235,17 @@ ORDER BY keep_doc_id
 """
 
 
-def _shingles_expr():
-    """3-token shingles as strings: transform over token index range."""
-    toks = _tokens()
+def _shingles_expr(toks=None):
+    """3-token shingles as strings: transform over token index range.
+
+    ``toks`` MUST be a bound column reference (materialize the tokenizer with
+    a prior ``select(_tokens().alias("toks"))``), never the raw tokenizer
+    expression: inlining it makes codegen re-run the regexp split inside
+    every ``element_at`` of the transform lambda — O(shingles x text_len)
+    regex work, measured 20x slower at sf0.1.
+    """
+    if toks is None:
+        toks = F.col("toks")
     n = F.size(toks)
     # sequence(1, n-2) -> element_at is 1-based; guard docs shorter than 3 tokens
     return F.when(
@@ -252,6 +262,13 @@ def _shingles_expr():
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) rows with the tokenizer evaluated once per doc."""
+    return docs.select("doc_id", _tokens().alias("toks")).select(
+        "doc_id", F.explode(_shingles_expr()).alias("shingle")
+    )
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup candidates.
 
@@ -261,10 +278,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the difference between a bucket-local join and an all-pairs explosion).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = (
-        docs.select("doc_id", F.explode(_shingles_expr()).alias("shingle"))
-        .distinct()
-    )
+    # No distinct() on shingles: min() is duplicate-insensitive, and the
+    # groupBy's map-side partial aggregation already collapses everything to
+    # 8 hashes per doc per partition — a distinct here would be a second
+    # full-width shuffle of the raw shingle strings for nothing.
+    sh = _doc_shingles(docs)
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(s), F.lit("|"), F.col("shingle")))).alias(
@@ -348,10 +366,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     least one shingle materialize (the join does the candidate pruning).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = (
-        docs.select("doc_id", F.explode(_shingles_expr()).alias("shingle"))
-        .distinct()
-    )
+    sh = _doc_shingles(docs).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
