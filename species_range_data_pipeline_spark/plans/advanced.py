@@ -1,0 +1,673 @@
+"""Advanced relational surface: as-of / range / salted joins, cube and
+grouping sets, exact percentiles, correlated subqueries, unpivot, and the
+wider TPC-H-shaped query set (SURVEY.md §2.1: joins / aggregations / window
+functions are absent in the reference, so the engine supplies the standard
+surface; every plan here is DuckDB-oracle-checked).
+
+Scale notes per family:
+- as-of join: implemented as ONE window pass over a tagged union — no join
+  at all, so no shuffle beyond the partitionBy(user).  The classic
+  alternative (range join + argmax) shuffles twice and explodes on skew.
+- range join: the band side is a literal broadcast; Catalyst plans
+  BroadcastNestedLoopJoin, which at 1000 executors is a map-only stage.
+- skew: the two-phase salted aggregate bounds any single reducer's input to
+  |partition|/n_salts rows on a pathologically hot key (5-value event_type
+  column here); same result as the direct groupBy, checked by the oracle.
+- cube/grouping sets/percentiles/windows: stock Catalyst operators
+  (Expand + HashAggregate, exact `percentile`); no Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+_DUCK_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+# ---------------------------------------------------------------------------
+# join family: as-of, range-band, salted two-phase
+# ---------------------------------------------------------------------------
+
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every click, the latest view at-or-before it (per
+    user).  Spark lacks ASOF JOIN; the idiomatic distributed form is a
+    single running-window pass over the tagged event stream — one shuffle on
+    user_id, zero joins, immune to time-skew (a range-join rewrite degrades
+    quadratically on users with many events).
+
+    Views sort before clicks at equal ts so `ts_view <= ts_click` matches
+    DuckDB's ASOF semantics (oracle states it as correlated aggregates).
+    """
+    events = load_table(spark, sf_dir, "events")
+    ev = events.where(F.col("event_type").isin("view", "click")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "click").cast("int").alias("is_click"),
+        F.when(F.col("event_type") == "view", F.col("ts")).alias("view_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.withColumn("last_view_ts", F.max("view_ts").over(w))
+        .withColumn("n_prior_views", F.count("view_ts").over(w))
+        .where(F.col("is_click") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", _FMT).alias("click_ts"),
+            F.date_format("last_view_ts", _FMT).alias("last_view_ts"),
+            F.col("n_prior_views").cast("long").alias("n_prior_views"),
+        )
+        .orderBy("event_id")
+    )
+
+
+JOIN_ASOF_ORACLE = f"""
+SELECT c.event_id,
+       c.user_id,
+       strftime(c.ts, '{_DUCK_FMT}') AS click_ts,
+       strftime((SELECT max(v.ts) FROM events v
+                 WHERE v.user_id = c.user_id AND v.event_type = 'view'
+                   AND v.ts <= c.ts), '{_DUCK_FMT}') AS last_view_ts,
+       (SELECT count(*) FROM events v
+        WHERE v.user_id = c.user_id AND v.event_type = 'view'
+          AND v.ts <= c.ts) AS n_prior_views
+FROM events c
+WHERE c.event_type = 'click'
+ORDER BY c.event_id
+"""
+
+
+_BANDS = [
+    ("00_low", 0.0, 100_000.0),
+    ("01_mid", 100_000.0, 200_000.0),
+    ("02_high", 200_000.0, 300_000.0),
+    ("03_premium", 300_000.0, 400_000.0),
+    ("04_top", 400_000.0, 500_000.0),
+]
+
+
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: orders against a literal price-band table on
+    lo <= price < hi.  The band side is broadcast, so the inequality join is
+    a map-only BroadcastNestedLoopJoin — the only scalable plan for a
+    non-equi join with a small build side."""
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_BANDS, ["band", "lo", "hi"])
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("band")
+    )
+
+
+JOIN_RANGE_ORACLE = """
+SELECT band, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders
+JOIN (VALUES ('00_low', 0.0, 100000.0), ('01_mid', 100000.0, 200000.0),
+             ('02_high', 200000.0, 300000.0), ('03_premium', 300000.0, 400000.0),
+             ('04_top', 400000.0, 500000.0)) AS b(band, lo, hi)
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+ORDER BY band
+"""
+
+
+_N_SALTS = 32
+
+
+def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigating two-phase aggregate: event_type has 5 values over the
+    whole table (pathological key skew), so phase 1 groups on
+    (key, salt=hash%32) — bounding any reducer to 1/32 of a hot key — and
+    phase 2 merges the 5x32 partials.  Result identical to a direct groupBy
+    (the oracle is the direct form)."""
+    events = load_table(spark, sf_dir, "events")
+    salted = events.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(_N_SALTS))
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("value").alias("psum"),
+        F.max("value").alias("pmax"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.round(F.sum("psum"), 2).alias("total_value"),
+            F.round(F.max("pmax"), 2).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+AGG_SALTED_ORACLE = """
+SELECT event_type, count(*) AS n_events,
+       round(sum(value), 2) AS total_value,
+       round(max(value), 2) AS max_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# aggregation family: cube, grouping sets, exact percentiles, approx-distinct
+# ---------------------------------------------------------------------------
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping combinations in
+    one Expand+HashAggregate pass (vs 4 separate scans)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+AGG_CUBE_ORACLE = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface (the engine registers the
+    fixture tables as views; see catalog.load_tables)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority
+        """
+    )
+
+
+AGG_GROUPING_SETS_ORACLE = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY status, priority
+"""
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    quantile_cont) per group — the distribution-profile aggregate a data
+    pipeline gates on.  At 100 TB swap `percentile` for
+    `approx_percentile` (t-digest, mergeable partials); the exact form here
+    is what the oracle can check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.element_at(pct, 1), 2).alias("p25"),
+            F.round(F.element_at(pct, 2), 2).alias("p50"),
+            F.round(F.element_at(pct, 3), 2).alias("p75"),
+            F.round(F.avg("l_extendedprice"), 2).alias("mean"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_PERCENTILES_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+       round(avg(l_extendedprice), 2) AS mean
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count per event_type, validated against the
+    exact count (approx_ok = within 5%).  The oracle can't run Spark's HLL,
+    so it checks the exact count and asserts the accuracy flag — which is
+    deterministic because HLL++ on fixed input is."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.05
+            ).alias("approx_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+AGG_APPROX_DISTINCT_ORACLE = """
+SELECT event_type, count(DISTINCT user_id) AS exact_users, TRUE AS approx_ok
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# window family: ntile, first/last/nth value
+# ---------------------------------------------------------------------------
+
+def window_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) wealth quartiles per nation; output is the per-bucket
+    profile.  Tie-broken on (acctbal, custkey) so assignment is total-order
+    deterministic in both engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_nationkey", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+        .orderBy("c_nationkey", "quartile")
+    )
+
+
+WINDOW_NTILE_ORACLE = """
+WITH q AS (
+    SELECT c_nationkey, c_acctbal,
+           ntile(4) OVER (PARTITION BY c_nationkey
+                          ORDER BY c_acctbal, c_custkey) AS quartile
+    FROM customer
+)
+SELECT c_nationkey, quartile, count(*) AS n_customers,
+       round(min(c_acctbal), 2) AS min_bal,
+       round(max(c_acctbal), 2) AS max_bal
+FROM q
+GROUP BY c_nationkey, quartile
+ORDER BY c_nationkey, quartile
+"""
+
+
+def window_value_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value with an explicit full-partition
+    frame (the default frame stops at CURRENT ROW — the classic last_value
+    trap) over suppliers per nation."""
+    supp = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        supp.select(
+            "s_suppkey",
+            "s_nationkey",
+            F.round("s_acctbal", 2).alias("acctbal"),
+            F.round(F.first("s_acctbal").over(wf), 2).alias("poorest"),
+            F.round(F.last("s_acctbal").over(wf), 2).alias("richest"),
+            # single-supplier nations have no 2nd value; -1 sentinel keeps
+            # the column non-null (engines render SQL NULL differently)
+            F.coalesce(
+                F.round(F.nth_value("s_acctbal", 2).over(wf), 2), F.lit(-1.0)
+            ).alias("second"),
+            F.row_number().over(w).alias("rank_in_nation"),
+        )
+        .orderBy("s_nationkey", "rank_in_nation")
+    )
+
+
+WINDOW_VALUE_FRAMES_ORACLE = """
+SELECT s_suppkey, s_nationkey, round(s_acctbal, 2) AS acctbal,
+       round(first_value(s_acctbal) OVER f, 2) AS poorest,
+       round(last_value(s_acctbal) OVER f, 2) AS richest,
+       coalesce(round(nth_value(s_acctbal, 2) OVER f, 2), -1.0) AS second,
+       row_number() OVER (PARTITION BY s_nationkey
+                          ORDER BY s_acctbal, s_suppkey) AS rank_in_nation
+FROM supplier
+WINDOW f AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY s_nationkey, rank_in_nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# subquery family: EXISTS semi-join, correlated scalar
+# ---------------------------------------------------------------------------
+
+def subq_exists_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders having at least one line shipped >30 days
+    after order date, counted per priority.  EXISTS == left-semi join with a
+    non-equi conjunct; the equi key still drives the shuffle so the
+    inequality is evaluated post-match (no nested loop)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SUBQ_EXISTS_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def subq_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar shape: customers above their nation's average
+    balance.  Decorrelated the way Catalyst (and every MPP planner) does it:
+    aggregate once per nation, broadcast the 25-row result back — the
+    correlated form would be a per-row subquery."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation_avg = cust.groupBy("c_nationkey").agg(
+        F.avg("c_acctbal").alias("nation_avg")
+    )
+    return (
+        cust.join(F.broadcast(nation_avg), "c_nationkey")
+        .where(F.col("c_acctbal") > F.col("nation_avg"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            F.round(F.avg(F.col("c_acctbal") - F.col("nation_avg")), 2).alias(
+                "avg_excess"
+            ),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+SUBQ_ABOVE_AVG_ORACLE = """
+SELECT c_nationkey, count(*) AS n_above,
+       round(avg(c_acctbal - nation_avg), 2) AS avg_excess
+FROM (
+    SELECT c_nationkey, c_acctbal,
+           (SELECT avg(c2.c_acctbal) FROM customer c2
+            WHERE c2.c_nationkey = c.c_nationkey) AS nation_avg
+    FROM customer c
+)
+WHERE c_acctbal > nation_avg
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped: Q6, Q10, Q14, Q18
+# ---------------------------------------------------------------------------
+
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: forecasted revenue change — pure scan+filter+agg,
+    the pushdown showcase (all three predicates reach the parquet reader)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q6_ORACLE = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top 20 customers by revenue lost to returns.
+    customer and nation broadcast; the only shuffle is the per-customer
+    aggregate of the filtered fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(rev, 2).alias("lost_revenue"))
+        .orderBy(F.col("lost_revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_ORACLE = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS lost_revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly revenue share of PROMO parts through 1996.
+    part is broadcast; conditional aggregation avoids a second pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.round(
+                100
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("month")
+    )
+
+
+Q14_ORACLE = """
+SELECT strftime(l_shipdate, '%Y-%m') AS month,
+       round(100 * sum(CASE WHEN p_type = 'PROMO'
+                            THEN l_extendedprice * (1 - l_discount)
+                            ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+ORDER BY month
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds 250, with the
+    customer.  The HAVING aggregate runs on the fact first (smallest
+    intermediate), then the pre-shrunk result joins the broadcast dims."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", _FMT).alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("sum_qty").desc(), "o_orderkey")
+    )
+
+
+Q18_ORACLE = f"""
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '{_DUCK_FMT}') AS orderdate,
+       round(o_totalprice, 2) AS totalprice, sum_qty
+FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY sum_qty DESC, o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# reshaping: unpivot
+# ---------------------------------------------------------------------------
+
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide->long) of per-flag measure sums via DataFrame.unpivot —
+    melt is a zero-shuffle Expand on the already-aggregated 3-row input."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price"),
+        F.round(F.sum("l_discount"), 2).alias("discount"),
+    )
+    return (
+        wide.unpivot(
+            ["l_returnflag"], ["qty", "price", "discount"], "measure", "value"
+        )
+        .orderBy("l_returnflag", "measure")
+    )
+
+
+UNPIVOT_ORACLE = """
+WITH wide AS (
+    SELECT l_returnflag,
+           round(sum(l_quantity), 2) AS qty,
+           round(sum(l_extendedprice), 2) AS price,
+           round(sum(l_discount), 2) AS discount
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, measure, value
+FROM (
+    SELECT l_returnflag, 'qty' AS measure, qty AS value FROM wide
+    UNION ALL SELECT l_returnflag, 'price', price FROM wide
+    UNION ALL SELECT l_returnflag, 'discount', discount FROM wide
+)
+ORDER BY l_returnflag, measure
+"""
+
+
+QUERIES = {
+    "join_asof": join_asof,
+    "join_range_bands": join_range_bands,
+    "agg_salted_twophase": agg_salted_twophase,
+    "agg_cube": agg_cube,
+    "agg_grouping_sets": agg_grouping_sets,
+    "agg_percentiles": agg_percentiles,
+    "agg_approx_distinct": agg_approx_distinct,
+    "window_ntile_buckets": window_ntile_buckets,
+    "window_value_frames": window_value_frames,
+    "subq_exists_late_lines": subq_exists_late_lines,
+    "subq_above_nation_avg": subq_above_nation_avg,
+    "q6_revenue_delta": q6_revenue_delta,
+    "q10_returned_revenue": q10_returned_revenue,
+    "q14_promo_share": q14_promo_share,
+    "q18_large_orders": q18_large_orders,
+    "unpivot_measures": unpivot_measures,
+}
+
+ORACLES = {
+    "join_asof": JOIN_ASOF_ORACLE,
+    "join_range_bands": JOIN_RANGE_ORACLE,
+    "agg_salted_twophase": AGG_SALTED_ORACLE,
+    "agg_cube": AGG_CUBE_ORACLE,
+    "agg_grouping_sets": AGG_GROUPING_SETS_ORACLE,
+    "agg_percentiles": AGG_PERCENTILES_ORACLE,
+    "agg_approx_distinct": AGG_APPROX_DISTINCT_ORACLE,
+    "window_ntile_buckets": WINDOW_NTILE_ORACLE,
+    "window_value_frames": WINDOW_VALUE_FRAMES_ORACLE,
+    "subq_exists_late_lines": SUBQ_EXISTS_ORACLE,
+    "subq_above_nation_avg": SUBQ_ABOVE_AVG_ORACLE,
+    "q6_revenue_delta": Q6_ORACLE,
+    "q10_returned_revenue": Q10_ORACLE,
+    "q14_promo_share": Q14_ORACLE,
+    "q18_large_orders": Q18_ORACLE,
+    "unpivot_measures": UNPIVOT_ORACLE,
+}
