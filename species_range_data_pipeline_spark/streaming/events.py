@@ -87,6 +87,51 @@ def stream_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def stateful_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    event count + value total maintained across microbatches.
+
+    This is the engine's escape hatch for stateful semantics Spark's
+    built-in windows can't express (per-key accumulators, custom eviction,
+    counters that survive the trigger).  State is a single fixed-width row
+    per user in the state store, partitioned by the group key — at cluster
+    scale it shards with the shuffle and checkpoints incrementally.  Each
+    trigger emits one updated row per user seen in that batch (Update mode);
+    the latest row per user is the current running total.
+    """
+    import pandas as pd
+    import pyspark.sql.types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "Update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_stream_to_memory(
     query_df: DataFrame, name: str, output_mode: str = "append"
 ) -> "object":

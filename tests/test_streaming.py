@@ -12,6 +12,7 @@ from species_range_data_pipeline_spark.streaming.events import (
     read_event_stream,
     run_stream_to_memory,
     sessionized,
+    stateful_user_totals,
     stream_dedup,
     windowed_counts,
 )
@@ -67,6 +68,43 @@ def test_sessionization_stream_matches_batch(spark, event_dir):
     want = {
         (r.user_id, r.session_start): (r.n_events, r.total_value)
         for r in ev_sessionization(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_stateful_user_totals_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState accumulates per-user state across triggers:
+    split the fixture into 3 files (3 microbatches with maxFilesPerTrigger=1)
+    and check the final emitted row per user equals the batch groupBy."""
+    import pyspark.sql.functions as F
+
+    src = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    d = tmp_path / "parts"
+    d.mkdir()
+    for i in range(3):
+        src.where(F.pmod("event_id", F.lit(3)) == i).coalesce(1).write.parquet(
+            str(d / f"chunk{i}")
+        )
+    files = sorted(str(p) for p in d.glob("chunk*/part-*.parquet"))
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    for i, f in enumerate(files):
+        shutil.copy(f, stream_dir / f"f{i}.parquet")
+
+    stream = read_event_stream(spark, str(stream_dir), max_files_per_trigger=1)
+    q = run_stream_to_memory(stateful_user_totals(stream), "totals", "update")
+    _drain(q)
+    # latest emission per user = the row with the max n_events
+    rows = spark.sql(
+        """SELECT user_id, max_by(n_events, n_events) n, max_by(total_value, n_events) t
+           FROM totals GROUP BY user_id"""
+    ).collect()
+    got = {r.user_id: (r.n, r.t) for r in rows}
+    want = {
+        r.user_id: (r.n, r.t)
+        for r in src.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("t"))
+        .collect()
     }
     assert got == want
 
