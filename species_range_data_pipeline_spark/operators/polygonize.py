@@ -53,9 +53,16 @@ def polygonize(
     y0: float = 0.0,
     cellsize: float = 1.0,
     nrows: int | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Cells (group_cols..., row, col) -> one row per connected component:
-    (group_cols..., component_id, geometry WKB, n_cells, area)."""
+    (group_cols..., component_id, geometry WKB, n_cells, area).
+
+    ``num_partitions``: when the group cardinality is known-small, an
+    explicit repartition(n, keys) satisfies the grouping distribution with n
+    tasks — so only n Python workers spawn instead of
+    spark.sql.shuffle.partitions.  Leave None when groups are many.
+    """
     group_cols = list(group_cols)
     schema = T.StructType(
         [cells.schema[c] for c in group_cols]
@@ -81,6 +88,8 @@ def polygonize(
             columns=group_cols + ["component_id", "geometry", "n_cells", "area"],
         )
 
+    if num_partitions:
+        cells = cells.repartition(num_partitions, *group_cols)
     return cells.groupBy(*group_cols).applyInPandas(fn, schema)
 
 
@@ -91,6 +100,7 @@ def dissolve(
     y0: float = 0.0,
     cellsize: float = 1.0,
     nrows: int | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """GROUP BY ``by`` with geometry -> union (A1).  Input is cell rows;
     output one MultiPolygon per group with its area and part count.
@@ -102,6 +112,8 @@ def dissolve(
        ~100x fewer rows into the pandas kernel.
     2. applyInPandas on the group key runs the polygonize kernel once per
        output group (np.unique stays as a safety net).
+    ``num_partitions``: see polygonize — caps Python-worker fan-out when the
+    group cardinality is known-small.
     """
     by = list(by)
     affine_cols = [c for c in ("xll", "yll", "cellsize", "nrows") if c in cells.columns]
@@ -129,6 +141,8 @@ def dissolve(
             columns=by + ["geometry", "area", "n_parts", "n_cells"],
         )
 
+    if num_partitions:
+        deduped = deduped.repartition(num_partitions, *by)
     return deduped.groupBy(*by).applyInPandas(fn, schema)
 
 

@@ -41,7 +41,8 @@ def _cells_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 def geo_dissolve_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1+C1: grouped geometric union and its area, numerics oracle-checked."""
     cells = _cells_from_lineitem(spark, sf_dir)
-    out = dissolve(cells, by=["species", "threshold_s"])
+    # 3 flags x 3 thresholds = 9 groups: cap the Python stage at 9 tasks
+    out = dissolve(cells, by=["species", "threshold_s"], num_partitions=9)
     return (
         out.select(
             "species",
@@ -79,7 +80,7 @@ def geo_polygonize_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver; the kernels are golden-tested in tests/test_geometry.py.
     """
     cells = _cells_from_lineitem(spark, sf_dir).distinct()
-    out = polygonize(cells, ["species", "threshold_s"])
+    out = polygonize(cells, ["species", "threshold_s"], num_partitions=9)
     return (
         out.groupBy("species", F.col("threshold_s").alias("threshold"))
         .agg(
