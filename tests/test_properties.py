@@ -1,0 +1,55 @@
+"""Property tests (SURVEY.md §5): the filename->attribute parser (T6,
+``species_range_etl.py:188-198``) is the most bug-prone pure logic in the
+reference — hypothesis generates (threshold, source, scenario, year)
+combinations, formats them the way the reference names files, parses with
+the engine's column expression, and checks the round trip.
+
+One Spark job per example would be slow, so each hypothesis example is a
+LIST of cases parsed in a single DataFrame pass.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from species_range_data_pipeline_spark.pipeline.species import (
+    parse_scenario_attributes,
+)
+
+_token = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=8
+)
+
+
+@st.composite
+def scenario_file(draw):
+    """(file_name, expected species/threshold/source/scenario/year)."""
+    species = draw(_token)
+    thr = draw(st.sampled_from(["25", "50", "75"]))
+    ext = draw(st.sampled_from(["asc", "tif", "shp"]))
+    if draw(st.booleans()):
+        # 2-token form: {threshold}_current -> vtech/current/2020
+        # (species_range_etl.py:188-194)
+        name = f"{species}__{thr}_current.{ext}"
+        return (name, species, thr, "vtech", "current", "2020")
+    source = draw(_token)
+    scenario = draw(_token)
+    year = draw(st.integers(min_value=1900, max_value=2100))
+    # 4-token form: {threshold}_{source}_{scenario}_y{year}; the parser
+    # strips the leading 'y' (species_range_etl.py:198)
+    name = f"{species}__{thr}_{source}_{scenario}_y{year}.{ext}"
+    return (name, species, thr, source, scenario, str(year))
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(scenario_file(), min_size=1, max_size=25))
+def test_filename_parser_roundtrip(spark, cases):
+    df = spark.createDataFrame([(c[0],) for c in cases], ["file"])
+    parsed = parse_scenario_attributes(df).select(
+        "file", "species", "threshold_name", "source", "scenario", "year"
+    )
+    got = {r.file: (r.species, r.threshold_name, r.source, r.scenario, r.year)
+           for r in parsed.collect()}
+    for name, species, thr, source, scenario, year in cases:
+        assert got[name] == (species, thr, source, scenario, year), name
