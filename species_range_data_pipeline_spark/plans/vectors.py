@@ -237,10 +237,23 @@ ORDER BY query_id, rnk
 """
 
 
+def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH near-dup (the 100 TB path for emb_near_dup).
+
+    Approximate candidate generation -> exact re-score; no SQL oracle (the
+    banding is not SQL-expressible) — rows-only check by the driver, with
+    precision/recall pinned against the brute-force plan in
+    tests/test_similarity.py."""
+    from ..operators.similarity import near_dup_lsh
+
+    return near_dup_lsh(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
 QUERIES = {
     "emb_norms": emb_norms,
     "cosine_topk": cosine_topk,
     "emb_near_dup": emb_near_dup,
+    "emb_near_dup_lsh": emb_near_dup_lsh,
     "ann_ivf_topk": ann_ivf_topk,
 }
 

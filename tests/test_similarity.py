@@ -1,0 +1,54 @@
+"""Scale-path similarity operators vs their exact baselines.
+
+- near_dup_lsh: precision must be exactly 1.0 (pairs are re-scored), recall
+  measured against the brute-force emb_near_dup plan (DuckDB-oracle-checked
+  itself, so this transitively anchors the LSH path).
+- cosine_topk_pandas: must return EXACTLY the same rows as the
+  fold-expression cosine_topk (same rounding, same tie-break).
+"""
+
+from __future__ import annotations
+
+from species_range_data_pipeline_spark.catalog import load_table
+from species_range_data_pipeline_spark.operators.similarity import (
+    cosine_topk_pandas,
+    near_dup_lsh,
+)
+from species_range_data_pipeline_spark.plans.vectors import (
+    cosine_topk,
+    emb_near_dup,
+)
+
+from .conftest import SF_CORRECT
+
+
+def test_lsh_near_dup_precision_and_recall(spark):
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    got = {
+        (r.vec_a, r.vec_b): r.cos_sim for r in near_dup_lsh(emb, 0.4).collect()
+    }
+    want = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in emb_near_dup(spark, SF_CORRECT).collect()
+    }
+    assert want, "fixture has no near-dup pairs; test is vacuous"
+    # precision: every LSH pair is a true pair with the exact score
+    for pair, sim in got.items():
+        assert pair in want and want[pair] == sim, pair
+    # recall: seeded hyperplanes; pin the floor so regressions surface
+    recall = len(got) / len(want)
+    assert recall >= 0.9, f"recall {recall:.2f} below floor"
+
+
+def test_pandas_topk_matches_expression_topk(spark):
+    got = [
+        (r.query_id, r.cand_id, r.cos_sim, r.rnk)
+        for r in cosine_topk_pandas(
+            load_table(spark, SF_CORRECT, "embeddings"), [0, 1, 2, 3, 4]
+        ).collect()
+    ]
+    want = [
+        (r.query_id, r.cand_id, r.cos_sim, r.rnk)
+        for r in cosine_topk(spark, SF_CORRECT).collect()
+    ]
+    assert got == want
