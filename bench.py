@@ -28,9 +28,12 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_volume",
+    "q10_returned_revenue",
     "window_topk_per_group",
     "agg_distinct",
+    "agg_cube",
     "join_anti_idempotent",
+    "join_asof",
     "dedup_minhash_lsh",
     "text_quality",
     "cosine_topk",
