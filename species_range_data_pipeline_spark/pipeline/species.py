@@ -151,6 +151,25 @@ def run_pipeline(
     )
 
 
+def assign_crs(
+    df: DataFrame, srid: int = 4326, geometry_col: str = "geometry"
+) -> DataFrame:
+    """T5 (``species_range_etl.py:129-135``): CRS assignment, declaratively.
+
+    The reference rewrites every shapefile with ``set_crs(epsg=4326)`` and
+    swallows any failure in a bare ``except`` (whose log call even has a
+    %-format bug).  In the engine the CRS is a metadata column on the
+    feature table — per SURVEY.md §2 row T5 — and geometry problems are an
+    error COLUMN (side channel), never a vanished row.
+    """
+    return df.withColumn("srid", F.lit(srid)).withColumn(
+        "crs_error",
+        F.when(F.col(geometry_col).isNull(), F.lit("null geometry")).when(
+            F.length(F.col(geometry_col)) == 0, F.lit("empty geometry")
+        ),
+    )
+
+
 def write_speciesdata(
     df: DataFrame,
     path: str | None = None,

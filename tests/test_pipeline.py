@@ -129,3 +129,22 @@ def test_pipeline_geometry_is_georeferenced(spark, zip_dir):
     ys = [y for rings in polys for ring in rings for _, y in ring]
     assert min(xs) >= XLL and max(xs) <= XLL + NCOLS * CS
     assert min(ys) >= YLL and max(ys) <= YLL + NROWS * CS
+
+
+def test_assign_crs_metadata_and_error_channel(spark, zip_dir):
+    from species_range_data_pipeline_spark.pipeline.species import assign_crs
+
+    cells, _ = load_cells_from_zips(spark, zip_dir)
+    tagged = assign_crs(run_pipeline(cells))
+    rows = tagged.collect()
+    assert all(r.srid == 4326 for r in rows)
+    assert all(r.crs_error is None for r in rows)  # healthy geometries
+
+    import pyspark.sql.functions as F
+
+    broken = tagged.withColumn(
+        "geometry", F.when(F.col("sid") == 0, None).otherwise(F.col("geometry"))
+    )
+    flagged = assign_crs(broken.drop("srid", "crs_error"))
+    bad = [r for r in flagged.collect() if r.crs_error is not None]
+    assert len(bad) == 1 and bad[0].crs_error == "null geometry"
