@@ -84,6 +84,69 @@ LIMIT 20
 """
 
 
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf: term frequency x ln(N/df), top-3 terms per doc (doc_id < 20).
+
+    Three aggregates, all with map-side partials: tf per (doc, word), df per
+    word, corpus size N (a 1-row broadcast).  The word-level df join is the
+    only wide shuffle; at 100 TB the df table is vocabulary-sized (millions,
+    not billions) and broadcastable."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(_tokens()).alias("word"))
+        .where(F.col("word") != "")
+    )
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("n_dw"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("n_docs_with"))
+    n_total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        tf.where(F.col("doc_id") < 20)
+        .join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("n_dw") * F.log(F.col("n_total") / F.col("n_docs_with")), 6
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .orderBy("doc_id", "rnk")
+    )
+
+
+TEXT_TFIDF_ORACLE = """
+WITH tok AS (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS word
+    FROM documents
+), tf AS (
+    SELECT doc_id, word, count(*) AS n_dw FROM tok WHERE word != ''
+    GROUP BY doc_id, word
+), dfreq AS (
+    SELECT word, count(*) AS n_docs_with FROM tf GROUP BY word
+), scored AS (
+    SELECT tf.doc_id, tf.word,
+           round(tf.n_dw * ln((SELECT count(*) FROM documents)::DOUBLE
+                              / dfreq.n_docs_with), 6) AS tfidf
+    FROM tf JOIN dfreq USING (word)
+    WHERE tf.doc_id < 20
+)
+SELECT doc_id, word, tfidf,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY tfidf DESC, word) AS rnk FROM scored)
+WHERE rnk <= 3
+ORDER BY doc_id, rnk
+"""
+
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length, mean token length, stopword ratio, alpha ratio.
 
@@ -512,6 +575,7 @@ ORDER BY doc_id
 QUERIES = {
     "text_token_count": text_token_count,
     "text_word_topk": text_word_topk,
+    "text_tfidf_topk": text_tfidf_topk,
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
@@ -524,6 +588,7 @@ QUERIES = {
 ORACLES = {
     "text_token_count": TEXT_TOKEN_COUNT_ORACLE,
     "text_word_topk": TEXT_WORD_TOPK_ORACLE,
+    "text_tfidf_topk": TEXT_TFIDF_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,
     "text_langid": TEXT_LANGID_ORACLE,
     "text_fingerprint": TEXT_FINGERPRINT_ORACLE,

@@ -1,0 +1,58 @@
+"""Source/sink format adapters: lossless round trips, binary refusal, and —
+the scale-critical property — partition pruning on Hive-style layouts."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from species_range_data_pipeline_spark.catalog import load_table
+from species_range_data_pipeline_spark.sources.formats import (
+    read_table,
+    write_table,
+)
+
+from .conftest import SF_SMOKE
+
+
+def _rows(df):
+    return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_round_trip_orders(spark, tmp_path, fmt):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    path = str(tmp_path / fmt)
+    write_table(orders, path, fmt)
+    # read with the writer's schema: the fixture carries TIMESTAMP_NTZ and
+    # ORC (correctly) refuses a silent NTZ->LTZ cast
+    back = read_table(spark, path, fmt, schema=orders.schema)
+    assert back.schema == orders.schema
+    assert _rows(back.select(*sorted(back.columns))) == _rows(
+        orders.select(*sorted(orders.columns))
+    )
+
+
+def test_text_formats_refuse_binary(spark, tmp_path):
+    df = spark.createDataFrame([(1, bytearray(b"\x00\x01"))], "id: long, blob: binary")
+    with pytest.raises(ValueError, match="binary"):
+        write_table(df, str(tmp_path / "x"), "csv")
+    with pytest.raises(ValueError, match="schema"):
+        read_table(spark, str(tmp_path / "x"), "json")
+
+
+def test_partition_pruning_hits_one_directory(spark, tmp_path):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    path = str(tmp_path / "orders_part")
+    write_table(orders, path, "parquet", partition_by=["o_orderstatus"])
+
+    pruned = spark.read.parquet(path).where(F.col("o_orderstatus") == "F")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the status predicate must be a PARTITION filter (directory skip),
+    # not a data filter evaluated per row
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    want = orders.where(F.col("o_orderstatus") == "F").count()
+    assert pruned.count() == want
