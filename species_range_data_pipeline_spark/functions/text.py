@@ -1,0 +1,31 @@
+"""Text tokenization column expressions (the BPE-ish regex tokenizer
+promised by plans/text.py's whitespace `_tokens`).
+
+A real BPE tokenizer is a learned merge table; what a data pipeline needs
+BEFORE training is the pre-tokenization split that BPE vocabularies are
+built over (GPT-2 style: contractions | letter runs | digit runs |
+punctuation runs, each with an optional leading space).  That split is a
+single regexp_extract_all — pure JVM, codegen-friendly, and a faithful
+token-budget estimator (letter/digit runs upper-bound merged BPE tokens).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# GPT-2-style pre-tokenizer, simplified to the character classes the engines
+# agree on: contraction suffixes, letter runs, digit runs, non-space symbol
+# runs — each optionally preceded by one space.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_tokens(col: Column | str = "text") -> Column:
+    """array<string> of BPE-style pre-tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), 0)
+
+
+def bpe_token_count(col: Column | str = "text") -> Column:
+    """Token-budget estimate: the count of BPE-style pre-tokens."""
+    return F.size(bpe_tokens(col)).cast("long")

@@ -84,6 +84,35 @@ LIMIT 20
 """
 
 
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style token budget per document (functions/text.py tokenizer)
+    alongside the whitespace count — the two token estimators a training
+    pipeline reports.  Both are single regexp passes in the scan stage."""
+    from ..functions.text import bpe_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            bpe_token_count("text").alias("n_bpe_tokens"),
+            F.size(_tokens()).cast("long").alias("n_ws_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_TOKEN_COUNT_BPE_ORACLE = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+', 0))
+           AS BIGINT) AS n_bpe_tokens,
+       CAST(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+           AS BIGINT) AS n_ws_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf: term frequency x ln(N/df), top-3 terms per doc (doc_id < 20).
 
@@ -575,6 +604,7 @@ ORDER BY doc_id
 QUERIES = {
     "text_token_count": text_token_count,
     "text_word_topk": text_word_topk,
+    "text_token_count_bpe": text_token_count_bpe,
     "text_tfidf_topk": text_tfidf_topk,
     "text_quality": text_quality,
     "text_langid": text_langid,
@@ -588,6 +618,7 @@ QUERIES = {
 ORACLES = {
     "text_token_count": TEXT_TOKEN_COUNT_ORACLE,
     "text_word_topk": TEXT_WORD_TOPK_ORACLE,
+    "text_token_count_bpe": TEXT_TOKEN_COUNT_BPE_ORACLE,
     "text_tfidf_topk": TEXT_TFIDF_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,
     "text_langid": TEXT_LANGID_ORACLE,
