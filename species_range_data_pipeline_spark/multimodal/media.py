@@ -5,6 +5,7 @@ synthetic generator agree):
 
   FAKEIMG | uint16 width | uint16 height | uint8 channels | pixels (w*h*c bytes)
   FAKEVID | uint16 n_frames | uint16 width | uint16 height | frames (n*w*h bytes)
+  FAKEAUD | uint32 sample_rate | uint32 n_samples | samples (int16 LE)
 
 Real formats (JPEG/PNG/WAV/MP4) raise ``NotImplementedError`` in
 ``_decode_payload`` — the single seam where a real codec library would slot
@@ -73,6 +74,12 @@ def encode_fake_video(n_frames: int, width: int, height: int, seed: int) -> byte
     return b"FAKEVID" + struct.pack("<HHH", n_frames, width, height) + frames.tobytes()
 
 
+def encode_fake_audio(sample_rate: int, n_samples: int, seed: int) -> bytes:
+    rng = np.random.RandomState(seed)
+    samples = rng.randint(-32768, 32768, size=n_samples, dtype=np.int16)
+    return b"FAKEAUD" + struct.pack("<II", sample_rate, n_samples) + samples.tobytes()
+
+
 def make_media_table(spark: SparkSession, n: int = 64) -> DataFrame:
     """Deterministic synthetic media table (the fixture tables carry no
     binary column; seed-stable so tests are reproducible)."""
@@ -81,6 +88,9 @@ def make_media_table(spark: SparkSession, n: int = 64) -> DataFrame:
         if i % 4 == 3:
             payload = encode_fake_video(4 + i % 3, 8, 6, seed=i)
             rows.append((i, "video", payload, "fakevid"))
+        elif i % 4 == 2:
+            payload = encode_fake_audio(16000, 800 + 100 * (i % 5), seed=i)
+            rows.append((i, "audio", payload, "fakeaud"))
         else:
             payload = encode_fake_image(8 + i % 5, 6 + i % 3, 3, seed=i)
             rows.append((i, "image", payload, "fakeimg"))
@@ -169,6 +179,64 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
         media.where(F.col("kind") == "image")
         .select("media_id", "payload")
         .mapInPandas(fn, schema)
+    )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Audio feature extraction: duration, RMS level, peak amplitude.
+
+    Same mapInPandas shape as decode_images; real codecs (WAV/MP3/FLAC)
+    plug into the FAKEAUD branch's seam and failures are error rows."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    blob = bytes(payload)
+                    if blob[:7] != b"FAKEAUD":
+                        raise NotImplementedError(
+                            "real audio codecs (WAV/MP3) are not available "
+                            "in this container; plug a decoder in here"
+                        )
+                    rate, n = struct.unpack_from("<II", blob, 7)
+                    samples = np.frombuffer(blob, dtype=np.int16, offset=15)
+                    out.append(
+                        {
+                            "media_id": mid,
+                            "sample_rate": rate,
+                            "n_samples": int(n),
+                            "duration_s": round(n / rate, 6),
+                            "rms": float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))),
+                            "peak": int(np.abs(samples.astype(np.int32)).max()),
+                            "error": None,
+                        }
+                    )
+                except Exception as exc:
+                    out.append(
+                        {"media_id": mid, "sample_rate": None, "n_samples": None,
+                         "duration_s": None, "rms": None, "peak": None,
+                         "error": f"{type(exc).__name__}: {exc}"}
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
+
+    return (
+        media.where(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(fn, AUDIO_FEATURES_SCHEMA)
     )
 
 

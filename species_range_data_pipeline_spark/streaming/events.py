@@ -87,6 +87,33 @@ def stream_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def view_click_interval_join(stream: DataFrame, window: str = "30 minutes") -> DataFrame:
+    """Stream-stream interval join: each view matched with that user's
+    clicks in the next ``window``.
+
+    Both sides carry a watermark, and the join condition bounds event time
+    on BOTH sides — the two requirements that let the state store evict
+    matched/expired rows instead of buffering streams forever.  The state is
+    partitioned by user_id (the equi key), so it shards like any shuffle."""
+    views = stream.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", "1 hour")
+    clicks = stream.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("click_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", "1 hour")
+    return views.join(
+        clicks,
+        F.expr(
+            f"user_id = click_user AND "
+            f"click_ts >= view_ts AND click_ts <= view_ts + interval {window}"
+        ),
+    ).select("user_id", "view_id", "click_id", "view_ts", "click_ts")
+
+
 def stateful_user_totals(stream: DataFrame) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user running
     event count + value total maintained across microbatches.

@@ -36,7 +36,7 @@ def test_decode_images_features(spark):
     media = make_media_table(spark, n=16)
     feats = decode_images(media).orderBy("media_id")
     rows = feats.collect()
-    assert len(rows) == 12  # 16 minus every 4th (video)
+    assert len(rows) == 8  # 16 minus every 4th (video) and every 4th+2 (audio)
     for r in rows:
         assert r.error is None
         assert len(r.channel_means) == r.channels == 3
@@ -74,3 +74,42 @@ def test_sample_frames(spark):
     for r in frames:
         assert r.frame_idx % 2 == 0
         assert len(bytes(r.frame)) == r.width * r.height
+
+
+def test_extract_audio_features(spark):
+    import numpy as np
+    import struct as _struct
+
+    from species_range_data_pipeline_spark.multimodal.media import (
+        extract_audio_features,
+        make_media_table,
+    )
+
+    media = make_media_table(spark, 16)
+    feats = {r.media_id: r for r in extract_audio_features(media).collect()}
+    assert feats, "no audio rows in the media table"
+    for mid, r in feats.items():
+        assert r.error is None
+        assert r.sample_rate == 16000
+        assert r.duration_s == round(r.n_samples / 16000, 6)
+        # recompute rms/peak from the payload
+        blob = bytes(
+            media.where(f"media_id = {mid}").select("payload").first()[0]
+        )
+        rate, n = _struct.unpack_from("<II", blob, 7)
+        samples = np.frombuffer(blob, dtype=np.int16, offset=15)
+        assert r.peak == int(np.abs(samples.astype(np.int32)).max())
+        assert abs(r.rms - float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))) < 1e-9
+
+
+def test_audio_real_codec_is_stubbed(spark):
+    from species_range_data_pipeline_spark.multimodal.media import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+    )
+
+    fake_mp3 = spark.createDataFrame(
+        [(99, "audio", b"ID3\x04\x00rubbish", "mp3")], MEDIA_SCHEMA
+    )
+    rows = extract_audio_features(fake_mp3).collect()
+    assert len(rows) == 1 and "NotImplementedError" in rows[0].error

@@ -121,3 +121,42 @@ def test_stream_dedup_drops_replayed_file(spark, event_dir, tmp_path):
     n = spark.sql("SELECT count(DISTINCT event_id) c, count(*) t FROM dedup").first()
     base = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
     assert n.t == n.c == base
+
+
+def test_stream_stream_interval_join_matches_batch(spark, event_dir):
+    from species_range_data_pipeline_spark.streaming.events import (
+        view_click_interval_join,
+    )
+
+    stream = read_event_stream(spark, event_dir)
+    q = run_stream_to_memory(view_click_interval_join(stream), "vc_join")
+    _drain(q)
+    got = {
+        (r.user_id, r.view_id, r.click_id)
+        for r in spark.sql("SELECT * FROM vc_join").collect()
+    }
+
+    import pyspark.sql.functions as F
+
+    from species_range_data_pipeline_spark.catalog import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    views = ev.where("event_type = 'view'").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    clicks = ev.where("event_type = 'click'").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    want = {
+        (r.user_id, r.view_id, r.click_id)
+        for r in views.join(
+            clicks,
+            F.expr(
+                "user_id = cu AND click_ts >= view_ts "
+                "AND click_ts <= view_ts + interval 30 minutes"
+            ),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
