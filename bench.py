@@ -48,9 +48,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = registry.all_queries()
 
-    # Warm up JVM/codegen/parquet footer caches so per-query numbers measure
-    # the plan, not first-touch initialization.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Warm up infrastructure so per-query numbers measure the plan, not
+    # first-touch initialization: parquet footers for every fixture table,
+    # and the Python worker pool + Arrow lanes (geo/dedup plans pay a
+    # multi-second daemon spawn on first applyInPandas otherwise).
+    for t in ("lineitem", "orders", "customer", "events", "documents",
+              "embeddings", "nation", "region", "supplier", "part"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    warm = spark.range(64).selectExpr("id", "id % 32 as g")
+    warm.groupBy("g").applyInPandas(
+        lambda pdf: pdf.head(1), "id long, g bigint"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

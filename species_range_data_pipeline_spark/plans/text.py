@@ -24,8 +24,14 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 
-# salts give k independent MinHash functions from one md5
-_MINHASH_SALTS = [f"s{i}" for i in range(8)]
+# 8 MinHash functions from TWO md5 evaluations: each 128-bit digest yields
+# four disjoint 32-bit (8-hex-char) slices.  Fixed-width lowercase hex makes
+# lexicographic MIN == numeric min, and 32 bits is ample for per-doc min
+# selection (collisions matter only between distinct shingles inside one
+# doc's min race — ~1e-6 at 1e4 shingles).  Cuts signature-stage hashing 4x
+# vs one salted md5 per function (measured: 1.9s -> 0.5s at sf0.1).
+_MINHASH_SALTS = ["s0", "s1"]
+_SLICES_PER_MD5 = 4
 _LSH_BANDS = 4  # 8 hashes / 4 bands = 2 hashes per band
 _STOPWORDS = ["the", "and", "of", "to", "in"]
 
@@ -377,10 +383,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingles(docs)
     sig = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(s), F.lit("|"), F.col("shingle")))).alias(
-                f"mh{i}"
-            )
-            for i, s in enumerate(_MINHASH_SALTS)
+            F.min(
+                F.substring(
+                    F.md5(F.concat(F.lit(s), F.lit("|"), F.col("shingle"))),
+                    1 + 8 * j,
+                    8,
+                )
+            ).alias(f"mh{i_salt * _SLICES_PER_MD5 + j}")
+            for i_salt, s in enumerate(_MINHASH_SALTS)
+            for j in range(_SLICES_PER_MD5)
         ]
     )
     # One explode instead of a 4-way union (the union re-evaluated the whole
@@ -388,7 +399,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # via collect_list instead of a self-join (which evaluated it twice
     # more).  The signature pipeline now runs exactly once; bucket arrays
     # are bounded by band selectivity, so the pair explode is local work.
-    per_band = len(_MINHASH_SALTS) // _LSH_BANDS
+    per_band = len(_MINHASH_SALTS) * _SLICES_PER_MD5 // _LSH_BANDS
     band_structs = [
         F.struct(
             F.lit(b).cast("int").alias("band"),
@@ -430,13 +441,16 @@ WITH toks AS (
                 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                 ELSE array_to_string(t, ' ') END AS shingle
     FROM idx
+), hashed AS (
+    SELECT doc_id, md5('s0|' || shingle) AS h0, md5('s1|' || shingle) AS h1
+    FROM sh
 ), sig AS (
     SELECT doc_id,
-           min(md5('s0|' || shingle)) AS mh0, min(md5('s1|' || shingle)) AS mh1,
-           min(md5('s2|' || shingle)) AS mh2, min(md5('s3|' || shingle)) AS mh3,
-           min(md5('s4|' || shingle)) AS mh4, min(md5('s5|' || shingle)) AS mh5,
-           min(md5('s6|' || shingle)) AS mh6, min(md5('s7|' || shingle)) AS mh7
-    FROM sh GROUP BY doc_id
+           min(substring(h0, 1, 8))  AS mh0, min(substring(h0, 9, 8))  AS mh1,
+           min(substring(h0, 17, 8)) AS mh2, min(substring(h0, 25, 8)) AS mh3,
+           min(substring(h1, 1, 8))  AS mh4, min(substring(h1, 9, 8))  AS mh5,
+           min(substring(h1, 17, 8)) AS mh6, min(substring(h1, 25, 8)) AS mh7
+    FROM hashed GROUP BY doc_id
 ), banded AS (
     SELECT doc_id, 0 AS band, mh0 || '#' || mh1 AS bucket FROM sig
     UNION ALL SELECT doc_id, 1, mh2 || '#' || mh3 FROM sig
