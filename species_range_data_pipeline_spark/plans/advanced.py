@@ -377,6 +377,86 @@ ORDER BY s_nationkey, rank_in_nation
 # subquery family: EXISTS semi-join, correlated scalar
 # ---------------------------------------------------------------------------
 
+def window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: each order with the customer's trailing
+    30-day order count and spend.  rangeBetween on the epoch-seconds value
+    (intervals expressed in seconds) — the time-windowed-feature shape
+    (\"spend in the last N days\") that rows-frames can't express."""
+    orders = load_table(spark, sf_dir, "orders")
+    secs = F.unix_timestamp("o_orderdate")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(secs)
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", _FMT).alias("orderdate"),
+            F.count(F.lit(1)).over(w).alias("orders_30d"),
+            F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+WINDOW_TRAILING_RANGE_ORACLE = f"""
+SELECT o_orderkey, o_custkey,
+       strftime(o_orderdate, '{_DUCK_FMT}') AS orderdate,
+       count(*) OVER w AS orders_30d,
+       round(sum(o_totalprice) OVER w, 2) AS spend_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+ORDER BY o_orderkey
+"""
+
+
+def array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/map surface over the embedding column: slice, reverse-order
+    element, clipped transform sum, and a (min,max) map — all JVM
+    higher-order functions (no Python)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return (
+        emb.where(F.col("vec_id") < 50)
+        .select(
+            "vec_id",
+            F.round(
+                F.aggregate(F.slice(v, 1, 8), F.lit(0.0), lambda a, x: a + x), 6
+            ).alias("head8_sum"),
+            F.round(F.element_at(v, -1), 6).alias("last_elem"),
+            F.round(
+                F.aggregate(
+                    F.transform(v, lambda x: F.greatest(x, F.lit(0.0))),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                6,
+            ).alias("relu_sum"),
+            F.round(F.array_min(v), 6).alias("v_min"),
+            F.round(F.array_max(v), 6).alias("v_max"),
+            F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_positive"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+ARRAY_MAP_FUNCS_ORACLE = """
+SELECT vec_id,
+       round(list_sum(e[1:8]), 6) AS head8_sum,
+       round(e[-1], 6) AS last_elem,
+       round(list_sum(list_transform(e, x -> greatest(x, 0.0))), 6) AS relu_sum,
+       round(list_min(e), 6) AS v_min,
+       round(list_max(e), 6) AS v_max,
+       CAST(len(list_filter(e, x -> x > 0)) AS BIGINT) AS n_positive
+FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+WHERE vec_id < 50
+ORDER BY vec_id
+"""
+
+
 def subq_exists_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: orders having at least one line shipped >30 days
     after order date, counted per priority.  EXISTS == left-semi join with a
@@ -644,6 +724,8 @@ QUERIES = {
     "agg_approx_distinct": agg_approx_distinct,
     "window_ntile_buckets": window_ntile_buckets,
     "window_value_frames": window_value_frames,
+    "window_trailing_range": window_trailing_range,
+    "array_map_funcs": array_map_funcs,
     "subq_exists_late_lines": subq_exists_late_lines,
     "subq_above_nation_avg": subq_above_nation_avg,
     "q6_revenue_delta": q6_revenue_delta,
@@ -663,6 +745,8 @@ ORACLES = {
     "agg_approx_distinct": AGG_APPROX_DISTINCT_ORACLE,
     "window_ntile_buckets": WINDOW_NTILE_ORACLE,
     "window_value_frames": WINDOW_VALUE_FRAMES_ORACLE,
+    "window_trailing_range": WINDOW_TRAILING_RANGE_ORACLE,
+    "array_map_funcs": ARRAY_MAP_FUNCS_ORACLE,
     "subq_exists_late_lines": SUBQ_EXISTS_ORACLE,
     "subq_above_nation_avg": SUBQ_ABOVE_AVG_ORACLE,
     "q6_revenue_delta": Q6_ORACLE,
