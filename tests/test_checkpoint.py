@@ -1,0 +1,54 @@
+"""Checkpoint + restartable-run semantics: crash mid-write, re-run, and only
+the remainder executes; the final sink equals a clean one-shot run."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from species_range_data_pipeline_spark.catalog import load_table
+from species_range_data_pipeline_spark.pipeline.checkpoint import (
+    checkpoint,
+    run_restartable,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_checkpoint_truncates_lineage(spark, tmp_path):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    staged = checkpoint(
+        orders.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")),
+        str(tmp_path / "stage1"),
+    )
+    # the re-read plan is a bare scan: no aggregate left in the lineage
+    plan = staged._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in plan
+    assert sorted(map(tuple, staged.collect())) == sorted(
+        map(
+            tuple,
+            orders.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")).collect(),
+        )
+    )
+
+
+def test_restartable_run_resumes_where_it_stopped(spark, tmp_path):
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    sink = str(tmp_path / "sink")
+
+    # simulate a partial previous run: only even keys made it
+    orders.where(F.pmod("o_orderkey", F.lit(2)) == 0).write.parquet(sink)
+
+    written, skipped = run_restartable(orders, sink, ["o_orderkey"])
+    n_total = orders.count()
+    assert written + skipped == n_total
+    assert skipped == orders.where(F.pmod("o_orderkey", F.lit(2)) == 0).count()
+
+    # sink now complete; an immediate re-run is a no-op
+    written2, skipped2 = run_restartable(orders, sink, ["o_orderkey"])
+    assert written2 == 0 and skipped2 == n_total
+
+    back = spark.read.parquet(sink)
+    assert back.count() == n_total
+    assert back.select("o_orderkey").distinct().count() == n_total
