@@ -675,6 +675,153 @@ ORDER BY sum_qty DESC, o_orderkey
 """
 
 
+def sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/16 sample via hash bucketing: md5(doc_id) first hex
+    digit == '0'.  THE distributed sampling pattern — reproducible across
+    runs/engines/cluster sizes (unlike rand()-based sampling), composable
+    (same bucket function → same docs everywhere), and a plain pushed-down
+    filter at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.where(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+SAMPLE_HASH_ORACLE = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+ORDER BY doc_id
+"""
+
+
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked AFTER the first view,
+    then purchased AFTER that click.  Per-user min-ts chaining — one
+    aggregation, conditional on the previous stage's timestamp; no joins,
+    no self-unions (the naive N-stage self-join funnel shuffles N times)."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    first_click = (
+        clicks.join(per_user, "user_id")
+        .where(F.col("cts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("cts").alias("t_click"))
+    )
+    first_purchase = (
+        purchases.join(first_click, "user_id")
+        .where(F.col("pts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("t_purchase"))
+    )
+    return (
+        per_user.agg(
+            F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_viewed")
+        )
+        .crossJoin(first_click.agg(F.count(F.lit(1)).alias("n_clicked")))
+        .crossJoin(first_purchase.agg(F.count(F.lit(1)).alias("n_purchased")))
+    )
+
+
+EV_FUNNEL_ORACLE = """
+WITH v AS (
+    SELECT user_id, min(ts) AS t_view FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, min(e.ts) AS t_click
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.t_view
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, min(e.ts) AS t_purchase
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS n_viewed,
+       (SELECT count(*) FROM c) AS n_clicked,
+       (SELECT count(*) FROM p) AS n_purchased
+"""
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between supplier-nation and
+    customer-nation pairs, by year.  Both nation lookups broadcast against
+    the one fact-fact shuffle (lineitem ⋈ orders)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            # revenue terms have exactly 4 decimals (2dp price x 2dp
+            # discount): accumulate exact integer ten-thousandths so the sum
+            # is order-independent — 368 output groups means float-order
+            # rounding WILL flip a .xx5 boundary somewhere otherwise
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                    ).cast("long")
+                )
+                / 10000.0,
+                2,
+            ).alias("volume"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .where(F.col("n_lines") >= 20)
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+Q7_ORACLE = """
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+             / 10000.0, 2) AS volume,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name < n2.n_name
+GROUP BY 1, 2, 3
+HAVING count(*) >= 20
+ORDER BY supp_nation, cust_nation, ship_year
+"""
+
+
 # ---------------------------------------------------------------------------
 # reshaping: unpivot
 # ---------------------------------------------------------------------------
@@ -733,6 +880,9 @@ QUERIES = {
     "q14_promo_share": q14_promo_share,
     "q18_large_orders": q18_large_orders,
     "unpivot_measures": unpivot_measures,
+    "sample_hash_bucket": sample_hash_bucket,
+    "ev_funnel": ev_funnel,
+    "q7_nation_volume": q7_nation_volume,
 }
 
 ORACLES = {
@@ -754,4 +904,7 @@ ORACLES = {
     "q14_promo_share": Q14_ORACLE,
     "q18_large_orders": Q18_ORACLE,
     "unpivot_measures": UNPIVOT_ORACLE,
+    "sample_hash_bucket": SAMPLE_HASH_ORACLE,
+    "ev_funnel": EV_FUNNEL_ORACLE,
+    "q7_nation_volume": Q7_ORACLE,
 }
