@@ -12,7 +12,7 @@ parquet directory with the stage's schema, re-read with lineage truncated.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 
 from ..operators.idempotency import pending_work
 

@@ -17,8 +17,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import SCHEMAS
-
 
 def read_event_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int = 1
