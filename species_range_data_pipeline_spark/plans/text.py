@@ -304,6 +304,84 @@ ORDER BY doc_id
 """
 
 
+_WINNOW_W = 4  # window width (positions) for minima selection
+
+
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the rolling-hash fingerprint scheme): hash
+    every positional 3-token k-gram, slide a w-position window, keep each
+    window's minimum hash.  Guarantees any shared run of >= w+k-1 tokens
+    between two docs shares a fingerprint — the plagiarism/near-dup
+    detection invariant (MOSS).  The rolling hash is an efficiency trick for
+    single-threaded scanners; columnar engines hash all k-grams in one
+    vectorized pass, and the window minima come from one windowed MIN.
+    Output: per-doc fingerprint count + extrema for verification."""
+    docs = load_table(spark, sf_dir, "documents")
+    posh = (
+        docs.select("doc_id", _tokens().alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").alias("n"),
+            F.posexplode(_shingles_expr()).alias("i", "sh"),
+        )
+        .select(
+            "doc_id", "n", "i", F.substring(F.md5("sh"), 1, 16).alias("h")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, _WINNOW_W - 1)
+    fps = (
+        posh.withColumn("win_min", F.min("h").over(w))
+        # a full window exists only while i + w <= n_positions
+        .withColumn("n_pos", F.greatest(F.col("n") - 2, F.lit(1)))
+        .where(F.col("i") + _WINNOW_W <= F.col("n_pos"))
+        .select("doc_id", "win_min")
+        .distinct()
+    )
+    return (
+        fps.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.min("win_min").alias("fp_min"),
+            F.max("win_min").alias("fp_max"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_WINNOW_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+    FROM documents
+), idx AS (
+    SELECT doc_id, t, greatest(len(t) - 2, 1) AS n_pos,
+           unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+    FROM toks
+), posh AS (
+    SELECT doc_id, n_pos, i - 1 AS i,
+           substring(md5(CASE WHEN len(t) >= 3
+                THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                ELSE array_to_string(t, ' ') END), 1, 16) AS h
+    FROM idx
+), winmin AS (
+    SELECT doc_id, n_pos, i,
+           min(h) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min
+    FROM posh
+), fps AS (
+    SELECT DISTINCT doc_id, win_min
+    FROM winmin WHERE i + 4 <= n_pos
+)
+SELECT doc_id, count(*) AS n_fingerprints,
+       min(win_min) AS fp_min, max(win_min) AS fp_max
+FROM fps
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via hash-groupBy: keep min doc_id per fingerprint.
 
@@ -623,6 +701,7 @@ QUERIES = {
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
+    "text_winnow_fingerprint": text_winnow_fingerprint,
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -637,6 +716,7 @@ ORACLES = {
     "text_quality": TEXT_QUALITY_ORACLE,
     "text_langid": TEXT_LANGID_ORACLE,
     "text_fingerprint": TEXT_FINGERPRINT_ORACLE,
+    "text_winnow_fingerprint": TEXT_WINNOW_ORACLE,
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "dedup_minhash_lsh": DEDUP_MINHASH_ORACLE,
     "dedup_ngram_jaccard": DEDUP_NGRAM_ORACLE,
