@@ -148,6 +148,54 @@ def decode_images(media: DataFrame) -> DataFrame:
     )
 
 
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("ahash", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash per image: grayscale -> nearest-neighbor
+    resize to grid x grid -> threshold at the mean -> 64-bit hex string.
+
+    The multimodal twin of the text fingerprints: near-duplicate images
+    (crops aside) agree on most bits, so dedup = group on the hash (exact)
+    or band the bits like SimHash for Hamming-tolerant candidates."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, c, px = _decode_payload(bytes(payload))
+                    gray = px.astype(np.float64).mean(axis=2)
+                    yi = (np.arange(grid) * h // grid).astype(int)
+                    xi = (np.arange(grid) * w // grid).astype(int)
+                    small = gray[np.ix_(yi, xi)]
+                    bits = (small >= small.mean()).astype(np.uint8).ravel()
+                    val = 0
+                    for b in bits:
+                        val = (val << 1) | int(b)
+                    out.append(
+                        {"media_id": mid, "ahash": f"{val:016x}", "error": None}
+                    )
+                except Exception as exc:
+                    out.append(
+                        {"media_id": mid, "ahash": None,
+                         "error": f"{type(exc).__name__}: {exc}"}
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in PHASH_SCHEMA.fields])
+
+    return (
+        media.where(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(fn, PHASH_SCHEMA)
+    )
+
+
 def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor resize, re-encoded in the fake format (the resize
     math is real numpy; a real pipeline would swap codec + interpolation)."""

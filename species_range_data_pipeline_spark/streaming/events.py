@@ -64,6 +64,24 @@ def windowed_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def sliding_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Sliding windows (1h wide, 30min slide): each event lands in 2 windows;
+    watermark bounds how long a window stays open for late data."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def sessionized(stream: DataFrame, gap: str = "15 minutes") -> DataFrame:
     """Streaming session windows (dynamic gap-merging state)."""
     return (

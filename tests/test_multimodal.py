@@ -113,3 +113,27 @@ def test_audio_real_codec_is_stubbed(spark):
     )
     rows = extract_audio_features(fake_mp3).collect()
     assert len(rows) == 1 and "NotImplementedError" in rows[0].error
+
+
+def test_image_ahash_deterministic_and_dedups(spark):
+    from species_range_data_pipeline_spark.multimodal.media import (
+        MEDIA_SCHEMA,
+        encode_fake_image,
+        image_ahash,
+        make_media_table,
+    )
+
+    media = make_media_table(spark, 16)
+    hashes = {r.media_id: r.ahash for r in image_ahash(media).collect()}
+    assert hashes and all(r is not None for r in hashes.values())
+    assert all(len(h) == 16 for h in hashes.values())
+
+    # identical pixels -> identical hash; different seed -> different hash
+    a = encode_fake_image(16, 12, 3, seed=7)
+    dup = spark.createDataFrame(
+        [(0, "image", a, "fakeimg"), (1, "image", a, "fakeimg"),
+         (2, "image", encode_fake_image(16, 12, 3, seed=8), "fakeimg")],
+        MEDIA_SCHEMA,
+    )
+    got = {r.media_id: r.ahash for r in image_ahash(dup).collect()}
+    assert got[0] == got[1] != got[2]

@@ -160,3 +160,23 @@ def test_stream_stream_interval_join_matches_batch(spark, event_dir):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_sliding_stream_matches_batch(spark, event_dir):
+    from species_range_data_pipeline_spark.streaming.events import sliding_counts
+
+    stream = read_event_stream(spark, event_dir)
+    q = run_stream_to_memory(sliding_counts(stream), "slide", "complete")
+    _drain(q)
+    got = {
+        r.window_start: (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM slide").collect()
+    }
+
+    from species_range_data_pipeline_spark.plans.events import ev_sliding
+
+    want = {
+        r.window_start: (r.n_events, r.total_value)
+        for r in ev_sliding(spark, SF_SMOKE).collect()
+    }
+    assert got == want
