@@ -262,12 +262,59 @@ ORDER BY channel
 """
 
 
+def null_cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling + conditional scalar surface: nullif / coalesce /
+    least / greatest / conditional count — the SQL-completeness slice the
+    other scalar queries don't touch.  (The fixtures are fully non-null, so
+    nullif MANUFACTURES the nulls this query then handles.)"""
+    cust = load_table(spark, sf_dir, "customer")
+    # negative balances become NULL, then are counted/coalesced/floored
+    pos_bal = F.when(F.col("c_acctbal") >= 0, F.col("c_acctbal"))
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.count(pos_bal).alias("n_nonneg"),
+            F.round(F.sum(F.coalesce(pos_bal, F.lit(0.0))), 2).alias(
+                "sum_nonneg"
+            ),
+            F.round(
+                F.avg(F.coalesce(pos_bal, F.lit(0.0))), 4
+            ).alias("avg_floored"),
+            F.round(
+                F.max(F.greatest(F.col("c_acctbal"), F.lit(0.0))), 2
+            ).alias("max_pos"),
+            F.round(
+                F.min(F.least(F.col("c_acctbal"), F.lit(0.0))), 2
+            ).alias("min_neg"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+NULL_COND_ORACLE = """
+SELECT c_mktsegment,
+       count(*) AS n_cust,
+       count(CASE WHEN c_acctbal >= 0 THEN c_acctbal END) AS n_nonneg,
+       round(sum(coalesce(CASE WHEN c_acctbal >= 0 THEN c_acctbal END, 0.0)), 2)
+           AS sum_nonneg,
+       round(avg(coalesce(CASE WHEN c_acctbal >= 0 THEN c_acctbal END, 0.0)), 4)
+           AS avg_floored,
+       round(max(greatest(c_acctbal, 0.0)), 2) AS max_pos,
+       round(min(least(c_acctbal, 0.0)), 2) AS min_neg
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "filename_parse": filename_parse,
     "str_funcs": str_funcs,
     "date_funcs": date_funcs,
     "json_funcs": json_funcs,
     "math_funcs": math_funcs,
+    "null_cond_funcs": null_cond_funcs,
     "error_routing": error_routing,
 }
 
@@ -277,5 +324,6 @@ ORACLES = {
     "date_funcs": DATE_FUNCS_ORACLE,
     "json_funcs": JSON_FUNCS_ORACLE,
     "math_funcs": MATH_FUNCS_ORACLE,
+    "null_cond_funcs": NULL_COND_ORACLE,
     "error_routing": ERROR_ROUTING_ORACLE,
 }
