@@ -175,6 +175,35 @@ def stateful_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def write_stream_idempotent(
+    query_df: DataFrame, sink_path: str, keys: list[str], checkpoint_dir: str
+):
+    """foreachBatch sink with idempotent appends: each microbatch anti-joins
+    the sink's existing keys before appending, so replayed batches (restart
+    after a crash between write and commit) insert nothing twice.
+
+    This is the streaming face of the D1 idempotency operator — together
+    with the streaming checkpoint it gives effectively-once parquet output
+    without a transactional table format."""
+    from ..operators.idempotency import pending_work
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            done = spark.read.parquet(sink_path).select(*keys)
+            fresh = pending_work(batch_df, done, keys)
+        except Exception:
+            fresh = batch_df
+        fresh.write.mode("append").parquet(sink_path)
+
+    return (
+        query_df.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
 def run_stream_to_memory(
     query_df: DataFrame, name: str, output_mode: str = "append"
 ) -> "object":

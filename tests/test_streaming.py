@@ -180,3 +180,29 @@ def test_sliding_stream_matches_batch(spark, event_dir):
         for r in ev_sliding(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_foreach_batch_idempotent_sink(spark, tmp_path):
+    """Replay the same events file twice (duplicate event_ids across
+    triggers): the anti-join sink must land each key exactly once."""
+    from species_range_data_pipeline_spark.streaming.events import (
+        write_stream_idempotent,
+    )
+
+    d = tmp_path / "src"
+    d.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", d / "a.parquet")
+    shutil.copy(f"{SF_SMOKE}/events.parquet", d / "b.parquet")
+    stream = read_event_stream(spark, str(d), max_files_per_trigger=1)
+    sink = str(tmp_path / "sink")
+    q = write_stream_idempotent(
+        stream.select("event_id", "user_id", "value"),
+        sink,
+        ["event_id"],
+        str(tmp_path / "ckpt"),
+    )
+    _drain(q)
+    out = spark.read.parquet(sink)
+    base = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert out.count() == base
+    assert out.select("event_id").distinct().count() == base
