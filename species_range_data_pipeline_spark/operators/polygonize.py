@@ -146,6 +146,72 @@ def dissolve(
     return deduped.groupBy(*by).applyInPandas(fn, schema)
 
 
+def dissolve_tiled(
+    cells: DataFrame,
+    by: Sequence[str],
+    tile_size: int = 4096,
+    x0: float = 0.0,
+    y0: float = 0.0,
+    cellsize: float = 1.0,
+    nrows: int | None = None,
+) -> DataFrame:
+    """Two-level dissolve for groups too large for one task's memory.
+
+    The plain ``dissolve`` sends ALL of a group's unique cells to one Python
+    task — at a continental raster (1e9 kept cells x 16 B) that task OOMs.
+    Here level 1 polygonizes per (group, tile) — task memory bounded by
+    ``tile_size^2`` cells — and level 2 concatenates the per-tile
+    MultiPolygon parts (a few KB per tile) per group.
+
+    Semantics: the output covers EXACTLY the same region with the same area
+    and cell count as ``dissolve``; polygon parts ARE split along tile lines
+    (two touching parts instead of one merged part where a component crosses
+    a tile edge), so ``n_parts`` is an upper bound.  Region/area-exactness is
+    what the reference's downstream (area computation + PostGIS load) needs;
+    part-minimality is not — and the test suite pins area/cell equality
+    against the single-task kernel."""
+    by = list(by)
+    tiled = cells.withColumn(
+        "_tile_r", (F.col("row") / tile_size).cast("long")
+    ).withColumn("_tile_c", (F.col("col") / tile_size).cast("long"))
+    per_tile = dissolve(
+        tiled, by + ["_tile_r", "_tile_c"], x0, y0, cellsize, nrows
+    )
+
+    schema = T.StructType(
+        [cells.schema[c] for c in by]
+        + [
+            T.StructField("geometry", T.BinaryType()),
+            T.StructField("area", T.DoubleType()),
+            T.StructField("n_parts", T.LongType()),
+            T.StructField("n_cells", T.LongType()),
+        ]
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.wkb import decode, encode_multipolygon
+
+        keys = {c: pdf[c].iloc[0] for c in by}
+        polys = []
+        for blob in pdf["geometry"]:
+            _, parts = decode(bytes(blob))
+            polys.extend(parts)
+        return pd.DataFrame(
+            [
+                {
+                    **keys,
+                    "geometry": encode_multipolygon(polys),
+                    "area": float(pdf["area"].sum()),
+                    "n_parts": int(pdf["n_parts"].sum()),
+                    "n_cells": int(pdf["n_cells"].sum()),
+                }
+            ],
+            columns=by + ["geometry", "area", "n_parts", "n_cells"],
+        )
+
+    return per_tile.groupBy(*by).applyInPandas(merge, schema)
+
+
 def with_area(geo_df: DataFrame, geometry_col: str = "geometry") -> DataFrame:
     """Scalar geometry area (C1, ``species_range_etl.py:227``) over WKB via
     an Arrow-batched pandas UDF — square-unit semantics preserved."""

@@ -156,3 +156,34 @@ def test_spark_polygonize_and_dissolve(spark):
     with_a = with_area(dis.select("species", "geometry"))
     got3 = {r.species: r.area for r in with_a.collect()}
     assert got3 == {"a": 3.0, "b": 4.0}
+
+
+def test_dissolve_tiled_matches_dissolve_region(spark):
+    """Tiled two-level dissolve: same area + cell count as the single-task
+    kernel; parts may split along tile lines (upper bound), and the WKB
+    shoelace area agrees with the reported area."""
+    from species_range_data_pipeline_spark.functions.wkb import wkb_area
+    from species_range_data_pipeline_spark.operators.polygonize import (
+        dissolve,
+        dissolve_tiled,
+    )
+    from species_range_data_pipeline_spark.plans.geo import _cells_from_lineitem
+
+    from .conftest import SF_CORRECT
+
+    cells = _cells_from_lineitem(spark, SF_CORRECT)
+    plain = {
+        (r.species, r.threshold_s): r
+        for r in dissolve(cells, ["species", "threshold_s"]).collect()
+    }
+    tiled = {
+        (r.species, r.threshold_s): r
+        for r in dissolve_tiled(cells, ["species", "threshold_s"], tile_size=8).collect()
+    }
+    assert plain.keys() == tiled.keys() and plain
+    for k, p in plain.items():
+        t = tiled[k]
+        assert t.area == p.area, k
+        assert t.n_cells == p.n_cells, k
+        assert t.n_parts >= p.n_parts, k
+        assert abs(wkb_area(bytes(t.geometry)) - t.area) < 1e-9, k
