@@ -822,6 +822,53 @@ ORDER BY supp_nation, cust_nation, ship_year
 """
 
 
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of three (brand, size, quantity)
+    conjunct bundles.  Catalyst extracts the common `l_partkey = p_partkey`
+    equi-key and pushes the brand/size disjunction to the part scan; the OR
+    itself evaluates post-join — one broadcast join, one scan each side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    bundle = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(1, 25))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 35))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    return joined.where(bundle).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q19_ORACLE = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 # ---------------------------------------------------------------------------
 # reshaping: unpivot
 # ---------------------------------------------------------------------------
@@ -879,6 +926,7 @@ QUERIES = {
     "q10_returned_revenue": q10_returned_revenue,
     "q14_promo_share": q14_promo_share,
     "q18_large_orders": q18_large_orders,
+    "q19_disjunctive_predicates": q19_disjunctive_predicates,
     "unpivot_measures": unpivot_measures,
     "sample_hash_bucket": sample_hash_bucket,
     "ev_funnel": ev_funnel,
@@ -903,6 +951,7 @@ ORACLES = {
     "q10_returned_revenue": Q10_ORACLE,
     "q14_promo_share": Q14_ORACLE,
     "q18_large_orders": Q18_ORACLE,
+    "q19_disjunctive_predicates": Q19_ORACLE,
     "unpivot_measures": UNPIVOT_ORACLE,
     "sample_hash_bucket": SAMPLE_HASH_ORACLE,
     "ev_funnel": EV_FUNNEL_ORACLE,

@@ -308,6 +308,73 @@ ORDER BY c_mktsegment
 """
 
 
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface: build a map from columns, access by key, and
+    aggregate over its entries — rendered to sorted strings because map
+    iteration order is engine-defined."""
+    part = load_table(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"),
+        F.lit("type"), F.col("p_type"),
+    )
+    return (
+        part.where(F.col("p_partkey") < 200)
+        .select(
+            "p_partkey",
+            F.element_at(m, "brand").alias("brand_val"),
+            F.size(m).cast("long").alias("n_keys"),
+            F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+            F.array_join(F.array_sort(F.map_values(m)), ",").alias("vals_sorted"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+MAP_FUNCS_ORACLE = """
+SELECT p_partkey,
+       p_brand AS brand_val,
+       CAST(cardinality(MAP(['brand','type'], [p_brand, p_type])) AS BIGINT)
+           AS n_keys,
+       array_to_string(list_sort(map_keys(MAP(['brand','type'],
+           [p_brand, p_type]))), ',') AS keys_sorted,
+       array_to_string(list_sort(map_values(MAP(['brand','type'],
+           [p_brand, p_type]))), ',') AS vals_sorted
+FROM part
+WHERE p_partkey < 200
+ORDER BY p_partkey
+"""
+
+
+def regexp_group_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-group extraction: pull the numeric suffix and word stem out
+    of p_brand ('Brand#NN') with one regexp_extract per group."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.where(F.col("p_partkey") < 300)
+        .select(
+            "p_partkey",
+            F.regexp_extract("p_brand", r"^([A-Za-z]+)#(\d+)$", 1).alias("brand_word"),
+            F.regexp_extract("p_brand", r"^([A-Za-z]+)#(\d+)$", 2)
+            .cast("int")
+            .alias("brand_num"),
+            F.regexp_extract("p_name", r"(\w+)$", 1).alias("last_word"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+REGEXP_GROUP_ORACLE = r"""
+SELECT p_partkey,
+       regexp_extract(p_brand, '^([A-Za-z]+)#(\d+)$', 1) AS brand_word,
+       CAST(regexp_extract(p_brand, '^([A-Za-z]+)#(\d+)$', 2) AS INTEGER)
+           AS brand_num,
+       regexp_extract(p_name, '(\w+)$', 1) AS last_word
+FROM part
+WHERE p_partkey < 300
+ORDER BY p_partkey
+"""
+
+
 QUERIES = {
     "filename_parse": filename_parse,
     "str_funcs": str_funcs,
@@ -315,6 +382,8 @@ QUERIES = {
     "json_funcs": json_funcs,
     "math_funcs": math_funcs,
     "null_cond_funcs": null_cond_funcs,
+    "map_funcs": map_funcs,
+    "regexp_group_funcs": regexp_group_funcs,
     "error_routing": error_routing,
 }
 
@@ -325,5 +394,7 @@ ORACLES = {
     "json_funcs": JSON_FUNCS_ORACLE,
     "math_funcs": MATH_FUNCS_ORACLE,
     "null_cond_funcs": NULL_COND_ORACLE,
+    "map_funcs": MAP_FUNCS_ORACLE,
+    "regexp_group_funcs": REGEXP_GROUP_ORACLE,
     "error_routing": ERROR_ROUTING_ORACLE,
 }
