@@ -1,0 +1,52 @@
+"""Optional Apache Sedona adapter (SURVEY.md §7: core engine stays
+stock-Spark; Sedona slots in as an adapter, never a dependency).
+
+The engine's geometry convention is WKB bytes in a BinaryType column
+(functions/wkb.py) — exactly what Sedona's ``ST_GeomFromWKB`` consumes and
+``ST_AsBinary`` produces, so the adapter is two expressions and a session
+registration.  Everything here degrades loudly when Sedona is absent; the
+numpy kernels in functions/geometry.py remain the default path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _require_sedona():
+    try:
+        import sedona  # noqa: F401
+        from sedona.spark import SedonaContext
+
+        return SedonaContext
+    except ImportError as exc:  # pragma: no cover - exercised via the raise
+        raise NotImplementedError(
+            "Apache Sedona is not installed in this environment. The engine's "
+            "native WKB kernels (functions/geometry.py, operators/polygonize.py) "
+            "cover the reference's geometry surface; install apache-sedona and "
+            "call register_sedona(spark) to switch dissolve/area to "
+            "ST_Union_Aggr/ST_Area."
+        ) from exc
+
+
+def register_sedona(spark: SparkSession) -> SparkSession:
+    """Register Sedona's SQL functions on the session (ST_* become callable
+    from spark.sql / F.expr)."""
+    SedonaContext = _require_sedona()
+    return SedonaContext.create(spark)
+
+
+def to_sedona_geometry(df: DataFrame, geometry_col: str = "geometry") -> DataFrame:
+    """WKB BinaryType column -> Sedona geometry UDT column (in place)."""
+    _require_sedona()
+    from pyspark.sql import functions as F
+
+    return df.withColumn(geometry_col, F.expr(f"ST_GeomFromWKB({geometry_col})"))
+
+
+def from_sedona_geometry(df: DataFrame, geometry_col: str = "geometry") -> DataFrame:
+    """Sedona geometry UDT column -> the engine's WKB convention."""
+    _require_sedona()
+    from pyspark.sql import functions as F
+
+    return df.withColumn(geometry_col, F.expr(f"ST_AsBinary({geometry_col})"))

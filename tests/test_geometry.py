@@ -187,3 +187,20 @@ def test_dissolve_tiled_matches_dissolve_region(spark):
         assert t.n_cells == p.n_cells, k
         assert t.n_parts >= p.n_parts, k
         assert abs(wkb_area(bytes(t.geometry)) - t.area) < 1e-9, k
+
+
+def test_sedona_adapter_degrades_loudly(spark):
+    """Sedona is absent in this container: every adapter entry point must
+    raise NotImplementedError naming the native fallback, not ImportError."""
+    import pytest as _pytest
+
+    from species_range_data_pipeline_spark.operators import sedona_adapter as sa
+
+    df = spark.range(1)
+    for call in (
+        lambda: sa.register_sedona(spark),
+        lambda: sa.to_sedona_geometry(df),
+        lambda: sa.from_sedona_geometry(df),
+    ):
+        with _pytest.raises(NotImplementedError, match="native WKB kernels"):
+            call()
