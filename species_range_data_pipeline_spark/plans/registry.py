@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MODULE_NAMES = [
     "relational",
+    "tpch_extra",
     "advanced",
     "scalar",
     "text",

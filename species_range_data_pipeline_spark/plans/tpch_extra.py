@@ -1,0 +1,585 @@
+"""Remaining TPC-H query shapes, adapted to the fixture schema.
+
+The fixtures lack ``partsupp``, ``l_commitdate``/``l_receiptdate``, and
+``c_phone``, so the classic Q2/Q4/Q8/Q11/Q12/Q13/Q15/Q17/Q20/Q21/Q22 are
+re-expressed over the columns that exist while keeping each query's PLAN
+SHAPE — that is what these exist to exercise:
+
+- correlated scalar subqueries decorrelated into aggregate+join (Q2, Q15, Q17)
+- EXISTS / NOT EXISTS chains as semi/anti joins with non-equi residuals
+  (Q4, Q21, Q22)
+- conditional aggregation and ratio-of-aggregates (Q8, Q12)
+- two-level aggregation / count distributions (Q13)
+- HAVING against a scalar subquery (Q11)
+- nested aggregate feeding a semi join (Q20)
+
+The reference pipeline has no joins beyond a literal cross product
+(``species_range_etl.py:101-127``); this whole module is §2.1 standard
+surface.
+
+Scale notes: every aggregate-derived side (per-nation max, per-part
+threshold, global sum) is dimension-sized after aggregation, so it is
+explicitly broadcast — at 100 TB the fact-side scan dominates and none of
+these plans add a second fact shuffle beyond the one their group key needs.
+Lateness predicates (``l_shipdate > o_orderdate + INTERVAL``) ride on the
+orderkey equi-join as residual conditions, not nested-loop joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+def q2_top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: correlated max-per-group subquery decorrelated.
+
+    Classic Q2 picks the min-cost supplier per part; without partsupp the
+    same shape is 'the top-acctbal supplier(s) per EUROPE nation'.  The
+    correlated ``s_acctbal = (SELECT max ... WHERE same nation)`` becomes a
+    per-nation aggregate broadcast-joined back on (nationkey, acctbal) —
+    max is a selection (no arithmetic), so float equality is exact.
+    """
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    euro_nations = (
+        nation.join(
+            F.broadcast(region.where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    nat_max = supplier.groupBy(
+        F.col("s_nationkey").alias("mx_nationkey")
+    ).agg(F.max("s_acctbal").alias("max_acctbal"))
+    return (
+        supplier.join(
+            F.broadcast(nat_max),
+            (F.col("s_nationkey") == F.col("mx_nationkey"))
+            & (F.col("s_acctbal") == F.col("max_acctbal")),
+        )
+        .join(F.broadcast(euro_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("n_name", "s_name")
+    )
+
+
+Q2_ORACLE = """
+SELECT n_name, s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2
+                   WHERE s2.s_nationkey = supplier.s_nationkey)
+ORDER BY n_name, s_name
+"""
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS -> left-semi join with a non-equi residual.
+
+    Orders in 1996H1 that had at least one line shipped after the order
+    date plus 30 days (the fixtures' stand-in for commit/receipt lateness),
+    counted per priority.  The semi join is hash on orderkey; the lateness
+    predicate rides as a residual condition.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    in_window = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    return (
+        in_window.join(
+            lineitem,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: ratio of conditional aggregates per year.
+
+    NATION_5's share of supplier revenue into ASIA customers, by order
+    year.  One fact shuffle (groupBy year); both nation lookups broadcast.
+    share = sum(CASE)/sum — rounded AFTER the division, once.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    asia_cust_nations = nation.join(
+        F.broadcast(region.where(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("cust_nationkey"))
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("supp_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(asia_cust_nations),
+            F.col("c_nationkey") == F.col("cust_nationkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("supp_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       round(sum(CASE WHEN sn.n_name = 'NATION_5'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+                      JOIN region ON n_regionkey = r_regionkey
+                      WHERE r_name = 'ASIA')
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q11_important_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: HAVING against a scalar subquery (fraction of global sum).
+
+    Nations holding more than 4.5% of global supplier account balance.  The
+    global total is a 1-row aggregate broadcast into the post-agg filter —
+    two aggregates, zero extra fact shuffles.
+    """
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("s_acctbal").alias("nation_bal"))
+    )
+    total = supplier.agg(F.sum("s_acctbal").alias("total_bal"))
+    return (
+        per_nation.join(F.broadcast(total))
+        .where(F.col("nation_bal") > F.col("total_bal") * 0.045)
+        .select("n_name", F.round("nation_bal", 2).alias("nation_bal"))
+        .orderBy(F.col("nation_bal").desc(), "n_name")
+    )
+
+
+Q11_ORACLE = """
+SELECT n_name, round(sum(s_acctbal), 2) AS nation_bal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+HAVING sum(s_acctbal) > (SELECT sum(s_acctbal) FROM supplier) * 0.045
+ORDER BY nation_bal DESC, n_name
+"""
+
+
+def q12_late_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: conditional aggregation (CASE inside SUM) over a join.
+
+    Lines shipped >60 days after the order date in 1997, counted per
+    linestatus (the fixtures' shipmode stand-in), split by whether the
+    order was urgent/high priority.  Counts are exact integers — no float
+    parity risk.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+            & (F.year("l_shipdate") == 1997)
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_ORACLE = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND year(l_shipdate) = 1997
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: left outer join + two-level aggregation (count distribution).
+
+    Orders-per-customer histogram, excluding urgent orders, KEEPING
+    zero-order customers (that is what the left join is for).  First
+    groupBy shuffles on custkey, second on the tiny count domain.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    non_urgent = orders.where(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        customer.join(
+            non_urgent, F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: aggregate view + scalar max subquery join-back.
+
+    Top revenue supplier(s) for 1996Q1.  Revenue is rounded to cents
+    BEFORE the max comparison in both engines so the equality is on
+    identical rounded values, not raw float sums.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(max_rev))
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey"),
+            "s_name",
+            "total_revenue",
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_ORACLE = """
+WITH revenue AS (
+    SELECT l_suppkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: correlated AVG subquery decorrelated to aggregate+join.
+
+    Average yearly revenue lost if small-quantity Brand#1 orders were not
+    taken: lines with quantity below 20% of their part's average quantity.
+    The per-part threshold aggregate is part-cardinality -> broadcast; the
+    brand filter semi-joins the fact FIRST so the threshold aggregate only
+    sees Brand#1 lines.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand_parts = part.where(F.col("p_brand") == "Brand#1").select("p_partkey")
+    brand_lines = lineitem.join(
+        F.broadcast(brand_parts),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    thresholds = brand_lines.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    )
+    return (
+        brand_lines.join(
+            F.broadcast(thresholds.withColumnRenamed("l_partkey", "t_partkey")),
+            F.col("l_partkey") == F.col("t_partkey"),
+        )
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.coalesce(F.round(F.sum("l_extendedprice") / 7.0, 2), F.lit(0.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+Q17_ORACLE = """
+SELECT coalesce(round(sum(l_extendedprice) / 7.0, 2), 0.0) AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: nested aggregate feeding a semi-join chain.
+
+    Suppliers who shipped more than 45 units of some 'red' part during
+    1996 — part-name IN-list, per-(supplier, part) HAVING aggregate,
+    supplier semi join.  The aggregate output is small -> broadcast semi.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    red_parts = part.where(F.col("p_name").startswith("red")).select("p_partkey")
+    heavy = (
+        lineitem.where(F.year("l_shipdate") == 1996)
+        .join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 45.0)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_ORACLE = """
+SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE year(l_shipdate) = 1996
+      AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(l_quantity) > 45.0)
+ORDER BY s_suppkey
+"""
+
+
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: EXISTS + NOT EXISTS chain (semi join then anti join).
+
+    For finished ('F') orders: NATION_3 suppliers whose line shipped late
+    (>30 days after order date), where the order had another supplier's
+    line, but NO other supplier shipped late — the sole blame case.
+    Both the semi and the anti join hash on orderkey with suppkey/date
+    residuals; supplier and nation broadcast.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n3_supp = supplier.join(
+        F.broadcast(nation.where(F.col("n_name") == "NATION_3")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    base = (
+        lineitem.join(
+            orders.where(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .withColumn("late_cutoff", F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .where(F.col("l_shipdate") > F.col("late_cutoff"))
+        .join(F.broadcast(n3_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_orderkey", "l_suppkey", "s_name", "late_cutoff")
+    )
+    others = lineitem.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+        F.col("l_shipdate").alias("o2_shipdate"),
+    )
+    with_other = base.join(
+        others,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_semi",
+    )
+    no_other_late = with_other.join(
+        others,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey"))
+        & (F.col("o2_shipdate") > F.col("late_cutoff")),
+        "left_anti",
+    )
+    return (
+        no_other_late.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+Q21_ORACLE = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND n_name = 'NATION_3'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: scalar AVG subquery + NOT EXISTS anti join.
+
+    'Country code' is the last two digits of c_name (the fixtures have no
+    c_phone).  Customers in selected codes with above-average positive
+    balance and no orders since mid-2000 (every fixture customer has SOME
+    order, so 'dormant' replaces 'orderless'), aggregated per code.  The
+    average is a 1-row broadcast; the NOT EXISTS is an anti join on
+    custkey with the recency predicate pushed into the anti side.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    codes = ["01", "13", "25", "31", "42", "57", "86"]
+    coded = customer.withColumn("cntrycode", F.expr("right(c_name, 2)")).where(
+        F.col("cntrycode").isin(codes)
+    )
+    avg_bal = coded.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        coded.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.where(
+                F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp")
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+Q22_ORACLE = """
+SELECT right(c_name, 2) AS cntrycode,
+       count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE right(c_name, 2) IN ('01', '13', '25', '31', '42', '57', '86')
+  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0.0
+                     AND right(c_name, 2) IN
+                         ('01', '13', '25', '31', '42', '57', '86'))
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-06-01')
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
+QUERIES = {
+    "q2_top_supplier_per_nation": q2_top_supplier_per_nation,
+    "q4_order_priority": q4_order_priority,
+    "q8_market_share": q8_market_share,
+    "q11_important_balance": q11_important_balance,
+    "q12_late_priority_lines": q12_late_priority_lines,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q20_excess_shipments": q20_excess_shipments,
+    "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
+    "q22_dormant_customers": q22_dormant_customers,
+}
+
+ORACLES = {
+    "q2_top_supplier_per_nation": Q2_ORACLE,
+    "q4_order_priority": Q4_ORACLE,
+    "q8_market_share": Q8_ORACLE,
+    "q11_important_balance": Q11_ORACLE,
+    "q12_late_priority_lines": Q12_ORACLE,
+    "q13_customer_distribution": Q13_ORACLE,
+    "q15_top_supplier": Q15_ORACLE,
+    "q17_small_quantity_revenue": Q17_ORACLE,
+    "q20_excess_shipments": Q20_ORACLE,
+    "q21_suppliers_kept_waiting": Q21_ORACLE,
+    "q22_dormant_customers": Q22_ORACLE,
+}
