@@ -10,6 +10,7 @@ _MODULE_NAMES = [
     "relational",
     "tpch_extra",
     "advanced",
+    "stats",
     "scalar",
     "text",
     "vectors",

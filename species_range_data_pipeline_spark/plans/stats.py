@@ -1,0 +1,258 @@
+"""Statistical aggregates, ordered-set style aggregates, and a MERGE-style
+CDC upsert — §2.1 standard surface with no reference counterpart (the
+reference's only aggregate is the geometric dissolve,
+``species_range_etl.py:205``).
+
+Parity discipline (see tests/test_oracle_parity.py): every float is rounded
+in BOTH engines; every ordering that feeds an order-sensitive function gets
+a unique tie-break key; arg_max/min use a UNIQUE ordering column so the
+chosen row is well-defined in both engines.
+
+Scale notes: all of these are single fact-shuffle groupBy plans; the merge
+upsert joins fact-to-changes on the (already unique) order key, which at
+cluster scale is the textbook case for pre-bucketed storage on the merge
+key (see operators/bucketing.py) — the full-outer join then needs no
+exchange at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/variance/correlation/covariance per group.
+
+    Rounded to 3 decimals: Spark and DuckDB use different streaming-moment
+    algorithms, identical only to ~1e-9 relative error.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            # + 0.0 normalizes the signed zero a round() can produce —
+            # str(-0.0) != str(0.0) under the driver's value hash.
+            (F.round(F.stddev_samp("l_extendedprice"), 3) + 0.0).alias("price_stddev"),
+            (F.round(F.var_samp("l_quantity"), 3) + 0.0).alias("qty_var"),
+            (F.round(F.corr("l_quantity", "l_extendedprice"), 3) + 0.0).alias(
+                "qty_price_corr"
+            ),
+            (F.round(F.covar_samp("l_discount", "l_tax"), 6) + 0.0).alias(
+                "disc_tax_covar"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_STATS_ORACLE = """
+SELECT l_returnflag,
+       round(stddev_samp(l_extendedprice), 3) + 0.0 AS price_stddev,
+       round(var_samp(l_quantity), 3) + 0.0 AS qty_var,
+       round(corr(l_quantity, l_extendedprice), 3) + 0.0 AS qty_price_corr,
+       round(covar_samp(l_discount, l_tax), 6) + 0.0 AS disc_tax_covar
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (argmax/argmin) with a UNIQUE ordering key.
+
+    Status of the newest/oldest order per priority, 'newest' proxied by the
+    unique o_orderkey so the selected row is deterministic — max_by over a
+    tied ordering column is undefined in both engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.expr("max_by(o_orderstatus, o_orderkey)").alias("newest_status"),
+            F.expr("min_by(o_orderstatus, o_orderkey)").alias("oldest_status"),
+            F.max("o_orderkey").alias("max_orderkey"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+AGG_MINMAX_BY_ORACLE = """
+SELECT o_orderpriority,
+       arg_max(o_orderstatus, o_orderkey) AS newest_status,
+       arg_min(o_orderstatus, o_orderkey) AS oldest_status,
+       max(o_orderkey) AS max_orderkey
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg): distinct values sorted then
+    joined, so the concatenation is order-stable in both engines."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias(
+                "statuses"
+            ),
+            F.countDistinct("l_linestatus").alias("n_statuses"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_STRING_CONCAT_ORACLE = """
+SELECT l_returnflag,
+       string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+       count(DISTINCT l_linestatus) AS n_statuses
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def agg_count_if_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional count + boolean aggregates (count_if / bool_and / bool_or)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_linestatus")
+        .agg(
+            F.expr("count_if(l_discount > 0.05)").cast("long").alias("n_discounted"),
+            F.expr("bool_and(l_quantity > 0)").alias("all_positive_qty"),
+            F.expr("bool_or(l_tax > 0.07)").alias("any_high_tax"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+AGG_COUNT_IF_ORACLE = """
+SELECT l_linestatus,
+       CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted,
+       bool_and(l_quantity > 0) AS all_positive_qty,
+       bool_or(l_tax > 0.07) AS any_high_tax,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def window_percent_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-distribution windows: percent_rank, cume_dist, lead.
+
+    Ordering is (o_totalprice, o_orderkey) — unique — so lead() has a
+    well-defined neighbor and cume_dist equals row_number/n in both engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.where(F.col("o_totalprice") > 450000)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+            F.lead("o_orderkey", 1, -1).over(w).alias("next_orderkey"),
+        )
+        .orderBy("o_orderpriority", "o_orderkey")
+    )
+
+
+WINDOW_PERCENT_ORACLE = """
+SELECT o_orderpriority,
+       o_orderkey,
+       round(percent_rank() OVER w, 6) AS price_pct_rank,
+       round(cume_dist() OVER w, 6) AS price_cume_dist,
+       lead(o_orderkey, 1, -1) OVER w AS next_orderkey
+FROM orders
+WHERE o_totalprice > 450000
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderpriority, o_orderkey
+"""
+
+
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (CDC upsert) semantics via full-outer join.
+
+    Stock Spark has no MERGE without a lakehouse table format, but the
+    operation is a join: changes = updates (10% price bump on every 10th
+    order) + inserts (re-keyed copies of every 17th order, status 'N');
+    MERGE = target FULL OUTER changes ON key, coalescing change-side values.
+    Post-merge totals per status are the observable.
+
+    At scale: bucket both sides on the merge key (operators/bucketing.py)
+    and the join is exchange-free; with AQE on, the skew-join split handles
+    hot keys.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    updates = orders.where(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("c_orderkey"),
+        (F.col("o_totalprice") * 1.1).alias("c_totalprice"),
+        F.col("o_orderstatus").alias("c_orderstatus"),
+    )
+    inserts = orders.where(F.col("o_orderkey") % 17 == 3).select(
+        (F.col("o_orderkey") + 100000000).alias("c_orderkey"),
+        F.col("o_totalprice").alias("c_totalprice"),
+        F.lit("N").alias("c_orderstatus"),
+    )
+    changes = updates.unionByName(inserts)
+    return (
+        orders.join(
+            changes, F.col("o_orderkey") == F.col("c_orderkey"), "full_outer"
+        )
+        .select(
+            F.coalesce("c_orderstatus", "o_orderstatus").alias("status"),
+            F.coalesce("c_totalprice", "o_totalprice").alias("price"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("price"), 2).alias("total_price"),
+        )
+        .orderBy("status")
+    )
+
+
+MERGE_UPSERT_ORACLE = """
+WITH changes AS (
+    SELECT o_orderkey AS c_orderkey,
+           o_totalprice * 1.1 AS c_totalprice,
+           o_orderstatus AS c_orderstatus
+    FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderkey + 100000000, o_totalprice, 'N'
+    FROM orders WHERE o_orderkey % 17 = 3)
+SELECT coalesce(c_orderstatus, o_orderstatus) AS status,
+       count(*) AS n_orders,
+       round(sum(coalesce(c_totalprice, o_totalprice)), 2) AS total_price
+FROM orders
+FULL OUTER JOIN changes ON o_orderkey = c_orderkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+QUERIES = {
+    "agg_stats": agg_stats,
+    "agg_minmax_by": agg_minmax_by,
+    "agg_string_concat": agg_string_concat,
+    "agg_count_if_bool": agg_count_if_bool,
+    "window_percent_dist": window_percent_dist,
+    "merge_upsert": merge_upsert,
+}
+
+ORACLES = {
+    "agg_stats": AGG_STATS_ORACLE,
+    "agg_minmax_by": AGG_MINMAX_BY_ORACLE,
+    "agg_string_concat": AGG_STRING_CONCAT_ORACLE,
+    "agg_count_if_bool": AGG_COUNT_IF_ORACLE,
+    "window_percent_dist": WINDOW_PERCENT_ORACLE,
+    "merge_upsert": MERGE_UPSERT_ORACLE,
+}
