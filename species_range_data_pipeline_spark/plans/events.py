@@ -171,8 +171,70 @@ ORDER BY user_id
 """
 
 
+def ev_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a dense (day x event_type) grid via
+    ``sequence``+``explode``, zero-filled where no events landed.
+
+    The day spine is generated from the observed min/max (1-row aggregate,
+    broadcast into the cross join with the distinct-type dimension); daily
+    aggregates left-join onto the grid.  At scale the grid is tiny compared
+    to the fact table — the only fact shuffle is the daily groupBy.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    bounds = events.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    types = events.select("event_type").distinct()
+    return (
+        days.crossJoin(F.broadcast(types))
+        .join(daily, ["day", "event_type"], "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+EV_GAPFILL_ORACLE = """
+WITH bounds AS (
+    SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1
+    FROM events
+), days AS (
+    SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM bounds
+), types AS (
+    SELECT DISTINCT event_type FROM events
+), daily AS (
+    SELECT date_trunc('day', ts) AS day, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       t.event_type,
+       CAST(coalesce(daily.n_events, 0) AS BIGINT) AS n_events,
+       coalesce(daily.total_value, 0.0) AS total_value
+FROM days d
+CROSS JOIN types t
+LEFT JOIN daily ON daily.day = d.day AND daily.event_type = t.event_type
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "ev_tumbling": ev_tumbling,
+    "ev_gapfill": ev_gapfill,
     "ev_sliding": ev_sliding,
     "ev_sessionization": ev_sessionization,
     "ev_type_pivot": ev_type_pivot,
@@ -180,6 +242,7 @@ QUERIES = {
 
 ORACLES = {
     "ev_tumbling": EV_TUMBLING_ORACLE,
+    "ev_gapfill": EV_GAPFILL_ORACLE,
     "ev_sliding": EV_SLIDING_ORACLE,
     "ev_sessionization": EV_SESSION_ORACLE,
     "ev_type_pivot": EV_PIVOT_ORACLE,

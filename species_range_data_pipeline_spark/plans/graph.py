@@ -1,0 +1,161 @@
+"""Iterative graph operator: connected components over near-duplicate pairs.
+
+Pairwise near-dup detection (plans/text.py) is only half of deduplication —
+near-duplication is NOT transitive, so a training-data pipeline needs the
+transitive closure: group pairs into clusters and keep one representative
+per cluster.  Spark has no built-in connected components; this implements
+min-label propagation as a driver-side loop of DataFrame joins, each
+iteration truncated with ``localCheckpoint`` so the physical plan stays
+flat instead of growing with the iteration count.
+
+Convergence: label(v) <- min(label(v), min over neighbors) reaches the
+component minimum in O(graph diameter) rounds; near-dup clusters are
+shallow (diameter << 10), and the loop exits on the first round with zero
+label changes (bounded at ``_MAX_ITERS`` as a runaway guard).
+
+Scale notes (100 TB): each round is one shuffle (neighbor-min groupBy) plus
+one join on the id — both on the same key, so with AQE the exchange reuses
+partitioning.  For billion-edge graphs replace the plain propagation with
+the large-star/small-star algorithm (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC'14) — same API, fewer rounds; the pair graph
+from LSH bucketing is far smaller than the corpus, so the simple loop holds
+well past the fixture scale.
+
+The DuckDB oracle states the same semantics declaratively: a recursive CTE
+computes reachability and takes min(reachable id) per node — exact
+cross-engine check of an operator Spark itself cannot express in one query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .text import dedup_ngram_jaccard
+
+_MAX_ITERS = 30
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Min-label propagation over an undirected edge list.
+
+    Returns (id, comp) for every vertex that appears in ``edges``; comp is
+    the minimum vertex id of the component.  Isolated vertices (no edges)
+    are by definition their own component and never enter the edge list.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    sym = sym.persist()
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(_MAX_ITERS):
+        nbr_min = (
+            sym.join(
+                labels.select(
+                    F.col("id").alias("b"), F.col("comp").alias("nbr_comp")
+                ),
+                "b",
+            )
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("nbr_comp").alias("nbr_comp"))
+        )
+        proposed = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.col("comp").alias("old_comp"),
+            F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
+        )
+        proposed = proposed.localCheckpoint()
+        changed = proposed.where(F.col("comp") != F.col("old_comp")).count()
+        labels = proposed.drop("old_comp")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: ngram-Jaccard pairs -> connected components.
+
+    Output per cluster: the representative (min doc_id), member count, and
+    the comma-joined sorted member list — fully checkable against the
+    recursive-CTE oracle.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    return (
+        comp.groupBy(F.col("comp").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("id")), lambda c: c.cast("string")
+                ),
+                ",",
+            ).alias("members"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# The pairs CTEs mirror plans/text.py DEDUP_NGRAM_ORACLE verbatim; the
+# recursive part computes reachability (UNION dedups, so cycles terminate).
+DEDUP_CLUSTERS_ORACLE = """
+WITH RECURSIVE toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+    FROM documents
+), idx AS (
+    SELECT doc_id, t,
+           unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+    FROM toks
+), sh AS (
+    SELECT DISTINCT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                ELSE array_to_string(t, ' ') END AS shingle
+    FROM idx
+), sizes AS (
+    SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), pairs AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.2
+), edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+), reach AS (
+    SELECT DISTINCT src AS id, src AS r FROM edges
+    UNION
+    SELECT e.src AS id, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+), comp AS (
+    SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+)
+SELECT cluster_id,
+       count(*) AS n_members,
+       string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+FROM comp
+GROUP BY cluster_id
+ORDER BY cluster_id
+"""
+
+
+QUERIES = {
+    "dedup_clusters": dedup_clusters,
+}
+
+ORACLES = {
+    "dedup_clusters": DEDUP_CLUSTERS_ORACLE,
+}

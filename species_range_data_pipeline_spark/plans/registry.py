@@ -16,6 +16,7 @@ _MODULE_NAMES = [
     "vectors",
     "events",
     "geo",
+    "graph",
 ]
 
 
