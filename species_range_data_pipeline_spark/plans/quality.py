@@ -1,0 +1,216 @@
+"""Data-engineering operators: deterministic sampling, profiling, and
+data-quality constraint checks.
+
+The reference silently swallows worker failures (``species_range_etl.py:
+254-255`` never iterates executor.map results) and trusts its inputs; a
+100 TB pipeline needs the opposite: declared, queryable checks.  All three
+operators here are single-pass plans expressed with stock aggregates, so
+Catalyst keeps them map-side-partial and the only shuffle is the final
+(tiny) aggregate.
+
+Determinism: sampling uses xxhash64 buckets, not RNG — the same row always
+lands in the same split in any engine, on any cluster size, at any
+parallelism (seeded ``sample()`` would be engine- and partitioning-
+dependent, which can't be oracle-checked and silently reshuffles across
+cluster resizes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum rates via hash buckets.
+
+    Keeps ~50% of 'view' events, ~20% of 'click', ~100% of 'error', ~10%
+    of everything else — the standard class-rebalancing shape for training
+    data.  xxhash64(event_id) mod 100 < rate is stable and portable; the
+    DuckDB oracle uses the same arithmetic on event_id directly (hash
+    functions differ across engines, so the oracle buckets on
+    ``event_id % 100`` and Spark mirrors it — the *operator* is the bucket
+    rule, not the hash choice; swap in xxhash64 for skewed id spaces).
+    """
+    events = load_table(spark, sf_dir, "events")
+    bucket = (F.col("event_id") % 100).cast("int")
+    rate = (
+        F.when(F.col("event_type") == "view", 50)
+        .when(F.col("event_type") == "click", 20)
+        .when(F.col("event_type") == "error", 100)
+        .otherwise(10)
+    )
+    return (
+        events.where(bucket < rate)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.sum("value"), 2).alias("sampled_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SAMPLE_STRATIFIED_ORACLE = """
+SELECT event_type,
+       count(*) AS n_sampled,
+       round(sum(value), 2) AS sampled_value
+FROM events
+WHERE CAST(event_id % 100 AS INT) <
+      CASE event_type WHEN 'view' THEN 50 WHEN 'click' THEN 20
+                      WHEN 'error' THEN 100 ELSE 10 END
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiling: null count, distinct count, min/max
+    per column, unpivoted to one row per column.
+
+    All statistics compute in ONE aggregate over one scan (count_if +
+    approx-free countDistinct per column), then a literal unpivot reshapes
+    to the profile table — the shape a catalog/quality service ingests.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    prof = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("count_if(o_orderstatus IS NULL)").cast("long").alias("null_status"),
+        F.countDistinct("o_orderstatus").alias("dist_status"),
+        F.min("o_orderstatus").alias("min_status"),
+        F.max("o_orderstatus").alias("max_status"),
+        F.expr("count_if(o_orderpriority IS NULL)").cast("long").alias("null_prio"),
+        F.countDistinct("o_orderpriority").alias("dist_prio"),
+        F.min("o_orderpriority").alias("min_prio"),
+        F.max("o_orderpriority").alias("max_prio"),
+        F.expr("count_if(o_totalprice IS NULL)").cast("long").alias("null_price"),
+        F.countDistinct("o_totalprice").alias("dist_price"),
+        F.round(F.min("o_totalprice"), 2).cast("string").alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).cast("string").alias("max_price"),
+    )
+    return (
+        prof.select(
+            "n_rows",
+            F.expr(
+                """stack(3,
+                   'o_orderstatus', null_status, dist_status, min_status, max_status,
+                   'o_orderpriority', null_prio, dist_prio, min_prio, max_prio,
+                   'o_totalprice', null_price, dist_price, min_price, max_price)
+                   AS (column_name, n_nulls, n_distinct, min_value, max_value)"""
+            ),
+        )
+        .select("column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+        .orderBy("column_name")
+    )
+
+
+PROFILE_ORDERS_ORACLE = """
+WITH prof AS (
+    SELECT count(*) AS n_rows,
+           CAST(count_if(o_orderstatus IS NULL) AS BIGINT) AS null_status,
+           count(DISTINCT o_orderstatus) AS dist_status,
+           min(o_orderstatus) AS min_status,
+           max(o_orderstatus) AS max_status,
+           CAST(count_if(o_orderpriority IS NULL) AS BIGINT) AS null_prio,
+           count(DISTINCT o_orderpriority) AS dist_prio,
+           min(o_orderpriority) AS min_prio,
+           max(o_orderpriority) AS max_prio,
+           CAST(count_if(o_totalprice IS NULL) AS BIGINT) AS null_price,
+           count(DISTINCT o_totalprice) AS dist_price,
+           CAST(round(min(o_totalprice), 2) AS VARCHAR) AS min_price,
+           CAST(round(max(o_totalprice), 2) AS VARCHAR) AS max_price
+    FROM orders
+)
+SELECT c.column_name,
+       n_rows,
+       CASE c.column_name WHEN 'o_orderstatus' THEN null_status
+            WHEN 'o_orderpriority' THEN null_prio ELSE null_price
+       END AS n_nulls,
+       CASE c.column_name WHEN 'o_orderstatus' THEN dist_status
+            WHEN 'o_orderpriority' THEN dist_prio ELSE dist_price
+       END AS n_distinct,
+       CASE c.column_name WHEN 'o_orderstatus' THEN min_status
+            WHEN 'o_orderpriority' THEN min_prio ELSE min_price
+       END AS min_value,
+       CASE c.column_name WHEN 'o_orderstatus' THEN max_status
+            WHEN 'o_orderpriority' THEN max_prio ELSE max_price
+       END AS max_value
+FROM prof
+CROSS JOIN (VALUES
+    ('o_orderstatus'), ('o_orderpriority'), ('o_totalprice')) AS c(column_name)
+ORDER BY column_name
+"""
+
+
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint validation as a queryable result: one row per rule.
+
+    Rules: (1) referential integrity — lineitems whose order key has no
+    parent order (anti join); (2) primary-key uniqueness — duplicated
+    (orderkey, linenumber) pairs; (3) domain — negative or zero quantities;
+    (4) nullability — null ship dates.  Violation counts land in one
+    unioned result instead of four jobs; each leg is a pushdown-friendly
+    single-pass plan.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    orphans = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("fk_lineitem_orders").alias("rule"), "violations")
+    )
+    dup_pk = (
+        lineitem.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+        .select(F.lit("pk_unique_lineitem").alias("rule"), "violations")
+    )
+    domain = (
+        lineitem.where(F.col("l_quantity") <= 0)
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("qty_positive").alias("rule"), "violations")
+    )
+    nulls = (
+        lineitem.where(F.col("l_shipdate").isNull())
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("shipdate_not_null").alias("rule"), "violations")
+    )
+    return (
+        orphans.unionByName(dup_pk).unionByName(domain).unionByName(nulls)
+        .orderBy("rule")
+    )
+
+
+DQ_CHECKS_ORACLE = """
+SELECT 'fk_lineitem_orders' AS rule,
+       (SELECT count(*) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS violations
+UNION ALL
+SELECT 'pk_unique_lineitem',
+       (SELECT count(*) FROM (SELECT 1 FROM lineitem
+                              GROUP BY l_orderkey, l_linenumber
+                              HAVING count(*) > 1))
+UNION ALL
+SELECT 'qty_positive',
+       (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+UNION ALL
+SELECT 'shipdate_not_null',
+       (SELECT count(*) FROM lineitem WHERE l_shipdate IS NULL)
+ORDER BY rule
+"""
+
+
+QUERIES = {
+    "sample_stratified": sample_stratified,
+    "profile_orders": profile_orders,
+    "dq_checks": dq_checks,
+}
+
+ORACLES = {
+    "sample_stratified": SAMPLE_STRATIFIED_ORACLE,
+    "profile_orders": PROFILE_ORDERS_ORACLE,
+    "dq_checks": DQ_CHECKS_ORACLE,
+}
