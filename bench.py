@@ -39,6 +39,11 @@ HEADLINE = [
     "cosine_topk",
     "ev_sessionization",
     "geo_dissolve_area",
+    # new families (round-1 continuation): EXISTS/NOT-EXISTS chains, CDC
+    # merge, time-series gap fill
+    "q21_suppliers_kept_waiting",
+    "merge_upsert",
+    "ev_gapfill",
 ]
 
 
