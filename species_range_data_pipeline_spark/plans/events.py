@@ -232,9 +232,60 @@ ORDER BY 1, 2
 """
 
 
+def ev_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup: minute -> hour -> day from ONE fact scan.
+
+    The hourly aggregate is computed once and re-aggregated to days
+    (sum-of-sums + the peak hourly count) — the hypertable/continuous-
+    aggregate pattern: each level reads the previous level's (tiny) output,
+    never the fact table again.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("hour_value"),
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", "hour").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("hour_value"), 2).alias("total_value"),
+            F.max("n_events").alias("peak_hour_events"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_hours",
+            "n_events",
+            "total_value",
+            "peak_hour_events",
+        )
+        .orderBy("day")
+    )
+
+
+EV_ROLLUP_ORACLE = """
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS hour,
+           count(*) AS n_events,
+           round(sum(value), 2) AS hour_value
+    FROM events GROUP BY 1
+)
+SELECT strftime(date_trunc('day', hour), '%Y-%m-%d') AS day,
+       count(*) AS n_hours,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       round(sum(hour_value), 2) AS total_value,
+       max(n_events) AS peak_hour_events
+FROM hourly
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "ev_tumbling": ev_tumbling,
     "ev_gapfill": ev_gapfill,
+    "ev_rollup_two_level": ev_rollup_two_level,
     "ev_sliding": ev_sliding,
     "ev_sessionization": ev_sessionization,
     "ev_type_pivot": ev_type_pivot,
@@ -243,6 +294,7 @@ QUERIES = {
 ORACLES = {
     "ev_tumbling": EV_TUMBLING_ORACLE,
     "ev_gapfill": EV_GAPFILL_ORACLE,
+    "ev_rollup_two_level": EV_ROLLUP_ORACLE,
     "ev_sliding": EV_SLIDING_ORACLE,
     "ev_sessionization": EV_SESSION_ORACLE,
     "ev_type_pivot": EV_PIVOT_ORACLE,

@@ -375,7 +375,53 @@ ORDER BY p_partkey
 """
 
 
+def str_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching: near-identical part names within a
+    type (blocking key), levenshtein <= 3.
+
+    The p_type equi-join is the blocking strategy — at scale fuzzy match
+    is always 'block then score', never all-pairs: the quadratic term is
+    bounded per block, the join shuffles on the block key only.
+    """
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_type").alias("ptype"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_type").alias("ptype"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(b, "ptype")
+        .where(F.col("key_a") < F.col("key_b"))
+        .where(F.col("name_a") != F.col("name_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .where(F.col("edit_dist") <= 3)
+        .groupBy("ptype", "edit_dist")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("ptype", "edit_dist")
+    )
+
+
+STR_FUZZY_ORACLE = """
+SELECT a.p_type AS ptype,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
+       count(*) AS n_pairs
+FROM part a
+JOIN part b ON a.p_type = b.p_type
+WHERE a.p_partkey < b.p_partkey
+  AND a.p_name <> b.p_name
+  AND levenshtein(a.p_name, b.p_name) <= 3
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
+    "str_fuzzy_match": str_fuzzy_match,
     "filename_parse": filename_parse,
     "str_funcs": str_funcs,
     "date_funcs": date_funcs,
@@ -388,6 +434,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "str_fuzzy_match": STR_FUZZY_ORACLE,
     "filename_parse": FILENAME_PARSE_ORACLE,
     "str_funcs": STR_FUNCS_ORACLE,
     "date_funcs": DATE_FUNCS_ORACLE,

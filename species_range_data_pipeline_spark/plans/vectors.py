@@ -249,7 +249,19 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_lsh(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (fixed 5 Lloyd rounds, k=8) over the embedding column.
+
+    Iterative — not SQL-expressible, so rows-only for the driver (always k
+    rows); the algorithm is pinned exactly against a numpy reference in
+    tests/test_clustering.py."""
+    from ..operators.clustering import kmeans_summary
+
+    return kmeans_summary(load_table(spark, sf_dir, "embeddings"), k=8, iters=5)
+
+
 QUERIES = {
+    "emb_kmeans": emb_kmeans,
     "emb_norms": emb_norms,
     "cosine_topk": cosine_topk,
     "emb_near_dup": emb_near_dup,
