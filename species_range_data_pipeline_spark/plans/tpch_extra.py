@@ -181,6 +181,120 @@ ORDER BY 1
 """
 
 
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: multi-way star join + profit expression, by nation and year.
+
+    Classic Q9 computes profit from partsupp's supplycost; the fixtures lack
+    partsupp, so supply cost is modeled as 50% of ``p_retailprice``.  Parts
+    are selected by a name substring ('blue'; classic Q9 uses 'green', absent from the fixture vocabulary).  Plan:
+    part filter pushed to the part scan, part+supplier+nation broadcast, the
+    one fact-fact shuffle is lineitem ⋈ orders on orderkey, then one
+    groupBy (nation, year).
+
+    Float parity: ep×(1-disc) has exactly 4 decimals and 0.5×rp×qty has
+    exactly 3 (integer quantities, 2dp prices), so per-row profit is exact
+    in integer ten-thousandths — accumulated as BIGINT like q7 so the sum
+    is order-independent across ~175 output groups.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    blue = part.where(F.col("p_name").contains("blue")).select("p_partkey")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * 0.5 * F.col("l_quantity")
+    )
+    return (
+        lineitem.join(F.broadcast(blue), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(part.select(F.col("p_partkey").alias("pp"), "p_retailprice")),
+            F.col("l_partkey") == F.col("pp"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.round(amount * 10000).cast("long")) / 10000.0, 2
+            ).alias("sum_profit")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q9_ORACLE = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                             - p_retailprice * 0.5 * l_quantity) * 10000) AS BIGINT))
+             / 10000.0, 2) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%blue%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+def q16_supplier_part_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: COUNT(DISTINCT) over an excluded-supplier anti join.
+
+    Classic Q16 counts suppliers per (brand, type, size) from partsupp,
+    excluding one brand, a type prefix, and complaint suppliers.  Without
+    partsupp, the observed (l_partkey, l_suppkey) pairs in lineitem are the
+    part-supplier relation; 'complaints' is modeled as negative account
+    balance.  Plan: the exclusion side is supplier-cardinality -> broadcast
+    anti join; part attributes broadcast; one shuffle for the distinct-pair
+    reduction, one for the final groupBy (count distinct is exact).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    kept_parts = part.where(
+        (F.col("p_brand") != "Brand#3")
+        & (~F.col("p_type").startswith("PROMO"))
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    complaint_supp = supplier.where(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(complaint_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(kept_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+Q16_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#3'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
 def q11_important_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11 shape: HAVING against a scalar subquery (fraction of global sum).
 
@@ -560,6 +674,8 @@ QUERIES = {
     "q2_top_supplier_per_nation": q2_top_supplier_per_nation,
     "q4_order_priority": q4_order_priority,
     "q8_market_share": q8_market_share,
+    "q9_product_type_profit": q9_product_type_profit,
+    "q16_supplier_part_relationship": q16_supplier_part_relationship,
     "q11_important_balance": q11_important_balance,
     "q12_late_priority_lines": q12_late_priority_lines,
     "q13_customer_distribution": q13_customer_distribution,
@@ -574,6 +690,8 @@ ORACLES = {
     "q2_top_supplier_per_nation": Q2_ORACLE,
     "q4_order_priority": Q4_ORACLE,
     "q8_market_share": Q8_ORACLE,
+    "q9_product_type_profit": Q9_ORACLE,
+    "q16_supplier_part_relationship": Q16_ORACLE,
     "q11_important_balance": Q11_ORACLE,
     "q12_late_priority_lines": Q12_ORACLE,
     "q13_customer_distribution": Q13_ORACLE,
