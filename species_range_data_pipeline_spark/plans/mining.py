@@ -1,0 +1,276 @@
+"""Data-mining / warehouse-modeling operator family (SURVEY.md §2.1
+north-star surface; no reference counterpart — the reference has no joins
+or aggregates beyond the dissolve, ``species_range_etl.py:205``).
+
+Five shapes a 100 TB training-data warehouse needs beyond plain TPC-H:
+
+- market-basket co-occurrence (self-join within a basket key)
+- fixed-width histogram binning (arithmetic bucketing, no UDF)
+- correlation / covariance matrix over measure columns
+- SCD Type-2 dimension history (windowed effective-dating)
+- consecutive event-sequence pattern match (MATCH_RECOGNIZE-lite)
+
+Scale notes: the basket self-join shuffles once on the basket key and the
+pair explosion is bounded by per-basket distinct-item count (quadratic in
+items-per-order, not table size); histogram/corr are single-pass partial
+aggregates with tiny output; SCD2 and the pattern match shuffle once on
+their partition key and stream through window frames — all AQE-safe, no
+driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+_DUCK_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent brand pairs co-purchased in one order (market basket).
+
+    Distinct (order, brand) first — the pair join must not double-count
+    multi-line brands — then a self-equi-join on the basket key with a
+    ``<`` residual to emit each unordered pair once.  Both sides of the
+    self-join come from the same shuffled exchange (one shuffle on
+    l_orderkey); pair cardinality is sum over orders of C(brands, 2).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    order_brand = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    left = order_brand.select(
+        F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_a")
+    )
+    right = order_brand.select(
+        F.col("l_orderkey").alias("ok2"), F.col("p_brand").alias("brand_b")
+    )
+    return (
+        left.join(
+            right,
+            (F.col("ok") == F.col("ok2")) & (F.col("brand_a") < F.col("brand_b")),
+        )
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 20)
+        .orderBy(F.col("n_orders").desc(), "brand_a", "brand_b")
+    )
+
+
+BASKET_ORACLE = """
+WITH ob AS (
+    SELECT DISTINCT l_orderkey, p_brand
+    FROM lineitem JOIN part ON l_partkey = p_partkey)
+SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_orders
+FROM ob a JOIN ob b
+  ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+GROUP BY 1, 2
+HAVING count(*) >= 20
+ORDER BY n_orders DESC, brand_a, brand_b
+"""
+
+
+def hist_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals: 10 × 50k buckets.
+
+    Pure column arithmetic (no UDF, no width_bucket dependency) so the
+    binning expression is identical in both engines; single partial-agg
+    pass, 10-row output.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000.0), F.lit(9)).cast("long")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .withColumn("lo", (F.col("bucket") * 50000).cast("long"))
+        .select("bucket", "lo", "n_orders", "total_price")
+        .orderBy("bucket")
+    )
+
+
+HIST_ORACLE = """
+SELECT CAST(least(floor(o_totalprice / 50000.0), 9) AS BIGINT) AS bucket,
+       CAST(least(floor(o_totalprice / 50000.0), 9) * 50000 AS BIGINT) AS lo,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY 1, 2
+ORDER BY bucket
+"""
+
+
+def corr_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation + sample covariance of lineitem measures.
+
+    One single-pass aggregate computes the full (pair, corr, covar) set via
+    co-moment accumulators — no per-pair rescans.  Rounded to 4 decimals:
+    both engines accumulate in IEEE doubles over identical inputs, so the
+    disagreement is ~1e-12 relative, far inside the rounding slack.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pairs = [
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_extendedprice", "l_discount"),
+        ("l_extendedprice", "l_tax"),
+    ]
+    aggs = []
+    for a, b in pairs:
+        aggs.append(F.round(F.corr(a, b), 4).alias(f"corr_{a}_{b}"))
+        aggs.append(F.round(F.covar_samp(a, b), 4).alias(f"covar_{a}_{b}"))
+    wide = lineitem.agg(*aggs)
+    # long format (pair, corr, covar) so the result is schema-stable as
+    # pairs are added
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(f"{a}~{b}").alias("pair"),
+                F.col(f"corr_{a}_{b}").alias("corr"),
+                F.col(f"covar_{a}_{b}").alias("covar"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return (
+        wide.select(F.explode(structs).alias("s"))
+        .select("s.pair", "s.corr", "s.covar")
+        .orderBy("pair")
+    )
+
+
+CORR_ORACLE = """
+WITH w AS (
+    SELECT round(corr(l_quantity, l_extendedprice), 4) AS c1,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS v1,
+           round(corr(l_quantity, l_discount), 4) AS c2,
+           round(covar_samp(l_quantity, l_discount), 4) AS v2,
+           round(corr(l_extendedprice, l_discount), 4) AS c3,
+           round(covar_samp(l_extendedprice, l_discount), 4) AS v3,
+           round(corr(l_extendedprice, l_tax), 4) AS c4,
+           round(covar_samp(l_extendedprice, l_tax), 4) AS v4
+    FROM lineitem)
+SELECT 'l_quantity~l_extendedprice' AS pair, c1 AS corr, v1 AS covar FROM w
+UNION ALL
+SELECT 'l_quantity~l_discount', c2, v2 FROM w
+UNION ALL
+SELECT 'l_extendedprice~l_discount', c3, v3 FROM w
+UNION ALL
+SELECT 'l_extendedprice~l_tax', c4, v4 FROM w
+ORDER BY pair
+"""
+
+
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 effective-dated history built from an ordered change log.
+
+    Each order is a 'version' of its customer: effective_from is the order
+    date, effective_to is the NEXT order's date (open-ended for the current
+    version), version_n is the change ordinal.  This is the warehouse
+    dimension-history build: one shuffle on the dimension key, then lead()
+    over an explicit (date, orderkey) order — the orderkey tie-break makes
+    same-day versions deterministic.  Output restricted to a 1-in-50 key
+    stripe to keep the verified result driver-sized; the plan shape is
+    cardinality-independent.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.where(F.col("o_custkey") % 50 == 0)
+        .withColumn("version_n", F.row_number().over(w))
+        .withColumn("next_from", F.lead("o_orderdate").over(w))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "version_n",
+            F.date_format("o_orderdate", _FMT).alias("effective_from"),
+            F.coalesce(
+                F.date_format("next_from", _FMT), F.lit("9999-12-31 00:00:00")
+            ).alias("effective_to"),
+            F.col("next_from").isNull().cast("int").alias("is_current"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+        .orderBy("custkey", "version_n")
+    )
+
+
+SCD2_ORACLE = f"""
+SELECT o_custkey AS custkey,
+       CAST(row_number() OVER w AS INT) AS version_n,
+       strftime(o_orderdate, '{_DUCK_FMT}') AS effective_from,
+       coalesce(strftime(lead(o_orderdate) OVER w, '{_DUCK_FMT}'),
+                '9999-12-31 00:00:00') AS effective_to,
+       CAST(lead(o_orderdate) OVER w IS NULL AS INT) AS is_current,
+       round(o_totalprice, 2) AS totalprice
+FROM orders
+WHERE o_custkey % 50 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY custkey, version_n
+"""
+
+
+def ev_pattern_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: strictly-consecutive view→click→purchase runs.
+
+    Per user in event-time order (event_id tie-break), match rows whose
+    next two events are exactly 'click' then 'purchase' — the strict-
+    contiguity pattern a funnel (ev_funnel, arbitrary gaps) cannot express.
+    Window lead()s avoid any self-join: one shuffle on user_id, two frame
+    reads per row.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("t1", F.lead("event_type", 1).over(w))
+        .withColumn("t2", F.lead("event_type", 2).over(w))
+        .where(
+            (F.col("event_type") == "view")
+            & (F.col("t1") == "click")
+            & (F.col("t2") == "purchase")
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .orderBy(F.col("n_matches").desc(), "user_id")
+    )
+
+
+PATTERN_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lead(event_type, 1) OVER w AS t1,
+           lead(event_type, 2) OVER w AS t2
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, count(*) AS n_matches
+FROM seq
+WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+GROUP BY user_id
+ORDER BY n_matches DESC, user_id
+"""
+
+
+QUERIES = {
+    "basket_brand_pairs": basket_brand_pairs,
+    "hist_price_buckets": hist_price_buckets,
+    "corr_measures": corr_measures,
+    "scd2_customer_history": scd2_customer_history,
+    "ev_pattern_consecutive": ev_pattern_consecutive,
+}
+
+ORACLES = {
+    "basket_brand_pairs": BASKET_ORACLE,
+    "hist_price_buckets": HIST_ORACLE,
+    "corr_measures": CORR_ORACLE,
+    "scd2_customer_history": SCD2_ORACLE,
+    "ev_pattern_consecutive": PATTERN_ORACLE,
+}

@@ -11,6 +11,7 @@ _MODULE_NAMES = [
     "tpch_extra",
     "advanced",
     "stats",
+    "mining",
     "quality",
     "scalar",
     "text",
