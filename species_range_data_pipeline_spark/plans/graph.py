@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import load_table
 from .text import dedup_ngram_jaccard
 
 _MAX_ITERS = 30
@@ -152,10 +153,130 @@ ORDER BY cluster_id
 """
 
 
+_PR_DAMP = 0.85
+_PR_ITERS = 3
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier trade graph (3 power iterations).
+
+    The bipartite graph: an undirected edge per distinct (customer,
+    supplier) pair observed in orders ⋈ lineitem.  Each iteration is one
+    equi-join (labels onto edge sources) plus one shuffle (sum of incoming
+    contributions by destination) — the canonical iterative-join plan, with
+    ``localCheckpoint`` per round to keep the physical plan flat
+    (SCALE.md rule 9).
+
+    Float parity: per-round contributions are accumulated as exact integer
+    picounits (``round(contrib * 1e12)`` as BIGINT, the q7 trick), so every
+    round's rank vector is bit-identical across engines and summation
+    orders; the undirected graph means every node has degree >= 1, so no
+    dangling-mass term is needed.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("cnode"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("snode"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("cnode").alias("src"), F.col("snode").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
+        )
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    # rank state rides with the degree so each round is join + groupBy only
+    ranks = (
+        deg.crossJoin(F.broadcast(n_nodes))
+        .select("src", "deg", "n", (F.lit(1.0) / F.col("n")).alias("pr"))
+        .localCheckpoint()
+    )
+    for _ in range(_PR_ITERS):
+        contrib = edges.join(
+            ranks.select(
+                F.col("src").alias("u"),
+                (F.col("pr") / F.col("deg")).alias("share"),
+            ),
+            F.col("src") == F.col("u"),
+        ).select("dst", F.round(F.col("share") * 1e12).cast("long").alias("ishare"))
+        incoming = contrib.groupBy("dst").agg(
+            (F.sum("ishare") / 1e12).alias("in_sum")
+        )
+        ranks = (
+            ranks.join(incoming, F.col("src") == F.col("dst"))
+            .select(
+                "src",
+                "deg",
+                "n",
+                (
+                    (1.0 - _PR_DAMP) / F.col("n")
+                    + F.lit(_PR_DAMP) * F.col("in_sum")
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        ranks.select("src", F.round("pr", 8).alias("pagerank"))
+        .orderBy(F.col("pagerank").desc(), "src")
+        .limit(20)
+        .withColumnRenamed("src", "node")
+    )
+
+
+GRAPH_PAGERANK_ORACLE = """
+WITH pairs AS (
+    SELECT DISTINCT 'c' || o_custkey AS cnode, 's' || l_suppkey AS snode
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (
+    SELECT cnode AS src, snode AS dst FROM pairs
+    UNION ALL
+    SELECT snode, cnode FROM pairs),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+pr0 AS (SELECT src, deg, 1.0 / nn.n AS pr FROM deg, nn),
+pr1 AS (
+    SELECT e.dst AS src, d.deg AS deg,
+           (1.0 - 0.85) / nn.n
+             + 0.85 * (sum(CAST(round(p.pr / p.deg * 1e12) AS BIGINT)) / 1e12)
+               AS pr
+    FROM edges e JOIN pr0 p ON p.src = e.src
+    JOIN deg d ON d.src = e.dst, nn
+    GROUP BY e.dst, d.deg, nn.n),
+pr2 AS (
+    SELECT e.dst AS src, d.deg AS deg,
+           (1.0 - 0.85) / nn.n
+             + 0.85 * (sum(CAST(round(p.pr / p.deg * 1e12) AS BIGINT)) / 1e12)
+               AS pr
+    FROM edges e JOIN pr1 p ON p.src = e.src
+    JOIN deg d ON d.src = e.dst, nn
+    GROUP BY e.dst, d.deg, nn.n),
+pr3 AS (
+    SELECT e.dst AS src,
+           (1.0 - 0.85) / nn.n
+             + 0.85 * (sum(CAST(round(p.pr / p.deg * 1e12) AS BIGINT)) / 1e12)
+               AS pr
+    FROM edges e JOIN pr2 p ON p.src = e.src, nn
+    GROUP BY e.dst, nn.n)
+SELECT src AS node, round(pr, 8) AS pagerank
+FROM pr3
+ORDER BY pagerank DESC, node
+LIMIT 20
+"""
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
+    "graph_pagerank": graph_pagerank,
 }
 
 ORACLES = {
     "dedup_clusters": DEDUP_CLUSTERS_ORACLE,
+    "graph_pagerank": GRAPH_PAGERANK_ORACLE,
 }

@@ -203,14 +203,82 @@ ORDER BY rule
 """
 
 
+def dq_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR outlier detection per group: Tukey fences from exact quartiles.
+
+    Two-phase shape: a per-type quartile aggregate (tiny output, broadcast)
+    joined back onto the fact scan, then a conditional count.  Fence
+    multiplier k=1.0 (a parameter; Tukey's 1.5 flags nothing on the
+    fixtures' light-tailed values).  The fences are rounded to 4 decimals
+    BEFORE the comparison in both engines so the boundary predicate is
+    identical; `percentile` (Spark) and `quantile_cont` (DuckDB) share
+    linear interpolation.  At 100 TB swap the exact percentile for
+    approx_percentile (t-digest) — the plan shape (agg → broadcast
+    back-join → filter) is unchanged.
+    """
+    events = load_table(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.25, 0.75))")
+    fences = (
+        events.groupBy(F.col("event_type").alias("g"))
+        .agg(
+            F.element_at(pct, 1).alias("q1"),
+            F.element_at(pct, 2).alias("q3"),
+        )
+        .select(
+            "g",
+            F.round(F.col("q1") - 1.0 * (F.col("q3") - F.col("q1")), 4).alias("lo"),
+            F.round(F.col("q3") + 1.0 * (F.col("q3") - F.col("q1")), 4).alias("hi"),
+        )
+    )
+    return (
+        events.join(F.broadcast(fences), F.col("event_type") == F.col("g"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (
+                    (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+                ).cast("long")
+            ).alias("n_outliers"),
+            F.round(F.first("lo"), 4).alias("fence_lo"),
+            F.round(F.first("hi"), 4).alias("fence_hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+DQ_OUTLIERS_ORACLE = """
+WITH fences AS (
+    SELECT event_type AS g,
+           round(quantile_cont(value, 0.25)
+                 - 1.0 * (quantile_cont(value, 0.75)
+                          - quantile_cont(value, 0.25)), 4) AS lo,
+           round(quantile_cont(value, 0.75)
+                 + 1.0 * (quantile_cont(value, 0.75)
+                          - quantile_cont(value, 0.25)), 4) AS hi
+    FROM events GROUP BY 1)
+SELECT event_type,
+       count(*) AS n_rows,
+       CAST(sum(CAST(value < lo OR value > hi AS BIGINT)) AS BIGINT)
+           AS n_outliers,
+       round(any_value(lo), 4) AS fence_lo,
+       round(any_value(hi), 4) AS fence_hi
+FROM events JOIN fences ON event_type = g
+GROUP BY 1
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "profile_orders": profile_orders,
     "dq_checks": dq_checks,
+    "dq_outliers_iqr": dq_outliers_iqr,
 }
 
 ORACLES = {
     "sample_stratified": SAMPLE_STRATIFIED_ORACLE,
     "profile_orders": PROFILE_ORDERS_ORACLE,
     "dq_checks": DQ_CHECKS_ORACLE,
+    "dq_outliers_iqr": DQ_OUTLIERS_ORACLE,
 }

@@ -260,8 +260,92 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_summary(load_table(spark, sf_dir, "embeddings"), k=8, iters=5)
 
 
+def emb_quantize_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 neighbors by INT8-quantized dot product (the bandwidth path).
+
+    Per-vector symmetric scalar quantization: scale = 127 / max|x|,
+    q_i = round(x_i * scale).  The integer dot product is rescaled by
+    1/(scale_a * scale_b) to approximate the true dot product — at 100 TB
+    this is 4× less scan bandwidth and SIMD-friendly integer math; recall
+    loss is bounded by the quantization step.  Quantized components are
+    small exact integers, so the dot product is order-independent and the
+    cross-engine check is exact (ranking on the rounded rescaled score,
+    vec_id tie-break).  Same broadcast-queries/one-scan shape as
+    cosine_topk.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double("embedding")
+    scale = F.lit(127.0) / F.greatest(
+        F.array_max(F.transform(v, F.abs)), F.lit(1e-12)
+    )
+    base = emb.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.transform(v, lambda x: F.round(x * scale)).alias("qvec"),
+    )
+    queries = base.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("scale").alias("qscale"),
+        F.col("qvec").alias("qq"),
+    )
+    scored = (
+        base.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("qq"), F.col("qvec"), lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("qscale") * F.col("scale")),
+                4,
+            ).alias("qdot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("qdot").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .orderBy("query_id", "rnk")
+    )
+
+
+EMB_QUANTIZE_ORACLE = """
+WITH qz AS (
+    SELECT vec_id,
+           127.0 / greatest(list_max(list_transform(embedding::DOUBLE[],
+                                                    x -> abs(x))), 1e-12)
+               AS scale,
+           list_transform(embedding::DOUBLE[],
+                          x -> round(x * (127.0 / greatest(
+                              list_max(list_transform(embedding::DOUBLE[],
+                                                      y -> abs(y))), 1e-12))))
+               AS qvec
+    FROM embeddings
+), scored AS (
+    SELECT q.vec_id AS query_id,
+           c.vec_id AS cand_id,
+           round(list_dot_product(q.qvec, c.qvec) / (q.scale * c.scale), 4)
+               AS qdot
+    FROM qz q JOIN qz c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < 5
+), ranked AS (
+    SELECT query_id, cand_id, qdot,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY qdot DESC, cand_id) AS BIGINT) AS rnk
+    FROM scored)
+SELECT query_id, cand_id, qdot, rnk
+FROM ranked WHERE rnk <= 3
+ORDER BY query_id, rnk
+"""
+
+
 QUERIES = {
     "emb_kmeans": emb_kmeans,
+    "emb_quantize_topk": emb_quantize_topk,
     "emb_norms": emb_norms,
     "cosine_topk": cosine_topk,
     "emb_near_dup": emb_near_dup,
@@ -271,6 +355,7 @@ QUERIES = {
 
 ORACLES = {
     "emb_norms": EMB_NORMS_ORACLE,
+    "emb_quantize_topk": EMB_QUANTIZE_ORACLE,
     "cosine_topk": COSINE_TOPK_ORACLE,
     "emb_near_dup": EMB_NEAR_DUP_ORACLE,
     "ann_ivf_topk": ANN_IVF_ORACLE,
