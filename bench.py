@@ -44,6 +44,9 @@ HEADLINE = [
     "q21_suppliers_kept_waiting",
     "merge_upsert",
     "ev_gapfill",
+    # mining/graph family representatives
+    "basket_brand_pairs",
+    "graph_pagerank",
 ]
 
 

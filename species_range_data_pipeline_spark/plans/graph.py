@@ -175,34 +175,50 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
+    # integer node ids (customer -> 2k, supplier -> 2k+1): long-keyed joins
+    # and aggregates, no string hashing in the iteration hot path.  The
+    # distinct pair set is persisted BEFORE symmetrization so the dedup
+    # shuffle runs once, not once per union branch.
     pairs = (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("cnode"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("snode"),
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
         )
         .distinct()
-    )
-    edges = (
-        pairs.select(F.col("cnode").alias("src"), F.col("snode").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
-        )
         .persist()
+    )
+    edges = pairs.select(
+        F.col("cnode").alias("src"), F.col("snode").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n_nodes = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    # rank state rides with the degree so each round is join + groupBy only
-    ranks = (
-        deg.crossJoin(F.broadcast(n_nodes))
-        .select("src", "deg", "n", (F.lit(1.0) / F.col("n")).alias("pr"))
-        .localCheckpoint()
+    # static per-node state (degree, n) built once and checkpointed; each
+    # round re-derives ranks by joining the fresh incoming sums onto it
+    node_state = (
+        deg.crossJoin(F.broadcast(n_nodes)).select("src", "deg", "n").localCheckpoint()
     )
+    ranks = node_state.select(
+        "src", "deg", "n", (F.lit(1.0) / F.col("n")).alias("pr")
+    ).localCheckpoint()
+    # The rank vector is node-cardinality (≪ edges), so it broadcasts into
+    # the contribution join and each round costs exactly ONE shuffle — the
+    # contribution sum by destination; the update join is against the
+    # static broadcastable node_state, and ``localCheckpoint`` per round
+    # keeps the plan flat (SCALE.md rule 9 — without it each round's
+    # broadcast subtree re-executes all prior rounds: measured quadratic
+    # blowup).  At billion-node scale, swap the broadcasts for a
+    # co-partitioned shuffle join on the node id (edges repartitioned by
+    # src once, exchange reused across rounds).
     for _ in range(_PR_ITERS):
         contrib = edges.join(
-            ranks.select(
-                F.col("src").alias("u"),
-                (F.col("pr") / F.col("deg")).alias("share"),
+            F.broadcast(
+                ranks.select(
+                    F.col("src").alias("u"),
+                    (F.col("pr") / F.col("deg")).alias("share"),
+                )
             ),
             F.col("src") == F.col("u"),
         ).select("dst", F.round(F.col("share") * 1e12).cast("long").alias("ishare"))
@@ -210,7 +226,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("ishare") / 1e12).alias("in_sum")
         )
         ranks = (
-            ranks.join(incoming, F.col("src") == F.col("dst"))
+            incoming.join(F.broadcast(node_state), F.col("dst") == F.col("src"))
             .select(
                 "src",
                 "deg",
@@ -223,16 +239,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return (
-        ranks.select("src", F.round("pr", 8).alias("pagerank"))
-        .orderBy(F.col("pagerank").desc(), "src")
+        ranks.select(
+            F.concat(
+                F.when(F.col("src") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+                (F.col("src") / 2).cast("long"),
+            ).alias("node"),
+            F.round("pr", 8).alias("pagerank"),
+        )
+        .orderBy(F.col("pagerank").desc(), "node")
         .limit(20)
-        .withColumnRenamed("src", "node")
     )
 
 
 GRAPH_PAGERANK_ORACLE = """
 WITH pairs AS (
-    SELECT DISTINCT 'c' || o_custkey AS cnode, 's' || l_suppkey AS snode
+    SELECT DISTINCT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
 edges AS (
     SELECT cnode AS src, snode AS dst FROM pairs
@@ -264,7 +285,9 @@ pr3 AS (
                AS pr
     FROM edges e JOIN pr2 p ON p.src = e.src, nn
     GROUP BY e.dst, nn.n)
-SELECT src AS node, round(pr, 8) AS pagerank
+SELECT CASE WHEN src % 2 = 0 THEN 'c' || (src // 2)
+            ELSE 's' || (src // 2) END AS node,
+       round(pr, 8) AS pagerank
 FROM pr3
 ORDER BY pagerank DESC, node
 LIMIT 20

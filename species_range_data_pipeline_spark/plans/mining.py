@@ -32,34 +32,37 @@ _DUCK_FMT = "%Y-%m-%d %H:%M:%S"
 def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent brand pairs co-purchased in one order (market basket).
 
-    Distinct (order, brand) first — the pair join must not double-count
-    multi-line brands — then a self-equi-join on the basket key with a
-    ``<`` residual to emit each unordered pair once.  Both sides of the
-    self-join come from the same shuffled exchange (one shuffle on
-    l_orderkey); pair cardinality is sum over orders of C(brands, 2).
+    NOT a self-join: the naive ``order_brand JOIN order_brand ON orderkey``
+    recomputes the whole dedup lineage for both sides and shuffles four
+    times.  Instead collect the (sorted, distinct) brand set per order —
+    ONE shuffle, with map-side partial collect_set — and emit the C(k,2)
+    pairs locally with nested array transforms, exactly like the LSH
+    bucket-pair generation in plans/text.py.  Pair cardinality is bounded
+    by per-order basket width, not table size; the final pair groupBy is a
+    tiny-domain shuffle.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    order_brand = (
+    baskets = (
         lineitem.join(
             F.broadcast(part.select("p_partkey", "p_brand")),
             F.col("l_partkey") == F.col("p_partkey"),
         )
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
     )
-    left = order_brand.select(
-        F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_a")
-    )
-    right = order_brand.select(
-        F.col("l_orderkey").alias("ok2"), F.col("p_brand").alias("brand_b")
+    pairs = F.flatten(
+        F.transform(
+            F.col("brands"),
+            lambda x, i: F.transform(
+                F.slice(F.col("brands"), i + 2, F.size(F.col("brands"))),
+                lambda y: F.struct(x.alias("brand_a"), y.alias("brand_b")),
+            ),
+        )
     )
     return (
-        left.join(
-            right,
-            (F.col("ok") == F.col("ok2")) & (F.col("brand_a") < F.col("brand_b")),
-        )
-        .groupBy("brand_a", "brand_b")
+        baskets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.brand_a").alias("brand_a"), F.col("p.brand_b").alias("brand_b"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .where(F.col("n_orders") >= 20)
         .orderBy(F.col("n_orders").desc(), "brand_a", "brand_b")
