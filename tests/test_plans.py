@@ -78,6 +78,36 @@ def test_flagship_has_single_shuffle_before_sort(spark):
     assert "Join" not in plan  # fan-out is NOT a join
 
 
+def test_basket_pairs_single_wide_shuffle(spark):
+    # collect_set basket build -> local pair explode -> tiny pair groupBy:
+    # no self-join (the naive form recomputes the dedup lineage twice), and
+    # the only wide-row shuffle is the basket groupBy — pair/sort exchanges
+    # move only the 300-row pair domain
+    plan = _plan(spark, "basket_brand_pairs")
+    assert "Join Inner" not in plan.replace("BroadcastHashJoin Inner", ""), plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "collect_set" in plan and "Generate" in plan
+
+
+def test_q9_star_join_all_broadcast(spark):
+    # one fact scan, every dimension side broadcast, single group-by
+    # shuffle: no SortMergeJoin anywhere in the star
+    plan = _plan(spark, "q9_product_type_profit")
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pagerank_rounds_broadcast_rank_vector(spark):
+    # the iteration rounds run eagerly behind per-round localCheckpoint, so
+    # the returned plan must be a flat scan of the checkpointed rank vector
+    # (lineage growth with iteration count is the regression this guards),
+    # with no join at all left in the final top-k
+    plan = _plan(spark, "graph_pagerank")
+    assert "ExistingRDD" in plan, plan
+    assert "Join" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_no_python_in_text_dedup_path(spark):
     # the lexical dedup family must stay pure JVM (no BatchEvalPython /
     # ArrowEvalPython / FlatMapGroupsInPandas nodes)
