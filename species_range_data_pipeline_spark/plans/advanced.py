@@ -908,6 +908,66 @@ ORDER BY l_returnflag, measure
 """
 
 
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join: the skew-mitigation pattern, result-identical.
+
+    When one join key carries a disproportionate share of the fact rows, a
+    plain shuffle join lands the whole hot key in one task.  The salt
+    spreads it: the dim side is exploded ×SALT (tiny side — cheap), the
+    fact side derives a deterministic salt from another column, and the
+    join key becomes (key, salt) — every hot key now spans SALT tasks.
+    Forced to a shuffle join via hint (Spark would otherwise broadcast the
+    small fixture dim and hide the pattern); AQE's skewJoin handles mild
+    skew automatically — explicit salting is for the pathological keys AQE
+    splitting can't fix (single-key > executor memory).  The oracle is the
+    UNSALTED join: salting must not change results.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    n_salt = 8
+    salted_dim = supplier.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salt)])).alias("salt"),
+    )
+    salted_fact = lineitem.select(
+        "l_suppkey",
+        "l_extendedprice",
+        (F.col("l_orderkey") % n_salt).cast("int").alias("salt"),
+    )
+    return (
+        salted_fact.hint("merge")
+        .join(
+            salted_dim,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (salted_fact["salt"] == salted_dim["salt"]),
+            "inner",
+        )
+        .groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0,
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), "s_suppkey")
+        .limit(25)
+    )
+
+
+JOIN_SKEW_SALTED_ORACLE = """
+SELECT s_suppkey,
+       count(*) AS n_lines,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+           AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey
+ORDER BY revenue DESC, s_suppkey
+LIMIT 25
+"""
+
+
 QUERIES = {
     "join_asof": join_asof,
     "join_range_bands": join_range_bands,
@@ -915,6 +975,7 @@ QUERIES = {
     "agg_cube": agg_cube,
     "agg_grouping_sets": agg_grouping_sets,
     "agg_percentiles": agg_percentiles,
+    "join_skew_salted": join_skew_salted,
     "agg_approx_distinct": agg_approx_distinct,
     "window_ntile_buckets": window_ntile_buckets,
     "window_value_frames": window_value_frames,
@@ -940,6 +1001,7 @@ ORACLES = {
     "agg_cube": AGG_CUBE_ORACLE,
     "agg_grouping_sets": AGG_GROUPING_SETS_ORACLE,
     "agg_percentiles": AGG_PERCENTILES_ORACLE,
+    "join_skew_salted": JOIN_SKEW_SALTED_ORACLE,
     "agg_approx_distinct": AGG_APPROX_DISTINCT_ORACLE,
     "window_ntile_buckets": WINDOW_NTILE_ORACLE,
     "window_value_frames": WINDOW_VALUE_FRAMES_ORACLE,

@@ -282,8 +282,56 @@ ORDER BY 1
 """
 
 
+def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: the product-analytics staple.
+
+    Cohort = the day of a user's FIRST event; each later active day counts
+    into (cohort_day, day_offset) — day granularity because the events
+    fixture spans one month.  Two aggregates:
+    per-user min(ts) (user-cardinality output, broadcast back), then the
+    distinct (user, week) activity grid grouped into the retention matrix.
+    One fact shuffle on user_id, one tiny matrix shuffle.
+    """
+    events = load_table(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("active_day")
+    ).distinct()
+    return (
+        activity.join(F.broadcast(first_seen), "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.col("active_day"), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+EV_RETENTION_ORACLE = """
+WITH first_seen AS (
+    SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+    FROM events GROUP BY user_id),
+activity AS (
+    SELECT DISTINCT user_id, date_trunc('day', ts) AS active_day
+    FROM events)
+SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', f.cohort_day, a.active_day) AS BIGINT)
+           AS day_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN first_seen f USING (user_id)
+GROUP BY 1, 2
+ORDER BY cohort_day, day_offset
+"""
+
+
 QUERIES = {
     "ev_tumbling": ev_tumbling,
+    "ev_retention_cohorts": ev_retention_cohorts,
     "ev_gapfill": ev_gapfill,
     "ev_rollup_two_level": ev_rollup_two_level,
     "ev_sliding": ev_sliding,
@@ -293,6 +341,7 @@ QUERIES = {
 
 ORACLES = {
     "ev_tumbling": EV_TUMBLING_ORACLE,
+    "ev_retention_cohorts": EV_RETENTION_ORACLE,
     "ev_gapfill": EV_GAPFILL_ORACLE,
     "ev_rollup_two_level": EV_ROLLUP_ORACLE,
     "ev_sliding": EV_SLIDING_ORACLE,

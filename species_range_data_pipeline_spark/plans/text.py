@@ -693,8 +693,74 @@ ORDER BY doc_id
 """
 
 
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language model: P(w2|w1) over the corpus, top pairs.
+
+    Tokens materialize as a column FIRST (the inline-expression trap:
+    re-evaluating the tokenizer per array access is the 20× regression this
+    repo already hit once), bigrams come from one posexplode + window lead
+    within each doc, and the conditional probability is bigram_count /
+    unigram_count via a broadcast join of the (small) unigram aggregate.
+    Two shuffles over token rows (bigram groupBy, per-doc window); the
+    probability join moves only aggregated counts.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.posexplode(_tokens()).alias("pos", "w1"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.withColumn("w2", F.lead("w1").over(w))
+        .where(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_bigram"))
+    )
+    unigrams = (
+        bigrams.groupBy("w1").agg(F.sum("n_bigram").alias("n_prefix"))
+    )
+    return (
+        bigrams.join(F.broadcast(unigrams), "w1")
+        .where(F.col("n_bigram") >= 30)
+        .select(
+            "w1",
+            "w2",
+            "n_bigram",
+            F.round(F.col("n_bigram") / F.col("n_prefix"), 4).alias("p_cond"),
+        )
+        .orderBy(F.col("n_bigram").desc(), "w1", "w2")
+    )
+
+
+TEXT_BIGRAM_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+    FROM documents
+), seq AS (
+    SELECT doc_id, unnest(t) AS w1,
+           unnest(generate_series(1, len(t))) AS pos
+    FROM toks
+), bi AS (
+    SELECT w1, lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM seq
+), bigrams AS (
+    SELECT w1, w2, count(*) AS n_bigram
+    FROM bi WHERE w2 IS NOT NULL
+    GROUP BY w1, w2
+), unigrams AS (
+    SELECT w1, CAST(sum(n_bigram) AS BIGINT) AS n_prefix
+    FROM bigrams GROUP BY w1)
+SELECT b.w1, b.w2, b.n_bigram,
+       round(b.n_bigram / u.n_prefix, 4) AS p_cond
+FROM bigrams b JOIN unigrams u USING (w1)
+WHERE b.n_bigram >= 30
+ORDER BY n_bigram DESC, w1, w2
+"""
+
+
 QUERIES = {
     "text_token_count": text_token_count,
+    "text_bigram_lm": text_bigram_lm,
     "text_word_topk": text_word_topk,
     "text_token_count_bpe": text_token_count_bpe,
     "text_tfidf_topk": text_tfidf_topk,
@@ -710,6 +776,7 @@ QUERIES = {
 
 ORACLES = {
     "text_token_count": TEXT_TOKEN_COUNT_ORACLE,
+    "text_bigram_lm": TEXT_BIGRAM_ORACLE,
     "text_word_topk": TEXT_WORD_TOPK_ORACLE,
     "text_token_count_bpe": TEXT_TOKEN_COUNT_BPE_ORACLE,
     "text_tfidf_topk": TEXT_TFIDF_ORACLE,
