@@ -130,6 +130,114 @@ def _assign_fn(centroids: np.ndarray, id_col: str, vec_col: str):
     return fn
 
 
+def pca_project(
+    emb: DataFrame,
+    n_components: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, np.ndarray]:
+    """Distributed PCA: partial Gramians per Arrow batch, eig on the driver,
+    projection as a second distributed pass.
+
+    The classic two-sided split for tall-skinny matrices: executors reduce
+    n×dim rows to per-batch (dim×dim Gramian, dim sum, count) partials —
+    O(batches · dim²) driver traffic, independent of n — the driver forms
+    the covariance, eigendecomposes (dim×dim, trivial), and broadcasts the
+    top components back into a ``mapInPandas`` projection.  Eigenvector
+    sign is fixed by making each component's largest-|loading| coordinate
+    positive, so results are deterministic.
+
+    Returns (projections DataFrame (id, pc0..pc{k-1}), components array).
+    """
+    data = emb.select(id_col, vec_col)
+    parts = data.mapInPandas(
+        _gramian_fn(vec_col),
+        "n long, sums array<double>, gram array<double>",
+    ).collect()
+    dim = len(parts[0]["sums"])
+    n = sum(p["n"] for p in parts)
+    s = np.zeros(dim)
+    g = np.zeros((dim, dim))
+    for p in parts:
+        s += np.asarray(p["sums"])
+        g += np.asarray(p["gram"]).reshape(dim, dim)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    comps = eigvecs[:, ::-1][:, :n_components].T  # (k, dim), top-first
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    schema = T.StructType(
+        [T.StructField("id", T.LongType())]
+        + [T.StructField(f"pc{i}", T.DoubleType()) for i in range(n_components)]
+    )
+    proj = data.mapInPandas(_project_fn(mean, comps, id_col, vec_col), schema)
+    return proj, comps
+
+
+def _gramian_fn(vec_col: str):
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            yield pd.DataFrame(
+                [
+                    {
+                        "n": int(x.shape[0]),
+                        "sums": x.sum(axis=0).tolist(),
+                        "gram": (x.T @ x).ravel().tolist(),
+                    }
+                ]
+            )
+
+    return fn
+
+
+def _project_fn(mean: np.ndarray, comps: np.ndarray, id_col: str, vec_col: str):
+    m, c = mean.copy(), comps.copy()
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            y = (x - m[None, :]) @ c.T
+            out = {"id": pdf[id_col].to_numpy(dtype=np.int64)}
+            for i in range(c.shape[0]):
+                out[f"pc{i}"] = y[:, i]
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def pca_summary(emb: DataFrame, n_components: int = 2) -> DataFrame:
+    """Query surface: top-2 PCA coordinates for vec_id < 20, rounded.
+
+    Rounded to 4 decimals — the Gramian partial-sum order jitters at
+    ~1e-12 relative; the numpy-pinned test checks exact agreement against
+    a single-node reference at the same rounding.
+    """
+    proj, _ = pca_project(emb, n_components=n_components)
+    return (
+        proj.where(F.col("id") < 20)
+        .select(
+            F.col("id").alias("vec_id"),
+            *[
+                F.round(f"pc{i}", 4).alias(f"pc{i}")
+                for i in range(n_components)
+            ],
+        )
+        .orderBy("vec_id")
+    )
+
+
 def kmeans_summary(emb: DataFrame, k: int = 8, iters: int = 5) -> DataFrame:
     """Per-cluster summary for the query surface: size + centroid norm.
 

@@ -343,8 +343,21 @@ ORDER BY query_id, rnk
 """
 
 
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA projection (top-2 components, vec_id < 20).
+
+    Partial-Gramian reduce + driver eigendecomposition + mapInPandas
+    projection — not SQL-expressible, so rows-only for the driver; the
+    operator is pinned exactly against a single-node numpy reference in
+    tests/test_clustering.py."""
+    from ..operators.clustering import pca_summary
+
+    return pca_summary(load_table(spark, sf_dir, "embeddings"), n_components=2)
+
+
 QUERIES = {
     "emb_kmeans": emb_kmeans,
+    "emb_pca_project": emb_pca_project,
     "emb_quantize_topk": emb_quantize_topk,
     "emb_norms": emb_norms,
     "cosine_topk": cosine_topk,

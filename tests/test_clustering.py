@@ -58,3 +58,39 @@ def test_kmeans_summary_shape(spark, emb):
     assert len(out) <= K
     assert sum(r["n_members"] for r in out) == emb.count()
     assert all(r["centroid_norm"] > 0 for r in out)
+
+
+def test_pca_matches_numpy_reference(spark, emb):
+    from species_range_data_pipeline_spark.operators.clustering import pca_project
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    mean = x.mean(axis=0)
+    cov = (x - mean).T @ (x - mean) / x.shape[0]
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    ref = eigvecs[:, ::-1][:, :2].T
+    for i in range(2):
+        j = int(np.argmax(np.abs(ref[i])))
+        if ref[i, j] < 0:
+            ref[i] = -ref[i]
+    ref_proj = (x - mean) @ ref.T
+
+    proj, comps = pca_project(emb, n_components=2)
+    np.testing.assert_allclose(comps, ref, atol=1e-8)
+    got = {r["id"]: (r["pc0"], r["pc1"]) for r in proj.collect()}
+    assert len(got) == len(ids)
+    for i, vid in enumerate(ids):
+        np.testing.assert_allclose(got[int(vid)], ref_proj[i], atol=1e-8)
+
+
+def test_pca_variance_ordering(spark, emb):
+    from species_range_data_pipeline_spark.operators.clustering import pca_project
+
+    proj, _ = pca_project(emb, n_components=2)
+    rows = proj.collect()
+    p0 = np.array([r["pc0"] for r in rows])
+    p1 = np.array([r["pc1"] for r in rows])
+    # top component carries at least as much variance, projections centered
+    assert p0.var() >= p1.var()
+    assert abs(p0.mean()) < 1e-6 and abs(p1.mean()) < 1e-6
