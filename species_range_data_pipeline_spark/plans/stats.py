@@ -239,8 +239,64 @@ ORDER BY 1
 """
 
 
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance via partial-state merge.
+
+    The MV is 'revenue + line count + max price per (returnflag, year)'.
+    A full refresh rescans everything; the incremental path keeps the MV as
+    MERGEABLE partials (sum as exact integer cents, count, max), aggregates
+    ONLY the delta partition (here: lines shipped from 1998-01-01), and
+    merges state with a union + re-aggregate — sum-of-sums, sum-of-counts,
+    max-of-maxes.  At 100 TB the delta scan is the day's partition, not the
+    table; every aggregate here is algebraic (decomposable), which is the
+    property that makes the merge exact.  The query RETURNS the merged MV;
+    the oracle recomputes it from scratch — incremental must equal full.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    keys = [F.col("l_returnflag").alias("returnflag"),
+            F.year("l_shipdate").cast("long").alias("ship_year")]
+
+    def partials(df):
+        return df.groupBy(*keys).agg(
+            F.sum(cents).alias("rev_units"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+
+    base_state = partials(lineitem.where(F.col("l_shipdate") < cutoff))
+    delta_state = partials(lineitem.where(F.col("l_shipdate") >= cutoff))
+    return (
+        base_state.unionByName(delta_state)
+        .groupBy("returnflag", "ship_year")
+        .agg(
+            F.round(F.sum("rev_units") / 10000.0, 2).alias("revenue"),
+            F.sum("n_lines").alias("n_lines"),
+            F.max("max_price").alias("max_price"),
+        )
+        .orderBy("returnflag", "ship_year")
+    )
+
+
+MV_INCREMENTAL_ORACLE = """
+SELECT l_returnflag AS returnflag,
+       CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) / 10000.0, 2) AS revenue,
+       count(*) AS n_lines,
+       max(l_extendedprice) AS max_price
+FROM lineitem
+GROUP BY 1, 2
+ORDER BY returnflag, ship_year
+"""
+
+
 QUERIES = {
     "agg_stats": agg_stats,
+    "mv_incremental_refresh": mv_incremental_refresh,
     "agg_minmax_by": agg_minmax_by,
     "agg_string_concat": agg_string_concat,
     "agg_count_if_bool": agg_count_if_bool,
@@ -250,6 +306,7 @@ QUERIES = {
 
 ORACLES = {
     "agg_stats": AGG_STATS_ORACLE,
+    "mv_incremental_refresh": MV_INCREMENTAL_ORACLE,
     "agg_minmax_by": AGG_MINMAX_BY_ORACLE,
     "agg_string_concat": AGG_STRING_CONCAT_ORACLE,
     "agg_count_if_bool": AGG_COUNT_IF_ORACLE,
