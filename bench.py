@@ -47,6 +47,9 @@ HEADLINE = [
     # mining/graph family representatives
     "basket_brand_pairs",
     "graph_pagerank",
+    # MV maintenance + bigram LM (window-over-exploded-tokens shape)
+    "mv_incremental_refresh",
+    "text_bigram_lm",
 ]
 
 
