@@ -294,12 +294,91 @@ LIMIT 20
 """
 
 
+_HIER_MAX_DEPTH = 8
+
+
+def hier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy traversal + rollup: aggregate every node to its tree root.
+
+    Spark has no recursive CTE; this is the generic substitute — iterated
+    pointer-jumping over an edge table.  The hierarchy: customer k's parent
+    is k/10 (digit-stripping — a stand-in parent EDGE TABLE is built from
+    it and the traversal uses ONLY that table, so the loop works for any
+    parent relation).  Each round broadcast-joins the node-sized parent map
+    and jumps every unfinished node one level; roots (k < 10) self-loop.
+    Depth is bounded by _HIER_MAX_DEPTH (6 digits at sf0.1); per-round
+    ``localCheckpoint`` keeps the plan flat (SCALE.md rule 9).  With
+    pointer-DOUBLING (jump to grandparent each round) rounds drop to
+    O(log depth) — single jumps here keep the oracle's semantics obvious.
+
+    Output: per-root subtree size and total account balance (exact integer
+    cents).  The DuckDB oracle is a textbook recursive CTE — the exact
+    cross-engine check of a capability Spark itself lacks.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    parents = customer.select(
+        F.col("c_custkey").alias("child"),
+        F.when(F.col("c_custkey") >= 10, (F.col("c_custkey") / 10).cast("long"))
+        .otherwise(F.col("c_custkey"))
+        .alias("parent"),
+    )
+    state = customer.select(
+        "c_custkey",
+        F.col("c_custkey").alias("cur"),
+        F.col("c_acctbal").alias("bal"),
+    ).localCheckpoint()
+    for _ in range(_HIER_MAX_DEPTH):
+        state = (
+            state.join(
+                F.broadcast(parents), F.col("cur") == F.col("child"), "left"
+            )
+            .select(
+                "c_custkey",
+                F.coalesce("parent", "cur").alias("cur"),
+                "bal",
+            )
+            .localCheckpoint()
+        )
+    return (
+        state.groupBy(F.col("cur").alias("root"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.round(
+                F.sum(F.round(F.col("bal") * 100).cast("long")) / 100.0, 2
+            ).alias("total_balance"),
+        )
+        .orderBy("root")
+    )
+
+
+HIER_ROLLUP_ORACLE = """
+WITH RECURSIVE walk AS (
+    SELECT c_custkey, c_custkey AS cur, c_acctbal AS bal
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, cur // 10 AS cur, bal
+    FROM walk WHERE cur >= 10
+), roots AS (
+    SELECT c_custkey, cur AS root, bal
+    FROM walk WHERE cur < 10)
+SELECT root,
+       count(*) AS n_nodes,
+       round(sum(CAST(round(bal * 100) AS BIGINT)) / 100.0, 2)
+           AS total_balance
+FROM roots
+GROUP BY root
+ORDER BY root
+"""
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "graph_pagerank": graph_pagerank,
+    "hier_rollup": hier_rollup,
 }
 
 ORACLES = {
     "dedup_clusters": DEDUP_CLUSTERS_ORACLE,
     "graph_pagerank": GRAPH_PAGERANK_ORACLE,
+    "hier_rollup": HIER_ROLLUP_ORACLE,
 }

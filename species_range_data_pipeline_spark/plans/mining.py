@@ -262,8 +262,77 @@ ORDER BY n_matches DESC, user_id
 """
 
 
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) curve values — the multi-dimensional data-layout key.
+
+    Sorting / range-partitioning a 100 TB table by the bit-interleaved
+    (custkey, suppkey) Z-value clusters rows so BOTH single-dimension
+    predicates prune row groups (the Delta/Iceberg OPTIMIZE ZORDER
+    technique); the curve value itself is pure bit arithmetic, identical in
+    any engine.  This query computes the 16-bit Z-value over the two join
+    dimensions and returns per-Z-bucket row counts + per-bucket key ranges
+    — the locality evidence: each bucket spans a narrow range of BOTH keys.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    a = F.col("o_custkey") % 256
+    b = F.col("l_suppkey") % 256
+    z = None
+    for i in range(8):
+        bit_a = F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        bit_b = F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        z = bit_a if z is None else z.bitwiseOR(bit_a)
+        z = z.bitwiseOR(bit_b)
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(z.alias("zval"), "o_custkey", "l_suppkey")
+        .groupBy((F.col("zval") / 4096).cast("long").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_custkey").alias("cust_lo"),
+            F.max("o_custkey").alias("cust_hi"),
+            F.min("l_suppkey").alias("supp_lo"),
+            F.max("l_suppkey").alias("supp_hi"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+LAYOUT_ZORDER_ORACLE = """
+WITH z AS (
+    SELECT o_custkey, l_suppkey,
+           ((((o_custkey % 256) >> 0) & 1) << 0)
+         | ((((l_suppkey % 256) >> 0) & 1) << 1)
+         | ((((o_custkey % 256) >> 1) & 1) << 2)
+         | ((((l_suppkey % 256) >> 1) & 1) << 3)
+         | ((((o_custkey % 256) >> 2) & 1) << 4)
+         | ((((l_suppkey % 256) >> 2) & 1) << 5)
+         | ((((o_custkey % 256) >> 3) & 1) << 6)
+         | ((((l_suppkey % 256) >> 3) & 1) << 7)
+         | ((((o_custkey % 256) >> 4) & 1) << 8)
+         | ((((l_suppkey % 256) >> 4) & 1) << 9)
+         | ((((o_custkey % 256) >> 5) & 1) << 10)
+         | ((((l_suppkey % 256) >> 5) & 1) << 11)
+         | ((((o_custkey % 256) >> 6) & 1) << 12)
+         | ((((l_suppkey % 256) >> 6) & 1) << 13)
+         | ((((o_custkey % 256) >> 7) & 1) << 14)
+         | ((((l_suppkey % 256) >> 7) & 1) << 15) AS zval
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+SELECT CAST(zval // 4096 AS BIGINT) AS z_bucket,
+       count(*) AS n_rows,
+       min(o_custkey) AS cust_lo,
+       max(o_custkey) AS cust_hi,
+       min(l_suppkey) AS supp_lo,
+       max(l_suppkey) AS supp_hi
+FROM z
+GROUP BY 1
+ORDER BY z_bucket
+"""
+
+
 QUERIES = {
     "basket_brand_pairs": basket_brand_pairs,
+    "layout_zorder": layout_zorder,
     "hist_price_buckets": hist_price_buckets,
     "corr_measures": corr_measures,
     "scd2_customer_history": scd2_customer_history,
@@ -272,6 +341,7 @@ QUERIES = {
 
 ORACLES = {
     "basket_brand_pairs": BASKET_ORACLE,
+    "layout_zorder": LAYOUT_ZORDER_ORACLE,
     "hist_price_buckets": HIST_ORACLE,
     "corr_measures": CORR_ORACLE,
     "scd2_customer_history": SCD2_ORACLE,
