@@ -371,14 +371,108 @@ ORDER BY root
 """
 
 
+_TRI_MIN_COOCCUR = 3
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the supplier co-supply graph.
+
+    Graph: an undirected edge between two suppliers that ship lines of the
+    same order at least ``_TRI_MIN_COOCCUR`` distinct times (a meaningful
+    "frequently co-supplying" projection of lineitem; the threshold keeps
+    the projection sparse as sf grows).  Triangles are counted with the
+    ordered node-iterator join: every edge is stored once as (a < b), a
+    wedge join e1(a,b) ⋈ e2(b,c) builds open wedges a<b<c, and a final join
+    against the edge set closes them — each triangle is produced exactly
+    once because its vertices appear in ascending order.
+
+    Scale notes (100 TB): the co-occurrence groupBy is the only wide
+    shuffle (distinct (orderkey, s1, s2) triples); the surviving edge set
+    is node-bounded and broadcast into both the wedge-build and the
+    wedge-close join, so the triangle phase is two broadcast hash joins
+    with zero exchange.  For graphs whose edge set outgrows a broadcast,
+    orient wedges by DEGREE instead of id (compact-forward) — it bounds
+    per-vertex wedge fan-out by sqrt(|E|) and turns both joins into
+    shuffle joins on the wedge midpoint/endpoints.
+
+    Reference parity: the reference has no graph surface at all (SURVEY.md
+    §2.1) — this is a north-star extension exercising the iterative/join
+    family at a shape (self-join chains) TPC-H never hits.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    per_order = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    cooccur = (
+        per_order.alias("x")
+        .join(per_order.alias("y"), "ok")
+        .where(F.col("x.s") < F.col("y.s"))
+        .groupBy(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    edges = cooccur.where(F.col("n_orders") >= _TRI_MIN_COOCCUR).select("a", "b")
+    edges = edges.persist()
+    wedges = (
+        edges.alias("e1")
+        .join(
+            F.broadcast(edges.alias("e2")),
+            F.col("e1.b") == F.col("e2.a"),
+        )
+        .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c"))
+    )
+    triangles = wedges.join(
+        F.broadcast(edges.select(F.col("a").alias("ta"), F.col("b").alias("tc"))),
+        (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
+    )
+    n_nodes = (
+        edges.select(F.col("a").alias("v"))
+        .unionByName(edges.select(F.col("b").alias("v")))
+        .distinct()
+        .count()
+    )
+    n_edges = edges.count()
+    out = triangles.agg(
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.count(F.lit(1)).alias("n_triangles"),
+    )
+    edges.unpersist()
+    return out
+
+
+GRAPH_TRIANGLES_ORACLE = """
+WITH per_order AS (
+    SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem
+), edges AS (
+    SELECT x.s AS a, y.s AS b
+    FROM per_order x JOIN per_order y ON x.ok = y.ok AND x.s < y.s
+    GROUP BY x.s, y.s
+    HAVING count(*) >= 3
+), verts AS (
+    SELECT a AS v FROM edges UNION SELECT b FROM edges
+), tri AS (
+    SELECT count(*) AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e1.b = e2.a
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT (SELECT count(*) FROM verts) AS n_nodes,
+       (SELECT count(*) FROM edges) AS n_edges,
+       n_triangles
+FROM tri
+"""
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "graph_pagerank": graph_pagerank,
+    "graph_triangles": graph_triangles,
     "hier_rollup": hier_rollup,
 }
 
 ORACLES = {
     "dedup_clusters": DEDUP_CLUSTERS_ORACLE,
     "graph_pagerank": GRAPH_PAGERANK_ORACLE,
+    "graph_triangles": GRAPH_TRIANGLES_ORACLE,
     "hier_rollup": HIER_ROLLUP_ORACLE,
 }

@@ -330,8 +330,68 @@ ORDER BY z_bucket
 """
 
 
+def sky_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto front): parts where no other part is both
+    cheaper-or-equal AND larger-or-equal (strict in at least one).
+
+    The window formulation replaces the quadratic NOT-EXISTS with one sort:
+    over distinct (price, size) points ordered by price, a point is
+    dominated iff (a) some strictly-cheaper point has size >= it — the
+    running max over the dense-rank range frame — or (b) an equal-price
+    point has strictly larger size — the per-price max.  Both windows
+    share the same sort order, so Catalyst plans a single global sort.
+
+    Scale notes (100 TB): the skyline operates on the DEDUPLICATED value
+    domain (distinct price×size pairs — bounded by value cardinality, not
+    row count), so the global-order window is safe; for high-cardinality
+    domains use the classic two-phase skyline — partition-local fronts via
+    the same window inside applyInPandas, then this global pass over the
+    survivors (each local front is tiny: dominance is transitive).
+
+    The DuckDB oracle is the independent quadratic NOT-EXISTS definition —
+    the strongest kind of cross-check: different algorithm, same answer.
+    """
+    part = load_table(spark, sf_dir, "part")
+    pts = part.select(
+        F.round("p_retailprice", 2).alias("price"),
+        F.col("p_size").cast("long").alias("psize"),
+    ).distinct()
+    w_rank = Window.orderBy("price")
+    w_lower = Window.orderBy("pr").rangeBetween(Window.unboundedPreceding, -1)
+    w_same = Window.partitionBy("price")
+    return (
+        pts.withColumn("pr", F.dense_rank().over(w_rank))
+        .withColumn("m_lower", F.max("psize").over(w_lower))
+        .withColumn("m_same", F.max("psize").over(w_same))
+        .where(
+            (F.col("m_lower").isNull() | (F.col("m_lower") < F.col("psize")))
+            & (F.col("m_same") == F.col("psize"))
+        )
+        .select("price", "psize")
+        .orderBy("price", "psize")
+    )
+
+
+SKY_PARETO_ORACLE = """
+WITH pts AS (
+    SELECT DISTINCT round(p_retailprice, 2) AS price,
+                    CAST(p_size AS BIGINT) AS psize
+    FROM part
+)
+SELECT price, psize
+FROM pts p
+WHERE NOT EXISTS (
+    SELECT 1 FROM pts q
+    WHERE q.price <= p.price AND q.psize >= p.psize
+      AND (q.price < p.price OR q.psize > p.psize)
+)
+ORDER BY price, psize
+"""
+
+
 QUERIES = {
     "basket_brand_pairs": basket_brand_pairs,
+    "sky_pareto_front": sky_pareto_front,
     "layout_zorder": layout_zorder,
     "hist_price_buckets": hist_price_buckets,
     "corr_measures": corr_measures,
@@ -341,6 +401,7 @@ QUERIES = {
 
 ORACLES = {
     "basket_brand_pairs": BASKET_ORACLE,
+    "sky_pareto_front": SKY_PARETO_ORACLE,
     "layout_zorder": LAYOUT_ZORDER_ORACLE,
     "hist_price_buckets": HIST_ORACLE,
     "corr_measures": CORR_ORACLE,

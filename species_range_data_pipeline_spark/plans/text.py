@@ -758,8 +758,125 @@ ORDER BY n_bigram DESC, w1, w2
 """
 
 
+_BM25_TERMS = ["spark", "join", "window", "vector", "stream"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking: score every document against a fixed term set, top 15.
+
+    The retrieval-scoring sibling of tf-idf (Robertson et al., TREC-3):
+    idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) summed over query
+    terms, with the Lucene idf variant ln((N - df + 0.5)/(df + 0.5) + 1).
+
+    Plan shape: tf over (doc, term) is one shuffle on token rows filtered
+    to the query terms BEFORE the explode-side aggregation (the term
+    filter prunes ~90% of tokens pre-shuffle); df and the corpus stats
+    (N, avgdl) are tiny aggregates broadcast into the scoring join, and
+    doc length joins on doc_id.  At 100 TB the only wide exchange is the
+    (doc, term) groupBy — everything else is broadcast.
+
+    Float parity: per-term scores are rounded to integer micro-units and
+    summed as BIGINT so the per-doc sum is independent of term order
+    across engines (the q7/pagerank trick).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_dl = docs.select(
+        "doc_id", F.size(_tokens()).cast("long").alias("dl"), "text"
+    )
+    stats = with_dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_total"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tok = with_dl.select(
+        "doc_id", F.explode(_tokens()).alias("word")
+    ).where(F.col("word").isin(_BM25_TERMS))
+    tf = tok.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(with_dl.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.col("n_total") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (_BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("term_score"),
+        )
+        .select(
+            "doc_id",
+            F.round(F.col("term_score") * 1e6).cast("long").alias("micro"),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("micro") / 1e6, 6).alias("score"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 15)
+        .orderBy("rnk")
+    )
+
+
+TEXT_BM25_ORACLE = """
+WITH with_dl AS (
+    SELECT doc_id,
+           CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS dl,
+           text
+    FROM documents
+), stats AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_total, avg(dl) AS avgdl FROM with_dl
+), tok AS (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS word
+    FROM documents
+), tf AS (
+    SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf
+    FROM tok
+    WHERE word IN ('spark', 'join', 'window', 'vector', 'stream')
+    GROUP BY doc_id, word
+), dfreq AS (
+    SELECT word, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY word
+), scored AS (
+    SELECT tf.doc_id,
+           CAST(round(
+               ln((s.n_total - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (tf.tf * (1.2 + 1))
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))
+               * 1e6) AS BIGINT) AS micro
+    FROM tf
+    JOIN dfreq d USING (word)
+    JOIN with_dl l USING (doc_id)
+    CROSS JOIN stats s
+), summed AS (
+    SELECT doc_id, round(CAST(sum(micro) AS BIGINT) / 1e6, 6) AS score
+    FROM scored GROUP BY doc_id
+)
+SELECT doc_id, score, CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+      FROM summed)
+WHERE rnk <= 15
+ORDER BY rnk
+"""
+
+
 QUERIES = {
     "text_token_count": text_token_count,
+    "text_bm25_topk": text_bm25_topk,
     "text_bigram_lm": text_bigram_lm,
     "text_word_topk": text_word_topk,
     "text_token_count_bpe": text_token_count_bpe,
@@ -776,6 +893,7 @@ QUERIES = {
 
 ORACLES = {
     "text_token_count": TEXT_TOKEN_COUNT_ORACLE,
+    "text_bm25_topk": TEXT_BM25_ORACLE,
     "text_bigram_lm": TEXT_BIGRAM_ORACLE,
     "text_word_topk": TEXT_WORD_TOPK_ORACLE,
     "text_token_count_bpe": TEXT_TOKEN_COUNT_BPE_ORACLE,
