@@ -758,6 +758,71 @@ ORDER BY n_bigram DESC, w1, w2
 """
 
 
+_CHUNK_TOKENS = 20
+
+
+def _make_chunk_udtf():
+    """Python UDTF (Spark 4 table-function surface): text -> chunk rows.
+
+    Built lazily so plain module import stays cheap; the UDTF itself is
+    the row-at-a-time API DEMO — the vectorized equivalent of this op is a
+    `transform(sequence(...), slice(tokens, ...))` column expression, and
+    a 100 TB chunking pass should use that (or mapInPandas for batch
+    amortization).  What the UDTF buys is the LATERAL-join shape: one
+    input row to N output rows with typed schema, composable with
+    `DataFrame.lateralJoin` and SQL `LATERAL` (registered TVF).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx: long, chunk_text: string, n_chunk_tokens: long")
+    class ChunkText:
+        def eval(self, text: str):
+            toks = text.split()
+            for i in range(0, len(toks), _CHUNK_TOKENS):
+                part = toks[i : i + _CHUNK_TOKENS]
+                yield (i // _CHUNK_TOKENS, " ".join(part), len(part))
+
+    return ChunkText
+
+
+def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking via a Python UDTF + lateral join.
+
+    The training-data shape: split every document into ``_CHUNK_TOKENS``-
+    token windows (context-length packing's first half).  One input row
+    fans out to ceil(n_tokens/20) chunk rows; chunking is embarrassingly
+    parallel (no shuffle — the only exchange is the output orderBy).
+    """
+    chunker = _make_chunk_udtf()
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "text")
+        .lateralJoin(chunker(F.col("text").outer()))
+        .select("doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens")
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+TEXT_CHUNK_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+    FROM documents
+), chunks AS (
+    SELECT doc_id,
+           unnest(generate_series(0, (len(t) - 1) // 20)) AS chunk_idx,
+           t
+    FROM toks
+)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       array_to_string(t[chunk_idx * 20 + 1 : chunk_idx * 20 + 20], ' ') AS chunk_text,
+       CAST(len(t[chunk_idx * 20 + 1 : chunk_idx * 20 + 20]) AS BIGINT) AS n_chunk_tokens
+FROM chunks
+ORDER BY doc_id, chunk_idx
+"""
+
+
 _BM25_TERMS = ["spark", "join", "window", "vector", "stream"]
 _BM25_K1 = 1.2
 _BM25_B = 0.75
@@ -877,6 +942,7 @@ ORDER BY rnk
 QUERIES = {
     "text_token_count": text_token_count,
     "text_bm25_topk": text_bm25_topk,
+    "text_chunk_udtf": text_chunk_udtf,
     "text_bigram_lm": text_bigram_lm,
     "text_word_topk": text_word_topk,
     "text_token_count_bpe": text_token_count_bpe,
@@ -894,6 +960,7 @@ QUERIES = {
 ORACLES = {
     "text_token_count": TEXT_TOKEN_COUNT_ORACLE,
     "text_bm25_topk": TEXT_BM25_ORACLE,
+    "text_chunk_udtf": TEXT_CHUNK_ORACLE,
     "text_bigram_lm": TEXT_BIGRAM_ORACLE,
     "text_word_topk": TEXT_WORD_TOPK_ORACLE,
     "text_token_count_bpe": TEXT_TOKEN_COUNT_BPE_ORACLE,
