@@ -381,6 +381,45 @@ ORDER BY root
 """
 
 
+def hier_rollup_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hierarchy rollup again — as a NATIVE recursive CTE (Spark 4).
+
+    ``hier_rollup`` implements the traversal as iterated pointer jumps
+    because pre-4.x Spark had no recursion; Spark 4 ships WITH RECURSIVE,
+    so the same semantics now also run as one declarative statement that
+    Catalyst plans end-to-end (each recursion step is a join against the
+    previous step's result — the same physical shape as the manual loop,
+    minus the driver round-trips and checkpoint jobs).  Keeping BOTH forms
+    documents the migration path; the DuckDB oracle is character-for-
+    character the same query modulo two dialect splits: ``//`` vs ``DIV``,
+    and decimal literals (Spark parses ``100.0`` as DECIMAL(4,1) — the
+    divisor is cast to DOUBLE explicitly so the output type matches).
+    """
+    from ..catalog import load_table as _load
+
+    _load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+WITH RECURSIVE walk AS (
+    SELECT c_custkey, c_custkey AS cur, c_acctbal AS bal
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, cur DIV 10 AS cur, bal
+    FROM walk WHERE cur >= 10
+), roots AS (
+    SELECT c_custkey, cur AS root, bal
+    FROM walk WHERE cur < 10)
+SELECT root,
+       count(*) AS n_nodes,
+       round(sum(CAST(round(bal * 100) AS BIGINT)) / CAST(100 AS DOUBLE), 2)
+           AS total_balance
+FROM roots
+GROUP BY root
+ORDER BY root
+"""
+    )
+
+
 _TRI_MIN_COOCCUR = 3
 
 
@@ -478,6 +517,7 @@ QUERIES = {
     "graph_pagerank": graph_pagerank,
     "graph_triangles": graph_triangles,
     "hier_rollup": hier_rollup,
+    "hier_rollup_sql": hier_rollup_sql,
 }
 
 ORACLES = {
@@ -485,4 +525,5 @@ ORACLES = {
     "graph_pagerank": GRAPH_PAGERANK_ORACLE,
     "graph_triangles": GRAPH_TRIANGLES_ORACLE,
     "hier_rollup": HIER_ROLLUP_ORACLE,
+    "hier_rollup_sql": HIER_ROLLUP_ORACLE,
 }

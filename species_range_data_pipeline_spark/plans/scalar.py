@@ -194,6 +194,46 @@ ORDER BY event_type
 """
 
 
+def json_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4): parse once, extract typed.
+
+    ``parse_json`` materializes props into the binary VARIANT encoding in
+    the scan stage; every later ``variant_get`` is a cheap typed probe of
+    that encoding instead of a re-parse of the JSON text — at 100 TB the
+    parse-once/probe-many split is the difference between one and N full
+    text parses (and Parquet can store the variant column shredded).  The
+    rollup: per event_type, k extracted as LONG via variant_get, plus a
+    defensive try_variant_get probe of a missing path (NULL -> counted,
+    never thrown).
+    """
+    events = load_table(spark, sf_dir, "events")
+    v = events.select("event_type", F.parse_json("props").alias("pv"))
+    k = F.variant_get("pv", "$.k", "long")
+    missing = F.try_variant_get("pv", "$.absent", "long")
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.count_distinct(k).alias("n_distinct_k"),
+            F.count(missing).alias("n_absent_hits"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_VARIANT_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k,
+       count(CAST(json_extract_string(props, '$.absent') AS BIGINT)) AS n_absent_hits
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math scalar surface over lineitem, fixed-scale rounded for hashing."""
     lineitem = load_table(spark, sf_dir, "lineitem")
@@ -426,6 +466,7 @@ QUERIES = {
     "str_funcs": str_funcs,
     "date_funcs": date_funcs,
     "json_funcs": json_funcs,
+    "json_variant_funcs": json_variant_funcs,
     "math_funcs": math_funcs,
     "null_cond_funcs": null_cond_funcs,
     "map_funcs": map_funcs,
@@ -439,6 +480,7 @@ ORACLES = {
     "str_funcs": STR_FUNCS_ORACLE,
     "date_funcs": DATE_FUNCS_ORACLE,
     "json_funcs": JSON_FUNCS_ORACLE,
+    "json_variant_funcs": JSON_VARIANT_ORACLE,
     "math_funcs": MATH_FUNCS_ORACLE,
     "null_cond_funcs": NULL_COND_ORACLE,
     "map_funcs": MAP_FUNCS_ORACLE,
