@@ -294,7 +294,88 @@ ORDER BY returnflag, ship_year
 """
 
 
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregates (Spark 3.5+ surface).
+
+    ``count(DISTINCT k)`` plans an Expand + a shuffle keyed on (group, k) —
+    the shuffled volume scales with the number of DISTINCT VALUES.  The
+    bitmap plan shuffles fixed-size bitmap blobs keyed by (group, bucket)
+    with map-side OR-combine: exact (not a sketch), mergeable (the partial
+    state composes across batches — the same property mv_incremental_refresh
+    exploits), and at 100 TB the shuffle is bounded by
+    groups × buckets × 4 KB regardless of row count.  bitmap_bucket_number /
+    bitmap_bit_position split the key domain into 32768-bit buckets;
+    sum(bitmap_count(or-merged buckets)) is the exact distinct count.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    per_bucket = (
+        lineitem.select(
+            "l_returnflag",
+            F.bitmap_bucket_number("l_partkey").alias("bucket"),
+            F.bitmap_bit_position("l_partkey").alias("pos"),
+        )
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+    return (
+        per_bucket.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.bitmap_count("bm")).alias("n_distinct_parts"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_BITMAP_DISTINCT_ORACLE = """
+-- bucket mirrors Spark's bitmap_bucket_number: ceil(k/32768) for k >= 1,
+-- bucket 0 for k = 0 (the fixture's partkeys start at 0)
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct_parts,
+       CAST(count(DISTINCT CASE WHEN l_partkey <= 0 THEN 0
+                                ELSE (l_partkey - 1) // 32768 + 1 END) AS BIGINT)
+           AS n_buckets
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch distinct counts (Apache DataSketches, Spark 3.5+).
+
+    The APPROXIMATE sibling of agg_bitmap_distinct for key domains too wide
+    for bitmaps: per-nation customer sketches merged upward with
+    hll_union_agg — the partial state is a compact sketch whose size is
+    set by lgConfigK, not the key cardinality, and re-aggregating sketches
+    gives rollups without rescanning the fact table.  DataSketches HLL has
+    no cross-engine twin in DuckDB, so this entry is rows-only for the
+    driver; tests/test_plans.py bounds the estimate against the exact
+    count (±3%).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_nationkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    per_nation = joined.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sk")
+    )
+    per = per_nation.select(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.hll_sketch_estimate("sk").alias("n_customers_est"),
+    )
+    total = per_nation.agg(
+        F.lit(-1).cast("long").alias("nationkey"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_customers_est"),
+    )
+    return per.unionByName(total).orderBy("nationkey")
+
+
 QUERIES = {
+    "agg_bitmap_distinct": agg_bitmap_distinct,
+    "sketch_hll_distinct": sketch_hll_distinct,
     "agg_stats": agg_stats,
     "mv_incremental_refresh": mv_incremental_refresh,
     "agg_minmax_by": agg_minmax_by,
@@ -305,6 +386,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_bitmap_distinct": AGG_BITMAP_DISTINCT_ORACLE,
     "agg_stats": AGG_STATS_ORACLE,
     "mv_incremental_refresh": MV_INCREMENTAL_ORACLE,
     "agg_minmax_by": AGG_MINMAX_BY_ORACLE,

@@ -115,3 +115,36 @@ def test_no_python_in_text_dedup_path(spark):
         plan = _plan(spark, name)
         for marker in ("EvalPython", "InPandas"):
             assert marker not in plan, f"{name} fell off the JVM path"
+
+
+def test_bitmap_distinct_no_expand(spark):
+    # the bitmap plan's point: exact distinct WITHOUT the count(distinct)
+    # Expand node — two ordinary hash aggregates over fixed-size blobs
+    plan = _plan(spark, "agg_bitmap_distinct")
+    assert "Expand" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_hll_estimate_within_tolerance(spark):
+    # DataSketches HLL at lgConfigK=14: relative error well under 3% at
+    # fixture cardinalities; the union row must bound the per-nation rows
+    rows = {r["nationkey"]: r["n_customers_est"]
+            for r in QUERIES["sketch_hll_distinct"](spark, SF_CORRECT).collect()}
+    import duckdb
+
+    con = duckdb.connect()
+    exact = {
+        k: v
+        for k, v in con.execute(
+            f"""SELECT c_nationkey, count(DISTINCT o_custkey)
+                FROM '{SF_CORRECT}/orders.parquet'
+                JOIN '{SF_CORRECT}/customer.parquet' ON o_custkey = c_custkey
+                GROUP BY c_nationkey"""
+        ).fetchall()
+    }
+    exact[-1] = con.execute(
+        f"SELECT count(DISTINCT o_custkey) FROM '{SF_CORRECT}/orders.parquet'"
+    ).fetchone()[0]
+    assert set(rows) == set(exact)
+    for k, est in rows.items():
+        assert abs(est - exact[k]) <= max(3, 0.03 * exact[k]), (k, est, exact[k])
