@@ -222,6 +222,52 @@ def json_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def xml_roundtrip_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML parse surface (Spark 4 from_xml/to_xml) — the S3 scrape shape.
+
+    The reference's scrape stage parses markup into typed rows
+    (``species_range_etl.py:142-154``, BeautifulSoup over HTML).  The
+    engine-side equivalent is schema-declared XML parsing as a column
+    expression: here each supplier row is rendered to an XML document and
+    parsed back (``from_xml`` with an explicit schema — no inference scan),
+    then filtered with an availability-style predicate (F1,
+    ``species_range_etl.py:148-150``) BEFORE any downstream work, keeping
+    the filter ahead of expensive stages exactly as SURVEY §4 requires.
+    The roundtrip makes the op oracle-checkable: parsed output must equal
+    the original columns, which DuckDB reads directly.
+    """
+    supplier = load_table(spark, sf_dir, "supplier")
+    xml = supplier.select(
+        F.to_xml(F.struct("s_suppkey", "s_name", "s_acctbal")).alias("page")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            "page", "s_suppkey long, s_name string, s_acctbal double"
+        ).alias("s"),
+        "page",
+    )
+    return (
+        parsed.where(~F.col("page").contains("<s_name>UNAVAILABLE</s_name>"))
+        .select(
+            F.col("s.s_suppkey").alias("suppkey"),
+            F.col("s.s_name").alias("name"),
+            F.round("s.s_acctbal", 2).alias("acctbal"),
+        )
+        .where(F.col("acctbal") > 0)
+        .orderBy("suppkey")
+    )
+
+
+XML_ROUNDTRIP_ORACLE = """
+SELECT s_suppkey AS suppkey,
+       s_name AS name,
+       round(s_acctbal, 2) AS acctbal
+FROM supplier
+WHERE s_name != 'UNAVAILABLE' AND round(s_acctbal, 2) > 0
+ORDER BY suppkey
+"""
+
+
 JSON_VARIANT_ORACLE = """
 SELECT event_type,
        count(*) AS n_events,
@@ -467,6 +513,7 @@ QUERIES = {
     "date_funcs": date_funcs,
     "json_funcs": json_funcs,
     "json_variant_funcs": json_variant_funcs,
+    "xml_roundtrip_parse": xml_roundtrip_parse,
     "math_funcs": math_funcs,
     "null_cond_funcs": null_cond_funcs,
     "map_funcs": map_funcs,
@@ -481,6 +528,7 @@ ORACLES = {
     "date_funcs": DATE_FUNCS_ORACLE,
     "json_funcs": JSON_FUNCS_ORACLE,
     "json_variant_funcs": JSON_VARIANT_ORACLE,
+    "xml_roundtrip_parse": XML_ROUNDTRIP_ORACLE,
     "math_funcs": MATH_FUNCS_ORACLE,
     "null_cond_funcs": NULL_COND_ORACLE,
     "map_funcs": MAP_FUNCS_ORACLE,

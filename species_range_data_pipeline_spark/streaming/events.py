@@ -130,6 +130,27 @@ def view_click_interval_join(stream: DataFrame, window: str = "30 minutes") -> D
     ).select("user_id", "view_id", "click_id", "view_ts", "click_ts")
 
 
+def enrich_with_dimension(stream: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a batch dimension.
+
+    The static side is re-planned per microbatch (picking up dimension
+    updates between batches) and needs NO watermark — only stream-stream
+    joins buffer state.  On a cluster the dimension should be broadcast
+    (it is here: Catalyst picks BroadcastHashJoin for the small side), so
+    the stream stage never shuffles.  This is the streaming form of the
+    pipeline's literal-attribute enrichment (P3) and the K1 sink's
+    dimension lookup.
+    """
+    return stream.join(F.broadcast(dim), "user_id", "left").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.coalesce("segment", F.lit("unknown")).alias("segment"),
+    )
+
+
 def stateful_user_totals(stream: DataFrame) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user running
     event count + value total maintained across microbatches.

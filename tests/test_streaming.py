@@ -9,6 +9,7 @@ import shutil
 import pytest
 
 from species_range_data_pipeline_spark.streaming.events import (
+    enrich_with_dimension,
     read_event_stream,
     run_stream_to_memory,
     sessionized,
@@ -206,3 +207,28 @@ def test_foreach_batch_idempotent_sink(spark, tmp_path):
     base = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
     assert out.count() == base
     assert out.select("event_id").distinct().count() == base
+
+
+def test_stream_static_enrichment_matches_batch(spark, event_dir):
+    from pyspark.sql import functions as F
+
+    dim = spark.range(0, 50).select(
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("seg"), (F.col("id") % 3).cast("string")).alias("segment"),
+    )
+    stream = read_event_stream(spark, event_dir)
+    q = run_stream_to_memory(
+        enrich_with_dimension(stream, dim), "enriched", "append"
+    )
+    _drain(q)
+    got = sorted(
+        (r.event_id, r.segment)
+        for r in spark.sql("SELECT event_id, segment FROM enriched").collect()
+    )
+    batch = (
+        spark.read.parquet(f"{event_dir}/part-0.parquet")
+        .join(dim, "user_id", "left")
+        .select("event_id", F.coalesce("segment", F.lit("unknown")).alias("segment"))
+    )
+    want = sorted((r.event_id, r.segment) for r in batch.collect())
+    assert got and got == want
