@@ -103,6 +103,23 @@ def stream_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def stream_dedup_within_watermark(
+    stream: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming dedup with BOUNDED state: ``dropDuplicatesWithinWatermark``.
+
+    Unlike ``dropDuplicates`` (state grows forever unless the event-time
+    column is part of the key), this evicts each key after the watermark
+    passes its first-seen event time — duplicates are only suppressed within
+    the lateness horizon, which is exactly the at-least-once-source contract
+    (a replayed record arrives within the delay bound, not days later).
+    At cluster scale this is the difference between a state store that
+    reaches steady size and one that grows with total history."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def view_click_interval_join(stream: DataFrame, window: str = "30 minutes") -> DataFrame:
     """Stream-stream interval join: each view matched with that user's
     clicks in the next ``window``.
@@ -193,6 +210,74 @@ def stateful_user_totals(stream: DataFrame) -> DataFrame:
 
     return stream.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "Update", GroupStateTimeout.NoTimeout
+    )
+
+
+def stateful_user_totals_tws(stream: DataFrame) -> DataFrame:
+    """Spark-4 transformWithStateInPandas twin of ``stateful_user_totals``.
+
+    The new arbitrary-state API: a ``StatefulProcessor`` with typed state
+    handles (ValueState here; ListState/MapState and event/processing-time
+    timers are the same surface) instead of the single GroupState blob.
+    Requires the RocksDB state-store provider (bundled ``rocksdbjni``) —
+    callers set ``spark.sql.streaming.stateStore.providerClass`` before
+    starting the query; incremental checkpointing then scales state past
+    executor memory, which the HDFS-backed default cannot.
+
+    Environment gate: the TWS state-server protocol needs the ``protobuf``
+    wheel (``pyspark.sql.streaming.proto``); where it is absent the query
+    fails at start with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE and
+    the test skips — ``stateful_user_totals`` (applyInPandasWithState) is
+    the dependency-free twin."""
+    import pandas as pd
+    import pyspark.sql.types as T
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
     )
 
 

@@ -232,3 +232,78 @@ def test_stream_static_enrichment_matches_batch(spark, event_dir):
     )
     want = sorted((r.event_id, r.segment) for r in batch.collect())
     assert got and got == want
+
+
+def test_stream_dedup_within_watermark_bounded_state(spark, tmp_path):
+    from species_range_data_pipeline_spark.streaming.events import (
+        stream_dedup_within_watermark,
+    )
+
+    d = tmp_path / "replay_wm"
+    d.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", d / "a.parquet")
+    shutil.copy(f"{SF_SMOKE}/events.parquet", d / "b.parquet")
+    stream = read_event_stream(spark, str(d))
+    q = run_stream_to_memory(
+        stream_dedup_within_watermark(stream).select("event_id"), "dedup_wm"
+    )
+    _drain(q)
+    base = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    out = spark.sql("SELECT * FROM dedup_wm")
+    assert out.count() == base
+    assert out.distinct().count() == base
+
+
+def test_transform_with_state_totals_match_batch(spark, tmp_path):
+    """Spark-4 transformWithStateInPandas (RocksDB state store) accumulates
+    across microbatches exactly like the applyInPandasWithState twin."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState protocol needs the protobuf wheel",
+    )
+    import pyspark.sql.functions as F
+
+    from species_range_data_pipeline_spark.streaming.events import (
+        stateful_user_totals_tws,
+    )
+
+    src = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    d = tmp_path / "parts"
+    d.mkdir()
+    for i in range(2):
+        src.where(F.pmod("event_id", F.lit(2)) == i).coalesce(1).write.parquet(
+            str(d / f"chunk{i}")
+        )
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    for i, f in enumerate(sorted(d.glob("chunk*/part-*.parquet"))):
+        shutil.copy(f, stream_dir / f"f{i}.parquet")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_event_stream(spark, str(stream_dir), max_files_per_trigger=1)
+        q = run_stream_to_memory(
+            stateful_user_totals_tws(stream), "totals_tws", "update"
+        )
+        _drain(q)
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    rows = spark.sql(
+        """SELECT user_id, max_by(n_events, n_events) n, max_by(total_value, n_events) t
+           FROM totals_tws GROUP BY user_id"""
+    ).collect()
+    got = {r.user_id: (r.n, r.t) for r in rows}
+    want = {
+        r.user_id: (r.n, r.t)
+        for r in src.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("t"))
+        .collect()
+    }
+    assert got == want
