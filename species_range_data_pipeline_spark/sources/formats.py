@@ -22,7 +22,38 @@ from pyspark.sql import types as T
 
 _TEXT_FORMATS = {"csv", "json"}
 _NATIVE_FORMATS = {"parquet", "orc"}
-SUPPORTED_FORMATS = _TEXT_FORMATS | _NATIVE_FORMATS
+# avro is row-oriented (splittable, schema-evolving) — the right wire format
+# for streaming hand-off, but it needs the spark-avro connector jar, which
+# is NOT bundled with pyspark (only the avro-core libs are). Gated: callers
+# get a clear remediation message instead of DATA_SOURCE_NOT_FOUND.
+_GATED_FORMATS = {"avro"}
+SUPPORTED_FORMATS = _TEXT_FORMATS | _NATIVE_FORMATS | _GATED_FORMATS
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True when the spark-avro connector is registered as a data source.
+
+    Probed through Spark's own lookup (a zero-IO read plan on a missing
+    path): classpath checks are wrong here — ``AvroFileFormat`` classes can
+    be present while the DataSourceRegister service entry is not, and
+    Spark resolves formats through the registry.
+    """
+    try:
+        spark.read.format("avro").schema("__probe long").load(
+            "/__avro_availability_probe__"
+        )
+        return True
+    except Exception as e:  # PATH_NOT_FOUND => registered; else missing
+        return "PATH_NOT_FOUND" in str(e)
+
+
+def _check_gated(fmt: str, spark: SparkSession) -> None:
+    if fmt in _GATED_FORMATS and not avro_available(spark):
+        raise RuntimeError(
+            "avro needs the spark-avro connector jar; launch with "
+            '--packages org.apache.spark:spark-avro_2.13:<spark version> '
+            "or add it to spark.jars"
+        )
 
 
 def _check_format(fmt: str, schema: T.StructType | None, for_write: bool,
@@ -48,6 +79,7 @@ def write_table(
     mode: str = "overwrite",
 ) -> None:
     _check_format(fmt, None, for_write=True, df=df)
+    _check_gated(fmt, df.sparkSession)
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -63,6 +95,7 @@ def read_table(
     schema: T.StructType | None = None,
 ) -> DataFrame:
     _check_format(fmt, schema, for_write=False)
+    _check_gated(fmt, spark)
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)

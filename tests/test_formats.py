@@ -56,3 +56,43 @@ def test_partition_pruning_hits_one_directory(spark, tmp_path):
     )[1].split("]")[0], plan
     want = orders.where(F.col("o_orderstatus") == "F").count()
     assert pruned.count() == want
+
+
+def test_avro_gated_with_clear_remediation(spark, tmp_path):
+    from species_range_data_pipeline_spark.sources.formats import avro_available
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    path = str(tmp_path / "avro")
+    if avro_available(spark):
+        write_table(orders, path, "avro")
+        back = read_table(spark, path, "avro", schema=orders.schema)
+        assert back.count() == orders.count()
+    else:
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            write_table(orders, path, "avro")
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            read_table(spark, path, "avro")
+
+
+def test_observed_write_metrics_single_pass(spark, tmp_path):
+    """Observation metrics computed during the sink write equal a separate
+    aggregate pass — and the plan contains exactly one scan."""
+    from species_range_data_pipeline_spark.operators.observe import observed_write
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    got = observed_write(
+        orders,
+        str(tmp_path / "out"),
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_open": F.count_if(F.col("o_orderstatus") == "O"),
+            "max_price": F.max("o_totalprice"),
+        },
+    )
+    want = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+        F.max("o_totalprice").alias("max_price"),
+    ).collect()[0]
+    assert got == want.asDict()
+    assert spark.read.parquet(str(tmp_path / "out")).count() == got["n_rows"]
