@@ -329,8 +329,117 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def ev_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user: each observation's value holds until
+    the next observation (last-observation-carried-forward), weighted by
+    its holding duration — the timeseries-DB ``time_weight('locf')``
+    semantic the plain AVG gets wrong whenever sampling is irregular.
+
+    One window (lead over the user's timeline) + one aggregate; both
+    shuffles hash on user_id so AQE coalesces them into a single exchange
+    lineage at scale.  Exactness: value is scaled to integer ten-thousandths
+    and durations are integer milliseconds, so the weighted sum is exact
+    INT128-free bigint arithmetic in both engines and only the final ratio
+    touches floating point (see q7_nation_volume's rounding note).
+    """
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    t = events.select(
+        "user_id",
+        "event_id",
+        F.unix_millis("ts").alias("ms"),
+        F.round(F.col("value") * 10000).cast("long").alias("v4"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    held = t.withColumn("ms_next", F.lead("ms").over(w)).where(
+        F.col("ms_next").isNotNull()
+    )
+    return (
+        held.groupBy("user_id")
+        .agg(
+            F.sum((F.col("ms_next") - F.col("ms")) * F.col("v4")).alias("num"),
+            F.sum(F.col("ms_next") - F.col("ms")).alias("den"),
+        )
+        .select(
+            "user_id",
+            F.round(F.col("num") / (F.col("den") * 10000.0), 2).alias("twa"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EV_TWA_ORACLE = """
+WITH held AS (
+  SELECT user_id,
+         CAST(round(value * 10000) AS BIGINT) AS v4,
+         epoch_ms(ts) AS ms,
+         lead(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS ms_next
+  FROM events
+)
+SELECT user_id,
+       round(CAST(sum((ms_next - ms) * v4) AS DOUBLE) / (CAST(sum(ms_next - ms) AS DOUBLE) * 10000.0), 2) AS twa
+FROM held
+WHERE ms_next IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def ev_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlesticks: per tumbling hour, the first/max/min/last value.
+
+    open/close are ``min_by``/``max_by`` over a unique bigint event key
+    (ms*2^20 | event_id) — deterministic under ts ties, and the whole bar
+    is ONE hash aggregate (no window, no self-join): at 100 TB this is a
+    single map-side-combinable pass, where the textbook ROW_NUMBER
+    formulation would sort every partition.
+    """
+    events = load_table(spark, sf_dir, "events")
+    key = (F.unix_millis("ts") * F.lit(1048576) + F.col("event_id")).alias("k")
+    t = events.select(
+        F.window("ts", "1 hour").alias("w"), "event_type", "value", key
+    )
+    return (
+        t.groupBy(F.col("w.start").alias("start"), "event_type")
+        .agg(
+            F.round(F.min_by("value", F.col("k")), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", F.col("k")), 2).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.date_format("start", _FMT).alias("window_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+EV_OHLC_ORACLE = f"""
+SELECT strftime(date_trunc('hour', ts), '{_DUCK_FMT}') AS window_start,
+       event_type,
+       round(arg_min(value, epoch_ms(ts) * 1048576 + event_id), 2) AS open,
+       round(max(value), 2) AS high,
+       round(min(value), 2) AS low,
+       round(arg_max(value, epoch_ms(ts) * 1048576 + event_id), 2) AS close,
+       count(*) AS n
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
 QUERIES = {
     "ev_tumbling": ev_tumbling,
+    "ev_time_weighted_avg": ev_time_weighted_avg,
+    "ev_ohlc_bars": ev_ohlc_bars,
     "ev_retention_cohorts": ev_retention_cohorts,
     "ev_gapfill": ev_gapfill,
     "ev_rollup_two_level": ev_rollup_two_level,
@@ -341,6 +450,8 @@ QUERIES = {
 
 ORACLES = {
     "ev_tumbling": EV_TUMBLING_ORACLE,
+    "ev_time_weighted_avg": EV_TWA_ORACLE,
+    "ev_ohlc_bars": EV_OHLC_ORACLE,
     "ev_retention_cohorts": EV_RETENTION_ORACLE,
     "ev_gapfill": EV_GAPFILL_ORACLE,
     "ev_rollup_two_level": EV_ROLLUP_ORACLE,

@@ -373,7 +373,68 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.unionByName(total).orderBy("nationkey")
 
 
+def agg_entropy_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-concentration profile per event_type: Shannon entropy
+    and Gini impurity of the per-user activity share — the screening
+    aggregate behind skew detection (a key whose user distribution has
+    near-zero entropy is the key that breaks the shuffle at 100 TB; compare
+    ``join_skew_salted``).
+
+    Two-level aggregate: per-(type,user) counts, then per-type moments —
+    both hash aggregates, both map-side-combinable, no window.  Gini stays
+    in exact bigint arithmetic (sum n, sum n²) until one final division;
+    entropy is the only float sum and is rounded to 3 decimals (cross-
+    engine libm log2 agrees far past that).
+    """
+    events = load_table(spark, sf_dir, "events")
+    per = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n").alias("total"),
+            F.sum(F.col("n") * F.col("n")).alias("sq"),
+            F.sum(F.col("n") * F.log2("n")).alias("nlog"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            F.round(
+                F.lit(1.0)
+                - F.col("sq") / (F.col("total").cast("double") * F.col("total")),
+                6,
+            ).alias("gini"),
+            F.round(
+                F.log2(F.col("total").cast("double"))
+                - F.col("nlog") / F.col("total"),
+                3,
+            ).alias("entropy"),
+        )
+        .orderBy("event_type")
+    )
+
+
+AGG_ENTROPY_GINI_ORACLE = """
+WITH per AS (
+  SELECT event_type, user_id, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       count(*) AS n_users,
+       round(1.0 - CAST(sum(n * n) AS DOUBLE)
+                   / (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)), 6) AS gini,
+       round(log2(CAST(sum(n) AS DOUBLE))
+             - sum(n * log2(n)) / CAST(sum(n) AS DOUBLE), 3) AS entropy
+FROM per
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "agg_entropy_gini": agg_entropy_gini,
     "agg_bitmap_distinct": agg_bitmap_distinct,
     "sketch_hll_distinct": sketch_hll_distinct,
     "agg_stats": agg_stats,
@@ -386,6 +447,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_entropy_gini": AGG_ENTROPY_GINI_ORACLE,
     "agg_bitmap_distinct": AGG_BITMAP_DISTINCT_ORACLE,
     "agg_stats": AGG_STATS_ORACLE,
     "mv_incremental_refresh": MV_INCREMENTAL_ORACLE,
