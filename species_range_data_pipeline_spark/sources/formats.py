@@ -88,6 +88,39 @@ def write_table(
     writer.format(fmt).save(path)
 
 
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    range_cols: Sequence[str],
+    sort_cols: Sequence[str] | None = None,
+    num_files: int | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered layout: ``repartitionByRange`` on ``range_cols`` then
+    ``sortWithinPartitions`` before the write.
+
+    This is the standard time-series/event layout (the linear sibling of
+    ``layout_zorder``'s multi-dim curve): each output file covers a
+    disjoint range of the cluster key, so parquet footer min/max stats let
+    a point or range predicate skip whole files — at 100 TB the difference
+    between scanning one file and scanning all of them.  Range partitioning
+    samples the key distribution, so skewed keys still yield even file
+    sizes (hash partitioning would instead scatter each key's rows across
+    every file, destroying the stats).
+    """
+    _check_format(fmt, None, for_write=True, df=df)
+    _check_gated(fmt, df.sparkSession)
+    cols = [df[c] for c in range_cols]
+    part = (
+        df.repartitionByRange(num_files, *cols)
+        if num_files
+        else df.repartitionByRange(*cols)
+    )
+    ordered = part.sortWithinPartitions(*(sort_cols or range_cols))
+    ordered.write.format(fmt).mode(mode).save(path)
+
+
 def read_table(
     spark: SparkSession,
     path: str,

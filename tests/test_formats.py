@@ -96,3 +96,37 @@ def test_observed_write_metrics_single_pass(spark, tmp_path):
     ).collect()[0]
     assert got == want.asDict()
     assert spark.read.parquet(str(tmp_path / "out")).count() == got["n_rows"]
+
+
+def test_range_sorted_layout_disjoint_file_ranges(spark, tmp_path):
+    """write_range_sorted yields files with non-overlapping cluster-key
+    ranges (the property that makes footer min/max stats prune files) and
+    the plan shows a range exchange + in-partition sort."""
+    from species_range_data_pipeline_spark.sources.formats import (
+        write_range_sorted,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "by_ts")
+    write_range_sorted(events, path, ["ts"], num_files=4)
+
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(per_file) == 4
+    for a, b in zip(per_file, per_file[1:]):
+        assert a.hi <= b.lo  # disjoint up to boundary equality
+
+    plan = (
+        events.repartitionByRange(4, "ts")
+        .sortWithinPartitions("ts")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan.lower()
+    assert spark.read.parquet(path).count() == events.count()
