@@ -19,6 +19,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+from pyspark.sql.functions import col as F_col
 
 _TEXT_FORMATS = {"csv", "json"}
 _NATIVE_FORMATS = {"parquet", "orc"}
@@ -119,6 +120,83 @@ def write_range_sorted(
     )
     ordered = part.sortWithinPartitions(*(sort_cols or range_cols))
     ordered.write.format(fmt).mode(mode).save(path)
+
+
+def read_merged_schema(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read across files with EVOLVED schemas (``mergeSchema``).
+
+    A long-lived 100 TB table accretes columns; the default read takes the
+    schema from one footer and silently drops the others' new columns.
+    ``mergeSchema=true`` unions all footers (missing fields -> null) — an
+    extra footer-listing pass, which is why it is an explicit reader here
+    and not a default.  Incompatible type changes still fail loudly, as
+    they must.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def read_csv_with_rejects(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """CSV scan with malformed-row ROUTING: returns (good, rejects).
+
+    PERMISSIVE mode captures each unparseable line verbatim in
+    ``corrupt_col`` instead of aborting the scan (FAILFAST) or silently
+    dropping it (DROPMALFORMED) — the same error-side-channel contract as
+    the zip expander's BadZipFile rows (reference swallows those failures,
+    ``species_range_etl.py:161-171``; this engine routes them).  Both
+    returned frames come from ONE cached scan predicate-split on the
+    corrupt column.
+    """
+    full_schema = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    df = (
+        spark.read.schema(full_schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .csv(path)
+        # Spark requires the corrupt column be materialized (not a raw
+        # filter over the scan) before it can be referenced
+        .cache()
+    )
+    good = df.where(F_col(corrupt_col).isNull()).drop(corrupt_col)
+    rejects = df.where(F_col(corrupt_col).isNotNull()).select(corrupt_col)
+    return good, rejects
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction: rewrite a directory into ~target-sized files.
+
+    Streaming sinks and fine-grained partition writes leave thousands of
+    KB-scale files; at scale the NameNode/listing cost and per-file task
+    overhead dominate reads.  Rewrites via ``repartition(n)`` (round-robin
+    — even output sizes regardless of input skew) to a temp dir, then
+    swaps.  Returns the new file count.  On object stores the swap is a
+    manifest/rename-tree operation; the local form mirrors it.
+    """
+    import shutil
+    import uuid
+
+    df = spark.read.format(fmt).load(path)
+    n = max(1, -(-df.count() // target_rows_per_file))
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    df.repartition(n).write.format(fmt).mode("overwrite").save(tmp)
+    check = spark.read.format(fmt).load(tmp)
+    if check.count() != df.count():  # refuse to swap a bad rewrite
+        raise RuntimeError("compaction row-count mismatch; source untouched")
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n
 
 
 def read_table(

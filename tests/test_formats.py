@@ -130,3 +130,61 @@ def test_range_sorted_layout_disjoint_file_ranges(spark, tmp_path):
     )
     assert "rangepartitioning" in plan.lower()
     assert spark.read.parquet(path).count() == events.count()
+
+
+def test_read_merged_schema_unions_evolved_files(spark, tmp_path):
+    from species_range_data_pipeline_spark.sources.formats import (
+        read_merged_schema,
+    )
+
+    p = tmp_path / "evolved"
+    spark.createDataFrame([(1, "a")], "id: long, name: string").write.parquet(
+        str(p / "v1")
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id: long, name: string, score: double"
+    ).write.parquet(str(p / "v2"))
+    df = read_merged_schema(spark, str(p / "*"))
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r.id: (r.name, r.score) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_csv_rejects_routed_not_dropped(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    from species_range_data_pipeline_spark.sources.formats import (
+        read_csv_with_rejects,
+    )
+
+    p = tmp_path / "raw.csv"
+    p.write_text(
+        "id,qty\n"
+        "1,10\n"
+        "oops,not-a-number\n"
+        "2,20\n"
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("qty", T.LongType())]
+    )
+    good, rejects = read_csv_with_rejects(spark, str(p), schema)
+    assert sorted((r.id, r.qty) for r in good.collect()) == [(1, 10), (2, 20)]
+    bad = [r[0] for r in rejects.collect()]
+    assert bad == ["oops,not-a-number"]
+
+
+def test_compact_files_reduces_count_preserves_rows(spark, tmp_path):
+    from species_range_data_pipeline_spark.sources.formats import compact_files
+
+    p = str(tmp_path / "shattered")
+    events = load_table(spark, SF_SMOKE, "events")
+    events.repartition(16).write.parquet(p)
+    before_files = len(list((tmp_path / "shattered").glob("part-*.parquet")))
+    assert before_files == 16
+    want = _rows(events.select("event_id"))
+
+    n = compact_files(spark, p, target_rows_per_file=10**6)
+    after = spark.read.parquet(p)
+    after_files = len(list((tmp_path / "shattered").glob("part-*.parquet")))
+    assert n == 1 and after_files == 1
+    assert _rows(after.select("event_id")) == want
