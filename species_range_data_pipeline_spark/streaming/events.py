@@ -310,6 +310,59 @@ def write_stream_idempotent(
     )
 
 
+def mv_partial_refresh_batch(batch_df: DataFrame, batch_id: int, state_dir: str) -> None:
+    """One microbatch's MV maintenance: aggregate the batch to MERGEABLE
+    partials (count, exact integer value units, max) and land them as the
+    ``batch_id=N`` partition with dynamic partition overwrite — replaying
+    a batch after a crash overwrites its own partition instead of
+    double-counting, which is what makes foreachBatch + at-least-once
+    delivery add up to an exactly-once MV."""
+    partials = batch_df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 10000).cast("long")).alias("v_units"),
+        F.max("value").alias("max_value"),
+    ).withColumn("batch_id", F.lit(int(batch_id)))
+    (
+        partials.coalesce(1)
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(state_dir)
+    )
+
+
+def stream_mv_refresh(stream: DataFrame, state_dir: str, checkpoint_dir: str):
+    """Streaming materialized view: the streaming twin of
+    ``mv_incremental_refresh`` (plans/stats.py).  Each trigger appends one
+    batch's algebraic partials; ``read_stream_mv`` is the merge.  State
+    grows one tiny row-group per (batch, group) — `compact_files` is the
+    maintenance op when batch count gets large."""
+    return (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: mv_partial_refresh_batch(df, bid, state_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def read_stream_mv(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Merge the streaming MV's partials: sum-of-sums / sum-of-counts /
+    max-of-maxes — exact because every partial is algebraic and the value
+    sum is integer ten-thousandths."""
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("v_units") / 10000.0, 2).alias("total_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def run_stream_to_memory(
     query_df: DataFrame, name: str, output_mode: str = "append"
 ) -> "object":

@@ -307,3 +307,71 @@ def test_transform_with_state_totals_match_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_mv_refresh_matches_batch_and_replay_idempotent(spark, tmp_path):
+    """Streaming MV partials across 2 microbatches merge to the full batch
+    aggregate; replaying a batch (crash between write and commit) leaves
+    the MV unchanged."""
+    import pyspark.sql.functions as F
+
+    from species_range_data_pipeline_spark.streaming.events import (
+        mv_partial_refresh_batch,
+        read_stream_mv,
+        stream_mv_refresh,
+    )
+
+    src = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    d = tmp_path / "parts"
+    d.mkdir()
+    for i in range(2):
+        src.where(F.pmod("event_id", F.lit(2)) == i).coalesce(1).write.parquet(
+            str(d / f"chunk{i}")
+        )
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    for i, f in enumerate(sorted(d.glob("chunk*/part-*.parquet"))):
+        shutil.copy(f, stream_dir / f"f{i}.parquet")
+
+    state = str(tmp_path / "mv_state")
+    stream = read_event_stream(spark, str(stream_dir), max_files_per_trigger=1)
+    q = stream_mv_refresh(stream, state, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    def mv_rows():
+        return [
+            (r.event_type, r.n_events, r.total_value, r.max_value)
+            for r in read_stream_mv(spark, state).collect()
+        ]
+
+    want = [
+        (r.event_type, r.n_events, r.total_value, r.max_value)
+        for r in src.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.round(F.col("value") * 10000).cast("long")) / 10000.0, 2
+            ).alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type")
+        .collect()
+    ]
+    got = mv_rows()
+    assert got == want
+
+    # replay batch 0 (same data, same batch_id) -> MV unchanged.  The
+    # file->batch assignment is the source's choice, so read it from the
+    # checkpoint's FileStreamSource log rather than assuming.
+    import json
+
+    log0 = (tmp_path / "ckpt" / "sources" / "0" / "0").read_text().splitlines()
+    batch0_files = [
+        json.loads(line)["path"] for line in log0 if line.startswith("{")
+    ]
+    batch0 = spark.read.parquet(*batch0_files).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    mv_partial_refresh_batch(batch0, 0, state)
+    assert mv_rows() == got
