@@ -939,7 +939,76 @@ ORDER BY rnk
 """
 
 
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: exact 8-gram overlap between a held-out
+    split and the training split — the screening pass every LLM data
+    pipeline runs before training (an eval doc whose 8-grams appear in
+    train is leaked).
+
+    Deterministic split (doc_id mod 10 == 0 -> eval) so both engines agree
+    without RNG.  The plan: tokenize once per doc, explode distinct
+    8-grams, and inner-join eval grams to train grams — candidate pruning
+    IS the join, exactly like `dedup_ngram_jaccard`.  At 100 TB the gram
+    strings get hashed to 64-bit before the shuffle (xxhash64 keys, then a
+    string re-check on the survivors); here they stay strings so the DuckDB
+    oracle is byte-identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens().alias("toks"))
+    grams = (
+        toks.where(F.size("toks") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 7),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i, 8)),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    ev = grams.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("eval_doc"), "gram"
+    )
+    tr = grams.where(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("train_doc"), "gram"
+    )
+    return (
+        ev.join(tr, "gram")
+        .groupBy("eval_doc")
+        .agg(
+            F.countDistinct("train_doc").alias("n_train_docs"),
+            F.countDistinct("gram").alias("n_shared_grams"),
+        )
+        .orderBy("eval_doc")
+    )
+
+
+TEXT_DECONTAMINATE_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+    FROM documents
+), idx AS (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+    FROM toks WHERE len(t) >= 8
+), g AS (
+    SELECT DISTINCT doc_id, array_to_string(array_slice(t, i, i + 7), ' ') AS gram
+    FROM idx
+)
+SELECT e.doc_id AS eval_doc,
+       count(DISTINCT t.doc_id) AS n_train_docs,
+       count(DISTINCT e.gram) AS n_shared_grams
+FROM g e JOIN g t ON e.gram = t.gram
+WHERE e.doc_id % 10 = 0 AND t.doc_id % 10 <> 0
+GROUP BY 1
+ORDER BY eval_doc
+"""
+
+
 QUERIES = {
+    "text_decontaminate": text_decontaminate,
     "text_token_count": text_token_count,
     "text_bm25_topk": text_bm25_topk,
     "text_chunk_udtf": text_chunk_udtf,
@@ -958,6 +1027,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_decontaminate": TEXT_DECONTAMINATE_ORACLE,
     "text_token_count": TEXT_TOKEN_COUNT_ORACLE,
     "text_bm25_topk": TEXT_BM25_ORACLE,
     "text_chunk_udtf": TEXT_CHUNK_ORACLE,
