@@ -1007,8 +1007,70 @@ ORDER BY eval_doc
 """
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filter: the most-repeated trigram's share of each doc —
+    the Gopher/MassiveText-style quality signal (a doc whose top 3-gram is
+    >5% of all its 3-grams is boilerplate or a scrape loop).
+
+    Two stacked hash aggregates ((doc, gram) counts, then per-doc moments),
+    both map-side-combinable; the ratio is the only float op so the result
+    is engine-exact.  Unlike `dedup_ngram_jaccard` nothing leaves the doc:
+    no join, no cross-doc shuffle — at 100 TB this filter is embarrassingly
+    parallel by document.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs)
+    cnt = sh.groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+            F.max("c").alias("max_count"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct_grams",
+            F.round(F.col("max_count") / F.col("n_grams"), 4).alias("top_gram_share"),
+            (F.col("max_count") / F.col("n_grams") > 0.05).alias("repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_REPETITION_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+    FROM documents
+), idx AS (
+    SELECT doc_id, t,
+           unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+    FROM toks
+), sh AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                ELSE array_to_string(t, ' ') END AS shingle
+    FROM idx
+), cnt AS (
+    SELECT doc_id, shingle, count(*) AS c FROM sh GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_grams,
+       count(*) AS n_distinct_grams,
+       round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS top_gram_share,
+       CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) > 0.05 AS repetitive
+FROM cnt
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_decontaminate": text_decontaminate,
+    "text_repetition": text_repetition,
     "text_token_count": text_token_count,
     "text_bm25_topk": text_bm25_topk,
     "text_chunk_udtf": text_chunk_udtf,
@@ -1028,6 +1090,7 @@ QUERIES = {
 
 ORACLES = {
     "text_decontaminate": TEXT_DECONTAMINATE_ORACLE,
+    "text_repetition": TEXT_REPETITION_ORACLE,
     "text_token_count": TEXT_TOKEN_COUNT_ORACLE,
     "text_bm25_topk": TEXT_BM25_ORACLE,
     "text_chunk_udtf": TEXT_CHUNK_ORACLE,
