@@ -93,12 +93,92 @@ def geo_polygonize_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def geo_spatial_join_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-rectangle spatial join via BIN-AND-REFINE — the stock-Spark
+    form of `ST_Contains` over big data (the reference does geometry work
+    per-file with arcpy; an engine needs the set-based join).
+
+    Points (one per lineitem row) and supplier-derived query rectangles are
+    both assigned 10x10 grid tiles; rectangles explode to every tile they
+    overlap, points to exactly one.  The join is then an EQUI-join on the
+    tile id plus an exact containment refine — Catalyst gets a hashable
+    key, so at 100 TB this shuffles once on tile instead of planning the
+    raw BETWEEN predicates as a broadcast nested-loop over everything.
+    Tile size trades fan-out (rect duplication) against refine selectivity,
+    exactly like Sedona's grid partitioner.  A point lands in ONE tile, so
+    no post-join dedup is needed.  The oracle runs the brute-force theta
+    join — same rows, quadratic plan — which is the point.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    pts = lineitem.select(
+        (F.col("l_orderkey") % 100).alias("px"),
+        (F.col("l_partkey") % 100).alias("py"),
+    )
+    rects = supplier.select(
+        "s_suppkey",
+        (F.col("s_suppkey") * 7 % 90).alias("xmin"),
+        (F.col("s_suppkey") * 13 % 90).alias("ymin"),
+        (F.col("s_suppkey") * 7 % 90 + 3 + F.col("s_suppkey") % 8).alias("xmax"),
+        (F.col("s_suppkey") * 13 % 90 + 3 + F.col("s_suppkey") % 5).alias("ymax"),
+    )
+    tile = lambda x, y: (x * 16 + y).alias("tile")  # noqa: E731
+    pt_tiles = pts.select(
+        "px", "py", tile(F.expr("px div 10"), F.expr("py div 10"))
+    )
+    rect_tiles = rects.select(
+        "*",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.expr("xmin div 10"), F.expr("xmax div 10")),
+                    lambda tx: F.transform(
+                        F.sequence(F.expr("ymin div 10"), F.expr("ymax div 10")),
+                        lambda ty: tx * 16 + ty,
+                    ),
+                )
+            )
+        ).alias("tile"),
+    )
+    return (
+        pt_tiles.join(rect_tiles, "tile")
+        .where(
+            F.col("px").between(F.col("xmin"), F.col("xmax"))
+            & F.col("py").between(F.col("ymin"), F.col("ymax"))
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy("s_suppkey")
+    )
+
+
+GEO_SPATIAL_JOIN_ORACLE = """
+WITH pts AS (
+    SELECT l_orderkey % 100 AS px, l_partkey % 100 AS py FROM lineitem
+), rects AS (
+    SELECT s_suppkey,
+           s_suppkey * 7 % 90 AS xmin,
+           s_suppkey * 13 % 90 AS ymin,
+           s_suppkey * 7 % 90 + 3 + s_suppkey % 8 AS xmax,
+           s_suppkey * 13 % 90 + 3 + s_suppkey % 5 AS ymax
+    FROM supplier
+)
+SELECT s_suppkey, count(*) AS n_points
+FROM rects JOIN pts
+  ON px BETWEEN xmin AND xmax AND py BETWEEN ymin AND ymax
+GROUP BY s_suppkey
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
+    "geo_spatial_join_bin": geo_spatial_join_bin,
     "geo_dissolve_area": geo_dissolve_area,
     "geo_polygonize_components": geo_polygonize_components,
 }
 
 ORACLES = {
+    "geo_spatial_join_bin": GEO_SPATIAL_JOIN_ORACLE,
     "geo_dissolve_area": GEO_DISSOLVE_ORACLE,
     # geo_polygonize_components: rows-only (connected components not SQL-expressible)
 }
