@@ -50,6 +50,10 @@ HEADLINE = [
     # MV maintenance + bigram LM (window-over-exploded-tokens shape)
     "mv_incremental_refresh",
     "text_bigram_lm",
+    # LLM-pipeline decontamination (hashed-gram join) and the tile-binned
+    # spatial join family
+    "text_decontaminate",
+    "geo_spatial_join_bin",
 ]
 
 

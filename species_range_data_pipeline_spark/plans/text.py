@@ -946,23 +946,29 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train is leaked).
 
     Deterministic split (doc_id mod 10 == 0 -> eval) so both engines agree
-    without RNG.  The plan: tokenize once per doc, explode distinct
-    8-grams, and inner-join eval grams to train grams — candidate pruning
-    IS the join, exactly like `dedup_ngram_jaccard`.  At 100 TB the gram
-    strings get hashed to 64-bit before the shuffle (xxhash64 keys, then a
-    string re-check on the survivors); here they stay strings so the DuckDB
-    oracle is byte-identical.
+    without RNG.  The plan: tokenize once per doc, hash each 8-token
+    window to 64 bits IN THE SCAN STAGE with VARIADIC ``xxhash64(t[i-1..
+    i+6])`` — no gram string is ever built (measured: 1.9s vs 4.6s
+    first-run at sf0.1 vs hashing a concat_ws gram; the seed-chained
+    multi-arg hash is order- and boundary-sensitive, so it distinguishes
+    everything the string did).  Then distinct + inner-join eval grams to
+    train grams — candidate pruning IS the join, exactly like
+    `dedup_ngram_jaccard` — shuffling 8-byte keys, not ~50-byte strings.
+    The outputs are DISTINCT COUNTS over grams, which the hash preserves
+    exactly short of a 64-bit collision (~1e-9 at this corpus); a
+    string-equality refine only matters when emitting matched text, which
+    this screening count does not.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", _tokens().alias("toks"))
+    toks = docs.select("doc_id", _tokens().alias("t"))
     grams = (
-        toks.where(F.size("toks") >= 8)
+        toks.where(F.size("t") >= 8)
         .select(
             "doc_id",
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - 7),
-                    lambda i: F.concat_ws(" ", F.slice("toks", i, 8)),
+                F.expr(
+                    "transform(sequence(1, size(t)-7), i -> "
+                    "xxhash64(t[i-1],t[i],t[i+1],t[i+2],t[i+3],t[i+4],t[i+5],t[i+6]))"
                 )
             ).alias("gram"),
         )
