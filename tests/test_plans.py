@@ -148,3 +148,35 @@ def test_hll_estimate_within_tolerance(spark):
     assert set(rows) == set(exact)
     for k, est in rows.items():
         assert abs(est - exact[k]) <= max(3, 0.03 * exact[k]), (k, est, exact[k])
+
+
+def test_spatial_join_is_hash_not_nested_loop(spark):
+    """Bin-and-refine gives Catalyst an equi key: the containment predicates
+    ride a (broadcast) hash join, never a nested loop over BETWEENs."""
+    plan = _plan(spark, "geo_spatial_join_bin")
+    assert "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_shuffles_hashes_not_gram_strings(spark):
+    """The gram column entering the distinct/join is the 64-bit xxhash64 of
+    the token window; no concat-built gram string exists in the plan."""
+    plan = _plan(spark, "text_decontaminate")
+    assert "xxhash64" in plan
+    assert "concat_ws" not in plan
+
+
+def test_ohlc_single_aggregate_pass(spark):
+    """OHLC is one partial+final hash aggregate: no window sort, and the
+    only exchanges are the aggregate's and the final orderBy's."""
+    plan = _plan(spark, "ev_ohlc_bars")
+    assert "Window" not in plan
+    # formatted explain lists each node twice (tree + details): count headers
+    assert plan.count(") Exchange") <= 2
+
+
+def test_twa_groupby_reuses_window_partitioning(spark):
+    """The per-user aggregate after the lead() window adds NO exchange:
+    only the window's hash exchange and the final sort's range exchange."""
+    plan = _plan(spark, "ev_time_weighted_avg")
+    assert plan.count(") Exchange") == 2
