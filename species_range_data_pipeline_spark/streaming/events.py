@@ -168,6 +168,35 @@ def enrich_with_dimension(stream: DataFrame, dim: DataFrame) -> DataFrame:
     )
 
 
+def ohlc_bars_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming OHLC candlesticks — the watermarked twin of
+    ``plans.events.ev_ohlc_bars``.  min_by/max_by are algebraic, so the
+    state per open window is one fixed-width row (no buffered events), and
+    the watermark closes bars exactly like the batch hour boundary."""
+    key = (F.unix_millis("ts") * F.lit(1048576) + F.col("event_id")).alias("k")
+    t = stream.select("ts", F.window("ts", "1 hour").alias("w"), "event_type", "value", key)
+    return (
+        t.withWatermark("ts", watermark)
+        .groupBy("w", "event_type")
+        .agg(
+            F.round(F.min_by("value", F.col("k")), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", F.col("k")), 2).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+    )
+
+
 def stateful_user_totals(stream: DataFrame) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user running
     event count + value total maintained across microbatches.

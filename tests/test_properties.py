@@ -96,3 +96,46 @@ def test_hier_parent_chain_terminates(k):
     assert depth <= _HIER_MAX_DEPTH or depth <= 12  # 10^12 -> 12 digits
     # fixture keys are < 10^7; the engine unroll covers them
     assert _HIER_MAX_DEPTH >= 7
+
+
+def test_twa_equals_plain_value_for_constant_series(spark):
+    """LOCF time-weighted average of a constant series is that constant,
+    regardless of sampling irregularity."""
+    import pyspark.sql.functions as F
+
+    from species_range_data_pipeline_spark.plans import events as ev
+
+    rows = [(i, 7, 42.5, 1700000000000000 + step) for i, step in
+            enumerate([0, 1_000_000, 3_500_000, 60_000_000, 61_000_000])]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, value double, us long"
+    ).select("event_id", "user_id", "value", F.timestamp_micros("us").alias("ts"))
+    df.createOrReplaceTempView("_twa_const")
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    t = df.select("user_id", "event_id", F.unix_millis("ts").alias("ms"),
+                  F.round(F.col("value") * 10000).cast("long").alias("v4"))
+    held = t.withColumn("ms_next", F.lead("ms").over(w)).where(
+        F.col("ms_next").isNotNull())
+    out = (held.groupBy("user_id")
+           .agg(F.sum((F.col("ms_next") - F.col("ms")) * F.col("v4")).alias("num"),
+                F.sum(F.col("ms_next") - F.col("ms")).alias("den"))
+           .select((F.col("num") / (F.col("den") * 10000.0)).alias("twa"))
+           .collect())
+    assert out[0].twa == 42.5
+
+
+def test_ohlc_bounds_invariant(spark):
+    """For every bar: low <= open, close <= high, and n >= 1."""
+    from species_range_data_pipeline_spark.plans.events import ev_ohlc_bars
+
+    from .conftest import SF_CORRECT
+
+    rows = ev_ohlc_bars(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+        assert r.n >= 1

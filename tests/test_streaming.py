@@ -375,3 +375,25 @@ def test_stream_mv_refresh_matches_batch_and_replay_idempotent(spark, tmp_path):
     )
     mv_partial_refresh_batch(batch0, 0, state)
     assert mv_rows() == got
+
+
+def test_ohlc_stream_matches_batch(spark, event_dir):
+    from species_range_data_pipeline_spark.streaming.events import (
+        ohlc_bars_stream,
+    )
+
+    stream = read_event_stream(spark, event_dir)
+    q = run_stream_to_memory(ohlc_bars_stream(stream), "ohlc", "complete")
+    _drain(q)
+    got = {
+        (r.window_start, r.event_type): (r.open, r.high, r.low, r.close, r.n)
+        for r in spark.sql("SELECT * FROM ohlc").collect()
+    }
+
+    from species_range_data_pipeline_spark.plans.events import ev_ohlc_bars
+
+    want = {
+        (r.window_start, r.event_type): (r.open, r.high, r.low, r.close, r.n)
+        for r in ev_ohlc_bars(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(want) > 0
