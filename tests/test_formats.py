@@ -188,3 +188,31 @@ def test_compact_files_reduces_count_preserves_rows(spark, tmp_path):
     after_files = len(list((tmp_path / "shattered").glob("part-*.parquet")))
     assert n == 1 and after_files == 1
     assert _rows(after.select("event_id")) == want
+
+
+def test_dynamic_partition_pruning_on_hive_layout(spark, tmp_path):
+    """A selective dim filter prunes fact PARTITIONS at runtime (DPP): the
+    scan's PartitionFilters carry a dynamicpruningexpression — on a 100 TB
+    Hive-layout fact table this is the difference between reading one
+    partition directory and all of them, without any static filter on the
+    fact side."""
+    import contextlib
+    import io
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(
+        str(tmp_path / "fact")
+    )
+    spark.createDataFrame(
+        [("1-URGENT", "fast"), ("5-LOW", "slow")],
+        "o_orderpriority string, cls string",
+    ).write.parquet(str(tmp_path / "dim"))
+
+    fact = spark.read.parquet(str(tmp_path / "fact"))
+    dim = spark.read.parquet(str(tmp_path / "dim")).where(F.col("cls") == "fast")
+    j = fact.join(dim, "o_orderpriority").groupBy("cls").count()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        j.explain("formatted")
+    assert "dynamicpruningexpression" in buf.getvalue()
+    assert j.collect()[0]["cls"] == "fast"
