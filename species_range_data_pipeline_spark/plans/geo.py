@@ -76,8 +76,12 @@ ORDER BY species, threshold
 def geo_polygonize_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4: connected-component polygonization per (species, threshold).
 
-    Component counts/shapes are not SQL-expressible — rows-only check by the
-    driver; the kernels are golden-tested in tests/test_geometry.py.
+    Oracle-checked via a recursive-CTE min-label propagation (DuckDB): the
+    component COUNTS/SIZES/AREAS of the numpy boundary-walk kernel must
+    equal pure-SQL 4-connectivity — the propagation prune (only labels
+    smaller than the target cell's id move) is sound because a component's
+    minimum is smaller than every other member.  The WKB geometry itself
+    stays golden-tested in tests/test_geometry.py.
     """
     cells = _cells_from_lineitem(spark, sf_dir).distinct()
     out = polygonize(cells, ["species", "threshold_s"], num_partitions=9)
@@ -91,6 +95,39 @@ def geo_polygonize_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("species", "threshold")
     )
+
+
+GEO_POLYGONIZE_ORACLE = f"""
+WITH RECURSIVE cells AS (
+    SELECT DISTINCT l_returnflag AS species,
+           CAST(CAST(threshold * 100 AS INTEGER) AS VARCHAR) AS threshold,
+           l_orderkey % {_GRID} AS row, l_partkey % {_GRID} AS col
+    FROM lineitem
+    CROSS JOIN (VALUES (0.25), (0.5), (0.75)) AS t(threshold)
+    WHERE l_quantity / 50.0 >= threshold
+), reach AS (
+    SELECT species, threshold, row, col, row * {_GRID} + col AS lbl FROM cells
+    UNION
+    SELECT c.species, c.threshold, c.row, c.col, r.lbl
+    FROM reach r
+    JOIN cells c ON c.species = r.species AND c.threshold = r.threshold
+     AND ((abs(c.row - r.row) = 1 AND c.col = r.col)
+          OR (c.row = r.row AND abs(c.col - r.col) = 1))
+    WHERE r.lbl < c.row * {_GRID} + c.col
+), lab AS (
+    SELECT species, threshold, row, col, min(lbl) AS comp
+    FROM reach GROUP BY 1, 2, 3, 4
+), comps AS (
+    SELECT species, threshold, comp, count(*) AS n FROM lab GROUP BY 1, 2, 3
+)
+SELECT species, threshold,
+       count(*) AS n_components,
+       CAST(sum(n) AS BIGINT) AS n_cells,
+       round(CAST(sum(n) AS DOUBLE), 2) AS area,
+       CAST(max(n) AS BIGINT) AS largest_component
+FROM comps GROUP BY 1, 2
+ORDER BY species, threshold
+"""
 
 
 def geo_spatial_join_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,5 +217,5 @@ QUERIES = {
 ORACLES = {
     "geo_spatial_join_bin": GEO_SPATIAL_JOIN_ORACLE,
     "geo_dissolve_area": GEO_DISSOLVE_ORACLE,
-    # geo_polygonize_components: rows-only (connected components not SQL-expressible)
+    "geo_polygonize_components": GEO_POLYGONIZE_ORACLE,
 }
