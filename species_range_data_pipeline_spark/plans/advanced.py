@@ -413,6 +413,49 @@ ORDER BY o_orderkey
 """
 
 
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rolling median over a trailing 5-row frame per user — the
+    robust-smoothing window that mean-based frames can't give you (one
+    outlier shifts a mean for 5 rows; the median shrugs).
+
+    Spark has no exact percentile window, so this is the window+array
+    hybrid: ``collect_list`` over the frame -> ``array_sort`` -> middle
+    elements, all JVM expressions.  The interpolation is written as
+    ``lo + (hi - lo)/2`` to be bit-identical with the oracle's
+    ``quantile_cont``.  Frame membership is made deterministic under ts
+    ties by ordering on (ts, event_id).  At 100 TB the frame is O(1) per
+    row, so this costs one sort per user partition — same as any window.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    s = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(s)
+    lo = F.element_at(s, ((n + 1) / 2).cast("int"))  # (n+1) div 2
+    hi = F.element_at(s, (n / 2).cast("int") + 1)  # n div 2 + 1
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            F.round(lo + (hi - lo) / 2, 4).alias("median_5"),
+        )
+        .orderBy("event_id")
+    )
+
+
+WINDOW_ROLLING_MEDIAN_ORACLE = """
+SELECT event_id, user_id,
+       round(quantile_cont(value, 0.5) OVER w, 4) AS median_5
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 def array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/map surface over the embedding column: slice, reverse-order
     element, clipped transform sum, and a (min,max) map — all JVM
@@ -969,6 +1012,7 @@ LIMIT 25
 
 
 QUERIES = {
+    "window_rolling_median": window_rolling_median,
     "join_asof": join_asof,
     "join_range_bands": join_range_bands,
     "agg_salted_twophase": agg_salted_twophase,
@@ -995,6 +1039,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_rolling_median": WINDOW_ROLLING_MEDIAN_ORACLE,
     "join_asof": JOIN_ASOF_ORACLE,
     "join_range_bands": JOIN_RANGE_ORACLE,
     "agg_salted_twophase": AGG_SALTED_ORACLE,
