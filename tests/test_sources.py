@@ -102,3 +102,37 @@ def test_idempotency_anti_join(spark, tmp_path):
     empty = materialized_keys(spark, str(tmp_path / "nope"), ["species"])
     assert empty.count() == 0
     assert pending_work(work, empty, ["species"]).count() == 3
+
+
+def test_python_datasource_species_list(spark, tmp_path):
+    """Spark-4 Python data source: format('species_list') parses the TSV on
+    executors across byte-range partitions; rows and schema must equal the
+    driver-side parser on the same payload (incl. a ragged 2-field line)."""
+    from species_range_data_pipeline_spark.sources.python_datasource import (
+        register_species_list_source,
+    )
+    from species_range_data_pipeline_spark.sources.species_list import (
+        read_species_list_text,
+    )
+
+    lines = [
+        f"abies-balsamea-{i}\tBalsam fir {i}\tAbies balsamea\tvtech"
+        for i in range(97)
+    ] + ["picea-rubens\tRed spruce"]
+    payload = "\n".join(lines) + "\n"
+    p = tmp_path / "species.tsv"
+    p.write_text(payload)
+
+    register_species_list_source(spark)
+    df = (
+        spark.read.format("species_list")
+        .option("path", str(p))
+        .option("numPartitions", "4")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() > 1
+    want_df = read_species_list_text(spark, payload)
+    assert df.schema == want_df.schema
+    got = sorted(tuple(r) for r in df.collect())
+    want = sorted(tuple(r) for r in want_df.collect())
+    assert got == want and len(got) == 98
