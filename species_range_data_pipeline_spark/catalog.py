@@ -130,6 +130,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table; parquet scan keeps pushdown + pruning."""
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        # The fixture's ts is TIMESTAMP(NANOS), which Spark refuses without
+        # this legacy conf.  get_spark sets it, but the external driver
+        # passes its OWN session — set it here so the contract holds for
+        # any caller (runtime-settable; idempotent).
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # conf locked -> the read below surfaces the real error
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long (see session.ENGINE_CONF); truncate

@@ -136,3 +136,21 @@ def test_python_datasource_species_list(spark, tmp_path):
     got = sorted(tuple(r) for r in df.collect())
     want = sorted(tuple(r) for r in want_df.collect())
     assert got == want and len(got) == 98
+
+
+def test_load_table_events_survives_foreign_session_conf(spark):
+    """The external driver passes its OWN SparkSession (without our
+    nanosAsLong conf): load_table must still read the TIMESTAMP(NANOS)
+    events fixture and convert ts to a timestamp."""
+    from species_range_data_pipeline_spark.catalog import load_table
+
+    from .conftest import SF_SMOKE
+
+    ns = spark.newSession()
+    try:
+        ns.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    except Exception:
+        pass
+    df = load_table(ns, SF_SMOKE, "events")
+    assert dict(df.dtypes)["ts"].startswith("timestamp")
+    assert df.count() > 0
