@@ -132,11 +132,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
         # The fixture's ts is TIMESTAMP(NANOS), which Spark refuses without
-        # this legacy conf.  get_spark sets it, but the external driver
-        # passes its OWN session — set it here so the contract holds for
-        # any caller (runtime-settable; idempotent).
+        # the legacy conf; and every formatted window bound assumes UTC
+        # rendering.  get_spark sets both, but the external driver passes
+        # its OWN session — set them here so the contract holds for any
+        # caller (runtime-settable; idempotent under our sessions).
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
         except Exception:
             pass  # conf locked -> the read below surfaces the real error
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -149,8 +149,12 @@ def test_load_table_events_survives_foreign_session_conf(spark):
     ns = spark.newSession()
     try:
         ns.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        ns.conf.set("spark.sql.session.timeZone", "America/New_York")
     except Exception:
         pass
     df = load_table(ns, SF_SMOKE, "events")
     assert dict(df.dtypes)["ts"].startswith("timestamp")
     assert df.count() > 0
+    # the loader restored UTC rendering, so formatted bounds match the
+    # oracle no matter what TZ the caller's session carried
+    assert ns.conf.get("spark.sql.session.timeZone") == "UTC"
