@@ -397,3 +397,49 @@ def test_ohlc_stream_matches_batch(spark, event_dir):
         for r in ev_ohlc_bars(spark, SF_SMOKE).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_available_now_restart_processes_only_new_files(spark, tmp_path):
+    """Trigger.AvailableNow + a persistent checkpoint: the restarted query
+    resumes from the source offset log and lands ONLY the file added while
+    it was down (incremental batch over a stream source — the scheduled-job
+    shape at scale)."""
+    import pyspark.sql.functions as F
+
+    src = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    half0 = src.where(F.pmod("event_id", F.lit(2)) == 0)
+    half1 = src.where(F.pmod("event_id", F.lit(2)) == 1)
+    d = tmp_path / "src"
+    d.mkdir()
+    half0.coalesce(1).write.parquet(str(tmp_path / "s0"))
+    half1.coalesce(1).write.parquet(str(tmp_path / "s1"))
+    shutil.copy(
+        next((tmp_path / "s0").glob("part-*.parquet")), d / "f0.parquet"
+    )
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = read_event_stream(spark, str(d))
+        q = (
+            stream.select("event_id")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n0 = spark.read.parquet(sink).count()
+    assert n0 == half0.count()
+
+    shutil.copy(
+        next((tmp_path / "s1").glob("part-*.parquet")), d / "f1.parquet"
+    )
+    run_once()
+    out = spark.read.parquet(sink)
+    assert out.count() == src.count()  # no reprocessing of f0
+    assert out.distinct().count() == src.count()
