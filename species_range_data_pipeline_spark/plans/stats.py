@@ -373,6 +373,34 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.unionByName(total).orderBy("nationkey")
 
 
+def sketch_cms_brand_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch frequency estimates (Spark's bundled CMS aggregate).
+
+    The frequency sibling of `sketch_hll_distinct`: one pass builds a
+    mergeable sketch of the part-brand stream (map-side partials merge like
+    any algebraic agg; sketch width is set by eps/confidence, not key
+    cardinality), then the driver probes the 25 brand keys.  Overestimates
+    only, by <= eps*N with the configured confidence — the heavy-hitters
+    screening that replaces a full groupBy when only a known key set's
+    counts are needed.  No DuckDB twin -> rows-only for the driver;
+    tests/test_plans.py bounds every estimate: exact <= est <= exact+eps*N.
+    """
+    part = load_table(spark, sf_dir, "part")
+    sk_bytes, n_rows = (
+        part.agg(
+            F.count_min_sketch("p_brand", F.lit(0.001), F.lit(0.99), F.lit(42)).alias("sk"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+    )
+    jvm = spark.sparkContext._jvm
+    sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sk_bytes)
+    )
+    brands = [f"Brand#{i}" for i in range(1, 26)]  # the fixture's domain
+    rows = [(b, int(sketch.estimateCount(b))) for b in brands]
+    return spark.createDataFrame(rows, "brand string, n_est long").orderBy("brand")
+
+
 def agg_entropy_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-concentration profile per event_type: Shannon entropy
     and Gini impurity of the per-user activity share — the screening
@@ -434,6 +462,7 @@ ORDER BY event_type
 
 
 QUERIES = {
+    "sketch_cms_brand_counts": sketch_cms_brand_counts,
     "agg_entropy_gini": agg_entropy_gini,
     "agg_bitmap_distinct": agg_bitmap_distinct,
     "sketch_hll_distinct": sketch_hll_distinct,

@@ -180,3 +180,30 @@ def test_twa_groupby_reuses_window_partitioning(spark):
     only the window's hash exchange and the final sort's range exchange."""
     plan = _plan(spark, "ev_time_weighted_avg")
     assert plan.count(") Exchange") == 2
+
+
+def test_cms_estimates_bound_exact_counts(spark):
+    """CMS never underestimates, and overestimates by <= eps*N (eps=0.001)
+    for every probed brand."""
+    from species_range_data_pipeline_spark.plans.stats import (
+        sketch_cms_brand_counts,
+    )
+
+    est = {
+        r.brand: r.n_est
+        for r in sketch_cms_brand_counts(spark, SF_CORRECT).collect()
+    }
+    part = QUERIES["q1_pricing_summary"]  # noqa: F841 (registry warm)
+    from species_range_data_pipeline_spark.catalog import load_table
+
+    pdf = load_table(spark, SF_CORRECT, "part")
+    n = pdf.count()
+    exact = {
+        r.p_brand: r.c
+        for r in pdf.groupBy("p_brand").agg(
+            __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("c")
+        ).collect()
+    }
+    assert set(exact) <= set(est)
+    for b, c in exact.items():
+        assert c <= est[b] <= c + 0.001 * n + 1
