@@ -70,3 +70,17 @@ def test_every_query_has_runnable_plan(spark):
     for name, fn in QUERIES.items():
         df = fn(spark, SF_CORRECT)
         assert df.columns, f"{name}: no columns"
+
+
+def test_rows_only_set_is_exactly_the_documented_exceptions():
+    """Every query must carry an oracle unless it is one of the five
+    documented non-SQL-expressible ops — a misregistered oracle would
+    otherwise silently weaken the driver's correctness gate to rows-only."""
+    rows_only = set(registry.all_queries()) - set(registry.all_oracles())
+    assert rows_only == {
+        "emb_kmeans",
+        "emb_near_dup_lsh",
+        "emb_pca_project",
+        "sketch_hll_distinct",
+        "sketch_cms_brand_counts",
+    }
