@@ -208,14 +208,108 @@ ORDER BY s_suppkey
 """
 
 
+def geo_haversine_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-station lookup by great-circle (haversine) distance — the
+    scalar geo-math companion to the set-based `geo_spatial_join_bin`
+    (reference's C1 computes planar area; an engine also needs spherical
+    distance).
+
+    Customers (deterministic synthetic lat/lon from custkey) x 25 nation
+    stations: the station side broadcasts, so the argmin is a map-only
+    cross product + one aggregate.  The argmin key is INTEGER METERS plus
+    station id — float ulp differences between engines sit ~9 orders below
+    a meter, so the chosen station is cross-engine deterministic (raw
+    double argmin would not be).  At 100 TB the 25-row station table is
+    the canonical broadcast; a million-station variant goes through the
+    tile-binned join instead.
+    """
+    customer = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") <= 300
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    cust = customer.select(
+        "c_custkey",
+        (F.col("c_custkey") % 120 - 60 + 0.5).alias("clat"),
+        (F.col("c_custkey") % 340 - 170 + 0.5).alias("clon"),
+    )
+    stations = nation.select(
+        "n_nationkey",
+        (F.col("n_nationkey") * 6 - 72 + 0.25).alias("slat"),
+        (F.col("n_nationkey") * 13 - 156 + 0.25).alias("slon"),
+    )
+    dist_km = (
+        F.lit(6371.0)
+        * 2
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("slat") - F.col("clat")) / 2), 2)
+                + F.cos(F.radians("clat"))
+                * F.cos(F.radians("slat"))
+                * F.pow(F.sin(F.radians(F.col("slon") - F.col("clon")) / 2), 2)
+            )
+        )
+    )
+    scored = cust.crossJoin(F.broadcast(stations)).select(
+        "c_custkey",
+        "n_nationkey",
+        F.round(dist_km * 1000).cast("long").alias("dist_m"),
+    )
+    return (
+        scored.groupBy("c_custkey")
+        .agg(
+            F.min(F.struct("dist_m", "n_nationkey")).alias("best"),
+        )
+        .select(
+            "c_custkey",
+            F.col("best.n_nationkey").alias("station"),
+            F.round(F.col("best.dist_m") / 1000.0, 1).alias("dist_km"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+GEO_HAVERSINE_ORACLE = """
+WITH cust AS (
+    SELECT c_custkey,
+           c_custkey % 120 - 60 + 0.5 AS clat,
+           c_custkey % 340 - 170 + 0.5 AS clon
+    FROM customer WHERE c_custkey <= 300
+), stations AS (
+    SELECT n_nationkey,
+           n_nationkey * 6 - 72 + 0.25 AS slat,
+           n_nationkey * 13 - 156 + 0.25 AS slon
+    FROM nation
+), scored AS (
+    SELECT c_custkey, n_nationkey,
+           CAST(round(6371.0 * 2 * asin(sqrt(
+               pow(sin(radians(slat - clat) / 2), 2)
+               + cos(radians(clat)) * cos(radians(slat))
+                 * pow(sin(radians(slon - clon) / 2), 2))) * 1000) AS BIGINT)
+             AS dist_m
+    FROM cust CROSS JOIN stations
+), ranked AS (
+    SELECT c_custkey, n_nationkey, dist_m,
+           row_number() OVER (PARTITION BY c_custkey
+                              ORDER BY dist_m, n_nationkey) AS rn
+    FROM scored
+)
+SELECT c_custkey, n_nationkey AS station,
+       round(dist_m / 1000.0, 1) AS dist_km
+FROM ranked WHERE rn = 1
+ORDER BY c_custkey
+"""
+
+
 QUERIES = {
     "geo_spatial_join_bin": geo_spatial_join_bin,
+    "geo_haversine_nearest": geo_haversine_nearest,
     "geo_dissolve_area": geo_dissolve_area,
     "geo_polygonize_components": geo_polygonize_components,
 }
 
 ORACLES = {
     "geo_spatial_join_bin": GEO_SPATIAL_JOIN_ORACLE,
+    "geo_haversine_nearest": GEO_HAVERSINE_ORACLE,
     "geo_dissolve_area": GEO_DISSOLVE_ORACLE,
     "geo_polygonize_components": GEO_POLYGONIZE_ORACLE,
 }
