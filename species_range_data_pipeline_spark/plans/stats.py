@@ -373,6 +373,93 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.unionByName(total).orderBy("nationkey")
 
 
+def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over a deterministic user split — the
+    experiment-analysis aggregate (variant = user_id parity; conversion =
+    the user clicked at least once).
+
+    One aggregate pass builds per-variant (n_users, n_converted) as exact
+    integers; the z statistic and pooled rate are closed-form floats OF
+    those integers, so both engines compute bit-identical doubles before
+    the final rounding.  Shape: groupBy(user) -> groupBy(variant) -> 1-row
+    cross of the two variants — the last two steps are dimension-sized, so
+    at 100 TB only the first aggregate touches the fact table.
+    """
+    events = load_table(spark, sf_dir, "events")
+    # conversion = clicks strictly outnumber views for the user: ~coin-flip
+    # at ANY scale factor ("has any click" saturates to 1.0 at this event
+    # density and degenerates the z denominator)
+    per_user = events.groupBy("user_id").agg(
+        (
+            F.count_if(F.col("event_type") == "click")
+            > F.count_if(F.col("event_type") == "view")
+        )
+        .cast("int")
+        .alias("converted")
+    )
+    variants = per_user.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    a = variants.where(F.col("variant") == 0).select(
+        F.col("n_users").alias("n_a"), F.col("n_converted").alias("c_a")
+    )
+    b = variants.where(F.col("variant") == 1).select(
+        F.col("n_users").alias("n_b"), F.col("n_converted").alias("c_b")
+    )
+    p_a = F.col("c_a") / F.col("n_a")
+    p_b = F.col("c_b") / F.col("n_b")
+    pooled = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(
+        pooled * (1 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    z = F.when(se > 0, (p_a - p_b) / se).otherwise(F.lit(0.0))
+    return a.crossJoin(b).select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(z, 4).alias("z_score"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )
+
+
+AB_TEST_ORACLE = """
+WITH per_user AS (
+    SELECT user_id,
+           CASE WHEN count_if(event_type = 'click') > count_if(event_type = 'view')
+                THEN 1 ELSE 0 END AS converted
+    FROM events GROUP BY user_id
+), variants AS (
+    SELECT user_id % 2 AS variant,
+           count(*) AS n_users,
+           sum(converted) AS n_converted
+    FROM per_user GROUP BY 1
+), a AS (
+    SELECT CAST(n_users AS BIGINT) n_a, CAST(n_converted AS BIGINT) c_a
+    FROM variants WHERE variant = 0
+), b AS (
+    SELECT CAST(n_users AS BIGINT) n_b, CAST(n_converted AS BIGINT) c_b
+    FROM variants WHERE variant = 1
+)
+SELECT n_a, c_a, n_b, c_b,
+       round(c_a / CAST(n_a AS DOUBLE), 6) AS rate_a,
+       round(c_b / CAST(n_b AS DOUBLE), 6) AS rate_b,
+       round(CASE WHEN se = 0 THEN 0.0 ELSE
+             (c_a / CAST(n_a AS DOUBLE) - c_b / CAST(n_b AS DOUBLE)) / se END, 4)
+           AS z_score,
+       abs(CASE WHEN se = 0 THEN 0.0 ELSE
+           (c_a / CAST(n_a AS DOUBLE) - c_b / CAST(n_b AS DOUBLE)) / se END) > 1.96
+           AS significant_95
+FROM a CROSS JOIN b,
+     LATERAL (SELECT sqrt((c_a + c_b) / CAST(n_a + n_b AS DOUBLE)
+                          * (1 - (c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
+                          * (1.0 / n_a + 1.0 / n_b)) AS se) s
+"""
+
+
 def sketch_cms_brand_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min-Sketch frequency estimates (Spark's bundled CMS aggregate).
 
@@ -462,6 +549,7 @@ ORDER BY event_type
 
 
 QUERIES = {
+    "ab_test_conversion": ab_test_conversion,
     "sketch_cms_brand_counts": sketch_cms_brand_counts,
     "agg_entropy_gini": agg_entropy_gini,
     "agg_bitmap_distinct": agg_bitmap_distinct,
@@ -476,6 +564,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ab_test_conversion": AB_TEST_ORACLE,
     "agg_entropy_gini": AGG_ENTROPY_GINI_ORACLE,
     "agg_bitmap_distinct": AGG_BITMAP_DISTINCT_ORACLE,
     "agg_stats": AGG_STATS_ORACLE,
