@@ -1,0 +1,105 @@
+"""Minimal atomic-manifest table format: snapshot-isolated parquet tables.
+
+The reference's sink is full-replace `to_postgis` (K1,
+``species_range_etl.py:230-236``) — readers can observe a half-loaded
+table.  Real table formats (Delta/Iceberg, unavailable in this
+environment) fix that with a commit log; this module implements the core
+of that protocol in ~100 lines, enough to give the engine:
+
+- **atomic commits**: data files land first, then a JSON manifest listing
+  the table's LIVE files is published with an atomic ``os.rename``.  A
+  reader either sees the old manifest or the new one — never a partial
+  write.  A writer that dies before publishing leaves only orphan data
+  files, which no reader will ever list (compaction can GC them).
+- **snapshot isolation / time travel**: every commit is a new immutable
+  version ``vN.json``; ``read_manifest_table(..., version=N)`` reproduces
+  any historical state exactly.
+- **append and overwrite**: append = previous live set + new files;
+  overwrite = new files only.  Either way old data files are untouched
+  (versions stay readable).
+
+On object storage the same design holds with put-if-absent in place of
+rename — which is precisely Delta's LogStore contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "_manifest"
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, _MANIFEST_DIR)
+
+
+def table_versions(path: str) -> list[int]:
+    mdir = _manifest_path(path)
+    if not os.path.isdir(mdir):
+        return []
+    return sorted(
+        int(f[1:-5])
+        for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+
+
+def _live_files(path: str, version: int) -> list[str]:
+    with open(os.path.join(_manifest_path(path), f"v{version}.json")) as fh:
+        return json.load(fh)["files"]
+
+
+def write_manifest_table(df: DataFrame, path: str, mode: str = "append") -> int:
+    """Commit ``df`` to the manifest table at ``path``; returns the new
+    version number."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError("mode must be append or overwrite")
+    spark = df.sparkSession
+    os.makedirs(_manifest_path(path), exist_ok=True)
+    # 1. land data files in a commit-unique staging dir (uncommitted until
+    #    the manifest rename below)
+    commit_id = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(path, f"data_{commit_id}")
+    df.write.parquet(data_dir)
+    new_files = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    # 2. compose the next live set
+    versions = table_versions(path)
+    current = versions[-1] if versions else -1
+    files = new_files if mode == "overwrite" or current < 0 else (
+        _live_files(path, current) + new_files
+    )
+    # 3. publish atomically: tmp file + rename in the same directory
+    version = current + 1
+    tmp = os.path.join(_manifest_path(path), f".tmp_{commit_id}")
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "files": files, "schema": df.schema.json()}, fh)
+    final = os.path.join(_manifest_path(path), f"v{version}.json")
+    if os.path.exists(final):  # lost a concurrent commit race
+        os.remove(tmp)
+        raise RuntimeError(f"concurrent commit for v{version}; retry")
+    os.rename(tmp, final)
+    return version
+
+
+def read_manifest_table(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read the table's snapshot at ``version`` (default: latest)."""
+    versions = table_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed version at {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    files = _live_files(path, v)
+    if not files:
+        raise ValueError(f"version {v} is empty")
+    return spark.read.parquet(*files)

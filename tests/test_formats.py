@@ -216,3 +216,35 @@ def test_dynamic_partition_pruning_on_hive_layout(spark, tmp_path):
         j.explain("formatted")
     assert "dynamicpruningexpression" in buf.getvalue()
     assert j.collect()[0]["cls"] == "fast"
+
+
+def test_manifest_table_snapshots_and_crash_isolation(spark, tmp_path):
+    """Atomic-manifest table: append/overwrite commits version snapshots
+    readable forever (time travel); data files landed WITHOUT a manifest
+    commit (writer crash) are invisible to every reader."""
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        read_manifest_table,
+        table_versions,
+        write_manifest_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    df1 = spark.range(0, 100).selectExpr("id", "id * 2 AS v")
+    df2 = spark.range(100, 150).selectExpr("id", "id * 2 AS v")
+
+    assert write_manifest_table(df1, path, "append") == 0
+    assert write_manifest_table(df2, path, "append") == 1
+    assert read_manifest_table(spark, path).count() == 150
+    assert read_manifest_table(spark, path, version=0).count() == 100
+
+    # overwrite commits a new live set but old versions stay readable
+    df3 = spark.range(0, 7).selectExpr("id", "id * 2 AS v")
+    assert write_manifest_table(df3, path, "overwrite") == 2
+    assert read_manifest_table(spark, path).count() == 7
+    assert read_manifest_table(spark, path, version=1).count() == 150
+
+    # simulate a writer that died after landing data, before committing
+    orphan = tmp_path / "tbl" / "data_deadbeef0000"
+    spark.range(0, 999).write.parquet(str(orphan))
+    assert read_manifest_table(spark, path).count() == 7  # still invisible
+    assert table_versions(path) == [0, 1, 2]
