@@ -53,11 +53,33 @@ def _live_files(path: str, version: int) -> list[str]:
         return json.load(fh)["files"]
 
 
-def write_manifest_table(df: DataFrame, path: str, mode: str = "append") -> int:
+def last_committed_txn(path: str) -> int:
+    """Highest streaming batch id ever committed (-1 if none) — the `txn`
+    half of exactly-once streaming writes."""
+    versions = table_versions(path)
+    if not versions:
+        return -1
+    with open(
+        os.path.join(_manifest_path(path), f"v{versions[-1]}.json")
+    ) as fh:
+        return json.load(fh).get("txn", -1)
+
+
+def write_manifest_table(
+    df: DataFrame, path: str, mode: str = "append", txn: int | None = None
+) -> int:
     """Commit ``df`` to the manifest table at ``path``; returns the new
-    version number."""
+    version number.
+
+    ``txn`` (monotone writer batch id) makes streaming writes idempotent:
+    a commit whose txn is <= the last committed txn is a replay and
+    becomes a NO-OP returning the current version — exactly Delta's
+    transactional-writer contract, carried in the manifest itself.
+    """
     if mode not in ("append", "overwrite"):
         raise ValueError("mode must be append or overwrite")
+    if txn is not None and txn <= last_committed_txn(path):
+        return table_versions(path)[-1]
     spark = df.sparkSession
     os.makedirs(_manifest_path(path), exist_ok=True)
     # 1. land data files in a commit-unique staging dir (uncommitted until
@@ -79,8 +101,10 @@ def write_manifest_table(df: DataFrame, path: str, mode: str = "append") -> int:
     # 3. publish atomically: tmp file + rename in the same directory
     version = current + 1
     tmp = os.path.join(_manifest_path(path), f".tmp_{commit_id}")
+    meta = {"version": version, "files": files, "schema": df.schema.json()}
+    meta["txn"] = txn if txn is not None else last_committed_txn(path)
     with open(tmp, "w") as fh:
-        json.dump({"version": version, "files": files, "schema": df.schema.json()}, fh)
+        json.dump(meta, fh)
     final = os.path.join(_manifest_path(path), f"v{version}.json")
     if os.path.exists(final):  # lost a concurrent commit race
         os.remove(tmp)
@@ -103,3 +127,20 @@ def read_manifest_table(
     if not files:
         raise ValueError(f"version {v} is empty")
     return spark.read.parquet(*files)
+
+
+def write_stream_manifest(query_df: DataFrame, path: str, checkpoint_dir: str):
+    """Structured Streaming sink over the manifest table: each microbatch
+    commits with txn=batch_id, so a batch replayed after a crash between
+    commit and checkpoint is a no-op — exactly-once table state from an
+    at-least-once source, end to end."""
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        write_manifest_table(batch_df, path, "append", txn=int(batch_id))
+
+    return (
+        query_df.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

@@ -248,3 +248,45 @@ def test_manifest_table_snapshots_and_crash_isolation(spark, tmp_path):
     spark.range(0, 999).write.parquet(str(orphan))
     assert read_manifest_table(spark, path).count() == 7  # still invisible
     assert table_versions(path) == [0, 1, 2]
+
+
+def test_manifest_stream_sink_exactly_once_on_replay(spark, tmp_path):
+    """Streaming commits carry txn=batch_id: re-running the committed batch
+    (crash between manifest commit and checkpoint ack) adds nothing."""
+    import shutil as sh
+
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        last_committed_txn,
+        read_manifest_table,
+        write_manifest_table,
+        write_stream_manifest,
+    )
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    sh.copy(f"{SF_SMOKE}/events.parquet", src_dir / "a.parquet")
+    import pyspark.sql.types as T
+
+    schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(str(src_dir))
+    path = str(tmp_path / "tbl")
+    q = write_stream_manifest(
+        stream.select("event_id", "user_id"), path, str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    base = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert read_manifest_table(spark, path).count() == base
+    assert last_committed_txn(path) == 0
+
+    # replay batch 0 manually (same txn) -> no-op, same version
+    batch0 = spark.read.parquet(str(src_dir / "a.parquet")).select(
+        "event_id", "user_id"
+    )
+    v = write_manifest_table(batch0, path, "append", txn=0)
+    assert read_manifest_table(spark, path).count() == base
+    # a NEW txn does append
+    v2 = write_manifest_table(batch0, path, "append", txn=1)
+    assert v2 == v + 1
+    assert read_manifest_table(spark, path).count() == 2 * base
