@@ -80,7 +80,6 @@ def write_manifest_table(
         raise ValueError("mode must be append or overwrite")
     if txn is not None and txn <= last_committed_txn(path):
         return table_versions(path)[-1]
-    spark = df.sparkSession
     os.makedirs(_manifest_path(path), exist_ok=True)
     # 1. land data files in a commit-unique staging dir (uncommitted until
     #    the manifest rename below)
