@@ -81,7 +81,11 @@ def main() -> None:
         if fn is None:
             continue
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # one broken query must not kill the run
+            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
 
     # sf parsed from the dir name (sf0.1 -> 0.1); fall back to the raw string.
