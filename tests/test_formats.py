@@ -290,3 +290,17 @@ def test_manifest_stream_sink_exactly_once_on_replay(spark, tmp_path):
     v2 = write_manifest_table(batch0, path, "append", txn=1)
     assert v2 == v + 1
     assert read_manifest_table(spark, path).count() == 2 * base
+
+
+def test_manifest_version_delta_reads_only_new_rows(spark, tmp_path):
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        read_version_delta,
+        write_manifest_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_manifest_table(spark.range(0, 100).selectExpr("id"), path)
+    write_manifest_table(spark.range(100, 130).selectExpr("id"), path)
+    delta = read_version_delta(spark, path, 0)
+    assert delta.count() == 30
+    assert delta.agg({"id": "min"}).collect()[0][0] == 100
