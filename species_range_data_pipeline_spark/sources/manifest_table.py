@@ -128,6 +128,34 @@ def read_manifest_table(
     return spark.read.parquet(*files)
 
 
+def vacuum_manifest_table(path: str, keep_versions: int = 1) -> int:
+    """GC: retain the newest ``keep_versions`` manifests, delete every data
+    file no retained version references — including crash orphans that no
+    manifest ever listed.  Returns the number of files removed.  Time
+    travel is bounded by the retention window after this, exactly like
+    VACUUM on a real table format."""
+    import glob
+
+    versions = table_versions(path)
+    if not versions:
+        return 0
+    kept, dropped = versions[-keep_versions:], versions[:-keep_versions]
+    live: set[str] = set()
+    for v in kept:
+        live.update(_live_files(path, v))
+    removed = 0
+    for f in glob.glob(os.path.join(path, "data_*", "*.parquet")):
+        if f not in live:
+            os.remove(f)
+            removed += 1
+    for d in glob.glob(os.path.join(path, "data_*")):
+        if not os.listdir(d):
+            os.rmdir(d)
+    for v in dropped:
+        os.remove(os.path.join(_manifest_path(path), f"v{v}.json"))
+    return removed
+
+
 def read_version_delta(
     spark: SparkSession, path: str, from_version: int, to_version: int | None = None
 ) -> DataFrame:

@@ -304,3 +304,23 @@ def test_manifest_version_delta_reads_only_new_rows(spark, tmp_path):
     delta = read_version_delta(spark, path, 0)
     assert delta.count() == 30
     assert delta.agg({"id": "min"}).collect()[0][0] == 100
+
+
+def test_manifest_vacuum_removes_orphans_keeps_live(spark, tmp_path):
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        read_manifest_table,
+        table_versions,
+        vacuum_manifest_table,
+        write_manifest_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_manifest_table(spark.range(0, 50).selectExpr("id"), path)
+    write_manifest_table(spark.range(50, 60).selectExpr("id"), path, "overwrite")
+    # crash orphan: data landed, never committed
+    spark.range(0, 99).write.parquet(str(tmp_path / "tbl" / "data_orphan00001"))
+
+    removed = vacuum_manifest_table(path, keep_versions=1)
+    assert removed > 0
+    assert table_versions(path) == [1]
+    assert read_manifest_table(spark, path).count() == 10  # live data intact
