@@ -731,6 +731,84 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram cross-entropy (perplexity filter): average
+    -log2 P(w2|w1) under the corpus LM — the classic quality gate (a doc
+    whose text surprises the corpus model is noise; one that's too
+    predictable is boilerplate).
+
+    Self-scoring against the corpus LM means every document bigram exists
+    in the model (no smoothing term to keep cross-engine deterministic).
+    The LM probability is an exact rational (bigram/prefix counts), so
+    both engines take log2 of IDENTICAL doubles; only the per-doc sum
+    order differs (~1e-13), rounded away at 3 decimals.  Plan: the same
+    two token shuffles as `text_bigram_lm` plus a doc-bigram aggregate;
+    the LM join moves aggregated counts only.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.posexplode(_tokens()).alias("pos", "w1"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = toks.withColumn("w2", F.lead("w1").over(w)).where(
+        F.col("w2").isNotNull()
+    )
+    doc_bigrams = pairs.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    corpus = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_bigram"))
+    prefix = corpus.groupBy("w1").agg(F.sum("n_bigram").alias("n_prefix"))
+    lm = corpus.join(F.broadcast(prefix), "w1").select(
+        "w1", "w2", (F.col("n_bigram") / F.col("n_prefix")).alias("p")
+    )
+    return (
+        doc_bigrams.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").alias("n_bigrams"),
+            F.round(
+                F.sum(-F.col("m") * F.log2("p")) / F.sum("m"), 3
+            ).alias("avg_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_PERPLEXITY_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+    FROM documents
+), seq AS (
+    SELECT doc_id, unnest(t) AS w1,
+           unnest(generate_series(1, len(t))) AS pos
+    FROM toks
+), pairs AS (
+    SELECT doc_id, w1,
+           lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM seq
+), pb AS (
+    SELECT doc_id, w1, w2, count(*) AS m
+    FROM pairs WHERE w2 IS NOT NULL GROUP BY 1, 2, 3
+), corpus AS (
+    SELECT w1, w2, count(*) AS n_bigram
+    FROM pairs WHERE w2 IS NOT NULL GROUP BY 1, 2
+), prefix AS (
+    SELECT w1, sum(n_bigram) AS n_prefix FROM corpus GROUP BY 1
+), lm AS (
+    SELECT c.w1, c.w2,
+           CAST(c.n_bigram AS DOUBLE) / CAST(p.n_prefix AS DOUBLE) AS p
+    FROM corpus c JOIN prefix p USING (w1)
+)
+SELECT doc_id,
+       CAST(sum(m) AS BIGINT) AS n_bigrams,
+       round(sum(-m * log2(p)) / CAST(sum(m) AS DOUBLE), 3) AS avg_bits
+FROM pb JOIN lm USING (w1, w2)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 TEXT_BIGRAM_ORACLE = """
 WITH toks AS (
     SELECT doc_id,
@@ -1077,6 +1155,7 @@ ORDER BY doc_id
 QUERIES = {
     "text_decontaminate": text_decontaminate,
     "text_repetition": text_repetition,
+    "text_perplexity": text_perplexity,
     "text_token_count": text_token_count,
     "text_bm25_topk": text_bm25_topk,
     "text_chunk_udtf": text_chunk_udtf,
@@ -1097,6 +1176,7 @@ QUERIES = {
 ORACLES = {
     "text_decontaminate": TEXT_DECONTAMINATE_ORACLE,
     "text_repetition": TEXT_REPETITION_ORACLE,
+    "text_perplexity": TEXT_PERPLEXITY_ORACLE,
     "text_token_count": TEXT_TOKEN_COUNT_ORACLE,
     "text_bm25_topk": TEXT_BM25_ORACLE,
     "text_chunk_udtf": TEXT_CHUNK_ORACLE,
