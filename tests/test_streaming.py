@@ -443,3 +443,71 @@ def test_available_now_restart_processes_only_new_files(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == src.count()  # no reprocessing of f0
     assert out.distinct().count() == src.count()
+
+
+def test_watermark_drops_too_late_events(spark, tmp_path):
+    """Late-data semantics: after batch 1 advances the watermark to
+    (max_ts - 1h), a batch-2 event older than the watermark is DROPPED
+    from its (closed) window, while a late-but-within-watermark event is
+    still counted.  Uses append mode so only finalized windows emit."""
+    import pyspark.sql.functions as F
+
+    def mk(path, rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts_s long, user_id long, event_type string, value double, props string"
+        ).select(
+            "event_id",
+            (F.col("ts_s") * 1000000000).alias("ts"),  # nanos-as-long schema
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        ).coalesce(1).write.parquet(path)
+
+    T0 = 1_700_000_000  # epoch seconds, on the hour? make it exact hour:
+    T0 = T0 - (T0 % 3600)
+    stage = tmp_path / "stage"
+    # batch 1: events 10:00-13:00 -> watermark after batch = 13:00 - 1h
+    mk(str(stage / "b1"), [
+        (1, T0 + 600, 1, "click", 1.0, "{}"),        # window T0
+        (2, T0 + 3 * 3600, 1, "click", 1.0, "{}"),   # window T0+3h (max ts)
+    ])
+    # batch 2: one event in window T0 (beyond watermark -> dropped), one in
+    # window T0+2h (within watermark... T0+2h30 > 13:00-1h=12:00 -> kept)
+    mk(str(stage / "b2"), [
+        (3, T0 + 1800, 1, "click", 1.0, "{}"),            # too late, dropped
+        (4, T0 + 2 * 3600 + 1800, 1, "click", 1.0, "{}"), # late but allowed
+        (5, T0 + 4 * 3600, 1, "click", 1.0, "{}"),        # advances watermark
+    ])
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(next((stage / "b1").glob("part-*.parquet")), src / "f0.parquet")
+
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_demo")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # deliver batch 2 into the SAME query (watermark state persists)
+    shutil.copy(next((stage / "b2").glob("part-*.parquet")), src / "f1.parquet")
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r.ws: r.n for r in spark.sql("SELECT * FROM late_demo").collect()}
+    from datetime import datetime, timezone
+
+    def ws(sec):
+        return datetime.fromtimestamp(sec, tz=timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+
+    assert got.get(ws(T0)) == 1, got          # late event 3 NOT counted
+    assert got.get(ws(T0 + 2 * 3600)) == 1, got  # event 4 counted
