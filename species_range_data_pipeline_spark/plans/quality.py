@@ -269,7 +269,62 @@ ORDER BY event_type
 """
 
 
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-class downsampling: every event_type keeps exactly
+    min-class-size rows, chosen by a deterministic hash rank — the
+    class-rebalancing step before training on skewed labels.
+
+    Determinism discipline (same as `sample_stratified`): the rank key is
+    md5(event_id) — identical bytes in both engines — so the SELECTED SET
+    is engine-reproducible, not just its size; the oracle checks an id-sum
+    checksum of the actual selection.  Plan: one count aggregate (tiny,
+    broadcast), one rank window per class, one filter — the window is the
+    only fact-table shuffle.
+    """
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    sizes = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    k = sizes.agg(F.min("n").alias("k"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    ranked = events.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.crossJoin(F.broadcast(k))
+        .where(F.col("rn") <= F.col("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("event_id").alias("id_checksum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SAMPLE_BALANCED_ORACLE = """
+WITH k AS (
+    SELECT min(n) AS k FROM (
+        SELECT event_type, count(*) AS n FROM events GROUP BY 1)
+), ranked AS (
+    SELECT event_type, event_id,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY md5(CAST(event_id AS VARCHAR)), event_id)
+               AS rn
+    FROM events
+)
+SELECT event_type,
+       count(*) AS n_kept,
+       CAST(sum(event_id) AS BIGINT) AS id_checksum
+FROM ranked, k
+WHERE rn <= k.k
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "sample_balanced_classes": sample_balanced_classes,
     "sample_stratified": sample_stratified,
     "profile_orders": profile_orders,
     "dq_checks": dq_checks,
@@ -277,6 +332,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sample_balanced_classes": SAMPLE_BALANCED_ORACLE,
     "sample_stratified": SAMPLE_STRATIFIED_ORACLE,
     "profile_orders": PROFILE_ORDERS_ORACLE,
     "dq_checks": DQ_CHECKS_ORACLE,
