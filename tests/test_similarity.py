@@ -52,3 +52,20 @@ def test_pandas_topk_matches_expression_topk(spark):
         for r in cosine_topk(spark, SF_CORRECT).collect()
     ]
     assert got == want
+
+
+def test_map_in_arrow_norms_match_jvm(spark):
+    """The mapInArrow lane computes the same norms as the JVM fold
+    expression (plans/vectors.emb_norms) on the fixture embeddings."""
+    from species_range_data_pipeline_spark.catalog import load_table
+    from species_range_data_pipeline_spark.operators.similarity import (
+        norms_map_in_arrow,
+    )
+    from species_range_data_pipeline_spark.plans.vectors import emb_norms
+
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = {r.vec_id: r.l2_norm for r in norms_map_in_arrow(emb).collect()}
+    want = {r.vec_id: r.l2_norm for r in emb_norms(spark, SF_SMOKE).collect()}
+    assert got == want and len(got) > 0
