@@ -324,3 +324,24 @@ def test_manifest_vacuum_removes_orphans_keeps_live(spark, tmp_path):
     assert removed > 0
     assert table_versions(path) == [1]
     assert read_manifest_table(spark, path).count() == 10  # live data intact
+
+
+def test_manifest_concurrent_commit_loses_cleanly(spark, tmp_path, monkeypatch):
+    """A writer holding a STALE view of the version log (another writer
+    committed meanwhile) must raise instead of clobbering the newer
+    manifest, leaving all committed state intact."""
+    from species_range_data_pipeline_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    mt.write_manifest_table(spark.range(0, 10).selectExpr("id"), path)
+    mt.write_manifest_table(spark.range(10, 30).selectExpr("id"), path)  # v1
+
+    real = mt.table_versions
+    monkeypatch.setattr(mt, "table_versions", lambda p: [0])  # stale: unaware of v1
+    try:
+        with pytest.raises(RuntimeError, match="concurrent"):
+            mt.write_manifest_table(spark.range(99, 100).selectExpr("id"), path)
+    finally:
+        monkeypatch.setattr(mt, "table_versions", real)
+    assert mt.read_manifest_table(spark, path).count() == 30  # v1 untouched
+    assert mt.table_versions(path) == [0, 1]
