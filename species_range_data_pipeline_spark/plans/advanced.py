@@ -456,6 +456,60 @@ ORDER BY event_id
 """
 
 
+def window_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly flag: each event scored against the
+    mean/stddev of its user's previous 10-row frame — the streaming-style
+    outlier gate expressed as a batch window (windowed STDDEV is the one
+    moment the frame family hadn't exercised; `dq_outliers_iqr` is the
+    global-quantile sibling).
+
+    Determinism: z is rounded to 3 decimals in BOTH engines and the flag
+    is derived from the ROUNDED value, so a cross-engine stddev ulp can't
+    flip the boolean without also changing the printed z.  Frames shorter
+    than 3 rows emit NULL-free zeros (no stable estimate -> not anomalous).
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    n = F.count(F.lit(1)).over(w)
+    z = F.when(
+        (n >= 3) & (sd > 0), F.round((F.col("value") - mu) / sd, 3)
+    ).otherwise(F.lit(0.0))
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            F.round("value", 2).alias("value"),
+            z.alias("z_score"),
+            (F.abs(z) > 3).alias("anomaly"),
+        )
+        .orderBy("event_id")
+    )
+
+
+WINDOW_ANOMALY_ORACLE = """
+WITH scored AS (
+    SELECT event_id, user_id, value,
+           CASE WHEN count(*) OVER w >= 3 AND stddev_samp(value) OVER w > 0
+                THEN round((value - avg(value) OVER w)
+                           / stddev_samp(value) OVER w, 3)
+                ELSE 0.0 END AS z_score
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, round(value, 2) AS value, z_score,
+       abs(z_score) > 3 AS anomaly
+FROM scored
+ORDER BY event_id
+"""
+
+
 def array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/map surface over the embedding column: slice, reverse-order
     element, clipped transform sum, and a (min,max) map — all JVM
@@ -1013,6 +1067,7 @@ LIMIT 25
 
 QUERIES = {
     "window_rolling_median": window_rolling_median,
+    "window_anomaly_zscore": window_anomaly_zscore,
     "join_asof": join_asof,
     "join_range_bands": join_range_bands,
     "agg_salted_twophase": agg_salted_twophase,
@@ -1040,6 +1095,7 @@ QUERIES = {
 
 ORACLES = {
     "window_rolling_median": WINDOW_ROLLING_MEDIAN_ORACLE,
+    "window_anomaly_zscore": WINDOW_ANOMALY_ORACLE,
     "join_asof": JOIN_ASOF_ORACLE,
     "join_range_bands": JOIN_RANGE_ORACLE,
     "agg_salted_twophase": AGG_SALTED_ORACLE,
