@@ -205,22 +205,30 @@ def norms_map_in_arrow(emb):
     above) > row UDFs (never).  Used when the kernel needs numpy but the
     grouping machinery of applyInPandas doesn't apply.
     """
-    import numpy as np
-    import pyarrow as pa
-
     def fn(batches):
         for batch in batches:
-            vec_id = batch.column("vec_id")
-            col = batch.column("embedding")
-            arr = col.values.to_numpy(zero_copy_only=False)
-            n = len(col)
-            mat = arr.reshape(n, -1) if n else arr.reshape(0, 1)
-            norms = np.sqrt((mat.astype("float64") ** 2).sum(axis=1))
-            yield pa.RecordBatch.from_arrays(
-                [vec_id, pa.array(np.round(norms, 6), type=pa.float64())],
-                ["vec_id", "l2_norm"],
-            )
+            yield _norms_batch_kernel(batch)
 
     return emb.select("vec_id", "embedding").mapInArrow(
         fn, "vec_id long, l2_norm double"
+    )
+
+
+def _norms_batch_kernel(batch):
+    """Per-batch norm kernel, module-level so the sliced-batch case is unit
+    testable.  ``flatten()`` is slice-offset-aware; ``.values`` would return
+    the FULL child buffer of a sliced ListArray and misalign norms with
+    vec_ids."""
+    import numpy as np
+    import pyarrow as pa
+
+    vec_id = batch.column("vec_id")
+    col = batch.column("embedding")
+    arr = col.flatten().to_numpy(zero_copy_only=False)
+    n = len(col)
+    mat = arr.reshape(n, -1) if n else arr.reshape(0, 1)
+    norms = np.sqrt((mat.astype("float64") ** 2).sum(axis=1))
+    return pa.RecordBatch.from_arrays(
+        [vec_id, pa.array(np.round(norms, 6), type=pa.float64())],
+        ["vec_id", "l2_norm"],
     )

@@ -477,8 +477,12 @@ def window_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     mu = F.avg("value").over(w)
     sd = F.stddev_samp("value").over(w)
     n = F.count(F.lit(1)).over(w)
+    # `+ 0.0` collapses IEEE -0.0 to +0.0 (round can emit -0.0 for tiny
+    # negative z; DuckDB and Spark disagree on the sign, and the driver
+    # stringifies before hashing, so -0.0 vs 0.0 is a hash mismatch even
+    # though the values compare equal).  Same normalization in the oracle.
     z = F.when(
-        (n >= 3) & (sd > 0), F.round((F.col("value") - mu) / sd, 3)
+        (n >= 3) & (sd > 0), F.round((F.col("value") - mu) / sd, 3) + F.lit(0.0)
     ).otherwise(F.lit(0.0))
     return (
         events.select(
@@ -497,7 +501,7 @@ WITH scored AS (
     SELECT event_id, user_id, value,
            CASE WHEN count(*) OVER w >= 3 AND stddev_samp(value) OVER w > 0
                 THEN round((value - avg(value) OVER w)
-                           / stddev_samp(value) OVER w, 3)
+                           / stddev_samp(value) OVER w, 3) + 0.0
                 ELSE 0.0 END AS z_score
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id

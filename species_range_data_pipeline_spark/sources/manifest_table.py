@@ -105,10 +105,18 @@ def write_manifest_table(
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
     final = os.path.join(_manifest_path(path), f"v{version}.json")
-    if os.path.exists(final):  # lost a concurrent commit race
+    # Atomic put-if-absent: os.link refuses to replace an existing target
+    # (unlike os.rename, which would silently clobber a concurrent winner's
+    # manifest and drop its files from the table).  The loser of a race gets
+    # FileExistsError on the SAME syscall that would publish — no
+    # check-then-act window.  On object storage this is the put-if-absent
+    # half of Delta's LogStore contract.
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
         os.remove(tmp)
-        raise RuntimeError(f"concurrent commit for v{version}; retry")
-    os.rename(tmp, final)
+        raise RuntimeError(f"concurrent commit for v{version}; retry") from None
+    os.remove(tmp)
     return version
 
 
@@ -128,13 +136,24 @@ def read_manifest_table(
     return spark.read.parquet(*files)
 
 
-def vacuum_manifest_table(path: str, keep_versions: int = 1) -> int:
+def vacuum_manifest_table(
+    path: str, keep_versions: int = 1, retention_seconds: float = 3600.0
+) -> int:
     """GC: retain the newest ``keep_versions`` manifests, delete every data
     file no retained version references — including crash orphans that no
     manifest ever listed.  Returns the number of files removed.  Time
     travel is bounded by the retention window after this, exactly like
-    VACUUM on a real table format."""
+    VACUUM on a real table format.
+
+    ``retention_seconds`` guards in-flight commits: a writer that has landed
+    data files but not yet published its manifest is invisible to the live
+    set, and deleting its files would let it publish a manifest pointing at
+    nothing.  Only unreferenced files whose mtime is older than the
+    retention window are removed — Delta VACUUM's retention semantics.
+    Pass 0 only when no concurrent writer can exist (tests, single-process
+    batch)."""
     import glob
+    import time
 
     versions = table_versions(path)
     if not versions:
@@ -144,8 +163,9 @@ def vacuum_manifest_table(path: str, keep_versions: int = 1) -> int:
     for v in kept:
         live.update(_live_files(path, v))
     removed = 0
+    cutoff = time.time() - retention_seconds
     for f in glob.glob(os.path.join(path, "data_*", "*.parquet")):
-        if f not in live:
+        if f not in live and os.path.getmtime(f) <= cutoff:
             os.remove(f)
             removed += 1
     for d in glob.glob(os.path.join(path, "data_*")):

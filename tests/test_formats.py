@@ -320,7 +320,12 @@ def test_manifest_vacuum_removes_orphans_keeps_live(spark, tmp_path):
     # crash orphan: data landed, never committed
     spark.range(0, 99).write.parquet(str(tmp_path / "tbl" / "data_orphan00001"))
 
-    removed = vacuum_manifest_table(path, keep_versions=1)
+    # Default retention refuses to touch fresh unreferenced files — an
+    # in-flight writer's landed-but-uncommitted data must survive vacuum.
+    assert vacuum_manifest_table(path, keep_versions=1) == 0
+    assert read_manifest_table(spark, path).count() == 10
+
+    removed = vacuum_manifest_table(path, keep_versions=1, retention_seconds=0)
     assert removed > 0
     assert table_versions(path) == [1]
     assert read_manifest_table(spark, path).count() == 10  # live data intact

@@ -32,6 +32,12 @@ def _normalize(rows, columns):
             if isinstance(v, float):
                 if math.isnan(v):
                     v = "NaN"
+                elif v == 0.0 and math.copysign(1.0, v) < 0:
+                    # The driver stringifies before hashing, so -0.0 and 0.0
+                    # hash differently even though they compare equal.  Keep
+                    # them distinct here so the local gate catches what the
+                    # driver's hash catches (the window_anomaly_zscore class).
+                    v = "-0.0"
                 else:
                     v = round(v, 6)
             vals.append(v)

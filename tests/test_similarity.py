@@ -69,3 +69,31 @@ def test_map_in_arrow_norms_match_jvm(spark):
     got = {r.vec_id: r.l2_norm for r in norms_map_in_arrow(emb).collect()}
     want = {r.vec_id: r.l2_norm for r in emb_norms(spark, SF_SMOKE).collect()}
     assert got == want and len(got) > 0
+
+
+def test_arrow_norm_kernel_handles_sliced_batches():
+    """A sliced RecordBatch carries a nonzero offset on the list column;
+    ``.values`` ignores it (full child buffer) while ``flatten()`` honors
+    it.  The kernel must produce norms aligned with the SLICED vec_ids."""
+    import math
+
+    import pyarrow as pa
+
+    from species_range_data_pipeline_spark.operators.similarity import (
+        _norms_batch_kernel,
+    )
+
+    full = pa.RecordBatch.from_arrays(
+        [
+            pa.array([1, 2, 3, 4], type=pa.int64()),
+            pa.array(
+                [[3.0, 4.0], [6.0, 8.0], [5.0, 12.0], [8.0, 15.0]],
+                type=pa.list_(pa.float32()),
+            ),
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = _norms_batch_kernel(full.slice(2))  # rows 3 and 4 only
+    assert out.column("vec_id").to_pylist() == [3, 4]
+    norms = out.column("l2_norm").to_pylist()
+    assert math.isclose(norms[0], 13.0) and math.isclose(norms[1], 17.0)
