@@ -1,0 +1,300 @@
+"""GeoTIFF decode/encode: pure-struct parser for uncompressed single-band
+rasters, no GDAL.
+
+The reference converts ASCII grids to GeoTIFF with GDAL and then reads the
+`.tif` back (T3, ``species_range_etl.py:87-92``); a user of the reference
+therefore has GeoTIFF artifacts on disk.  This module lets the engine ingest
+(and produce) those files directly: a classic-TIFF IFD walk + the three
+GeoTIFF georeferencing tags, decoding to the SAME long-format cell rows as
+the ASCII lane (``raster.py:CELL_SCHEMA``), so everything downstream
+(threshold filter, polygonize, dissolve) is format-agnostic.
+
+Scope — the subset GDAL's default ``CreateCopy`` emits for small grids, which
+is what the reference produces: classic TIFF (little or big endian), single
+band, uncompressed strips, 32/64-bit IEEE float or 8-32-bit integer samples,
+``ModelPixelScale`` + ``ModelTiepoint`` georeferencing, ``GDAL_NODATA``.
+Tiled, compressed, BigTIFF, or multi-band files raise ``ValueError`` into the
+error side-channel — loud, never silent.
+
+Scale note: decode runs inside ``mapInPandas`` over a ``binaryFile`` scan —
+one task per file group, no driver involvement, same shape as the zip lane.
+A 100 TB raster archive decodes as wide as the cluster.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from .raster import CELL_SCHEMA
+
+# TIFF field types -> (struct fmt char, byte size)
+_TYPES = {
+    1: ("B", 1),   # BYTE
+    2: ("c", 1),   # ASCII
+    3: ("H", 2),   # SHORT
+    4: ("I", 4),   # LONG
+    8: ("h", 2),   # SSHORT
+    9: ("i", 4),   # SLONG
+    11: ("f", 4),  # FLOAT
+    12: ("d", 8),  # DOUBLE
+}
+
+_TAG_WIDTH = 256
+_TAG_HEIGHT = 257
+_TAG_BITS = 258
+_TAG_COMPRESSION = 259
+_TAG_STRIP_OFFSETS = 273
+_TAG_SAMPLES_PER_PIXEL = 277
+_TAG_ROWS_PER_STRIP = 278
+_TAG_STRIP_BYTE_COUNTS = 279
+_TAG_TILE_WIDTH = 322
+_TAG_SAMPLE_FORMAT = 339
+_TAG_MODEL_PIXEL_SCALE = 33550
+_TAG_MODEL_TIEPOINT = 33922
+_TAG_GDAL_NODATA = 42113
+
+_SAMPLE_UINT, _SAMPLE_INT, _SAMPLE_FLOAT = 1, 2, 3
+
+
+def _read_ifd(content: bytes, bo: str, offset: int) -> dict[int, list]:
+    """One IFD -> {tag: [values...]}; out-of-line values are followed."""
+    (n_entries,) = struct.unpack_from(bo + "H", content, offset)
+    fields: dict[int, list] = {}
+    for i in range(n_entries):
+        base = offset + 2 + 12 * i
+        tag, ftype, count = struct.unpack_from(bo + "HHI", content, base)
+        if ftype not in _TYPES:
+            continue  # unknown type: spec says skip
+        fmt, size = _TYPES[ftype]
+        total = size * count
+        if total <= 4:
+            where = base + 8
+        else:
+            (where,) = struct.unpack_from(bo + "I", content, base + 8)
+        if ftype == 2:  # ASCII: NUL-terminated string
+            raw = content[where : where + count]
+            fields[tag] = [raw.split(b"\x00", 1)[0].decode("ascii", "replace")]
+        else:
+            fields[tag] = list(
+                struct.unpack_from(bo + fmt * count, content, where)
+            )
+    return fields
+
+
+def parse_geotiff(content: bytes) -> tuple[dict, list[tuple[int, int, float]]]:
+    """One GeoTIFF -> (header, [(row, col, value), ...]) — the exact contract
+    of ``raster.parse_ascii_grid`` so the two lanes are interchangeable.
+    Row 0 is the TOP row in both (TIFF row order == ASCII grid line order);
+    NODATA cells are dropped."""
+    if len(content) < 8:
+        raise ValueError("not a TIFF: too short")
+    order = content[:2]
+    if order == b"II":
+        bo = "<"
+    elif order == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF: bad byte-order mark")
+    magic, ifd_off = struct.unpack_from(bo + "HI", content, 2)
+    if magic == 43:
+        raise ValueError("BigTIFF not supported (classic TIFF only)")
+    if magic != 42:
+        raise ValueError(f"not a TIFF: magic {magic}")
+    if ifd_off + 2 > len(content):
+        raise ValueError("not a TIFF: IFD offset out of bounds")
+    try:
+        fields = _read_ifd(content, bo, ifd_off)
+    except struct.error as exc:
+        raise ValueError(f"malformed IFD: {exc}") from None
+
+    if _TAG_TILE_WIDTH in fields:
+        raise ValueError("tiled TIFF not supported (strips only)")
+    comp = fields.get(_TAG_COMPRESSION, [1])[0]
+    if comp != 1:
+        raise ValueError(f"compressed TIFF not supported (compression={comp})")
+    spp = fields.get(_TAG_SAMPLES_PER_PIXEL, [1])[0]
+    if spp != 1:
+        raise ValueError(f"multi-band TIFF not supported (samples={spp})")
+
+    ncols = fields[_TAG_WIDTH][0]
+    nrows = fields[_TAG_HEIGHT][0]
+    bits = fields.get(_TAG_BITS, [8])[0]
+    sfmt = fields.get(_TAG_SAMPLE_FORMAT, [_SAMPLE_UINT])[0]
+    kind = {_SAMPLE_UINT: "u", _SAMPLE_INT: "i", _SAMPLE_FLOAT: "f"}.get(sfmt)
+    if kind is None or bits % 8 or (kind == "f" and bits not in (32, 64)):
+        raise ValueError(f"unsupported sample format {sfmt}/{bits}bit")
+    dtype = np.dtype(f"{bo}{kind}{bits // 8}")
+
+    strips = fields[_TAG_STRIP_OFFSETS]
+    counts = fields[_TAG_STRIP_BYTE_COUNTS]
+    raw = b"".join(content[o : o + c] for o, c in zip(strips, counts))
+    expect = nrows * ncols * (bits // 8)
+    if len(raw) < expect:
+        raise ValueError(f"truncated pixel data: {len(raw)} < {expect}")
+    grid = np.frombuffer(raw[:expect], dtype=dtype).reshape(nrows, ncols)
+
+    header: dict[str, float] = {"ncols": float(ncols), "nrows": float(nrows)}
+    scale = fields.get(_TAG_MODEL_PIXEL_SCALE)
+    tie = fields.get(_TAG_MODEL_TIEPOINT)
+    cs = float(scale[0]) if scale else 1.0
+    header["cellsize"] = cs
+    if tie:
+        # tiepoint maps raster (i,j) -> model (x,y): GDAL writes (0,0)->
+        # (xul, yul); ASCII headers carry the LOWER-left corner.
+        xul, yul = float(tie[3]), float(tie[4])
+        header["xllcorner"] = xul
+        header["yllcorner"] = yul - nrows * cs
+    else:
+        header["xllcorner"] = 0.0
+        header["yllcorner"] = 0.0
+    nodata = None
+    if _TAG_GDAL_NODATA in fields:
+        nodata = float(fields[_TAG_GDAL_NODATA][0])
+        header["nodata_value"] = nodata
+
+    cells: list[tuple[int, int, float]] = []
+    if nodata is None:
+        rr, cc = np.nonzero(np.ones_like(grid, dtype=bool))
+    else:
+        rr, cc = np.nonzero(grid != np.array(nodata, dtype=dtype))
+    vals = grid[rr, cc].astype("float64")
+    for r, c, v in zip(rr.tolist(), cc.tolist(), vals.tolist()):
+        cells.append((r, c, v))
+    return header, cells
+
+
+def encode_geotiff(
+    header: dict, cells: list[tuple[int, int, float]], dtype: str = "f4"
+) -> bytes:
+    """Inverse of ``parse_geotiff``: header + sparse cells -> uncompressed
+    little-endian single-strip GeoTIFF bytes.  Cells absent from ``cells``
+    are written as the header's nodata value — the same implicit-absence
+    encoding the ASCII lane uses, so encode(parse(x)) round-trips."""
+    ncols = int(header["ncols"])
+    nrows = int(header["nrows"])
+    nodata = float(header.get("nodata_value", -9999.0))
+    cs = float(header.get("cellsize", 1.0))
+    xll = float(header.get("xllcorner", 0.0))
+    yll = float(header.get("yllcorner", 0.0))
+
+    dt = np.dtype("<" + dtype)
+    if dt.kind not in "fiu":
+        raise ValueError(f"unsupported dtype {dtype}")
+    grid = np.full((nrows, ncols), nodata, dtype=dt)
+    for r, c, v in cells:
+        grid[r, c] = v
+    pix = grid.tobytes()
+
+    sfmt = {"f": _SAMPLE_FLOAT, "i": _SAMPLE_INT, "u": _SAMPLE_UINT}[dt.kind]
+    nodata_ascii = (f"{nodata:g}").encode("ascii") + b"\x00"
+
+    # layout: 8-byte header | IFD (12 entries) | out-of-line values | strip
+    N_ENTRIES = 12
+    ifd_off = 8
+    extra_off = ifd_off + 2 + 12 * N_ENTRIES + 4
+    extra = bytearray()
+
+    def _ool(payload: bytes) -> int:
+        off = extra_off + len(extra)
+        extra.extend(payload)
+        if len(extra) % 2:  # TIFF offsets must be even
+            extra.extend(b"\x00")
+        return off
+
+    scale_off = _ool(struct.pack("<3d", cs, cs, 0.0))
+    tie_off = _ool(struct.pack("<6d", 0.0, 0.0, 0.0, xll, yll + nrows * cs, 0.0))
+    nodata_val = (
+        struct.pack("<I", _ool(nodata_ascii))
+        if len(nodata_ascii) > 4
+        else nodata_ascii.ljust(4, b"\x00")
+    )
+    strip_off = extra_off + len(extra)
+
+    def inline(fmt: str, *vals) -> bytes:
+        return struct.pack("<" + fmt, *vals).ljust(4, b"\x00")
+
+    entries = [
+        (_TAG_WIDTH, 4, 1, inline("I", ncols)),
+        (_TAG_HEIGHT, 4, 1, inline("I", nrows)),
+        (_TAG_BITS, 3, 1, inline("H", dt.itemsize * 8)),
+        (_TAG_COMPRESSION, 3, 1, inline("H", 1)),
+        (_TAG_STRIP_OFFSETS, 4, 1, inline("I", strip_off)),
+        (_TAG_SAMPLES_PER_PIXEL, 3, 1, inline("H", 1)),
+        (_TAG_ROWS_PER_STRIP, 4, 1, inline("I", nrows)),
+        (_TAG_STRIP_BYTE_COUNTS, 4, 1, inline("I", len(pix))),
+        (_TAG_SAMPLE_FORMAT, 3, 1, inline("H", sfmt)),
+        (_TAG_MODEL_PIXEL_SCALE, 12, 3, inline("I", scale_off)),
+        (_TAG_MODEL_TIEPOINT, 12, 6, inline("I", tie_off)),
+        (_TAG_GDAL_NODATA, 2, len(nodata_ascii), nodata_val),
+    ]
+    entries.sort(key=lambda e: e[0])  # spec: ascending tag order
+    assert len(entries) == N_ENTRIES
+
+    out = bytearray()
+    out += struct.pack("<2sHI", b"II", 42, ifd_off)
+    out += struct.pack("<H", N_ENTRIES)
+    for tag, ftype, count, val in entries:
+        out += struct.pack("<HHI", tag, ftype, count) + val
+    out += struct.pack("<I", 0)  # next-IFD pointer: none
+    out += extra
+    out += pix
+    return bytes(out)
+
+
+def decode_geotiff_members(members: DataFrame, name_col: str = "member") -> DataFrame:
+    """GeoTIFF bytes -> long-format cell rows (same output as
+    ``decode_ascii_members``); parse failures land in the error column."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _decode_batch(pdf, name_col, parse_geotiff)
+
+    return members.select(name_col, "content").mapInPandas(fn, CELL_SCHEMA)
+
+
+def decode_raster_members(members: DataFrame, name_col: str = "member") -> DataFrame:
+    """Format-sniffing decode: GeoTIFF magic -> TIFF parser, anything else ->
+    ASCII grid parser.  One lane for a mixed archive (the reference's
+    workspace holds both `.asc` and `.tif` artifacts side by side)."""
+    from .raster import parse_ascii_grid
+
+    def sniff(content: bytes):
+        if content[:2] in (b"II", b"MM") and len(content) >= 4:
+            return parse_geotiff(content)
+        return parse_ascii_grid(content)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _decode_batch(pdf, name_col, sniff)
+
+    return members.select(name_col, "content").mapInPandas(fn, CELL_SCHEMA)
+
+
+def _decode_batch(pdf: pd.DataFrame, name_col: str, parser) -> pd.DataFrame:
+    out = []
+    for name, blob in zip(pdf[name_col], pdf["content"]):
+        try:
+            header, cells = parser(bytes(blob))
+            xll = header.get("xllcorner", 0.0)
+            yll = header.get("yllcorner", 0.0)
+            cs = header.get("cellsize", 1.0)
+            nr = int(header.get("nrows", 0))
+            for r, c, v in cells:
+                out.append(
+                    {"file": name, "row": r, "col": c, "value": v,
+                     "xll": xll, "yll": yll, "cellsize": cs,
+                     "nrows": nr, "error": None}
+                )
+        except Exception as exc:  # decode failure -> error channel
+            out.append(
+                {"file": name, "row": None, "col": None, "value": None,
+                 "xll": None, "yll": None, "cellsize": None,
+                 "nrows": None, "error": f"{type(exc).__name__}: {exc}"}
+            )
+    return pd.DataFrame(out, columns=[f.name for f in CELL_SCHEMA.fields])

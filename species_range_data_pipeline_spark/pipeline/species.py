@@ -27,21 +27,24 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.polygonize import dissolve, polygonize
-from .raster import decode_ascii_members, expand_zip, read_binary_files
+from .geotiff import decode_raster_members
+from .raster import expand_zip, read_binary_files
 
 THRESHOLDS = [0.25, 0.5, 0.75]
 
 
 def load_cells_from_zips(spark: SparkSession, zip_dir: str) -> tuple[DataFrame, DataFrame]:
-    """extract(): zip archives -> (cell rows, error rows)."""
+    """extract(): zip archives -> (cell rows, error rows).  Members may be
+    ASCII grids or GeoTIFFs (the reference's workspace holds both,
+    ``species_range_etl.py:87-92``); the decoder sniffs per member."""
     members = expand_zip(read_binary_files(spark, zip_dir, glob="*.zip"))
     errors_zip = members.where(F.col("error").isNotNull()).select(
         F.col("archive").alias("item"), "error"
     )
-    asc = members.where(
-        F.col("error").isNull() & F.col("member").rlike(r"\.(asc|txt)$")
+    rasters = members.where(
+        F.col("error").isNull() & F.col("member").rlike(r"\.(asc|txt|tif|tiff)$")
     )
-    cells = decode_ascii_members(asc)
+    cells = decode_raster_members(rasters)
     errors_dec = cells.where(F.col("error").isNotNull()).select(
         F.col("file").alias("item"), "error"
     )
@@ -49,12 +52,12 @@ def load_cells_from_zips(spark: SparkSession, zip_dir: str) -> tuple[DataFrame, 
     return good, errors_zip.unionByName(errors_dec)
 
 
-def load_cells_from_dir(spark: SparkSession, asc_dir: str) -> tuple[DataFrame, DataFrame]:
-    """extract() variant for pre-landed .asc files."""
-    files = read_binary_files(spark, asc_dir, glob="*.asc").select(
-        F.col("path").alias("member"), "content"
-    )
-    cells = decode_ascii_members(files)
+def load_cells_from_dir(spark: SparkSession, raster_dir: str) -> tuple[DataFrame, DataFrame]:
+    """extract() variant for pre-landed .asc/.tif files."""
+    files = read_binary_files(
+        spark, raster_dir, glob="*.{asc,tif,tiff}"
+    ).select(F.col("path").alias("member"), "content")
+    cells = decode_raster_members(files)
     errors = cells.where(F.col("error").isNotNull()).select(
         F.col("file").alias("item"), "error"
     )

@@ -78,7 +78,10 @@ SELECT l_returnflag AS species,
        count(*) AS cell_count,
        chr(min(ascii(l_linestatus))) AS status_carry
 FROM lineitem
-CROSS JOIN (VALUES (0.25), (0.5), (0.75)) AS t(threshold)
+-- DOUBLE cast: bare VALUES literals are DECIMAL(3,2) in DuckDB, which
+-- stringifies as '0.50' vs Spark's double '0.5' under fetchall()
+CROSS JOIN (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+                   (CAST(0.75 AS DOUBLE))) AS t(threshold)
 WHERE l_quantity / 50.0 >= threshold
 GROUP BY 1, 2
 ORDER BY 1, 2
