@@ -1,0 +1,133 @@
+"""Shapefile interop: .shp/.dbf encode/parse round-trips, ring re-winding,
+hole handling, the Spark read lane with its error channel, and the golden
+path — the engine's own dissolve output written as a shapefile and read
+back identical."""
+
+from __future__ import annotations
+
+import struct
+import zipfile
+
+import pytest
+
+from species_range_data_pipeline_spark.functions.wkb import decode, wkb_area
+from species_range_data_pipeline_spark.sources.shapefile import (
+    encode_dbf,
+    encode_shp,
+    parse_dbf,
+    parse_shp,
+    read_shapefile,
+    write_shapefile,
+)
+
+OUTER = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]  # CCW
+HOLE = [(1.0, 1.0), (1.0, 2.0), (2.0, 2.0), (2.0, 1.0), (1.0, 1.0)]  # CW
+
+
+def test_shp_roundtrip_with_hole_and_null():
+    square = [[[(10.0, 10.0), (12.0, 10.0), (12.0, 12.0), (10.0, 12.0), (10.0, 10.0)]]]
+    shapes = parse_shp(encode_shp([[[OUTER, HOLE]], square, []]))
+    assert [r for r, _ in shapes] == [1, 2, 3]
+    assert shapes[2][1] is None  # null shape
+    assert wkb_area(shapes[0][1]) == pytest.approx(15.0)  # 16 - 1 hole
+    assert wkb_area(shapes[1][1]) == pytest.approx(4.0)
+    # winding restored to the WKB convention on the way back
+    _, polys = decode(shapes[0][1])
+    assert polys[0][0] == OUTER and polys[0][1] == HOLE
+
+
+def test_shp_multipolygon_grouping_by_winding():
+    """Two outer rings in ONE record -> MultiPolygon; a hole after an outer
+    attaches to that outer."""
+    far = [(100.0, 100.0), (101.0, 100.0), (101.0, 101.0), (100.0, 101.0), (100.0, 100.0)]
+    shapes = parse_shp(encode_shp([[[OUTER, HOLE], [far]]]))
+    name, polys = decode(shapes[0][1])
+    assert name == "MultiPolygon" and len(polys) == 2
+    assert len(polys[0]) == 2 and len(polys[1]) == 1
+    assert wkb_area(shapes[0][1]) == pytest.approx(15.0 + 1.0)
+
+
+def test_shp_rejects_garbage_and_unsupported():
+    with pytest.raises(ValueError, match="file code"):
+        parse_shp(b"\x00" * 100)
+    with pytest.raises(ValueError, match="header too short"):
+        parse_shp(b"tiny")
+    # patch a record's shape type to PolyLine (3)
+    blob = bytearray(encode_shp([[[OUTER]]]))
+    struct.pack_into("<i", blob, 108, 3)  # first record body at 100+8
+    with pytest.raises(ValueError, match="unsupported shape type 3"):
+        parse_shp(bytes(blob))
+
+
+def test_dbf_roundtrip_and_deleted_record():
+    recs = [{"species": "abies-balsamea", "thr": "25"}, {"species": "x", "thr": "75"}]
+    blob = bytearray(encode_dbf(recs))
+    assert parse_dbf(bytes(blob)) == recs
+    # flag record 1 deleted: header_size = 32 + 2*32 + 1
+    blob[32 + 64 + 1] = ord("*")
+    assert parse_dbf(bytes(blob)) == recs[1:]
+
+
+def test_spark_read_lane_attrs_and_error_channel(spark, tmp_path):
+    write_shapefile(
+        [([[OUTER, HOLE]], {"species": "abies", "thr": "25"}),
+         ([[[(5.0, 5.0), (6.0, 5.0), (6.0, 6.0), (5.0, 6.0), (5.0, 5.0)]]],
+          {"species": "acer", "thr": "50"})],
+        str(tmp_path / "good.shp"),
+    )
+    (tmp_path / "broken.shp").write_bytes(b"\x00" * 128)
+
+    rows = read_shapefile(spark, str(tmp_path)).collect()
+    good = sorted(
+        (r for r in rows if r.error is None), key=lambda r: r.record
+    )
+    bad = [r for r in rows if r.error is not None]
+    assert len(good) == 2 and len(bad) == 1
+    assert "ValueError" in bad[0].error and bad[0].path.endswith("broken.shp")
+    assert good[0].attrs == {"species": "abies", "thr": "25"}
+    assert good[1].attrs == {"species": "acer", "thr": "50"}
+    assert wkb_area(bytes(good[0].geometry)) == pytest.approx(15.0)
+    assert wkb_area(bytes(good[1].geometry)) == pytest.approx(1.0)
+
+
+def test_dissolve_output_roundtrips_through_shapefile(spark, tmp_path):
+    """Golden interop: run the species pipeline, write its speciesdata rows
+    as a .shp/.dbf pair, read them back through the Spark lane, and get the
+    SAME geometries (byte-identical WKB) and attributes — i.e. a
+    GeoDataFrame consumer of the reference could hand its artifacts to this
+    engine and vice versa (species_range_etl.py:131,199)."""
+    from species_range_data_pipeline_spark.pipeline.species import (
+        load_cells_from_zips,
+        run_pipeline,
+    )
+
+    from .test_pipeline import SPECIES_FILES, _asc_bytes, _grid
+
+    d = tmp_path / "zips"
+    d.mkdir()
+    with zipfile.ZipFile(d / "a.zip", "w") as zf:
+        for name, seed in SPECIES_FILES.items():
+            zf.writestr(name, _asc_bytes(_grid(seed)))
+    cells, _ = load_cells_from_zips(spark, str(d))
+    out = run_pipeline(cells).orderBy("sid").collect()
+
+    write_shapefile(
+        [
+            (decode(bytes(r.geometry))[1],
+             {"species": r.species, "threshold": r.threshold,
+              "source": r.source, "year": r.year, "scenario": r.scenario})
+            for r in out
+        ],
+        str(tmp_path / "speciesdata.shp"),
+    )
+
+    back = sorted(
+        read_shapefile(spark, str(tmp_path)).collect(), key=lambda r: r.record
+    )
+    assert len(back) == len(out) and all(r.error is None for r in back)
+    for orig, rt in zip(out, back):
+        assert rt.attrs["species"] == orig.species
+        assert rt.attrs["threshold"] == orig.threshold
+        assert wkb_area(bytes(rt.geometry)) == pytest.approx(orig.area)
+        # ring-level identity, not just area
+        assert decode(bytes(rt.geometry))[1] == decode(bytes(orig.geometry))[1]
