@@ -1,0 +1,225 @@
+"""Pure-struct PNG and WAV codecs (stdlib only: ``zlib`` + ``struct``).
+
+The container ships no image/audio libraries, so these implement the file
+formats from first principles in the same no-dependency style as
+``pipeline/geotiff.py`` — real decoders, not stubs.  Coverage is the subset
+a training-data pipeline actually meets in bulk:
+
+* PNG: non-interlaced, bit depth 8, color types 0 (gray), 2 (RGB),
+  3 (palette), 4 (gray+alpha), 6 (RGBA).  Interlaced (Adam7) and 16-bit
+  images raise loudly — they are rare and a silent misdecode would poison
+  downstream perceptual hashes.
+* WAV: RIFF/WAVE with PCM 8-bit unsigned, PCM 16-bit signed, and IEEE
+  float32 ``data`` chunks; any channel count.  Compressed codecs (ADPCM,
+  MP3-in-WAV) raise loudly.
+
+Reference parity note: the reference ETL never touches raster imagery
+directly (arcpy handles its GeoTIFFs); this module serves the builder-brief
+multimodal lane (decode / feature-extract / resize over opaque binary
+columns), replacing the former ``NotImplementedError`` gates for PNG/WAV.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+# PNG color type -> channel count (before palette expansion)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering -> (height, width*bpp) uint8 array."""
+    stride = width * bpp
+    if len(raw) != height * (stride + 1):
+        raise ValueError(
+            f"PNG pixel stream is {len(raw)} bytes; expected "
+            f"{height * (stride + 1)} for {width}x{height} bpp={bpp}"
+        )
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1)
+        pos += stride + 1
+        if ftype == 0:  # None
+            recon = line.copy()
+        elif ftype == 2:  # Up
+            recon = line + prev  # uint8 arithmetic wraps mod 256 by design
+        elif ftype == 1:  # Sub: recon[x] = line[x] + recon[x-bpp]
+            # group bytes into bpp-wide pixels; the recurrence is a running
+            # sum down the pixel axis, which mod-256 uint8 cumsum computes
+            recon = line.reshape(-1, bpp).cumsum(axis=0, dtype=np.uint8).ravel()
+        elif ftype == 3:  # Average: needs left recon, sequential per pixel
+            recon = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                left = int(recon[i - bpp]) if i >= bpp else 0
+                recon[i] = (int(line[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            recon = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                left = int(recon[i - bpp]) if i >= bpp else 0
+                upleft = int(prev[i - bpp]) if i >= bpp else 0
+                recon[i] = (int(line[i]) + _paeth(left, int(prev[i]), upleft)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype} on scanline {y}")
+        out[y] = recon
+        prev = recon
+    return out
+
+
+def decode_png(blob: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode a PNG -> (width, height, channels, uint8 array (h, w, c)).
+
+    Palette images expand to RGB; gray+alpha and RGBA keep their alpha.
+    Raises ``ValueError`` on malformed files and ``NotImplementedError``
+    on interlaced / 16-bit variants (loud gate, never a misdecode).
+    """
+    if blob[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    palette = None
+    while pos + 8 <= len(blob):
+        length, ctype = struct.unpack_from(">I4s", blob, pos)
+        data = blob[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        pos += 12 + length  # length + type + data + CRC (CRC not verified)
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if interlace != 0:
+        raise NotImplementedError("interlaced (Adam7) PNG is not supported")
+    if bit_depth != 8:
+        raise NotImplementedError(f"PNG bit depth {bit_depth} is not supported (only 8)")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"invalid PNG color type {color_type}")
+    if not idat:
+        raise ValueError("PNG has no IDAT data")
+    raw = zlib.decompress(bytes(idat))
+    bpp = _PNG_CHANNELS[color_type]
+    flat = _unfilter(raw, width, height, bpp)
+    px = flat.reshape(height, width, bpp)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        px = palette[px[:, :, 0]]
+        bpp = 3
+    return width, height, bpp, px
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """Encode a uint8 array (h, w) or (h, w, c) with c in {1,2,3,4} as PNG
+    (filter 0 scanlines, single zlib-compressed IDAT)."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    px = np.ascontiguousarray(px, dtype=np.uint8)
+    # prepend the filter-type-0 byte to each scanline
+    lines = np.zeros((h, w * c + 1), dtype=np.uint8)
+    lines[:, 1:] = px.reshape(h, w * c)
+    raw = zlib.compress(lines.tobytes(), 6)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", raw)
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_wav(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode RIFF/WAVE -> (sample_rate, n_channels, int16 array
+    (n_frames, n_channels)).
+
+    8-bit unsigned PCM recenters to int16 (``(x-128) << 8``); float32
+    clips to [-1, 1] and scales to int16 — both keep downstream RMS/peak
+    features on one scale.  Non-PCM codecs raise ``NotImplementedError``.
+    """
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(blob):
+        ctype, length = struct.unpack_from("<4sI", blob, pos)
+        body = blob[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if ctype == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif ctype == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _byte_rate, _block_align, bits = fmt
+    if audio_format == 0xFFFE and len(blob) >= 24:
+        raise NotImplementedError("WAVE_FORMAT_EXTENSIBLE is not supported")
+    if audio_format == 1 and bits == 16:
+        samples = np.frombuffer(data, dtype="<i2")
+    elif audio_format == 1 and bits == 8:
+        samples = ((np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) << 8)
+    elif audio_format == 3 and bits == 32:
+        f = np.clip(np.frombuffer(data, dtype="<f4"), -1.0, 1.0)
+        samples = (f * 32767.0).astype(np.int16)
+    else:
+        raise NotImplementedError(
+            f"WAV format {audio_format} / {bits}-bit is not supported "
+            "(PCM 8/16-bit and float32 only)"
+        )
+    if n_channels < 1:
+        raise ValueError("WAV with zero channels")
+    n_frames = len(samples) // n_channels
+    return sample_rate, n_channels, samples[: n_frames * n_channels].reshape(
+        n_frames, n_channels
+    )
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode an int16 array (n,) or (n_frames, n_channels) as 16-bit PCM WAV."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n_frames, n_channels = samples.shape
+    body = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    block_align = n_channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, sample_rate * block_align, block_align, 16
+    )
+    payload = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload

@@ -7,10 +7,12 @@ synthetic generator agree):
   FAKEVID | uint16 n_frames | uint16 width | uint16 height | frames (n*w*h bytes)
   FAKEAUD | uint32 sample_rate | uint32 n_samples | samples (int16 LE)
 
-Real formats (JPEG/PNG/WAV/MP4) raise ``NotImplementedError`` in
-``_decode_payload`` — the single seam where a real codec library would slot
-in; everything around it (schemas, mapInPandas batching, metadata structs,
-partition behavior) is production-shaped.
+Real PNG and WAV decode for real via the pure-struct codecs in
+``multimodal/codecs.py`` (stdlib ``zlib`` + ``struct``; no image/audio
+library needed).  JPEG and MP4 still raise ``NotImplementedError`` in the
+codec seams — they need real entropy/video decoders the container doesn't
+ship — and everything around the seams (schemas, mapInPandas batching,
+metadata structs, partition behavior) is production-shaped either way.
 
 Scale notes: payloads stay in executor memory one Arrow batch at a time
 (``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds it); decode output
@@ -29,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from species_range_data_pipeline_spark.multimodal import codecs
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -98,15 +102,46 @@ def make_media_table(spark: SparkSession, n: int = 64) -> DataFrame:
 
 
 def _decode_payload(payload: bytes) -> tuple[int, int, int, np.ndarray]:
-    """The codec seam.  Fake format decodes for real; real formats stub."""
+    """The image codec seam: FAKEIMG and real PNG decode; JPEG still gates.
+
+    Always returns a (h, w, c) uint8 array with c >= 1 so every downstream
+    feature kernel (means, aHash, resize) sees one shape regardless of
+    source format.
+    """
     if payload[:7] == b"FAKEIMG":
         w, h, c = struct.unpack_from("<HHB", payload, 7)
         px = np.frombuffer(payload, dtype=np.uint8, offset=12)
         return w, h, c, px.reshape(h, w, c)
-    raise NotImplementedError(
-        "real image codecs (JPEG/PNG) are not available in this container; "
-        "plug a decoder in here"
-    )
+    if payload[:8] == codecs.PNG_SIGNATURE:
+        return codecs.decode_png(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        raise NotImplementedError(
+            "JPEG needs a real entropy decoder this container doesn't ship; "
+            "plug one in here (PNG decodes for real via multimodal/codecs.py)"
+        )
+    raise ValueError("unrecognized image payload (not FAKEIMG/PNG/JPEG)")
+
+
+def _decode_audio(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """The audio codec seam -> (sample_rate, n_frames, int16 samples).
+
+    FAKEAUD and real RIFF/WAVE decode; MP3/FLAC gate loudly.  Samples come
+    back 1-D for mono FAKEAUD and (n_frames, n_channels) for WAV — the
+    feature kernels reduce over all samples either way.
+    """
+    if payload[:7] == b"FAKEAUD":
+        rate, n = struct.unpack_from("<II", payload, 7)
+        samples = np.frombuffer(payload, dtype=np.int16, offset=15)
+        return rate, int(n), samples
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        rate, _n_channels, frames = codecs.decode_wav(payload)
+        return rate, frames.shape[0], frames
+    if payload[:3] == b"ID3" or payload[:2] in (b"\xff\xfb", b"\xff\xf3"):
+        raise NotImplementedError(
+            "MP3 needs a real codec this container doesn't ship; "
+            "plug one in here (WAV decodes for real via multimodal/codecs.py)"
+        )
+    raise ValueError("unrecognized audio payload (not FAKEAUD/WAV/MP3)")
 
 
 def decode_images(media: DataFrame) -> DataFrame:
@@ -197,8 +232,8 @@ def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
 
 
 def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
-    """Nearest-neighbor resize, re-encoded in the fake format (the resize
-    math is real numpy; a real pipeline would swap codec + interpolation)."""
+    """Nearest-neighbor resize, re-encoded in the source format (PNG in ->
+    PNG out via the pure-struct encoder; FAKEIMG in -> FAKEIMG out)."""
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -211,16 +246,21 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, c, px = _decode_payload(bytes(payload))
+                raw = bytes(payload)
+                w, h, c, px = _decode_payload(raw)
                 yi = (np.arange(out_h) * h // out_h).astype(int)
                 xi = (np.arange(out_w) * w // out_w).astype(int)
-                resized = px[np.ix_(yi, xi)]
-                blob = (
-                    b"FAKEIMG"
-                    + struct.pack("<HHB", out_w, out_h, c)
-                    + resized.astype(np.uint8).tobytes()
-                )
-                out.append({"media_id": mid, "payload": blob, "format": "fakeimg"})
+                resized = np.ascontiguousarray(px[np.ix_(yi, xi)], dtype=np.uint8)
+                if raw[:8] == codecs.PNG_SIGNATURE:
+                    blob, fmt = codecs.encode_png(resized), "png"
+                else:
+                    blob = (
+                        b"FAKEIMG"
+                        + struct.pack("<HHB", out_w, out_h, resized.shape[2])
+                        + resized.tobytes()
+                    )
+                    fmt = "fakeimg"
+                out.append({"media_id": mid, "payload": blob, "format": fmt})
             yield pd.DataFrame(out, columns=["media_id", "payload", "format"])
 
     return (
@@ -246,22 +286,15 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 def extract_audio_features(media: DataFrame) -> DataFrame:
     """Audio feature extraction: duration, RMS level, peak amplitude.
 
-    Same mapInPandas shape as decode_images; real codecs (WAV/MP3/FLAC)
-    plug into the FAKEAUD branch's seam and failures are error rows."""
+    Same mapInPandas shape as decode_images; FAKEAUD and real WAV decode
+    via ``_decode_audio`` and failures are error rows."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    blob = bytes(payload)
-                    if blob[:7] != b"FAKEAUD":
-                        raise NotImplementedError(
-                            "real audio codecs (WAV/MP3) are not available "
-                            "in this container; plug a decoder in here"
-                        )
-                    rate, n = struct.unpack_from("<II", blob, 7)
-                    samples = np.frombuffer(blob, dtype=np.int16, offset=15)
+                    rate, n, samples = _decode_audio(bytes(payload))
                     out.append(
                         {
                             "media_id": mid,

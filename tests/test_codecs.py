@@ -1,0 +1,175 @@
+"""Pure-struct PNG/WAV codec tests (multimodal/codecs.py).
+
+The decoders are written from the file-format specs with no image/audio
+library in the container, so the tests build fixtures two independent ways:
+our own encoder (round-trip) and hand-assembled files exercising the parts
+our encoder never emits (every PNG filter type, palette images, 8-bit and
+float32 WAV).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from species_range_data_pipeline_spark.multimodal.codecs import (
+    PNG_SIGNATURE,
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+    return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+
+def _build_png(width, height, bit_depth, color_type, raw_scanlines, *,
+               palette=None, interlace=0):
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, interlace)
+    out = PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(b"PLTE", palette)
+    out += _png_chunk(b"IDAT", zlib.compress(raw_scanlines))
+    return out + _png_chunk(b"IEND", b"")
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip_all_color_types(channels):
+    rng = np.random.RandomState(channels)
+    px = rng.randint(0, 256, size=(5, 7, channels), dtype=np.uint8)
+    w, h, c, got = decode_png(encode_png(px))
+    assert (w, h, c) == (7, 5, channels)
+    assert (got == px).all()
+
+
+def test_png_grayscale_2d_input():
+    px = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    w, h, c, got = decode_png(encode_png(px))
+    assert (w, h, c) == (4, 3, 1)
+    assert (got[:, :, 0] == px).all()
+
+
+def _forward_filter(px: np.ndarray, ftypes: list[int]) -> bytes:
+    """Reference forward PNG filter (spec §6) to build decode fixtures."""
+    h, w, c = px.shape
+    img = px.reshape(h, w * c).astype(np.int32)
+    out = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        line = img[y]
+        ftype = ftypes[y % len(ftypes)]
+        out.append(ftype)
+        for i in range(w * c):
+            left = line[i - c] if i >= c else 0
+            up = prev[i]
+            upleft = prev[i - c] if i >= c else 0
+            if ftype == 0:
+                v = line[i]
+            elif ftype == 1:
+                v = line[i] - left
+            elif ftype == 2:
+                v = line[i] - up
+            elif ftype == 3:
+                v = line[i] - ((left + up) >> 1)
+            elif ftype == 4:
+                p = left + up - upleft
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else upleft)
+                v = line[i] - pred
+            out.append(v & 0xFF)
+        prev = line
+    return bytes(out)
+
+
+@pytest.mark.parametrize("ftypes", [[1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_png_all_filter_types_decode(ftypes):
+    rng = np.random.RandomState(sum(ftypes))
+    px = rng.randint(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    blob = _build_png(5, 6, 8, 2, _forward_filter(px, ftypes))
+    w, h, c, got = decode_png(blob)
+    assert (w, h, c) == (5, 6, 3)
+    assert (got == px).all()
+
+
+def test_png_palette_expands_to_rgb():
+    # 3 palette entries; 2x2 indexed image
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + row.tobytes() for row in idx)
+    blob = _build_png(2, 2, 8, 3, raw, palette=palette)
+    w, h, c, got = decode_png(blob)
+    assert (w, h, c) == (2, 2, 3)
+    assert tuple(got[0, 0]) == (255, 0, 0)
+    assert tuple(got[0, 1]) == (0, 255, 0)
+    assert tuple(got[1, 0]) == (0, 0, 255)
+
+
+def test_png_loud_gates():
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    raw = _forward_filter(px, [0])
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_png(_build_png(2, 2, 8, 2, raw, interlace=1))
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        decode_png(_build_png(2, 2, 16, 2, raw))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png at all")
+    with pytest.raises(ValueError, match="pixel stream"):
+        decode_png(_build_png(4, 4, 8, 2, raw))  # raw too short for 4x4
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    rng = np.random.RandomState(0)
+    mono = rng.randint(-32768, 32768, size=100, dtype=np.int16)
+    rate, nch, got = decode_wav(encode_wav(mono, 16000))
+    assert (rate, nch) == (16000, 1)
+    assert (got[:, 0] == mono).all()
+
+    stereo = rng.randint(-32768, 32768, size=(50, 2), dtype=np.int16)
+    rate, nch, got = decode_wav(encode_wav(stereo, 44100))
+    assert (rate, nch) == (44100, 2)
+    assert (got == stereo).all()
+
+
+def _build_wav(audio_format, n_channels, rate, bits, body: bytes) -> bytes:
+    block_align = n_channels * (bits // 8)
+    fmt = struct.pack("<HHIIHH", audio_format, n_channels, rate,
+                      rate * block_align, block_align, bits)
+    payload = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+               + b"data" + struct.pack("<I", len(body)) + body)
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def test_wav_8bit_recenters():
+    body = bytes([0, 128, 255])
+    rate, nch, got = decode_wav(_build_wav(1, 1, 8000, 8, body))
+    assert (rate, nch) == (8000, 1)
+    assert got[:, 0].tolist() == [(-128) << 8, 0, 127 << 8]
+
+
+def test_wav_float32_scales_and_clips():
+    body = np.array([0.0, 1.0, -1.0, 2.0, 0.5], dtype="<f4").tobytes()
+    _, _, got = decode_wav(_build_wav(3, 1, 8000, 32, body))
+    assert got[:, 0].tolist() == [0, 32767, -32767, 32767, 16383]
+
+
+def test_wav_odd_chunk_padding_and_gates():
+    # a 3-byte junk chunk before fmt forces the word-alignment path
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = np.array([1, -1], dtype="<i2").tobytes()
+    payload = (b"WAVE" + b"junk" + struct.pack("<I", 3) + b"abc\x00"
+               + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+               + b"data" + struct.pack("<I", len(body)) + body)
+    blob = b"RIFF" + struct.pack("<I", len(payload)) + payload
+    _, _, got = decode_wav(blob)
+    assert got[:, 0].tolist() == [1, -1]
+
+    with pytest.raises(NotImplementedError, match="not supported"):
+        decode_wav(_build_wav(2, 1, 8000, 4, b"\x00\x00"))  # ADPCM
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"not audio")

@@ -27,9 +27,15 @@ def test_fake_image_roundtrip():
     assert (px.ravel() == rng.randint(0, 256, size=36, dtype=np.uint8)).all()
 
 
-def test_real_format_is_stubbed():
-    with pytest.raises(NotImplementedError, match="not available"):
-        _decode_payload(b"\x89PNG\r\n\x1a\nxxxx")
+def test_jpeg_is_stubbed_png_is_not():
+    # JPEG still gates loudly; PNG now decodes for real (see test_codecs.py)
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        _decode_payload(b"\xff\xd8\xff\xe0 jpeg bytes")
+    from species_range_data_pipeline_spark.multimodal.codecs import encode_png
+
+    px = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    w, h, c, got = _decode_payload(encode_png(px))
+    assert (w, h, c) == (4, 2, 3) and (got == px).all()
 
 
 def test_decode_images_features(spark):
@@ -113,6 +119,74 @@ def test_audio_real_codec_is_stubbed(spark):
     )
     rows = extract_audio_features(fake_mp3).collect()
     assert len(rows) == 1 and "NotImplementedError" in rows[0].error
+
+
+def test_real_png_through_spark_operators(spark):
+    """Real PNG payloads flow through decode/ahash/resize — the formerly
+    NotImplementedError lane, now backed by multimodal/codecs.py."""
+    from species_range_data_pipeline_spark.multimodal.codecs import (
+        decode_png,
+        encode_png,
+    )
+    from species_range_data_pipeline_spark.multimodal.media import (
+        MEDIA_SCHEMA,
+        image_ahash,
+    )
+
+    rng = np.random.RandomState(11)
+    pixels = {
+        i: rng.randint(0, 256, size=(12, 16, 3), dtype=np.uint8) for i in range(3)
+    }
+    media = spark.createDataFrame(
+        [(i, "image", encode_png(px), "png") for i, px in pixels.items()]
+        + [(9, "image", encode_png(pixels[0]), "png")],  # byte-identical dup of 0
+        MEDIA_SCHEMA,
+    )
+
+    feats = {r.media_id: r for r in decode_images(media).collect()}
+    assert all(r.error is None for r in feats.values())
+    for i, px in pixels.items():
+        assert (feats[i].width, feats[i].height, feats[i].channels) == (16, 12, 3)
+        assert feats[i].mean_pixel == pytest.approx(float(px.mean()))
+
+    hashes = {r.media_id: r.ahash for r in image_ahash(media).collect()}
+    assert hashes[0] == hashes[9]  # identical pixels -> identical hash
+    assert hashes[0] != hashes[1]
+
+    small = {r.media_id: r for r in resize_images(media, 8, 6).collect()}
+    assert all(r.format == "png" for r in small.values())
+    w, h, c, got = decode_png(bytes(small[0].payload))
+    assert (w, h, c) == (8, 6, 3)
+    # nearest-neighbor: every output pixel exists in the source image
+    yi = (np.arange(6) * 12 // 6).astype(int)
+    xi = (np.arange(8) * 16 // 8).astype(int)
+    assert (got == pixels[0][np.ix_(yi, xi)]).all()
+
+
+def test_real_wav_through_spark_operators(spark):
+    from species_range_data_pipeline_spark.multimodal.codecs import encode_wav
+    from species_range_data_pipeline_spark.multimodal.media import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+    )
+
+    rng = np.random.RandomState(5)
+    mono = rng.randint(-20000, 20000, size=1600, dtype=np.int16)
+    stereo = rng.randint(-20000, 20000, size=(800, 2), dtype=np.int16)
+    media = spark.createDataFrame(
+        [(0, "audio", encode_wav(mono, 16000), "wav"),
+         (1, "audio", encode_wav(stereo, 8000), "wav")],
+        MEDIA_SCHEMA,
+    )
+    feats = {r.media_id: r for r in extract_audio_features(media).collect()}
+    assert all(r.error is None for r in feats.values())
+    assert feats[0].sample_rate == 16000 and feats[0].n_samples == 1600
+    assert feats[0].duration_s == pytest.approx(0.1)
+    assert feats[0].rms == pytest.approx(
+        float(np.sqrt(np.mean(mono.astype(np.float64) ** 2)))
+    )
+    assert feats[1].sample_rate == 8000 and feats[1].n_samples == 800
+    assert feats[1].peak == int(np.abs(stereo.astype(np.int32)).max())
 
 
 def test_image_ahash_deterministic_and_dedups(spark):
