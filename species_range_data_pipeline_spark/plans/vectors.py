@@ -9,8 +9,10 @@
   buckets.  Candidate set shrinks by ~nlist/nprobe; the bucket join is an
   equi-join on the cluster id, so Spark shuffles candidates once instead of
   scoring everything.
-- ``emb_near_dup``: embedding-cosine near-duplicate pairs above a threshold
-  (the dedup-by-embedding variant of plans/text.py's lexical dedup family).
+- ``emb_near_dup_bruteforce`` (alias ``emb_near_dup``): embedding-cosine
+  near-duplicate pairs above a threshold — the O(n^2) ORACLE SPEC only;
+  ``emb_near_dup_lsh`` is the production scale path (the dedup-by-embedding
+  variant of plans/text.py's lexical dedup family).
 """
 
 from __future__ import annotations
@@ -101,11 +103,18 @@ ORDER BY query_id, rnk
 """
 
 
-def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs with cosine >= 0.4 (embedding near-duplicate detection).
+def emb_near_dup_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with cosine >= 0.4 — the BRUTE-FORCE ORACLE SPEC, not a
+    production operator.
 
-    Brute force is the spec; the LSH-bucketed variant in
-    operators/similarity.py is the 100 TB path (verified against this).
+    This is an intentional O(n^2) all-pairs ``crossJoin``: it exists only
+    as ground truth the scale path is verified against, and it must never
+    appear in the headline bench set (``tests/test_plans.py``'s
+    no-cartesian assertion pins that).  The production path for
+    near-duplicate detection at scale is ``emb_near_dup_lsh``
+    (hyperplane-LSH bands, bucket-local pairing — see
+    operators/similarity.py), whose recall is measured against this spec
+    in tests/test_similarity.py.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
@@ -361,7 +370,10 @@ QUERIES = {
     "emb_quantize_topk": emb_quantize_topk,
     "emb_norms": emb_norms,
     "cosine_topk": cosine_topk,
-    "emb_near_dup": emb_near_dup,
+    # "emb_near_dup" stays as an alias so the driver's query-key set is
+    # stable across rounds; both names point at the brute-force oracle spec.
+    "emb_near_dup": emb_near_dup_bruteforce,
+    "emb_near_dup_bruteforce": emb_near_dup_bruteforce,
     "emb_near_dup_lsh": emb_near_dup_lsh,
     "ann_ivf_topk": ann_ivf_topk,
 }
@@ -371,5 +383,6 @@ ORACLES = {
     "emb_quantize_topk": EMB_QUANTIZE_ORACLE,
     "cosine_topk": COSINE_TOPK_ORACLE,
     "emb_near_dup": EMB_NEAR_DUP_ORACLE,
+    "emb_near_dup_bruteforce": EMB_NEAR_DUP_ORACLE,
     "ann_ivf_topk": ANN_IVF_ORACLE,
 }

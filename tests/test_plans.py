@@ -59,6 +59,29 @@ def test_dimension_joins_broadcast(spark, name, n_broadcast):
     assert "SortMergeJoin" not in plan or name == "q5_region_volume" or True
 
 
+def test_no_headline_query_has_cartesian_product(spark):
+    """No headline bench query may plan a non-broadcast cartesian product.
+
+    The only sanctioned all-pairs plan in the repo is
+    emb_near_dup_bruteforce (the oracle spec for the LSH scale path), and
+    it is deliberately NOT a headline query.  A CartesianProduct in a
+    headline plan is the one shape that cannot survive a 100x scale-up —
+    broadcast nested-loop joins (tiny side broadcast, one scan of the big
+    side) are fine and show up as BroadcastNestedLoopJoin instead.
+    """
+    from bench import HEADLINE
+
+    offenders = [name for name in HEADLINE if "CartesianProduct" in _plan(spark, name)]
+    assert not offenders, f"cartesian product in headline plans: {offenders}"
+
+
+def test_bruteforce_near_dup_is_not_headline():
+    from bench import HEADLINE
+
+    assert "emb_near_dup" not in HEADLINE
+    assert "emb_near_dup_bruteforce" not in HEADLINE
+
+
 def test_column_pruning_q6(spark):
     plan = _plan(spark, "q6_revenue_delta")
     schema = plan.split("ReadSchema: ")[1].split("\n")[0]

@@ -1,7 +1,7 @@
 """Scale-path similarity operators vs their exact baselines.
 
 - near_dup_lsh: precision must be exactly 1.0 (pairs are re-scored), recall
-  measured against the brute-force emb_near_dup plan (DuckDB-oracle-checked
+  measured against the brute-force emb_near_dup_bruteforce plan (DuckDB-oracle-checked
   itself, so this transitively anchors the LSH path).
 - cosine_topk_pandas: must return EXACTLY the same rows as the
   fold-expression cosine_topk (same rounding, same tie-break).
@@ -16,7 +16,7 @@ from species_range_data_pipeline_spark.operators.similarity import (
 )
 from species_range_data_pipeline_spark.plans.vectors import (
     cosine_topk,
-    emb_near_dup,
+    emb_near_dup_bruteforce,
 )
 
 from .conftest import SF_CORRECT
@@ -29,7 +29,7 @@ def test_lsh_near_dup_precision_and_recall(spark):
     }
     want = {
         (r.vec_a, r.vec_b): r.cos_sim
-        for r in emb_near_dup(spark, SF_CORRECT).collect()
+        for r in emb_near_dup_bruteforce(spark, SF_CORRECT).collect()
     }
     assert want, "fixture has no near-dup pairs; test is vacuous"
     # precision: every LSH pair is a true pair with the exact score
