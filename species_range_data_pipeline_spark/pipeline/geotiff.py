@@ -11,10 +11,12 @@ the ASCII lane (``raster.py:CELL_SCHEMA``), so everything downstream
 
 Scope — the subset GDAL's default ``CreateCopy`` emits for small grids, which
 is what the reference produces: classic TIFF (little or big endian), single
-band, uncompressed strips, 32/64-bit IEEE float or 8-32-bit integer samples,
-``ModelPixelScale`` + ``ModelTiepoint`` georeferencing, ``GDAL_NODATA``.
-Tiled, compressed, BigTIFF, or multi-band files raise ``ValueError`` into the
-error side-channel — loud, never silent.
+band, uncompressed or DEFLATE-compressed strips (stdlib ``zlib``; horizontal-
+differencing predictor included for integer samples), 32/64-bit IEEE float or
+8-32-bit integer samples, ``ModelPixelScale`` + ``ModelTiepoint``
+georeferencing, ``GDAL_NODATA`` (including the ``nan`` sentinel GDAL writes
+for float rasters).  Tiled, LZW/JPEG-compressed, BigTIFF, or multi-band files
+raise ``ValueError`` into the error side-channel — loud, never silent.
 
 Scale note: decode runs inside ``mapInPandas`` over a ``binaryFile`` scan —
 one task per file group, no driver involvement, same shape as the zip lane.
@@ -23,7 +25,9 @@ A 100 TB raster archive decodes as wide as the cluster.
 
 from __future__ import annotations
 
+import math
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -53,6 +57,7 @@ _TAG_STRIP_OFFSETS = 273
 _TAG_SAMPLES_PER_PIXEL = 277
 _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_BYTE_COUNTS = 279
+_TAG_PREDICTOR = 317
 _TAG_TILE_WIDTH = 322
 _TAG_SAMPLE_FORMAT = 339
 _TAG_MODEL_PIXEL_SCALE = 33550
@@ -116,8 +121,9 @@ def parse_geotiff(content: bytes) -> tuple[dict, list[tuple[int, int, float]]]:
     if _TAG_TILE_WIDTH in fields:
         raise ValueError("tiled TIFF not supported (strips only)")
     comp = fields.get(_TAG_COMPRESSION, [1])[0]
-    if comp != 1:
-        raise ValueError(f"compressed TIFF not supported (compression={comp})")
+    # 8 = Adobe DEFLATE, 32946 = legacy DEFLATE — both raw zlib streams.
+    if comp not in (1, 8, 32946):
+        raise ValueError(f"unsupported compression {comp} (none/deflate only)")
     spp = fields.get(_TAG_SAMPLES_PER_PIXEL, [1])[0]
     if spp != 1:
         raise ValueError(f"multi-band TIFF not supported (samples={spp})")
@@ -133,11 +139,24 @@ def parse_geotiff(content: bytes) -> tuple[dict, list[tuple[int, int, float]]]:
 
     strips = fields[_TAG_STRIP_OFFSETS]
     counts = fields[_TAG_STRIP_BYTE_COUNTS]
-    raw = b"".join(content[o : o + c] for o, c in zip(strips, counts))
+    chunks = [content[o : o + c] for o, c in zip(strips, counts)]
+    if comp != 1:
+        try:
+            chunks = [zlib.decompress(ch) for ch in chunks]
+        except zlib.error as exc:
+            raise ValueError(f"bad deflate strip: {exc}") from None
+    raw = b"".join(chunks)
     expect = nrows * ncols * (bits // 8)
     if len(raw) < expect:
         raise ValueError(f"truncated pixel data: {len(raw)} < {expect}")
     grid = np.frombuffer(raw[:expect], dtype=dtype).reshape(nrows, ncols)
+    predictor = fields.get(_TAG_PREDICTOR, [1])[0]
+    if predictor == 2:  # horizontal differencing (integer samples only)
+        if kind == "f":
+            raise ValueError("predictor=2 on float samples is invalid")
+        grid = np.cumsum(grid, axis=1, dtype=dtype)  # wraps like the encoder
+    elif predictor != 1:
+        raise ValueError(f"unsupported predictor {predictor}")
 
     header: dict[str, float] = {"ncols": float(ncols), "nrows": float(nrows)}
     scale = fields.get(_TAG_MODEL_PIXEL_SCALE)
@@ -161,6 +180,11 @@ def parse_geotiff(content: bytes) -> tuple[dict, list[tuple[int, int, float]]]:
     cells: list[tuple[int, int, float]] = []
     if nodata is None:
         rr, cc = np.nonzero(np.ones_like(grid, dtype=bool))
+    elif math.isnan(nodata):
+        # GDAL writes GDAL_NODATA='nan' for float rasters; NaN != NaN, so an
+        # equality mask would keep every nodata cell — mask explicitly.
+        rr, cc = np.nonzero(~np.isnan(grid) if kind == "f"
+                            else np.ones_like(grid, dtype=bool))
     else:
         rr, cc = np.nonzero(grid != np.array(nodata, dtype=dtype))
     vals = grid[rr, cc].astype("float64")
@@ -170,12 +194,18 @@ def parse_geotiff(content: bytes) -> tuple[dict, list[tuple[int, int, float]]]:
 
 
 def encode_geotiff(
-    header: dict, cells: list[tuple[int, int, float]], dtype: str = "f4"
+    header: dict,
+    cells: list[tuple[int, int, float]],
+    dtype: str = "f4",
+    compression: int = 1,
 ) -> bytes:
-    """Inverse of ``parse_geotiff``: header + sparse cells -> uncompressed
-    little-endian single-strip GeoTIFF bytes.  Cells absent from ``cells``
-    are written as the header's nodata value — the same implicit-absence
-    encoding the ASCII lane uses, so encode(parse(x)) round-trips."""
+    """Inverse of ``parse_geotiff``: header + sparse cells -> little-endian
+    single-strip GeoTIFF bytes (``compression=1`` uncompressed — the default,
+    byte-stable — or ``8`` for DEFLATE).  Cells absent from ``cells`` are
+    written as the header's nodata value — the same implicit-absence encoding
+    the ASCII lane uses, so encode(parse(x)) round-trips."""
+    if compression not in (1, 8):
+        raise ValueError(f"unsupported compression {compression}")
     ncols = int(header["ncols"])
     nrows = int(header["nrows"])
     nodata = float(header.get("nodata_value", -9999.0))
@@ -190,6 +220,8 @@ def encode_geotiff(
     for r, c, v in cells:
         grid[r, c] = v
     pix = grid.tobytes()
+    if compression == 8:
+        pix = zlib.compress(pix)
 
     sfmt = {"f": _SAMPLE_FLOAT, "i": _SAMPLE_INT, "u": _SAMPLE_UINT}[dt.kind]
     nodata_ascii = (f"{nodata:g}").encode("ascii") + b"\x00"
@@ -223,7 +255,7 @@ def encode_geotiff(
         (_TAG_WIDTH, 4, 1, inline("I", ncols)),
         (_TAG_HEIGHT, 4, 1, inline("I", nrows)),
         (_TAG_BITS, 3, 1, inline("H", dt.itemsize * 8)),
-        (_TAG_COMPRESSION, 3, 1, inline("H", 1)),
+        (_TAG_COMPRESSION, 3, 1, inline("H", compression)),
         (_TAG_STRIP_OFFSETS, 4, 1, inline("I", strip_off)),
         (_TAG_SAMPLES_PER_PIXEL, 3, 1, inline("H", 1)),
         (_TAG_ROWS_PER_STRIP, 4, 1, inline("I", nrows)),

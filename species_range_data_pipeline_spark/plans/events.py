@@ -348,7 +348,7 @@ def ev_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = events.select(
         "user_id",
         "event_id",
-        F.unix_millis("ts").alias("ms"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
         F.round(F.col("value") * 10000).cast("long").alias("v4"),
     )
     w = Window.partitionBy("user_id").orderBy("ms", "event_id")
@@ -396,7 +396,7 @@ def ev_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation would sort every partition.
     """
     events = load_table(spark, sf_dir, "events")
-    key = (F.unix_millis("ts") * F.lit(1048576) + F.col("event_id")).alias("k")
+    key = (F.unix_millis(F.col("ts").cast("timestamp")) * F.lit(1048576) + F.col("event_id")).alias("k")
     t = events.select(
         F.window("ts", "1 hour").alias("w"), "event_type", "value", key
     )

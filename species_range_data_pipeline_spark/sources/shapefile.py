@@ -12,13 +12,16 @@ ever writes.  Ring conversion: shapefile outer rings are CW and holes CCW;
 the engine's WKB convention (``functions/wkb.py``) is the opposite, so rings
 are re-wound on the way through.  Rings are grouped into polygons by
 winding: each CW ring starts a new polygon, subsequent CCW rings are its
-holes (the common GIS heuristic; exact containment grouping needs point-in-
-polygon tests that the reference's own data never requires).
+holes (the common GIS heuristic).  Records whose FIRST ring is hole-wound
+(some tools write holes first) fall back to point-in-ring containment
+grouping instead of trusting order.
 
 Attributes ride in the sidecar ``.dbf`` (dBase III): parsed into a
 ``map<string,string>`` column so the schema is stable across layers —
 callers cast the fields they use.  Other sidecars (.shx index, .prj) are
-not needed for a full sequential read.
+not needed for a full sequential read, but the writer emits them because
+downstream GeoPandas/fiona consumers require the index and read the CRS
+from ``.prj``.
 
 Scale note: one task per shapefile via ``binaryFile`` + ``mapInPandas``;
 shapefiles cap at 2 GB by format, so a file is always a sane task unit.
@@ -95,10 +98,16 @@ def _polygon_record_to_wkb(content: bytes, off: int) -> bytes:
             for j in range(bounds[i], bounds[i + 1])
         ]
         rings.append(ring)
-    # group by winding: shapefile outer = CW (signed area < 0), hole = CCW
+    # group by winding: shapefile outer = CW (signed area < 0), hole = CCW.
+    # The sequential heuristic (each CW ring starts a polygon, following CCW
+    # rings are its holes) only holds when rings arrive outer-first; some
+    # tools write holes first, so a CCW first ring falls back to containment
+    # grouping instead of being silently promoted to a flipped-winding outer.
+    is_outer = [ring_signed_area(r) <= 0 for r in rings]
+    if rings and not is_outer[0]:
+        return _group_rings_by_containment(rings, is_outer)
     polygons: list[list[Ring]] = []
-    for ring in rings:
-        outer = ring_signed_area(ring) <= 0
+    for ring, outer in zip(rings, is_outer):
         wound = list(reversed(ring))  # flip to the WKB convention
         if outer or not polygons:
             polygons.append([wound])
@@ -109,11 +118,71 @@ def _polygon_record_to_wkb(content: bytes, off: int) -> bytes:
     return encode_multipolygon(polygons)
 
 
+def _point_in_ring(x: float, y: float, ring: Ring) -> bool:
+    """Ray-casting point-in-polygon test (boundary treatment irrelevant
+    here: hole vertices never lie exactly on a valid outer boundary)."""
+    inside = False
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        if (y1 > y) != (y2 > y):
+            xin = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+            if x < xin:
+                inside = not inside
+    return inside
+
+
+def _group_rings_by_containment(rings: list[Ring], is_outer: list[bool]) -> bytes:
+    """Hole-first fallback: assign each CCW (hole) ring to the smallest CW
+    outer ring containing its first vertex; unassignable holes or records
+    with no outer ring at all raise into the error channel."""
+    outers = [(i, r) for i, (r, o) in enumerate(zip(rings, is_outer)) if o]
+    if not outers:
+        raise ValueError("polygon record has only hole-wound rings")
+    polygons: dict[int, list[Ring]] = {
+        i: [list(reversed(r))] for i, r in outers
+    }
+    for ring, outer in zip(rings, is_outer):
+        if outer:
+            continue
+        px, py = ring[0]
+        best: int | None = None
+        best_area = float("inf")
+        for i, oring in outers:
+            area = abs(ring_signed_area(oring))
+            if area < best_area and _point_in_ring(px, py, oring):
+                best, best_area = i, area
+        if best is None:
+            raise ValueError("hole ring not contained in any outer ring")
+        polygons[best].append(list(reversed(ring)))
+    grouped = [polygons[i] for i, _ in outers]
+    if len(grouped) == 1:
+        return encode_polygon(grouped[0])
+    return encode_multipolygon(grouped)
+
+
+#: Esri WKT for EPSG:4326, what GeoPandas ``to_file`` writes for the
+#: reference's pinned CRS (``species_range_etl.py:132``).
+WGS84_PRJ_WKT = (
+    'GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
+    'SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+    'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]]'
+)
+
+
 def encode_shp(geometries: list[list[list[Ring]]]) -> bytes:
     """[(polygons per record)] -> .shp bytes.  Input rings follow the WKB
     convention (exterior CCW, holes CW) — i.e. exactly what
     ``functions.wkb.decode`` returns — and are re-wound to shapefile order.
     A record with an empty polygon list becomes a Null shape."""
+    return encode_shp_shx(geometries)[0]
+
+
+def encode_shp_shx(geometries: list[list[list[Ring]]]) -> tuple[bytes, bytes]:
+    """Like ``encode_shp`` but also returns the fixed-stride ``.shx`` index
+    (100-byte header + one big-endian (offset_words, content_words) pair per
+    record) that GeoPandas/fiona readers require."""
     records = []
     minx = miny = float("inf")
     maxx = maxy = float("-inf")
@@ -148,19 +217,34 @@ def encode_shp(geometries: list[list[list[Ring]]]) -> bytes:
     payload = b"".join(records)
     if not any(geometries):
         minx = miny = maxx = maxy = 0.0
-    header = struct.pack(
-        ">i5ii", _SHP_MAGIC, 0, 0, 0, 0, 0, (100 + len(payload)) // 2
-    )
-    header += struct.pack("<ii", 1000, _SHAPE_POLYGON)
-    header += struct.pack("<4d", minx, miny, maxx, maxy)
-    header += struct.pack("<4d", 0.0, 0.0, 0.0, 0.0)  # z/m ranges
-    return header + payload
+
+    def _header(file_len_bytes: int) -> bytes:
+        h = struct.pack(
+            ">i5ii", _SHP_MAGIC, 0, 0, 0, 0, 0, file_len_bytes // 2
+        )
+        h += struct.pack("<ii", 1000, _SHAPE_POLYGON)
+        h += struct.pack("<4d", minx, miny, maxx, maxy)
+        h += struct.pack("<4d", 0.0, 0.0, 0.0, 0.0)  # z/m ranges
+        return h
+
+    index = bytearray()
+    off_words = 50  # 100-byte main-file header
+    for rec in records:
+        content_words = (len(rec) - 8) // 2
+        index += struct.pack(">ii", off_words, content_words)
+        off_words += len(rec) // 2
+    shp = _header(100 + len(payload)) + payload
+    shx = _header(100 + len(index)) + bytes(index)
+    return shp, shx
 
 
-def parse_dbf(content: bytes) -> list[dict[str, str]]:
-    """dBase III .dbf -> one {field: trimmed string} dict per record.
-    Numeric/char/date fields all surface as strings; deleted records
-    ('*' flag) are skipped, matching every GIS reader's behavior."""
+def parse_dbf(content: bytes) -> list[dict[str, str] | None]:
+    """dBase III .dbf -> one {field: trimmed string} dict per record slot.
+    Numeric/char/date fields all surface as strings.  Deleted records
+    ('*' flag) yield ``None`` IN PLACE rather than being skipped: the .shp
+    pairs attributes to shapes positionally, and dropping a deleted slot
+    would silently shift every subsequent record's attributes onto the
+    wrong geometry."""
     if len(content) < 32:
         raise ValueError("not a dbf: header too short")
     n_records, header_size, record_size = struct.unpack_from("<IHH", content, 4)
@@ -171,12 +255,14 @@ def parse_dbf(content: bytes) -> list[dict[str, str]]:
         length = content[off + 16]
         fields.append((raw_name.decode("ascii", "replace"), length))
         off += 32
-    out: list[dict[str, str]] = []
+    out: list[dict[str, str] | None] = []
     off = header_size
     for _ in range(n_records):
         if off + record_size > len(content):
             break
-        if content[off : off + 1] != b"*":  # not deleted
+        if content[off : off + 1] == b"*":  # deleted: keep the slot
+            out.append(None)
+        else:
             rec: dict[str, str] = {}
             pos = off + 1
             for name, length in fields:
@@ -270,13 +356,22 @@ def read_shapefile(spark: SparkSession, path: str) -> DataFrame:
     return joined.mapInPandas(fn, SHAPE_SCHEMA)
 
 
-def write_shapefile(rows: list[tuple[list, dict]], shp_path: str) -> None:
-    """[(polygons, attrs)] -> ``.shp`` + ``.dbf`` pair on local disk —
-    enough for handing results back to a GeoDataFrame-based consumer.
+def write_shapefile(
+    rows: list[tuple[list, dict]], shp_path: str, prj_wkt: str = WGS84_PRJ_WKT
+) -> None:
+    """[(polygons, attrs)] -> ``.shp`` + ``.shx`` + ``.dbf`` + ``.prj`` on
+    local disk — the full sidecar set a GeoDataFrame-based consumer needs
+    (fiona requires the ``.shx`` index; the reference pins EPSG:4326, which
+    travels in ``.prj`` — ``species_range_etl.py:131-132,199``).
     ``polygons`` uses the WKB ring convention (``functions.wkb.decode``
     output)."""
     base = shp_path[:-4] if shp_path.endswith(".shp") else shp_path
+    shp, shx = encode_shp_shx([g for g, _ in rows])
     with open(base + ".shp", "wb") as fh:
-        fh.write(encode_shp([g for g, _ in rows]))
+        fh.write(shp)
+    with open(base + ".shx", "wb") as fh:
+        fh.write(shx)
     with open(base + ".dbf", "wb") as fh:
         fh.write(encode_dbf([a for _, a in rows]))
+    with open(base + ".prj", "w", encoding="ascii") as fh:
+        fh.write(prj_wkt)

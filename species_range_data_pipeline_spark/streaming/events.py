@@ -173,7 +173,7 @@ def ohlc_bars_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     ``plans.events.ev_ohlc_bars``.  min_by/max_by are algebraic, so the
     state per open window is one fixed-width row (no buffered events), and
     the watermark closes bars exactly like the batch hour boundary."""
-    key = (F.unix_millis("ts") * F.lit(1048576) + F.col("event_id")).alias("k")
+    key = (F.unix_millis(F.col("ts").cast("timestamp")) * F.lit(1048576) + F.col("event_id")).alias("k")
     t = stream.select("ts", F.window("ts", "1 hour").alias("w"), "event_type", "value", key)
     return (
         t.withWatermark("ts", watermark)

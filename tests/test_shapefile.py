@@ -63,9 +63,95 @@ def test_dbf_roundtrip_and_deleted_record():
     recs = [{"species": "abies-balsamea", "thr": "25"}, {"species": "x", "thr": "75"}]
     blob = bytearray(encode_dbf(recs))
     assert parse_dbf(bytes(blob)) == recs
-    # flag record 1 deleted: header_size = 32 + 2*32 + 1
+    # flag record 1 deleted: header_size = 32 + 2*32 + 1.  The slot stays as
+    # None — dropping it would shift record 2's attrs onto record 1's shape.
     blob[32 + 64 + 1] = ord("*")
-    assert parse_dbf(bytes(blob)) == recs[1:]
+    assert parse_dbf(bytes(blob)) == [None, recs[1]]
+
+
+def test_deleted_dbf_record_does_not_shift_attrs(spark, tmp_path):
+    """A .dbf with a deleted middle record must keep later attributes
+    aligned with their shapes (positional pairing)."""
+    sq = lambda x: [[[(x, 0.0), (x + 1.0, 0.0), (x + 1.0, 1.0), (x, 1.0), (x, 0.0)]]]
+    write_shapefile(
+        [(sq(0.0), {"name": "a"}), (sq(10.0), {"name": "b"}), (sq(20.0), {"name": "c"})],
+        str(tmp_path / "t.shp"),
+    )
+    blob = bytearray((tmp_path / "t.dbf").read_bytes())
+    # header: 32 + 1 field desc * 32 + 1; record 2 (index 1) deleted
+    rec_size = 1 + 1  # 1-byte flag + width of the single 1-char field
+    blob[32 + 32 + 1 + rec_size] = ord("*")
+    (tmp_path / "t.dbf").write_bytes(bytes(blob))
+
+    rows = sorted(read_shapefile(spark, str(tmp_path)).collect(), key=lambda r: r.record)
+    assert [r.attrs["name"] if r.attrs else None for r in rows] == ["a", None, "c"]
+
+
+def test_hole_first_record_grouped_by_containment():
+    """A record written hole-first (CCW ring before its CW outer) must still
+    attach the hole to the containing outer instead of promoting it to a
+    flipped-winding standalone polygon."""
+    # shapefile winding: outer CW, hole CCW — build raw rings accordingly
+    outer_cw = list(reversed(OUTER))
+    hole_ccw = list(reversed(HOLE))
+    blob = _record_blob([hole_ccw, outer_cw])
+    shapes = parse_shp(blob)
+    assert wkb_area(shapes[0][1]) == pytest.approx(15.0)  # 16 outer - 1 hole
+    _, polys = decode(shapes[0][1])
+    assert len(polys) == 1 and len(polys[0]) == 2
+
+
+def test_only_hole_rings_error():
+    with pytest.raises(ValueError, match="only hole-wound rings"):
+        parse_shp(_record_blob([list(reversed(HOLE))]))
+
+
+def _record_blob(raw_rings):
+    """Hand-pack one Polygon record from raw shapefile-winding rings."""
+    n_points = sum(len(r) for r in raw_rings)
+    body = struct.pack("<i4d", 5, 0.0, 0.0, 0.0, 0.0)
+    body += struct.pack("<ii", len(raw_rings), n_points)
+    off = 0
+    for r in raw_rings:
+        body += struct.pack("<i", off)
+        off += len(r)
+    for r in raw_rings:
+        for x, y in r:
+            body += struct.pack("<dd", x, y)
+    rec = struct.pack(">ii", 1, len(body) // 2) + body
+    header = struct.pack(">i5ii", 9994, 0, 0, 0, 0, 0, (100 + len(rec)) // 2)
+    header += struct.pack("<ii", 1000, 5) + struct.pack("<8d", *([0.0] * 8))
+    return header + rec
+
+
+def test_shx_prj_sidecars(tmp_path):
+    """write_shapefile emits a fixed-stride .shx whose offsets address every
+    record in the .shp, and a WGS84 .prj — what fiona/GeoPandas require
+    (species_range_etl.py:131-132)."""
+    sq = lambda x: [[[(x, 0.0), (x + 2.0, 0.0), (x + 2.0, 2.0), (x, 2.0), (x, 0.0)]]]
+    write_shapefile(
+        [(sq(0.0), {"n": "a"}), ([[OUTER, HOLE]], {"n": "b"}), ([], {"n": "c"})],
+        str(tmp_path / "t.shp"),
+    )
+    shp = (tmp_path / "t.shp").read_bytes()
+    shx = (tmp_path / "t.shx").read_bytes()
+    prj = (tmp_path / "t.prj").read_text()
+    assert prj.startswith('GEOGCS["GCS_WGS_1984"') and "298.257223563" in prj
+    # .shx: 100-byte header + 8 bytes per record; file length recorded in words
+    assert len(shx) == 100 + 8 * 3
+    (shx_len_words,) = struct.unpack_from(">i", shx, 24)
+    assert shx_len_words * 2 == len(shx)
+    # headers agree except for file length; bbox identical
+    assert shx[32:100] == shp[32:100]
+    # each index entry addresses a real record: header (recno, content_words)
+    # at byte offset*2, and content_words matches the .shp record header
+    for i in range(3):
+        off_words, content_words = struct.unpack_from(">ii", shx, 100 + 8 * i)
+        recno, shp_words = struct.unpack_from(">ii", shp, off_words * 2)
+        assert recno == i + 1 and shp_words == content_words
+    # last entry reaches exactly the end of the .shp
+    off_words, content_words = struct.unpack_from(">ii", shx, 100 + 16)
+    assert (off_words + 4 + content_words) * 2 == len(shp)
 
 
 def test_spark_read_lane_attrs_and_error_channel(spark, tmp_path):
