@@ -12,8 +12,9 @@ ever writes.  Ring conversion: shapefile outer rings are CW and holes CCW;
 the engine's WKB convention (``functions/wkb.py``) is the opposite, so rings
 are re-wound on the way through.  Rings are grouped into polygons by
 winding: each CW ring starts a new polygon, subsequent CCW rings are its
-holes (the common GIS heuristic).  Records whose FIRST ring is hole-wound
-(some tools write holes first) fall back to point-in-ring containment
+holes (the common GIS heuristic).  That ordering is only trustworthy when
+the record has a single outer ring; records with a hole-wound first ring
+OR with holes among multiple outers fall back to point-in-ring containment
 grouping instead of trusting order.
 
 Attributes ride in the sidecar ``.dbf`` (dBase III): parsed into a
@@ -100,11 +101,16 @@ def _polygon_record_to_wkb(content: bytes, off: int) -> bytes:
         rings.append(ring)
     # group by winding: shapefile outer = CW (signed area < 0), hole = CCW.
     # The sequential heuristic (each CW ring starts a polygon, following CCW
-    # rings are its holes) only holds when rings arrive outer-first; some
-    # tools write holes first, so a CCW first ring falls back to containment
-    # grouping instead of being silently promoted to a flipped-winding outer.
+    # rings are its holes) only holds when every hole directly follows its
+    # outer.  It is provably safe only when there is at most one outer ring
+    # (every hole must belong to it) — with multiple outers a writer may
+    # interleave (outerA, hole-of-B, outerB), which sequential grouping
+    # silently mis-attaches.  So: any record with a hole and more than one
+    # outer, or a hole-first record, uses point-in-ring containment grouping.
     is_outer = [ring_signed_area(r) <= 0 for r in rings]
-    if rings and not is_outer[0]:
+    n_outer = sum(is_outer)
+    has_hole = n_outer < len(rings)
+    if rings and (not is_outer[0] or (has_hole and n_outer > 1)):
         return _group_rings_by_containment(rings, is_outer)
     polygons: list[list[Ring]] = []
     for ring, outer in zip(rings, is_outer):
@@ -137,11 +143,15 @@ def _group_rings_by_containment(rings: list[Ring], is_outer: list[bool]) -> byte
     """Hole-first fallback: assign each CCW (hole) ring to the smallest CW
     outer ring containing its first vertex; unassignable holes or records
     with no outer ring at all raise into the error channel."""
-    outers = [(i, r) for i, (r, o) in enumerate(zip(rings, is_outer)) if o]
+    outers = [
+        (i, r, abs(ring_signed_area(r)))
+        for i, (r, o) in enumerate(zip(rings, is_outer))
+        if o
+    ]
     if not outers:
         raise ValueError("polygon record has only hole-wound rings")
     polygons: dict[int, list[Ring]] = {
-        i: [list(reversed(r))] for i, r in outers
+        i: [list(reversed(r))] for i, r, _ in outers
     }
     for ring, outer in zip(rings, is_outer):
         if outer:
@@ -149,14 +159,13 @@ def _group_rings_by_containment(rings: list[Ring], is_outer: list[bool]) -> byte
         px, py = ring[0]
         best: int | None = None
         best_area = float("inf")
-        for i, oring in outers:
-            area = abs(ring_signed_area(oring))
+        for i, oring, area in outers:
             if area < best_area and _point_in_ring(px, py, oring):
                 best, best_area = i, area
         if best is None:
             raise ValueError("hole ring not contained in any outer ring")
         polygons[best].append(list(reversed(ring)))
-    grouped = [polygons[i] for i, _ in outers]
+    grouped = [polygons[i] for i, _, _ in outers]
     if len(grouped) == 1:
         return encode_polygon(grouped[0])
     return encode_multipolygon(grouped)
@@ -275,12 +284,16 @@ def parse_dbf(content: bytes) -> list[dict[str, str] | None]:
     return out
 
 
-def encode_dbf(records: list[dict[str, str]]) -> bytes:
+def encode_dbf(records: list[dict[str, str] | None]) -> bytes:
     """Inverse of ``parse_dbf``: uniform-keyed string records -> dBase III
-    bytes (all fields type 'C', width = longest value, capped 254)."""
-    names = list(records[0]) if records else []
+    bytes (all fields type 'C', width = longest value, capped 254).
+    ``None`` slots (``parse_dbf``'s representation of deleted records) are
+    written as empty records so a read->write round-trip of a file holding
+    deleted records keeps its positional alignment instead of crashing."""
+    records = [r if r is not None else {} for r in records]
+    names = next((list(r) for r in records if r), [])
     widths = {
-        n: min(254, max(1, max(len(str(r.get(n, ""))) for r in records)))
+        n: min(254, max(1, max((len(str(r.get(n, ""))) for r in records), default=1)))
         for n in names
     }
     header_size = 32 + 32 * len(names) + 1

@@ -101,6 +101,34 @@ def test_hole_first_record_grouped_by_containment():
     assert len(polys) == 1 and len(polys[0]) == 2
 
 
+def test_mid_record_out_of_order_hole_grouped_by_containment():
+    """[outerA, hole-of-B, outerB]: the hole arrives before its own outer but
+    after a DIFFERENT outer.  The sequential heuristic would attach it to
+    outerA; any record mixing holes with multiple outers must use containment
+    grouping instead."""
+    outer_a_cw = list(reversed(OUTER))  # 4x4 at origin
+    outer_b = [(10.0, 10.0), (14.0, 10.0), (14.0, 14.0), (10.0, 14.0), (10.0, 10.0)]
+    outer_b_cw = list(reversed(outer_b))
+    hole_b = [(11.0, 11.0), (11.0, 12.0), (12.0, 12.0), (12.0, 11.0), (11.0, 11.0)]
+    hole_b_ccw = list(reversed(hole_b))
+    shapes = parse_shp(_record_blob([outer_a_cw, hole_b_ccw, outer_b_cw]))
+    name, polys = decode(shapes[0][1])
+    assert name == "MultiPolygon" and len(polys) == 2
+    by_first = {p[0][0]: p for p in polys}
+    assert len(by_first[(0.0, 0.0)]) == 1  # A keeps no hole
+    assert len(by_first[(10.0, 10.0)]) == 2  # B gets its hole back
+    assert wkb_area(shapes[0][1]) == pytest.approx(16.0 + 16.0 - 1.0)
+
+
+def test_encode_dbf_roundtrips_deleted_none_slots():
+    """A read->write cycle of a .dbf holding deleted (None) slots must write
+    an empty record in place, preserving positional alignment."""
+    recs = [{"n": "a"}, None, {"n": "c"}]
+    back = parse_dbf(encode_dbf(recs))
+    assert back == [{"n": "a"}, {"n": ""}, {"n": "c"}]
+    assert parse_dbf(encode_dbf([None, None])) == [{}, {}]
+
+
 def test_only_hole_rings_error():
     with pytest.raises(ValueError, match="only hole-wound rings"):
         parse_shp(_record_blob([list(reversed(HOLE))]))
