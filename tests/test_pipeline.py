@@ -131,6 +131,85 @@ def test_pipeline_geometry_is_georeferenced(spark, zip_dir):
     assert min(ys) >= YLL and max(ys) <= YLL + NROWS * CS
 
 
+def test_full_artifact_cycle_mixed_raster_formats(spark, tmp_path):
+    """The reference's complete artifact cycle in one pass
+    (species_range_etl.py:59-236): zip archives holding a MIX of .asc and
+    .tif members (one DEFLATE-compressed) -> cells -> thresholds ->
+    dissolve -> speciesdata -> shapefile write -> Spark shapefile read-back
+    with ring-identical geometry.  Raster format must not leak into any
+    downstream value."""
+    from species_range_data_pipeline_spark.functions.wkb import decode
+    from species_range_data_pipeline_spark.pipeline.geotiff import encode_geotiff
+    from species_range_data_pipeline_spark.sources.shapefile import (
+        read_shapefile,
+        write_shapefile,
+    )
+
+    header = {
+        "ncols": NCOLS, "nrows": NROWS, "xllcorner": XLL,
+        "yllcorner": YLL, "cellsize": CS, "nodata_value": -9999.0,
+    }
+
+    def _tif_bytes(g: np.ndarray, compression: int = 1) -> bytes:
+        cells = [
+            (r, c, float(g[r, c]))
+            for r in range(NROWS)
+            for c in range(NCOLS)
+            if g[r, c] != -9999.0
+        ]
+        return encode_geotiff(header, cells, dtype="f8", compression=compression)
+
+    d = tmp_path / "zips"
+    d.mkdir()
+    with zipfile.ZipFile(d / "abies-balsamea.zip", "w") as zf:
+        zf.writestr("abies-balsamea__25_current.asc", _asc_bytes(_grid(1)))
+        zf.writestr(
+            "abies-balsamea__25_gfdl_rcp45_y2080.tif", _tif_bytes(_grid(2))
+        )
+    with zipfile.ZipFile(d / "acer-rubrum.zip", "w") as zf:
+        zf.writestr(
+            "acer-rubrum__25_current.tif", _tif_bytes(_grid(3), compression=8)
+        )
+
+    cells, errors = load_cells_from_zips(spark, str(d))
+    assert errors.count() == 0
+    out = run_pipeline(cells).orderBy("sid").collect()
+
+    # same groups and numpy-oracle areas as the asc-only fixture produces
+    assert len(out) == 9
+    seed_of = {
+        ("abies-balsamea", "vtech"): 1,
+        ("abies-balsamea", "gfdl"): 2,
+        ("acer-rubrum", "vtech"): 3,
+    }
+    for r in out:
+        g = _grid(seed_of[(r.species, r.source)])
+        thr = int(r.threshold) / 100.0
+        kept = int(((g != -9999.0) & (g >= thr)).sum())
+        assert r.area == pytest.approx(kept * CS * CS), (r.species, r.threshold)
+
+    shp_dir = tmp_path / "artifact"
+    shp_dir.mkdir()
+    write_shapefile(
+        [
+            (decode(bytes(r.geometry))[1],
+             {"species": r.species, "threshold": r.threshold,
+              "source": r.source, "year": r.year, "scenario": r.scenario})
+            for r in out
+        ],
+        str(shp_dir / "speciesdata.shp"),
+    )
+    back = sorted(
+        read_shapefile(spark, str(shp_dir)).collect(), key=lambda r: r.record
+    )
+    assert len(back) == len(out) and all(r.error is None for r in back)
+    for orig, rt in zip(out, back):
+        assert rt.attrs["species"] == orig.species
+        assert rt.attrs["threshold"] == orig.threshold
+        assert rt.attrs["scenario"] == orig.scenario
+        assert decode(bytes(rt.geometry))[1] == decode(bytes(orig.geometry))[1]
+
+
 def test_assign_crs_metadata_and_error_channel(spark, zip_dir):
     from species_range_data_pipeline_spark.pipeline.species import assign_crs
 
