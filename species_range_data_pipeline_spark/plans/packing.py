@@ -1,0 +1,249 @@
+"""Training-batch assembly operators: sequence packing, mixture sampling,
+and epoch upsampling over the ``documents`` corpus.
+
+These are the ops that sit between a cleaned/deduplicated corpus and a
+training run: concatenate documents into fixed-token-budget sequences
+(packing), rebalance the per-source mix toward a target distribution
+(temperature sampling), and replicate under-represented sources by whole
+epochs (upsampling).  The reference pipeline stops at artifact tables; a
+100 TB training pipeline needs exactly this last mile.
+
+Scale notes:
+- ``doc_pack_sequences`` is ONE window shuffle partitioned by source (the
+  pack is per-source, so partitions are independent) followed by a
+  group-by on the same key prefix — Catalyst reuses the partitioning, so
+  the whole plan is a single exchange.  At 100 TB the window's sort is the
+  cost; the partition key (source) can be refined to (source, shard) with
+  shard = a coarse doc_id range so no single window partition exceeds
+  executor memory, at the cost of one partial sequence per shard boundary.
+- ``dataset_mixture`` aggregates per-source counts (tiny — one row per
+  source), broadcasts the rate table back onto the corpus, and filters by
+  a deterministic arithmetic bucket.  Two scans of documents, one tiny
+  broadcast, no wide shuffle of the corpus itself.
+- ``dataset_interleave_epochs`` replicates rows with a generator
+  (``explode(sequence(...))``) — a narrow, pipelined operation: no shuffle
+  is paid for the replication, only for the final (tiny) per-source
+  rollup.
+
+Determinism discipline (same as ``quality.sample_stratified``): sampling
+decisions use exact integer arithmetic on ``doc_id`` (a Knuth
+multiplicative bucket), never RNG and never engine-specific hash
+functions, so the same document makes the same cut in any engine at any
+parallelism and the DuckDB oracle can mirror the rule verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .text import _tokens
+
+#: tokens per packed training sequence (a context-window budget)
+PACK_BUDGET = 512
+
+#: Knuth multiplicative constant: spreads sequential ids over buckets
+#: with exact integer arithmetic that any engine reproduces bit-for-bit.
+_KNUTH = 2654435761
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "source",
+        "doc_id",
+        F.size(_tokens()).cast("long").alias("n_tokens"),
+    )
+
+
+#: the same whitespace tokenizer as ``text_token_count``, as DuckDB SQL
+_TOK_SQL = (
+    "CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) "
+    "AS BIGINT)"
+)
+
+
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (GPT-style): documents are laid
+    end-to-end per source in doc_id order and cut into ``PACK_BUDGET``-token
+    sequences; a document belongs to the sequence its first token falls in.
+
+    Output: one row per (source, seq_id) with the doc count, token sum and
+    first doc — the manifest a batch loader needs to materialize packed
+    samples.  Deterministic: no RNG, pack order is the stable (source,
+    doc_id) order.
+    """
+    toks = _doc_tokens(spark, sf_dir)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = toks.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return (
+        cum.withColumn(
+            "seq_id", F.floor(F.col("cum_before") / F.lit(float(PACK_BUDGET)))
+        )
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source", "seq_id")
+    )
+
+
+DOC_PACK_SEQUENCES_ORACLE = f"""
+WITH toks AS (
+    SELECT source, doc_id, {_TOK_SQL} AS n_tokens
+    FROM documents
+), cum AS (
+    SELECT source, doc_id, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+    FROM toks
+)
+SELECT source,
+       CAST(floor(cum_before / {float(PACK_BUDGET)}) AS BIGINT) AS seq_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+       min(doc_id) AS first_doc
+FROM cum
+GROUP BY source, seq_id
+ORDER BY source, seq_id
+"""
+
+
+def dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced source mixture (alpha = 0.5 downsampling).
+
+    Per-source keep rate ``sqrt(min_count / n_source)`` pulls the source
+    distribution halfway (in log space) toward uniform — the standard
+    multilingual/multi-source rebalancing rule — capped at 1 for the
+    smallest source.  The keep decision is a deterministic per-mille
+    bucket of a Knuth-spread doc_id, so membership is stable across
+    engines and cluster sizes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_orig"))
+    min_n = counts.agg(F.min("n_orig").alias("min_n"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        "source",
+        "n_orig",
+        F.floor(F.lit(1000.0) * F.sqrt(F.col("min_n") / F.col("n_orig")))
+        .cast("int")
+        .alias("keep_per_mille"),
+    )
+    kept = docs.join(F.broadcast(rates), "source").where(
+        (F.col("doc_id") * _KNUTH) % 1000 < F.col("keep_per_mille")
+    )
+    return (
+        kept.groupBy("source", "n_orig", "keep_per_mille")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(F.size(_tokens()).cast("long")).alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+DATASET_MIXTURE_ORACLE = f"""
+WITH counts AS (
+    SELECT source, count(*) AS n_orig FROM documents GROUP BY source
+), rates AS (
+    SELECT source, n_orig,
+           CAST(floor(1000.0 * sqrt(
+               (SELECT min(n_orig) FROM counts) * 1.0 / n_orig)) AS INT)
+               AS keep_per_mille
+    FROM counts
+)
+SELECT d.source, r.n_orig, r.keep_per_mille,
+       count(*) AS n_kept,
+       CAST(sum({_TOK_SQL}) AS BIGINT) AS kept_tokens
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE (d.doc_id * {_KNUTH}) % 1000 < r.keep_per_mille
+GROUP BY d.source, r.n_orig, r.keep_per_mille
+ORDER BY d.source
+"""
+
+
+def dataset_interleave_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-epoch upsampling: every source is replicated enough full
+    epochs to approach the largest source's token mass (capped at 4
+    epochs, the usual repetition-harm ceiling).  Replication is a
+    generator (``explode(sequence(...))``) — narrow and pipelined; only
+    the final per-source rollup shuffles, and it is source-cardinality
+    sized.
+    """
+    toks = _doc_tokens(spark, sf_dir)
+    per_src = toks.groupBy("source").agg(
+        F.sum("n_tokens").cast("long").alias("src_tokens")
+    )
+    target = per_src.agg(F.max("src_tokens").alias("target_tokens"))
+    plan = per_src.crossJoin(F.broadcast(target)).select(
+        "source",
+        "src_tokens",
+        F.least(
+            F.lit(4),
+            F.ceil(F.col("target_tokens") / F.col("src_tokens")),
+        )
+        .cast("int")
+        .alias("epochs"),
+    )
+    exploded = toks.join(F.broadcast(plan), "source").select(
+        "source",
+        "n_tokens",
+        "epochs",
+        F.explode(F.sequence(F.lit(1), F.col("epochs"))).alias("epoch"),
+    )
+    return (
+        exploded.groupBy("source", "epochs")
+        .agg(
+            F.count(F.lit(1)).alias("total_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+DATASET_INTERLEAVE_EPOCHS_ORACLE = f"""
+WITH toks AS (
+    SELECT source, doc_id, {_TOK_SQL} AS n_tokens FROM documents
+), per_src AS (
+    SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+    FROM toks GROUP BY source
+), plan AS (
+    SELECT source, src_tokens,
+           CAST(least(4, ceil(
+               (SELECT max(src_tokens) FROM per_src) * 1.0 / src_tokens))
+               AS INT) AS epochs
+    FROM per_src
+)
+SELECT t.source, p.epochs,
+       count(*) AS total_docs,
+       CAST(sum(t.n_tokens) AS BIGINT) AS total_tokens
+FROM toks t
+JOIN plan p ON t.source = p.source
+CROSS JOIN unnest(generate_series(1, p.epochs)) AS e(epoch)
+GROUP BY t.source, p.epochs
+ORDER BY t.source
+"""
+
+
+QUERIES = {
+    "doc_pack_sequences": doc_pack_sequences,
+    "dataset_mixture": dataset_mixture,
+    "dataset_interleave_epochs": dataset_interleave_epochs,
+}
+
+ORACLES = {
+    "doc_pack_sequences": DOC_PACK_SEQUENCES_ORACLE,
+    "dataset_mixture": DATASET_MIXTURE_ORACLE,
+    "dataset_interleave_epochs": DATASET_INTERLEAVE_EPOCHS_ORACLE,
+}

@@ -15,6 +15,7 @@ _MODULE_NAMES = [
     "quality",
     "scalar",
     "text",
+    "packing",
     "vectors",
     "events",
     "geo",

@@ -1,0 +1,78 @@
+"""Training-batch assembly invariants: sequence packing conserves tokens
+and chunks at the budget, mixture sampling is monotone in source size,
+epoch upsampling replicates exactly.  Value-level parity with DuckDB is
+covered by test_oracle_parity; these pin the semantics that parity alone
+would not catch (e.g. a budget constant silently changing)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from species_range_data_pipeline_spark.plans.packing import (
+    PACK_BUDGET,
+    dataset_interleave_epochs,
+    dataset_mixture,
+    doc_pack_sequences,
+)
+
+from .conftest import SF_CORRECT
+
+
+def test_pack_sequences_invariants(spark):
+    rows = doc_pack_sequences(spark, SF_CORRECT).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r.source].append(r)
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    assert len(by_src) == docs.select("source").distinct().count()
+    for src, seqs in by_src.items():
+        seqs.sort(key=lambda r: r.seq_id)
+        # seq ids are dense from 0: chunking never skips a window
+        assert [r.seq_id for r in seqs] == list(range(len(seqs)))
+        # first_doc strictly increasing: pack order is the stable doc order
+        firsts = [r.first_doc for r in seqs]
+        assert firsts == sorted(firsts) and len(set(firsts)) == len(firsts)
+        # every sequence starts in its own window: a doc is assigned to the
+        # chunk its first token falls in, so a sequence's token span starts
+        # inside [seq_id * budget, (seq_id+1) * budget)
+        cum = 0
+        for r in seqs:
+            assert r.seq_id * PACK_BUDGET <= cum < (r.seq_id + 1) * PACK_BUDGET
+            cum += r.seq_tokens
+    # token conservation: packing moves every token exactly once
+    total = sum(r.seq_tokens for r in rows)
+    from pyspark.sql import functions as F
+
+    expected = docs.select(
+        F.sum(
+            F.size(F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " "))
+        ).alias("t")
+    ).first()["t"]
+    assert total == expected
+
+
+def test_dataset_mixture_monotone_and_capped(spark):
+    rows = dataset_mixture(spark, SF_CORRECT).collect()
+    assert rows, "no sources survived sampling"
+    for r in rows:
+        assert 0 < r.keep_per_mille <= 1000
+        assert 0 < r.n_kept <= r.n_orig
+    # alpha=0.5 temperature: the smallest source is kept whole (rate 1000),
+    # and keep rate never increases with source size
+    smallest = min(rows, key=lambda r: r.n_orig)
+    assert smallest.keep_per_mille == 1000
+    by_size = sorted(rows, key=lambda r: r.n_orig)
+    rates = [r.keep_per_mille for r in by_size]
+    assert all(a >= b for a, b in zip(rates, rates[1:]))
+
+
+def test_interleave_epochs_exact_replication(spark):
+    rows = dataset_interleave_epochs(spark, SF_CORRECT).collect()
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    base = {r.source: r.n for r in docs.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    assert {r.source for r in rows} == set(base)
+    for r in rows:
+        assert 1 <= r.epochs <= 4
+        assert r.total_docs == base[r.source] * r.epochs
+    # the largest-token source is the target: exactly one epoch
+    assert any(r.epochs == 1 for r in rows)
