@@ -7,12 +7,13 @@ synthetic generator agree):
   FAKEVID | uint16 n_frames | uint16 width | uint16 height | frames (n*w*h bytes)
   FAKEAUD | uint32 sample_rate | uint32 n_samples | samples (int16 LE)
 
-Real PNG and WAV decode for real via the pure-struct codecs in
-``multimodal/codecs.py`` (stdlib ``zlib`` + ``struct``; no image/audio
-library needed).  JPEG and MP4 still raise ``NotImplementedError`` in the
-codec seams — they need real entropy/video decoders the container doesn't
-ship — and everything around the seams (schemas, mapInPandas batching,
-metadata structs, partition behavior) is production-shaped either way.
+Real PNG and WAV decode via the pure-struct codecs in
+``multimodal/codecs.py`` (stdlib ``zlib`` + ``struct``), and real baseline
+JPEG via ``multimodal/jpeg.py`` (T.81 Huffman + DCT from the public spec)
+— no image/audio library needed.  MP3 and real video codecs still raise
+``NotImplementedError`` in the codec seams, and everything around the
+seams (schemas, mapInPandas batching, metadata structs, partition
+behavior) is production-shaped either way.
 
 Scale notes: payloads stay in executor memory one Arrow batch at a time
 (``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds it); decode output
@@ -32,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from species_range_data_pipeline_spark.multimodal import codecs
+from species_range_data_pipeline_spark.multimodal import codecs, jpeg
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -102,7 +103,8 @@ def make_media_table(spark: SparkSession, n: int = 64) -> DataFrame:
 
 
 def _decode_payload(payload: bytes) -> tuple[int, int, int, np.ndarray]:
-    """The image codec seam: FAKEIMG and real PNG decode; JPEG still gates.
+    """The image codec seam: FAKEIMG, real PNG, and real baseline JPEG all
+    decode; progressive JPEG gates loudly inside ``jpeg.decode_jpeg``.
 
     Always returns a (h, w, c) uint8 array with c >= 1 so every downstream
     feature kernel (means, aHash, resize) sees one shape regardless of
@@ -115,10 +117,7 @@ def _decode_payload(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     if payload[:8] == codecs.PNG_SIGNATURE:
         return codecs.decode_png(payload)
     if payload[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError(
-            "JPEG needs a real entropy decoder this container doesn't ship; "
-            "plug one in here (PNG decodes for real via multimodal/codecs.py)"
-        )
+        return jpeg.decode_jpeg(payload)
     raise ValueError("unrecognized image payload (not FAKEIMG/PNG/JPEG)")
 
 

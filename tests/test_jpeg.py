@@ -1,0 +1,142 @@
+"""Baseline JPEG codec (multimodal/jpeg.py): encode/decode round-trips
+across quality levels, chroma subsampling modes, restart markers, odd
+sizes; loud gates for non-baseline processes; and the Spark operator lane
+over real JPEG payloads."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from species_range_data_pipeline_spark.multimodal.jpeg import (
+    _ZZ,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _smooth_rgb(h: int = 40, w: int = 56) -> np.ndarray:
+    """Linear ramps (no 255->0 wrap): chroma subsampling stays tight."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            yy * 255 / (h - 1),
+            xx * 255 / (w - 1),
+            (yy + xx) * 255 / (h + w - 2),
+        ],
+        axis=-1,
+    ).round().astype(np.uint8)
+
+
+def test_zigzag_order_is_the_standard_one():
+    """The derived traversal must match T.81's table: pin the first
+    diagonal walk and the tail."""
+    assert list(_ZZ[:10]) == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert list(_ZZ[-8:]) == [53, 60, 61, 54, 47, 55, 62, 63]
+    assert sorted(_ZZ) == list(range(64))
+
+
+def test_gray_gradient_roundtrip_near_exact():
+    yy, xx = np.mgrid[0:40, 0:56]
+    gray = ((yy * 3 + xx * 2) % 256).astype(np.uint8)
+    w, h, c, px = decode_jpeg(encode_jpeg(gray, quality=95))
+    assert (w, h, c) == (56, 40, 1)
+    assert np.abs(px[..., 0].astype(int) - gray.astype(int)).max() <= 2
+
+
+def test_rgb_roundtrip_all_subsampling_modes():
+    img = _smooth_rgb()
+    for subsampling, tol in [((1, 1), 4), ((2, 1), 6), ((2, 2), 8)]:
+        blob = encode_jpeg(img, quality=90, subsampling=subsampling)
+        w, h, c, px = decode_jpeg(blob)
+        assert (w, h, c) == (56, 40, 3)
+        err = np.abs(px.astype(int) - img.astype(int))
+        assert err.max() <= tol, (subsampling, int(err.max()))
+
+
+def test_noise_roundtrip_q100_and_odd_dims():
+    """Random noise at quality 100 (quant steps ~1) survives within DCT
+    rounding; 17x13 exercises the edge-padding path."""
+    rng = np.random.RandomState(7)
+    noise = rng.randint(0, 256, (17, 13, 3), dtype=np.uint8)
+    w, h, c, px = decode_jpeg(encode_jpeg(noise, quality=100))
+    assert (w, h, c) == (13, 17, 3)
+    assert np.abs(px.astype(int) - noise.astype(int)).max() <= 6
+
+
+def test_restart_markers_roundtrip():
+    img = _smooth_rgb()
+    plain = encode_jpeg(img, quality=90)
+    rst = encode_jpeg(img, quality=90, restart_interval=2)
+    assert b"\xff\xdd" in rst and b"\xff\xd0" in rst
+    assert b"\xff\xdd" not in plain
+    _, _, _, px_plain = decode_jpeg(plain)
+    _, _, _, px_rst = decode_jpeg(rst)
+    # restart markers change framing, not content
+    assert (px_plain == px_rst).all()
+    # 4:2:0 + restarts together (the common camera-output combination)
+    _, _, _, px = decode_jpeg(
+        encode_jpeg(img, quality=90, subsampling=(2, 2), restart_interval=3)
+    )
+    assert np.abs(px.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_quality_knob_trades_size_for_error():
+    img = _smooth_rgb()
+    lo, hi = encode_jpeg(img, quality=30), encode_jpeg(img, quality=95)
+    assert len(lo) < len(hi)
+    _, _, _, px_lo = decode_jpeg(lo)
+    _, _, _, px_hi = decode_jpeg(hi)
+    e_lo = np.abs(px_lo.astype(int) - img.astype(int)).mean()
+    e_hi = np.abs(px_hi.astype(int) - img.astype(int)).mean()
+    assert e_hi < e_lo
+
+
+def test_loud_gates_and_malformed():
+    gray = np.zeros((8, 8), dtype=np.uint8)
+    blob = bytearray(encode_jpeg(gray))
+    i = bytes(blob).find(b"\xff\xc0")
+    blob[i + 1] = 0xC2  # patch SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(blob))
+    blob[i + 1] = 0xC3  # lossless sequential
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg(bytes(blob))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG....")
+    with pytest.raises(ValueError, match="no SOS"):
+        decode_jpeg(b"\xff\xd8\xff\xd9")  # SOI+EOI, no scan
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\x00\x00")
+
+
+def test_real_jpeg_through_spark_operators(spark):
+    """Real baseline JPEG payloads flow through decode/ahash — the formerly
+    NotImplementedError lane, now backed by multimodal/jpeg.py."""
+    from species_range_data_pipeline_spark.multimodal.media import (
+        MEDIA_SCHEMA,
+        decode_images,
+        image_ahash,
+    )
+
+    imgs = {
+        0: _smooth_rgb(24, 32),
+        1: 255 - _smooth_rgb(24, 32),
+        2: _smooth_rgb(16, 16),
+    }
+    media = spark.createDataFrame(
+        [(i, "image", encode_jpeg(px, quality=95), "jpeg") for i, px in imgs.items()]
+        + [(9, "image", encode_jpeg(imgs[0], quality=95), "jpeg")],
+        MEDIA_SCHEMA,
+    )
+    feats = {r.media_id: r for r in decode_images(media).collect()}
+    assert all(r.error is None for r in feats.values())
+    for i, px in imgs.items():
+        assert (feats[i].width, feats[i].height) == (px.shape[1], px.shape[0])
+        assert feats[i].channels == 3
+        # lossy codec: means agree loosely, not exactly
+        assert feats[i].mean_pixel == pytest.approx(float(px.mean()), abs=3.0)
+
+    hashes = {r.media_id: r.ahash for r in image_ahash(media).collect()}
+    assert hashes[0] == hashes[9]  # byte-identical payloads -> same hash
+    assert hashes[0] != hashes[1]  # inverted image -> different hash

@@ -27,15 +27,20 @@ def test_fake_image_roundtrip():
     assert (px.ravel() == rng.randint(0, 256, size=36, dtype=np.uint8)).all()
 
 
-def test_jpeg_is_stubbed_png_is_not():
-    # JPEG still gates loudly; PNG now decodes for real (see test_codecs.py)
-    with pytest.raises(NotImplementedError, match="JPEG"):
-        _decode_payload(b"\xff\xd8\xff\xe0 jpeg bytes")
+def test_png_and_jpeg_decode_for_real():
+    # both real image formats decode through the seam (PNG losslessly,
+    # baseline JPEG within lossy tolerance — see test_codecs/test_jpeg)
     from species_range_data_pipeline_spark.multimodal.codecs import encode_png
+    from species_range_data_pipeline_spark.multimodal.jpeg import encode_jpeg
 
     px = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
     w, h, c, got = _decode_payload(encode_png(px))
     assert (w, h, c) == (4, 2, 3) and (got == px).all()
+
+    smooth = np.tile(np.arange(0, 160, 10, dtype=np.uint8), (12, 1))
+    w, h, c, got = _decode_payload(encode_jpeg(smooth, quality=95))
+    assert (w, h, c) == (16, 12, 1)
+    assert np.abs(got[..., 0].astype(int) - smooth.astype(int)).max() <= 4
 
 
 def test_decode_images_features(spark):
@@ -62,7 +67,7 @@ def test_decode_error_channel(spark):
     )
     rows = decode_images(bad).collect()
     assert len(rows) == 1
-    assert "NotImplementedError" in rows[0].error
+    assert "ValueError" in rows[0].error  # truncated JPEG: malformed, not gated
 
 
 def test_resize_images(spark):
