@@ -8,12 +8,15 @@ synthetic generator agree):
   FAKEAUD | uint32 sample_rate | uint32 n_samples | samples (int16 LE)
 
 Real PNG and WAV decode via the pure-struct codecs in
-``multimodal/codecs.py`` (stdlib ``zlib`` + ``struct``), and real baseline
-JPEG via ``multimodal/jpeg.py`` (T.81 Huffman + DCT from the public spec)
-— no image/audio library needed.  MP3 and real video codecs still raise
-``NotImplementedError`` in the codec seams, and everything around the
-seams (schemas, mapInPandas batching, metadata structs, partition
-behavior) is production-shaped either way.
+``multimodal/codecs.py`` (stdlib ``zlib`` + ``struct``), real baseline
+JPEG via ``multimodal/jpeg.py`` (T.81 Huffman + DCT from the public
+spec), and real MP4 container parsing via ``multimodal/mp4.py`` (ISO
+BMFF sample tables; MJPEG tracks decode all the way to pixels) — no
+image/audio/video library needed.  MP3 audio and compressed video
+bitstream decode (H.264/HEVC/AV1) still raise ``NotImplementedError`` in
+the codec seams, and everything around the seams (schemas, mapInPandas
+batching, metadata structs, partition behavior) is production-shaped
+either way.
 
 Scale notes: payloads stay in executor memory one Arrow batch at a time
 (``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds it); decode output
@@ -33,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from species_range_data_pipeline_spark.multimodal import codecs, jpeg
+from species_range_data_pipeline_spark.multimodal import codecs, jpeg, mp4
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -321,21 +324,42 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
 
 
 def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
-    """Video frame sampling: one output row per kept frame (UDTF shape)."""
+    """Video frame sampling: one output row per kept frame (UDTF shape).
+
+    Frame sampling is CONTAINER-level work, so it is real for MP4: the box
+    tree and sample tables come from ``multimodal/mp4.py`` and each kept
+    frame is that sample's byte range (for MJPEG tracks the bytes are a
+    standalone JPEG that ``decode_images`` fully decodes; for compressed
+    codecs they are the access unit a downstream decoder consumes).
+    FAKEVID frames stay raw grayscale pixels.  Other containers gate."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 blob = bytes(payload)
-                if blob[:7] != b"FAKEVID":
-                    raise NotImplementedError("real video codecs not available")
-                n, w, h = struct.unpack_from("<HHH", blob, 7)
-                frames = np.frombuffer(blob, dtype=np.uint8, offset=13).reshape(n, h, w)
-                for idx in range(0, n, every):
-                    out.append(
-                        {"media_id": mid, "frame_idx": idx,
-                         "frame": frames[idx].tobytes(), "width": w, "height": h}
+                if blob[:7] == b"FAKEVID":
+                    n, w, h = struct.unpack_from("<HHH", blob, 7)
+                    frames = np.frombuffer(
+                        blob, dtype=np.uint8, offset=13
+                    ).reshape(n, h, w)
+                    for idx in range(0, n, every):
+                        out.append(
+                            {"media_id": mid, "frame_idx": idx,
+                             "frame": frames[idx].tobytes(), "width": w, "height": h}
+                        )
+                elif blob[4:8] == b"ftyp":
+                    info = mp4.extract_video_samples(blob)
+                    for idx in range(0, len(info["samples"]), every):
+                        off, size, _dts = info["samples"][idx]
+                        out.append(
+                            {"media_id": mid, "frame_idx": idx,
+                             "frame": blob[off : off + size],
+                             "width": info["width"], "height": info["height"]}
+                        )
+                else:
+                    raise NotImplementedError(
+                        "unrecognized video container (FAKEVID and MP4 supported)"
                     )
             yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
 
