@@ -54,6 +54,8 @@ HEADLINE = [
     # spatial join family
     "text_decontaminate",
     "geo_spatial_join_bin",
+    # training-batch assembly (window-packing shape over documents)
+    "doc_pack_sequences",
 ]
 
 

@@ -17,7 +17,7 @@ cluster resizes).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -323,12 +323,148 @@ ORDER BY event_type
 """
 
 
+def doc_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality-filter cascade with per-stage attrition.
+
+    Every document is attributed to the FIRST stage that rejects it (or
+    'pass'), giving the funnel view a corpus-cleaning pipeline needs to
+    tune thresholds: how many docs each rule costs, not just the final
+    keep rate.  Stages (all exact integer/char arithmetic, so the DuckDB
+    oracle mirrors them verbatim):
+
+      s1_length     — 100 <= n_chars <= 20000
+      s2_symbols    — non-alphanumeric, non-space chars <= 10% of
+                      non-space chars (CJK text fails here by design:
+                      these are the ASCII-centric web-cleaning rules)
+      s3_digits     — digits <= 20% of non-space chars
+      s4_word_len   — mean token length in [2, 14]
+
+    One scan, one tiny group-by: the per-doc predicates are all JVM
+    string expressions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from .text import _tokens
+
+    nonspace = F.length(F.regexp_replace("text", r"\s", ""))
+    symbols = F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
+    digits = F.length(F.regexp_replace("text", r"[^0-9]", ""))
+    n_tokens = F.size(_tokens())
+    mean_tok = nonspace / n_tokens
+    stage = (
+        F.when(~F.col("n_chars").between(100, 20000), "s1_length")
+        .when(symbols * 10 > nonspace, "s2_symbols")
+        .when(digits * 5 > nonspace, "s3_digits")
+        .when((mean_tok < 2.0) | (mean_tok > 14.0), "s4_word_len")
+        .otherwise("pass")
+    )
+    return (
+        docs.select(stage.alias("stage"), "n_chars")
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("stage")
+    )
+
+
+DOC_QUALITY_FUNNEL_ORACLE = """
+WITH scored AS (
+    SELECT n_chars,
+           length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+           length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS symbols,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+           len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+               AS n_tokens
+    FROM documents
+), staged AS (
+    SELECT n_chars,
+           CASE
+             WHEN n_chars NOT BETWEEN 100 AND 20000 THEN 's1_length'
+             WHEN symbols * 10 > nonspace THEN 's2_symbols'
+             WHEN digits * 5 > nonspace THEN 's3_digits'
+             WHEN nonspace * 1.0 / n_tokens < 2.0
+                  OR nonspace * 1.0 / n_tokens > 14.0 THEN 's4_word_len'
+             ELSE 'pass'
+           END AS stage
+    FROM scored
+)
+SELECT stage, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
+FROM staged
+GROUP BY stage
+ORDER BY stage
+"""
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup under normalization, keeping the BEST representative.
+
+    The corpus is unioned with a deterministic mutated twin of itself
+    (upper-cased, whitespace-inflated, re-keyed) so the collapse is
+    observable on fixture data; the fingerprint is md5 of the
+    case-folded, whitespace-collapsed text, and within a fingerprint the
+    longest text wins (ties -> lowest doc_id) via one window — the
+    keep-best rule real cleaning pipelines use instead of "arbitrary
+    survivor".  Scale shape: one hash shuffle on the fingerprint; the
+    twin construction is a narrow map.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    twin = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+        "lang",
+        "n_chars",
+    )
+    both = docs.unionByName(twin)
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    w = Window.partitionBy("fp").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    kept = (
+        both.withColumn("fp", fp)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+DEDUP_KEEP_BEST_ORACLE = """
+WITH both_docs AS (
+    SELECT doc_id, text, lang, n_chars FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, upper(text) || '  ', lang, n_chars FROM documents
+), ranked AS (
+    SELECT lang, doc_id,
+           row_number() OVER (
+               PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               ORDER BY n_chars DESC, doc_id ASC) AS rn
+    FROM both_docs
+)
+SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM ranked
+WHERE rn = 1
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "sample_balanced_classes": sample_balanced_classes,
     "sample_stratified": sample_stratified,
     "profile_orders": profile_orders,
     "dq_checks": dq_checks,
     "dq_outliers_iqr": dq_outliers_iqr,
+    "doc_quality_funnel": doc_quality_funnel,
+    "dedup_keep_best": dedup_keep_best,
 }
 
 ORACLES = {
@@ -337,4 +473,6 @@ ORACLES = {
     "profile_orders": PROFILE_ORDERS_ORACLE,
     "dq_checks": DQ_CHECKS_ORACLE,
     "dq_outliers_iqr": DQ_OUTLIERS_ORACLE,
+    "doc_quality_funnel": DOC_QUALITY_FUNNEL_ORACLE,
+    "dedup_keep_best": DEDUP_KEEP_BEST_ORACLE,
 }

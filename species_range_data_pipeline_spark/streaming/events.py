@@ -23,27 +23,33 @@ def read_event_stream(
 ) -> DataFrame:
     """File-source stream of event parquet with the engine's events schema.
 
-    (The fixture's TIMESTAMP(NANOS) column arrives as long under
-    ``nanosAsLong``; converted exactly like catalog.load_table.)
+    The stream schema is sniffed from the files already present (footer
+    read only), so the source adapts to how the fixture stores ``ts`` the
+    same way ``catalog.load_table`` does: TIMESTAMP(NANOS) arrives as
+    long under ``nanosAsLong`` and is truncated to micros; a native
+    TIMESTAMP(MICROS) column passes through untouched.  Hardcoding either
+    shape breaks when the fixture generator changes its parquet writer —
+    which is exactly what happened between rounds 3 and 4.
     """
-    import pyspark.sql.types as T
-
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # conf locked -> the read below surfaces the real error
+    schema = spark.read.parquet(path).schema
     df = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # watermarks require TIMESTAMP (with tz); under the UTC session
+        # timezone the cast is value-preserving
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def windowed_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:

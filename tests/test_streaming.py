@@ -370,9 +370,11 @@ def test_stream_mv_refresh_matches_batch_and_replay_idempotent(spark, tmp_path):
     batch0_files = [
         json.loads(line)["path"] for line in log0 if line.startswith("{")
     ]
-    batch0 = spark.read.parquet(*batch0_files).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    batch0 = spark.read.parquet(*batch0_files)
+    if dict(batch0.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) fixtures
+        batch0 = batch0.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        batch0 = batch0.withColumn("ts", F.col("ts").cast("timestamp"))
     mv_partial_refresh_batch(batch0, 0, state)
     assert mv_rows() == got
 
