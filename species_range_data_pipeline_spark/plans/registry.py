@@ -16,6 +16,7 @@ _MODULE_NAMES = [
     "scalar",
     "text",
     "packing",
+    "retrieval",
     "vectors",
     "events",
     "geo",

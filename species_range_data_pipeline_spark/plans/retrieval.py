@@ -1,0 +1,198 @@
+"""Hybrid retrieval: lexical BM25 + embedding cosine fused with
+reciprocal-rank fusion (RRF, Cormack et al. SIGIR'09).
+
+The retrieval shape a training-data pipeline runs for hard-negative
+mining and dataset curation: rank the corpus lexically (sparse) and
+semantically (dense), then fuse ``sum(1 / (k + rank))`` so neither
+scorer's scale dominates.  The fixture's ``embeddings.vec_id`` is the
+document key, so the fusion join is a plain equi-join.
+
+Scale shape: the BM25 side's only wide exchange is the (doc, term)
+groupBy (term-filtered BEFORE the explode shuffles, same as
+``text_bm25_topk``); the semantic side is one scan scored against a
+broadcast single query vector; both rank windows are global but over
+score-pruned inputs, and the fusion join is doc-keyed.  Float parity:
+ranks are exact integers, the fused score is a two-term double sum
+rounded at the end — bit-stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.vectors import as_double, cosine
+from .text import _BM25_B, _BM25_K1, _BM25_TERMS, _tokens
+
+_RRF_K = 60
+_TOPN = 10
+_QUERY_VEC_ID = 0
+
+
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by RRF over (BM25 rank, cosine-to-query rank).
+
+    The dense query is the corpus's own ``vec_id = 0`` embedding (a
+    deterministic stand-in for an encoded user query).  Documents absent
+    from one ranking contribute only the other term — the standard RRF
+    treatment of partial lists.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # lexical: BM25 in integer micro-units (order-stable), ranked
+    with_dl = docs.select(
+        "doc_id", F.size(_tokens()).cast("long").alias("dl"), "text"
+    )
+    stats = with_dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_total"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tok = with_dl.select("doc_id", F.explode(_tokens()).alias("word")).where(
+        F.col("word").isin(_BM25_TERMS)
+    )
+    tf = tok.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    term_scores = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(with_dl.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("n_total") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (_BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("micro"),
+        )
+    )
+    wl = Window.orderBy(F.col("lex_micro").desc(), "doc_id")
+    lex = (
+        term_scores.groupBy("doc_id")
+        .agg(F.sum("micro").alias("lex_micro"))
+        .withColumn("lex_rank", F.row_number().over(wl).cast("long"))
+        .select("doc_id", "lex_rank")
+    )
+
+    # semantic: cosine against the broadcast query vector, ranked
+    qvec = emb.where(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    ws = Window.orderBy(F.col("cos_sim").desc(), "doc_id")
+    sem = (
+        emb.where(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(as_double("embedding"), as_double("qvec")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .withColumn("sem_rank", F.row_number().over(ws).cast("long"))
+        .select("doc_id", "sem_rank")
+    )
+
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(
+                    1.0 / (F.lit(_RRF_K) + F.col("sem_rank")), F.lit(0.0)
+                ),
+                6,
+            ).alias("rrf_score"),
+            "lex_rank",
+            "sem_rank",
+        )
+    )
+    wf = Window.orderBy(F.col("rrf_score").desc(), "doc_id")
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf).cast("long"))
+        .where(F.col("rnk") <= _TOPN)
+        .orderBy("rnk")
+    )
+
+
+RETRIEVAL_RRF_ORACLE = f"""
+WITH with_dl AS (
+    SELECT doc_id,
+           CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS dl,
+           text
+    FROM documents
+), stats AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_total, avg(dl) AS avgdl FROM with_dl
+), tok AS (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS word
+    FROM documents
+), tf AS (
+    SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf
+    FROM tok
+    WHERE word IN ('spark', 'join', 'window', 'vector', 'stream')
+    GROUP BY doc_id, word
+), dfreq AS (
+    SELECT word, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY word
+), term_scores AS (
+    SELECT tf.doc_id,
+           CAST(round(
+               ln((s.n_total - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (tf.tf * ({_BM25_K1} + 1))
+               / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * l.dl / s.avgdl))
+               * 1e6) AS BIGINT) AS micro
+    FROM tf
+    JOIN dfreq d USING (word)
+    JOIN with_dl l USING (doc_id)
+    CROSS JOIN stats s
+), lex AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY sum(micro) DESC, doc_id) AS BIGINT)
+               AS lex_rank
+    FROM term_scores GROUP BY doc_id
+), sem AS (
+    SELECT c.vec_id AS doc_id,
+           CAST(row_number() OVER (
+               ORDER BY round(list_cosine_similarity(
+                   c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
+               c.vec_id) AS BIGINT) AS sem_rank
+    FROM embeddings c
+    CROSS JOIN (SELECT embedding FROM embeddings
+                WHERE vec_id = {_QUERY_VEC_ID}) q
+    WHERE c.vec_id != {_QUERY_VEC_ID}
+), fused AS (
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           round(COALESCE(1.0 / ({_RRF_K} + l.lex_rank), 0)
+                 + COALESCE(1.0 / ({_RRF_K} + s.sem_rank), 0), 6) AS rrf_score,
+           l.lex_rank, s.sem_rank
+    FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, rrf_score, lex_rank, sem_rank,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rnk
+      FROM fused)
+WHERE rnk <= {_TOPN}
+ORDER BY rnk
+"""
+
+
+QUERIES = {
+    "retrieval_rrf_fusion": retrieval_rrf_fusion,
+}
+
+ORACLES = {
+    "retrieval_rrf_fusion": RETRIEVAL_RRF_ORACLE,
+}
