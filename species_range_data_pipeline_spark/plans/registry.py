@@ -15,6 +15,7 @@ _MODULE_NAMES = [
     "quality",
     "scalar",
     "text",
+    "bpe",
     "packing",
     "retrieval",
     "vectors",

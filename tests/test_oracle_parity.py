@@ -89,4 +89,7 @@ def test_rows_only_set_is_exactly_the_documented_exceptions():
         "emb_pca_project",
         "sketch_hll_distinct",
         "sketch_cms_brand_counts",
+        # iterative argmax + data-dependent rewriting; golden-tested
+        # against a pure-Python reference in test_bpe.py instead
+        "bpe_train_merges",
     }
