@@ -230,3 +230,30 @@ def test_cms_estimates_bound_exact_counts(spark):
     assert set(exact) <= set(est)
     for b, c in exact.items():
         assert c <= est[b] <= c + 0.001 * n + 1
+
+
+def test_pack_sequences_one_wide_shuffle(spark):
+    # window partitionBy(source) is THE shuffle; the (source, seq_id)
+    # rollup reuses that clustering (subset satisfies superset), leaving
+    # only the final orderBy's range exchange
+    plan = _plan(spark, "doc_pack_sequences")
+    assert plan.count("hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_rrf_fusion_broadcasts_small_sides(spark):
+    # df/corpus-stats/rate tables and the single query vector broadcast;
+    # the only sort-merge join is the doc-keyed full-outer fusion (both
+    # sides rank outputs, neither broadcastable at corpus scale)
+    plan = _plan(spark, "retrieval_rrf_fusion")
+    assert plan.count("BroadcastExchange") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("SortMergeJoin FullOuter") == 1, plan
+
+
+def test_dedup_keep_best_single_fingerprint_shuffle(spark):
+    # union twin is narrow; ONE hash exchange on the fingerprint feeds the
+    # keep-best window, and the lang rollup + sort are post-filter tiny
+    plan = _plan(spark, "dedup_keep_best")
+    assert "Union" in plan, plan
+    assert "Join" not in plan, plan
