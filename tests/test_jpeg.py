@@ -110,6 +110,55 @@ def test_loud_gates_and_malformed():
         decode_jpeg(b"\xff\xd8\x00\x00")
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    channels=st.sampled_from([1, 3]),
+    seed=st.integers(0, 2**31 - 1),
+    subsampling=st.sampled_from([(1, 1), (2, 1), (2, 2)]),
+    restart=st.sampled_from([0, 1, 3]),
+)
+def test_property_roundtrip_never_crashes_and_bounds_error(
+    h, w, channels, seed, subsampling, restart
+):
+    """Any uint8 image of any size survives encode(q=100)->decode with
+    bounded error — the whole-codec property pass (entropy coding is
+    lossless, so error comes only from DCT/quant rounding and, for
+    subsampled chroma, the box-mean)."""
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w, channels), dtype=np.uint8)
+    if channels == 1:
+        subsampling = (1, 1)
+    blob = encode_jpeg(
+        img.squeeze(-1) if channels == 1 else img,
+        quality=100,
+        subsampling=subsampling,
+        restart_interval=restart,
+    )
+    W, H, C, px = decode_jpeg(blob)
+    assert (W, H, C) == (w, h, channels)
+    if subsampling == (1, 1):
+        # luma-only error: quant steps are ~1 at q100
+        assert np.abs(px.astype(int) - img.astype(int)).max() <= 8
+    else:
+        # chroma box-mean on noise destroys chroma by design; luma is
+        # roughly preserved (exact pre-clipping — RGB clipping after
+        # extreme chroma reconstruction can shift recomputed Y locally)
+        want_y = (
+            0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+        )
+        got_y = (
+            0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+        )
+        assert np.abs(got_y - want_y).mean() <= 8
+        assert np.abs(got_y - want_y).max() <= 64
+
+
 def test_real_jpeg_through_spark_operators(spark):
     """Real baseline JPEG payloads flow through decode/ahash — the formerly
     NotImplementedError lane, now backed by multimodal/jpeg.py."""
