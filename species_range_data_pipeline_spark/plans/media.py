@@ -1,0 +1,91 @@
+"""Driver-visible multimodal queries.
+
+The fixture tables carry no binary columns, so the multimodal lane's
+driver evidence comes from a deterministic synthetic media table
+(seed-stable ``make_media_table``): every run, any engine, produces the
+same payload bytes, so the decoded feature aggregates are stable rows
+the driver's rows-only gate can pin.  The heavy lifting — codecs,
+mapInPandas batching, error channels — is the same production code the
+pytest suite drives; these queries exist so the EXTERNAL gate sees it
+too.
+
+Rows-only by nature (the corpus is synthesized, not a DuckDB-readable
+table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..multimodal.media import (
+    decode_images,
+    extract_audio_features,
+    image_ahash,
+    make_media_table,
+    sample_frames,
+)
+
+_N_MEDIA = 64
+
+
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode the synthetic media table and aggregate per kind: image
+    feature means, audio RMS, sampled-frame counts — one stable row per
+    media kind."""
+    media = make_media_table(spark, _N_MEDIA)
+    img = decode_images(media).agg(
+        F.lit("image").alias("kind"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("mean_pixel"), 3).alias("metric_a"),
+        F.round(F.avg("width"), 3).alias("metric_b"),
+    )
+    aud = extract_audio_features(media).agg(
+        F.lit("audio").alias("kind"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("rms"), 3).alias("metric_a"),
+        F.round(F.avg("duration_s"), 3).alias("metric_b"),
+    )
+    vid = sample_frames(media, every=2).agg(
+        F.lit("video").alias("kind"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("frame_idx"), 3).alias("metric_a"),
+        F.round(F.avg("width"), 3).alias("metric_b"),
+    )
+    return img.unionByName(aud).unionByName(vid).orderBy("kind")
+
+
+def multimodal_ahash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash dedup over the synthetic images plus two planted
+    byte-identical duplicates: groups with >1 member surface, everything
+    else collapses to a count — the image-dedup shape at corpus scale
+    (one shuffle on the 64-bit hash)."""
+    media = make_media_table(spark, _N_MEDIA)
+    dup_src = media.where(F.col("media_id").isin(0, 1)).select(
+        (F.col("media_id") + 1000).alias("media_id"),
+        "kind",
+        "payload",
+        "format",
+    )
+    hashes = image_ahash(media.unionByName(dup_src))
+    groups = hashes.groupBy("ahash").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sort_array(F.collect_list("media_id")).alias("ids"),
+    )
+    return (
+        groups.select(
+            F.when(F.col("n") > 1, F.to_json(F.col("ids"))).alias("dup_group"),
+            "n",
+        )
+        .groupBy("dup_group")
+        .agg(F.count(F.lit(1)).alias("n_groups"), F.sum("n").alias("n_images"))
+        .orderBy(F.col("dup_group").asc_nulls_first())
+    )
+
+
+QUERIES = {
+    "multimodal_decode_stats": multimodal_decode_stats,
+    "multimodal_ahash_dups": multimodal_ahash_dups,
+}
+
+ORACLES: dict[str, str] = {}

@@ -20,6 +20,7 @@ _MODULE_NAMES = [
     "retrieval",
     "vectors",
     "events",
+    "media",
     "geo",
     "graph",
 ]
