@@ -457,6 +457,129 @@ ORDER BY lang
 """
 
 
+#: PII patterns restricted to the regex intersection of Java (Spark) and
+#: RE2 (DuckDB): character classes, bounded repeats, \b — no lookarounds.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction accounting, per source.
+
+    Every document gets a deterministic synthetic contact footer (the
+    fixture corpus carries no PII, so the operator's work must be
+    observable), then emails and IPv4 addresses are counted and redacted
+    and the per-source accounting reported — the scrub-then-audit shape a
+    compliance pass needs.  One scan; the regex work is JVM-side
+    (`regexp_count`/`regexp_replace`), patterns chosen from the
+    Java∩RE2 dialect so the oracle runs them verbatim.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    footer = F.concat(
+        F.lit(" reach user"),
+        F.col("doc_id"),
+        F.lit("@example.com at 192.168."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".42"),
+    )
+    t = docs.select("source", F.concat("text", footer).alias("t2"))
+    redacted = F.regexp_replace(
+        F.regexp_replace("t2", F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+        F.lit(_PII_IP),
+        F.lit("<IP>"),
+    )
+    return (
+        t.select(
+            "source",
+            F.regexp_count("t2", F.lit(_PII_EMAIL)).alias("emails"),
+            F.regexp_count("t2", F.lit(_PII_IP)).alias("ips"),
+            (F.length("t2") - F.length(redacted)).alias("removed"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("emails").alias("n_emails"),
+            F.sum("ips").alias("n_ips"),
+            F.sum("removed").alias("chars_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+TEXT_PII_SCRUB_ORACLE = """
+WITH t AS (
+    SELECT source,
+           text || ' reach user' || doc_id || '@example.com at 192.168.'
+                || CAST(doc_id % 256 AS VARCHAR) || '.42' AS t2
+    FROM documents
+), scored AS (
+    SELECT source,
+           len(regexp_extract_all(t2,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS emails,
+           len(regexp_extract_all(t2,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS ips,
+           length(t2) - length(
+               regexp_replace(
+                   regexp_replace(t2,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                   '<IP>', 'g')) AS removed
+    FROM t
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(emails) AS BIGINT) AS n_emails,
+       CAST(sum(ips) AS BIGINT) AS n_ips,
+       CAST(sum(removed) AS BIGINT) AS chars_removed
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression ratio per document, aggregated per language — the
+    entropy proxy web-scale cleaning uses to flag boilerplate/templated
+    text (highly repetitive -> ratio near 0) and binary-ish junk (ratio
+    near or above 1).
+
+    Rows-only: the kernel is stdlib ``zlib`` inside ``mapInPandas``
+    (Arrow-batched; ratio math is per-row C code), which SQL cannot
+    express.  Invariants are pinned in ``test_quality_signals.py``.
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+
+    def fn(batches):
+        import zlib
+
+        for pdf in batches:
+            enc = [t.encode("utf-8") for t in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "lang": pdf["lang"],
+                    "ratio": [
+                        round(len(zlib.compress(b, 6)) / max(1, len(b)), 6)
+                        for b in enc
+                    ],
+                }
+            )
+
+    per_doc = docs.mapInPandas(fn, "lang string, ratio double")
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("ratio"), 4).alias("avg_ratio"),
+            F.round(F.min("ratio"), 4).alias("min_ratio"),
+            F.round(F.max("ratio"), 4).alias("max_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "sample_balanced_classes": sample_balanced_classes,
     "sample_stratified": sample_stratified,
@@ -465,6 +588,8 @@ QUERIES = {
     "dq_outliers_iqr": dq_outliers_iqr,
     "doc_quality_funnel": doc_quality_funnel,
     "dedup_keep_best": dedup_keep_best,
+    "text_pii_scrub": text_pii_scrub,
+    "text_compression_ratio": text_compression_ratio,
 }
 
 ORACLES = {
@@ -475,4 +600,5 @@ ORACLES = {
     "dq_outliers_iqr": DQ_OUTLIERS_ORACLE,
     "doc_quality_funnel": DOC_QUALITY_FUNNEL_ORACLE,
     "dedup_keep_best": DEDUP_KEEP_BEST_ORACLE,
+    "text_pii_scrub": TEXT_PII_SCRUB_ORACLE,
 }

@@ -96,4 +96,7 @@ def test_rows_only_set_is_exactly_the_documented_exceptions():
         # codec-level goldens live in test_multimodal/test_codecs/test_jpeg
         "multimodal_decode_stats",
         "multimodal_ahash_dups",
+        # stdlib-zlib kernel (mapInPandas); invariant-pinned in
+        # test_quality_signals.py
+        "text_compression_ratio",
     }
