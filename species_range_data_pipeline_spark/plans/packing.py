@@ -236,10 +236,69 @@ ORDER BY t.source
 """
 
 
+def ffd_bins(tokens: list[int], budget: int) -> list[int]:
+    """First-fit-decreasing bin loads for one group (pure function, also
+    the test reference).  Items above the budget get their own bin."""
+    loads: list[int] = []
+    for t in sorted(tokens, reverse=True):
+        for i, load in enumerate(loads):
+            if load + t <= budget:
+                loads[i] = load + t
+                break
+        else:
+            loads.append(t)
+    return loads
+
+
+def doc_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True bin packing per source: first-fit-decreasing into
+    ``PACK_BUDGET``-token bins — the no-document-splitting alternative to
+    ``doc_pack_sequences``'s concat-then-chunk (which splits at chunk
+    boundaries).  FFD is inherently sequential within a group, so it runs
+    as ``applyInPandas`` per source — the partitioning unit is the SAME
+    key the window variant shuffles on, and group state is one int per
+    open bin.  Output compares both strategies: FFD bin count vs the
+    chunk count, with the information-theoretic lower bound.
+
+    Rows-only (iterative packing is not SQL-expressible); golden-tested
+    against the pure-Python ``ffd_bins`` reference in ``test_packing.py``.
+    """
+    import pandas as pd
+
+    toks = _doc_tokens(spark, sf_dir)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        total = int(pdf["n_tokens"].sum())
+        loads = ffd_bins([int(t) for t in pdf["n_tokens"]], PACK_BUDGET)
+        n_ffd = len(loads)
+        lower = -(-total // PACK_BUDGET)
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "total_tokens": [total],
+                "bins_ffd": [n_ffd],
+                "bins_lower_bound": [lower],
+                "util_pct": [round(100.0 * total / (n_ffd * PACK_BUDGET), 2)],
+            }
+        )
+
+    return (
+        toks.groupBy("source")
+        .applyInPandas(
+            pack,
+            "source string, n_docs long, total_tokens long, bins_ffd long, "
+            "bins_lower_bound long, util_pct double",
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "doc_pack_sequences": doc_pack_sequences,
     "dataset_mixture": dataset_mixture,
     "dataset_interleave_epochs": dataset_interleave_epochs,
+    "doc_pack_ffd": doc_pack_ffd,
 }
 
 ORACLES = {

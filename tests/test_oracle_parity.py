@@ -99,4 +99,7 @@ def test_rows_only_set_is_exactly_the_documented_exceptions():
         # stdlib-zlib kernel (mapInPandas); invariant-pinned in
         # test_quality_signals.py
         "text_compression_ratio",
+        # iterative first-fit packing (applyInPandas); golden-tested
+        # against the pure-Python ffd_bins reference in test_packing.py
+        "doc_pack_ffd",
     }

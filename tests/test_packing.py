@@ -12,7 +12,9 @@ from species_range_data_pipeline_spark.plans.packing import (
     PACK_BUDGET,
     dataset_interleave_epochs,
     dataset_mixture,
+    doc_pack_ffd,
     doc_pack_sequences,
+    ffd_bins,
 )
 
 from .conftest import SF_CORRECT
@@ -76,3 +78,35 @@ def test_interleave_epochs_exact_replication(spark):
         assert r.total_docs == base[r.source] * r.epochs
     # the largest-token source is the target: exactly one epoch
     assert any(r.epochs == 1 for r in rows)
+
+
+def test_ffd_reference_semantics():
+    # items over budget get their own bin; snug fits fill first-fit
+    assert ffd_bins([600, 300, 200, 212, 100], 512) == [600, 512, 300]
+    assert ffd_bins([], 512) == []
+    assert ffd_bins([512, 512], 512) == [512, 512]
+
+
+def test_doc_pack_ffd_matches_reference_and_bounds(spark):
+    from pyspark.sql import functions as F
+
+    rows = {r.source: r for r in doc_pack_ffd(spark, SF_CORRECT).collect()}
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    toks = docs.select(
+        "source",
+        F.size(F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " "))
+        .cast("long").alias("n"),
+    ).collect()
+    by_src: dict[str, list[int]] = {}
+    for r in toks:
+        by_src.setdefault(r.source, []).append(r.n)
+    assert set(rows) == set(by_src)
+    for src, tokens in by_src.items():
+        loads = ffd_bins(tokens, PACK_BUDGET)
+        r = rows[src]
+        assert r.n_docs == len(tokens)
+        assert r.total_tokens == sum(tokens)
+        assert r.bins_ffd == len(loads)  # golden vs reference
+        # packing sandwich: lower bound <= FFD <= one-bin-per-doc
+        assert r.bins_lower_bound <= r.bins_ffd <= len(tokens)
+        assert r.util_pct <= 100.0
