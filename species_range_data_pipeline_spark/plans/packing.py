@@ -294,15 +294,122 @@ def doc_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-corpus pipeline end-to-end in ONE declarative plan:
+    quality filter -> normalized exact dedup -> sequence packing, with
+    per-source attrition at each stage.
+
+    This is the capstone composition query: each stage is the same logic
+    as its standalone operator (``doc_quality_funnel``'s pass condition,
+    ``dedup_keep_best``'s fingerprint, ``doc_pack_sequences``'s
+    chunking), fused so Catalyst plans the whole pipeline at once — the
+    filter prunes before the dedup shuffle, and the dedup output feeds
+    the packing window without rematerialization.  At 100 TB the wide
+    exchanges are: one on the fingerprint (dedup), one on source
+    (packing window); everything else is scan-stage math.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    nonspace = F.length(F.regexp_replace("text", r"\s", ""))
+    symbols = F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
+    digits = F.length(F.regexp_replace("text", r"[^0-9]", ""))
+    n_tokens = F.size(_tokens()).cast("long")
+    mean_tok = nonspace / n_tokens
+    passes = (
+        F.col("n_chars").between(100, 20000)
+        & (symbols * 10 <= nonspace)
+        & (digits * 5 <= nonspace)
+        & (mean_tok >= 2.0)
+        & (mean_tok <= 14.0)
+    )
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    passed = docs.where(passes).select(
+        "source", "doc_id", n_tokens.alias("n_tokens"), fp.alias("fp")
+    )
+    wd = Window.partitionBy("fp").orderBy("doc_id")
+    kept = (
+        passed.withColumn("rn", F.row_number().over(wd))
+        .where(F.col("rn") == 1)
+        .drop("rn", "fp")
+    )
+    wp = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = kept.withColumn(
+        "seq_id",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(wp), F.lit(0))
+            / F.lit(float(PACK_BUDGET))
+        ),
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.max("seq_id") + 1).alias("n_sequences"),
+        )
+        .join(totals, "source")
+        .select("source", "n_docs", "n_kept", "total_tokens", "n_sequences")
+        .orderBy("source")
+    )
+
+
+CORPUS_PIPELINE_ORACLE = f"""
+WITH scored AS (
+    SELECT source, doc_id, text, n_chars,
+           length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+           length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS symbols,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+           CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+               AS BIGINT) AS n_tokens
+    FROM documents
+), passed AS (
+    SELECT source, doc_id, n_tokens,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+    FROM scored
+    WHERE n_chars BETWEEN 100 AND 20000
+      AND symbols * 10 <= nonspace
+      AND digits * 5 <= nonspace
+      AND nonspace * 1.0 / n_tokens BETWEEN 2.0 AND 14.0
+), kept AS (
+    SELECT source, doc_id, n_tokens
+    FROM (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          FROM passed)
+    WHERE rn = 1
+), packed AS (
+    SELECT source, n_tokens,
+           CAST(floor(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {float(PACK_BUDGET)}) AS BIGINT) AS seq_id
+    FROM kept
+), totals AS (
+    SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+)
+SELECT p.source, t.n_docs,
+       count(*) AS n_kept,
+       CAST(sum(p.n_tokens) AS BIGINT) AS total_tokens,
+       max(p.seq_id) + 1 AS n_sequences
+FROM packed p JOIN totals t ON p.source = t.source
+GROUP BY p.source, t.n_docs
+ORDER BY p.source
+"""
+
+
 QUERIES = {
     "doc_pack_sequences": doc_pack_sequences,
     "dataset_mixture": dataset_mixture,
     "dataset_interleave_epochs": dataset_interleave_epochs,
     "doc_pack_ffd": doc_pack_ffd,
+    "corpus_pipeline_summary": corpus_pipeline_summary,
 }
 
 ORACLES = {
     "doc_pack_sequences": DOC_PACK_SEQUENCES_ORACLE,
     "dataset_mixture": DATASET_MIXTURE_ORACLE,
     "dataset_interleave_epochs": DATASET_INTERLEAVE_EPOCHS_ORACLE,
+    "corpus_pipeline_summary": CORPUS_PIPELINE_ORACLE,
 }
