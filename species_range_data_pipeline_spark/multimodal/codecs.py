@@ -87,9 +87,17 @@ def decode_png(blob: bytes) -> tuple[int, int, int, np.ndarray]:
     """Decode a PNG -> (width, height, channels, uint8 array (h, w, c)).
 
     Palette images expand to RGB; gray+alpha and RGBA keep their alpha.
-    Raises ``ValueError`` on malformed files and ``NotImplementedError``
+    Raises ``ValueError`` on malformed files (zlib/struct errors from
+    truncations and bit flips normalized) and ``NotImplementedError``
     on interlaced / 16-bit variants (loud gate, never a misdecode).
     """
+    try:
+        return _decode_png(blob)
+    except (zlib.error, struct.error, IndexError) as exc:
+        raise ValueError(f"malformed PNG: {exc}") from exc
+
+
+def _decode_png(blob: bytes) -> tuple[int, int, int, np.ndarray]:
     if blob[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG: bad signature")
     pos = 8
@@ -167,8 +175,16 @@ def decode_wav(blob: bytes) -> tuple[int, int, np.ndarray]:
 
     8-bit unsigned PCM recenters to int16 (``(x-128) << 8``); float32
     clips to [-1, 1] and scales to int16 — both keep downstream RMS/peak
-    features on one scale.  Non-PCM codecs raise ``NotImplementedError``.
+    features on one scale.  Non-PCM codecs raise ``NotImplementedError``;
+    malformed files raise ``ValueError`` (struct errors normalized).
     """
+    try:
+        return _decode_wav(blob)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed WAV: {exc}") from exc
+
+
+def _decode_wav(blob: bytes) -> tuple[int, int, np.ndarray]:
     if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         raise ValueError("not a WAV: bad RIFF/WAVE header")
     pos = 12

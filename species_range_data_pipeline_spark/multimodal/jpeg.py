@@ -95,12 +95,19 @@ class _BitReader:
     marker (recorded in ``self.marker``) and pads with 1-bits past it, as
     the spec's fill-bit rule allows."""
 
+    #: fill bytes tolerated past the end of real entropy data — the spec
+    #: allows a handful of 1-fill bits; a decoder still hungry after this
+    #: is chewing on a truncated file with oversized declared dimensions,
+    #: and must fail instead of looping over millions of phantom MCUs
+    _MAX_PAD_BYTES = 64
+
     def __init__(self, data: bytes, pos: int):
         self.data = data
         self.pos = pos
         self.cur = 0
         self.nbits = 0
         self.marker: int | None = None
+        self.padded = 0
 
     def read_bit(self) -> int:
         if self.nbits == 0:
@@ -123,6 +130,12 @@ class _BitReader:
                     return
             self.cur, self.nbits = b, 8
         else:
+            self.padded += 1
+            if self.padded > self._MAX_PAD_BYTES:
+                raise ValueError(
+                    "truncated entropy segment (declared image larger than "
+                    "encoded data)"
+                )
             self.cur, self.nbits = 0xFF, 8
 
     def receive(self, n: int) -> int:
@@ -186,7 +199,18 @@ def _extend(v: int, size: int) -> int:
 def decode_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
     """JPEG bytes -> (width, height, channels, uint8 (h, w, c) array) —
     the same contract as ``codecs.decode_png``.  ``ValueError`` on
-    malformed input, ``NotImplementedError`` on non-baseline processes."""
+    malformed input (including truncations and bit flips, normalized
+    from the struct layer), ``NotImplementedError`` on non-baseline
+    processes."""
+    try:
+        return _decode_jpeg(blob)
+    except (struct.error, IndexError, KeyError, StopIteration) as exc:
+        # KeyError: scan references an undeclared quant/huffman table;
+        # StopIteration: scan references a component absent from the SOF
+        raise ValueError(f"malformed JPEG: {exc!r}") from exc
+
+
+def _decode_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2
@@ -268,6 +292,16 @@ def _decode_scan(blob, pos, frame, scan, qt, huff, restart_interval):
     vmax = max(c["v"] for c in frame["comps"])
     mcux = -(-width // (8 * hmax))
     mcuy = -(-height // (8 * vmax))
+    # plausibility bound BEFORE allocating planes: a baseline block costs
+    # >= 2 bits (DC code + EOB), so declared dimensions needing more
+    # blocks than the remaining bytes could hold are a corrupt SOF, not a
+    # huge image — fail instead of allocating gigabytes
+    n_blocks = mcux * mcuy * sum(c["h"] * c["v"] for c, _, _ in scan)
+    if n_blocks > 4 * max(1, len(blob) - pos) + 64:
+        raise ValueError(
+            f"declared dimensions need {n_blocks} blocks but only "
+            f"{len(blob) - pos} entropy bytes exist"
+        )
     planes = {
         c["id"]: np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64)
         for c, _, _ in scan

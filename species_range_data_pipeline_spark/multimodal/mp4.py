@@ -66,9 +66,17 @@ def extract_video_samples(blob: bytes) -> dict:
     """First video track -> {codec, width, height, timescale,
     samples: [(offset, size, dts), ...]} with absolute file offsets.
 
-    Raises ``ValueError`` on malformed files or when no video track
+    Raises ``ValueError`` on malformed files (truncations and corrupt
+    tables normalized from the struct layer) or when no video track
     exists.  Compressed-codec *metadata* still extracts fine — only pixel
     decode is gated, by the caller."""
+    try:
+        return _extract_video_samples(blob)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed MP4: {exc}") from exc
+
+
+def _extract_video_samples(blob: bytes) -> dict:
     moov = find_box(blob, [b"moov"])
     if moov is None:
         raise ValueError("not an MP4: no moov box")
@@ -113,35 +121,50 @@ def _parse_stbl(blob: bytes, stbl: tuple[int, int], timescale: int) -> dict:
     fourcc = blob[entry + 4 : entry + 8]
     width, height = struct.unpack_from(">HH", blob, entry + 32)
 
+    # table counts are attacker-controlled integers: bound every loop by
+    # the file size (a sample/run costs table bytes, so a count beyond
+    # len(blob) is malformed, not merely large)
+    limit = len(blob)
+
+    # stsz -> sizes
+    s, _ = boxes[b"stsz"]
+    uniform, n_samples = struct.unpack_from(">II", blob, s + 4)
+    if n_samples > limit:
+        raise ValueError(f"stsz declares {n_samples} samples in a {limit}-byte file")
+    if uniform:
+        sizes = [uniform] * n_samples
+    else:
+        sizes = list(struct.unpack_from(f">{n_samples}I", blob, s + 12))
+
     # stts -> per-sample dts
     s, _ = boxes[b"stts"]
     (n_runs,) = struct.unpack_from(">I", blob, s + 4)
+    if n_runs > limit:
+        raise ValueError(f"stts declares {n_runs} runs in a {limit}-byte file")
     dts: list[int] = []
     t = 0
     off = s + 8
     for _ in range(n_runs):
         cnt, delta = struct.unpack_from(">II", blob, off)
         off += 8
+        if cnt > limit or len(dts) + cnt > n_samples + limit:
+            raise ValueError("stts run count exceeds plausible sample count")
         for _ in range(cnt):
             dts.append(t)
             t += delta
-
-    # stsz -> sizes
-    s, _ = boxes[b"stsz"]
-    uniform, n_samples = struct.unpack_from(">II", blob, s + 4)
-    if uniform:
-        sizes = [uniform] * n_samples
-    else:
-        sizes = list(struct.unpack_from(f">{n_samples}I", blob, s + 12))
 
     # stco / co64 -> chunk offsets
     if b"stco" in boxes:
         s, _ = boxes[b"stco"]
         (n_chunks,) = struct.unpack_from(">I", blob, s + 4)
+        if n_chunks > limit:
+            raise ValueError(f"stco declares {n_chunks} chunks in a {limit}-byte file")
         chunk_offsets = list(struct.unpack_from(f">{n_chunks}I", blob, s + 8))
     else:
         s, _ = boxes[b"co64"]
         (n_chunks,) = struct.unpack_from(">I", blob, s + 4)
+        if n_chunks > limit:
+            raise ValueError(f"co64 declares {n_chunks} chunks in a {limit}-byte file")
         chunk_offsets = list(struct.unpack_from(f">{n_chunks}Q", blob, s + 8))
 
     # stsc runs -> samples per chunk

@@ -82,6 +82,12 @@ def _read_ifd(content: bytes, bo: str, offset: int) -> dict[int, list]:
             where = base + 8
         else:
             (where,) = struct.unpack_from(bo + "I", content, base + 8)
+        # count is attacker-controlled: bound BEFORE building the format
+        # string (fmt * count of a 4-billion count allocates gigabytes)
+        if where + total > len(content):
+            raise ValueError(
+                f"IFD tag {tag}: {total} value bytes at {where} exceed file size"
+            )
         if ftype == 2:  # ASCII: NUL-terminated string
             raw = content[where : where + count]
             fields[tag] = [raw.split(b"\x00", 1)[0].decode("ascii", "replace")]
@@ -96,7 +102,15 @@ def parse_geotiff(content: bytes) -> tuple[dict, list[tuple[int, int, float]]]:
     """One GeoTIFF -> (header, [(row, col, value), ...]) — the exact contract
     of ``raster.parse_ascii_grid`` so the two lanes are interchangeable.
     Row 0 is the TOP row in both (TIFF row order == ASCII grid line order);
-    NODATA cells are dropped."""
+    NODATA cells are dropped.  Malformed input raises ``ValueError``
+    (truncations/bit flips normalized from the struct layer)."""
+    try:
+        return _parse_geotiff(content)
+    except (struct.error, KeyError, IndexError) as exc:
+        raise ValueError(f"malformed TIFF: {exc!r}") from exc
+
+
+def _parse_geotiff(content: bytes) -> tuple[dict, list[tuple[int, int, float]]]:
     if len(content) < 8:
         raise ValueError("not a TIFF: too short")
     order = content[:2]
@@ -137,16 +151,25 @@ def parse_geotiff(content: bytes) -> tuple[dict, list[tuple[int, int, float]]]:
         raise ValueError(f"unsupported sample format {sfmt}/{bits}bit")
     dtype = np.dtype(f"{bo}{kind}{bits // 8}")
 
+    # dims are attacker-controlled: bound the decode budget before any
+    # allocation or decompression (this lane holds one raster in memory
+    # by design; tiled/bigger-than-memory inputs are rejected above)
+    expect = nrows * ncols * (bits // 8)
+    if nrows <= 0 or ncols <= 0 or expect > 1 << 31:
+        raise ValueError(f"implausible raster dimensions {ncols}x{nrows}")
+
     strips = fields[_TAG_STRIP_OFFSETS]
     counts = fields[_TAG_STRIP_BYTE_COUNTS]
     chunks = [content[o : o + c] for o, c in zip(strips, counts)]
     if comp != 1:
         try:
-            chunks = [zlib.decompress(ch) for ch in chunks]
+            # cap expansion at the declared pixel budget (zip-bomb guard)
+            chunks = [
+                zlib.decompressobj().decompress(ch, expect + 1) for ch in chunks
+            ]
         except zlib.error as exc:
             raise ValueError(f"bad deflate strip: {exc}") from None
     raw = b"".join(chunks)
-    expect = nrows * ncols * (bits // 8)
     if len(raw) < expect:
         raise ValueError(f"truncated pixel data: {len(raw)} < {expect}")
     grid = np.frombuffer(raw[:expect], dtype=dtype).reshape(nrows, ncols)

@@ -57,7 +57,15 @@ SHAPE_SCHEMA = T.StructType(
 
 def parse_shp(content: bytes) -> list[tuple[int, bytes | None]]:
     """.shp bytes -> [(record_number, wkb_or_None), ...].  Null shapes carry
-    ``None`` geometry; unsupported shape types raise ``ValueError``."""
+    ``None`` geometry; unsupported shape types and malformed input raise
+    ``ValueError`` (struct-layer errors normalized)."""
+    try:
+        return _parse_shp(content)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed shapefile: {exc}") from exc
+
+
+def _parse_shp(content: bytes) -> list[tuple[int, bytes | None]]:
     if len(content) < 100:
         raise ValueError("not a shapefile: header too short")
     (magic,) = struct.unpack_from(">i", content, 0)
@@ -88,6 +96,17 @@ def _polygon_record_to_wkb(content: bytes, off: int) -> bytes:
     """One Polygon record -> WKB Polygon/MultiPolygon, rings re-wound to the
     WKB convention (exterior CCW, holes CW)."""
     n_parts, n_points = struct.unpack_from("<ii", content, off + 36)
+    # counts are attacker-controlled: bound BEFORE building format strings
+    # (f"<{n}i" with a 4-billion n allocates gigabytes)
+    if (
+        n_parts < 0
+        or n_points < 0
+        or off + 44 + 4 * n_parts + 16 * n_points > len(content)
+    ):
+        raise ValueError(
+            f"polygon record declares {n_parts} parts/{n_points} points "
+            "beyond the file size"
+        )
     parts = list(struct.unpack_from(f"<{n_parts}i", content, off + 44))
     pts_off = off + 44 + 4 * n_parts
     flat = struct.unpack_from(f"<{2 * n_points}d", content, pts_off)
@@ -253,10 +272,22 @@ def parse_dbf(content: bytes) -> list[dict[str, str] | None]:
     ('*' flag) yield ``None`` IN PLACE rather than being skipped: the .shp
     pairs attributes to shapes positionally, and dropping a deleted slot
     would silently shift every subsequent record's attributes onto the
-    wrong geometry."""
+    wrong geometry.  Malformed input raises ``ValueError``."""
+    try:
+        return _parse_dbf(content)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed dbf: {exc}") from exc
+
+
+def _parse_dbf(content: bytes) -> list[dict[str, str] | None]:
     if len(content) < 32:
         raise ValueError("not a dbf: header too short")
     n_records, header_size, record_size = struct.unpack_from("<IHH", content, 4)
+    if record_size == 0 or n_records > len(content):
+        raise ValueError(
+            f"dbf declares {n_records} records of {record_size} bytes "
+            f"in a {len(content)}-byte file"
+        )
     fields: list[tuple[str, int]] = []
     off = 32
     while off + 32 <= header_size and content[off] != 0x0D:

@@ -1,0 +1,106 @@
+"""Adversarial-input contract for every binary parser: truncations and
+random bit flips of valid files must raise ValueError/NotImplementedError
+promptly — never a raw struct/zlib/KeyError, never a hang or gigabyte
+allocation from attacker-controlled counts.  (At 100 TB a corrupt file
+is a certainty; the Spark lanes route these errors to side channels, and
+this contract keeps the error rows meaningful.)"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from species_range_data_pipeline_spark.multimodal.codecs import (
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+)
+from species_range_data_pipeline_spark.multimodal.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+)
+from species_range_data_pipeline_spark.multimodal.mp4 import (
+    encode_mp4,
+    extract_video_samples,
+)
+from species_range_data_pipeline_spark.pipeline.geotiff import (
+    encode_geotiff,
+    parse_geotiff,
+)
+from species_range_data_pipeline_spark.sources.shapefile import (
+    encode_dbf,
+    encode_shp,
+    parse_dbf,
+    parse_shp,
+)
+
+_IMG = np.arange(64, dtype=np.uint8).reshape(8, 8)
+_HDR = {
+    "ncols": 4, "nrows": 4, "xllcorner": 0.0, "yllcorner": 0.0,
+    "cellsize": 1.0, "nodata_value": -9999.0,
+}
+
+CASES = [
+    ("jpeg", lambda: encode_jpeg(_IMG), decode_jpeg),
+    ("mp4", lambda: encode_mp4([b"sample"], 2, 2), extract_video_samples),
+    ("png", lambda: encode_png(_IMG), decode_png),
+    ("wav", lambda: encode_wav(np.zeros(16, dtype=np.int16), 8000), decode_wav),
+    ("tif", lambda: encode_geotiff(_HDR, [(0, 0, 1.0)]), parse_geotiff),
+    ("shp", lambda: encode_shp([[[[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0)]]]]), parse_shp),
+    ("dbf", lambda: encode_dbf([{"a": "x"}, {"a": "yy"}]), parse_dbf),
+]
+
+
+@pytest.mark.parametrize("name,make,parse", CASES, ids=[c[0] for c in CASES])
+def test_truncations_and_bitflips_raise_valueerror(name, make, parse):
+    blob = make()
+    rng = random.Random(1234)
+    for _ in range(150):
+        trunc = blob[: rng.randrange(len(blob))]
+        try:
+            parse(trunc)
+        except (ValueError, NotImplementedError):
+            pass
+        flipped = bytearray(blob)
+        for _ in range(rng.randrange(1, 6)):
+            flipped[rng.randrange(len(flipped))] = rng.randrange(256)
+        try:
+            parse(bytes(flipped))
+        except (ValueError, NotImplementedError):
+            pass
+        # any other exception type propagates and fails the test
+
+
+def test_hostile_declared_sizes_fail_fast():
+    """Corrupt counts/dims must be rejected by arithmetic, not by trying
+    to allocate or loop through them."""
+    import struct
+
+    # JPEG: SOF claims 65500x65500 but almost no entropy data
+    blob = bytearray(encode_jpeg(_IMG))
+    i = bytes(blob).find(b"\xff\xc0")
+    struct.pack_into(">HH", blob, i + 5, 65500, 65500)
+    with pytest.raises(ValueError, match="blocks|entropy"):
+        decode_jpeg(bytes(blob))
+
+    # TIFF: IFD entry with a 4-billion value count
+    tif = bytearray(encode_geotiff(_HDR, [(0, 0, 1.0)]))
+    (n_entries,) = struct.unpack_from("<H", tif, 8)
+    struct.pack_into("<I", tif, 8 + 2 + 4, 0xFFFFFFF0)  # first entry count
+    with pytest.raises(ValueError):
+        parse_geotiff(bytes(tif))
+
+    # shp: polygon record declaring 2^30 points
+    shp = bytearray(encode_shp([[[[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0)]]]]))
+    struct.pack_into("<i", shp, 100 + 8 + 40, 1 << 30)
+    with pytest.raises(ValueError, match="points"):
+        parse_shp(bytes(shp))
+
+    # dbf: zero record size would loop forever
+    dbf = bytearray(encode_dbf([{"a": "x"}]))
+    struct.pack_into("<H", dbf, 10, 0)
+    with pytest.raises(ValueError, match="records"):
+        parse_dbf(bytes(dbf))
