@@ -58,9 +58,18 @@ def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -
     return reader.load(path)
 
 
+#: per-member decompressed-size cap — a zip bomb declares (or lies its
+#: way to) a huge expansion; one member must never exceed an executor
+#: task's memory budget.  Oversized members become error rows.
+MAX_MEMBER_BYTES = 1 << 30
+
+
 def expand_zip(archives: DataFrame) -> DataFrame:
     """T1: zip bytes -> one row per member.  BadZipFile -> error row, not a
-    swallowed exception (fixes species_range_etl.py:170-173,254-255)."""
+    swallowed exception (fixes species_range_etl.py:170-173,254-255);
+    members whose decompressed size exceeds ``MAX_MEMBER_BYTES`` are
+    rejected per-member (zip-bomb guard — the read is capped so a header
+    that LIES about its size cannot expand past the limit either)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -68,16 +77,31 @@ def expand_zip(archives: DataFrame) -> DataFrame:
             for path, blob in zip(pdf["path"], pdf["content"]):
                 try:
                     with zipfile.ZipFile(io.BytesIO(blob)) as zf:
-                        for name in zf.namelist():
+                        for info in zf.infolist():
+                            name = info.filename
                             if name.endswith("/"):
                                 continue
+                            if info.file_size > MAX_MEMBER_BYTES:
+                                out.append(
+                                    {"archive": path, "member": name,
+                                     "content": None,
+                                     "error": f"member too large: "
+                                              f"{info.file_size} bytes"}
+                                )
+                                continue
+                            with zf.open(info) as fh:
+                                data = fh.read(MAX_MEMBER_BYTES + 1)
+                            if len(data) > MAX_MEMBER_BYTES:
+                                out.append(
+                                    {"archive": path, "member": name,
+                                     "content": None,
+                                     "error": "member too large: header "
+                                              "understates decompressed size"}
+                                )
+                                continue
                             out.append(
-                                {
-                                    "archive": path,
-                                    "member": name,
-                                    "content": zf.read(name),
-                                    "error": None,
-                                }
+                                {"archive": path, "member": name,
+                                 "content": data, "error": None}
                             )
                 except zipfile.BadZipFile as exc:
                     out.append(

@@ -131,6 +131,27 @@ def test_pipeline_geometry_is_georeferenced(spark, zip_dir):
     assert min(ys) >= YLL and max(ys) <= YLL + NROWS * CS
 
 
+def test_zip_bomb_member_rejected_per_member(spark, tmp_path, monkeypatch):
+    """A member whose decompressed size exceeds the cap becomes an error
+    row; healthy siblings in the same archive still expand."""
+    from species_range_data_pipeline_spark.pipeline import raster
+
+    monkeypatch.setattr(raster, "MAX_MEMBER_BYTES", 1000)
+    d = tmp_path / "zips"
+    d.mkdir()
+    with zipfile.ZipFile(d / "a.zip", "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("bomb.asc", b"0" * 100_000)  # compresses tiny, expands big
+        zf.writestr("ok.asc", _asc_bytes(_grid(1)))
+    members = raster.expand_zip(
+        raster.read_binary_files(spark, str(d), glob="*.zip")
+    ).collect()
+    by_name = {r.member: r for r in members}
+    assert by_name["bomb.asc"].error is not None
+    assert "too large" in by_name["bomb.asc"].error
+    assert by_name["bomb.asc"].content is None
+    assert by_name["ok.asc"].error is None and by_name["ok.asc"].content
+
+
 def test_full_artifact_cycle_mixed_raster_formats(spark, tmp_path):
     """The reference's complete artifact cycle in one pass
     (species_range_etl.py:59-236): zip archives holding a MIX of .asc and
