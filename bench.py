@@ -54,8 +54,11 @@ HEADLINE = [
     # spatial join family
     "text_decontaminate",
     "geo_spatial_join_bin",
-    # training-batch assembly (window-packing shape over documents)
+    # training-batch assembly (window-packing shape over documents), the
+    # fused filter->dedup->pack capstone, and hybrid RRF retrieval
     "doc_pack_sequences",
+    "corpus_pipeline_summary",
+    "retrieval_rrf_fusion",
 ]
 
 
