@@ -314,14 +314,18 @@ def decode_geotiff_members(members: DataFrame, name_col: str = "member") -> Data
 
 
 def decode_raster_members(members: DataFrame, name_col: str = "member") -> DataFrame:
-    """Format-sniffing decode: GeoTIFF magic -> TIFF parser, anything else ->
-    ASCII grid parser.  One lane for a mixed archive (the reference's
-    workspace holds both `.asc` and `.tif` artifacts side by side)."""
+    """Format-sniffing decode: GeoTIFF magic -> TIFF parser, NetCDF magic
+    -> classic-CDF parser, anything else -> ASCII grid parser.  One lane
+    for a mixed archive (the reference's workspace holds `.asc` and
+    `.tif` side by side; climate projections routinely arrive as `.nc`)."""
+    from .netcdf import parse_netcdf
     from .raster import parse_ascii_grid
 
     def sniff(content: bytes):
         if content[:2] in (b"II", b"MM") and len(content) >= 4:
             return parse_geotiff(content)
+        if content[:3] == b"CDF" or content[:8] == b"\x89HDF\r\n\x1a\n":
+            return parse_netcdf(content)
         return parse_ascii_grid(content)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

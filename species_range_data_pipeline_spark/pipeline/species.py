@@ -42,7 +42,7 @@ def load_cells_from_zips(spark: SparkSession, zip_dir: str) -> tuple[DataFrame, 
         F.col("archive").alias("item"), "error"
     )
     rasters = members.where(
-        F.col("error").isNull() & F.col("member").rlike(r"\.(asc|txt|tif|tiff)$")
+        F.col("error").isNull() & F.col("member").rlike(r"\.(asc|txt|tif|tiff|nc)$")
     )
     cells = decode_raster_members(rasters)
     errors_dec = cells.where(F.col("error").isNotNull()).select(
@@ -75,7 +75,7 @@ def parse_scenario_attributes(df: DataFrame, file_col: str = "file") -> DataFram
     member name we carry species explicitly as 'species__rest.asc'.
     """
     base = F.element_at(F.split(F.col(file_col), "/"), -1)
-    base = F.regexp_replace(base, r"\.(asc|txt|tif|shp)$", "")
+    base = F.regexp_replace(base, r"\.(asc|txt|tif|tiff|nc|shp)$", "")
     species = F.split(base, "__").getItem(0)
     rest = F.split(base, "__").getItem(1)
     toks = F.split(rest, "_")
