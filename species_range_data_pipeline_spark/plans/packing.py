@@ -120,6 +120,75 @@ ORDER BY source, seq_id
 """
 
 
+#: docs per shard for the sharded packing variant (tiny on the fixture
+#: so multiple shards actually exist; at 100 TB pick so one shard's rows
+#: fit one task's sort buffer)
+PACK_SHARD_SPAN = 64
+
+
+def doc_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``doc_pack_sequences`` with BOUNDED window partitions — the 100 TB
+    refinement, producing IDENTICAL output (same oracle).
+
+    Concat-then-chunk packing is an offset computation, and offsets are
+    associative: a document's global token offset = (sum of all earlier
+    shards' tokens) + (its offset within its shard).  So the giant
+    per-source window decomposes exactly into
+
+      1. a per-(source, shard) window (shard = doc_id div span, bounded
+         rows per partition — no single window partition ever exceeds a
+         task's memory),
+      2. a source-cardinality shard-totals table, cumulated with a tiny
+         window and broadcast back.
+
+    No boundary loss, no approximation — unlike FFD (order-dependent,
+    hence ``doc_pack_ffd`` stays group-local), chunking distributes
+    exactly.
+    """
+    toks = _doc_tokens(spark, sf_dir).withColumn(
+        "shard", (F.col("doc_id") / PACK_SHARD_SPAN).cast("long")
+    )
+    w_in = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = toks.withColumn(
+        "cum_in_shard", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    )
+    shard_totals = toks.groupBy("source", "shard").agg(
+        F.sum("n_tokens").alias("shard_tokens")
+    )
+    w_sh = (
+        Window.partitionBy("source")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = shard_totals.select(
+        "source",
+        "shard",
+        F.coalesce(F.sum("shard_tokens").over(w_sh), F.lit(0)).alias(
+            "shard_offset"
+        ),
+    )
+    packed = local.join(F.broadcast(offsets), ["source", "shard"]).withColumn(
+        "seq_id",
+        F.floor(
+            (F.col("shard_offset") + F.col("cum_in_shard"))
+            / F.lit(float(PACK_BUDGET))
+        ),
+    )
+    return (
+        packed.groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source", "seq_id")
+    )
+
+
 def dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-rebalanced source mixture (alpha = 0.5 downsampling).
 
@@ -404,6 +473,7 @@ QUERIES = {
     "dataset_mixture": dataset_mixture,
     "dataset_interleave_epochs": dataset_interleave_epochs,
     "doc_pack_ffd": doc_pack_ffd,
+    "doc_pack_sequences_sharded": doc_pack_sequences_sharded,
     "corpus_pipeline_summary": corpus_pipeline_summary,
 }
 
@@ -411,5 +481,8 @@ ORACLES = {
     "doc_pack_sequences": DOC_PACK_SEQUENCES_ORACLE,
     "dataset_mixture": DATASET_MIXTURE_ORACLE,
     "dataset_interleave_epochs": DATASET_INTERLEAVE_EPOCHS_ORACLE,
+    # the sharded refinement is value-identical to the single-window
+    # packing by construction — it shares the oracle verbatim
+    "doc_pack_sequences_sharded": DOC_PACK_SEQUENCES_ORACLE,
     "corpus_pipeline_summary": CORPUS_PIPELINE_ORACLE,
 }

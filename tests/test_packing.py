@@ -110,3 +110,26 @@ def test_doc_pack_ffd_matches_reference_and_bounds(spark):
         # packing sandwich: lower bound <= FFD <= one-bin-per-doc
         assert r.bins_lower_bound <= r.bins_ffd <= len(tokens)
         assert r.util_pct <= 100.0
+
+
+def test_sharded_packing_identical_to_single_window(spark):
+    """The scale refinement must be EXACT: same rows as the one-window
+    packing, and shards must genuinely split sources (else the test
+    proves nothing)."""
+    from species_range_data_pipeline_spark.plans.packing import (
+        PACK_SHARD_SPAN,
+        doc_pack_sequences_sharded,
+    )
+
+    single = doc_pack_sequences(spark, SF_CORRECT).collect()
+    sharded = doc_pack_sequences_sharded(spark, SF_CORRECT).collect()
+    assert sorted(map(tuple, single)) == sorted(map(tuple, sharded))
+    # fixture really exercises multiple shards per source
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    n_shards = (
+        docs.select("source", (F.col("doc_id") / PACK_SHARD_SPAN).cast("long").alias("sh"))
+        .distinct().groupBy("source").count()
+    )
+    assert n_shards.agg(F.max("count")).first()[0] > 1
