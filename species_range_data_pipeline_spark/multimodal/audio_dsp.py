@@ -45,6 +45,11 @@ def spectral_features(samples: np.ndarray, rate: int) -> dict[str, float]:
     x = samples.astype(np.float64)
     if x.ndim == 2:
         x = x.mean(axis=1)
+    # ZCR over the REAL samples before any framing pad: padding zeros
+    # would inflate the duration and under-report the rate on short clips
+    n_real = max(1, len(x))
+    crossings = np.count_nonzero(np.diff(np.signbit(x)))
+    dur = n_real / rate
     if len(x) < _FRAME:
         x = np.pad(x, (0, _FRAME - len(x)))
     n_frames = 1 + (len(x) - _FRAME) // _HOP
@@ -61,8 +66,6 @@ def spectral_features(samples: np.ndarray, rate: int) -> dict[str, float]:
     bandwidth = np.sqrt(
         (mag * (freqs[None, :] - centroid[:, None]) ** 2).sum(axis=1) / power
     )
-    crossings = np.count_nonzero(np.diff(np.signbit(x)))
-    dur = len(x) / rate
     return {
         "centroid_hz": float(centroid.mean()),
         "rolloff_hz": float(rolloff.mean()),

@@ -158,10 +158,8 @@ class _BitReader:
                 self.pos += 2
         self.nbits = 0
         if self.marker != 0xD0 + expected:
-            raise ValueError(
-                f"expected RST{expected} marker, found "
-                f"{self.marker:#x}" if self.marker is not None else "none"
-            )
+            found = f"{self.marker:#x}" if self.marker is not None else "none"
+            raise ValueError(f"expected RST{expected} marker, found {found}")
         self.marker = None
 
 

@@ -66,6 +66,7 @@ FRAME_SCHEMA = T.StructType(
         T.StructField("frame", T.BinaryType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        T.StructField("error", T.StringType()),
     ]
 )
 
@@ -337,29 +338,41 @@ def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                blob = bytes(payload)
-                if blob[:7] == b"FAKEVID":
-                    n, w, h = struct.unpack_from("<HHH", blob, 7)
-                    frames = np.frombuffer(
-                        blob, dtype=np.uint8, offset=13
-                    ).reshape(n, h, w)
-                    for idx in range(0, n, every):
-                        out.append(
-                            {"media_id": mid, "frame_idx": idx,
-                             "frame": frames[idx].tobytes(), "width": w, "height": h}
+                try:
+                    blob = bytes(payload)
+                    if blob[:7] == b"FAKEVID":
+                        n, w, h = struct.unpack_from("<HHH", blob, 7)
+                        frames = np.frombuffer(
+                            blob, dtype=np.uint8, offset=13
+                        ).reshape(n, h, w)
+                        for idx in range(0, n, every):
+                            out.append(
+                                {"media_id": mid, "frame_idx": idx,
+                                 "frame": frames[idx].tobytes(),
+                                 "width": w, "height": h, "error": None}
+                            )
+                    elif blob[4:8] == b"ftyp":
+                        info = mp4.extract_video_samples(blob)
+                        for idx in range(0, len(info["samples"]), every):
+                            off, size, _dts = info["samples"][idx]
+                            out.append(
+                                {"media_id": mid, "frame_idx": idx,
+                                 "frame": blob[off : off + size],
+                                 "width": info["width"],
+                                 "height": info["height"], "error": None}
+                            )
+                    else:
+                        raise NotImplementedError(
+                            "unrecognized video container "
+                            "(FAKEVID and MP4 supported)"
                         )
-                elif blob[4:8] == b"ftyp":
-                    info = mp4.extract_video_samples(blob)
-                    for idx in range(0, len(info["samples"]), every):
-                        off, size, _dts = info["samples"][idx]
-                        out.append(
-                            {"media_id": mid, "frame_idx": idx,
-                             "frame": blob[off : off + size],
-                             "width": info["width"], "height": info["height"]}
-                        )
-                else:
-                    raise NotImplementedError(
-                        "unrecognized video container (FAKEVID and MP4 supported)"
+                except Exception as exc:
+                    # one corrupt payload must not kill the batch: error
+                    # row, same side-channel contract as decode_images
+                    out.append(
+                        {"media_id": mid, "frame_idx": None, "frame": None,
+                         "width": None, "height": None,
+                         "error": f"{type(exc).__name__}: {exc}"}
                     )
             yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
 

@@ -193,17 +193,23 @@ def _parse_netcdf(content: bytes) -> tuple[dict, list[tuple[int, int, float]]]:
         and v["type"] != 2
     }
     ydim, xdim = data_var["dimids"]
-    cs = 1.0
+    csx = csy = 1.0
     xll = yll = 0.0
     if xdim in by_dim and ydim in by_dim:
         xs = read_array(by_dim[xdim]).astype("f8")
         ys = read_array(by_dim[ydim]).astype("f8")
+        # per-axis spacing, as a MAGNITUDE: coordinates may descend
+        # (common for latitude), and x/y spacing may differ
         if len(xs) > 1:
-            cs = float(xs[1] - xs[0])
+            csx = abs(float(xs[1] - xs[0]))
+        if len(ys) > 1:
+            csy = abs(float(ys[1] - ys[0]))
         # coordinates are cell CENTERS; ASCII headers carry the corner
-        xll = float(xs.min()) - cs / 2 if len(xs) else 0.0
-        yll = float(ys.min()) - cs / 2 if len(ys) else 0.0
-    header["cellsize"] = abs(cs)
+        xll = float(xs.min()) - csx / 2 if len(xs) else 0.0
+        yll = float(ys.min()) - csy / 2 if len(ys) else 0.0
+    header["cellsize"] = csx
+    if csy != csx:
+        header["cellsize_y"] = csy  # anisotropic grids surface both
     header["xllcorner"] = xll
     header["yllcorner"] = yll
 

@@ -44,7 +44,8 @@ from .text import _tokens
 PACK_BUDGET = 512
 
 #: Knuth multiplicative constant: spreads sequential ids over buckets
-#: with exact integer arithmetic that any engine reproduces bit-for-bit.
+#: with exact integer arithmetic that any engine reproduces bit-for-bit
+#: (always used under a mod-2^32 mask so the rule never overflows int64).
 _KNUTH = 2654435761
 
 
@@ -209,8 +210,16 @@ def dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("keep_per_mille"),
     )
+    # bucket = ((doc_id * K) mod 2^32) mod 1000, computed in decimal(38):
+    # a plain int64 product overflows at doc_id ~3.5e9 — Spark 4 (ANSI by
+    # default) RAISES on it and DuckDB errors on BIGINT overflow — so the
+    # rule must avoid int64 entirely to hold at 100 TB id ranges.  Decimal
+    # multiply/mod is exact in both engines (the oracle uses HUGEINT).
+    bucket = (
+        (F.col("doc_id").cast("decimal(38,0)") * _KNUTH) % F.lit(4294967296)
+    ) % 1000
     kept = docs.join(F.broadcast(rates), "source").where(
-        (F.col("doc_id") * _KNUTH) % 1000 < F.col("keep_per_mille")
+        bucket < F.col("keep_per_mille")
     )
     return (
         kept.groupBy("source", "n_orig", "keep_per_mille")
@@ -236,7 +245,8 @@ SELECT d.source, r.n_orig, r.keep_per_mille,
        count(*) AS n_kept,
        CAST(sum({_TOK_SQL}) AS BIGINT) AS kept_tokens
 FROM documents d JOIN rates r ON d.source = r.source
-WHERE (d.doc_id * {_KNUTH}) % 1000 < r.keep_per_mille
+WHERE ((CAST(d.doc_id AS HUGEINT) * {_KNUTH}) % 4294967296) % 1000
+      < r.keep_per_mille
 GROUP BY d.source, r.n_orig, r.keep_per_mille
 ORDER BY d.source
 """
@@ -377,22 +387,15 @@ def corpus_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanges are: one on the fingerprint (dedup), one on source
     (packing window); everything else is scan-stage math.
     """
+    from .quality import normalized_fingerprint, quality_pass_condition
+
     docs = load_table(spark, sf_dir, "documents")
-    nonspace = F.length(F.regexp_replace("text", r"\s", ""))
-    symbols = F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
-    digits = F.length(F.regexp_replace("text", r"[^0-9]", ""))
     n_tokens = F.size(_tokens()).cast("long")
-    mean_tok = nonspace / n_tokens
-    passes = (
-        F.col("n_chars").between(100, 20000)
-        & (symbols * 10 <= nonspace)
-        & (digits * 5 <= nonspace)
-        & (mean_tok >= 2.0)
-        & (mean_tok <= 14.0)
-    )
-    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
-    passed = docs.where(passes).select(
-        "source", "doc_id", n_tokens.alias("n_tokens"), fp.alias("fp")
+    passed = docs.where(quality_pass_condition()).select(
+        "source",
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        normalized_fingerprint().alias("fp"),
     )
     wd = Window.partitionBy("fp").orderBy("doc_id")
     kept = (

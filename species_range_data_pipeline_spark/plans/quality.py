@@ -323,6 +323,34 @@ ORDER BY event_type
 """
 
 
+def quality_pass_condition():
+    """The ``doc_quality_funnel`` acceptance predicate as ONE boolean
+    Column — the single source of truth shared by the funnel, the batch
+    capstone (``packing.corpus_pipeline_summary``) and the streaming
+    ingest (``streaming/corpus.py``); a threshold tweak here changes all
+    three together (their equivalence is test-pinned)."""
+    nonspace = F.length(F.regexp_replace("text", r"\s", ""))
+    symbols = F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
+    digits = F.length(F.regexp_replace("text", r"[^0-9]", ""))
+    n_tokens = F.size(
+        F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    ).cast("long")
+    mean_tok = nonspace / n_tokens
+    return (
+        F.col("n_chars").between(100, 20000)
+        & (symbols * 10 <= nonspace)
+        & (digits * 5 <= nonspace)
+        & (mean_tok >= 2.0)
+        & (mean_tok <= 14.0)
+    )
+
+
+def normalized_fingerprint():
+    """Case-folded, whitespace-collapsed md5 — the exact-dedup key shared
+    by ``dedup_keep_best``, the capstone, and the streaming ingest."""
+    return F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+
+
 def doc_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style quality-filter cascade with per-stage attrition.
 

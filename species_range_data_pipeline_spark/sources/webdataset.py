@@ -84,13 +84,26 @@ def write_webdataset(
     exts = dict(payload_cols)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # shards are staged under a task-unique temp name and published
+        # with an atomic rename at the end: a reader (or a manifest
+        # getsize) never observes a partial shard, and a task retry or
+        # speculative duplicate re-renders byte-identical content (shards
+        # are key-sorted, metadata-zeroed), so last-rename-wins is safe
+        import uuid
+
+        os.makedirs(out_dir, exist_ok=True)
+        attempt = uuid.uuid4().hex[:8]
         tars: dict[int, tuple[str, tarfile.TarFile, list[int]]] = {}
         for pdf in batches:
             for rec in pdf.to_dict("records"):
                 sh = int(rec["__shard"])
                 if sh not in tars:
                     path = os.path.join(out_dir, f"shard-{sh:05d}.tar")
-                    tars[sh] = (path, tarfile.open(path, "w"), [0, 0])
+                    tars[sh] = (
+                        path,
+                        tarfile.open(f"{path}.tmp-{attempt}", "w"),
+                        [0, 0],
+                    )
                 path, tf, stats = tars[sh]
                 key = str(rec[key_col])
                 for col, ext in exts.items():
@@ -108,6 +121,7 @@ def write_webdataset(
         out = []
         for sh, (path, tf, stats) in sorted(tars.items()):
             tf.close()
+            os.replace(f"{path}.tmp-{attempt}", path)  # atomic publish
             out.append(
                 {"shard": path, "n_samples": stats[0],
                  "n_bytes": os.path.getsize(path)}

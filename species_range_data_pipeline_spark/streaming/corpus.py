@@ -26,27 +26,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def quality_pass_condition():
-    """The ``doc_quality_funnel`` acceptance predicate as one boolean
-    Column (shared by the batch capstone and the streaming ingest)."""
-    nonspace = F.length(F.regexp_replace("text", r"\s", ""))
-    symbols = F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
-    digits = F.length(F.regexp_replace("text", r"[^0-9]", ""))
-    n_tokens = F.size(
-        F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
-    ).cast("long")
-    mean_tok = nonspace / n_tokens
-    return (
-        F.col("n_chars").between(100, 20000)
-        & (symbols * 10 <= nonspace)
-        & (digits * 5 <= nonspace)
-        & (mean_tok >= 2.0)
-        & (mean_tok <= 14.0)
-    )
+# single source of truth for the acceptance predicate and fingerprint:
+# plans/quality.py defines them; batch capstone and streaming ingest share
+from ..plans.quality import normalized_fingerprint, quality_pass_condition
 
-
-def normalized_fingerprint():
-    return F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+__all__ = [
+    "quality_pass_condition",
+    "normalized_fingerprint",
+    "read_document_stream",
+    "ingest_corpus_stream",
+]
 
 
 def read_document_stream(
@@ -80,10 +69,19 @@ def ingest_corpus_stream(
             .where(F.col("rn") == 1)
             .drop("rn")
         )
+        from pyspark.errors import AnalysisException
+
         try:
             done = spark.read.parquet(sink_path).select("fp").distinct()
             fresh = batch.join(done, "fp", "left_anti")
-        except Exception:  # first batch: sink does not exist yet
+        except AnalysisException as exc:
+            # ONLY a missing sink means "first batch".  Any other read
+            # failure (storage hiccup, corrupt footer) must fail the
+            # batch so the checkpoint replays it — treating it as
+            # first-batch would silently disable cross-batch dedup and
+            # re-append every fingerprint.
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+                raise
             fresh = batch
         fresh.write.mode("append").parquet(sink_path)
 

@@ -137,3 +137,28 @@ def test_spark_sample_frames_mixed_containers(spark):
         assert bytes(r.frame) == frames[idx]
         w, h, c, px = decode_jpeg(bytes(r.frame))
         assert (w, h) == (32, 24)
+
+
+def test_corrupt_mp4_becomes_error_row_not_task_failure(spark):
+    """One truncated MP4 in a batch must not kill healthy siblings — the
+    same side-channel contract as decode_images."""
+    from species_range_data_pipeline_spark.multimodal.media import (
+        MEDIA_SCHEMA,
+        sample_frames,
+    )
+
+    good = encode_mp4(_jpeg_frames(2), width=32, height=24)
+    media = spark.createDataFrame(
+        [
+            (1, "video", good, "mp4"),
+            (2, "video", good[: len(good) // 2], "mp4"),  # truncated
+            (3, "video", b"???? not a container", "raw"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = sample_frames(media, every=1).collect()
+    ok = [r for r in rows if r.error is None]
+    bad = {r.media_id: r.error for r in rows if r.error is not None}
+    assert {r.media_id for r in ok} == {1} and len(ok) == 2
+    assert "ValueError" in bad[2]
+    assert "NotImplementedError" in bad[3]

@@ -45,3 +45,16 @@ def test_ratio_orders_repetitive_below_random(spark):
     r_rep = len(zlib.compress(rep, 6)) / len(rep)
     r_rnd = len(zlib.compress(rnd, 6)) / len(rnd)
     assert r_rep < 0.05 < 0.5 < r_rnd
+
+
+def test_funnel_pass_equals_shared_predicate(spark):
+    """doc_quality_funnel's 'pass' bucket must agree with the shared
+    quality_pass_condition used by the capstone and streaming ingest."""
+    from species_range_data_pipeline_spark.plans.quality import (
+        doc_quality_funnel,
+        quality_pass_condition,
+    )
+
+    rows = {r.stage: r.n_docs for r in doc_quality_funnel(spark, SF_CORRECT).collect()}
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    assert rows.get("pass", 0) == docs.where(quality_pass_condition()).count()
