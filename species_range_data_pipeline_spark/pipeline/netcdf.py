@@ -199,11 +199,18 @@ def _parse_netcdf(content: bytes) -> tuple[dict, list[tuple[int, int, float]]]:
         xs = read_array(by_dim[xdim]).astype("f8")
         ys = read_array(by_dim[ydim]).astype("f8")
         # per-axis spacing, as a MAGNITUDE: coordinates may descend
-        # (common for latitude), and x/y spacing may differ
+        # (common for latitude), and x/y spacing may differ.  A
+        # single-element axis carries no spacing information — assume
+        # square cells and borrow the sibling axis (a 1x1 grid has no
+        # spacing info at all and keeps the default 1.0).
         if len(xs) > 1:
             csx = abs(float(xs[1] - xs[0]))
         if len(ys) > 1:
             csy = abs(float(ys[1] - ys[0]))
+        if len(xs) <= 1 < len(ys):
+            csx = csy
+        if len(ys) <= 1 < len(xs):
+            csy = csx
         # coordinates are cell CENTERS; ASCII headers carry the corner
         xll = float(xs.min()) - csx / 2 if len(xs) else 0.0
         yll = float(ys.min()) - csy / 2 if len(ys) else 0.0

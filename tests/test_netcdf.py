@@ -88,6 +88,72 @@ def test_fuzz_contract():
             pass
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    nrows=st.integers(1, 12),
+    ncols=st.integers(1, 12),
+    seed=st.integers(0, 2**31 - 1),
+    cs=st.sampled_from([0.25, 0.5, 1.0, 2.0]),
+    xll=st.floats(-180.0, 180.0, allow_nan=False),
+    yll=st.floats(-90.0, 90.0, allow_nan=False),
+)
+def test_three_raster_lanes_decode_identically(nrows, ncols, seed, cs, xll, yll):
+    """The format-interchangeability property: the SAME logical raster
+    encoded as ASCII grid, GeoTIFF, and NetCDF must parse to the same
+    georeference and the same cell set — the contract that lets
+    decode_raster_members sniff freely.  (A 1x1 grid carries no spacing
+    information in coordinate-variable georeferencing, so at least one
+    axis must have two samples.)"""
+    from hypothesis import assume
+
+    assume(nrows > 1 or ncols > 1)
+    from species_range_data_pipeline_spark.pipeline.geotiff import (
+        encode_geotiff,
+        parse_geotiff,
+    )
+    from species_range_data_pipeline_spark.pipeline.raster import parse_ascii_grid
+
+    rng = np.random.RandomState(seed)
+    g = rng.rand(nrows, ncols).round(3)
+    g[rng.rand(nrows, ncols) < 0.2] = -9999.0
+    hdr = {
+        "ncols": ncols, "nrows": nrows, "xllcorner": round(xll, 3),
+        "yllcorner": round(yll, 3), "cellsize": cs, "nodata_value": -9999.0,
+    }
+    cells = [
+        (r, c, float(g[r, c]))
+        for r in range(nrows)
+        for c in range(ncols)
+        if g[r, c] != -9999.0
+    ]
+    asc = "\n".join(
+        [f"ncols {ncols}", f"nrows {nrows}", f"xllcorner {hdr['xllcorner']}",
+         f"yllcorner {hdr['yllcorner']}", f"cellsize {cs}", "NODATA_value -9999"]
+        + [" ".join(f"{v:g}" for v in row) for row in g]
+    ).encode()
+
+    parsed = {
+        "asc": parse_ascii_grid(asc),
+        "tif": parse_geotiff(encode_geotiff(hdr, cells, dtype="f8")),
+        "nc": parse_netcdf(encode_netcdf(hdr, cells)),
+    }
+    for name, (h, cc) in parsed.items():
+        assert float(h["ncols"]) == ncols and float(h["nrows"]) == nrows, name
+        assert float(h["cellsize"]) == pytest.approx(cs), name
+        assert float(h["xllcorner"]) == pytest.approx(hdr["xllcorner"], abs=1e-6), name
+        assert float(h["yllcorner"]) == pytest.approx(hdr["yllcorner"], abs=1e-6), name
+        assert sorted((r, c) for r, c, _ in cc) == sorted(
+            (r, c) for r, c, _ in cells
+        ), name
+        got = {(r, c): v for r, c, v in cc}
+        for r, c, v in cells:
+            assert got[(r, c)] == pytest.approx(v, abs=1e-9), (name, r, c)
+
+
 def test_pipeline_over_nc_members(spark, tmp_path):
     """zip of .nc members -> the SAME speciesdata the .asc lane produces
     (format must not leak into any value)."""
