@@ -20,6 +20,15 @@ of that protocol in ~100 lines, enough to give the engine:
 
 On object storage the same design holds with put-if-absent in place of
 rename — which is precisely Delta's LogStore contract.
+
+**Zone maps / data skipping**: every commit also records per-file min/max
+statistics for leaf columns, harvested from the parquet footers the write
+already produced (footer reads only — no data re-scan).  ``read_manifest
+_table(..., filters=...)`` prunes the file list against those ranges
+before Spark ever opens a file.  At 100 TB this is the difference between
+"scan everything and let row-group stats help" and "open 0.1% of the
+files": manifest-level skipping composes with (does not replace) parquet
+row-group pushdown, exactly like Delta's file-level stats.
 """
 
 from __future__ import annotations
@@ -65,6 +74,137 @@ def last_committed_txn(path: str) -> int:
         return json.load(fh).get("txn", -1)
 
 
+def _jsonable_stat(v):
+    """Normalize a parquet-footer min/max value into a JSON-storable,
+    order-preserving form — or ``None`` if the type can't be compared
+    reliably across the JSON round-trip (then the column is unusable for
+    skipping in that file, which is always safe)."""
+    import datetime
+    import math
+
+    if isinstance(v, bool) or v is None:
+        return None  # bool min/max prunes ~nothing; null means no stat
+    if isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        return None if math.isnan(v) else v
+    if isinstance(v, str):
+        return v
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        # ISO strings order lexicographically == chronologically
+        return v.isoformat()
+    return None
+
+
+def _file_stats(fpath: str) -> dict[str, list]:
+    """Per-column [min, max] for one parquet file, from the footer only.
+
+    A column appears iff EVERY row group has usable min/max for it — a
+    single stats-less row group could hold anything, so the column is
+    dropped for the whole file (skipping must never be wrong, only
+    incomplete)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(fpath).metadata
+    acc: dict[str, list] = {}
+    poisoned: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name in poisoned or "." in name:  # nested paths: skip
+                continue
+            s = col.statistics
+            mn = _jsonable_stat(s.min) if s is not None and s.has_min_max else None
+            mx = _jsonable_stat(s.max) if s is not None and s.has_min_max else None
+            if mn is None or mx is None:
+                poisoned.add(name)
+                acc.pop(name, None)
+                continue
+            if name in acc:
+                try:
+                    acc[name] = [min(acc[name][0], mn), max(acc[name][1], mx)]
+                except TypeError:
+                    poisoned.add(name)
+                    acc.pop(name, None)
+            else:
+                acc[name] = [mn, mx]
+    return acc
+
+
+_SKIP_OPS = ("=", "==", "<", "<=", ">", ">=")
+
+
+def _range_may_match(mn, mx, op: str, value) -> bool:
+    v = _jsonable_stat(value)
+    if v is None:
+        return True
+    try:
+        if op in ("=", "=="):
+            return mn <= v <= mx
+        if op == "<":
+            return mn < v
+        if op == "<=":
+            return mn <= v
+        if op == ">":
+            return mx > v
+        if op == ">=":
+            return mx >= v
+    except TypeError:
+        return True  # incomparable types: never prune on a guess
+    raise ValueError(f"unsupported filter op {op!r} (use one of {_SKIP_OPS})")
+
+
+def _prune_files(
+    files: list[str], stats: dict[str, dict], filters
+) -> list[str]:
+    kept = []
+    for f in files:
+        fstats = stats.get(f, {})
+        keep = True
+        for col, op, value in filters:
+            if op not in _SKIP_OPS:
+                raise ValueError(
+                    f"unsupported filter op {op!r} (use one of {_SKIP_OPS})"
+                )
+            rng = fstats.get(col)
+            if rng is None:
+                continue  # no stats for this column in this file: keep
+            if not _range_may_match(rng[0], rng[1], op, value):
+                keep = False
+                break
+        if keep:
+            kept.append(f)
+    return kept
+
+
+def manifest_scan_files(
+    path: str, version: int | None = None, filters=None
+) -> list[str]:
+    """The file list a filtered read would open: live files at ``version``
+    minus every file whose zone map proves no row can satisfy ALL of
+    ``filters`` (AND semantics, ``[(col, op, value), ...]``).  Exposed so
+    tests and ops tooling can assert skipping actually skips."""
+    versions = table_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed version at {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    with open(os.path.join(_manifest_path(path), f"v{v}.json")) as fh:
+        meta = json.load(fh)
+    files = meta["files"]
+    if not filters:
+        return files
+    return _prune_files(files, meta.get("stats", {}), filters)
+
+
 def write_manifest_table(
     df: DataFrame, path: str, mode: str = "append", txn: int | None = None
 ) -> int:
@@ -91,16 +231,32 @@ def write_manifest_table(
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     )
-    # 2. compose the next live set
+    # 2. compose the next live set; zone maps come from the footers of the
+    #    files just written (no data re-scan) plus the carried-over stats
+    #    of surviving files from the previous manifest
     versions = table_versions(path)
     current = versions[-1] if versions else -1
-    files = new_files if mode == "overwrite" or current < 0 else (
-        _live_files(path, current) + new_files
-    )
+    stats = {f: _file_stats(f) for f in new_files}
+    if mode == "overwrite" or current < 0:
+        files = new_files
+    else:
+        with open(
+            os.path.join(_manifest_path(path), f"v{current}.json")
+        ) as fh:
+            prev = json.load(fh)
+        files = prev["files"] + new_files
+        stats.update(
+            {f: s for f, s in prev.get("stats", {}).items() if f in set(files)}
+        )
     # 3. publish atomically: tmp file + rename in the same directory
     version = current + 1
     tmp = os.path.join(_manifest_path(path), f".tmp_{commit_id}")
-    meta = {"version": version, "files": files, "schema": df.schema.json()}
+    meta = {
+        "version": version,
+        "files": files,
+        "schema": df.schema.json(),
+        "stats": stats,
+    }
     meta["txn"] = txn if txn is not None else last_committed_txn(path)
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
@@ -121,19 +277,36 @@ def write_manifest_table(
 
 
 def read_manifest_table(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession, path: str, version: int | None = None, filters=None
 ) -> DataFrame:
-    """Read the table's snapshot at ``version`` (default: latest)."""
-    versions = table_versions(path)
-    if not versions:
-        raise FileNotFoundError(f"no committed version at {path}")
-    v = versions[-1] if version is None else version
-    if v not in versions:
-        raise ValueError(f"version {v} not in {versions}")
-    files = _live_files(path, v)
+    """Read the table's snapshot at ``version`` (default: latest).
+
+    ``filters`` (``[(col, op, value), ...]``, AND) enables zone-map file
+    skipping: files whose recorded [min, max] cannot satisfy the
+    conjunction are never opened, and the surviving filters are ALSO
+    applied as DataFrame predicates (so results are exact, and Spark
+    pushes the same predicates into parquet row-group pruning within the
+    files that remain)."""
+    files = manifest_scan_files(path, version, filters)
     if not files:
-        raise ValueError(f"version {v} is empty")
-    return spark.read.parquet(*files)
+        # every file pruned: an empty frame with the committed schema
+        from pyspark.sql.types import StructType
+
+        v = table_versions(path)[-1] if version is None else version
+        with open(os.path.join(_manifest_path(path), f"v{v}.json")) as fh:
+            schema = StructType.fromJson(json.loads(json.load(fh)["schema"]))
+        df = spark.createDataFrame([], schema)
+    else:
+        df = spark.read.parquet(*files)
+    for col, op, value in filters or ():
+        from pyspark.sql import functions as F
+
+        c = F.col(col)
+        df = df.where(
+            {"=": c == value, "==": c == value, "<": c < value,
+             "<=": c <= value, ">": c > value, ">=": c >= value}[op]
+        )
+    return df
 
 
 def vacuum_manifest_table(

@@ -350,3 +350,78 @@ def test_manifest_concurrent_commit_loses_cleanly(spark, tmp_path, monkeypatch):
         monkeypatch.setattr(mt, "table_versions", real)
     assert mt.read_manifest_table(spark, path).count() == 30  # v1 untouched
     assert mt.table_versions(path) == [0, 1]
+
+
+def test_manifest_zone_map_file_skipping(spark, tmp_path):
+    """Commits record per-file min/max from the parquet footers; a filtered
+    read opens ONLY files whose zone map can match, and still returns the
+    exact filtered rows (file skipping composes with the real predicate)."""
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        manifest_scan_files,
+        read_manifest_table,
+        write_manifest_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    # three commits with disjoint id ranges -> disjoint zone maps
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        write_manifest_table(
+            spark.range(lo, hi)
+            .coalesce(1)
+            .selectExpr("id", "concat('u', id) AS label"),
+            path,
+        )
+    all_files = manifest_scan_files(path)
+    hit = manifest_scan_files(path, filters=[("id", ">=", 250)])
+    assert len(all_files) == 3 and len(hit) == 1  # two files never opened
+
+    got = read_manifest_table(spark, path, filters=[("id", ">=", 250)])
+    assert got.count() == 50
+    assert got.agg({"id": "min"}).collect()[0][0] == 250
+
+    # string zone maps prune too (min/max over utf8)
+    assert len(manifest_scan_files(path, filters=[("label", "=", "zzz")])) == 0
+
+    # every file pruned -> empty frame with the committed schema, not an error
+    empty = read_manifest_table(spark, path, filters=[("id", ">", 10_000)])
+    assert empty.count() == 0 and empty.columns == ["id", "label"]
+
+    # a conjunction prunes on both bounds: only the middle file survives
+    mid = manifest_scan_files(
+        path, filters=[("id", ">=", 120), ("id", "<", 180)]
+    )
+    assert len(mid) == 1
+
+
+def test_manifest_zone_map_absent_stats_never_prunes(spark, tmp_path):
+    """A column with no usable stats (or a filter value of an incomparable
+    type) keeps the file — skipping is allowed to be incomplete, never
+    wrong.  Old manifests written before stats existed behave the same."""
+    import json
+    import os
+
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        manifest_scan_files,
+        read_manifest_table,
+        write_manifest_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_manifest_table(
+        spark.range(0, 10).coalesce(1).selectExpr("id"), path
+    )
+    # simulate a pre-stats manifest: strip the stats block from v0
+    mpath = os.path.join(path, "_manifest", "v0.json")
+    with open(mpath) as fh:
+        meta = json.load(fh)
+    meta.pop("stats")
+    os.remove(mpath)
+    with open(mpath, "w") as fh:
+        json.dump(meta, fh)
+
+    assert len(manifest_scan_files(path, filters=[("id", ">", 10_000)])) == 1
+    # ...but the DataFrame predicate still applies: zero rows survive
+    assert (
+        read_manifest_table(spark, path, filters=[("id", ">", 10_000)]).count()
+        == 0
+    )
