@@ -9,14 +9,15 @@ GeoTIFF georeferencing tags, decoding to the SAME long-format cell rows as
 the ASCII lane (``raster.py:CELL_SCHEMA``), so everything downstream
 (threshold filter, polygonize, dissolve) is format-agnostic.
 
-Scope — the subset GDAL's default ``CreateCopy`` emits for small grids, which
-is what the reference produces: classic TIFF (little or big endian), single
-band, uncompressed or DEFLATE-compressed strips (stdlib ``zlib``; horizontal-
-differencing predictor included for integer samples), 32/64-bit IEEE float or
-8-32-bit integer samples, ``ModelPixelScale`` + ``ModelTiepoint``
-georeferencing, ``GDAL_NODATA`` (including the ``nan`` sentinel GDAL writes
-for float rasters).  Tiled, LZW/JPEG-compressed, BigTIFF, or multi-band files
-raise ``ValueError`` into the error side-channel — loud, never silent.
+Scope — what GDAL emits for single-band rasters in the wild: classic TIFF
+(little or big endian), single band, strip OR tile organized, uncompressed /
+DEFLATE (stdlib ``zlib``) / LZW (TIFF variant with early change, implemented
+here) compressed, horizontal-differencing predictor for integer samples,
+32/64-bit IEEE float or 8-32-bit integer samples, ``ModelPixelScale`` +
+``ModelTiepoint`` georeferencing, ``GDAL_NODATA`` (including the ``nan``
+sentinel GDAL writes for float rasters).  JPEG-compressed, BigTIFF, or
+multi-band files raise ``ValueError`` into the error side-channel — loud,
+never silent.
 
 Scale note: decode runs inside ``mapInPandas`` over a ``binaryFile`` scan —
 one task per file group, no driver involvement, same shape as the zip lane.
@@ -68,6 +69,117 @@ _TAG_MODEL_TIEPOINT = 33922
 _TAG_GDAL_NODATA = 42113
 
 _SAMPLE_UINT, _SAMPLE_INT, _SAMPLE_FLOAT = 1, 2, 3
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _lzw_decode(data: bytes, max_out: int) -> bytes:
+    """TIFF-variant LZW (MSB-first codes, 9->12 bit widths with EARLY
+    change: the reader widens one table entry before the power of two,
+    staying in sync with a writer that widens at next_code == 2^n - 1).
+    Output is capped at ``max_out`` (decompression-bomb guard)."""
+    out = bytearray()
+    table: list[bytes] = []
+    nbits = 9
+    prev: bytes | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+
+    def reset() -> None:
+        nonlocal table, nbits
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        nbits = 9
+
+    reset()
+    while bitpos + nbits <= total_bits:
+        byte_idx = bitpos >> 3
+        window = int.from_bytes(
+            data[byte_idx : byte_idx + 3].ljust(3, b"\x00"), "big"
+        )
+        code = (window >> (24 - (bitpos & 7) - nbits)) & ((1 << nbits) - 1)
+        bitpos += nbits
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            reset()
+            prev = None
+            continue
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"bad LZW code {code} after clear")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):  # KwKwK case
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"bad LZW code {code} (table {len(table)})")
+            table.append(prev + entry[:1])
+        out += entry
+        if len(out) > max_out:
+            raise ValueError("LZW output exceeds pixel budget")
+        prev = entry
+        if nbits < 12 and len(table) == (1 << nbits) - 2:
+            nbits += 1  # early change: reader lags the writer's table by one
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW writer (the exact inverse of ``_lzw_decode``):
+    MSB-first bit packing, ClearCode emitted first and whenever the table
+    fills at 4094 entries, code width bumps at next_code == 2^n - 1."""
+    out = bytearray()
+    buf = 0
+    buflen = 0
+    nbits = 9
+
+    def emit(code: int) -> None:
+        nonlocal buf, buflen
+        buf = (buf << nbits) | code
+        buflen += nbits
+        while buflen >= 8:
+            out.append((buf >> (buflen - 8)) & 0xFF)
+            buflen -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(_LZW_CLEAR)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        if nbits < 12 and next_code == (1 << nbits) - 1:
+            nbits += 1
+        elif next_code == 4094:  # table full: clear and restart
+            emit(_LZW_CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            nbits = 9
+        w = bytes([b])
+    if w:
+        emit(table[w])
+    emit(_LZW_EOI)
+    if buflen:
+        out.append((buf << (8 - buflen)) & 0xFF)
+    return bytes(out)
+
+
+def _decompress_chunk(chunk: bytes, comp: int, budget: int) -> bytes:
+    if comp == 1:
+        return chunk
+    if comp == 5:
+        return _lzw_decode(chunk, budget)
+    try:
+        # cap expansion at the pixel budget (zip-bomb guard)
+        return zlib.decompressobj().decompress(chunk, budget + 1)
+    except zlib.error as exc:
+        raise ValueError(f"bad deflate strip: {exc}") from None
 
 
 def _read_ifd(content: bytes, bo: str, offset: int) -> dict[int, list]:
@@ -135,12 +247,14 @@ def _parse_geotiff(content: bytes) -> tuple[dict, list[tuple[int, int, float]]]:
     except struct.error as exc:
         raise ValueError(f"malformed IFD: {exc}") from None
 
-    if _TAG_TILE_WIDTH in fields:
-        raise ValueError("tiled TIFF not supported (strips only)")
+    tiled = _TAG_TILE_WIDTH in fields
     comp = fields.get(_TAG_COMPRESSION, [1])[0]
-    # 8 = Adobe DEFLATE, 32946 = legacy DEFLATE — both raw zlib streams.
-    if comp not in (1, 8, 32946):
-        raise ValueError(f"unsupported compression {comp} (none/deflate only)")
+    # 8 = Adobe DEFLATE, 32946 = legacy DEFLATE — both raw zlib streams;
+    # 5 = TIFF LZW (GDAL's most common wild default: COMPRESS=LZW).
+    if comp not in (1, 5, 8, 32946):
+        raise ValueError(
+            f"unsupported compression {comp} (none/lzw/deflate only)"
+        )
     spp = fields.get(_TAG_SAMPLES_PER_PIXEL, [1])[0]
     if spp != 1:
         raise ValueError(f"multi-band TIFF not supported (samples={spp})")
@@ -161,28 +275,54 @@ def _parse_geotiff(content: bytes) -> tuple[dict, list[tuple[int, int, float]]]:
     if nrows <= 0 or ncols <= 0 or expect > 1 << 31:
         raise ValueError(f"implausible raster dimensions {ncols}x{nrows}")
 
-    strips = fields[_TAG_STRIP_OFFSETS]
-    counts = fields[_TAG_STRIP_BYTE_COUNTS]
-    chunks = [content[o : o + c] for o, c in zip(strips, counts)]
-    if comp != 1:
-        try:
-            # cap expansion at the declared pixel budget (zip-bomb guard)
-            chunks = [
-                zlib.decompressobj().decompress(ch, expect + 1) for ch in chunks
-            ]
-        except zlib.error as exc:
-            raise ValueError(f"bad deflate strip: {exc}") from None
-    raw = b"".join(chunks)
-    if len(raw) < expect:
-        raise ValueError(f"truncated pixel data: {len(raw)} < {expect}")
-    grid = np.frombuffer(raw[:expect], dtype=dtype).reshape(nrows, ncols)
     predictor = fields.get(_TAG_PREDICTOR, [1])[0]
-    if predictor == 2:  # horizontal differencing (integer samples only)
-        if kind == "f":
-            raise ValueError("predictor=2 on float samples is invalid")
-        grid = np.cumsum(grid, axis=1, dtype=dtype)  # wraps like the encoder
-    elif predictor != 1:
+    if predictor == 2 and kind == "f":
+        raise ValueError("predictor=2 on float samples is invalid")
+    if predictor not in (1, 2):
         raise ValueError(f"unsupported predictor {predictor}")
+
+    if tiled:
+        tw = fields[_TAG_TILE_WIDTH][0]
+        th = fields[_TAG_TILE_LENGTH][0]
+        if tw <= 0 or th <= 0 or tw * th * (bits // 8) > 1 << 28:
+            raise ValueError(f"implausible tile dimensions {tw}x{th}")
+        offs = fields[_TAG_TILE_OFFSETS]
+        cnts = fields[_TAG_TILE_BYTE_COUNTS]
+        across = -(-ncols // tw)
+        down = -(-nrows // th)
+        if len(offs) != across * down or len(cnts) != len(offs):
+            raise ValueError(
+                f"tile count {len(offs)} != grid {across}x{down}"
+            )
+        tile_bytes = tw * th * (bits // 8)
+        grid = np.empty((nrows, ncols), dtype=dtype)
+        for idx, (o, c) in enumerate(zip(offs, cnts)):
+            raw = _decompress_chunk(content[o : o + c], comp, tile_bytes)
+            if len(raw) < tile_bytes:
+                raise ValueError(
+                    f"truncated tile {idx}: {len(raw)} < {tile_bytes}"
+                )
+            t = np.frombuffer(raw[:tile_bytes], dtype=dtype).reshape(th, tw)
+            if predictor == 2:  # differencing restarts on each tile row
+                t = np.cumsum(t, axis=1, dtype=dtype)
+            td, ta = divmod(idx, across)
+            r0, c0 = td * th, ta * tw
+            h = min(th, nrows - r0)
+            w = min(tw, ncols - c0)
+            grid[r0 : r0 + h, c0 : c0 + w] = t[:h, :w]
+    else:
+        strips = fields[_TAG_STRIP_OFFSETS]
+        counts = fields[_TAG_STRIP_BYTE_COUNTS]
+        chunks = [
+            _decompress_chunk(content[o : o + c], comp, expect)
+            for o, c in zip(strips, counts)
+        ]
+        raw = b"".join(chunks)
+        if len(raw) < expect:
+            raise ValueError(f"truncated pixel data: {len(raw)} < {expect}")
+        grid = np.frombuffer(raw[:expect], dtype=dtype).reshape(nrows, ncols)
+        if predictor == 2:  # horizontal differencing (integer samples only)
+            grid = np.cumsum(grid, axis=1, dtype=dtype)  # wraps like encoder
 
     header: dict[str, float] = {"ncols": float(ncols), "nrows": float(nrows)}
     scale = fields.get(_TAG_MODEL_PIXEL_SCALE)
@@ -219,18 +359,29 @@ def _parse_geotiff(content: bytes) -> tuple[dict, list[tuple[int, int, float]]]:
     return header, cells
 
 
+def _compress_chunk(raw: bytes, compression: int) -> bytes:
+    if compression == 1:
+        return raw
+    if compression == 5:
+        return _lzw_encode(raw)
+    return zlib.compress(raw)
+
+
 def encode_geotiff(
     header: dict,
     cells: list[tuple[int, int, float]],
     dtype: str = "f4",
     compression: int = 1,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
     """Inverse of ``parse_geotiff``: header + sparse cells -> little-endian
-    single-strip GeoTIFF bytes (``compression=1`` uncompressed — the default,
-    byte-stable — or ``8`` for DEFLATE).  Cells absent from ``cells`` are
-    written as the header's nodata value — the same implicit-absence encoding
-    the ASCII lane uses, so encode(parse(x)) round-trips."""
-    if compression not in (1, 8):
+    GeoTIFF bytes.  ``compression``: 1 uncompressed (the default,
+    byte-stable), 8 DEFLATE, 5 LZW.  ``tile=(tw, th)`` writes a tiled
+    layout (edge tiles padded with nodata, per the TIFF 6.0 spec) instead
+    of a single strip.  Cells absent from ``cells`` are written as the
+    header's nodata value — the same implicit-absence encoding the ASCII
+    lane uses, so encode(parse(x)) round-trips."""
+    if compression not in (1, 5, 8):
         raise ValueError(f"unsupported compression {compression}")
     ncols = int(header["ncols"])
     nrows = int(header["nrows"])
@@ -245,17 +396,35 @@ def encode_geotiff(
     grid = np.full((nrows, ncols), nodata, dtype=dt)
     for r, c, v in cells:
         grid[r, c] = v
-    pix = grid.tobytes()
-    if compression == 8:
-        pix = zlib.compress(pix)
+
+    if tile is not None:
+        tw, th = tile
+        if tw <= 0 or th <= 0 or tw % 16 or th % 16:
+            raise ValueError("tile dims must be positive multiples of 16")
+        across = -(-ncols // tw)
+        down = -(-nrows // th)
+        padded = np.full((down * th, across * tw), nodata, dtype=dt)
+        padded[:nrows, :ncols] = grid
+        chunks = [
+            _compress_chunk(
+                padded[
+                    td * th : (td + 1) * th, ta * tw : (ta + 1) * tw
+                ].tobytes(),
+                compression,
+            )
+            for td in range(down)
+            for ta in range(across)
+        ]
+    else:
+        chunks = [_compress_chunk(grid.tobytes(), compression)]
 
     sfmt = {"f": _SAMPLE_FLOAT, "i": _SAMPLE_INT, "u": _SAMPLE_UINT}[dt.kind]
     nodata_ascii = (f"{nodata:g}").encode("ascii") + b"\x00"
 
-    # layout: 8-byte header | IFD (12 entries) | out-of-line values | strip
-    N_ENTRIES = 12
+    # layout: 8-byte header | IFD | out-of-line values | pixel chunks
+    n_entries = 13 if tile is not None else 12
     ifd_off = 8
-    extra_off = ifd_off + 2 + 12 * N_ENTRIES + 4
+    extra_off = ifd_off + 2 + 12 * n_entries + 4
     extra = bytearray()
 
     def _ool(payload: bytes) -> int:
@@ -265,6 +434,18 @@ def encode_geotiff(
             extra.extend(b"\x00")
         return off
 
+    def inline(fmt: str, *vals) -> bytes:
+        return struct.pack("<" + fmt, *vals).ljust(4, b"\x00")
+
+    def _long_array(values: list[int], tag: int) -> tuple:
+        """A count-N LONG field: inline when it fits (N==1), out-of-line
+        otherwise — our own reader (and the spec) require inline for <=4
+        bytes."""
+        if len(values) == 1:
+            return (tag, 4, 1, inline("I", values[0]))
+        off = _ool(struct.pack(f"<{len(values)}I", *values))
+        return (tag, 4, len(values), inline("I", off))
+
     scale_off = _ool(struct.pack("<3d", cs, cs, 0.0))
     tie_off = _ool(struct.pack("<6d", 0.0, 0.0, 0.0, xll, yll + nrows * cs, 0.0))
     nodata_val = (
@@ -272,36 +453,65 @@ def encode_geotiff(
         if len(nodata_ascii) > 4
         else nodata_ascii.ljust(4, b"\x00")
     )
-    strip_off = extra_off + len(extra)
-
-    def inline(fmt: str, *vals) -> bytes:
-        return struct.pack("<" + fmt, *vals).ljust(4, b"\x00")
 
     entries = [
         (_TAG_WIDTH, 4, 1, inline("I", ncols)),
         (_TAG_HEIGHT, 4, 1, inline("I", nrows)),
         (_TAG_BITS, 3, 1, inline("H", dt.itemsize * 8)),
         (_TAG_COMPRESSION, 3, 1, inline("H", compression)),
-        (_TAG_STRIP_OFFSETS, 4, 1, inline("I", strip_off)),
         (_TAG_SAMPLES_PER_PIXEL, 3, 1, inline("H", 1)),
-        (_TAG_ROWS_PER_STRIP, 4, 1, inline("I", nrows)),
-        (_TAG_STRIP_BYTE_COUNTS, 4, 1, inline("I", len(pix))),
         (_TAG_SAMPLE_FORMAT, 3, 1, inline("H", sfmt)),
         (_TAG_MODEL_PIXEL_SCALE, 12, 3, inline("I", scale_off)),
         (_TAG_MODEL_TIEPOINT, 12, 6, inline("I", tie_off)),
         (_TAG_GDAL_NODATA, 2, len(nodata_ascii), nodata_val),
     ]
+    counts = [len(ch) for ch in chunks]
+    entries.append(
+        _long_array(counts, _TAG_TILE_BYTE_COUNTS if tile else _TAG_STRIP_BYTE_COUNTS)
+    )
+    if tile is not None:
+        entries.append((_TAG_TILE_WIDTH, 4, 1, inline("I", tw)))
+        entries.append((_TAG_TILE_LENGTH, 4, 1, inline("I", th)))
+    else:
+        entries.append((_TAG_ROWS_PER_STRIP, 4, 1, inline("I", nrows)))
+    # chunk offsets are knowable only after the offsets array itself is
+    # placed in the extra area: reserve it, then patch the real values
+    if len(chunks) == 1:
+        offsets_patch = None
+    else:
+        offsets_patch = _ool(b"\x00" * 4 * len(chunks))
+    data_start = extra_off + len(extra)
+    offs = []
+    pos = data_start
+    for c in counts:
+        offs.append(pos)
+        pos += c + (c % 2)  # keep chunk starts even
+    if offsets_patch is None:
+        entries.append(
+            (_TAG_TILE_OFFSETS if tile else _TAG_STRIP_OFFSETS, 4, 1,
+             inline("I", offs[0]))
+        )
+    else:
+        rel = offsets_patch - extra_off
+        extra[rel : rel + 4 * len(offs)] = struct.pack(f"<{len(offs)}I", *offs)
+        entries.append(
+            (_TAG_TILE_OFFSETS if tile else _TAG_STRIP_OFFSETS, 4, len(offs),
+             inline("I", offsets_patch))
+        )
     entries.sort(key=lambda e: e[0])  # spec: ascending tag order
-    assert len(entries) == N_ENTRIES
+    assert len(entries) == n_entries
 
     out = bytearray()
     out += struct.pack("<2sHI", b"II", 42, ifd_off)
-    out += struct.pack("<H", N_ENTRIES)
+    out += struct.pack("<H", n_entries)
     for tag, ftype, count, val in entries:
         out += struct.pack("<HHI", tag, ftype, count) + val
     out += struct.pack("<I", 0)  # next-IFD pointer: none
     out += extra
-    out += pix
+    for ch in chunks:
+        out += ch
+        if len(ch) % 2:
+            out += b"\x00"
     return bytes(out)
 
 

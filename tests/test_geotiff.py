@@ -123,7 +123,7 @@ def test_compressed_tiff_rejected():
         base = 10 + 12 * i
         (tag,) = struct.unpack_from("<H", blob, base)
         if tag == 259:
-            struct.pack_into("<H", blob, base + 8, 5)  # LZW
+            struct.pack_into("<H", blob, base + 8, 7)  # JPEG: unsupported
     with pytest.raises(ValueError, match="compress"):
         parse_geotiff(bytes(blob))
 
@@ -172,3 +172,93 @@ def test_pipeline_on_mixed_format_zip(spark, tmp_path):
     assert set(s for s, _ in by_key) == {"asc-species", "tif-species"}
     for t in ("25", "50", "75"):
         assert by_key[("asc-species", t)] == by_key[("tif-species", t)], t
+
+
+# ---------------------------------------------------------------- LZW + tiles
+
+
+def _pack_codes(codes, widths):
+    """MSB-first bit packing of (code, width) pairs — an independent
+    implementation used to pin the decoder's bit order."""
+    buf = 0
+    nbits = 0
+    out = bytearray()
+    for code, w in zip(codes, widths):
+        buf = (buf << w) | code
+        nbits += w
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_golden_stream():
+    """Hand-packed TIFF-LZW stream: Clear, 'A', 'B', code 258 ('AB'), EOI
+    -> 'ABAB'.  Pins MSB-first bit order and the KwK table discipline
+    independently of our own encoder."""
+    from species_range_data_pipeline_spark.pipeline.geotiff import _lzw_decode
+
+    stream = _pack_codes([256, 65, 66, 258, 257], [9] * 5)
+    assert _lzw_decode(stream, 100) == b"ABAB"
+
+
+def test_lzw_roundtrip_crosses_width_boundaries():
+    """Encoder/decoder stay in sync across the 9->10->11->12-bit early-change
+    boundaries AND a mid-stream Clear (table full at 4094): random 4-symbol
+    data grows the table fast enough to hit all of them."""
+    from species_range_data_pipeline_spark.pipeline.geotiff import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    data = bytes(rng.integers(0, 4, size=120_000, dtype=np.uint8))
+    enc = _lzw_encode(data)
+    assert len(enc) < len(data)  # actually compresses 4-symbol data
+    assert _lzw_decode(enc, len(data)) == data
+    # short adversarial inputs: truncation raises or decodes a prefix,
+    # never hangs or overruns the budget
+    with pytest.raises(ValueError):
+        _lzw_decode(enc, len(data) // 2)  # budget exceeded -> loud
+
+
+def test_lzw_geotiff_roundtrip_matches_uncompressed():
+    g = _grid(7)
+    plain = parse_geotiff(encode_geotiff(HEADER, _cells(g)))
+    lzw = parse_geotiff(encode_geotiff(HEADER, _cells(g), compression=5))
+    assert lzw == plain
+
+
+@pytest.mark.parametrize("compression", [1, 5, 8])
+def test_tiled_geotiff_roundtrip(compression):
+    """A 37x41 grid in 16x16 tiles (ragged edge tiles padded with nodata)
+    decodes to exactly the same header+cells as the single-strip twin,
+    under every compression scheme."""
+    rng = np.random.default_rng(11)
+    nrows, ncols = 37, 41
+    g = np.full((nrows, ncols), -9999.0)
+    mask = rng.random((nrows, ncols)) < 0.6
+    g[mask] = np.round(rng.random(mask.sum()) * 10, 3)
+    hdr = dict(HEADER, nrows=nrows, ncols=ncols)
+    cells = _cells(g)
+    plain = parse_geotiff(encode_geotiff(hdr, cells))
+    tiled = parse_geotiff(
+        encode_geotiff(hdr, cells, compression=compression, tile=(16, 16))
+    )
+    assert tiled == plain
+
+
+def test_tiled_tile_count_mismatch_rejected():
+    hdr = dict(HEADER, nrows=37, ncols=41)
+    blob = bytearray(encode_geotiff(hdr, [], tile=(16, 16)))
+    # shrink ImageWidth so the declared tile grid no longer matches
+    (n,) = struct.unpack_from("<H", blob, 8)
+    for i in range(n):
+        base = 10 + 12 * i
+        (tag,) = struct.unpack_from("<H", blob, base)
+        if tag == 256:
+            struct.pack_into("<I", blob, base + 8, 16)
+    with pytest.raises(ValueError, match="tile count"):
+        parse_geotiff(bytes(blob))
