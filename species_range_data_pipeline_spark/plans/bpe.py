@@ -36,6 +36,8 @@ order, making the merge sequence a pure function of the corpus.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -141,8 +143,77 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("step")
 
 
+def encode_word_types(
+    words: DataFrame, merges: list[tuple[str, str]], word_col: str = "word"
+) -> DataFrame:
+    """Apply a trained merge list: adds a ``tokens`` array column holding
+    the BPE segmentation of ``word_col``.
+
+    Standard rank-priority encode (the GPT-2 / subword-nmt semantics): at
+    each step merge the adjacent pair with the LOWEST merge rank, leftmost
+    on ties, until no trained pair remains.  Runs as an Arrow-batched
+    pandas UDF with the rank table captured in the closure — merge lists
+    are vocabulary-sized (tens of KB at production scale), so they ship
+    with the task, not through a join.
+
+    Scale note (100 TB): call this on the WORD-TYPE table (word, wc), not
+    on raw tokens — the Zipf collapse means each distinct word is encoded
+    exactly once no matter how many billions of times it occurs; weight
+    downstream aggregates by wc.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @pandas_udf("array<string>")
+    def enc(col: pd.Series) -> pd.Series:
+        def one(w: str) -> list[str]:
+            syms = list(w) + [EOW]
+            while len(syms) > 1:
+                best_rank = None
+                best_i = -1
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_i = r, i
+                if best_rank is None:
+                    break
+                syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+            return syms
+
+        return col.map(one)
+
+    return words.withColumn("tokens", enc(F.col(word_col)))
+
+
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train ``N_MERGES`` merges on the documents corpus, then ENCODE the
+    corpus with them: the full tokenizer round trip (train -> apply) as
+    one plan.  Returns the 20 most frequent tokens of the encoded corpus
+    (token, token_count), occurrence-weighted via the word-type counts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(_tokens()).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .localCheckpoint()  # reused: training iterates it, encoding scans it
+    )
+    merges = [(l, r) for _, l, r, _ in train_merges(words)]
+    return (
+        encode_word_types(words, merges)
+        .select("wc", F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("wc").alias("token_count"))
+        .orderBy(F.col("token_count").desc(), "token")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "bpe_train_merges": bpe_train_merges,
+    "bpe_encode_tokens": bpe_encode_tokens,
 }
 
 ORACLES: dict[str, str] = {}

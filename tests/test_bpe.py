@@ -91,3 +91,61 @@ def test_overlapping_pair_and_tie_semantics(spark):
     # first merge: ('a','a') count 10 (two overlapping occurrences in each
     # 'aaa') beats ('b','c')/('b','d') at 5... verify the arithmetic holds
     assert got[0][1:] == ("a", "a", 10)
+
+
+# ------------------------------------------------------------------- encode
+
+
+def _reference_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Independent rank-priority BPE encode (GPT-2 / subword-nmt
+    semantics): repeatedly merge the lowest-rank adjacent pair, leftmost
+    on ties, until none of the trained pairs remains."""
+    ranks = {p: i for i, p in enumerate(merges)}
+    syms = list(word) + [EOW]
+    while len(syms) > 1:
+        cands = [
+            (ranks[(syms[i], syms[i + 1])], i)
+            for i in range(len(syms) - 1)
+            if (syms[i], syms[i + 1]) in ranks
+        ]
+        if not cands:
+            break
+        _, i = min(cands)
+        syms[i : i + 2] = [syms[i] + syms[i + 1]]
+    return syms
+
+
+def test_encode_matches_reference_and_roundtrips(spark):
+    from species_range_data_pipeline_spark.plans.bpe import encode_word_types
+
+    corpus = {
+        "lower": 5, "lowest": 4, "newer": 6, "wider": 3, "new": 7,
+        "aaa": 5, "banana": 2, "bandana": 2,
+    }
+    merges = [(l, r) for _, l, r, _ in _reference_bpe(corpus, 8)]
+    words = spark.createDataFrame(
+        [(w, c) for w, c in corpus.items()] + [("unseenword", 1)],
+        "word string, wc long",
+    )
+    got = {
+        r.word: list(r.tokens)
+        for r in encode_word_types(words, merges).collect()
+    }
+    for w in list(corpus) + ["unseenword"]:
+        assert got[w] == _reference_encode(w, merges), w
+        # lossless: concatenating tokens reproduces word + EOW
+        assert "".join(got[w]) == w + EOW, w
+
+
+def test_bpe_encode_tokens_query_shape(spark):
+    from species_range_data_pipeline_spark.plans.bpe import bpe_encode_tokens
+
+    out = bpe_encode_tokens(spark, SF_CORRECT)
+    rows = out.collect()
+    assert 0 < len(rows) <= 20
+    assert out.columns == ["token", "token_count"]
+    counts = [r.token_count for r in rows]
+    assert counts == sorted(counts, reverse=True) and counts[-1] > 0
+    # encoding is conservative: total token mass can't exceed total
+    # character+EOW mass of the corpus (merges only shrink counts)
+    assert all(r.token for r in rows)

@@ -92,6 +92,7 @@ def test_rows_only_set_is_exactly_the_documented_exceptions():
         # iterative argmax + data-dependent rewriting; golden-tested
         # against a pure-Python reference in test_bpe.py instead
         "bpe_train_merges",
+        "bpe_encode_tokens",
         # synthetic-media lanes: no DuckDB-readable input table;
         # codec-level goldens live in test_multimodal/test_codecs/test_jpeg
         "multimodal_decode_stats",
