@@ -349,6 +349,67 @@ def vacuum_manifest_table(
     return removed
 
 
+def optimize_manifest_table(
+    spark: SparkSession,
+    path: str,
+    cluster_by: list[str],
+    target_files: int = 8,
+    bits: int = 8,
+) -> int:
+    """Delta-style ``OPTIMIZE [ZORDER BY]``: rewrite the live set into
+    ``target_files`` cluster-ordered files and commit the result as a new
+    overwrite version (old versions stay time-travelable; ``vacuum``
+    reclaims them later).  Returns the new version number.
+
+    One column: range-clustered layout (each file owns a disjoint range).
+    Several columns: Morton/Z-order — each column is bucketed into
+    ``2**bits`` ranks via sampled quantiles (``approxQuantile``, numeric
+    columns only — the same sampling shape as Delta's range_partition_id),
+    the bucket ids are bit-interleaved, and files are range-partitioned on
+    the curve value.  Either way every output file covers a narrow range
+    of EACH cluster column, which is precisely what makes the commit's
+    zone maps (and parquet row-group stats inside each file) prunable:
+    OPTIMIZE is what turns data skipping from "theoretically available"
+    into "skips 99% of a 100 TB table".
+    """
+    from pyspark.sql import functions as F
+
+    df = read_manifest_table(spark, path)
+    if not cluster_by:
+        raise ValueError("cluster_by must name at least one column")
+    if len(cluster_by) == 1:
+        arranged = df.repartitionByRange(
+            target_files, F.col(cluster_by[0])
+        ).sortWithinPartitions(cluster_by[0])
+    else:
+        n_buckets = 1 << bits
+        bucket_cols = []
+        for c in cluster_by:
+            # sampled per-column quantile fences, driver-sized (2^bits - 1)
+            qs = df.stat.approxQuantile(
+                c, [i / n_buckets for i in range(1, n_buckets)], 0.01
+            )
+            fences = F.array(*[F.lit(float(q)) for q in qs])
+            bucket_cols.append(
+                F.size(F.filter(fences, lambda b: b <= F.col(c).cast("double")))
+            )
+        k = len(bucket_cols)
+        z = None
+        for i in range(bits):
+            for j, bc in enumerate(bucket_cols):
+                bit = F.shiftleft(
+                    F.shiftright(bc, i).bitwiseAND(F.lit(1)), i * k + j
+                )
+                z = bit if z is None else z.bitwiseOR(bit)
+        arranged = (
+            df.withColumn("__zorder", z)
+            .repartitionByRange(target_files, F.col("__zorder"))
+            .sortWithinPartitions("__zorder")
+            .drop("__zorder")
+        )
+    return write_manifest_table(arranged, path, mode="overwrite")
+
+
 def read_version_delta(
     spark: SparkSession, path: str, from_version: int, to_version: int | None = None
 ) -> DataFrame:

@@ -425,3 +425,69 @@ def test_manifest_zone_map_absent_stats_never_prunes(spark, tmp_path):
         read_manifest_table(spark, path, filters=[("id", ">", 10_000)]).count()
         == 0
     )
+
+
+def test_manifest_optimize_zorder_makes_skipping_effective(spark, tmp_path):
+    """OPTIMIZE ZORDER: commits whose files each span the FULL value range
+    prune nothing; after rewriting into z-ordered files, single-column
+    predicates on EITHER dimension skip most files, rows are intact, and
+    the pre-optimize version is still time-travelable."""
+    from pyspark.sql import functions as F
+
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        manifest_scan_files,
+        optimize_manifest_table,
+        read_manifest_table,
+        write_manifest_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    # 4 commits, each a random shuffle spanning the whole (a, b) space
+    base = spark.range(0, 4000).select(
+        "id",
+        (F.hash("id") % 1000 + 1000).alias("a"),
+        (F.hash("id", F.lit(1)) % 1000 + 1000).alias("b"),
+    )
+    for part in range(4):
+        write_manifest_table(
+            base.where(F.col("id") % 4 == part).coalesce(1), path
+        )
+    pre_files = manifest_scan_files(path)
+    pre_hit = manifest_scan_files(path, filters=[("a", "<", 900)])
+    assert len(pre_files) == 4 and len(pre_hit) == 4  # nothing prunable
+
+    v = optimize_manifest_table(spark, path, ["a", "b"], target_files=8)
+    post_files = manifest_scan_files(path)
+    assert 1 < len(post_files) <= 8
+    # both dimensions now prune: a narrow predicate on a OR on b touches
+    # a strict subset of files
+    hit_a = manifest_scan_files(path, filters=[("a", "<", 900)])
+    hit_b = manifest_scan_files(path, filters=[("b", "<", 900)])
+    assert len(hit_a) < len(post_files), (len(hit_a), len(post_files))
+    assert len(hit_b) < len(post_files), (len(hit_b), len(post_files))
+
+    # content unchanged, filtered reads exact, history intact
+    assert read_manifest_table(spark, path).count() == 4000
+    got = read_manifest_table(spark, path, filters=[("a", "<", 900)]).count()
+    want = base.where("a < 900").count()
+    assert got == want
+    assert read_manifest_table(spark, path, version=v - 1).count() == 4000
+
+
+def test_manifest_optimize_single_column_range_layout(spark, tmp_path):
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        manifest_scan_files,
+        optimize_manifest_table,
+        read_manifest_table,
+        write_manifest_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(0, 1000).selectExpr("id", "id % 7 AS g")
+    write_manifest_table(df.orderBy("g").coalesce(4), path)
+    optimize_manifest_table(spark, path, ["id"], target_files=5)
+    files = manifest_scan_files(path)
+    # disjoint ranges: a point predicate touches exactly one file
+    hit = manifest_scan_files(path, filters=[("id", "=", 500)])
+    assert len(files) == 5 and len(hit) == 1
+    assert read_manifest_table(spark, path).count() == 1000
