@@ -75,8 +75,133 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
         labels = proposed.drop("old_comp")
         if changed == 0:
             break
+    else:
+        # partially-propagated labels are silently WRONG — refuse them.
+        # Deep graphs (diameter > _MAX_ITERS) belong to the O(log n)
+        # connected_components_star path.
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {_MAX_ITERS} rounds "
+            "(graph diameter too large); use connected_components_star"
+        )
     sym.unpersist()
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iters: int = 50
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    billion-edge path that ``connected_components``' docstring promises.
+
+    Plain min-label propagation needs O(diameter) rounds; the alternating
+    star operations contract the graph in O(log n) rounds regardless of
+    diameter (a 10^6-node chain finishes in ~20 rounds instead of 10^6).
+    Both operations are one groupBy-min plus one equi-join on the SAME
+    key, so each round is two key-co-located shuffles and AQE reuses the
+    exchange.
+
+    Invariant: edges stay canonically oriented u > v ("point to the
+    smaller id"), which both steps preserve — large-star hangs every
+    larger neighbor under the neighborhood minimum, small-star re-hangs
+    the smaller ones.  Convergence = the edge multiset is a fixed point,
+    detected by (count, sum(xxhash64(u, v))) equality across rounds
+    (collision odds ~2^-64; the iteration cap is a second guard).  The
+    converged state is a star forest: every edge is (member, component
+    min).
+
+    Returns (id, comp) for every vertex that appears in ``edges`` — the
+    exact contract of ``connected_components``, equivalence-tested in
+    ``tests/test_graph_star.py``.
+    """
+    vertices = (
+        edges.select(F.col(src).cast("long").alias("id"))
+        .unionByName(edges.select(F.col(dst).cast("long").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = (
+        edges.where(F.col(src) != F.col(dst))
+        .select(
+            F.greatest(F.col(src), F.col(dst)).cast("long").alias("u"),
+            F.least(F.col(src), F.col(dst)).cast("long").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _signature(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: exact and overflow-free under ANSI mode even
+            # summing 2^63-magnitude hashes over billions of edges
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).first()
+        return int(row["n"]), int(row["h"])
+
+    def _large_star(df: DataFrame) -> DataFrame:
+        sym = df.select("u", "v").unionByName(
+            df.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
+        )
+        return (
+            sym.where(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def _small_star(df: DataFrame) -> DataFrame:
+        mins = df.groupBy("u").agg(F.min("v").alias("m"))
+        rehung = (
+            df.join(mins, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        kept = mins.select("u", F.col("m").alias("v"))
+        return rehung.unionByName(kept).distinct()
+
+    sig = _signature(e)
+    for _ in range(max_iters):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        new_sig = _signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    members = e.select(F.col("u").alias("id"), F.col("v").alias("comp"))
+    # every vertex of the INPUT is its own component floor: covers star
+    # roots and vertices whose only edges were self-loops
+    return members.unionByName(
+        vertices.select("id", F.col("id").alias("comp"))
+    ).groupBy("id").agg(F.min("comp").alias("comp"))
+
+
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_clusters`` with the O(log n) star algorithm in place of the
+    O(diameter) propagation loop — same output contract, same DuckDB
+    oracle, so the driver checks the scale path's correctness directly."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components_star(pairs, src="doc_a", dst="doc_b")
+    return (
+        comp.groupBy(F.col("comp").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("id")), lambda c: c.cast("string")
+                ),
+                ",",
+            ).alias("members"),
+        )
+        .orderBy("cluster_id")
+    )
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -523,6 +648,7 @@ FROM tri
 
 QUERIES = {
     "dedup_clusters": dedup_clusters,
+    "dedup_clusters_star": dedup_clusters_star,
     "graph_pagerank": graph_pagerank,
     "graph_triangles": graph_triangles,
     "hier_rollup": hier_rollup,
@@ -531,6 +657,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_clusters": DEDUP_CLUSTERS_ORACLE,
+    "dedup_clusters_star": DEDUP_CLUSTERS_ORACLE,
     "graph_pagerank": GRAPH_PAGERANK_ORACLE,
     "graph_triangles": GRAPH_TRIANGLES_ORACLE,
     "hier_rollup": HIER_ROLLUP_ORACLE,
