@@ -205,6 +205,44 @@ def manifest_scan_files(
     return _prune_files(files, meta.get("stats", {}), filters)
 
 
+def _merge_schema_json(prev_json: str, new_schema) -> str:
+    """Schema evolution on append: the committed schema is the UNION of
+    all appended schemas — new columns join as nullable, a column whose
+    type CHANGED raises (silent coercion corrupts; the writer must cast
+    explicitly).  The manifest schema, not footer sampling, is what reads
+    resolve against."""
+    from pyspark.sql.types import StructField, StructType
+
+    prev = StructType.fromJson(json.loads(prev_json))
+    by_name = {f.name: f for f in prev.fields}
+    out = list(prev.fields)
+    for f in new_schema.fields:
+        old = by_name.get(f.name)
+        if old is None:
+            out.append(StructField(f.name, f.dataType, True))
+        elif old.dataType != f.dataType:
+            raise ValueError(
+                f"schema conflict on column {f.name!r}: table has "
+                f"{old.dataType.simpleString()}, append has "
+                f"{f.dataType.simpleString()} — cast explicitly"
+            )
+    return StructType(out).json()
+
+
+def table_schema(path: str, version: int | None = None):
+    """The committed StructType at ``version`` (default latest)."""
+    from pyspark.sql.types import StructType
+
+    versions = table_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed version at {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    with open(os.path.join(_manifest_path(path), f"v{v}.json")) as fh:
+        return StructType.fromJson(json.loads(json.load(fh)["schema"]))
+
+
 def write_manifest_table(
     df: DataFrame, path: str, mode: str = "append", txn: int | None = None
 ) -> int:
@@ -237,6 +275,7 @@ def write_manifest_table(
     versions = table_versions(path)
     current = versions[-1] if versions else -1
     stats = {f: _file_stats(f) for f in new_files}
+    schema_json = df.schema.json()
     if mode == "overwrite" or current < 0:
         files = new_files
     else:
@@ -248,13 +287,14 @@ def write_manifest_table(
         stats.update(
             {f: s for f, s in prev.get("stats", {}).items() if f in set(files)}
         )
+        schema_json = _merge_schema_json(prev["schema"], df.schema)
     # 3. publish atomically: tmp file + rename in the same directory
     version = current + 1
     tmp = os.path.join(_manifest_path(path), f".tmp_{commit_id}")
     meta = {
         "version": version,
         "files": files,
-        "schema": df.schema.json(),
+        "schema": schema_json,
         "stats": stats,
     }
     meta["txn"] = txn if txn is not None else last_committed_txn(path)
@@ -286,18 +326,18 @@ def read_manifest_table(
     conjunction are never opened, and the surviving filters are ALSO
     applied as DataFrame predicates (so results are exact, and Spark
     pushes the same predicates into parquet row-group pruning within the
-    files that remain)."""
+    files that remain).
+
+    Reads resolve against the COMMITTED schema (the union of all appended
+    schemas), not footer sampling — files written before a column was
+    added yield nulls for it, deterministically."""
     files = manifest_scan_files(path, version, filters)
+    schema = table_schema(path, version)
     if not files:
         # every file pruned: an empty frame with the committed schema
-        from pyspark.sql.types import StructType
-
-        v = table_versions(path)[-1] if version is None else version
-        with open(os.path.join(_manifest_path(path), f"v{v}.json")) as fh:
-            schema = StructType.fromJson(json.loads(json.load(fh)["schema"]))
         df = spark.createDataFrame([], schema)
     else:
-        df = spark.read.parquet(*files)
+        df = spark.read.schema(schema).parquet(*files)
     for col, op, value in filters or ():
         from pyspark.sql import functions as F
 

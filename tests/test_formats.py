@@ -491,3 +491,46 @@ def test_manifest_optimize_single_column_range_layout(spark, tmp_path):
     hit = manifest_scan_files(path, filters=[("id", "=", 500)])
     assert len(files) == 5 and len(hit) == 1
     assert read_manifest_table(spark, path).count() == 1000
+
+
+def test_manifest_schema_evolution_on_append(spark, tmp_path):
+    """Appends may ADD columns: the committed schema is the union, reads
+    resolve against it in either commit order (pre-evolution files yield
+    nulls), time travel sees each version's own schema, and a TYPE change
+    refuses loudly instead of coercing."""
+    import pytest as _pytest
+
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        read_manifest_table,
+        table_schema,
+        write_manifest_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_manifest_table(spark.range(0, 10).selectExpr("id"), path)
+    write_manifest_table(
+        spark.range(10, 20).selectExpr("id", "id * 2 AS extra"), path
+    )
+    df = read_manifest_table(spark, path)
+    assert df.columns == ["id", "extra"]
+    assert df.count() == 20
+    assert df.where("extra IS NULL").count() == 10  # pre-evolution files
+    # time travel: v0 predates the column
+    assert read_manifest_table(spark, path, version=0).columns == ["id"]
+    assert [f.name for f in table_schema(path).fields] == ["id", "extra"]
+
+    # reversed order in a fresh table: old-schema append after evolution
+    path2 = str(tmp_path / "tbl2")
+    write_manifest_table(
+        spark.range(0, 5).selectExpr("id", "id * 2 AS extra"), path2
+    )
+    write_manifest_table(spark.range(5, 9).selectExpr("id"), path2)
+    df2 = read_manifest_table(spark, path2)
+    assert df2.columns == ["id", "extra"] and df2.count() == 9
+
+    # type conflict: long -> string must refuse
+    with _pytest.raises(ValueError, match="schema conflict.*extra"):
+        write_manifest_table(
+            spark.range(9, 12).selectExpr("id", "CAST(id AS STRING) AS extra"),
+            path2,
+        )
