@@ -104,3 +104,46 @@ def test_hostile_declared_sizes_fail_fast():
     struct.pack_into("<H", dbf, 10, 0)
     with pytest.raises(ValueError, match="records"):
         parse_dbf(bytes(dbf))
+
+
+def test_lzw_tiled_tiff_variants_survive_fuzz():
+    """The LZW and tiled encodings go through the same truncation/bitflip
+    gauntlet as the strip encoding: ValueError or success, never a hang,
+    crash, or unbounded allocation."""
+    variants = [
+        encode_geotiff(_HDR, [(0, 0, 1.0), (3, 3, 2.0)], compression=5),
+        encode_geotiff(
+            {**_HDR, "ncols": 40, "nrows": 40},
+            [(i, i, float(i)) for i in range(40)],
+            compression=5,
+            tile=(16, 16),
+        ),
+    ]
+    rng = random.Random(99)
+    for blob in variants:
+        for _ in range(120):
+            trunc = blob[: rng.randrange(len(blob))]
+            try:
+                parse_geotiff(trunc)
+            except ValueError:
+                pass
+            flipped = bytearray(blob)
+            for _ in range(rng.randrange(1, 6)):
+                flipped[rng.randrange(len(flipped))] = rng.randrange(256)
+            try:
+                parse_geotiff(bytes(flipped))
+            except ValueError:
+                pass
+
+
+def test_lzw_decoder_rejects_garbage_codes_and_bounds_output():
+    from species_range_data_pipeline_spark.pipeline.geotiff import _lzw_decode
+
+    rng = random.Random(5)
+    for _ in range(200):
+        junk = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 64)))
+        try:
+            out = _lzw_decode(junk, 4096)
+            assert len(out) <= 4096
+        except ValueError:
+            pass
