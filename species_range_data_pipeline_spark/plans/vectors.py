@@ -145,6 +145,66 @@ ORDER BY vec_a, vec_b
 """
 
 
+def emb_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup groups: cosine-similarity pairs
+    (>= 0.4) -> connected components -> one representative per cluster.
+
+    Near-duplication is not transitive, so semantic dedup needs the
+    transitive closure just like the lexical family (plans/graph.py's
+    ``dedup_clusters``).  Components run through the O(log n)
+    large-star/small-star algorithm.  Pair generation here reuses the
+    brute-force oracle spec so the WHOLE query is exactly checkable
+    against the recursive-CTE DuckDB oracle; the production swap at 100 TB
+    is ``emb_near_dup_lsh``'s banded pairs feeding the same component +
+    representative tail (identical downstream plan, recall measured in
+    tests/test_similarity.py).
+    """
+    from .graph import connected_components_star
+
+    pairs = emb_near_dup_bruteforce(spark, sf_dir).select("vec_a", "vec_b")
+    comp = connected_components_star(pairs, src="vec_a", dst="vec_b")
+    return (
+        comp.groupBy(F.col("comp").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("id")), lambda c: c.cast("string")
+                ),
+                ",",
+            ).alias("members"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+EMB_DEDUP_COMPONENTS_ORACLE = """
+WITH RECURSIVE pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 6) >= 0.4
+), edges AS (
+    SELECT vec_a AS src, vec_b AS dst FROM pairs
+    UNION ALL
+    SELECT vec_b, vec_a FROM pairs
+), reach AS (
+    SELECT DISTINCT src AS id, src AS r FROM edges
+    UNION
+    SELECT e.src AS id, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+), comp AS (
+    SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+)
+SELECT cluster_id,
+       count(*) AS n_members,
+       string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+FROM comp
+GROUP BY cluster_id
+ORDER BY cluster_id
+"""
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse centroids (one per label), probe top-2, search
     only probed buckets, exact re-rank inside them.
@@ -375,6 +435,7 @@ QUERIES = {
     "emb_near_dup": emb_near_dup_bruteforce,
     "emb_near_dup_bruteforce": emb_near_dup_bruteforce,
     "emb_near_dup_lsh": emb_near_dup_lsh,
+    "emb_dedup_components": emb_dedup_components,
     "ann_ivf_topk": ann_ivf_topk,
 }
 
@@ -384,5 +445,6 @@ ORACLES = {
     "cosine_topk": COSINE_TOPK_ORACLE,
     "emb_near_dup": EMB_NEAR_DUP_ORACLE,
     "emb_near_dup_bruteforce": EMB_NEAR_DUP_ORACLE,
+    "emb_dedup_components": EMB_DEDUP_COMPONENTS_ORACLE,
     "ann_ivf_topk": ANN_IVF_ORACLE,
 }
