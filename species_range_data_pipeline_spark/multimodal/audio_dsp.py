@@ -107,3 +107,93 @@ def extract_spectral_features(media: DataFrame) -> DataFrame:
         .select("media_id", "payload")
         .mapInPandas(fn, SPECTRAL_SCHEMA)
     )
+
+
+def resample_audio(
+    samples: np.ndarray, src_rate: int, dst_rate: int
+) -> np.ndarray:
+    """Linear-interpolation resample to ``dst_rate`` — the corpus
+    normalization step (e.g. everything -> 16 kHz mono-friendly rates)
+    before feature extraction or training.
+
+    Deterministic and vectorized: output sample k sits at source time
+    k * src/dst and is interpolated from its two neighbors (np.interp).
+    Input (n,) or (n, channels) int16/float; output matches the input
+    dtype (int16 rounds half away from zero).  Anti-alias filtering is
+    intentionally out of scope for the corpus-stats use case and
+    documented here so nobody mistakes this for a DSP-grade decimator.
+    """
+    if src_rate <= 0 or dst_rate <= 0:
+        raise ValueError("rates must be positive")
+    x = samples.astype(np.float64)
+    mono_in = x.ndim == 1
+    if mono_in:
+        x = x[:, None]
+    n_in = x.shape[0]
+    if n_in == 0:
+        return samples.copy()
+    n_out = max(1, int(round(n_in * dst_rate / src_rate)))
+    t_out = np.arange(n_out) * (src_rate / dst_rate)
+    t_in = np.arange(n_in, dtype=np.float64)
+    out = np.stack(
+        [np.interp(t_out, t_in, x[:, ch]) for ch in range(x.shape[1])], axis=1
+    )
+    if mono_in:
+        out = out[:, 0]
+    if np.issubdtype(samples.dtype, np.integer):
+        return np.clip(np.rint(out), -32768, 32767).astype(samples.dtype)
+    return out.astype(samples.dtype)
+
+
+RESAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def resample_clips(media: DataFrame, dst_rate: int = 16_000) -> DataFrame:
+    """Normalize every audio clip to ``dst_rate``, re-encoded as WAV —
+    the standard rate-normalization pass over a mixed-rate corpus, in the
+    same mapInPandas + error-side-channel shape as the other media lanes
+    (decode failures become error rows, never task failures)."""
+    from . import media as media_mod
+    from .codecs import encode_wav
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    rate, _n, samples = media_mod._decode_audio(bytes(payload))
+                    res = resample_audio(samples, rate, dst_rate)
+                    out.append(
+                        {
+                            "media_id": mid,
+                            "payload": encode_wav(
+                                res.astype(np.int16), dst_rate
+                            ),
+                            "sample_rate": dst_rate,
+                            "n_samples": int(np.atleast_2d(res.T).shape[-1]),
+                            "error": None,
+                        }
+                    )
+                except Exception as exc:
+                    out.append(
+                        {
+                            "media_id": mid, "payload": None,
+                            "sample_rate": None, "n_samples": None,
+                            "error": f"{type(exc).__name__}: {exc}",
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in RESAMPLE_SCHEMA.fields]
+            )
+
+    return media.where(F.col("kind") == "audio").select(
+        "media_id", "payload"
+    ).mapInPandas(fn, RESAMPLE_SCHEMA)

@@ -239,3 +239,81 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
         + b"data" + struct.pack("<I", len(body)) + body
     )
     return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def decode_bmp(blob: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode a Windows BMP -> (width, height, channels, uint8 (h, w, c)) —
+    the same contract as ``decode_png``.
+
+    Scope: BITMAPINFOHEADER (or larger) DIBs, uncompressed (BI_RGB) 24/32
+    bpp and 8-bpp palette, bottom-up or top-down row order, 4-byte row
+    padding.  RLE and bitfield compression raise ``NotImplementedError``
+    (loud gate); malformed input raises ``ValueError``.
+    """
+    try:
+        return _decode_bmp(blob)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed BMP: {exc}") from exc
+
+
+def _decode_bmp(blob: bytes) -> tuple[int, int, int, np.ndarray]:
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP: bad magic")
+    if len(blob) < 54:
+        raise ValueError("not a BMP: truncated header")
+    (data_off,) = struct.unpack_from("<I", blob, 10)
+    (hdr_size,) = struct.unpack_from("<I", blob, 14)
+    if hdr_size < 40:
+        raise NotImplementedError(f"BMP core-header size {hdr_size} not supported")
+    width, height, _planes, bpp, comp = struct.unpack_from("<iihHI", blob, 18)
+    if comp != 0:
+        raise NotImplementedError(f"BMP compression {comp} not supported (BI_RGB only)")
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"BMP bit depth {bpp} not supported")
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height <= 0 or width * height > 1 << 26:
+        raise ValueError(f"implausible BMP dimensions {width}x{height}")
+    row_bytes = (width * bpp // 8 + 3) & ~3
+    need = data_off + row_bytes * height
+    if need > len(blob):
+        raise ValueError(f"truncated BMP pixel data: {len(blob)} < {need}")
+    rows = np.frombuffer(
+        blob, dtype=np.uint8, count=row_bytes * height, offset=data_off
+    ).reshape(height, row_bytes)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        # palette sits between the info header and the pixel data
+        pal_off = 14 + hdr_size
+        n_colors = struct.unpack_from("<I", blob, 46)[0] or 256
+        pal = np.frombuffer(
+            blob, dtype=np.uint8, count=4 * n_colors, offset=pal_off
+        ).reshape(-1, 4)[:, :3][:, ::-1]  # BGRX -> RGB
+        idx = rows[:, :width]
+        return width, height, 3, np.ascontiguousarray(pal[idx])
+    c = bpp // 8
+    px = rows[:, : width * c].reshape(height, width, c)
+    if c == 3:
+        px = px[:, :, ::-1]  # BGR -> RGB
+    else:
+        px = px[:, :, [2, 1, 0, 3]]  # BGRA -> RGBA
+    return width, height, c, np.ascontiguousarray(px)
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit bottom-up BMP."""
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_bmp expects an (h, w, 3) RGB array")
+    h, w, _ = px.shape
+    row_bytes = (w * 3 + 3) & ~3
+    pad = row_bytes - w * 3
+    bgr = np.ascontiguousarray(px[::-1, :, ::-1], dtype=np.uint8)  # bottom-up BGR
+    if pad:
+        bgr = np.concatenate(
+            [bgr.reshape(h, w * 3), np.zeros((h, pad), dtype=np.uint8)], axis=1
+        )
+    body = bgr.tobytes()
+    info = struct.pack("<IiihHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    return header + info + body

@@ -122,7 +122,9 @@ def _decode_payload(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         return codecs.decode_png(payload)
     if payload[:3] == b"\xff\xd8\xff":
         return jpeg.decode_jpeg(payload)
-    raise ValueError("unrecognized image payload (not FAKEIMG/PNG/JPEG)")
+    if payload[:2] == b"BM":
+        return codecs.decode_bmp(payload)
+    raise ValueError("unrecognized image payload (not FAKEIMG/PNG/JPEG/BMP)")
 
 
 def _decode_audio(payload: bytes) -> tuple[int, int, np.ndarray]:

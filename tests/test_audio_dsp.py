@@ -78,3 +78,65 @@ def test_spark_lane_over_real_wav_and_error_channel(spark):
     assert rows[2].centroid_hz == pytest.approx(4000.0, abs=40.0)
     assert rows[2].zcr_per_s == pytest.approx(8000.0, rel=0.01)
     assert "NotImplementedError" in rows[3].error
+
+
+# ----------------------------------------------------------------- resample
+
+
+def test_resample_matches_interp_closed_form():
+    from species_range_data_pipeline_spark.multimodal.audio_dsp import (
+        resample_audio,
+    )
+
+    x = (np.sin(2 * np.pi * 440 * np.arange(4410) / 44100) * 20000).astype(
+        np.int16
+    )
+    y = resample_audio(x, 44100, 22050)
+    assert y.dtype == np.int16
+    assert len(y) == 2205
+    # closed form: every output sample interpolates its two neighbors
+    t_out = np.arange(2205) * 2.0
+    want = np.interp(t_out, np.arange(4410, dtype=float), x.astype(float))
+    assert np.max(np.abs(y.astype(float) - want)) <= 0.5  # rounding only
+
+    # upsample round trip preserves length arithmetic and stays bounded
+    up = resample_audio(y, 22050, 44100)
+    assert len(up) == 4410 and np.max(np.abs(up.astype(int))) <= 20000 + 1
+
+
+def test_resample_preserves_tone_frequency():
+    from species_range_data_pipeline_spark.multimodal.audio_dsp import (
+        resample_audio,
+        spectral_features,
+    )
+
+    rate, f0 = 32000, 1000.0
+    x = (np.sin(2 * np.pi * f0 * np.arange(16000) / rate) * 16000).astype(
+        np.int16
+    )
+    y = resample_audio(x, rate, 16000)
+    feats = spectral_features(y, 16000)
+    assert abs(feats["centroid_hz"] - f0) < 40.0
+    # stereo path: per-channel identical to the mono path
+    st = resample_audio(np.stack([x, x], axis=1), rate, 16000)
+    assert st.shape == (len(y), 2)
+    assert np.array_equal(st[:, 0], y)
+
+
+def test_resample_clips_spark_lane(spark):
+    from species_range_data_pipeline_spark.multimodal.audio_dsp import (
+        resample_clips,
+    )
+    from species_range_data_pipeline_spark.multimodal.codecs import decode_wav
+    from species_range_data_pipeline_spark.multimodal.media import (
+        make_media_table,
+    )
+
+    media = make_media_table(spark, n=16)
+    out = resample_clips(media, dst_rate=8000).collect()
+    assert len(out) == 4  # the audio quarter of the table
+    for r in out:
+        assert r.error is None and r.sample_rate == 8000
+        rate, n_channels, samples = decode_wav(bytes(r.payload))
+        assert rate == 8000 and n_channels == 1
+        assert samples.shape[0] == r.n_samples > 0

@@ -43,7 +43,13 @@ _HDR = {
     "cellsize": 1.0, "nodata_value": -9999.0,
 }
 
+from species_range_data_pipeline_spark.multimodal.codecs import (
+    decode_bmp,
+    encode_bmp,
+)
+
 CASES = [
+    ("bmp", lambda: encode_bmp(np.dstack([_IMG] * 3)), decode_bmp),
     ("jpeg", lambda: encode_jpeg(_IMG), decode_jpeg),
     ("mp4", lambda: encode_mp4([b"sample"], 2, 2), extract_video_samples),
     ("png", lambda: encode_png(_IMG), decode_png),

@@ -173,3 +173,79 @@ def test_wav_odd_chunk_padding_and_gates():
         decode_wav(_build_wav(2, 1, 8000, 4, b"\x00\x00"))  # ADPCM
     with pytest.raises(ValueError, match="RIFF"):
         decode_wav(b"not audio")
+
+
+# --------------------------------------------------------------------- BMP
+
+
+def test_bmp_roundtrip_and_padding():
+    """24-bit encode->decode is exact, including widths whose rows need
+    4-byte padding."""
+    from species_range_data_pipeline_spark.multimodal.codecs import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(4)
+    for w in (5, 6, 7, 8):  # 5,6,7 force row padding
+        px = rng.integers(0, 256, size=(9, w, 3), dtype=np.uint8)
+        ww, hh, c, got = decode_bmp(encode_bmp(px))
+        assert (ww, hh, c) == (w, 9, 3)
+        assert np.array_equal(got, px)
+
+
+def test_bmp_topdown_palette_and_gates():
+    import struct as _struct
+
+    from species_range_data_pipeline_spark.multimodal.codecs import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    # top-down: negate the height in a hand-patched 24-bit file and flip rows
+    px = np.arange(2 * 4 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    blob = bytearray(encode_bmp(px[::-1]))  # encoder is bottom-up
+    _struct.pack_into("<i", blob, 22, -2)  # height = -2 -> top-down
+    # rows already reversed at encode: top-down read restores px as-is
+    *_, got = decode_bmp(bytes(blob))
+    assert np.array_equal(got, px[::-1][::-1])
+
+    # 8-bit palette: grayscale ramp palette, identity indices
+    w = h = 4
+    pal = b"".join(bytes([i, i, i, 0]) for i in range(256))
+    idx_rows = b"".join(bytes(range(r * w, r * w + w)) for r in range(h))
+    info = _struct.pack("<IiihHIIiiII", 40, w, h, 1, 8, 0, 0, 0, 0, 256, 0)
+    hdr = _struct.pack("<2sIHHI", b"BM", 0, 0, 0, 14 + 40 + len(pal))
+    blob8 = hdr + info + pal + idx_rows
+    ww, hh, c, got = decode_bmp(blob8)
+    assert (ww, hh, c) == (4, 4, 3)
+    # bottom-up: last byte row is the top pixel row; palette is gray ramp
+    assert got[0, 0, 0] == 12 and got[3, 3, 2] == 3
+
+    # loud gates: RLE compression, 1-bit depth
+    rle = bytearray(encode_bmp(px))
+    _struct.pack_into("<I", rle, 30, 1)  # BI_RLE8
+    with pytest.raises(NotImplementedError, match="compression"):
+        decode_bmp(bytes(rle))
+    onebit = bytearray(encode_bmp(px))
+    _struct.pack_into("<H", onebit, 28, 1)
+    with pytest.raises(NotImplementedError, match="depth"):
+        decode_bmp(bytes(onebit))
+
+
+def test_bmp_flows_through_media_image_lane(spark):
+    from species_range_data_pipeline_spark.multimodal.codecs import encode_bmp
+    from species_range_data_pipeline_spark.multimodal.media import (
+        MEDIA_SCHEMA,
+        decode_images,
+    )
+
+    px = np.full((6, 8, 3), 7, dtype=np.uint8)
+    px[2:4, 3:5] = 200
+    rows = [(0, "image", encode_bmp(px), "bmp"),
+            (1, "image", b"BMgarbage", "bmp")]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in decode_images(media).collect()}
+    assert got[0].error is None
+    assert (got[0].width, got[0].height, got[0].channels) == (8, 6, 3)
+    assert got[1].error is not None
