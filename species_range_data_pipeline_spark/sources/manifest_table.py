@@ -138,6 +138,67 @@ def _file_stats(fpath: str) -> dict[str, list]:
     return acc
 
 
+_BLOOM_BITS = 8192  # 1 KiB per column per file
+_BLOOM_HASHES = 6
+
+
+def _bloom_positions(value) -> list[int] | None:
+    """k bit positions for a value, via md5 of its canonical string form.
+    Returns None for values with no canonical form (those never prune)."""
+    import hashlib
+
+    v = _jsonable_stat(value)
+    if v is None:
+        return None
+    digest = hashlib.md5(repr(v).encode("utf-8")).digest()
+    out = []
+    for i in range(_BLOOM_HASHES):
+        chunk = int.from_bytes(digest[2 * i : 2 * i + 2], "big")
+        out.append(chunk % _BLOOM_BITS)
+    return out
+
+
+def _build_bloom(values) -> str:
+    """Base64-packed bloom filter over an iterable of column values."""
+    import base64
+
+    bits = bytearray(_BLOOM_BITS // 8)
+    for v in values:
+        pos = _bloom_positions(v)
+        if pos is None:
+            continue
+        for p in pos:
+            bits[p >> 3] |= 1 << (p & 7)
+    return base64.b64encode(bytes(bits)).decode("ascii")
+
+
+def _bloom_may_contain(b64: str, value) -> bool:
+    import base64
+
+    pos = _bloom_positions(value)
+    if pos is None:
+        return True
+    bits = base64.b64decode(b64)
+    return all(bits[p >> 3] & (1 << (p & 7)) for p in pos)
+
+
+def _file_blooms(fpath: str, columns: list[str]) -> dict[str, str]:
+    """Per-column bloom filters for one parquet file.  This is a real
+    column read (unlike zone maps' footer-only harvest), which is why
+    bloom indexing is OPT-IN per column — the read is columnar and
+    single-file, so each commit task pays only its own files."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(fpath)
+    present = [c for c in columns if c in pf.schema_arrow.names]
+    if not present:
+        return {}
+    tbl = pf.read(columns=present)
+    return {
+        c: _build_bloom(tbl.column(c).to_pylist()) for c in present
+    }
+
+
 _SKIP_OPS = ("=", "==", "<", "<=", ">", ">=")
 
 
@@ -162,11 +223,12 @@ def _range_may_match(mn, mx, op: str, value) -> bool:
 
 
 def _prune_files(
-    files: list[str], stats: dict[str, dict], filters
+    files: list[str], stats: dict[str, dict], blooms: dict[str, dict], filters
 ) -> list[str]:
     kept = []
     for f in files:
         fstats = stats.get(f, {})
+        fblooms = blooms.get(f, {})
         keep = True
         for col, op, value in filters:
             if op not in _SKIP_OPS:
@@ -174,11 +236,16 @@ def _prune_files(
                     f"unsupported filter op {op!r} (use one of {_SKIP_OPS})"
                 )
             rng = fstats.get(col)
-            if rng is None:
-                continue  # no stats for this column in this file: keep
-            if not _range_may_match(rng[0], rng[1], op, value):
+            if rng is not None and not _range_may_match(rng[0], rng[1], op, value):
                 keep = False
                 break
+            # equality probes also consult the per-file bloom index: on a
+            # high-cardinality unsorted column the [min, max] spans
+            # everything, but a definite bloom miss still skips the file
+            if op in ("=", "==") and col in fblooms:
+                if not _bloom_may_contain(fblooms[col], value):
+                    keep = False
+                    break
         if keep:
             kept.append(f)
     return kept
@@ -202,7 +269,9 @@ def manifest_scan_files(
     files = meta["files"]
     if not filters:
         return files
-    return _prune_files(files, meta.get("stats", {}), filters)
+    return _prune_files(
+        files, meta.get("stats", {}), meta.get("blooms", {}), filters
+    )
 
 
 def _merge_schema_json(prev_json: str, new_schema) -> str:
@@ -244,7 +313,11 @@ def table_schema(path: str, version: int | None = None):
 
 
 def write_manifest_table(
-    df: DataFrame, path: str, mode: str = "append", txn: int | None = None
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    txn: int | None = None,
+    index_columns: list[str] | None = None,
 ) -> int:
     """Commit ``df`` to the manifest table at ``path``; returns the new
     version number.
@@ -253,6 +326,12 @@ def write_manifest_table(
     a commit whose txn is <= the last committed txn is a replay and
     becomes a NO-OP returning the current version — exactly Delta's
     transactional-writer contract, carried in the manifest itself.
+
+    ``index_columns`` opts named columns into per-file BLOOM indexes
+    (1 KiB each), consulted by equality filters at scan time — the point
+    lookup complement to zone maps for high-cardinality unsorted columns
+    (Delta's bloom filter index / Iceberg's puffin shape).  Building one
+    re-reads just that column of the new files; zone maps stay free.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError("mode must be append or overwrite")
@@ -275,6 +354,11 @@ def write_manifest_table(
     versions = table_versions(path)
     current = versions[-1] if versions else -1
     stats = {f: _file_stats(f) for f in new_files}
+    blooms = (
+        {f: _file_blooms(f, index_columns) for f in new_files}
+        if index_columns
+        else {}
+    )
     schema_json = df.schema.json()
     if mode == "overwrite" or current < 0:
         files = new_files
@@ -287,6 +371,11 @@ def write_manifest_table(
         stats.update(
             {f: s for f, s in prev.get("stats", {}).items() if f in set(files)}
         )
+        carried = {
+            f: b for f, b in prev.get("blooms", {}).items() if f in set(files)
+        }
+        carried.update(blooms)
+        blooms = carried
         schema_json = _merge_schema_json(prev["schema"], df.schema)
     # 3. publish atomically: tmp file + rename in the same directory
     version = current + 1
@@ -297,6 +386,8 @@ def write_manifest_table(
         "schema": schema_json,
         "stats": stats,
     }
+    if blooms:
+        meta["blooms"] = blooms
     meta["txn"] = txn if txn is not None else last_committed_txn(path)
     with open(tmp, "w") as fh:
         json.dump(meta, fh)

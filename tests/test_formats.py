@@ -534,3 +534,61 @@ def test_manifest_schema_evolution_on_append(spark, tmp_path):
             spark.range(9, 12).selectExpr("id", "CAST(id AS STRING) AS extra"),
             path2,
         )
+
+
+def test_manifest_bloom_index_point_lookup_skipping(spark, tmp_path):
+    """Bloom-indexed columns let EQUALITY probes skip files even when every
+    file's [min, max] spans the whole key space (high-cardinality unsorted
+    ids — the case zone maps cannot help).  Range filters ignore blooms;
+    reads stay exact; a present key is always found (no false negatives)."""
+    from pyspark.sql import functions as F
+
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        manifest_scan_files,
+        read_manifest_table,
+        write_manifest_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    # every commit spans id range 0..4000 via a bit-reversal-ish scatter,
+    # but holds a DISJOINT set of uuid-like keys
+    for part in range(4):
+        df = (
+            spark.range(0, 1000)
+            .select((F.col("id") * 4 + part).alias("n"))
+            .selectExpr(
+                "n % 4000 AS scattered",
+                "concat('key-', n) AS ukey",
+            )
+            .coalesce(1)
+        )
+        write_manifest_table(df, path, index_columns=["ukey"])
+
+    files = manifest_scan_files(path)
+    assert len(files) == 4
+    # zone maps can't prune ukey (strings 'key-...' interleave), but the
+    # bloom can: each key lives in exactly one file
+    hit = manifest_scan_files(path, filters=[("ukey", "=", "key-2001")])
+    assert len(hit) == 1
+    # absent key: all files bloom-miss (prob. of 4 false positives ~ 0)
+    miss = manifest_scan_files(path, filters=[("ukey", "=", "no-such-key")])
+    assert len(miss) <= 1
+    # exactness: the probed row comes back, and only it
+    got = read_manifest_table(
+        spark, path, filters=[("ukey", "=", "key-2001")]
+    ).collect()
+    assert len(got) == 1 and got[0].scattered == 2001 % 4000
+    # no false negatives across a sample of present keys
+    for n in (0, 399, 1777, 3998):
+        assert (
+            read_manifest_table(
+                spark, path, filters=[("ukey", "=", f"key-{n}")]
+            ).count()
+            == 1
+        ), n
+    # range ops don't consult blooms (and stay correct)
+    assert (
+        read_manifest_table(spark, path, filters=[("ukey", ">=", "key-3")])
+        .count()
+        == sum(1 for n in range(4000) if f"key-{n}" >= "key-3")
+    )
