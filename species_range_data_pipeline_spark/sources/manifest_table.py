@@ -144,12 +144,23 @@ _BLOOM_HASHES = 6
 
 def _bloom_positions(value) -> list[int] | None:
     """k bit positions for a value, via md5 of its canonical string form.
-    Returns None for values with no canonical form (those never prune)."""
+    Returns None for values with no canonical form (those never prune).
+
+    Canonicalization guards against FALSE NEGATIVES from type drift
+    between build and probe: integral floats collapse to their int form
+    (a probe of 1 must hit a column stored as 1.0 and vice versa), and
+    midnight datetimes collapse to their date form.  A false positive
+    costs one extra file read; a false negative would silently drop rows.
+    """
     import hashlib
 
     v = _jsonable_stat(value)
     if v is None:
         return None
+    if isinstance(v, float) and v.is_integer() and abs(v) < 1 << 53:
+        v = int(v)
+    if isinstance(v, str) and v.endswith("T00:00:00"):
+        v = v[: -len("T00:00:00")]
     digest = hashlib.md5(repr(v).encode("utf-8")).digest()
     out = []
     for i in range(_BLOOM_HASHES):

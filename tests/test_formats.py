@@ -592,3 +592,32 @@ def test_manifest_bloom_index_point_lookup_skipping(spark, tmp_path):
         .count()
         == sum(1 for n in range(4000) if f"key-{n}" >= "key-3")
     )
+
+
+def test_manifest_bloom_numeric_type_drift_no_false_negative(spark, tmp_path):
+    """A double column probed with a Python int (or the reverse) must
+    still find its file — canonicalization collapses integral floats."""
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        manifest_scan_files,
+        read_manifest_table,
+        write_manifest_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    for part in range(2):
+        write_manifest_table(
+            spark.range(part * 100, part * 100 + 100)
+            .selectExpr("CAST(id AS DOUBLE) AS dval")
+            .coalesce(1),
+            path,
+            index_columns=["dval"],
+        )
+    # int probe of a double column: must not bloom-miss the right file
+    assert read_manifest_table(
+        spark, path, filters=[("dval", "=", 150)]
+    ).count() == 1
+    assert read_manifest_table(
+        spark, path, filters=[("dval", "=", 150.0)]
+    ).count() == 1
+    # zone maps already prune the other file; bloom must not prune both
+    assert len(manifest_scan_files(path, filters=[("dval", "=", 150)])) == 1
