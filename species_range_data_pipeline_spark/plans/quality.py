@@ -608,9 +608,47 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: keep each document with
+    probability equal to its quality weight, decided by a HASH, not rand().
+
+    The curriculum/quality-mixing primitive: weight w = min(1, n_chars /
+    2000) (longer docs up-weighted to a cap), uniform u = first 32 md5
+    bits of the doc id as a fraction, keep iff u < w.  Hash-derived
+    uniforms make the sample a pure function of the corpus — reproducible
+    across runs, engines, and cluster sizes, composable with every other
+    hash-bucket decision (same doc always draws the same u), and it
+    executes as one pushed-down filter: no shuffle, no state, no rand()
+    seed coordination across 1000 executors.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") / F.lit(4294967296.0)
+    )
+    w = F.least(F.lit(1.0), F.col("n_chars") / F.lit(2000.0))
+    return (
+        docs.where(u < w)
+        .select("doc_id", "lang", "n_chars", F.round(w, 6).alias("keep_weight"))
+        .orderBy("doc_id")
+    )
+
+
+SAMPLE_WEIGHTED_ORACLE = """
+SELECT doc_id, lang, n_chars,
+       round(least(1.0, n_chars / 2000.0), 6) AS keep_weight
+FROM documents
+WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+      / 4294967296.0
+      < least(1.0, n_chars / 2000.0)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "sample_balanced_classes": sample_balanced_classes,
     "sample_stratified": sample_stratified,
+    "sample_weighted": sample_weighted,
     "profile_orders": profile_orders,
     "dq_checks": dq_checks,
     "dq_outliers_iqr": dq_outliers_iqr,
@@ -621,6 +659,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sample_weighted": SAMPLE_WEIGHTED_ORACLE,
     "sample_balanced_classes": SAMPLE_BALANCED_ORACLE,
     "sample_stratified": SAMPLE_STRATIFIED_ORACLE,
     "profile_orders": PROFILE_ORDERS_ORACLE,
