@@ -119,7 +119,7 @@ def resample_audio(
     Deterministic and vectorized: output sample k sits at source time
     k * src/dst and is interpolated from its two neighbors (np.interp).
     Input (n,) or (n, channels) int16/float; output matches the input
-    dtype (int16 rounds half away from zero).  Anti-alias filtering is
+    dtype (integer outputs use round-half-to-even, numpy's rint).  Anti-alias filtering is
     intentionally out of scope for the corpus-stats use case and
     documented here so nobody mistakes this for a DSP-grade decimator.
     """

@@ -141,6 +141,9 @@ def _lzw_encode(data: bytes) -> bytes:
         while buflen >= 8:
             out.append((buf >> (buflen - 8)) & 0xFF)
             buflen -= 8
+        # drop drained high bits: without this the buffer is an ever-
+        # growing bignum and encoding turns quadratic in input size
+        buf &= (1 << buflen) - 1
 
     table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
     next_code = 258
@@ -164,6 +167,15 @@ def _lzw_encode(data: bytes) -> bytes:
         w = bytes([b])
     if w:
         emit(table[w])
+        # phantom table-slot accounting (libtiff's flush behavior): the
+        # decoder appends an entry after EVERY data code, including this
+        # final one, and may widen on it — bump the counter with no insert
+        # so the EOI below is written at the width the decoder will read
+        # it with (otherwise streams whose final code lands the table on a
+        # 2^n - 2 boundary desync exactly at EOI).
+        next_code += 1
+        if nbits < 12 and next_code == (1 << nbits) - 1:
+            nbits += 1
     emit(_LZW_EOI)
     if buflen:
         out.append((buf << (8 - buflen)) & 0xFF)

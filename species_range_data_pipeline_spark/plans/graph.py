@@ -175,6 +175,14 @@ def connected_components_star(
         if new_sig == sig:
             break
         sig = new_sig
+    else:
+        # same refusal as connected_components: a partially-contracted
+        # star set yields silently wrong labels — never return it
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iters} "
+            "rounds (raise max_iters; O(log n) rounds suffice for any "
+            "graph that fits a cluster)"
+        )
     members = e.select(F.col("u").alias("id"), F.col("v").alias("comp"))
     # every vertex of the INPUT is its own component floor: covers star
     # roots and vertices whose only edges were self-loops

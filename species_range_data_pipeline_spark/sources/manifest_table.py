@@ -213,10 +213,23 @@ def _file_blooms(fpath: str, columns: list[str]) -> dict[str, str]:
 _SKIP_OPS = ("=", "==", "<", "<=", ">", ">=")
 
 
+def _canon_range(v):
+    """Order-preserving canonicalization applied to BOTH stat bounds and
+    probe values before range comparison: midnight datetimes collapse to
+    their date form so date-vs-timestamp type drift in a filter cannot
+    silently prune files holding midnight rows (the same false-negative
+    guard as _bloom_positions).  ISO strings keep ordering under the
+    collapse because 'YYYY-MM-DD' is a prefix of 'YYYY-MM-DDTHH:MM:SS'."""
+    if isinstance(v, str) and v.endswith("T00:00:00"):
+        return v[: -len("T00:00:00")]
+    return v
+
+
 def _range_may_match(mn, mx, op: str, value) -> bool:
     v = _jsonable_stat(value)
     if v is None:
         return True
+    mn, mx, v = _canon_range(mn), _canon_range(mx), _canon_range(v)
     try:
         if op in ("=", "=="):
             return mn <= v <= mx
@@ -262,13 +275,8 @@ def _prune_files(
     return kept
 
 
-def manifest_scan_files(
-    path: str, version: int | None = None, filters=None
-) -> list[str]:
-    """The file list a filtered read would open: live files at ``version``
-    minus every file whose zone map proves no row can satisfy ALL of
-    ``filters`` (AND semantics, ``[(col, op, value), ...]``).  Exposed so
-    tests and ops tooling can assert skipping actually skips."""
+def _load_meta(path: str, version: int | None = None) -> dict:
+    """The manifest JSON for ``version`` (default latest), parsed once."""
     versions = table_versions(path)
     if not versions:
         raise FileNotFoundError(f"no committed version at {path}")
@@ -276,13 +284,25 @@ def manifest_scan_files(
     if v not in versions:
         raise ValueError(f"version {v} not in {versions}")
     with open(os.path.join(_manifest_path(path), f"v{v}.json")) as fh:
-        meta = json.load(fh)
-    files = meta["files"]
+        return json.load(fh)
+
+
+def _scan_meta(meta: dict, filters) -> list[str]:
     if not filters:
-        return files
+        return meta["files"]
     return _prune_files(
-        files, meta.get("stats", {}), meta.get("blooms", {}), filters
+        meta["files"], meta.get("stats", {}), meta.get("blooms", {}), filters
     )
+
+
+def manifest_scan_files(
+    path: str, version: int | None = None, filters=None
+) -> list[str]:
+    """The file list a filtered read would open: live files at ``version``
+    minus every file whose zone map proves no row can satisfy ALL of
+    ``filters`` (AND semantics, ``[(col, op, value), ...]``).  Exposed so
+    tests and ops tooling can assert skipping actually skips."""
+    return _scan_meta(_load_meta(path, version), filters)
 
 
 def _merge_schema_json(prev_json: str, new_schema) -> str:
@@ -313,14 +333,7 @@ def table_schema(path: str, version: int | None = None):
     """The committed StructType at ``version`` (default latest)."""
     from pyspark.sql.types import StructType
 
-    versions = table_versions(path)
-    if not versions:
-        raise FileNotFoundError(f"no committed version at {path}")
-    v = versions[-1] if version is None else version
-    if v not in versions:
-        raise ValueError(f"version {v} not in {versions}")
-    with open(os.path.join(_manifest_path(path), f"v{v}.json")) as fh:
-        return StructType.fromJson(json.loads(json.load(fh)["schema"]))
+    return StructType.fromJson(json.loads(_load_meta(path, version)["schema"]))
 
 
 def write_manifest_table(
@@ -433,8 +446,11 @@ def read_manifest_table(
     Reads resolve against the COMMITTED schema (the union of all appended
     schemas), not footer sampling — files written before a column was
     added yield nulls for it, deterministically."""
-    files = manifest_scan_files(path, version, filters)
-    schema = table_schema(path, version)
+    from pyspark.sql.types import StructType
+
+    meta = _load_meta(path, version)  # one parse serves scan + schema
+    files = _scan_meta(meta, filters)
+    schema = StructType.fromJson(json.loads(meta["schema"]))
     if not files:
         # every file pruned: an empty frame with the committed schema
         df = spark.createDataFrame([], schema)
@@ -497,6 +513,7 @@ def optimize_manifest_table(
     cluster_by: list[str],
     target_files: int = 8,
     bits: int = 8,
+    index_columns: list[str] | None = None,
 ) -> int:
     """Delta-style ``OPTIMIZE [ZORDER BY]``: rewrite the live set into
     ``target_files`` cluster-ordered files and commit the result as a new
@@ -513,24 +530,40 @@ def optimize_manifest_table(
     zone maps (and parquet row-group stats inside each file) prunable:
     OPTIMIZE is what turns data skipping from "theoretically available"
     into "skips 99% of a 100 TB table".
+
+    ``index_columns`` defaults to re-indexing every column any live file
+    carries a bloom for, so a rewrite never silently sheds the table's
+    point-lookup indexes; pass an explicit list (or ``[]``) to change
+    the indexed set.
     """
     from pyspark.sql import functions as F
 
     df = read_manifest_table(spark, path)
     if not cluster_by:
         raise ValueError("cluster_by must name at least one column")
+    if index_columns is None:
+        # a rewrite must not silently shed the table's bloom indexes:
+        # default to re-indexing every column any live file indexes
+        with open(
+            os.path.join(
+                _manifest_path(path), f"v{table_versions(path)[-1]}.json"
+            )
+        ) as fh:
+            prev_blooms = json.load(fh).get("blooms", {})
+        index_columns = sorted({c for b in prev_blooms.values() for c in b})
     if len(cluster_by) == 1:
         arranged = df.repartitionByRange(
             target_files, F.col(cluster_by[0])
         ).sortWithinPartitions(cluster_by[0])
     else:
         n_buckets = 1 << bits
+        # sampled per-column quantile fences, driver-sized (2^bits - 1
+        # each), computed in ONE scan for all cluster columns
+        all_qs = df.stat.approxQuantile(
+            cluster_by, [i / n_buckets for i in range(1, n_buckets)], 0.01
+        )
         bucket_cols = []
-        for c in cluster_by:
-            # sampled per-column quantile fences, driver-sized (2^bits - 1)
-            qs = df.stat.approxQuantile(
-                c, [i / n_buckets for i in range(1, n_buckets)], 0.01
-            )
+        for c, qs in zip(cluster_by, all_qs):
             fences = F.array(*[F.lit(float(q)) for q in qs])
             bucket_cols.append(
                 F.size(F.filter(fences, lambda b: b <= F.col(c).cast("double")))
@@ -549,7 +582,9 @@ def optimize_manifest_table(
             .sortWithinPartitions("__zorder")
             .drop("__zorder")
         )
-    return write_manifest_table(arranged, path, mode="overwrite")
+    return write_manifest_table(
+        arranged, path, mode="overwrite", index_columns=index_columns or None
+    )
 
 
 def read_version_delta(

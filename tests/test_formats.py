@@ -621,3 +621,56 @@ def test_manifest_bloom_numeric_type_drift_no_false_negative(spark, tmp_path):
     ).count() == 1
     # zone maps already prune the other file; bloom must not prune both
     assert len(manifest_scan_files(path, filters=[("dval", "=", 150)])) == 1
+
+
+def test_manifest_optimize_preserves_bloom_indexes(spark, tmp_path):
+    """OPTIMIZE re-indexes every bloom-carrying column by default: point
+    lookups keep skipping after the rewrite."""
+    from pyspark.sql import functions as F
+
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        manifest_scan_files,
+        optimize_manifest_table,
+        write_manifest_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    for part in range(3):
+        write_manifest_table(
+            spark.range(part * 100, part * 100 + 100)
+            .selectExpr("id", "concat('u', id) AS ukey")
+            .coalesce(1),
+            path,
+            index_columns=["ukey"],
+        )
+    optimize_manifest_table(spark, path, ["id"], target_files=4)
+    files = manifest_scan_files(path)
+    hit = manifest_scan_files(path, filters=[("ukey", "=", "u250")])
+    assert len(files) == 4 and len(hit) == 1
+
+
+def test_manifest_zone_map_midnight_datetime_drift(spark, tmp_path):
+    """A timestamp column probed with a date (or vice versa) must not
+    falsely prune files whose rows sit at midnight."""
+    import datetime
+
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        read_manifest_table,
+        write_manifest_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_manifest_table(
+        spark.sql(
+            "SELECT TIMESTAMP'2020-01-05 00:00:00' AS ts, 1 AS v"
+        ).coalesce(1),
+        path,
+    )
+    got = read_manifest_table(
+        spark, path, filters=[("ts", "=", datetime.date(2020, 1, 5))]
+    ).count()
+    assert got == 1
+    got2 = read_manifest_table(
+        spark, path, filters=[("ts", "=", datetime.datetime(2020, 1, 5))]
+    ).count()
+    assert got2 == 1

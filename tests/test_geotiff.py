@@ -262,3 +262,17 @@ def test_tiled_tile_count_mismatch_rejected():
             struct.pack_into("<I", blob, base + 8, 16)
     with pytest.raises(ValueError, match="tile count"):
         parse_geotiff(bytes(blob))
+
+
+def test_lzw_final_code_on_width_boundary():
+    """Streams whose final data code lands the table exactly on a
+    2^n - 2 boundary used to desync at EOI (decoder widened, encoder
+    didn't) — pinned across all three boundaries."""
+    from species_range_data_pipeline_spark.pipeline.geotiff import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    for n in (253, 300, 765, 1789, 4000):
+        data = bytes(i % 256 for i in range(n))
+        assert _lzw_decode(_lzw_encode(data), n) == data, n

@@ -68,3 +68,9 @@ def test_dedup_clusters_star_equals_plain_on_fixture(spark):
     a = [tuple(r) for r in dedup_clusters_star(spark, SF_CORRECT).collect()]
     b = [tuple(r) for r in dedup_clusters(spark, SF_CORRECT).collect()]
     assert a == b and len(a) > 0
+
+
+def test_star_refuses_partial_convergence(spark):
+    edges = _edges_df(spark, [(i, i + 1) for i in range(120)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(edges, max_iters=2)
