@@ -401,8 +401,25 @@ def write_manifest_table(
         carried.update(blooms)
         blooms = carried
         schema_json = _merge_schema_json(prev["schema"], df.schema)
-    # 3. publish atomically: tmp file + rename in the same directory
-    version = current + 1
+    return _publish_manifest(
+        path, commit_id, version=current + 1,
+        files=files, schema_json=schema_json, stats=stats, blooms=blooms,
+        txn=txn,
+    )
+
+
+def _publish_manifest(
+    path: str, commit_id: str, version: int, files: list[str],
+    schema_json: str, stats: dict, blooms: dict, txn: int | None
+) -> int:
+    """Atomic manifest publish: tmp file + put-if-absent link.
+
+    ``os.link`` refuses to replace an existing target (unlike
+    ``os.rename``, which would silently clobber a concurrent winner's
+    manifest and drop its files from the table).  The loser of a race
+    gets FileExistsError on the SAME syscall that would publish — no
+    check-then-act window.  On object storage this is the put-if-absent
+    half of Delta's LogStore contract."""
     tmp = os.path.join(_manifest_path(path), f".tmp_{commit_id}")
     meta = {
         "version": version,
@@ -416,12 +433,6 @@ def write_manifest_table(
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
     final = os.path.join(_manifest_path(path), f"v{version}.json")
-    # Atomic put-if-absent: os.link refuses to replace an existing target
-    # (unlike os.rename, which would silently clobber a concurrent winner's
-    # manifest and drop its files from the table).  The loser of a race gets
-    # FileExistsError on the SAME syscall that would publish — no
-    # check-then-act window.  On object storage this is the put-if-absent
-    # half of Delta's LogStore contract.
     try:
         os.link(tmp, final)
     except FileExistsError:
@@ -465,6 +476,77 @@ def read_manifest_table(
              "<=": c <= value, ">": c > value, ">=": c >= value}[op]
         )
     return df
+
+
+def delete_where(
+    spark: SparkSession, path: str, filters
+) -> tuple[int, int, int]:
+    """Copy-on-write DELETE: remove every row satisfying ALL ``filters``
+    (``[(col, op, value), ...]``, the same grammar as filtered reads).
+    Returns (new_version, files_rewritten, files_carried).
+
+    This is where the skipping indexes turn into DML efficiency, exactly
+    as in Delta/Iceberg copy-on-write: zone maps + blooms identify the
+    files that MAY hold matching rows; only those are read, filtered to
+    the survivors, and rewritten — every other live file is carried into
+    the new manifest verbatim, stats and blooms included, without being
+    opened.  Deleting one user's rows from a 100 TB table rewrites the
+    handful of files the indexes cannot clear, not the table.  Old
+    versions stay time-travelable until vacuum.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    if not filters:
+        raise ValueError("refusing DELETE with no filters (use overwrite)")
+    meta = _load_meta(path)
+    affected = set(_scan_meta(meta, filters))
+    carried = [f for f in meta["files"] if f not in affected]
+    if not affected:
+        return meta["version"], 0, len(carried)  # no-op: nothing can match
+    schema = StructType.fromJson(json.loads(meta["schema"]))
+    keep_pred = None
+    for col, op, value in filters:
+        c = F.col(col)
+        cond = {"=": c == value, "==": c == value, "<": c < value,
+                "<=": c <= value, ">": c > value, ">=": c >= value}[op]
+        keep_pred = cond if keep_pred is None else (keep_pred & cond)
+    survivors = (
+        spark.read.schema(schema).parquet(*sorted(affected))
+        .where(~F.coalesce(keep_pred, F.lit(False)))
+    )
+    commit_id = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(path, f"data_{commit_id}")
+    survivors.write.parquet(data_dir)
+    new_files = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    # drop all-empty rewrite outputs (a file whose rows all matched)
+    new_files = [f for f in new_files if _file_row_count(f) > 0]
+    index_cols = sorted(
+        {c for f in affected for c in meta.get("blooms", {}).get(f, {})}
+    )
+    stats = {f: s for f, s in meta.get("stats", {}).items() if f not in affected}
+    stats.update({f: _file_stats(f) for f in new_files})
+    blooms = {
+        f: b for f, b in meta.get("blooms", {}).items() if f not in affected
+    }
+    if index_cols:
+        blooms.update({f: _file_blooms(f, index_cols) for f in new_files})
+    version = _publish_manifest(
+        path, commit_id, version=meta["version"] + 1,
+        files=carried + new_files, schema_json=meta["schema"],
+        stats=stats, blooms=blooms, txn=None,
+    )
+    return version, len(affected), len(carried)
+
+
+def _file_row_count(fpath: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(fpath).metadata.num_rows
 
 
 def vacuum_manifest_table(

@@ -674,3 +674,80 @@ def test_manifest_zone_map_midnight_datetime_drift(spark, tmp_path):
         spark, path, filters=[("ts", "=", datetime.datetime(2020, 1, 5))]
     ).count()
     assert got2 == 1
+
+
+def test_manifest_delete_where_copy_on_write(spark, tmp_path):
+    """DELETE rewrites only the files the skipping indexes cannot clear:
+    untouched files carry into the new manifest verbatim (same paths,
+    same stats), matching rows are gone, NULLs in the filter column
+    survive, old versions still hold the deleted rows, and point-lookup
+    skipping keeps working afterwards."""
+    from pyspark.sql import functions as F
+
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        delete_where,
+        manifest_scan_files,
+        read_manifest_table,
+        write_manifest_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        write_manifest_table(
+            spark.range(lo, hi)
+            .selectExpr(
+                "id",
+                "IF(id % 50 = 0, NULL, concat('u', id)) AS ukey",
+            )
+            .coalesce(1),
+            path,
+            index_columns=["ukey"],
+        )
+    before = manifest_scan_files(path)
+
+    # range delete: only the middle file may match id in [120, 180)
+    v, rewritten, carried = delete_where(
+        spark, path, [("id", ">=", 120), ("id", "<", 180)]
+    )
+    assert (rewritten, carried) == (1, 2)
+    after = manifest_scan_files(path)
+    # the two untouched files carry over with identical paths
+    assert set(before) & set(after) == set(b for b in before if b in after)
+    assert len(set(before) & set(after)) == 2
+    assert read_manifest_table(spark, path).count() == 240
+    assert (
+        read_manifest_table(spark, path)
+        .where("id >= 120 AND id < 180")
+        .count()
+        == 0
+    )
+    # NULL ukey rows in the rewritten range band survive a ukey-filter
+    # delete (NULL never satisfies equality)
+    v2, rw2, _ = delete_where(spark, path, [("ukey", "=", "u42")])
+    assert rw2 == 1
+    t = read_manifest_table(spark, path)
+    assert t.count() == 239
+    # NULL ids 0,50,100,200,250 (150 went with the range delete)
+    assert t.where("ukey IS NULL").count() == 5
+    # time travel: pre-delete versions still hold everything
+    assert read_manifest_table(spark, path, version=2).count() == 300
+    # bloom indexes survived the rewrite: point probe touches 1 file
+    assert len(manifest_scan_files(path, filters=[("ukey", "=", "u201")])) == 1
+
+
+def test_manifest_delete_where_noop_and_guard(spark, tmp_path):
+    import pytest as _pytest
+
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        delete_where,
+        read_manifest_table,
+        write_manifest_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_manifest_table(spark.range(0, 10).selectExpr("id").coalesce(1), path)
+    v, rewritten, carried = delete_where(spark, path, [("id", ">", 10_000)])
+    assert (v, rewritten, carried) == (0, 0, 1)  # pruned to a no-op
+    assert read_manifest_table(spark, path).count() == 10
+    with _pytest.raises(ValueError, match="no filters"):
+        delete_where(spark, path, [])
