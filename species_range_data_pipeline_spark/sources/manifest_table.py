@@ -549,6 +549,100 @@ def _file_row_count(fpath: str) -> int:
     return pq.ParquetFile(fpath).metadata.num_rows
 
 
+#: above this many source keys, upsert skips bloom probing (which needs
+#: the key set on the driver) and prunes on zone-range overlap alone —
+#: still correct, just coarser
+_UPSERT_BLOOM_KEY_CAP = 100_000
+
+
+def upsert_into(
+    spark: SparkSession, path: str, source: DataFrame, key_col: str
+) -> tuple[int, int, int]:
+    """Copy-on-write MERGE: rows of ``source`` replace same-key rows in
+    the table (update) or join it (insert) — the key-based sibling of
+    ``delete_where``.  Returns (new_version, files_rewritten,
+    files_carried).
+
+    File pruning is index-driven and always conservative: a live file is
+    rewritten only if its zone range for ``key_col`` overlaps the
+    source's [min, max] AND (when the source key set is small enough to
+    hold on the driver, capped at ``_UPSERT_BLOOM_KEY_CAP``) at least one
+    source key bloom-hits it.  Everything else carries over verbatim,
+    never opened.  A CDC batch touching one hour of keys rewrites that
+    hour's files, not the table; old versions stay time-travelable.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    meta = _load_meta(path)
+    schema = StructType.fromJson(json.loads(meta["schema"]))
+    if key_col not in schema.names or key_col not in source.columns:
+        raise ValueError(f"key column {key_col!r} must exist on both sides")
+    bounds = source.agg(
+        F.min(key_col).alias("lo"),
+        F.max(key_col).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    if bounds["n"] == 0:
+        return meta["version"], 0, len(meta["files"])
+    src_keys = None
+    if bounds["n"] <= _UPSERT_BLOOM_KEY_CAP and any(
+        key_col in b for b in meta.get("blooms", {}).values()
+    ):
+        src_keys = [r[0] for r in source.select(key_col).distinct().collect()]
+    affected = []
+    for f in meta["files"]:
+        rng = meta.get("stats", {}).get(f, {}).get(key_col)
+        if rng is not None:
+            lo, hi = _canon_range(rng[0]), _canon_range(rng[1])
+            blo = _canon_range(_jsonable_stat(bounds["lo"]))
+            bhi = _canon_range(_jsonable_stat(bounds["hi"]))
+            try:
+                if blo is not None and bhi is not None and (hi < blo or lo > bhi):
+                    continue  # zone-disjoint from every source key
+            except TypeError:
+                pass  # incomparable: stay conservative
+        bloom = meta.get("blooms", {}).get(f, {}).get(key_col)
+        if src_keys is not None and bloom is not None:
+            if not any(_bloom_may_contain(bloom, k) for k in src_keys):
+                continue  # definite miss for the whole batch
+        affected.append(f)
+    carried = [f for f in meta["files"] if f not in set(affected)]
+    src = source.select(*schema.names)  # align column order to the table
+    if affected:
+        survivors = (
+            spark.read.schema(schema).parquet(*affected)
+            .join(src.select(F.col(key_col)), on=key_col, how="left_anti")
+        )
+        new_data = survivors.unionByName(src)
+    else:
+        new_data = src
+    commit_id = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(path, f"data_{commit_id}")
+    new_data.write.parquet(data_dir)
+    new_files = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet") and _file_row_count(os.path.join(data_dir, f)) > 0
+    )
+    index_cols = sorted(
+        {c for f in meta.get("blooms", {}) for c in meta["blooms"][f]}
+    )
+    stats = {f: s for f, s in meta.get("stats", {}).items() if f not in set(affected)}
+    stats.update({f: _file_stats(f) for f in new_files})
+    blooms = {
+        f: b for f, b in meta.get("blooms", {}).items() if f not in set(affected)
+    }
+    if index_cols:
+        blooms.update({f: _file_blooms(f, index_cols) for f in new_files})
+    version = _publish_manifest(
+        path, commit_id, version=meta["version"] + 1,
+        files=carried + new_files, schema_json=meta["schema"],
+        stats=stats, blooms=blooms, txn=None,
+    )
+    return version, len(affected), len(carried)
+
+
 def vacuum_manifest_table(
     path: str, keep_versions: int = 1, retention_seconds: float = 3600.0
 ) -> int:

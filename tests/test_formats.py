@@ -751,3 +751,55 @@ def test_manifest_delete_where_noop_and_guard(spark, tmp_path):
     assert read_manifest_table(spark, path).count() == 10
     with _pytest.raises(ValueError, match="no filters"):
         delete_where(spark, path, [])
+
+
+def test_manifest_upsert_into_copy_on_write(spark, tmp_path):
+    """MERGE: source rows replace same-key rows and insert new ones;
+    zone-disjoint files are never rewritten; bloom probing narrows the
+    rewrite set further for small batches; history stays intact."""
+    from pyspark.sql import functions as F
+
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        manifest_scan_files,
+        read_manifest_table,
+        upsert_into,
+        write_manifest_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        write_manifest_table(
+            spark.range(lo, hi)
+            .selectExpr("id", "concat('v0-', id) AS payload")
+            .coalesce(1),
+            path,
+            index_columns=["id"],
+        )
+    before = set(manifest_scan_files(path))
+
+    # batch touching only the middle file's key range: update 2, insert 1
+    src = spark.createDataFrame(
+        [(150, "v1-150"), (160, "v1-160"), (2000, "v1-2000")],
+        "id long, payload string",
+    )
+    v, rewritten, carried = upsert_into(spark, path, src, "id")
+    assert carried == 2  # first and last files zone-disjoint... from 150/160
+    t = read_manifest_table(spark, path)
+    assert t.count() == 301
+    got = {r.id: r.payload for r in t.where("id IN (150, 160, 161, 2000)").collect()}
+    assert got == {150: "v1-150", 160: "v1-160", 161: "v0-161", 2000: "v1-2000"}
+    # untouched files carried with identical paths; old version intact
+    assert len(before & set(manifest_scan_files(path))) == 2
+    assert read_manifest_table(spark, path, version=2).count() == 300
+    assert (
+        read_manifest_table(spark, path, version=2)
+        .where("id = 150")
+        .first()
+        .payload
+        == "v0-150"
+    )
+
+    # empty source: version unchanged, nothing rewritten
+    empty = spark.createDataFrame([], "id long, payload string")
+    v2, rw2, ca2 = upsert_into(spark, path, empty, "id")
+    assert (v2, rw2) == (v, 0)
