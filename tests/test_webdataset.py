@@ -90,3 +90,37 @@ def test_shard_routing_is_deterministic_hash(spark, tmp_path):
         ).collect()
     }
     assert {k: Path(v).name for k, v in by_key.items()} == expect
+
+
+def test_python_datasource_matches_mapinpandas_lane(spark, tmp_path):
+    """format('webdataset') streams one partition per shard and returns
+    exactly the member rows of the binaryFile+mapInPandas lane."""
+    from species_range_data_pipeline_spark.sources.python_datasource import (
+        register_webdataset_source,
+    )
+    from species_range_data_pipeline_spark.sources.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text-{i}".encode(), b"M" + bytes([i])) for i in range(20)],
+        "doc_id long, txt binary, meta binary",
+    )
+    manifest = write_webdataset(
+        docs, str(tmp_path), "doc_id", {"txt": "txt", "meta": "bin"}, n_shards=3
+    ).collect()
+    assert len(manifest) == 3
+
+    register_webdataset_source(spark)
+    via_ds = (
+        spark.read.format("webdataset").option("path", str(tmp_path)).load()
+    )
+    want = sorted(
+        (r.key, r.ext, bytes(r.content))
+        for r in read_webdataset(spark, str(tmp_path)).collect()
+    )
+    got = sorted((r.key, r.ext, bytes(r.content)) for r in via_ds.collect())
+    assert got == want and len(got) == 40  # 20 samples x 2 extensions
+    # partition-per-shard: the scan parallelism is the shard count
+    assert via_ds.rdd.getNumPartitions() == 3
