@@ -478,6 +478,50 @@ def read_manifest_table(
     return df
 
 
+def compact_manifest_table(
+    spark: SparkSession, path: str, min_rows_per_file: int = 100_000
+) -> tuple[int, int, int]:
+    """Small-file compaction (OPTIMIZE without reclustering): files under
+    ``min_rows_per_file`` are coalesced into one rewrite; full-size files
+    carry over verbatim.  The streaming-ingest janitor — a microbatch
+    sink commits many small files per day, and this folds them together
+    without touching the bulk of the table or changing row order
+    semantics.  Returns (new_version, files_compacted, files_carried);
+    no-ops (no commit) when fewer than two files qualify."""
+    meta = _load_meta(path)
+    small = [
+        f for f in meta["files"] if _file_row_count(f) < min_rows_per_file
+    ]
+    if len(small) < 2:
+        return meta["version"], 0, len(meta["files"])
+    carried = [f for f in meta["files"] if f not in set(small)]
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(meta["schema"]))
+    commit_id = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(path, f"data_{commit_id}")
+    spark.read.schema(schema).parquet(*small).coalesce(1).write.parquet(data_dir)
+    new_files = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    index_cols = sorted(
+        {c for f in small for c in meta.get("blooms", {}).get(f, {})}
+    )
+    stats = {f: s for f, s in meta.get("stats", {}).items() if f not in set(small)}
+    stats.update({f: _file_stats(f) for f in new_files})
+    blooms = {f: b for f, b in meta.get("blooms", {}).items() if f not in set(small)}
+    if index_cols:
+        blooms.update({f: _file_blooms(f, index_cols) for f in new_files})
+    version = _publish_manifest(
+        path, commit_id, version=meta["version"] + 1,
+        files=carried + new_files, schema_json=meta["schema"],
+        stats=stats, blooms=blooms, txn=None,
+    )
+    return version, len(small), len(carried)
+
+
 def delete_where(
     spark: SparkSession, path: str, filters
 ) -> tuple[int, int, int]:
@@ -782,14 +826,24 @@ def read_version_delta(
     return spark.read.parquet(*added)
 
 
-def write_stream_manifest(query_df: DataFrame, path: str, checkpoint_dir: str):
+def write_stream_manifest(
+    query_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    index_columns: list[str] | None = None,
+):
     """Structured Streaming sink over the manifest table: each microbatch
     commits with txn=batch_id, so a batch replayed after a crash between
     commit and checkpoint is a no-op — exactly-once table state from an
-    at-least-once source, end to end."""
+    at-least-once source, end to end.  Zone maps accrue per microbatch for
+    free; ``index_columns`` adds bloom indexes the same way (pair with
+    ``compact_manifest_table`` to fold the small files batches leave)."""
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
-        write_manifest_table(batch_df, path, "append", txn=int(batch_id))
+        write_manifest_table(
+            batch_df, path, "append", txn=int(batch_id),
+            index_columns=index_columns,
+        )
 
     return (
         query_df.writeStream.foreachBatch(commit)

@@ -803,3 +803,45 @@ def test_manifest_upsert_into_copy_on_write(spark, tmp_path):
     empty = spark.createDataFrame([], "id long, payload string")
     v2, rw2, ca2 = upsert_into(spark, path, empty, "id")
     assert (v2, rw2) == (v, 0)
+
+
+def test_manifest_compaction_folds_small_files(spark, tmp_path):
+    """compact_manifest_table coalesces sub-threshold files into one and
+    carries full-size files verbatim; skipping indexes survive; a table
+    with nothing to fold is a no-op without a commit."""
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        compact_manifest_table,
+        manifest_scan_files,
+        read_manifest_table,
+        write_manifest_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    # one big file + four dribbles (the streaming-ingest shape)
+    write_manifest_table(
+        spark.range(0, 5000).selectExpr("id", "concat('u', id) AS ukey").coalesce(1),
+        path,
+        index_columns=["ukey"],
+    )
+    for lo in (5000, 5010, 5020, 5030):
+        write_manifest_table(
+            spark.range(lo, lo + 10)
+            .selectExpr("id", "concat('u', id) AS ukey")
+            .coalesce(1),
+            path,
+            index_columns=["ukey"],
+        )
+    assert len(manifest_scan_files(path)) == 5
+
+    v, compacted, carried = compact_manifest_table(
+        spark, path, min_rows_per_file=1000
+    )
+    assert (compacted, carried) == (4, 1)
+    files = manifest_scan_files(path)
+    assert len(files) == 2
+    assert read_manifest_table(spark, path).count() == 5040
+    # blooms survived compaction: point probe skips the big file
+    assert len(manifest_scan_files(path, filters=[("ukey", "=", "u5025")])) == 1
+
+    v2, c2, _ = compact_manifest_table(spark, path, min_rows_per_file=1000)
+    assert (v2, c2) == (v, 0)  # nothing left to fold, no new version
