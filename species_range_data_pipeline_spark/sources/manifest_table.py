@@ -275,6 +275,21 @@ def _prune_files(
     return kept
 
 
+def _filters_to_predicate(filters):
+    """``[(col, op, value), ...]`` (AND) -> one Spark Column predicate, or
+    ``None`` for an empty list — the single source of the op grammar for
+    filtered reads and DELETE."""
+    from pyspark.sql import functions as F
+
+    pred = None
+    for col, op, value in filters or ():
+        c = F.col(col)
+        cond = {"=": c == value, "==": c == value, "<": c < value,
+                "<=": c <= value, ">": c > value, ">=": c >= value}[op]
+        pred = cond if pred is None else (pred & cond)
+    return pred
+
+
 def _load_meta(path: str, version: int | None = None) -> dict:
     """The manifest JSON for ``version`` (default latest), parsed once."""
     versions = table_versions(path)
@@ -378,6 +393,7 @@ def write_manifest_table(
     versions = table_versions(path)
     current = versions[-1] if versions else -1
     stats = {f: _file_stats(f) for f in new_files}
+    rows = {f: _file_row_count(f) for f in new_files}
     blooms = (
         {f: _file_blooms(f, index_columns) for f in new_files}
         if index_columns
@@ -392,11 +408,15 @@ def write_manifest_table(
         ) as fh:
             prev = json.load(fh)
         files = prev["files"] + new_files
+        live = set(files)
         stats.update(
-            {f: s for f, s in prev.get("stats", {}).items() if f in set(files)}
+            {f: s for f, s in prev.get("stats", {}).items() if f in live}
+        )
+        rows.update(
+            {f: r for f, r in prev.get("rows", {}).items() if f in live}
         )
         carried = {
-            f: b for f, b in prev.get("blooms", {}).items() if f in set(files)
+            f: b for f, b in prev.get("blooms", {}).items() if f in live
         }
         carried.update(blooms)
         blooms = carried
@@ -404,13 +424,14 @@ def write_manifest_table(
     return _publish_manifest(
         path, commit_id, version=current + 1,
         files=files, schema_json=schema_json, stats=stats, blooms=blooms,
-        txn=txn,
+        txn=txn, rows=rows,
     )
 
 
 def _publish_manifest(
     path: str, commit_id: str, version: int, files: list[str],
-    schema_json: str, stats: dict, blooms: dict, txn: int | None
+    schema_json: str, stats: dict, blooms: dict, txn: int | None,
+    rows: dict | None = None,
 ) -> int:
     """Atomic manifest publish: tmp file + put-if-absent link.
 
@@ -429,6 +450,8 @@ def _publish_manifest(
     }
     if blooms:
         meta["blooms"] = blooms
+    if rows:
+        meta["rows"] = rows
     meta["txn"] = txn if txn is not None else last_committed_txn(path)
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
@@ -467,15 +490,55 @@ def read_manifest_table(
         df = spark.createDataFrame([], schema)
     else:
         df = spark.read.schema(schema).parquet(*files)
-    for col, op, value in filters or ():
-        from pyspark.sql import functions as F
+    pred = _filters_to_predicate(filters)
+    return df if pred is None else df.where(pred)
 
-        c = F.col(col)
-        df = df.where(
-            {"=": c == value, "==": c == value, "<": c < value,
-             "<=": c <= value, ">": c > value, ">=": c >= value}[op]
+
+def _file_row_count(fpath: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(fpath).metadata.num_rows
+
+
+def _rewrite_commit(
+    spark: SparkSession, path: str, meta: dict, removed: set[str], new_data: DataFrame
+) -> tuple[int, int]:
+    """Shared copy-on-write commit tail for compaction/DELETE/MERGE:
+    write ``new_data``, drop all-empty outputs, carry every live file not
+    in ``removed`` verbatim (stats, row counts, and blooms included), and
+    re-harvest stats + blooms for the rewritten files.  New files are
+    bloom-indexed on the union of columns ANY live file indexes, so a
+    rewrite can only widen index coverage, never shed it.  Returns
+    (new_version, files_carried)."""
+    commit_id = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(path, f"data_{commit_id}")
+    new_data.write.parquet(data_dir)
+    new_files = [
+        f
+        for f in sorted(
+            os.path.join(data_dir, n)
+            for n in os.listdir(data_dir)
+            if n.endswith(".parquet")
         )
-    return df
+        if _file_row_count(f) > 0
+    ]
+    carried = [f for f in meta["files"] if f not in removed]
+    index_cols = sorted(
+        {c for b in meta.get("blooms", {}).values() for c in b}
+    )
+    stats = {f: s for f, s in meta.get("stats", {}).items() if f not in removed}
+    stats.update({f: _file_stats(f) for f in new_files})
+    rows = {f: r for f, r in meta.get("rows", {}).items() if f not in removed}
+    rows.update({f: _file_row_count(f) for f in new_files})
+    blooms = {f: b for f, b in meta.get("blooms", {}).items() if f not in removed}
+    if index_cols:
+        blooms.update({f: _file_blooms(f, index_cols) for f in new_files})
+    version = _publish_manifest(
+        path, commit_id, version=meta["version"] + 1,
+        files=carried + new_files, schema_json=meta["schema"],
+        stats=stats, blooms=blooms, txn=None, rows=rows,
+    )
+    return version, len(carried)
 
 
 def compact_manifest_table(
@@ -486,40 +549,27 @@ def compact_manifest_table(
     carry over verbatim.  The streaming-ingest janitor — a microbatch
     sink commits many small files per day, and this folds them together
     without touching the bulk of the table or changing row order
-    semantics.  Returns (new_version, files_compacted, files_carried);
-    no-ops (no commit) when fewer than two files qualify."""
-    meta = _load_meta(path)
-    small = [
-        f for f in meta["files"] if _file_row_count(f) < min_rows_per_file
-    ]
-    if len(small) < 2:
-        return meta["version"], 0, len(meta["files"])
-    carried = [f for f in meta["files"] if f not in set(small)]
+    semantics.  Planning is pure metadata for tables committed since row
+    counts were recorded in the manifest (footer fallback otherwise).
+    Returns (new_version, files_compacted, files_carried); no-ops (no
+    commit) when fewer than two files qualify."""
     from pyspark.sql.types import StructType
 
+    meta = _load_meta(path)
+    known_rows = meta.get("rows", {})
+    small = []
+    for f in meta["files"]:
+        n = known_rows.get(f)
+        if n is None:  # pre-rows manifest: footer fallback
+            n = _file_row_count(f)
+        if n < min_rows_per_file:
+            small.append(f)
+    if len(small) < 2:
+        return meta["version"], 0, len(meta["files"])
     schema = StructType.fromJson(json.loads(meta["schema"]))
-    commit_id = uuid.uuid4().hex[:12]
-    data_dir = os.path.join(path, f"data_{commit_id}")
-    spark.read.schema(schema).parquet(*small).coalesce(1).write.parquet(data_dir)
-    new_files = sorted(
-        os.path.join(data_dir, f)
-        for f in os.listdir(data_dir)
-        if f.endswith(".parquet")
-    )
-    index_cols = sorted(
-        {c for f in small for c in meta.get("blooms", {}).get(f, {})}
-    )
-    stats = {f: s for f, s in meta.get("stats", {}).items() if f not in set(small)}
-    stats.update({f: _file_stats(f) for f in new_files})
-    blooms = {f: b for f, b in meta.get("blooms", {}).items() if f not in set(small)}
-    if index_cols:
-        blooms.update({f: _file_blooms(f, index_cols) for f in new_files})
-    version = _publish_manifest(
-        path, commit_id, version=meta["version"] + 1,
-        files=carried + new_files, schema_json=meta["schema"],
-        stats=stats, blooms=blooms, txn=None,
-    )
-    return version, len(small), len(carried)
+    folded = spark.read.schema(schema).parquet(*small).coalesce(1)
+    version, carried = _rewrite_commit(spark, path, meta, set(small), folded)
+    return version, len(small), carried
 
 
 def delete_where(
@@ -545,52 +595,18 @@ def delete_where(
         raise ValueError("refusing DELETE with no filters (use overwrite)")
     meta = _load_meta(path)
     affected = set(_scan_meta(meta, filters))
-    carried = [f for f in meta["files"] if f not in affected]
     if not affected:
-        return meta["version"], 0, len(carried)  # no-op: nothing can match
+        # no-op: nothing can match, no commit
+        return meta["version"], 0, len(meta["files"])
     schema = StructType.fromJson(json.loads(meta["schema"]))
-    keep_pred = None
-    for col, op, value in filters:
-        c = F.col(col)
-        cond = {"=": c == value, "==": c == value, "<": c < value,
-                "<=": c <= value, ">": c > value, ">=": c >= value}[op]
-        keep_pred = cond if keep_pred is None else (keep_pred & cond)
+    # NULL in a filtered column never satisfies the predicate, so those
+    # rows must SURVIVE: coalesce(pred, False) before negating
     survivors = (
         spark.read.schema(schema).parquet(*sorted(affected))
-        .where(~F.coalesce(keep_pred, F.lit(False)))
+        .where(~F.coalesce(_filters_to_predicate(filters), F.lit(False)))
     )
-    commit_id = uuid.uuid4().hex[:12]
-    data_dir = os.path.join(path, f"data_{commit_id}")
-    survivors.write.parquet(data_dir)
-    new_files = sorted(
-        os.path.join(data_dir, f)
-        for f in os.listdir(data_dir)
-        if f.endswith(".parquet")
-    )
-    # drop all-empty rewrite outputs (a file whose rows all matched)
-    new_files = [f for f in new_files if _file_row_count(f) > 0]
-    index_cols = sorted(
-        {c for f in affected for c in meta.get("blooms", {}).get(f, {})}
-    )
-    stats = {f: s for f, s in meta.get("stats", {}).items() if f not in affected}
-    stats.update({f: _file_stats(f) for f in new_files})
-    blooms = {
-        f: b for f, b in meta.get("blooms", {}).items() if f not in affected
-    }
-    if index_cols:
-        blooms.update({f: _file_blooms(f, index_cols) for f in new_files})
-    version = _publish_manifest(
-        path, commit_id, version=meta["version"] + 1,
-        files=carried + new_files, schema_json=meta["schema"],
-        stats=stats, blooms=blooms, txn=None,
-    )
-    return version, len(affected), len(carried)
-
-
-def _file_row_count(fpath: str) -> int:
-    import pyarrow.parquet as pq
-
-    return pq.ParquetFile(fpath).metadata.num_rows
+    version, carried = _rewrite_commit(spark, path, meta, affected, survivors)
+    return version, len(affected), carried
 
 
 #: above this many source keys, upsert skips bloom probing (which needs
@@ -614,6 +630,12 @@ def upsert_into(
     source key bloom-hits it.  Everything else carries over verbatim,
     never opened.  A CDC batch touching one hour of keys rewrites that
     hour's files, not the table; old versions stay time-travelable.
+
+    Guards: the source is materialized ONCE (a non-deterministic source
+    cannot make the prune decision disagree with the written data), its
+    schema must not conflict with the table's (same refusal as append),
+    and duplicate source keys raise — MERGE maintains one row per key,
+    and silently inserting both versions of a CDC update would break it.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
@@ -622,25 +644,37 @@ def upsert_into(
     schema = StructType.fromJson(json.loads(meta["schema"]))
     if key_col not in schema.names or key_col not in source.columns:
         raise ValueError(f"key column {key_col!r} must exist on both sides")
-    bounds = source.agg(
+    # same type-drift refusal as the append path (raises on conflict)
+    _merge_schema_json(meta["schema"], source.schema)
+    # materialize once: bounds, bloom probes, and the final write must all
+    # see the SAME rows even for a non-deterministic source
+    src = source.select(*schema.names).localCheckpoint()
+    bounds = src.agg(
         F.min(key_col).alias("lo"),
         F.max(key_col).alias("hi"),
         F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(key_col)).alias("n_keys"),
     ).first()
     if bounds["n"] == 0:
         return meta["version"], 0, len(meta["files"])
+    if bounds["n_keys"] != bounds["n"]:
+        raise ValueError(
+            f"source has {bounds['n']} rows but {bounds['n_keys']} distinct "
+            f"{key_col!r} keys — MERGE requires one source row per key "
+            "(pre-aggregate the batch, e.g. keep the latest per key)"
+        )
     src_keys = None
     if bounds["n"] <= _UPSERT_BLOOM_KEY_CAP and any(
         key_col in b for b in meta.get("blooms", {}).values()
     ):
-        src_keys = [r[0] for r in source.select(key_col).distinct().collect()]
+        src_keys = [r[0] for r in src.select(key_col).collect()]
+    blo = _canon_range(_jsonable_stat(bounds["lo"]))
+    bhi = _canon_range(_jsonable_stat(bounds["hi"]))
     affected = []
     for f in meta["files"]:
         rng = meta.get("stats", {}).get(f, {}).get(key_col)
         if rng is not None:
             lo, hi = _canon_range(rng[0]), _canon_range(rng[1])
-            blo = _canon_range(_jsonable_stat(bounds["lo"]))
-            bhi = _canon_range(_jsonable_stat(bounds["hi"]))
             try:
                 if blo is not None and bhi is not None and (hi < blo or lo > bhi):
                     continue  # zone-disjoint from every source key
@@ -651,8 +685,6 @@ def upsert_into(
             if not any(_bloom_may_contain(bloom, k) for k in src_keys):
                 continue  # definite miss for the whole batch
         affected.append(f)
-    carried = [f for f in meta["files"] if f not in set(affected)]
-    src = source.select(*schema.names)  # align column order to the table
     if affected:
         survivors = (
             spark.read.schema(schema).parquet(*affected)
@@ -661,30 +693,10 @@ def upsert_into(
         new_data = survivors.unionByName(src)
     else:
         new_data = src
-    commit_id = uuid.uuid4().hex[:12]
-    data_dir = os.path.join(path, f"data_{commit_id}")
-    new_data.write.parquet(data_dir)
-    new_files = sorted(
-        os.path.join(data_dir, f)
-        for f in os.listdir(data_dir)
-        if f.endswith(".parquet") and _file_row_count(os.path.join(data_dir, f)) > 0
+    version, carried = _rewrite_commit(
+        spark, path, meta, set(affected), new_data
     )
-    index_cols = sorted(
-        {c for f in meta.get("blooms", {}) for c in meta["blooms"][f]}
-    )
-    stats = {f: s for f, s in meta.get("stats", {}).items() if f not in set(affected)}
-    stats.update({f: _file_stats(f) for f in new_files})
-    blooms = {
-        f: b for f, b in meta.get("blooms", {}).items() if f not in set(affected)
-    }
-    if index_cols:
-        blooms.update({f: _file_blooms(f, index_cols) for f in new_files})
-    version = _publish_manifest(
-        path, commit_id, version=meta["version"] + 1,
-        files=carried + new_files, schema_json=meta["schema"],
-        stats=stats, blooms=blooms, txn=None,
-    )
-    return version, len(affected), len(carried)
+    return version, len(affected), carried
 
 
 def vacuum_manifest_table(

@@ -136,13 +136,16 @@ class WebDatasetReader(DataSourceReader):
     def read(self, partition: _Shard):
         import tarfile
 
+        # binaryFile renders paths as Hadoop URIs (file:/...); emit the
+        # same form so shard values join across the two lanes
+        shard_uri = "file:" + partition.path
         with tarfile.open(partition.path) as tf:
             for member in tf:
                 if not member.isfile():
                     continue
                 key, _, ext = member.name.rpartition(".")
                 data = tf.extractfile(member).read()
-                yield (partition.path, key, ext, data)
+                yield (shard_uri, key, ext, data)
 
 
 def register_webdataset_source(spark: SparkSession) -> None:

@@ -711,9 +711,14 @@ def test_manifest_delete_where_copy_on_write(spark, tmp_path):
     )
     assert (rewritten, carried) == (1, 2)
     after = manifest_scan_files(path)
-    # the two untouched files carry over with identical paths
-    assert set(before) & set(after) == set(b for b in before if b in after)
-    assert len(set(before) & set(after)) == 2
+    # exactly the two zone-cleared files carry over with identical paths
+    hit = set(
+        manifest_scan_files(
+            path, version=2, filters=[("id", ">=", 120), ("id", "<", 180)]
+        )
+    )
+    untouched = set(before) - hit
+    assert len(untouched) == 2 and untouched <= set(after)
     assert read_manifest_table(spark, path).count() == 240
     assert (
         read_manifest_table(spark, path)
@@ -845,3 +850,31 @@ def test_manifest_compaction_folds_small_files(spark, tmp_path):
 
     v2, c2, _ = compact_manifest_table(spark, path, min_rows_per_file=1000)
     assert (v2, c2) == (v, 0)  # nothing left to fold, no new version
+
+
+def test_manifest_upsert_guards(spark, tmp_path):
+    """MERGE refuses duplicate source keys (one row per key is the
+    contract) and type-drifted source schemas (same refusal as append) —
+    both BEFORE committing anything."""
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        read_manifest_table,
+        table_versions,
+        upsert_into,
+        write_manifest_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_manifest_table(
+        spark.range(0, 50).selectExpr("id", "concat('v0-', id) AS payload").coalesce(1),
+        path,
+    )
+    dup = spark.createDataFrame(
+        [(7, "a"), (7, "b")], "id long, payload string"
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        upsert_into(spark, path, dup, "id")
+    drift = spark.createDataFrame([(7, 99)], "id long, payload long")
+    with pytest.raises(ValueError, match="schema conflict"):
+        upsert_into(spark, path, drift, "id")
+    assert table_versions(path) == [0]  # nothing committed
+    assert read_manifest_table(spark, path).count() == 50
