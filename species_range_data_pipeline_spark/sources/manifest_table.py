@@ -138,6 +138,31 @@ def _file_stats(fpath: str) -> dict[str, list]:
     return acc
 
 
+def _file_null_counts(fpath: str) -> dict[str, int]:
+    """Per-column null count for one parquet file (footer only).  A column
+    appears iff EVERY row group reports a null count — partial knowledge
+    could make IS NULL / IS NOT NULL pruning wrong."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(fpath).metadata
+    acc: dict[str, int] = {}
+    poisoned: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name in poisoned or "." in name:
+                continue
+            s = col.statistics
+            if s is None or s.null_count is None:
+                poisoned.add(name)
+                acc.pop(name, None)
+                continue
+            acc[name] = acc.get(name, 0) + int(s.null_count)
+    return acc
+
+
 _BLOOM_BITS = 8192  # 1 KiB per column per file
 _BLOOM_HASHES = 6
 
@@ -210,7 +235,7 @@ def _file_blooms(fpath: str, columns: list[str]) -> dict[str, str]:
     }
 
 
-_SKIP_OPS = ("=", "==", "<", "<=", ">", ">=")
+_SKIP_OPS = ("=", "==", "<", "<=", ">", ">=", "is_null", "not_null")
 
 
 def _canon_range(v):
@@ -247,18 +272,39 @@ def _range_may_match(mn, mx, op: str, value) -> bool:
 
 
 def _prune_files(
-    files: list[str], stats: dict[str, dict], blooms: dict[str, dict], filters
+    files: list[str],
+    stats: dict[str, dict],
+    blooms: dict[str, dict],
+    nulls: dict[str, dict],
+    rows: dict[str, int],
+    filters,
 ) -> list[str]:
     kept = []
     for f in files:
         fstats = stats.get(f, {})
         fblooms = blooms.get(f, {})
+        fnulls = nulls.get(f, {})
         keep = True
         for col, op, value in filters:
             if op not in _SKIP_OPS:
                 raise ValueError(
                     f"unsupported filter op {op!r} (use one of {_SKIP_OPS})"
                 )
+            if op in ("is_null", "not_null"):
+                n_null = fnulls.get(col)
+                n_rows = rows.get(f)
+                if op == "is_null" and n_null == 0:
+                    keep = False  # provably no nulls in this file
+                    break
+                if (
+                    op == "not_null"
+                    and n_null is not None
+                    and n_rows is not None
+                    and n_null >= n_rows
+                ):
+                    keep = False  # every value is null
+                    break
+                continue
             rng = fstats.get(col)
             if rng is not None and not _range_may_match(rng[0], rng[1], op, value):
                 keep = False
@@ -285,7 +331,8 @@ def _filters_to_predicate(filters):
     for col, op, value in filters or ():
         c = F.col(col)
         cond = {"=": c == value, "==": c == value, "<": c < value,
-                "<=": c <= value, ">": c > value, ">=": c >= value}[op]
+                "<=": c <= value, ">": c > value, ">=": c >= value,
+                "is_null": c.isNull(), "not_null": c.isNotNull()}[op]
         pred = cond if pred is None else (pred & cond)
     return pred
 
@@ -306,7 +353,12 @@ def _scan_meta(meta: dict, filters) -> list[str]:
     if not filters:
         return meta["files"]
     return _prune_files(
-        meta["files"], meta.get("stats", {}), meta.get("blooms", {}), filters
+        meta["files"],
+        meta.get("stats", {}),
+        meta.get("blooms", {}),
+        meta.get("nulls", {}),
+        meta.get("rows", {}),
+        filters,
     )
 
 
@@ -394,6 +446,7 @@ def write_manifest_table(
     current = versions[-1] if versions else -1
     stats = {f: _file_stats(f) for f in new_files}
     rows = {f: _file_row_count(f) for f in new_files}
+    nulls = {f: _file_null_counts(f) for f in new_files}
     blooms = (
         {f: _file_blooms(f, index_columns) for f in new_files}
         if index_columns
@@ -415,6 +468,9 @@ def write_manifest_table(
         rows.update(
             {f: r for f, r in prev.get("rows", {}).items() if f in live}
         )
+        nulls.update(
+            {f: n for f, n in prev.get("nulls", {}).items() if f in live}
+        )
         carried = {
             f: b for f, b in prev.get("blooms", {}).items() if f in live
         }
@@ -424,14 +480,14 @@ def write_manifest_table(
     return _publish_manifest(
         path, commit_id, version=current + 1,
         files=files, schema_json=schema_json, stats=stats, blooms=blooms,
-        txn=txn, rows=rows,
+        txn=txn, rows=rows, nulls=nulls,
     )
 
 
 def _publish_manifest(
     path: str, commit_id: str, version: int, files: list[str],
     schema_json: str, stats: dict, blooms: dict, txn: int | None,
-    rows: dict | None = None,
+    rows: dict | None = None, nulls: dict | None = None,
 ) -> int:
     """Atomic manifest publish: tmp file + put-if-absent link.
 
@@ -452,6 +508,8 @@ def _publish_manifest(
         meta["blooms"] = blooms
     if rows:
         meta["rows"] = rows
+    if nulls:
+        meta["nulls"] = nulls
     meta["txn"] = txn if txn is not None else last_committed_txn(path)
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
@@ -530,13 +588,15 @@ def _rewrite_commit(
     stats.update({f: _file_stats(f) for f in new_files})
     rows = {f: r for f, r in meta.get("rows", {}).items() if f not in removed}
     rows.update({f: _file_row_count(f) for f in new_files})
+    nulls = {f: n for f, n in meta.get("nulls", {}).items() if f not in removed}
+    nulls.update({f: _file_null_counts(f) for f in new_files})
     blooms = {f: b for f, b in meta.get("blooms", {}).items() if f not in removed}
     if index_cols:
         blooms.update({f: _file_blooms(f, index_cols) for f in new_files})
     version = _publish_manifest(
         path, commit_id, version=meta["version"] + 1,
         files=carried + new_files, schema_json=meta["schema"],
-        stats=stats, blooms=blooms, txn=None, rows=rows,
+        stats=stats, blooms=blooms, txn=None, rows=rows, nulls=nulls,
     )
     return version, len(carried)
 

@@ -878,3 +878,49 @@ def test_manifest_upsert_guards(spark, tmp_path):
         upsert_into(spark, path, drift, "id")
     assert table_versions(path) == [0]  # nothing committed
     assert read_manifest_table(spark, path).count() == 50
+
+
+def test_manifest_null_count_pruning(spark, tmp_path):
+    """IS NULL skips files with provably zero nulls; IS NOT NULL skips
+    all-null files; both stay exact as DataFrame predicates."""
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        manifest_scan_files,
+        read_manifest_table,
+        write_manifest_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    # commit 1: no nulls; commit 2: some nulls; commit 3: all nulls
+    write_manifest_table(
+        spark.range(0, 50).selectExpr("id", "concat('x', id) AS v").coalesce(1),
+        path,
+    )
+    write_manifest_table(
+        spark.range(50, 100)
+        .selectExpr("id", "IF(id % 2 = 0, NULL, concat('x', id)) AS v")
+        .coalesce(1),
+        path,
+    )
+    write_manifest_table(
+        spark.range(100, 150)
+        .selectExpr("id", "CAST(NULL AS STRING) AS v")
+        .coalesce(1),
+        path,
+    )
+    allf = manifest_scan_files(path)
+    isnull = manifest_scan_files(path, filters=[("v", "is_null", None)])
+    notnull = manifest_scan_files(path, filters=[("v", "not_null", None)])
+    assert len(allf) == 3
+    assert len(isnull) == 2  # the no-null file is skipped
+    assert len(notnull) == 2  # the all-null file is skipped
+
+    assert read_manifest_table(
+        spark, path, filters=[("v", "is_null", None)]
+    ).count() == 25 + 50
+    assert read_manifest_table(
+        spark, path, filters=[("v", "not_null", None)]
+    ).count() == 50 + 25
+    # conjunction with a range: exact rows, and both prunes engage
+    assert read_manifest_table(
+        spark, path, filters=[("v", "is_null", None), ("id", ">=", 100)]
+    ).count() == 50
