@@ -18,15 +18,27 @@ _OPS = {
     "<=": operator.le,
     ">": operator.gt,
     ">=": operator.ge,
+    # null ops: value is ignored; semantics mirrored in the in-memory check
+    "is_null": lambda x, _v: x is None,
+    "not_null": lambda x, _v: x is not None,
 }
+_RANGE_OPS = [op for op in _OPS if not op.endswith("null")]
 
 # (value, split) pools kept small so zone ranges overlap in interesting ways
 _vals = st.integers(min_value=0, max_value=60)
 _filters = st.lists(
-    st.tuples(
-        st.sampled_from(["a", "b", "label"]),
-        st.sampled_from(list(_OPS)),
-        _vals,
+    st.one_of(
+        st.tuples(
+            st.sampled_from(["a", "b", "label"]),
+            st.sampled_from(_RANGE_OPS),
+            _vals,
+        ),
+        # null probes target the nullable column
+        st.tuples(
+            st.just("label"),
+            st.sampled_from(["is_null", "not_null"]),
+            st.none(),
+        ),
     ),
     min_size=1,
     max_size=3,
@@ -55,7 +67,11 @@ def test_filtered_read_equals_full_scan_filter(
 
     tmp = tmp_path_factory.mktemp("prop")
     path = str(tmp / "tbl")
-    data = [(i, a, b, f"L{a % 7}") for i, (a, b) in enumerate(rows)]
+    # label is nullable (a % 5 == 0 -> NULL) so null ops have real prey
+    data = [
+        (i, a, b, None if a % 5 == 0 else f"L{a % 7}")
+        for i, (a, b) in enumerate(rows)
+    ]
     df = spark.createDataFrame(
         data, "rid long, a long, b long, label string"
     )
@@ -65,10 +81,19 @@ def test_filtered_read_equals_full_scan_filter(
             continue
         write_manifest_table(chunk, path, index_columns=["label"])
 
-    # string filters probe the label pool; ints hit a/b
+    # string filters probe the label pool; ints hit a/b; null ops pass through
     norm = [
-        (c, op, f"L{v % 7}" if c == "label" else v) for c, op, v in filters
+        (c, op, f"L{v % 7}" if c == "label" and v is not None else v)
+        for c, op, v in filters
     ]
+
+    def matches(x, op, v):
+        if op in ("is_null", "not_null"):
+            return _OPS[op](x, v)
+        if x is None:
+            return False  # SQL: NULL never satisfies a range predicate
+        return _OPS[op](x, v)
+
     got = sorted(
         r.rid
         for r in read_manifest_table(spark, path, filters=norm).collect()
@@ -77,7 +102,7 @@ def test_filtered_read_equals_full_scan_filter(
         rid
         for rid, a, b, label in data
         if all(
-            _OPS[op]({"a": a, "b": b, "label": label}[c], v)
+            matches({"a": a, "b": b, "label": label}[c], op, v)
             for c, op, v in norm
         )
     )
