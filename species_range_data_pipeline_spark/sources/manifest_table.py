@@ -669,6 +669,54 @@ def delete_where(
     return version, len(affected), carried
 
 
+def update_where(
+    spark: SparkSession, path: str, filters, set_exprs: dict[str, str]
+) -> tuple[int, int, int]:
+    """Copy-on-write UPDATE: rows satisfying ALL ``filters`` get each
+    column in ``set_exprs`` replaced by its SQL expression (evaluated on
+    the pre-update row, standard UPDATE semantics); every other row — and
+    every index-cleared file — is untouched.  Returns (new_version,
+    files_rewritten, files_carried).  Completes the DML triad with
+    ``delete_where`` and ``upsert_into`` on the same pruning machinery:
+    only files the zone maps/blooms cannot clear are rewritten.
+
+    ``set_exprs`` may only assign EXISTING columns (same type after an
+    explicit cast in the expression if needed); assigning a new column is
+    a schema change and belongs to an append, not an UPDATE.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    if not filters:
+        raise ValueError("refusing UPDATE with no filters (use overwrite)")
+    if not set_exprs:
+        raise ValueError("UPDATE needs at least one SET expression")
+    meta = _load_meta(path)
+    schema = StructType.fromJson(json.loads(meta["schema"]))
+    unknown = set(set_exprs) - set(schema.names)
+    if unknown:
+        raise ValueError(f"SET targets unknown columns {sorted(unknown)}")
+    affected = set(_scan_meta(meta, filters))
+    if not affected:
+        return meta["version"], 0, len(meta["files"])
+    pred = F.coalesce(_filters_to_predicate(filters), F.lit(False))
+    base = spark.read.schema(schema).parquet(*sorted(affected))
+    updated = base.select(
+        *[
+            (
+                F.when(pred, F.expr(set_exprs[c]).cast(fld.dataType))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in set_exprs
+                else F.col(c)
+            )
+            for c, fld in zip(schema.names, schema.fields)
+        ]
+    )
+    version, carried = _rewrite_commit(spark, path, meta, affected, updated)
+    return version, len(affected), carried
+
+
 #: above this many source keys, upsert skips bloom probing (which needs
 #: the key set on the driver) and prunes on zone-range overlap alone —
 #: still correct, just coarser

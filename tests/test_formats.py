@@ -924,3 +924,48 @@ def test_manifest_null_count_pruning(spark, tmp_path):
     assert read_manifest_table(
         spark, path, filters=[("v", "is_null", None), ("id", ">=", 100)]
     ).count() == 50
+
+
+def test_manifest_update_where_copy_on_write(spark, tmp_path):
+    """UPDATE rewrites only index-hit files, SET expressions see the
+    PRE-update row (a swap works), non-matching rows in rewritten files
+    are byte-for-value untouched, and guards refuse empty filters /
+    unknown columns."""
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        manifest_scan_files,
+        read_manifest_table,
+        update_where,
+        write_manifest_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        write_manifest_table(
+            spark.range(lo, hi).selectExpr("id", "id AS x", "id * 10 AS y").coalesce(1),
+            path,
+        )
+    before = set(manifest_scan_files(path))
+    v, rewritten, carried = update_where(
+        spark, path,
+        [("id", ">=", 120), ("id", "<", 130)],
+        {"x": "y", "y": "x"},  # swap: must read pre-update values
+    )
+    assert (rewritten, carried) == (1, 2)
+    assert len(before & set(manifest_scan_files(path))) == 2
+    t = read_manifest_table(spark, path)
+    assert t.count() == 300
+    r = t.where("id = 125").first()
+    assert (r.x, r.y) == (1250, 125)  # swapped
+    r2 = t.where("id = 130").first()
+    assert (r2.x, r2.y) == (130, 1300)  # same file, outside band: untouched
+    # history intact
+    r_old = read_manifest_table(spark, path, version=2).where("id = 125").first()
+    assert (r_old.x, r_old.y) == (125, 1250)
+
+    with pytest.raises(ValueError, match="no filters"):
+        update_where(spark, path, [], {"x": "0"})
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_where(spark, path, [("id", "=", 1)], {"zz": "0"})
+    # fully-pruned predicate: no-op, no commit
+    v2, rw2, _ = update_where(spark, path, [("id", ">", 10**6)], {"x": "0"})
+    assert (v2, rw2) == (v, 0)
