@@ -548,8 +548,91 @@ ORDER BY event_type
 """
 
 
+def cdf_row_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed over the manifest table format, end to end.
+
+    Builds a real on-disk manifest table from a deterministic slice of
+    ``orders``, drives the full DML triad against it (append, DELETE,
+    UPDATE — ``sources/manifest_table.py``), then reads the row-level
+    change feed (``read_changes``) and rolls it up per (commit, change
+    type).  The oracle recomputes the SAME change history relationally
+    from the fixture — the feed reconstructed from the commit log must
+    equal the ground-truth effect of each DML statement:
+
+    - v1 append  -> inserts of the appended slice
+    - v2 DELETE  -> deletes of exactly the predicate-matching rows
+    - v3 UPDATE  -> delete(pre-image) + insert(post-image) pairs
+
+    Money rides as exact integer cents so sums are order-independent.
+    Scale: the feed reads only files each commit touched (never the
+    table), and the diff is one group-by-all-columns over those files —
+    see ``read_changes`` for the multiset-difference contract.
+    """
+    import tempfile
+
+    from ..sources.manifest_table import (
+        delete_where,
+        read_changes,
+        update_where,
+        write_manifest_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="cdf_row_changes_")
+    write_manifest_table(
+        orders.where(F.col("o_orderkey") % 20 == 0).coalesce(1), path
+    )
+    write_manifest_table(
+        orders.where(F.col("o_orderkey") % 20 == 7).coalesce(1), path
+    )
+    delete_where(spark, path, [("o_orderstatus", "=", "F")])
+    update_where(
+        spark, path, [("o_orderkey", "<", 2000)], {"cents": "cents * 2"}
+    )
+    return (
+        read_changes(spark, path, from_version=0)
+        .groupBy("_commit_version", "_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("_commit_version", "_change_type")
+    )
+
+
+CDF_ROW_CHANGES_ORACLE = """
+WITH o AS (
+    SELECT o_orderkey AS k, o_orderstatus AS s,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+), t1 AS (  -- table after v1 (base %20=0 plus appended %20=7)
+    SELECT * FROM o WHERE k % 20 = 0 OR k % 20 = 7
+), t2 AS (  -- table after the v2 DELETE
+    SELECT * FROM t1 WHERE s <> 'F'
+), ch AS (
+    SELECT 1 AS v, 'insert' AS ct, cents FROM o WHERE k % 20 = 7
+    UNION ALL
+    SELECT 2, 'delete', cents FROM t1 WHERE s = 'F'
+    UNION ALL
+    SELECT 3, 'delete', cents FROM t2 WHERE k < 2000
+    UNION ALL
+    SELECT 3, 'insert', cents * 2 FROM t2 WHERE k < 2000
+)
+SELECT CAST(v AS INTEGER) AS _commit_version, ct AS _change_type,
+       count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM ch
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "ab_test_conversion": ab_test_conversion,
+    "cdf_row_changes": cdf_row_changes,
     "sketch_cms_brand_counts": sketch_cms_brand_counts,
     "agg_entropy_gini": agg_entropy_gini,
     "agg_bitmap_distinct": agg_bitmap_distinct,
@@ -565,6 +648,7 @@ QUERIES = {
 
 ORACLES = {
     "ab_test_conversion": AB_TEST_ORACLE,
+    "cdf_row_changes": CDF_ROW_CHANGES_ORACLE,
     "agg_entropy_gini": AGG_ENTROPY_GINI_ORACLE,
     "agg_bitmap_distinct": AGG_BITMAP_DISTINCT_ORACLE,
     "agg_stats": AGG_STATS_ORACLE,

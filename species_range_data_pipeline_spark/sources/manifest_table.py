@@ -946,6 +946,123 @@ def read_version_delta(
     return spark.read.parquet(*added)
 
 
+def read_changes(
+    spark: SparkSession, path: str, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Row-level change data feed: every insert and delete the table saw in
+    versions ``(from_version, to_version]``, as the table's columns plus
+    ``_change_type`` ('insert' | 'delete') and ``_commit_version``.
+
+    This is Delta's CDF read surface reconstructed from the commit log
+    alone — no change files are written at DML time.  Each version step is
+    a file-set diff (removed = before − after, added = after − before) and
+    the row-level changes are the **net multiset difference** between the
+    removed and added files: rows a rewrite carried through unchanged
+    cancel out, deleted rows surface with ``_change_type='delete'``,
+    inserted rows with ``'insert'``.  An UPDATE therefore appears as the
+    delete of the pre-image plus the insert of the post-image (the
+    version-diff semantics Delta itself falls back to without CDF files).
+
+    Cost scales with data *touched*, not table size: only the files added
+    or removed by each commit are read — a pure append diffs nothing and
+    streams the new files straight through (the ``read_version_delta``
+    fast path), and a surgical DELETE reads just the files the skipping
+    indexes could not clear when it ran.  The multiset diff is one
+    group-by-all-columns per side, shuffled over touched files only.
+
+    Columns of MapType cannot be grouped (Spark has no map equality), so
+    tables holding one raise ``NotImplementedError`` rather than returning
+    a wrong diff.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import MapType, StructType
+
+    versions = table_versions(path)
+    to_v = versions[-1] if to_version is None else to_version
+    if from_version not in versions or to_v not in versions:
+        raise ValueError(f"versions must be in {versions}")
+    if to_v <= from_version:
+        raise ValueError(f"to_version {to_v} must exceed from_version {from_version}")
+    steps = []
+    prev = from_version
+    for v in versions:
+        if from_version < v <= to_v:
+            steps.append((prev, v))
+            prev = v
+    out: DataFrame | None = None
+    for before_v, v in steps:
+        meta = _load_meta(path, v)
+        schema = StructType.fromJson(json.loads(meta["schema"]))
+        if any(isinstance(f.dataType, MapType) for f in schema.fields):
+            raise NotImplementedError(
+                "change feed needs group-by-all-columns; MapType columns "
+                "are not comparable in Spark — drop or cast the map column"
+            )
+        before = set(_live_files(path, before_v))
+        after = meta["files"]
+        removed = sorted(before - set(after))
+        added = sorted(f for f in after if f not in before)
+        cols = schema.names
+        if not removed and not added:
+            continue
+        if not removed:
+            # pure append: every row of the new files is an insert, no diff
+            step = spark.read.schema(schema).parquet(*added).select(
+                *cols, F.lit("insert").alias("_change_type")
+            )
+        elif not added:
+            # pure removal (e.g. a DELETE emptied every rewritten file)
+            step = spark.read.schema(schema).parquet(*removed).select(
+                *cols, F.lit("delete").alias("_change_type")
+            )
+        else:
+            # rewrite commit: net multiset difference over touched files.
+            # Both sides read under the step's committed schema so columns
+            # align even across schema evolution (missing columns -> null).
+            r = (
+                spark.read.schema(schema).parquet(*removed)
+                .groupBy(*cols).agg(F.count(F.lit(1)).alias("__r"))
+            )
+            a = (
+                spark.read.schema(schema).parquet(*added)
+                .groupBy(*cols).agg(F.count(F.lit(1)).alias("__a"))
+            )
+            net = r.join(a, cols, "full_outer").select(
+                *cols,
+                (
+                    F.coalesce("__a", F.lit(0)) - F.coalesce("__r", F.lit(0))
+                ).alias("__net"),
+            )
+            step = (
+                net.where(F.col("__net") != 0)
+                .select(
+                    *cols,
+                    F.when(F.col("__net") > 0, F.lit("insert"))
+                    .otherwise(F.lit("delete"))
+                    .alias("_change_type"),
+                    F.explode(
+                        F.sequence(F.lit(1), F.abs(F.col("__net")))
+                    ).alias("__i"),
+                )
+                .drop("__i")
+            )
+        step = step.withColumn("_commit_version", F.lit(v).cast("int"))
+        out = step if out is None else out.unionByName(
+            step, allowMissingColumns=True
+        )
+    if out is None:
+        # every step in range was a metadata-only commit: empty feed with
+        # the to-version's schema + the change columns
+        schema = table_schema(path, to_v)
+        empty = spark.createDataFrame([], schema)
+        out = empty.select(
+            "*",
+            F.lit("insert").alias("_change_type"),
+            F.lit(0).cast("int").alias("_commit_version"),
+        ).limit(0)
+    return out
+
+
 def write_stream_manifest(
     query_df: DataFrame,
     path: str,

@@ -969,3 +969,117 @@ def test_manifest_update_where_copy_on_write(spark, tmp_path):
     # fully-pruned predicate: no-op, no commit
     v2, rw2, _ = update_where(spark, path, [("id", ">", 10**6)], {"x": "0"})
     assert (v2, rw2) == (v, 0)
+
+
+def test_manifest_change_data_feed(spark, tmp_path):
+    """read_changes reconstructs row-level inserts/deletes from the commit
+    log alone: appends surface as inserts, DELETE as deletes of exactly
+    the matching rows, UPDATE as delete(pre-image) + insert(post-image),
+    carried rows in rewritten files cancel out, and the per-commit
+    version tags the step.  Duplicate rows diff by multiplicity."""
+    from pyspark.sql import functions as F
+
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        delete_where,
+        read_changes,
+        update_where,
+        write_manifest_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    # v0: 0..99, with id=7 duplicated 3x (multiset semantics must hold)
+    base = spark.range(0, 100).selectExpr("id", "id * 2 AS x")
+    dups = spark.createDataFrame([(7, 14)] * 2, "id long, x long")
+    write_manifest_table(base.unionByName(dups).coalesce(1), path)
+    # v1: append 100..109
+    write_manifest_table(
+        spark.range(100, 110).selectExpr("id", "id * 2 AS x").coalesce(1), path
+    )
+    # v2: delete ids [50, 60)
+    delete_where(spark, path, [("id", ">=", 50), ("id", "<", 60)])
+    # v3: update id=70 -> x = -1
+    update_where(spark, path, [("id", "=", 70)], {"x": "-1"})
+
+    ch = read_changes(spark, path, from_version=0).cache()
+    assert set(ch.columns) == {"id", "x", "_change_type", "_commit_version"}
+    # v1 step: 10 pure inserts, zero deletes
+    s1 = ch.where("_commit_version = 1")
+    assert s1.where("_change_type = 'insert'").count() == 10
+    assert s1.where("_change_type = 'delete'").count() == 0
+    # v2 step: exactly the 10 deleted rows; carried rows cancelled
+    s2 = ch.where("_commit_version = 2").collect()
+    assert all(r._change_type == "delete" for r in s2)
+    assert sorted(r.id for r in s2) == list(range(50, 60))
+    # v3 step: one delete (70, 140) + one insert (70, -1)
+    s3 = {(r._change_type, r.id, r.x) for r in ch.where("_commit_version = 3").collect()}
+    assert s3 == {("delete", 70, 140), ("insert", 70, -1)}
+    ch.unpersist()
+
+    # narrowed range: only the final step
+    only3 = read_changes(spark, path, from_version=2, to_version=3)
+    assert only3.count() == 2
+
+    # multiplicity: deleting the duplicated id nets 3 delete rows
+    delete_where(spark, path, [("id", "=", 7)])
+    s4 = read_changes(spark, path, from_version=3).collect()
+    assert [(r._change_type, r.id) for r in s4] == [("delete", 7)] * 3
+
+    # guards
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must exceed"):
+        read_changes(spark, path, from_version=4, to_version=4)
+    with _pytest.raises(ValueError, match="versions must be"):
+        read_changes(spark, path, from_version=99)
+
+
+def test_manifest_change_feed_replays_to_snapshot(spark, tmp_path):
+    """Applying the change feed to an old snapshot reproduces the new one
+    exactly (the CDC consumer contract): snapshot(v_from) + inserts -
+    deletes == snapshot(v_to), as multisets."""
+    from pyspark.sql import functions as F
+
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        delete_where,
+        read_changes,
+        read_manifest_table,
+        update_where,
+        upsert_into,
+        write_manifest_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_manifest_table(
+        spark.range(0, 200).selectExpr("id", "id % 7 AS x").coalesce(1), path
+    )
+    write_manifest_table(
+        spark.range(200, 260).selectExpr("id", "id % 7 AS x").coalesce(1), path
+    )
+    delete_where(spark, path, [("x", "=", 3)])
+    update_where(spark, path, [("id", "<", 20)], {"x": "x + 100"})
+    upsert_into(
+        spark,
+        path,
+        spark.range(250, 280).selectExpr("id", "CAST(999 AS long) AS x"),
+        "id",
+    )
+
+    ch = read_changes(spark, path, from_version=0)
+    snap0 = read_manifest_table(spark, path, version=0)
+    snap_last = read_manifest_table(spark, path)
+
+    def counts(df):
+        return {
+            (r.id, r.x): r.n
+            for r in df.groupBy("id", "x").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+
+    replay = counts(snap0)
+    for r in ch.collect():
+        k = (r.id, r.x)
+        if r._change_type == "insert":
+            replay[k] = replay.get(k, 0) + 1
+        else:
+            replay[k] = replay.get(k, 0) - 1
+    replay = {k: n for k, n in replay.items() if n != 0}
+    assert replay == counts(snap_last)
