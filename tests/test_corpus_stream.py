@@ -97,3 +97,103 @@ def test_new_file_after_restart_adds_only_new_fingerprints(
     )
     assert after.count() == before + n_new
     assert after.where("doc_id >= 5000").count() == n_new
+
+
+def test_manifest_stream_source_tails_versions(spark, tmp_path):
+    """The manifest_stream source reads each committed version exactly
+    once as it lands: the first batch covers existing versions, later
+    appends arrive incrementally, and a restart from the checkpoint picks
+    up only versions committed while the stream was down."""
+    from species_range_data_pipeline_spark.sources.manifest_stream import (
+        register_manifest_stream_source,
+    )
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        write_manifest_table,
+    )
+
+    register_manifest_stream_source(spark)
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    write_manifest_table(spark.range(0, 10).selectExpr("id", "id * 2 AS x"), tbl)
+    write_manifest_table(spark.range(10, 15).selectExpr("id", "id * 2 AS x"), tbl)
+
+    def run_once():
+        q = (
+            spark.readStream.format("manifest_stream")
+            .option("path", tbl)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = spark.read.parquet(out)
+    assert sorted(r.id for r in got.collect()) == list(range(15))
+
+    # new commit while the stream is down -> restart reads ONLY v2
+    write_manifest_table(spark.range(15, 18).selectExpr("id", "id * 2 AS x"), tbl)
+    run_once()
+    got = spark.read.parquet(out).collect()
+    assert sorted(r.id for r in got) == list(range(18))
+    assert len(got) == 18  # no version replayed twice
+    assert all(r.x == r.id * 2 for r in got)
+
+
+def test_manifest_stream_change_commit_fails_or_skips(spark, tmp_path):
+    """A DML rewrite is not representable as an append stream: default
+    fails loudly; skipChangeCommits streams around it (appends only)."""
+    import pytest as _pytest
+
+    from species_range_data_pipeline_spark.sources.manifest_stream import (
+        ManifestStreamReader,
+        register_manifest_stream_source,
+    )
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        delete_where,
+        table_schema,
+        write_manifest_table,
+    )
+
+    register_manifest_stream_source(spark)
+    tbl = str(tmp_path / "tbl")
+    write_manifest_table(
+        spark.range(0, 10).selectExpr("id", "id * 2 AS x").coalesce(1), tbl
+    )
+    delete_where(spark, tbl, [("id", "<", 3)])  # v1: rewrite commit
+    write_manifest_table(
+        spark.range(10, 12).selectExpr("id", "id * 2 AS x").coalesce(1), tbl
+    )
+
+    # driver-side planner check (partitions() runs on the driver)
+    reader = ManifestStreamReader({"path": tbl}, table_schema(tbl))
+    with _pytest.raises(ValueError, match="skipChangeCommits"):
+        reader.partitions({"version": 0}, {"version": 2})
+
+    skip = ManifestStreamReader(
+        {"path": tbl, "skipChangeCommits": "true"}, table_schema(tbl)
+    )
+    parts = skip.partitions({"version": 0}, {"version": 2})
+    rows = [t for p in parts for b in skip.read(p) for t in b.to_pylist()]
+    assert sorted(r["id"] for r in rows) == [10, 11]
+
+    # end-to-end with the option set: v0 + v2 appear, the rewrite never does
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("manifest_stream")
+        .option("path", tbl)
+        .option("skipChangeCommits", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == list(range(10)) + [10, 11]
