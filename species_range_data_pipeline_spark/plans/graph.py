@@ -331,13 +331,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         sym.repartition(n_shuffle, "dst").dropDuplicates(["src", "dst"]).persist()
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    n_nodes = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
     # static per-node state (degree, n) built once and checkpointed; each
-    # round re-derives ranks by joining the fresh incoming sums onto it
-    node_state = (
-        deg.crossJoin(F.broadcast(n_nodes)).select("src", "deg", "n").localCheckpoint()
-    )
+    # round re-derives ranks by joining the fresh incoming sums onto it.
+    # The degree table is checkpointed BEFORE the node count is taken:
+    # deriving n via a broadcast subtree (deg.agg inside a crossJoin)
+    # would execute the 1M-row degree shuffle twice — once for the
+    # broadcast job, once for the main plan (measured ~0.5s at sf0.1).
+    # n itself is one scalar; a driver-side count over the checkpointed
+    # 16k-row table is the cheap, legitimate form.
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+    n = float(deg.count())
+    node_state = deg.select("src", "deg", F.lit(n).alias("n"))
     # no checkpoint on the seed ranks: it is a narrow select over the
     # already-checkpointed node_state, so round 1's broadcast subtree is
     # one map over a materialized RDD — flat either way, one job cheaper

@@ -1,0 +1,228 @@
+"""WARC (ISO 28500 Web ARChive) reader: crawl archives -> document rows.
+
+The reference ingests the web driver-side (HTTP GET + BeautifulSoup,
+``species_range_etl.py:36-37,142-154``); the at-scale form of "the web as
+input" is WARC — the format Common Crawl and every archival crawler
+publish, and the raw-input format of essentially every public LLM
+pretraining corpus (C4, RefinedWeb, FineWeb all start from Common Crawl
+WARC/WET).  A crawl dump is many ~1 GB ``.warc.gz`` files; this module
+makes them a first-class engine source with zero dependencies: the WARC
+envelope is a line-oriented public spec and the ``.gz`` framing is
+per-record concatenated gzip members, both stdlib-decodable.
+
+Format notes implemented here:
+
+- A WARC file is a sequence of records: ``WARC/1.x\\r\\n`` + MIME-style
+  headers + ``\\r\\n`` + ``Content-Length`` bytes of block +
+  ``\\r\\n\\r\\n``.
+- ``.warc.gz`` compresses EACH record as its own gzip member so readers
+  can split on member boundaries; ``zlib`` with ``wbits=31`` decodes one
+  member and reports where it ended — the loop walks members without
+  ever holding more than one decompressed record.
+- For ``response`` records the block is an HTTP/1.1 message; the HTTP
+  status and headers are split off so the payload column is the actual
+  body bytes (what text extraction wants), with the declared
+  Content-Type surfaced as ``mime``.
+
+Scale: one task per WARC file via ``binaryFile`` + ``mapInPandas`` (a
+crawl ships thousands of ~1 GB members — natural task units; the 2 GB
+``binaryFile`` cap matches the format's own conventions).  Parse
+failures land in the error side-channel like every other binary lane.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("record", T.IntegerType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def _gunzip_members(content: bytes) -> Iterator[bytes]:
+    """Decode concatenated gzip members one at a time (the .warc.gz record
+    framing).  Raises ``ValueError`` on a corrupt member."""
+    off = 0
+    while off < len(content):
+        d = zlib.decompressobj(wbits=31)
+        try:
+            chunk = d.decompress(content[off:])
+        except zlib.error as exc:
+            raise ValueError(f"corrupt gzip member at byte {off}: {exc}") from exc
+        if not d.eof:
+            raise ValueError(f"truncated gzip member at byte {off}")
+        yield chunk
+        consumed = len(content) - off - len(d.unused_data)
+        if consumed <= 0:  # defensive: an empty member would loop forever
+            raise ValueError(f"zero-length gzip member at byte {off}")
+        off += consumed
+
+
+def _parse_headers(block: bytes) -> tuple[dict[str, str], bytes]:
+    """MIME-style header block -> ({lowercased-name: value}, rest-after-
+    blank-line).  Tolerates LF-only line endings."""
+    sep = block.find(b"\r\n\r\n")
+    seplen = 4
+    if sep < 0:
+        sep = block.find(b"\n\n")
+        seplen = 2
+        if sep < 0:
+            raise ValueError("header block has no blank-line terminator")
+    headers: dict[str, str] = {}
+    for line in block[:sep].splitlines():
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
+                "latin-1"
+            )
+    return headers, block[sep + seplen :]
+
+
+def _parse_record(raw: bytes) -> dict | None:
+    """One uncompressed WARC record -> row dict (``None`` for an empty
+    trailing chunk)."""
+    raw = raw.lstrip(b"\r\n")
+    if not raw:
+        return None
+    if not raw.startswith(b"WARC/"):
+        raise ValueError(f"record does not start with WARC/: {raw[:20]!r}")
+    headers, rest = _parse_headers(raw)
+    length = int(headers.get("content-length", len(rest)))
+    block = rest[:length]
+    row = {
+        "warc_type": headers.get("warc-type"),
+        "url": headers.get("warc-target-uri"),
+        "warc_date": headers.get("warc-date"),
+        "mime": headers.get("content-type"),
+        "http_status": None,
+        "payload": block,
+    }
+    # response records wrap an HTTP message: split status + headers off so
+    # payload is the body and mime is the SERVED content type
+    if row["warc_type"] == "response" and block[:5] in (b"HTTP/",):
+        status_end = block.find(b"\n")
+        status_line = block[:status_end].decode("latin-1", "replace")
+        parts = status_line.split()
+        if len(parts) >= 2 and parts[1].isdigit():
+            row["http_status"] = int(parts[1])
+        http_headers, body = _parse_headers(block)
+        row["mime"] = http_headers.get("content-type", row["mime"])
+        row["payload"] = body
+    return row
+
+
+def parse_warc(content: bytes) -> list[dict]:
+    """.warc or .warc.gz bytes -> [record row dict].  Malformed input
+    raises ``ValueError``."""
+    if content[:2] == b"\x1f\x8b":
+        chunks: Iterator[bytes] = _gunzip_members(content)
+    else:
+        # uncompressed: split on the record boundary marker.  A payload
+        # could contain the 6-byte marker followed by "WARC/"; crawlers
+        # avoid this via Content-Length, and so do we: re-join greedily by
+        # trusting each record's declared length.
+        chunks = iter(_split_uncompressed(content))
+    out: list[dict] = []
+    for chunk in chunks:
+        row = _parse_record(chunk)
+        if row is not None:
+            out.append(row)
+    return out
+
+
+def _split_uncompressed(content: bytes) -> list[bytes]:
+    """Walk records by their declared Content-Length (never by scanning
+    payload bytes for the boundary marker)."""
+    records: list[bytes] = []
+    off = 0
+    while off < len(content):
+        nxt = content.find(b"WARC/", off)
+        if nxt < 0:
+            break
+        headers, rest = _parse_headers(content[nxt:])
+        header_len = len(content) - nxt - len(rest)
+        length = int(headers.get("content-length", 0))
+        end = nxt + header_len + length
+        records.append(content[nxt:end])
+        off = end
+    return records
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Scan ``*.warc`` / ``*.warc.gz`` under ``path``: one row per WARC
+    record — (path, record, warc_type, url, warc_date, mime, http_status,
+    payload, error).  Parse failures become error rows, never exceptions
+    (the binary-lane side-channel contract)."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for path_, blob in zip(pdf["path"], pdf["content"]):
+                try:
+                    for i, row in enumerate(parse_warc(bytes(blob)), start=1):
+                        out.append(
+                            {"path": path_, "record": i, **row, "error": None}
+                        )
+                except Exception as exc:
+                    out.append(
+                        {
+                            "path": path_, "record": None, "warc_type": None,
+                            "url": None, "warc_date": None, "mime": None,
+                            "http_status": None, "payload": None,
+                            "error": f"{type(exc).__name__}: {exc}",
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in WARC_SCHEMA.fields])
+
+    return files.mapInPandas(fn, WARC_SCHEMA)
+
+
+def warc_responses_to_documents(warc: DataFrame) -> DataFrame:
+    """Successful HTML responses -> a documents-shaped table
+    (doc_id, url, text): the first stage of a pretraining-corpus build.
+    doc_id is the 64-bit xxhash of the URL (stable across re-crawls of the
+    same page set); text is the extracted visible text
+    (``functions.html.html_to_text`` as a vectorized UDF).  Downstream
+    stages are the existing corpus operators: quality -> langid -> dedup
+    -> pack."""
+    from pyspark.sql import functions as F
+
+    from ..functions.html import html_to_text_udf
+
+    return (
+        warc.where(
+            (F.col("error").isNull())
+            & (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+            & F.col("mime").startswith("text/html")
+        )
+        .select(
+            F.xxhash64("url").alias("doc_id"),
+            "url",
+            html_to_text_udf(
+                F.decode(F.col("payload"), "UTF-8")
+            ).alias("text"),
+        )
+    )

@@ -1,0 +1,149 @@
+"""WARC lane: record framing (plain + per-record-gzip), HTTP payload
+splitting, the Spark read lane with its error channel, HTML text
+extraction, and the WARC -> documents corpus composition."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from species_range_data_pipeline_spark.functions.html import html_to_text
+from species_range_data_pipeline_spark.sources.warc import (
+    parse_warc,
+    read_warc,
+    warc_responses_to_documents,
+)
+
+HTML_A = (
+    b"<html><head><title>T</title><style>body{x}</style>"
+    b"<script>var a=1;</script></head>"
+    b"<body><h1>Maple &amp; Fir</h1><p>Ranges  shift</p>"
+    b"<!-- hidden --><div>north</div></body></html>"
+)
+
+
+def _record(warc_type: str, url: str | None, block: bytes, extra: str = "") -> bytes:
+    h = f"WARC/1.0\r\nWARC-Type: {warc_type}\r\n"
+    if url:
+        h += f"WARC-Target-URI: {url}\r\n"
+    h += "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+    h += extra
+    h += f"Content-Length: {len(block)}\r\n\r\n"
+    return h.encode() + block + b"\r\n\r\n"
+
+
+def _http_response(body: bytes, status: int = 200, ctype: str = "text/html") -> bytes:
+    return (
+        f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+
+
+def make_warc() -> bytes:
+    return (
+        _record(
+            "warcinfo", None, b"software: test\r\n",
+            extra="Content-Type: application/warc-fields\r\n",
+        )
+        + _record(
+            "request", "http://a.example/page",
+            b"GET /page HTTP/1.1\r\nHost: a.example\r\n\r\n",
+            extra="Content-Type: application/http;msgtype=request\r\n",
+        )
+        + _record(
+            "response", "http://a.example/page", _http_response(HTML_A),
+            extra="Content-Type: application/http;msgtype=response\r\n",
+        )
+        + _record(
+            "response", "http://b.example/404",
+            _http_response(b"gone", status=404, ctype="text/plain"),
+            extra="Content-Type: application/http;msgtype=response\r\n",
+        )
+    )
+
+
+def make_warc_gz() -> bytes:
+    # per-record gzip members, the Common Crawl framing
+    recs = [
+        _record(
+            "response", "http://c.example/x",
+            _http_response(b"<p>hello</p><p>world</p>"),
+            extra="Content-Type: application/http;msgtype=response\r\n",
+        ),
+        _record(
+            "response", "http://d.example/y",
+            _http_response(b"\xff\xfebinary", ctype="image/png"),
+            extra="Content-Type: application/http;msgtype=response\r\n",
+        ),
+    ]
+    return b"".join(gzip.compress(r) for r in recs)
+
+
+def test_parse_warc_plain_splits_http_payload():
+    rows = parse_warc(make_warc())
+    assert [r["warc_type"] for r in rows] == [
+        "warcinfo", "request", "response", "response",
+    ]
+    resp = rows[2]
+    assert resp["url"] == "http://a.example/page"
+    assert resp["http_status"] == 200
+    assert resp["mime"] == "text/html"
+    assert resp["payload"] == HTML_A  # HTTP headers stripped, body exact
+    assert rows[3]["http_status"] == 404
+    assert rows[3]["mime"] == "text/plain"
+
+
+def test_parse_warc_gz_member_framing():
+    rows = parse_warc(make_warc_gz())
+    assert [r["url"] for r in rows] == ["http://c.example/x", "http://d.example/y"]
+    assert rows[0]["payload"] == b"<p>hello</p><p>world</p>"
+    assert rows[1]["mime"] == "image/png"
+    with pytest.raises(ValueError, match="gzip member"):
+        parse_warc(make_warc_gz()[:30])
+
+
+def test_html_to_text_rules():
+    txt = html_to_text(HTML_A.decode())
+    assert "var a=1" not in txt and "body{x}" not in txt  # script/style gone
+    assert "hidden" not in txt  # comments gone
+    assert "Maple & Fir" in txt  # entities decoded
+    # block tags break words apart; whitespace collapsed per line
+    assert "Ranges shift" in txt
+    assert "shiftnorth" not in txt.replace("\n", " ")
+    assert "shift\nnorth" in txt  # block boundary became a line break
+    assert html_to_text(None) is None
+    assert html_to_text("<br>") == ""
+
+
+def test_read_warc_spark_lane_and_error_channel(spark, tmp_path):
+    (tmp_path / "a.warc").write_bytes(make_warc())
+    (tmp_path / "b.warc.gz").write_bytes(make_warc_gz())
+    (tmp_path / "c.warc.gz").write_bytes(b"\x1f\x8b" + b"\x00" * 16)  # corrupt
+    df = read_warc(spark, str(tmp_path)).cache()
+    ok = df.where("error IS NULL")
+    assert ok.count() == 6
+    assert ok.where("warc_type = 'response'").count() == 4
+    bad = df.where("error IS NOT NULL").collect()
+    assert len(bad) == 1 and "c.warc.gz" in bad[0]["path"]
+    body = ok.where("url = 'http://a.example/page' AND warc_type = 'response'").first()
+    assert bytes(body["payload"]) == HTML_A
+    df.unpersist()
+
+
+def test_warc_to_documents_composition(spark, tmp_path):
+    """WARC -> documents-shaped table: only 200 text/html responses
+    survive, text is extracted, doc_id is the stable URL hash."""
+    (tmp_path / "a.warc").write_bytes(make_warc())
+    (tmp_path / "b.warc.gz").write_bytes(make_warc_gz())
+    docs = warc_responses_to_documents(read_warc(spark, str(tmp_path)))
+    rows = {r.url: r for r in docs.collect()}
+    # 404 and image/png filtered out; 2 html pages remain
+    assert set(rows) == {"http://a.example/page", "http://c.example/x"}
+    assert "Maple & Fir" in rows["http://a.example/page"].text
+    assert rows["http://c.example/x"].text == "hello\nworld"
+    assert all(r.doc_id is not None for r in rows.values())
+    # doc_id stable across re-reads
+    again = {r.url: r.doc_id for r in
+             warc_responses_to_documents(read_warc(spark, str(tmp_path))).collect()}
+    assert again == {u: r.doc_id for u, r in rows.items()}
