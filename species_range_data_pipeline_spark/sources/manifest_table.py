@@ -481,6 +481,7 @@ def write_manifest_table(
         path, commit_id, version=current + 1,
         files=files, schema_json=schema_json, stats=stats, blooms=blooms,
         txn=txn, rows=rows, nulls=nulls,
+        operation="create" if current < 0 else mode,
     )
 
 
@@ -488,6 +489,7 @@ def _publish_manifest(
     path: str, commit_id: str, version: int, files: list[str],
     schema_json: str, stats: dict, blooms: dict, txn: int | None,
     rows: dict | None = None, nulls: dict | None = None,
+    operation: str = "append",
 ) -> int:
     """Atomic manifest publish: tmp file + put-if-absent link.
 
@@ -500,6 +502,7 @@ def _publish_manifest(
     tmp = os.path.join(_manifest_path(path), f".tmp_{commit_id}")
     meta = {
         "version": version,
+        "operation": operation,
         "files": files,
         "schema": schema_json,
         "stats": stats,
@@ -559,7 +562,8 @@ def _file_row_count(fpath: str) -> int:
 
 
 def _rewrite_commit(
-    spark: SparkSession, path: str, meta: dict, removed: set[str], new_data: DataFrame
+    spark: SparkSession, path: str, meta: dict, removed: set[str],
+    new_data: DataFrame, operation: str = "rewrite",
 ) -> tuple[int, int]:
     """Shared copy-on-write commit tail for compaction/DELETE/MERGE:
     write ``new_data``, drop all-empty outputs, carry every live file not
@@ -597,6 +601,7 @@ def _rewrite_commit(
         path, commit_id, version=meta["version"] + 1,
         files=carried + new_files, schema_json=meta["schema"],
         stats=stats, blooms=blooms, txn=None, rows=rows, nulls=nulls,
+        operation=operation,
     )
     return version, len(carried)
 
@@ -628,7 +633,7 @@ def compact_manifest_table(
         return meta["version"], 0, len(meta["files"])
     schema = StructType.fromJson(json.loads(meta["schema"]))
     folded = spark.read.schema(schema).parquet(*small).coalesce(1)
-    version, carried = _rewrite_commit(spark, path, meta, set(small), folded)
+    version, carried = _rewrite_commit(spark, path, meta, set(small), folded, "compact")
     return version, len(small), carried
 
 
@@ -665,7 +670,7 @@ def delete_where(
         spark.read.schema(schema).parquet(*sorted(affected))
         .where(~F.coalesce(_filters_to_predicate(filters), F.lit(False)))
     )
-    version, carried = _rewrite_commit(spark, path, meta, affected, survivors)
+    version, carried = _rewrite_commit(spark, path, meta, affected, survivors, "delete")
     return version, len(affected), carried
 
 
@@ -713,7 +718,7 @@ def update_where(
             for c, fld in zip(schema.names, schema.fields)
         ]
     )
-    version, carried = _rewrite_commit(spark, path, meta, affected, updated)
+    version, carried = _rewrite_commit(spark, path, meta, affected, updated, "update")
     return version, len(affected), carried
 
 
@@ -802,7 +807,7 @@ def upsert_into(
     else:
         new_data = src
     version, carried = _rewrite_commit(
-        spark, path, meta, set(affected), new_data
+        spark, path, meta, set(affected), new_data, "merge"
     )
     return version, len(affected), carried
 
@@ -944,6 +949,47 @@ def read_version_delta(
     if not added:
         raise ValueError(f"no files added between v{from_version} and v{to_v}")
     return spark.read.parquet(*added)
+
+
+def table_history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY for the manifest table: one row per committed
+    version — (version, operation, n_files, n_rows, files_added,
+    files_removed, txn).  Pure metadata (manifest JSONs only, no data
+    files opened); row counts come from the per-file counts the commits
+    recorded (null for pre-rows manifests rather than a table scan).
+    Manifests written before operations were recorded infer one from the
+    file-set diff (append / overwrite / rewrite)."""
+    rows = []
+    prev_files: set[str] = set()
+    for v in table_versions(path):
+        meta = _load_meta(path, v)
+        files = meta["files"]
+        added = [f for f in files if f not in prev_files]
+        removed = prev_files - set(files)
+        op = meta.get("operation")
+        if op is None:  # pre-operation manifest: infer from the diff
+            if not prev_files and v == 0:
+                op = "create"
+            elif removed and added:
+                op = "overwrite" if not (prev_files & set(files)) else "rewrite"
+            elif removed:
+                op = "rewrite"
+            else:
+                op = "append"
+        known = meta.get("rows", {})
+        n_rows = (
+            sum(known[f] for f in files) if all(f in known for f in files) else None
+        )
+        rows.append(
+            (v, op, len(files), n_rows, len(added), len(removed),
+             meta.get("txn", -1))
+        )
+        prev_files = set(files)
+    return spark.createDataFrame(
+        rows,
+        "version int, operation string, n_files int, n_rows long, "
+        "files_added int, files_removed int, txn long",
+    )
 
 
 def read_changes(

@@ -1083,3 +1083,37 @@ def test_manifest_change_feed_replays_to_snapshot(spark, tmp_path):
             replay[k] = replay.get(k, 0) - 1
     replay = {k: n for k, n in replay.items() if n != 0}
     assert replay == counts(snap_last)
+
+
+def test_manifest_table_history(spark, tmp_path):
+    """table_history reports one metadata-only row per version with the
+    RECORDED operation of each commit and exact row counts."""
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        compact_manifest_table,
+        delete_where,
+        table_history,
+        update_where,
+        upsert_into,
+        write_manifest_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_manifest_table(spark.range(0, 100).selectExpr("id").coalesce(1), path)
+    write_manifest_table(spark.range(100, 150).selectExpr("id").coalesce(1), path)
+    delete_where(spark, path, [("id", "<", 10)])
+    update_where(spark, path, [("id", "=", 50)], {"id": "5000"})
+    upsert_into(spark, path, spark.range(140, 160).selectExpr("id"), "id")
+    write_manifest_table(spark.range(200, 210).selectExpr("id").coalesce(1), path,
+                         mode="overwrite")
+    compact_manifest_table(spark, path, min_rows_per_file=100)  # no-op: 1 file
+
+    h = {r.version: r for r in table_history(spark, path).collect()}
+    assert [h[v].operation for v in sorted(h)] == [
+        "create", "append", "delete", "update", "merge", "overwrite",
+    ]
+    assert h[0].n_rows == 100 and h[1].n_rows == 150
+    assert h[2].n_rows == 140  # 10 deleted
+    assert h[3].n_rows == 140  # update preserves count
+    assert h[4].n_rows == 150  # merge: 10 updates + 10 inserts
+    assert h[5].n_rows == 10 and h[5].files_removed > 0
+    assert all(r.n_files >= 1 for r in h.values())
