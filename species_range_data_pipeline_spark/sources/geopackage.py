@@ -141,6 +141,14 @@ def parse_gpkg(content: bytes) -> list[tuple[str, int, bytes | None, dict]]:
                 f'SELECT rowid, {sel} FROM "{table}" ORDER BY rowid'
             ):
                 rowid, gblob = row[0], row[1]
+                # SQLite is dynamically typed: a hostile file can put an
+                # integer where the blob belongs, and bytes(big_int)
+                # ALLOCATES that many zero bytes — type-check, never coerce
+                if gblob is not None and not isinstance(gblob, (bytes, bytearray)):
+                    raise ValueError(
+                        f"geometry column of {table!r} holds "
+                        f"{type(gblob).__name__}, not a blob"
+                    )
                 wkb = (
                     parse_gpkg_blob(bytes(gblob)) if gblob is not None else None
                 )

@@ -55,16 +55,27 @@ WARC_SCHEMA = T.StructType(
 )
 
 
+#: one decompressed WARC record larger than this is a decompression bomb,
+#: not a crawl artifact (Common Crawl caps payloads far below it)
+_MAX_MEMBER_BYTES = 1 << 30
+
+
 def _gunzip_members(content: bytes) -> Iterator[bytes]:
     """Decode concatenated gzip members one at a time (the .warc.gz record
-    framing).  Raises ``ValueError`` on a corrupt member."""
+    framing).  Raises ``ValueError`` on a corrupt member or a member that
+    expands past the bomb cap."""
     off = 0
     while off < len(content):
         d = zlib.decompressobj(wbits=31)
         try:
-            chunk = d.decompress(content[off:])
+            chunk = d.decompress(content[off:], _MAX_MEMBER_BYTES)
         except zlib.error as exc:
             raise ValueError(f"corrupt gzip member at byte {off}: {exc}") from exc
+        if d.unconsumed_tail:
+            raise ValueError(
+                f"gzip member at byte {off} expands beyond "
+                f"{_MAX_MEMBER_BYTES} bytes (decompression bomb)"
+            )
         if not d.eof:
             raise ValueError(f"truncated gzip member at byte {off}")
         yield chunk
@@ -159,6 +170,8 @@ def _split_uncompressed(content: bytes) -> list[bytes]:
         header_len = len(content) - nxt - len(rest)
         length = int(headers.get("content-length", 0))
         end = nxt + header_len + length
+        if length < 0 or end <= nxt:  # a negative length would loop forever
+            raise ValueError(f"record at byte {nxt} declares length {length}")
         records.append(content[nxt:end])
         off = end
     return records

@@ -153,3 +153,75 @@ def test_lzw_decoder_rejects_garbage_codes_and_bounds_output():
             assert len(out) <= 4096
         except ValueError:
             pass
+
+
+def test_warc_and_gpkg_survive_fuzz(tmp_path):
+    """The r4 lanes honor the same contract: truncations and bit flips of
+    valid WARC (plain + gzip) and GeoPackage inputs raise ValueError /
+    NotImplementedError or succeed — never another exception type, a
+    hang, or an attacker-sized allocation."""
+    import gzip
+
+    from species_range_data_pipeline_spark.functions.wkb import encode_polygon
+    from species_range_data_pipeline_spark.sources.geopackage import (
+        encode_gpkg_blob,
+        parse_gpkg,
+        parse_gpkg_blob,
+        write_geopackage,
+    )
+    from species_range_data_pipeline_spark.sources.warc import parse_warc
+
+    body = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>x</p>"
+    rec = (
+        f"WARC/1.0\r\nWARC-Type: response\r\n"
+        f"WARC-Target-URI: http://e.x/\r\nContent-Length: {len(body)}\r\n\r\n"
+    ).encode() + body + b"\r\n\r\n"
+    ring = [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0)]
+    write_geopackage([(encode_polygon([ring]), {"a": "1"})], str(tmp_path / "f.gpkg"))
+    blobs = [
+        (parse_warc, rec * 2),
+        (parse_warc, b"".join(gzip.compress(r) for r in (rec, rec))),
+        (parse_gpkg_blob, encode_gpkg_blob(encode_polygon([ring]))),
+        (parse_gpkg, (tmp_path / "f.gpkg").read_bytes()),
+    ]
+    rng = random.Random(4321)
+    for parse, blob in blobs:
+        parse(blob)  # the valid form must parse
+        for _ in range(120):
+            trunc = blob[: rng.randrange(len(blob))]
+            try:
+                parse(trunc)
+            except (ValueError, NotImplementedError):
+                pass
+            flipped = bytearray(blob)
+            for _ in range(rng.randrange(1, 6)):
+                flipped[rng.randrange(len(flipped))] = rng.randrange(256)
+            try:
+                parse(bytes(flipped))
+            except (ValueError, NotImplementedError):
+                pass
+
+
+def test_warc_hostile_counts_fail_fast():
+    """Negative declared lengths and decompression bombs are rejected by
+    arithmetic, not by looping or allocating through them."""
+    import gzip
+
+    from species_range_data_pipeline_spark.sources.warc import parse_warc
+
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: -50\r\n\r\nx\r\n\r\n"
+        b"WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: 1\r\n\r\ny\r\n\r\n"
+    )
+    with pytest.raises(ValueError, match="length"):
+        parse_warc(bad)
+
+    # a ~1 MB gzip member that expands past the 1 GiB cap — built
+    # streaming so the TEST never holds the expanded form either
+    import zlib as _zlib
+
+    c = _zlib.compressobj(9, _zlib.DEFLATED, 31)
+    parts = [c.compress(b"\x00" * (1 << 22)) for _ in range(300)]
+    bomb = b"".join(parts) + c.flush()
+    with pytest.raises(ValueError, match="bomb"):
+        parse_warc(bomb)
