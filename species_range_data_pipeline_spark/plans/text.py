@@ -1152,8 +1152,95 @@ ORDER BY doc_id
 """
 
 
+def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-corpus exact-substring screening: per doc, how many of its
+    6-token windows also occur in ANOTHER doc — the signal behind
+    substring-level dedup (Lee et al. 2022's "Deduplicating Training Data
+    Makes Language Models Better": C4/RefinedWeb cut repeated spans, not
+    just whole near-dup docs).  This query is the detection half; the
+    spans it flags are what a cut pass would remove.
+
+    Same hashed-gram discipline as ``text_decontaminate`` (SCALE.md rule
+    13): each window becomes a VARIADIC ``xxhash64`` in the scan stage —
+    the gram string is never built, the corpus-wide gram table shuffles
+    8-byte keys.  ``count(DISTINCT doc_id) >= 2`` marks shared grams, one
+    equi-join back attributes them, and docs with no shared window keep a
+    zero row via the left join.  Counts are hash-exact short of a 64-bit
+    collision; the oracle computes the identical counts over the raw gram
+    strings, so the comparison also re-proves the hash preserved equality
+    semantics on this corpus.
+    """
+    W = 6
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens().alias("t"))
+    args = ",".join(f"t[i{'+' + str(j - 1) if j else '-1'}]" for j in range(W))
+    grams = (
+        toks.where(F.size("t") >= W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"transform(sequence(1, size(t)-{W - 1}), i -> xxhash64({args}))")
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    per_doc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    shared = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))  # (doc, gram) is distinct already
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    dup_per_doc = (
+        grams.join(shared, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    return (
+        per_doc.join(dup_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.round(
+                F.coalesce("n_dup_windows", F.lit(0)) / F.col("n_windows"), 4
+            ).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_REPEATED_NGRAMS_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+    FROM documents
+), idx AS (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 5)) AS i
+    FROM toks WHERE len(t) >= 6
+), g AS (
+    SELECT DISTINCT doc_id, array_to_string(array_slice(t, i, i + 5), ' ') AS gram
+    FROM idx
+), per_doc AS (
+    SELECT doc_id, count(*) AS n_windows FROM g GROUP BY 1
+), shared AS (
+    SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+), dup_per_doc AS (
+    SELECT doc_id, count(*) AS n_dup_windows
+    FROM g JOIN shared USING (gram) GROUP BY 1
+)
+SELECT p.doc_id, p.n_windows,
+       coalesce(d.n_dup_windows, 0) AS n_dup_windows,
+       round(coalesce(d.n_dup_windows, 0) / CAST(p.n_windows AS DOUBLE), 4)
+           AS dup_ratio
+FROM per_doc p LEFT JOIN dup_per_doc d ON p.doc_id = d.doc_id
+ORDER BY p.doc_id
+"""
+
+
 QUERIES = {
     "text_decontaminate": text_decontaminate,
+    "dedup_repeated_ngrams": dedup_repeated_ngrams,
     "text_repetition": text_repetition,
     "text_perplexity": text_perplexity,
     "text_token_count": text_token_count,
@@ -1175,6 +1262,7 @@ QUERIES = {
 
 ORACLES = {
     "text_decontaminate": TEXT_DECONTAMINATE_ORACLE,
+    "dedup_repeated_ngrams": DEDUP_REPEATED_NGRAMS_ORACLE,
     "text_repetition": TEXT_REPETITION_ORACLE,
     "text_perplexity": TEXT_PERPLEXITY_ORACLE,
     "text_token_count": TEXT_TOKEN_COUNT_ORACLE,

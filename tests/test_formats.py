@@ -1117,3 +1117,66 @@ def test_manifest_table_history(spark, tmp_path):
     assert h[4].n_rows == 150  # merge: 10 updates + 10 inserts
     assert h[5].n_rows == 10 and h[5].files_removed > 0
     assert all(r.n_files >= 1 for r in h.values())
+
+
+def test_incremental_mv_from_change_feed(spark, tmp_path):
+    """MV maintained from read_changes equals a from-scratch recompute
+    after an arbitrary DML sequence — including a group whose count hits
+    zero (it must LEAVE the view)."""
+    from species_range_data_pipeline_spark.operators.incremental_mv import (
+        aggregate_mv,
+        apply_changes_to_mv,
+    )
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        delete_where,
+        read_changes,
+        read_manifest_table,
+        table_versions,
+        update_where,
+        upsert_into,
+        write_manifest_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_manifest_table(
+        spark.range(0, 300).selectExpr("id", "id % 5 AS g", "id AS v").coalesce(2),
+        path,
+    )
+    keys, measures = ["g"], ["v"]
+    mv = aggregate_mv(read_manifest_table(spark, path), keys, measures)
+    mv_rows = mv.collect()
+    v0 = table_versions(path)[-1]
+
+    write_manifest_table(
+        spark.range(300, 360).selectExpr("id", "id % 5 AS g", "id AS v").coalesce(1),
+        path,
+    )
+    delete_where(spark, path, [("g", "=", 3)])  # group 3 empties entirely
+    v_del = table_versions(path)[-1]
+    update_where(spark, path, [("g", "=", 1)], {"v": "v * 10"})
+    upsert_into(
+        spark, path,
+        spark.range(100, 120).selectExpr("id", "id % 5 AS g", "CAST(7 AS long) AS v"),
+        "id",
+    )
+
+    mv0 = spark.createDataFrame(mv_rows, mv.schema)
+    refreshed = apply_changes_to_mv(
+        mv0, read_changes(spark, path, from_version=v0), keys, measures
+    )
+    full = aggregate_mv(read_manifest_table(spark, path), keys, measures)
+
+    as_map = lambda df: {r.g: (r.n_rows, r.sum_v) for r in df.collect()}
+    got, want = as_map(refreshed), as_map(full)
+    assert got == want
+    assert 3 in got  # the upsert repopulated group 3 (ids 103..118)
+
+    # at the point the DELETE landed, group 3 must have LEFT the view —
+    # the part naive add-only refreshes get wrong
+    mid = apply_changes_to_mv(
+        mv0,
+        read_changes(spark, path, from_version=v0, to_version=v_del),
+        keys,
+        measures,
+    )
+    assert 3 not in as_map(mid)
