@@ -42,6 +42,11 @@ from pyspark.sql import DataFrame, SparkSession
 _MANIFEST_DIR = "_manifest"
 
 
+class _CommitConflict(RuntimeError):
+    """Lost the put-if-absent race for a version; append paths retry,
+    DML rewrite paths surface it (the caller must re-plan)."""
+
+
 def _manifest_path(path: str) -> str:
     return os.path.join(path, _MANIFEST_DIR)
 
@@ -403,12 +408,53 @@ def table_schema(path: str, version: int | None = None):
     return StructType.fromJson(json.loads(_load_meta(path, version)["schema"]))
 
 
+def _constraint_violations(
+    spark: SparkSession, files: list[str], schema, constraints: dict[str, str]
+) -> dict[str, int]:
+    """Per-constraint violation counts over ``files`` — ONE scan for all
+    constraints.  SQL-standard CHECK semantics: a row violates only when
+    the expression is FALSE (NULL passes)."""
+    if not files or not constraints:
+        return {}
+    from pyspark.sql import functions as F
+
+    df = spark.read.schema(schema).parquet(*files)
+    aggs = [
+        F.count(
+            F.when(F.coalesce(F.expr(e), F.lit(True)) == F.lit(False), 1)
+        ).alias(name)
+        for name, e in constraints.items()
+    ]
+    row = df.agg(*aggs).first()
+    return {n: int(row[n]) for n in constraints if row[n]}
+
+
+def _enforce_constraints(
+    spark: SparkSession, files: list[str], schema, constraints: dict[str, str],
+    staged_dir: str,
+) -> None:
+    """Validate freshly-landed files BEFORE they can be published; on
+    violation the staging dir is removed and the commit refused — no
+    version is ever created that breaks a table constraint."""
+    bad = _constraint_violations(spark, files, schema, constraints)
+    if bad:
+        import shutil
+
+        shutil.rmtree(staged_dir, ignore_errors=True)
+        detail = ", ".join(
+            f"{n!r} ({c} rows, CHECK {constraints[n]})" for n, c in bad.items()
+        )
+        raise ValueError(f"commit violates table constraints: {detail}")
+
+
 def write_manifest_table(
     df: DataFrame,
     path: str,
     mode: str = "append",
     txn: int | None = None,
     index_columns: list[str] | None = None,
+    constraints: dict[str, str] | None = None,
+    max_retries: int = 5,
 ) -> int:
     """Commit ``df`` to the manifest table at ``path``; returns the new
     version number.
@@ -423,6 +469,22 @@ def write_manifest_table(
     lookup complement to zone maps for high-cardinality unsorted columns
     (Delta's bloom filter index / Iceberg's puffin shape).  Building one
     re-reads just that column of the new files; zone maps stay free.
+
+    ``constraints`` ({name: SQL boolean expr}) declares CHECK constraints
+    at table creation (or replaces them with an overwrite); appends
+    inherit the recorded set and may not change it.  EVERY commit —
+    append, overwrite, and the DML rewrites — validates the files it
+    lands against the table's constraints in one scan of the NEW data
+    only, and refuses to publish a violating version (Delta's CHECK
+    enforcement; NULL passes, per the SQL standard).
+
+    **Optimistic concurrency**: losing the put-if-absent race no longer
+    raises — appends commute, so the composition step re-reads the
+    winner's manifest and retries against it (up to ``max_retries``;
+    overwrite retries as last-writer-wins).  DML rewrites deliberately
+    do NOT auto-retry: their file-level read set was chosen against the
+    old snapshot, so the caller must re-plan (the Delta/Iceberg
+    write-conflict rule).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError("mode must be append or overwrite")
@@ -439,50 +501,81 @@ def write_manifest_table(
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     )
-    # 2. compose the next live set; zone maps come from the footers of the
-    #    files just written (no data re-scan) plus the carried-over stats
-    #    of surviving files from the previous manifest
-    versions = table_versions(path)
-    current = versions[-1] if versions else -1
-    stats = {f: _file_stats(f) for f in new_files}
-    rows = {f: _file_row_count(f) for f in new_files}
-    nulls = {f: _file_null_counts(f) for f in new_files}
-    blooms = (
+    # per-file metadata depends only on the new files: computed ONCE,
+    # reused across concurrency retries
+    stats_new = {f: _file_stats(f) for f in new_files}
+    rows_new = {f: _file_row_count(f) for f in new_files}
+    nulls_new = {f: _file_null_counts(f) for f in new_files}
+    blooms_new = (
         {f: _file_blooms(f, index_columns) for f in new_files}
         if index_columns
         else {}
     )
-    schema_json = df.schema.json()
-    if mode == "overwrite" or current < 0:
-        files = new_files
-    else:
-        with open(
-            os.path.join(_manifest_path(path), f"v{current}.json")
-        ) as fh:
-            prev = json.load(fh)
-        files = prev["files"] + new_files
-        live = set(files)
-        stats.update(
-            {f: s for f, s in prev.get("stats", {}).items() if f in live}
-        )
-        rows.update(
-            {f: r for f, r in prev.get("rows", {}).items() if f in live}
-        )
-        nulls.update(
-            {f: n for f, n in prev.get("nulls", {}).items() if f in live}
-        )
-        carried = {
-            f: b for f, b in prev.get("blooms", {}).items() if f in live
-        }
-        carried.update(blooms)
-        blooms = carried
-        schema_json = _merge_schema_json(prev["schema"], df.schema)
-    return _publish_manifest(
-        path, commit_id, version=current + 1,
-        files=files, schema_json=schema_json, stats=stats, blooms=blooms,
-        txn=txn, rows=rows, nulls=nulls,
-        operation="create" if current < 0 else mode,
-    )
+    validated = False
+    last_err: Exception | None = None
+    for _ in range(max_retries):
+        # 2. compose the next live set against the CURRENT manifest; zone
+        #    maps come from the footers of the files just written (no data
+        #    re-scan) plus the carried-over stats of surviving files
+        versions = table_versions(path)
+        current = versions[-1] if versions else -1
+        stats = dict(stats_new)
+        rows = dict(rows_new)
+        nulls = dict(nulls_new)
+        blooms = dict(blooms_new)
+        schema_json = df.schema.json()
+        prev_constraints: dict[str, str] = {}
+        if current >= 0:
+            with open(
+                os.path.join(_manifest_path(path), f"v{current}.json")
+            ) as fh:
+                prev = json.load(fh)
+            prev_constraints = prev.get("constraints", {})
+        if mode == "overwrite" or current < 0:
+            files = new_files
+            effective = constraints if constraints is not None else prev_constraints
+        else:
+            if constraints is not None and constraints != prev_constraints:
+                raise ValueError(
+                    "constraints are set at create/overwrite; an append "
+                    "cannot change the recorded set"
+                )
+            effective = prev_constraints
+            files = prev["files"] + new_files
+            live = set(files)
+            stats.update(
+                {f: s for f, s in prev.get("stats", {}).items() if f in live}
+            )
+            rows.update(
+                {f: r for f, r in prev.get("rows", {}).items() if f in live}
+            )
+            nulls.update(
+                {f: n for f, n in prev.get("nulls", {}).items() if f in live}
+            )
+            carried = {
+                f: b for f, b in prev.get("blooms", {}).items() if f in live
+            }
+            carried.update(blooms)
+            blooms = carried
+            schema_json = _merge_schema_json(prev["schema"], df.schema)
+        if effective and not validated:
+            _enforce_constraints(
+                df.sparkSession, new_files, df.schema, effective, data_dir
+            )
+            validated = True  # constraints cannot change under a retry
+        try:
+            return _publish_manifest(
+                path, commit_id, version=current + 1,
+                files=files, schema_json=schema_json, stats=stats,
+                blooms=blooms, txn=txn, rows=rows, nulls=nulls,
+                operation="create" if current < 0 else mode,
+                constraints=effective,
+            )
+        except _CommitConflict as exc:
+            last_err = exc  # a concurrent writer won this version: recompose
+    raise RuntimeError(
+        f"commit to {path} lost {max_retries} concurrency races"
+    ) from last_err
 
 
 def _publish_manifest(
@@ -490,6 +583,7 @@ def _publish_manifest(
     schema_json: str, stats: dict, blooms: dict, txn: int | None,
     rows: dict | None = None, nulls: dict | None = None,
     operation: str = "append",
+    constraints: dict[str, str] | None = None,
 ) -> int:
     """Atomic manifest publish: tmp file + put-if-absent link.
 
@@ -513,6 +607,8 @@ def _publish_manifest(
         meta["rows"] = rows
     if nulls:
         meta["nulls"] = nulls
+    if constraints:
+        meta["constraints"] = constraints
     meta["txn"] = txn if txn is not None else last_committed_txn(path)
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
@@ -521,7 +617,9 @@ def _publish_manifest(
         os.link(tmp, final)
     except FileExistsError:
         os.remove(tmp)
-        raise RuntimeError(f"concurrent commit for v{version}; retry") from None
+        raise _CommitConflict(
+            f"concurrent commit for v{version}; retry"
+        ) from None
     os.remove(tmp)
     return version
 
@@ -584,6 +682,14 @@ def _rewrite_commit(
         )
         if _file_row_count(f) > 0
     ]
+    constraints = meta.get("constraints", {})
+    if constraints:
+        from pyspark.sql.types import StructType as _ST
+
+        _enforce_constraints(
+            spark, new_files, _ST.fromJson(json.loads(meta["schema"])),
+            constraints, data_dir,
+        )
     carried = [f for f in meta["files"] if f not in removed]
     index_cols = sorted(
         {c for b in meta.get("blooms", {}).values() for c in b}
@@ -601,7 +707,7 @@ def _rewrite_commit(
         path, commit_id, version=meta["version"] + 1,
         files=carried + new_files, schema_json=meta["schema"],
         stats=stats, blooms=blooms, txn=None, rows=rows, nulls=nulls,
-        operation=operation,
+        operation=operation, constraints=constraints or None,
     )
     return version, len(carried)
 

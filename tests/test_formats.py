@@ -332,9 +332,9 @@ def test_manifest_vacuum_removes_orphans_keeps_live(spark, tmp_path):
 
 
 def test_manifest_concurrent_commit_loses_cleanly(spark, tmp_path, monkeypatch):
-    """A writer holding a STALE view of the version log (another writer
-    committed meanwhile) must raise instead of clobbering the newer
-    manifest, leaving all committed state intact."""
+    """A writer whose view of the version log NEVER catches up (the
+    pathological race) exhausts its retries and raises — without ever
+    clobbering the winner's manifest or committing partial state."""
     from species_range_data_pipeline_spark.sources import manifest_table as mt
 
     path = str(tmp_path / "tbl")
@@ -344,12 +344,107 @@ def test_manifest_concurrent_commit_loses_cleanly(spark, tmp_path, monkeypatch):
     real = mt.table_versions
     monkeypatch.setattr(mt, "table_versions", lambda p: [0])  # stale: unaware of v1
     try:
-        with pytest.raises(RuntimeError, match="concurrent"):
+        with pytest.raises(RuntimeError, match="concurrency races"):
             mt.write_manifest_table(spark.range(99, 100).selectExpr("id"), path)
     finally:
         monkeypatch.setattr(mt, "table_versions", real)
     assert mt.read_manifest_table(spark, path).count() == 30  # v1 untouched
     assert mt.table_versions(path) == [0, 1]
+
+
+def test_manifest_append_retries_past_one_race(spark, tmp_path, monkeypatch):
+    """Losing ONE put-if-absent race recomposes against the winner's
+    manifest and succeeds: both appends' rows are in the final version
+    (append-append always commutes — the Delta conflict rule)."""
+    from species_range_data_pipeline_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    mt.write_manifest_table(spark.range(0, 10).selectExpr("id"), path)
+    mt.write_manifest_table(spark.range(10, 30).selectExpr("id"), path)  # v1
+
+    real = mt.table_versions
+    calls = {"n": 0}
+
+    def stale_once(p):
+        calls["n"] += 1
+        return [0] if calls["n"] == 1 else real(p)
+
+    monkeypatch.setattr(mt, "table_versions", stale_once)
+    v = mt.write_manifest_table(spark.range(100, 105).selectExpr("id"), path)
+    monkeypatch.setattr(mt, "table_versions", real)
+    assert v == 2
+    assert mt.read_manifest_table(spark, path).count() == 35  # 30 + 5
+    assert sorted(r.id for r in mt.read_manifest_table(spark, path)
+                  .where("id >= 100").collect()) == [100, 101, 102, 103, 104]
+
+
+def test_manifest_check_constraints_enforced(spark, tmp_path):
+    """CHECK constraints: declared at create, inherited by appends,
+    enforced on every commit (append AND DML rewrite) against the NEW
+    files only; a violating commit is refused with no version published
+    and its staged files removed; NULL passes per the SQL standard."""
+    import glob
+
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        read_manifest_table,
+        table_versions,
+        update_where,
+        write_manifest_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    cons = {"v_nonneg": "v >= 0", "g_known": "g IN ('a', 'b')"}
+    write_manifest_table(
+        spark.range(0, 50).selectExpr(
+            "id", "CAST(id AS long) AS v", "IF(id % 2 = 0, 'a', 'b') AS g"
+        ).coalesce(1),
+        path,
+        constraints=cons,
+    )
+    # conforming append (with a NULL in a checked column: passes)
+    write_manifest_table(
+        spark.range(50, 60).selectExpr(
+            "id", "IF(id = 55, NULL, CAST(id AS long)) AS v", "'a' AS g"
+        ).coalesce(1),
+        path,
+    )
+    assert read_manifest_table(spark, path).count() == 60
+
+    # violating append: refused, no new version, staging cleaned up
+    with pytest.raises(ValueError, match="v_nonneg"):
+        write_manifest_table(
+            spark.range(60, 70).selectExpr(
+                "id", "CAST(-id AS long) AS v", "'b' AS g"
+            ).coalesce(1),
+            path,
+        )
+    assert table_versions(path) == [0, 1]
+    assert read_manifest_table(spark, path).count() == 60
+    live = set()
+    for f in glob.glob(str(tmp_path / "tbl" / "data_*" / "*.parquet")):
+        live.add(f)
+    # every staged file on disk belongs to a committed version
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        _live_files,
+    )
+
+    committed = set(_live_files(path, 0)) | set(_live_files(path, 1))
+    assert live == committed
+
+    # DML rewrite that would break a constraint: refused the same way
+    with pytest.raises(ValueError, match="g_known"):
+        update_where(spark, path, [("id", "<", 5)], {"g": "'zz'"})
+    assert table_versions(path) == [0, 1]
+
+    # appends cannot change the recorded constraint set
+    with pytest.raises(ValueError, match="cannot change"):
+        write_manifest_table(
+            spark.range(70, 71).selectExpr(
+                "id", "CAST(id AS long) AS v", "'a' AS g"
+            ),
+            path,
+            constraints={"other": "v < 10"},
+        )
 
 
 def test_manifest_zone_map_file_skipping(spark, tmp_path):
