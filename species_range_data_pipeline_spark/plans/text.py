@@ -19,7 +19,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -1238,9 +1238,128 @@ ORDER BY p.doc_id
 """
 
 
+def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUT half of substring-level dedup: rewrite each doc with every
+    corpus-duplicated 6-token span REMOVED (Lee et al. 2022 — C4/
+    RefinedWeb drop repeated spans, keeping the rest of the doc).
+
+    Plan: hashed 6-token windows (scan-stage VARIADIC xxhash64, SCALE.md
+    rule 13) -> grams seen in >= 2 docs -> join back to flag every start
+    position whose window is shared -> a per-doc ORDERED WINDOW marks the
+    covered token positions (a token at p is covered iff some flagged
+    start lies in [p-5, p]: ``max(flag) over rows 5 preceding``) ->
+    surviving tokens re-assemble with an order-pinned collect.  The only
+    wide operations are the gram shuffle (8-byte keys) and the per-doc
+    window; reassembly shuffles each doc once on its id.
+
+    Output is order-insensitive evidence: token counts before/after and
+    the md5 of the cleaned text — the oracle rebuilds the identical
+    string relationally, so the hash pins the whole rewrite byte-exact.
+    """
+    W = 6
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens().alias("t"))
+    args = ",".join(f"t[i{'+' + str(j - 1) if j else '-1'}]" for j in range(W))
+    # every window START (not distinct: each occurrence must be cut)
+    starts = toks.where(F.size("t") >= W).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"transform(sequence(1, size(t)-{W - 1}), i -> xxhash64({args}))")
+        ).alias("start", "gram"),
+    )
+    shared = (
+        starts.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    flags = starts.join(shared, "gram").select(
+        "doc_id", F.col("start").alias("fpos")
+    )
+    tokens = toks.select(
+        "doc_id", F.size("t").alias("n_tokens"), F.posexplode("t").alias("pos", "tok")
+    )
+    joined = tokens.join(
+        flags,
+        (tokens.doc_id == flags.doc_id) & (tokens.pos == flags.fpos),
+        "left",
+    ).select(tokens.doc_id, "n_tokens", "pos", "tok", "fpos")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(W - 1), Window.currentRow)
+    )
+    kept = joined.withColumn("cov", F.max("fpos").over(w)).where(
+        F.col("cov").isNull()
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("cleaned"),
+    )
+    return (
+        toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.md5(F.coalesce("cleaned", F.lit(""))).alias("cleaned_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_SUBSTRING_CUT_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+    FROM documents
+), starts AS (
+    SELECT doc_id, unnest(generate_series(1, len(t) - 5)) AS s, t
+    FROM toks WHERE len(t) >= 6
+), g AS (
+    SELECT doc_id, s, array_to_string(array_slice(t, s, s + 5), ' ') AS gram
+    FROM starts
+), shared AS (
+    SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+    GROUP BY gram HAVING count(*) >= 2
+), flags AS (
+    SELECT g.doc_id, g.s AS fpos FROM g JOIN shared USING (gram)
+), tokens AS (
+    SELECT doc_id, unnest(generate_series(1, len(t))) AS p, t
+    FROM toks
+), tok AS (
+    SELECT doc_id, p, t[p] AS tok FROM tokens
+), marked AS (
+    SELECT k.doc_id, k.p, k.tok,
+           max(f.fpos) OVER (PARTITION BY k.doc_id ORDER BY k.p
+                             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS cov
+    FROM tok k LEFT JOIN flags f ON f.doc_id = k.doc_id AND f.fpos = k.p
+), rebuilt AS (
+    SELECT doc_id, count(*) AS n_kept,
+           string_agg(tok, ' ' ORDER BY p) AS cleaned
+    FROM marked WHERE cov IS NULL GROUP BY doc_id
+)
+SELECT t.doc_id, len(t.t) AS n_tokens,
+       coalesce(r.n_kept, 0) AS n_kept,
+       md5(coalesce(r.cleaned, '')) AS cleaned_md5
+FROM toks t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+ORDER BY t.doc_id
+"""
+
+
 QUERIES = {
     "text_decontaminate": text_decontaminate,
     "dedup_repeated_ngrams": dedup_repeated_ngrams,
+    "dedup_substring_cut": dedup_substring_cut,
     "text_repetition": text_repetition,
     "text_perplexity": text_perplexity,
     "text_token_count": text_token_count,
@@ -1263,6 +1382,7 @@ QUERIES = {
 ORACLES = {
     "text_decontaminate": TEXT_DECONTAMINATE_ORACLE,
     "dedup_repeated_ngrams": DEDUP_REPEATED_NGRAMS_ORACLE,
+    "dedup_substring_cut": DEDUP_SUBSTRING_CUT_ORACLE,
     "text_repetition": TEXT_REPETITION_ORACLE,
     "text_perplexity": TEXT_PERPLEXITY_ORACLE,
     "text_token_count": TEXT_TOKEN_COUNT_ORACLE,
