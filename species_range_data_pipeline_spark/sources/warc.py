@@ -223,6 +223,7 @@ def warc_responses_to_documents(warc: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     from ..functions.html import html_to_text_udf
+    from ..functions.url import url_host, url_normalize, url_registered_domain
 
     return (
         warc.where(
@@ -234,6 +235,9 @@ def warc_responses_to_documents(warc: DataFrame) -> DataFrame:
         .select(
             F.xxhash64("url").alias("doc_id"),
             "url",
+            url_normalize(F.col("url")).alias("url_canonical"),
+            url_host(F.col("url")).alias("host"),
+            url_registered_domain(F.col("url")).alias("domain"),
             html_to_text_udf(
                 F.decode(F.col("payload"), "UTF-8")
             ).alias("text"),

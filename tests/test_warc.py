@@ -147,3 +147,45 @@ def test_warc_to_documents_composition(spark, tmp_path):
     again = {r.url: r.doc_id for r in
              warc_responses_to_documents(read_warc(spark, str(tmp_path))).collect()}
     assert again == {u: r.doc_id for u, r in rows.items()}
+
+
+def test_url_functions(spark):
+    """Host / registered-domain / canonicalization column functions."""
+    from pyspark.sql import functions as F
+
+    from species_range_data_pipeline_spark.functions.url import (
+        url_host,
+        url_normalize,
+        url_registered_domain,
+    )
+
+    cases = [
+        ("HTTP://WWW.Example.COM:80/Path/x#frag", "www.example.com",
+         "example.com", "http://www.example.com/Path/x"),
+        ("https://a.b.co.uk:443/?q=1&b=2", "a.b.co.uk",
+         "b.co.uk", "https://a.b.co.uk/?q=1&b=2"),
+        ("https://deep.sub.example.org:8443/p", "deep.sub.example.org",
+         "example.org", "https://deep.sub.example.org:8443/p"),
+        ("http://example.com", "example.com", "example.com",
+         "http://example.com/"),
+        ("http://user.github.io/proj", "user.github.io",
+         "user.github.io", "http://user.github.io/proj"),
+        ("not a url", None, None, None),
+    ]
+    df = spark.createDataFrame([(u,) for u, *_ in cases], "url string").select(
+        "url",
+        url_host(F.col("url")).alias("h"),
+        url_registered_domain(F.col("url")).alias("d"),
+        url_normalize(F.col("url")).alias("n"),
+    )
+    got = {r.url: (r.h, r.d, r.n) for r in df.collect()}
+    for u, h, d, n in cases:
+        assert got[u] == (h, d, n), (u, got[u], (h, d, n))
+
+
+def test_warc_documents_carry_url_columns(spark, tmp_path):
+    (tmp_path / "a.warc").write_bytes(make_warc())
+    docs = warc_responses_to_documents(read_warc(spark, str(tmp_path)))
+    r = docs.first()
+    assert r.host == "a.example" and r.domain == "a.example"
+    assert r.url_canonical == "http://a.example/page"
