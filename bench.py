@@ -59,6 +59,9 @@ HEADLINE = [
     "doc_pack_sequences",
     "corpus_pipeline_summary",
     "retrieval_rrf_fusion",
+    # substring-level dedup (detect + cut): hashed-gram shuffle, per-doc
+    # ordered window, order-pinned reassembly
+    "dedup_substring_cut",
 ]
 
 

@@ -513,3 +513,76 @@ def test_watermark_drops_too_late_events(spark, tmp_path):
 
     assert got.get(ws(T0)) == 1, got          # late event 3 NOT counted
     assert got.get(ws(T0 + 2 * 3600)) == 1, got  # event 4 counted
+
+
+def test_streaming_sink_to_streaming_source_chain(spark, event_dir, tmp_path):
+    """Table-to-table streaming composes: a streaming query commits each
+    microbatch to the manifest table (txn exactly-once sink) and a second
+    streaming query TAILS that table via the manifest_stream source —
+    the silver->gold hop of a medallion pipeline.  Gold ends up with
+    exactly the silver rows, and a late-arriving silver commit flows
+    through incrementally on the next gold run."""
+    from pyspark.sql import functions as F
+
+    from species_range_data_pipeline_spark.sources.manifest_stream import (
+        register_manifest_stream_source,
+    )
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        read_manifest_table,
+        table_versions,
+    )
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        write_stream_manifest,
+    )
+
+    register_manifest_stream_source(spark)
+    silver = str(tmp_path / "silver")
+    gold = str(tmp_path / "gold")
+
+    # silver: stateless transform of the event stream, one commit per
+    # microbatch (the fixture dir holds ONE file; split it so
+    # max_files_per_trigger=1 yields several commits)
+    split_dir = str(tmp_path / "events_split")
+    half = spark.read.parquet(event_dir)
+    half.where("event_id % 2 = 0").coalesce(1).write.parquet(split_dir)
+    half.where("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(split_dir)
+    enriched = read_event_stream(spark, split_dir).select(
+        "event_id", "event_type", (F.col("value") * 2).alias("v2")
+    )
+    q1 = write_stream_manifest(enriched, silver, str(tmp_path / "ck1"))
+    q1.processAllAvailable()
+    q1.stop()
+    assert len(table_versions(silver)) >= 2  # several microbatch commits
+
+    def run_gold():
+        q = (
+            spark.readStream.format("manifest_stream")
+            .option("path", silver)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", gold)
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_gold()
+    want = {r.event_id for r in read_manifest_table(spark, silver).collect()}
+    got = [r.event_id for r in spark.read.parquet(gold).collect()]
+    assert len(got) == len(want) and set(got) == want  # exactly once
+
+    # a late silver commit flows through on the next gold run, alone
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        write_manifest_table,
+    )
+
+    write_manifest_table(
+        spark.createDataFrame(
+            [(999_999_991, "late", 1.0)], "event_id long, event_type string, v2 double"
+        ),
+        silver,
+    )
+    run_gold()
+    got2 = [r.event_id for r in spark.read.parquet(gold).collect()]
+    assert len(got2) == len(got) + 1 and 999_999_991 in set(got2)
