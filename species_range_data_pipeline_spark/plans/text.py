@@ -1291,27 +1291,28 @@ def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos")
         .rowsBetween(-(W - 1), Window.currentRow)
     )
-    kept = joined.withColumn("cov", F.max("fpos").over(w)).where(
-        F.col("cov").isNull()
-    )
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda x: x["tok"],
-            ),
-        ).alias("cleaned"),
-    )
+    marked = joined.withColumn("cov", F.max("fpos").over(w))
+    # ONE conditional aggregation replaces (filter -> groupBy -> outer
+    # join back to the doc list): collect_list drops nulls, so the kept
+    # tokens ride a when(); docs losing every token keep their row with
+    # n_kept=0 and an empty string; and the groupBy(doc_id) reuses the
+    # window's partitioning — no exchange between the window and the
+    # rollup, and the whole final join (2 shuffles) is gone.
+    kept_tok = F.when(F.col("cov").isNull(), F.struct("pos", "tok"))
     return (
-        toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
-        .join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            F.md5(F.coalesce("cleaned", F.lit(""))).alias("cleaned_md5"),
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(kept_tok).alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_tok)),
+                        lambda x: x["tok"],
+                    ),
+                )
+            ).alias("cleaned_md5"),
         )
         .orderBy("doc_id")
     )
