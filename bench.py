@@ -103,12 +103,30 @@ def main() -> None:
     except ValueError:
         sf = tail
 
+    # The headline set GROWS across rounds (24 in r3 -> 28 now); the raw
+    # total is therefore not round-comparable.  Emit the r3-comparable
+    # subtotal alongside so a total-vs-total read does not mistake added
+    # coverage for a regression.
+    r3_set = {
+        "flagship_threshold_rollup", "q1_pricing_summary",
+        "q3_shipping_priority", "q5_region_volume", "q10_returned_revenue",
+        "window_topk_per_group", "agg_distinct", "agg_cube",
+        "join_anti_idempotent", "join_asof", "dedup_minhash_lsh",
+        "text_quality", "cosine_topk", "ev_sessionization",
+        "geo_dissolve_area", "q21_suppliers_kept_waiting", "merge_upsert",
+        "ev_gapfill", "basket_brand_pairs", "graph_pagerank",
+        "mv_incremental_refresh", "text_bigram_lm", "text_decontaminate",
+        "geo_spatial_join_bin",
+    }
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
+                "r3_comparable_total": round(
+                    sum(v for k, v in timings.items() if k in r3_set), 3
+                ),
                 "queries": timings,
                 "sf": sf,
             }
