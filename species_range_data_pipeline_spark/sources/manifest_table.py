@@ -594,9 +594,12 @@ def _publish_manifest(
     check-then-act window.  On object storage this is the put-if-absent
     half of Delta's LogStore contract."""
     tmp = os.path.join(_manifest_path(path), f".tmp_{commit_id}")
+    import time
+
     meta = {
         "version": version,
         "operation": operation,
+        "committed_at": time.time(),
         "files": files,
         "schema": schema_json,
         "stats": stats,
@@ -624,10 +627,35 @@ def _publish_manifest(
     return version
 
 
+def version_as_of(path: str, timestamp: float) -> int:
+    """TIMESTAMP AS OF resolution: the newest version committed at or
+    before ``timestamp`` (epoch seconds).  Commit times come from the
+    manifest's own ``committed_at`` field (pre-field manifests fall back
+    to the manifest file's mtime).  Raises if the table's first commit is
+    after the timestamp."""
+    best = None
+    for v in table_versions(path):
+        mf = os.path.join(_manifest_path(path), f"v{v}.json")
+        with open(mf) as fh:
+            t = json.load(fh).get("committed_at")
+        if t is None:
+            t = os.path.getmtime(mf)
+        if t <= timestamp:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no version of {path} existed at epoch {timestamp}"
+        )
+    return best
+
+
 def read_manifest_table(
-    spark: SparkSession, path: str, version: int | None = None, filters=None
+    spark: SparkSession, path: str, version: int | None = None, filters=None,
+    as_of: float | None = None,
 ) -> DataFrame:
-    """Read the table's snapshot at ``version`` (default: latest).
+    """Read the table's snapshot at ``version`` (default: latest), or — via
+    ``as_of`` (epoch seconds) — the snapshot current at that wall-clock
+    time (Delta's TIMESTAMP AS OF; mutually exclusive with ``version``).
 
     ``filters`` (``[(col, op, value), ...]``, AND) enables zone-map file
     skipping: files whose recorded [min, max] cannot satisfy the
@@ -641,6 +669,10 @@ def read_manifest_table(
     added yield nulls for it, deterministically."""
     from pyspark.sql.types import StructType
 
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of, not both")
+        version = version_as_of(path, as_of)
     meta = _load_meta(path, version)  # one parse serves scan + schema
     files = _scan_meta(meta, filters)
     schema = StructType.fromJson(json.loads(meta["schema"]))
@@ -1086,15 +1118,16 @@ def table_history(spark: SparkSession, path: str) -> DataFrame:
         n_rows = (
             sum(known[f] for f in files) if all(f in known for f in files) else None
         )
+        committed = meta.get("committed_at")
         rows.append(
-            (v, op, len(files), n_rows, len(added), len(removed),
+            (v, op, committed, len(files), n_rows, len(added), len(removed),
              meta.get("txn", -1))
         )
         prev_files = set(files)
     return spark.createDataFrame(
         rows,
-        "version int, operation string, n_files int, n_rows long, "
-        "files_added int, files_removed int, txn long",
+        "version int, operation string, committed_at double, n_files int, "
+        "n_rows long, files_added int, files_removed int, txn long",
     )
 
 
@@ -1239,4 +1272,55 @@ def write_stream_manifest(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .start()
+    )
+
+
+def register_manifest_view(
+    spark: SparkSession, name: str, path: str, version: int | None = None,
+    as_of: float | None = None,
+) -> DataFrame:
+    """Register the table's snapshot as a temp view so ``spark.sql`` can
+    reference it by name (the catalog sugar over ``read_manifest_table``;
+    version/as_of give SQL users time travel).  Returns the DataFrame."""
+    df = read_manifest_table(spark, path, version=version, as_of=as_of)
+    df.createOrReplaceTempView(name)
+    return df
+
+
+def clone_manifest_table(
+    spark: SparkSession, src: str, dest: str, version: int | None = None
+) -> int:
+    """DEEP CLONE: copy the snapshot's live data files and commit them as
+    version 0 of a NEW independent table at ``dest`` — backups, dev
+    copies, migration between storage roots.  Stats, blooms, constraints,
+    and recorded schema carry over verbatim (no re-harvest, no scan);
+    only the data files are copied.  The clone shares no state with the
+    source: vacuuming either never affects the other.
+    """
+    import shutil
+
+    meta = _load_meta(src, version)
+    if table_versions(dest):
+        raise ValueError(f"destination {dest} already holds a table")
+    os.makedirs(_manifest_path(dest), exist_ok=True)
+    commit_id = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(dest, f"data_{commit_id}")
+    os.makedirs(data_dir)
+    mapping: dict[str, str] = {}
+    for i, f in enumerate(meta["files"]):
+        new = os.path.join(data_dir, f"part-{i:05d}.parquet")
+        shutil.copyfile(f, new)
+        mapping[f] = new
+    remap = lambda d: {mapping[f]: v for f, v in d.items() if f in mapping}
+    return _publish_manifest(
+        dest, commit_id, version=0,
+        files=[mapping[f] for f in meta["files"]],
+        schema_json=meta["schema"],
+        stats=remap(meta.get("stats", {})),
+        blooms=remap(meta.get("blooms", {})),
+        txn=None,
+        rows=remap(meta.get("rows", {})),
+        nulls=remap(meta.get("nulls", {})),
+        operation="clone",
+        constraints=meta.get("constraints") or None,
     )

@@ -1275,3 +1275,73 @@ def test_incremental_mv_from_change_feed(spark, tmp_path):
         measures,
     )
     assert 3 not in as_map(mid)
+
+
+def test_manifest_timestamp_travel_views_and_clone(spark, tmp_path):
+    """TIMESTAMP AS OF resolves against recorded commit times; named view
+    registration gives spark.sql time travel; DEEP CLONE produces an
+    independent table with identical data, carried stats/blooms/
+    constraints, and no shared files."""
+    import time
+
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        clone_manifest_table,
+        manifest_scan_files,
+        read_manifest_table,
+        register_manifest_view,
+        table_history,
+        version_as_of,
+        write_manifest_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_manifest_table(
+        spark.range(0, 100).selectExpr("id", "concat('k', id) AS k").coalesce(1),
+        path, index_columns=["k"], constraints={"nonneg": "id >= 0"},
+    )
+    t_mid = time.time()
+    time.sleep(0.05)
+    write_manifest_table(
+        spark.range(100, 150).selectExpr("id", "concat('k', id) AS k").coalesce(1),
+        path,
+    )
+
+    # committed_at recorded and monotone in history
+    h = table_history(spark, path).collect()
+    assert all(r.committed_at is not None for r in h)
+    assert h[0].committed_at <= h[1].committed_at
+
+    assert version_as_of(path, t_mid) == 0
+    assert read_manifest_table(spark, path, as_of=t_mid).count() == 100
+    with pytest.raises(ValueError, match="no version"):
+        version_as_of(path, t_mid - 10_000)
+    with pytest.raises(ValueError, match="not both"):
+        read_manifest_table(spark, path, version=1, as_of=t_mid)
+
+    register_manifest_view(spark, "tbl_then", path, as_of=t_mid)
+    register_manifest_view(spark, "tbl_now", path)
+    counts = spark.sql(
+        "SELECT (SELECT count(*) FROM tbl_then) AS a, "
+        "(SELECT count(*) FROM tbl_now) AS b"
+    ).first()
+    assert (counts.a, counts.b) == (100, 150)
+
+    # deep clone of the HISTORICAL snapshot
+    dest = str(tmp_path / "clone")
+    v = clone_manifest_table(spark, path, dest, version=0)
+    assert v == 0
+    got = read_manifest_table(spark, dest)
+    assert got.count() == 100
+    # carried bloom index still prunes on the clone
+    assert len(manifest_scan_files(dest, filters=[("k", "=", "k7")])) == 1
+    # constraints carried: violating append refused on the CLONE
+    with pytest.raises(ValueError, match="nonneg"):
+        write_manifest_table(
+            spark.range(1).selectExpr("CAST(-5 AS long) AS id", "'x' AS k")
+            .coalesce(1),
+            dest,
+        )
+    # no shared files; source vacuum can't touch the clone
+    assert not set(manifest_scan_files(dest)) & set(manifest_scan_files(path))
+    with pytest.raises(ValueError, match="already holds"):
+        clone_manifest_table(spark, path, dest)
