@@ -1,0 +1,163 @@
+"""Persisted IVF index: build once, search many, open only probed buckets.
+
+The query-surface ANN (``plans/vectors.ann_ivf_topk``) rebuilds its
+coarse quantizer inside every query; a production similarity service
+builds the index ONCE as an on-disk artifact and amortizes it across
+millions of probes.  This operator materializes that artifact on the
+engine's own table format:
+
+- ``<path>/vectors``: the corpus with its cluster assignment, written
+  CLUSTER-SORTED (``repartitionByRange(cluster) + sortWithinPartitions``)
+  and committed to a manifest table — so each data file covers a narrow
+  cluster range and the commit's zone maps make a per-cluster filtered
+  read open only that bucket's files.  The bucket pruning IS the
+  manifest skipping machinery; no bespoke index file format.
+- ``<path>/centroids``: the k coarse centroids (k rows — broadcastable
+  forever).
+
+Search: probe the ``nprobe`` nearest centroids per query (broadcast,
+driver-free), then ONE filtered read per probed cluster
+(``read_manifest_table(filters=[("cluster", "=", c)])``) unioned and
+exact-cosine re-ranked.  At 100 TB with k=1024 buckets and nprobe=8,
+a query batch touches < 1% of the corpus files — the same arithmetic as
+FAISS IVF, executed by parquet scans.
+
+Recall is governed by (k, nprobe) exactly as in any IVF system; the
+test pins recall against the brute-force oracle on the fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.manifest_table import read_manifest_table, write_manifest_table
+from .clustering import kmeans_assign
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _cosine(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    norm = lambda v: F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    return dot / (norm(a) * norm(b))
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    files_per_cluster_span: int | None = None,
+) -> tuple[int, int]:
+    """Train the coarse quantizer and persist the two index tables.
+    Returns (vectors_version, centroids_version)."""
+    spark = emb.sparkSession
+    assign, centroids = kmeans_assign(emb, k, iters, id_col, vec_col)
+    vectors = (
+        emb.select(
+            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
+        )
+        .join(assign, "id")
+        .repartitionByRange(
+            files_per_cluster_span or k, F.col("cluster")
+        )
+        .sortWithinPartitions("cluster")
+    )
+    v_vec = write_manifest_table(vectors, f"{path}/vectors", mode="overwrite")
+    cent_rows = [
+        (int(c), [float(x) for x in vec]) for c, vec in enumerate(centroids)
+    ]
+    v_cent = write_manifest_table(
+        spark.createDataFrame(cent_rows, "cluster int, cvec array<double>"),
+        f"{path}/centroids",
+        mode="overwrite",
+    )
+    return v_vec, v_cent
+
+
+def search_ivf_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    topk: int = 5,
+    nprobe: int = 2,
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Top-k nearest (cosine) corpus vectors per query, reading ONLY the
+    files of the probed clusters.  Returns (query_id, cand_id, cos, rnk)."""
+    cent = read_manifest_table(spark, f"{path}/centroids")
+    q = queries.select(
+        F.col(qid_col).alias("query_id"), _as_double(F.col(qvec_col)).alias("qv")
+    )
+    qc = q.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "qv",
+        "cluster",
+        F.round(_cosine(F.col("qv"), F.col("cvec")), 6).alias("ccos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("cluster")
+    )
+    probed = qc.withColumn("crnk", F.row_number().over(wq)).where(
+        F.col("crnk") <= nprobe
+    )
+    # the probed cluster SET is nprobe x |queries| ids — driver-sized by
+    # construction (it already fit in the probe broadcast)
+    clusters = sorted(
+        r["cluster"] for r in probed.select("cluster").distinct().collect()
+    )
+    if not clusters:
+        return probed.select(
+            "query_id",
+            F.lit(None).cast("long").alias("cand_id"),
+            F.lit(None).cast("double").alias("cos"),
+            F.lit(None).cast("int").alias("rnk"),
+        ).limit(0)
+    # one filtered (file-pruned) read per probed cluster; contiguous runs
+    # collapse into range filters so the scan list stays short
+    parts = []
+    run_start = prev = clusters[0]
+    for c in clusters[1:] + [None]:
+        if c is not None and c == prev + 1:
+            prev = c
+            continue
+        parts.append(
+            read_manifest_table(
+                spark,
+                f"{path}/vectors",
+                filters=[("cluster", ">=", run_start), ("cluster", "<=", prev)],
+            )
+        )
+        if c is not None:
+            run_start = prev = c
+    bucket = parts[0]
+    for p in parts[1:]:
+        bucket = bucket.unionByName(p)
+    scored = (
+        probed.select("query_id", "qv", "cluster")
+        .join(bucket, "cluster")
+        .where(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("cand_id"),
+            F.round(_cosine(F.col("qv"), F.col("vec")), 6).alias("cos"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= topk)
+        .orderBy("query_id", "rnk")
+    )

@@ -97,3 +97,69 @@ def test_arrow_norm_kernel_handles_sliced_batches():
     assert out.column("vec_id").to_pylist() == [3, 4]
     norms = out.column("l2_norm").to_pylist()
     assert math.isclose(norms[0], 13.0) and math.isclose(norms[1], 17.0)
+
+
+def test_persisted_ivf_index_prunes_and_recalls(spark, tmp_path):
+    """build_ivf_index persists cluster-sorted vector files whose zone
+    maps let a probe open ONLY its bucket's files; search recall vs the
+    brute-force top-k stays high on the fixture."""
+    from species_range_data_pipeline_spark.catalog import load_table
+    from species_range_data_pipeline_spark.operators.ann_index import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        manifest_scan_files,
+    )
+
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, k=8, iters=4)
+
+    # the cluster-sorted layout makes single-cluster reads open a strict
+    # subset of the files
+    all_files = manifest_scan_files(f"{idx}/vectors")
+    one = manifest_scan_files(
+        f"{idx}/vectors", filters=[("cluster", ">=", 0), ("cluster", "<=", 0)]
+    )
+    assert len(all_files) > 1 and len(one) < len(all_files)
+
+    queries = emb.where("vec_id < 8").selectExpr(
+        "vec_id AS query_id", "embedding AS qvec"
+    )
+    got = search_ivf_index(spark, idx, queries, topk=5, nprobe=3)
+    res = {(r.query_id, r.cand_id) for r in got.collect()}
+    assert len(res) == 8 * 5
+
+    # brute-force ground truth
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from species_range_data_pipeline_spark.operators.ann_index import (
+        _as_double,
+        _cosine,
+    )
+
+    cand = emb.selectExpr("vec_id AS cand_id", "embedding AS cvec")
+    brute = (
+        queries.crossJoin(cand)
+        .where("cand_id != query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                _cosine(_as_double(F.col("qvec")), _as_double(F.col("cvec"))), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "cand_id")
+    truth = {
+        (r.query_id, r.cand_id)
+        for r in brute.withColumn("rnk", F.row_number().over(w))
+        .where("rnk <= 5")
+        .collect()
+    }
+    recall = len(res & truth) / len(truth)
+    assert recall >= 0.6, recall
