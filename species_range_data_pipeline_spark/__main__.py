@@ -1,0 +1,131 @@
+"""CLI entry point: the reference's ``__main__`` lifecycle, engine-side.
+
+The reference runs ``setup() -> extract() -> transform() -> load()`` as a
+script (``species_range_etl.py:279-286``); this module gives a user of
+that script the same one-command experience on the engine:
+
+    python -m species_range_data_pipeline_spark etl \\
+        --zips ./downloads --out ./speciesdata [--jdbc-url jdbc:...]
+
+plus the table-operations surface a long-lived deployment needs
+(history/optimize/vacuum/compact on manifest tables).  Network fetch
+(the reference's setup/extract halves) is deliberately an INPUT here:
+point ``--zips`` at the landed archives — the scrape/fetch helpers in
+``sources/scrape.py`` and ``pipeline/raster.py`` exist for pipelines
+that want them, but a CLI that silently crawls the USDA site on every
+run is the reference's design bug, not a feature to keep.
+
+Errors follow the engine contract: malformed archives surface as
+counted error rows (printed, nonzero exit with ``--strict``), never a
+silent skip — the reference's ThreadPoolExecutor drops worker
+exceptions on the floor (``species_range_etl.py:246-247``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _etl(args) -> int:
+    from .pipeline.species import (
+        load_cells_from_zips,
+        run_pipeline,
+        write_speciesdata,
+    )
+    from .session import get_spark
+
+    spark = get_spark("species-range-etl")
+    cells, errors = load_cells_from_zips(spark, args.zips)
+    thresholds = (
+        [float(t) for t in args.thresholds.split(",")]
+        if args.thresholds
+        else None
+    )
+    result = run_pipeline(cells, thresholds=thresholds)
+    write_speciesdata(
+        result,
+        path=args.out,
+        jdbc_url=args.jdbc_url,
+        table=args.table,
+        batchsize=args.batchsize,
+    )
+    err_rows = errors.collect()
+    for r in err_rows:
+        print(f"error: {r.item}: {r.error}", file=sys.stderr)
+    n = spark.read.parquet(args.out).count() if args.out else result.count()
+    print(f"speciesdata rows: {n}; input errors: {len(err_rows)}")
+    return 1 if (err_rows and args.strict) else 0
+
+
+def _table(args) -> int:
+    from .session import get_spark
+    from .sources import manifest_table as mt
+
+    spark = get_spark("species-range-table-ops")
+    if args.op == "history":
+        for r in mt.table_history(spark, args.path).collect():
+            print(
+                f"v{r.version}  {r.operation:<9} files={r.n_files} "
+                f"rows={r.n_rows} +{r.files_added}/-{r.files_removed}"
+            )
+    elif args.op == "optimize":
+        v = mt.optimize_manifest_table(
+            spark, args.path, cluster_by=args.by.split(","),
+            target_files=args.target_files,
+        )
+        print(f"optimized -> v{v}")
+    elif args.op == "compact":
+        v, folded, carried = mt.compact_manifest_table(spark, args.path)
+        print(f"v{v}: folded {folded}, carried {carried}")
+    elif args.op == "vacuum":
+        n = mt.vacuum_manifest_table(
+            args.path, keep_versions=args.keep, retention_seconds=args.retention
+        )
+        print(f"removed {n} files")
+    return 0
+
+
+def _bench(args) -> int:
+    import runpy
+    from pathlib import Path
+
+    sys.argv = ["bench.py"]
+    runpy.run_path(str(Path(__file__).resolve().parent.parent / "bench.py"),
+                   run_name="__main__")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="species_range_data_pipeline_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    etl = sub.add_parser("etl", help="zips -> speciesdata (the reference lifecycle)")
+    etl.add_argument("--zips", required=True, help="dir of landed .zip archives")
+    etl.add_argument("--out", help="parquet output path")
+    etl.add_argument("--jdbc-url", help="JDBC sink URL (K1)")
+    etl.add_argument("--table", default="speciesdata")
+    etl.add_argument("--batchsize", type=int, default=1000)
+    etl.add_argument("--thresholds", help="comma list, default 0.25,0.5,0.75")
+    etl.add_argument("--strict", action="store_true",
+                     help="nonzero exit if any input errored")
+    etl.set_defaults(fn=_etl)
+
+    tab = sub.add_parser("table", help="manifest table operations")
+    tab.add_argument("op", choices=["history", "optimize", "compact", "vacuum"])
+    tab.add_argument("path")
+    tab.add_argument("--by", help="optimize: comma cluster columns")
+    tab.add_argument("--target-files", type=int, default=8)
+    tab.add_argument("--keep", type=int, default=1)
+    tab.add_argument("--retention", type=float, default=3600.0)
+    tab.set_defaults(fn=_table)
+
+    ben = sub.add_parser("bench", help="run the headline benchmark")
+    ben.set_defaults(fn=_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

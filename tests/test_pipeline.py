@@ -248,3 +248,29 @@ def test_assign_crs_metadata_and_error_channel(spark, zip_dir):
     flagged = assign_crs(broken.drop("srid", "crs_error"))
     bad = [r for r in flagged.collect() if r.crs_error is not None]
     assert len(bad) == 1 and bad[0].crs_error == "null geometry"
+
+
+def test_cli_etl_and_table_ops(zip_dir, tmp_path, capsys):
+    """python -m species_range_data_pipeline_spark: the reference's
+    script lifecycle as one command, plus the table-ops surface."""
+    from species_range_data_pipeline_spark.__main__ import main
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        write_manifest_table,
+    )
+    from species_range_data_pipeline_spark.session import get_spark
+
+    out = str(tmp_path / "speciesdata")
+    rc = main(["etl", "--zips", zip_dir, "--out", out])
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert "speciesdata rows: 9" in cap.out  # 3 groups x 3 thresholds
+    assert "BadZipFile" in cap.err  # the corrupt archive is REPORTED
+    # --strict turns input errors into a nonzero exit
+    assert main(["etl", "--zips", zip_dir, "--out", out, "--strict"]) == 1
+
+    spark = get_spark("t")
+    tbl = str(tmp_path / "tbl")
+    write_manifest_table(spark.range(0, 10).selectExpr("id"), tbl)
+    assert main(["table", "history", tbl]) == 0
+    assert "v0  create" in capsys.readouterr().out
+    assert main(["table", "vacuum", tbl, "--keep", "1"]) == 0
