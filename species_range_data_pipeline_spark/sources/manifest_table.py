@@ -1324,3 +1324,41 @@ def clone_manifest_table(
         operation="clone",
         constraints=meta.get("constraints") or None,
     )
+
+
+def add_column(path: str, name: str, data_type: str) -> int:
+    """ALTER TABLE ADD COLUMN, metadata-only: publish a new manifest whose
+    committed schema carries the new nullable column — no data file is
+    touched, existing files yield nulls for it on read (exactly the
+    schema-evolution contract appends already follow).  Returns the new
+    version.  Adding an existing name raises."""
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    meta = _load_meta(path)
+    schema = StructType.fromJson(json.loads(meta["schema"]))
+    if name in schema.names:
+        raise ValueError(f"column {name!r} already exists")
+    new_schema = StructType(
+        list(schema.fields) + [StructField(name, _parse_datatype_string(data_type), True)]
+    )
+    return _publish_manifest(
+        path, uuid.uuid4().hex[:12], version=meta["version"] + 1,
+        files=meta["files"], schema_json=new_schema.json(),
+        stats=meta.get("stats", {}), blooms=meta.get("blooms", {}),
+        txn=None, rows=meta.get("rows", {}), nulls=meta.get("nulls", {}),
+        operation="alter", constraints=meta.get("constraints") or None,
+    )
+
+
+def table_count(path: str, version: int | None = None) -> int | None:
+    """Exact ``count(*)`` answered from manifest metadata alone — the
+    per-file row counts every commit records.  Returns ``None`` (caller
+    must scan) only for pre-rows manifests missing a count for some live
+    file.  At 100 TB this is the difference between a metadata lookup
+    and a full-table job; Delta/Iceberg answer unfiltered counts the
+    same way."""
+    meta = _load_meta(path, version)
+    known = meta.get("rows", {})
+    if not all(f in known for f in meta["files"]):
+        return None
+    return sum(known[f] for f in meta["files"])

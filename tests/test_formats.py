@@ -1345,3 +1345,43 @@ def test_manifest_timestamp_travel_views_and_clone(spark, tmp_path):
     assert not set(manifest_scan_files(dest)) & set(manifest_scan_files(path))
     with pytest.raises(ValueError, match="already holds"):
         clone_manifest_table(spark, path, dest)
+
+
+def test_manifest_add_column_and_metadata_count(spark, tmp_path):
+    """ADD COLUMN is metadata-only (no file rewritten, nulls on read,
+    writable thereafter); count(*) answers from the manifest without a
+    scan at every version."""
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        add_column,
+        manifest_scan_files,
+        read_manifest_table,
+        table_count,
+        table_history,
+        write_manifest_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_manifest_table(spark.range(0, 40).selectExpr("id").coalesce(1), path)
+    files_before = manifest_scan_files(path)
+    v = add_column(path, "score", "double")
+    assert v == 1
+    assert manifest_scan_files(path) == files_before  # no data touched
+    df = read_manifest_table(spark, path)
+    assert df.schema["score"].dataType.simpleString() == "double"
+    assert df.where("score IS NULL").count() == 40
+    # the new column is immediately writable
+    write_manifest_table(
+        spark.range(40, 50).selectExpr("id", "CAST(id AS double) AS score")
+        .coalesce(1),
+        path,
+    )
+    assert read_manifest_table(spark, path).where("score IS NOT NULL").count() == 10
+    with pytest.raises(ValueError, match="already exists"):
+        add_column(path, "score", "double")
+    # history records the alter
+    ops = [r.operation for r in table_history(spark, path).collect()]
+    assert ops == ["create", "alter", "append"]
+
+    assert table_count(path) == 50
+    assert table_count(path, version=0) == 40
+    assert table_count(path, version=1) == 40  # alter carried the counts
