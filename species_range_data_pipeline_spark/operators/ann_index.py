@@ -92,9 +92,16 @@ def search_ivf_index(
     nprobe: int = 2,
     qid_col: str = "query_id",
     qvec_col: str = "qvec",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Top-k nearest (cosine) corpus vectors per query, reading ONLY the
-    files of the probed clusters.  Returns (query_id, cand_id, cos, rnk)."""
+    files of the probed clusters.  Returns (query_id, cand_id, cos, rnk).
+
+    ``exclude_self=True`` drops candidates whose corpus id equals the
+    query id — ONLY meaningful when the queries ARE corpus rows probing
+    for their own neighbors (dedup workloads).  Default off: query ids
+    are usually an independent namespace, and an id collision must not
+    silently eat a true neighbor."""
     cent = read_manifest_table(spark, f"{path}/centroids")
     q = queries.select(
         F.col(qid_col).alias("query_id"), _as_double(F.col(qvec_col)).alias("qv")
@@ -143,10 +150,11 @@ def search_ivf_index(
     bucket = parts[0]
     for p in parts[1:]:
         bucket = bucket.unionByName(p)
+    scored = probed.select("query_id", "qv", "cluster").join(bucket, "cluster")
+    if exclude_self:
+        scored = scored.where(F.col("id") != F.col("query_id"))
     scored = (
-        probed.select("query_id", "qv", "cluster")
-        .join(bucket, "cluster")
-        .where(F.col("id") != F.col("query_id"))
+        scored
         .select(
             "query_id",
             F.col("id").alias("cand_id"),

@@ -577,31 +577,40 @@ def cdf_row_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_manifest_table,
     )
 
+    import shutil
+
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderstatus",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
     path = tempfile.mkdtemp(prefix="cdf_row_changes_")
-    write_manifest_table(
-        orders.where(F.col("o_orderkey") % 20 == 0).coalesce(1), path
-    )
-    write_manifest_table(
-        orders.where(F.col("o_orderkey") % 20 == 7).coalesce(1), path
-    )
-    delete_where(spark, path, [("o_orderstatus", "=", "F")])
-    update_where(
-        spark, path, [("o_orderkey", "<", 2000)], {"cents": "cents * 2"}
-    )
-    return (
-        read_changes(spark, path, from_version=0)
-        .groupBy("_commit_version", "_change_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum("cents").alias("sum_cents"),
+    try:
+        write_manifest_table(
+            orders.where(F.col("o_orderkey") % 20 == 0).coalesce(1), path
         )
-        .orderBy("_commit_version", "_change_type")
-    )
+        write_manifest_table(
+            orders.where(F.col("o_orderkey") % 20 == 7).coalesce(1), path
+        )
+        delete_where(spark, path, [("o_orderstatus", "=", "F")])
+        update_where(
+            spark, path, [("o_orderkey", "<", 2000)], {"cents": "cents * 2"}
+        )
+        result = (
+            read_changes(spark, path, from_version=0)
+            .groupBy("_commit_version", "_change_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .orderBy("_commit_version", "_change_type")
+        )
+        # materialize the (4-row) rollup so the working table can be
+        # deleted NOW — returning the lazy plan would leak one
+        # TPC-H-slice directory under /tmp per invocation
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 CDF_ROW_CHANGES_ORACLE = """

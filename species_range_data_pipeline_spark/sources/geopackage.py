@@ -102,6 +102,15 @@ def encode_gpkg_blob(wkb: bytes, srid: int = 4326) -> bytes:
     return header + env + wkb
 
 
+def _ident(name: str) -> str:
+    """Quote a SQL identifier that came FROM the (hostile) file itself:
+    doubling embedded quotes prevents a crafted table/column name in
+    gpkg_geometry_columns from breaking out of the quoted identifier and
+    injecting SQL (e.g. gigabyte ``randomblob()`` calls) into the
+    executor's sqlite connection."""
+    return '"' + str(name).replace('"', '""') + '"'
+
+
 def _feature_tables(con: sqlite3.Connection) -> list[tuple[str, str]]:
     """[(table_name, geometry_column)] for every declared feature layer."""
     rows = con.execute(
@@ -123,7 +132,7 @@ def parse_gpkg(content: bytes) -> list[tuple[str, int, bytes | None, dict]]:
         con.deserialize(content)
         out: list[tuple[str, int, bytes | None, dict]] = []
         for table, geom_col in _feature_tables(con):
-            info = con.execute(f'PRAGMA table_info("{table}")').fetchall()
+            info = con.execute(f"PRAGMA table_info({_ident(table)})").fetchall()
             # the INTEGER PRIMARY KEY (fid/id) aliases rowid, which already
             # surfaces as the record column — not an attribute
             pk_int = {
@@ -136,9 +145,9 @@ def parse_gpkg(content: bytes) -> list[tuple[str, int, bytes | None, dict]]:
                 for r in info
                 if str(r[1]) != geom_col and str(r[1]) not in pk_int
             ]
-            sel = ", ".join(f'"{c}"' for c in [geom_col, *attr_cols])
+            sel = ", ".join(_ident(c) for c in [geom_col, *attr_cols])
             for row in con.execute(
-                f'SELECT rowid, {sel} FROM "{table}" ORDER BY rowid'
+                f"SELECT rowid, {sel} FROM {_ident(table)} ORDER BY rowid"
             ):
                 rowid, gblob = row[0], row[1]
                 # SQLite is dynamically typed: a hostile file can put an

@@ -511,7 +511,7 @@ def write_manifest_table(
         if index_columns
         else {}
     )
-    validated = False
+    validated_against: dict[str, str] | None = None
     last_err: Exception | None = None
     for _ in range(max_retries):
         # 2. compose the next live set against the CURRENT manifest; zone
@@ -558,11 +558,15 @@ def write_manifest_table(
             carried.update(blooms)
             blooms = carried
             schema_json = _merge_schema_json(prev["schema"], df.schema)
-        if effective and not validated:
+        # a lost race can change the effective set (a concurrent OVERWRITE
+        # may have re-declared the table's constraints) — re-validate
+        # whenever the set this attempt must honor differs from the one
+        # already checked
+        if effective and effective != validated_against:
             _enforce_constraints(
                 df.sparkSession, new_files, df.schema, effective, data_dir
             )
-            validated = True  # constraints cannot change under a retry
+            validated_against = dict(effective)
         try:
             return _publish_manifest(
                 path, commit_id, version=current + 1,
@@ -1204,19 +1208,22 @@ def read_changes(
             # rewrite commit: net multiset difference over touched files.
             # Both sides read under the step's committed schema so columns
             # align even across schema evolution (missing columns -> null).
-            r = (
-                spark.read.schema(schema).parquet(*removed)
-                .groupBy(*cols).agg(F.count(F.lit(1)).alias("__r"))
+            # Signed union + ONE groupBy, not a full-outer join: groupBy
+            # treats NULLs as equal (a join's null-unsafe equality would
+            # stop NULL-bearing carried rows from cancelling and report
+            # them as phantom delete+insert pairs — guaranteed to occur
+            # after a metadata-only add_column), and it is one shuffle
+            # instead of two.
+            r = spark.read.schema(schema).parquet(*removed).select(
+                *cols, F.lit(-1).alias("__sign")
             )
-            a = (
-                spark.read.schema(schema).parquet(*added)
-                .groupBy(*cols).agg(F.count(F.lit(1)).alias("__a"))
+            a = spark.read.schema(schema).parquet(*added).select(
+                *cols, F.lit(1).alias("__sign")
             )
-            net = r.join(a, cols, "full_outer").select(
-                *cols,
-                (
-                    F.coalesce("__a", F.lit(0)) - F.coalesce("__r", F.lit(0))
-                ).alias("__net"),
+            net = (
+                r.unionByName(a)
+                .groupBy(*cols)
+                .agg(F.sum("__sign").alias("__net"))
             )
             step = (
                 net.where(F.col("__net") != 0)

@@ -63,12 +63,18 @@ _MAX_MEMBER_BYTES = 1 << 30
 def _gunzip_members(content: bytes) -> Iterator[bytes]:
     """Decode concatenated gzip members one at a time (the .warc.gz record
     framing).  Raises ``ValueError`` on a corrupt member or a member that
-    expands past the bomb cap."""
+    expands past the bomb cap.
+
+    The unconsumed tail rides a ``memoryview`` — a bytes slice here would
+    COPY the remaining file once per record, turning a 1 GB Common Crawl
+    member file (tens of thousands of records) into terabytes of memcpy.
+    """
+    view = memoryview(content)
     off = 0
     while off < len(content):
         d = zlib.decompressobj(wbits=31)
         try:
-            chunk = d.decompress(content[off:], _MAX_MEMBER_BYTES)
+            chunk = d.decompress(view[off:], _MAX_MEMBER_BYTES)
         except zlib.error as exc:
             raise ValueError(f"corrupt gzip member at byte {off}: {exc}") from exc
         if d.unconsumed_tail:
@@ -159,19 +165,36 @@ def parse_warc(content: bytes) -> list[dict]:
 
 def _split_uncompressed(content: bytes) -> list[bytes]:
     """Walk records by their declared Content-Length (never by scanning
-    payload bytes for the boundary marker)."""
+    payload bytes for the boundary marker).  Header terminators are
+    located with ``find`` against the ORIGINAL buffer — slicing the tail
+    per record would be quadratic over a multi-GB archive — so the only
+    copies made are each record's own bytes."""
     records: list[bytes] = []
     off = 0
     while off < len(content):
         nxt = content.find(b"WARC/", off)
         if nxt < 0:
             break
-        headers, rest = _parse_headers(content[nxt:])
-        header_len = len(content) - nxt - len(rest)
+        crlf = content.find(b"\r\n\r\n", nxt)
+        lf = content.find(b"\n\n", nxt)
+        if crlf < 0 and lf < 0:
+            raise ValueError(f"record at byte {nxt} has no header terminator")
+        if crlf >= 0 and (lf < 0 or crlf <= lf):
+            sep, seplen = crlf, 4
+        else:
+            sep, seplen = lf, 2
+        headers, _ = _parse_headers(content[nxt : sep + seplen])
         length = int(headers.get("content-length", 0))
-        end = nxt + header_len + length
+        end = sep + seplen + length
         if length < 0 or end <= nxt:  # a negative length would loop forever
             raise ValueError(f"record at byte {nxt} declares length {length}")
+        if end > len(content):
+            # the gzip path raises on truncation; a silent short slice
+            # here would let a partial download pass as clean data
+            raise ValueError(
+                f"record at byte {nxt} declares {length} payload bytes "
+                "beyond end of file (truncated archive)"
+            )
         records.append(content[nxt:end])
         off = end
     return records
@@ -230,7 +253,9 @@ def warc_responses_to_documents(warc: DataFrame) -> DataFrame:
             (F.col("error").isNull())
             & (F.col("warc_type") == "response")
             & (F.col("http_status") == 200)
-            & F.col("mime").startswith("text/html")
+            # header VALUES are case-insensitive (RFC 9110): real crawls
+            # carry Text/HTML and TEXT/HTML variants
+            & F.lower(F.col("mime")).startswith("text/html")
         )
         .select(
             F.xxhash64("url").alias("doc_id"),

@@ -1385,3 +1385,26 @@ def test_manifest_add_column_and_metadata_count(spark, tmp_path):
     assert table_count(path) == 50
     assert table_count(path, version=0) == 40
     assert table_count(path, version=1) == 40  # alter carried the counts
+
+
+def test_change_feed_null_columns_cancel(spark, tmp_path):
+    """Carried rows holding NULLs must cancel in the multiset diff (the
+    join-based diff's null-unsafe equality reported them as phantom
+    delete+insert pairs); guaranteed to arise after a metadata-only
+    add_column."""
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        add_column,
+        delete_where,
+        read_changes,
+        write_manifest_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_manifest_table(spark.range(0, 50).selectExpr("id").coalesce(1), path)
+    add_column(path, "score", "double")  # every existing row: score=NULL
+    delete_where(spark, path, [("id", ">=", 40)])  # rewrites the only file
+    ch = read_changes(spark, path, from_version=1).collect()
+    # exactly the 10 deleted rows; the 40 NULL-score carried rows cancel
+    assert len(ch) == 10
+    assert all(r._change_type == "delete" and r.score is None for r in ch)
+    assert sorted(r.id for r in ch) == list(range(40, 50))

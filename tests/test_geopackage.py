@@ -173,3 +173,28 @@ def test_gpkg_shapefile_cross_format_parity(spark, tmp_path):
         for r in read_geopackage(spark, str(tmp_path)).collect()
     }
     assert shp == gpkg == {1: (15.0, "abies"), 2: (17.0, "picea")}
+
+
+def test_hostile_identifier_cannot_inject_sql(tmp_path):
+    """A crafted gpkg_geometry_columns row whose table name embeds a
+    quote must not break out of the quoted identifier (SQL injection in
+    the executor's sqlite connection): the name is either handled as an
+    exact identifier (missing table -> sqlite error -> ValueError) or
+    rejected — never executed as SQL."""
+    evil = 'x" UNION SELECT zeroblob(100000000), 1 --'
+    p = str(tmp_path / "evil.gpkg")
+    con = sqlite3.connect(p)
+    con.execute(
+        "CREATE TABLE gpkg_contents (table_name TEXT, data_type TEXT)"
+    )
+    con.execute(
+        "CREATE TABLE gpkg_geometry_columns (table_name TEXT, column_name TEXT)"
+    )
+    con.execute("INSERT INTO gpkg_contents VALUES (?, 'features')", (evil,))
+    con.execute(
+        "INSERT INTO gpkg_geometry_columns VALUES (?, 'geom')", (evil,)
+    )
+    con.commit()
+    con.close()
+    with pytest.raises(ValueError):
+        parse_gpkg((tmp_path / "evil.gpkg").read_bytes())

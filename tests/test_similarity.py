@@ -129,7 +129,9 @@ def test_persisted_ivf_index_prunes_and_recalls(spark, tmp_path):
     queries = emb.where("vec_id < 8").selectExpr(
         "vec_id AS query_id", "embedding AS qvec"
     )
-    got = search_ivf_index(spark, idx, queries, topk=5, nprobe=3)
+    got = search_ivf_index(
+        spark, idx, queries, topk=5, nprobe=3, exclude_self=True
+    )
     res = {(r.query_id, r.cand_id) for r in got.collect()}
     assert len(res) == 8 * 5
 

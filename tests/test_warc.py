@@ -189,3 +189,12 @@ def test_warc_documents_carry_url_columns(spark, tmp_path):
     r = docs.first()
     assert r.host == "a.example" and r.domain == "a.example"
     assert r.url_canonical == "http://a.example/page"
+
+
+def test_plain_warc_truncation_raises_like_gzip():
+    """A plain .warc whose final record's declared Content-Length runs
+    past EOF must raise (the gzip path already does) — a partial
+    download must not pass as clean data."""
+    whole = make_warc()
+    with pytest.raises(ValueError, match="truncated"):
+        parse_warc(whole[:-30])
