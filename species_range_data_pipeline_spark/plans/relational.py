@@ -650,8 +650,111 @@ ORDER BY custkey
 """
 
 
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset semantics: a customer appearing m times
+    in the first half and n in the second yields min(m, n) rows, not 1.
+    Spark plans ``intersectAll`` as a count-annotated aggregate + join +
+    generate (no row-pair matching); the rollup makes the multiset
+    cardinalities the checkable observable."""
+    orders = load_table(spark, sf_dir, "orders")
+    mid = F.lit("1998-06-01").cast("timestamp")
+    a = orders.where(F.col("o_orderdate") < mid).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = orders.where(F.col("o_orderdate") >= mid).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return (
+        a.intersectAll(b)
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("custkey")
+    )
+
+
+SETOP_INTERSECT_ALL_ORACLE = """
+WITH i AS (
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate < TIMESTAMP '1998-06-01'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-06-01'
+)
+SELECT custkey, count(*) AS n_copies FROM i GROUP BY 1 ORDER BY 1
+"""
+
+
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset semantics: m occurrences minus n occurrences
+    leaves max(m - n, 0) rows per key (DISTINCT except would leave 0 or
+    1).  Same count-annotated physical strategy as intersectAll."""
+    orders = load_table(spark, sf_dir, "orders")
+    mid = F.lit("1998-06-01").cast("timestamp")
+    a = orders.where(F.col("o_orderdate") < mid).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = orders.where(F.col("o_orderdate") >= mid).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return (
+        a.exceptAll(b)
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("custkey")
+    )
+
+
+SETOP_EXCEPT_ALL_ORACLE = """
+WITH e AS (
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate < TIMESTAMP '1998-06-01'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-06-01'
+)
+SELECT custkey, count(*) AS n_copies FROM e GROUP BY 1 ORDER BY 1
+"""
+
+
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL placement in ORDER BY, pinned explicitly — a real dialect
+    trap: Spark's ASC default is NULLS FIRST, DuckDB/Postgres default is
+    NULLS LAST, so any cross-engine sort over a nullable key silently
+    disagrees unless the placement is spelled out.  Both directions are
+    exercised (ASC NULLS LAST, DESC NULLS FIRST) with a unique tiebreak."""
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.nullif((F.col("o_orderkey") % 7).cast("long"), F.lit(0))
+    ranked = orders.select(
+        key.alias("k"), F.col("o_orderkey").alias("okey")
+    )
+    asc = ranked.orderBy(F.col("k").asc_nulls_last(), "okey").limit(20)
+    desc = ranked.orderBy(F.col("k").desc_nulls_first(), "okey").limit(20)
+    return (
+        asc.select(F.lit("asc_nl").alias("dir"), "k", "okey")
+        .unionByName(desc.select(F.lit("desc_nf").alias("dir"), "k", "okey"))
+        .orderBy("dir", "okey")
+    )
+
+
+SORT_NULLS_ORACLE = """
+WITH r AS (
+    SELECT nullif(o_orderkey % 7, 0) AS k, o_orderkey AS okey FROM orders
+), a AS (
+    SELECT 'asc_nl' AS dir, k, okey FROM r
+    ORDER BY k ASC NULLS LAST, okey LIMIT 20
+), d AS (
+    SELECT 'desc_nf' AS dir, k, okey FROM r
+    ORDER BY k DESC NULLS FIRST, okey LIMIT 20
+)
+SELECT * FROM a UNION ALL SELECT * FROM d ORDER BY dir, okey
+"""
+
+
 QUERIES = {
     "flagship_threshold_rollup": flagship_threshold_rollup,
+    "setop_intersect_all": setop_intersect_all,
+    "setop_except_all": setop_except_all,
+    "sort_nulls_ordering": sort_nulls_ordering,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_volume": q5_region_volume,
@@ -692,4 +795,7 @@ ORACLES = {
     "setop_union_distinct": SETOP_UNION_ORACLE,
     "setop_intersect": SETOP_INTERSECT_ORACLE,
     "setop_except": SETOP_EXCEPT_ORACLE,
+    "setop_intersect_all": SETOP_INTERSECT_ALL_ORACLE,
+    "setop_except_all": SETOP_EXCEPT_ALL_ORACLE,
+    "sort_nulls_ordering": SORT_NULLS_ORACLE,
 }
