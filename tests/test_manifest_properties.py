@@ -107,3 +107,85 @@ def test_filtered_read_equals_full_scan_filter(
         )
     )
     assert got == want
+
+
+# ---- change-data-feed replay property ----------------------------------
+
+_dml_op = st.one_of(
+    st.tuples(st.just("append"), st.integers(0, 3)),
+    st.tuples(st.just("delete"), st.integers(0, 60)),
+    st.tuples(st.just("update"), st.integers(0, 60)),
+    st.tuples(st.just("upsert"), st.integers(0, 3)),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_dml_op, min_size=1, max_size=4))
+def test_change_feed_replay_identity_any_dml_sequence(
+    spark, tmp_path_factory, ops
+):
+    """For ANY sequence of append/DELETE/UPDATE/MERGE commits, the change
+    feed must satisfy snapshot(v0) + inserts - deletes == latest
+    snapshot, as multisets — the log-replay identity the fixed-scenario
+    test pins, hunted here with randomized histories (including no-op
+    DML whose predicate matches nothing)."""
+    from pyspark.sql import functions as F
+
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        delete_where,
+        read_changes,
+        read_manifest_table,
+        table_versions,
+        update_where,
+        upsert_into,
+        write_manifest_table,
+    )
+
+    tmp = tmp_path_factory.mktemp("cdfprop")
+    path = str(tmp / "tbl")
+    write_manifest_table(
+        spark.range(0, 60).selectExpr("id", "id % 7 AS g").coalesce(2), path
+    )
+    next_id = 1000
+    for kind, arg in ops:
+        if kind == "append":
+            write_manifest_table(
+                spark.range(next_id, next_id + 5 + arg)
+                .selectExpr("id", "id % 7 AS g")
+                .coalesce(1),
+                path,
+            )
+            next_id += 100
+        elif kind == "delete":
+            delete_where(spark, path, [("id", ">=", arg), ("id", "<", arg + 9)])
+        elif kind == "update":
+            update_where(spark, path, [("id", "<", arg)], {"g": "g + 50"})
+        elif kind == "upsert":
+            upsert_into(
+                spark, path,
+                spark.range(arg * 10, arg * 10 + 8)
+                .selectExpr("id", "CAST(999 AS long) AS g"),
+                "id",
+            )
+    if table_versions(path) == [0]:
+        return  # every op was a pruned no-op: empty feed range
+
+    def counts(df):
+        return {
+            (r.id, r.g): r.n
+            for r in df.groupBy("id", "g")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    replay = counts(read_manifest_table(spark, path, version=0))
+    for r in read_changes(spark, path, from_version=0).collect():
+        k = (r.id, r.g)
+        d = 1 if r._change_type == "insert" else -1
+        replay[k] = replay.get(k, 0) + d
+    replay = {k: n for k, n in replay.items() if n != 0}
+    assert replay == counts(read_manifest_table(spark, path))
