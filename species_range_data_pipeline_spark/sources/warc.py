@@ -140,8 +140,35 @@ def _parse_record(raw: bytes) -> dict | None:
             row["http_status"] = int(parts[1])
         http_headers, body = _parse_headers(block)
         row["mime"] = http_headers.get("content-type", row["mime"])
+        # crawlers archive the wire bytes: a Content-Encoding'd body is
+        # still compressed inside the record.  Decode gzip/deflate here
+        # (bomb-capped) so downstream text extraction sees bytes, not
+        # DEFLATE streams; unknown codings (br, zstd) pass through with
+        # the header intact so the consumer can route them.
+        enc = http_headers.get("content-encoding", "").lower().strip()
+        if enc in ("gzip", "x-gzip", "deflate"):
+            body = _decode_body(body, enc)
         row["payload"] = body
     return row
+
+
+def _decode_body(body: bytes, enc: str) -> bytes:
+    """Decompress an HTTP body per its Content-Encoding, tolerating the
+    wild web: raw-deflate vs zlib-wrapped 'deflate' both occur.  An
+    undecodable or bomb-sized body degrades to its RAW bytes — one rotten
+    response must not fail a million-record archive; downstream mime/
+    quality filters are the right place to drop mojibake."""
+    for wbits in ((31,) if enc != "deflate" else (15, -15)):
+        d = zlib.decompressobj(wbits=wbits)
+        try:
+            out = d.decompress(body, _MAX_MEMBER_BYTES)
+        except zlib.error:
+            continue
+        if d.unconsumed_tail:
+            break  # decompression bomb: keep the compressed form
+        if d.eof or not d.unused_data:
+            return out
+    return body
 
 
 def parse_warc(content: bytes) -> list[dict]:

@@ -198,3 +198,35 @@ def test_plain_warc_truncation_raises_like_gzip():
     whole = make_warc()
     with pytest.raises(ValueError, match="truncated"):
         parse_warc(whole[:-30])
+
+
+def test_content_encoded_bodies_are_decoded():
+    """Crawlers archive wire bytes: gzip / raw-deflate / zlib-deflate
+    bodies decode transparently; a corrupt stream degrades to raw bytes
+    (one rotten response must not fail the archive)."""
+    import zlib
+
+    body = b"<p>compressed page</p>"
+    variants = [
+        ("gzip", gzip.compress(body)),
+        ("deflate", zlib.compress(body)),            # zlib-wrapped
+        ("deflate", zlib.compress(body)[2:-4]),      # raw-deflate (wild web)
+    ]
+    for enc, wire in variants:
+        http = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Encoding: {enc}\r\n\r\n"
+        ).encode() + wire
+        rec = _record(
+            "response", "http://z.example/e", http,
+            extra="Content-Type: application/http;msgtype=response\r\n",
+        )
+        rows = parse_warc(rec)
+        assert rows[0]["payload"] == body, enc
+    # corrupt stream: raw bytes pass through, no exception
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + b"\x99" * 20
+    )
+    rows = parse_warc(_record("response", "http://z.example/bad", http))
+    assert rows[0]["payload"] == b"\x99" * 20
