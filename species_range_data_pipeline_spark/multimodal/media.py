@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from species_range_data_pipeline_spark.multimodal import codecs, jpeg, mp4
+from species_range_data_pipeline_spark.multimodal import codecs, gif, jpeg, mp4
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -124,7 +124,11 @@ def _decode_payload(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         return jpeg.decode_jpeg(payload)
     if payload[:2] == b"BM":
         return codecs.decode_bmp(payload)
-    raise ValueError("unrecognized image payload (not FAKEIMG/PNG/JPEG/BMP)")
+    if payload[:6] in gif.GIF_SIGNATURES:
+        return gif.decode_gif(payload)
+    raise ValueError(
+        "unrecognized image payload (not FAKEIMG/PNG/JPEG/BMP/GIF)"
+    )
 
 
 def _decode_audio(payload: bytes) -> tuple[int, int, np.ndarray]:

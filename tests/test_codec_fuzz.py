@@ -18,6 +18,10 @@ from species_range_data_pipeline_spark.multimodal.codecs import (
     encode_png,
     encode_wav,
 )
+from species_range_data_pipeline_spark.multimodal.gif import (
+    decode_gif,
+    encode_gif,
+)
 from species_range_data_pipeline_spark.multimodal.jpeg import (
     decode_jpeg,
     encode_jpeg,
@@ -50,6 +54,7 @@ from species_range_data_pipeline_spark.multimodal.codecs import (
 
 CASES = [
     ("bmp", lambda: encode_bmp(np.dstack([_IMG] * 3)), decode_bmp),
+    ("gif", lambda: encode_gif(_IMG), decode_gif),
     ("jpeg", lambda: encode_jpeg(_IMG), decode_jpeg),
     ("mp4", lambda: encode_mp4([b"sample"], 2, 2), extract_video_samples),
     ("png", lambda: encode_png(_IMG), decode_png),

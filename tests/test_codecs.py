@@ -249,3 +249,66 @@ def test_bmp_flows_through_media_image_lane(spark):
     assert got[0].error is None
     assert (got[0].width, got[0].height, got[0].channels) == (8, 6, 3)
     assert got[1].error is not None
+
+
+def test_gif_roundtrip_and_features():
+    """encode -> decode round-trips indices through a real LZW stream
+    (variable width, clear-code reset path exercised by 256 distinct
+    values); GCE transparency substitutes; media seam sniffs GIFs."""
+    import numpy as np
+
+    from species_range_data_pipeline_spark.multimodal.gif import (
+        decode_gif,
+        encode_gif,
+    )
+    from species_range_data_pipeline_spark.multimodal.media import (
+        _decode_payload,
+    )
+
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 256, size=(23, 31), dtype=np.uint8)
+    blob = encode_gif(gray)
+    w, h, c, px = decode_gif(blob)
+    assert (w, h, c) == (31, 23, 3)
+    assert np.array_equal(px[:, :, 0], gray)  # grayscale palette: R==value
+    assert np.array_equal(px[:, :, 1], gray)
+
+    # the media decode seam dispatches on the signature
+    w2, h2, c2, px2 = _decode_payload(blob)
+    assert (w2, h2, c2) == (31, 23, 3) and np.array_equal(px2, px)
+
+    # a big uniform image forces dictionary growth + width increments
+    big = np.tile(np.arange(256, dtype=np.uint8), (64, 8))
+    assert np.array_equal(decode_gif(encode_gif(big))[3][:, :, 2], big)
+
+
+def test_gif_gates_and_transparency():
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from species_range_data_pipeline_spark.multimodal.gif import (
+        decode_gif,
+        encode_gif,
+    )
+
+    with _pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOPE" + b"\x00" * 20)
+    blob = bytearray(encode_gif(np.zeros((4, 4), dtype=np.uint8)))
+    # flip the interlace bit in the image descriptor (after 13 + 768 GCT)
+    idesc = 13 + 768
+    assert blob[idesc] == 0x2C
+    blob[idesc + 9] |= 0x40
+    with _pytest.raises(NotImplementedError, match="interlaced"):
+        decode_gif(bytes(blob))
+
+    # GCE transparency: transparent index pixels become white
+    g = np.zeros((2, 2), dtype=np.uint8)
+    g[0, 0] = 5
+    base = encode_gif(g)
+    gce = b"\x21\xf9\x04\x01\x00\x00\x05\x00"  # flags=1, tindex=5
+    with_gce = base[:idesc] + gce + base[idesc:]
+    _, _, _, px = decode_gif(with_gce)
+    assert tuple(px[0, 0]) == (255, 255, 255)
+    assert tuple(px[1, 1]) == (0, 0, 0)
