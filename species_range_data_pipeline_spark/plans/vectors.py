@@ -424,7 +424,87 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_summary(load_table(spark, sf_dir, "embeddings"), n_components=2)
 
 
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid via a GROUPED_AGG pandas UDAF — the
+    one member of the UDF surface the engine hadn't exercised (scalar
+    pandas_udf, mapInPandas/applyInPandas, mapInArrow, and the UDTF all
+    have operators; SURVEY 2.1 names GROUPED_AGG as the custom-UDAF
+    shape).  The UDAF receives each group's vector column as a pandas
+    Series of lists and returns one array — Arrow-batched both ways,
+    partial aggregation handled by Spark's Aggregator plumbing.
+
+    Numeric discipline: float64 accumulate, per-dimension round(6) on
+    BOTH engines; the oracle computes the same centroid relationally
+    (posexplode-style unnest + per-(label, dim) avg + ordered re-pack).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def centroid_fn(v: pd.Series) -> list:
+        m = np.mean(np.stack(v.to_numpy()), axis=0)
+        return [float(x) for x in np.round(m, 6)]
+
+    centroid = pandas_udf(centroid_fn, "array<double>", PandasUDFType.GROUPED_AGG)
+    # Spark refuses to mix a GROUPED_AGG pandas UDAF with JVM aggregates
+    # in one agg() — the count rides a second pandas UDAF
+    n_fn = pandas_udf(
+        lambda v: len(v), "long", PandasUDFType.GROUPED_AGG
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", as_double("embedding").alias("v"))
+        .groupBy("label")
+        .agg(
+            n_fn("v").alias("n_vectors"),
+            centroid("v").alias("centroid"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            "centroid",
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.transform(F.col("centroid"), lambda x: x * x),
+                        F.lit(0.0),
+                        lambda s, x: s + x,
+                    )
+                ),
+                6,
+            ).alias("centroid_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+EMB_LABEL_CENTROIDS_ORACLE = """
+WITH e AS (
+    SELECT label, embedding FROM embeddings
+), d AS (
+    SELECT label,
+           unnest(generate_series(1, len(embedding))) AS i,
+           embedding
+    FROM e
+), per_dim AS (
+    SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+    FROM d GROUP BY label, i
+), packed AS (
+    SELECT label, array_agg(m ORDER BY i) AS centroid
+    FROM per_dim GROUP BY label
+), counts AS (
+    SELECT label, count(*) AS n_vectors FROM e GROUP BY label
+)
+SELECT c.label, c.n_vectors, p.centroid,
+       round(sqrt(list_sum(list_transform(p.centroid, x -> x * x))), 6)
+           AS centroid_norm
+FROM counts c JOIN packed p ON c.label = p.label
+ORDER BY c.label
+"""
+
+
 QUERIES = {
+    "emb_label_centroids": emb_label_centroids,
     "emb_kmeans": emb_kmeans,
     "emb_pca_project": emb_pca_project,
     "emb_quantize_topk": emb_quantize_topk,
@@ -440,6 +520,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_label_centroids": EMB_LABEL_CENTROIDS_ORACLE,
     "emb_norms": EMB_NORMS_ORACLE,
     "emb_quantize_topk": EMB_QUANTIZE_ORACLE,
     "cosine_topk": COSINE_TOPK_ORACLE,
