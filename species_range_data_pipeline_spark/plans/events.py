@@ -11,7 +11,7 @@ engine-neutral.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -436,7 +436,68 @@ ORDER BY window_start, event_type
 """
 
 
+def window_udaf_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A pandas UDAF as a WINDOW function: exponentially-weighted rolling
+    mean over each user's last 5 events — weights 0.8^age are position-
+    dependent inside the frame, which no built-in window aggregate
+    expresses (avg/sum are position-blind).  Spark evaluates the
+    GROUPED_AGG UDF once per row over its bounded frame, Arrow-batched;
+    this is the remaining placement of the pandas-UDAF surface after the
+    groupBy form (``emb_label_centroids``).
+
+    The frame Series arrives in frame order (the window's ORDER BY), so
+    the newest row takes weight 1.  The oracle reconstructs each frame
+    relationally via a row_number self-join — dialect-proof, no reliance
+    on list-lambda index semantics.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def ewma_fn(v: pd.Series) -> float:
+        x = v.to_numpy(dtype=float)
+        w = 0.8 ** np.arange(len(x) - 1, -1, -1)
+        return float(np.round((x * w).sum() / w.sum(), 6))
+
+    ewma = pandas_udf(ewma_fn, "double", PandasUDFType.GROUPED_AGG)
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return (
+        events.where(F.col("user_id") < 50)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(ewma(F.col("value")).over(w), 6).alias("ewma_5"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+WINDOW_UDAF_EWMA_ORACLE = """
+WITH e AS (
+    SELECT user_id, event_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+    FROM events WHERE user_id < 50
+), pair AS (
+    SELECT a.user_id, a.event_id,
+           b.value * power(0.8, a.rn - b.rn) AS wx,
+           power(0.8, a.rn - b.rn) AS w
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 4 AND a.rn
+)
+SELECT user_id, event_id, round(round(sum(wx) / sum(w), 6), 6) AS ewma_5
+FROM pair GROUP BY user_id, event_id
+ORDER BY user_id, event_id
+"""
+
+
 QUERIES = {
+    "window_udaf_ewma": window_udaf_ewma,
     "ev_tumbling": ev_tumbling,
     "ev_time_weighted_avg": ev_time_weighted_avg,
     "ev_ohlc_bars": ev_ohlc_bars,
@@ -449,6 +510,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_udaf_ewma": WINDOW_UDAF_EWMA_ORACLE,
     "ev_tumbling": EV_TUMBLING_ORACLE,
     "ev_time_weighted_avg": EV_TWA_ORACLE,
     "ev_ohlc_bars": EV_OHLC_ORACLE,
