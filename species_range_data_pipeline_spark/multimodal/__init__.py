@@ -2,8 +2,17 @@
 
 Images/audio/video are opaque ``binary`` payload columns plus typed struct
 metadata; decode / feature-extract / resize / frame-sample run as
-Arrow-batched ``mapInPandas`` / ``pandas_udf`` stages.  The container ships
-no image/audio libraries, so real-format decoding is STUBBED behind
-``NotImplementedError`` while a deterministic fake codec (FAKEIMG/FAKEVID
-headers) keeps the Spark-side plumbing — schema, batch shape, partitioning —
-real and tested (see tests/test_multimodal.py)."""
+Arrow-batched ``mapInPandas`` / ``pandas_udf`` stages.
+
+Real stdlib-only codecs (no image/audio libraries ship in the
+container, so the formats are implemented at struct level, like the
+GeoTIFF/shapefile lanes): PNG + BMP + WAV (``codecs.py``), baseline
+JPEG including 4:2:0/4:2:2 subsampling and restart markers
+(``jpeg.py``), GIF 87a/89a with real variable-width LZW (``gif.py``),
+MP4/ISO-BMFF sample tables with MJPEG frame decode (``mp4.py``), and
+spectral/resampling audio DSP (``audio_dsp.py``).  Formats that would
+need an entropy/transform stack this container can't justify (MP3,
+compressed video bitstreams, progressive JPEG, interlaced PNG/GIF)
+raise ``NotImplementedError`` loudly at their exact gate.  The
+deterministic FAKEIMG/FAKEVID/FAKEAUD codecs remain for fixture
+generation (``media.py``)."""
