@@ -506,7 +506,84 @@ ORDER BY 1, 2
 """
 
 
+def json_udtf_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze``): the output schema is
+    computed at plan time from the literal key-list argument — one column
+    per requested JSON key — instead of being declared statically like
+    ``text_chunk_udtf``'s.  This is the UDTF capability the fixed-schema
+    form can't show: the same function extracts any key set, and Catalyst
+    sees real named columns (prunable, filterable) rather than a map.
+
+    eval is plain stdlib-json per row (fine for a demo of the API; the
+    HOT path for JSON stays ``json_funcs``/``json_variant_funcs``' JVM
+    expressions).  The rollup (count + avg of the extracted value per
+    event_type) is the oracle-checkable observable.
+    """
+    import json as _json
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    @udtf
+    class JsonFields:
+        @staticmethod
+        def analyze(props, keys):
+            from pyspark.sql.udtf import AnalyzeResult
+
+            if keys.value is None:  # non-literal: no value at analyze time
+                raise ValueError("keys must be a literal csv string")
+            return AnalyzeResult(
+                StructType(
+                    [
+                        StructField(k.strip(), StringType())
+                        for k in str(keys.value).split(",")
+                    ]
+                )
+            )
+
+        def __init__(self, analyze_result=None):
+            self._keys = (
+                [f.name for f in analyze_result.schema.fields]
+                if analyze_result is not None
+                else []
+            )
+
+        def eval(self, props, keys):
+            try:
+                d = _json.loads(props) if props is not None else {}
+            except ValueError:
+                d = {}
+            yield tuple(
+                None if d.get(k) is None else str(d[k]) for k in self._keys
+            )
+
+    events = load_table(spark, sf_dir, "events")
+    extracted = events.select("event_type", "props").lateralJoin(
+        JsonFields(F.col("props").outer(), F.lit("k"))
+    )
+    return (
+        extracted.groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.round(F.avg(F.col("k").cast("double")), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_UDTF_DYNAMIC_ORACLE = """
+SELECT event_type,
+       count(json_extract_string(props, '$.k')) AS n_with_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4)
+           AS avg_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "json_udtf_dynamic": json_udtf_dynamic,
     "str_fuzzy_match": str_fuzzy_match,
     "filename_parse": filename_parse,
     "str_funcs": str_funcs,
@@ -522,6 +599,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "json_udtf_dynamic": JSON_UDTF_DYNAMIC_ORACLE,
     "str_fuzzy_match": STR_FUZZY_ORACLE,
     "filename_parse": FILENAME_PARSE_ORACLE,
     "str_funcs": STR_FUNCS_ORACLE,
