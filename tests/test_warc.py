@@ -230,3 +230,45 @@ def test_content_encoded_bodies_are_decoded():
     )
     rows = parse_warc(_record("response", "http://z.example/bad", http))
     assert rows[0]["payload"] == b"\x99" * 20
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_body = st.binary(min_size=0, max_size=300)
+_rec_kind = st.sampled_from(["metadata", "request", "response"])
+_enc = st.sampled_from([None, "gzip", "deflate"])
+
+
+@settings(max_examples=40, deadline=None)
+@given(recs=st.lists(st.tuples(_rec_kind, _body, _enc), min_size=1, max_size=6))
+def test_warc_roundtrip_property_plain_and_gz(recs):
+    """ANY synthesized record sequence survives both framings: plain and
+    per-record-gzip parse to the same rows, record count is exact, and
+    response bodies come back byte-identical (through Content-Encoding
+    when present)."""
+    import zlib as _z
+
+    raws = []
+    for kind, body, enc in recs:
+        if kind == "response":
+            hdr = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+            wire = body
+            if enc == "gzip":
+                hdr += b"Content-Encoding: gzip\r\n"
+                wire = gzip.compress(body)
+            elif enc == "deflate":
+                hdr += b"Content-Encoding: deflate\r\n"
+                wire = _z.compress(body)
+            block = hdr + b"\r\n" + wire
+        else:
+            block = body
+        raws.append(_record(kind, "http://p.example/x", block))
+    plain = parse_warc(b"".join(raws))
+    gzed = parse_warc(b"".join(gzip.compress(r) for r in raws))
+    assert len(plain) == len(gzed) == len(recs)
+    for (kind, body, enc), p, g in zip(recs, plain, gzed):
+        assert p["warc_type"] == g["warc_type"] == kind
+        if kind == "response":
+            assert p["payload"] == body, (enc, p["payload"], body)
+        assert p["payload"] == g["payload"]
