@@ -373,6 +373,54 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.unionByName(total).orderBy("nationkey")
 
 
+_BOTTOMK = 256
+
+
+def sketch_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a deterministic bottom-k-by-hash row
+    sample — the MERGEABLE quantile sibling of the HLL (distinct) and CMS
+    (frequency) sketches.
+
+    The sketch: per group, the k rows whose ``xxhash64(event_id)`` is
+    smallest.  Because the hash is a fixed function of the row identity,
+    this is (a) a uniform random sample of the group's rows, (b) fully
+    DETERMINISTIC across engines, partitionings, and retries (no RNG
+    state), and (c) mergeable by construction: bottom-k of a union is the
+    bottom-k of the parts' bottom-ks, so partial sketches compose across
+    batches/shards exactly like the other sketches' states.  Quantiles of
+    the sample estimate quantiles of the group with rank error
+    ~1.96*sqrt(p(1-p)/k).
+
+    The plan here ranks by hash per group (window) and aggregates the
+    surviving sample; at 100 TB the same sketch is built with bounded
+    state via the two-phase slice (per-partition bottom-k, then bottom-k
+    of the concatenation) or treeAggregate — the DEFINITION is what makes
+    that refinement exact.  No cross-engine hash twin exists in DuckDB,
+    so the entry is rows-only; ``tests/test_plans.py`` bounds the
+    estimates against exact population quantiles in rank space.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.xxhash64("event_id"), "event_id"
+    )
+    sample = events.select(
+        "event_type", "value", F.row_number().over(w).alias("rnk")
+    ).where(F.col("rnk") <= _BOTTOMK)
+    return (
+        sample.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sample"),
+            F.round(
+                F.expr("percentile(value, 0.5)"), 4
+            ).alias("p50_est"),
+            F.round(
+                F.expr("percentile(value, 0.9)"), 4
+            ).alias("p90_est"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion z-test over a deterministic user split — the
     experiment-analysis aggregate (variant = user_id parity; conversion =
@@ -646,6 +694,7 @@ QUERIES = {
     "agg_entropy_gini": agg_entropy_gini,
     "agg_bitmap_distinct": agg_bitmap_distinct,
     "sketch_hll_distinct": sketch_hll_distinct,
+    "sketch_quantile_bottomk": sketch_quantile_bottomk,
     "agg_stats": agg_stats,
     "mv_incremental_refresh": mv_incremental_refresh,
     "agg_minmax_by": agg_minmax_by,

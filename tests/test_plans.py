@@ -257,3 +257,27 @@ def test_dedup_keep_best_single_fingerprint_shuffle(spark):
     plan = _plan(spark, "dedup_keep_best")
     assert "Union" in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_bottomk_quantile_sketch_rank_error_bounded(spark):
+    """The bottom-k-by-hash sample's quantile estimates must sit near the
+    true population quantiles IN RANK SPACE: the fraction of the group's
+    values below the estimate stays within ~1.96*sqrt(p(1-p)/k) + slack
+    of the target p.  Also pins determinism (two runs, same rows)."""
+    import duckdb
+
+    rows1 = QUERIES["sketch_quantile_bottomk"](spark, SF_CORRECT).collect()
+    rows2 = QUERIES["sketch_quantile_bottomk"](spark, SF_CORRECT).collect()
+    assert [tuple(r) for r in rows1] == [tuple(r) for r in rows2]
+
+    con = duckdb.connect()
+    for r in rows1:
+        for p, est in ((0.5, r.p50_est), (0.9, r.p90_est)):
+            frac = con.execute(
+                f"""SELECT avg(CASE WHEN value <= ? THEN 1.0 ELSE 0.0 END)
+                    FROM '{SF_CORRECT}/events.parquet'
+                    WHERE event_type = ?"""
+            , [est, r.event_type]).fetchone()[0]
+            k = r.n_sample
+            tol = 1.96 * (p * (1 - p) / k) ** 0.5 + 0.02
+            assert abs(frac - p) <= tol, (r.event_type, p, est, frac, tol)
