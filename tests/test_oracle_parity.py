@@ -103,4 +103,7 @@ def test_rows_only_set_is_exactly_the_documented_exceptions():
         # iterative first-fit packing (applyInPandas); golden-tested
         # against the pure-Python ffd_bins reference in test_packing.py
         "doc_pack_ffd",
+        # xxhash64 bottom-k sample has no DuckDB hash twin; rank-space
+        # error + determinism bounded in test_plans.py
+        "sketch_quantile_bottomk",
     }
