@@ -1,0 +1,415 @@
+"""Avro Object Container File reader/writer, stdlib-only.
+
+``sources/formats.py`` gates Avro behind the ``spark-avro`` JVM package,
+which this environment does not ship — so the format was the one
+advertised lane the engine could only probe for.  The Avro OCF layout
+and binary encoding are a public spec (and simple); this module closes
+the gap the same way the GeoTIFF/shapefile/GPKG/WARC lanes closed
+theirs: struct-level implementation, no dependencies.
+
+Scope (the working majority of real Avro files):
+- container: magic ``Obj\\x01``, file-metadata map (``avro.schema`` JSON,
+  ``avro.codec`` null/deflate), 16-byte sync marker, data blocks of
+  (count, byte-length, payload, sync).
+- types: null, boolean, int, long (zigzag varints), float, double,
+  bytes, string, records, enums, fixed, arrays, maps, and unions.
+  Logical types pass through as their underlying primitive (the same
+  posture DuckDB's Avro reader takes).
+- codecs: null and deflate (stdlib zlib).  snappy gates loudly.
+
+Spark-side: ``read_avro_python(spark, path)`` scans ``*.avro`` via
+``binaryFile`` + ``mapInPandas`` — one task per container file (Avro's
+own framing; files are the split unit when the JVM reader is absent too)
+— yielding one row per record with nested values carried as JSON strings
+for schema stability (callers ``from_json`` the columns they need;
+flat primitive columns surface natively).  Parse failures land in the
+error side-channel.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+from collections.abc import Iterator
+
+_MAGIC = b"Obj\x01"
+
+
+# ---- binary primitives ---------------------------------------------------
+
+
+def _read_long(buf: io.BytesIO) -> int:
+    """Zigzag varint."""
+    shift = 0
+    acc = 0
+    while True:
+        b = buf.read(1)
+        if not b:
+            raise ValueError("varint runs past end of input")
+        byte = b[0]
+        acc |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            break
+        shift += 7
+        if shift > 70:
+            raise ValueError("varint longer than 10 bytes")
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def _write_long(out: bytearray, v: int) -> None:
+    v = (v << 1) ^ (v >> 63)
+    v &= (1 << 64) - 1
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _read_bytes(buf: io.BytesIO) -> bytes:
+    n = _read_long(buf)
+    if n < 0:
+        raise ValueError(f"negative byte-length {n}")
+    data = buf.read(n)
+    if len(data) != n:
+        raise ValueError("bytes value runs past end of input")
+    return data
+
+
+# ---- schema-driven decode ------------------------------------------------
+
+
+def _decode(schema, buf: io.BytesIO):
+    if isinstance(schema, list):  # union: branch index then value
+        idx = _read_long(buf)
+        if not 0 <= idx < len(schema):
+            raise ValueError(f"union branch {idx} out of range")
+        return _decode(schema[idx], buf)
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            return {
+                f["name"]: _decode(f["type"], buf) for f in schema["fields"]
+            }
+        if t == "enum":
+            idx = _read_long(buf)
+            symbols = schema["symbols"]
+            if not 0 <= idx < len(symbols):
+                raise ValueError(f"enum index {idx} out of range")
+            return symbols[idx]
+        if t == "fixed":
+            data = buf.read(schema["size"])
+            if len(data) != schema["size"]:
+                raise ValueError("fixed value runs past end of input")
+            return data
+        if t == "array":
+            out = []
+            while True:
+                n = _read_long(buf)
+                if n == 0:
+                    return out
+                if n < 0:  # block with byte-size prefix
+                    n = -n
+                    _read_long(buf)
+                for _ in range(n):
+                    out.append(_decode(schema["items"], buf))
+        if t == "map":
+            out = {}
+            while True:
+                n = _read_long(buf)
+                if n == 0:
+                    return out
+                if n < 0:
+                    n = -n
+                    _read_long(buf)
+                for _ in range(n):
+                    k = _read_bytes(buf).decode("utf-8")
+                    out[k] = _decode(schema["values"], buf)
+        return _decode(t, buf)  # {"type": "string", "logicalType": ...}
+    # primitive name
+    if schema == "null":
+        return None
+    if schema == "boolean":
+        b = buf.read(1)
+        if not b:
+            raise ValueError("boolean runs past end of input")
+        return b != b"\x00"
+    if schema in ("int", "long"):
+        return _read_long(buf)
+    if schema == "float":
+        data = buf.read(4)
+        if len(data) != 4:
+            raise ValueError("float runs past end of input")
+        return struct.unpack("<f", data)[0]
+    if schema == "double":
+        data = buf.read(8)
+        if len(data) != 8:
+            raise ValueError("double runs past end of input")
+        return struct.unpack("<d", data)[0]
+    if schema == "bytes":
+        return _read_bytes(buf)
+    if schema == "string":
+        return _read_bytes(buf).decode("utf-8", "replace")
+    raise ValueError(f"unsupported Avro type {schema!r}")
+
+
+def _encode(schema, v, out: bytearray) -> None:
+    if isinstance(schema, list):
+        # pick the first matching branch (null vs non-null covers our use)
+        for i, branch in enumerate(schema):
+            if (branch == "null") == (v is None):
+                _write_long(out, i)
+                _encode(branch, v, out)
+                return
+        raise ValueError(f"no union branch for {v!r}")
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            for f in schema["fields"]:
+                _encode(f["type"], v[f["name"]], out)
+            return
+        if t == "array":
+            if v:
+                _write_long(out, len(v))
+                for item in v:
+                    _encode(schema["items"], item, out)
+            _write_long(out, 0)
+            return
+        if t == "map":
+            if v:
+                _write_long(out, len(v))
+                for k, item in v.items():
+                    kb = k.encode("utf-8")
+                    _write_long(out, len(kb))
+                    out += kb
+                    _encode(schema["values"], item, out)
+            _write_long(out, 0)
+            return
+        if t == "enum":
+            _write_long(out, schema["symbols"].index(v))
+            return
+        if t == "fixed":
+            out += v
+            return
+        _encode(t, v, out)
+        return
+    if schema == "null":
+        return
+    if schema == "boolean":
+        out.append(1 if v else 0)
+        return
+    if schema in ("int", "long"):
+        _write_long(out, int(v))
+        return
+    if schema == "float":
+        out += struct.pack("<f", v)
+        return
+    if schema == "double":
+        out += struct.pack("<d", v)
+        return
+    if schema == "bytes":
+        _write_long(out, len(v))
+        out += v
+        return
+    if schema == "string":
+        b = v.encode("utf-8")
+        _write_long(out, len(b))
+        out += b
+        return
+    raise ValueError(f"unsupported Avro type {schema!r}")
+
+
+# ---- container -----------------------------------------------------------
+
+
+def parse_avro(content: bytes) -> tuple[dict, list]:
+    """.avro OCF bytes -> (schema, [record, ...]).  Malformed input raises
+    ``ValueError``; snappy codec raises ``NotImplementedError``."""
+    try:
+        return _parse_avro(content)
+    except (struct.error, IndexError, KeyError, TypeError) as exc:
+        raise ValueError(f"malformed avro container: {exc}") from exc
+
+
+def _parse_avro(content: bytes) -> tuple[dict, list]:
+    if content[:4] != _MAGIC:
+        raise ValueError(f"not an Avro OCF: magic {content[:4]!r}")
+    buf = io.BytesIO(content)
+    buf.seek(4)
+    meta: dict[str, bytes] = {}
+    while True:
+        n = _read_long(buf)
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            _read_long(buf)
+        for _ in range(n):
+            k = _read_bytes(buf).decode("utf-8")
+            meta[k] = _read_bytes(buf)
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec == "snappy":
+        raise NotImplementedError("snappy-coded Avro needs a snappy codec")
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unknown Avro codec {codec!r}")
+    schema = json.loads(meta["avro.schema"])
+    sync = buf.read(16)
+    if len(sync) != 16:
+        raise ValueError("missing sync marker")
+    records: list = []
+    while buf.tell() < len(content):
+        count = _read_long(buf)
+        size = _read_long(buf)
+        if count < 0 or size < 0 or count > 50_000_000:
+            raise ValueError(f"implausible block header ({count}, {size})")
+        payload = buf.read(size)
+        if len(payload) != size:
+            raise ValueError("data block runs past end of file")
+        if codec == "deflate":
+            try:
+                payload = zlib.decompress(payload, wbits=-15)
+            except zlib.error as exc:
+                raise ValueError(f"corrupt deflate block: {exc}") from exc
+        pbuf = io.BytesIO(payload)
+        for _ in range(count):
+            records.append(_decode(schema, pbuf))
+        if buf.read(16) != sync:
+            raise ValueError("sync marker mismatch after block")
+    return schema, records
+
+
+def write_avro(
+    records: list[dict], schema: dict, path: str, codec: str = "deflate"
+) -> None:
+    """Records + schema -> a spec-conformant OCF on local disk (the
+    round-trip twin; sync marker derived from the schema so output is
+    byte-deterministic)."""
+    import hashlib
+
+    sync = hashlib.md5(json.dumps(schema).encode()).digest()
+    out = bytearray(_MAGIC)
+    meta = {
+        "avro.schema": json.dumps(schema).encode(),
+        "avro.codec": codec.encode(),
+    }
+    _write_long(out, len(meta))
+    for k, v in meta.items():
+        kb = k.encode()
+        _write_long(out, len(kb))
+        out += kb
+        _write_long(out, len(v))
+        out += v
+    _write_long(out, 0)
+    out += sync
+    body = bytearray()
+    for r in records:
+        _encode(schema, r, body)
+    payload = bytes(body)
+    if codec == "deflate":
+        payload = zlib.compress(payload)[2:-4]  # raw deflate, no zlib wrap
+    elif codec != "null":
+        raise ValueError(f"unsupported write codec {codec!r}")
+    _write_long(out, len(records))
+    _write_long(out, len(payload))
+    out += payload
+    out += sync
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
+
+
+# ---- Spark lane ----------------------------------------------------------
+
+
+def read_avro_python(spark, path: str):
+    """Scan ``*.avro`` under ``path``: one row per record — (path, record,
+    then one column per top-level field; nested record/array/map values
+    carried as JSON strings for schema stability) plus the error
+    side-channel.  The committed output schema derives from the FIRST
+    file's declared schema (explicit, like every other lane — mixed-
+    schema directories should be read per-directory)."""
+    import glob as _glob
+    import os
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    first = sorted(
+        _glob.glob(os.path.join(path, "**", "*.avro"), recursive=True)
+    )
+    if not first:
+        raise FileNotFoundError(f"no .avro files under {path}")
+    with open(first[0], "rb") as fh:
+        head_schema, _ = parse_avro(fh.read())
+    if head_schema.get("type") != "record":
+        raise ValueError("top-level Avro schema must be a record")
+
+    def _spark_type(fs):
+        prim = {
+            "boolean": T.BooleanType(),
+            "int": T.LongType(),
+            "long": T.LongType(),
+            "float": T.DoubleType(),
+            "double": T.DoubleType(),
+            "bytes": T.BinaryType(),
+            "string": T.StringType(),
+        }
+        if isinstance(fs, str) and fs in prim:
+            return prim[fs]
+        if isinstance(fs, list):  # nullable union of one non-null branch
+            branches = [b for b in fs if b != "null"]
+            if len(branches) == 1:
+                return _spark_type(branches[0])
+        return T.StringType()  # nested/complex -> JSON string
+
+    fields = [(f["name"], f["type"]) for f in head_schema["fields"]]
+    out_schema = T.StructType(
+        [T.StructField("path", T.StringType()),
+         T.StructField("record", T.LongType())]
+        + [T.StructField(n, _spark_type(fs)) for n, fs in fields]
+        + [T.StructField("error", T.StringType())]
+    )
+    complex_cols = {
+        n for n, fs in fields
+        if not isinstance(_spark_type(fs), (
+            T.BooleanType, T.LongType, T.DoubleType, T.BinaryType,
+        )) and not (isinstance(fs, str) and fs == "string")
+        and not (isinstance(fs, list) and "string" in fs)
+    }
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for path_, blob in zip(pdf["path"], pdf["content"]):
+                try:
+                    _, records = parse_avro(bytes(blob))
+                    for i, rec in enumerate(records, start=1):
+                        row = {"path": path_, "record": i, "error": None}
+                        for n, _fs in fields:
+                            v = rec.get(n)
+                            if n in complex_cols and v is not None:
+                                v = json.dumps(v, sort_keys=True)
+                            row[n] = v
+                        rows.append(row)
+                except Exception as exc:
+                    rows.append(
+                        {"path": path_, "record": None, "error":
+                         f"{type(exc).__name__}: {exc}",
+                         **{n: None for n, _ in fields}}
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return files.mapInPandas(fn, out_schema)

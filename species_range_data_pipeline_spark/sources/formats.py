@@ -53,7 +53,9 @@ def _check_gated(fmt: str, spark: SparkSession) -> None:
         raise RuntimeError(
             "avro needs the spark-avro connector jar; launch with "
             '--packages org.apache.spark:spark-avro_2.13:<spark version> '
-            "or add it to spark.jars"
+            "or add it to spark.jars — or use the dependency-free lane: "
+            "sources.avro_ocf.read_avro_python (stdlib OCF reader, "
+            "null/deflate codecs, error side-channel)"
         )
 
 
