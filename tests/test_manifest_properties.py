@@ -189,3 +189,52 @@ def test_change_feed_replay_identity_any_dml_sequence(
         replay[k] = replay.get(k, 0) + d
     replay = {k: n for k, n in replay.items() if n != 0}
     assert replay == counts(read_manifest_table(spark, path))
+
+
+# ---- streaming source batch-boundary invariance ------------------------
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(st.integers(1, 30), min_size=2, max_size=5),
+    cuts=st.sets(st.integers(0, 10), max_size=3),
+)
+def test_stream_source_any_batch_boundaries_exactly_once(
+    spark, tmp_path_factory, sizes, cuts
+):
+    """However the driver slices the version range into microbatches
+    (Spark picks boundaries by timing — they are NOT deterministic), the
+    concatenation of all batches is exactly the table's rows, each once:
+    partitions(start, end) must be additive over any cut of the range."""
+    from species_range_data_pipeline_spark.sources.manifest_stream import (
+        ManifestStreamReader,
+    )
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        table_schema,
+        write_manifest_table,
+    )
+
+    tmp = tmp_path_factory.mktemp("srcprop")
+    path = str(tmp / "tbl")
+    lo = 0
+    for n in sizes:
+        write_manifest_table(
+            spark.range(lo, lo + n).selectExpr("id").coalesce(1), path
+        )
+        lo += n
+    last = len(sizes) - 1
+    bounds = sorted({c for c in cuts if 0 <= c < last})
+    versions = [-1, *bounds, last]  # offsets: consumed-through markers
+
+    reader = ManifestStreamReader({"path": path}, table_schema(path))
+    got: list[int] = []
+    for a, b in zip(versions, versions[1:]):
+        parts = reader.partitions({"version": a}, {"version": b})
+        for p in parts:
+            for batch in reader.read(p):
+                got.extend(batch.to_pydict()["id"])
+    assert sorted(got) == list(range(sum(sizes)))
+    assert len(got) == sum(sizes)  # no duplicates across any boundary cut
