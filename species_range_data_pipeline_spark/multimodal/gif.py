@@ -146,8 +146,13 @@ def decode_gif(blob: bytes) -> tuple[int, int, int, np.ndarray]:
                 table, off = _read_color_table(blob, off, 2 << (ipacked & 0x07))
             if table is None:
                 raise ValueError("image has no color table")
-            if w == 0 or h == 0 or w * h > 100_000_000:
-                raise ValueError(f"implausible frame size {w}x{h}")
+            # the LZW bit reader is one Python iteration PER BIT: the cap
+            # must reflect this decoder's cost, not the format's limit —
+            # 4 MP (~1-2 s) keeps one crafted GIF from pinning a task for
+            # hours (the numpy-backed BMP lane can afford 1<<26; this
+            # cannot)
+            if w == 0 or h == 0 or w * h > 4_000_000:
+                raise ValueError(f"frame size {w}x{h} beyond the decode cap")
             if off >= len(blob):
                 raise ValueError("missing LZW minimum code size")
             min_code = blob[off]

@@ -553,6 +553,8 @@ def json_udtf_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = _json.loads(props) if props is not None else {}
             except ValueError:
                 d = {}
+            if not isinstance(d, dict):  # valid JSON, not an object
+                d = {}
             yield tuple(
                 None if d.get(k) is None else str(d[k]) for k in self._keys
             )

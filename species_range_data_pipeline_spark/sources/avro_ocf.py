@@ -84,17 +84,25 @@ def _read_bytes(buf: io.BytesIO) -> bytes:
 # ---- schema-driven decode ------------------------------------------------
 
 
-def _decode(schema, buf: io.BytesIO):
+def _decode(schema, buf: io.BytesIO, budget: list[int] | None = None):
+    # budget: mutable [remaining-value-count] proportional to input size —
+    # without it a crafted array/map of zero-byte items (nulls, empty
+    # records) with a 10^9 block count hangs/OOMs while reading NO input
+    if budget is not None:
+        budget[0] -= 1
+        if budget[0] < 0:
+            raise ValueError("decoded value count exceeds the input-size budget")
     if isinstance(schema, list):  # union: branch index then value
         idx = _read_long(buf)
         if not 0 <= idx < len(schema):
             raise ValueError(f"union branch {idx} out of range")
-        return _decode(schema[idx], buf)
+        return _decode(schema[idx], buf, budget)
     if isinstance(schema, dict):
         t = schema["type"]
         if t == "record":
             return {
-                f["name"]: _decode(f["type"], buf) for f in schema["fields"]
+                f["name"]: _decode(f["type"], buf, budget)
+                for f in schema["fields"]
             }
         if t == "enum":
             idx = _read_long(buf)
@@ -116,8 +124,12 @@ def _decode(schema, buf: io.BytesIO):
                 if n < 0:  # block with byte-size prefix
                     n = -n
                     _read_long(buf)
+                if budget is not None and n > budget[0]:
+                    raise ValueError(
+                        f"array block count {n} exceeds the input-size budget"
+                    )
                 for _ in range(n):
-                    out.append(_decode(schema["items"], buf))
+                    out.append(_decode(schema["items"], buf, budget))
         if t == "map":
             out = {}
             while True:
@@ -127,10 +139,14 @@ def _decode(schema, buf: io.BytesIO):
                 if n < 0:
                     n = -n
                     _read_long(buf)
+                if budget is not None and n > budget[0]:
+                    raise ValueError(
+                        f"map block count {n} exceeds the input-size budget"
+                    )
                 for _ in range(n):
                     k = _read_bytes(buf).decode("utf-8")
-                    out[k] = _decode(schema["values"], buf)
-        return _decode(t, buf)  # {"type": "string", "logicalType": ...}
+                    out[k] = _decode(schema["values"], buf, budget)
+        return _decode(t, buf, budget)  # {"type": "string", "logicalType": ...}
     # primitive name
     if schema == "null":
         return None
@@ -158,11 +174,41 @@ def _decode(schema, buf: io.BytesIO):
     raise ValueError(f"unsupported Avro type {schema!r}")
 
 
+def _branch_matches(branch, v) -> bool:
+    if branch == "null":
+        return v is None
+    if v is None:
+        return False
+    if branch == "boolean":
+        return isinstance(v, bool)
+    if branch in ("int", "long"):
+        return isinstance(v, int) and not isinstance(v, bool)
+    if branch in ("float", "double"):
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
+    if branch == "string":
+        return isinstance(v, str)
+    if branch == "bytes":
+        return isinstance(v, (bytes, bytearray))
+    if isinstance(branch, dict):
+        t = branch["type"]
+        if t in ("record", "map"):
+            return isinstance(v, dict)
+        if t == "array":
+            return isinstance(v, list)
+        if t == "enum":
+            return isinstance(v, str)
+        if t == "fixed":
+            return isinstance(v, (bytes, bytearray))
+        return _branch_matches(t, v)
+    return True  # named-type reference etc.: last resort
+
+
 def _encode(schema, v, out: bytearray) -> None:
     if isinstance(schema, list):
-        # pick the first matching branch (null vs non-null covers our use)
+        # pick the first branch whose Python type matches the value
+        # (["null","long","string"] with "x" must choose string, not long)
         for i, branch in enumerate(schema):
-            if (branch == "null") == (v is None):
+            if _branch_matches(branch, v):
                 _write_long(out, i)
                 _encode(branch, v, out)
                 return
@@ -276,8 +322,11 @@ def _parse_avro(content: bytes) -> tuple[dict, list]:
             except zlib.error as exc:
                 raise ValueError(f"corrupt deflate block: {exc}") from exc
         pbuf = io.BytesIO(payload)
+        # every decoded value consumes budget; proportional to the
+        # DECOMPRESSED block size so null-heavy but honest data fits
+        budget = [10 * len(payload) + 10_000]
         for _ in range(count):
-            records.append(_decode(schema, pbuf))
+            records.append(_decode(schema, pbuf, budget))
         if buf.read(16) != sync:
             raise ValueError("sync marker mismatch after block")
     return schema, records
@@ -349,7 +398,12 @@ def read_avro_python(spark, path: str):
     if head_schema.get("type") != "record":
         raise ValueError("top-level Avro schema must be a record")
 
-    def _spark_type(fs):
+    def _col_plan(fs):
+        """(spark_type, needs_json).  Native: primitives, enums (their
+        symbol string), fixed (bytes), and nullable unions of exactly one
+        such branch.  EVERYTHING else — records, arrays, maps, and
+        multi-branch unions (whose decoded values vary in Python type and
+        would poison an Arrow string column) — is JSON-carried."""
         prim = {
             "boolean": T.BooleanType(),
             "int": T.LongType(),
@@ -360,27 +414,36 @@ def read_avro_python(spark, path: str):
             "string": T.StringType(),
         }
         if isinstance(fs, str) and fs in prim:
-            return prim[fs]
-        if isinstance(fs, list):  # nullable union of one non-null branch
+            return prim[fs], False
+        if isinstance(fs, dict):
+            if fs.get("type") == "enum":
+                return T.StringType(), False  # symbol string, NOT quoted
+            if fs.get("type") == "fixed":
+                return T.BinaryType(), False
+            if fs.get("type") in prim and isinstance(fs.get("type"), str):
+                return prim[fs["type"]], False  # logical-type wrapper
+        if isinstance(fs, list):
             branches = [b for b in fs if b != "null"]
             if len(branches) == 1:
-                return _spark_type(branches[0])
-        return T.StringType()  # nested/complex -> JSON string
+                t, nj = _col_plan(branches[0])
+                return t, nj
+        return T.StringType(), True
 
     fields = [(f["name"], f["type"]) for f in head_schema["fields"]]
+    plans = {n: _col_plan(fs) for n, fs in fields}
     out_schema = T.StructType(
         [T.StructField("path", T.StringType()),
          T.StructField("record", T.LongType())]
-        + [T.StructField(n, _spark_type(fs)) for n, fs in fields]
+        + [T.StructField(n, plans[n][0]) for n, _ in fields]
         + [T.StructField("error", T.StringType())]
     )
-    complex_cols = {
-        n for n, fs in fields
-        if not isinstance(_spark_type(fs), (
-            T.BooleanType, T.LongType, T.DoubleType, T.BinaryType,
-        )) and not (isinstance(fs, str) and fs == "string")
-        and not (isinstance(fs, list) and "string" in fs)
-    }
+    complex_cols = {n for n, _ in fields if plans[n][1]}
+
+    def _jsonable(v):
+        # bytes inside JSON-carried values (fixed/bytes in nests) -> hex
+        if isinstance(v, (bytes, bytearray)):
+            return v.hex()
+        raise TypeError(f"not JSON serializable: {type(v).__name__}")
 
     files = (
         spark.read.format("binaryFile")
@@ -401,7 +464,9 @@ def read_avro_python(spark, path: str):
                         for n, _fs in fields:
                             v = rec.get(n)
                             if n in complex_cols and v is not None:
-                                v = json.dumps(v, sort_keys=True)
+                                v = json.dumps(
+                                    v, sort_keys=True, default=_jsonable
+                                )
                             row[n] = v
                         rows.append(row)
                 except Exception as exc:

@@ -158,7 +158,15 @@ def _decode_body(body: bytes, enc: str) -> bytes:
     undecodable or bomb-sized body degrades to its RAW bytes — one rotten
     response must not fail a million-record archive; downstream mime/
     quality filters are the right place to drop mojibake."""
-    for wbits in ((31,) if enc != "deflate" else (15, -15)):
+    if enc != "deflate":
+        # gzip: multi-member bodies are valid per the gzip spec and occur
+        # on the wild web — decode EVERY member (the same loop as the
+        # .warc.gz record framing), never just the first
+        try:
+            return b"".join(_gunzip_members(body))
+        except ValueError:
+            return body
+    for wbits in (15, -15):  # zlib-wrapped vs raw deflate both occur
         d = zlib.decompressobj(wbits=wbits)
         try:
             out = d.decompress(body, _MAX_MEMBER_BYTES)

@@ -132,3 +132,74 @@ def test_read_avro_python_spark_lane(spark, tmp_path):
     bad = df.where("error IS NOT NULL").collect()
     assert len(bad) == 1 and "c.avro" in bad[0]["path"]
     df.unpersist()
+
+
+def test_avro_zero_byte_item_bomb_fails_fast(tmp_path):
+    """A crafted array-of-null with a huge block count must be rejected by
+    the input-size budget, not decoded (zero bytes consumed per item =
+    unbounded memory/time otherwise)."""
+    import io
+    import time
+
+    from species_range_data_pipeline_spark.sources.avro_ocf import (
+        _MAGIC,
+        _write_long,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [{"name": "a", "type": {"type": "array", "items": "null"}}],
+    }
+    import json as _json
+
+    out = bytearray(_MAGIC)
+    meta = {"avro.schema": _json.dumps(schema).encode(), "avro.codec": b"null"}
+    _write_long(out, len(meta))
+    for k, v in meta.items():
+        kb = k.encode()
+        _write_long(out, len(kb))
+        out += kb
+        _write_long(out, len(v))
+        out += v
+    _write_long(out, 0)
+    out += b"S" * 16
+    body = bytearray()
+    _write_long(body, 10**9)  # one array block claiming a billion nulls
+    _write_long(out, 1)       # record count
+    _write_long(out, len(body))
+    out += body
+    out += b"S" * 16
+    t0 = time.time()
+    with pytest.raises(ValueError, match="budget"):
+        parse_avro(bytes(out))
+    assert time.time() - t0 < 2.0
+
+
+def test_avro_enum_fixed_and_multibranch_union_columns(spark, tmp_path):
+    """Spark-lane typing: enum surfaces as its bare symbol (not
+    JSON-quoted), fixed as native binary, and a multi-branch union is
+    JSON-carried so mixed Python types can't poison an Arrow column."""
+    schema = {
+        "type": "record",
+        "name": "M",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "kind", "type": {"type": "enum", "name": "K",
+                                      "symbols": ["A", "B"]}},
+            {"name": "uid", "type": {"type": "fixed", "name": "U", "size": 4}},
+            {"name": "v", "type": ["null", "long", "string"]},
+        ],
+    }
+    recs = [
+        {"id": 1, "kind": "A", "uid": b"abcd", "v": 5},
+        {"id": 2, "kind": "B", "uid": b"\x00\x01\x02\x03", "v": "x"},
+        {"id": 3, "kind": "A", "uid": b"zzzz", "v": None},
+    ]
+    write_avro(recs, schema, str(tmp_path / "m.avro"))
+    df = read_avro_python(spark, str(tmp_path))
+    rows = {r.id: r for r in df.where("error IS NULL").collect()}
+    assert rows[1].kind == "A" and rows[2].kind == "B"  # bare symbols
+    assert bytes(rows[1].uid) == b"abcd"                # native binary
+    assert rows[1].v == "5" and rows[2].v == '"x"'      # JSON-carried union
+    assert rows[3].v is None

@@ -272,3 +272,15 @@ def test_warc_roundtrip_property_plain_and_gz(recs):
         if kind == "response":
             assert p["payload"] == body, (enc, p["payload"], body)
         assert p["payload"] == g["payload"]
+
+
+def test_multi_member_gzip_body_fully_decoded():
+    """gzip Content-Encoding bodies may hold CONCATENATED members; every
+    member must decode (first-member-only would silently truncate)."""
+    wire = gzip.compress(b"<p>first</p>") + gzip.compress(b"<p>second</p>")
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + wire
+    )
+    rows = parse_warc(_record("response", "http://m.example/x", http))
+    assert rows[0]["payload"] == b"<p>first</p><p>second</p>"
