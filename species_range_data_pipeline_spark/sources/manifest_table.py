@@ -1369,3 +1369,66 @@ def table_count(path: str, version: int | None = None) -> int | None:
     if not all(f in known for f in meta["files"]):
         return None
     return sum(known[f] for f in meta["files"])
+
+
+def drop_column(path: str, name: str) -> int:
+    """ALTER TABLE DROP COLUMN, metadata-only: the committed schema loses
+    the column; data files are untouched (their bytes for the column
+    simply stop being read — Spark projects by the committed schema), and
+    time travel to pre-drop versions still sees it.  Dropping a column a
+    CHECK constraint references is refused.  Returns the new version."""
+    from pyspark.sql.types import StructType
+
+    meta = _load_meta(path)
+    schema = StructType.fromJson(json.loads(meta["schema"]))
+    if name not in schema.names:
+        raise ValueError(f"column {name!r} does not exist")
+    if len(schema.names) == 1:
+        raise ValueError("refusing to drop the table's only column")
+    for cname, expr in meta.get("constraints", {}).items():
+        import re as _re
+
+        if _re.search(rf"\b{_re.escape(name)}\b", expr):
+            raise ValueError(
+                f"column {name!r} is referenced by CHECK constraint "
+                f"{cname!r}; drop the constraint first (overwrite)"
+            )
+    new_schema = StructType([f for f in schema.fields if f.name != name])
+    return _publish_manifest(
+        path, uuid.uuid4().hex[:12], version=meta["version"] + 1,
+        files=meta["files"], schema_json=new_schema.json(),
+        stats=meta.get("stats", {}), blooms=meta.get("blooms", {}),
+        txn=None, rows=meta.get("rows", {}), nulls=meta.get("nulls", {}),
+        operation="alter", constraints=meta.get("constraints") or None,
+    )
+
+
+def files_table(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """The snapshot's file-level metadata as a queryable DataFrame —
+    Iceberg's ``table.files`` / Delta's file-level DESCRIBE DETAIL shape:
+    one row per live data file with its recorded row count, byte size,
+    and per-column [min, max] zone ranges (as strings; callers cast).
+    Pure metadata: nothing but manifest JSON and os.stat is touched —
+    ops tooling (skew checks, compaction planning, layout audits) runs
+    on the 100 TB table without opening a single data file."""
+    meta = _load_meta(path, version)
+    rows = []
+    for f in meta["files"]:
+        stats = meta.get("stats", {}).get(f, {})
+        rows.append(
+            (
+                f,
+                meta.get("rows", {}).get(f),
+                os.path.getsize(f) if os.path.exists(f) else None,
+                {c: str(mm[0]) for c, mm in stats.items()},
+                {c: str(mm[1]) for c, mm in stats.items()},
+                {c: int(n) for c, n in meta.get("nulls", {}).get(f, {}).items()},
+                sorted(meta.get("blooms", {}).get(f, {})),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "file string, n_rows long, size_bytes long, "
+        "col_min map<string,string>, col_max map<string,string>, "
+        "null_counts map<string,int>, bloom_columns array<string>",
+    )

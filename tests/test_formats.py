@@ -1408,3 +1408,42 @@ def test_change_feed_null_columns_cancel(spark, tmp_path):
     assert len(ch) == 10
     assert all(r._change_type == "delete" and r.score is None for r in ch)
     assert sorted(r.id for r in ch) == list(range(40, 50))
+
+
+def test_manifest_drop_column_and_files_table(spark, tmp_path):
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        drop_column,
+        files_table,
+        read_manifest_table,
+        table_history,
+        write_manifest_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_manifest_table(
+        spark.range(0, 60).selectExpr("id", "id * 2 AS x", "id % 3 AS g")
+        .coalesce(2),
+        path,
+        constraints={"gpos": "g >= 0"},
+    )
+    v = drop_column(path, "x")
+    assert v == 1
+    t = read_manifest_table(spark, path)
+    assert set(t.columns) == {"id", "g"} and t.count() == 60
+    # time travel still sees the dropped column
+    assert "x" in read_manifest_table(spark, path, version=0).columns
+    with pytest.raises(ValueError, match="does not exist"):
+        drop_column(path, "x")
+    with pytest.raises(ValueError, match="constraint"):
+        drop_column(path, "g")
+    assert [r.operation for r in table_history(spark, path).collect()] == [
+        "create", "alter",
+    ]
+
+    ft = files_table(spark, path).collect()
+    assert len(ft) == 2
+    assert sum(r.n_rows for r in ft) == 60
+    assert all(r.size_bytes > 0 for r in ft)
+    lo = min(int(r.col_min["id"]) for r in ft)
+    hi = max(int(r.col_max["id"]) for r in ft)
+    assert (lo, hi) == (0, 59)
