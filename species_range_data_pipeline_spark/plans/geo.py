@@ -300,7 +300,72 @@ ORDER BY c_custkey
 """
 
 
+
+
+def geo_raster_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster resample (regrid): aggregate the fine grid into 2x2-coarser
+    cells — the alignment step every multi-resolution raster comparison
+    needs (the reference's rasters arrive at one resolution per source;
+    comparing vtech vs GCM layers first means regridding one of them).
+
+    In the engine's long-format raster model this is pure column math:
+    coarse_row = row DIV 2, coarse_col = col DIV 2, then ONE partial-
+    aggregated groupBy — mean coverage (fraction of the 4 fine cells
+    present) and presence count per coarse cell, rolled up per species
+    to stay order-insensitive.  No kernel, no Python; at 100 TB the
+    regrid is exactly one map-side-combined shuffle of the coarse-cell
+    domain (4x smaller than the input).
+    """
+    cells = _cells_from_lineitem(spark, sf_dir).distinct()
+    coarse = (
+        cells.select(
+            "species",
+            "threshold_s",
+            (F.col("row") / 2).cast("int").alias("crow"),
+            (F.col("col") / 2).cast("int").alias("ccol"),
+        )
+        .groupBy("species", "threshold_s", "crow", "ccol")
+        .agg(F.count(F.lit(1)).alias("n_fine"))
+    )
+    return (
+        coarse.groupBy("species", F.col("threshold_s").alias("threshold"))
+        .agg(
+            F.count(F.lit(1)).alias("n_coarse_cells"),
+            F.sum("n_fine").alias("n_fine_cells"),
+            F.round(F.avg(F.col("n_fine") / 4.0), 4).alias("mean_coverage"),
+            F.count(F.when(F.col("n_fine") == 4, 1)).alias("n_full"),
+        )
+        .orderBy("species", "threshold")
+    )
+
+
+GEO_REGRID_ORACLE = f"""
+WITH cells AS (
+    SELECT DISTINCT l_returnflag AS species,
+           CAST(CAST(threshold * 100 AS INTEGER) AS VARCHAR) AS threshold,
+           l_orderkey % {_GRID} AS row,
+           l_partkey % {_GRID} AS col
+    FROM lineitem
+    CROSS JOIN (VALUES (0.25), (0.5), (0.75)) AS t(threshold)
+    WHERE l_quantity / 50.0 >= threshold
+), coarse AS (
+    SELECT species, threshold, row // 2 AS crow, col // 2 AS ccol,
+           count(*) AS n_fine
+    FROM cells GROUP BY 1, 2, 3, 4
+)
+SELECT species, threshold,
+       count(*) AS n_coarse_cells,
+       CAST(sum(n_fine) AS BIGINT) AS n_fine_cells,
+       round(avg(n_fine / 4.0), 4) AS mean_coverage,
+       count(CASE WHEN n_fine = 4 THEN 1 END) AS n_full
+FROM coarse
+GROUP BY 1, 2
+ORDER BY species, threshold
+"""
+
+
 QUERIES = {
+    "geo_raster_regrid": geo_raster_regrid,
     "geo_spatial_join_bin": geo_spatial_join_bin,
     "geo_haversine_nearest": geo_haversine_nearest,
     "geo_dissolve_area": geo_dissolve_area,
@@ -308,6 +373,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "geo_raster_regrid": GEO_REGRID_ORACLE,
     "geo_spatial_join_bin": GEO_SPATIAL_JOIN_ORACLE,
     "geo_haversine_nearest": GEO_HAVERSINE_ORACLE,
     "geo_dissolve_area": GEO_DISSOLVE_ORACLE,
