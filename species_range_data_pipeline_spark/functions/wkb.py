@@ -102,3 +102,84 @@ def wkb_area(wkb: bytes) -> float:
     their signed area subtracts naturally)."""
     _, polygons = decode(wkb)
     return sum(ring_signed_area(ring) for rings in polygons for ring in rings)
+
+
+def _perp_dist(p, a, b) -> float:
+    """Perpendicular distance of p from segment ab (endpoint distance when
+    ab degenerates)."""
+    ax, ay = a
+    bx, by = b
+    px, py = p
+    dx, dy = bx - ax, by - ay
+    denom = (dx * dx + dy * dy) ** 0.5
+    if denom == 0.0:
+        return ((px - ax) ** 2 + (py - ay) ** 2) ** 0.5
+    return abs(dx * (ay - py) - dy * (ax - px)) / denom
+
+
+def _dp(points: Ring, tol: float) -> Ring:
+    """Douglas-Peucker on an open polyline (iterative stack — recursion
+    depth would scale with vertex count)."""
+    n = len(points)
+    if n < 3:
+        return list(points)
+    keep = [False] * n
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        dmax, imax = -1.0, i
+        a, b = points[i], points[j]
+        for k in range(i + 1, j):
+            d = _perp_dist(points[k], a, b)
+            if d > dmax:
+                dmax, imax = d, k
+        if dmax > tol:
+            keep[imax] = True
+            stack.append((i, imax))
+            stack.append((imax, j))
+    return [p for p, k in zip(points, keep) if k]
+
+
+def simplify_wkb(wkb: bytes, tolerance: float) -> bytes:
+    """Douglas-Peucker simplification of a WKB Polygon/MultiPolygon
+    (``ST_SimplifyPreserveTopology``'s everyday 90%: per-ring DP with the
+    closing point pinned; a ring collapsing below 4 points is dropped —
+    for hole rings that merely enlarges the polygon by ~tolerance², for
+    a sole outer ring the polygon vanishes with it).
+
+    The dissolve/polygonize lanes emit rectilinear cell-boundary rings
+    where MOST vertices are collinear; tolerance=0 already removes every
+    collinear point exactly (distance 0 is not > 0), typically shrinking
+    reference-style artifacts by 3-10x without moving a single edge.
+    """
+    name, polygons = decode(wkb)
+    out_polys: list[list[Ring]] = []
+    for rings in polygons:
+        new_rings: list[Ring] = []
+        for ring in rings:
+            closed = ring[0] == ring[-1]
+            body = ring[:-1] if closed else list(ring)
+            if len(body) >= 3:
+                # rotate so the pinned endpoints are a real extreme point
+                # (keeps DP from preserving an arbitrary start vertex)
+                pivot = body.index(min(body))
+                body = body[pivot:] + body[:pivot]
+                simp = _dp(body + [body[0]], tolerance)[:-1]
+            else:
+                simp = body
+            if len(simp) >= 3:
+                new_rings.append(simp + [simp[0]])
+            elif not new_rings:
+                new_rings = []  # outer ring collapsed: drop the polygon
+                break
+            # a collapsed HOLE is simply dropped
+        if new_rings:
+            out_polys.append(new_rings)
+    if not out_polys:
+        return encode_multipolygon([])
+    if name == "Polygon" and len(out_polys) == 1:
+        return encode_polygon(out_polys[0])
+    return encode_multipolygon(out_polys)

@@ -224,3 +224,23 @@ def with_area(geo_df: DataFrame, geometry_col: str = "geometry") -> DataFrame:
         return wkb.map(lambda b: wkb_area(bytes(b)) if b is not None else None)
 
     return geo_df.withColumn("area", area_udf(F.col(geometry_col)))
+
+
+def with_simplified(
+    geo_df: DataFrame, tolerance: float = 0.0, geometry_col: str = "geometry"
+) -> DataFrame:
+    """Artifact-size pass: Douglas-Peucker per ring over WKB
+    (``functions.wkb.simplify_wkb``), Arrow-batched.  tolerance=0 removes
+    exactly the collinear vertices the cell-boundary walk emits — the
+    cheap 3-10x output shrink before a shapefile/GPKG export."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def simp_udf(wkb: pd.Series) -> pd.Series:
+        from ..functions.wkb import simplify_wkb
+
+        return wkb.map(
+            lambda b: simplify_wkb(bytes(b), tolerance) if b is not None else None
+        )
+
+    return geo_df.withColumn(geometry_col, simp_udf(F.col(geometry_col)))

@@ -204,3 +204,73 @@ def test_sedona_adapter_degrades_loudly(spark):
     ):
         with _pytest.raises(NotImplementedError, match="native WKB kernels"):
             call()
+
+
+def test_simplify_wkb_collinear_exact_and_tolerance():
+    """tolerance=0 removes exactly the collinear vertices (area and shape
+    preserved bit-exact); a positive tolerance flattens small notches;
+    holes survive; a collapsed hole is dropped, never mis-wound."""
+    from species_range_data_pipeline_spark.functions.wkb import (
+        decode,
+        encode_polygon,
+        simplify_wkb,
+        wkb_area,
+    )
+
+    # a 4x4 square traced with a vertex at EVERY cell corner (rectilinear
+    # boundary-walk style): 16 edge vertices, only 4 corners meaningful
+    steps = [(x, 0.0) for x in range(5)] + [(4.0, y) for y in range(1, 5)] \
+        + [(x, 4.0) for x in range(3, -1, -1)] + [(0.0, y) for y in range(3, 0, -1)]
+    ring = [(float(a), float(b)) for a, b in steps] + [(0.0, 0.0)]
+    hole = [(1.0, 1.0), (1.0, 2.0), (2.0, 2.0), (2.0, 1.0), (1.0, 1.0)]
+    wkb = encode_polygon([ring, hole])
+    simp = simplify_wkb(wkb, 0.0)
+    _, polys = decode(simp)
+    assert len(polys[0][0]) == 5  # 4 corners + closure
+    assert len(polys[0][1]) == 5  # hole untouched
+    assert wkb_area(simp) == wkb_area(wkb) == 15.0
+
+    # a 0.1-deep notch on one edge disappears at tolerance 0.5
+    notched = [(0.0, 0.0), (2.0, 0.0), (2.1, 0.05), (2.2, 0.0), (4.0, 0.0),
+               (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+    nw = simplify_wkb(encode_polygon([notched]), 0.5)
+    assert len(decode(nw)[1][0][0]) == 5
+    assert abs(wkb_area(nw) - 16.0) < 0.01
+
+    # hole smaller than tolerance collapses away; outer survives
+    tiny_hole = [(1.0, 1.0), (1.0, 1.01), (1.01, 1.01), (1.01, 1.0), (1.0, 1.0)]
+    hw = simplify_wkb(encode_polygon([ring, tiny_hole]), 0.5)
+    _, hp = decode(hw)
+    assert len(hp[0]) == 1  # hole gone
+    assert wkb_area(hw) == 16.0
+
+
+def test_with_simplified_flattens_staircase(spark):
+    """End to end: the boundary walk already emits minimal vertices for
+    rectilinear edges (tolerance=0 is a no-op there — pinned), while a
+    positive tolerance flattens a staircase diagonal into few vertices
+    with bounded area drift."""
+    from species_range_data_pipeline_spark.functions.wkb import decode
+    from species_range_data_pipeline_spark.operators.polygonize import (
+        dissolve,
+        with_area,
+        with_simplified,
+    )
+
+    # lower-left triangle of a 12x12 grid: the hypotenuse is a staircase
+    rows = [("s", r, c) for r in range(12) for c in range(12) if c <= r]
+    cells = spark.createDataFrame(rows, "species string, row int, col int")
+    out = dissolve(cells, by=["species"]).cache()
+    before = out.first()
+    n_before = len(decode(bytes(before.geometry))[1][0][0])
+
+    zero = with_area(with_simplified(out, 0.0)).first()
+    assert zero.area == before.area  # rectilinear edges: exact no-op
+    assert len(bytes(zero.geometry)) == len(bytes(before.geometry))
+
+    simped = with_area(with_simplified(out, 1.5)).first()
+    n_after = len(decode(bytes(simped.geometry))[1][0][0])
+    assert n_after < n_before / 2  # staircase flattened
+    # area drift bounded by ~tolerance per unit of hypotenuse length
+    assert abs(simped.area - before.area) <= 12 * 1.5
+    out.unpersist()
