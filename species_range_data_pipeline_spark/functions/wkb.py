@@ -183,3 +183,32 @@ def simplify_wkb(wkb: bytes, tolerance: float) -> bytes:
     if name == "Polygon" and len(out_polys) == 1:
         return encode_polygon(out_polys[0])
     return encode_multipolygon(out_polys)
+
+
+#: mean Earth radius, km (IUGG)
+_EARTH_R_KM = 6371.0088
+
+
+def wkb_area_km2(wkb: bytes) -> float:
+    """Geodesic area (km²) of a lon/lat WKB polygon via the spherical
+    shoelace: A = R²/2 · |Σ (λ₂-λ₁)(sin φ₁ + sin φ₂)| per ring, holes
+    subtracting — the real-units twin of ``wkb_area``'s square-degrees
+    (the reference computes area in EPSG:4326 square degrees,
+    ``species_range_etl.py:227``, a unit that varies with latitude; this
+    is what its consumers actually wanted).  Exact on the sphere for
+    geodesic-edged polygons; for the small cells this engine emits the
+    straight-edge error is negligible (<<0.1%)."""
+    import math
+
+    _, polygons = decode(wkb)
+    total = 0.0
+    for rings in polygons:
+        for k, ring in enumerate(rings):
+            acc = 0.0
+            for (lon1, lat1), (lon2, lat2) in zip(ring, ring[1:]):
+                acc += math.radians(lon2 - lon1) * (
+                    math.sin(math.radians(lat1)) + math.sin(math.radians(lat2))
+                )
+            ring_area = abs(acc) * _EARTH_R_KM * _EARTH_R_KM / 2.0
+            total += ring_area if k == 0 else -ring_area
+    return total

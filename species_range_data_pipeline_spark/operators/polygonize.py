@@ -244,3 +244,19 @@ def with_simplified(
         )
 
     return geo_df.withColumn(geometry_col, simp_udf(F.col(geometry_col)))
+
+
+def with_area_km2(geo_df: DataFrame, geometry_col: str = "geometry") -> DataFrame:
+    """Real-units area column (km², spherical shoelace over lon/lat WKB)
+    alongside the reference-fidelity square-degree ``with_area``."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def km2_udf(wkb: pd.Series) -> pd.Series:
+        from ..functions.wkb import wkb_area_km2
+
+        return wkb.map(
+            lambda b: wkb_area_km2(bytes(b)) if b is not None else None
+        )
+
+    return geo_df.withColumn("area_km2", km2_udf(F.col(geometry_col)))

@@ -274,3 +274,43 @@ def test_with_simplified_flattens_staircase(spark):
     # area drift bounded by ~tolerance per unit of hypotenuse length
     assert abs(simped.area - before.area) <= 12 * 1.5
     out.unpersist()
+
+
+def test_wkb_area_km2_known_values():
+    """Spherical shoelace against closed-form zone areas: a full
+    latitude band's area is 2*pi*R^2*(sin(top)-sin(bottom)); a 1x1-degree
+    cell at the equator ~12364 km^2, at 60N about half that; holes
+    subtract."""
+    import math
+
+    from species_range_data_pipeline_spark.functions.wkb import (
+        encode_polygon,
+        wkb_area_km2,
+    )
+
+    R = 6371.0088
+
+    def cell(lon, lat, d=1.0):
+        return [(lon, lat), (lon + d, lat), (lon + d, lat + d),
+                (lon, lat + d), (lon, lat)]
+
+    # closed form for a lon-slice of a latitude band
+    def band(lat0, lat1, dlon):
+        return (
+            math.radians(dlon) * R * R
+            * (math.sin(math.radians(lat1)) - math.sin(math.radians(lat0)))
+        )
+
+    eq = wkb_area_km2(encode_polygon([cell(0.0, 0.0)]))
+    assert abs(eq - band(0, 1, 1)) < 1e-6
+    assert abs(eq - 12364) < 5
+
+    north = wkb_area_km2(encode_polygon([cell(10.0, 60.0)]))
+    assert abs(north - band(60, 61, 1)) < 1e-6
+    assert north < eq * 0.52  # cos(60) ~ 0.5
+
+    # hole subtracts
+    outer = cell(0.0, 0.0, 2.0)
+    hole = list(reversed(cell(0.5, 0.5, 1.0)))
+    with_hole = wkb_area_km2(encode_polygon([outer, hole]))
+    assert abs(with_hole - (band(0, 2, 2) - band(0.5, 1.5, 1))) < 1e-6
