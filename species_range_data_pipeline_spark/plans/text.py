@@ -1357,10 +1357,87 @@ ORDER BY t.doc_id
 """
 
 
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a (fixed-weight) logistic classifier
+    over the heuristic features — the CCNet/GPT-3-style step where a
+    trained scorer, not hand rules, gates documents.  The weights here
+    are pinned constants (a real pipeline loads trained ones; broadcast
+    a weight row and the plan is identical), which keeps the entire
+    score closed-form column math: sigmoid(w·x + b) runs inside the scan
+    stage, and both engines compute bit-identical doubles before the
+    single rounding.
+
+    Output: per-band document counts + mean score — the corpus-level
+    acceptance profile a curation run reports.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.col("toks")
+    n_tokens = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(_STOPWORDS))) / n_tokens
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")) / F.length("text")
+    )
+    mean_tok = F.length("text") / n_tokens
+    # pinned weights: favor stopword-bearing, alphabetic, mid-length-token
+    # prose; penalize very short docs
+    z = (
+        F.lit(-3.0)
+        + 6.0 * stop_ratio
+        + 4.0 * alpha_ratio
+        - 0.3 * F.abs(mean_tok - 6.0)
+        + 0.01 * F.least(n_tokens.cast("double"), F.lit(100.0))
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    scored = docs.select("doc_id", "text", _tokens().alias("toks")).select(
+        "doc_id", score.alias("score")
+    )
+    return (
+        scored.groupBy(F.floor(F.col("score") * 10).cast("int").alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("score"), 6).alias("mean_score"),
+        )
+        .orderBy("band")
+    )
+
+
+TEXT_QUALITY_CLASSIFIER_ORACLE = """
+WITH t AS (
+    SELECT doc_id, text,
+           string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+    FROM documents
+), feat AS (
+    SELECT doc_id,
+           len(list_filter(toks, x -> x IN ('the', 'and', 'of', 'to', 'in')))
+               / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+           length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+               / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+           length(text) / CAST(len(toks) AS DOUBLE) AS mean_tok,
+           len(toks) AS n_tokens
+    FROM t
+), scored AS (
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(
+               -3.0 + 6.0 * stop_ratio + 4.0 * alpha_ratio
+               - 0.3 * abs(mean_tok - 6.0)
+               + 0.01 * least(CAST(n_tokens AS DOUBLE), 100.0)
+           ))), 6) AS score
+    FROM feat
+)
+SELECT CAST(floor(score * 10) AS INTEGER) AS band,
+       count(*) AS n_docs,
+       round(avg(score), 6) AS mean_score
+FROM scored
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "text_decontaminate": text_decontaminate,
     "dedup_repeated_ngrams": dedup_repeated_ngrams,
     "dedup_substring_cut": dedup_substring_cut,
+    "text_quality_classifier": text_quality_classifier,
     "text_repetition": text_repetition,
     "text_perplexity": text_perplexity,
     "text_token_count": text_token_count,
@@ -1384,6 +1461,7 @@ ORACLES = {
     "text_decontaminate": TEXT_DECONTAMINATE_ORACLE,
     "dedup_repeated_ngrams": DEDUP_REPEATED_NGRAMS_ORACLE,
     "dedup_substring_cut": DEDUP_SUBSTRING_CUT_ORACLE,
+    "text_quality_classifier": TEXT_QUALITY_CLASSIFIER_ORACLE,
     "text_repetition": TEXT_REPETITION_ORACLE,
     "text_perplexity": TEXT_PERPLEXITY_ORACLE,
     "text_token_count": TEXT_TOKEN_COUNT_ORACLE,
