@@ -47,3 +47,66 @@ def observed_write(
     named = [col.alias(name) for name, col in metrics.items()]
     df.observe(obs, *named).write.format(fmt).mode(mode).save(path)
     return dict(obs.get)
+
+
+class StreamMetricsCollector:
+    """Per-microbatch observed metrics for a STREAMING query.
+
+    ``attach`` wires the same ``df.observe`` call into a stream; the
+    collector (a ``StreamingQueryListener``) harvests every batch's
+    ``observedMetrics`` from the progress event — the monitoring face of
+    ``observed_write``: row counts / violation counters / bounds arrive
+    with each microbatch at zero extra scans, which is how a 24/7 ingest
+    pipeline watches itself without a second read of the stream.
+
+    Usage::
+
+        coll = StreamMetricsCollector(spark, "ingest_metrics")
+        stream = coll.attach(stream_df, {"n": F.count(F.lit(1)),
+                                         "v": F.sum("value")})
+        q = stream.writeStream...start(); q.processAllAvailable()
+        coll.totals()   # accumulated across batches
+        coll.batches    # the per-batch series
+    """
+
+    def __init__(self, spark, name: str):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        self.name = name
+        self.batches: list[dict] = []
+        outer = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                m = event.progress.observedMetrics.get(outer.name)
+                if m is not None:
+                    outer.batches.append(m.asDict())
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                pass
+
+        self._listener = _L()
+        self._spark = spark
+        spark.streams.addListener(self._listener)
+
+    def attach(self, stream_df: DataFrame, metrics: Mapping[str, Column]) -> DataFrame:
+        named = [col.alias(name) for name, col in metrics.items()]
+        return stream_df.observe(self.name, *named)
+
+    def totals(self) -> dict[str, Any]:
+        """Numeric metrics summed across every batch seen so far."""
+        acc: dict[str, Any] = {}
+        for b in self.batches:
+            for k, v in b.items():
+                if isinstance(v, (int, float)) and v is not None:
+                    acc[k] = acc.get(k, 0) + v
+        return acc
+
+    def close(self) -> None:
+        self._spark.streams.removeListener(self._listener)
