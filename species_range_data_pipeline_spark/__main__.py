@@ -50,12 +50,47 @@ def _etl(args) -> int:
         table=args.table,
         batchsize=args.batchsize,
     )
+    if args.export:
+        _export_vector(result, args.export, args.simplify)
     err_rows = errors.collect()
     for r in err_rows:
         print(f"error: {r.item}: {r.error}", file=sys.stderr)
     n = spark.read.parquet(args.out).count() if args.out else result.count()
     print(f"speciesdata rows: {n}; input errors: {len(err_rows)}")
     return 1 if (err_rows and args.strict) else 0
+
+
+def _export_vector(result, path: str, tolerance: float | None) -> None:
+    """speciesdata -> .shp or .gpkg artifact (the reference's consumers
+    read vector files, species_range_etl.py:131,199).  The dissolved
+    output is per-(species, threshold, scenario) — a handful of rows —
+    so a driver-side writer is the right shape; geometry optionally
+    simplified (Douglas-Peucker) first."""
+    from .functions.wkb import decode, simplify_wkb
+    from .sources.geopackage import write_geopackage
+    from .sources.shapefile import write_shapefile
+
+    rows = result.orderBy("sid").collect()
+
+    def geom(r):
+        g = bytes(r.geometry)
+        if tolerance is not None:
+            g = simplify_wkb(g, tolerance)
+        return g
+
+    attrs = lambda r: {
+        "species": r.species, "threshold": r.threshold,
+        "source": r.source, "year": r.year, "scenario": r.scenario,
+    }
+    if path.endswith(".gpkg"):
+        write_geopackage([(geom(r), attrs(r)) for r in rows], path)
+    elif path.endswith(".shp"):
+        write_shapefile(
+            [(decode(geom(r))[1], attrs(r)) for r in rows], path
+        )
+    else:
+        raise ValueError(f"--export wants a .shp or .gpkg path, got {path!r}")
+    print(f"exported {len(rows)} features -> {path}")
 
 
 def _table(args) -> int:
@@ -107,6 +142,11 @@ def main(argv: list[str] | None = None) -> int:
     etl.add_argument("--table", default="speciesdata")
     etl.add_argument("--batchsize", type=int, default=1000)
     etl.add_argument("--thresholds", help="comma list, default 0.25,0.5,0.75")
+    etl.add_argument("--export", help="also write a .shp or .gpkg artifact")
+    etl.add_argument(
+        "--simplify", type=float, default=None,
+        help="Douglas-Peucker tolerance for the exported geometry",
+    )
     etl.add_argument("--strict", action="store_true",
                      help="nonzero exit if any input errored")
     etl.set_defaults(fn=_etl)

@@ -274,3 +274,32 @@ def test_cli_etl_and_table_ops(zip_dir, tmp_path, capsys):
     assert main(["table", "history", tbl]) == 0
     assert "v0  create" in capsys.readouterr().out
     assert main(["table", "vacuum", tbl, "--keep", "1"]) == 0
+
+
+def test_cli_export_gpkg_and_shp(zip_dir, tmp_path, capsys):
+    """--export completes the reference's artifact cycle from the CLI:
+    the dissolved speciesdata lands as a .gpkg (and .shp) that the
+    engine's own readers round-trip."""
+    from species_range_data_pipeline_spark.__main__ import main
+    from species_range_data_pipeline_spark.session import get_spark
+    from species_range_data_pipeline_spark.sources.geopackage import (
+        read_geopackage,
+    )
+
+    out = str(tmp_path / "sd")
+    gpkg = str(tmp_path / "speciesdata.gpkg")
+    assert main(["etl", "--zips", zip_dir, "--out", out, "--export", gpkg]) == 0
+    assert "exported 9 features" in capsys.readouterr().out
+
+    spark = get_spark("t")
+    feats = read_geopackage(spark, str(tmp_path)).collect()
+    assert len(feats) == 9 and all(r.error is None for r in feats)
+    keys = {(r.attrs["species"], r.attrs["threshold"]) for r in feats}
+    assert ("abies-balsamea", "25") in keys and len(keys) == 6
+
+    shp = str(tmp_path / "a" / "speciesdata.shp")
+    (tmp_path / "a").mkdir()
+    assert main(
+        ["etl", "--zips", zip_dir, "--out", out, "--export", shp,
+         "--simplify", "0.0"]
+    ) == 0
