@@ -198,3 +198,41 @@ def test_hostile_identifier_cannot_inject_sql(tmp_path):
     con.close()
     with pytest.raises(ValueError):
         parse_gpkg((tmp_path / "evil.gpkg").read_bytes())
+
+
+def test_random_geometries_roundtrip_both_formats(tmp_path):
+    """Property: polygonize arbitrary cell sets (holes, multiparts,
+    single cells) and the resulting WKB survives shapefile AND gpkg
+    write->parse byte-identically (modulo the documented ring re-winding
+    round trip, which must be value-identical)."""
+    import random
+
+    import numpy as np
+
+    from species_range_data_pipeline_spark.functions.geometry import (
+        union_cells_to_multipolygon,
+    )
+    from species_range_data_pipeline_spark.functions.wkb import decode, wkb_area
+    from species_range_data_pipeline_spark.sources.shapefile import (
+        encode_shp,
+        parse_shp,
+    )
+
+    rng = random.Random(31)
+    for trial in range(25):
+        n = rng.randrange(1, 60)
+        rc = {(rng.randrange(9), rng.randrange(9)) for _ in range(n)}
+        rows = np.array([r for r, _ in rc])
+        cols = np.array([c for _, c in rc])
+        wkb, area, n_parts, n_cells = union_cells_to_multipolygon(rows, cols)
+
+        # gpkg: header strip must return the WKB bit-exact
+        blob = encode_gpkg_blob(wkb)
+        assert parse_gpkg_blob(blob) == wkb
+
+        # shapefile: ring winding flips on write and flips back on read —
+        # decoded rings must be value-identical
+        polys = decode(wkb)[1]
+        back = parse_shp(encode_shp([polys]))[0][1]
+        assert wkb_area(back) == wkb_area(wkb) == area, trial
+        assert decode(back)[1] == polys, trial
