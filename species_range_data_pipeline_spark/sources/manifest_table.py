@@ -1009,10 +1009,12 @@ def optimize_manifest_table(
 
     One column: range-clustered layout (each file owns a disjoint range).
     Several columns: Morton/Z-order — each column is bucketed into
-    ``2**bits`` ranks via sampled quantiles (``approxQuantile``, numeric
-    columns only — the same sampling shape as Delta's range_partition_id),
-    the bucket ids are bit-interleaved, and files are range-partitioned on
-    the curve value.  Either way every output file covers a narrow range
+    ``2**bits`` ranks (numeric columns via sampled quantiles,
+    ``approxQuantile`` — the same sampling shape as Delta's
+    range_partition_id; string columns via a distributed ntile over the
+    sorted distinct values, whose bucket-boundary fences compare
+    lexicographically), the bucket ids are bit-interleaved, and files are
+    range-partitioned on the curve value.  Either way every output file covers a narrow range
     of EACH cluster column, which is precisely what makes the commit's
     zone maps (and parquet row-group stats inside each file) prunable:
     OPTIMIZE is what turns data skipping from "theoretically available"
@@ -1044,17 +1046,54 @@ def optimize_manifest_table(
         ).sortWithinPartitions(cluster_by[0])
     else:
         n_buckets = 1 << bits
-        # sampled per-column quantile fences, driver-sized (2^bits - 1
-        # each), computed in ONE scan for all cluster columns
-        all_qs = df.stat.approxQuantile(
-            cluster_by, [i / n_buckets for i in range(1, n_buckets)], 0.01
+        from pyspark.sql.types import NumericType
+
+        dtypes = {f.name: f.dataType for f in df.schema.fields}
+        numeric = [
+            c for c in cluster_by if isinstance(dtypes.get(c), NumericType)
+        ]
+        # numeric fences: sampled per-column quantiles, driver-sized
+        # (2^bits - 1 each), computed in ONE scan for all numeric columns
+        all_qs = (
+            dict(zip(numeric, df.stat.approxQuantile(
+                numeric, [i / n_buckets for i in range(1, n_buckets)], 0.01
+            )))
+            if numeric
+            else {}
         )
         bucket_cols = []
-        for c, qs in zip(cluster_by, all_qs):
-            fences = F.array(*[F.lit(float(q)) for q in qs])
-            bucket_cols.append(
-                F.size(F.filter(fences, lambda b: b <= F.col(c).cast("double")))
-            )
+        for c in cluster_by:
+            if c in all_qs:
+                fences = F.array(*[F.lit(float(q)) for q in all_qs[c]])
+                bucket_cols.append(
+                    F.size(
+                        F.filter(fences, lambda b: b <= F.col(c).cast("double"))
+                    )
+                )
+            else:
+                # string (or other orderable) column: bucket-boundary
+                # fences from an ntile over the sorted DISTINCT values —
+                # one extra distinct+sort per string column, acceptable
+                # inside a job that rewrites the whole table anyway
+                from pyspark.sql import Window as _W
+
+                tiles = (
+                    df.select(c).where(F.col(c).isNotNull()).distinct()
+                    .withColumn(
+                        "__t", F.ntile(n_buckets).over(_W.orderBy(F.col(c)))
+                    )
+                    .groupBy("__t").agg(F.max(c).alias("hi"))
+                    .orderBy("__t")
+                    .collect()
+                )
+                svals = [r["hi"] for r in tiles[:-1]]  # n-1 inner fences
+                fences = F.array(*[F.lit(v) for v in svals]) if svals else None
+                if fences is None:
+                    bucket_cols.append(F.lit(0))
+                else:
+                    bucket_cols.append(
+                        F.size(F.filter(fences, lambda b: b <= F.col(c)))
+                    )
         k = len(bucket_cols)
         z = None
         for i in range(bits):

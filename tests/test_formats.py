@@ -1447,3 +1447,47 @@ def test_manifest_drop_column_and_files_table(spark, tmp_path):
     lo = min(int(r.col_min["id"]) for r in ft)
     hi = max(int(r.col_max["id"]) for r in ft)
     assert (lo, hi) == (0, 59)
+
+
+def test_manifest_optimize_zorder_string_column(spark, tmp_path):
+    """OPTIMIZE ZORDER over a (string, numeric) pair: after the rewrite,
+    BOTH a string-equality filter and a numeric range filter prune files
+    — string bucket fences come from the distributed ntile path."""
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        manifest_scan_files,
+        optimize_manifest_table,
+        write_manifest_table,
+    )
+
+    df = spark.range(0, 4000).selectExpr(
+        "concat('cat_', CAST(id % 37 AS string)) AS label",
+        "CAST(id % 101 AS long) AS v",
+        "id",
+    )
+    path = str(tmp_path / "tbl")
+    # shuffled commit: every file spans every label and every v
+    write_manifest_table(df.orderBy(F.rand(7)).repartition(8), path)
+    before_label = len(
+        manifest_scan_files(path, filters=[("label", "=", "cat_5")])
+    )
+    before_v = len(manifest_scan_files(path, filters=[("v", "<", 10)]))
+    n_before = len(manifest_scan_files(path))
+    assert before_label == n_before and before_v == n_before  # no pruning
+
+    optimize_manifest_table(spark, path, cluster_by=["label", "v"],
+                            target_files=8, bits=3)
+    after_all = manifest_scan_files(path)
+    after_label = manifest_scan_files(path, filters=[("label", "=", "cat_5")])
+    after_v = manifest_scan_files(path, filters=[("v", "<", 10)])
+    assert len(after_label) < len(after_all)
+    assert len(after_v) < len(after_all)
+    # correctness: the clustered table still holds exactly the same rows
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        read_manifest_table,
+    )
+
+    assert read_manifest_table(spark, path).count() == 4000
+    got = read_manifest_table(
+        spark, path, filters=[("label", "=", "cat_5")]
+    ).count()
+    assert got == df.where("label = 'cat_5'").count()
