@@ -32,7 +32,6 @@ import io
 import json
 import struct
 import zlib
-from collections.abc import Iterator
 
 _MAGIC = b"Obj\x01"
 
