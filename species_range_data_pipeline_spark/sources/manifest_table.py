@@ -1471,3 +1471,71 @@ def files_table(spark: SparkSession, path: str, version: int | None = None) -> D
         "col_min map<string,string>, col_max map<string,string>, "
         "null_counts map<string,int>, bloom_columns array<string>",
     )
+
+
+def write_stream_upsert(
+    query_df: DataFrame,
+    path: str,
+    key_col: str,
+    checkpoint_dir: str,
+    order_col: str | None = None,
+):
+    """Streaming CDC sink: each microbatch MERGEs into the manifest table
+    (``upsert_into``) instead of appending — the foreachBatch upsert
+    pattern Delta documents for streaming CDC.  Batches are pre-collapsed
+    to one row per key (latest by ``order_col`` when given, else an
+    arbitrary-but-deterministic max-by on the remaining columns is NOT
+    attempted — pass order_col for multi-update batches), so the MERGE's
+    one-row-per-key contract holds.
+
+    With ``order_col`` the sink is also ORDER-ROBUST: before merging, the
+    batch's winners are checked against the table's CURRENT row per key
+    and an incoming row loses to a newer one already present — Spark's
+    file source (and any at-least-once bus) does not promise batch order,
+    and without this guard an old batch replayed late would roll keys
+    backwards.  Replay safety follows: re-upserting any already-applied
+    batch finds nothing newer to write (effectively-once state,
+    at-least-once versions; compaction/vacuum fold the extras).
+    """
+    from pyspark.sql import functions as F
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df
+        spark = b.sparkSession
+        if order_col is not None:
+            cols = [c for c in b.columns if c != key_col]
+            b = (
+                b.groupBy(key_col)
+                .agg(
+                    *[
+                        F.expr(
+                            f"max_by(`{c}`, struct(`{order_col}`, `{c}`))"
+                        ).alias(c)
+                        for c in cols
+                    ]
+                )
+            )
+            # out-of-order guard: drop rows older than the table's
+            # current row for the same key
+            current = read_manifest_table(spark, path).select(
+                F.col(key_col).alias("__k"),
+                F.col(order_col).alias("__cur_ord"),
+            )
+            b = (
+                b.join(current, b[key_col] == current["__k"], "left")
+                .where(
+                    F.col("__cur_ord").isNull()
+                    | (F.col(order_col) > F.col("__cur_ord"))
+                )
+                .drop("__k", "__cur_ord")
+            )
+        if b.isEmpty():
+            return
+        upsert_into(spark, path, b, key_col)
+
+    return (
+        query_df.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update" if query_df.isStreaming else "append")
+        .start()
+    )

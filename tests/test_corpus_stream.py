@@ -197,3 +197,72 @@ def test_manifest_stream_change_commit_fails_or_skips(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.id for r in spark.read.parquet(out).collect())
     assert got == list(range(10)) + [10, 11]
+
+
+def test_stream_upsert_sink_latest_per_key(spark, tmp_path):
+    """Streaming CDC MERGE sink: microbatches of keyed updates collapse
+    to latest-per-key within each batch and MERGE into the table; the
+    final state is exactly last-write-per-key across the whole stream,
+    and a replayed batch cannot change state (idempotent by content)."""
+    from pyspark.sql import functions as F
+
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        read_manifest_table,
+        upsert_into,
+        write_manifest_table,
+        write_stream_upsert,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    write_manifest_table(
+        spark.range(0, 20).selectExpr(
+            "id AS k", "CAST(0 AS long) AS seq", "CAST(-1 AS long) AS val"
+        ).coalesce(1),
+        tbl,
+    )
+    # CDC source: 3 files -> 3 microbatches, overlapping keys, seq orders
+    src_dir = tmp_path / "cdc"
+    src_dir.mkdir()
+    batches = [
+        [(5, 1, 50), (6, 1, 60), (5, 2, 51)],     # in-batch multi-update
+        [(6, 3, 61), (25, 1, 250)],               # update + brand-new key
+        [(5, 4, 52), (25, 2, 251)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "k long, seq long, val long"
+        ).coalesce(1).write.parquet(str(src_dir / f"b{i}"))
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    import shutil as _sh
+
+    for i in range(3):
+        f = next((src_dir / f"b{i}").glob("part-*.parquet"))
+        _sh.copy(f, stream_dir / f"f{i}.parquet")
+
+    schema = spark.read.parquet(str(stream_dir)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    q = write_stream_upsert(
+        stream, tbl, "k", str(tmp_path / "ck"), order_col="seq"
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    t = {r.k: (r.seq, r.val) for r in read_manifest_table(spark, tbl).collect()}
+    assert t[5] == (4, 52) and t[6] == (3, 61) and t[25] == (2, 251)
+    assert t[0] == (0, -1)  # untouched keys intact
+    assert len(t) == 21
+
+    # replaying the last batch's MERGE changes nothing (content-idempotent)
+    replay = spark.createDataFrame(batches[2], "k long, seq long, val long") \
+        .groupBy("k").agg(
+            F.expr("max_by(seq, struct(seq, seq))").alias("seq"),
+            F.expr("max_by(val, struct(seq, val))").alias("val"),
+        )
+    upsert_into(spark, tbl, replay, "k")
+    t2 = {r.k: (r.seq, r.val) for r in read_manifest_table(spark, tbl).collect()}
+    assert t2 == t
