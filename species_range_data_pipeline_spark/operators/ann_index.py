@@ -31,22 +31,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.vectors import as_double as _as_double
+from ..functions.vectors import cosine as _cosine
 from ..sources.manifest_table import read_manifest_table, write_manifest_table
 from .clustering import kmeans_assign
-
-
-def _as_double(col):
-    return F.transform(col, lambda x: x.cast("double"))
-
-
-def _cosine(a, b):
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
-    )
-    norm = lambda v: F.sqrt(
-        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
-    )
-    return dot / (norm(a) * norm(b))
 
 
 def build_ivf_index(

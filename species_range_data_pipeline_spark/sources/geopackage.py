@@ -282,12 +282,15 @@ def write_geopackage(
             blob = None
             if wkb is not None:
                 blob = encode_gpkg_blob(wkb, srid)
-                _, polygons = decode(wkb)
-                for poly in polygons:
-                    for ring in poly:
-                        for x, y in ring:
-                            minx, miny = min(minx, x), min(miny, y)
-                            maxx, maxy = max(maxx, x), max(maxy, y)
+                # the blob header already carries this geometry's envelope
+                # (computed inside encode_gpkg_blob) — read it back instead
+                # of decoding the WKB a second time
+                if blob[3] & 0b00001110:
+                    gminx, gmaxx, gminy, gmaxy = struct.unpack_from(
+                        "<4d", blob, 8
+                    )
+                    minx, miny = min(minx, gminx), min(miny, gminy)
+                    maxx, maxy = max(maxx, gmaxx), max(maxy, gmaxy)
             vals = [blob] + [
                 None if attrs is None else attrs.get(k) for k in attr_names
             ]
