@@ -81,7 +81,16 @@ class ManifestStreamReader(DataSourceStreamReader):
             str(options.get("skipChangeCommits", "false")).lower() == "true"
         )
         starting = options.get("startingVersion")
-        self._first = int(starting) if starting is not None else 0
+        if starting is None:
+            self._first = 0
+        elif str(starting).lower() == "latest":
+            # consume only commits made AFTER the stream starts (Delta's
+            # startingVersion=latest): the initial offset is the current
+            # head, resolved once here so a checkpointed restart keeps it
+            versions = table_versions(self._path)
+            self._first = (versions[-1] + 1) if versions else 0
+        else:
+            self._first = int(starting)
         self._schema_json = schema.json()
 
     def initialOffset(self) -> dict:

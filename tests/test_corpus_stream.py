@@ -266,3 +266,29 @@ def test_stream_upsert_sink_latest_per_key(spark, tmp_path):
     upsert_into(spark, tbl, replay, "k")
     t2 = {r.k: (r.seq, r.val) for r in read_manifest_table(spark, tbl).collect()}
     assert t2 == t
+
+
+def test_manifest_stream_starting_version_latest(spark, tmp_path):
+    """startingVersion=latest consumes only commits made after the stream
+    starts — existing versions are skipped."""
+    from species_range_data_pipeline_spark.sources.manifest_stream import (
+        ManifestStreamReader,
+    )
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        table_schema,
+        write_manifest_table,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    write_manifest_table(spark.range(0, 10).selectExpr("id").coalesce(1), tbl)
+    write_manifest_table(spark.range(10, 20).selectExpr("id").coalesce(1), tbl)
+    reader = ManifestStreamReader(
+        {"path": tbl, "startingVersion": "latest"}, table_schema(tbl)
+    )
+    start = reader.initialOffset()
+    assert start == {"version": 1}  # head at stream start
+    write_manifest_table(spark.range(20, 25).selectExpr("id").coalesce(1), tbl)
+    end = reader.latestOffset()
+    parts = reader.partitions(start, end)
+    ids = [t for p in parts for b in reader.read(p) for t in b.to_pydict()["id"]]
+    assert sorted(ids) == list(range(20, 25))
