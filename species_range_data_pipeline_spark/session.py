@@ -39,6 +39,14 @@ ENGINE_CONF: dict[str, str] = {
     # tasks uniform; stated explicitly so it is a decision, not an accident.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # local-mode JVM sizing: driver == executors in local[*], and Spark's
+    # 1g default heap OOMs a 32-thread run long before the machine does
+    # (measured: an 8x sf0.1 corpus kills the text lanes at 1g on a
+    # 128 GiB box).  Must be set BEFORE the JVM starts, which holds for
+    # every fresh process using get_spark; a cluster submitter overrides
+    # per-role memory externally as usual.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    "spark.driver.maxResultSize": "4g",
     # UI off for CI/bench hygiene.
     "spark.ui.enabled": "false",
 }
