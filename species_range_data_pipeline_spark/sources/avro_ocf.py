@@ -477,3 +477,74 @@ def read_avro_python(spark, path: str):
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return files.mapInPandas(fn, out_schema)
+
+
+def _avro_schema_for(spark_schema, name: str = "Row") -> dict:
+    """Spark StructType -> Avro record schema (primitives, binary,
+    arrays/maps/structs of them; every field nullable as ["null", T] —
+    the standard Spark-to-Avro shape)."""
+    from pyspark.sql import types as T
+
+    def field_type(dt):
+        m = {
+            T.BooleanType: "boolean",
+            T.IntegerType: "int",
+            T.LongType: "long",
+            T.FloatType: "float",
+            T.DoubleType: "double",
+            T.BinaryType: "bytes",
+            T.StringType: "string",
+        }
+        for k, v in m.items():
+            if isinstance(dt, k):
+                return v
+        if isinstance(dt, T.ShortType) or isinstance(dt, T.ByteType):
+            return "int"
+        if isinstance(dt, T.ArrayType):
+            return {"type": "array", "items": ["null", field_type(dt.elementType)]}
+        if isinstance(dt, T.MapType):
+            return {"type": "map", "values": ["null", field_type(dt.valueType)]}
+        if isinstance(dt, T.StructType):
+            return _avro_schema_for(dt, name + "_n")
+        raise ValueError(f"no Avro mapping for Spark type {dt.simpleString()}")
+
+    return {
+        "type": "record",
+        "name": name,
+        "fields": [
+            {"name": f.name, "type": ["null", field_type(f.dataType)]}
+            for f in spark_schema.fields
+        ],
+    }
+
+
+def write_avro_python(df, out_dir: str, codec: str = "deflate") -> int:
+    """Distributed Avro sink: each partition streams its rows into ONE
+    ``part-NNNNN.avro`` container under ``out_dir`` (the shard-per-task
+    pattern of the WebDataset sink) — with ``read_avro_python`` this
+    closes the Avro lane in both directions without spark-avro.  Every
+    column is written nullable (["null", T]); returns the file count."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    schema = _avro_schema_for(df.schema)
+    names = [f["name"] for f in schema["fields"]]
+
+    def write_part(idx, rows):
+        recs = []
+        for r in rows:
+            d = r.asDict(recursive=True)
+            recs.append(
+                {
+                    n: (bytes(v) if isinstance(v, bytearray) else v)
+                    for n, v in ((n, d.get(n)) for n in names)
+                }
+            )
+        if recs:
+            write_avro(
+                recs, schema, os.path.join(out_dir, f"part-{idx:05d}.avro"),
+                codec=codec,
+            )
+            yield 1
+
+    return int(df.rdd.mapPartitionsWithIndex(write_part).sum())

@@ -203,3 +203,27 @@ def test_avro_enum_fixed_and_multibranch_union_columns(spark, tmp_path):
     assert bytes(rows[1].uid) == b"abcd"                # native binary
     assert rows[1].v == "5" and rows[2].v == '"x"'      # JSON-carried union
     assert rows[3].v is None
+
+
+def test_write_avro_python_distributed_roundtrip(spark, tmp_path):
+    """Distributed write (one container per partition) -> Spark-lane read
+    returns exactly the source rows, nullable unions and binary intact."""
+    df = spark.range(0, 500).selectExpr(
+        "id",
+        "concat('name_', id) AS name",
+        "IF(id % 7 = 0, NULL, CAST(id * 1.5 AS double)) AS score",
+        "CAST(concat('b', id) AS binary) AS payload",
+    ).repartition(4)
+    out = str(tmp_path / "out")
+    from species_range_data_pipeline_spark.sources.avro_ocf import (
+        write_avro_python,
+    )
+
+    n_files = write_avro_python(df, out)
+    assert n_files == 4
+    back = read_avro_python(spark, out).where("error IS NULL")
+    assert back.count() == 500
+    rows = {r.id: r for r in back.collect()}
+    assert rows[1].name == "name_1" and abs(rows[1].score - 1.5) < 1e-9
+    assert rows[7].score is None
+    assert bytes(rows[3].payload) == b"b3"
