@@ -284,3 +284,49 @@ def test_multi_member_gzip_body_fully_decoded():
     )
     rows = parse_warc(_record("response", "http://m.example/x", http))
     assert rows[0]["payload"] == b"<p>first</p><p>second</p>"
+
+
+def test_crawl_to_corpus_to_table_composition(spark, tmp_path):
+    """The README's stage-0 claim, end to end: WARC archives -> extracted
+    documents (text + URL columns) -> atomic manifest publish with a
+    doc_id bloom -> point-lookup file pruning -> a second crawl batch
+    appends -> a downstream consumer tails ONLY the new commit through
+    the streaming source."""
+    from species_range_data_pipeline_spark.sources.manifest_stream import (
+        ManifestStreamReader,
+    )
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        manifest_scan_files,
+        table_schema,
+        write_manifest_table,
+    )
+
+    crawl1 = tmp_path / "crawl1"
+    crawl1.mkdir()
+    (crawl1 / "a.warc").write_bytes(make_warc())
+    (crawl1 / "b.warc.gz").write_bytes(make_warc_gz())
+    docs1 = warc_responses_to_documents(read_warc(spark, str(crawl1)))
+    tbl = str(tmp_path / "corpus")
+    write_manifest_table(docs1.coalesce(1), tbl, index_columns=["doc_id"])
+
+    crawl2 = tmp_path / "crawl2"
+    crawl2.mkdir()
+    body = b"<html><body><p>Second crawl page</p></body></html>"
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    (crawl2 / "c.warc").write_bytes(
+        _record("response", "http://n.example/new", http)
+    )
+    docs2 = warc_responses_to_documents(read_warc(spark, str(crawl2)))
+    write_manifest_table(docs2.coalesce(1), tbl)
+
+    # point lookup prunes to one file via the bloom index
+    known = docs1.select("doc_id").first().doc_id
+    assert len(manifest_scan_files(tbl, filters=[("doc_id", "=", known)])) == 1
+
+    # a consumer that already processed v0 tails exactly the new commit
+    reader = ManifestStreamReader({"path": tbl}, table_schema(tbl))
+    parts = reader.partitions({"version": 0}, reader.latestOffset())
+    urls = [
+        u for p in parts for b in reader.read(p) for u in b.to_pydict()["url"]
+    ]
+    assert urls == ["http://n.example/new"]
