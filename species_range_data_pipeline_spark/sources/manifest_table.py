@@ -21,6 +21,16 @@ of that protocol in ~100 lines, enough to give the engine:
 On object storage the same design holds with put-if-absent in place of
 rename — which is precisely Delta's LogStore contract.
 
+**DDL surface**: metadata-only ``add_column`` and ``drop_column``
+(constraint-guarded).  RENAME is deliberately absent: parquet resolves
+columns BY NAME here, so an honest rename needs Delta-style column
+mapping (logical->physical ids threaded through every read, stat, bloom,
+filter, and DML path) — complexity this format's ~1k lines shouldn't
+carry.  The supported pattern is add + backfill: ``add_column(new)``,
+one ``update_where`` copying old into new (index-pruned like any
+UPDATE), ``drop_column(old)`` — three commits, fully time-travelable,
+zero special cases in the read path.
+
 **Zone maps / data skipping**: every commit also records per-file min/max
 statistics for leaf columns, harvested from the parquet footers the write
 already produced (footer reads only — no data re-scan).  ``read_manifest
