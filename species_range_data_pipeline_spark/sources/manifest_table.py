@@ -1549,3 +1549,32 @@ def write_stream_upsert(
         .outputMode("update" if query_df.isStreaming else "append")
         .start()
     )
+
+
+def rename_column_via_backfill(
+    spark: SparkSession, path: str, old: str, new: str
+) -> tuple[int, int, int]:
+    """The documented rename pattern as one call: ``add_column(new)`` ->
+    ``update_where`` copying old into new (a full-table copy-on-write
+    rewrite — rename pays the data movement column mapping would avoid,
+    in exchange for zero read-path complexity) -> ``drop_column(old)``.
+    Returns the three version numbers; history shows alter/update/alter.
+    CHECK constraints referencing the old name refuse the drop, exactly
+    as a manual sequence would."""
+    from pyspark.sql.types import StructType
+
+    meta = _load_meta(path)
+    schema = StructType.fromJson(json.loads(meta["schema"]))
+    if old not in schema.names:
+        raise ValueError(f"column {old!r} does not exist")
+    dt = schema[old].dataType.simpleString()
+    v1 = add_column(path, new, dt)
+    # copy every row (filter matches all rows; NULL-safe via IS NOT NULL
+    # union IS NULL being exhaustive — use a tautology on the key column)
+    v2, _, _ = update_where(
+        spark, path, [(old, "not_null", None)], {new: f"`{old}`"}
+    )
+    # rows where old IS NULL keep new = NULL (its add_column default):
+    # nothing further to copy
+    v3 = drop_column(path, old)
+    return v1, v2, v3

@@ -1566,3 +1566,31 @@ def test_continuous_aggregate_hypertable_composition(spark, tmp_path):
     assert as_map(mv) == as_map(
         aggregate_mv(read_manifest_table(spark, path), keys, measures)
     )
+
+
+def test_rename_column_via_backfill(spark, tmp_path):
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        read_manifest_table,
+        rename_column_via_backfill,
+        table_history,
+        write_manifest_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_manifest_table(
+        spark.range(0, 50).selectExpr(
+            "id", "IF(id % 10 = 0, NULL, id * 2) AS old_v"
+        ).coalesce(1),
+        path,
+    )
+    v1, v2, v3 = rename_column_via_backfill(spark, path, "old_v", "v")
+    assert (v1, v2, v3) == (1, 2, 3)
+    t = read_manifest_table(spark, path)
+    assert set(t.columns) == {"id", "v"}
+    rows = {r.id: r.v for r in t.collect()}
+    assert rows[3] == 6 and rows[10] is None  # values copied, NULLs kept
+    assert [r.operation for r in table_history(spark, path).collect()] == [
+        "create", "alter", "update", "alter",
+    ]
+    # history: the pre-rename snapshot still reads under the old name
+    assert "old_v" in read_manifest_table(spark, path, version=0).columns
