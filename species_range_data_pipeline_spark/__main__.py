@@ -35,6 +35,14 @@ def _etl(args) -> int:
     )
     from .session import get_spark
 
+    # argument validation BEFORE the pipeline runs — a bad export
+    # extension must not cost a full ETL pass first
+    if args.export and not args.export.endswith((".shp", ".gpkg")):
+        print(
+            f"error: --export wants a .shp or .gpkg path, got {args.export!r}",
+            file=sys.stderr,
+        )
+        return 2
     spark = get_spark("species-range-etl")
     cells, errors = load_cells_from_zips(spark, args.zips)
     thresholds = (
@@ -43,21 +51,28 @@ def _etl(args) -> int:
         else None
     )
     result = run_pipeline(cells, thresholds=thresholds)
-    write_speciesdata(
-        result,
-        path=args.out,
-        jdbc_url=args.jdbc_url,
-        table=args.table,
-        batchsize=args.batchsize,
-    )
-    if args.export:
-        _export_vector(result, args.export, args.simplify)
-    err_rows = errors.collect()
-    for r in err_rows:
-        print(f"error: {r.item}: {r.error}", file=sys.stderr)
-    n = spark.read.parquet(args.out).count() if args.out else result.count()
-    print(f"speciesdata rows: {n}; input errors: {len(err_rows)}")
-    return 1 if (err_rows and args.strict) else 0
+    # the lineage (zip parse -> polygonize -> dissolve) is expensive:
+    # materialize once so the sink write, the export, and the final
+    # count don't each replay it
+    result = result.persist()
+    try:
+        write_speciesdata(
+            result,
+            path=args.out,
+            jdbc_url=args.jdbc_url,
+            table=args.table,
+            batchsize=args.batchsize,
+        )
+        if args.export:
+            _export_vector(result, args.export, args.simplify)
+        err_rows = errors.collect()
+        for r in err_rows:
+            print(f"error: {r.item}: {r.error}", file=sys.stderr)
+        n = result.count()
+        print(f"speciesdata rows: {n}; input errors: {len(err_rows)}")
+        return 1 if (err_rows and args.strict) else 0
+    finally:
+        result.unpersist()
 
 
 def _export_vector(result, path: str, tolerance: float | None) -> None:
@@ -84,12 +99,10 @@ def _export_vector(result, path: str, tolerance: float | None) -> None:
     }
     if path.endswith(".gpkg"):
         write_geopackage([(geom(r), attrs(r)) for r in rows], path)
-    elif path.endswith(".shp"):
+    else:  # .shp — extension validated before the pipeline ran
         write_shapefile(
             [(decode(geom(r))[1], attrs(r)) for r in rows], path
         )
-    else:
-        raise ValueError(f"--export wants a .shp or .gpkg path, got {path!r}")
     print(f"exported {len(rows)} features -> {path}")
 
 

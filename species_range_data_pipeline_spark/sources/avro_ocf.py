@@ -485,7 +485,7 @@ def _avro_schema_for(spark_schema, name: str = "Row") -> dict:
     the standard Spark-to-Avro shape)."""
     from pyspark.sql import types as T
 
-    def field_type(dt):
+    def field_type(dt, fname="item"):
         m = {
             T.BooleanType: "boolean",
             T.IntegerType: "int",
@@ -501,18 +501,27 @@ def _avro_schema_for(spark_schema, name: str = "Row") -> dict:
         if isinstance(dt, T.ShortType) or isinstance(dt, T.ByteType):
             return "int"
         if isinstance(dt, T.ArrayType):
-            return {"type": "array", "items": ["null", field_type(dt.elementType)]}
+            return {
+                "type": "array",
+                "items": ["null", field_type(dt.elementType, fname)],
+            }
         if isinstance(dt, T.MapType):
-            return {"type": "map", "values": ["null", field_type(dt.valueType)]}
+            return {
+                "type": "map",
+                "values": ["null", field_type(dt.valueType, fname)],
+            }
         if isinstance(dt, T.StructType):
-            return _avro_schema_for(dt, name + "_n")
+            # unique record name per field — the Avro spec forbids
+            # redefining a named type, and two sibling structs sharing
+            # one name make avro-tools/fastavro reject the file
+            return _avro_schema_for(dt, f"{name}_{fname}")
         raise ValueError(f"no Avro mapping for Spark type {dt.simpleString()}")
 
     return {
         "type": "record",
         "name": name,
         "fields": [
-            {"name": f.name, "type": ["null", field_type(f.dataType)]}
+            {"name": f.name, "type": ["null", field_type(f.dataType, f.name)]}
             for f in spark_schema.fields
         ],
     }

@@ -550,6 +550,14 @@ def write_manifest_table(
                     "constraints are set at create/overwrite; an append "
                     "cannot change the recorded set"
                 )
+            tombstoned = set(prev.get("dropped_columns", [])) & set(df.columns)
+            if tombstoned:
+                raise ValueError(
+                    f"columns {sorted(tombstoned)} were DROPPED from this "
+                    "table; appending them would re-add the name and "
+                    "resurrect old values from pre-drop files. Rename the "
+                    "incoming column, or overwrite the table."
+                )
             effective = prev_constraints
             files = prev["files"] + new_files
             live = set(files)
@@ -584,6 +592,11 @@ def write_manifest_table(
                 blooms=blooms, txn=txn, rows=rows, nulls=nulls,
                 operation="create" if current < 0 else mode,
                 constraints=effective,
+                dropped=(
+                    prev.get("dropped_columns")
+                    if mode == "append" and current >= 0
+                    else None  # overwrite replaces every file: tombstones clear
+                ),
             )
         except _CommitConflict as exc:
             last_err = exc  # a concurrent writer won this version: recompose
@@ -598,6 +611,7 @@ def _publish_manifest(
     rows: dict | None = None, nulls: dict | None = None,
     operation: str = "append",
     constraints: dict[str, str] | None = None,
+    dropped: list[str] | None = None,
 ) -> int:
     """Atomic manifest publish: tmp file + put-if-absent link.
 
@@ -626,6 +640,8 @@ def _publish_manifest(
         meta["nulls"] = nulls
     if constraints:
         meta["constraints"] = constraints
+    if dropped:
+        meta["dropped_columns"] = sorted(set(dropped))
     meta["txn"] = txn if txn is not None else last_committed_txn(path)
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
@@ -754,6 +770,7 @@ def _rewrite_commit(
         files=carried + new_files, schema_json=meta["schema"],
         stats=stats, blooms=blooms, txn=None, rows=rows, nulls=nulls,
         operation=operation, constraints=constraints or None,
+        dropped=meta.get("dropped_columns") or None,
     )
     return version, len(carried)
 
@@ -1082,17 +1099,18 @@ def optimize_manifest_table(
                 )
             else:
                 # string (or other orderable) column: bucket-boundary
-                # fences from an ntile over the sorted DISTINCT values —
-                # one extra distinct+sort per string column, acceptable
-                # inside a job that rewrites the whole table anyway
-                from pyspark.sql import Window as _W
-
+                # fences from a DISTRIBUTED range partitioning of the
+                # distinct values — repartitionByRange samples the key
+                # distribution exactly like numeric quantiles, each
+                # partition computes its own max, and only the
+                # driver-sized fence list is collected.  (A global-window
+                # ntile would funnel every distinct value through ONE
+                # task — a spill/OOM cliff on high-cardinality strings.)
                 tiles = (
                     df.select(c).where(F.col(c).isNotNull()).distinct()
-                    .withColumn(
-                        "__t", F.ntile(n_buckets).over(_W.orderBy(F.col(c)))
-                    )
-                    .groupBy("__t").agg(F.max(c).alias("hi"))
+                    .repartitionByRange(n_buckets, F.col(c))
+                    .groupBy(F.spark_partition_id().alias("__t"))
+                    .agg(F.max(c).alias("hi"))
                     .orderBy("__t")
                     .collect()
                 )
@@ -1379,6 +1397,7 @@ def clone_manifest_table(
         nulls=remap(meta.get("nulls", {})),
         operation="clone",
         constraints=meta.get("constraints") or None,
+        dropped=meta.get("dropped_columns") or None,
     )
 
 
@@ -1394,6 +1413,13 @@ def add_column(path: str, name: str, data_type: str) -> int:
     schema = StructType.fromJson(json.loads(meta["schema"]))
     if name in schema.names:
         raise ValueError(f"column {name!r} already exists")
+    if name in meta.get("dropped_columns", []):
+        raise ValueError(
+            f"column {name!r} was DROPPED from this table: live files still "
+            "physically hold it and parquet resolves by name, so re-adding "
+            "it would resurrect the old values instead of the promised "
+            "nulls. Use a fresh name, or overwrite the table."
+        )
     new_schema = StructType(
         list(schema.fields) + [StructField(name, _parse_datatype_string(data_type), True)]
     )
@@ -1403,6 +1429,7 @@ def add_column(path: str, name: str, data_type: str) -> int:
         stats=meta.get("stats", {}), blooms=meta.get("blooms", {}),
         txn=None, rows=meta.get("rows", {}), nulls=meta.get("nulls", {}),
         operation="alter", constraints=meta.get("constraints") or None,
+        dropped=meta.get("dropped_columns") or None,
     )
 
 
@@ -1443,12 +1470,24 @@ def drop_column(path: str, name: str) -> int:
                 f"{cname!r}; drop the constraint first (overwrite)"
             )
     new_schema = StructType([f for f in schema.fields if f.name != name])
+    # purge the column's per-file metadata (stale zone ranges would let a
+    # filter on the dead name prune on dead data) and tombstone the name:
+    # the files still physically hold the column, and parquet resolves by
+    # NAME, so re-adding it later would resurrect old values
+    purge = lambda d: {
+        f: {c: v for c, v in cols.items() if c != name}
+        for f, cols in d.items()
+    }
+    dropped = sorted(set(meta.get("dropped_columns", [])) | {name})
     return _publish_manifest(
         path, uuid.uuid4().hex[:12], version=meta["version"] + 1,
         files=meta["files"], schema_json=new_schema.json(),
-        stats=meta.get("stats", {}), blooms=meta.get("blooms", {}),
-        txn=None, rows=meta.get("rows", {}), nulls=meta.get("nulls", {}),
+        stats=purge(meta.get("stats", {})),
+        blooms=purge(meta.get("blooms", {})),
+        txn=None, rows=meta.get("rows", {}),
+        nulls=purge(meta.get("nulls", {})),
         operation="alter", constraints=meta.get("constraints") or None,
+        dropped=dropped,
     )
 
 
@@ -1514,20 +1553,34 @@ def write_stream_upsert(
         spark = b.sparkSession
         if order_col is not None:
             cols = [c for c in b.columns if c != key_col]
+            # pick the winning ROW atomically (max_by of the whole row
+            # struct) — per-column max_by would stitch columns from
+            # DIFFERENT rows when two updates share an order value; ties
+            # on order_col resolve deterministically by the full row
+            row = F.struct(*[F.col(c) for c in cols])
+            ordk = F.struct(F.col(order_col), *[F.col(c) for c in cols])
             b = (
                 b.groupBy(key_col)
-                .agg(
-                    *[
-                        F.expr(
-                            f"max_by(`{c}`, struct(`{order_col}`, `{c}`))"
-                        ).alias(c)
-                        for c in cols
-                    ]
-                )
+                .agg(F.max_by(row, ordk).alias("__w"))
+                .select(key_col, "__w.*")
             )
             # out-of-order guard: drop rows older than the table's
-            # current row for the same key
-            current = read_manifest_table(spark, path).select(
+            # current row for the same key.  Incoming order EQUAL to the
+            # table's is treated as already-applied (CDC sequences must
+            # be monotone per key for multi-value updates).  The current
+            # (key, order) projection reads only files whose key zone
+            # range overlaps the batch (manifest skipping), never the
+            # whole table.
+            lohi = b.agg(
+                F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+            ).first()
+            if lohi["lo"] is None:
+                return
+            current = read_manifest_table(
+                spark, path,
+                filters=[(key_col, ">=", lohi["lo"]),
+                         (key_col, "<=", lohi["hi"])],
+            ).select(
                 F.col(key_col).alias("__k"),
                 F.col(order_col).alias("__cur_ord"),
             )

@@ -292,3 +292,38 @@ def test_manifest_stream_starting_version_latest(spark, tmp_path):
     parts = reader.partitions(start, end)
     ids = [t for p in parts for b in reader.read(p) for t in b.to_pydict()["id"]]
     assert sorted(ids) == list(range(20, 25))
+
+
+def test_stream_upsert_tied_order_is_row_atomic(spark, tmp_path):
+    """Two updates to one key with the SAME order value must collapse to
+    ONE of the actual rows — never a column-mix of both."""
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        read_manifest_table,
+        write_manifest_table,
+        write_stream_upsert,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    write_manifest_table(
+        spark.createDataFrame(
+            [(1, 0, 0, 0)], "k long, seq long, a long, b long"
+        ),
+        tbl,
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, 5, 1, 9), (1, 5, 2, 3)], "k long, seq long, a long, b long"
+    ).coalesce(1).write.parquet(str(src / "b0"))
+    import shutil as _sh
+
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    _sh.copy(next((src / "b0").glob("part-*.parquet")), stream_dir / "f0.parquet")
+    schema = spark.read.parquet(str(stream_dir)).schema
+    stream = spark.readStream.schema(schema).parquet(str(stream_dir))
+    q = write_stream_upsert(stream, tbl, "k", str(tmp_path / "ck"), order_col="seq")
+    q.processAllAvailable()
+    q.stop()
+    r = read_manifest_table(spark, tbl).where("k = 1").first()
+    assert (r.a, r.b) in {(1, 9), (2, 3)}, (r.a, r.b)  # a REAL row, not a mix

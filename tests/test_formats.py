@@ -1594,3 +1594,44 @@ def test_rename_column_via_backfill(spark, tmp_path):
     ]
     # history: the pre-rename snapshot still reads under the old name
     assert "old_v" in read_manifest_table(spark, path, version=0).columns
+
+
+def test_dropped_column_cannot_resurrect(spark, tmp_path):
+    """Re-adding (or appending) a dropped column name is refused: the old
+    files still physically hold it and parquet resolves by name, so the
+    'nulls on read' promise would silently become old values.  Overwrite
+    clears the tombstone; the dropped column's stale zone maps are purged
+    so filters on the dead name cannot prune on dead data."""
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        add_column,
+        drop_column,
+        manifest_scan_files,
+        read_manifest_table,
+        write_manifest_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_manifest_table(
+        spark.range(0, 30).selectExpr("id", "id * 2 AS x").coalesce(1), path
+    )
+    drop_column(path, "x")
+    with pytest.raises(ValueError, match="DROPPED"):
+        add_column(path, "x", "long")
+    with pytest.raises(ValueError, match="DROPPED"):
+        write_manifest_table(
+            spark.range(30, 40).selectExpr("id", "id * 9 AS x").coalesce(1),
+            path,
+        )
+    # zone maps for the dead name are gone: a filter cannot prune on them
+    files_all = manifest_scan_files(path)
+    assert manifest_scan_files(path, filters=[("x", ">", 10**9)]) == files_all
+    # an append WITHOUT the dead name still works; a tombstone survives it
+    write_manifest_table(spark.range(30, 40).selectExpr("id").coalesce(1), path)
+    with pytest.raises(ValueError, match="DROPPED"):
+        add_column(path, "x", "long")
+    # overwrite replaces every file: the name is safe again
+    write_manifest_table(
+        spark.range(0, 5).selectExpr("id", "CAST(7 AS long) AS x").coalesce(1),
+        path, mode="overwrite",
+    )
+    assert read_manifest_table(spark, path).where("x = 7").count() == 5
