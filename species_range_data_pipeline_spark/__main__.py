@@ -126,6 +126,18 @@ def _table(args) -> int:
     elif args.op == "compact":
         v, folded, carried = mt.compact_manifest_table(spark, args.path)
         print(f"v{v}: folded {folded}, carried {carried}")
+    elif args.op == "files":
+        rows = mt.files_table(spark, args.path).collect()
+        total = sum(r.n_rows or 0 for r in rows)
+        size = sum(r.size_bytes or 0 for r in rows)
+        print(f"{len(rows)} files, {total} rows, {size} bytes")
+        for r in rows:
+            import os as _os
+
+            print(
+                f"  {_os.path.basename(r.file)}  rows={r.n_rows} "
+                f"bytes={r.size_bytes} blooms={','.join(r.bloom_columns) or '-'}"
+            )
     elif args.op == "vacuum":
         n = mt.vacuum_manifest_table(
             args.path, keep_versions=args.keep, retention_seconds=args.retention
@@ -165,7 +177,7 @@ def main(argv: list[str] | None = None) -> int:
     etl.set_defaults(fn=_etl)
 
     tab = sub.add_parser("table", help="manifest table operations")
-    tab.add_argument("op", choices=["history", "optimize", "compact", "vacuum"])
+    tab.add_argument("op", choices=["history", "optimize", "compact", "vacuum", "files"])
     tab.add_argument("path")
     tab.add_argument("--by", help="optimize: comma cluster columns")
     tab.add_argument("--target-files", type=int, default=8)

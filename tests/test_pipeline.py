@@ -303,3 +303,18 @@ def test_cli_export_gpkg_and_shp(zip_dir, tmp_path, capsys):
         ["etl", "--zips", zip_dir, "--out", out, "--export", shp,
          "--simplify", "0.0"]
     ) == 0
+
+
+def test_cli_table_files(tmp_path, capsys):
+    from species_range_data_pipeline_spark.__main__ import main
+    from species_range_data_pipeline_spark.session import get_spark
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        write_manifest_table,
+    )
+
+    spark = get_spark("t")
+    tbl = str(tmp_path / "tbl")
+    write_manifest_table(spark.range(0, 40).selectExpr("id").coalesce(2), tbl)
+    assert main(["table", "files", tbl]) == 0
+    out = capsys.readouterr().out
+    assert "2 files, 40 rows" in out
