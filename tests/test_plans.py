@@ -281,3 +281,15 @@ def test_bottomk_quantile_sketch_rank_error_bounded(spark):
             k = r.n_sample
             tol = 1.96 * (p * (1 - p) / k) ** 0.5 + 0.02
             assert abs(frac - p) <= tol, (r.event_type, p, est, frac, tol)
+
+
+def test_substring_cut_three_shuffles_window_reuse(spark):
+    """dedup_substring_cut's plan: exactly three hash exchanges (gram
+    distinct, shared-gram rollup, the doc window) plus the final sort —
+    the reassembly rollup must REUSE the window's doc partitioning, and
+    the shared-gram/flags joins must broadcast, never shuffle-join."""
+    plan = _plan(spark, "dedup_substring_cut")
+    hashes = plan.count("hashpartitioning")
+    assert hashes == 3, f"expected 3 hash exchanges, saw {hashes}\n{plan}"
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
