@@ -19,6 +19,15 @@ from pyspark.sql import functions as F
 # runs — each optionally preceded by one space.
 BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
 
+# Canonical PII patterns, shared by the per-source audit
+# (plans/quality.text_pii_scrub) and the per-doc rewrite
+# (plans/text.text_pii_redact).  Java-regex ∩ RE2 dialect only (no
+# lookaround, no backrefs) so the SAME text runs in Spark and in the
+# DuckDB oracles verbatim.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+1-555-[0-9]{4}"
+
 
 def bpe_tokens(col: Column | str = "text") -> Column:
     """array<string> of BPE-style pre-tokens."""

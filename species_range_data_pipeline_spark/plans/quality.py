@@ -487,8 +487,8 @@ ORDER BY lang
 
 #: PII patterns restricted to the regex intersection of Java (Spark) and
 #: RE2 (DuckDB): character classes, bounded repeats, \b — no lookarounds.
-_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+from ..functions.text import PII_EMAIL as _PII_EMAIL
+from ..functions.text import PII_IP as _PII_IP
 
 
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -750,7 +750,127 @@ SELECT * FROM a UNION ALL SELECT * FROM d ORDER BY dir, okey
 """
 
 
+# One SQL text, two engines: Spark 4 and DuckDB both speak correlated
+# LATERAL with ORDER BY + LIMIT, so the query below runs verbatim as the
+# plan AND the oracle — the strongest possible dialect-parity statement.
+JOIN_LATERAL_TOPK_SQL = """
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+FROM customer c, LATERAL (
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 2
+) o
+ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+"""
+
+
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each customer's top-2 orders by price.
+
+    The interesting part is what Catalyst DOES with it: the naive reading
+    is a per-customer re-scan of orders (quadratic); Spark decorrelates
+    the LATERAL into a ``WindowGroupLimit`` over orders partitioned by
+    ``o_custkey`` — a partial group-limit BEFORE the shuffle, the exchange
+    on the customer key, a final group-limit, then one broadcast join back
+    to customer.  That is exactly the hand-written ``window_topk_per_group``
+    plan, derived automatically from the declarative form — the engine's
+    argument for writing the intent, not the algorithm.  Scale: one
+    shuffle of the (pre-limited) fact table; the dimension broadcasts.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(JOIN_LATERAL_TOPK_SQL)
+
+
+_IV_BIN_DAYS = 16  # covers a 10-day window with <= 2 bins per interval
+
+
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: urgent vs low-priority big-ticket orders
+    whose 10-day fulfilment windows intersect (the temporal analogue of a
+    spatial intersects join — Spark has no native interval join, so this
+    is the bin-and-refine composition).
+
+    Plan: each side maps its [start, start+10d] window onto 16-day epoch
+    bins (``sequence(sday div 16, eday div 16)`` — at most 2 bins per
+    interval, a bounded fan-out unlike a per-day explode); the equi-join
+    on the bin gives candidates, the exact theta predicate refines, and
+    the REPORTING-BIN guard (only the bin containing ``greatest`` of the
+    two starts emits) makes each pair appear exactly once — no distinct
+    shuffle afterwards.  At 100 TB this is one co-partitioned equi-join
+    shuffle on an 8-byte key; the all-pairs theta join the oracle runs
+    would be a broadcast-nested-loop that never finishes.
+    """
+    B = _IV_BIN_DAYS
+    orders = load_table(spark, sf_dir, "orders")
+
+    def windows(prefix: str, tag: str) -> DataFrame:
+        d = F.to_date("o_orderdate")
+        return (
+            orders.where(
+                F.col("o_orderpriority").startswith(prefix)
+                & (F.col("o_totalprice") > 450000)
+            )
+            .select(
+                F.col("o_orderkey").alias(f"{tag}_key"),
+                d.alias(f"{tag}_s"),
+                F.date_add(d, 10).alias(f"{tag}_e"),
+                F.unix_date(d).alias(f"{tag}_sday"),
+            )
+            .withColumn(
+                "bin",
+                F.explode(
+                    F.expr(f"sequence({tag}_sday div {B}, ({tag}_sday + 10) div {B})")
+                ),
+            )
+        )
+
+    a = windows("1", "a")
+    b = windows("5", "b")
+    pairs = a.join(b, "bin").where(
+        (F.col("a_s") <= F.col("b_e"))
+        & (F.col("b_s") <= F.col("a_e"))
+        & (F.col("bin") == F.expr(f"greatest(a_sday, b_sday) div {B}"))
+    )
+    return (
+        pairs.select(
+            "a_key",
+            "b_key",
+            (
+                F.datediff(
+                    F.least("a_e", "b_e"), F.greatest("a_s", "b_s")
+                )
+                + 1
+            )
+            .cast("long")
+            .alias("overlap_days"),
+        )
+        .orderBy("a_key", "b_key")
+    )
+
+
+JOIN_INTERVAL_OVERLAP_ORACLE = """
+WITH a AS (
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS s,
+           CAST(o_orderdate AS DATE) + 10 AS e
+    FROM orders WHERE o_orderpriority LIKE '1%' AND o_totalprice > 450000
+), b AS (
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS s,
+           CAST(o_orderdate AS DATE) + 10 AS e
+    FROM orders WHERE o_orderpriority LIKE '5%' AND o_totalprice > 450000
+)
+SELECT a.o_orderkey AS a_key, b.o_orderkey AS b_key,
+       CAST(date_diff('day', greatest(a.s, b.s), least(a.e, b.e)) + 1
+            AS BIGINT) AS overlap_days
+FROM a JOIN b ON a.s <= b.e AND b.s <= a.e
+ORDER BY a_key, b_key
+"""
+
+
 QUERIES = {
+    "join_lateral_topk": join_lateral_topk,
+    "join_interval_overlap": join_interval_overlap,
     "flagship_threshold_rollup": flagship_threshold_rollup,
     "setop_intersect_all": setop_intersect_all,
     "setop_except_all": setop_except_all,
@@ -776,6 +896,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_lateral_topk": JOIN_LATERAL_TOPK_SQL,
+    "join_interval_overlap": JOIN_INTERVAL_OVERLAP_ORACLE,
     "flagship_threshold_rollup": FLAGSHIP_ORACLE,
     "q1_pricing_summary": Q1_ORACLE,
     "q3_shipping_priority": Q3_ORACLE,

@@ -1433,7 +1433,187 @@ ORDER BY 1
 """
 
 
+from ..functions.text import PII_EMAIL as _PII_EMAIL
+from ..functions.text import PII_IP as _PII_IP
+from ..functions.text import PII_PHONE as _PII_PHONE
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex-redact emails, phone numbers, and IPv4
+    addresses — the pre-training privacy pass every corpus gets before
+    tokenization (C4 strips them; so do The Pile / RefinedWeb recipes).
+    The per-SOURCE audit twin is ``plans/quality.text_pii_scrub``; this
+    is the per-DOC rewrite whose md5 pins the cleaned bytes exactly.
+
+    The synthetic fixture text is PII-free, so each doc first gains a
+    DETERMINISTIC contact block derived from (doc_id, source) — one
+    email, one phone, one IP whose octets are modular functions of
+    doc_id — making the redaction non-degenerate while staying
+    reproducible in both engines.  Counts are taken pre-redaction with
+    ``regexp_count``; the rewrite chains three ``regexp_replace`` calls
+    (email -> IP -> phone, an order with no cross-matches since the
+    replacement tags contain no pattern characters).
+
+    Scale shape: pure scan-stage column math — zero shuffles before the
+    presentation orderBy; at 100 TB this runs at parquet-read speed with
+    the regexes inside whole-stage codegen.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    annotated = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@"),
+        F.col("source"),
+        F.lit(".com +1-555-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 13) % 256).cast("string"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(annotated, _PII_EMAIL, "<EMAIL>"),
+            _PII_IP,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.regexp_count(annotated, F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+            F.regexp_count(annotated, F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+            F.regexp_count(annotated, F.lit(_PII_IP)).cast("long").alias("n_ips"),
+            F.md5(redacted).alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_PII_REDACT_ORACLE = """
+WITH ann AS (
+    SELECT doc_id,
+           text || ' reach user' || CAST(doc_id AS VARCHAR)
+                || '@' || source || '.com +1-555-'
+                || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                || '.' || CAST((doc_id * 13) % 256 AS VARCHAR) AS t
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(t, '\\+1-555-[0-9]{4}')) AS BIGINT)
+           AS n_phones,
+       CAST(len(regexp_extract_all(t,
+            '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT)
+           AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+            '\\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+FROM ann
+ORDER BY doc_id
+"""
+
+
+_PARA_TOKENS = 20
+
+
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document PARAGRAPH dedup: fixed 20-token chunks, corpus-wide
+    first occurrence wins, docs reassembled from their surviving chunks
+    (the C4 / CCNet paragraph-hash dedup, complementary to
+    ``dedup_substring_cut``: spans here are aligned blocks, removal is
+    whole-chunk, and the first copy is KEPT rather than every copy cut).
+
+    Plan: chunking is NARROW — ``slice`` over the token array builds each
+    doc's chunk list without a posexplode shuffle; then exactly two wide
+    ops: (1) a window over chunk_text ordered by (doc_id, chunk_idx)
+    marks global first occurrences — one hash shuffle on the chunk text;
+    (2) the per-doc reassembly groupBy.  At 100 TB you'd key the window
+    by a 128-bit chunk hash instead of the raw string to shrink the
+    exchange; the fixture keys on the exact text so a hash collision can
+    never diverge from the oracle.
+
+    Output per doc: chunk counts before/after and the md5 of the
+    reassembled text — order-pinned via the sorted struct collect, so the
+    hash checks the byte-exact rewrite.
+    """
+    C = _PARA_TOKENS
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens().alias("t"))
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(t) / {C}.0) as int) - 1),"
+                f" i -> array_join(slice(t, i * {C} + 1, {C}), ' '))"
+            )
+        ).alias("chunk_idx", "chunk_text"),
+    )
+    w = Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_idx")
+    marked = chunks.withColumn("rn", F.row_number().over(w))
+    kept = F.when(F.col("rn") == 1, F.struct("chunk_idx", "chunk_text"))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count(kept).alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(kept)),
+                        lambda x: x["chunk_text"],
+                    ),
+                )
+            ).alias("cleaned_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_PARAGRAPHS_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+    FROM documents
+), chunks AS (
+    SELECT doc_id, i AS chunk_idx,
+           array_to_string(array_slice(t, i * 20 + 1, i * 20 + 20), ' ')
+               AS chunk_text
+    FROM (SELECT doc_id, t,
+                 unnest(generate_series(0,
+                     CAST(ceil(len(t) / 20.0) AS INT) - 1)) AS i
+          FROM toks)
+), ranked AS (
+    SELECT doc_id, chunk_idx, chunk_text,
+           row_number() OVER (PARTITION BY chunk_text
+                              ORDER BY doc_id, chunk_idx) AS rn
+    FROM chunks
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END,
+                               ' ' ORDER BY chunk_idx), '')) AS cleaned_md5
+FROM ranked
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "text_pii_redact": text_pii_redact,
+    "dedup_paragraphs": dedup_paragraphs,
     "text_decontaminate": text_decontaminate,
     "dedup_repeated_ngrams": dedup_repeated_ngrams,
     "dedup_substring_cut": dedup_substring_cut,
@@ -1458,6 +1638,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_pii_redact": TEXT_PII_REDACT_ORACLE,
+    "dedup_paragraphs": DEDUP_PARAGRAPHS_ORACLE,
     "text_decontaminate": TEXT_DECONTAMINATE_ORACLE,
     "dedup_repeated_ngrams": DEDUP_REPEATED_NGRAMS_ORACLE,
     "dedup_substring_cut": DEDUP_SUBSTRING_CUT_ORACLE,

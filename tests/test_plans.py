@@ -283,6 +283,45 @@ def test_bottomk_quantile_sketch_rank_error_bounded(spark):
             assert abs(frac - p) <= tol, (r.event_type, p, est, frac, tol)
 
 
+def test_lateral_topk_decorrelates_to_window_group_limit(spark):
+    """The correlated LATERAL (top-2 orders per customer) must NOT plan as
+    a per-customer re-scan or a nested loop: Catalyst decorrelates it into
+    WindowGroupLimit (partial before the shuffle, final after) + one hash
+    exchange on the customer key + a broadcast join back to customer."""
+    plan = _plan(spark, "join_lateral_topk")
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("hashpartitioning") == 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_interval_overlap_is_equi_join_not_theta(spark):
+    """The interval join must run as an EQUI join on the 16-day bin (the
+    oracle's all-pairs theta join would be a nested loop): hash join on
+    the bin key, refine as a post-join filter, no quadratic operator."""
+    plan = _plan(spark, "join_interval_overlap")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_dedup_paragraphs_two_wide_shuffles(spark):
+    """Chunking is narrow (slice over the token array — no posexplode
+    shuffle): the whole rewrite must cost exactly two hash exchanges
+    (the chunk-text window, the per-doc reassembly) plus the final sort."""
+    plan = _plan(spark, "dedup_paragraphs")
+    hashes = plan.count("hashpartitioning")
+    assert hashes == 2, f"expected 2 hash exchanges, saw {hashes}\n{plan}"
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pii_redact_is_scan_stage_only(spark):
+    """Redaction is pure column math: zero hash exchanges — the only
+    exchange in the plan is the presentation sort's range partitioning."""
+    plan = _plan(spark, "text_pii_redact")
+    assert plan.count("hashpartitioning") == 0, plan
+    assert "Scan parquet" in plan
+
+
 def test_substring_cut_three_shuffles_window_reuse(spark):
     """dedup_substring_cut's plan: exactly three hash exchanges (gram
     distinct, shared-gram rollup, the doc window) plus the final sort —
