@@ -143,6 +143,43 @@ def _table(args) -> int:
             args.path, keep_versions=args.keep, retention_seconds=args.retention
         )
         print(f"removed {n} files")
+    elif args.op == "restore":
+        if args.to_version is None:
+            print("error: restore requires --to-version", file=sys.stderr)
+            return 2
+        v = mt.restore_table(args.path, args.to_version)
+        print(f"restored -> v{v}")
+    return 0
+
+
+def _sql(args) -> int:
+    """Ad-hoc SQL over the fixture tables and/or manifest tables — the
+    'just let me query it' surface every engine CLI needs.  Errors (bad
+    SQL, missing view) print and exit 2, never traceback-spray."""
+    from .session import get_spark
+
+    specs = []
+    for spec in args.table or []:
+        name, _, path = spec.partition("=")
+        if not name or not path:
+            print(f"error: --table wants NAME=PATH, got {spec!r}", file=sys.stderr)
+            return 2
+        specs.append((name, path))
+    spark = get_spark("species-range-sql")
+    if args.sf_dir:
+        from .catalog import load_tables
+
+        load_tables(spark, args.sf_dir)
+    from .sources.manifest_table import register_manifest_view
+
+    for name, path in specs:
+        register_manifest_view(spark, name, path)
+    try:
+        df = spark.sql(args.query)
+        df.show(args.limit, truncate=False)
+    except Exception as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
     return 0
 
 
@@ -177,13 +214,27 @@ def main(argv: list[str] | None = None) -> int:
     etl.set_defaults(fn=_etl)
 
     tab = sub.add_parser("table", help="manifest table operations")
-    tab.add_argument("op", choices=["history", "optimize", "compact", "vacuum", "files"])
+    tab.add_argument(
+        "op",
+        choices=["history", "optimize", "compact", "vacuum", "files", "restore"],
+    )
     tab.add_argument("path")
     tab.add_argument("--by", help="optimize: comma cluster columns")
     tab.add_argument("--target-files", type=int, default=8)
     tab.add_argument("--keep", type=int, default=1)
     tab.add_argument("--retention", type=float, default=3600.0)
+    tab.add_argument("--to-version", type=int, help="restore: target version")
     tab.set_defaults(fn=_table)
+
+    sq = sub.add_parser("sql", help="run ad-hoc SQL over registered tables")
+    sq.add_argument("query")
+    sq.add_argument("--sf-dir", help="register the fixture parquet tables from this dir")
+    sq.add_argument(
+        "--table", action="append", metavar="NAME=PATH",
+        help="register a manifest table as a view (repeatable)",
+    )
+    sq.add_argument("--limit", type=int, default=100, help="max rows printed")
+    sq.set_defaults(fn=_sql)
 
     ben = sub.add_parser("bench", help="run the headline benchmark")
     ben.set_defaults(fn=_bench)

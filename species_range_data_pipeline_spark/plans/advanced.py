@@ -1009,6 +1009,64 @@ ORDER BY l_returnflag, measure
 """
 
 
+def pivot_wide_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long->wide), the inverse of ``unpivot_measures``: order count
+    and revenue per priority, one column pair per order status.
+
+    The scale-critical detail is the EXPLICIT pivot value list: without
+    it, ``DataFrame.pivot`` first runs a separate distinct-collect job
+    over the pivot column to discover the columns — an extra full scan
+    plus a driver round-trip, and unbounded output width if the column is
+    dirty.  With the list pinned, the whole pivot is ONE groupBy with
+    conditional aggregates (exactly what the oracle writes by hand) — a
+    single shuffle on the group key.  Revenue uses the integer-cents sum
+    (the q7 trick) so both engines agg the same exact integers in any
+    order.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    wide = (
+        orders.withColumn("cents", cents)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("cents") / 100.0, 2).alias("rev"),
+        )
+    )
+    return wide.select(
+        "o_orderpriority",
+        *[
+            c
+            for s in ("F", "O", "P")
+            for c in (
+                F.coalesce(F.col(f"{s}_n"), F.lit(0)).alias(f"{s.lower()}_n"),
+                F.coalesce(F.col(f"{s}_rev"), F.lit(0.0)).alias(f"{s.lower()}_rev"),
+            )
+        ],
+    ).orderBy("o_orderpriority")
+
+
+PIVOT_WIDE_STATUS_ORACLE = """
+SELECT o_orderpriority,
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_n,
+       coalesce(round(sum(CASE WHEN o_orderstatus = 'F'
+           THEN CAST(round(o_totalprice * 100) AS BIGINT) END) / 100.0, 2),
+           0.0) AS f_rev,
+       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_n,
+       coalesce(round(sum(CASE WHEN o_orderstatus = 'O'
+           THEN CAST(round(o_totalprice * 100) AS BIGINT) END) / 100.0, 2),
+           0.0) AS o_rev,
+       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_n,
+       coalesce(round(sum(CASE WHEN o_orderstatus = 'P'
+           THEN CAST(round(o_totalprice * 100) AS BIGINT) END) / 100.0, 2),
+           0.0) AS p_rev
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted shuffle join: the skew-mitigation pattern, result-identical.
 
@@ -1092,6 +1150,7 @@ QUERIES = {
     "q18_large_orders": q18_large_orders,
     "q19_disjunctive_predicates": q19_disjunctive_predicates,
     "unpivot_measures": unpivot_measures,
+    "pivot_wide_status": pivot_wide_status,
     "sample_hash_bucket": sample_hash_bucket,
     "ev_funnel": ev_funnel,
     "q7_nation_volume": q7_nation_volume,
@@ -1120,6 +1179,7 @@ ORACLES = {
     "q18_large_orders": Q18_ORACLE,
     "q19_disjunctive_predicates": Q19_ORACLE,
     "unpivot_measures": UNPIVOT_ORACLE,
+    "pivot_wide_status": PIVOT_WIDE_STATUS_ORACLE,
     "sample_hash_bucket": SAMPLE_HASH_ORACLE,
     "ev_funnel": EV_FUNNEL_ORACLE,
     "q7_nation_volume": Q7_ORACLE,

@@ -1401,6 +1401,45 @@ def clone_manifest_table(
     )
 
 
+def restore_table(path: str, version: int) -> int:
+    """RESTORE TABLE ... TO VERSION: publish a NEW head commit whose
+    snapshot (files, schema, stats, blooms, constraints, dropped-column
+    fences) is exactly that of ``version`` — the undo operation for a bad
+    DML/OPTIMIZE/schema change.
+
+    Metadata-only and O(1) in data size: the old version's files are
+    RE-REFERENCED, never copied.  History is preserved — the rollback is
+    itself an auditable commit (``table_history`` shows
+    ``restore[v{N}]``), and ``read_changes`` sees it as the net row diff
+    it is.  Restoring to the current head is a no-op (returns the head
+    version, no empty commit).  Fails loudly when the target's data files
+    were already vacuumed away: a restore that silently resurrected a
+    manifest pointing at deleted files would corrupt the table.  After a
+    successful restore the re-referenced files are live again, so a later
+    vacuum keeps them.
+    """
+    meta = _load_meta(path, version)
+    head = _load_meta(path)
+    if meta["version"] == head["version"]:
+        return head["version"]
+    missing = [f for f in meta["files"] if not os.path.exists(f)]
+    if missing:
+        raise ValueError(
+            f"cannot restore {path} to version {version}: "
+            f"{len(missing)} of its data files were vacuumed "
+            f"(first missing: {missing[0]})"
+        )
+    return _publish_manifest(
+        path, uuid.uuid4().hex[:12], version=head["version"] + 1,
+        files=meta["files"], schema_json=meta["schema"],
+        stats=meta.get("stats", {}), blooms=meta.get("blooms", {}),
+        txn=None, rows=meta.get("rows", {}), nulls=meta.get("nulls", {}),
+        operation=f"restore[v{version}]",
+        constraints=meta.get("constraints") or None,
+        dropped=meta.get("dropped_columns") or None,
+    )
+
+
 def add_column(path: str, name: str, data_type: str) -> int:
     """ALTER TABLE ADD COLUMN, metadata-only: publish a new manifest whose
     committed schema carries the new nullable column — no data file is

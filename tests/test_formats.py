@@ -1635,3 +1635,49 @@ def test_dropped_column_cannot_resurrect(spark, tmp_path):
         path, mode="overwrite",
     )
     assert read_manifest_table(spark, path).where("x = 7").count() == 5
+
+
+def test_restore_table_rolls_back_dml_as_new_commit(spark, tmp_path):
+    """RESTORE re-publishes an old snapshot as the new head: read-back
+    equals the old version exactly, history keeps every step (the restore
+    is itself a commit), and restoring to the current head is a no-op."""
+    from species_range_data_pipeline_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    mt.write_manifest_table(spark.range(0, 30).selectExpr("id"), path)      # v0
+    mt.write_manifest_table(spark.range(30, 50).selectExpr("id"), path)     # v1
+    mt.delete_where(spark, path, [("id", "<", 10)])                          # v2
+    assert mt.read_manifest_table(spark, path).count() == 40
+
+    v = mt.restore_table(path, 1)
+    assert v == 3
+    got = sorted(r.id for r in mt.read_manifest_table(spark, path).collect())
+    assert got == list(range(50))  # v1 snapshot, deletion undone
+    ops = [r.operation for r in mt.table_history(spark, path).collect()]
+    assert "restore[v1]" in ops and len(mt.table_versions(path)) == 4
+    # no-op form: restoring to the head publishes nothing
+    assert mt.restore_table(path, 3) == 3
+    assert mt.table_versions(path) == [0, 1, 2, 3]
+
+
+def test_restore_refuses_vacuumed_version(spark, tmp_path):
+    """Restore must fail loudly when the target version's files are gone
+    (vacuum), never publish a manifest pointing at deleted data; after a
+    successful restore the re-referenced files survive a vacuum."""
+    import pytest as _pytest
+
+    from species_range_data_pipeline_spark.sources import manifest_table as mt
+
+    path = str(tmp_path / "tbl")
+    mt.write_manifest_table(spark.range(0, 10).selectExpr("id"), path)       # v0
+    mt.write_manifest_table(
+        spark.range(10, 20).selectExpr("id"), path, "overwrite"
+    )                                                                        # v1
+    mt.write_manifest_table(spark.range(20, 25).selectExpr("id"), path)      # v2
+    mt.restore_table(path, 1)                                                # v3
+    # vacuum keeps v3 (files of v1+v2); v0's overwritten file dies
+    mt.vacuum_manifest_table(path, keep_versions=1, retention_seconds=0)
+    got = sorted(r.id for r in mt.read_manifest_table(spark, path).collect())
+    assert got == list(range(10, 20))
+    with _pytest.raises(Exception):  # v0 manifest itself was dropped
+        mt.restore_table(path, 0)

@@ -318,3 +318,40 @@ def test_cli_table_files(tmp_path, capsys):
     assert main(["table", "files", tbl]) == 0
     out = capsys.readouterr().out
     assert "2 files, 40 rows" in out
+
+
+def test_cli_sql_and_restore(tmp_path, capsys):
+    """The sql subcommand queries fixture views and manifest-table views
+    in one statement; table restore rolls a table back from the CLI."""
+    from species_range_data_pipeline_spark.__main__ import main
+    from species_range_data_pipeline_spark.session import get_spark
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        write_manifest_table,
+    )
+
+    spark = get_spark("t")
+    tbl = str(tmp_path / "tbl")
+    write_manifest_table(spark.range(0, 5).selectExpr("id"), tbl)          # v0
+    write_manifest_table(spark.range(5, 12).selectExpr("id"), tbl)         # v1
+
+    rc = main([
+        "sql",
+        "SELECT count(*) AS n_regions, (SELECT count(*) FROM t) AS n_t "
+        "FROM region",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--table", f"t={tbl}",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "5" in out and "12" in out  # 5 regions, 12 manifest rows
+
+    assert main(["table", "restore", tbl, "--to-version", "0"]) == 0
+    assert "restored -> v2" in capsys.readouterr().out
+    assert main(["sql", "SELECT count(*) AS n FROM t", "--table", f"t={tbl}"]) == 0
+    assert "|5" in capsys.readouterr().out.replace(" ", "")
+
+    # bad SQL exits 2 with a printed error, no traceback spray
+    assert main(["sql", "SELECT FROM nope"]) == 2
+    assert "error:" in capsys.readouterr().err
+    # malformed --table spec exits 2 before any Spark work
+    assert main(["sql", "SELECT 1", "--table", "nopath"]) == 2
