@@ -62,6 +62,10 @@ HEADLINE = [
     # substring-level dedup (detect + cut): hashed-gram shuffle, per-doc
     # ordered window, order-pinned reassembly
     "dedup_substring_cut",
+    # r4 additions: paragraph-level cross-doc dedup (chunk window +
+    # reassembly) and the temporal bin-and-refine interval join
+    "dedup_paragraphs",
+    "join_interval_overlap",
 ]
 
 

@@ -176,7 +176,10 @@ def _sql(args) -> int:
         register_manifest_view(spark, name, path)
     try:
         df = spark.sql(args.query)
-        df.show(args.limit, truncate=False)
+        if args.explain:
+            df.explain("formatted")
+        else:
+            df.show(args.limit, truncate=False)
     except Exception as exc:
         print(f"error: {exc}", file=sys.stderr)
         return 2
@@ -234,6 +237,10 @@ def main(argv: list[str] | None = None) -> int:
         help="register a manifest table as a view (repeatable)",
     )
     sq.add_argument("--limit", type=int, default=100, help="max rows printed")
+    sq.add_argument(
+        "--explain", action="store_true",
+        help="print the optimized physical plan instead of running",
+    )
     sq.set_defaults(fn=_sql)
 
     ben = sub.add_parser("bench", help="run the headline benchmark")

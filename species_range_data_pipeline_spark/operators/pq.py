@@ -1,0 +1,231 @@
+"""Product quantization (PQ) ANN: the memory-compression scale path.
+
+IVF (``plans/vectors.ann_ivf_topk``) prunes WHICH candidates get scored;
+PQ compresses HOW each candidate is stored and scored: a D-dim float
+vector becomes M one-byte codes (64 doubles -> 8 bytes here, a 64x
+shrink), and a query scores a candidate with M table lookups instead of
+a D-term dot product (asymmetric distance computation, ADC — Jégou,
+Douze, Schmid, PAMI 2011).  At 100 TB the candidate table stops being
+the scan-bandwidth bottleneck: the codes column is what streams through
+the scorer, and the full-precision vectors are only ever read once, at
+encode time.
+
+Division of labor (the classic train/add/search contract):
+
+- **train**: per-subspace Lloyd k-means on a DETERMINISTIC driver-side
+  sample (the first ``train_n`` vectors by id).  Codebooks are
+  m*k*dsub floats — every production PQ system trains on a sample, so
+  the driver-side numpy here is the honest shape, not a shortcut.
+- **add (encode)**: distributed — one ``mapInPandas`` pass assigns each
+  subvector to its nearest codebook centroid (one vectorized argmin per
+  Arrow batch, no shuffle).
+- **search**: the queries' ADC lookup tables (an (m, k) squared-distance
+  table per query) broadcast into one ``mapInPandas`` pass that sums M
+  lookups per (candidate, query); the only shuffle is the final
+  k-rows-per-query ranking window.
+
+Vectors are L2-normalized before train/encode/search, so the ADC
+squared-L2 ordering is exactly the cosine ordering (||a-b||^2 = 2-2cos
+on unit vectors) and the reported score is the approximate cosine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def train_pq_codebooks(
+    sample: np.ndarray, m: int, k: int, iters: int = 10
+) -> np.ndarray:
+    """(n, d) sample -> (m, k, d//m) codebooks.
+
+    Per-subspace Lloyd iterations with deterministic init (the first k
+    sample rows); an emptied cluster keeps its previous centroid.  Pure
+    numpy, deterministic for a fixed sample."""
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible into {m} subspaces")
+    if n < k:
+        raise ValueError(f"sample of {n} rows cannot seed {k} centroids")
+    dsub = d // m
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for mi in range(m):
+        sub = sample[:, mi * dsub : (mi + 1) * dsub]
+        cent = sub[:k].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for ci in range(k):
+                pts = sub[assign == ci]
+                if len(pts):
+                    cent[ci] = pts.mean(0)
+        books[mi] = cent
+    return books
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return mat / norms
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed encode: (id, vector) -> (id, codes array<int>).
+
+    One narrow mapInPandas pass; per batch, a single (n, k, dsub)
+    broadcast argmin per subspace.  Codes are the WHOLE index state a
+    PQ search needs — at scale this is the table you persist."""
+    m, k, dsub = codebooks.shape
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            mat = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+            n = mat.shape[0]
+            codes = np.empty((n, m), dtype=np.int32)
+            for mi in range(m):
+                sub = mat[:, mi * dsub : (mi + 1) * dsub]
+                d2 = ((sub[:, None, :] - codebooks[mi][None, :, :]) ** 2).sum(-1)
+                codes[:, mi] = d2.argmin(1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(encode, out_schema)
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    m: int = 8,
+    k_codes: int = 16,
+    k: int = 3,
+    train_n: int = 512,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine: int | None = None,
+) -> DataFrame:
+    """Approximate top-k by PQ/ADC: (query_id, cand_id, approx_cos, rnk).
+
+    The train sample is the first ``train_n`` vectors by id (collected —
+    codebook training is sample-based by design); queries are collected
+    (k-row sized) and their ADC tables ride into the scorer as numpy
+    closures.  Accuracy is a recall-vs-exact contract, pinned in
+    tests/test_similarity.py — PQ is lossy on purpose.
+
+    ``refine``: the production IVFADC+R shape — ADC produces a shortlist
+    of that size per query, then ONLY the shortlisted candidates are
+    re-scored exactly against the full-precision vectors (a join of
+    n_queries*refine ids back to the table — at 100 TB, the point: the
+    full vectors are fetched for a few dozen rows per query, not
+    scanned).  Output column becomes the exact ``cos_sim``."""
+    sample_rows = (
+        emb.orderBy(id_col).limit(train_n).select(vec_col).collect()
+    )
+    sample = _normalize(np.array([r[0] for r in sample_rows], dtype=np.float64))
+    books = train_pq_codebooks(sample, m=m, k=k_codes)
+    _, _, dsub = books.shape
+
+    q_rows = (
+        emb.where(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = _normalize(np.array([r[1] for r in q_rows], dtype=np.float64))
+    # ADC tables: lut[q, mi, ci] = ||q_sub - centroid||^2
+    n_q = q_mat.shape[0]
+    lut = np.empty((n_q, m, k_codes), dtype=np.float64)
+    for mi in range(m):
+        qs = q_mat[:, mi * dsub : (mi + 1) * dsub]
+        lut[:, mi, :] = ((qs[:, None, :] - books[mi][None, :, :]) ** 2).sum(-1)
+
+    codes_df = pq_encode(emb, books, id_col=id_col, vec_col=vec_col)
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("cand_id", T.LongType()),
+            T.StructField("approx_cos", T.DoubleType()),
+        ]
+    )
+    midx = np.arange(m)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)
+            for qi in range(n_q):
+                d2 = lut[qi][midx[None, :], codes].sum(1)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(c_ids), q_ids[qi]),
+                        "cand_id": c_ids,
+                        # unit vectors: ||a-b||^2 = 2 - 2cos
+                        "approx_cos": np.round(1.0 - d2 / 2.0, 6),
+                    }
+                )
+
+    scored = (
+        codes_df.mapInPandas(score, out_schema)
+        .where(F.col("cand_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("cand_id")
+    )
+    if refine is None:
+        return (
+            scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .where(F.col("rnk") <= k)
+            .orderBy("query_id", "rnk")
+        )
+    from ..functions.vectors import as_double, cosine
+
+    shortlist = (
+        scored.withColumn("arnk", F.row_number().over(w))
+        .where(F.col("arnk") <= refine)
+        .select("query_id", "cand_id")
+    )
+    spark = emb.sparkSession
+    queries_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(q_ids, q_mat)],
+        "query_id long, qvec array<double>",
+    )
+    reranked = (
+        shortlist.join(
+            emb.select(F.col(id_col).alias("cand_id"), vec_col), "cand_id"
+        )
+        .join(F.broadcast(queries_df), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("qvec"), as_double(vec_col)), 6).alias("cos_sim"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return (
+        reranked.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .where(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )

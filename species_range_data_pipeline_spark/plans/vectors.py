@@ -503,7 +503,23 @@ ORDER BY c.label
 """
 
 
+def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-3 for query vectors vec_id < 5
+    (``operators/pq.py``): sample-trained codebooks, distributed encode
+    to M one-byte codes, ADC table-lookup scoring.  Rows-only — PQ is a
+    lossy approximation with no SQL restatement; the contract is the
+    recall-vs-exact bound pinned in tests/test_similarity.py, alongside
+    ``cosine_topk`` (exact oracle) and ``ann_ivf_topk`` (pruning)."""
+    from ..operators.pq import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb, query_ids=[0, 1, 2, 3, 4], m=8, k_codes=16, k=3, refine=32
+    )
+
+
 QUERIES = {
+    "emb_pq_topk": emb_pq_topk,
     "emb_label_centroids": emb_label_centroids,
     "emb_kmeans": emb_kmeans,
     "emb_pca_project": emb_pca_project,

@@ -87,6 +87,9 @@ def test_rows_only_set_is_exactly_the_documented_exceptions():
         "emb_kmeans",
         "emb_near_dup_lsh",
         "emb_pca_project",
+        # lossy PQ/ADC approximation; recall-vs-exact bound pinned in
+        # test_similarity.py
+        "emb_pq_topk",
         "sketch_hll_distinct",
         "sketch_cms_brand_counts",
         # iterative argmax + data-dependent rewriting; golden-tested

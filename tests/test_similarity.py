@@ -165,3 +165,57 @@ def test_persisted_ivf_index_prunes_and_recalls(spark, tmp_path):
     }
     recall = len(res & truth) / len(truth)
     assert recall >= 0.6, recall
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    """Encode is the persisted index state: every vector gets exactly m
+    codes in [0, k); the whole train+encode pipeline is deterministic."""
+    import numpy as np
+
+    from species_range_data_pipeline_spark.operators.pq import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    sample_rows = emb.orderBy("vec_id").limit(512).select("embedding").collect()
+    sample = np.array([r[0] for r in sample_rows], dtype=np.float64)
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    b1 = train_pq_codebooks(sample, m=8, k=16)
+    b2 = train_pq_codebooks(sample, m=8, k=16)
+    assert (b1 == b2).all() and b1.shape == (8, 16, 8)
+
+    codes = pq_encode(emb, b1).collect()
+    assert len(codes) == emb.count()
+    for r in codes:
+        assert len(r.codes) == 8 and all(0 <= c < 16 for c in r.codes)
+
+
+def test_pq_refined_recall_vs_exact(spark):
+    """The emb_pq_topk contract: ADC shortlist + exact re-rank recovers
+    >= 80% of the true top-3 at sf0.01 (measured 0.867, deterministic
+    pipeline so the bound cannot flake), and >= 50% even on the 50-row
+    near-orthogonal sf0.001 worst case (measured 0.533).  Raw ADC
+    without refine must still rank SOMETHING for every query."""
+    from species_range_data_pipeline_spark.operators.pq import pq_topk
+    from species_range_data_pipeline_spark.plans.vectors import emb_pq_topk
+
+    from .conftest import SF_SMOKE
+
+    for sf, bound in [(SF_CORRECT, 0.8), (SF_SMOKE, 0.5)]:
+        exact: dict[int, set[int]] = {}
+        for r in cosine_topk(spark, sf).collect():
+            exact.setdefault(r.query_id, set()).add(r.cand_id)
+        approx: dict[int, set[int]] = {}
+        for r in emb_pq_topk(spark, sf).collect():
+            approx.setdefault(r.query_id, set()).add(r.cand_id)
+        hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+        tot = sum(len(v) for v in exact.values())
+        assert hits / tot >= bound, (sf, hits, tot)
+        assert set(approx) == set(exact)  # every query answered
+
+    raw = pq_topk(
+        load_table(spark, SF_CORRECT, "embeddings"), [0, 1, 2, 3, 4], k=3
+    ).collect()
+    assert {r.query_id for r in raw} == {0, 1, 2, 3, 4}
+    assert all(r.rnk <= 3 for r in raw)
