@@ -166,6 +166,9 @@ def _sql(args) -> int:
             return 2
         specs.append((name, path))
     spark = get_spark("species-range-sql")
+    from .functions.sql_registry import register_engine_functions
+
+    register_engine_functions(spark)
     if args.sf_dir:
         from .catalog import load_tables
 
