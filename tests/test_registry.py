@@ -1,0 +1,87 @@
+"""Registry-contract pins: driver window coverage + rows-only determinism.
+
+The driver's correctness gate hash-checks the FIRST 50 queries in
+``registry.all_queries()`` iteration order, so the window composition is a
+load-bearing contract: it must span every plan module or whole operator
+families produce zero driver-visible evidence (the round-4 finding).
+"""
+
+from __future__ import annotations
+
+import importlib
+
+import pytest
+
+from species_range_data_pipeline_spark.plans import registry
+
+SF_CORRECT = "/root/testdata/sf0.01"
+
+
+def _module_of() -> dict[str, str]:
+    mod_of: dict[str, str] = {}
+    for m in registry._MODULE_NAMES:
+        mod = importlib.import_module(
+            f"species_range_data_pipeline_spark.plans.{m}"
+        )
+        for q in getattr(mod, "QUERIES", {}):
+            mod_of[q] = m
+    return mod_of
+
+
+def test_priority_names_all_exist():
+    queries = registry.all_queries()
+    missing = [p for p in registry._PRIORITY if p not in queries]
+    assert missing == []
+
+
+def test_first50_window_spans_every_module():
+    first50 = list(registry.all_queries())[:50]
+    mod_of = _module_of()
+    covered = {mod_of[q] for q in first50}
+    assert covered == set(registry._MODULE_NAMES)
+
+
+def test_oracles_subset_of_queries_and_order_consistent():
+    queries = registry.all_queries()
+    oracles = registry.all_oracles()
+    assert set(oracles) <= set(queries)
+    # every oracle-backed query in the driver window keeps its oracle
+    first50 = list(queries)[:50]
+    rows_only_in_window = [q for q in first50 if q not in oracles]
+    # exactly the three golden-pinned rows-only representatives
+    assert rows_only_in_window == [
+        "bpe_encode_tokens",
+        "emb_pq_topk",
+        "multimodal_decode_stats",
+    ]
+
+
+ROWS_ONLY = sorted(set(registry.all_queries()) - set(registry.all_oracles()))
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_nonempty_and_deterministic(spark, name):
+    """Driver insurance for rows-only queries (VERDICT r4 item #7).
+
+    The driver records a rows-only check for queries without an oracle; a
+    nondeterministic or empty result would flap across rounds.  Run each
+    twice — the second time in a fresh ``newSession`` (clean temp-view /
+    conf state) and with a different shuffle-partition count so
+    partition-layout-dependent nondeterminism surfaces — and require
+    identical sorted rows.
+    """
+    queries = registry.all_queries()
+    fn = queries[name]
+
+    first = fn(spark, SF_CORRECT)
+    rows1 = sorted(map(str, first.collect()))
+    assert len(rows1) > 0
+
+    other = spark.newSession()
+    prev = other.conf.get("spark.sql.shuffle.partitions")
+    other.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        rows2 = sorted(map(str, fn(other, SF_CORRECT).collect()))
+    finally:
+        other.conf.set("spark.sql.shuffle.partitions", prev)
+    assert rows1 == rows2
