@@ -789,49 +789,39 @@ _IV_BIN_DAYS = 16  # covers a 10-day window with <= 2 bins per interval
 def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join: urgent vs low-priority big-ticket orders
     whose 10-day fulfilment windows intersect (the temporal analogue of a
-    spatial intersects join — Spark has no native interval join, so this
-    is the bin-and-refine composition).
+    spatial intersects join — Spark has no native interval join).
 
-    Plan: each side maps its [start, start+10d] window onto 16-day epoch
-    bins (``sequence(sday div 16, eday div 16)`` — at most 2 bins per
-    interval, a bounded fan-out unlike a per-day explode); the equi-join
-    on the bin gives candidates, the exact theta predicate refines, and
-    the REPORTING-BIN guard (only the bin containing ``greatest`` of the
-    two starts emits) makes each pair appear exactly once — no distinct
-    shuffle afterwards.  At 100 TB this is one co-partitioned equi-join
-    shuffle on an 8-byte key; the all-pairs theta join the oracle runs
-    would be a broadcast-nested-loop that never finishes.
+    Thin caller of the generic bin-and-refine operator
+    `operators/intervals.py::interval_join` (property-pinned there against
+    the all-pairs theta join): each side maps its window onto 16-day
+    epoch bins (<= 2 bins per 10-day interval), the equi-join on the bin
+    gives candidates, the exact theta predicate refines, and the
+    reporting-bin guard makes each pair appear exactly once.  At 100 TB
+    this is one co-partitioned equi-join shuffle on an 8-byte key; the
+    all-pairs theta join the oracle runs would be a broadcast-nested-loop
+    that never finishes.
     """
-    B = _IV_BIN_DAYS
+    from ..operators.intervals import interval_join
+
     orders = load_table(spark, sf_dir, "orders")
 
     def windows(prefix: str, tag: str) -> DataFrame:
         d = F.to_date("o_orderdate")
-        return (
-            orders.where(
-                F.col("o_orderpriority").startswith(prefix)
-                & (F.col("o_totalprice") > 450000)
-            )
-            .select(
-                F.col("o_orderkey").alias(f"{tag}_key"),
-                d.alias(f"{tag}_s"),
-                F.date_add(d, 10).alias(f"{tag}_e"),
-                F.unix_date(d).alias(f"{tag}_sday"),
-            )
-            .withColumn(
-                "bin",
-                F.explode(
-                    F.expr(f"sequence({tag}_sday div {B}, ({tag}_sday + 10) div {B})")
-                ),
-            )
+        return orders.where(
+            F.col("o_orderpriority").startswith(prefix)
+            & (F.col("o_totalprice") > 450000)
+        ).select(
+            F.col("o_orderkey").alias(f"{tag}_key"),
+            d.alias(f"{tag}_s"),
+            F.date_add(d, 10).alias(f"{tag}_e"),
         )
 
-    a = windows("1", "a")
-    b = windows("5", "b")
-    pairs = a.join(b, "bin").where(
-        (F.col("a_s") <= F.col("b_e"))
-        & (F.col("b_s") <= F.col("a_e"))
-        & (F.col("bin") == F.expr(f"greatest(a_sday, b_sday) div {B}"))
+    pairs = interval_join(
+        windows("1", "a"),
+        windows("5", "b"),
+        ("a_s", "a_e"),
+        ("b_s", "b_e"),
+        bin_size=_IV_BIN_DAYS,
     )
     return (
         pairs.select(
