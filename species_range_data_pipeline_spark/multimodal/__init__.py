@@ -7,12 +7,12 @@ Arrow-batched ``mapInPandas`` / ``pandas_udf`` stages.
 Real stdlib-only codecs (no image/audio libraries ship in the
 container, so the formats are implemented at struct level, like the
 GeoTIFF/shapefile lanes): PNG + BMP + WAV (``codecs.py``), baseline
-JPEG including 4:2:0/4:2:2 subsampling and restart markers
-(``jpeg.py``), GIF 87a/89a with real variable-width LZW (``gif.py``),
+and progressive JPEG including 4:2:0/4:2:2 subsampling and restart
+markers (``jpeg.py``), GIF 87a/89a with real variable-width LZW (``gif.py``),
 MP4/ISO-BMFF sample tables with MJPEG frame decode (``mp4.py``), and
 spectral/resampling audio DSP (``audio_dsp.py``).  Formats that would
 need an entropy/transform stack this container can't justify (MP3,
-compressed video bitstreams, progressive JPEG, interlaced PNG/GIF)
+compressed video bitstreams, interlaced PNG/GIF)
 raise ``NotImplementedError`` loudly at their exact gate.  The
 deterministic FAKEIMG/FAKEVID/FAKEAUD codecs remain for fixture
 generation (``media.py``)."""

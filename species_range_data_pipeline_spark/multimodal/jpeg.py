@@ -7,16 +7,19 @@ makes image decode a first-class component.  Same no-dependency style as
 ``pipeline/geotiff.py`` and ``multimodal/codecs.py``: the container ships
 no image library, so the format is implemented from its published spec.
 
-Scope — the baseline sequential DCT process, which covers the vast
-majority of wild JPEGs:
+Scope — the baseline sequential DCT process plus the progressive DCT
+process (T.81 Annex G), which together cover essentially all wild JPEGs:
 
-- markers: SOI/APPn/COM/DQT/DHT/DRI/SOF0/SOF1/SOS/RSTn/EOI
+- markers: SOI/APPn/COM/DQT/DHT/DRI/SOF0/SOF1/SOF2/SOS/RSTn/EOI
 - Huffman entropy coding (canonical tables from DHT), byte stuffing,
   restart markers
+- progressive scans: spectral selection (Ss..Se bands), successive
+  approximation (Ah/Al bit planes) for both DC and AC, EOB runs,
+  interleaved DC scans, restart intervals inside any scan kind
 - 8-bit samples, grayscale or YCbCr (BT.601), integer-ratio chroma
   subsampling (4:4:4, 4:2:2, 4:2:0) with nearest-neighbor upsampling
-- loud gates: progressive (SOF2), hierarchical/lossless/arithmetic
-  frames, 12-bit precision, fractional sampling ratios
+- loud gates: hierarchical/lossless/arithmetic frames, 12-bit
+  precision, fractional sampling ratios
 
 The encoder (used for golden round-trip tests and as a real sink) writes
 baseline 4:4:4 with IJG-scaled Annex-K quantization tables and
@@ -39,7 +42,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_jpeg", "encode_jpeg"]
+__all__ = ["decode_jpeg", "encode_jpeg", "encode_jpeg_progressive"]
 
 
 def _zigzag() -> np.ndarray:
@@ -202,9 +205,11 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
     processes."""
     try:
         return _decode_jpeg(blob)
-    except (struct.error, IndexError, KeyError, StopIteration) as exc:
+    except (struct.error, IndexError, KeyError, StopIteration, OverflowError) as exc:
         # KeyError: scan references an undeclared quant/huffman table;
-        # StopIteration: scan references a component absent from the SOF
+        # StopIteration: scan references a component absent from the SOF;
+        # OverflowError: corrupt Al/DC-diff drives a coefficient past the
+        # int32 buffer (valid streams fit in well under 32 bits)
         raise ValueError(f"malformed JPEG: {exc!r}") from exc
 
 
@@ -215,6 +220,8 @@ def _decode_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
+    coefs: dict[int, np.ndarray] | None = None
+    saw_scan = False
     restart_interval = 0
     while pos + 1 < len(blob):
         if blob[pos] != 0xFF:
@@ -251,7 +258,7 @@ def _decode_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
                 vals = seg[off + 17 : off + 17 + n]
                 huff[(tc, th)] = _build_decode_table(bits, vals)
                 off += 17 + n
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext.seq / progressive
             prec, height, width, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
@@ -259,11 +266,14 @@ def _decode_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
             for i in range(ncomp):
                 cid, hv, tqi = struct.unpack_from("BBB", seg, 6 + 3 * i)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tqi})
-            frame = {"w": width, "h": height, "comps": comps}
-        elif marker == 0xC2:
-            raise NotImplementedError(
-                "progressive JPEG (SOF2) is not supported — baseline only"
-            )
+            frame = {
+                "w": width,
+                "h": height,
+                "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+            if frame["progressive"]:
+                coefs = _alloc_progressive(frame)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG frame (SOF marker {marker:#x}) not supported"
@@ -279,8 +289,17 @@ def _decode_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tdta >> 4, tdta & 0xF))
-            return _decode_scan(blob, pos, frame, scan, qt, huff, restart_interval)
+            if not frame["progressive"]:
+                return _decode_scan(blob, pos, frame, scan, qt, huff, restart_interval)
+            ss, se, ahal = seg[1 + 2 * nscan : 4 + 2 * nscan]
+            pos = _decode_prog_scan(
+                blob, pos, frame, scan, huff, restart_interval,
+                coefs, ss, se, ahal >> 4, ahal & 0xF,
+            )
+            saw_scan = True
         # APPn / COM / others: skipped
+    if saw_scan:
+        return _finish_progressive(frame, coefs, qt)
     raise ValueError("no SOS scan in JPEG stream")
 
 
@@ -332,9 +351,17 @@ def _decode_scan(blob, pos, frame, scan, qt, huff, restart_interval):
                         y0 = (my * comp["v"] + by) * 8
                         x0 = (mx * comp["h"] + bx) * 8
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+    return _assemble_planes(
+        [(comp, planes[comp["id"]]) for comp, _, _ in scan],
+        hmax, vmax, width, height,
+    )
+
+
+def _assemble_planes(comp_planes, hmax, vmax, width, height):
+    """Full-resolution upsample + crop + color conversion shared by the
+    baseline and progressive reconstruction paths."""
     out = []
-    for comp, _, _ in scan:
-        plane = planes[comp["id"]]
+    for comp, plane in comp_planes:
         plane = np.repeat(plane, hmax // comp["h"], axis=1)
         plane = np.repeat(plane, vmax // comp["v"], axis=0)
         out.append(plane[:height, :width])
@@ -353,6 +380,213 @@ def _decode_scan(blob, pos, frame, scan, qt, huff, restart_interval):
         axis=-1,
     )
     return width, height, 3, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------- progressive (Annex G)
+
+#: cap on total 8x8 blocks across components before allocating the
+#: progressive coefficient buffers — EOB runs make entropy length useless
+#: as a plausibility bound (2 bytes can cover 32767 blocks), so a corrupt
+#: SOF2 with huge declared dimensions must be stopped at allocation time
+_MAX_PROGRESSIVE_BLOCKS = 1 << 22
+
+
+def _alloc_progressive(frame) -> dict[int, np.ndarray]:
+    """Per-component (block_rows, block_cols, 64) int32 coefficient
+    buffers, sized to the padded MCU grid (interleaved DC scans address
+    the padding; non-interleaved scans touch only the true grid)."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    total = mcux * mcuy * sum(c["h"] * c["v"] for c in frame["comps"])
+    if total > _MAX_PROGRESSIVE_BLOCKS:
+        raise ValueError(
+            f"progressive frame declares {total} blocks "
+            f"(> {_MAX_PROGRESSIVE_BLOCKS} cap)"
+        )
+    return {
+        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in frame["comps"]
+    }
+
+
+def _prog_units(frame, scan, ss):
+    """Scan order per T.81: DC scans with several components walk MCUs
+    (touching the padded grid); single-component scans walk the
+    component's own block grid in raster order.  Yields per-unit lists of
+    (comp, td, ta, block_row, block_col); one unit = one restart step."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    if ss == 0 and len(scan) > 1:
+        mcux = -(-frame["w"] // (8 * hmax))
+        mcuy = -(-frame["h"] // (8 * vmax))
+        for my in range(mcuy):
+            for mx in range(mcux):
+                yield [
+                    (comp, td, ta, my * comp["v"] + by, mx * comp["h"] + bx)
+                    for comp, td, ta in scan
+                    for by in range(comp["v"])
+                    for bx in range(comp["h"])
+                ]
+    else:
+        comp, td, ta = scan[0]
+        cw = -(-(frame["w"] * comp["h"]) // hmax)
+        ch = -(-(frame["h"] * comp["v"]) // vmax)
+        for by in range(-(-ch // 8)):
+            for bx in range(-(-cw // 8)):
+                yield [(comp, td, ta, by, bx)]
+
+
+def _decode_prog_scan(
+    blob, pos, frame, scan, huff, restart_interval, coefs, ss, se, ah, al
+):
+    """One progressive scan into the coefficient buffers; returns the
+    stream offset of the marker following the entropy segment."""
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if ss > 0 and len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if not (ss <= se <= 63):
+        raise ValueError(f"bad spectral band {ss}..{se}")
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    for comp, _, _ in scan:
+        if hmax % comp["h"] or vmax % comp["v"]:
+            raise NotImplementedError(
+                f"fractional sampling ratio {comp['h']}x{comp['v']} "
+                f"vs {hmax}x{vmax}"
+            )
+    reader = _BitReader(blob, pos)
+    state = {"eobrun": 0}
+    preds = {comp["id"]: 0 for comp, _, _ in scan}
+    rst_n = 0
+    count = 0
+    for unit in _prog_units(frame, scan, ss):
+        if restart_interval and count == restart_interval:
+            reader.sync_restart(rst_n)
+            rst_n = (rst_n + 1) & 7
+            preds = dict.fromkeys(preds, 0)
+            state["eobrun"] = 0
+            count = 0
+        count += 1
+        for comp, td, ta, by, bx in unit:
+            block = coefs[comp["id"]][by, bx]
+            if ss == 0:
+                if ah == 0:  # DC first: diffs at reduced precision
+                    t = _decode_sym(reader, huff[(0, td)])
+                    preds[comp["id"]] += _extend(reader.receive(t), t)
+                    block[0] = preds[comp["id"]] << al
+                elif reader.read_bit():  # DC refine: one bit per block
+                    block[0] |= 1 << al
+            elif ah == 0:
+                _first_ac(reader, huff[(1, ta)], block, ss, se, al, state)
+            else:
+                _refine_ac(reader, huff[(1, ta)], block, ss, se, al, state)
+    # locate the next marker: the reader either already consumed it (into
+    # .marker while padding) or it sits ahead of the last entropy byte
+    if reader.marker is not None:
+        return reader.pos - 2
+    p = reader.pos
+    while p + 1 < len(blob) and not (
+        blob[p] == 0xFF and blob[p + 1] != 0x00
+    ):
+        p += 1
+    return p
+
+
+def _first_ac(reader, actab, block, ss, se, al, state):
+    """AC scan with Ah=0 (G.1.2.2): band coefficients at Al precision,
+    zero runs + EOB-run coding across blocks."""
+    if state["eobrun"]:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_sym(reader, actab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r < 15:  # EOBn: run of (1<<r)-1+ext blocks ends here
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += reader.receive(r)
+                return
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("AC coefficient past Se")
+            block[k] = _extend(reader.receive(s), s) << al
+            k += 1
+
+
+def _refine_nonzero(reader, block, k, p1):
+    """Correction bit for a coefficient already nonzero in prior scans."""
+    if reader.read_bit() and not (int(block[k]) & p1):
+        block[k] += p1 if block[k] >= 0 else -p1
+
+
+def _refine_ac(reader, actab, block, ss, se, al, state):
+    """AC successive-approximation refinement (G.1.2.3): newly-nonzero
+    coefficients arrive as (run, 1) symbols with a sign bit; every
+    coefficient made nonzero by earlier scans absorbs one correction bit
+    as the run advances past it, including through EOB runs."""
+    p1 = 1 << al
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        for k in range(ss, se + 1):
+            if block[k]:
+                _refine_nonzero(reader, block, k, p1)
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_sym(reader, actab)
+        r, s = rs >> 4, rs & 0xF
+        sval = 0
+        if s == 0:
+            if r < 15:  # EOB run starts; current block still needs its bits
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += reader.receive(r)
+                for kk in range(k, se + 1):
+                    if block[kk]:
+                        _refine_nonzero(reader, block, kk, p1)
+                return
+            # r == 15: ZRL — skip 16 zero-history coefficients
+        else:
+            if s != 1:
+                raise ValueError("bad AC refinement symbol")
+            sval = p1 if reader.read_bit() else -p1
+        while k <= se:
+            if block[k]:
+                _refine_nonzero(reader, block, k, p1)
+            else:
+                if r == 0:
+                    if sval:
+                        block[k] = sval
+                    k += 1
+                    break
+                r -= 1
+            k += 1
+
+
+def _finish_progressive(frame, coefs, qt):
+    """Dequantize + IDCT the accumulated coefficient planes."""
+    width, height = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    out = []
+    for comp in frame["comps"]:
+        deq = coefs[comp["id"]].astype(np.float64) * qt[comp["tq"]][None, None, :]
+        bh, bw = deq.shape[:2]
+        dez = np.zeros_like(deq)
+        dez[:, :, _ZZ] = deq
+        spatial = (
+            np.einsum("ij,xyjk,kl->xyil", _A.T, dez.reshape(bh, bw, 8, 8), _A)
+            + 128.0
+        )
+        out.append((comp, spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)))
+    return _assemble_planes(out, hmax, vmax, width, height)
 
 
 def _decode_block(reader, dc_table, ac_table, q, pred):
@@ -454,18 +688,10 @@ def _block_symbols(qblk: np.ndarray, pred: int):
     return (size, mag), acs, dc
 
 
-def encode_jpeg(
-    px: np.ndarray,
-    quality: int = 90,
-    restart_interval: int = 0,
-    subsampling: tuple[int, int] = (1, 1),
-) -> bytes:
-    """uint8 (h, w) / (h, w, 1) grayscale or (h, w, 3) RGB -> baseline JPEG
-    bytes.  ``subsampling=(h, v)`` is the luma sampling factor relative to
-    chroma: (1, 1) = 4:4:4, (2, 1) = 4:2:2, (2, 2) = 4:2:0 (chroma box-mean
-    downsampled).  ``restart_interval`` > 0 emits DRI + RSTn markers every
-    that many MCUs.  Both knobs exist so round-trip tests exercise the
-    decoder's real-world MCU/upsampling/restart paths."""
+def _prepare_blocks(px: np.ndarray, quality: int, subsampling: tuple[int, int]):
+    """Color-convert, subsample, pad, and forward-DCT-quantize: the shared
+    front half of the baseline and progressive encoders.  Returns
+    (h, w, ncomp, factors, comp_class, qtabs, comp_blocks, mcux, mcuy)."""
     if px.ndim == 2:
         px = px[..., None]
     h, w, c = px.shape
@@ -520,6 +746,24 @@ def encode_jpeg(
                 coef = (_A @ blk @ _A.T).reshape(64)[_ZZ]
                 blocks[(ry, rx)] = np.round(coef / q).astype(np.int64)
         comp_blocks.append(blocks)
+    return h, w, ncomp, factors, comp_class, qtabs, comp_blocks, mcux, mcuy
+
+
+def encode_jpeg(
+    px: np.ndarray,
+    quality: int = 90,
+    restart_interval: int = 0,
+    subsampling: tuple[int, int] = (1, 1),
+) -> bytes:
+    """uint8 (h, w) / (h, w, 1) grayscale or (h, w, 3) RGB -> baseline JPEG
+    bytes.  ``subsampling=(h, v)`` is the luma sampling factor relative to
+    chroma: (1, 1) = 4:4:4, (2, 1) = 4:2:2, (2, 2) = 4:2:0 (chroma box-mean
+    downsampled).  ``restart_interval`` > 0 emits DRI + RSTn markers every
+    that many MCUs.  Both knobs exist so round-trip tests exercise the
+    decoder's real-world MCU/upsampling/restart paths."""
+    h, w, ncomp, factors, comp_class, qtabs, comp_blocks, mcux, mcuy = (
+        _prepare_blocks(px, quality, subsampling)
+    )
 
     # one pass in MCU order -> token segments split at restart boundaries
     segments: list[list[tuple[int, int, int, list]]] = [[]]
@@ -595,5 +839,238 @@ def encode_jpeg(
     ) + b"\x00\x3f\x00"
     out += seg(0xDA, sos)
     out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --------------------------------------------- progressive encoder
+
+# libjpeg's default progression shape: reduced-precision DC first, luma AC
+# in two spectral bands at Al=2, chroma AC at Al=1, then one refinement
+# pass per plane down to full precision.  Exercises every decoder path:
+# interleaved DC, DC refine, spectral selection, AC first w/ point
+# transform, AC refine, EOB runs.
+_PROG_SCRIPT_3 = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+_PROG_SCRIPT_1 = [
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+def _enc_flush_eobrun(state, toks, tab):
+    """Emit the pending EOBn symbol plus the correction bits buffered for
+    the blocks that the run covers (refinement scans only)."""
+    n = state["eobrun"]
+    if n:
+        e = n.bit_length() - 1
+        toks.append(("sym", tab, e << 4))
+        if e:
+            toks.append(("bits", n - (1 << e), e))
+        toks.extend(("bits", b, 1) for b in state["pending"])
+        state["eobrun"] = 0
+        state["pending"] = []
+
+
+def _enc_ac_first(block, ss, se, al, tab, state, toks):
+    """Token stream for one block of an Ah=0 AC scan: magnitudes shifted
+    toward zero by Al, zero runs, shared EOB-run accumulator."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(block[k])
+        sval = abs(v) >> al
+        if v < 0:
+            sval = -sval
+        if sval == 0:
+            r += 1
+            continue
+        _enc_flush_eobrun(state, toks, tab)
+        while r > 15:
+            toks.append(("sym", tab, 0xF0))
+            r -= 16
+        s, m = _mag_bits(sval)
+        toks.append(("sym", tab, (r << 4) | s))
+        toks.append(("bits", m, s))
+        r = 0
+    if r:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _enc_flush_eobrun(state, toks, tab)
+
+
+def _enc_ac_refine(block, ss, se, al, tab, state, toks):
+    """Token stream for one block of an Ah=Al+1 AC refinement scan
+    (G.1.2.3 encoder side): newly-nonzero coefficients (|v|>>Al == 1) as
+    (run, 1) + sign bit; correction bits for older nonzeros buffered and
+    emitted after the next symbol or with the EOB run that covers them."""
+    absvals = [abs(int(block[k])) >> al for k in range(ss, se + 1)]
+    eob = ss - 1  # position of the last NEWLY-nonzero coefficient
+    for k in range(ss, se + 1):
+        if absvals[k - ss] == 1:
+            eob = k
+    r = 0
+    br: list[int] = []
+    for k in range(ss, se + 1):
+        t = absvals[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            _enc_flush_eobrun(state, toks, tab)
+            toks.append(("sym", tab, 0xF0))
+            r -= 16
+            toks.extend(("bits", b, 1) for b in br)
+            br = []
+        if t > 1:  # nonzero before this scan: one correction bit
+            br.append(t & 1)
+            continue
+        _enc_flush_eobrun(state, toks, tab)
+        toks.append(("sym", tab, (r << 4) | 1))
+        toks.append(("bits", 1 if int(block[k]) >= 0 else 0, 1))
+        toks.extend(("bits", b, 1) for b in br)
+        br = []
+        r = 0
+    if r > 0 or br:
+        state["eobrun"] += 1
+        state["pending"].extend(br)
+        if state["eobrun"] == 0x7FFF:
+            _enc_flush_eobrun(state, toks, tab)
+
+
+def encode_jpeg_progressive(
+    px: np.ndarray,
+    quality: int = 90,
+    restart_interval: int = 0,
+    subsampling: tuple[int, int] = (1, 1),
+    script: list[tuple[tuple[int, ...], int, int, int, int]] | None = None,
+) -> bytes:
+    """Same pixel contract as :func:`encode_jpeg`, but emits the
+    progressive DCT process (SOF2) using a libjpeg-shaped scan script
+    (override via ``script``: a list of ``(component_indices, Ss, Se, Ah,
+    Al)``).  Entropy tokens are buffered per scan so each scan ships its
+    own constructed fixed-length Huffman tables via a preceding DHT."""
+    h, w, ncomp, factors, comp_class, qtabs, comp_blocks, mcux, mcuy = (
+        _prepare_blocks(px, quality, subsampling)
+    )
+    hmax = max(fh for fh, _ in factors)
+    vmax = max(fv for _, fv in factors)
+    if script is None:
+        script = _PROG_SCRIPT_3 if ncomp == 3 else _PROG_SCRIPT_1
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    for tq, table in enumerate(qtabs):
+        out += seg(0xDB, bytes([tq]) + bytes(int(v) for v in table))
+    comps = b"".join(
+        struct.pack(
+            "BBB", i + 1, (factors[i][0] << 4) | factors[i][1], comp_class[i]
+        )
+        for i in range(ncomp)
+    )
+    out += seg(0xC2, struct.pack(">BHHB", 8, h, w, ncomp) + comps)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    for comp_ids, ss, se, ah, al in script:
+        if ss == 0 and len(comp_ids) > 1:  # interleaved DC: MCU walk
+            units = [
+                [
+                    (ci, my * factors[ci][1] + by, mx * factors[ci][0] + bx)
+                    for ci in comp_ids
+                    for by in range(factors[ci][1])
+                    for bx in range(factors[ci][0])
+                ]
+                for my in range(mcuy)
+                for mx in range(mcux)
+            ]
+        else:  # single component: its true block grid
+            ci = comp_ids[0]
+            cw = -(-(w * factors[ci][0]) // hmax)
+            ch = -(-(h * factors[ci][1]) // vmax)
+            units = [
+                [(ci, by, bx)]
+                for by in range(-(-ch // 8))
+                for bx in range(-(-cw // 8))
+            ]
+
+        # token pass, split into restart segments
+        segments: list[list[tuple]] = [[]]
+        preds = dict.fromkeys(comp_ids, 0)
+        state = {"eobrun": 0, "pending": []}
+        since_rst = 0
+        for unit in units:
+            if restart_interval and since_rst == restart_interval:
+                _enc_flush_eobrun(state, segments[-1], 0)
+                segments.append([])
+                preds = dict.fromkeys(preds, 0)
+                since_rst = 0
+            since_rst += 1
+            for ci, by, bx in unit:
+                block = comp_blocks[ci][(by, bx)]
+                tab = comp_class[ci]
+                toks = segments[-1]
+                if ss == 0:
+                    if ah == 0:
+                        v = int(block[0]) >> al
+                        s, m = _mag_bits(v - preds[ci])
+                        preds[ci] = v
+                        toks.append(("sym", tab, s))
+                        toks.append(("bits", m, s))
+                    else:
+                        toks.append(("bits", (int(block[0]) >> al) & 1, 1))
+                elif ah == 0:
+                    _enc_ac_first(block, ss, se, al, 0, state, toks)
+                else:
+                    _enc_ac_refine(block, ss, se, al, 0, state, toks)
+        _enc_flush_eobrun(state, segments[-1], 0)
+
+        # constructed tables for the symbols this scan actually uses
+        tclass = 0 if ss == 0 else 1
+        syms: dict[int, set[int]] = {}
+        for segment in segments:
+            for tok in segment:
+                if tok[0] == "sym":
+                    syms.setdefault(tok[1], set()).add(tok[2])
+        tables = {tab: _fixed_length_table(s) for tab, s in syms.items()}
+        for tab, (bits, vals, _) in sorted(tables.items()):
+            out += seg(0xC4, bytes([(tclass << 4) | tab]) + bytes(bits) + bytes(vals))
+
+        sos = bytes([len(comp_ids)]) + b"".join(
+            struct.pack(
+                "BB",
+                ci + 1,
+                (comp_class[ci] << 4) if ss == 0 else 0,
+            )
+            for ci in comp_ids
+        ) + bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        for si, segment in enumerate(segments):
+            if si:
+                out += bytes([0xFF, 0xD0 + ((si - 1) & 7)])
+            writer = _BitWriter()
+            for tok in segment:
+                if tok[0] == "sym":
+                    code, length = tables[tok[1]][2][tok[2]]
+                    writer.write(code, length)
+                elif tok[2]:
+                    writer.write(tok[1], tok[2])
+            writer.flush()
+            out += bytes(writer.out)
     out += b"\xff\xd9"
     return bytes(out)

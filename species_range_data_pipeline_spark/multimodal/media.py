@@ -8,9 +8,9 @@ synthetic generator agree):
   FAKEAUD | uint32 sample_rate | uint32 n_samples | samples (int16 LE)
 
 Real PNG and WAV decode via the pure-struct codecs in
-``multimodal/codecs.py`` (stdlib ``zlib`` + ``struct``), real baseline
-JPEG via ``multimodal/jpeg.py`` (T.81 Huffman + DCT from the public
-spec), and real MP4 container parsing via ``multimodal/mp4.py`` (ISO
+``multimodal/codecs.py`` (stdlib ``zlib`` + ``struct``), real JPEG (baseline and
+progressive) via ``multimodal/jpeg.py`` (T.81 Huffman + DCT from the
+public spec), and real MP4 container parsing via ``multimodal/mp4.py`` (ISO
 BMFF sample tables; MJPEG tracks decode all the way to pixels) — no
 image/audio/video library needed.  MP3 audio and compressed video
 bitstream decode (H.264/HEVC/AV1) still raise ``NotImplementedError`` in
@@ -107,8 +107,8 @@ def make_media_table(spark: SparkSession, n: int = 64) -> DataFrame:
 
 
 def _decode_payload(payload: bytes) -> tuple[int, int, int, np.ndarray]:
-    """The image codec seam: FAKEIMG, real PNG, and real baseline JPEG all
-    decode; progressive JPEG gates loudly inside ``jpeg.decode_jpeg``.
+    """The image codec seam: FAKEIMG, real PNG, and real JPEG (baseline
+    and progressive) all decode via ``jpeg.decode_jpeg``.
 
     Always returns a (h, w, c) uint8 array with c >= 1 so every downstream
     feature kernel (means, aHash, resize) sees one shape regardless of

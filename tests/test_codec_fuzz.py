@@ -25,6 +25,7 @@ from species_range_data_pipeline_spark.multimodal.gif import (
 from species_range_data_pipeline_spark.multimodal.jpeg import (
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_progressive,
 )
 from species_range_data_pipeline_spark.multimodal.mp4 import (
     encode_mp4,
@@ -56,6 +57,14 @@ CASES = [
     ("bmp", lambda: encode_bmp(np.dstack([_IMG] * 3)), decode_bmp),
     ("gif", lambda: encode_gif(_IMG), decode_gif),
     ("jpeg", lambda: encode_jpeg(_IMG), decode_jpeg),
+    ("jpeg-prog", lambda: encode_jpeg_progressive(_IMG), decode_jpeg),
+    (
+        "jpeg-prog-rst",
+        lambda: encode_jpeg_progressive(
+            np.dstack([_IMG] * 3), subsampling=(2, 2), restart_interval=1
+        ),
+        decode_jpeg,
+    ),
     ("mp4", lambda: encode_mp4([b"sample"], 2, 2), extract_video_samples),
     ("png", lambda: encode_png(_IMG), decode_png),
     ("wav", lambda: encode_wav(np.zeros(16, dtype=np.int16), 8000), decode_wav),

@@ -12,6 +12,7 @@ from species_range_data_pipeline_spark.multimodal.jpeg import (
     _ZZ,
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_progressive,
 )
 
 
@@ -96,9 +97,9 @@ def test_loud_gates_and_malformed():
     gray = np.zeros((8, 8), dtype=np.uint8)
     blob = bytearray(encode_jpeg(gray))
     i = bytes(blob).find(b"\xff\xc0")
-    blob[i + 1] = 0xC2  # patch SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(bytes(blob))
+    blob[i + 1] = 0xC2  # SOF0 -> SOF2 with a baseline scan header: the
+    with pytest.raises(ValueError, match="Se=0"):  # Ss=0,Se=63 combination
+        decode_jpeg(bytes(blob))  # is illegal for a progressive DC scan
     blob[i + 1] = 0xC3  # lossless sequential
     with pytest.raises(NotImplementedError, match="non-baseline"):
         decode_jpeg(bytes(blob))
@@ -189,3 +190,101 @@ def test_real_jpeg_through_spark_operators(spark):
     hashes = {r.media_id: r.ahash for r in image_ahash(media).collect()}
     assert hashes[0] == hashes[9]  # byte-identical payloads -> same hash
     assert hashes[0] != hashes[1]  # inverted image -> different hash
+
+
+# ------------------------------------------------------------ progressive
+
+
+def test_progressive_twin_is_pixel_identical_to_baseline():
+    """Both encoders share the quantized coefficients and entropy coding
+    is lossless, so the progressive decode (10-scan libjpeg-shaped script:
+    interleaved reduced-precision DC, spectral AC bands, successive-
+    approximation refinements) must reproduce the baseline twin exactly —
+    across subsampling modes and with restart intervals inside scans."""
+    img = _smooth_rgb()
+    for kw in [
+        {},
+        {"subsampling": (2, 1)},
+        {"subsampling": (2, 2)},
+        {"restart_interval": 2},
+        {"subsampling": (2, 2), "restart_interval": 3},
+    ]:
+        blob = encode_jpeg_progressive(img, quality=90, **kw)
+        assert 0 < blob.find(b"\xff\xc2") < blob.find(b"\xff\xda")
+        w, h, c, px = decode_jpeg(blob)
+        assert (w, h, c) == (56, 40, 3)
+        base = decode_jpeg(encode_jpeg(img, quality=90, **kw))[3]
+        assert (px == base).all(), kw
+
+
+def test_progressive_grayscale_and_odd_dims():
+    yy, xx = np.mgrid[0:40, 0:56]
+    gray = ((yy * 3 + xx * 2) % 256).astype(np.uint8)
+    assert (
+        decode_jpeg(encode_jpeg_progressive(gray, quality=95))[3]
+        == decode_jpeg(encode_jpeg(gray, quality=95))[3]
+    ).all()
+    rng = np.random.RandomState(7)
+    noise = rng.randint(0, 256, (17, 13, 3), dtype=np.uint8)
+    w, h, c, px = decode_jpeg(encode_jpeg_progressive(noise, quality=100))
+    assert (w, h, c) == (13, 17, 3)
+    assert (px == decode_jpeg(encode_jpeg(noise, quality=100))[3]).all()
+
+
+def test_progressive_spectral_selection_only_script():
+    """A scan script with no successive approximation (Ah=Al=0 spectral
+    bands only) is also valid progressive; the custom-script hook drives
+    the EOB-run and band-split decoder paths without refinement scans."""
+    img = _smooth_rgb(24, 32)
+    blob = encode_jpeg_progressive(
+        img,
+        quality=92,
+        script=[
+            ((0, 1, 2), 0, 0, 0, 0),
+            ((0,), 1, 9, 0, 0),
+            ((1,), 1, 63, 0, 0),
+            ((2,), 1, 63, 0, 0),
+            ((0,), 10, 63, 0, 0),
+        ],
+    )
+    assert (
+        decode_jpeg(blob)[3] == decode_jpeg(encode_jpeg(img, quality=92))[3]
+    ).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(1, 33),
+    w=st.integers(1, 33),
+    channels=st.sampled_from([1, 3]),
+    seed=st.integers(0, 2**31 - 1),
+    subsampling=st.sampled_from([(1, 1), (2, 2)]),
+    restart=st.sampled_from([0, 2]),
+)
+def test_property_progressive_equals_baseline(
+    h, w, channels, seed, subsampling, restart
+):
+    """For ANY image the progressive twin decodes pixel-identically to the
+    baseline twin — the full-pipeline equivalence property."""
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w, channels), dtype=np.uint8)
+    if channels == 1:
+        img, subsampling = img.squeeze(-1), (1, 1)
+    kw = dict(quality=85, subsampling=subsampling, restart_interval=restart)
+    assert (
+        decode_jpeg(encode_jpeg_progressive(img, **kw))[3]
+        == decode_jpeg(encode_jpeg(img, **kw))[3]
+    ).all()
+
+
+def test_progressive_hostile_dims_fail_fast():
+    """A corrupt SOF2 declaring a huge image must be rejected before the
+    coefficient buffers are allocated (EOB runs make entropy length
+    useless as a plausibility bound, so the cap is at allocation)."""
+    import struct as _struct
+
+    blob = bytearray(encode_jpeg_progressive(np.zeros((8, 8), np.uint8)))
+    i = bytes(blob).find(b"\xff\xc2")
+    _struct.pack_into(">HH", blob, i + 5, 65500, 65500)
+    with pytest.raises(ValueError, match="blocks"):
+        decode_jpeg(bytes(blob))
