@@ -212,3 +212,57 @@ def wkb_area_km2(wkb: bytes) -> float:
             ring_area = abs(acc) * _EARTH_R_KM * _EARTH_R_KM / 2.0
             total += ring_area if k == 0 else -ring_area
     return total
+
+
+# ---------------------------------------------------------------- EWKB
+
+#: PostGIS extended-WKB flag: "a 4-byte SRID follows the geometry type"
+EWKB_SRID_FLAG = 0x20000000
+
+
+def to_ewkb(wkb: bytes, srid: int) -> bytes:
+    """WKB -> PostGIS EWKB: set the SRID flag on the top-level geometry
+    type word and splice the little-endian SRID after it (nested
+    geometries inside a MultiPolygon carry no SRID of their own, per the
+    PostGIS convention).  The Python reference twin of the JVM-side column
+    expression in ``pipeline.species.ewkb_column``."""
+    if len(wkb) < 5 or wkb[0] != 1:
+        raise ValueError("expected little-endian WKB")
+    gtype = struct.unpack_from("<I", wkb, 1)[0]
+    if gtype & EWKB_SRID_FLAG:
+        return wkb  # already EWKB
+    return (
+        b"\x01"
+        + struct.pack("<II", gtype | EWKB_SRID_FLAG, srid)
+        + wkb[5:]
+    )
+
+
+def from_ewkb(ewkb: bytes) -> tuple[int | None, bytes]:
+    """EWKB -> (srid, plain WKB); plain WKB passes through as (None, wkb)."""
+    if len(ewkb) < 5 or ewkb[0] != 1:
+        raise ValueError("expected little-endian (E)WKB")
+    gtype = struct.unpack_from("<I", ewkb, 1)[0]
+    if not gtype & EWKB_SRID_FLAG:
+        return None, ewkb
+    srid = struct.unpack_from("<I", ewkb, 5)[0]
+    return srid, b"\x01" + struct.pack("<I", gtype & ~EWKB_SRID_FLAG) + ewkb[9:]
+
+
+def to_ewkt(wkb: bytes, srid: int) -> str:
+    """WKB -> ``SRID=n;POLYGON((...))`` extended well-known text — the
+    string form PostGIS accepts in plain INSERT literals, for JDBC paths
+    where the driver can't ship bytea parameters into a geometry column."""
+    kind, polys = decode(wkb)
+
+    def fmt_ring(ring: Ring) -> str:
+        return "(" + ", ".join(f"{x:.10g} {y:.10g}" for x, y in ring) + ")"
+
+    def fmt_poly(rings: list[Ring]) -> str:
+        return "(" + ", ".join(fmt_ring(r) for r in rings) + ")"
+
+    if kind == "Polygon":
+        body = "POLYGON" + fmt_poly(polys[0])
+    else:
+        body = "MULTIPOLYGON(" + ", ".join(fmt_poly(p) for p in polys) + ")"
+    return f"SRID={srid};{body}"

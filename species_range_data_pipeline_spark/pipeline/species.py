@@ -173,12 +173,35 @@ def assign_crs(
     )
 
 
+def ewkb_column(geometry_col: str, srid: int):
+    """WKB binary column -> PostGIS EWKB, entirely with JVM-side byte
+    slicing (no Python worker in the sink path): keep the byte-order byte
+    and the low 3 type bytes, overwrite the type word's high byte with the
+    0x20 SRID flag (our WKB type codes are 3/6, so that byte is always
+    0x00), splice the little-endian SRID, append the payload.  Python
+    reference twin: ``functions.wkb.to_ewkb``."""
+    import struct as _struct
+
+    g = F.col(geometry_col)
+    return F.concat(
+        g.substr(F.lit(1), F.lit(4)),
+        F.lit(b"\x20"),
+        F.lit(_struct.pack("<I", srid)),
+        g.substr(F.lit(6), F.length(g) - 5),
+    )
+
+
 def write_speciesdata(
     df: DataFrame,
     path: str | None = None,
     jdbc_url: str | None = None,
     table: str = "speciesdata",
     batchsize: int = 1000,
+    geometry_format: str = "wkb",
+    geometry_col: str = "geometry",
+    srid: int = 4326,
+    create_table_column_types: str | None = None,
+    truncate: bool = False,
 ) -> None:
     """K1 sink: parquet native; JDBC overwrite when a URL is supplied.
 
@@ -186,16 +209,51 @@ def write_speciesdata(
     (``species_range_etl.py:236``) maps to mode("overwrite") and a sane
     batchsize (5 rows/insert at 100 TB would be a denial of service on
     your own database).
+
+    Geometry-typed targets: ``geometry_format="ewkb"`` rewrites the WKB
+    geometry column to EWKB (SRID flag + embedded SRID — what PostGIS
+    stores natively and accepts for bytea->geometry ingestion);
+    ``"ewkt"`` emits ``SRID=n;POLYGON(...)`` strings for drivers that
+    can't bind binary into a geometry column.  A PostGIS ``geometry``
+    column type cannot be declared through ``create_table_column_types``
+    (Spark parses that option as Spark SQL DDL), so the production
+    pattern is: pre-create the table once with the geometry type, then
+    write with ``truncate=True`` — overwrite empties the table with
+    TRUNCATE instead of DROP+CREATE, preserving the geometry DDL.
+    ``create_table_column_types`` remains for Spark-expressible overrides
+    (e.g. ``'species VARCHAR(64)'``).
     """
+    if geometry_format == "ewkb":
+        df = df.withColumn(geometry_col, ewkb_column(geometry_col, srid))
+    elif geometry_format == "ewkt":
+        from species_range_data_pipeline_spark.functions.wkb import to_ewkt
+
+        @F.pandas_udf("string")
+        def _ewkt(s):
+            import pandas as pd
+
+            return pd.Series(
+                [None if b is None else to_ewkt(bytes(b), srid) for b in s]
+            )
+
+        df = df.withColumn(geometry_col, _ewkt(F.col(geometry_col)))
+    elif geometry_format != "wkb":
+        raise ValueError(f"unknown geometry_format {geometry_format!r}")
     if jdbc_url:
-        (
+        writer = (
             df.write.format("jdbc")
             .mode("overwrite")
             .option("url", jdbc_url)
             .option("dbtable", table)
             .option("batchsize", str(batchsize))
-            .save()
         )
+        if create_table_column_types:
+            writer = writer.option(
+                "createTableColumnTypes", create_table_column_types
+            )
+        if truncate:
+            writer = writer.option("truncate", "true")
+        writer.save()
     elif path:
         df.write.mode("overwrite").parquet(path)
     else:

@@ -86,3 +86,95 @@ def test_jdbc_overwrite_replaces_not_appends(spark, derby_url):
         .collect()
     )
     assert [(r.sid, r.species, r.area) for r in back] == [(7, "c", 9.0)]
+
+
+def test_jdbc_ewkb_geometry_mode(spark, derby_url):
+    """geometry_format="ewkb" ships PostGIS-native EWKB bytes through the
+    JDBC writer: the JVM-side byte-splice must equal the pure-Python
+    ``to_ewkb`` twin for every row (polygon + multipolygon + NULL), and
+    the embedded SRID must round-trip.  Derby stands in for PostGIS via
+    the production geometry-typed pattern: the table is pre-created with
+    a dialect-typed geometry column (here BLOB; on a
+    real target ``geometry(MultiPolygon, 4326)``), and the writer runs
+    overwrite + truncate=True so the DDL survives the replace."""
+    from species_range_data_pipeline_spark.functions.wkb import (
+        encode_multipolygon,
+        encode_polygon,
+        from_ewkb,
+        to_ewkb,
+    )
+    from species_range_data_pipeline_spark.pipeline.species import (
+        write_speciesdata,
+    )
+
+    poly = encode_polygon([[(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 0.0)]])
+    multi = encode_multipolygon(
+        [
+            [[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0)]],
+            [[(5.0, 5.0), (6.0, 5.0), (6.0, 6.0), (5.0, 5.0)]],
+        ]
+    )
+    df = spark.createDataFrame(
+        [(0, "abies", bytearray(poly)), (1, "acer", bytearray(multi)),
+         (2, "nullgeom", None)],
+        "sid long, species string, geometry binary",
+    )
+    # pre-create the geometry-typed table, as one would on PostGIS
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(derby_url)
+    try:
+        conn.createStatement().execute(
+            'CREATE TABLE "geo_ewkb" ("sid" BIGINT, "species" VARCHAR(64), '
+            '"geometry" BLOB)'
+        )
+    finally:
+        conn.close()
+    write_speciesdata(
+        df,
+        jdbc_url=derby_url,
+        table="geo_ewkb",
+        geometry_format="ewkb",
+        srid=31370,
+        truncate=True,
+    )
+    back = {
+        r.sid: None if r.geometry is None else bytes(r.geometry)
+        for r in spark.read.format("jdbc")
+        .option("url", derby_url)
+        .option("dbtable", "geo_ewkb")
+        .load()
+        .collect()
+    }
+    assert back[0] == to_ewkb(poly, 31370)
+    assert back[1] == to_ewkb(multi, 31370)
+    assert back[2] is None
+    assert from_ewkb(back[0]) == (31370, poly)
+    assert from_ewkb(back[1]) == (31370, multi)
+
+
+def test_jdbc_ewkt_geometry_mode(spark, derby_url):
+    """geometry_format="ewkt" lands SRID=n;... strings — the literal form
+    PostGIS ingests where the driver can't bind bytea into geometry."""
+    from species_range_data_pipeline_spark.functions.wkb import encode_polygon
+    from species_range_data_pipeline_spark.pipeline.species import (
+        write_speciesdata,
+    )
+
+    poly = encode_polygon([[(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 0.0)]])
+    df = spark.createDataFrame(
+        [(0, bytearray(poly))], "sid long, geometry binary"
+    )
+    write_speciesdata(
+        df, jdbc_url=derby_url, table="geo_ewkt", geometry_format="ewkt"
+    )
+    [r] = (
+        spark.read.format("jdbc")
+        .option("url", derby_url)
+        .option("dbtable", "geo_ewkt")
+        .load()
+        .collect()
+    )
+    assert r.geometry == "SRID=4326;POLYGON((0 0, 2 0, 2 2, 0 0))"
+
+    with pytest.raises(ValueError, match="geometry_format"):
+        write_speciesdata(df, jdbc_url=derby_url, geometry_format="wkt")
