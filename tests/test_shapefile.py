@@ -245,3 +245,74 @@ def test_dissolve_output_roundtrips_through_shapefile(spark, tmp_path):
         assert wkb_area(bytes(rt.geometry)) == pytest.approx(orig.area)
         # ring-level identity, not just area
         assert decode(bytes(rt.geometry))[1] == decode(bytes(orig.geometry))[1]
+
+
+def _square(x0, y0, side, cw):
+    ring = [
+        (x0, y0), (x0 + side, y0), (x0 + side, y0 + side), (x0, y0 + side),
+        (x0, y0),
+    ]
+    return list(reversed(ring)) if cw else ring
+
+
+def test_island_in_lake_chain_groups_by_smallest_outer():
+    """outer O1 > hole H1 > island O2 > pond H2, all concentric: H1 must
+    attach to O1 and H2 to the SMALLEST containing outer (O2, not O1) —
+    the nesting case where 'any containing outer' silently over-subtracts."""
+    o1 = _square(0.0, 0.0, 16.0, cw=True)
+    h1 = _square(2.0, 2.0, 12.0, cw=False)
+    o2 = _square(4.0, 4.0, 8.0, cw=True)
+    h2 = _square(6.0, 6.0, 4.0, cw=False)
+    # hostile order: holes before their outers, island before the lake ring
+    shapes = parse_shp(_record_blob([h2, o2, h1, o1]))
+    name, polys = decode(shapes[0][1])
+    assert name == "MultiPolygon" and len(polys) == 2
+    sizes = sorted(
+        (max(x for x, _ in p[0]) - min(x for x, _ in p[0]), len(p) - 1)
+        for p in polys
+    )
+    assert sizes == [(8.0, 1), (16.0, 1)]  # each outer got exactly its hole
+    assert wkb_area(shapes[0][1]) == pytest.approx(
+        (16.0**2 - 12.0**2) + (8.0**2 - 4.0**2)
+    )
+
+
+def test_fuzzed_multi_outer_interleaved_holes_never_misattach():
+    """Adversarial corpus: random disjoint outers with 0-2 holes each, ring
+    order fully shuffled (holes can precede any outer, interleave across
+    polygons, etc.).  The expected hole->outer assignment comes from the
+    CONSTRUCTION (each hole is built strictly inside exactly one outer),
+    not from the parser's own containment code, so any mis-attachment —
+    however the shuffle lands — fails the vertex-set comparison."""
+    import random
+
+    rng = random.Random(20260814)
+    for trial in range(60):
+        n_outer = rng.randint(1, 4)
+        cells = rng.sample(range(9), n_outer)  # disjoint 3x3 macro-grid
+        outers, holes_of = [], []
+        for cell in cells:
+            gx, gy = (cell % 3) * 20.0, (cell // 3) * 20.0
+            outers.append(_square(gx, gy, 8.0, cw=True))
+            hs = []
+            for sub in rng.sample(range(4), rng.randint(0, 2)):
+                hx = gx + 1.0 + (sub % 2) * 4.0
+                hy = gy + 1.0 + (sub // 2) * 4.0
+                hs.append(_square(hx, hy, 2.0, cw=False))
+            holes_of.append(hs)
+        rings = list(outers) + [h for hs in holes_of for h in hs]
+        rng.shuffle(rings)
+        shapes = parse_shp(_record_blob(rings))
+        _, polys = decode(shapes[0][1])
+        assert len(polys) == len(outers), trial
+        got = {
+            frozenset(p[0]): {frozenset(r) for r in p[1:]} for p in polys
+        }
+        want = {
+            frozenset(o): {frozenset(h) for h in hs}
+            for o, hs in zip(outers, holes_of)
+        }
+        assert got == want, trial
+        assert wkb_area(shapes[0][1]) == pytest.approx(
+            64.0 * len(outers) - 4.0 * sum(len(h) for h in holes_of)
+        ), trial
