@@ -69,6 +69,81 @@ HEADLINE = [
 ]
 
 
+def bench_streaming_medallion(spark, sf_dir: str) -> dict:
+    """End-to-end medallion hop: events parquet --(file stream)--> bronze
+    manifest table --(manifest_stream tail)--> watermarked tumbling-window
+    aggregate --> gold (memory sink).  Returns wall seconds + events/sec
+    so the streaming stack has a tracked perf number (the pytest suite
+    checks semantics only).  Run twice, min reported, like the batch set."""
+    import shutil
+    import tempfile
+
+    from species_range_data_pipeline_spark.sources.manifest_stream import (
+        register_manifest_stream_source,
+    )
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        write_stream_manifest,
+    )
+    from species_range_data_pipeline_spark.streaming.events import (
+        read_event_stream,
+        windowed_counts,
+    )
+
+    register_manifest_stream_source(spark)
+    # the fixture is a single parquet file; the file-stream source needs a
+    # directory of arrivals — stage into 8 files (setup, untimed) so the
+    # bronze hop runs several real microbatches
+    stage = tempfile.mkdtemp(prefix="bench_medallion_events_")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_events = events.count()
+    events.repartition(8).write.mode("overwrite").parquet(f"{stage}/events")
+    runs: list[float] = []
+    windows = 0
+    for trial in range(2):
+        tmp = tempfile.mkdtemp(prefix="bench_medallion_")
+        try:
+            t0 = time.perf_counter()
+            bronze = f"{tmp}/bronze"
+            ev = read_event_stream(
+                spark, f"{stage}/events", max_files_per_trigger=4
+            )
+            q1 = write_stream_manifest(ev, bronze, f"{tmp}/ck1")
+            q1.processAllAvailable()
+            q1.stop()
+            tail = (
+                spark.readStream.format("manifest_stream")
+                .option("path", bronze)
+                .load()
+            )
+            name = f"bench_medallion_gold_{trial}"
+            q2 = (
+                windowed_counts(tail)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", f"{tmp}/ck2")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q2.awaitTermination(600)
+            windows = spark.table(name).count()
+            runs.append(time.perf_counter() - t0)
+        except Exception as e:  # must not kill the batch bench output
+            print(f"bench: streaming_medallion FAILED: {e}", file=sys.stderr)
+            shutil.rmtree(stage, ignore_errors=True)
+            return {}
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
+    wall = min(runs)
+    return {
+        "streaming_medallion_sec": round(wall, 3),
+        "streaming_medallion_cold_sec": round(runs[0], 3),
+        "streaming_events_per_sec": round(n_events / wall),
+        "streaming_gold_windows": int(windows),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -139,6 +214,7 @@ def main() -> None:
         "doc_pack_sequences", "corpus_pipeline_summary", "retrieval_rrf_fusion",
         "dedup_substring_cut", "dedup_paragraphs", "join_interval_overlap",
     }
+    streaming = bench_streaming_medallion(spark, sf_dir)
     print(
         json.dumps(
             {
@@ -153,6 +229,7 @@ def main() -> None:
                 ),
                 "queries": timings,
                 "queries_cold": cold,
+                **streaming,
                 "sf": sf,
             }
         )
