@@ -1127,6 +1127,92 @@ LIMIT 25
 """
 
 
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL:2016 LISTAGG, Spark 4 native): the
+    per-region roster of nation names, comma-joined in alphabetical order.
+    WITHIN GROUP ordering makes the result deterministic — unordered
+    listagg/string_agg is run-to-run nondeterministic under parallel
+    aggregation and would never hash-match an oracle.  Scale: partial
+    collect_list-style buffers merge per group; group count (regions) is
+    tiny while inputs stream, the shape that matters at 100 TB is bounded
+    output per group, which a roster-of-dimension-values aggregation is."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name")
+        .agg(
+            F.expr(
+                "listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)"
+            ).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+AGG_LISTAGG_ORACLE = """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+def join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): match
+    order-priority buckets where the bucket key is NULL for low-value
+    orders — NULL must match NULL, which a plain equi-join silently drops.
+    Catalyst treats ``<=>`` as an equi-join key, so this stays a hash
+    join (broadcast here; sort-merge at scale), NOT a nested loop — the
+    property that makes null-safe joins usable on large tables."""
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 100000.0, F.col("o_orderpriority"))
+        .alias("prio_bucket"),
+    )
+    buckets = keyed.groupBy(
+        F.col("prio_bucket").alias("b_bucket")
+    ).agg(F.count(F.lit(1)).alias("bucket_n"))
+    return (
+        keyed.join(
+            F.broadcast(buckets),
+            F.col("prio_bucket").eqNullSafe(F.col("b_bucket")),
+        )
+        .groupBy("prio_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max("bucket_n").alias("bucket_n"),
+        )
+        .orderBy(F.col("prio_bucket").asc_nulls_first())
+    )
+
+
+JOIN_NULLSAFE_ORACLE = """
+WITH keyed AS (
+  SELECT o_orderkey,
+         CASE WHEN o_totalprice >= 100000.0 THEN o_orderpriority END
+             AS prio_bucket
+  FROM orders
+), buckets AS (
+  SELECT prio_bucket, count(*) AS bucket_n FROM keyed GROUP BY prio_bucket
+)
+SELECT k.prio_bucket,
+       count(*) AS n_orders,
+       max(b.bucket_n) AS bucket_n
+FROM keyed k JOIN buckets b
+  ON k.prio_bucket IS NOT DISTINCT FROM b.prio_bucket
+GROUP BY k.prio_bucket
+ORDER BY k.prio_bucket ASC NULLS FIRST
+"""
+
+
 QUERIES = {
     "window_rolling_median": window_rolling_median,
     "window_anomaly_zscore": window_anomaly_zscore,
@@ -1154,6 +1240,8 @@ QUERIES = {
     "sample_hash_bucket": sample_hash_bucket,
     "ev_funnel": ev_funnel,
     "q7_nation_volume": q7_nation_volume,
+    "agg_listagg": agg_listagg,
+    "join_nullsafe": join_nullsafe,
 }
 
 ORACLES = {
@@ -1183,4 +1271,6 @@ ORACLES = {
     "sample_hash_bucket": SAMPLE_HASH_ORACLE,
     "ev_funnel": EV_FUNNEL_ORACLE,
     "q7_nation_volume": Q7_ORACLE,
+    "agg_listagg": AGG_LISTAGG_ORACLE,
+    "join_nullsafe": JOIN_NULLSAFE_ORACLE,
 }

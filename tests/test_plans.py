@@ -332,3 +332,21 @@ def test_substring_cut_three_shuffles_window_reuse(spark):
     assert hashes == 3, f"expected 3 hash exchanges, saw {hashes}\n{plan}"
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_nullsafe_join_is_hash_join_not_nested_loop(spark):
+    """eqNullSafe must compile to an EQUI hash join (Catalyst rewrites
+    <=> into coalesce+isnull hashable keys); a BroadcastNestedLoopJoin
+    here would make null-safe joins unusable on large tables."""
+    plan = _plan(spark, "join_nullsafe")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert "HashJoin" in plan, plan
+    assert "isnull" in plan and "coalesce" in plan, plan
+
+
+def test_listagg_aggregates_with_partial_merge(spark):
+    """listagg must run as a two-phase (partial_listagg before the
+    exchange) ObjectHashAggregate — map-side combine, not a collect-all
+    shuffle of raw rows."""
+    plan = _plan(spark, "agg_listagg")
+    assert "partial_listagg" in plan, plan
