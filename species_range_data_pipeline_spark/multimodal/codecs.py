@@ -5,9 +5,9 @@ formats from first principles in the same no-dependency style as
 ``pipeline/geotiff.py`` — real decoders, not stubs.  Coverage is the subset
 a training-data pipeline actually meets in bulk:
 
-* PNG: non-interlaced, bit depth 8, color types 0 (gray), 2 (RGB),
-  3 (palette), 4 (gray+alpha), 6 (RGBA).  Interlaced (Adam7) and 16-bit
-  images raise loudly — they are rare and a silent misdecode would poison
+* PNG: bit depth 8, sequential or Adam7-interlaced, color types 0
+  (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA).  16-bit images
+  raise loudly — they are rare and a silent misdecode would poison
   downstream perceptual hashes.
 * WAV: RIFF/WAVE with PCM 8-bit unsigned, PCM 16-bit signed, and IEEE
   float32 ``data`` chunks; any channel count.  Compressed codecs (ADPCM,
@@ -83,13 +83,47 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
     return out
 
 
+#: Adam7 pass geometry: (x_start, x_step, y_start, y_step) per pass
+_ADAM7 = [
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+]
+
+
+def _deinterlace_adam7(
+    raw: bytes, width: int, height: int, bpp: int
+) -> np.ndarray:
+    """Adam7: the pixel stream is seven independently-filtered sub-images
+    (reduced grids of the pass geometry), scattered back onto the full
+    canvas.  Empty passes (a dimension rounds to zero) contribute no
+    bytes, including no filter bytes."""
+    out = np.zeros((height, width, bpp), dtype=np.uint8)
+    pos = 0
+    for x0, xs, y0, ys in _ADAM7:
+        pw = (width - x0 + xs - 1) // xs
+        ph = (height - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        size = ph * (pw * bpp + 1)
+        sub = _unfilter(raw[pos : pos + size], pw, ph, bpp)
+        pos += size
+        out[y0::ys, x0::xs] = sub.reshape(ph, pw, bpp)
+    if pos != len(raw):
+        raise ValueError(
+            f"interlaced PNG pixel stream is {len(raw)} bytes; "
+            f"expected {pos}"
+        )
+    return out
+
+
 def decode_png(blob: bytes) -> tuple[int, int, int, np.ndarray]:
     """Decode a PNG -> (width, height, channels, uint8 array (h, w, c)).
 
     Palette images expand to RGB; gray+alpha and RGBA keep their alpha.
-    Raises ``ValueError`` on malformed files (zlib/struct errors from
-    truncations and bit flips normalized) and ``NotImplementedError``
-    on interlaced / 16-bit variants (loud gate, never a misdecode).
+    Adam7-interlaced files deinterlace.  Raises ``ValueError`` on
+    malformed files (zlib/struct errors from truncations and bit flips
+    normalized) and ``NotImplementedError`` on 16-bit variants (loud
+    gate, never a misdecode).
     """
     try:
         return _decode_png(blob)
@@ -123,8 +157,8 @@ def _decode_png(blob: bytes) -> tuple[int, int, int, np.ndarray]:
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if interlace != 0:
-        raise NotImplementedError("interlaced (Adam7) PNG is not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     if bit_depth != 8:
         raise NotImplementedError(f"PNG bit depth {bit_depth} is not supported (only 8)")
     if color_type not in _PNG_CHANNELS:
@@ -133,8 +167,10 @@ def _decode_png(blob: bytes) -> tuple[int, int, int, np.ndarray]:
         raise ValueError("PNG has no IDAT data")
     raw = zlib.decompress(bytes(idat))
     bpp = _PNG_CHANNELS[color_type]
-    flat = _unfilter(raw, width, height, bpp)
-    px = flat.reshape(height, width, bpp)
+    if interlace == 1:
+        px = _deinterlace_adam7(raw, width, height, bpp)
+    else:
+        px = _unfilter(raw, width, height, bpp).reshape(height, width, bpp)
     if color_type == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE chunk")
@@ -143,24 +179,37 @@ def _decode_png(blob: bytes) -> tuple[int, int, int, np.ndarray]:
     return width, height, bpp, px
 
 
-def encode_png(px: np.ndarray) -> bytes:
+def encode_png(px: np.ndarray, interlace: bool = False) -> bytes:
     """Encode a uint8 array (h, w) or (h, w, c) with c in {1,2,3,4} as PNG
-    (filter 0 scanlines, single zlib-compressed IDAT)."""
+    (filter 0 scanlines, single zlib-compressed IDAT).  ``interlace=True``
+    writes Adam7: seven filter-0 sub-images in pass order — exists so the
+    deinterlacing decode path round-trips without an external codec."""
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, c = px.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
     px = np.ascontiguousarray(px, dtype=np.uint8)
-    # prepend the filter-type-0 byte to each scanline
-    lines = np.zeros((h, w * c + 1), dtype=np.uint8)
-    lines[:, 1:] = px.reshape(h, w * c)
-    raw = zlib.compress(lines.tobytes(), 6)
+    if interlace:
+        parts = []
+        for x0, xs, y0, ys in _ADAM7:
+            sub = px[y0::ys, x0::xs]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            lines = np.zeros((sub.shape[0], sub.shape[1] * c + 1), np.uint8)
+            lines[:, 1:] = sub.reshape(sub.shape[0], -1)
+            parts.append(lines.tobytes())
+        raw = zlib.compress(b"".join(parts), 6)
+    else:
+        # prepend the filter-type-0 byte to each scanline
+        lines = np.zeros((h, w * c + 1), dtype=np.uint8)
+        lines[:, 1:] = px.reshape(h, w * c)
+        raw = zlib.compress(lines.tobytes(), 6)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
         return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
     return (
         PNG_SIGNATURE
         + chunk(b"IHDR", ihdr)

@@ -10,8 +10,8 @@ skipping (GCE transparency index is honored by substituting the
 transparent entry — downstream features want pixels, not alpha), the
 variable-width LZW stream (LSB-first bit packing, clear/EOI codes,
 12-bit cap), and a real LZW ENCODER for the round-trip tests.
-Gated: interlaced frames raise ``NotImplementedError`` (Adam-style
-four-pass reorder; the PNG lane gates its interlace the same way).
+Interlaced frames (the GIF 89a four-pass row order) deinterlace on
+decode; ``encode_gif(interlace=True)`` writes them for round-trips.
 Only the FIRST image block decodes — animation frame sampling is the
 video lane's job (``mp4.py``), not a still-image codec's.
 
@@ -110,6 +110,16 @@ def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytearray:
     return out
 
 
+def _interlace_rows(h: int) -> np.ndarray:
+    """GIF 89a four-pass interlace: the row indices in transmission order
+    (pass 1: every 8th from 0; pass 2: every 8th from 4; pass 3: every
+    4th from 2; pass 4: every 2nd from 1)."""
+    return np.concatenate([
+        np.arange(0, h, 8), np.arange(4, h, 8),
+        np.arange(2, h, 4), np.arange(1, h, 2),
+    ])
+
+
 def decode_gif(blob: bytes) -> tuple[int, int, int, np.ndarray]:
     """First frame of a GIF -> (w, h, 3, uint8 HxWx3 RGB)."""
     if blob[:6] not in GIF_SIGNATURES:
@@ -139,8 +149,7 @@ def decode_gif(blob: bytes) -> tuple[int, int, int, np.ndarray]:
                 raise ValueError("image descriptor truncated")
             _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", blob, off + 1)
             off += 10
-            if ipacked & 0x40:
-                raise NotImplementedError("interlaced GIF is not supported")
+            interlaced = bool(ipacked & 0x40)
             table = gct
             if ipacked & 0x80:
                 table, off = _read_color_table(blob, off, 2 << (ipacked & 0x07))
@@ -163,6 +172,13 @@ def decode_gif(blob: bytes) -> tuple[int, int, int, np.ndarray]:
             indices = np.frombuffer(bytes(idx[: w * h]), dtype=np.uint8)
             if int(indices.max(initial=0)) >= len(table):
                 raise ValueError("pixel index outside the color table")
+            if interlaced:
+                # four-pass row order: rows arrive 0,8,16.. / 4,12.. /
+                # 2,6.. / 1,3,5.. — scatter them back onto the canvas
+                rows = indices.reshape(h, w)
+                deint = np.empty_like(rows)
+                deint[_interlace_rows(h)] = rows
+                indices = deint.ravel()
             px = table[indices].reshape(h, w, 3).copy()
             if transparent is not None and transparent < len(table):
                 # substitute the transparent entry with white (features
@@ -215,9 +231,11 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
     return bytes(out)
 
 
-def encode_gif(gray: np.ndarray) -> bytes:
+def encode_gif(gray: np.ndarray, interlace: bool = False) -> bytes:
     """Single-frame GIF from a 2-D uint8 array via a 256-entry grayscale
-    global palette — the test-fixture twin of ``decode_gif``."""
+    global palette — the test-fixture twin of ``decode_gif``.
+    ``interlace=True`` transmits rows in the four-pass 89a order with the
+    descriptor flag set."""
     if gray.ndim != 2 or gray.dtype != np.uint8:
         raise ValueError("encode_gif wants a 2-D uint8 array")
     h, w = gray.shape
@@ -225,9 +243,10 @@ def encode_gif(gray: np.ndarray) -> bytes:
     out += struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)  # 256-entry GCT
     for i in range(256):
         out += bytes([i, i, i])
-    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0)
     out.append(8)  # LZW minimum code size
-    data = _lzw_encode(gray.reshape(-1), 8)
+    pixels = gray[_interlace_rows(h)] if interlace else gray
+    data = _lzw_encode(pixels.reshape(-1), 8)
     for i in range(0, len(data), 255):
         chunk = data[i : i + 255]
         out.append(len(chunk))

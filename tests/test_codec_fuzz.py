@@ -67,6 +67,8 @@ CASES = [
     ),
     ("mp4", lambda: encode_mp4([b"sample"], 2, 2), extract_video_samples),
     ("png", lambda: encode_png(_IMG), decode_png),
+    ("png-adam7", lambda: encode_png(np.dstack([_IMG] * 3), interlace=True), decode_png),
+    ("gif-interlace", lambda: encode_gif(_IMG, interlace=True), decode_gif),
     ("wav", lambda: encode_wav(np.zeros(16, dtype=np.int16), 8000), decode_wav),
     ("tif", lambda: encode_geotiff(_HDR, [(0, 0, 1.0)]), parse_geotiff),
     ("shp", lambda: encode_shp([[[[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0)]]]]), parse_shp),

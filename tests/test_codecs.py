@@ -113,8 +113,12 @@ def test_png_palette_expands_to_rgb():
 def test_png_loud_gates():
     px = np.zeros((2, 2, 3), dtype=np.uint8)
     raw = _forward_filter(px, [0])
-    with pytest.raises(NotImplementedError, match="interlaced"):
+    # sequential-length pixel stream under an Adam7 header: stream/pass
+    # size mismatch must be a loud ValueError, not a misdecode
+    with pytest.raises(ValueError, match="pixel stream"):
         decode_png(_build_png(2, 2, 8, 2, raw, interlace=1))
+    with pytest.raises(ValueError, match="interlace method"):
+        decode_png(_build_png(2, 2, 8, 2, raw, interlace=2))
     with pytest.raises(NotImplementedError, match="bit depth"):
         decode_png(_build_png(2, 2, 16, 2, raw))
     with pytest.raises(ValueError, match="signature"):
@@ -295,13 +299,17 @@ def test_gif_gates_and_transparency():
 
     with _pytest.raises(ValueError, match="not a GIF"):
         decode_gif(b"NOPE" + b"\x00" * 20)
-    blob = bytearray(encode_gif(np.zeros((4, 4), dtype=np.uint8)))
-    # flip the interlace bit in the image descriptor (after 13 + 768 GCT)
-    idesc = 13 + 768
+    # flipping the interlace bit on a sequential stream must decode via
+    # the four-pass scatter — rows land permuted exactly per the 89a
+    # pass order (a silent sequential read here would be a misdecode)
+    g4 = (np.arange(4, dtype=np.uint8)[:, None] * np.ones(3, np.uint8))
+    blob = bytearray(encode_gif(g4))
+    idesc = 13 + 768  # image descriptor after header + 256-entry GCT
     assert blob[idesc] == 0x2C
     blob[idesc + 9] |= 0x40
-    with _pytest.raises(NotImplementedError, match="interlaced"):
-        decode_gif(bytes(blob))
+    _, _, _, px = decode_gif(bytes(blob))
+    # transmission rows 0,1,2,3 scatter to canvas rows 0,2,1,3
+    assert [int(px[r, 0, 0]) for r in range(4)] == [0, 2, 1, 3]
 
     # GCE transparency: transparent index pixels become white
     g = np.zeros((2, 2), dtype=np.uint8)
@@ -312,3 +320,34 @@ def test_gif_gates_and_transparency():
     _, _, _, px = decode_gif(with_gce)
     assert tuple(px[0, 0]) == (255, 255, 255)
     assert tuple(px[1, 1]) == (0, 0, 0)
+
+
+def test_png_adam7_roundtrip_all_channel_counts():
+    """Adam7 interlaced PNGs deinterlace to the exact sequential pixels:
+    every channel count, sizes straddling the 8x8 pass grid (PNG is
+    lossless, so equality is exact)."""
+    rng = np.random.RandomState(11)
+    for h, w in [(1, 1), (3, 3), (7, 9), (8, 8), (17, 5), (40, 56)]:
+        for c in (1, 2, 3, 4):
+            img = rng.randint(0, 256, (h, w, c), dtype=np.uint8)
+            blob = encode_png(img, interlace=True)
+            assert blob != encode_png(img)  # genuinely different layout
+            W, H, C, px = decode_png(blob)
+            assert (W, H, C) == (w, h, c)
+            assert np.array_equal(px, img), (h, w, c)
+
+
+def test_gif_interlace_roundtrip():
+    """Four-pass interlaced GIF decodes to the same pixels as sequential."""
+    from species_range_data_pipeline_spark.multimodal.gif import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(12)
+    for h, w in [(1, 1), (2, 3), (7, 5), (8, 8), (9, 17), (33, 20)]:
+        img = rng.randint(0, 256, (h, w), dtype=np.uint8)
+        inter = decode_gif(encode_gif(img, interlace=True))[3]
+        plain = decode_gif(encode_gif(img))[3]
+        assert np.array_equal(inter, plain), (h, w)
+        assert np.array_equal(inter[:, :, 0], img)
