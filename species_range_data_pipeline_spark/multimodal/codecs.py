@@ -5,12 +5,12 @@ formats from first principles in the same no-dependency style as
 ``pipeline/geotiff.py`` — real decoders, not stubs.  Coverage is the subset
 a training-data pipeline actually meets in bulk:
 
-* PNG: bit depth 8, sequential or Adam7-interlaced, color types 0
-  (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA).  16-bit images
-  raise loudly — they are rare and a silent misdecode would poison
-  downstream perceptual hashes.
-* WAV: RIFF/WAVE with PCM 8-bit unsigned, PCM 16-bit signed, and IEEE
-  float32 ``data`` chunks; any channel count.  Compressed codecs (ADPCM,
+* PNG: bit depths 8 and 16 (16-bit reduces to the high byte),
+  sequential or Adam7-interlaced, color types 0 (gray), 2 (RGB), 3
+  (palette), 4 (gray+alpha), 6 (RGBA).  Sub-byte depths raise loudly —
+  a silent misdecode would poison downstream perceptual hashes.
+* WAV: RIFF/WAVE with PCM 8-bit unsigned, 16-bit signed, 24-bit signed,
+  and IEEE float32 ``data`` chunks; any channel count.  Compressed codecs (ADPCM,
   MP3-in-WAV) raise loudly.
 
 Reference parity note: the reference ETL never touches raster imagery
@@ -120,10 +120,11 @@ def decode_png(blob: bytes) -> tuple[int, int, int, np.ndarray]:
     """Decode a PNG -> (width, height, channels, uint8 array (h, w, c)).
 
     Palette images expand to RGB; gray+alpha and RGBA keep their alpha.
-    Adam7-interlaced files deinterlace.  Raises ``ValueError`` on
-    malformed files (zlib/struct errors from truncations and bit flips
-    normalized) and ``NotImplementedError`` on 16-bit variants (loud
-    gate, never a misdecode).
+    Adam7-interlaced files deinterlace; 16-bit samples reduce to their
+    high byte.  Raises ``ValueError`` on malformed files (zlib/struct
+    errors from truncations and bit flips normalized) and
+    ``NotImplementedError`` on sub-byte depths (loud gate, never a
+    misdecode).
     """
     try:
         return _decode_png(blob)
@@ -159,18 +160,31 @@ def _decode_png(blob: bytes) -> tuple[int, int, int, np.ndarray]:
         raise ValueError("PNG missing IHDR")
     if interlace not in (0, 1):
         raise ValueError(f"invalid PNG interlace method {interlace}")
-    if bit_depth != 8:
-        raise NotImplementedError(f"PNG bit depth {bit_depth} is not supported (only 8)")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"invalid PNG color type {color_type}")
+    nch = _PNG_CHANNELS[color_type]
+    if bit_depth == 8:
+        bpp = nch
+    elif bit_depth == 16:
+        if color_type == 3:
+            raise ValueError("16-bit palette PNG is not a legal combination")
+        # filtering is bytewise with bpp = bytes-per-pixel; samples are
+        # big-endian uint16, reduced to 8-bit by keeping the high byte
+        bpp = nch * 2
+    else:
+        raise NotImplementedError(
+            f"PNG bit depth {bit_depth} is not supported (only 8/16)"
+        )
     if not idat:
         raise ValueError("PNG has no IDAT data")
     raw = zlib.decompress(bytes(idat))
-    bpp = _PNG_CHANNELS[color_type]
     if interlace == 1:
         px = _deinterlace_adam7(raw, width, height, bpp)
     else:
         px = _unfilter(raw, width, height, bpp).reshape(height, width, bpp)
+    if bit_depth == 16:
+        px = np.ascontiguousarray(px[:, :, 0::2])
+        bpp = nch
     if color_type == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE chunk")
@@ -222,8 +236,8 @@ def decode_wav(blob: bytes) -> tuple[int, int, np.ndarray]:
     """Decode RIFF/WAVE -> (sample_rate, n_channels, int16 array
     (n_frames, n_channels)).
 
-    8-bit unsigned PCM recenters to int16 (``(x-128) << 8``); float32
-    clips to [-1, 1] and scales to int16 — both keep downstream RMS/peak
+    8-bit unsigned PCM recenters to int16 (``(x-128) << 8``); 24-bit
+    keeps its top 16 bits; float32 clips to [-1, 1] and scales to int16 — both keep downstream RMS/peak
     features on one scale.  Non-PCM codecs raise ``NotImplementedError``;
     malformed files raise ``ValueError`` (struct errors normalized).
     """
@@ -256,13 +270,21 @@ def _decode_wav(blob: bytes) -> tuple[int, int, np.ndarray]:
         samples = np.frombuffer(data, dtype="<i2")
     elif audio_format == 1 and bits == 8:
         samples = ((np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) << 8)
+    elif audio_format == 1 and bits == 24:
+        # 3-byte little-endian signed PCM (the studio-master depth):
+        # reassemble into int32 then keep the top 16 bits — one scale for
+        # every depth keeps downstream RMS/peak features comparable
+        b = np.frombuffer(data[: len(data) - len(data) % 3], dtype=np.uint8)
+        b = b.reshape(-1, 3).astype(np.int32)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        samples = ((v - ((v & 0x800000) << 1)) >> 8).astype(np.int16)
     elif audio_format == 3 and bits == 32:
         f = np.clip(np.frombuffer(data, dtype="<f4"), -1.0, 1.0)
         samples = (f * 32767.0).astype(np.int16)
     else:
         raise NotImplementedError(
             f"WAV format {audio_format} / {bits}-bit is not supported "
-            "(PCM 8/16-bit and float32 only)"
+            "(PCM 8/16/24-bit and float32 only)"
         )
     if n_channels < 1:
         raise ValueError("WAV with zero channels")

@@ -120,7 +120,7 @@ def test_png_loud_gates():
     with pytest.raises(ValueError, match="interlace method"):
         decode_png(_build_png(2, 2, 8, 2, raw, interlace=2))
     with pytest.raises(NotImplementedError, match="bit depth"):
-        decode_png(_build_png(2, 2, 16, 2, raw))
+        decode_png(_build_png(2, 2, 4, 0, raw))  # sub-byte depths stay gated
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"not a png at all")
     with pytest.raises(ValueError, match="pixel stream"):
@@ -351,3 +351,52 @@ def test_gif_interlace_roundtrip():
         plain = decode_gif(encode_gif(img))[3]
         assert np.array_equal(inter, plain), (h, w)
         assert np.array_equal(inter[:, :, 0], img)
+
+
+def test_png_16bit_decodes_high_bytes():
+    """16-bit samples (big-endian, bytewise filtering at 2 bytes/channel)
+    reduce to 8-bit by keeping the high byte — sequential AND Adam7."""
+    rng = np.random.RandomState(16)
+    for color_type, nch in [(0, 1), (2, 3), (6, 4)]:
+        v16 = rng.randint(0, 65536, (6, 5, nch), dtype=np.uint16)
+        be = v16.astype(">u2").tobytes()
+        rows = np.frombuffer(be, np.uint8).reshape(6, 5 * nch * 2)
+        raw = b"".join(b"\x00" + r.tobytes() for r in rows)
+        w, h, c, got = decode_png(_build_png(5, 6, 16, color_type, raw))
+        assert (w, h, c) == (5, 6, nch)
+        assert np.array_equal(got, (v16 >> 8).astype(np.uint8))
+    # 16-bit + Adam7 together: pack each pass of the gray image
+    v16 = rng.randint(0, 65536, (9, 7), dtype=np.uint16)
+    from species_range_data_pipeline_spark.multimodal.codecs import _ADAM7
+
+    parts = []
+    for x0, xs, y0, ys in _ADAM7:
+        sub = v16[y0::ys, x0::xs]
+        if sub.size == 0:
+            continue
+        rows = np.frombuffer(sub.astype(">u2").tobytes(), np.uint8).reshape(
+            sub.shape[0], sub.shape[1] * 2
+        )
+        parts.append(b"".join(b"\x00" + r.tobytes() for r in rows))
+    blob = _build_png(7, 9, 16, 0, b"".join(parts), interlace=1)
+    w, h, c, got = decode_png(blob)
+    assert (w, h, c) == (7, 9, 1)
+    assert np.array_equal(got[:, :, 0], (v16 >> 8).astype(np.uint8))
+
+
+def test_wav_24bit_pcm():
+    """24-bit PCM reassembles 3-byte LE signed samples and keeps the top
+    16 bits — full-scale positive/negative/zero land exactly."""
+    vals = [0x000000, 0x7FFFFF, 0x800000, 0xFFFFFF, 0x123456, 0xABCDEF]
+    body = b"".join(v.to_bytes(3, "little") for v in vals)
+    rate, nch, got = decode_wav(_build_wav(1, 1, 48000, 24, body))
+    assert (rate, nch) == (48000, 1)
+
+    def want(v):
+        s = v - (1 << 24) if v & 0x800000 else v
+        return s >> 8
+
+    assert got[:, 0].tolist() == [want(v) for v in vals]
+    # stereo framing
+    rate, nch, got = decode_wav(_build_wav(1, 2, 44100, 24, body))
+    assert (rate, nch) == (44100, 2) and got.shape == (3, 2)
