@@ -898,12 +898,20 @@ _UPSERT_BLOOM_KEY_CAP = 100_000
 
 
 def upsert_into(
-    spark: SparkSession, path: str, source: DataFrame, key_col: str
+    spark: SparkSession, path: str, source: DataFrame, key_col: str,
+    schema_evolution: bool = False,
 ) -> tuple[int, int, int]:
     """Copy-on-write MERGE: rows of ``source`` replace same-key rows in
     the table (update) or join it (insert) — the key-based sibling of
     ``delete_where``.  Returns (new_version, files_rewritten,
     files_carried).
+
+    Source columns the table lacks REFUSE by default (a typo'd CDC field
+    silently vanishing is how lakes rot); ``schema_evolution=True``
+    evolves the committed schema instead — the union rules of the append
+    path (new columns nullable, type conflicts still refuse), with
+    untouched files carried verbatim and read as NULL for the new
+    columns, exactly like post-ADD-COLUMN reads.
 
     File pruning is index-driven and always conservative: a live file is
     rewritten only if its zone range for ``key_col`` overlaps the
@@ -927,7 +935,24 @@ def upsert_into(
     if key_col not in schema.names or key_col not in source.columns:
         raise ValueError(f"key column {key_col!r} must exist on both sides")
     # same type-drift refusal as the append path (raises on conflict)
-    _merge_schema_json(meta["schema"], source.schema)
+    evolved_json = _merge_schema_json(meta["schema"], source.schema)
+    extra = [c for c in source.columns if c not in schema.names]
+    if extra:
+        if not schema_evolution:
+            raise ValueError(
+                f"source adds columns {extra} the table lacks; pass "
+                "schema_evolution=True to evolve the schema (refusing to "
+                "silently drop them)"
+            )
+        schema = StructType.fromJson(json.loads(evolved_json))
+        meta = {**meta, "schema": evolved_json}
+    missing = [c for c in schema.names if c not in source.columns]
+    if missing:
+        raise ValueError(
+            f"source lacks table columns {missing}: MERGE replaces whole "
+            "rows, so a partial batch would silently NULL them — ship the "
+            "full row set"
+        )
     # materialize once: bounds, bloom probes, and the final write must all
     # see the SAME rows even for a non-deterministic source
     src = source.select(*schema.names).localCheckpoint()

@@ -1681,3 +1681,56 @@ def test_restore_refuses_vacuumed_version(spark, tmp_path):
     assert got == list(range(10, 20))
     with _pytest.raises(Exception):  # v0 manifest itself was dropped
         mt.restore_table(path, 0)
+
+
+def test_manifest_upsert_schema_evolution(spark, tmp_path):
+    """MERGE with new source columns: refuses by default (a typo'd CDC
+    field must not vanish silently), evolves the committed schema with
+    schema_evolution=True — carried files read the new column as NULL,
+    rewritten rows carry it, time travel still shows the old schema, and
+    a partial (missing-column) batch refuses either way."""
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        read_manifest_table,
+        table_schema,
+        upsert_into,
+        write_manifest_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    # two files so the zone-disjoint one is carried, not rewritten
+    write_manifest_table(
+        spark.range(0, 50).selectExpr("id", "concat('v0-', id) AS payload").coalesce(1),
+        path,
+    )
+    write_manifest_table(
+        spark.range(50, 100).selectExpr("id", "concat('v0-', id) AS payload").coalesce(1),
+        path,
+    )
+    src = spark.createDataFrame(
+        [(7, "v1-7", "eu"), (120, "v1-120", "us")],
+        "id long, payload string, region string",
+    )
+    with pytest.raises(ValueError, match="schema_evolution"):
+        upsert_into(spark, path, src, "id")
+
+    version, rewritten, carried = upsert_into(
+        spark, path, src, "id", schema_evolution=True
+    )
+    # key 120 widens the source [min,max] interval over both zones, so
+    # both files rewrite (interval pruning is deliberately coarse)
+    assert rewritten + carried == 2
+    assert table_schema(path).names == ["id", "payload", "region"]
+    got = {r.id: (r.payload, r.region) for r in read_manifest_table(spark, path).collect()}
+    assert len(got) == 101
+    assert got[7] == ("v1-7", "eu")  # updated row carries the new column
+    assert got[120] == ("v1-120", "us")  # inserted row
+    assert got[8] == ("v0-8", None)  # rewritten survivor: NULL new column
+    assert got[60] == ("v0-60", None)  # pre-evolution row: NULL via schema read
+    # time travel: the pre-merge version still has the 2-column schema
+    assert table_schema(path, version - 1).names == ["id", "payload"]
+    assert "region" not in read_manifest_table(spark, path, version=version - 1).columns
+
+    # partial batch refuses (would silently NULL out payload)
+    partial = spark.createDataFrame([(7, "xx")], "id long, region string")
+    with pytest.raises(ValueError, match="lacks table columns"):
+        upsert_into(spark, path, partial, "id", schema_evolution=True)
