@@ -1592,6 +1592,7 @@ def write_stream_upsert(
     key_col: str,
     checkpoint_dir: str,
     order_col: str | None = None,
+    schema_evolution: bool = False,
 ):
     """Streaming CDC sink: each microbatch MERGEs into the manifest table
     (``upsert_into``) instead of appending — the foreachBatch upsert
@@ -1609,6 +1610,10 @@ def write_stream_upsert(
     backwards.  Replay safety follows: re-upserting any already-applied
     batch finds nothing newer to write (effectively-once state,
     at-least-once versions; compaction/vacuum fold the extras).
+
+    ``schema_evolution=True`` forwards to the per-batch MERGE, so a CDC
+    feed that starts shipping a new field evolves the table mid-stream
+    instead of failing the query.
     """
     from pyspark.sql import functions as F
 
@@ -1658,7 +1663,7 @@ def write_stream_upsert(
             )
         if b.isEmpty():
             return
-        upsert_into(spark, path, b, key_col)
+        upsert_into(spark, path, b, key_col, schema_evolution=schema_evolution)
 
     return (
         query_df.writeStream.foreachBatch(commit)
