@@ -687,73 +687,7 @@ ORDER BY 1, 2
 """
 
 
-_PROFILE_COLS = [
-    ("o_orderkey", "num"),
-    ("o_totalprice", "num"),
-    ("o_orderpriority", "str"),
-    ("o_orderstatus", "str"),
-]
-
-
-def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANALYZE-style column profile (the dataset-card statistics every
-    ingestion pipeline publishes): per column, non-null count, exact
-    distinct count, and min/max — numeric and string lanes kept in
-    separate typed columns so one long schema serves every source type.
-
-    ONE scan computes every aggregate (a single wide ``agg``; Catalyst
-    plans count_distinct via Expand, still one pass over the data), then
-    the 1-row wide result unpivots driver-side via ``stack`` — at 100 TB
-    the cost is the single scan, never one job per column."""
-    orders = load_table(spark, sf_dir, "orders")
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c, kind in _PROFILE_COLS:
-        aggs += [
-            F.count(c).alias(f"n_{c}"),
-            F.count_distinct(F.col(c)).alias(f"d_{c}"),
-            F.min(c).alias(f"lo_{c}"),
-            F.max(c).alias(f"hi_{c}"),
-        ]
-    wide = orders.agg(*aggs)
-    parts = []
-    for c, kind in _PROFILE_COLS:
-        if kind == "num":
-            parts.append(
-                f"'{c}', n_{c}, d_{c}, cast(lo_{c} as double), "
-                f"cast(hi_{c} as double), cast(null as string), "
-                f"cast(null as string)"
-            )
-        else:
-            parts.append(
-                f"'{c}', n_{c}, d_{c}, cast(null as double), "
-                f"cast(null as double), cast(lo_{c} as string), "
-                f"cast(hi_{c} as string)"
-            )
-    stack = (
-        f"stack({len(_PROFILE_COLS)}, {', '.join(parts)}) AS "
-        "(col_name, n_nonnull, n_distinct, min_num, max_num, min_str, max_str)"
-    )
-    return wide.selectExpr("n_rows", stack).select(
-        "col_name", "n_rows", "n_nonnull", "n_distinct",
-        "min_num", "max_num", "min_str", "max_str",
-    ).orderBy("col_name")
-
-
-TABLE_PROFILE_ORACLE = " UNION ALL ".join(
-    f"""
-SELECT '{c}' AS col_name, (SELECT count(*) FROM orders) AS n_rows,
-       count({c}) AS n_nonnull, count(DISTINCT {c}) AS n_distinct,
-       {f"CAST(min({c}) AS DOUBLE)" if kind == "num" else "CAST(NULL AS DOUBLE)"} AS min_num,
-       {f"CAST(max({c}) AS DOUBLE)" if kind == "num" else "CAST(NULL AS DOUBLE)"} AS max_num,
-       {f"CAST(min({c}) AS VARCHAR)" if kind == "str" else "CAST(NULL AS VARCHAR)"} AS min_str,
-       {f"CAST(max({c}) AS VARCHAR)" if kind == "str" else "CAST(NULL AS VARCHAR)"} AS max_str
-FROM orders"""
-    for c, kind in _PROFILE_COLS
-) + " ORDER BY col_name"
-
-
 QUERIES = {
-    "table_profile": table_profile,
     "ab_test_conversion": ab_test_conversion,
     "cdf_row_changes": cdf_row_changes,
     "sketch_cms_brand_counts": sketch_cms_brand_counts,
@@ -771,7 +705,6 @@ QUERIES = {
 }
 
 ORACLES = {
-    "table_profile": TABLE_PROFILE_ORACLE,
     "ab_test_conversion": AB_TEST_ORACLE,
     "cdf_row_changes": CDF_ROW_CHANGES_ORACLE,
     "agg_entropy_gini": AGG_ENTROPY_GINI_ORACLE,
