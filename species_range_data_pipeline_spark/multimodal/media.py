@@ -145,10 +145,13 @@ def _decode_audio(payload: bytes) -> tuple[int, int, np.ndarray]:
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         rate, _n_channels, frames = codecs.decode_wav(payload)
         return rate, frames.shape[0], frames
-    if payload[:3] == b"ID3" or payload[:2] in (b"\xff\xfb", b"\xff\xf3"):
+    if payload[:3] == b"ID3" or (
+        len(payload) > 1 and payload[0] == 0xFF and payload[1] & 0xE0 == 0xE0
+    ):
         raise NotImplementedError(
-            "MP3 needs a real codec this container doesn't ship; "
-            "plug one in here (WAV decodes for real via multimodal/codecs.py)"
+            "MP3 SAMPLE decode needs a real codec this container doesn't "
+            "ship (header-level metadata works via audio_metadata / "
+            "multimodal/mp3.py; WAV decodes for real via codecs.py)"
         )
     raise ValueError("unrecognized audio payload (not FAKEAUD/WAV/MP3)")
 
@@ -327,6 +330,97 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
         media.where(F.col("kind") == "audio")
         .select("media_id", "payload")
         .mapInPandas(fn, AUDIO_FEATURES_SCHEMA)
+    )
+
+
+AUDIO_METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("bitrate_kbps", T.DoubleType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def _audio_metadata(payload: bytes) -> dict:
+    """Header-only audio metadata — the curation-stats lane that works
+    even where SAMPLE decode gates (MP3): FAKEAUD / WAV headers are
+    arithmetic; MP3 goes through the frame-header walker in ``mp3.py``.
+    Never materializes samples."""
+    if payload[:7] == b"FAKEAUD":
+        rate, n = struct.unpack_from("<II", payload, 7)
+        return {
+            "container": "fakeaud", "sample_rate": int(rate), "channels": 1,
+            "duration_s": round(n / rate, 3) if rate else 0.0,
+            "bitrate_kbps": round(rate * 16 / 1000, 1),
+        }
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        pos, fmt, data_len = 12, None, None
+        while pos + 8 <= len(payload):
+            ctype, length = struct.unpack_from("<4sI", payload, pos)
+            if ctype == b"fmt ":
+                fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+            elif ctype == b"data":
+                data_len = length
+            pos += 8 + length + (length & 1)
+        if fmt is None or data_len is None:
+            raise ValueError("WAV missing fmt/data chunk")
+        _, nch, rate, byte_rate, block_align, _ = fmt
+        if nch < 1 or block_align < 1 or rate < 1:
+            raise ValueError("WAV header with zero channels/rate")
+        return {
+            "container": "wav", "sample_rate": int(rate), "channels": int(nch),
+            "duration_s": round(data_len / block_align / rate, 3),
+            "bitrate_kbps": round(byte_rate * 8 / 1000, 1),
+        }
+    if payload[:3] == b"ID3" or (
+        len(payload) > 1 and payload[0] == 0xFF and payload[1] & 0xE0 == 0xE0
+    ):
+        from species_range_data_pipeline_spark.multimodal import mp3
+
+        m = mp3.parse_mp3_metadata(payload)
+        return {
+            "container": "mp3", "sample_rate": m["sample_rate"],
+            "channels": m["channels"], "duration_s": m["duration_s"],
+            "bitrate_kbps": m["bitrate_kbps"],
+        }
+    raise ValueError("unrecognized audio payload (not FAKEAUD/WAV/MP3)")
+
+
+def audio_metadata(media: DataFrame) -> DataFrame:
+    """Duration / rate / channels / bitrate per audio payload from
+    HEADERS only (no sample decode, so MP3 works here even though
+    ``extract_audio_features`` gates on it).  Same mapInPandas +
+    error-side-channel shape as every media operator."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    out.append(
+                        {"media_id": mid, **_audio_metadata(bytes(payload)),
+                         "error": None}
+                    )
+                except Exception as exc:
+                    out.append(
+                        {"media_id": mid, "container": None,
+                         "sample_rate": None, "channels": None,
+                         "duration_s": None, "bitrate_kbps": None,
+                         "error": f"{type(exc).__name__}: {exc}"}
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_METADATA_SCHEMA.fields]
+            )
+
+    return (
+        media.where(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(fn, AUDIO_METADATA_SCHEMA)
     )
 
 

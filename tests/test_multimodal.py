@@ -216,3 +216,78 @@ def test_image_ahash_deterministic_and_dedups(spark):
     )
     got = {r.media_id: r.ahash for r in image_ahash(dup).collect()}
     assert got[0] == got[1] != got[2]
+
+
+def test_audio_metadata_header_only_lane(spark):
+    """audio_metadata reads headers only: FAKEAUD/WAV report exact
+    duration math, MP3 works THROUGH the lane (sample decode still
+    gates in extract_audio_features), garbage routes to the error
+    column."""
+    import numpy as np
+
+    from species_range_data_pipeline_spark.multimodal.codecs import encode_wav
+    from species_range_data_pipeline_spark.multimodal.media import (
+        MEDIA_SCHEMA,
+        audio_metadata,
+        encode_fake_audio,
+        extract_audio_features,
+    )
+    from species_range_data_pipeline_spark.multimodal.mp3 import (
+        encode_mp3_frames,
+    )
+
+    wav = encode_wav(np.zeros(32000, dtype=np.int16), 16000)
+    mp3_cbr = encode_mp3_frames(100, bitrate_kbps=128, sample_rate=44100)
+    mp3_xing = encode_mp3_frames(3, xing_frames=500, id3=b"\x00" * 64)
+    media = spark.createDataFrame(
+        [
+            (0, "audio", encode_fake_audio(16000, 8000, seed=1), "fakeaud"),
+            (1, "audio", wav, "wav"),
+            (2, "audio", mp3_cbr, "mp3"),
+            (3, "audio", mp3_xing, "mp3"),
+            (4, "audio", b"\x00garbage\x00" * 8, "???"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    got = {r.media_id: r for r in audio_metadata(media).collect()}
+    assert got[0].container == "fakeaud" and got[0].duration_s == 0.5
+    assert got[1].container == "wav" and got[1].duration_s == 2.0
+    assert got[1].sample_rate == 16000 and got[1].bitrate_kbps == 256.0
+    assert got[2].container == "mp3" and got[2].sample_rate == 44100
+    assert abs(got[2].duration_s - 100 * 1152 / 44100) < 0.01
+    assert abs(got[2].bitrate_kbps - 128) < 2
+    assert got[3].duration_s == round(500 * 1152 / 44100, 3)  # Xing count
+    assert got[4].error is not None
+
+    # the SAMPLE lane still gates MP3 loudly — metadata is the softening
+    feats = {r.media_id: r for r in extract_audio_features(media).collect()}
+    assert feats[2].error is not None and "NotImplementedError" in feats[2].error
+    assert feats[1].error is None
+
+
+def test_mp3_metadata_hostile_inputs():
+    """Truncations/bitflips of valid MP3 streams raise ValueError or
+    parse — never hang or another exception type (frame walk always
+    advances; frame count capped)."""
+    import random
+
+    from species_range_data_pipeline_spark.multimodal.mp3 import (
+        encode_mp3_frames,
+        parse_mp3_metadata,
+    )
+
+    blob = encode_mp3_frames(20, id3=b"\x00" * 40, xing_frames=None)
+    rng = random.Random(77)
+    for _ in range(150):
+        trunc = blob[: rng.randrange(len(blob))]
+        try:
+            parse_mp3_metadata(trunc)
+        except ValueError:
+            pass
+        flipped = bytearray(blob)
+        for _ in range(rng.randrange(1, 6)):
+            flipped[rng.randrange(len(flipped))] = rng.randrange(256)
+        try:
+            parse_mp3_metadata(bytes(flipped))
+        except ValueError:
+            pass
