@@ -175,15 +175,19 @@ def main() -> None:
         if fn is None:
             continue
         runs: list[float] = []
+        failed = False
         for _ in range(2):
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             except Exception as e:  # one broken query must not kill the run
                 print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+                failed = True
                 break
             runs.append(time.perf_counter() - t0)
-        if not runs:
+        if failed or not runs:
+            # a query that errored on EITHER pass is dropped, never
+            # published with a healthy-looking number from the other pass
             continue
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)

@@ -247,16 +247,24 @@ def decode_wav(blob: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError(f"malformed WAV: {exc}") from exc
 
 
+def riff_chunks(blob: bytes):
+    """Yield (chunk_type, body) for each RIFF sub-chunk after the 12-byte
+    RIFF/WAVE header, honoring the word-alignment padding rule.  Shared
+    by the sample decoder here and the header-only metadata lane in
+    ``media._audio_metadata`` so the walk exists exactly once."""
+    pos = 12
+    while pos + 8 <= len(blob):
+        ctype, length = struct.unpack_from("<4sI", blob, pos)
+        yield ctype, blob[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+
+
 def _decode_wav(blob: bytes) -> tuple[int, int, np.ndarray]:
     if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         raise ValueError("not a WAV: bad RIFF/WAVE header")
-    pos = 12
     fmt = None
     data = None
-    while pos + 8 <= len(blob):
-        ctype, length = struct.unpack_from("<4sI", blob, pos)
-        body = blob[pos + 8 : pos + 8 + length]
-        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    for ctype, body in riff_chunks(blob):
         if ctype == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif ctype == b"data":

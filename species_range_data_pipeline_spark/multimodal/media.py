@@ -359,14 +359,12 @@ def _audio_metadata(payload: bytes) -> dict:
             "bitrate_kbps": round(rate * 16 / 1000, 1),
         }
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        pos, fmt, data_len = 12, None, None
-        while pos + 8 <= len(payload):
-            ctype, length = struct.unpack_from("<4sI", payload, pos)
+        fmt, data_len = None, None
+        for ctype, body in codecs.riff_chunks(payload):
             if ctype == b"fmt ":
-                fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+                fmt = struct.unpack_from("<HHIIHH", body, 0)
             elif ctype == b"data":
-                data_len = length
-            pos += 8 + length + (length & 1)
+                data_len = len(body)
         if fmt is None or data_len is None:
             raise ValueError("WAV missing fmt/data chunk")
         _, nch, rate, byte_rate, block_align, _ = fmt

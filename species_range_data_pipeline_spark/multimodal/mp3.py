@@ -113,9 +113,19 @@ def parse_mp3_metadata(blob: bytes) -> dict:
 
     Duration comes from the Xing/Info/VBRI frame count when present
     (the only correct answer for VBR); otherwise from walking every
-    frame header (exact for CBR, exact-by-enumeration for unheadered
-    VBR).  ``bitrate_kbps`` is the stream average.
+    COMPLETE frame header (exact for CBR, exact-by-enumeration for
+    unheadered VBR; a final frame truncated mid-body does not count).
+    ``bitrate_kbps`` is the stream average.
     """
+    try:
+        return _parse_mp3_metadata(blob)
+    except (struct.error, IndexError) as exc:
+        # truncation inside a Xing/VBRI tag or frame header: the
+        # hostile-input contract is ValueError, same as every codec
+        raise ValueError(f"malformed MP3: {exc}") from exc
+
+
+def _parse_mp3_metadata(blob: bytes) -> dict:
     skip = _id3v2_size(blob)
     pos = skip
     # resync: tolerate junk between the tag and the first frame, bounded
@@ -139,8 +149,8 @@ def parse_mp3_metadata(blob: bytes) -> dict:
         audio_start = pos
         while pos + 4 <= len(blob) and n_frames < _MAX_FRAMES:
             fr = _parse_frame_header(blob, pos)
-            if fr is None:
-                break  # trailing tag (ID3v1/APE) or truncation: stop
+            if fr is None or pos + fr[0] > len(blob):
+                break  # trailing tag (ID3v1/APE) or truncated final frame
             n_frames += 1
             bitrates.add(fr[3])
             pos += fr[0]

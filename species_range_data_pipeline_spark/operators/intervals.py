@@ -59,17 +59,32 @@ def _binned(df: DataFrame, start: str, end: str, bin_size: int, tag: str) -> Dat
     )
 
 
-def auto_bin_size(left: DataFrame, start: str, end: str) -> int:
-    """One bounded aggregate: p90 interval length (in day-units) as the
-    bin width — most intervals then span <= 2 bins.  Driver holds one row."""
+def _p90_len(df: DataFrame, start: str, end: str) -> int:
     row = (
-        left.select(
-            (_day_number(left, end) - _day_number(left, start)).alias("len")
-        )
+        df.select((_day_number(df, end) - _day_number(df, start)).alias("len"))
         .agg(F.expr("approx_percentile(len, 0.9)").alias("p90"))
         .first()
     )
-    return max(1, int(row["p90"] or 0) + 1)
+    return int(row["p90"] or 0)
+
+
+def auto_bin_size(
+    left: DataFrame,
+    start: str,
+    end: str,
+    right: DataFrame | None = None,
+    right_span: tuple[str, str] | None = None,
+) -> int:
+    """Bin width from the p90 interval length of BOTH sides (two bounded
+    aggregates; driver holds one row each) — most intervals then span
+    <= 2 bins.  Sizing from one side alone is a trap: point-like left
+    intervals (p90 0 -> bin 1) against year-long right intervals would
+    explode every right row into ~365 bin rows, the exact fan-out this
+    operator exists to bound."""
+    p90 = _p90_len(left, start, end)
+    if right is not None and right_span is not None:
+        p90 = max(p90, _p90_len(right, *right_span))
+    return max(1, p90 + 1)
 
 
 def interval_join(
@@ -96,8 +111,17 @@ def interval_join(
     """
     ls, le = left_span
     rs, re_ = right_span
+    clash = [
+        c for c in (*left.columns, *right.columns) if c.startswith("__iv")
+    ]
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(set(clash))} collide with the "
+            "operator's reserved '__iv' prefix — rename them first "
+            "(they would be silently dropped from the output otherwise)"
+        )
     if bin_size is None:
-        bin_size = auto_bin_size(left, ls, le)
+        bin_size = auto_bin_size(left, ls, le, right, right_span)
     if bin_size < 1:
         raise ValueError(f"bin_size must be >= 1, got {bin_size}")
 

@@ -114,3 +114,35 @@ def test_operator_plan_is_equi_join(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_reserved_prefix_collision_raises(spark):
+    """Caller columns under the operator's __iv prefix refuse instead of
+    silently vanishing from the output."""
+    import pytest as _pytest
+
+    from species_range_data_pipeline_spark.operators.intervals import (
+        interval_join,
+    )
+
+    left = spark.createDataFrame([(1, 5, "x")], "s int, e int, __iv_cache string")
+    right = spark.createDataFrame([(2, 6)], "s2 int, e2 int")
+    with _pytest.raises(ValueError, match="__iv"):
+        interval_join(left, right, ("s", "e"), ("s2", "e2"), bin_size=4)
+
+
+def test_auto_bin_size_considers_both_sides(spark):
+    """Point-like left intervals must not pick bin_size 1 when the right
+    side holds year-long spans (the ~365-rows-per-right-row explosion)."""
+    from species_range_data_pipeline_spark.operators.intervals import (
+        auto_bin_size,
+    )
+
+    left = spark.createDataFrame(
+        [(d, d) for d in range(0, 50)], "s int, e int"
+    )
+    right = spark.createDataFrame(
+        [(d, d + 365) for d in range(0, 1000, 100)], "s int, e int"
+    )
+    assert auto_bin_size(left, "s", "e") == 1  # left alone: points
+    assert auto_bin_size(left, "s", "e", right, ("s", "e")) >= 300

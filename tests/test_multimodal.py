@@ -291,3 +291,27 @@ def test_mp3_metadata_hostile_inputs():
             parse_mp3_metadata(bytes(flipped))
         except ValueError:
             pass
+
+
+def test_mp3_truncation_contract_fixes():
+    """Review regressions: truncation inside the Xing tag is ValueError
+    (not struct.error), and a final frame cut mid-body is NOT counted
+    toward duration/bitrate."""
+    import pytest as _pytest
+
+    from species_range_data_pipeline_spark.multimodal.mp3 import (
+        encode_mp3_frames,
+        parse_mp3_metadata,
+    )
+
+    xing = encode_mp3_frames(3, xing_frames=500)
+    cut = xing.find(b"Xing") + 4  # right after the marker
+    with _pytest.raises(ValueError, match="malformed MP3"):
+        parse_mp3_metadata(xing[:cut])
+
+    blob = encode_mp3_frames(10)
+    whole = parse_mp3_metadata(blob)
+    clipped = parse_mp3_metadata(blob[:-200])  # last frame loses its body
+    assert whole["n_frames"] == 10
+    assert clipped["n_frames"] == 9
+    assert clipped["duration_s"] < whole["duration_s"]

@@ -14,7 +14,7 @@ import pytest
 
 from species_range_data_pipeline_spark.plans import registry
 
-SF_CORRECT = "/root/testdata/sf0.01"
+from .conftest import SF_CORRECT
 
 
 def _module_of() -> dict[str, str]:
