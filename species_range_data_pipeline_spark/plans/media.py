@@ -83,9 +83,78 @@ def multimodal_ahash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def subtitle_cue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-speaker cue statistics over a deterministic synthetic subtitle
+    corpus (two SRT + one VTT payload, parsed by the production
+    ``sources/subtitles.py`` kernels through the same mapInPandas shape
+    the file reader uses).  Unlike the other media queries this one IS
+    oracle-backed: the inputs are fixed literals, so the expected rows
+    are a VALUES table — the parser output is pinned VALUE-level by the
+    driver, not just rows-only."""
+    import pandas as pd
+
+    from ..sources.subtitles import CUE_SCHEMA, parse_srt, parse_vtt
+
+    payloads = [
+        (
+            "a.srt",
+            b"1\n00:00:01,000 --> 00:00:03,500\nHello <i>world</i>\n\n"
+            b"2\n00:00:04,000 --> 00:00:06,000\nSecond line\ncontinues\n",
+        ),
+        (
+            "b.srt",
+            b"1\n00:01:00,000 --> 00:01:02,000\nAnother file\n",
+        ),
+        (
+            "c.vtt",
+            b"WEBVTT\n\nNOTE meta\n\n00:07.000 --> 00:09.500\n"
+            b"<v Alice>Hi there\n\n00:10.000 --> 00:11.000\n<v Bob>Yo\n",
+        ),
+    ]
+    src = spark.createDataFrame(payloads, "path string, content binary")
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                parse = parse_vtt if p.endswith(".vtt") else parse_srt
+                for c in parse(bytes(blob)):
+                    out.append({"path": p, **c, "error": None})
+            yield pd.DataFrame(
+                out, columns=[f.name for f in CUE_SCHEMA.fields]
+            )
+
+    cues = src.mapInPandas(fn, CUE_SCHEMA)
+    return (
+        cues.groupBy(F.coalesce("speaker", F.lit("(none)")).alias("speaker"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cues"),
+            F.sum(F.col("end_ms") - F.col("start_ms")).alias("total_ms"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+        .orderBy("speaker")
+    )
+
+
+# hand-derived from the literal payloads above: cue spans and cleaned
+# text lengths ("Hello world"=11, "Second line\ncontinues"=21,
+# "Another file"=12, "Hi there"=8, "Yo"=2)
+SUBTITLE_CUE_STATS_ORACLE = """
+SELECT * FROM (VALUES
+    ('(none)', CAST(3 AS BIGINT), CAST(6500 AS BIGINT), CAST(44 AS BIGINT)),
+    ('Alice',  CAST(1 AS BIGINT), CAST(2500 AS BIGINT), CAST(8 AS BIGINT)),
+    ('Bob',    CAST(1 AS BIGINT), CAST(1000 AS BIGINT), CAST(2 AS BIGINT))
+) AS t(speaker, n_cues, total_ms, n_chars)
+ORDER BY speaker
+"""
+
+
 QUERIES = {
     "multimodal_decode_stats": multimodal_decode_stats,
     "multimodal_ahash_dups": multimodal_ahash_dups,
+    "subtitle_cue_stats": subtitle_cue_stats,
 }
 
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {
+    "subtitle_cue_stats": SUBTITLE_CUE_STATS_ORACLE,
+}

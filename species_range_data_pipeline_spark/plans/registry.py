@@ -90,15 +90,16 @@ _PRIORITY = [
     "ev_sessionization",
     "ev_tumbling",
     "ev_retention_cohorts",
-    # media (rows-only: codec goldens locally)
+    # media (decode stats rows-only w/ codec goldens locally; the
+    # subtitle query is hash-checked via its VALUES oracle)
     "multimodal_decode_stats",
+    "subtitle_cue_stats",
     # geo
     "geo_dissolve_area",
     "geo_spatial_join_bin",
     "geo_polygonize_components",
-    # graph
+    # graph (dedup_clusters covers the same family locally)
     "graph_pagerank",
-    "dedup_clusters",
 ]
 
 
