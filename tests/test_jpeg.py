@@ -288,3 +288,51 @@ def test_progressive_hostile_dims_fail_fast():
     _struct.pack_into(">HH", blob, i + 5, 65500, 65500)
     with pytest.raises(ValueError, match="blocks"):
         decode_jpeg(bytes(blob))
+
+
+@settings(max_examples=20, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1))
+def test_property_random_progressive_scan_scripts(seed):
+    """Twin identity must hold for ANY valid progression, not just the
+    libjpeg-shaped default: random spectral-band partitions per
+    component, random successive-approximation depth (DC and AC), random
+    scan interleavings — the decoder may receive coefficients in any
+    spec-legal order and must reconstruct the exact baseline pixels."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    h, w = rng.randint(1, 25), rng.randint(1, 25)
+    img = np.random.RandomState(seed).randint(0, 256, (h, w, 3), np.uint8)
+
+    # random spectral partition of 1..63 per component
+    def bands():
+        cuts = sorted(rng.sample(range(2, 63), rng.randint(0, 3)))
+        edges = [1, *cuts, 64]
+        return [(edges[i], edges[i + 1] - 1) for i in range(len(edges) - 1)]
+
+    dc_al = rng.randint(0, 2)
+    script = [((0, 1, 2), 0, 0, 0, dc_al)]
+    ac_scans = []
+    for ci in range(3):
+        al = rng.randint(0, 2)
+        for ss, se in bands():
+            ac_scans.append(((ci,), ss, se, 0, al))
+        # refinement chain al -> 0 over the whole band
+        for a in range(al, 0, -1):
+            ac_scans.append(((ci,), 1, 63, a, a - 1))
+    rng.shuffle(ac_scans)  # scan order across components is free
+    # refinements of one component must stay in decreasing-Ah order and
+    # after that component's first scans; shuffling preserves this only
+    # per-component, so re-stabilize: firsts (any order) then refinements
+    firsts = [s for s in ac_scans if s[3] == 0]
+    refines = sorted(
+        (s for s in ac_scans if s[3] != 0), key=lambda s: -s[3]
+    )
+    script += firsts + refines
+    for a in range(dc_al, 0, -1):
+        script.append(((0, 1, 2), 0, 0, a, a - 1))
+
+    blob = encode_jpeg_progressive(img, quality=88, script=script)
+    assert (
+        decode_jpeg(blob)[3] == decode_jpeg(encode_jpeg(img, quality=88))[3]
+    ).all()
