@@ -10,8 +10,9 @@ a training-data pipeline actually meets in bulk:
   (palette), 4 (gray+alpha), 6 (RGBA).  Sub-byte depths raise loudly —
   a silent misdecode would poison downstream perceptual hashes.
 * WAV: RIFF/WAVE with PCM 8-bit unsigned, 16-bit signed, 24-bit signed,
-  and IEEE float32 ``data`` chunks; any channel count.  Compressed codecs (ADPCM,
-  MP3-in-WAV) raise loudly.
+  and IEEE float32 ``data`` chunks; any channel count; plain and
+  WAVE_FORMAT_EXTENSIBLE headers (format tag from the SubFormat GUID).
+  Compressed codecs (ADPCM, MP3-in-WAV) raise loudly.
 
 Reference parity note: the reference ETL never touches raster imagery
 directly (arcpy handles its GeoTIFFs); this module serves the builder-brief
@@ -262,18 +263,30 @@ def riff_chunks(blob: bytes):
 def _decode_wav(blob: bytes) -> tuple[int, int, np.ndarray]:
     if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         raise ValueError("not a WAV: bad RIFF/WAVE header")
-    fmt = None
+    fmt = fmt_body = None
     data = None
     for ctype, body in riff_chunks(blob):
         if ctype == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif ctype == b"data":
             data = body
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _byte_rate, _block_align, bits = fmt
-    if audio_format == 0xFFFE and len(blob) >= 24:
-        raise NotImplementedError("WAVE_FORMAT_EXTENSIBLE is not supported")
+    if audio_format == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE (how multichannel and >16-bit PCM ship
+        # in practice): the real format tag is the first two bytes of the
+        # SubFormat GUID, whose remaining 14 bytes must be the fixed
+        # KSDATAFORMAT media-subtype suffix
+        if len(fmt_body) < 40:
+            raise ValueError("extensible WAV fmt chunk truncated")
+        guid = fmt_body[24:40]
+        if guid[4:] != b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71":
+            raise NotImplementedError(
+                f"extensible WAV with non-PCM subformat GUID {guid.hex()}"
+            )
+        audio_format = struct.unpack_from("<H", guid, 0)[0]
     if audio_format == 1 and bits == 16:
         samples = np.frombuffer(data, dtype="<i2")
     elif audio_format == 1 and bits == 8:

@@ -400,3 +400,45 @@ def test_wav_24bit_pcm():
     # stereo framing
     rate, nch, got = decode_wav(_build_wav(1, 2, 44100, 24, body))
     assert (rate, nch) == (44100, 2) and got.shape == (3, 2)
+
+
+def test_wav_extensible_format():
+    """WAVE_FORMAT_EXTENSIBLE (the real-world container for multichannel
+    and 24-bit PCM): the format tag lives in the SubFormat GUID; PCM and
+    float32 sub-formats decode, a foreign GUID gates loudly."""
+    import struct as _struct
+
+    def build_ext(subfmt, n_ch, rate, bits, body):
+        block_align = n_ch * (bits // 8)
+        guid = _struct.pack("<H", subfmt) + (
+            b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+        )
+        fmt = _struct.pack(
+            "<HHIIHHHHI", 0xFFFE, n_ch, rate, rate * block_align,
+            block_align, bits, 22, bits, 0x3,
+        ) + guid
+        payload = (b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                   + b"data" + _struct.pack("<I", len(body)) + body)
+        return b"RIFF" + _struct.pack("<I", len(payload)) + payload
+
+    body = np.array([100, -100, 7, -7], dtype="<i2").tobytes()
+    rate, nch, got = decode_wav(build_ext(1, 2, 48000, 16, body))
+    assert (rate, nch) == (48000, 2)
+    assert got.tolist() == [[100, -100], [7, -7]]
+
+    # float32 subformat
+    fb = np.array([0.5, -0.5], dtype="<f4").tobytes()
+    _, _, got = decode_wav(build_ext(3, 1, 44100, 32, fb))
+    assert got[:, 0].tolist() == [16383, -16383]
+
+    # 24-bit PCM inside extensible (the common studio layout)
+    b24 = (0x123456).to_bytes(3, "little") + (0x800000).to_bytes(3, "little")
+    _, _, got = decode_wav(build_ext(1, 1, 96000, 24, b24))
+    assert got[:, 0].tolist() == [0x123456 >> 8, (0x800000 - (1 << 24)) >> 8]
+
+    # foreign subformat GUID gates
+    bad = bytearray(build_ext(1, 1, 8000, 16, body))
+    i = bytes(bad).find(b"\x9b\x71")
+    bad[i] = 0x00
+    with pytest.raises(NotImplementedError, match="subformat"):
+        decode_wav(bytes(bad))
