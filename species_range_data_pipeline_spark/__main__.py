@@ -189,6 +189,68 @@ def _sql(args) -> int:
     return 0
 
 
+def _probe(args) -> int:
+    """Sniff + decode one media/subtitle file and print its metadata as
+    JSON — the driver-free way to exercise every codec lane on a real
+    file (no Spark session; the lanes are pure functions)."""
+    import json as _json
+    from pathlib import Path
+
+    blob = Path(args.file).read_bytes()
+    out: dict = {"file": args.file, "bytes": len(blob)}
+    try:
+        from species_range_data_pipeline_spark.multimodal import gif, jpeg, mp4
+        from species_range_data_pipeline_spark.multimodal.codecs import (
+            PNG_SIGNATURE,
+            decode_bmp,
+            decode_png,
+        )
+        from species_range_data_pipeline_spark.multimodal.media import (
+            _audio_metadata,
+        )
+        from species_range_data_pipeline_spark.sources.subtitles import (
+            parse_srt,
+            parse_vtt,
+        )
+
+        name = args.file.lower()
+        if blob[:8] == PNG_SIGNATURE:
+            w, h, c, _ = decode_png(blob)
+            out |= {"kind": "image", "format": "png", "width": w,
+                    "height": h, "channels": c}
+        elif blob[:3] == b"\xff\xd8\xff":
+            w, h, c, _ = jpeg.decode_jpeg(blob)
+            out |= {"kind": "image", "format": "jpeg", "width": w,
+                    "height": h, "channels": c,
+                    "progressive": b"\xff\xc2" in blob.split(b"\xff\xda")[0]}
+        elif blob[:6] in gif.GIF_SIGNATURES:
+            w, h, c, _ = gif.decode_gif(blob)
+            out |= {"kind": "image", "format": "gif", "width": w, "height": h}
+        elif blob[:2] == b"BM":
+            w, h, c, _ = decode_bmp(blob)
+            out |= {"kind": "image", "format": "bmp", "width": w, "height": h}
+        elif blob[4:8] == b"ftyp":
+            info = mp4.extract_video_samples(blob)
+            out |= {"kind": "video", "format": "mp4",
+                    "codec": info["codec"].decode("ascii", "replace"),
+                    "width": info["width"], "height": info["height"],
+                    "n_samples": len(info["samples"])}
+        elif name.endswith(".vtt"):
+            out |= {"kind": "subtitles", "format": "vtt",
+                    "n_cues": len(parse_vtt(blob))}
+        elif name.endswith(".srt"):
+            out |= {"kind": "subtitles", "format": "srt",
+                    "n_cues": len(parse_srt(blob))}
+        else:
+            out |= {"kind": "audio", **_audio_metadata(blob)}
+    except Exception as exc:
+        out["error"] = f"{type(exc).__name__}: {exc}"
+        print(_json.dumps(out))
+        return 2
+    print(_json.dumps(out))
+    return 0
+
+
 def _bench(args) -> int:
     import runpy
     from pathlib import Path
@@ -248,6 +310,12 @@ def main(argv: list[str] | None = None) -> int:
 
     ben = sub.add_parser("bench", help="run the headline benchmark")
     ben.set_defaults(fn=_bench)
+
+    pr = sub.add_parser(
+        "probe", help="decode one media/subtitle file, print JSON metadata"
+    )
+    pr.add_argument("file")
+    pr.set_defaults(fn=_probe)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -355,3 +355,44 @@ def test_cli_sql_and_restore(tmp_path, capsys):
     assert "error:" in capsys.readouterr().err
     # malformed --table spec exits 2 before any Spark work
     assert main(["sql", "SELECT 1", "--table", "nopath"]) == 2
+
+
+def test_cli_probe_all_lanes(tmp_path, capsys):
+    """`probe` decodes one file per codec lane without a Spark session
+    and prints one JSON object; unknown payloads exit 2 with the error
+    in the JSON."""
+    import json
+
+    import numpy as np
+
+    from species_range_data_pipeline_spark.__main__ import main
+    from species_range_data_pipeline_spark.multimodal.codecs import encode_png
+    from species_range_data_pipeline_spark.multimodal.jpeg import (
+        encode_jpeg_progressive,
+    )
+    from species_range_data_pipeline_spark.multimodal.mp3 import (
+        encode_mp3_frames,
+    )
+
+    img = (np.arange(300, dtype=np.uint8).reshape(10, 10, 3)) % 256
+    cases = {
+        "a.jpg": (encode_jpeg_progressive(img), {"format": "jpeg", "progressive": True}),
+        "b.png": (encode_png(img, interlace=True), {"format": "png", "width": 10}),
+        "c.mp3": (
+            encode_mp3_frames(40, bitrate_kbps=96, sample_rate=32000),
+            {"container": "mp3", "sample_rate": 32000},
+        ),
+        "d.srt": (b"1\n00:00:01,000 --> 00:00:02,000\nhi\n", {"n_cues": 1}),
+    }
+    for name, (blob, want) in cases.items():
+        f = tmp_path / name
+        f.write_bytes(blob)
+        assert main(["probe", str(f)]) == 0
+        got = json.loads(capsys.readouterr().out.strip())
+        for k, v in want.items():
+            assert got[k] == v, (name, k, got)
+
+    bad = tmp_path / "junk.bin"
+    bad.write_bytes(b"\x00\x01junk")
+    assert main(["probe", str(bad)]) == 2
+    assert "error" in json.loads(capsys.readouterr().out.strip())
