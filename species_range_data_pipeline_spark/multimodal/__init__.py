@@ -6,7 +6,7 @@ Arrow-batched ``mapInPandas`` / ``pandas_udf`` stages.
 
 Real stdlib-only codecs (no image/audio libraries ship in the
 container, so the formats are implemented at struct level, like the
-GeoTIFF/shapefile lanes): PNG incl. Adam7 + BMP + WAV (``codecs.py``), baseline
+GeoTIFF/shapefile lanes): PNG (all legal depths incl. sub-byte, Adam7) + BMP + WAV (``codecs.py``), baseline
 and progressive JPEG including 4:2:0/4:2:2 subsampling and restart
 markers (``jpeg.py``), GIF 87a/89a with real variable-width LZW and four-pass interlace (``gif.py``),
 MP4/ISO-BMFF sample tables with MJPEG frame decode (``mp4.py``), and

@@ -5,10 +5,10 @@ formats from first principles in the same no-dependency style as
 ``pipeline/geotiff.py`` — real decoders, not stubs.  Coverage is the subset
 a training-data pipeline actually meets in bulk:
 
-* PNG: bit depths 8 and 16 (16-bit reduces to the high byte),
-  sequential or Adam7-interlaced, color types 0 (gray), 2 (RGB), 3
-  (palette), 4 (gray+alpha), 6 (RGBA).  Sub-byte depths raise loudly —
-  a silent misdecode would poison downstream perceptual hashes.
+* PNG: every spec-legal depth/color combination — 1/2/4-bit gray and
+  palette, 8-bit everything, 16-bit (reduced to the high byte) —
+  sequential or Adam7-interlaced; color types 0 (gray), 2 (RGB), 3
+  (palette), 4 (gray+alpha), 6 (RGBA).
 * WAV: RIFF/WAVE with PCM 8-bit unsigned, 16-bit signed, 24-bit signed,
   and IEEE float32 ``data`` chunks; any channel count; plain and
   WAVE_FORMAT_EXTENSIBLE headers (format tag from the SubFormat GUID).
@@ -43,13 +43,14 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
-    """Reverse PNG scanline filtering -> (height, width*bpp) uint8 array."""
-    stride = width * bpp
+def _unfilter(raw: bytes, stride: int, height: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering -> (height, stride) uint8 array.
+    ``stride`` = filtered bytes per row; ``bpp`` = the filter's pixel
+    delta in BYTES (spec: rounded up to one for sub-byte depths)."""
     if len(raw) != height * (stride + 1):
         raise ValueError(
             f"PNG pixel stream is {len(raw)} bytes; expected "
-            f"{height * (stride + 1)} for {width}x{height} bpp={bpp}"
+            f"{height * (stride + 1)} for {height} rows of {stride}"
         )
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
@@ -91,24 +92,62 @@ _ADAM7 = [
 ]
 
 
+def _row_bytes(width: int, nch: int, depth: int) -> int:
+    return (width * nch * depth + 7) // 8
+
+
+def _unpack_rows(
+    rows: np.ndarray, width: int, nch: int, depth: int
+) -> np.ndarray:
+    """(h, row_bytes) reconstructed bytes -> (h, w, nch) raw samples:
+    native gray levels / palette indexes for sub-byte depths (MSB-first
+    within each byte, rows padded to a byte boundary), the high byte for
+    16-bit, bytes verbatim for 8."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : width * nch].reshape(h, width, nch)
+    if depth == 16:
+        return np.ascontiguousarray(
+            rows[:, : width * nch * 2].reshape(h, width, nch, 2)[..., 0]
+        )
+    bits = np.unpackbits(rows, axis=1)[:, : width * nch * depth]
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    return (
+        (bits.reshape(h, width, nch, depth) * weights).sum(axis=3)
+    ).astype(np.uint8)
+
+
+def _unfilter_samples(
+    raw: bytes, width: int, height: int, nch: int, depth: int
+) -> np.ndarray:
+    """Unfilter + unpack one (sub-)image -> (h, w, nch) raw samples."""
+    stride = _row_bytes(width, nch, depth)
+    bpp = max(1, nch * depth // 8)  # filter delta unit, >= 1 byte
+    return _unpack_rows(
+        _unfilter(raw, stride, height, bpp), width, nch, depth
+    )
+
+
 def _deinterlace_adam7(
-    raw: bytes, width: int, height: int, bpp: int
+    raw: bytes, width: int, height: int, nch: int, depth: int
 ) -> np.ndarray:
     """Adam7: the pixel stream is seven independently-filtered sub-images
-    (reduced grids of the pass geometry), scattered back onto the full
-    canvas.  Empty passes (a dimension rounds to zero) contribute no
-    bytes, including no filter bytes."""
-    out = np.zeros((height, width, bpp), dtype=np.uint8)
+    (reduced grids of the pass geometry, each bit-packed to its OWN row
+    boundaries), scattered back onto the full canvas.  Empty passes (a
+    dimension rounds to zero) contribute no bytes, filter bytes
+    included."""
+    out = np.zeros((height, width, nch), dtype=np.uint8)
     pos = 0
     for x0, xs, y0, ys in _ADAM7:
         pw = (width - x0 + xs - 1) // xs
         ph = (height - y0 + ys - 1) // ys
         if pw <= 0 or ph <= 0:
             continue
-        size = ph * (pw * bpp + 1)
-        sub = _unfilter(raw[pos : pos + size], pw, ph, bpp)
+        size = ph * (_row_bytes(pw, nch, depth) + 1)
+        out[y0::ys, x0::xs] = _unfilter_samples(
+            raw[pos : pos + size], pw, ph, nch, depth
+        )
         pos += size
-        out[y0::ys, x0::xs] = sub.reshape(ph, pw, bpp)
     if pos != len(raw):
         raise ValueError(
             f"interlaced PNG pixel stream is {len(raw)} bytes; "
@@ -122,10 +161,10 @@ def decode_png(blob: bytes) -> tuple[int, int, int, np.ndarray]:
 
     Palette images expand to RGB; gray+alpha and RGBA keep their alpha.
     Adam7-interlaced files deinterlace; 16-bit samples reduce to their
-    high byte.  Raises ``ValueError`` on malformed files (zlib/struct
-    errors from truncations and bit flips normalized) and
-    ``NotImplementedError`` on sub-byte depths (loud gate, never a
-    misdecode).
+    high byte; 1/2/4-bit gray expands exactly (255/(2^d - 1) is
+    integral) and sub-byte palette indexes unpack MSB-first.  Raises
+    ``ValueError`` on malformed files (zlib/struct errors from
+    truncations and bit flips normalized).
     """
     try:
         return _decode_png(blob)
@@ -164,34 +203,34 @@ def _decode_png(blob: bytes) -> tuple[int, int, int, np.ndarray]:
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"invalid PNG color type {color_type}")
     nch = _PNG_CHANNELS[color_type]
-    if bit_depth == 8:
-        bpp = nch
-    elif bit_depth == 16:
-        if color_type == 3:
-            raise ValueError("16-bit palette PNG is not a legal combination")
-        # filtering is bytewise with bpp = bytes-per-pixel; samples are
-        # big-endian uint16, reduced to 8-bit by keeping the high byte
-        bpp = nch * 2
-    else:
-        raise NotImplementedError(
-            f"PNG bit depth {bit_depth} is not supported (only 8/16)"
+    # spec-legal depth x color-type grid (11.2.2): sub-byte only for
+    # grayscale and palette; 16-bit never for palette
+    legal = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+             4: (8, 16), 6: (8, 16)}
+    if bit_depth not in (1, 2, 4, 8, 16):
+        raise NotImplementedError(f"PNG bit depth {bit_depth} is not supported")
+    if bit_depth not in legal[color_type]:
+        raise ValueError(
+            f"illegal PNG depth/color combination {bit_depth}/{color_type}"
         )
     if not idat:
         raise ValueError("PNG has no IDAT data")
     raw = zlib.decompress(bytes(idat))
     if interlace == 1:
-        px = _deinterlace_adam7(raw, width, height, bpp)
+        px = _deinterlace_adam7(raw, width, height, nch, bit_depth)
     else:
-        px = _unfilter(raw, width, height, bpp).reshape(height, width, bpp)
-    if bit_depth == 16:
-        px = np.ascontiguousarray(px[:, :, 0::2])
-        bpp = nch
+        px = _unfilter_samples(raw, width, height, nch, bit_depth)
     if color_type == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE chunk")
-        px = palette[px[:, :, 0]]
-        bpp = 3
-    return width, height, bpp, px
+        idxs = px[:, :, 0]
+        if int(idxs.max(initial=0)) >= len(palette):
+            raise ValueError("palette index outside the PLTE table")
+        return width, height, 3, palette[idxs]
+    if bit_depth < 8:
+        # exact expansion: 255 is divisible by 1, 3, and 15
+        px = px * np.uint8(255 // ((1 << bit_depth) - 1))
+    return width, height, nch, px
 
 
 def encode_png(px: np.ndarray, interlace: bool = False) -> bytes:

@@ -120,7 +120,9 @@ def test_png_loud_gates():
     with pytest.raises(ValueError, match="interlace method"):
         decode_png(_build_png(2, 2, 8, 2, raw, interlace=2))
     with pytest.raises(NotImplementedError, match="bit depth"):
-        decode_png(_build_png(2, 2, 4, 0, raw))  # sub-byte depths stay gated
+        decode_png(_build_png(2, 2, 3, 0, raw))  # depth 3 isn't PNG at all
+    with pytest.raises(ValueError, match="illegal"):
+        decode_png(_build_png(2, 2, 4, 2, raw))  # 4-bit RGB is spec-illegal
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"not a png at all")
     with pytest.raises(ValueError, match="pixel stream"):
@@ -442,3 +444,68 @@ def test_wav_extensible_format():
     bad[i] = 0x00
     with pytest.raises(NotImplementedError, match="subformat"):
         decode_wav(bytes(bad))
+
+
+def _pack_rows(samples: np.ndarray, depth: int) -> bytes:
+    """(h, w) native-depth samples -> filter-0 scanlines, MSB-first,
+    rows padded to a byte boundary (the test-side packer)."""
+    h, w = samples.shape
+    out = bytearray()
+    for row in samples:
+        bits = np.zeros(w * depth, dtype=np.uint8)
+        for i, v in enumerate(row):
+            for b in range(depth):
+                bits[i * depth + b] = (int(v) >> (depth - 1 - b)) & 1
+        out.append(0)
+        out += np.packbits(bits).tobytes()
+    return bytes(out)
+
+
+def test_png_subbyte_gray_depths():
+    """1/2/4-bit grayscale decodes with exact level expansion
+    (255 / (2^d - 1) is integral for all three)."""
+    rng = np.random.RandomState(21)
+    for depth in (1, 2, 4):
+        maxv = (1 << depth) - 1
+        img = rng.randint(0, maxv + 1, (5, 11), dtype=np.uint8)
+        blob = _build_png(11, 5, depth, 0, _pack_rows(img, depth))
+        w, h, c, got = decode_png(blob)
+        assert (w, h, c) == (11, 5, 1)
+        assert np.array_equal(got[:, :, 0], img * (255 // maxv)), depth
+
+
+def test_png_4bit_palette():
+    """4-bit palette (the classic web-icon layout): indexes unpack
+    MSB-first and expand through PLTE; an index past the table is loud."""
+    palette = bytes(
+        v for i in range(16) for v in (i * 16, 255 - i * 16, i)
+    )
+    idx = np.array([[0, 15, 7], [8, 1, 14]], dtype=np.uint8)
+    blob = _build_png(3, 2, 4, 3, _pack_rows(idx, 4), palette=palette)
+    w, h, c, got = decode_png(blob)
+    assert (w, h, c) == (3, 2, 3)
+    assert tuple(got[0, 1]) == (240, 15, 15)
+    assert tuple(got[1, 2]) == (224, 31, 14)
+
+    short = palette[: 3 * 8]  # only 8 entries; index 15 must refuse
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(_build_png(3, 2, 4, 3, _pack_rows(idx, 4), palette=short))
+
+
+def test_png_subbyte_adam7():
+    """Sub-byte + Adam7 together: each pass bit-packs to its OWN row
+    boundaries; 2-bit gray over a 9x9 canvas hits every pass shape."""
+    from species_range_data_pipeline_spark.multimodal.codecs import _ADAM7
+
+    rng = np.random.RandomState(22)
+    img = rng.randint(0, 4, (9, 9), dtype=np.uint8)
+    parts = []
+    for x0, xs, y0, ys in _ADAM7:
+        sub = img[y0::ys, x0::xs]
+        if sub.size == 0:
+            continue
+        parts.append(_pack_rows(sub, 2))
+    blob = _build_png(9, 9, 2, 0, b"".join(parts), interlace=1)
+    w, h, c, got = decode_png(blob)
+    assert (w, h, c) == (9, 9, 1)
+    assert np.array_equal(got[:, :, 0], img * 85)
