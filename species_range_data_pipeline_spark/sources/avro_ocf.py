@@ -9,13 +9,15 @@ theirs: struct-level implementation, no dependencies.
 
 Scope (the working majority of real Avro files):
 - container: magic ``Obj\\x01``, file-metadata map (``avro.schema`` JSON,
-  ``avro.codec`` null/deflate), 16-byte sync marker, data blocks of
+  ``avro.codec`` null/deflate/snappy), 16-byte sync marker, data blocks of
   (count, byte-length, payload, sync).
 - types: null, boolean, int, long (zigzag varints), float, double,
   bytes, string, records, enums, fixed, arrays, maps, and unions.
   Logical types pass through as their underlying primitive (the same
   posture DuckDB's Avro reader takes).
-- codecs: null and deflate (stdlib zlib).  snappy gates loudly.
+- codecs: null, deflate (stdlib zlib), and snappy — the raw-snappy
+  format implemented from its public description, CRC32-checked per
+  the Avro block convention.
 
 Spark-side: ``read_avro_python(spark, path)`` scans ``*.avro`` via
 ``binaryFile`` + ``mapInPandas`` — one task per container file (Avro's
@@ -272,9 +274,100 @@ def _encode(schema, v, out: bytearray) -> None:
 # ---- container -----------------------------------------------------------
 
 
+#: bomb guard: a snappy block may not declare more than this many bytes
+_SNAPPY_MAX_OUT = 1 << 30
+
+
+def _snappy_uvarint(data: bytes, pos: int) -> tuple[int, int]:
+    shift = v = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("truncated snappy varint")
+        b = data[pos]
+        pos += 1
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return v, pos
+        shift += 7
+        if shift > 35:
+            raise ValueError("snappy varint too long")
+
+
+def _snappy_decompress(data: bytes) -> bytes:
+    """Raw-snappy decode from the public format description: uvarint
+    uncompressed length, then literal / 1-2-4-byte-offset copy elements.
+    Overlapping copies are byte-serial (the LZ77 RLE trick); every length
+    and offset is bounds-checked and the declared size is capped."""
+    n, pos = _snappy_uvarint(data, 0)
+    if n > _SNAPPY_MAX_OUT:
+        raise ValueError(f"snappy declares {n} bytes (bomb guard)")
+    out = bytearray()
+    while pos < len(data):
+        tag = data[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:
+                nb = ln - 59
+                if pos + nb > len(data):
+                    raise ValueError("truncated snappy literal length")
+                ln = int.from_bytes(data[pos : pos + nb], "little")
+                pos += nb
+            ln += 1
+            if pos + ln > len(data):
+                raise ValueError("snappy literal runs past end")
+            out += data[pos : pos + ln]
+            pos += ln
+        else:
+            if kind == 1:
+                if pos >= len(data):
+                    raise ValueError("truncated snappy copy")
+                ln = ((tag >> 2) & 7) + 4
+                off = ((tag >> 5) << 8) | data[pos]
+                pos += 1
+            else:
+                nb = 2 if kind == 2 else 4
+                if pos + nb > len(data):
+                    raise ValueError("truncated snappy copy")
+                ln = (tag >> 2) + 1
+                off = int.from_bytes(data[pos : pos + nb], "little")
+                pos += nb
+            if off == 0 or off > len(out):
+                raise ValueError("snappy copy offset out of range")
+            for _ in range(ln):
+                out.append(out[-off])
+        if len(out) > n:
+            raise ValueError("snappy output exceeds its declared length")
+    if len(out) != n:
+        raise ValueError(f"snappy output {len(out)} != declared {n}")
+    return bytes(out)
+
+
+def _snappy_compress(data: bytes) -> bytes:
+    """All-literal snappy (spec-valid, size-preserving) — the write-side
+    twin; any conformant reader, including ours, decodes it."""
+    out = bytearray()
+    n = len(data)
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            break
+    pos = 0
+    while pos < len(data):
+        chunk = data[pos : pos + 65536]
+        pos += len(chunk)
+        out.append(61 << 2)  # literal, 2-byte length follows
+        out += (len(chunk) - 1).to_bytes(2, "little")
+        out += chunk
+    return bytes(out)
+
+
 def parse_avro(content: bytes) -> tuple[dict, list]:
     """.avro OCF bytes -> (schema, [record, ...]).  Malformed input raises
-    ``ValueError``; snappy codec raises ``NotImplementedError``."""
+    ``ValueError``; null, deflate, and snappy codecs all decode."""
     try:
         return _parse_avro(content)
     except (struct.error, IndexError, KeyError, TypeError) as exc:
@@ -298,9 +391,7 @@ def _parse_avro(content: bytes) -> tuple[dict, list]:
             k = _read_bytes(buf).decode("utf-8")
             meta[k] = _read_bytes(buf)
     codec = meta.get("avro.codec", b"null").decode()
-    if codec == "snappy":
-        raise NotImplementedError("snappy-coded Avro needs a snappy codec")
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(f"unknown Avro codec {codec!r}")
     schema = json.loads(meta["avro.schema"])
     sync = buf.read(16)
@@ -320,6 +411,14 @@ def _parse_avro(content: bytes) -> tuple[dict, list]:
                 payload = zlib.decompress(payload, wbits=-15)
             except zlib.error as exc:
                 raise ValueError(f"corrupt deflate block: {exc}") from exc
+        elif codec == "snappy":
+            if len(payload) < 4:
+                raise ValueError("snappy block too short for its CRC")
+            body, crc = payload[:-4], payload[-4:]
+            payload = _snappy_decompress(body)
+            # Avro appends a big-endian CRC32 of the UNCOMPRESSED data
+            if zlib.crc32(payload) & 0xFFFFFFFF != int.from_bytes(crc, "big"):
+                raise ValueError("snappy block CRC mismatch")
         pbuf = io.BytesIO(payload)
         # every decoded value consumes budget; proportional to the
         # DECOMPRESSED block size so null-heavy but honest data fits
@@ -360,6 +459,9 @@ def write_avro(
     payload = bytes(body)
     if codec == "deflate":
         payload = zlib.compress(payload)[2:-4]  # raw deflate, no zlib wrap
+    elif codec == "snappy":
+        crc = (zlib.crc32(payload) & 0xFFFFFFFF).to_bytes(4, "big")
+        payload = _snappy_compress(payload) + crc
     elif codec != "null":
         raise ValueError(f"unsupported write codec {codec!r}")
     _write_long(out, len(records))
