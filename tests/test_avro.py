@@ -91,11 +91,12 @@ def test_avro_container_guards(tmp_path):
         parse_avro(bytes(blob))
 
 
-def test_avro_fuzz_contract(tmp_path):
+@pytest.mark.parametrize("codec", ["deflate", "snappy"])
+def test_avro_fuzz_contract(tmp_path, codec):
     import random
 
     p = str(tmp_path / "t.avro")
-    write_avro(_records(4), SCHEMA, p)
+    write_avro(_records(4), SCHEMA, p, codec=codec)
     blob = (tmp_path / "t.avro").read_bytes()
     rng = random.Random(77)
     for _ in range(150):
