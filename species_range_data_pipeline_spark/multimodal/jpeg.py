@@ -16,10 +16,12 @@ process (T.81 Annex G), which together cover essentially all wild JPEGs:
 - progressive scans: spectral selection (Ss..Se bands), successive
   approximation (Ah/Al bit planes) for both DC and AC, EOB runs,
   interleaved DC scans, restart intervals inside any scan kind
-- 8-bit samples, grayscale or YCbCr (BT.601), integer-ratio chroma
-  subsampling (4:4:4, 4:2:2, 4:2:0) with nearest-neighbor upsampling
-- loud gates: hierarchical/lossless/arithmetic frames, 12-bit
-  precision, fractional sampling ratios
+- 8-bit and 12-bit samples (12-bit reduces to the 8-bit output domain
+  through the quantization divide; 16-bit DQT tables supported),
+  grayscale or YCbCr (BT.601), integer-ratio chroma subsampling
+  (4:4:4, 4:2:2, 4:2:0) with nearest-neighbor upsampling
+- loud gates: hierarchical/lossless/arithmetic frames, fractional
+  sampling ratios
 
 The encoder (used for golden round-trip tests and as a real sink) writes
 baseline 4:4:4 with IJG-scaled Annex-K quantization tables and
@@ -260,7 +262,7 @@ def _decode_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
                 off += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext.seq / progressive
             prec, height, width, ncomp = struct.unpack_from(">BHHB", seg, 0)
-            if prec != 8:
+            if prec not in (8, 12):
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
             comps = []
             for i in range(ncomp):
@@ -270,6 +272,7 @@ def _decode_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
                 "w": width,
                 "h": height,
                 "comps": comps,
+                "prec": prec,
                 "progressive": marker == 0xC2,
             }
             if frame["progressive"]:
@@ -305,6 +308,7 @@ def _decode_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
 
 def _decode_scan(blob, pos, frame, scan, qt, huff, restart_interval):
     width, height = frame["w"], frame["h"]
+    qdiv = float(1 << (frame.get("prec", 8) - 8))
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])
     mcux = -(-width // (8 * hmax))
@@ -342,7 +346,7 @@ def _decode_scan(blob, pos, frame, scan, qt, huff, restart_interval):
             mcu_count += 1
             for comp, td, ta in scan:
                 cid = comp["id"]
-                q = qt[comp["tq"]]
+                q = qt[comp["tq"]] / qdiv
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
                         block, preds[cid] = _decode_block(
@@ -573,11 +577,15 @@ def _refine_ac(reader, actab, block, ss, se, al, state):
 def _finish_progressive(frame, coefs, qt):
     """Dequantize + IDCT the accumulated coefficient planes."""
     width, height = frame["w"], frame["h"]
+    qdiv = float(1 << (frame.get("prec", 8) - 8))
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])
     out = []
     for comp in frame["comps"]:
-        deq = coefs[comp["id"]].astype(np.float64) * qt[comp["tq"]][None, None, :]
+        deq = (
+            coefs[comp["id"]].astype(np.float64)
+            * (qt[comp["tq"]] / qdiv)[None, None, :]
+        )
         bh, bw = deq.shape[:2]
         dez = np.zeros_like(deq)
         dez[:, :, _ZZ] = deq
@@ -658,6 +666,15 @@ def _scale_q(base: np.ndarray, quality: int) -> np.ndarray:
     return np.clip(np.floor((base * scale + 50) / 100), 1, 255)
 
 
+def _dqt_payload(tq: int, table) -> bytes:
+    """DQT payload: 8-bit entries when they fit, else pq=1 16-bit."""
+    if table.max() > 255:
+        return bytes([0x10 | tq]) + b"".join(
+            int(v).to_bytes(2, "big") for v in table
+        )
+    return bytes([tq]) + bytes(int(v) for v in table)
+
+
 def _mag_bits(v: int) -> tuple[int, int]:
     """Signed value -> (size, magnitude bits) per the extend convention."""
     size = abs(v).bit_length()
@@ -688,10 +705,21 @@ def _block_symbols(qblk: np.ndarray, pred: int):
     return (size, mag), acs, dc
 
 
-def _prepare_blocks(px: np.ndarray, quality: int, subsampling: tuple[int, int]):
+def _prepare_blocks(
+    px: np.ndarray, quality: int, subsampling: tuple[int, int],
+    precision: int = 8,
+):
     """Color-convert, subsample, pad, and forward-DCT-quantize: the shared
     front half of the baseline and progressive encoders.  Returns
-    (h, w, ncomp, factors, comp_class, qtabs, comp_blocks, mcux, mcuy)."""
+    (h, w, ncomp, factors, comp_class, qtabs, comp_blocks, mcux, mcuy).
+
+    ``precision=12`` scales samples AND quantization tables by 16, which
+    leaves the quantized coefficients — hence the entire entropy stream —
+    byte-identical to the 8-bit encode of the same image; the decoder
+    divides the (16-bit DQT) tables back down, so the 12-bit twin decodes
+    pixel-identically to the 8-bit one."""
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
     if px.ndim == 2:
         px = px[..., None]
     h, w, c = px.shape
@@ -714,9 +742,12 @@ def _prepare_blocks(px: np.ndarray, quality: int, subsampling: tuple[int, int]):
         factors = [(1, 1)]
     ncomp = len(planes)
     comp_class = [0] + [1] * (ncomp - 1)
-    qtabs = [_scale_q(_Q_LUMA[_ZZ], quality)]  # zigzag order
+    pscale = 1 << (precision - 8)
+    if pscale > 1:
+        planes = [pl * pscale for pl in planes]  # linear: chroma +128 -> +2048
+    qtabs = [_scale_q(_Q_LUMA[_ZZ], quality) * pscale]  # zigzag order
     if ncomp == 3:
-        qtabs.append(_scale_q(_Q_CHROMA[_ZZ], quality))
+        qtabs.append(_scale_q(_Q_CHROMA[_ZZ], quality) * pscale)
     hmax = max(fh for fh, _ in factors)
     vmax = max(fv for _, fv in factors)
     mcux = -(-w // (8 * hmax))
@@ -742,7 +773,10 @@ def _prepare_blocks(px: np.ndarray, quality: int, subsampling: tuple[int, int]):
         blocks = {}
         for ry in range(th // 8):
             for rx in range(tw // 8):
-                blk = plane[ry * 8 : ry * 8 + 8, rx * 8 : rx * 8 + 8] - 128.0
+                blk = (
+                    plane[ry * 8 : ry * 8 + 8, rx * 8 : rx * 8 + 8]
+                    - 128.0 * pscale
+                )
                 coef = (_A @ blk @ _A.T).reshape(64)[_ZZ]
                 blocks[(ry, rx)] = np.round(coef / q).astype(np.int64)
         comp_blocks.append(blocks)
@@ -754,6 +788,7 @@ def encode_jpeg(
     quality: int = 90,
     restart_interval: int = 0,
     subsampling: tuple[int, int] = (1, 1),
+    precision: int = 8,
 ) -> bytes:
     """uint8 (h, w) / (h, w, 1) grayscale or (h, w, 3) RGB -> baseline JPEG
     bytes.  ``subsampling=(h, v)`` is the luma sampling factor relative to
@@ -762,7 +797,7 @@ def encode_jpeg(
     that many MCUs.  Both knobs exist so round-trip tests exercise the
     decoder's real-world MCU/upsampling/restart paths."""
     h, w, ncomp, factors, comp_class, qtabs, comp_blocks, mcux, mcuy = (
-        _prepare_blocks(px, quality, subsampling)
+        _prepare_blocks(px, quality, subsampling, precision)
     )
 
     # one pass in MCU order -> token segments split at restart boundaries
@@ -820,14 +855,18 @@ def encode_jpeg(
 
     out = bytearray(b"\xff\xd8")
     for tq, table in enumerate(qtabs):
-        out += seg(0xDB, bytes([tq]) + bytes(int(v) for v in table))
+        out += seg(0xDB, _dqt_payload(tq, table))
     comps = b"".join(
         struct.pack(
             "BBB", i + 1, (factors[i][0] << 4) | factors[i][1], comp_class[i]
         )
         for i in range(ncomp)
     )
-    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, ncomp) + comps)
+    # 12-bit requires the extended-sequential frame (SOF1)
+    out += seg(
+        0xC0 if precision == 8 else 0xC1,
+        struct.pack(">BHHB", precision, h, w, ncomp) + comps,
+    )
     for th, (bits, vals, _) in enumerate(dc_tabs):
         out += seg(0xC4, bytes([th]) + bytes(bits) + bytes(vals))
     for th, (bits, vals, _) in enumerate(ac_tabs):
@@ -957,6 +996,7 @@ def encode_jpeg_progressive(
     restart_interval: int = 0,
     subsampling: tuple[int, int] = (1, 1),
     script: list[tuple[tuple[int, ...], int, int, int, int]] | None = None,
+    precision: int = 8,
 ) -> bytes:
     """Same pixel contract as :func:`encode_jpeg`, but emits the
     progressive DCT process (SOF2) using a libjpeg-shaped scan script
@@ -964,7 +1004,7 @@ def encode_jpeg_progressive(
     Al)``).  Entropy tokens are buffered per scan so each scan ships its
     own constructed fixed-length Huffman tables via a preceding DHT."""
     h, w, ncomp, factors, comp_class, qtabs, comp_blocks, mcux, mcuy = (
-        _prepare_blocks(px, quality, subsampling)
+        _prepare_blocks(px, quality, subsampling, precision)
     )
     hmax = max(fh for fh, _ in factors)
     vmax = max(fv for _, fv in factors)
@@ -976,14 +1016,14 @@ def encode_jpeg_progressive(
 
     out = bytearray(b"\xff\xd8")
     for tq, table in enumerate(qtabs):
-        out += seg(0xDB, bytes([tq]) + bytes(int(v) for v in table))
+        out += seg(0xDB, _dqt_payload(tq, table))
     comps = b"".join(
         struct.pack(
             "BBB", i + 1, (factors[i][0] << 4) | factors[i][1], comp_class[i]
         )
         for i in range(ncomp)
     )
-    out += seg(0xC2, struct.pack(">BHHB", 8, h, w, ncomp) + comps)
+    out += seg(0xC2, struct.pack(">BHHB", precision, h, w, ncomp) + comps)
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
 

@@ -336,3 +336,30 @@ def test_property_random_progressive_scan_scripts(seed):
     assert (
         decode_jpeg(blob)[3] == decode_jpeg(encode_jpeg(img, quality=88))[3]
     ).all()
+
+
+def test_12bit_precision_twins_and_16bit_dqt():
+    """12-bit extended-sequential (SOF1) and 12-bit progressive both
+    decode pixel-identically to their 8-bit twins: the encoder scales
+    samples and quantization tables by 16 (entropy stream unchanged,
+    emitted through 16-bit pq=1 DQT segments), the decoder divides the
+    tables back down."""
+    img = _smooth_rgb()
+    for kw in [{}, {"subsampling": (2, 2), "restart_interval": 2}]:
+        b8 = decode_jpeg(encode_jpeg(img, quality=90, **kw))[3]
+        blob = encode_jpeg(img, quality=90, precision=12, **kw)
+        assert b"\xff\xc1" in blob  # extended sequential frame
+        i = blob.find(b"\xff\xdb")
+        assert blob[i + 4] & 0x10  # pq=1: 16-bit quant entries
+        assert (decode_jpeg(blob)[3] == b8).all(), kw
+        prog = encode_jpeg_progressive(img, quality=90, precision=12, **kw)
+        assert (decode_jpeg(prog)[3] == b8).all(), kw
+
+    with pytest.raises(ValueError, match="precision"):
+        encode_jpeg(img, precision=10)
+    # hostile: a 14-bit SOF still gates loudly
+    blob = bytearray(encode_jpeg(img))
+    i = bytes(blob).find(b"\xff\xc0")
+    blob[i + 4] = 14
+    with pytest.raises(NotImplementedError, match="14-bit"):
+        decode_jpeg(bytes(blob))
