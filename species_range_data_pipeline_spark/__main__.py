@@ -201,12 +201,12 @@ def _probe(args) -> int:
     try:
         from species_range_data_pipeline_spark.multimodal import gif, jpeg, mp4
         from species_range_data_pipeline_spark.multimodal.codecs import (
-            PNG_SIGNATURE,
             decode_bmp,
             decode_png,
         )
         from species_range_data_pipeline_spark.multimodal.media import (
             _audio_metadata,
+            sniff_image_format,
         )
         from species_range_data_pipeline_spark.sources.subtitles import (
             parse_srt,
@@ -214,19 +214,20 @@ def _probe(args) -> int:
         )
 
         name = args.file.lower()
-        if blob[:8] == PNG_SIGNATURE:
+        fmt = sniff_image_format(blob)
+        if fmt == "png":
             w, h, c, _ = decode_png(blob)
             out |= {"kind": "image", "format": "png", "width": w,
                     "height": h, "channels": c}
-        elif blob[:3] == b"\xff\xd8\xff":
+        elif fmt == "jpeg":
             w, h, c, _ = jpeg.decode_jpeg(blob)
             out |= {"kind": "image", "format": "jpeg", "width": w,
                     "height": h, "channels": c,
-                    "progressive": b"\xff\xc2" in blob.split(b"\xff\xda")[0]}
-        elif blob[:6] in gif.GIF_SIGNATURES:
+                    "progressive": jpeg.jpeg_is_progressive(blob)}
+        elif fmt == "gif":
             w, h, c, _ = gif.decode_gif(blob)
             out |= {"kind": "image", "format": "gif", "width": w, "height": h}
-        elif blob[:2] == b"BM":
+        elif fmt == "bmp":
             w, h, c, _ = decode_bmp(blob)
             out |= {"kind": "image", "format": "bmp", "width": w, "height": h}
         elif blob[4:8] == b"ftyp":

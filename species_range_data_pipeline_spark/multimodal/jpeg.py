@@ -44,7 +44,12 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_jpeg", "encode_jpeg", "encode_jpeg_progressive"]
+__all__ = [
+    "decode_jpeg",
+    "encode_jpeg",
+    "encode_jpeg_progressive",
+    "jpeg_is_progressive",
+]
 
 
 def _zigzag() -> np.ndarray:
@@ -334,6 +339,10 @@ def _decode_scan(blob, pos, frame, scan, qt, huff, restart_interval):
             )
     reader = _BitReader(blob, pos)
     preds = {c["id"]: 0 for c, _, _ in scan}
+    # loop-invariant: one scaled table per component, hoisted out of the
+    # MCU loop (dividing 64 floats per block again would dominate the
+    # hot path, and qdiv is 1.0 for every 8-bit file)
+    qcomp = {c["id"]: qt[c["tq"]] / qdiv for c, _, _ in scan}
     rst_n = 0
     mcu_count = 0
     for my in range(mcuy):
@@ -346,7 +355,7 @@ def _decode_scan(blob, pos, frame, scan, qt, huff, restart_interval):
             mcu_count += 1
             for comp, td, ta in scan:
                 cid = comp["id"]
-                q = qt[comp["tq"]] / qdiv
+                q = qcomp[cid]
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
                         block, preds[cid] = _decode_block(
@@ -1114,3 +1123,29 @@ def encode_jpeg_progressive(
             out += bytes(writer.out)
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def jpeg_is_progressive(blob: bytes) -> bool:
+    """Marker-segment walk for the frame kind: True iff the file's SOF is
+    SOF2.  A raw byte scan for FF C2 false-positives on marker payloads
+    (they are NOT byte-stuffed), so this walks segment lengths like the
+    decoder does."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    pos = 2
+    while pos + 1 < len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = blob[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker in (0xD9, 0xDA):
+            break
+        if marker == 0xC2:
+            return True
+        if marker in (0xC0, 0xC1):
+            return False
+        (seglen,) = struct.unpack_from(">H", blob, pos)
+        pos += seglen
+    return False

@@ -106,6 +106,23 @@ def make_media_table(spark: SparkSession, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def sniff_image_format(payload: bytes) -> str | None:
+    """Signature-based image format sniff — the ONE place the dispatch
+    lives (``_decode_payload`` and the ``probe`` CLI both route through
+    it, so a new codec wires in once)."""
+    if payload[:7] == b"FAKEIMG":
+        return "fakeimg"
+    if payload[:8] == codecs.PNG_SIGNATURE:
+        return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:6] in gif.GIF_SIGNATURES:
+        return "gif"
+    return None
+
+
 def _decode_payload(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     """The image codec seam: FAKEIMG, real PNG, and real JPEG (baseline
     and progressive) all decode via ``jpeg.decode_jpeg``.
@@ -114,17 +131,18 @@ def _decode_payload(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     feature kernel (means, aHash, resize) sees one shape regardless of
     source format.
     """
-    if payload[:7] == b"FAKEIMG":
+    fmt = sniff_image_format(payload)
+    if fmt == "fakeimg":
         w, h, c = struct.unpack_from("<HHB", payload, 7)
         px = np.frombuffer(payload, dtype=np.uint8, offset=12)
         return w, h, c, px.reshape(h, w, c)
-    if payload[:8] == codecs.PNG_SIGNATURE:
+    if fmt == "png":
         return codecs.decode_png(payload)
-    if payload[:3] == b"\xff\xd8\xff":
+    if fmt == "jpeg":
         return jpeg.decode_jpeg(payload)
-    if payload[:2] == b"BM":
+    if fmt == "bmp":
         return codecs.decode_bmp(payload)
-    if payload[:6] in gif.GIF_SIGNATURES:
+    if fmt == "gif":
         return gif.decode_gif(payload)
     raise ValueError(
         "unrecognized image payload (not FAKEIMG/PNG/JPEG/BMP/GIF)"

@@ -335,8 +335,12 @@ def _snappy_decompress(data: bytes) -> bytes:
                 pos += nb
             if off == 0 or off > len(out):
                 raise ValueError("snappy copy offset out of range")
-            for _ in range(ln):
-                out.append(out[-off])
+            if off >= ln:  # disjoint: one slice copy
+                start = len(out) - off
+                out += out[start : start + ln]
+            else:  # overlapping (RLE): byte-serial by definition
+                for _ in range(ln):
+                    out.append(out[-off])
         if len(out) > n:
             raise ValueError("snappy output exceeds its declared length")
     if len(out) != n:

@@ -69,8 +69,16 @@ def _parse_cues(body: str) -> list[dict]:
             return
         lines = list(block)
         block.clear()
-        if lines[0].strip().upper().startswith(("NOTE", "STYLE", "REGION")):
-            return  # VTT metadata blocks carry no cues
+        # VTT metadata blocks: NOTE is the exact word (then space/EOL),
+        # STYLE/REGION whole lines — and NEVER a block that contains a
+        # timestamp line (a cue id may legitimately start with "Notes"
+        # or "region-1"; dropping those silently would eat real cues)
+        head = lines[0].strip()
+        is_meta = head.upper() in ("STYLE", "REGION") or (
+            head.upper() == "NOTE" or head.upper().startswith("NOTE ")
+        )
+        if is_meta and not any(_CUE_LINE.match(ln) for ln in lines):
+            return
         # optional identifier line (SRT counter / VTT cue id) before -->
         if not _CUE_LINE.match(lines[0]) and len(lines) > 1 and _CUE_LINE.match(lines[1]):
             lines = lines[1:]
@@ -111,14 +119,23 @@ def parse_srt(blob: bytes) -> list[dict]:
 
 
 def parse_vtt(blob: bytes) -> list[dict]:
-    """WebVTT bytes -> cue dicts; requires the WEBVTT magic, skips
-    NOTE/STYLE/REGION blocks, strips ``<v>``/``<c>`` spans, captures the
-    speaker from the first voice span."""
+    """WebVTT bytes -> cue dicts; requires the WEBVTT magic, skips the
+    whole header block (``Kind:``/``Language:`` lines run until the
+    first blank line) and NOTE/STYLE/REGION blocks, strips
+    ``<v>``/``<c>`` spans, captures the speaker from the first voice
+    span."""
     text = blob.decode("utf-8", errors="replace").lstrip("﻿")
     first, _, rest = text.partition("\n")
     if not first.strip().startswith("WEBVTT"):
         raise ValueError("not WebVTT: missing WEBVTT header line")
-    return _parse_cues(rest)
+    # the header BLOCK extends to the first blank line: metadata lines
+    # like "Kind: captions" belong to it, not to the first cue — consume
+    # non-blank non-timestamp lines from the top
+    lines = rest.replace("\r\n", "\n").replace("\r", "\n").split("\n")
+    i = 0
+    while i < len(lines) and lines[i].strip() and not _CUE_LINE.match(lines[i]):
+        i += 1
+    return _parse_cues("\n".join(lines[i:]))
 
 
 CUE_SCHEMA = T.StructType(

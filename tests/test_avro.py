@@ -91,7 +91,7 @@ def test_avro_container_guards(tmp_path):
         parse_avro(bytes(blob))
 
 
-@pytest.mark.parametrize("codec", ["deflate", "snappy"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
 def test_avro_fuzz_contract(tmp_path, codec):
     import random
 

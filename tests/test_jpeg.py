@@ -363,3 +363,23 @@ def test_12bit_precision_twins_and_16bit_dqt():
     blob[i + 4] = 14
     with pytest.raises(NotImplementedError, match="14-bit"):
         decode_jpeg(bytes(blob))
+
+
+def test_jpeg_is_progressive_walks_segments_not_bytes():
+    """The frame-kind probe must walk marker segments: FF C2 inside a
+    pre-SOS payload (marker payloads are NOT byte-stuffed) is data, not
+    a frame marker."""
+    from species_range_data_pipeline_spark.multimodal.jpeg import (
+        jpeg_is_progressive,
+    )
+
+    img = _smooth_rgb(16, 16)
+    base = encode_jpeg(img)
+    prog = encode_jpeg_progressive(img)
+    assert not jpeg_is_progressive(base)
+    assert jpeg_is_progressive(prog)
+    # inject an APP1 segment whose payload contains FF C2 right after SOI
+    app1 = b"\xff\xe1" + (6).to_bytes(2, "big") + b"\xff\xc2\x00\x00"
+    spiked = base[:2] + app1 + base[2:]
+    assert not jpeg_is_progressive(spiked)
+    assert (decode_jpeg(spiked)[3] == decode_jpeg(base)[3]).all()

@@ -95,3 +95,25 @@ def test_spark_cue_reader_with_error_channel(spark, tmp_path):
         by_file.setdefault(r.path.rsplit("/", 1)[-1], []).append(r)
     assert [r.cue_idx for r in sorted(by_file["a.srt"], key=lambda r: r.cue_idx)] == [0, 1]
     assert by_file["b.vtt"][0].speaker == "Alice"
+
+
+def test_vtt_header_metadata_and_lookalike_cue_ids():
+    """Review regressions: header metadata lines (Kind:/Language:) after
+    WEBVTT must not eat the first cue, and cue identifiers that merely
+    START with note/style/region are real cues, not metadata blocks."""
+    vtt = (
+        b"WEBVTT\nKind: captions\nLanguage: en\n\n"
+        b"00:01.000 --> 00:02.000\nhello\n"
+    )
+    cues = parse_vtt(vtt)
+    assert len(cues) == 1 and cues[0]["text"] == "hello"
+
+    vtt2 = (
+        b"WEBVTT\n\n"
+        b"regional-caption-1\n00:01.000 --> 00:02.000\none\n\n"
+        b"Notes for later\n00:03.000 --> 00:04.000\ntwo\n\n"
+        b"style-2\n00:05.000 --> 00:06.000\nthree\n\n"
+        b"NOTE a real comment\nstill the comment\n"
+    )
+    cues = parse_vtt(vtt2)
+    assert [c["text"] for c in cues] == ["one", "two", "three"]
