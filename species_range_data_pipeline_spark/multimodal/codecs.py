@@ -10,9 +10,9 @@ a training-data pipeline actually meets in bulk:
   sequential or Adam7-interlaced; color types 0 (gray), 2 (RGB), 3
   (palette), 4 (gray+alpha), 6 (RGBA).
 * WAV: RIFF/WAVE with PCM 8-bit unsigned, 16-bit signed, 24-bit signed,
-  and IEEE float32 ``data`` chunks; any channel count; plain and
-  WAVE_FORMAT_EXTENSIBLE headers (format tag from the SubFormat GUID).
-  Compressed codecs (ADPCM, MP3-in-WAV) raise loudly.
+  IEEE float32, and IMA/DVI ADPCM ``data`` chunks; any channel count;
+  plain and WAVE_FORMAT_EXTENSIBLE headers (format tag from the
+  SubFormat GUID).  MS-ADPCM and MP3-in-WAV raise loudly.
 
 Reference parity note: the reference ETL never touches raster imagery
 directly (arcpy handles its GeoTIFFs); this module serves the builder-brief
@@ -272,6 +272,78 @@ def encode_png(px: np.ndarray, interlace: bool = False) -> bytes:
     )
 
 
+#: IMA/DVI ADPCM step-size table (the 89-entry constant from the IMA
+#: ADPCM reference algorithm, also in RFC 3551 §4.5.1)
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_decode_nibbles(nibbles, pred: int, index: int, out: list[int]):
+    """The IMA ADPCM inner loop: one 4-bit code -> one int16 sample."""
+    for n in nibbles:
+        step = _IMA_STEPS[index]
+        delta = step >> 3
+        if n & 1:
+            delta += step >> 2
+        if n & 2:
+            delta += step >> 1
+        if n & 4:
+            delta += step
+        pred = pred - delta if n & 8 else pred + delta
+        pred = max(-32768, min(32767, pred))
+        out.append(pred)
+        index = max(0, min(88, index + _IMA_INDEX[n & 7]))
+    return pred, index
+
+
+def _decode_ima_adpcm(
+    data: bytes, n_channels: int, block_align: int
+) -> np.ndarray:
+    """IMA/DVI ADPCM (WAV format 0x11) -> (n_frames, n_channels) int16.
+    Per block and channel: a 4-byte header (int16 predictor, step index,
+    reserved) seeds the decoder, then the channels' nibble data
+    interleaves in 4-byte words."""
+    if n_channels < 1 or block_align < 4 * n_channels:
+        raise ValueError("implausible ADPCM block geometry")
+    chans: list[list[int]] = [[] for _ in range(n_channels)]
+    for base in range(0, len(data) - block_align + 1, block_align):
+        block = data[base : base + block_align]
+        preds, idxs = [], []
+        for c in range(n_channels):
+            pred = struct.unpack_from("<h", block, 4 * c)[0]
+            index = block[4 * c + 2]
+            if index > 88:
+                raise ValueError(f"ADPCM step index {index} out of range")
+            preds.append(pred)
+            idxs.append(index)
+            chans[c].append(pred)  # the header predictor IS sample 0
+        pos = 4 * n_channels
+        while pos + 4 * n_channels <= len(block):
+            for c in range(n_channels):
+                word = block[pos + 4 * c : pos + 4 * c + 4]
+                nibbles = []
+                for byte in word:  # low nibble first, per the IMA layout
+                    nibbles.append(byte & 0xF)
+                    nibbles.append(byte >> 4)
+                preds[c], idxs[c] = _ima_decode_nibbles(
+                    nibbles, preds[c], idxs[c], chans[c]
+                )
+            pos += 4 * n_channels
+    n_frames = min(len(ch) for ch in chans)
+    out = np.empty((n_frames, n_channels), dtype=np.int16)
+    for c in range(n_channels):
+        out[:, c] = chans[c][:n_frames]
+    return out
+
+
 def decode_wav(blob: bytes) -> tuple[int, int, np.ndarray]:
     """Decode RIFF/WAVE -> (sample_rate, n_channels, int16 array
     (n_frames, n_channels)).
@@ -341,10 +413,13 @@ def _decode_wav(blob: bytes) -> tuple[int, int, np.ndarray]:
     elif audio_format == 3 and bits == 32:
         f = np.clip(np.frombuffer(data, dtype="<f4"), -1.0, 1.0)
         samples = (f * 32767.0).astype(np.int16)
+    elif audio_format == 0x11 and bits == 4:
+        frames = _decode_ima_adpcm(data, n_channels, _block_align)
+        return sample_rate, n_channels, frames
     else:
         raise NotImplementedError(
             f"WAV format {audio_format} / {bits}-bit is not supported "
-            "(PCM 8/16/24-bit and float32 only)"
+            "(PCM 8/16/24-bit, float32, and IMA ADPCM only)"
         )
     if n_channels < 1:
         raise ValueError("WAV with zero channels")

@@ -509,3 +509,87 @@ def test_png_subbyte_adam7():
     w, h, c, got = decode_png(blob)
     assert (w, h, c) == (9, 9, 1)
     assert np.array_equal(got[:, :, 0], img * 85)
+
+
+def test_wav_ima_adpcm_decodes():
+    """IMA/DVI ADPCM (WAV format 0x11): a reference encoder (canonical
+    quantize + the same predictor recurrence, written here from the IMA
+    algorithm) compresses random audio; our decoder must reproduce the
+    encoder's reconstruction track EXACTLY — ADPCM decode mirrors the
+    encoder's internal state by construction.  Mono and stereo."""
+    from species_range_data_pipeline_spark.multimodal.codecs import (
+        _IMA_INDEX,
+        _IMA_STEPS,
+    )
+
+    def encode_block(samples, pred, index):
+        nibbles, recon = [], []
+        for s in samples:
+            step = _IMA_STEPS[index]
+            diff = int(s) - pred
+            n = 8 if diff < 0 else 0
+            if diff < 0:
+                diff = -diff
+            if diff >= step:
+                n |= 4
+                diff -= step
+            if diff >= step >> 1:
+                n |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                n |= 1
+            delta = step >> 3
+            if n & 1:
+                delta += step >> 2
+            if n & 2:
+                delta += step >> 1
+            if n & 4:
+                delta += step
+            pred = pred - delta if n & 8 else pred + delta
+            pred = max(-32768, min(32767, pred))
+            index = max(0, min(88, index + _IMA_INDEX[n & 7]))
+            nibbles.append(n)
+            recon.append(pred)
+        return nibbles, recon, pred, index
+
+    rng = np.random.RandomState(31)
+    for n_ch in (1, 2):
+        # one block: 4-byte header per channel + 16 data bytes per channel
+        block_align = 4 * n_ch + 16 * n_ch
+        sig = np.cumsum(rng.randint(-800, 800, (33, n_ch)), axis=0)
+        sig = np.clip(sig, -32768, 32767).astype(np.int16)
+        body = bytearray()
+        want_ch = []
+        nib_ch = []
+        for c in range(n_ch):
+            pred, index = int(sig[0, c]), 0
+            nibs, recon, _, _ = encode_block(sig[1:, c], pred, index)
+            body += struct.pack("<hBB", pred, index, 0)
+            want_ch.append([pred] + recon)
+            nib_ch.append(nibs)
+        # data: 4-byte words interleaved per channel, low nibble first
+        for w in range(4):  # 32 nibbles / 8 per word
+            for c in range(n_ch):
+                for b in range(4):
+                    lo = nib_ch[c][w * 8 + 2 * b]
+                    hi = nib_ch[c][w * 8 + 2 * b + 1]
+                    body.append(lo | (hi << 4))
+        fmt = struct.pack(
+            "<HHIIHHHH", 0x11, n_ch, 8000, 8000 * block_align // 64,
+            block_align, 4, 2, 1 + 16 * 2,
+        )
+        payload = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                   + b"data" + struct.pack("<I", len(body)) + bytes(body))
+        blob = b"RIFF" + struct.pack("<I", len(payload)) + payload
+        rate, nch, got = decode_wav(blob)
+        assert (rate, nch) == (8000, n_ch)
+        assert got.shape == (33, n_ch)
+        for c in range(n_ch):
+            assert got[:, c].tolist() == want_ch[c], (n_ch, c)
+
+    # hostile: out-of-range step index refuses
+    bad = bytearray(blob)
+    i = blob.find(b"data") + 8 + 2
+    bad[i] = 99
+    with pytest.raises(ValueError, match="step index"):
+        decode_wav(bytes(bad))
