@@ -10,9 +10,9 @@ a training-data pipeline actually meets in bulk:
   sequential or Adam7-interlaced; color types 0 (gray), 2 (RGB), 3
   (palette), 4 (gray+alpha), 6 (RGBA).
 * WAV: RIFF/WAVE with PCM 8-bit unsigned, 16-bit signed, 24-bit signed,
-  IEEE float32, and IMA/DVI ADPCM ``data`` chunks; any channel count;
-  plain and WAVE_FORMAT_EXTENSIBLE headers (format tag from the
-  SubFormat GUID).  MS-ADPCM and MP3-in-WAV raise loudly.
+  IEEE float32, IMA/DVI ADPCM, and MS-ADPCM ``data`` chunks; any
+  channel count; plain and WAVE_FORMAT_EXTENSIBLE headers (format tag
+  from the SubFormat GUID).  GSM/A-law/MP3-in-WAV raise loudly.
 
 Reference parity note: the reference ETL never touches raster imagery
 directly (arcpy handles its GeoTIFFs); this module serves the builder-brief
@@ -344,6 +344,65 @@ def _decode_ima_adpcm(
     return out
 
 
+#: MS-ADPCM adaptation table and the 7 standard predictor coefficient
+#: pairs (Microsoft WAVE format 0x02 specification)
+_MS_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+_MS_COEFS = [(256, 0), (512, -256), (0, 0), (192, 64),
+             (240, 0), (460, -208), (392, -232)]
+
+
+def _decode_ms_adpcm(
+    data: bytes, n_channels: int, block_align: int
+) -> np.ndarray:
+    """MS-ADPCM (WAV format 0x02) -> (n_frames, n_channels) int16.
+    Per block: one predictor index + initial delta + two seed samples
+    per channel (the seeds ARE the first two output frames, newest
+    second), then channel-interleaved 4-bit codes, high nibble first."""
+    header = 7 * n_channels
+    if n_channels < 1 or block_align <= header:
+        raise ValueError("implausible MS-ADPCM block geometry")
+    chans: list[list[int]] = [[] for _ in range(n_channels)]
+    for base in range(0, len(data) - block_align + 1, block_align):
+        block = data[base : base + block_align]
+        c1, c2, delta, s1, s2 = [], [], [], [], []
+        for c in range(n_channels):
+            pred = block[c]
+            if pred >= len(_MS_COEFS):
+                raise ValueError(f"MS-ADPCM predictor {pred} out of range")
+            a, b = _MS_COEFS[pred]
+            c1.append(a)
+            c2.append(b)
+        off = n_channels
+        for c in range(n_channels):
+            delta.append(struct.unpack_from("<h", block, off + 2 * c)[0])
+        off += 2 * n_channels
+        for c in range(n_channels):
+            s1.append(struct.unpack_from("<h", block, off + 2 * c)[0])
+        off += 2 * n_channels
+        for c in range(n_channels):
+            s2.append(struct.unpack_from("<h", block, off + 2 * c)[0])
+        off += 2 * n_channels
+        for c in range(n_channels):  # seeds: older (s2) then newer (s1)
+            chans[c] += [s2[c], s1[c]]
+        nib_i = 0
+        for byte in block[off:]:
+            for nib in (byte >> 4, byte & 0xF):
+                c = nib_i % n_channels
+                nib_i += 1
+                signed = nib - 16 if nib & 8 else nib
+                pred = (s1[c] * c1[c] + s2[c] * c2[c]) // 256 + signed * delta[c]
+                pred = max(-32768, min(32767, pred))
+                s2[c], s1[c] = s1[c], pred
+                delta[c] = max(16, (_MS_ADAPT[nib] * delta[c]) // 256)
+                chans[c].append(pred)
+    n_frames = min(len(ch) for ch in chans)
+    out = np.empty((n_frames, n_channels), dtype=np.int16)
+    for c in range(n_channels):
+        out[:, c] = chans[c][:n_frames]
+    return out
+
+
 def decode_wav(blob: bytes) -> tuple[int, int, np.ndarray]:
     """Decode RIFF/WAVE -> (sample_rate, n_channels, int16 array
     (n_frames, n_channels)).
@@ -416,10 +475,13 @@ def _decode_wav(blob: bytes) -> tuple[int, int, np.ndarray]:
     elif audio_format == 0x11 and bits == 4:
         frames = _decode_ima_adpcm(data, n_channels, _block_align)
         return sample_rate, n_channels, frames
+    elif audio_format == 0x02 and bits == 4:
+        frames = _decode_ms_adpcm(data, n_channels, _block_align)
+        return sample_rate, n_channels, frames
     else:
         raise NotImplementedError(
             f"WAV format {audio_format} / {bits}-bit is not supported "
-            "(PCM 8/16/24-bit, float32, and IMA ADPCM only)"
+            "(PCM 8/16/24-bit, float32, IMA and MS ADPCM only)"
         )
     if n_channels < 1:
         raise ValueError("WAV with zero channels")

@@ -176,7 +176,7 @@ def test_wav_odd_chunk_padding_and_gates():
     assert got[:, 0].tolist() == [1, -1]
 
     with pytest.raises(NotImplementedError, match="not supported"):
-        decode_wav(_build_wav(2, 1, 8000, 4, b"\x00\x00"))  # ADPCM
+        decode_wav(_build_wav(0x31, 1, 8000, 0, b"\x00\x00"))  # GSM 6.10
     with pytest.raises(ValueError, match="RIFF"):
         decode_wav(b"not audio")
 
@@ -592,4 +592,79 @@ def test_wav_ima_adpcm_decodes():
     i = blob.find(b"data") + 8 + 2
     bad[i] = 99
     with pytest.raises(ValueError, match="step index"):
+        decode_wav(bytes(bad))
+
+
+def test_wav_ms_adpcm_decodes():
+    """MS-ADPCM (format 0x02): reference encoder (the published
+    predictor/delta adaptation) built here; decode must equal its
+    reconstruction track exactly, seeds included, mono and stereo."""
+    from species_range_data_pipeline_spark.multimodal.codecs import (
+        _MS_ADAPT,
+        _MS_COEFS,
+    )
+
+    def encode(samples, pred_idx, delta, s2, s1):
+        a, b = _MS_COEFS[pred_idx]
+        nibs, recon = [], []
+        for s in samples:
+            base = (s1 * a + s2 * b) // 256
+            err = int(s) - base
+            code = max(-8, min(7, int(err / delta) if delta else 0))
+            nib = code & 0xF
+            pred = base + code * delta
+            pred = max(-32768, min(32767, pred))
+            s2, s1 = s1, pred
+            delta = max(16, (_MS_ADAPT[nib] * delta) // 256)
+            nibs.append(nib)
+            recon.append(pred)
+        return nibs, recon
+
+    rng = np.random.RandomState(41)
+    for n_ch in (1, 2):
+        data_bytes = 8  # 16 nibbles total across channels
+        block_align = 7 * n_ch + data_bytes
+        n_codes = data_bytes * 2 // n_ch
+        sig = np.clip(
+            np.cumsum(rng.randint(-500, 500, (n_codes, n_ch)), axis=0),
+            -32768, 32767,
+        )
+        body = bytearray()
+        nib_ch, want_ch = [], []
+        for c in range(n_ch):
+            s2, s1, delta, pidx = 100 * (c + 1), 300 * (c + 1), 64, 0
+            nibs, recon = encode(sig[:, c], pidx, delta, s2, s1)
+            nib_ch.append(nibs)
+            want_ch.append([s2, s1] + recon)
+        for c in range(n_ch):
+            body.append(0)  # predictor index
+        for c in range(n_ch):
+            body += struct.pack("<h", 64)
+        for c in range(n_ch):
+            body += struct.pack("<h", 300 * (c + 1))  # s1 (newer)
+        for c in range(n_ch):
+            body += struct.pack("<h", 100 * (c + 1))  # s2 (older)
+        # interleave nibbles channel-round-robin, high nibble first
+        flat = []
+        for i in range(n_codes):
+            for c in range(n_ch):
+                flat.append(nib_ch[c][i])
+        for i in range(0, len(flat), 2):
+            body.append((flat[i] << 4) | flat[i + 1])
+        fmt = struct.pack(
+            "<HHIIHHHH", 0x02, n_ch, 8000, 4000, block_align, 4, 2, 0
+        )
+        payload = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                   + b"data" + struct.pack("<I", len(body)) + bytes(body))
+        blob = b"RIFF" + struct.pack("<I", len(payload)) + payload
+        rate, nch, got = decode_wav(blob)
+        assert (rate, nch) == (8000, n_ch)
+        for c in range(n_ch):
+            assert got[:, c].tolist() == want_ch[c], (n_ch, c)
+
+    # hostile: predictor index past the coefficient table refuses
+    bad = bytearray(blob)
+    i = blob.find(b"data") + 8
+    bad[i] = 9
+    with pytest.raises(ValueError, match="predictor"):
         decode_wav(bytes(bad))
