@@ -233,6 +233,10 @@ def _decode_jpeg(blob: bytes) -> tuple[int, int, int, np.ndarray]:
     while pos + 1 < len(blob):
         if blob[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        while pos + 1 < len(blob) and blob[pos + 1] == 0xFF:
+            pos += 1  # B.1.1.2: any number of FF fill bytes may pad a marker
+        if pos + 1 >= len(blob):
+            break
         marker = blob[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -1136,6 +1140,10 @@ def jpeg_is_progressive(blob: bytes) -> bool:
     while pos + 1 < len(blob):
         if blob[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        while pos + 1 < len(blob) and blob[pos + 1] == 0xFF:
+            pos += 1  # B.1.1.2: any number of FF fill bytes may pad a marker
+        if pos + 1 >= len(blob):
+            break
         marker = blob[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:

@@ -377,20 +377,39 @@ def _audio_metadata(payload: bytes) -> dict:
             "bitrate_kbps": round(rate * 16 / 1000, 1),
         }
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        fmt, data_len = None, None
+        fmt, fmt_body, data_len = None, None, None
         for ctype, body in codecs.riff_chunks(payload):
             if ctype == b"fmt ":
                 fmt = struct.unpack_from("<HHIIHH", body, 0)
+                fmt_body = body
             elif ctype == b"data":
                 data_len = len(body)
         if fmt is None or data_len is None:
             raise ValueError("WAV missing fmt/data chunk")
-        _, nch, rate, byte_rate, block_align, _ = fmt
+        tag, nch, rate, byte_rate, block_align, _ = fmt
         if nch < 1 or block_align < 1 or rate < 1:
             raise ValueError("WAV header with zero channels/rate")
+        if tag == 0xFFFE and len(fmt_body) >= 40:
+            # WAVE_FORMAT_EXTENSIBLE: real tag leads the SubFormat GUID
+            tag = struct.unpack_from("<H", fmt_body, 24)[0]
+        # data_len/block_align counts BLOCKS; for PCM/float a block is one
+        # frame, but ADPCM packs many samples per block — duration must
+        # scale by samples-per-block or compressed WAVs underreport ~20x.
+        if tag in (1, 3):
+            frames = data_len // block_align
+        elif tag == 0x11:  # IMA ADPCM: 4B/ch header word + 4-bit nibbles
+            frames = (data_len // block_align) * (
+                (block_align - 4 * nch) * 2 // nch + 1
+            )
+        elif tag == 0x02:  # MS-ADPCM: 7B/ch preamble holds 2 samples
+            frames = (data_len // block_align) * (
+                (block_align - 7 * nch) * 2 // nch + 2
+            )
+        else:
+            raise ValueError(f"WAV format 0x{tag:02x}: unknown frames-per-block")
         return {
             "container": "wav", "sample_rate": int(rate), "channels": int(nch),
-            "duration_s": round(data_len / block_align / rate, 3),
+            "duration_s": round(frames / rate, 3),
             "bitrate_kbps": round(byte_rate * 8 / 1000, 1),
         }
     if payload[:3] == b"ID3" or (

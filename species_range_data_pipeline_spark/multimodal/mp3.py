@@ -142,7 +142,16 @@ def _parse_mp3_metadata(blob: bytes) -> dict:
     tag = _xing_frames(blob, pos, version_id, channels) if layer == 3 else None
     if tag is not None:
         n_frames, vbr = tag
-        audio_bytes = len(blob) - pos
+        end = len(blob)
+        # trailing ID3v1 (fixed 128B "TAG") / APE footer aren't audio —
+        # counting them would inflate the VBR-tag-path average bitrate
+        if end - pos >= 128 and blob[end - 128 : end - 125] == b"TAG":
+            end -= 128
+        if end - pos >= 32 and blob[end - 32 : end - 24] == b"APETAGEX":
+            ape_size = struct.unpack_from("<I", blob, end - 20)[0]
+            if 32 <= ape_size <= end - pos:
+                end -= ape_size
+        audio_bytes = end - pos
     else:
         n_frames = 0
         bitrates = set()

@@ -45,9 +45,12 @@ def _ts_ms(ts: str) -> int:
     m = _TS.fullmatch(ts.strip())
     if m is None:
         raise ValueError(f"bad subtitle timestamp {ts!r}")
-    h, mi, s, ms = (int(g or 0) for g in m.groups())
+    h, mi, s = (int(g or 0) for g in m.groups()[:3])
     if mi > 59 or s > 59:
         raise ValueError(f"bad subtitle timestamp {ts!r}")
+    # millis digits are positional: "01,5" means 500 ms, not 5 ms
+    frac = m.group(4)
+    ms = int(frac) * 10 ** (3 - len(frac))
     return ((h * 60 + mi) * 60 + s) * 1000 + ms
 
 

@@ -315,3 +315,75 @@ def test_mp3_truncation_contract_fixes():
     assert whole["n_frames"] == 10
     assert clipped["n_frames"] == 9
     assert clipped["duration_s"] < whole["duration_s"]
+
+
+def test_advice_r5_fixes():
+    """Round-5 review regressions: (1) ADPCM WAV duration scales by
+    samples-per-block; (2) Xing-path bitrate excludes trailing ID3v1/APE
+    tags; (3) subtitle millis are positional; (4) JPEG marker walks skip
+    FF fill bytes."""
+    import struct
+
+    import pytest as _pytest
+
+    from species_range_data_pipeline_spark.multimodal.media import _audio_metadata
+    from species_range_data_pipeline_spark.multimodal.mp3 import (
+        encode_mp3_frames,
+        parse_mp3_metadata,
+    )
+    from species_range_data_pipeline_spark.sources.subtitles import _ts_ms
+
+    def wav_header(tag, nch, rate, block_align, n_blocks, bits):
+        fmt = struct.pack(
+            "<HHIIHH", tag, nch, rate, rate * block_align, block_align, bits
+        )
+        body = b"\x00" * (block_align * n_blocks)
+        payload = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                   + b"data" + struct.pack("<I", len(body)) + body)
+        return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+    # IMA ADPCM mono, block_align=20: (20-4)*2+1 = 33 samples/block
+    m = _audio_metadata(wav_header(0x11, 1, 8000, 20, 5, 4))
+    assert m["duration_s"] == round(5 * 33 / 8000, 3)
+    # MS-ADPCM mono, block_align=32: (32-7)*2+2 = 52 samples/block
+    m = _audio_metadata(wav_header(0x02, 1, 8000, 32, 4, 4))
+    assert m["duration_s"] == round(4 * 52 / 8000, 3)
+    # PCM unchanged: block == frame
+    m = _audio_metadata(wav_header(1, 2, 8000, 4, 800, 16))
+    assert m["duration_s"] == 0.1
+    # unknown compressed format refuses rather than mis-reporting
+    with _pytest.raises(ValueError, match="frames-per-block"):
+        _audio_metadata(wav_header(0x55, 1, 8000, 144, 3, 0))
+
+    # Xing-path bitrate must not count a trailing ID3v1 / APE tag
+    xing = encode_mp3_frames(6, xing_frames=6)
+    clean = parse_mp3_metadata(xing)
+    with_id3v1 = parse_mp3_metadata(xing + b"TAG" + b"\x00" * 125)
+    ape = (b"APETAGEX" + struct.pack("<I", 2000) + struct.pack("<I", 64)
+           + b"\x00" * 16)
+    with_ape = parse_mp3_metadata(xing + b"\x00" * 32 + ape)
+    assert with_id3v1["bitrate_kbps"] == clean["bitrate_kbps"]
+    assert with_ape["bitrate_kbps"] == clean["bitrate_kbps"]
+
+    # positional millis: fewer digits mean higher units
+    assert _ts_ms("00:00:01,5") == 1500
+    assert _ts_ms("00:00:01,50") == 1500
+    assert _ts_ms("00:00:01,500") == 1500
+    assert _ts_ms("0:00:01.05") == 1050
+
+    # JPEG: FF fill bytes before a marker are spec-legal padding
+    import numpy as np
+
+    from species_range_data_pipeline_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_is_progressive,
+    )
+
+    img = np.full((16, 16, 1), 128, dtype=np.uint8)
+    blob = encode_jpeg(img, quality=90)
+    sos = blob.find(b"\xff\xda")
+    padded = blob[:sos] + b"\xff\xff\xff" + blob[sos:]
+    assert not jpeg_is_progressive(padded)
+    w, h, c, _ = decode_jpeg(padded)
+    assert (w, h, c) == (16, 16, 1)
