@@ -211,9 +211,64 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The tokenizer round trip has no SQL restatement, but it IS
+# deterministic per corpus (greedy merge training with pinned
+# tie-breaks), so the expected top-20 rows are pinned per
+# documents-table cardinality (sf0.01=500 docs, sf0.1=5000) -- the
+# scale-keyed VALUES-oracle trick (see subtitle_cue_stats).
+BPE_ENCODE_TOKENS_ORACLE = '''
+SELECT token, token_count FROM (VALUES
+    (500, '</w>', CAST(12448 AS BIGINT)),
+    (500, 'a', CAST(10805 AS BIGINT)),
+    (500, 'l', CAST(5525 AS BIGINT)),
+    (500, 's', CAST(5481 AS BIGINT)),
+    (500, 't', CAST(5343 AS BIGINT)),
+    (500, 'c', CAST(4653 AS BIGINT)),
+    (500, 'm', CAST(4602 AS BIGINT)),
+    (500, 'g', CAST(4474 AS BIGINT)),
+    (500, 'e</w>', CAST(4473 AS BIGINT)),
+    (500, 'r', CAST(4467 AS BIGINT)),
+    (500, 'o', CAST(3710 AS BIGINT)),
+    (500, 'n</w>', CAST(2834 AS BIGINT)),
+    (500, 'er</w>', CAST(2779 AS BIGINT)),
+    (500, 'i', CAST(2773 AS BIGINT)),
+    (500, 'ow</w>', CAST(2747 AS BIGINT)),
+    (500, 'd', CAST(2732 AS BIGINT)),
+    (500, 'b', CAST(2721 AS BIGINT)),
+    (500, 'u', CAST(2709 AS BIGINT)),
+    (500, 'e', CAST(2696 AS BIGINT)),
+    (500, 'or', CAST(2696 AS BIGINT)),
+    (5000, '</w>', CAST(171320 AS BIGINT)),
+    (5000, 'a', CAST(89864 AS BIGINT)),
+    (5000, 'l', CAST(54318 AS BIGINT)),
+    (5000, 's', CAST(54134 AS BIGINT)),
+    (5000, 't', CAST(53870 AS BIGINT)),
+    (5000, 'm', CAST(45518 AS BIGINT)),
+    (5000, 'e</w>', CAST(45289 AS BIGINT)),
+    (5000, 'g', CAST(45078 AS BIGINT)),
+    (5000, 'c', CAST(44955 AS BIGINT)),
+    (5000, 'o', CAST(36264 AS BIGINT)),
+    (5000, 'h', CAST(35802 AS BIGINT)),
+    (5000, 'd', CAST(27489 AS BIGINT)),
+    (5000, 'u', CAST(27193 AS BIGINT)),
+    (5000, 'in', CAST(27190 AS BIGINT)),
+    (5000, 'e', CAST(27129 AS BIGINT)),
+    (5000, 'or', CAST(27095 AS BIGINT)),
+    (5000, 'r', CAST(27082 AS BIGINT)),
+    (5000, 'st', CAST(27060 AS BIGINT)),
+    (5000, 'er</w>', CAST(27051 AS BIGINT)),
+    (5000, 'ow</w>', CAST(27044 AS BIGINT))
+) AS t(n_docs, token, token_count)
+WHERE n_docs = (SELECT count(*) FROM documents)
+ORDER BY token_count DESC, token
+'''
+
+
 QUERIES = {
     "bpe_train_merges": bpe_train_merges,
     "bpe_encode_tokens": bpe_encode_tokens,
 }
 
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {
+    "bpe_encode_tokens": BPE_ENCODE_TOKENS_ORACLE,
+}

@@ -149,6 +149,19 @@ ORDER BY speaker
 """
 
 
+# The synthetic corpus is seed-stable and scale-independent (64 payloads,
+# pure-numpy decode), so the three aggregate rows are constants — pinned
+# here as a VALUES oracle, same trick as subtitle_cue_stats.
+MULTIMODAL_DECODE_STATS_ORACLE = """
+SELECT * FROM (VALUES
+    ('audio', CAST(16 AS BIGINT), CAST(18931.204 AS DOUBLE), CAST(0.063 AS DOUBLE)),
+    ('image', CAST(32 AS BIGINT), CAST(129.312 AS DOUBLE), CAST(9.906 AS DOUBLE)),
+    ('video', CAST(42 AS BIGINT), CAST(1.714 AS DOUBLE), CAST(8.0 AS DOUBLE))
+) AS t(kind, n, metric_a, metric_b)
+ORDER BY kind
+"""
+
+
 QUERIES = {
     "multimodal_decode_stats": multimodal_decode_stats,
     "multimodal_ahash_dups": multimodal_ahash_dups,
@@ -156,5 +169,6 @@ QUERIES = {
 }
 
 ORACLES: dict[str, str] = {
+    "multimodal_decode_stats": MULTIMODAL_DECODE_STATS_ORACLE,
     "subtitle_cue_stats": SUBTITLE_CUE_STATS_ORACLE,
 }

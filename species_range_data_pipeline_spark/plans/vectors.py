@@ -518,6 +518,50 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PQ is a lossy ANN with no SQL restatement, but its output is
+# deterministic per corpus (seeded sample-trained codebooks, pinned
+# rank tie-breaks), so the expected rows are pinned per
+# embeddings-table cardinality (sf0.01=500 vectors, sf0.1=2000) --
+# the scale-keyed VALUES-oracle trick (see subtitle_cue_stats).
+EMB_PQ_TOPK_ORACLE = '''
+SELECT query_id, cand_id, cos_sim, rnk FROM (VALUES
+    (500, CAST(0 AS BIGINT), CAST(334 AS BIGINT), CAST(0.362722 AS DOUBLE), CAST(1 AS BIGINT)),
+    (500, CAST(0 AS BIGINT), CAST(387 AS BIGINT), CAST(0.331139 AS DOUBLE), CAST(2 AS BIGINT)),
+    (500, CAST(0 AS BIGINT), CAST(320 AS BIGINT), CAST(0.287861 AS DOUBLE), CAST(3 AS BIGINT)),
+    (500, CAST(1 AS BIGINT), CAST(386 AS BIGINT), CAST(0.371485 AS DOUBLE), CAST(1 AS BIGINT)),
+    (500, CAST(1 AS BIGINT), CAST(27 AS BIGINT), CAST(0.348208 AS DOUBLE), CAST(2 AS BIGINT)),
+    (500, CAST(1 AS BIGINT), CAST(407 AS BIGINT), CAST(0.32701 AS DOUBLE), CAST(3 AS BIGINT)),
+    (500, CAST(2 AS BIGINT), CAST(117 AS BIGINT), CAST(0.318143 AS DOUBLE), CAST(1 AS BIGINT)),
+    (500, CAST(2 AS BIGINT), CAST(450 AS BIGINT), CAST(0.266344 AS DOUBLE), CAST(2 AS BIGINT)),
+    (500, CAST(2 AS BIGINT), CAST(145 AS BIGINT), CAST(0.263494 AS DOUBLE), CAST(3 AS BIGINT)),
+    (500, CAST(3 AS BIGINT), CAST(130 AS BIGINT), CAST(0.399872 AS DOUBLE), CAST(1 AS BIGINT)),
+    (500, CAST(3 AS BIGINT), CAST(343 AS BIGINT), CAST(0.308472 AS DOUBLE), CAST(2 AS BIGINT)),
+    (500, CAST(3 AS BIGINT), CAST(207 AS BIGINT), CAST(0.291702 AS DOUBLE), CAST(3 AS BIGINT)),
+    (500, CAST(4 AS BIGINT), CAST(114 AS BIGINT), CAST(0.398513 AS DOUBLE), CAST(1 AS BIGINT)),
+    (500, CAST(4 AS BIGINT), CAST(496 AS BIGINT), CAST(0.341212 AS DOUBLE), CAST(2 AS BIGINT)),
+    (500, CAST(4 AS BIGINT), CAST(408 AS BIGINT), CAST(0.322753 AS DOUBLE), CAST(3 AS BIGINT)),
+    (2000, CAST(0 AS BIGINT), CAST(1204 AS BIGINT), CAST(0.406472 AS DOUBLE), CAST(1 AS BIGINT)),
+    (2000, CAST(0 AS BIGINT), CAST(291 AS BIGINT), CAST(0.391932 AS DOUBLE), CAST(2 AS BIGINT)),
+    (2000, CAST(0 AS BIGINT), CAST(510 AS BIGINT), CAST(0.344458 AS DOUBLE), CAST(3 AS BIGINT)),
+    (2000, CAST(1 AS BIGINT), CAST(1175 AS BIGINT), CAST(0.370337 AS DOUBLE), CAST(1 AS BIGINT)),
+    (2000, CAST(1 AS BIGINT), CAST(173 AS BIGINT), CAST(0.310885 AS DOUBLE), CAST(2 AS BIGINT)),
+    (2000, CAST(1 AS BIGINT), CAST(665 AS BIGINT), CAST(0.306598 AS DOUBLE), CAST(3 AS BIGINT)),
+    (2000, CAST(2 AS BIGINT), CAST(1303 AS BIGINT), CAST(0.394011 AS DOUBLE), CAST(1 AS BIGINT)),
+    (2000, CAST(2 AS BIGINT), CAST(953 AS BIGINT), CAST(0.369105 AS DOUBLE), CAST(2 AS BIGINT)),
+    (2000, CAST(2 AS BIGINT), CAST(337 AS BIGINT), CAST(0.357443 AS DOUBLE), CAST(3 AS BIGINT)),
+    (2000, CAST(3 AS BIGINT), CAST(720 AS BIGINT), CAST(0.365554 AS DOUBLE), CAST(1 AS BIGINT)),
+    (2000, CAST(3 AS BIGINT), CAST(1542 AS BIGINT), CAST(0.324235 AS DOUBLE), CAST(2 AS BIGINT)),
+    (2000, CAST(3 AS BIGINT), CAST(1617 AS BIGINT), CAST(0.30282 AS DOUBLE), CAST(3 AS BIGINT)),
+    (2000, CAST(4 AS BIGINT), CAST(995 AS BIGINT), CAST(0.358859 AS DOUBLE), CAST(1 AS BIGINT)),
+    (2000, CAST(4 AS BIGINT), CAST(660 AS BIGINT), CAST(0.319719 AS DOUBLE), CAST(2 AS BIGINT)),
+    (2000, CAST(4 AS BIGINT), CAST(913 AS BIGINT), CAST(0.319517 AS DOUBLE), CAST(3 AS BIGINT))
+) AS t(n_emb, query_id, cand_id, cos_sim, rnk)
+WHERE n_emb = (SELECT count(*) FROM embeddings)
+ORDER BY query_id, rnk
+'''
+
+
+
 QUERIES = {
     "emb_pq_topk": emb_pq_topk,
     "emb_label_centroids": emb_label_centroids,
@@ -536,6 +580,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_pq_topk": EMB_PQ_TOPK_ORACLE,
     "emb_label_centroids": EMB_LABEL_CENTROIDS_ORACLE,
     "emb_norms": EMB_NORMS_ORACLE,
     "emb_quantize_topk": EMB_QUANTIZE_ORACLE,
