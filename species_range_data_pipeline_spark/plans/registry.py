@@ -26,80 +26,83 @@ _MODULE_NAMES = [
 ]
 
 # The driver's correctness gate samples the FIRST 50 queries in dict
-# iteration order.  Module-order iteration alone concentrates that window
-# on the oldest relational/TPC-H families, so the window is curated here:
-# the flagship, a relational/TPC-H core slice, and 2-4 representatives
-# from EVERY plan module (all 16), so each operator family produces
-# driver-visible correctness evidence.  The remaining queries follow in
-# module order and are covered by tests/test_oracle_parity.py locally.
+# iteration order.  The window is curated here and ROTATES each round
+# (VERDICT r5 #1): driver-green evidence accumulates across rounds toward
+# all registered queries, so already-green slots are swapped for queries
+# that have never had a driver row.  Invariants (pinned by
+# tests/test_registry.py): exactly 50 names, every plan module (all 16)
+# represented, every name resolves, every name oracle-backed.
+#
+# Round-6 window: flagship + 4 sentinels + the 3 queries whose oracles
+# were upgraded from rows-only to VALUES this round + 1 module rep each
+# for tpch_extra/retrieval (fully driver-seen families) + 40 queries with
+# NO driver row in rounds 1-5 (cross-checked against CORRECTNESS_r0*.json).
 _PRIORITY = [
-    # relational core
+    # sentinels (driver-green in r5; regression canaries)
     "flagship_threshold_rollup",
     "q1_pricing_summary",
-    "join_lateral_topk",
-    "join_interval_overlap",
-    "window_topk_per_group",
-    "setop_union_distinct",
-    # tpch_extra
-    "q2_top_supplier_per_nation",
-    "q9_product_type_profit",
-    "q21_suppliers_kept_waiting",
-    # advanced
-    "join_asof",
-    "agg_cube",
-    "pivot_wide_status",
-    "ev_funnel",
-    # stats
-    "cdf_row_changes",
-    "merge_upsert",
-    "agg_entropy_gini",
-    # mining
-    "sky_pareto_front",
-    "scd2_customer_history",
-    # quality
-    "dedup_keep_best",
-    "doc_quality_funnel",
-    "sample_stratified",
-    # scalar
-    "json_funcs",
-    "str_fuzzy_match",
-    "filename_parse",
-    # text / dedup (the LLM-pipeline heart: widest slice)
-    "text_pii_redact",
-    "dedup_paragraphs",
-    "text_decontaminate",
+    "join_anti_idempotent",  # D1 back in evidence (VERDICT r5 #5)
     "dedup_minhash_lsh",
-    "dedup_exact",
-    "text_langid",
-    "text_bm25_topk",
-    "dedup_substring_cut",
-    # bpe (rows-only: golden-pinned locally)
-    "bpe_encode_tokens",
-    # packing
-    "doc_pack_sequences",
-    "dataset_mixture",
-    "corpus_pipeline_summary",
-    # retrieval
-    "retrieval_rrf_fusion",
-    # vectors
     "cosine_topk",
-    "emb_dedup_components",
-    "ann_ivf_topk",
+    # rows-only -> VALUES-oracle upgrades (flip to hash-green this round)
+    "bpe_encode_tokens",
     "emb_pq_topk",
-    # events
-    "ev_sessionization",
-    "ev_tumbling",
-    "ev_retention_cohorts",
-    # media (decode stats rows-only w/ codec goldens locally; the
-    # subtitle query is hash-checked via its VALUES oracle)
     "multimodal_decode_stats",
-    "subtitle_cue_stats",
+    # module reps: every query in these families already driver-seen
+    "q4_order_priority",
+    "retrieval_rrf_fusion",
+    # --- first driver rows below this line ---
+    # advanced
+    "q7_nation_volume",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "unpivot_measures",
+    "join_nullsafe",
+    "agg_listagg",
+    # stats
+    "agg_bitmap_distinct",
+    "window_percent_dist",
+    "mv_incremental_refresh",
+    "agg_stats",
+    "agg_minmax_by",
+    "ab_test_conversion",
+    # mining
+    "layout_zorder",
+    "hist_price_buckets",
+    "basket_brand_pairs",
+    # quality
+    "dq_checks",
+    "sample_weighted",
+    # scalar
+    "str_funcs",
+    "date_funcs",
+    "math_funcs",
+    "regexp_group_funcs",
+    # text / dedup
+    "text_quality",
+    "text_token_count",
+    "text_tfidf_topk",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    # packing
+    "dataset_interleave_epochs",
+    "doc_pack_sequences_sharded",
+    # vectors
+    "emb_norms",
+    "emb_label_centroids",
+    # events
+    "ev_sliding",
+    "ev_ohlc_bars",
+    "ev_gapfill",
+    "ev_time_weighted_avg",
     # geo
-    "geo_dissolve_area",
-    "geo_spatial_join_bin",
-    "geo_polygonize_components",
-    # graph (dedup_clusters covers the same family locally)
-    "graph_pagerank",
+    "geo_raster_regrid",
+    "geo_haversine_nearest",
+    # graph
+    "hier_rollup",
+    "dedup_clusters",
+    "graph_triangles",
 ]
 
 
