@@ -260,3 +260,50 @@ def with_area_km2(geo_df: DataFrame, geometry_col: str = "geometry") -> DataFram
         )
 
     return geo_df.withColumn("area_km2", km2_udf(F.col(geometry_col)))
+
+
+def with_transformed(
+    geo_df: DataFrame,
+    src_epsg: int,
+    dst_epsg: int,
+    geometry_col: str = "geometry",
+) -> DataFrame:
+    """ST_Transform over WKB geometries (closed-form ``functions.proj``:
+    4326 <-> 6933 equal-area <-> 3857 web), Arrow-batched.  The reference
+    stops at assigning 4326 (``species_range_etl.py:132``); this is the
+    reprojection step a metric-area or web-tile consumer needs next."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.proj import EPSG_SUPPORTED
+
+    if src_epsg not in EPSG_SUPPORTED or dst_epsg not in EPSG_SUPPORTED:
+        raise ValueError(f"unsupported CRS pair {src_epsg}->{dst_epsg}")
+
+    @pandas_udf("binary")
+    def tf_udf(wkb: pd.Series) -> pd.Series:
+        from ..functions.proj import transform_wkb
+
+        return wkb.map(
+            lambda b: transform_wkb(bytes(b), src_epsg, dst_epsg)
+            if b is not None
+            else None
+        )
+
+    return geo_df.withColumn(geometry_col, tf_udf(F.col(geometry_col)))
+
+
+def with_area_m2(geo_df: DataFrame, geometry_col: str = "geometry") -> DataFrame:
+    """True ellipsoidal area (m²) of lon/lat WKB: project to the
+    equal-area EPSG:6933 and shoelace — the metric companion to
+    ``with_area`` (square degrees) and ``with_area_km2`` (spherical)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def m2_udf(wkb: pd.Series) -> pd.Series:
+        from ..functions.proj import wkb_area_m2
+
+        return wkb.map(
+            lambda b: wkb_area_m2(bytes(b)) if b is not None else None
+        )
+
+    return geo_df.withColumn("area_m2", m2_udf(F.col(geometry_col)))

@@ -364,10 +364,79 @@ ORDER BY species, threshold
 """
 
 
+def geo_reproject_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Transform for point tables: the synthetic customer lon/lats
+    reprojected 4326 -> EPSG:6933 (equal-area meters) and EPSG:3857 (web
+    meters) via the JVM-side Column kernels (``functions/proj.py``) —
+    pure built-in math, whole-stage-codegen, zero Python in the hot path.
+    The oracle restates Snyder's closed forms independently in SQL, so
+    the two implementations pin each other value-level.  (The reference
+    only ASSIGNS 4326, ``species_range_etl.py:132``; this is the next
+    step its users take.)"""
+    from ..functions.proj import (
+        cea_x_expr,
+        cea_y_expr,
+        merc_x_expr,
+        merc_y_expr,
+    )
+
+    customer = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") <= 400
+    )
+    pts = customer.select(
+        "c_custkey",
+        (F.col("c_custkey") % 120 - 60 + 0.5).alias("lat"),
+        (F.col("c_custkey") % 340 - 170 + 0.5).alias("lon"),
+    )
+    return pts.select(
+        "c_custkey",
+        F.round(cea_x_expr(F.col("lon")), 2).alias("x_6933"),
+        F.round(cea_y_expr(F.col("lat")), 2).alias("y_6933"),
+        F.round(merc_x_expr(F.col("lon")), 2).alias("x_3857"),
+        F.round(merc_y_expr(F.col("lat")), 2).alias("y_3857"),
+    ).orderBy("c_custkey")
+
+
+def _reproject_oracle() -> str:
+    """DuckDB restatement of the Snyder closed forms with the module's
+    ellipsoid constants formatted in at full float64 precision."""
+    from ..functions import proj
+
+    a = repr(proj._A)
+    e = repr(proj._E)
+    e2 = repr(proj._E2)
+    ak0 = repr(proj._A * proj._K0)
+    a2k0 = repr(proj._A / (2.0 * proj._K0))
+    return f"""
+WITH pts AS (
+    SELECT c_custkey,
+           c_custkey % 120 - 60 + 0.5 AS lat,
+           c_custkey % 340 - 170 + 0.5 AS lon
+    FROM customer WHERE c_custkey <= 400
+), q AS (
+    SELECT c_custkey, lat, lon, sin(radians(lat)) AS s FROM pts
+)
+SELECT c_custkey,
+       round({ak0} * radians(lon), 2) AS x_6933,
+       round({a2k0} * (1 - {e2}) * (
+           s / (1 - {e2} * s * s)
+           - (1 / (2 * {e})) * ln((1 - {e} * s) / (1 + {e} * s))
+       ), 2) AS y_6933,
+       round({a} * radians(lon), 2) AS x_3857,
+       round({a} * ln(tan(pi() / 4 + radians(lat) / 2)), 2) AS y_3857
+FROM q
+ORDER BY c_custkey
+"""
+
+
+GEO_REPROJECT_ORACLE = _reproject_oracle()
+
+
 QUERIES = {
     "geo_raster_regrid": geo_raster_regrid,
     "geo_spatial_join_bin": geo_spatial_join_bin,
     "geo_haversine_nearest": geo_haversine_nearest,
+    "geo_reproject_points": geo_reproject_points,
     "geo_dissolve_area": geo_dissolve_area,
     "geo_polygonize_components": geo_polygonize_components,
 }
@@ -376,6 +445,7 @@ ORACLES = {
     "geo_raster_regrid": GEO_REGRID_ORACLE,
     "geo_spatial_join_bin": GEO_SPATIAL_JOIN_ORACLE,
     "geo_haversine_nearest": GEO_HAVERSINE_ORACLE,
+    "geo_reproject_points": GEO_REPROJECT_ORACLE,
     "geo_dissolve_area": GEO_DISSOLVE_ORACLE,
     "geo_polygonize_components": GEO_POLYGONIZE_ORACLE,
 }

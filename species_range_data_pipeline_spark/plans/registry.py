@@ -95,10 +95,10 @@ _PRIORITY = [
     "ev_sliding",
     "ev_ohlc_bars",
     "ev_gapfill",
-    "ev_time_weighted_avg",
-    # geo
+    # geo (reproject is new this round: driver-visible from day one)
     "geo_raster_regrid",
     "geo_haversine_nearest",
+    "geo_reproject_points",
     # graph
     "hier_rollup",
     "dedup_clusters",
