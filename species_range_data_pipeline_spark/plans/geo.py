@@ -13,6 +13,8 @@ geometry itself is covered by tests/test_geometry.py.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -432,12 +434,89 @@ ORDER BY c_custkey
 GEO_REPROJECT_ORACLE = _reproject_oracle()
 
 
+def geo_dissolve_area_m2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+C1+T5 end-to-end in METRIC units: dissolve the presence grid
+    (lon/lat degrees), then compute true-m² area two independent ways —
+    (a) ``with_area_m2`` (closed-form equal-area shoelace straight off
+    the lon/lat WKB) and (b) ``with_transformed`` to EPSG:6933 followed
+    by the plain planar ``with_area`` over the projected meters.  Both
+    columns must equal the analytic identity the oracle computes: the
+    6933 forward maps x linearly in lon and y as a function of lat only,
+    so a unit-lattice cell projects to an exact rectangle and the union
+    area is sum(dx * dy(row)) — the metric companion of
+    ``geo_dissolve_area``'s count-times-cellsize identity."""
+    from ..operators.polygonize import with_area, with_area_m2, with_transformed
+
+    cells = _cells_from_lineitem(spark, sf_dir)
+    d = dissolve(cells, by=["species", "threshold_s"], num_partitions=9)
+    d = with_area_m2(d).withColumnRenamed("area", "area_sqdeg")
+    t = with_area(with_transformed(d, src_epsg=4326, dst_epsg=6933))
+    return (
+        t.select(
+            "species",
+            F.col("threshold_s").alias("threshold"),
+            "n_cells",
+            F.round(F.col("area_m2") / 1e6, 2).alias("area_km2_eq"),
+            F.round(F.col("area") / 1e6, 2).alias("area_km2_proj"),
+        )
+        .orderBy("species", "threshold")
+    )
+
+
+def _dissolve_m2_oracle() -> str:
+    """Analytic 6933 cell areas: dx is constant (x linear in lon), dy is
+    the q-difference between adjacent integer latitudes (Snyder 3-12),
+    constants formatted at full float64 precision like _reproject_oracle."""
+    from ..functions import proj
+
+    e = repr(proj._E)
+    e2 = repr(proj._E2)
+    dx = repr(proj._A * proj._K0 * math.pi / 180.0)
+    a2k0 = repr(proj._A / (2.0 * proj._K0))
+    return f"""
+WITH cells AS (
+    SELECT DISTINCT l_returnflag AS species,
+           CAST(CAST(threshold * 100 AS INTEGER) AS VARCHAR) AS threshold,
+           l_orderkey % {_GRID} AS row,
+           l_partkey % {_GRID} AS col
+    FROM lineitem
+    CROSS JOIN (VALUES (0.25), (0.5), (0.75)) AS t(threshold)
+    WHERE l_quantity / 50.0 >= threshold
+), qs AS (
+    SELECT r,
+           {a2k0} * (1 - {e2}) * (
+               s / (1 - {e2} * s * s)
+               - (1 / (2 * {e})) * ln((1 - {e} * s) / (1 + {e} * s))
+           ) AS y
+    FROM (SELECT r, sin(radians(CAST(r AS DOUBLE))) AS s
+          FROM generate_series(0, {_GRID}) t(r))
+), areas AS (
+    SELECT c.species, c.threshold,
+           {dx} * (q1.y - q0.y) AS cell_m2
+    FROM cells c
+    JOIN qs q0 ON q0.r = c.row
+    JOIN qs q1 ON q1.r = c.row + 1
+)
+SELECT species, threshold,
+       count(*) AS n_cells,
+       round(sum(cell_m2) / 1e6, 2) AS area_km2_eq,
+       round(sum(cell_m2) / 1e6, 2) AS area_km2_proj
+FROM areas
+GROUP BY species, threshold
+ORDER BY species, threshold
+"""
+
+
+GEO_DISSOLVE_M2_ORACLE = _dissolve_m2_oracle()
+
+
 QUERIES = {
     "geo_raster_regrid": geo_raster_regrid,
     "geo_spatial_join_bin": geo_spatial_join_bin,
     "geo_haversine_nearest": geo_haversine_nearest,
     "geo_reproject_points": geo_reproject_points,
     "geo_dissolve_area": geo_dissolve_area,
+    "geo_dissolve_area_m2": geo_dissolve_area_m2,
     "geo_polygonize_components": geo_polygonize_components,
 }
 
@@ -447,5 +526,6 @@ ORACLES = {
     "geo_haversine_nearest": GEO_HAVERSINE_ORACLE,
     "geo_reproject_points": GEO_REPROJECT_ORACLE,
     "geo_dissolve_area": GEO_DISSOLVE_ORACLE,
+    "geo_dissolve_area_m2": GEO_DISSOLVE_M2_ORACLE,
     "geo_polygonize_components": GEO_POLYGONIZE_ORACLE,
 }

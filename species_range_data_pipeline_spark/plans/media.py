@@ -9,8 +9,9 @@ mapInPandas batching, error channels — is the same production code the
 pytest suite drives; these queries exist so the EXTERNAL gate sees it
 too.
 
-Rows-only by nature (the corpus is synthesized, not a DuckDB-readable
-table).
+The corpus is synthesized (not a DuckDB-readable table) but seed-stable,
+so every query here is pinned VALUE-level via VALUES oracles rather than
+rows-only.
 """
 
 from __future__ import annotations
@@ -162,6 +163,20 @@ ORDER BY kind
 """
 
 
+# The ahash corpus is seed-stable AND scale-independent (64 synthetic
+# payloads + 2 planted byte-identical dups, regardless of sf), so the
+# three rollup rows are constants: 30 singleton hash groups plus the two
+# planted pairs.  VALUES-pinned like multimodal_decode_stats.
+MULTIMODAL_AHASH_DUPS_ORACLE = """
+SELECT * FROM (VALUES
+    (CAST(NULL AS VARCHAR), CAST(30 AS BIGINT), CAST(30 AS BIGINT)),
+    ('[0,1000]',            CAST(1 AS BIGINT),  CAST(2 AS BIGINT)),
+    ('[1,1001]',            CAST(1 AS BIGINT),  CAST(2 AS BIGINT))
+) AS t(dup_group, n_groups, n_images)
+ORDER BY dup_group NULLS FIRST
+"""
+
+
 QUERIES = {
     "multimodal_decode_stats": multimodal_decode_stats,
     "multimodal_ahash_dups": multimodal_ahash_dups,
@@ -170,5 +185,6 @@ QUERIES = {
 
 ORACLES: dict[str, str] = {
     "multimodal_decode_stats": MULTIMODAL_DECODE_STATS_ORACLE,
+    "multimodal_ahash_dups": MULTIMODAL_AHASH_DUPS_ORACLE,
     "subtitle_cue_stats": SUBTITLE_CUE_STATS_ORACLE,
 }

@@ -572,9 +572,14 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     text (highly repetitive -> ratio near 0) and binary-ish junk (ratio
     near or above 1).
 
-    Rows-only: the kernel is stdlib ``zlib`` inside ``mapInPandas``
-    (Arrow-batched; ratio math is per-row C code), which SQL cannot
-    express.  Invariants are pinned in ``test_quality_signals.py``.
+    The kernel is stdlib ``zlib`` inside ``mapInPandas`` (Arrow-batched;
+    ratio math is per-row C code), which SQL cannot express — but zlib
+    level 6 is bit-deterministic for a given input, so the per-language
+    rollup is a pure function of the corpus and carries a scale-keyed
+    VALUES oracle (pinned scales: 500 + 5000 docs = sf0.01 + sf0.1; an
+    unpinned scale yields zero oracle rows -> loud row-count mismatch,
+    guarded by test_registry.py's pinned-scale check).  Invariants are
+    additionally pinned in ``test_quality_signals.py``.
     """
     import pandas as pd
 
@@ -606,6 +611,28 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# zlib-level-6 output is deterministic per input bytes, so the rollup is
+# pinnable.  Scale-keyed VALUES (see subtitle_cue_stats for the trick):
+# rows exist only for the documents-table cardinalities 500 (sf0.01) and
+# 5000 (sf0.1); other scales fail loudly with a row-count mismatch.
+TEXT_COMPRESSION_RATIO_ORACLE = """
+SELECT lang, n_docs, avg_ratio, min_ratio, max_ratio FROM (VALUES
+    (500,  'de', CAST(70 AS BIGINT),   CAST(0.5622 AS DOUBLE), CAST(0.3981 AS DOUBLE), CAST(1.0175 AS DOUBLE)),
+    (500,  'en', CAST(218 AS BIGINT),  CAST(0.5593 AS DOUBLE), CAST(0.3981 AS DOUBLE), CAST(1.0185 AS DOUBLE)),
+    (500,  'es', CAST(73 AS BIGINT),   CAST(0.5526 AS DOUBLE), CAST(0.4028 AS DOUBLE), CAST(0.9683 AS DOUBLE)),
+    (500,  'fr', CAST(64 AS BIGINT),   CAST(0.5398 AS DOUBLE), CAST(0.4071 AS DOUBLE), CAST(0.9275 AS DOUBLE)),
+    (500,  'zh', CAST(75 AS BIGINT),   CAST(0.5477 AS DOUBLE), CAST(0.4024 AS DOUBLE), CAST(0.9683 AS DOUBLE)),
+    (5000, 'de', CAST(702 AS BIGINT),  CAST(0.5553 AS DOUBLE), CAST(0.4031 AS DOUBLE), CAST(1.08 AS DOUBLE)),
+    (5000, 'en', CAST(2059 AS BIGINT), CAST(0.5583 AS DOUBLE), CAST(0.3959 AS DOUBLE), CAST(1.125 AS DOUBLE)),
+    (5000, 'es', CAST(744 AS BIGINT),  CAST(0.556 AS DOUBLE),  CAST(0.3817 AS DOUBLE), CAST(1.0517 AS DOUBLE)),
+    (5000, 'fr', CAST(742 AS BIGINT),  CAST(0.5546 AS DOUBLE), CAST(0.3898 AS DOUBLE), CAST(1.0377 AS DOUBLE)),
+    (5000, 'zh', CAST(753 AS BIGINT),  CAST(0.5742 AS DOUBLE), CAST(0.3915 AS DOUBLE), CAST(1.087 AS DOUBLE))
+) AS t(n_total, lang, n_docs, avg_ratio, min_ratio, max_ratio)
+WHERE n_total = (SELECT count(*) FROM documents)
+ORDER BY lang
+"""
 
 
 def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -668,4 +695,5 @@ ORACLES = {
     "doc_quality_funnel": DOC_QUALITY_FUNNEL_ORACLE,
     "dedup_keep_best": DEDUP_KEEP_BEST_ORACLE,
     "text_pii_scrub": TEXT_PII_SCRUB_ORACLE,
+    "text_compression_ratio": TEXT_COMPRESSION_RATIO_ORACLE,
 }

@@ -33,76 +33,77 @@ _MODULE_NAMES = [
 # tests/test_registry.py): exactly 50 names, every plan module (all 16)
 # represented, every name resolves, every name oracle-backed.
 #
-# Round-6 window: flagship + 4 sentinels + the 3 queries whose oracles
-# were upgraded from rows-only to VALUES this round + 1 module rep each
-# for tpch_extra/retrieval (fully driver-seen families) + 40 queries with
-# NO driver row in rounds 1-5 (cross-checked against CORRECTNESS_r0*.json).
+# Round-7 window (third rotation): 11 sentinels/module reps + the 34
+# oracle-backed queries with NO driver row in rounds 1-6 (list from the
+# r6 judge notes, cross-checked against CORRECTNESS_r0*.json) + the 4
+# queries whose oracles are new this round (3 rows-only -> VALUES
+# upgrades, 1 new metric-area query) + the repaired emb_label_centroids.
+# After this window, every oracle-backed query has driver evidence.
 _PRIORITY = [
-    # sentinels (driver-green in r5; regression canaries)
+    # sentinels / module reps (driver-green r5/r6; regression canaries)
     "flagship_threshold_rollup",
     "q1_pricing_summary",
-    "join_anti_idempotent",  # D1 back in evidence (VERDICT r5 #5)
+    "join_anti_idempotent",
     "dedup_minhash_lsh",
     "cosine_topk",
-    # rows-only -> VALUES-oracle upgrades (flip to hash-green this round)
-    "bpe_encode_tokens",
-    "emb_pq_topk",
-    "multimodal_decode_stats",
-    # module reps: every query in these families already driver-seen
     "q4_order_priority",
     "retrieval_rrf_fusion",
-    # --- first driver rows below this line ---
-    # advanced
-    "q7_nation_volume",
-    "q14_promo_share",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "unpivot_measures",
-    "join_nullsafe",
-    "agg_listagg",
-    # stats
-    "agg_bitmap_distinct",
-    "window_percent_dist",
-    "mv_incremental_refresh",
-    "agg_stats",
-    "agg_minmax_by",
-    "ab_test_conversion",
-    # mining
-    "layout_zorder",
-    "hist_price_buckets",
-    "basket_brand_pairs",
-    # quality
-    "dq_checks",
-    "sample_weighted",
-    # scalar
-    "str_funcs",
-    "date_funcs",
-    "math_funcs",
-    "regexp_group_funcs",
-    # text / dedup
-    "text_quality",
-    "text_token_count",
-    "text_tfidf_topk",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    # packing
+    "bpe_encode_tokens",
     "dataset_interleave_epochs",
-    "doc_pack_sequences_sharded",
-    # vectors
-    "emb_norms",
+    "multimodal_decode_stats",
+    "emb_pq_topk",
+    # repaired this round: posexploded scalar output (r6 driver ERR)
     "emb_label_centroids",
+    # rows-only -> VALUES-oracle upgrades (flip to hash-green this round)
+    "multimodal_ahash_dups",
+    "text_compression_ratio",
+    "sketch_quantile_bottomk",
+    # new this round: dissolve -> reproject 6933 -> metric area (A1+C1+T5)
+    "geo_dissolve_area_m2",
+    # --- first driver rows below this line (34 never-checked) ---
+    # advanced
+    "corr_measures",
+    "json_udtf_dynamic",
+    "json_variant_funcs",
+    "xml_roundtrip_parse",
+    "error_routing",
+    "window_udaf_ewma",
+    # stats
+    "agg_string_concat",
+    "agg_count_if_bool",
+    # mining
+    "sample_hash_bucket",
+    "hier_rollup_sql",
+    # quality
+    "sample_balanced_classes",
+    "profile_orders",
+    "dq_outliers_iqr",
+    "text_pii_scrub",
+    # scalar
+    "null_cond_funcs",
+    "map_funcs",
+    # text / dedup
+    "dedup_repeated_ngrams",
+    "text_quality_classifier",
+    "text_repetition",
+    "text_perplexity",
+    "text_chunk_udtf",
+    "text_bigram_lm",
+    "text_word_topk",
+    "text_token_count_bpe",
+    "text_fingerprint",
+    "text_winnow_fingerprint",
+    # vectors
+    "emb_quantize_topk",
+    "emb_near_dup",
+    "emb_near_dup_bruteforce",
     # events
-    "ev_sliding",
-    "ev_ohlc_bars",
-    "ev_gapfill",
-    # geo (reproject is new this round: driver-visible from day one)
-    "geo_raster_regrid",
-    "geo_haversine_nearest",
-    "geo_reproject_points",
+    "ev_pattern_consecutive",
+    "ev_time_weighted_avg",
+    "ev_rollup_two_level",
+    "ev_type_pivot",
     # graph
-    "hier_rollup",
-    "dedup_clusters",
-    "graph_triangles",
+    "dedup_clusters_star",
 ]
 
 

@@ -395,9 +395,13 @@ def sketch_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving sample; at 100 TB the same sketch is built with bounded
     state via the two-phase slice (per-partition bottom-k, then bottom-k
     of the concatenation) or treeAggregate — the DEFINITION is what makes
-    that refinement exact.  No cross-engine hash twin exists in DuckDB,
-    so the entry is rows-only; ``tests/test_plans.py`` bounds the
-    estimates against exact population quantiles in rank space.
+    that refinement exact.  DuckDB has no xxhash64 twin, but the sketch
+    is fully deterministic per corpus (fixed hash of event_id, pinned
+    tie-break), so the estimates carry a scale-keyed VALUES oracle
+    (pinned scales: 10k + 100k events = sf0.01 + sf0.1; other scales
+    fail loudly via row-count mismatch, guarded by test_registry.py's
+    pinned-scale check).  ``tests/test_plans.py`` additionally bounds
+    the estimates against exact population quantiles in rank space.
     """
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy(
@@ -419,6 +423,27 @@ def sketch_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Deterministic bottom-k-by-xxhash64 sample -> the estimates are a pure
+# function of the corpus.  Scale-keyed VALUES (subtitle_cue_stats trick),
+# pinned for events cardinalities 10000 (sf0.01) and 100000 (sf0.1).
+SKETCH_QUANTILE_BOTTOMK_ORACLE = """
+SELECT event_type, n_sample, p50_est, p90_est FROM (VALUES
+    (10000,  'click',    CAST(256 AS BIGINT), CAST(34.6 AS DOUBLE),    CAST(134.265 AS DOUBLE)),
+    (10000,  'error',    CAST(256 AS BIGINT), CAST(36.94 AS DOUBLE),   CAST(114.905 AS DOUBLE)),
+    (10000,  'purchase', CAST(256 AS BIGINT), CAST(32.21 AS DOUBLE),   CAST(109.955 AS DOUBLE)),
+    (10000,  'signup',   CAST(256 AS BIGINT), CAST(30.195 AS DOUBLE),  CAST(135.23 AS DOUBLE)),
+    (10000,  'view',     CAST(256 AS BIGINT), CAST(32.835 AS DOUBLE),  CAST(102.47 AS DOUBLE)),
+    (100000, 'click',    CAST(256 AS BIGINT), CAST(35.975 AS DOUBLE),  CAST(102.155 AS DOUBLE)),
+    (100000, 'error',    CAST(256 AS BIGINT), CAST(32.96 AS DOUBLE),   CAST(112.39 AS DOUBLE)),
+    (100000, 'purchase', CAST(256 AS BIGINT), CAST(37.67 AS DOUBLE),   CAST(116.245 AS DOUBLE)),
+    (100000, 'signup',   CAST(256 AS BIGINT), CAST(35.9 AS DOUBLE),    CAST(112.66 AS DOUBLE)),
+    (100000, 'view',     CAST(256 AS BIGINT), CAST(36.32 AS DOUBLE),   CAST(116.605 AS DOUBLE))
+) AS t(n_events, event_type, n_sample, p50_est, p90_est)
+WHERE n_events = (SELECT count(*) FROM events)
+ORDER BY event_type
+"""
 
 
 def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -716,4 +741,5 @@ ORACLES = {
     "agg_count_if_bool": AGG_COUNT_IF_ORACLE,
     "window_percent_dist": WINDOW_PERCENT_ORACLE,
     "merge_upsert": MERGE_UPSERT_ORACLE,
+    "sketch_quantile_bottomk": SKETCH_QUANTILE_BOTTOMK_ORACLE,
 }

@@ -435,7 +435,14 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Numeric discipline: float64 accumulate, per-dimension round(6) on
     BOTH engines; the oracle computes the same centroid relationally
-    (posexplode-style unnest + per-(label, dim) avg + ordered re-pack).
+    (posexplode-style unnest + per-(label, dim) avg).
+
+    Driver-visible shape: the centroid array is POSEXPLODED to one
+    ``(label, dim, val)`` row per dimension — round 6 proved the
+    driver's canonicalizer cannot sort top-level array columns
+    (pandas ``sort_values`` on lists -> TypeError), so every column
+    here is scalar.  ``n_vectors`` and ``centroid_norm`` repeat
+    per-label across the exploded rows.
     """
     import numpy as np
     import pandas as pd
@@ -462,7 +469,6 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label",
             "n_vectors",
-            "centroid",
             F.round(
                 F.sqrt(
                     F.aggregate(
@@ -473,8 +479,9 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 6,
             ).alias("centroid_norm"),
+            F.posexplode("centroid").alias("dim", "val"),
         )
-        .orderBy("label")
+        .orderBy("label", "dim")
     )
 
 
@@ -489,17 +496,18 @@ WITH e AS (
 ), per_dim AS (
     SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
     FROM d GROUP BY label, i
-), packed AS (
-    SELECT label, array_agg(m ORDER BY i) AS centroid
+), norms AS (
+    SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm
     FROM per_dim GROUP BY label
 ), counts AS (
     SELECT label, count(*) AS n_vectors FROM e GROUP BY label
 )
-SELECT c.label, c.n_vectors, p.centroid,
-       round(sqrt(list_sum(list_transform(p.centroid, x -> x * x))), 6)
-           AS centroid_norm
-FROM counts c JOIN packed p ON c.label = p.label
-ORDER BY c.label
+SELECT c.label, c.n_vectors, n.centroid_norm,
+       CAST(p.i - 1 AS INTEGER) AS dim, p.m AS val
+FROM counts c
+JOIN norms n ON n.label = c.label
+JOIN per_dim p ON p.label = c.label
+ORDER BY c.label, dim
 """
 
 

@@ -87,26 +87,14 @@ def test_rows_only_set_is_exactly_the_documented_exceptions():
         "emb_kmeans",
         "emb_near_dup_lsh",
         "emb_pca_project",
-        # lossy PQ/ADC approximation; recall-vs-exact bound pinned in
-        # test_similarity.py
-        "emb_pq_topk",
         "sketch_hll_distinct",
         "sketch_cms_brand_counts",
         # iterative argmax + data-dependent rewriting; golden-tested
         # against a pure-Python reference in test_bpe.py instead
+        # (bpe_encode_tokens / emb_pq_topk / multimodal_decode_stats
+        # graduated to scale-keyed VALUES oracles in round 6)
         "bpe_train_merges",
-        "bpe_encode_tokens",
-        # synthetic-media lanes: no DuckDB-readable input table;
-        # codec-level goldens live in test_multimodal/test_codecs/test_jpeg
-        "multimodal_decode_stats",
-        "multimodal_ahash_dups",
-        # stdlib-zlib kernel (mapInPandas); invariant-pinned in
-        # test_quality_signals.py
-        "text_compression_ratio",
         # iterative first-fit packing (applyInPandas); golden-tested
         # against the pure-Python ffd_bins reference in test_packing.py
         "doc_pack_ffd",
-        # xxhash64 bottom-k sample has no DuckDB hash twin; rank-space
-        # error + determinism bounded in test_plans.py
-        "sketch_quantile_bottomk",
     }

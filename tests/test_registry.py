@@ -90,3 +90,48 @@ def test_rows_only_queries_nonempty_and_deterministic(spark, name):
     finally:
         other.conf.set("spark.sql.shuffle.partitions", prev)
     assert rows1 == rows2
+
+
+def test_oracled_query_schemas_are_driver_sortable(spark):
+    """The driver's canonicalizer pandas-sorts across ALL output columns
+    before hashing; a top-level array/map/struct column dies with
+    ``unhashable type`` (the round-6 ``emb_label_centroids`` ERR).  Any
+    oracle-backed query can enter a future rotation window, so every one
+    must resolve to scalar-only top-level columns."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    queries = registry.all_queries()
+    offenders = []
+    for name in registry.all_oracles():
+        schema = queries[name](spark, SF_CORRECT).schema
+        bad = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders.append((name, bad))
+    assert offenders == []
+
+
+# Scale-keyed VALUES oracles return rows ONLY for the pinned fixture
+# cardinalities; at any other scale the oracle is empty and the parity
+# failure reads as a confusing row-count mismatch.  Pin here which scales
+# each one supports so a fixture change fails with an explicit message.
+SCALE_KEYED_ORACLES = {
+    "bpe_encode_tokens": ("documents", {500, 5000}),
+    "emb_pq_topk": ("embeddings", {500, 2000}),
+    "text_compression_ratio": ("documents", {500, 5000}),
+    "sketch_quantile_bottomk": ("events", {10_000, 100_000}),
+}
+
+
+@pytest.mark.parametrize("name", sorted(SCALE_KEYED_ORACLES))
+def test_scale_keyed_oracles_pin_the_correctness_scale(duck, name):
+    table, pinned = SCALE_KEYED_ORACLES[name]
+    n = duck.execute(f"SELECT count(*) FROM {table}").fetchone()[0]
+    assert n in pinned, (
+        f"{name}: oracle pins {table} cardinalities {sorted(pinned)} but the "
+        f"sf0.01 fixture now has {n} rows — re-derive the VALUES rows for "
+        f"this scale (see the oracle's docstring for the capture recipe)"
+    )
