@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -162,35 +163,46 @@ def main() -> None:
         lambda pdf: pdf.head(1), "id long, g bigint"
     ).count()
 
-    # Two passes per query; report the min ("steady") as the headline
-    # number and the first pass ("cold") alongside.  Round-4 showed the
-    # single-pass number can be several-x steady state depending on what
-    # ran just before (GC / Python-worker-pool churn in one long-lived
-    # session) — e.g. 16.77s reported for a ~1.2s query — so a one-shot
-    # reading measures session history, not the plan.
+    # Cold pass + warm passes per query.  Round-4 showed a one-shot
+    # reading measures session history (GC / Python-worker-pool churn),
+    # not the plan; round-6 showed min-of-2 still has ~±2x noise on
+    # sub-second queries (text_quality 1.65->0.54s and text_bigram_lm
+    # 0.62->1.24s with ZERO code changes).  So: queries whose first warm
+    # pass lands under 2s get 4 warm passes and report the MEDIAN
+    # ("queries", the headline number); slower queries keep one warm
+    # pass.  The cold pass and the per-query min ride alongside so the
+    # spread is auditable.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    mins: dict[str, float] = {}
+    _SHORT_QUERY_SEC = 2.0
+    _SHORT_WARM_PASSES = 4
+
+    def _run_once(fn) -> float | None:
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # one broken query must not kill the run
+            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+            return None
+        return time.perf_counter() - t0
+
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             continue
-        runs: list[float] = []
-        failed = False
-        for _ in range(2):
-            t0 = time.perf_counter()
-            try:
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            except Exception as e:  # one broken query must not kill the run
-                print(f"bench: {name} FAILED: {e}", file=sys.stderr)
-                failed = True
-                break
-            runs.append(time.perf_counter() - t0)
-        if failed or not runs:
-            # a query that errored on EITHER pass is dropped, never
-            # published with a healthy-looking number from the other pass
+        first = _run_once(fn)
+        warm = [_run_once(fn)] if first is not None else [None]
+        if warm[0] is not None and warm[0] < _SHORT_QUERY_SEC:
+            while len(warm) < _SHORT_WARM_PASSES and warm[-1] is not None:
+                warm.append(_run_once(fn))
+        if first is None or any(w is None for w in warm):
+            # a query that errored on ANY pass is dropped, never
+            # published with a healthy-looking number from the others
             continue
-        cold[name] = round(runs[0], 3)
-        timings[name] = round(min(runs), 3)
+        cold[name] = round(first, 3)
+        timings[name] = round(statistics.median(warm), 3)
+        mins[name] = round(min([first, *warm]), 3)
 
     # sf parsed from the dir name (sf0.1 -> 0.1); fall back to the raw string.
     tail = Path(sf_dir).name.removeprefix("sf")
@@ -233,6 +245,7 @@ def main() -> None:
                 ),
                 "queries": timings,
                 "queries_cold": cold,
+                "queries_min": mins,
                 **streaming,
                 "sf": sf,
             }

@@ -392,16 +392,23 @@ def _audio_metadata(payload: bytes) -> dict:
         if tag == 0xFFFE and len(fmt_body) >= 40:
             # WAVE_FORMAT_EXTENSIBLE: real tag leads the SubFormat GUID
             tag = struct.unpack_from("<H", fmt_body, 24)[0]
-        # data_len/block_align counts BLOCKS; for PCM/float a block is one
-        # frame, but ADPCM packs many samples per block — duration must
-        # scale by samples-per-block or compressed WAVs underreport ~20x.
-        if tag in (1, 3):
+        # data_len/block_align counts BLOCKS; for PCM/float/A-law/mu-law a
+        # block is one frame, but ADPCM packs many samples per block —
+        # duration must scale by samples-per-block or compressed WAVs
+        # underreport ~20x.
+        if tag in (1, 3, 6, 7):
             frames = data_len // block_align
         elif tag == 0x11:  # IMA ADPCM: 4B/ch header word + 4-bit nibbles
+            if block_align < 4 * nch:
+                # mirror codecs.py: a block smaller than its per-channel
+                # preamble would yield NEGATIVE samples-per-block
+                raise ValueError("implausible ADPCM block geometry")
             frames = (data_len // block_align) * (
                 (block_align - 4 * nch) * 2 // nch + 1
             )
         elif tag == 0x02:  # MS-ADPCM: 7B/ch preamble holds 2 samples
+            if block_align < 7 * nch:
+                raise ValueError("implausible MS-ADPCM block geometry")
             frames = (data_len // block_align) * (
                 (block_align - 7 * nch) * 2 // nch + 2
             )

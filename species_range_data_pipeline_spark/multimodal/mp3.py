@@ -149,6 +149,12 @@ def _parse_mp3_metadata(blob: bytes) -> dict:
             end -= 128
         if end - pos >= 32 and blob[end - 32 : end - 24] == b"APETAGEX":
             ape_size = struct.unpack_from("<I", blob, end - 20)[0]
+            # APEv2: the size field EXCLUDES the 32-byte header; when the
+            # footer flags' header-present bit (bit 31) is set, those 32
+            # bytes are tag, not audio
+            ape_flags = struct.unpack_from("<I", blob, end - 12)[0]
+            if ape_flags & 0x80000000:
+                ape_size += 32
             if 32 <= ape_size <= end - pos:
                 end -= ape_size
         audio_bytes = end - pos

@@ -1245,12 +1245,18 @@ def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: hashed 6-token windows (scan-stage VARIADIC xxhash64, SCALE.md
     rule 13) -> grams seen in >= 2 docs -> join back to flag every start
-    position whose window is shared -> a per-doc ORDERED WINDOW marks the
-    covered token positions (a token at p is covered iff some flagged
-    start lies in [p-5, p]: ``max(flag) over rows 5 preceding``) ->
-    surviving tokens re-assemble with an order-pinned collect.  The only
-    wide operations are the gram shuffle (8-byte keys) and the per-doc
-    window; reassembly shuffles each doc once on its id.
+    position whose window is shared -> flagged starts COLLECT per doc
+    (tiny int lists) -> one doc_id join back to the token arrays -> the
+    cut itself is pure per-doc array math in the scan stage: covered
+    positions are the union of [fpos, fpos+5] ranges, kept positions are
+    ``array_except(sequence(1, n), covered)`` (hash-set lookup, order of
+    the left operand preserved), and the cleaned string re-assembles
+    with transform + element_at.  The wide operations are the gram
+    shuffle (8-byte keys), the per-doc flag collect, and the doc_id
+    join; nothing token-level ever shuffles.  (The previous shape
+    exploded every token through a (doc_id, pos) join + ordered window +
+    collect_list reassembly — 2.5s at sf0.1 and the slowest headline
+    query; this form shuffles flags instead of tokens.)
 
     Output is order-insensitive evidence: token counts before/after and
     the md5 of the cleaned text — the oracle rebuilds the identical
@@ -1267,52 +1273,39 @@ def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"transform(sequence(1, size(t)-{W - 1}), i -> xxhash64({args}))")
         ).alias("start", "gram"),
     )
+    # "seen in >= 2 distinct docs" == min(doc_id) != max(doc_id): one
+    # partial-aggregating shuffle instead of distinct + count-distinct
     shared = (
-        starts.select("doc_id", "gram")
-        .distinct()
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .where(F.col("nd") >= 2)
+        starts.groupBy("gram")
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .where(F.col("d0") != F.col("d1"))
         .select("gram")
     )
     flags = starts.join(shared, "gram").select(
         "doc_id", F.col("start").alias("fpos")
     )
-    tokens = toks.select(
-        "doc_id", F.size("t").alias("n_tokens"), F.posexplode("t").alias("pos", "tok")
+    per_doc = flags.groupBy("doc_id").agg(F.collect_list("fpos").alias("fps"))
+    # fps are 0-based posexplode indices; kept_pos below is 1-based
+    # (sequence/element_at), so start s covers 1-based positions s+1..s+W
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.col("fps"), lambda s: F.sequence(s + F.lit(1), s + F.lit(W))
+            )
+        )
     )
-    joined = tokens.join(
-        flags,
-        (tokens.doc_id == flags.doc_id) & (tokens.pos == flags.fpos),
-        "left",
-    ).select(tokens.doc_id, "n_tokens", "pos", "tok", "fpos")
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(-(W - 1), Window.currentRow)
+    kept_pos = F.array_except(
+        F.sequence(F.lit(1), F.size("t")),
+        F.coalesce(covered, F.array().cast("array<int>")),
     )
-    marked = joined.withColumn("cov", F.max("fpos").over(w))
-    # ONE conditional aggregation replaces (filter -> groupBy -> outer
-    # join back to the doc list): collect_list drops nulls, so the kept
-    # tokens ride a when(); docs losing every token keep their row with
-    # n_kept=0 and an empty string; and the groupBy(doc_id) reuses the
-    # window's partitioning — no exchange between the window and the
-    # rollup, and the whole final join (2 shuffles) is gone.
-    kept_tok = F.when(F.col("cov").isNull(), F.struct("pos", "tok"))
+    cleaned = F.transform(kept_pos, lambda p: F.element_at(F.col("t"), p))
     return (
-        marked.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.count(kept_tok).alias("n_kept"),
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.array_sort(F.collect_list(kept_tok)),
-                        lambda x: x["tok"],
-                    ),
-                )
-            ).alias("cleaned_md5"),
+        toks.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("t").alias("n_tokens"),
+            F.size(cleaned).alias("n_kept"),
+            F.md5(F.concat_ws(" ", cleaned)).alias("cleaned_md5"),
         )
         .orderBy("doc_id")
     )

@@ -387,3 +387,59 @@ def test_advice_r5_fixes():
     assert not jpeg_is_progressive(padded)
     w, h, c, _ = decode_jpeg(padded)
     assert (w, h, c) == (16, 16, 1)
+
+
+def test_advice_r6_fixes():
+    """Round-6 review items: (1) A-law/mu-law WAVs report duration via
+    the one-block-per-frame branch instead of raising; (2) malformed
+    ADPCM headers with block_align below the per-channel preamble raise
+    the codecs.py-style geometry error instead of a negative duration;
+    (3) the Xing-path APE subtraction honors the header-present flag
+    (APEv2 size excludes the 32-byte header)."""
+    import struct
+
+    import pytest as _pytest
+
+    from species_range_data_pipeline_spark.multimodal.media import _audio_metadata
+    from species_range_data_pipeline_spark.multimodal.mp3 import (
+        encode_mp3_frames,
+        parse_mp3_metadata,
+    )
+
+    def wav_header(tag, nch, rate, block_align, n_blocks, bits):
+        fmt = struct.pack(
+            "<HHIIHH", tag, nch, rate, rate * block_align, block_align, bits
+        )
+        body = b"\x00" * (block_align * n_blocks)
+        payload = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                   + b"data" + struct.pack("<I", len(body)) + body)
+        return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+    # A-law (6) / mu-law (7): one byte per sample per channel, block==frame
+    m = _audio_metadata(wav_header(6, 1, 8000, 1, 800, 8))
+    assert m["duration_s"] == 0.1
+    m = _audio_metadata(wav_header(7, 2, 8000, 2, 1600, 8))
+    assert m["duration_s"] == 0.2
+
+    # block_align below the per-channel preamble: loud geometry error,
+    # never a negative samples-per-block
+    with _pytest.raises(ValueError, match="implausible ADPCM"):
+        _audio_metadata(wav_header(0x11, 2, 8000, 6, 3, 4))
+    with _pytest.raises(ValueError, match="implausible MS-ADPCM"):
+        _audio_metadata(wav_header(0x02, 2, 8000, 10, 3, 4))
+
+    # APEv2 tag WITH header: size field covers items+footer only; the
+    # header-present flag (bit 31) means 32 more non-audio bytes
+    xing = encode_mp3_frames(6, xing_frames=6)
+    clean = parse_mp3_metadata(xing)
+    flags = 0xA0000000  # header present + this-is-the-footer variants
+    items = b"\x00" * 32
+    size = struct.pack("<I", 32 + len(items))  # items + footer, no header
+    header = (b"APETAGEX" + struct.pack("<I", 2000) + size
+              + struct.pack("<I", 0) + struct.pack("<I", flags | 0x20000000)
+              + b"\x00" * 8)
+    footer = (b"APETAGEX" + struct.pack("<I", 2000) + size
+              + struct.pack("<I", 0) + struct.pack("<I", flags)
+              + b"\x00" * 8)
+    with_ape_hdr = parse_mp3_metadata(xing + header + items + footer)
+    assert with_ape_hdr["bitrate_kbps"] == clean["bitrate_kbps"]

@@ -322,16 +322,20 @@ def test_pii_redact_is_scan_stage_only(spark):
     assert "Scan parquet" in plan
 
 
-def test_substring_cut_three_shuffles_window_reuse(spark):
-    """dedup_substring_cut's plan: exactly three hash exchanges (gram
-    distinct, shared-gram rollup, the doc window) plus the final sort —
-    the reassembly rollup must REUSE the window's doc partitioning, and
-    the shared-gram/flags joins must broadcast, never shuffle-join."""
+def test_substring_cut_two_shuffles_no_token_explode(spark):
+    """dedup_substring_cut's plan (r7 array-math form): exactly two hash
+    exchanges — the shared-gram rollup (partial min/max doc_id, no
+    separate distinct) and the per-doc flag collect — plus the final
+    sort.  Both joins (shared grams back to starts, flag lists to the
+    token arrays) must broadcast at this scale; the cut itself is pure
+    scan-stage array math, so nothing token-level ever shuffles."""
     plan = _plan(spark, "dedup_substring_cut")
     hashes = plan.count("hashpartitioning")
-    assert hashes == 3, f"expected 3 hash exchanges, saw {hashes}\n{plan}"
+    assert hashes == 2, f"expected 2 hash exchanges, saw {hashes}\n{plan}"
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
+    # the old shape's per-token window + collect reassembly must not return
+    assert "partial_collect_list(fpos" in plan or "collect_list(fpos" in plan
 
 
 def test_nullsafe_join_is_hash_join_not_nested_loop(spark):
