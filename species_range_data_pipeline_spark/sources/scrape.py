@@ -1,8 +1,10 @@
 """HTML scenario scrape (S3, ``species_range_etl.py:142-154``).
 
 The reference soup-parses each species page: scenario names from ``<h4>``
-inside ``class="col-md-3"`` blocks, the zip link from the second ``<li>``,
-and skips scenarios whose block contains "Image not available" (F1).
+inside ``class="thumbnail-file-group"`` blocks, the zip link from the
+second ``<li>`` of the ``thumbnail-file-group-02`` sublist, and skips
+scenarios whose block contains "Image not available" (F1).  (Blocks with
+``col-md-3`` are also accepted for older fixtures.)
 
 Here the parse is a pure function (stdlib regex — BeautifulSoup is not in
 the container and is not needed for this fixed structure), lifted over a
@@ -33,11 +35,22 @@ SCENARIO_SCHEMA = T.StructType(
     ]
 )
 
+# Scenario blocks: the live page uses class="thumbnail-file-group"
+# (species_range_etl.py:145 find_all); legacy fixtures use col-md-3.
+# The (?!-02) lookahead keeps the inner file-list div from matching as
+# a block of its own.
 _BLOCK_RE = re.compile(
-    r'<div[^>]*class="[^"]*col-md-3[^"]*"[^>]*>(.*?)</div>', re.S | re.I
+    r'<div[^>]*class="[^"]*(?:col-md-3|thumbnail-file-group(?!-02))[^"]*"'
+    r"[^>]*>(.*?)</div>",
+    re.S | re.I,
 )
 _H4_RE = re.compile(r"<h4[^>]*>(.*?)</h4>", re.S | re.I)
 _LI_A_RE = re.compile(r"<li[^>]*>\s*<a[^>]*href=\"([^\"]+)\"", re.S | re.I)
+# the reference scopes the <li> scan to the file sublist
+# (species_range_etl.py:151 ``find(class_="thumbnail-file-group-02")``)
+_SUBLIST_RE = re.compile(
+    r'class="[^"]*thumbnail-file-group-02[^"]*"[^>]*>(.*)', re.S | re.I
+)
 
 
 def parse_species_page(html: str) -> list[tuple[str, str | None, bool]]:
@@ -57,7 +70,8 @@ def parse_species_page(html: str) -> list[tuple[str, str | None, bool]]:
         if "Image not available" in block:
             out.append((scenario, None, False))
             continue
-        links = _LI_A_RE.findall(block)
+        m02 = _SUBLIST_RE.search(block)
+        links = _LI_A_RE.findall(m02.group(1) if m02 else block)
         zip_url = links[1] if len(links) > 1 else (links[0] if links else None)
         out.append((scenario, zip_url, zip_url is not None))
     return out
