@@ -25,8 +25,8 @@ algorithm is a single-process dict loop):
 - ``localCheckpoint`` per round keeps the plan flat (SCALE.md rule 9,
   as in ``plans/graph.py``'s PageRank loop).
 
-Non-SQL-expressible (iterative argmax + data-dependent rewriting), so
-this is a rows-only driver query; the spec-level gate is
+Non-SQL-expressible (iterative argmax + data-dependent rewriting), but
+deterministic per corpus, so a scale-keyed VALUES pin (plans/pinned.py) lets the driver hash-check it value-level; the spec-level gate is
 ``tests/test_bpe.py``'s golden equality against an independent pure-
 Python reference implementation.
 
@@ -269,6 +269,9 @@ QUERIES = {
     "bpe_encode_tokens": bpe_encode_tokens,
 }
 
+from .pinned import BPE_TRAIN_MERGES_ORACLE  # noqa: E402
+
 ORACLES: dict[str, str] = {
     "bpe_encode_tokens": BPE_ENCODE_TOKENS_ORACLE,
+    "bpe_train_merges": BPE_TRAIN_MERGES_ORACLE,
 }

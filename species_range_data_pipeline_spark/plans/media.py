@@ -4,14 +4,10 @@ The fixture tables carry no binary columns, so the multimodal lane's
 driver evidence comes from a deterministic synthetic media table
 (seed-stable ``make_media_table``): every run, any engine, produces the
 same payload bytes, so the decoded feature aggregates are stable rows
-the driver's rows-only gate can pin.  The heavy lifting — codecs,
+pinned as VALUES oracles.  The heavy lifting — codecs,
 mapInPandas batching, error channels — is the same production code the
 pytest suite drives; these queries exist so the EXTERNAL gate sees it
 too.
-
-The corpus is synthesized (not a DuckDB-readable table) but seed-stable,
-so every query here is pinned VALUE-level via VALUES oracles rather than
-rows-only.
 """
 
 from __future__ import annotations

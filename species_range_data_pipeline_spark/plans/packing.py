@@ -339,7 +339,9 @@ def doc_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     open bin.  Output compares both strategies: FFD bin count vs the
     chunk count, with the information-theoretic lower bound.
 
-    Rows-only (iterative packing is not SQL-expressible); golden-tested
+    Iterative packing is not SQL-expressible but deterministic per
+    corpus, so a scale-keyed VALUES pin (plans/pinned.py) lets the
+    driver hash-check it value-level; additionally golden-tested
     against the pure-Python ``ffd_bins`` reference in ``test_packing.py``.
     """
     import pandas as pd
@@ -480,8 +482,11 @@ QUERIES = {
     "corpus_pipeline_summary": corpus_pipeline_summary,
 }
 
+from .pinned import DOC_PACK_FFD_ORACLE  # noqa: E402
+
 ORACLES = {
     "doc_pack_sequences": DOC_PACK_SEQUENCES_ORACLE,
+    "doc_pack_ffd": DOC_PACK_FFD_ORACLE,
     "dataset_mixture": DATASET_MIXTURE_ORACLE,
     "dataset_interleave_epochs": DATASET_INTERLEAVE_EPOCHS_ORACLE,
     # the sharded refinement is value-identical to the single-window

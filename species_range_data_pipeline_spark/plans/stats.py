@@ -349,8 +349,9 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     hll_union_agg — the partial state is a compact sketch whose size is
     set by lgConfigK, not the key cardinality, and re-aggregating sketches
     gives rollups without rescanning the fact table.  DataSketches HLL has
-    no cross-engine twin in DuckDB, so this entry is rows-only for the
-    driver; tests/test_plans.py bounds the estimate against the exact
+    no cross-engine twin in DuckDB, but the estimate is deterministic per
+    corpus, so a scale-keyed VALUES pin (plans/pinned.py) lets the driver hash-check it value-level;
+    tests/test_plans.py bounds the estimate against the exact
     count (±3%).
     """
     orders = load_table(spark, sf_dir, "orders")
@@ -542,7 +543,8 @@ def sketch_cms_brand_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality), then the driver probes the 25 brand keys.  Overestimates
     only, by <= eps*N with the configured confidence — the heavy-hitters
     screening that replaces a full groupBy when only a known key set's
-    counts are needed.  No DuckDB twin -> rows-only for the driver;
+    counts are needed.  No DuckDB twin, but deterministic per corpus ->
+    a scale-keyed VALUES pin (plans/pinned.py) lets the driver hash-check it value-level;
     tests/test_plans.py bounds every estimate: exact <= est <= exact+eps*N.
     """
     part = load_table(spark, sf_dir, "part")
@@ -729,6 +731,11 @@ QUERIES = {
     "merge_upsert": merge_upsert,
 }
 
+from .pinned import (  # noqa: E402
+    SKETCH_CMS_BRAND_COUNTS_ORACLE,
+    SKETCH_HLL_DISTINCT_ORACLE,
+)
+
 ORACLES = {
     "ab_test_conversion": AB_TEST_ORACLE,
     "cdf_row_changes": CDF_ROW_CHANGES_ORACLE,
@@ -742,4 +749,6 @@ ORACLES = {
     "window_percent_dist": WINDOW_PERCENT_ORACLE,
     "merge_upsert": MERGE_UPSERT_ORACLE,
     "sketch_quantile_bottomk": SKETCH_QUANTILE_BOTTOMK_ORACLE,
+    "sketch_hll_distinct": SKETCH_HLL_DISTINCT_ORACLE,
+    "sketch_cms_brand_counts": SKETCH_CMS_BRAND_COUNTS_ORACLE,
 }

@@ -309,9 +309,9 @@ ORDER BY query_id, rnk
 def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH near-dup (the 100 TB path for emb_near_dup).
 
-    Approximate candidate generation -> exact re-score; no SQL oracle (the
-    banding is not SQL-expressible) — rows-only check by the driver, with
-    precision/recall pinned against the brute-force plan in
+    Approximate candidate generation -> exact re-score; the banding is not
+    SQL-expressible but fully deterministic, so a scale-keyed VALUES pin (plans/pinned.py) lets the driver hash-check it value-level,
+    with precision/recall pinned against the brute-force plan in
     tests/test_similarity.py."""
     from ..operators.similarity import near_dup_lsh
 
@@ -321,7 +321,8 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means (fixed 5 Lloyd rounds, k=8) over the embedding column.
 
-    Iterative — not SQL-expressible, so rows-only for the driver (always k
+    Iterative — not SQL-expressible but deterministic (seeded init, fixed
+    rounds), so a scale-keyed VALUES pin (plans/pinned.py) lets the driver hash-check it value-level (always k
     rows); the algorithm is pinned exactly against a numpy reference in
     tests/test_clustering.py."""
     from ..operators.clustering import kmeans_summary
@@ -416,7 +417,8 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA projection (top-2 components, vec_id < 20).
 
     Partial-Gramian reduce + driver eigendecomposition + mapInPandas
-    projection — not SQL-expressible, so rows-only for the driver; the
+    projection — not SQL-expressible but deterministic (sign-fixed
+    eigenvectors), so a scale-keyed VALUES pin (plans/pinned.py) lets the driver hash-check it value-level; the
     operator is pinned exactly against a single-node numpy reference in
     tests/test_clustering.py."""
     from ..operators.clustering import pca_summary
@@ -587,8 +589,17 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
 }
 
+from .pinned import (  # noqa: E402  (VALUES pins live in their own module)
+    EMB_KMEANS_ORACLE,
+    EMB_NEAR_DUP_LSH_ORACLE,
+    EMB_PCA_PROJECT_ORACLE,
+)
+
 ORACLES = {
     "emb_pq_topk": EMB_PQ_TOPK_ORACLE,
+    "emb_kmeans": EMB_KMEANS_ORACLE,
+    "emb_near_dup_lsh": EMB_NEAR_DUP_LSH_ORACLE,
+    "emb_pca_project": EMB_PCA_PROJECT_ORACLE,
     "emb_label_centroids": EMB_LABEL_CENTROIDS_ORACLE,
     "emb_norms": EMB_NORMS_ORACLE,
     "emb_quantize_topk": EMB_QUANTIZE_ORACLE,

@@ -123,6 +123,14 @@ SCALE_KEYED_ORACLES = {
     "emb_pq_topk": ("embeddings", {500, 2000}),
     "text_compression_ratio": ("documents", {500, 5000}),
     "sketch_quantile_bottomk": ("events", {10_000, 100_000}),
+    # plans/pinned.py (round-7 graduation of the last rows-only queries)
+    "emb_kmeans": ("embeddings", {500, 2000}),
+    "emb_near_dup_lsh": ("embeddings", {500, 2000}),
+    "emb_pca_project": ("embeddings", {500, 2000}),
+    "sketch_hll_distinct": ("customer", {1500, 15_000}),
+    "sketch_cms_brand_counts": ("lineitem", {60_000, 600_000}),
+    "bpe_train_merges": ("documents", {500, 5000}),
+    "doc_pack_ffd": ("documents", {500, 5000}),
 }
 
 
