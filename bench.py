@@ -67,6 +67,13 @@ HEADLINE = [
     # reassembly) and the temporal bin-and-refine interval join
     "dedup_paragraphs",
     "join_interval_overlap",
+    # r7 additions: PQ/ADC ANN (codebook train + encode + lookup),
+    # SimHash near-dup, the metric-units dissolve->reproject lane, and
+    # the multimodal decode rollup (mapInPandas codec path)
+    "emb_pq_topk",
+    "dedup_simhash",
+    "geo_dissolve_area_m2",
+    "multimodal_decode_stats",
 ]
 
 
@@ -163,6 +170,13 @@ def main() -> None:
         lambda pdf: pdf.head(1), "id long, g bigint"
     ).count()
 
+    # Streaming runs FIRST (right after warm-up): measured last, after
+    # ~170 batch executions, the same medallion read 12.6k ev/s in one
+    # run and 29.5k standalone — JVM session history (codegen cache, GC
+    # pressure) degrades it and min-of-2 cannot save a reading whose
+    # both trials are late in the session.
+    streaming = bench_streaming_medallion(spark, sf_dir)
+
     # Cold pass + warm passes per query.  Round-4 showed a one-shot
     # reading measures session history (GC / Python-worker-pool churn),
     # not the plan; round-6 showed min-of-2 still has ~±2x noise on
@@ -230,7 +244,8 @@ def main() -> None:
         "doc_pack_sequences", "corpus_pipeline_summary", "retrieval_rrf_fusion",
         "dedup_substring_cut", "dedup_paragraphs", "join_interval_overlap",
     }
-    streaming = bench_streaming_medallion(spark, sf_dir)
+    # r7 grew the set again (PQ ANN, simhash, metric geo, multimodal);
+    # r4_comparable_total remains the round-over-round comparison basis.
     print(
         json.dumps(
             {

@@ -613,59 +613,57 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash signature per document (near-dup fingerprint).
 
     Per token, 64 bits come from its md5 prefix; the signature bit is the
-    sign of the +-1 vote sum.  The (doc, bit) partial-sum groupBy is the only
-    shuffle; at scale the 64x row fan-out stays map-local (explode feeding a
-    partial aggregate).
+    sign of the +-1 vote sum.  The vote sum never needs a row fan-out:
+    with sb = count of tokens whose hash bit b is SET and n = token
+    count, the sum is sb - (n - sb), so bit b of the signature is
+    ``2*sb > n``.  The plan is therefore ONE aggregation: the 16-hex
+    prefix parses as TWO 8-digit longs per token (conv is the expensive
+    expression — 2 per row, not 16), then 64 shift-and-mask
+    conditional sums + a count per doc, all whole-stage codegen over
+    long registers with map-side combine; the only exchange carries 65
+    longs per doc.  (The naive shape exploded every token 64x through
+    per-row shift math: ~96M expression rows and 4.8s at sf0.1; this
+    form touches 1.5M rows and runs under 1s.)
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = (
         docs.select("doc_id", F.explode(_tokens()).alias("token"))
         .where(F.col("token") != "")
-        .withColumn("h", F.md5("token"))
+        .select("doc_id", F.md5("token").alias("h"))
     )
-    # hex digit (b // 4) of the token hash, bit (b % 4) within it; floor-div
-    # explicitly on both sides — DuckDB CAST(x/4 AS INT) would round, not
-    # truncate, so the oracle uses `//` and Spark uses floor().
-    pos = (F.floor(F.col("b") / 4) + 1).cast("int")
-    hv = F.conv(F.expr("substring(h, pos, 1)"), 16, 10).cast("int")
-    bits = (
-        tok.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
-            F.col("h"),
+    # hex digit b//4 (1-based j) of the hash holds bit b%4; digit j is
+    # the (8-(j-1)%8)-th nibble of its 8-digit word (digit 1 = most
+    # significant of hi), so hash bit b = (word >> ((8-1-(j-1)%8)*4 + b%4)) & 1
+    tokh = tok.select(
+        "doc_id",
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for b in range(64):
+        j, i = b // 4 + 1, b % 4
+        word = F.col("hi") if j <= 8 else F.col("lo")
+        shift = (8 - 1 - (j - 1) % 8) * 4 + i
+        aggs.append(
+            F.sum(
+                F.shiftright(word, shift).bitwiseAND(F.lit(1))
+            ).alias(f"sb{b}")
         )
-        .withColumn("pos", pos)
-        .withColumn("hv", hv)
+    return (
+        tokh.groupBy("doc_id")
+        .agg(*aggs)
         .select(
             "doc_id",
-            "b",
-            F.when(
-                F.expr("shiftright(hv, CAST(b % 4 AS INT)) & 1") == 1, F.lit(1)
-            )
-            .otherwise(F.lit(-1))
-            .alias("vote"),
+            F.concat(
+                *[
+                    F.when(F.col(f"sb{b}") * 2 > F.col("n"), F.lit("1"))
+                    .otherwise(F.lit("0"))
+                    for b in range(64)
+                ]
+            ).alias("simhash"),
         )
+        .orderBy("doc_id")
     )
-    sig = (
-        bits.groupBy("doc_id", "b")
-        .agg(F.sum("vote").alias("s"))
-        .select(
-            "doc_id",
-            "b",
-            F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0")).alias("bit"),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("b", "bit"))),
-                    lambda x: x["bit"],
-                ),
-                "",
-            ).alias("simhash")
-        )
-    )
-    return sig.orderBy("doc_id")
 
 
 DEDUP_SIMHASH_ORACLE = """
