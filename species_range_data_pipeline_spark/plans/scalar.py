@@ -514,17 +514,18 @@ def json_udtf_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     form can't show: the same function extracts any key set, and Catalyst
     sees real named columns (prunable, filterable) rather than a map.
 
-    eval is plain stdlib-json per row (fine for a demo of the API; the
-    HOT path for JSON stays ``json_funcs``/``json_variant_funcs``' JVM
-    expressions).  The rollup (count + avg of the extracted value per
-    event_type) is the oracle-checkable observable.
+    eval is plain stdlib-json per row, but ``useArrow=True`` ships the
+    rows as Arrow record batches (the HOT path for JSON stays
+    ``json_funcs``/``json_variant_funcs``' JVM expressions).  The rollup
+    (count + avg of the extracted value per event_type) is the
+    oracle-checkable observable.
     """
     import json as _json
 
     from pyspark.sql.functions import udtf
     from pyspark.sql.types import StringType, StructField, StructType
 
-    @udtf
+    @udtf(useArrow=True)
     class JsonFields:
         @staticmethod
         def analyze(props, keys):

@@ -840,17 +840,22 @@ _CHUNK_TOKENS = 20
 def _make_chunk_udtf():
     """Python UDTF (Spark 4 table-function surface): text -> chunk rows.
 
-    Built lazily so plain module import stays cheap; the UDTF itself is
-    the row-at-a-time API DEMO — the vectorized equivalent of this op is a
-    `transform(sequence(...), slice(tokens, ...))` column expression, and
-    a 100 TB chunking pass should use that (or mapInPandas for batch
-    amortization).  What the UDTF buys is the LATERAL-join shape: one
-    input row to N output rows with typed schema, composable with
-    `DataFrame.lateralJoin` and SQL `LATERAL` (registered TVF).
+    Built lazily so plain module import stays cheap.  ``useArrow=True``
+    keeps the per-row eval API but moves rows in Arrow record batches
+    (ArrowEvalPythonUDTF), so the lateral fan-out is not pickling one
+    row at a time; the fully vectorized equivalent of this op is a
+    `transform(sequence(...), slice(tokens, ...))` column expression,
+    and a 100 TB chunking pass should use that (or mapInPandas).  What
+    the UDTF buys is the LATERAL-join shape: one input row to N output
+    rows with typed schema, composable with `DataFrame.lateralJoin` and
+    SQL `LATERAL` (registered TVF).
     """
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="chunk_idx: long, chunk_text: string, n_chunk_tokens: long")
+    @udtf(
+        returnType="chunk_idx: long, chunk_text: string, n_chunk_tokens: long",
+        useArrow=True,
+    )
     class ChunkText:
         def eval(self, text: str):
             toks = text.split()

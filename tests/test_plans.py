@@ -367,3 +367,22 @@ def test_simhash_single_aggregation_no_bit_fanout(spark):
     assert hashes == 1, f"expected 1 hash exchange, saw {hashes}\n{plan}"
     assert plan.count("Generate") <= 2, plan  # one Generate node + its detail line
     assert "partial_sum" in plan or "partial_count" in plan, plan
+
+
+def test_no_registered_query_plans_cartesian_or_row_python(spark):
+    """Repo-wide anti-pattern net over EVERY registered query's physical
+    plan: no CartesianProduct anywhere (even the all-pairs oracle twins
+    plan as broadcast nested-loop at fixture scale — a CartesianProduct
+    means Catalyst lost the broadcast), and no BatchEvalPython (the
+    row-at-a-time pickling path; every Python surface must be
+    Arrow-vectorized — pandas UDF, mapInPandas/Arrow, or an
+    Arrow-optimized UDTF)."""
+    cart, rowpy = [], []
+    for name in QUERIES:
+        plan = _plan(spark, name)
+        if "CartesianProduct" in plan:
+            cart.append(name)
+        if "BatchEvalPython" in plan:
+            rowpy.append(name)
+    assert cart == [], f"cartesian products: {cart}"
+    assert rowpy == [], f"row-at-a-time python: {rowpy}"
