@@ -625,7 +625,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row shift math: ~96M expression rows and 4.8s at sf0.1; this
     form touches 1.5M rows and runs under 1s.)
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """The reusable core of ``dedup_simhash`` over any (doc_id, text)
+    DataFrame; property-tested against a pure-Python reference in
+    tests/test_text_properties.py on hypothesis-generated corpora."""
     tok = (
         docs.select("doc_id", F.explode(_tokens()).alias("token"))
         .where(F.col("token") != "")
@@ -1265,8 +1271,13 @@ def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     the md5 of the cleaned text — the oracle rebuilds the identical
     string relationally, so the hash pins the whole rewrite byte-exact.
     """
-    W = 6
-    docs = load_table(spark, sf_dir, "documents")
+    return substring_cut(load_table(spark, sf_dir, "documents"))
+
+
+def substring_cut(docs: DataFrame, W: int = 6) -> DataFrame:
+    """The reusable core of ``dedup_substring_cut`` over any (doc_id,
+    text) DataFrame; property-tested against a pure-Python reference in
+    tests/test_text_properties.py on hypothesis-generated corpora."""
     toks = docs.select("doc_id", _tokens().alias("t"))
     args = ",".join(f"t[i{'+' + str(j - 1) if j else '-1'}]" for j in range(W))
     # every window START (not distinct: each occurrence must be cut)

@@ -1,0 +1,140 @@
+"""Property tests for the round-7 rewritten text operators.
+
+The fixture-corpus oracles (DuckDB parity at sf0.01/sf0.1) pin these
+operators on realistic data; hypothesis corpora hit the edges those
+corpora can't be trusted to contain — docs shorter than the gram width,
+byte-identical duplicate docs, grams repeated WITHIN one doc only (must
+NOT be flagged: sharing requires >= 2 distinct docs), overlapping flagged
+spans, and docs whose every position is cut.  The references below
+implement the SPEC (Lee et al. span cutting; Charikar simhash voting)
+independently in pure Python, so agreement is two implementations of the
+math, not the engine checking itself.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+hypothesis = pytest.importorskip("hypothesis")
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# tiny alphabet so hypothesis actually produces cross-doc shared 6-grams
+_TOKEN = st.sampled_from(["a", "b", "ab", "x", "zz"])
+_DOC = st.lists(_TOKEN, min_size=1, max_size=14)
+_CORPUS = st.lists(_DOC, min_size=1, max_size=7)
+
+
+def _ref_substring_cut(docs: list[list[str]], W: int = 6):
+    """Pure-Python spec: cut every W-token span whose token tuple appears
+    in >= 2 distinct docs (every occurrence, by span union)."""
+    gram_docs: dict[tuple, set] = {}
+    for did, toks in enumerate(docs):
+        for s in range(len(toks) - W + 1):
+            gram_docs.setdefault(tuple(toks[s : s + W]), set()).add(did)
+    shared = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    out = []
+    for did, toks in enumerate(docs):
+        covered = set()
+        for s in range(len(toks) - W + 1):
+            if tuple(toks[s : s + W]) in shared:
+                covered.update(range(s, s + W))
+        kept = [t for p, t in enumerate(toks) if p not in covered]
+        out.append(
+            (
+                did,
+                len(toks),
+                len(kept),
+                hashlib.md5(" ".join(kept).encode()).hexdigest(),
+            )
+        )
+    return out
+
+
+def _ref_simhash(toks: list[str]) -> str:
+    """Pure-Python spec: bit b of the signature is the sign of the sum of
+    +-1 votes, where token t votes +1 iff bit b%4 of hex digit b//4 of
+    md5(t) is set (strictly positive sum -> '1')."""
+    n = len(toks)
+    bits = []
+    for b in range(64):
+        j, i = b // 4, b % 4
+        sb = sum(
+            1
+            for t in toks
+            if (int(hashlib.md5(t.encode()).hexdigest()[j], 16) >> i) & 1
+        )
+        bits.append("1" if 2 * sb > n else "0")
+    return "".join(bits)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_CORPUS)
+def test_substring_cut_matches_pure_python_reference(spark, corpus):
+    from species_range_data_pipeline_spark.plans.text import substring_cut
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    got = [
+        (r.doc_id, r.n_tokens, r.n_kept, r.cleaned_md5)
+        for r in substring_cut(docs).collect()
+    ]
+    assert got == _ref_substring_cut(corpus)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_CORPUS)
+def test_simhash_matches_pure_python_reference(spark, corpus):
+    from species_range_data_pipeline_spark.plans.text import simhash_signatures
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.simhash for r in simhash_signatures(docs).collect()}
+    assert got == {i: _ref_simhash(toks) for i, toks in enumerate(corpus)}
+
+
+def test_substring_cut_duplicate_docs_cut_everything(spark):
+    """Two byte-identical 6-token docs: every position is covered, both
+    clean to the empty string; a third unrelated short doc is untouched."""
+    from species_range_data_pipeline_spark.plans.text import substring_cut
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),
+            (1, "a b c d e f"),
+            (2, "x y"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in substring_cut(docs).collect()}
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    assert rows[0].n_kept == 0 and rows[0].cleaned_md5 == empty_md5
+    assert rows[1].n_kept == 0 and rows[1].cleaned_md5 == empty_md5
+    assert rows[2].n_kept == 2
+
+
+def test_substring_cut_within_doc_repeat_not_flagged(spark):
+    """A 6-gram repeated twice INSIDE one doc but in no other doc is not
+    'shared' — sharing requires two distinct doc_ids."""
+    from species_range_data_pipeline_spark.plans.text import substring_cut
+
+    text = "a b c d e f a b c d e f"  # same gram twice, one doc
+    docs = spark.createDataFrame(
+        [(0, text), (1, "q r s")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in substring_cut(docs).collect()}
+    assert rows[0].n_kept == rows[0].n_tokens == 12
