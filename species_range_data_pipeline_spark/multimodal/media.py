@@ -91,7 +91,14 @@ def encode_fake_audio(sample_rate: int, n_samples: int, seed: int) -> bytes:
 
 def make_media_table(spark: SparkSession, n: int = 64) -> DataFrame:
     """Deterministic synthetic media table (the fixture tables carry no
-    binary column; seed-stable so tests are reproducible)."""
+    binary column; seed-stable so tests are reproducible).
+
+    Coalesced to 8 partitions: ``createDataFrame`` slices local rows
+    across every core (32 partitions of 2 rows here), and each
+    downstream mapInPandas lane then pays ~32 Python task launches to
+    decode 64 tiny payloads — task overhead, not decode work, was the
+    whole cost.  A real corpus arrives via a binaryFile scan whose
+    partitioning follows file sizes instead."""
     rows = []
     for i in range(n):
         if i % 4 == 3:
@@ -103,7 +110,7 @@ def make_media_table(spark: SparkSession, n: int = 64) -> DataFrame:
         else:
             payload = encode_fake_image(8 + i % 5, 6 + i % 3, 3, seed=i)
             rows.append((i, "image", payload, "fakeimg"))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(8)
 
 
 def sniff_image_format(payload: bytes) -> str | None:
