@@ -104,6 +104,30 @@ def wkb_area(wkb: bytes) -> float:
     return sum(ring_signed_area(ring) for rings in polygons for ring in rings)
 
 
+def wkb_contains_point(wkb: bytes, x: float, y: float) -> bool:
+    """Even-odd ray cast (ST_Contains for the engine's polygon WKB): a
+    point is inside iff a horizontal ray to +inf crosses the boundary an
+    odd number of times.  Holes subtract by parity automatically (a point
+    in a hole crosses the exterior once and the hole ring once — even);
+    disjoint multipolygon parts contribute even crossings for outside
+    points.  Boundary points are NOT well-defined under ray casting —
+    callers must keep probes off edges (the engine's lattice-geometry
+    probes use cell centers, which never touch integer-lattice edges)."""
+    _, polygons = decode(wkb)
+    inside = False
+    for rings in polygons:
+        for ring in rings:
+            n = len(ring)
+            for i in range(n - 1):  # encoder guarantees closed rings
+                x1, y1 = ring[i]
+                x2, y2 = ring[i + 1]
+                if (y1 > y) != (y2 > y):
+                    x_cross = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+                    if x_cross > x:
+                        inside = not inside
+    return inside
+
+
 def _perp_dist(p, a, b) -> float:
     """Perpendicular distance of p from segment ab (endpoint distance when
     ab degenerates)."""

@@ -510,6 +510,86 @@ ORDER BY species, threshold
 GEO_DISSOLVE_M2_ORACLE = _dissolve_m2_oracle()
 
 
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Contains over the engine's WKB: probe every grid-cell CENTER
+    against each (species, threshold) dissolved multipolygon with the
+    even-odd ray-cast kernel (``functions.wkb.wkb_contains_point``).
+
+    Exactly checkable by construction: the dissolve geometry is the
+    union of unit cells at [col, col+1] x [-row-1, -row] (the kernel's
+    image-style y axis), so the center probe (col+0.5, -row-0.5) is
+    inside IFF cell (row, col) is in the group's presence set — and
+    centers never touch lattice edges, where ray casting is undefined.
+    The oracle restates membership relationally (count + coordinate
+    checksum); agreement pins the ray caster over every hole/island
+    shape the fixture corpus dissolves into.
+
+    Plan shape: the probe lattice is generated INSIDE the Arrow batch
+    (mapInPandas over the 9 geometry rows) rather than cross-joined, so
+    each multi-KB WKB blob crosses to Python once, not 1024 times.
+    """
+    import pandas as pd
+
+    cells = _cells_from_lineitem(spark, sf_dir)
+    d = dissolve(cells, by=["species", "threshold_s"], num_partitions=9)
+
+    def probe(batches):
+        from ..functions.wkb import wkb_contains_point
+
+        for pdf in batches:
+            out = []
+            for sp, th, blob, n_cells in zip(
+                pdf["species"], pdf["threshold_s"], pdf["geometry"],
+                pdf["n_cells"],
+            ):
+                b = bytes(blob)
+                n_in, checksum = 0, 0
+                for r in range(_GRID):
+                    for c in range(_GRID):
+                        if wkb_contains_point(b, c + 0.5, -r - 0.5):
+                            n_in += 1
+                            checksum += r * _GRID + c
+                out.append(
+                    {"species": sp, "threshold": th,
+                     "n_cells": int(n_cells), "n_inside": n_in,
+                     "inside_checksum": checksum}
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["species", "threshold", "n_cells", "n_inside",
+                         "inside_checksum"],
+            )
+
+    return (
+        d.mapInPandas(
+            probe,
+            "species string, threshold string, n_cells long, "
+            "n_inside long, inside_checksum long",
+        )
+        .orderBy("species", "threshold")
+    )
+
+
+GEO_POINT_IN_POLYGON_ORACLE = f"""
+WITH cells AS (
+    SELECT DISTINCT l_returnflag AS species,
+           CAST(CAST(threshold * 100 AS INTEGER) AS VARCHAR) AS threshold,
+           l_orderkey % {_GRID} AS row,
+           l_partkey % {_GRID} AS col
+    FROM lineitem
+    CROSS JOIN (VALUES (0.25), (0.5), (0.75)) AS t(threshold)
+    WHERE l_quantity / 50.0 >= threshold
+)
+SELECT species, threshold,
+       count(*) AS n_cells,
+       count(*) AS n_inside,
+       CAST(sum(row * {_GRID} + col) AS BIGINT) AS inside_checksum
+FROM cells
+GROUP BY species, threshold
+ORDER BY species, threshold
+"""
+
+
 QUERIES = {
     "geo_raster_regrid": geo_raster_regrid,
     "geo_spatial_join_bin": geo_spatial_join_bin,
@@ -517,6 +597,7 @@ QUERIES = {
     "geo_reproject_points": geo_reproject_points,
     "geo_dissolve_area": geo_dissolve_area,
     "geo_dissolve_area_m2": geo_dissolve_area_m2,
+    "geo_point_in_polygon": geo_point_in_polygon,
     "geo_polygonize_components": geo_polygonize_components,
 }
 
@@ -527,5 +608,6 @@ ORACLES = {
     "geo_reproject_points": GEO_REPROJECT_ORACLE,
     "geo_dissolve_area": GEO_DISSOLVE_ORACLE,
     "geo_dissolve_area_m2": GEO_DISSOLVE_M2_ORACLE,
+    "geo_point_in_polygon": GEO_POINT_IN_POLYGON_ORACLE,
     "geo_polygonize_components": GEO_POLYGONIZE_ORACLE,
 }

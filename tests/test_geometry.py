@@ -314,3 +314,66 @@ def test_wkb_area_km2_known_values():
     hole = list(reversed(cell(0.5, 0.5, 1.0)))
     with_hole = wkb_area_km2(encode_polygon([outer, hole]))
     assert abs(with_hole - (band(0, 2, 2) - band(0.5, 1.5, 1))) < 1e-6
+
+
+def test_wkb_contains_point_ray_cast():
+    """Even-odd ray-cast kernel: interior, exterior, hole, island, and
+    concave cases over the engine's own WKB encoding."""
+    from species_range_data_pipeline_spark.functions.wkb import (
+        encode_multipolygon,
+        encode_polygon,
+        wkb_contains_point,
+    )
+
+    square = encode_polygon([[(0, 0), (4, 0), (4, 4), (0, 4)]])
+    assert wkb_contains_point(square, 2, 2)
+    assert not wkb_contains_point(square, 5, 2)
+    assert not wkb_contains_point(square, -1, -1)
+
+    with_hole = encode_polygon(
+        [[(0, 0), (4, 0), (4, 4), (0, 4)], [(1, 1), (1, 3), (3, 3), (3, 1)]]
+    )
+    assert wkb_contains_point(with_hole, 0.5, 0.5)  # ring interior
+    assert not wkb_contains_point(with_hole, 2, 2)  # inside the hole
+
+    islands = encode_multipolygon(
+        [
+            [[(0, 0), (1, 0), (1, 1), (0, 1)]],
+            [[(10, 10), (12, 10), (12, 12), (10, 12)]],
+        ]
+    )
+    assert wkb_contains_point(islands, 0.5, 0.5)
+    assert wkb_contains_point(islands, 11, 11)
+    assert not wkb_contains_point(islands, 5, 5)
+
+    # concave L-shape: the notch is outside even though its bbox isn't
+    ell = encode_polygon([[(0, 0), (3, 0), (3, 1), (1, 1), (1, 3), (0, 3)]])
+    assert wkb_contains_point(ell, 0.5, 2.5)
+    assert wkb_contains_point(ell, 2.5, 0.5)
+    assert not wkb_contains_point(ell, 2.5, 2.5)  # the notch
+
+
+def test_wkb_contains_matches_dissolve_cells(spark):
+    """The lattice identity the geo_point_in_polygon oracle rests on:
+    cell (r, c) present in the dissolve input <=> its center probe
+    (c+0.5, -r-0.5) is contained in the dissolved multipolygon."""
+    from species_range_data_pipeline_spark.functions.wkb import (
+        wkb_contains_point,
+    )
+    from species_range_data_pipeline_spark.operators.polygonize import dissolve
+
+    present = {(0, 0), (0, 1), (1, 1), (3, 3), (3, 4), (4, 3), (4, 4), (6, 0)}
+    cells = spark.createDataFrame(
+        [("s", "t", r, c) for r, c in present],
+        "species string, threshold_s string, row int, col int",
+    )
+    g = bytes(
+        dissolve(cells, by=["species", "threshold_s"], num_partitions=1)
+        .collect()[0]
+        .geometry
+    )
+    for r in range(8):
+        for c in range(8):
+            assert wkb_contains_point(g, c + 0.5, -r - 0.5) == (
+                (r, c) in present
+            ), (r, c)
