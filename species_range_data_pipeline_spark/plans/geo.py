@@ -590,6 +590,113 @@ ORDER BY species, threshold
 """
 
 
+def geo_range_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise RANGE OVERLAP between species — the overlay analytic a
+    range pipeline exists to feed (where do two species' predicted
+    ranges coincide?).  Each species' threshold-50 presence dissolves to
+    one multipolygon; every species pair is then rasterized back over
+    the grid with the ray-cast kernel and compared cell-by-cell:
+    intersection count, union count, and Jaccard overlap.
+
+    Rasterized overlay (decode -> probe lattice -> set algebra) is how
+    zonal overlays run at scale when exact polygon clipping is
+    unavailable; on THIS lattice it is not an approximation — the
+    geometries are unions of unit cells, so cell-center rasterization
+    recovers the presence sets exactly and the DuckDB oracle restates
+    the whole query as a self-join of the cells CTE.  The pair fan-out
+    is a broadcast self-join of the 3-row dissolved dimension; at a
+    thousand species it stays a broadcast (dissolved geometries are
+    dimension-sized), with per-pair probe work parallelized by the pair
+    partitioning.
+    """
+    import pandas as pd
+
+    cells = _cells_from_lineitem(spark, sf_dir).where(
+        F.col("threshold_s") == "50"
+    )
+    d = dissolve(cells, by=["species"], num_partitions=3).select(
+        "species", "geometry"
+    )
+    a = d.select(
+        F.col("species").alias("species_a"), F.col("geometry").alias("geom_a")
+    )
+    b = d.select(
+        F.col("species").alias("species_b"), F.col("geometry").alias("geom_b")
+    )
+    pairs = a.crossJoin(F.broadcast(b)).where(
+        F.col("species_a") < F.col("species_b")
+    )
+
+    def overlay(batches):
+        from ..functions.wkb import wkb_contains_point
+
+        def rasterize(blob):
+            g = bytes(blob)
+            return {
+                (r, c)
+                for r in range(_GRID)
+                for c in range(_GRID)
+                if wkb_contains_point(g, c + 0.5, -r - 0.5)
+            }
+
+        for pdf in batches:
+            out = []
+            for sa, ga, sb, gb in zip(
+                pdf["species_a"], pdf["geom_a"], pdf["species_b"],
+                pdf["geom_b"],
+            ):
+                ca, cb = rasterize(ga), rasterize(gb)
+                inter, union = len(ca & cb), len(ca | cb)
+                out.append(
+                    {"species_a": sa, "species_b": sb,
+                     "n_inter": inter, "n_union": union,
+                     "jaccard": round(inter / union, 4) if union else 0.0}
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["species_a", "species_b", "n_inter", "n_union",
+                         "jaccard"],
+            )
+
+    return (
+        pairs.mapInPandas(
+            overlay,
+            "species_a string, species_b string, n_inter long, "
+            "n_union long, jaccard double",
+        )
+        .orderBy("species_a", "species_b")
+    )
+
+
+GEO_RANGE_OVERLAP_ORACLE = f"""
+WITH cells AS (
+    SELECT DISTINCT l_returnflag AS species,
+           l_orderkey % {_GRID} AS row,
+           l_partkey % {_GRID} AS col
+    FROM lineitem
+    WHERE l_quantity / 50.0 >= 0.5
+), counts AS (
+    SELECT species, count(*) AS n FROM cells GROUP BY species
+), inter AS (
+    SELECT a.species AS species_a, b.species AS species_b,
+           count(*) AS n_inter
+    FROM cells a
+    JOIN cells b ON a.row = b.row AND a.col = b.col
+               AND a.species < b.species
+    GROUP BY 1, 2
+)
+SELECT i.species_a, i.species_b,
+       i.n_inter,
+       ca.n + cb.n - i.n_inter AS n_union,
+       round(CAST(i.n_inter AS DOUBLE) / (ca.n + cb.n - i.n_inter), 4)
+           AS jaccard
+FROM inter i
+JOIN counts ca ON ca.species = i.species_a
+JOIN counts cb ON cb.species = i.species_b
+ORDER BY species_a, species_b
+"""
+
+
 QUERIES = {
     "geo_raster_regrid": geo_raster_regrid,
     "geo_spatial_join_bin": geo_spatial_join_bin,
@@ -598,6 +705,7 @@ QUERIES = {
     "geo_dissolve_area": geo_dissolve_area,
     "geo_dissolve_area_m2": geo_dissolve_area_m2,
     "geo_point_in_polygon": geo_point_in_polygon,
+    "geo_range_overlap": geo_range_overlap,
     "geo_polygonize_components": geo_polygonize_components,
 }
 
@@ -609,5 +717,6 @@ ORACLES = {
     "geo_dissolve_area": GEO_DISSOLVE_ORACLE,
     "geo_dissolve_area_m2": GEO_DISSOLVE_M2_ORACLE,
     "geo_point_in_polygon": GEO_POINT_IN_POLYGON_ORACLE,
+    "geo_range_overlap": GEO_RANGE_OVERLAP_ORACLE,
     "geo_polygonize_components": GEO_POLYGONIZE_ORACLE,
 }
