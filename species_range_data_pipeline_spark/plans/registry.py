@@ -38,7 +38,15 @@ _MODULE_NAMES = [
 # r6 judge notes, cross-checked against CORRECTNESS_r0*.json) + the 4
 # queries whose oracles are new this round (3 rows-only -> VALUES
 # upgrades, 1 new metric-area query) + the repaired emb_label_centroids.
-# After this window, every oracle-backed query has driver evidence.
+#
+# Round-8 rotation TODO: after this window lands, the only queries with
+# no driver row are the 9 oracled late in r7 (too late for this
+# window): the 7 plans/pinned.py VALUES graduations (emb_kmeans,
+# emb_near_dup_lsh, emb_pca_project, sketch_hll_distinct,
+# sketch_cms_brand_counts, bpe_train_merges, doc_pack_ffd) and the 2
+# new geo-overlay queries (geo_point_in_polygon, geo_range_overlap).
+# Swap them in for 9 window slots and every registered query will have
+# driver evidence.
 _PRIORITY = [
     # sentinels / module reps (driver-green r5/r6; regression canaries)
     "flagship_threshold_rollup",
