@@ -33,22 +33,19 @@ _MODULE_NAMES = [
 # tests/test_registry.py): exactly 50 names, every plan module (all 16)
 # represented, every name resolves, every name oracle-backed.
 #
-# Round-7 window (third rotation): 11 sentinels/module reps + the 34
-# oracle-backed queries with NO driver row in rounds 1-6 (list from the
-# r6 judge notes, cross-checked against CORRECTNESS_r0*.json) + the 4
-# queries whose oracles are new this round (3 rows-only -> VALUES
-# upgrades, 1 new metric-area query) + the repaired emb_label_centroids.
-#
-# Round-8 rotation TODO: after this window lands, the only queries with
-# no driver row are the 9 oracled late in r7 (too late for this
-# window): the 7 plans/pinned.py VALUES graduations (emb_kmeans,
-# emb_near_dup_lsh, emb_pca_project, sketch_hll_distinct,
-# sketch_cms_brand_counts, bpe_train_merges, doc_pack_ffd) and the 2
-# new geo-overlay queries (geo_point_in_polygon, geo_range_overlap).
-# Swap them in for 9 window slots and every registered query will have
-# driver evidence.
+# Round-8 window (fourth/final rotation): the 9 queries with no driver
+# row anywhere in CORRECTNESS_r01-r07 (the 7 plans/pinned.py VALUES
+# graduations + the 2 r7 geo-overlay queries) are swapped in for 9 r7
+# driver-green slots.  With this window green, cumulative driver
+# evidence covers ALL 181 registered queries — the program's terminal
+# coverage state.  Swapped out (all hash-green in CORRECTNESS_r07):
+# json_variant_funcs, xml_roundtrip_parse (advanced keeps 4 reps),
+# text_word_topk, text_token_count_bpe, text_fingerprint,
+# text_winnow_fingerprint (text keeps 8 reps), emb_near_dup_bruteforce
+# (vectors keeps its twin emb_near_dup), ev_rollup_two_level,
+# ev_type_pivot (events keeps 2 reps).
 _PRIORITY = [
-    # sentinels / module reps (driver-green r5/r6; regression canaries)
+    # sentinels / module reps (driver-green r5-r7; regression canaries)
     "flagship_threshold_rollup",
     "q1_pricing_summary",
     "join_anti_idempotent",
@@ -60,20 +57,29 @@ _PRIORITY = [
     "dataset_interleave_epochs",
     "multimodal_decode_stats",
     "emb_pq_topk",
-    # repaired this round: posexploded scalar output (r6 driver ERR)
     "emb_label_centroids",
-    # rows-only -> VALUES-oracle upgrades (flip to hash-green this round)
     "multimodal_ahash_dups",
     "text_compression_ratio",
     "sketch_quantile_bottomk",
-    # new this round: dissolve -> reproject 6933 -> metric area (A1+C1+T5)
     "geo_dissolve_area_m2",
-    # --- first driver rows below this line (34 never-checked) ---
+    # --- first driver rows below this line (the final 9) ---
+    # vectors (self-pinned VALUES + numpy goldens; see SELF_PINNED)
+    "emb_kmeans",
+    "emb_pca_project",
+    "emb_near_dup_lsh",
+    # stats sketches (self-pinned VALUES + error-bound goldens)
+    "sketch_hll_distinct",
+    "sketch_cms_brand_counts",
+    # bpe / packing (self-pinned VALUES + pure-Python goldens)
+    "bpe_train_merges",
+    "doc_pack_ffd",
+    # geo overlays (cross-engine DuckDB oracles, new in r7)
+    "geo_point_in_polygon",
+    "geo_range_overlap",
+    # --- r7-green rows retained for module coverage / regression ---
     # advanced
     "corr_measures",
     "json_udtf_dynamic",
-    "json_variant_funcs",
-    "xml_roundtrip_parse",
     "error_routing",
     "window_udaf_ewma",
     # stats
@@ -97,22 +103,43 @@ _PRIORITY = [
     "text_perplexity",
     "text_chunk_udtf",
     "text_bigram_lm",
-    "text_word_topk",
-    "text_token_count_bpe",
-    "text_fingerprint",
-    "text_winnow_fingerprint",
     # vectors
     "emb_quantize_topk",
     "emb_near_dup",
-    "emb_near_dup_bruteforce",
     # events
     "ev_pattern_consecutive",
     "ev_time_weighted_avg",
-    "ev_rollup_two_level",
-    "ev_type_pivot",
     # graph
     "dedup_clusters_star",
 ]
+
+# Queries whose oracles are pure VALUES restatements of expected OUTPUT
+# (no fixture-table computation beyond the scale-key count) — i.e. rows
+# captured from the engine's own verified output (the r6/r7 graduation
+# of the rows-only set).  The driver hash-check on these detects
+# drift/nondeterminism, NOT independent correctness — that burden stays
+# on the per-query golden tests (numpy kmeans/PCA, pure-Python BPE/FFD,
+# zlib compression, HLL/CMS/bottom-k error bounds, planted-pair media
+# fixtures).  tests/test_registry.py maps every name here to its golden
+# and asserts both directions (no untagged self-pin, no tag without a
+# golden).  Everything NOT listed is a cross-engine DuckDB restatement
+# of the computation itself.
+SELF_PINNED = frozenset({
+    "bpe_encode_tokens",
+    "bpe_train_merges",
+    "doc_pack_ffd",
+    "emb_kmeans",
+    "emb_near_dup_lsh",
+    "emb_pca_project",
+    "emb_pq_topk",
+    "multimodal_ahash_dups",
+    "multimodal_decode_stats",
+    "sketch_cms_brand_counts",
+    "sketch_hll_distinct",
+    "sketch_quantile_bottomk",
+    "subtitle_cue_stats",
+    "text_compression_ratio",
+})
 
 
 def _modules():

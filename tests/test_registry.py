@@ -143,3 +143,63 @@ def test_scale_keyed_oracles_pin_the_correctness_scale(duck, name):
         f"sf0.01 fixture now has {n} rows — re-derive the VALUES rows for "
         f"this scale (see the oracle's docstring for the capture recipe)"
     )
+
+
+# ADVICE r7: self-pinned VALUES oracles (rows captured from the engine's
+# own output) are a weaker evidence class than cross-engine DuckDB
+# restatements — the driver gate on them detects drift, not correctness.
+# Keep that class visible: every self-pinned query maps to the
+# INDEPENDENT golden test that carries its correctness burden, and the
+# tag set cannot drift from the oracle text in either direction.
+SELF_PINNED_GOLDENS = {
+    "bpe_encode_tokens": "tests/test_bpe.py::test_encode_matches_reference_and_roundtrips",
+    "bpe_train_merges": "tests/test_bpe.py::test_spark_bpe_matches_reference_on_fixture_corpus",
+    "doc_pack_ffd": "tests/test_packing.py::test_doc_pack_ffd_matches_reference_and_bounds",
+    "emb_kmeans": "tests/test_clustering.py::test_kmeans_matches_numpy_reference",
+    "emb_near_dup_lsh": "tests/test_similarity.py::test_lsh_near_dup_precision_and_recall",
+    "emb_pca_project": "tests/test_clustering.py::test_pca_matches_numpy_reference",
+    "emb_pq_topk": "tests/test_similarity.py::test_pq_refined_recall_vs_exact",
+    "multimodal_ahash_dups": "tests/test_media_queries.py::test_ahash_dups_finds_planted_pairs",
+    "multimodal_decode_stats": "tests/test_codecs.py::test_png_roundtrip_all_color_types",
+    "sketch_cms_brand_counts": "tests/test_plans.py::test_cms_estimates_bound_exact_counts",
+    "sketch_hll_distinct": "tests/test_plans.py::test_hll_estimate_within_tolerance",
+    "sketch_quantile_bottomk": "tests/test_plans.py::test_bottomk_quantile_sketch_rank_error_bounded",
+    "subtitle_cue_stats": "tests/test_subtitles.py::test_srt_cues_and_markup",
+    "text_compression_ratio": "tests/test_quality_signals.py::test_compression_ratio_matches_direct_zlib",
+}
+
+
+def test_self_pinned_set_matches_oracle_shape():
+    """A self-pin is detectable from the SQL itself: a pure VALUES
+    restatement of output rows, referencing fixture tables only through
+    the scale-key ``SELECT count(*) FROM <table>`` subquery.  Assert the
+    registry tag set equals exactly that detected set, so a future
+    self-pinned oracle cannot ship untagged (ADVICE r7 #1) and a
+    graduated-to-cross-engine oracle cannot stay tagged."""
+    import re
+
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    detected = set()
+    for name, sql in registry.all_oracles().items():
+        if "VALUES" not in sql:
+            continue
+        body = re.sub(r"SELECT count\(\*\) FROM \w+", "", sql)
+        if not any(re.search(rf"\b{t}\b", body) for t in tables):
+            detected.add(name)
+    assert detected == set(registry.SELF_PINNED)
+
+
+def test_every_self_pinned_query_has_an_independent_golden():
+    import ast
+    from pathlib import Path
+
+    assert set(SELF_PINNED_GOLDENS) == set(registry.SELF_PINNED)
+    root = Path(__file__).resolve().parent.parent
+    for name, ref in SELF_PINNED_GOLDENS.items():
+        path, test_name = ref.split("::")
+        tree = ast.parse((root / path).read_text())
+        fns = {n.name for n in ast.walk(tree) if isinstance(n, ast.FunctionDef)}
+        assert test_name in fns, f"{name}: golden {ref} no longer exists"
