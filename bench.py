@@ -4,6 +4,10 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ..
 
 Each query executes fully via the `noop` sink (no driver-side collect skew);
 value = sum of per-query wall seconds.
+
+stdout carries the compact summary only (medians + totals + streaming);
+the full dump with cold/min spreads is written to ./BENCH_LOCAL.json so a
+truncated stdout capture never destroys the round's perf evidence.
 """
 
 from __future__ import annotations
@@ -219,6 +223,13 @@ def main() -> None:
         ):
             while len(warm) < _SHORT_WARM_PASSES and warm[-1] is not None:
                 warm.append(_run_once(fn))
+        elif all(w is not None for w in warm):
+            # slow tier: median of exactly 2 warm passes is their MEAN —
+            # a single noisy pass shifts the headline by half its error
+            # (ADVICE r7).  A third pass makes the median an actual
+            # outlier-rejecting middle value; costs one extra pass on
+            # the handful of >=2s queries only.
+            warm.append(_run_once(fn))
         if first is None or any(w is None for w in warm):
             # a query that errored on ANY pass is dropped, never
             # published with a healthy-looking number from the others
@@ -255,26 +266,32 @@ def main() -> None:
     }
     # r7 grew the set again (PQ ANN, simhash, metric geo, multimodal);
     # r4_comparable_total remains the round-over-round comparison basis.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "r3_comparable_total": round(
-                    sum(v for k, v in timings.items() if k in r3_set), 3
-                ),
-                "r4_comparable_total": round(
-                    sum(v for k, v in timings.items() if k in r4_set), 3
-                ),
-                "queries": timings,
-                "queries_cold": cold,
-                "queries_min": mins,
-                **streaming,
-                "sf": sf,
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "r3_comparable_total": round(
+            sum(v for k, v in timings.items() if k in r3_set), 3
+        ),
+        "r4_comparable_total": round(
+            sum(v for k, v in timings.items() if k in r4_set), 3
+        ),
+        "queries": timings,
+        **streaming,
+        "sf": sf,
+    }
+    full = dict(summary)
+    full["queries_cold"] = cold
+    full["queries_min"] = mins
+    # BENCH_r07.json lost its headline medians to the driver's tail
+    # capture (the full line outgrew the capture window and the FRONT
+    # was cut -> parsed: null).  Two defenses (VERDICT r7 missing #2):
+    # the full dump (cold + min spreads) is written to an in-repo
+    # artifact, and stdout carries only the compact summary — medians,
+    # totals, streaming — which fits any plausible tail window, so the
+    # driver-parsed artifact always contains the headline numbers.
+    (REPO / "BENCH_LOCAL.json").write_text(json.dumps(full, indent=1) + "\n")
+    print(json.dumps(summary))
     spark.stop()
 
 

@@ -618,12 +618,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, the sum is sb - (n - sb), so bit b of the signature is
     ``2*sb > n``.  The plan is therefore ONE aggregation: the 16-hex
     prefix parses as TWO 8-digit longs per token (conv is the expensive
-    expression — 2 per row, not 16), then 64 shift-and-mask
-    conditional sums + a count per doc, all whole-stage codegen over
-    long registers with map-side combine; the only exchange carries 65
-    longs per doc.  (The naive shape exploded every token 64x through
-    per-row shift math: ~96M expression rows and 4.8s at sf0.1; this
-    form touches 1.5M rows and runs under 1s.)
+    expression — 2 per row, not 16), then 32 packed shift-and-mask
+    conditional sums (two 32-bit vote counters per long) + a count per
+    doc, all long-register math with map-side combine; the hash exchange
+    carries 34 longs per doc.  (The naive shape exploded every token 64x
+    through per-row shift math — ~96M expression rows and 4.8s at
+    sf0.1.)  A round-robin repartition guard parallelizes small inputs
+    that arrive as a single split; see simhash_signatures for the r8
+    shape notes.
     """
     return simhash_signatures(load_table(spark, sf_dir, "documents"))
 
@@ -631,7 +633,28 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """The reusable core of ``dedup_simhash`` over any (doc_id, text)
     DataFrame; property-tested against a pure-Python reference in
-    tests/test_text_properties.py on hypothesis-generated corpora."""
+    tests/test_text_properties.py on hypothesis-generated corpora.
+
+    r8 shape changes (VERDICT r7 next #3):
+
+    - PARALLELISM GUARD: a small corpus arriving as fewer splits than
+      ``defaultParallelism`` (sf0.1 is ONE parquet row-group -> the whole
+      token stage ran single-threaded) is round-robin repartitioned
+      first; at scale the input already has >= that many splits and the
+      guard is a no-op, so no shuffle is added where it would hurt.
+    - PACKED VOTE COUNTERS: two bit-counts share each 64-bit sum
+      (32-bit fields; sum-of-packed == packed-sums while each field
+      stays < 2^31 ~ impossible for tokens-per-doc, which is bounded by
+      Spark's 2 GiB string limit at ~2^28 single-char tokens).  Halves
+      the aggregation buffer (34 longs vs 65) and the exchange width,
+      and keeps the generated agg-update code half the size.
+    - NO PRESENTATION SORT: the driver/oracle compare sorts rows, so the
+      global range-exchange + sample job bought nothing.
+    """
+    n_in = docs.rdd.getNumPartitions()
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if n_in < par:
+        docs = docs.repartition(par)
     tok = (
         docs.select("doc_id", F.explode(_tokens()).alias("token"))
         .where(F.col("token") != "")
@@ -645,16 +668,25 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
         F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("hi"),
         F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("lo"),
     )
-    aggs = [F.count(F.lit(1)).alias("n")]
-    for b in range(64):
+
+    def _bit(b: int):
         j, i = b // 4 + 1, b % 4
         word = F.col("hi") if j <= 8 else F.col("lo")
         shift = (8 - 1 - (j - 1) % 8) * 4 + i
+        return F.shiftright(word, shift).bitwiseAND(F.lit(1))
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for g in range(32):
+        lo_bit, hi_bit = 2 * g, 2 * g + 1
         aggs.append(
-            F.sum(
-                F.shiftright(word, shift).bitwiseAND(F.lit(1))
-            ).alias(f"sb{b}")
+            F.sum(_bit(lo_bit) + F.shiftleft(_bit(hi_bit), 32)).alias(f"g{g}")
         )
+
+    def _sb(b: int):
+        packed = F.col(f"g{b // 2}")
+        half = packed if b % 2 == 0 else F.shiftright(packed, 32)
+        return half.bitwiseAND(F.lit(0xFFFFFFFF))
+
     return (
         tokh.groupBy("doc_id")
         .agg(*aggs)
@@ -662,13 +694,12 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
             "doc_id",
             F.concat(
                 *[
-                    F.when(F.col(f"sb{b}") * 2 > F.col("n"), F.lit("1"))
+                    F.when(_sb(b) * 2 > F.col("n"), F.lit("1"))
                     .otherwise(F.lit("0"))
                     for b in range(64)
                 ]
             ).alias("simhash"),
         )
-        .orderBy("doc_id")
     )
 
 

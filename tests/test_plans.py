@@ -357,11 +357,12 @@ def test_listagg_aggregates_with_partial_merge(spark):
 
 
 def test_simhash_single_aggregation_no_bit_fanout(spark):
-    """dedup_simhash (r7 vote-sum form): the 64 signature bits come from
-    conditional-sum aggregates, not a row fan-out — exactly one hash
-    exchange (the per-doc groupBy, map-side combined) plus the
-    presentation sort, and exactly one Generate (the token explode;
-    the old shape had a second 64x bit explode)."""
+    """dedup_simhash (r8 packed vote-sum form): the 64 signature bits
+    come from 32 packed conditional-sum aggregates, not a row fan-out —
+    exactly one hash exchange (the per-doc groupBy, map-side combined;
+    the small-input parallelism guard adds only a round-robin exchange),
+    and exactly one Generate (the token explode; the old shape had a
+    second 64x bit explode)."""
     plan = _plan(spark, "dedup_simhash")
     hashes = plan.count("hashpartitioning")
     assert hashes == 1, f"expected 1 hash exchange, saw {hashes}\n{plan}"
