@@ -128,6 +128,79 @@ def wkb_contains_point(wkb: bytes, x: float, y: float) -> bool:
     return inside
 
 
+def wkb_contains_points(wkb: bytes, xs, ys):
+    """Vectorized even-odd ray cast: the scalar ``wkb_contains_point``
+    broadcast over a whole probe array with numpy (VERDICT r7 next #4).
+
+    ``xs``/``ys`` are equal-length 1-D arrays of probe coordinates;
+    returns a boolean array.  The crossing test for every (edge, point)
+    pair is one broadcast expression — edges as column vectors, points
+    as a row — so rasterizing a full lattice against a dissolved
+    multipolygon costs a handful of array ops instead of
+    O(points x vertices) Python-interpreter iterations.  Edge count x
+    point chunk is capped (~4M pairs, ~32 MB of float64 temporaries) so
+    memory stays bounded for continental geometries; results are exact
+    float64-identical to the scalar kernel (same expression, same IEEE
+    ops), which the golden test in tests/test_geometry.py pins on
+    random lattice geometries.
+
+    Same boundary caveat as the scalar kernel: probes must stay off
+    polygon edges (lattice users probe cell centers).
+    """
+    import numpy as np
+
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    _, polygons = decode(wkb)
+    segs = []
+    for rings in polygons:
+        for ring in rings:
+            if len(ring) >= 2:
+                arr = np.asarray(ring, dtype=np.float64)
+                segs.append(np.stack([arr[:-1], arr[1:]], axis=1))
+    if not segs:
+        return np.zeros(xs.shape[0], dtype=bool)
+    edges = np.concatenate(segs)  # (E, 2, 2): [i] = ((x1, y1), (x2, y2))
+    x1 = edges[:, 0, 0:1]
+    y1 = edges[:, 0, 1:2]
+    x2 = edges[:, 1, 0:1]
+    y2 = edges[:, 1, 1:2]
+    dy = y2 - y1
+    # horizontal edges never satisfy (y1 > y) != (y2 > y); keep the
+    # division warning-free with a dummy denominator there
+    safe_dy = np.where(dy == 0.0, 1.0, dy)
+    n_edges = max(1, x1.shape[0])
+    chunk = max(1, (4 << 20) // n_edges)
+    inside = np.empty(xs.shape[0], dtype=bool)
+    for s in range(0, xs.shape[0], chunk):
+        px = xs[s : s + chunk][None, :]
+        py = ys[s : s + chunk][None, :]
+        crosses = (y1 > py) != (y2 > py)
+        x_cross = x1 + (py - y1) * (x2 - x1) / safe_dy
+        inside[s : s + chunk] = (
+            np.sum(crosses & (x_cross > px), axis=0) % 2 == 1
+        )
+    return inside
+
+
+def wkb_rasterize_lattice(wkb: bytes, grid: int):
+    """Rasterize a lattice-aligned geometry back to its presence mask:
+    probe every cell center (c + 0.5, -r - 0.5) of an N x N grid with the
+    vectorized ray cast.  Returns a (grid, grid) boolean array indexed
+    [row, col].  For geometries that are unions of unit cells this is
+    exact recovery, not approximation (centers never touch lattice
+    edges, where ray casting is undefined)."""
+    import numpy as np
+
+    rr, cc = np.meshgrid(
+        np.arange(grid, dtype=np.float64),
+        np.arange(grid, dtype=np.float64),
+        indexing="ij",
+    )
+    mask = wkb_contains_points(wkb, cc.ravel() + 0.5, -rr.ravel() - 0.5)
+    return mask.reshape(grid, grid)
+
+
 def _perp_dist(p, a, b) -> float:
     """Perpendicular distance of p from segment ab (endpoint distance when
     ab degenerates)."""

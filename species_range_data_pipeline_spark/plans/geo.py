@@ -526,7 +526,10 @@ def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: the probe lattice is generated INSIDE the Arrow batch
     (mapInPandas over the 9 geometry rows) rather than cross-joined, so
-    each multi-KB WKB blob crosses to Python once, not 1024 times.
+    each multi-KB WKB blob crosses to Python once, not 1024 times; the
+    whole lattice is rasterized per geometry with the numpy-broadcast
+    ray cast (``wkb_contains_points``, r8 — the r7 per-point Python loop
+    was O(grid^2 x vertices) interpreter work per geometry).
     """
     import pandas as pd
 
@@ -534,25 +537,23 @@ def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = dissolve(cells, by=["species", "threshold_s"], num_partitions=9)
 
     def probe(batches):
-        from ..functions.wkb import wkb_contains_point
+        import numpy as np
 
+        from ..functions.wkb import wkb_rasterize_lattice
+
+        cell_ids = np.arange(_GRID * _GRID, dtype=np.int64)
         for pdf in batches:
             out = []
             for sp, th, blob, n_cells in zip(
                 pdf["species"], pdf["threshold_s"], pdf["geometry"],
                 pdf["n_cells"],
             ):
-                b = bytes(blob)
-                n_in, checksum = 0, 0
-                for r in range(_GRID):
-                    for c in range(_GRID):
-                        if wkb_contains_point(b, c + 0.5, -r - 0.5):
-                            n_in += 1
-                            checksum += r * _GRID + c
+                mask = wkb_rasterize_lattice(bytes(blob), _GRID).ravel()
                 out.append(
                     {"species": sp, "threshold": th,
-                     "n_cells": int(n_cells), "n_inside": n_in,
-                     "inside_checksum": checksum}
+                     "n_cells": int(n_cells),
+                     "n_inside": int(mask.sum()),
+                     "inside_checksum": int(cell_ids[mask].sum())}
                 )
             yield pd.DataFrame(
                 out,
@@ -608,36 +609,78 @@ def geo_range_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     thousand species it stays a broadcast (dissolved geometries are
     dimension-sized), with per-pair probe work parallelized by the pair
     partitioning.
+
+    r8 scale hardening (VERDICT r7 next #4/#6):
+    - Every species pair appears in the output (disjoint ranges emit
+      jaccard 0.0 — the oracle mirrors this with a LEFT JOIN universe).
+    - A BOUNDING-BOX PREFILTER splits the pairs JVM-side ahead of the
+      Python stage: the box comes free as min/max(row/col) aggregates
+      on the cells (identical to the dissolved geometry's bbox — the
+      geometry IS the cell union), disjoint-box pairs short-circuit to
+      n_inter=0 / n_union=na+nb without ever decoding a geometry, and
+      only box-overlapping pairs reach the rasterizing mapInPandas.
+    - Rasterization is the numpy-broadcast ray cast, one lattice per
+      DISTINCT geometry per batch (memoized), not per pair.
     """
     import pandas as pd
 
     cells = _cells_from_lineitem(spark, sf_dir).where(
         F.col("threshold_s") == "50"
     )
-    d = dissolve(cells, by=["species"], num_partitions=3).select(
-        "species", "geometry"
+    boxes = cells.groupBy("species").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.min("row").alias("min_r"),
+        F.max("row").alias("max_r"),
+        F.min("col").alias("min_c"),
+        F.max("col").alias("max_c"),
+    )
+    d = (
+        dissolve(cells, by=["species"], num_partitions=3)
+        .select("species", "geometry")
+        .join(F.broadcast(boxes), "species")
     )
     a = d.select(
-        F.col("species").alias("species_a"), F.col("geometry").alias("geom_a")
+        F.col("species").alias("species_a"), F.col("geometry").alias("geom_a"),
+        F.col("n_cells").alias("n_a"),
+        F.col("min_r").alias("min_r_a"), F.col("max_r").alias("max_r_a"),
+        F.col("min_c").alias("min_c_a"), F.col("max_c").alias("max_c_a"),
     )
     b = d.select(
-        F.col("species").alias("species_b"), F.col("geometry").alias("geom_b")
+        F.col("species").alias("species_b"), F.col("geometry").alias("geom_b"),
+        F.col("n_cells").alias("n_b"),
+        F.col("min_r").alias("min_r_b"), F.col("max_r").alias("max_r_b"),
+        F.col("min_c").alias("min_c_b"), F.col("max_c").alias("max_c_b"),
     )
     pairs = a.crossJoin(F.broadcast(b)).where(
         F.col("species_a") < F.col("species_b")
     )
+    boxes_disjoint = (
+        (F.col("max_r_a") < F.col("min_r_b"))
+        | (F.col("max_r_b") < F.col("min_r_a"))
+        | (F.col("max_c_a") < F.col("min_c_b"))
+        | (F.col("max_c_b") < F.col("min_c_a"))
+    )
+    disjoint = pairs.where(boxes_disjoint).select(
+        "species_a", "species_b",
+        F.lit(0).cast("long").alias("n_inter"),
+        (F.col("n_a") + F.col("n_b")).cast("long").alias("n_union"),
+        F.lit(0.0).alias("jaccard"),
+    )
+    candidates = pairs.where(~boxes_disjoint)
 
     def overlay(batches):
-        from ..functions.wkb import wkb_contains_point
+        import numpy as np
 
-        def rasterize(blob):
-            g = bytes(blob)
-            return {
-                (r, c)
-                for r in range(_GRID)
-                for c in range(_GRID)
-                if wkb_contains_point(g, c + 0.5, -r - 0.5)
-            }
+        from ..functions.wkb import wkb_rasterize_lattice
+
+        masks: dict[str, object] = {}
+
+        def rasterize(species, blob):
+            m = masks.get(species)
+            if m is None:
+                m = wkb_rasterize_lattice(bytes(blob), _GRID)
+                masks[species] = m
+            return m
 
         for pdf in batches:
             out = []
@@ -645,8 +688,9 @@ def geo_range_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pdf["species_a"], pdf["geom_a"], pdf["species_b"],
                 pdf["geom_b"],
             ):
-                ca, cb = rasterize(ga), rasterize(gb)
-                inter, union = len(ca & cb), len(ca | cb)
+                ca, cb = rasterize(sa, ga), rasterize(sb, gb)
+                inter = int(np.count_nonzero(ca & cb))
+                union = int(np.count_nonzero(ca | cb))
                 out.append(
                     {"species_a": sa, "species_b": sb,
                      "n_inter": inter, "n_union": union,
@@ -658,16 +702,18 @@ def geo_range_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "jaccard"],
             )
 
-    return (
-        pairs.mapInPandas(
-            overlay,
-            "species_a string, species_b string, n_inter long, "
-            "n_union long, jaccard double",
-        )
-        .orderBy("species_a", "species_b")
+    overlapped = candidates.mapInPandas(
+        overlay,
+        "species_a string, species_b string, n_inter long, "
+        "n_union long, jaccard double",
     )
+    return overlapped.unionByName(disjoint).orderBy("species_a", "species_b")
 
 
+# Pair universe from the counts self-join + LEFT JOIN inter (ADVICE r7
+# #2): the Spark plan emits EVERY species pair — disjoint ranges as
+# jaccard 0.0 — so the oracle must too, or any fixture change that
+# produces a disjoint pair would read as a confusing row-count mismatch.
 GEO_RANGE_OVERLAP_ORACLE = f"""
 WITH cells AS (
     SELECT DISTINCT l_returnflag AS species,
@@ -685,14 +731,14 @@ WITH cells AS (
                AND a.species < b.species
     GROUP BY 1, 2
 )
-SELECT i.species_a, i.species_b,
-       i.n_inter,
-       ca.n + cb.n - i.n_inter AS n_union,
-       round(CAST(i.n_inter AS DOUBLE) / (ca.n + cb.n - i.n_inter), 4)
-           AS jaccard
-FROM inter i
-JOIN counts ca ON ca.species = i.species_a
-JOIN counts cb ON cb.species = i.species_b
+SELECT ca.species AS species_a, cb.species AS species_b,
+       coalesce(i.n_inter, 0) AS n_inter,
+       ca.n + cb.n - coalesce(i.n_inter, 0) AS n_union,
+       round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+             / (ca.n + cb.n - coalesce(i.n_inter, 0)), 4) AS jaccard
+FROM counts ca
+JOIN counts cb ON ca.species < cb.species
+LEFT JOIN inter i ON i.species_a = ca.species AND i.species_b = cb.species
 ORDER BY species_a, species_b
 """
 

@@ -377,3 +377,78 @@ def test_wkb_contains_matches_dissolve_cells(spark):
             assert wkb_contains_point(g, c + 0.5, -r - 0.5) == (
                 (r, c) in present
             ), (r, c)
+
+
+def test_vectorized_ray_cast_matches_scalar_on_random_lattices():
+    """wkb_contains_points / wkb_rasterize_lattice (the r8 numpy-broadcast
+    kernel behind the geo overlays) must agree point-for-point with the
+    scalar wkb_contains_point on random lattice geometries — holes,
+    islands, and single cells included."""
+    from species_range_data_pipeline_spark.functions.wkb import (
+        wkb_contains_point,
+        wkb_contains_points,
+        wkb_rasterize_lattice,
+    )
+
+    rng = np.random.default_rng(8)
+    grid = 12
+    for density in (0.05, 0.3, 0.7, 0.95):
+        keep = rng.random((grid, grid)) < density
+        rows, cols = np.nonzero(keep)
+        if rows.size == 0:
+            continue
+        wkb, _, _, n_cells = union_cells_to_multipolygon(rows, cols)
+        mask = wkb_rasterize_lattice(wkb, grid)
+        # exact recovery of the presence set
+        assert mask.sum() == n_cells
+        assert np.array_equal(mask, keep)
+        # point-for-point agreement with the scalar kernel, on centers
+        # AND on off-center interior probes
+        xs = np.array([c + 0.5 for c in range(grid) for _ in range(grid)])
+        ys = np.array([-r - 0.5 for _ in range(grid) for r in range(grid)])
+        jitter = rng.uniform(-0.49, 0.49, size=xs.shape)
+        for px, py in ((xs, ys), (xs + jitter, ys + jitter[::-1])):
+            vec = wkb_contains_points(wkb, px, py)
+            scalar = np.array(
+                [wkb_contains_point(wkb, x, y) for x, y in zip(px, py)]
+            )
+            assert np.array_equal(vec, scalar)
+
+
+def test_vectorized_ray_cast_non_lattice_polygon():
+    """The vectorized kernel is not lattice-specific: agree with the
+    scalar kernel on a triangle with a triangular hole."""
+    from species_range_data_pipeline_spark.functions.wkb import (
+        wkb_contains_point,
+        wkb_contains_points,
+    )
+
+    outer = [(0.0, 0.0), (10.0, 0.0), (5.0, 9.0)]
+    hole = [(4.0, 2.0), (6.0, 2.0), (5.0, 4.0)]
+    wkb = encode_polygon([outer, hole[::-1]])
+    rng = np.random.default_rng(42)
+    xs = rng.uniform(-1, 11, 500)
+    ys = rng.uniform(-1, 10, 500)
+    vec = wkb_contains_points(wkb, xs, ys)
+    scalar = np.array([wkb_contains_point(wkb, x, y) for x, y in zip(xs, ys)])
+    assert np.array_equal(vec, scalar)
+    assert vec.any() and not vec.all()
+
+
+def test_range_overlap_bbox_prefilter_in_plan(spark):
+    """The r8 bbox prefilter must appear JVM-side AHEAD of the Python
+    overlay stage: the physical plan contains a Filter on the box
+    columns feeding the rasterizing stage, plus the disjoint branch
+    that never reaches Python (VERDICT r7 next #6)."""
+    from species_range_data_pipeline_spark.plans.geo import geo_range_overlap
+
+    df = geo_range_overlap(spark, "/root/testdata/sf0.001")
+    qe = df._jdf.queryExecution()
+    plan = qe.optimizedPlan().toString() + qe.executedPlan().toString()
+    assert "max_r_a" in plan and "min_r_b" in plan
+    # union of the python overlay branch and the JVM-only disjoint branch
+    assert "Union" in plan
+    rows = {(r.species_a, r.species_b): r for r in df.collect()}
+    for (sa, sb), r in rows.items():
+        assert sa < sb
+        assert r.n_union >= r.n_inter >= 0
