@@ -37,13 +37,24 @@ SCENARIO_SCHEMA = T.StructType(
 
 # Scenario blocks: the live page uses class="thumbnail-file-group"
 # (species_range_etl.py:145 find_all); legacy fixtures use col-md-3.
-# The (?!-02) lookahead keeps the inner file-list div from matching as
-# a block of its own.
-_BLOCK_RE = re.compile(
-    r'<div[^>]*class="[^"]*(?:col-md-3|thumbnail-file-group(?!-02))[^"]*"'
-    r"[^>]*>(.*?)</div>",
+# The (?!-0\d) lookahead keeps the inner numbered sub-divs (the -01
+# image wrapper, the -02 file sublist) from matching as blocks of
+# their own.  A block spans from its opening tag to the NEXT block's
+# opening tag (or end of document) — NOT to the first </div>, which
+# would truncate a block at its first nested child and silently drop
+# the -02 sublist whenever a -01 image div precedes it (ADVICE r7).
+_BLOCK_OPEN_RE = re.compile(
+    r'<div[^>]*class="[^"]*(?:col-md-3|thumbnail-file-group(?!-0\d))[^"]*"'
+    r"[^>]*>",
     re.S | re.I,
 )
+
+
+def _iter_blocks(html: str) -> Iterator[str]:
+    opens = list(_BLOCK_OPEN_RE.finditer(html))
+    for i, m in enumerate(opens):
+        end = opens[i + 1].start() if i + 1 < len(opens) else len(html)
+        yield html[m.end(): end]
 _H4_RE = re.compile(r"<h4[^>]*>(.*?)</h4>", re.S | re.I)
 _LI_A_RE = re.compile(r"<li[^>]*>\s*<a[^>]*href=\"([^\"]+)\"", re.S | re.I)
 # the reference scopes the <li> scan to the file sublist
@@ -62,7 +73,7 @@ def parse_species_page(html: str) -> list[tuple[str, str | None, bool]]:
     containing "Image not available" is unavailable (F1, ``:148-150``).
     """
     out = []
-    for block in _BLOCK_RE.findall(html):
+    for block in _iter_blocks(html):
         h4 = _H4_RE.search(block)
         if not h4:
             continue

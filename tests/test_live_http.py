@@ -51,6 +51,9 @@ def _species_page(species: str) -> str:
     return f"""<html><body>
 <div class="thumbnail-file-group">
   <h4>GFDL 4.5 2080</h4>
+  <div class="thumbnail-file-group-01">
+    <img src="img/{species}_preview.png" alt="range map"/>
+  </div>
   <div class="thumbnail-file-group-02">
     <ul>
       <li><a href="img/{species}.png">preview</a></li>

@@ -70,6 +70,38 @@ def test_parse_species_page_selection_and_availability():
     ]
 
 
+# The live page's probable shape (ADVICE r7): each thumbnail-file-group
+# block holds a NESTED -01 image-wrapper div BEFORE the -02 file
+# sublist.  A block regex that stops at the first </div> truncates the
+# block at the -01 wrapper's close and silently loses the zip link.
+PAGE_NESTED_01 = """
+<html><body>
+<div class="thumbnail-file-group">
+  <h4>Current</h4>
+  <div class="thumbnail-file-group-01">
+    <img src="/img/a_preview.png" alt="range map"/>
+  </div>
+  <div class="thumbnail-file-group-02">
+    <ul><li><a href="/img/a.png">img</a></li>
+        <li><a href="/zips/abies_25_current.zip">zip</a></li></ul>
+  </div>
+</div>
+<div class="thumbnail-file-group">
+  <h4>HadGEM RCP8.5 2080</h4>
+  <div class="thumbnail-file-group-01"><p>Image not available</p></div>
+</div>
+</body></html>
+"""
+
+
+def test_parse_species_page_nested_image_wrapper():
+    got = parse_species_page(PAGE_NESTED_01)
+    assert got == [
+        ("Current", "/zips/abies_25_current.zip", True),
+        ("HadGEM RCP8.5 2080", None, False),
+    ]
+
+
 def test_scrape_scenarios_dataflow(spark):
     species = fetch_species_list(spark, "u", lambda url: TSV)
     fetched_urls = []
