@@ -672,6 +672,162 @@ ORDER BY doc_id
 """
 
 
+def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-constrained corpus selection: per language, keep the
+    highest-quality documents (longest first) until a token budget — 40%
+    of that language's total tokens — is exhausted.
+
+    The final curation step of an LLM data pipeline: the training mix
+    prescribes N tokens per language, not N documents, so selection is a
+    running token sum over a quality ordering, cut at the budget.  The
+    reference has no analogue (it ships everything it scrapes,
+    ``species_range_etl.py:146-199``); at 100 TB shipping everything is
+    the bug this operator fixes.
+
+    Plan shape: ONE exchange.  Both windows — the running token sum and
+    the per-language total that derives the budget — and the final
+    groupBy share ``HashPartitioning(lang)``, so Catalyst plans a single
+    shuffle followed by in-partition sort + aggregation.  Determinism:
+    the quality ordering ties on doc_id, so the SELECTED SET (proven by
+    an id-sum checksum, same discipline as ``sample_balanced_classes``)
+    is engine- and parallelism-independent.  At 100 TB the per-stratum
+    sort is the cost; the scale path is a two-pass variant — sketch the
+    score CDF (``plans/stats.py``'s bottom-k), cut at the score quantile
+    whose cumulative tokens ≈ budget, then one filter — same contract,
+    no full sort.
+    """
+    from .text import _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", "n_chars", F.size(_tokens()).cast("long").alias("ntok")
+    )
+    order = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), "doc_id")
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    everything = Window.partitionBy("lang")
+    flagged = toks.select(
+        "doc_id",
+        "lang",
+        "ntok",
+        F.sum("ntok").over(running).alias("cum_tok"),
+        F.floor(F.sum("ntok").over(everything) * 0.4).alias("budget_tokens"),
+    )
+    kept = F.col("cum_tok") <= F.col("budget_tokens")
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.max("budget_tokens").alias("budget_tokens"),
+            F.sum(F.when(kept, F.col("ntok")).otherwise(F.lit(0))).alias(
+                "tokens_used"
+            ),
+            F.sum(F.when(kept, F.col("doc_id")).otherwise(F.lit(0))).alias(
+                "id_checksum"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+CURATION_TOKEN_BUDGET_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, lang, n_chars,
+           CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                                 ' ')) AS BIGINT) AS ntok
+    FROM documents
+), flagged AS (
+    SELECT doc_id, lang, ntok,
+           sum(ntok) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tok,
+           CAST(floor(sum(ntok) OVER (PARTITION BY lang) * 0.4) AS BIGINT)
+               AS budget_tokens
+    FROM toks
+)
+SELECT lang,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN cum_tok <= budget_tokens THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       max(budget_tokens) AS budget_tokens,
+       CAST(sum(CASE WHEN cum_tok <= budget_tokens THEN ntok ELSE 0 END)
+            AS BIGINT) AS tokens_used,
+       CAST(sum(CASE WHEN cum_tok <= budget_tokens THEN doc_id ELSE 0 END)
+            AS BIGINT) AS id_checksum
+FROM flagged
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+_DOMAIN_CAP = 8
+
+
+def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap: keep at most 8 documents per source, chosen
+    by deterministic hash rank, and report how much each domain overflowed.
+
+    The crawl-curation staple (CCNet/Gopher-style): without per-domain
+    caps a handful of giant hosts dominate the corpus.  Distinct from
+    ``sample_balanced_classes`` (equalize every class to the min) — a cap
+    leaves small domains whole and truncates only the heavy ones, and the
+    per-domain overflow ratio is itself the curation report.
+
+    Plan: one rank window partitioned by source (the only fact exchange),
+    then the groupBy reuses the window's HashPartitioning(source) — no
+    second shuffle.  The hash rank (md5 of doc_id) makes the kept set a
+    pure function of the corpus, reproducible at any parallelism.  At
+    scale the full sort-per-domain is avoidable: cap-by-hash-threshold
+    (keep iff hash < cap/domain_count quantile) needs only a domain-count
+    broadcast — same contract, no sort; the rank form here is the exact
+    fixed-k variant.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(w).alias("rn")
+    )
+    kept = F.col("rn") <= _DOMAIN_CAP
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.round(
+                F.sum(kept.cast("long")) / F.count(F.lit(1)), 4
+            ).alias("pct_kept"),
+            F.sum(F.when(kept, F.col("doc_id")).otherwise(F.lit(0))).alias(
+                "id_checksum"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+CURATION_DOMAIN_CAP_ORACLE = f"""
+WITH ranked AS (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+    FROM documents
+)
+SELECT source,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN rn <= {_DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       round(sum(CASE WHEN rn <= {_DOMAIN_CAP} THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS pct_kept,
+       CAST(sum(CASE WHEN rn <= {_DOMAIN_CAP} THEN doc_id ELSE 0 END) AS BIGINT)
+           AS id_checksum
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "sample_balanced_classes": sample_balanced_classes,
     "sample_stratified": sample_stratified,
@@ -683,9 +839,13 @@ QUERIES = {
     "dedup_keep_best": dedup_keep_best,
     "text_pii_scrub": text_pii_scrub,
     "text_compression_ratio": text_compression_ratio,
+    "curation_token_budget": curation_token_budget,
+    "curation_domain_cap": curation_domain_cap,
 }
 
 ORACLES = {
+    "curation_token_budget": CURATION_TOKEN_BUDGET_ORACLE,
+    "curation_domain_cap": CURATION_DOMAIN_CAP_ORACLE,
     "sample_weighted": SAMPLE_WEIGHTED_ORACLE,
     "sample_balanced_classes": SAMPLE_BALANCED_ORACLE,
     "sample_stratified": SAMPLE_STRATIFIED_ORACLE,
