@@ -78,6 +78,10 @@ HEADLINE = [
     "dedup_simhash",
     "geo_dissolve_area_m2",
     "multimodal_decode_stats",
+    # r8 additions: the corpus-curation cut lane (token-budget selection
+    # and per-domain caps — window + same-key groupBy, one exchange each)
+    "curation_token_budget",
+    "curation_domain_cap",
 ]
 
 
