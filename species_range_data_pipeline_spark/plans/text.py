@@ -655,8 +655,15 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     par = docs.sparkSession.sparkContext.defaultParallelism
     if n_in < par:
         docs = docs.repartition(par)
+    # single split(\s+) instead of the shared _tokens() pipeline
+    # (replace+trim+split): the NONEMPTY token multiset is identical for
+    # any input — the empty-string artifacts the two shapes produce
+    # differ, but both are dropped here — and one regex pass is ~40%
+    # cheaper on the tokenize stage (measured 0.25 -> 0.16 s at sf0.1).
+    # Only safe because simhash filters empties; size()-based consumers
+    # must keep _tokens().
     tok = (
-        docs.select("doc_id", F.explode(_tokens()).alias("token"))
+        docs.select("doc_id", F.explode(F.split("text", r"\s+")).alias("token"))
         .where(F.col("token") != "")
         .select("doc_id", F.md5("token").alias("h"))
     )
