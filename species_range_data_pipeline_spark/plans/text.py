@@ -24,6 +24,23 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 
+
+def _ensure_parallel(df: DataFrame) -> DataFrame:
+    """Round-robin repartition an input that arrives as fewer splits than
+    ``defaultParallelism`` — the sf0.1 fixture is ONE parquet row-group,
+    so without this the whole token/gram map stage of a heavy text plan
+    runs single-threaded.  At scale the input already has >= that many
+    splits and this is a no-op, so no shuffle is added where it would
+    hurt.  Apply ONLY where the scan-stage work dominates the shuffle of
+    the text column: measured at sf0.1 it wins for the gram/shingle
+    pipelines (substring cut 1.8 -> 1.3s, MinHash-LSH 1.26 -> 0.85s,
+    SimHash) and LOSES for cheap-map plans (retrieval_rrf_fusion
+    1.02 -> 1.27s, text_decontaminate 0.92 -> 1.03s) — blanket
+    application to every documents query was measured and rejected."""
+    n_in = df.rdd.getNumPartitions()
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par) if n_in < par else df
+
 # 8 MinHash functions from TWO md5 evaluations: each 128-bit digest yields
 # four disjoint 32-bit (8-hex-char) slices.  Fixed-width lowercase hex makes
 # lexicographic MIN == numeric min, and 32 bits is ample for per-doc min
@@ -440,9 +457,9 @@ def _shingles_expr(toks=None):
 
 def _doc_shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) rows with the tokenizer evaluated once per doc."""
-    return docs.select("doc_id", _tokens().alias("toks")).select(
-        "doc_id", F.explode(_shingles_expr()).alias("shingle")
-    )
+    return _ensure_parallel(docs).select(
+        "doc_id", _tokens().alias("toks")
+    ).select("doc_id", F.explode(_shingles_expr()).alias("shingle"))
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -651,10 +668,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     - NO PRESENTATION SORT: the driver/oracle compare sorts rows, so the
       global range-exchange + sample job bought nothing.
     """
-    n_in = docs.rdd.getNumPartitions()
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if n_in < par:
-        docs = docs.repartition(par)
+    docs = _ensure_parallel(docs)
     # single split(\s+) instead of the shared _tokens() pipeline
     # (replace+trim+split): the NONEMPTY token multiset is identical for
     # any input — the empty-string artifacts the two shapes produce
@@ -1316,7 +1330,7 @@ def substring_cut(docs: DataFrame, W: int = 6) -> DataFrame:
     """The reusable core of ``dedup_substring_cut`` over any (doc_id,
     text) DataFrame; property-tested against a pure-Python reference in
     tests/test_text_properties.py on hypothesis-generated corpora."""
-    toks = docs.select("doc_id", _tokens().alias("t"))
+    toks = _ensure_parallel(docs).select("doc_id", _tokens().alias("t"))
     args = ",".join(f"t[i{'+' + str(j - 1) if j else '-1'}]" for j in range(W))
     # every window START (not distinct: each occurrence must be cut)
     starts = toks.where(F.size("t") >= W).select(
