@@ -37,7 +37,7 @@ _MODULE_NAMES = [
 # row anywhere in CORRECTNESS_r01-r07 (the 7 plans/pinned.py VALUES
 # graduations + the 2 r7 geo-overlay queries) are swapped in for 9 r7
 # driver-green slots.  With this window green, cumulative driver
-# evidence covers ALL 181 registered queries — the program's terminal
+# evidence covers ALL 181 queries registered at rotation time (183 after the r8 curation additions) — the program's terminal
 # coverage state.  Swapped out (all hash-green in CORRECTNESS_r07):
 # json_variant_funcs, xml_roundtrip_parse (advanced keeps 4 reps),
 # text_word_topk, text_token_count_bpe, text_fingerprint,
