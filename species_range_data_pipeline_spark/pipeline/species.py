@@ -191,6 +191,35 @@ def ewkb_column(geometry_col: str, srid: int):
     )
 
 
+def prepare_geometry_column(
+    df: DataFrame,
+    geometry_format: str,
+    geometry_col: str = "geometry",
+    srid: int = 4326,
+) -> DataFrame:
+    """Rewrite a WKB geometry column for the target sink: ``"ewkb"``
+    (SRID-embedded binary, PostGIS-native), ``"ewkt"`` (``SRID=n;...``
+    strings for drivers that can't bind binary), or ``"wkb"`` pass-through.
+    Shared by the JDBC sink and the wire-protocol Postgres sink."""
+    if geometry_format == "ewkb":
+        return df.withColumn(geometry_col, ewkb_column(geometry_col, srid))
+    if geometry_format == "ewkt":
+        from species_range_data_pipeline_spark.functions.wkb import to_ewkt
+
+        @F.pandas_udf("string")
+        def _ewkt(s):
+            import pandas as pd
+
+            return pd.Series(
+                [None if b is None else to_ewkt(bytes(b), srid) for b in s]
+            )
+
+        return df.withColumn(geometry_col, _ewkt(F.col(geometry_col)))
+    if geometry_format != "wkb":
+        raise ValueError(f"unknown geometry_format {geometry_format!r}")
+    return df
+
+
 def write_speciesdata(
     df: DataFrame,
     path: str | None = None,
@@ -223,22 +252,7 @@ def write_speciesdata(
     ``create_table_column_types`` remains for Spark-expressible overrides
     (e.g. ``'species VARCHAR(64)'``).
     """
-    if geometry_format == "ewkb":
-        df = df.withColumn(geometry_col, ewkb_column(geometry_col, srid))
-    elif geometry_format == "ewkt":
-        from species_range_data_pipeline_spark.functions.wkb import to_ewkt
-
-        @F.pandas_udf("string")
-        def _ewkt(s):
-            import pandas as pd
-
-            return pd.Series(
-                [None if b is None else to_ewkt(bytes(b), srid) for b in s]
-            )
-
-        df = df.withColumn(geometry_col, _ewkt(F.col(geometry_col)))
-    elif geometry_format != "wkb":
-        raise ValueError(f"unknown geometry_format {geometry_format!r}")
+    df = prepare_geometry_column(df, geometry_format, geometry_col, srid)
     if jdbc_url:
         writer = (
             df.write.format("jdbc")

@@ -1,0 +1,189 @@
+"""Minimal PostgreSQL v3 wire-protocol client (stdlib sockets only).
+
+The reference loads its final feature table into PostGIS with
+``gdf.to_postgis("speciesdata", engine, if_exists="replace",
+index_label="sid", chunksize=5)`` (``species_range_etl.py:230-236``).
+This container ships a real PostgreSQL 15 server but neither a JDBC
+driver jar (so ``df.write.format("jdbc")`` cannot reach it) nor any
+Python driver — so, in the same spirit as the repo's from-scratch WARC/
+Avro/GeoPackage codecs, the sink speaks the public frontend/backend
+protocol directly:
+https://www.postgresql.org/docs/current/protocol-message-formats.html
+
+Scope is deliberately the SIMPLE QUERY flow over trust auth — exactly
+what an executor-side batched-INSERT sink needs:
+
+- StartupMessage(protocol 3.0, user, database) -> AuthenticationOk(0)
+  (trust), ParameterStatus*, BackendKeyData, ReadyForQuery.
+- Query('Q'): RowDescription('T') + DataRow('D')* + CommandComplete('C')
+  [repeated per statement] + ReadyForQuery('Z'); ErrorResponse('E')
+  raises with the server's message fields.
+- All values travel in TEXT format (simple-query default); ``bytea``
+  comes back as ``\\x``-hex, which the caller decodes.
+
+SCRAM/MD5 auth, the extended (prepare/bind) protocol, and COPY are out
+of scope — the integration runs against a local trust-auth socket, and
+multi-row ``INSERT ... VALUES`` batches are within 2x of COPY for the
+row volumes a per-partition sink flushes (and stay in one round trip
+per batch).
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+
+
+class PgError(RuntimeError):
+    """Server ErrorResponse, with the severity/code/message fields."""
+
+    def __init__(self, fields: dict[str, str]):
+        self.fields = fields
+        super().__init__(
+            f"{fields.get('S', 'ERROR')} {fields.get('C', '')}: "
+            f"{fields.get('M', '(no message)')}"
+        )
+
+
+class PgConnection:
+    """One trust-auth connection; use as a context manager."""
+
+    def __init__(
+        self,
+        user: str,
+        database: str,
+        *,
+        unix_socket_dir: str | None = None,
+        host: str = "127.0.0.1",
+        port: int = 5432,
+        timeout: float = 30.0,
+    ):
+        if unix_socket_dir is not None:
+            self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            self._sock.settimeout(timeout)
+            self._sock.connect(f"{unix_socket_dir}/.s.PGSQL.{port}")
+        else:
+            self._sock = socket.create_connection((host, port), timeout)
+        self._buf = b""
+        params = (
+            b"user\x00" + user.encode() + b"\x00"
+            b"database\x00" + database.encode() + b"\x00\x00"
+        )
+        body = struct.pack(">i", 196608) + params  # protocol 3.0
+        self._sock.sendall(struct.pack(">i", len(body) + 4) + body)
+        self._handshake()
+
+    # -- framing ---------------------------------------------------------
+
+    def _recv_exact(self, n: int) -> bytes:
+        while len(self._buf) < n:
+            chunk = self._sock.recv(65536)
+            if not chunk:
+                raise PgError({"M": "server closed the connection"})
+            self._buf += chunk
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+    def _read_message(self) -> tuple[bytes, bytes]:
+        head = self._recv_exact(5)
+        tag, length = head[:1], struct.unpack(">i", head[1:])[0]
+        return tag, self._recv_exact(length - 4)
+
+    @staticmethod
+    def _error_fields(payload: bytes) -> dict[str, str]:
+        fields: dict[str, str] = {}
+        for part in payload.split(b"\x00"):
+            if part:
+                fields[chr(part[0])] = part[1:].decode("utf-8", "replace")
+        return fields
+
+    def _handshake(self) -> None:
+        while True:
+            tag, payload = self._read_message()
+            if tag == b"R":
+                code = struct.unpack(">i", payload[:4])[0]
+                if code != 0:  # 0 = AuthenticationOk
+                    raise PgError(
+                        {"M": f"unsupported auth method {code} (need trust)"}
+                    )
+            elif tag == b"E":
+                raise PgError(self._error_fields(payload))
+            elif tag == b"Z":  # ReadyForQuery
+                return
+            # ParameterStatus('S'), BackendKeyData('K'), NoticeResponse('N')
+            # carry nothing the sink needs.
+
+    # -- simple query ----------------------------------------------------
+
+    def query(self, sql: str) -> tuple[list[str], list[tuple]]:
+        """Run one simple-query message; return (columns, text rows) of
+        the LAST result set (DDL/INSERT return ([], []))."""
+        body = sql.encode() + b"\x00"
+        self._sock.sendall(b"Q" + struct.pack(">i", len(body) + 4) + body)
+        columns: list[str] = []
+        rows: list[tuple] = []
+        error: dict[str, str] | None = None
+        while True:
+            tag, payload = self._read_message()
+            if tag == b"T":
+                columns, rows = [], []
+                (n_fields,) = struct.unpack(">h", payload[:2])
+                off = 2
+                for _ in range(n_fields):
+                    end = payload.index(b"\x00", off)
+                    columns.append(payload[off:end].decode())
+                    off = end + 1 + 18  # fixed per-field descriptor tail
+            elif tag == b"D":
+                (n_fields,) = struct.unpack(">h", payload[:2])
+                off = 2
+                vals: list[str | None] = []
+                for _ in range(n_fields):
+                    (ln,) = struct.unpack(">i", payload[off : off + 4])
+                    off += 4
+                    if ln == -1:
+                        vals.append(None)
+                    else:
+                        vals.append(payload[off : off + ln].decode())
+                        off += ln
+                rows.append(tuple(vals))
+            elif tag == b"E":
+                error = self._error_fields(payload)
+            elif tag == b"Z":
+                if error is not None:
+                    raise PgError(error)
+                return columns, rows
+            # 'C' CommandComplete / 'N' notices / 'I' EmptyQueryResponse:
+            # nothing to collect.
+
+    def close(self) -> None:
+        try:
+            self._sock.sendall(b"X" + struct.pack(">i", 4))  # Terminate
+        except OSError:
+            pass
+        self._sock.close()
+
+    def __enter__(self) -> "PgConnection":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+# -- literal quoting (sink side) ------------------------------------------
+
+
+def quote_literal(v) -> str:
+    """Render a Python value as a standard-conforming SQL literal."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        return f"'\\x{bytes(v).hex()}'::bytea"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def quote_ident(name: str) -> str:
+    return '"' + name.replace('"', '""') + '"'
