@@ -196,3 +196,47 @@ def test_sink_replace_rejects_unmappable_types(spark, pg_socket_dir):
         write_speciesdata_postgres(
             df, "bad", unix_socket_dir=pg_socket_dir, mode="replace"
         )
+
+
+def test_partitioned_read_source(spark, pg_socket_dir):
+    """Distributed read over the wire client: Spark-JDBC range-split
+    semantics (outer slices unbounded, no dropped rows even when the
+    bounds under-cover), values coerced back to the Spark schema, and
+    byte-exact geometry after the full write->read cycle."""
+    from species_range_data_pipeline_spark.pipeline.postgres_sink import (
+        read_postgres_partitioned,
+        write_speciesdata_postgres,
+    )
+
+    df = _species_df(spark)
+    write_speciesdata_postgres(
+        df, "species_read", unix_socket_dir=pg_socket_dir,
+        mode="replace", geometry_format="wkb",
+    )
+    schema = ("sid long, species string, species_id long, geometry binary,"
+              " threshold string, source string, year string,"
+              " scenario string, area double")
+    # bounds deliberately UNDER-cover (only sid=1 falls inside [1, 2)):
+    # the unbounded outer slices must still return sid=0 and sid=2
+    back = read_postgres_partitioned(
+        spark, "species_read", schema, "sid",
+        lower=1, upper=2, num_partitions=3,
+        unix_socket_dir=pg_socket_dir,
+    )
+    assert back.schema == df.schema
+    got = {r.sid: r for r in back.collect()}
+    want = {r.sid: r for r in df.collect()}
+    assert set(got) == set(want) == {0, 1, 2}
+    for sid in want:
+        g, w = got[sid], want[sid]
+        assert (g.species, g.scenario, g.area) == (w.species, w.scenario, w.area)
+        assert (g.geometry is None) == (w.geometry is None)
+        if w.geometry is not None:
+            assert bytes(g.geometry) == bytes(w.geometry)
+    # single-partition degenerate split reads everything too
+    one = read_postgres_partitioned(
+        spark, "species_read", schema, "sid",
+        lower=0, upper=3, num_partitions=1,
+        unix_socket_dir=pg_socket_dir,
+    )
+    assert one.count() == 3
