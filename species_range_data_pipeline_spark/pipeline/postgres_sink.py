@@ -136,8 +136,8 @@ def read_table_postgres(
     """Driver-side readback of a (small) table as (columns, text rows) —
     the verification half of the round trip.  Values arrive in the
     simple-query TEXT format (``bytea`` as ``\\x``-hex); this is a check
-    utility, not a distributed source — register a JDBC source when a
-    driver jar exists."""
+    utility, not a distributed source — that is
+    ``read_postgres_partitioned`` below."""
     with PgConnection(
         user, database, unix_socket_dir=unix_socket_dir, host=host, port=port
     ) as c:
