@@ -21,15 +21,21 @@ what an executor-side batched-INSERT sink needs:
 - All values travel in TEXT format (simple-query default); ``bytea``
   comes back as ``\\x``-hex, which the caller decodes.
 
-SCRAM/MD5 auth, the extended (prepare/bind) protocol, and COPY are out
-of scope — the integration runs against a local trust-auth socket, and
-multi-row ``INSERT ... VALUES`` batches are within 2x of COPY for the
-row volumes a per-partition sink flushes (and stay in one round trip
-per batch).
+Auth: ``trust`` (local sockets) and ``SCRAM-SHA-256`` (RFC 5802/7677 —
+PostgreSQL's default for networked hosts since v14), both pure stdlib
+(hashlib/hmac/secrets).  Channel binding is not offered (``n,,`` GS2
+flag), which PostgreSQL accepts on non-SSL connections.  MD5 auth, the
+extended (prepare/bind) protocol, and COPY are out of scope — multi-row
+``INSERT ... VALUES`` batches are within 2x of COPY for the row volumes
+a per-partition sink flushes (and stay in one round trip per batch).
 """
 
 from __future__ import annotations
 
+import base64
+import hashlib
+import hmac
+import secrets
 import socket
 import struct
 
@@ -53,11 +59,14 @@ class PgConnection:
         user: str,
         database: str,
         *,
+        password: str | None = None,
         unix_socket_dir: str | None = None,
         host: str = "127.0.0.1",
         port: int = 5432,
         timeout: float = 30.0,
     ):
+        self._user = user
+        self._password = password
         if unix_socket_dir is not None:
             self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
             self._sock.settimeout(timeout)
@@ -102,9 +111,14 @@ class PgConnection:
             tag, payload = self._read_message()
             if tag == b"R":
                 code = struct.unpack(">i", payload[:4])[0]
-                if code != 0:  # 0 = AuthenticationOk
+                if code == 0:  # AuthenticationOk
+                    pass
+                elif code == 10:  # AuthenticationSASL
+                    self._scram_auth(payload[4:])
+                else:
                     raise PgError(
-                        {"M": f"unsupported auth method {code} (need trust)"}
+                        {"M": f"unsupported auth method {code} "
+                              "(trust and SCRAM-SHA-256 supported)"}
                     )
             elif tag == b"E":
                 raise PgError(self._error_fields(payload))
@@ -112,6 +126,81 @@ class PgConnection:
                 return
             # ParameterStatus('S'), BackendKeyData('K'), NoticeResponse('N')
             # carry nothing the sink needs.
+
+    # -- SCRAM-SHA-256 (RFC 5802/7677) -------------------------------------
+
+    def _send_password_msg(self, body: bytes) -> None:
+        self._sock.sendall(b"p" + struct.pack(">i", len(body) + 4) + body)
+
+    def _read_auth(self, want: int) -> bytes:
+        """Next AuthenticationSASLContinue/Final payload, or raise."""
+        while True:
+            tag, payload = self._read_message()
+            if tag == b"E":
+                raise PgError(self._error_fields(payload))
+            if tag == b"R":
+                code = struct.unpack(">i", payload[:4])[0]
+                if code != want:
+                    raise PgError(
+                        {"M": f"expected SASL auth code {want}, got {code}"}
+                    )
+                return payload[4:]
+            # notices may interleave
+
+    def _scram_auth(self, mechanisms: bytes) -> None:
+        if b"SCRAM-SHA-256" not in mechanisms.split(b"\x00"):
+            raise PgError(
+                {"M": "server offers no SCRAM-SHA-256 "
+                      "(channel-binding variants unsupported)"}
+            )
+        if self._password is None:
+            raise PgError(
+                {"M": f"server demands a password for user {self._user!r} "
+                      "and none was given"}
+            )
+        nonce = base64.b64encode(secrets.token_bytes(18)).decode()
+        # the server takes the username from the startup message; n= stays
+        # empty per the PostgreSQL SASL exchange
+        client_first_bare = f"n=,r={nonce}"
+        initial = b"n,," + client_first_bare.encode()
+        mech = b"SCRAM-SHA-256\x00"
+        self._send_password_msg(
+            mech + struct.pack(">i", len(initial)) + initial
+        )
+
+        server_first = self._read_auth(11).decode()  # SASLContinue
+        attrs = dict(kv.split("=", 1) for kv in server_first.split(","))
+        full_nonce, salt, iters = attrs["r"], attrs["s"], int(attrs["i"])
+        if not full_nonce.startswith(nonce):
+            raise PgError({"M": "SCRAM server nonce does not extend ours"})
+
+        salted = hashlib.pbkdf2_hmac(
+            "sha256",
+            self._password.encode(),
+            base64.b64decode(salt),
+            iters,
+        )
+        client_key = hmac.digest(salted, b"Client Key", "sha256")
+        stored_key = hashlib.sha256(client_key).digest()
+        without_proof = f"c=biws,r={full_nonce}"  # biws = b64("n,,")
+        auth_message = ",".join(
+            [client_first_bare, server_first, without_proof]
+        ).encode()
+        client_sig = hmac.digest(stored_key, auth_message, "sha256")
+        proof = base64.b64encode(
+            bytes(a ^ b for a, b in zip(client_key, client_sig))
+        ).decode()
+        self._send_password_msg(f"{without_proof},p={proof}".encode())
+
+        server_final = self._read_auth(12).decode()  # SASLFinal
+        server_key = hmac.digest(salted, b"Server Key", "sha256")
+        want_sig = hmac.digest(server_key, auth_message, "sha256")
+        got = dict(kv.split("=", 1) for kv in server_final.split(","))
+        if base64.b64decode(got.get("v", "")) != want_sig:
+            raise PgError(
+                {"M": "SCRAM server signature mismatch "
+                      "(not talking to who holds the credential)"}
+            )
 
     # -- simple query ----------------------------------------------------
 

@@ -54,7 +54,7 @@ def _su(cmd: str, cwd: str) -> subprocess.CompletedProcess:
 
 
 @pytest.fixture(scope="module")
-def pg_socket_dir(tmp_path_factory):
+def pg_cluster(tmp_path_factory):
     reason = _pg_runnable()
     if reason:
         pytest.skip(f"live PostgreSQL unavailable: {reason}")
@@ -82,10 +82,15 @@ def pg_socket_dir(tmp_path_factory):
     if r.returncode != 0:
         pytest.skip(f"pg_ctl start failed: {r.stderr.decode()[-300:]}")
     try:
-        yield str(sock)
+        yield {"sock": str(sock), "data": str(data)}
     finally:
         _su(f"pg_ctl -D {data} -m immediate stop", cwd="/")
         shutil.rmtree(base, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def pg_socket_dir(pg_cluster):
+    return pg_cluster["sock"]
 
 
 def _species_df(spark):
@@ -240,3 +245,40 @@ def test_partitioned_read_source(spark, pg_socket_dir):
         unix_socket_dir=pg_socket_dir,
     )
     assert one.count() == 3
+
+
+def test_scram_sha256_auth(pg_cluster):
+    """Real SCRAM-SHA-256 against the live server: a password-gated role
+    plus a targeted pg_hba rule, then the stdlib client's full RFC 5802
+    exchange — correct password in, wrong password refused, and the
+    server-signature check on the way out (mutual auth)."""
+    sock, data = pg_cluster["sock"], pg_cluster["data"]
+    with PgConnection("postgres", "postgres", unix_socket_dir=sock) as c:
+        c.query("SET password_encryption = 'scram-sha-256'")
+        c.query("DROP ROLE IF EXISTS scramuser")
+        c.query("CREATE ROLE scramuser LOGIN PASSWORD 'tr0ut-keys'")
+        c.query("GRANT ALL ON SCHEMA public TO scramuser")
+    hba = f"{data}/pg_hba.conf"
+    rule = "local all scramuser scram-sha-256\n"
+    original = open(hba).read()
+    open(hba, "w").write(rule + original)  # specific rule must come FIRST
+    try:
+        with PgConnection("postgres", "postgres", unix_socket_dir=sock) as c:
+            c.query("SELECT pg_reload_conf()")
+        with PgConnection(
+            "scramuser", "postgres", password="tr0ut-keys",
+            unix_socket_dir=sock,
+        ) as c:
+            _, rows = c.query("SELECT current_user")
+            assert rows == [("scramuser",)]
+        with pytest.raises(PgError, match="password"):
+            PgConnection(
+                "scramuser", "postgres", password="wrong",
+                unix_socket_dir=sock,
+            )
+        with pytest.raises(PgError, match="none was given"):
+            PgConnection("scramuser", "postgres", unix_socket_dir=sock)
+    finally:
+        open(hba, "w").write(original)
+        with PgConnection("postgres", "postgres", unix_socket_dir=sock) as c:
+            c.query("SELECT pg_reload_conf()")
