@@ -622,13 +622,28 @@ def geo_range_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     - Rasterization is the numpy-broadcast ray cast, one lattice per
       DISTINCT geometry per batch (memoized), not per pair.
     """
-    import pandas as pd
-
     cells = _cells_from_lineitem(spark, sf_dir).where(
         F.col("threshold_s") == "50"
     )
+    return _range_overlap_from_cells(cells)
+
+
+def _range_overlap_from_cells(cells: DataFrame) -> DataFrame:
+    """Pair overlay over a (species, row, col) cells frame — split out of
+    geo_range_overlap so the disjoint-box short-circuit (which the
+    lineitem fixture never reaches: all three flags' boxes overlap) can
+    be unit-tested against synthetic cells with disjoint species."""
+    import pandas as pd
+
+    # n_cells must count DISTINCT (row, col) cells: _cells_from_lineitem
+    # emits one row per qualifying lineitem and many lineitems share a
+    # cell, while the dissolved geometry (and the oracle's SELECT
+    # DISTINCT CTE) dedupe.  The disjoint-box branch emits
+    # n_union = n_a + n_b straight from these counts, so an overcount
+    # here would disagree with both the rasterized branch and the
+    # oracle (ADVICE r8 high).
     boxes = cells.groupBy("species").agg(
-        F.count(F.lit(1)).alias("n_cells"),
+        F.count_distinct(F.struct("row", "col")).alias("n_cells"),
         F.min("row").alias("min_r"),
         F.max("row").alias("max_r"),
         F.min("col").alias("min_c"),

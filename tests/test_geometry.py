@@ -452,3 +452,36 @@ def test_range_overlap_bbox_prefilter_in_plan(spark):
     for (sa, sb), r in rows.items():
         assert sa < sb
         assert r.n_union >= r.n_inter >= 0
+
+
+def test_range_overlap_disjoint_branch_distinct_counts(spark):
+    """ADVICE r8 high: the disjoint-box short-circuit emits
+    n_union = n_a + n_b from the box aggregation, which must count
+    DISTINCT cells — species X below occupies 2 distinct cells via 5
+    duplicate rows (lineitem-style multiplicity).  X's box [0..1] is
+    disjoint from Y's [5..6], so the pair takes the JVM branch; a raw
+    count(*) would report n_union = 5 + 3 = 8 instead of 4."""
+    from species_range_data_pipeline_spark.plans.geo import (
+        _range_overlap_from_cells,
+    )
+
+    rows = (
+        # species X: cells (0,0) and (1,1); (0,0) appears 4x
+        [("X", 0, 0)] * 4 + [("X", 1, 1)]
+        # species Y: cells (5,5) and (6,6); (5,5) appears 2x
+        + [("Y", 5, 5)] * 2 + [("Y", 6, 6)]
+        # species Z overlaps X so the rasterized branch also runs
+        + [("Z", 0, 0), ("Z", 1, 0)]
+    )
+    cells = spark.createDataFrame(rows, "species string, row int, col int")
+    out = {
+        (r.species_a, r.species_b): r
+        for r in _range_overlap_from_cells(cells).collect()
+    }
+    assert set(out) == {("X", "Y"), ("X", "Z"), ("Y", "Z")}
+    xy = out[("X", "Y")]
+    assert (xy.n_inter, xy.n_union, xy.jaccard) == (0, 4, 0.0)
+    yz = out[("Y", "Z")]
+    assert (yz.n_inter, yz.n_union, yz.jaccard) == (0, 4, 0.0)
+    xz = out[("X", "Z")]
+    assert (xz.n_inter, xz.n_union) == (1, 3)
