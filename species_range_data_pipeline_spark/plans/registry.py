@@ -33,19 +33,24 @@ _MODULE_NAMES = [
 # tests/test_registry.py): exactly 50 names, every plan module (all 16)
 # represented, every name resolves, every name oracle-backed.
 #
-# Round-8 window (fourth/final rotation): the 9 queries with no driver
-# row anywhere in CORRECTNESS_r01-r07 (the 7 plans/pinned.py VALUES
-# graduations + the 2 r7 geo-overlay queries) are swapped in for 9 r7
-# driver-green slots.  With this window green, cumulative driver
-# evidence covers ALL 181 queries registered at rotation time (183 after the r8 curation additions) — the program's terminal
-# coverage state.  Swapped out (all hash-green in CORRECTNESS_r07):
-# json_variant_funcs, xml_roundtrip_parse (advanced keeps 4 reps),
-# text_word_topk, text_token_count_bpe, text_fingerprint,
-# text_winnow_fingerprint (text keeps 8 reps), emb_near_dup_bruteforce
-# (vectors keeps its twin emb_near_dup), ev_rollup_two_level,
-# ev_type_pivot (events keeps 2 reps).
+# Round-9 window (fifth rotation, VERDICT r8 next #1/#2): the 2
+# r8-new curation queries (the only 2 of 183 with no driver row
+# anywhere in CORRECTNESS_r01-r08) plus the 5 hot paths rewritten/tuned
+# in r7-r8 whose last driver rows predate the current kernels
+# (dedup_simhash r6; dedup_substring_cut, dedup_paragraphs,
+# corpus_pipeline_summary, graph_pagerank r5) are swapped in for 7
+# r8-green slots.  Green => cumulative driver evidence 183/183 with
+# current-kernel hashes on every rewritten hot path.  Swapped out (all
+# hash-green in CORRECTNESS_r08, kernels untouched since): emb_kmeans,
+# emb_pca_project (vectors keeps 5 reps), sketch_hll_distinct,
+# sketch_cms_brand_counts (stats keeps 3 reps), bpe_train_merges (bpe
+# keeps bpe_encode_tokens), doc_pack_ffd (packing keeps
+# dataset_interleave_epochs + gains corpus_pipeline_summary),
+# geo_point_in_polygon (geo keeps geo_dissolve_area_m2 +
+# geo_range_overlap, which stays in-window because its bbox prefilter
+# was rewritten this round).
 _PRIORITY = [
-    # sentinels / module reps (driver-green r5-r7; regression canaries)
+    # sentinels / module reps (driver-green r5-r8; regression canaries)
     "flagship_threshold_rollup",
     "q1_pricing_summary",
     "join_anti_idempotent",
@@ -62,19 +67,18 @@ _PRIORITY = [
     "text_compression_ratio",
     "sketch_quantile_bottomk",
     "geo_dissolve_area_m2",
-    # --- first driver rows below this line (the final 9) ---
-    # vectors (self-pinned VALUES + numpy goldens; see SELF_PINNED)
-    "emb_kmeans",
-    "emb_pca_project",
+    # --- first driver rows below this line (the 2 curation queries) ---
+    "curation_token_budget",
+    "curation_domain_cap",
+    # --- rewritten-since-last-driver-row hot paths (VERDICT r8 #2) ---
+    "dedup_simhash",
+    "dedup_substring_cut",
+    "dedup_paragraphs",
+    "corpus_pipeline_summary",
+    "graph_pagerank",
+    # vectors (r8-green; LSH banding retuned r8 so keep hashing it)
     "emb_near_dup_lsh",
-    # stats sketches (self-pinned VALUES + error-bound goldens)
-    "sketch_hll_distinct",
-    "sketch_cms_brand_counts",
-    # bpe / packing (self-pinned VALUES + pure-Python goldens)
-    "bpe_train_merges",
-    "doc_pack_ffd",
-    # geo overlays (cross-engine DuckDB oracles, new in r7)
-    "geo_point_in_polygon",
+    # geo overlay (bbox prefilter rewritten r9 — hash the current form)
     "geo_range_overlap",
     # --- r7-green rows retained for module coverage / regression ---
     # advanced
