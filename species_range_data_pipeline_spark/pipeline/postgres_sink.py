@@ -28,7 +28,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from ..sources.pgwire import PgConnection, quote_ident, quote_literal
+from ..sources.pgwire import (
+    PgConnection,
+    copy_text_value,
+    quote_ident,
+    quote_literal,
+)
 from .species import prepare_geometry_column
 
 _PG_TYPES = {
@@ -72,6 +77,7 @@ def write_speciesdata_postgres(
     port: int = 5432,
     mode: str = "replace",
     batch_rows: int = 500,
+    method: str = "auto",
     geometry_format: str = "ewkb",
     geometry_col: str = "geometry",
     srid: int = 4326,
@@ -81,9 +87,23 @@ def write_speciesdata_postgres(
     ``mode``: ``"replace"`` (reference semantics: drop + create from the
     DataFrame schema), ``"truncate"`` (keep existing typed DDL — required
     when the target column is a real PostGIS ``geometry``), ``"append"``.
+
+    ``method``: ``"auto"`` routes any partition larger than
+    ``batch_rows`` through ``COPY ... FROM STDIN`` (the protocol's bulk
+    lane — the reference's ``to_postgis`` bulk path,
+    ``species_range_etl.py:236``) and smaller ones through one
+    multi-row ``INSERT`` round trip; ``"copy"`` / ``"insert"`` force a
+    lane.
+
+    Each partition writes inside ONE transaction (BEGIN/COMMIT,
+    ROLLBACK on failure) — Spark's JDBC writer semantics — so a failed
+    or speculatively re-executed task never leaves partial batches
+    behind (ADVICE r8).
     """
     if mode not in ("replace", "truncate", "append"):
         raise ValueError(f"unknown mode {mode!r}")
+    if method not in ("auto", "insert", "copy"):
+        raise ValueError(f"unknown method {method!r}")
     if geometry_col in df.columns:
         df = prepare_geometry_column(df, geometry_format, geometry_col, srid)
 
@@ -100,25 +120,55 @@ def write_speciesdata_postgres(
     columns = list(df.columns)
     col_sql = ", ".join(quote_ident(c) for c in columns)
     insert_head = f"INSERT INTO {quote_ident(table)} ({col_sql}) VALUES "
+    copy_head = f"COPY {quote_ident(table)} ({col_sql}) FROM STDIN"
 
     def _write_partition(rows) -> None:
-        batch: list[str] = []
-        conn = None
+        import itertools
+
+        it = iter(rows)
+        # Peek one past batch_rows: an auto partition that fits in one
+        # INSERT round trip stays on INSERT; anything larger takes the
+        # COPY bulk lane for the WHOLE partition.
+        head = list(itertools.islice(it, batch_rows + 1))
+        if not head:
+            return  # connect lazily: empty partitions are free
+        use_copy = method == "copy" or (
+            method == "auto" and len(head) > batch_rows
+        )
+        all_rows = itertools.chain(head, it)
+        conn = PgConnection(user, database, **conn_kw)
         try:
-            for row in rows:
-                if conn is None:  # connect lazily: empty partitions are free
-                    conn = PgConnection(user, database, **conn_kw)
-                batch.append(
-                    "(" + ",".join(quote_literal(row[c]) for c in columns) + ")"
+            conn.query("BEGIN")
+            if use_copy:
+                conn.copy_in(
+                    copy_head,
+                    (
+                        "\t".join(copy_text_value(row[c]) for c in columns)
+                        for row in all_rows
+                    ),
                 )
-                if len(batch) >= batch_rows:
+            else:
+                batch: list[str] = []
+                for row in all_rows:
+                    batch.append(
+                        "("
+                        + ",".join(quote_literal(row[c]) for c in columns)
+                        + ")"
+                    )
+                    if len(batch) >= batch_rows:
+                        conn.query(insert_head + ",".join(batch))
+                        batch.clear()
+                if batch:
                     conn.query(insert_head + ",".join(batch))
-                    batch.clear()
-            if batch:
-                conn.query(insert_head + ",".join(batch))
+            conn.query("COMMIT")
+        except BaseException:
+            try:
+                conn.query("ROLLBACK")
+            except Exception:
+                pass  # connection may already be unusable; BEGIN scopes it
+            raise
         finally:
-            if conn is not None:
-                conn.close()
+            conn.close()
 
     df.foreachPartition(_write_partition)
 
@@ -141,6 +191,7 @@ def read_table_postgres(
     with PgConnection(
         user, database, unix_socket_dir=unix_socket_dir, host=host, port=port
     ) as c:
+        c.query("SET bytea_output = 'hex'")
         return c.query(
             f"SELECT * FROM {quote_ident(table)}"
         )
@@ -207,7 +258,14 @@ def read_postgres_partitioned(
         if kind == "boolean":
             return v == "t"
         if kind == "binary":
-            return bytes.fromhex(v[2:]) if v.startswith("\\x") else v.encode()
+            # SET bytea_output='hex' runs per connection below, so a
+            # non-\x value here means the decode contract broke — fail
+            # loudly rather than return corrupted bytes (ADVICE r8).
+            if not v.startswith("\\x"):
+                raise ValueError(
+                    f"expected hex-format bytea (\\x...), got {v[:16]!r}"
+                )
+            return bytes.fromhex(v[2:])
         return v
 
     def _fetch(batches):
@@ -219,6 +277,10 @@ def read_postgres_partitioned(
                     user, database, unix_socket_dir=unix_socket_dir,
                     host=host, port=port,
                 ) as c:
+                    # pin the session's bytea rendering: a server
+                    # configured with bytea_output='escape' would
+                    # otherwise corrupt binary columns silently
+                    c.query("SET bytea_output = 'hex'")
                     _, rows = c.query(
                         f"SELECT {col_sql} FROM {quote_ident(table)} "
                         f"WHERE {row.cond}"

@@ -24,10 +24,16 @@ what an executor-side batched-INSERT sink needs:
 Auth: ``trust`` (local sockets) and ``SCRAM-SHA-256`` (RFC 5802/7677 —
 PostgreSQL's default for networked hosts since v14), both pure stdlib
 (hashlib/hmac/secrets).  Channel binding is not offered (``n,,`` GS2
-flag), which PostgreSQL accepts on non-SSL connections.  MD5 auth, the
-extended (prepare/bind) protocol, and COPY are out of scope — multi-row
-``INSERT ... VALUES`` batches are within 2x of COPY for the row volumes
-a per-partition sink flushes (and stay in one round trip per batch).
+flag), which PostgreSQL accepts on non-SSL connections.  MD5 auth and
+the extended (prepare/bind) protocol are out of scope.
+
+COPY ... FROM STDIN (text format) IS in scope (``copy_in``): it is the
+protocol's bulk lane — CopyInResponse('G') -> CopyData('d')* ->
+CopyDone('c') -> CommandComplete + ReadyForQuery — and the sink routes
+large partitions through it (the reference's ``to_postgis`` likewise
+rides pandas' bulk path, ``species_range_etl.py:236``).  Small batches
+stay on multi-row ``INSERT ... VALUES`` (one round trip, no mode
+switch).
 """
 
 from __future__ import annotations
@@ -244,6 +250,67 @@ class PgConnection:
             # 'C' CommandComplete / 'N' notices / 'I' EmptyQueryResponse:
             # nothing to collect.
 
+    def copy_in(self, sql: str, lines) -> None:
+        """Bulk-load via ``COPY ... FROM STDIN`` (text format).
+
+        ``sql`` is the COPY statement; ``lines`` yields pre-encoded
+        text-format rows WITHOUT the trailing newline (build fields with
+        :func:`copy_text_value` and join with tabs).  Protocol flow per
+        https://www.postgresql.org/docs/current/protocol-flow.html#PROTOCOL-COPY:
+        Query('Q') -> CopyInResponse('G') -> CopyData('d')* ->
+        CopyDone('c') -> CommandComplete('C') -> ReadyForQuery('Z').
+        """
+        body = sql.encode() + b"\x00"
+        self._sock.sendall(b"Q" + struct.pack(">i", len(body) + 4) + body)
+        error: dict[str, str] | None = None
+        while True:
+            tag, payload = self._read_message()
+            if tag == b"G":  # CopyInResponse
+                break
+            if tag == b"E":
+                error = self._error_fields(payload)
+            elif tag == b"Z":
+                raise PgError(
+                    error or {"M": "server never entered COPY-IN mode"}
+                )
+        buf = bytearray()
+        try:
+            for line in lines:
+                buf += line.encode()
+                buf += b"\n"
+                if len(buf) >= 65536:
+                    self._sock.sendall(
+                        b"d" + struct.pack(">i", len(buf) + 4) + bytes(buf)
+                    )
+                    buf.clear()
+            if buf:
+                self._sock.sendall(
+                    b"d" + struct.pack(">i", len(buf) + 4) + bytes(buf)
+                )
+        except Exception:
+            # CopyFail('f') so the server aborts the COPY cleanly and
+            # returns to ReadyForQuery instead of waiting for more data.
+            msg = b"producer failed\x00"
+            self._sock.sendall(b"f" + struct.pack(">i", len(msg) + 4) + msg)
+            try:
+                self._drain_to_ready()
+            except PgError:
+                pass  # the expected COPY-abort error; re-raise the cause
+            raise
+        self._sock.sendall(b"c" + struct.pack(">i", 4))  # CopyDone
+        self._drain_to_ready()
+
+    def _drain_to_ready(self) -> None:
+        error: dict[str, str] | None = None
+        while True:
+            tag, payload = self._read_message()
+            if tag == b"E":
+                error = self._error_fields(payload)
+            elif tag == b"Z":
+                if error is not None:
+                    raise PgError(error)
+                return
+
     def close(self) -> None:
         try:
             self._sock.sendall(b"X" + struct.pack(">i", 4))  # Terminate
@@ -267,11 +334,53 @@ def quote_literal(v) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        # repr() renders non-finite doubles as bare nan/inf tokens,
+        # which the parser rejects — PostgreSQL wants the quoted
+        # special literals (ADVICE r8).
+        if v != v:
+            return "'NaN'::float8"
+        if v == float("inf"):
+            return "'Infinity'::float8"
+        if v == float("-inf"):
+            return "'-Infinity'::float8"
+        return repr(v)
+    if isinstance(v, int):
         return repr(v)
     if isinstance(v, (bytes, bytearray, memoryview)):
         return f"'\\x{bytes(v).hex()}'::bytea"
     return "'" + str(v).replace("'", "''") + "'"
+
+
+def copy_text_value(v) -> str:
+    """Render one field for COPY ... FROM STDIN (text format): ``\\N``
+    for NULL, ``t``/``f`` booleans, backslash-escaped ``\\xHEX`` bytea,
+    the unquoted ``NaN``/``Infinity`` specials (which COPY text DOES
+    accept, unlike the SQL parser), and backslash/tab/newline escapes
+    per https://www.postgresql.org/docs/current/sql-copy.html."""
+    if v is None:
+        return "\\N"
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        if v == float("inf"):
+            return "Infinity"
+        if v == float("-inf"):
+            return "-Infinity"
+        return repr(v)
+    if isinstance(v, int):
+        return repr(v)
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        return f"\\\\x{bytes(v).hex()}"
+    return (
+        str(v)
+        .replace("\\", "\\\\")
+        .replace("\t", "\\t")
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+    )
 
 
 def quote_ident(name: str) -> str:
