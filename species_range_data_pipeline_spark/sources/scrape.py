@@ -50,10 +50,22 @@ _BLOCK_OPEN_RE = re.compile(
 )
 
 
+# The FINAL block must not run to end-of-document: trailing page chrome
+# (a footer with its own links, or an "Image not available" string
+# elsewhere on the page) would otherwise be parsed as part of the last
+# scenario and could flip its availability or inject a wrong zip link
+# (ADVICE r8).  Bound it at the first structural close after the open.
+_TAIL_BOUND_RE = re.compile(r"<footer\b|</body\s*>|</html\s*>|</main\s*>", re.I)
+
+
 def _iter_blocks(html: str) -> Iterator[str]:
     opens = list(_BLOCK_OPEN_RE.finditer(html))
     for i, m in enumerate(opens):
-        end = opens[i + 1].start() if i + 1 < len(opens) else len(html)
+        if i + 1 < len(opens):
+            end = opens[i + 1].start()
+        else:
+            tail = _TAIL_BOUND_RE.search(html, m.end())
+            end = tail.start() if tail else len(html)
         yield html[m.end(): end]
 _H4_RE = re.compile(r"<h4[^>]*>(.*?)</h4>", re.S | re.I)
 _LI_A_RE = re.compile(r"<li[^>]*>\s*<a[^>]*href=\"([^\"]+)\"", re.S | re.I)

@@ -102,6 +102,43 @@ def test_parse_species_page_nested_image_wrapper():
     ]
 
 
+# ADVICE r8 low: the FINAL block must not swallow trailing page chrome —
+# a footer "Image not available" string would flip the last scenario to
+# unavailable, and footer links could be picked up as a zip url.
+PAGE_TRAILING_CHROME = """
+<html><body><main>
+<div class="thumbnail-file-group">
+  <h4>Current</h4>
+  <div class="thumbnail-file-group-02">
+    <ul><li><a href="/img/a.png">img</a></li>
+        <li><a href="/zips/abies_25_current.zip">zip</a></li></ul>
+  </div>
+</div>
+</main>
+<footer>
+  <p>Image not available in print view.</p>
+  <ul><li><a href="/about">about</a></li>
+      <li><a href="/contact">contact</a></li></ul>
+</footer>
+</body></html>
+"""
+
+
+def test_parse_species_page_trailing_chrome_bounded():
+    got = parse_species_page(PAGE_TRAILING_CHROME)
+    assert got == [("Current", "/zips/abies_25_current.zip", True)]
+
+
+def test_parse_species_page_trailing_chrome_no_sublist():
+    # without a -02 sublist the li-scan falls back to the whole block;
+    # the block bound must still keep footer links out of it
+    page = PAGE_TRAILING_CHROME.replace(
+        '<div class="thumbnail-file-group-02">', "<div>"
+    )
+    got = parse_species_page(page)
+    assert got == [("Current", "/zips/abies_25_current.zip", True)]
+
+
 def test_scrape_scenarios_dataflow(spark):
     species = fetch_species_list(spark, "u", lambda url: TSV)
     fetched_urls = []
