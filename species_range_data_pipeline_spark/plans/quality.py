@@ -773,7 +773,30 @@ def curation_token_budget_histogram(
     toks = docs.select(
         "doc_id", "lang", "n_chars", F.size(_tokens()).cast("long").alias("ntok")
     )
+    return _token_budget_histogram_cut(toks)
 
+
+def curation_token_budget_histogram_materialized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The histogram twin with its documented 100 TB move applied: the
+    narrow (doc_id, lang, n_chars, ntok) projection is MATERIALIZED once
+    (localCheckpoint — in production, a persisted table) so the three
+    lazy branches stop re-tokenizing the fact table.  Unregistered, like
+    the twin; exists so scripts/curation_crossover.py can measure the
+    materialization claim instead of asserting it."""
+    from .text import _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", "n_chars", F.size(_tokens()).cast("long").alias("ntok")
+    ).localCheckpoint(eager=True)
+    return _token_budget_histogram_cut(toks)
+
+
+def _token_budget_histogram_cut(toks: DataFrame) -> DataFrame:
+    """Histogram budget cut over a (doc_id, lang, n_chars, ntok) frame —
+    the shared body of the two histogram forms above."""
     hist = toks.groupBy("lang", "n_chars").agg(
         F.sum("ntok").alias("bucket_tok")
     )

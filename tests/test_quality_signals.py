@@ -69,6 +69,7 @@ def test_token_budget_histogram_twin_is_exact(spark, sf_dir):
     from species_range_data_pipeline_spark.plans.quality import (
         curation_token_budget,
         curation_token_budget_histogram,
+        curation_token_budget_histogram_materialized,
     )
 
     ref = sorted(tuple(r) for r in curation_token_budget(spark, sf_dir).collect())
@@ -76,6 +77,13 @@ def test_token_budget_histogram_twin_is_exact(spark, sf_dir):
         tuple(r) for r in curation_token_budget_histogram(spark, sf_dir).collect()
     )
     assert twin == ref
+    mat = sorted(
+        tuple(r)
+        for r in curation_token_budget_histogram_materialized(
+            spark, sf_dir
+        ).collect()
+    )
+    assert mat == ref
 
 
 def test_token_budget_histogram_boundary_bucket_is_split(spark):
