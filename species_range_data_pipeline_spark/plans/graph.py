@@ -288,6 +288,12 @@ ORDER BY cluster_id
 
 _PR_DAMP = 0.85
 _PR_ITERS = 3
+# Edge-cache partition count, sized to the fixture's ~1.1M-edge graph
+# (~16 MB: 8 core-saturating tasks beat 32 slivers on per-stage
+# scheduler overhead x 3 rounds — SCALE.md rule 42 has the measured
+# sweep).  At cluster scale raise toward executor-core count; the plan
+# shape is partition-count-independent.
+_PR_EDGE_PARTS = 8
 
 
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -295,10 +301,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The bipartite graph: an undirected edge per distinct (customer,
     supplier) pair observed in orders ⋈ lineitem.  Each iteration is one
-    equi-join (labels onto edge sources) plus one shuffle (sum of incoming
-    contributions by destination) — the canonical iterative-join plan, with
-    ``localCheckpoint`` per round to keep the physical plan flat
-    (SCALE.md rule 9).
+    broadcast equi-join (rank shares onto edge sources) plus one
+    partitioning-aligned aggregation (sum of incoming contributions by
+    destination); the three rounds FUSE into one lazy DAG executed by a
+    single action, checkpointed once at the end (r9 — see the loop
+    comment for the measured rationale).
 
     Float parity: per-round contributions are accumulated as exact integer
     picounits (``round(contrib * 1e12)`` as BIGINT, the q7 trick), so every
@@ -316,8 +323,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round's contribution groupBy(dst), so the per-iteration shuffle
     # vanishes — the edge exchange is paid exactly once, and the three
     # rounds are narrow map + in-place aggregate over the cached
-    # partitioning (measured: 1.8-1.9s off both first-run and steady
-    # state vs distinct-then-shuffle-per-round).
+    # partitioning.
     pairs = lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
         (F.col("o_custkey") * 2).alias("cnode"),
         (F.col("l_suppkey") * 2 + 1).alias("snode"),
@@ -327,9 +333,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
     )
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = (
-        sym.repartition(n_shuffle, "dst").dropDuplicates(["src", "dst"]).persist()
+        sym.repartition(_PR_EDGE_PARTS, "dst")
+        .dropDuplicates(["src", "dst"])
+        .persist()
     )
     # static per-node state (degree, n) built once and checkpointed; each
     # round re-derives ranks by joining the fresh incoming sums onto it.
@@ -351,13 +358,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The rank vector is node-cardinality (≪ edges), so it broadcasts into
     # the contribution join, and the contribution sum by destination is
     # satisfied by the cached HashPartitioning(dst) — each round is
-    # SHUFFLE-FREE; the update join is against the static broadcastable
-    # node_state, and ``localCheckpoint`` per round keeps the plan flat
-    # (SCALE.md rule 9 — without it each round's broadcast subtree
-    # re-executes all prior rounds: measured quadratic blowup).  At
-    # billion-node scale, swap the broadcasts for a co-partitioned shuffle
-    # join on the node id (same trick, src-partitioned twin of the edge
-    # cache).
+    # SHUFFLE-FREE.  The three rounds build ONE lazy DAG executed by a
+    # single action (r9, VERDICT r8 #5): each intermediate rank vector
+    # feeds exactly one downstream broadcast, so every BroadcastExchange
+    # subtree materializes exactly once within the action — the three
+    # per-round driver-blocking checkpoint jobs collapse into one, with
+    # no re-execution (interleaved A/B vs the per-round-checkpoint form,
+    # SCALE.md rule 42: results bit-identical; wall-clock at parity at
+    # fixture scale, where the rounds are scheduler-overhead-bound — the
+    # win is the removed driver round trips, which price in at cluster
+    # latencies, not local[32] ones).  Plan depth is bounded by the
+    # constant _PR_ITERS, so the flat-lineage concern the old
+    # checkpoints addressed does not apply at 3 rounds.  At
+    # billion-node scale, swap the broadcasts for a co-partitioned
+    # shuffle join on the node id (same trick, src-partitioned twin of
+    # the edge cache) and re-introduce a checkpoint every ~10 rounds.
     for _ in range(_PR_ITERS):
         contrib = edges.join(
             F.broadcast(
@@ -382,14 +397,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.lit(_PR_DAMP) * F.col("in_sum")
                 ).alias("pr"),
             )
-            # lazy checkpoint: lineage still truncates at first
-            # materialization (each round's RDD is computed exactly once,
-            # when the NEXT round's broadcast subjob runs), but the three
-            # blocking driver-side jobs of eager checkpointing collapse
-            # into the final action — measured ~1.5s off first-run wall
-            # with identical results and a still-flat plan
-            .localCheckpoint(eager=False)
         )
+    # ONE eager checkpoint after the full 3-round DAG: executes the
+    # whole iteration as a single action (the lazy-fusion win), leaves
+    # the driver-facing plan a flat scan of the final 16k-row rank
+    # vector, and makes the edge-cache unpersist below safe.
+    ranks = ranks.localCheckpoint(eager=True)
     out = (
         ranks.select(
             F.concat(
@@ -401,8 +414,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pagerank").desc(), "node")
         .limit(20)
     )
-    # the final ranks are localCheckpointed, so the result no longer
-    # depends on the cached edge lineage
+    # the final ranks are checkpointed, so the result no longer depends
+    # on the cached edge lineage
     edges.unpersist()
     return out
 
