@@ -288,12 +288,43 @@ ORDER BY cluster_id
 
 _PR_DAMP = 0.85
 _PR_ITERS = 3
-# Edge-cache partition count, sized to the fixture's ~1.1M-edge graph
-# (~16 MB: 8 core-saturating tasks beat 32 slivers on per-stage
-# scheduler overhead x 3 rounds — SCALE.md rule 42 has the measured
-# sweep).  At cluster scale raise toward executor-core count; the plan
-# shape is partition-count-independent.
-_PR_EDGE_PARTS = 8
+# Edge-cache partitioning: ADAPTIVE to input size, calibrated by the
+# rule-42 sweep (SCALE.md).  Measured at sf0.1 (~10.8 MB lineitem,
+# ~1.1M edges): 8 core-saturating tasks beat 32 slivers on per-stage
+# scheduler overhead x 3 rounds (2.07 s vs 2.42 s median).  Measured at
+# a 10x key-shifted graph (~108 MB): 32 beats 8 (8-9 s vs 14-20 s) —
+# the fixture constant inverts under growth, so the count scales
+# linearly with the driving table's bytes between those two calibration
+# points and clamps to [8, defaultParallelism] (cores locally; total
+# executor cores on a cluster, exactly the rule-42 extrapolation).
+_PR_EDGE_PART_BYTES = 1_400_000  # lineitem bytes per edge partition (measured)
+_PR_EDGE_PARTS_OVERRIDE: int | None = None  # test/sweep hook
+
+
+def _edge_cache_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Size the edge cache from the driving table's on-disk bytes; fall
+    back to ``defaultParallelism`` (the scale-safe ceiling) when the
+    input isn't a stat-able local path."""
+    if _PR_EDGE_PARTS_OVERRIDE is not None:
+        return _PR_EDGE_PARTS_OVERRIDE
+    import os
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    total = 0
+    try:
+        if os.path.isfile(path):
+            total = os.path.getsize(path)
+        else:
+            for root, _, files in os.walk(path):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f)) for f in files
+                )
+    except OSError:
+        total = 0
+    ceiling = spark.sparkContext.defaultParallelism
+    if total <= 0:
+        return ceiling
+    return int(min(max(8, total // _PR_EDGE_PART_BYTES), ceiling))
 
 
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,7 +365,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
     )
     edges = (
-        sym.repartition(_PR_EDGE_PARTS, "dst")
+        sym.repartition(_edge_cache_partitions(spark, sf_dir), "dst")
         .dropDuplicates(["src", "dst"])
         .persist()
     )
