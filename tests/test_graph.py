@@ -46,3 +46,38 @@ def test_disjoint_components_no_bleed(spark):
         frozenset({50, 100}),
     }
     assert labels[100] == 50
+
+
+def test_edge_cache_partitions_adapts_to_input_bytes(spark, tmp_path):
+    """The pagerank edge cache sizes from the driving table's bytes
+    (SCALE.md rule 42: the fixture constant inverted at 10x), clamped to
+    [8, defaultParallelism], with the scale-safe ceiling as the fallback
+    for non-stat-able inputs."""
+    import species_range_data_pipeline_spark.plans.graph as g
+
+    dp = spark.sparkContext.defaultParallelism
+    # every fixture scale is under one calibration unit -> the floor
+    for sf in ("0.001", "0.01", "0.1"):
+        assert g._edge_cache_partitions(spark, f"/root/testdata/sf{sf}") == 8
+    # a large input scales linearly and clamps at defaultParallelism
+    big = tmp_path / "big" / "lineitem.parquet"
+    big.parent.mkdir()
+    big.write_bytes(b"\0" * (3 * g._PR_EDGE_PART_BYTES))
+    assert g._edge_cache_partitions(spark, str(tmp_path / "big")) == max(8, min(3, dp))
+    huge = tmp_path / "huge" / "lineitem.parquet"
+    huge.parent.mkdir()
+    # directory-of-parts layout: sizes sum across files
+    huge.mkdir()
+    for i in range(4):
+        (huge / f"part-{i}.parquet").write_bytes(
+            b"\0" * (40 * g._PR_EDGE_PART_BYTES)
+        )
+    assert g._edge_cache_partitions(spark, str(tmp_path / "huge")) == dp
+    # non-stat-able path -> the defaultParallelism ceiling, never a crash
+    assert g._edge_cache_partitions(spark, str(tmp_path / "absent")) == dp
+    # the sweep/test override pins the count exactly
+    g._PR_EDGE_PARTS_OVERRIDE = 13
+    try:
+        assert g._edge_cache_partitions(spark, "/root/testdata/sf0.1") == 13
+    finally:
+        g._PR_EDGE_PARTS_OVERRIDE = None
