@@ -238,6 +238,25 @@ def main() -> None:
             # a query that errored on ANY pass is dropped, never
             # published with a healthy-looking number from the others
             continue
+        # Dispersion retry (r9): host interference can stall the box for
+        # tens of seconds, long enough to poison EVERY consecutive warm
+        # pass of one query (observed: dedup_paragraphs published 3.87s
+        # in-bench vs 1.05s re-measured in isolation minutes later —
+        # 8.3x).  When the warm median sits >2x above the warm min the
+        # passes disagree with themselves, so take up to 4 extra passes
+        # and re-take the median over ALL of them: a transient stall
+        # gets outvoted, a real regression reproduces and stands.
+        retries = 0
+        while (
+            statistics.median(warm) > 2 * min(warm) + 0.05 and retries < 4
+        ):
+            nxt = _run_once(fn)
+            if nxt is None:
+                break
+            warm.append(nxt)
+            retries += 1
+        if any(w is None for w in warm):
+            continue
         cold[name] = round(first, 3)
         timings[name] = round(statistics.median(warm), 3)
         mins[name] = round(min([first, *warm]), 3)
