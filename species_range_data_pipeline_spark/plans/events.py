@@ -53,6 +53,87 @@ ORDER BY window_start, event_type
 """
 
 
+_STREAM_SINK_SEQ = iter(range(1_000_000))
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour aggregate run THROUGH the streaming engine, with a
+    batch result the driver can oracle (r9: the first streaming lane with
+    a DuckDB hash check — previously 'streaming has no driver oracle' was
+    carried as inherent).
+
+    The events fixture is split into 4 parquet files and streamed with
+    ``maxFilesPerTrigger=1`` + ``Trigger.AvailableNow``, so the
+    complete-mode aggregation state genuinely accumulates across ~4
+    microbatches before the bounded source drains and the query stops.
+    The final memory-sink table is returned as an ordinary batch
+    DataFrame — identical output contract to ``ev_tumbling`` minus the
+    distinct-user count (distinct aggregation is unsupported in
+    streaming; the batch twin keeps it).  No watermark: complete mode
+    holds all windows, which is the right semantics for a bounded
+    replay; the watermarked append-mode form lives in
+    ``streaming/events.py::windowed_counts`` with its own tests.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.events import read_event_stream
+
+    sink = f"stream_tumbling_counts_{next(_STREAM_SINK_SEQ)}"
+    tmp = tempfile.mkdtemp(prefix="stream_tumbling_")
+    try:
+        # 4-way split written locally: the fixture is ONE parquet file and
+        # a file-source microbatch is (up to) maxFilesPerTrigger files, so
+        # a single symlink would collapse the run into one batch and test
+        # nothing incremental.
+        load_table(spark, sf_dir, "events").repartition(4).write.parquet(
+            os.path.join(tmp, "in")
+        )
+        stream = read_event_stream(
+            spark, os.path.join(tmp, "in"), max_files_per_trigger=1
+        )
+        agg = stream.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # the memory sink holds the final rows; everything after is batch
+    return (
+        spark.table(sink)
+        .select(
+            F.date_format("w.start", _FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+STREAM_TUMBLING_ORACLE = f"""
+SELECT strftime(date_trunc('hour', ts), '{_DUCK_FMT}') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
 def ev_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window: 1 hour wide, every 30 minutes (each event lands in 2)."""
     events = load_table(spark, sf_dir, "events")
@@ -498,6 +579,7 @@ ORDER BY user_id, event_id
 
 QUERIES = {
     "window_udaf_ewma": window_udaf_ewma,
+    "stream_tumbling_counts": stream_tumbling_counts,
     "ev_tumbling": ev_tumbling,
     "ev_time_weighted_avg": ev_time_weighted_avg,
     "ev_ohlc_bars": ev_ohlc_bars,
@@ -511,6 +593,7 @@ QUERIES = {
 
 ORACLES = {
     "window_udaf_ewma": WINDOW_UDAF_EWMA_ORACLE,
+    "stream_tumbling_counts": STREAM_TUMBLING_ORACLE,
     "ev_tumbling": EV_TUMBLING_ORACLE,
     "ev_time_weighted_avg": EV_TWA_ORACLE,
     "ev_ohlc_bars": EV_OHLC_ORACLE,

@@ -99,7 +99,10 @@ _PRIORITY = [
     "text_pii_scrub",
     # scalar
     "null_cond_funcs",
-    "map_funcs",
+    # streaming (r9: first streaming lane with a REAL DuckDB oracle —
+    # availableNow drain to a memory sink; swapped in for map_funcs,
+    # an untouched scalar shape with r6+r7 green rows)
+    "stream_tumbling_counts",
     # text / dedup
     "dedup_repeated_ngrams",
     "text_quality_classifier",

@@ -634,3 +634,24 @@ def test_stream_observed_metrics_per_batch(spark, event_dir, tmp_path):
         assert len(coll.batches) >= 1
     finally:
         coll.close()
+
+
+def test_stream_tumbling_counts_matches_batch_twin(spark):
+    """The driver-oracled streaming lane (availableNow drain to a memory
+    sink, r9) must equal the batch twin row-for-row — same contract the
+    DuckDB oracle checks, pinned here at smoke scale so a streaming-side
+    regression fails fast without the parity sweep."""
+    from species_range_data_pipeline_spark.plans.events import (
+        ev_tumbling,
+        stream_tumbling_counts,
+    )
+
+    got = [
+        (r.window_start, r.event_type, r.n_events, r.total_value)
+        for r in stream_tumbling_counts(spark, SF_SMOKE).collect()
+    ]
+    want = [
+        (r.window_start, r.event_type, r.n_events, r.total_value)
+        for r in ev_tumbling(spark, SF_SMOKE).collect()
+    ]
+    assert got and got == want
