@@ -247,15 +247,20 @@ def main() -> None:
         # and re-take the median over ALL of them: a transient stall
         # gets outvoted, a real regression reproduces and stands.
         retries = 0
+        errored = False
         while (
             statistics.median(warm) > 2 * min(warm) + 0.05 and retries < 4
         ):
             nxt = _run_once(fn)
             if nxt is None:
+                errored = True
                 break
             warm.append(nxt)
             retries += 1
-        if any(w is None for w in warm):
+        if errored:
+            # same invariant as above: an errored pass (even a retry
+            # pass) drops the query rather than publishing the very
+            # high-dispersion median the retry was meant to outvote
             continue
         cold[name] = round(first, 3)
         timings[name] = round(statistics.median(warm), 3)

@@ -41,12 +41,14 @@ SF = "/root/testdata/sf0.1"
 
 def _dup_documents(spark, out_dir: str, mult: int) -> None:
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    n = docs.count()
+    # shift by max(doc_id)+1, not count: sparse ids would collide across
+    # copies under a count shift and silently shrink the "10x" table
+    stride = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     (
         docs.crossJoin(
             spark.range(mult).withColumnRenamed("id", "copy")
         )
-        .withColumn("doc_id", F.col("doc_id") + F.col("copy") * n)
+        .withColumn("doc_id", F.col("doc_id") + F.col("copy") * stride)
         .drop("copy")
         .write.mode("overwrite")
         .parquet(f"{out_dir}/documents.parquet")

@@ -96,9 +96,15 @@ def write_speciesdata_postgres(
     lane.
 
     Each partition writes inside ONE transaction (BEGIN/COMMIT,
-    ROLLBACK on failure) — Spark's JDBC writer semantics — so a failed
-    or speculatively re-executed task never leaves partial batches
-    behind (ADVICE r8).
+    ROLLBACK on failure) — Spark's JDBC writer semantics — so a FAILED
+    attempt never leaves partial batches behind (ADVICE r8).  Like
+    Spark's JDBC writer, this is per-attempt atomicity, NOT
+    exactly-once: two attempts of the same partition that both reach
+    COMMIT (task retry after a post-commit failure, or speculative
+    execution racing the kill signal) duplicate that partition's rows
+    in ``append`` mode.  Run appends with speculation off, or make the
+    write idempotent upstream (unique key + ON CONFLICT DDL, or
+    ``replace``/``truncate`` modes which rebuild the table).
     """
     if mode not in ("replace", "truncate", "append"):
         raise ValueError(f"unknown mode {mode!r}")

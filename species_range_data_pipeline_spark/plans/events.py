@@ -53,7 +53,9 @@ ORDER BY window_start, event_type
 """
 
 
-_STREAM_SINK_SEQ = iter(range(1_000_000))
+import itertools as _itertools
+
+_STREAM_SINK_SEQ = _itertools.count()
 
 
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,8 +112,12 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    # the memory sink holds the final rows; everything after is batch
-    return (
+    # Eager localCheckpoint BEFORE dropping the memory-sink view: the
+    # result rows are materialized as an RDD the returned plan scans, so
+    # the caller can collect any time later while repeated invocations
+    # (bench passes, parity sweeps) leave no per-call temp view holding
+    # its rows in driver memory for the session's lifetime.
+    out = (
         spark.table(sink)
         .select(
             F.date_format("w.start", _FMT).alias("window_start"),
@@ -119,8 +125,10 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "total_value",
         )
-        .orderBy("window_start", "event_type")
+        .localCheckpoint(eager=True)
     )
+    spark.catalog.dropTempView(sink)
+    return out.orderBy("window_start", "event_type")
 
 
 STREAM_TUMBLING_ORACLE = f"""

@@ -323,8 +323,11 @@ def _edge_cache_partitions(spark: SparkSession, sf_dir: str) -> int:
         total = 0
     ceiling = spark.sparkContext.defaultParallelism
     if total <= 0:
-        return ceiling
-    return int(min(max(8, total // _PR_EDGE_PART_BYTES), ceiling))
+        return max(8, ceiling)
+    # floor OUTSIDE the min: on a <8-core host the floor of 8 still wins
+    # (a few more partitions than cores is harmless; a 4-task sliver run
+    # under the measured floor is not)
+    return int(max(8, min(total // _PR_EDGE_PART_BYTES, ceiling)))
 
 
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

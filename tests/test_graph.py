@@ -72,9 +72,9 @@ def test_edge_cache_partitions_adapts_to_input_bytes(spark, tmp_path):
         (huge / f"part-{i}.parquet").write_bytes(
             b"\0" * (40 * g._PR_EDGE_PART_BYTES)
         )
-    assert g._edge_cache_partitions(spark, str(tmp_path / "huge")) == dp
-    # non-stat-able path -> the defaultParallelism ceiling, never a crash
-    assert g._edge_cache_partitions(spark, str(tmp_path / "absent")) == dp
+    assert g._edge_cache_partitions(spark, str(tmp_path / "huge")) == max(8, dp)
+    # non-stat-able path -> the scale-safe fallback, never a crash
+    assert g._edge_cache_partitions(spark, str(tmp_path / "absent")) == max(8, dp)
     # the sweep/test override pins the count exactly
     g._PR_EDGE_PARTS_OVERRIDE = 13
     try:
