@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 
 from ..sources.pgwire import (
     PgConnection,
+    PgError,
     copy_text_value,
     quote_ident,
     quote_literal,
@@ -81,6 +82,7 @@ def write_speciesdata_postgres(
     geometry_format: str = "ewkb",
     geometry_col: str = "geometry",
     srid: int = 4326,
+    exactly_once_epoch: str | None = None,
 ) -> None:
     """Write ``df`` into PostgreSQL over the wire protocol (trust auth).
 
@@ -102,9 +104,16 @@ def write_speciesdata_postgres(
     exactly-once: two attempts of the same partition that both reach
     COMMIT (task retry after a post-commit failure, or speculative
     execution racing the kill signal) duplicate that partition's rows
-    in ``append`` mode.  Run appends with speculation off, or make the
-    write idempotent upstream (unique key + ON CONFLICT DDL, or
-    ``replace``/``truncate`` modes which rebuild the table).
+    in ``append`` mode.  For true exactly-once appends pass
+    ``exactly_once_epoch``: a caller-chosen id for THIS logical write
+    (a streaming batchId, a job UUID).  Each partition then inserts
+    ``(epoch, partitionId)`` into ``<table>__write_ledger`` (PK on both
+    columns) inside its data transaction, so a second attempt of an
+    already-committed partition hits the unique violation and skips —
+    the ledger row and the data rows commit or vanish together, and a
+    re-submitted job with the same epoch is a no-op.  The ledger also
+    serializes racing speculative attempts (the second blocks on the
+    first's row lock, then skips or proceeds).
     """
     if mode not in ("replace", "truncate", "append"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -116,12 +125,19 @@ def write_speciesdata_postgres(
     conn_kw = dict(
         unix_socket_dir=unix_socket_dir, host=host, port=port
     )
+    ledger = f"{table}__write_ledger"
     with PgConnection(user, database, **conn_kw) as c:
         if mode == "replace":
             c.query(f"DROP TABLE IF EXISTS {quote_ident(table)}")
             c.query(_ddl_from_schema(df, table))
         elif mode == "truncate":
             c.query(f"TRUNCATE TABLE {quote_ident(table)}")
+        if exactly_once_epoch is not None:
+            c.query(
+                f"CREATE TABLE IF NOT EXISTS {quote_ident(ledger)} ("
+                "epoch_id text NOT NULL, partition_id bigint NOT NULL, "
+                "PRIMARY KEY (epoch_id, partition_id))"
+            )
 
     columns = list(df.columns)
     col_sql = ", ".join(quote_ident(c) for c in columns)
@@ -145,6 +161,23 @@ def write_speciesdata_postgres(
         conn = PgConnection(user, database, **conn_kw)
         try:
             conn.query("BEGIN")
+            if exactly_once_epoch is not None:
+                from pyspark import TaskContext
+
+                ctx = TaskContext.get()
+                pid = ctx.partitionId() if ctx is not None else 0
+                try:
+                    conn.query(
+                        f"INSERT INTO {quote_ident(ledger)} VALUES "
+                        f"({quote_literal(exactly_once_epoch)}, {pid})"
+                    )
+                except PgError as e:
+                    if e.fields.get("C") == "23505":
+                        # a prior attempt of this (epoch, partition)
+                        # already COMMITTED its data rows — skip cleanly
+                        conn.query("ROLLBACK")
+                        return
+                    raise
             if use_copy:
                 conn.copy_in(
                     copy_head,

@@ -412,3 +412,59 @@ def test_sink_partition_transaction_rollback(spark, pg_socket_dir):
         )
     with PgConnection("postgres", "postgres", unix_socket_dir=pg_socket_dir) as c:
         assert c.query("SELECT count(*) FROM txn_t")[1] == [("0",)]
+
+
+def test_sink_exactly_once_epoch_ledger(spark, pg_socket_dir):
+    """exactly_once_epoch (r9): re-running an append with the SAME epoch
+    is a no-op (every partition skips on the ledger's PK), a new epoch
+    appends again, and a partition that fails mid-write leaves neither
+    data nor its ledger row — so a retry of a FAILED attempt still
+    writes."""
+    from species_range_data_pipeline_spark.pipeline.postgres_sink import (
+        write_speciesdata_postgres,
+    )
+
+    with PgConnection("postgres", "postgres", unix_socket_dir=pg_socket_dir) as c:
+        c.query("DROP TABLE IF EXISTS eo_t")
+        c.query("DROP TABLE IF EXISTS eo_t__write_ledger")
+        c.query("CREATE TABLE eo_t (sid bigint, s text)")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "sid long, s string"
+    ).repartition(2)
+
+    def _count() -> int:
+        with PgConnection(
+            "postgres", "postgres", unix_socket_dir=pg_socket_dir
+        ) as c:
+            return int(c.query("SELECT count(*) FROM eo_t")[1][0][0])
+
+    kw = dict(
+        unix_socket_dir=pg_socket_dir, mode="append", method="insert",
+        geometry_col="none",
+    )
+    write_speciesdata_postgres(df, "eo_t", exactly_once_epoch="job-1", **kw)
+    assert _count() == 4
+    # identical resubmission (a whole-job retry): every partition skips
+    write_speciesdata_postgres(df, "eo_t", exactly_once_epoch="job-1", **kw)
+    assert _count() == 4
+    # a NEW epoch is a new logical write
+    write_speciesdata_postgres(df, "eo_t", exactly_once_epoch="job-2", **kw)
+    assert _count() == 8
+    # failed attempt: ledger row rolls back WITH the data, so the retry
+    # under the same epoch still writes
+    with PgConnection("postgres", "postgres", unix_socket_dir=pg_socket_dir) as c:
+        c.query("ALTER TABLE eo_t ADD CONSTRAINT cap CHECK (sid < 99)")
+    bad = spark.createDataFrame([(100, "boom")], "sid long, s string").coalesce(1)
+    with pytest.raises(Exception):
+        write_speciesdata_postgres(
+            bad, "eo_t", exactly_once_epoch="job-3", **kw
+        )
+    assert _count() == 8
+    with PgConnection("postgres", "postgres", unix_socket_dir=pg_socket_dir) as c:
+        _, rows = c.query(
+            "SELECT count(*) FROM eo_t__write_ledger WHERE epoch_id = 'job-3'"
+        )
+        assert rows == [("0",)]
+    ok = spark.createDataFrame([(5, "e")], "sid long, s string").coalesce(1)
+    write_speciesdata_postgres(ok, "eo_t", exactly_once_epoch="job-3", **kw)
+    assert _count() == 9
