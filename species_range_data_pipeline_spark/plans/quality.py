@@ -87,8 +87,18 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderpriority").alias("max_prio"),
         F.expr("count_if(o_totalprice IS NULL)").cast("long").alias("null_price"),
         F.countDistinct("o_totalprice").alias("dist_price"),
-        F.round(F.min("o_totalprice"), 2).cast("string").alias("min_price"),
-        F.round(F.max("o_totalprice"), 2).cast("string").alias("max_price"),
+        # via DECIMAL, not double->string: Java renders doubles >= 1e7 in
+        # scientific notation ('1.2345678E7') while DuckDB prints plain
+        # digits — decimal-to-string is format-identical in both engines
+        # at any magnitude (and pins two decimal places)
+        F.round(F.min("o_totalprice"), 2)
+        .cast("decimal(18,2)")
+        .cast("string")
+        .alias("min_price"),
+        F.round(F.max("o_totalprice"), 2)
+        .cast("decimal(18,2)")
+        .cast("string")
+        .alias("max_price"),
     )
     return (
         prof.select(
@@ -119,8 +129,10 @@ WITH prof AS (
            max(o_orderpriority) AS max_prio,
            CAST(count_if(o_totalprice IS NULL) AS BIGINT) AS null_price,
            count(DISTINCT o_totalprice) AS dist_price,
-           CAST(round(min(o_totalprice), 2) AS VARCHAR) AS min_price,
-           CAST(round(max(o_totalprice), 2) AS VARCHAR) AS max_price
+           CAST(CAST(round(min(o_totalprice), 2) AS DECIMAL(18,2)) AS VARCHAR)
+               AS min_price,
+           CAST(CAST(round(max(o_totalprice), 2) AS DECIMAL(18,2)) AS VARCHAR)
+               AS max_price
     FROM orders
 )
 SELECT c.column_name,
@@ -151,8 +163,9 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     parent order (anti join); (2) primary-key uniqueness — duplicated
     (orderkey, linenumber) pairs; (3) domain — negative or zero quantities;
     (4) nullability — null ship dates.  Violation counts land in one
-    unioned result instead of four jobs; each leg is a pushdown-friendly
-    single-pass plan.
+    unioned result instead of four jobs; the anti-join and group-by legs
+    keep their own pushdown-friendly shapes, and the two scalar rules
+    (domain, nullability) fold into ONE conditional-count scan (r9).
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -168,26 +181,31 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("violations"))
         .select(F.lit("pk_unique_lineitem").alias("rule"), "violations")
     )
-    domain = (
-        lineitem.where(F.col("l_quantity") <= 0)
-        .agg(F.count(F.lit(1)).alias("violations"))
-        .select(F.lit("qty_positive").alias("rule"), "violations")
-    )
-    nulls = (
-        lineitem.where(F.col("l_shipdate").isNull())
-        .agg(F.count(F.lit(1)).alias("violations"))
-        .select(F.lit("shipdate_not_null").alias("rule"), "violations")
+    # domain + nullability are plain conditional counts: ONE shared scan
+    # (two avoidable full passes over the fact table at 100 TB otherwise),
+    # unpivoted to rule rows with stack()
+    scalar_rules = lineitem.agg(
+        F.count_if(F.col("l_quantity") <= 0).alias("qty_positive"),
+        F.count_if(F.col("l_shipdate").isNull()).alias("shipdate_not_null"),
+    ).selectExpr(
+        "stack(2, 'qty_positive', qty_positive,"
+        " 'shipdate_not_null', shipdate_not_null) AS (rule, violations)"
     )
     return (
-        orphans.unionByName(dup_pk).unionByName(domain).unionByName(nulls)
+        orphans.unionByName(dup_pk).unionByName(scalar_rules)
         .orderBy("rule")
     )
 
 
 DQ_CHECKS_ORACLE = """
 SELECT 'fk_lineitem_orders' AS rule,
-       (SELECT count(*) FROM lineitem
-        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS violations
+       -- NOT EXISTS, not NOT IN: anti-join semantics (the Spark side)
+       -- count NULL-key rows as orphans, while NOT IN evaluates to NULL
+       -- against any key set and counts 0 — a DQ checker must agree on
+       -- dirty data, which is exactly when keys go NULL
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) AS violations
 UNION ALL
 SELECT 'pk_unique_lineitem',
        (SELECT count(*) FROM (SELECT 1 FROM lineitem
@@ -281,8 +299,6 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast), one rank window per class, one filter — the window is the
     only fact-table shuffle.
     """
-    from pyspark.sql import Window
-
     events = load_table(spark, sf_dir, "events")
     sizes = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     k = sizes.agg(F.min("n").alias("k"))
@@ -323,32 +339,53 @@ ORDER BY event_type
 """
 
 
+def _quality_rules():
+    """The four funnel rules as (stage_name, FAILS_predicate) pairs, in
+    first-reject order — the single source of truth
+    ``doc_quality_funnel``'s stage attribution AND
+    ``quality_pass_condition``'s conjunction are both built from, so a
+    threshold tweak is one edit (r9; previously the funnel re-declared
+    its own copies of every threshold).
+
+    Whitespace classes are spelled as RE2's ``\\s`` set ``[ \\t\\n\\f\\r]``
+    explicitly: Java's ``\\s`` additionally matches vertical tab
+    ``\\x0B``, so a bare ``\\s`` here would count characters differently
+    from the DuckDB oracles on hostile text (the file's Java∩RE2 regex
+    discipline)."""
+    from .text import _tokens
+
+    nonspace = F.length(F.regexp_replace("text", r"[ \t\n\f\r]", ""))
+    symbols = F.length(F.regexp_replace("text", r"[A-Za-z0-9 \t\n\f\r]", ""))
+    digits = F.length(F.regexp_replace("text", r"[^0-9]", ""))
+    mean_tok = nonspace / F.size(_tokens()).cast("long")
+    return [
+        ("s1_length", ~F.col("n_chars").between(100, 20000)),
+        ("s2_symbols", symbols * 10 > nonspace),
+        ("s3_digits", digits * 5 > nonspace),
+        ("s4_word_len", (mean_tok < 2.0) | (mean_tok > 14.0)),
+    ]
+
+
 def quality_pass_condition():
     """The ``doc_quality_funnel`` acceptance predicate as ONE boolean
     Column — the single source of truth shared by the funnel, the batch
     capstone (``packing.corpus_pipeline_summary``) and the streaming
-    ingest (``streaming/corpus.py``); a threshold tweak here changes all
-    three together (their equivalence is test-pinned)."""
-    nonspace = F.length(F.regexp_replace("text", r"\s", ""))
-    symbols = F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
-    digits = F.length(F.regexp_replace("text", r"[^0-9]", ""))
-    n_tokens = F.size(
-        F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
-    ).cast("long")
-    mean_tok = nonspace / n_tokens
-    return (
-        F.col("n_chars").between(100, 20000)
-        & (symbols * 10 <= nonspace)
-        & (digits * 5 <= nonspace)
-        & (mean_tok >= 2.0)
-        & (mean_tok <= 14.0)
-    )
+    ingest (``streaming/corpus.py``); a threshold tweak in
+    ``_quality_rules`` changes all three together (their equivalence is
+    test-pinned)."""
+    cond = F.lit(True)
+    for _, fails in _quality_rules():
+        cond = cond & ~fails
+    return cond
 
 
 def normalized_fingerprint():
     """Case-folded, whitespace-collapsed md5 — the exact-dedup key shared
-    by ``dedup_keep_best``, the capstone, and the streaming ingest."""
-    return F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    by ``dedup_keep_best``, the capstone, and the streaming ingest.
+    Explicit RE2 whitespace class (see ``_quality_rules``)."""
+    return F.md5(
+        F.lower(F.trim(F.regexp_replace("text", r"[ \t\n\f\r]+", " ")))
+    )
 
 
 def doc_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -371,20 +408,11 @@ def doc_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     string expressions.
     """
     docs = load_table(spark, sf_dir, "documents")
-    from .text import _tokens
-
-    nonspace = F.length(F.regexp_replace("text", r"\s", ""))
-    symbols = F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
-    digits = F.length(F.regexp_replace("text", r"[^0-9]", ""))
-    n_tokens = F.size(_tokens())
-    mean_tok = nonspace / n_tokens
-    stage = (
-        F.when(~F.col("n_chars").between(100, 20000), "s1_length")
-        .when(symbols * 10 > nonspace, "s2_symbols")
-        .when(digits * 5 > nonspace, "s3_digits")
-        .when((mean_tok < 2.0) | (mean_tok > 14.0), "s4_word_len")
-        .otherwise("pass")
-    )
+    rules = _quality_rules()
+    stage = F.when(rules[0][1], rules[0][0])
+    for name, fails in rules[1:]:
+        stage = stage.when(fails, name)
+    stage = stage.otherwise("pass")
     return (
         docs.select(stage.alias("stage"), "n_chars")
         .groupBy("stage")
@@ -428,13 +456,17 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup under normalization, keeping the BEST representative.
 
     The corpus is unioned with a deterministic mutated twin of itself
-    (upper-cased, whitespace-inflated, re-keyed) so the collapse is
-    observable on fixture data; the fingerprint is md5 of the
-    case-folded, whitespace-collapsed text, and within a fingerprint the
-    longest text wins (ties -> lowest doc_id) via one window — the
-    keep-best rule real cleaning pipelines use instead of "arbitrary
-    survivor".  Scale shape: one hash shuffle on the fingerprint; the
-    twin construction is a narrow map.
+    (upper-cased, whitespace-inflated, re-keyed, with ``n_chars``
+    recomputed to match its 2-char-longer text — r9: copying the
+    original ``n_chars`` broke the corpus invariant and let every
+    original/twin pair tie straight into the doc_id tie-break, so the
+    longest-wins rule was never exercised) so the collapse is observable
+    on fixture data; the fingerprint is ``normalized_fingerprint()``
+    (md5 of the case-folded, whitespace-collapsed text), and within a
+    fingerprint the longest text wins (ties -> lowest doc_id) via one
+    window — the keep-best rule real cleaning pipelines use instead of
+    "arbitrary survivor".  Scale shape: one hash shuffle on the
+    fingerprint; the twin construction is a narrow map.
     """
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "n_chars"
@@ -443,10 +475,10 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.upper("text"), F.lit("  ")).alias("text"),
         "lang",
-        "n_chars",
+        (F.col("n_chars") + 2).alias("n_chars"),
     )
     both = docs.unionByName(twin)
-    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    fp = normalized_fingerprint()
     w = Window.partitionBy("fp").orderBy(
         F.col("n_chars").desc(), F.col("doc_id").asc()
     )
@@ -469,7 +501,8 @@ DEDUP_KEEP_BEST_ORACLE = """
 WITH both_docs AS (
     SELECT doc_id, text, lang, n_chars FROM documents
     UNION ALL
-    SELECT doc_id + 1000000, upper(text) || '  ', lang, n_chars FROM documents
+    SELECT doc_id + 1000000, upper(text) || '  ', lang, n_chars + 2
+    FROM documents
 ), ranked AS (
     SELECT lang, doc_id,
            row_number() OVER (
@@ -589,12 +622,22 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         import zlib
 
         for pdf in batches:
-            enc = [t.encode("utf-8") for t in pdf["text"]]
+            # NULL text propagates as a NULL ratio (one dirty row must
+            # not kill the job; the rollup's avg/min/max skip NULLs the
+            # same way both engines do)
+            enc = [
+                None if t is None else t.encode("utf-8")
+                for t in pdf["text"]
+            ]
             yield pd.DataFrame(
                 {
                     "lang": pdf["lang"],
                     "ratio": [
-                        round(len(zlib.compress(b, 6)) / max(1, len(b)), 6)
+                        None
+                        if b is None
+                        else round(
+                            len(zlib.compress(b, 6)) / max(1, len(b)), 6
+                        )
                         for b in enc
                     ],
                 }

@@ -54,8 +54,15 @@ _STOPWORDS = ["the", "and", "of", "to", "in"]
 
 
 def _tokens(col: str = "text"):
-    """Whitespace tokenizer (the BPE-ish regex variant is in functions.text)."""
-    return F.split(F.trim(F.regexp_replace(F.col(col), r"\s+", " ")), " ")
+    """Whitespace tokenizer (the BPE-ish regex variant is in functions.text).
+
+    The whitespace class is RE2's ``\\s`` set spelled explicitly: Java's
+    ``\\s`` additionally matches vertical tab ``\\x0B``, so a bare ``\\s``
+    would tokenize differently from every DuckDB oracle on text
+    containing one (r9; same Java∩RE2 discipline as the PII patterns)."""
+    return F.split(
+        F.trim(F.regexp_replace(F.col(col), r"[ \t\n\f\r]+", " ")), " "
+    )
 
 
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -302,7 +309,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     of docs, and the fingerprint is computed in the scan stage.
     """
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    norm = F.lower(F.trim(F.regexp_replace("text", r"[ \t\n\f\r]+", " ")))
     return (
         docs.select(
             "doc_id",
@@ -406,7 +413,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     row — required for oracle parity and for reproducible pipelines.
     """
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    norm = F.lower(F.trim(F.regexp_replace("text", r"[ \t\n\f\r]+", " ")))
     return (
         docs.select(F.md5(norm).alias("fingerprint"), "doc_id")
         .groupBy("fingerprint")
@@ -677,7 +684,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     # Only safe because simhash filters empties; size()-based consumers
     # must keep _tokens().
     tok = (
-        docs.select("doc_id", F.explode(F.split("text", r"\s+")).alias("token"))
+        docs.select("doc_id", F.explode(F.split("text", r"[ \t\n\f\r]+")).alias("token"))
         .where(F.col("token") != "")
         .select("doc_id", F.md5("token").alias("h"))
     )
