@@ -142,12 +142,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         except Exception:
             pass  # conf locked -> the read below surfaces the real error
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long (see session.ENGINE_CONF); truncate
-        # to micros with integer div — nanos ~1.7e18 overflow double mantissa.
-        from pyspark.sql import functions as F
+    if name == "events":
+        df = normalize_event_ts(df)
+    return df
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+def normalize_event_ts(df: "DataFrame") -> "DataFrame":
+    """Adapt the events table's ``ts`` to TIMESTAMP whatever the fixture
+    writer produced — THE single copy of this rule (r9; it previously
+    lived in three places and the fixture's physical type has already
+    changed once between rounds):
+
+    - TIMESTAMP(NANOS) arrives as bigint under ``nanosAsLong``: truncate
+      to micros with integer div (nanos ~1.7e18 overflow double mantissa);
+    - TIMESTAMP_NTZ: cast to TIMESTAMP (value-preserving under the UTC
+      session timezone every caller sets);
+    - native TIMESTAMP passes through.
+    """
+    from pyspark.sql import functions as F
+
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

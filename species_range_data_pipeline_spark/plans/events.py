@@ -478,14 +478,20 @@ ORDER BY user_id
 def ev_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC candlesticks: per tumbling hour, the first/max/min/last value.
 
-    open/close are ``min_by``/``max_by`` over a unique bigint event key
-    (ms*2^20 | event_id) — deterministic under ts ties, and the whole bar
-    is ONE hash aggregate (no window, no self-join): at 100 TB this is a
-    single map-side-combinable pass, where the textbook ROW_NUMBER
-    formulation would sort every partition.
+    open/close are ``min_by``/``max_by`` over a unique DECIMAL event key
+    (ms*2^32 + event_id — a BIGINT ms*2^20 key collides once event_id
+    reaches 2^20 and picks the wrong open/close; DECIMAL(38,0) is exact
+    at any realistic id space, r9) — deterministic under ts ties, and the
+    whole bar is ONE hash aggregate (no window, no self-join): at 100 TB
+    this is a single map-side-combinable pass, where the textbook
+    ROW_NUMBER formulation would sort every partition.
     """
     events = load_table(spark, sf_dir, "events")
-    key = (F.unix_millis(F.col("ts").cast("timestamp")) * F.lit(1048576) + F.col("event_id")).alias("k")
+    key = (
+        F.unix_millis(F.col("ts").cast("timestamp")).cast("decimal(38,0)")
+        * F.lit(4294967296)
+        + F.col("event_id")
+    ).alias("k")
     t = events.select(
         F.window("ts", "1 hour").alias("w"), "event_type", "value", key
     )
@@ -514,10 +520,12 @@ def ev_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 EV_OHLC_ORACLE = f"""
 SELECT strftime(date_trunc('hour', ts), '{_DUCK_FMT}') AS window_start,
        event_type,
-       round(arg_min(value, epoch_ms(ts) * 1048576 + event_id), 2) AS open,
+       round(arg_min(value, epoch_ms(ts)::HUGEINT * 4294967296 + event_id), 2)
+           AS open,
        round(max(value), 2) AS high,
        round(min(value), 2) AS low,
-       round(arg_max(value, epoch_ms(ts) * 1048576 + event_id), 2) AS close,
+       round(arg_max(value, epoch_ms(ts)::HUGEINT * 4294967296 + event_id), 2)
+           AS close,
        count(*) AS n
 FROM events
 GROUP BY 1, 2

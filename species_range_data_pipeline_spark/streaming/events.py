@@ -19,37 +19,38 @@ from pyspark.sql import functions as F
 
 
 def read_event_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 1,
+    schema=None,
 ) -> DataFrame:
     """File-source stream of event parquet with the engine's events schema.
 
     The stream schema is sniffed from the files already present (footer
     read only), so the source adapts to how the fixture stores ``ts`` the
-    same way ``catalog.load_table`` does: TIMESTAMP(NANOS) arrives as
-    long under ``nanosAsLong`` and is truncated to micros; a native
-    TIMESTAMP(MICROS) column passes through untouched.  Hardcoding either
-    shape breaks when the fixture generator changes its parquet writer —
-    which is exactly what happened between rounds 3 and 4.
+    same way ``catalog.load_table`` does — both route through
+    ``catalog.normalize_event_ts``, the single copy of the adaptation
+    rule (the fixture's physical type changed between rounds 3 and 4;
+    hardcoding a shape breaks on the next change).  Pass ``schema`` to
+    start the stream on an EMPTY landing directory (the standard
+    watch-a-directory production pattern), where the sniff would raise
+    'Unable to infer schema'.
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass  # conf locked -> the read below surfaces the real error
-    schema = spark.read.parquet(path).schema
+    if schema is None:
+        schema = spark.read.parquet(path).schema
     df = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
-    ts_type = dict(df.dtypes).get("ts")
-    if ts_type == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        # watermarks require TIMESTAMP (with tz); under the UTC session
-        # timezone the cast is value-preserving
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return df
+    from ..catalog import normalize_event_ts
+
+    return normalize_event_ts(df)
 
 
 def windowed_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -104,8 +105,15 @@ def sessionized(stream: DataFrame, gap: str = "15 minutes") -> DataFrame:
 
 
 def stream_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """Streaming exact dedup on event_id within the watermark horizon —
-    the streaming form of the pipeline's idempotency operator (D1)."""
+    """Streaming exact dedup on event_id over ALL history — the streaming
+    form of the pipeline's idempotency operator (D1).
+
+    State-growth caveat (r9): ``dropDuplicates`` without the event-time
+    column in the key never evicts state — the watermark here only drops
+    late INPUT rows, it does not bound the dedup state store.  That is
+    the right semantics when event_ids must be globally unique forever,
+    but for long-running queries with an at-least-once source use
+    ``stream_dedup_within_watermark`` (bounded state) instead."""
     return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
@@ -179,11 +187,23 @@ def ohlc_bars_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     ``plans.events.ev_ohlc_bars``.  min_by/max_by are algebraic, so the
     state per open window is one fixed-width row (no buffered events), and
     the watermark closes bars exactly like the batch hour boundary."""
-    key = (F.unix_millis(F.col("ts").cast("timestamp")) * F.lit(1048576) + F.col("event_id")).alias("k")
-    t = stream.select("ts", F.window("ts", "1 hour").alias("w"), "event_type", "value", key)
+    # decimal key: ms*2^32 overflows BIGINT, and a BIGINT ms*2^20 key
+    # collides once event_id >= 2^20 (wrong open/close); DECIMAL(38,0)
+    # holds ms*2^32+id exactly for any realistic id space (r9 review)
+    key = (
+        F.unix_millis(F.col("ts").cast("timestamp")).cast("decimal(38,0)")
+        * F.lit(4294967296)
+        + F.col("event_id")
+    ).alias("k")
+    # watermark BEFORE deriving the window column: a watermark applied
+    # after the select does not attach to the already-resolved window
+    # attribute, so append mode rejects the plan and update mode never
+    # evicts bar state (r9 review; complete mode masked it)
+    t = stream.withWatermark("ts", watermark).select(
+        "ts", F.window("ts", "1 hour").alias("w"), "event_type", "value", key
+    )
     return (
-        t.withWatermark("ts", watermark)
-        .groupBy("w", "event_type")
+        t.groupBy("w", "event_type")
         .agg(
             F.round(F.min_by("value", F.col("k")), 2).alias("open"),
             F.round(F.max("value"), 2).alias("high"),
@@ -326,15 +346,20 @@ def write_stream_idempotent(
     This is the streaming face of the D1 idempotency operator — together
     with the streaming checkpoint it gives effectively-once parquet output
     without a transactional table format."""
-    from ..operators.idempotency import pending_work
+    from ..operators.idempotency import materialized_keys, pending_work
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            done = spark.read.parquet(sink_path).select(*keys)
-            fresh = pending_work(batch_df, done, keys)
-        except Exception:
-            fresh = batch_df
+        # narrow missing-sink handling only (materialized_keys catches
+        # AnalysisException for an absent path): a TRANSIENT sink-read
+        # failure must fail the batch so the checkpoint retries it —
+        # swallowing it here would append the whole batch unfiltered and
+        # silently break the effectively-once contract (r9 review).
+        done = materialized_keys(spark, sink_path, keys)
+        # dedup WITHIN the batch too: at-least-once sources can deliver a
+        # record and its replay inside one trigger, where the sink
+        # anti-join alone cannot see the duplicate
+        fresh = pending_work(batch_df.dropDuplicates(keys), done, keys)
         fresh.write.mode("append").parquet(sink_path)
 
     return (

@@ -209,6 +209,42 @@ def test_foreach_batch_idempotent_sink(spark, tmp_path):
     assert out.select("event_id").distinct().count() == base
 
 
+def test_foreach_batch_idempotent_sink_dedups_within_one_trigger(
+    spark, tmp_path
+):
+    """r9 review: a record and its at-least-once replay can arrive in the
+    SAME microbatch (maxFilesPerTrigger covering both files), where the
+    sink anti-join alone sees neither key — the in-batch dropDuplicates
+    must still land each key exactly once.  Also exercises the explicit
+    ``schema=`` start on an EMPTY landing directory."""
+    from species_range_data_pipeline_spark.streaming.events import (
+        write_stream_idempotent,
+    )
+
+    d = tmp_path / "src"
+    d.mkdir()
+    schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
+    # stream starts on the empty dir via the explicit schema...
+    stream = read_event_stream(
+        spark, str(d), max_files_per_trigger=2, schema=schema
+    )
+    # ...then both copies land and arrive inside one trigger
+    shutil.copy(f"{SF_SMOKE}/events.parquet", d / "a.parquet")
+    shutil.copy(f"{SF_SMOKE}/events.parquet", d / "b.parquet")
+    sink = str(tmp_path / "sink")
+    q = write_stream_idempotent(
+        stream.select("event_id", "user_id", "value"),
+        sink,
+        ["event_id"],
+        str(tmp_path / "ckpt"),
+    )
+    _drain(q)
+    out = spark.read.parquet(sink)
+    base = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert out.count() == base
+    assert out.select("event_id").distinct().count() == base
+
+
 def test_stream_static_enrichment_matches_batch(spark, event_dir):
     from pyspark.sql import functions as F
 
@@ -370,11 +406,9 @@ def test_stream_mv_refresh_matches_batch_and_replay_idempotent(spark, tmp_path):
     batch0_files = [
         json.loads(line)["path"] for line in log0 if line.startswith("{")
     ]
-    batch0 = spark.read.parquet(*batch0_files)
-    if dict(batch0.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) fixtures
-        batch0 = batch0.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        batch0 = batch0.withColumn("ts", F.col("ts").cast("timestamp"))
+    from species_range_data_pipeline_spark.catalog import normalize_event_ts
+
+    batch0 = normalize_event_ts(spark.read.parquet(*batch0_files))
     mv_partial_refresh_batch(batch0, 0, state)
     assert mv_rows() == got
 
