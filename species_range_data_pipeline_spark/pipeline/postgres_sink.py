@@ -129,15 +129,35 @@ def write_speciesdata_postgres(
     with PgConnection(user, database, **conn_kw) as c:
         if mode == "replace":
             c.query(f"DROP TABLE IF EXISTS {quote_ident(table)}")
+            # The ledger records epochs committed into the table we just
+            # dropped; keeping it would make a re-run of a previously-used
+            # epoch a silent no-op against the now-empty table (ADVICE r9).
+            c.query(f"DROP TABLE IF EXISTS {quote_ident(ledger)}")
             c.query(_ddl_from_schema(df, table))
         elif mode == "truncate":
             c.query(f"TRUNCATE TABLE {quote_ident(table)}")
         if exactly_once_epoch is not None:
-            c.query(
-                f"CREATE TABLE IF NOT EXISTS {quote_ident(ledger)} ("
-                "epoch_id text NOT NULL, partition_id bigint NOT NULL, "
-                "PRIMARY KEY (epoch_id, partition_id))"
-            )
+            try:
+                c.query(
+                    f"CREATE TABLE IF NOT EXISTS {quote_ident(ledger)} ("
+                    "epoch_id text NOT NULL, partition_id bigint NOT NULL, "
+                    "PRIMARY KEY (epoch_id, partition_id))"
+                )
+            except PgError as e:
+                # IF NOT EXISTS is not race-proof in PostgreSQL: two
+                # concurrent creators can both pass the existence check
+                # and the loser raises 23505 on pg_type / 42P07.  A
+                # racing re-submission of the same job must not die here.
+                if e.fields.get("C") not in ("23505", "42P07"):
+                    raise
+            if mode == "truncate":
+                # Same hazard as replace: the truncate just removed this
+                # epoch's previously-committed rows, so its ledger entries
+                # must not suppress the re-write (ADVICE r9).
+                c.query(
+                    f"DELETE FROM {quote_ident(ledger)} WHERE epoch_id = "
+                    f"{quote_literal(exactly_once_epoch)}"
+                )
 
     columns = list(df.columns)
     col_sql = ", ".join(quote_ident(c) for c in columns)
@@ -165,7 +185,15 @@ def write_speciesdata_postgres(
                 from pyspark import TaskContext
 
                 ctx = TaskContext.get()
-                pid = ctx.partitionId() if ctx is not None else 0
+                if ctx is None:
+                    # Defaulting to partition 0 outside a task context
+                    # would collide every partition onto one ledger row
+                    # and silently drop all but the first (ADVICE r9).
+                    raise RuntimeError(
+                        "exactly_once_epoch requires a Spark TaskContext "
+                        "(foreachPartition on an executor); got None"
+                    )
+                pid = ctx.partitionId()
                 try:
                     conn.query(
                         f"INSERT INTO {quote_ident(ledger)} VALUES "

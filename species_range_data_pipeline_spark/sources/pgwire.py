@@ -290,12 +290,17 @@ class PgConnection:
         except Exception:
             # CopyFail('f') so the server aborts the COPY cleanly and
             # returns to ReadyForQuery instead of waiting for more data.
-            msg = b"producer failed\x00"
-            self._sock.sendall(b"f" + struct.pack(">i", len(msg) + 4) + msg)
+            # Best-effort: the socket may be the thing that just failed
+            # (e.g. BrokenPipeError mid-CopyData) — never let the abort
+            # handshake replace the original exception (ADVICE r9).
             try:
+                msg = b"producer failed\x00"
+                self._sock.sendall(
+                    b"f" + struct.pack(">i", len(msg) + 4) + msg
+                )
                 self._drain_to_ready()
-            except PgError:
-                pass  # the expected COPY-abort error; re-raise the cause
+            except Exception:
+                pass  # expected COPY-abort error / dead socket
             raise
         self._sock.sendall(b"c" + struct.pack(">i", 4))  # CopyDone
         self._drain_to_ready()

@@ -468,3 +468,120 @@ def test_sink_exactly_once_epoch_ledger(spark, pg_socket_dir):
     ok = spark.createDataFrame([(5, "e")], "sid long, s string").coalesce(1)
     write_speciesdata_postgres(ok, "eo_t", exactly_once_epoch="job-3", **kw)
     assert _count() == 9
+
+def test_copy_in_producer_error_propagates_original(pg_socket_dir):
+    """ADVICE r9: when the row producer raises mid-COPY, the ORIGINAL
+    exception must surface — the CopyFail/abort handshake is best-effort
+    and must never replace it with a socket error."""
+    with PgConnection("postgres", "postgres", unix_socket_dir=pg_socket_dir) as c:
+        c.query("DROP TABLE IF EXISTS copyfail_t")
+        c.query("CREATE TABLE copyfail_t (i int)")
+
+        def _producer():
+            yield "1"
+            raise ValueError("producer blew up")
+
+        with pytest.raises(ValueError, match="producer blew up"):
+            c.copy_in("COPY copyfail_t (i) FROM STDIN", _producer())
+        # connection resynced: usable for further queries, nothing landed
+        assert c.query("SELECT count(*) FROM copyfail_t")[1] == [("0",)]
+
+
+def test_sink_epoch_ledger_cleared_on_replace_and_truncate(spark, pg_socket_dir):
+    """ADVICE r9 (medium): replace/truncate wipe the data table, so a
+    previously-used epoch's ledger rows must not turn the re-write into a
+    silent no-op (empty table)."""
+    from species_range_data_pipeline_spark.pipeline.postgres_sink import (
+        write_speciesdata_postgres,
+    )
+
+    with PgConnection("postgres", "postgres", unix_socket_dir=pg_socket_dir) as c:
+        c.query("DROP TABLE IF EXISTS led_t")
+        c.query("DROP TABLE IF EXISTS led_t__write_ledger")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "sid long, s string"
+    ).repartition(2)
+
+    def _count() -> int:
+        with PgConnection(
+            "postgres", "postgres", unix_socket_dir=pg_socket_dir
+        ) as c:
+            return int(c.query("SELECT count(*) FROM led_t")[1][0][0])
+
+    kw = dict(unix_socket_dir=pg_socket_dir, method="insert", geometry_col="none")
+    write_speciesdata_postgres(
+        df, "led_t", mode="replace", exactly_once_epoch="ep-1", **kw
+    )
+    assert _count() == 3
+    # replace again with the SAME epoch: ledger dropped with the table,
+    # data must land again (previously: silently empty table)
+    write_speciesdata_postgres(
+        df, "led_t", mode="replace", exactly_once_epoch="ep-1", **kw
+    )
+    assert _count() == 3
+    # truncate with the same epoch: that epoch's ledger rows are cleared
+    write_speciesdata_postgres(
+        df, "led_t", mode="truncate", exactly_once_epoch="ep-1", **kw
+    )
+    assert _count() == 3
+    # ...but OTHER epochs' ledger rows survive a truncate-path write, and
+    # append with a fresh epoch still dedups normally
+    write_speciesdata_postgres(
+        df, "led_t", mode="append", exactly_once_epoch="ep-2", **kw
+    )
+    write_speciesdata_postgres(
+        df, "led_t", mode="append", exactly_once_epoch="ep-2", **kw
+    )
+    assert _count() == 6
+
+
+def test_sink_exactly_once_under_concurrent_speculative_attempts(
+    spark, pg_socket_dir
+):
+    """VERDICT r9 next #6: two racing writers of the SAME (epoch,
+    partition) — simulated speculative execution — must land exactly one
+    copy of each partition's rows.  The ledger PK serializes them: the
+    loser blocks on the winner's row lock, then hits 23505 and skips."""
+    import threading
+
+    from species_range_data_pipeline_spark.pipeline.postgres_sink import (
+        write_speciesdata_postgres,
+    )
+
+    with PgConnection("postgres", "postgres", unix_socket_dir=pg_socket_dir) as c:
+        c.query("DROP TABLE IF EXISTS race_t")
+        c.query("DROP TABLE IF EXISTS race_t__write_ledger")
+        c.query("CREATE TABLE race_t (sid bigint, s text)")
+    n = 3000  # big enough for the COPY lane + real overlap in-flight
+    df = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(n)], "sid long, s string"
+    ).repartition(2)
+    kw = dict(
+        unix_socket_dir=pg_socket_dir, mode="append", method="copy",
+        geometry_col="none", exactly_once_epoch="spec-1",
+    )
+    barrier = threading.Barrier(2)
+    errs: list[BaseException] = []
+
+    def _attempt():
+        barrier.wait()
+        try:
+            write_speciesdata_postgres(df, "race_t", **kw)
+        except BaseException as e:  # noqa: BLE001 - collected for assert
+            errs.append(e)
+
+    threads = [threading.Thread(target=_attempt) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, f"racing attempts must both succeed-or-skip: {errs}"
+    with PgConnection("postgres", "postgres", unix_socket_dir=pg_socket_dir) as c:
+        _, rows = c.query(
+            "SELECT count(*), count(DISTINCT sid) FROM race_t"
+        )
+        assert rows == [(str(n), str(n))], rows  # exactly one copy of each
+        _, led = c.query(
+            "SELECT count(*) FROM race_t__write_ledger WHERE epoch_id = 'spec-1'"
+        )
+        assert led == [("2",)]  # one ledger row per partition
