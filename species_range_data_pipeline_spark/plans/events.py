@@ -142,6 +142,259 @@ ORDER BY window_start, event_type
 """
 
 
+def _staged_event_stream_run(
+    spark: SparkSession,
+    sf_dir: str,
+    build,
+    *,
+    slices: int = 4,
+    replay_every: int | None = None,
+    output_mode: str = "append",
+    sink_prefix: str = "stream",
+) -> DataFrame:
+    """Replay the events fixture through the streaming engine in event-time
+    order and return the memory sink as an eager batch DataFrame.
+
+    The fixture is ONE unordered parquet file; a watermarked stateful
+    query fed a shuffled replay would late-drop most rows and test
+    nothing.  Real streams arrive roughly time-ordered, so this stages
+    ``slices`` ts-range files (``repartitionByRange`` part files are
+    range-ordered by part number) with strictly increasing mtimes — the
+    file source processes oldest-mtime first, making microbatch order
+    deterministic — and the 1-file-per-trigger drain advances the
+    watermark slice by slice, exactly like a live source.  Contiguous
+    ts ranges + a watermark delay longer than any ts overlap mean NO
+    original row is ever late: everything the oracle counts is counted.
+
+    ``replay_every``: additionally re-deliver every Nth event (by id)
+    as a FINAL microbatch — an at-least-once source's replayed records
+    — for dedup lanes to suppress.
+
+    The returned DataFrame is ``localCheckpoint(eager=True)``-ed and the
+    per-run memory view dropped, so repeated invocations (bench passes,
+    parity sweeps) leak neither temp views nor sink rows.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from ..streaming.events import read_event_stream
+
+    sink = f"{sink_prefix}_{next(_STREAM_SINK_SEQ)}"
+    tmp = tempfile.mkdtemp(prefix=f"{sink_prefix}_")
+    try:
+        events = load_table(spark, sf_dir, "events")
+        stage = os.path.join(tmp, "stage")
+        indir = os.path.join(tmp, "in")
+        os.makedirs(indir)
+        events.repartitionByRange(slices, "ts").write.parquet(stage)
+        parts = sorted(glob.glob(os.path.join(stage, "part-*.parquet")))
+        if replay_every is not None:
+            rp = os.path.join(tmp, "replay")
+            events.where(
+                F.col("event_id") % replay_every == 0
+            ).coalesce(1).write.parquet(rp)
+            parts += sorted(glob.glob(os.path.join(rp, "part-*.parquet")))
+        base = time.time() - 10 * (len(parts) + 1)
+        for i, p in enumerate(parts):
+            dst = os.path.join(indir, f"batch-{i:02d}.parquet")
+            shutil.move(p, dst)
+            os.utime(dst, (base + 10 * i, base + 10 * i))
+        stream = read_event_stream(spark, indir, max_files_per_trigger=1)
+        q = (
+            build(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(sink).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(sink)
+        except Exception:
+            pass
+    return out
+
+
+def _events_watermark_cutoff(spark: SparkSession, sf_dir: str, hours: int):
+    """max(ts) − ``hours`` — a bound strictly below the drained stream's
+    final watermark (max(ts) − 1h), so 'window end ≤ cutoff' selects only
+    windows GUARANTEED emitted in append mode, independent of how the
+    engine's emit comparator treats the boundary."""
+    import datetime
+
+    mx = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    return mx - datetime.timedelta(hours=hours)
+
+
+def stream_dedup_replayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming bounded-state dedup driven end-to-end (VERDICT r9 #2):
+    the fixture is streamed in event-time order PLUS a final microbatch
+    re-delivering every 10th event — an at-least-once source's replays —
+    through ``dropDuplicatesWithinWatermark`` (bounded state: keys evict
+    once the watermark passes their event time, the 100-TB-safe form).
+
+    Every replayed record is suppressed deterministically: its key is
+    either still in state (recent events — watermark < ts + delay) or
+    its event time is already below the watermark and it is dropped as
+    late input.  Output therefore equals the original events exactly,
+    which is what the oracle states — if dedup under-suppressed, the
+    row count breaks; if it over-dropped originals, the hash breaks.
+    """
+    from ..streaming.events import stream_dedup_within_watermark
+
+    out = _staged_event_stream_run(
+        spark,
+        sf_dir,
+        lambda s: stream_dedup_within_watermark(s, "1 hour"),
+        replay_every=10,
+        sink_prefix="stream_dedup_replayed",
+    )
+    return out.select(
+        "event_id",
+        F.date_format("ts", _FMT).alias("ts_s"),
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value_r"),
+    ).orderBy("event_id")
+
+
+STREAM_DEDUP_REPLAYED_ORACLE = f"""
+SELECT event_id,
+       strftime(ts, '{_DUCK_FMT}') AS ts_s,
+       user_id,
+       event_type,
+       round(value, 2) AS value_r
+FROM events
+ORDER BY event_id
+"""
+
+
+def stream_session_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization with append-mode watermark flush, driven
+    end-to-end (VERDICT r9 #2): ``session_window`` state merges across
+    microbatches and each session is emitted ONCE, when the watermark
+    passes its end.  The drained stream's final watermark is
+    max(ts) − 1h, so restricting both engines to sessions ending ≥ 2 h
+    before max(ts) makes the emitted set deterministic (measured: the
+    final no-data microbatch flushes everything below the watermark).
+
+    Session end is reported as max(ts) (engine-neutral, matching the
+    batch twin ``ev_sessionization``); the watermark-delay (1 h) >
+    session gap (15 min) invariant guarantees no session is emitted
+    before a mergeable event can still arrive.
+    """
+    cutoff = _events_watermark_cutoff(spark, sf_dir, 2)
+
+    def build(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", "15 minutes").alias("w"), "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+                F.min("ts").alias("first_ts"),
+                F.max("ts").alias("last_ts"),
+            )
+        )
+
+    out = _staged_event_stream_run(
+        spark, sf_dir, build, sink_prefix="stream_session_flush"
+    )
+    return (
+        out.where(F.col("w.end") <= F.lit(cutoff))
+        .select(
+            "user_id",
+            F.date_format("first_ts", _FMT).alias("session_start"),
+            F.date_format("last_ts", _FMT).alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+STREAM_SESSION_FLUSH_ORACLE = f"""
+WITH flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     > INTERVAL '15 minutes'
+                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+), islands AS (
+    SELECT user_id, ts, value,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '{_DUCK_FMT}') AS session_start,
+       strftime(max(ts), '{_DUCK_FMT}') AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM islands
+GROUP BY user_id, session_id
+HAVING max(ts) + INTERVAL '15 minutes'
+       <= (SELECT max(ts) FROM events) - INTERVAL '2 hours'
+ORDER BY user_id, session_start
+"""
+
+
+def stream_ohlc_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC bars with append-mode watermark eviction, driven
+    end-to-end (VERDICT r9 #2): min_by/max_by bar state closes when the
+    watermark passes each hour boundary.  Same determinism bound as
+    ``stream_session_flush``: bars ending ≥ 2 h before max(ts) are
+    strictly below the final watermark, so both engines agree on the
+    emitted set; the oracle is the batch ``ev_ohlc_bars`` restatement
+    with the matching bucket bound."""
+    from ..streaming.events import ohlc_bars_stream
+
+    cutoff = _events_watermark_cutoff(spark, sf_dir, 2)
+    out = _staged_event_stream_run(
+        spark,
+        sf_dir,
+        lambda s: ohlc_bars_stream(s, "1 hour"),
+        sink_prefix="stream_ohlc_flush",
+    )
+    return (
+        out.where(
+            F.to_timestamp("window_start", _FMT) + F.expr("INTERVAL 1 HOUR")
+            <= F.lit(cutoff)
+        )
+        .select(
+            "window_start", "event_type", "open", "high", "low", "close", "n"
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+STREAM_OHLC_FLUSH_ORACLE = f"""
+SELECT strftime(date_trunc('hour', ts), '{_DUCK_FMT}') AS window_start,
+       event_type,
+       round(arg_min(value, epoch_ms(ts)::HUGEINT * 4294967296 + event_id), 2)
+           AS open,
+       round(max(value), 2) AS high,
+       round(min(value), 2) AS low,
+       round(arg_max(value, epoch_ms(ts)::HUGEINT * 4294967296 + event_id), 2)
+           AS close,
+       count(*) AS n
+FROM events
+WHERE date_trunc('hour', ts) + INTERVAL '1 hour'
+      <= (SELECT max(ts) FROM events) - INTERVAL '2 hours'
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
 def ev_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window: 1 hour wide, every 30 minutes (each event lands in 2)."""
     events = load_table(spark, sf_dir, "events")
@@ -596,6 +849,9 @@ ORDER BY user_id, event_id
 QUERIES = {
     "window_udaf_ewma": window_udaf_ewma,
     "stream_tumbling_counts": stream_tumbling_counts,
+    "stream_dedup_replayed": stream_dedup_replayed,
+    "stream_session_flush": stream_session_flush,
+    "stream_ohlc_flush": stream_ohlc_flush,
     "ev_tumbling": ev_tumbling,
     "ev_time_weighted_avg": ev_time_weighted_avg,
     "ev_ohlc_bars": ev_ohlc_bars,
@@ -610,6 +866,9 @@ QUERIES = {
 ORACLES = {
     "window_udaf_ewma": WINDOW_UDAF_EWMA_ORACLE,
     "stream_tumbling_counts": STREAM_TUMBLING_ORACLE,
+    "stream_dedup_replayed": STREAM_DEDUP_REPLAYED_ORACLE,
+    "stream_session_flush": STREAM_SESSION_FLUSH_ORACLE,
+    "stream_ohlc_flush": STREAM_OHLC_FLUSH_ORACLE,
     "ev_tumbling": EV_TUMBLING_ORACLE,
     "ev_time_weighted_avg": EV_TWA_ORACLE,
     "ev_ohlc_bars": EV_OHLC_ORACLE,

@@ -33,91 +33,84 @@ _MODULE_NAMES = [
 # tests/test_registry.py): exactly 50 names, every plan module (all 16)
 # represented, every name resolves, every name oracle-backed.
 #
-# Round-9 window (fifth rotation, VERDICT r8 next #1/#2): the 2
-# r8-new curation queries (the only 2 of 183 with no driver row
-# anywhere in CORRECTNESS_r01-r08) plus the 5 hot paths rewritten/tuned
-# in r7-r8 whose last driver rows predate the current kernels
-# (dedup_simhash r6; dedup_substring_cut, dedup_paragraphs,
-# corpus_pipeline_summary, graph_pagerank r5) are swapped in for 7
-# r8-green slots.  Green => cumulative driver evidence 183/183 with
-# current-kernel hashes on every rewritten hot path.  Swapped out (all
-# hash-green in CORRECTNESS_r08, kernels untouched since): emb_kmeans,
-# emb_pca_project (vectors keeps 5 reps), sketch_hll_distinct,
-# sketch_cms_brand_counts (stats keeps 3 reps), bpe_train_merges (bpe
-# keeps bpe_encode_tokens), doc_pack_ffd (packing keeps
-# dataset_interleave_epochs + gains corpus_pipeline_summary),
-# geo_point_in_polygon (geo keeps geo_dissolve_area_m2 +
-# geo_range_overlap, which stays in-window because its bbox prefilter
-# was rewritten this round).
+# Round-10 window (sixth rotation, VERDICT r9 next #2/#4/#5): freshness
+# sweep.  After r9 the backlog of stalest driver rows was r3 (5 queries)
+# + r4 (37) + r5 (38); this window takes the 3 NEW stateful streaming
+# lanes (stream_dedup_replayed / stream_session_flush /
+# stream_ohlc_flush — first driver rows), geo_range_overlap_bands (new:
+# quantity-banded range units give 9 bbox-DISJOINT pairs, so the
+# short-circuit finally executes under a driver hash, VERDICT #4 — the
+# mod-grid cells of geo_range_overlap cover the full lattice at every
+# scale and can never produce one), the flagship
+# sentinel, 11 per-module stalest fillers (the coverage invariant), and
+# all 5 r3-era + 29 of the 37 r4-era rows.  The 8 r4 rows that did not
+# fit (setop_except_all, setop_intersect_all, window_lag_delta,
+# window_running_total, sort_nulls_ordering, agg_having,
+# join_left_counts, agg_distinct — the simplest kernels, each the
+# _all/basic twin of an in-window shape) and the r5 remainder stay
+# continuously proven by
+# tests/test_oracle_parity.py and rotate in next round.  Swapped out:
+# the r9 window's 49 hash-green rows (kernels untouched).
 _PRIORITY = [
-    # sentinels / module reps (driver-green r5-r8; regression canaries)
+    # flagship sentinel (driver-green r5-r9; also the entry() smoke)
     "flagship_threshold_rollup",
-    "q1_pricing_summary",
-    "join_anti_idempotent",
-    "dedup_minhash_lsh",
-    "cosine_topk",
-    "q4_order_priority",
-    "retrieval_rrf_fusion",
-    "bpe_encode_tokens",
-    "dataset_interleave_epochs",
-    "multimodal_decode_stats",
-    "emb_pq_topk",
-    "emb_label_centroids",
-    "multimodal_ahash_dups",
-    "text_compression_ratio",
-    "sketch_quantile_bottomk",
-    "geo_dissolve_area_m2",
-    # --- first driver rows below this line (the 2 curation queries) ---
-    "curation_token_budget",
-    "curation_domain_cap",
-    # --- rewritten-since-last-driver-row hot paths (VERDICT r8 #2) ---
-    "dedup_simhash",
-    "dedup_substring_cut",
-    "dedup_paragraphs",
-    "corpus_pipeline_summary",
-    "graph_pagerank",
-    # vectors (r8-green; LSH banding retuned r8 so keep hashing it)
-    "emb_near_dup_lsh",
-    # geo overlay (bbox prefilter rewritten r9 — hash the current form)
-    "geo_range_overlap",
-    # --- r7-green rows retained for module coverage / regression ---
-    # advanced
-    "corr_measures",
-    "json_udtf_dynamic",
-    "error_routing",
-    "window_udaf_ewma",
-    # stats
-    "agg_string_concat",
-    "agg_count_if_bool",
-    # mining
-    "sample_hash_bucket",
-    "hier_rollup_sql",
-    # quality
-    "sample_balanced_classes",
-    "profile_orders",
-    "dq_outliers_iqr",
-    "text_pii_scrub",
-    # scalar
-    "null_cond_funcs",
-    # streaming (r9: first streaming lane with a REAL DuckDB oracle —
-    # availableNow drain to a memory sink; swapped in for map_funcs,
-    # an untouched scalar shape with r6+r7 green rows)
-    "stream_tumbling_counts",
-    # text / dedup
-    "dedup_repeated_ngrams",
-    "text_quality_classifier",
-    "text_repetition",
-    "text_perplexity",
-    "text_chunk_udtf",
-    "text_bigram_lm",
-    # vectors
-    "emb_quantize_topk",
-    "emb_near_dup",
-    # events
-    "ev_pattern_consecutive",
-    "ev_time_weighted_avg",
-    # graph
-    "dedup_clusters_star",
+    # --- first driver rows: stateful streaming lanes (VERDICT r9 #2) ---
+    "stream_dedup_replayed",
+    "stream_session_flush",
+    "stream_ohlc_flush",
+    # geo overlay: disjoint-box branch under driver hash for the first
+    # time (VERDICT r9 #4)
+    "geo_range_overlap_bands",
+    # --- per-module stalest fillers (coverage invariant) ---
+    "agg_entropy_gini",       # stats, r5
+    "scd2_customer_history",  # mining, r5
+    "dedup_keep_best",        # quality, r5
+    "filename_parse",         # scalar, r5
+    "dedup_exact",            # text, r5
+    "bpe_train_merges",       # bpe, r8
+    "dataset_mixture",        # packing, r5
+    "retrieval_rrf_fusion",   # retrieval (module's only query), r9
+    "ann_ivf_topk",           # vectors, r5
+    "subtitle_cue_stats",     # media, r5
+    "dedup_clusters",         # graph, r6
+    # --- r3-era rows (stalest in the registry) ---
+    "array_map_funcs",
+    "q10_returned_revenue",
+    "q6_revenue_delta",
+    "subq_above_nation_avg",
+    "subq_exists_late_lines",
+    # --- r4-era rows: relational ---
+    "agg_rollup",
+    "join_full_outer",
+    "join_semi",
+    "q3_shipping_priority",
+    "q5_region_volume",
+    "setop_except",
+    "setop_intersect",
+    "sort_limit_topk",
+    "window_rank_dense",
+    # --- r4-era rows: tpch_extra ---
+    "q8_market_share",
+    "q11_important_balance",
+    "q12_late_priority_lines",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_relationship",
+    "q17_small_quantity_revenue",
+    "q20_excess_shipments",
+    "q22_dormant_customers",
+    # --- r4-era rows: advanced ---
+    "agg_approx_distinct",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "agg_salted_twophase",
+    "join_range_bands",
+    "join_skew_salted",
+    "window_anomaly_zscore",
+    "window_ntile_buckets",
+    "window_rolling_median",
+    "window_trailing_range",
+    "window_value_frames",
 ]
 
 # Queries whose oracles are pure VALUES restatements of expected OUTPUT

@@ -485,3 +485,30 @@ def test_range_overlap_disjoint_branch_distinct_counts(spark):
     assert (yz.n_inter, yz.n_union, yz.jaccard) == (0, 4, 0.0)
     xz = out[("X", "Z")]
     assert (xz.n_inter, xz.n_union) == (1, 3)
+
+def test_range_overlap_bands_drives_disjoint_branch_on_fixture(spark):
+    """VERDICT r9 next #4: the driver-facing banded query must itself
+    contain bbox-disjoint pairs (n_inter=0) — every cross-band pair —
+    alongside rasterized within-band pairs, so the short-circuit is
+    exercised end-to-end on the real fixture, not only synthetic cells."""
+    from species_range_data_pipeline_spark.plans.geo import (
+        geo_range_overlap_bands,
+    )
+
+    rows = {
+        (r.species_a, r.species_b): r
+        for r in geo_range_overlap_bands(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert len(rows) == 15  # C(6,2) band-unit pairs, full universe
+    cross = {
+        k: v for k, v in rows.items()
+        if k[0].rsplit("_", 1)[1] != k[1].rsplit("_", 1)[1]
+    }
+    assert len(cross) == 9
+    for r in cross.values():  # disjoint short-circuit rows
+        assert (r.n_inter, r.jaccard) == (0, 0.0)
+    within = [v for k, v in rows.items() if k not in cross]
+    assert len(within) == 6
+    assert any(r.n_inter > 0 for r in within)  # rasterized branch ran

@@ -689,3 +689,36 @@ def test_stream_tumbling_counts_matches_batch_twin(spark):
         for r in ev_tumbling(spark, SF_SMOKE).collect()
     ]
     assert got and got == want
+
+
+def test_staged_stream_replay_actually_delivers_duplicates(spark):
+    """Guard for stream_dedup_replayed (r10): the at-least-once replay
+    microbatch must really re-deliver every 10th event — run the staged
+    replay WITHOUT dedup and count the surplus.  If staging ever dropped
+    the replay file, the dedup lane would still match its oracle while
+    suppressing nothing."""
+    from species_range_data_pipeline_spark.plans.events import (
+        _staged_event_stream_run,
+    )
+
+    out = _staged_event_stream_run(
+        spark, SF_SMOKE, lambda s: s, sink_prefix="replay_guard",
+        replay_every=10,
+    )
+    total = out.count()
+    distinct = out.select("event_id").distinct().count()
+    assert distinct == 1000
+    assert total == 1000 + 100  # fixture + one replayed copy of each 10th
+
+
+def test_stream_dedup_replayed_suppresses_every_replay(spark):
+    """The driver lane end-to-end at smoke scale: bounded-state dedup
+    returns exactly the original events — each replayed record is either
+    still keyed in state or below the watermark (late), never re-emitted."""
+    from species_range_data_pipeline_spark.plans.events import (
+        stream_dedup_replayed,
+    )
+
+    out = stream_dedup_replayed(spark, SF_SMOKE)
+    ids = [r.event_id for r in out.select("event_id").collect()]
+    assert len(ids) == 1000 and len(set(ids)) == 1000
