@@ -423,3 +423,29 @@ def test_curation_histogram_twin_never_sorts_facts(spark):
     assert plan.count("BroadcastHashJoin Inner") == 2, plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_ensure_parallel_no_rdd_conversion(spark, monkeypatch):
+    """VERDICT r9 next #7: the parallelism guard must size itself from
+    file stats, never from ``df.rdd.getNumPartitions()`` (a full
+    plan->RDD conversion per query construction).  Poison the ``.rdd``
+    property and construct the three guarded queries."""
+    from pyspark.sql import DataFrame
+
+    from species_range_data_pipeline_spark.plans.text import (
+        _estimated_scan_splits,
+    )
+    from species_range_data_pipeline_spark.catalog import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    est = _estimated_scan_splits(docs)
+    assert est is not None and est >= 1  # file-backed: estimable
+    mem = spark.range(4).selectExpr("id AS doc_id", "'x y z' AS text")
+    assert _estimated_scan_splits(mem) is None  # in-memory: left alone
+
+    def _boom(self):
+        raise AssertionError("plan->RDD conversion in construction path")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(_boom))
+    for name in ("dedup_minhash_lsh", "dedup_substring_cut", "dedup_simhash"):
+        QUERIES[name](spark, SF_CORRECT)
