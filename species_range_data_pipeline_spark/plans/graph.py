@@ -362,11 +362,23 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_custkey") * 2).alias("cnode"),
         (F.col("l_suppkey") * 2 + 1).alias("snode"),
     )
+    # symmetrize with explode, NOT a self-union: a union's two branches
+    # are separate subtrees, so the union form SCANNED AND JOINED
+    # lineitem⋈orders twice per edge-cache build (visible as two
+    # BroadcastHashJoins in the r9 plan; measured ~0.4s of the build at
+    # sf0.1).  explode emits both directions from one pass.
     sym = pairs.select(
-        F.col("cnode").alias("src"), F.col("snode").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("cnode").alias("src"), F.col("snode").alias("dst")
+                ),
+                F.struct(
+                    F.col("snode").alias("src"), F.col("cnode").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     edges = (
         sym.repartition(_edge_cache_partitions(spark, sf_dir), "dst")
         .dropDuplicates(["src", "dst"])
@@ -380,7 +392,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast job, once for the main plan (measured ~0.5s at sf0.1).
     # n itself is one scalar; a driver-side count over the checkpointed
     # 16k-row table is the cheap, legitimate form.
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+    #
+    # Degree is counted by DST, not src: the symmetric edge set has
+    # deg(x) = |{(x,·)}| = |{(·,x)}| and the cache is HashPartitioning
+    # (dst), so the dst-side count aggregates IN PLACE — the src-side
+    # form paid a full exchange of the partial counts every build (r10).
+    deg = (
+        edges.groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .withColumnRenamed("dst", "src")
+        .localCheckpoint()
+    )
     n = float(deg.count())
     node_state = deg.select("src", "deg", F.lit(n).alias("n"))
     # no checkpoint on the seed ranks: it is a narrow select over the
