@@ -1,0 +1,224 @@
+"""Live-socket streaming source (sources/tcp_lines.py): an in-process TCP
+server feeds newline-delimited events; the source spools them and serves
+replayable byte-offset microbatches (VERDICT r9 next #8 — the last
+missing source family, with the manifest source's offset/replay
+contract rather than the built-in socket source's none)."""
+
+from __future__ import annotations
+
+import socketserver
+import threading
+import time
+
+
+class _FeedServer:
+    """TCP server that sends each connected client the queued lines."""
+
+    def __init__(self):
+        self._queues: list[list[bytes]] = []
+        self._lock = threading.Lock()
+        outer = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                q: list[bytes] = []
+                with outer._lock:
+                    outer._queues.append(q)
+                try:
+                    while True:
+                        with outer._lock:
+                            batch, q[:] = list(q), []
+                        for item in batch:
+                            if item is None:
+                                return
+                            self.request.sendall(item)
+                        time.sleep(0.02)
+                except OSError:
+                    pass
+
+        self._srv = socketserver.ThreadingTCPServer(
+            ("127.0.0.1", 0), Handler, bind_and_activate=True
+        )
+        self._srv.daemon_threads = True
+        threading.Thread(target=self._srv.serve_forever, daemon=True).start()
+
+    @property
+    def port(self) -> int:
+        return self._srv.server_address[1]
+
+    def send(self, lines: list[str]) -> None:
+        data = ("".join(f"{ln}\n" for ln in lines)).encode()
+        with self._lock:
+            for q in self._queues:
+                q.append(data)
+
+    def close(self) -> None:
+        with self._lock:
+            for q in self._queues:
+                q.append(None)
+        self._srv.shutdown()
+        self._srv.server_close()
+
+
+def _await(predicate, timeout=90.0, step=0.1):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if predicate():
+            return True
+        time.sleep(step)
+    return False
+
+
+def test_tcp_lines_end_to_end_counts(spark, tmp_path):
+    """Live feed -> tcp_lines source -> parsed aggregation -> memory sink:
+    every line sent arrives exactly once across multiple microbatches."""
+    from species_range_data_pipeline_spark.sources.tcp_lines import (
+        register_tcp_lines_source,
+    )
+
+    register_tcp_lines_source(spark)
+    srv = _FeedServer()
+    try:
+        stream = (
+            spark.readStream.format("tcp_lines")
+            .option("host", "127.0.0.1")
+            .option("port", srv.port)
+            .option("spool", str(tmp_path / "spool"))
+            .load()
+        )
+        from pyspark.sql import functions as F
+
+        parsed = stream.select(
+            F.split("value", ",").getItem(0).alias("k"),
+            F.split("value", ",").getItem(1).cast("long").alias("v"),
+        )
+        agg = parsed.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("tcp_counts")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        # wait for the receiver to connect before feeding
+        assert _await(lambda: len(srv._queues) > 0)
+        for wave in range(4):
+            srv.send([f"k{i % 3},{wave * 10 + i}" for i in range(10)])
+        def _total():
+            try:  # the sink table appears only after the first commit
+                return spark.sql("SELECT sum(n) FROM tcp_counts").first()[0]
+            except Exception:
+                return None
+
+        done = _await(lambda: _total() == 40)
+        got = {
+            r.k: (r.n, r.s)
+            for r in spark.table("tcp_counts").collect()
+        }
+        q.stop()
+        assert done, f"sink never reached 40 rows: {got}"
+        # exact per-key counts and sums (k0: i=0,3,6,9 per wave, ...)
+        want_n = {"k0": 16, "k1": 12, "k2": 12}
+        assert {k: n for k, (n, _) in got.items()} == want_n
+        expect_s = {}
+        for wave in range(4):
+            for i in range(10):
+                k = f"k{i % 3}"
+                expect_s[k] = expect_s.get(k, 0) + wave * 10 + i
+        assert {k: s for k, (_, s) in got.items()} == expect_s
+    finally:
+        srv.close()
+
+
+def test_tcp_lines_crash_replay_no_loss_no_dup(spark, tmp_path):
+    """The offset/replay contract: stop the query mid-stream (crash), keep
+    feeding the spool's port offline, restart from the same checkpoint —
+    the resumed query replays/continues with NO loss and NO duplicates
+    into an append sink."""
+    from pyspark.sql import functions as F
+
+    from species_range_data_pipeline_spark.sources.tcp_lines import (
+        register_tcp_lines_source,
+    )
+
+    register_tcp_lines_source(spark)
+    spool = str(tmp_path / "spool")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def start_query(port):
+        stream = (
+            spark.readStream.format("tcp_lines")
+            .option("host", "127.0.0.1")
+            .option("port", port)
+            .option("spool", spool)
+            .load()
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    def _sink_count() -> int:
+        try:  # dir appears (metadata first) only once a batch commits
+            return spark.read.parquet(out_dir).count()
+        except Exception:
+            return 0
+
+    srv = _FeedServer()
+    try:
+        q = start_query(srv.port)
+        assert _await(lambda: len(srv._queues) > 0)
+        srv.send([f"a,{i}" for i in range(50)])
+        # wait until at least one batch committed, then "crash"
+        assert _await(lambda: _sink_count() >= 1)
+        q.stop()
+        # second half arrives while the query is down: the server is
+        # gone too (connection drops with the receiver) — restart both
+        srv.close()
+        srv2 = _FeedServer()
+        q2 = start_query(srv2.port)
+        assert _await(lambda: len(srv2._queues) > 0)
+        srv2.send([f"b,{i}" for i in range(50)])
+        assert _await(
+            lambda: _sink_count() == 100,
+        ), f"got {_sink_count()} rows"
+        q2.stop()
+        vals = sorted(r.value for r in spark.read.parquet(out_dir).collect())
+        assert vals == sorted(
+            [f"a,{i}" for i in range(50)] + [f"b,{i}" for i in range(50)]
+        )
+        srv2.close()
+    finally:
+        try:
+            srv.close()
+        except Exception:
+            pass
+
+
+def test_tcp_lines_split_alignment_unit(tmp_path):
+    """Byte-range splits follow the Hadoop text convention: every line
+    lands in exactly one split, for ANY interior bound placement."""
+    from species_range_data_pipeline_spark.sources.tcp_lines import (
+        TcpLinesStreamReader,
+        _SpoolRange,
+    )
+
+    spool = tmp_path / "s.txt"
+    lines = [f"line-{i:03d}" for i in range(40)]
+    spool.write_bytes(("".join(f"x{ln}\n" for ln in lines)).encode())
+    size = spool.stat().st_size
+    reader = TcpLinesStreamReader.__new__(TcpLinesStreamReader)  # no socket
+    for cut in range(1, size):
+        parts = [
+            _SpoolRange(str(spool), 0, cut),
+            _SpoolRange(str(spool), cut, size),
+        ]
+        got = [v for p in parts for (v,) in reader.read(p)]
+        assert got == [f"x{ln}" for ln in lines], f"cut={cut}"
