@@ -398,6 +398,48 @@ ORDER BY v.user_id, view_id, click_id
 """
 
 
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM stateful operator (``applyInPandasWithState``) driven
+    end-to-end under a driver hash — the last stateful family without
+    one (agg/dedup/join state got theirs earlier in r10; pytest already
+    batch-vs-stream-validates this lane, `tests/test_streaming.py`).
+
+    Update-mode emissions depend on microbatch boundaries (one running-
+    total row per user per batch the user appears in), which would make
+    a hash unstable — so the query extracts the BATCHING-INVARIANT
+    projection: per-user ``max_by`` over the monotone running counter,
+    i.e. each user's FINAL totals, which equal the batch groupBy no
+    matter how the stream was sliced.  The oracle states exactly that.
+    """
+    from ..streaming.events import stateful_user_totals
+
+    out = _staged_event_stream_run(
+        spark,
+        sf_dir,
+        stateful_user_totals,
+        output_mode="update",
+        sink_prefix="stream_stateful_totals",
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+STREAM_STATEFUL_TOTALS_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def stream_ohlc_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming OHLC bars with append-mode watermark eviction, driven
     end-to-end (VERDICT r9 #2): min_by/max_by bar state closes when the
@@ -903,6 +945,7 @@ QUERIES = {
     "stream_session_flush": stream_session_flush,
     "stream_ohlc_flush": stream_ohlc_flush,
     "stream_interval_join": stream_interval_join,
+    "stream_stateful_totals": stream_stateful_totals,
     "ev_tumbling": ev_tumbling,
     "ev_time_weighted_avg": ev_time_weighted_avg,
     "ev_ohlc_bars": ev_ohlc_bars,
@@ -921,6 +964,7 @@ ORACLES = {
     "stream_session_flush": STREAM_SESSION_FLUSH_ORACLE,
     "stream_ohlc_flush": STREAM_OHLC_FLUSH_ORACLE,
     "stream_interval_join": STREAM_INTERVAL_JOIN_ORACLE,
+    "stream_stateful_totals": STREAM_STATEFUL_TOTALS_ORACLE,
     "ev_tumbling": EV_TUMBLING_ORACLE,
     "ev_time_weighted_avg": EV_TWA_ORACLE,
     "ev_ohlc_bars": EV_OHLC_ORACLE,
