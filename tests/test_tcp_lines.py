@@ -222,3 +222,56 @@ def test_tcp_lines_split_alignment_unit(tmp_path):
         ]
         got = [v for p in parts for (v,) in reader.read(p)]
         assert got == [f"x{ln}" for ln in lines], f"cut={cut}"
+
+
+def test_tcp_lines_read_roundtrip_fuzz(tmp_path):
+    """Hypothesis: ANY spooled line content (arbitrary bytes minus the
+    newline delimiter, including invalid UTF-8 and trailing \\r) round-
+    trips through multi-split reads exactly, for arbitrary split bounds."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from species_range_data_pipeline_spark.sources.tcp_lines import (
+        TcpLinesStreamReader,
+        _SpoolRange,
+    )
+
+    reader = TcpLinesStreamReader.__new__(TcpLinesStreamReader)
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        lines=st.lists(
+            st.binary(max_size=40).map(lambda b: b.replace(b"\n", b"x")),
+            min_size=1,
+            max_size=20,
+        ),
+        data=st.data(),
+    )
+    def _run(lines, data):
+        spool = tmp_path / f"fuzz-{abs(hash(tuple(lines))) % 10**9}.txt"
+        spool.write_bytes(b"".join(ln + b"\n" for ln in lines))
+        size = spool.stat().st_size
+        n_cuts = data.draw(st.integers(min_value=0, max_value=3))
+        cuts = sorted(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=1, max_value=max(size - 1, 1)),
+                    min_size=n_cuts,
+                    max_size=n_cuts,
+                )
+            )
+        )
+        bounds = [0] + cuts + [size]
+        got = [
+            v
+            for a, b in zip(bounds, bounds[1:])
+            if b > a
+            for (v,) in reader.read(_SpoolRange(str(spool), a, b))
+        ]
+        want = [
+            ln.rstrip(b"\r").decode("utf-8", "replace") for ln in lines
+        ]
+        assert got == want
+        spool.unlink()
+
+    _run()
