@@ -305,6 +305,8 @@ def main() -> None:
             sum(v for k, v in timings.items() if k in r4_set), 3
         ),
         "queries": timings,
+        "queries_min": mins,
+        "queries_cold": cold,
         **streaming,
         "sf": sf,
     }
