@@ -398,6 +398,82 @@ ORDER BY v.user_id, view_id, click_id
 """
 
 
+def stream_manifest_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TABLE-FORMAT streaming source driven end-to-end under a
+    driver hash: the events fixture is committed as FOUR versions of a
+    manifest table (``sources/manifest_table.py``) and tailed with the
+    version-offset streaming source (``sources/manifest_stream.py`` —
+    the Delta-streaming shape: one microbatch per committed version,
+    input partitions = exactly the files each commit added, never a
+    table rescan).  A complete-mode tumbling aggregate accumulates
+    across the four version-batches and the drained memory sink is
+    oracled like any batch query — covering the source family the other
+    stream_* lanes (file source) do not.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.manifest_stream import register_manifest_stream_source
+    from ..sources.manifest_table import write_manifest_table
+
+    register_manifest_stream_source(spark)
+    sink = f"stream_manifest_tail_{next(_STREAM_SINK_SEQ)}"
+    tmp = tempfile.mkdtemp(prefix="stream_manifest_tail_")
+    try:
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "value"
+        )
+        tbl = os.path.join(tmp, "tbl")
+        for i in range(4):  # 4 commits -> 4 version-offset microbatches
+            write_manifest_table(
+                events.where(F.col("event_id") % 4 == i), tbl
+            )
+        stream = (
+            spark.readStream.format("manifest_stream")
+            .option("path", tbl)
+            .load()
+        )
+        agg = stream.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.table(sink)
+            .select(
+                F.date_format("w.start", _FMT).alias("window_start"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(sink)
+        except Exception:
+            pass
+    return out.orderBy("window_start", "event_type")
+
+
+# identical aggregate contract to stream_tumbling_counts — this lane
+# differs in the SOURCE under test (manifest version tailing vs file
+# source), not the aggregation
+STREAM_MANIFEST_TAIL_ORACLE = STREAM_TUMBLING_ORACLE
+
+
 def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CUSTOM stateful operator (``applyInPandasWithState``) driven
     end-to-end under a driver hash — the last stateful family without
@@ -946,6 +1022,7 @@ QUERIES = {
     "stream_ohlc_flush": stream_ohlc_flush,
     "stream_interval_join": stream_interval_join,
     "stream_stateful_totals": stream_stateful_totals,
+    "stream_manifest_tail": stream_manifest_tail,
     "ev_tumbling": ev_tumbling,
     "ev_time_weighted_avg": ev_time_weighted_avg,
     "ev_ohlc_bars": ev_ohlc_bars,
@@ -965,6 +1042,7 @@ ORACLES = {
     "stream_ohlc_flush": STREAM_OHLC_FLUSH_ORACLE,
     "stream_interval_join": STREAM_INTERVAL_JOIN_ORACLE,
     "stream_stateful_totals": STREAM_STATEFUL_TOTALS_ORACLE,
+    "stream_manifest_tail": STREAM_MANIFEST_TAIL_ORACLE,
     "ev_tumbling": EV_TUMBLING_ORACLE,
     "ev_time_weighted_avg": EV_TWA_ORACLE,
     "ev_ohlc_bars": EV_OHLC_ORACLE,

@@ -35,22 +35,23 @@ _MODULE_NAMES = [
 #
 # Round-10 window (sixth rotation, VERDICT r9 next #2/#4/#5): freshness
 # sweep.  After r9 the backlog of stalest driver rows was r3 (5 queries)
-# + r4 (37) + r5 (38); this window takes the 5 NEW stateful streaming
-# lanes (stream_dedup_replayed / stream_session_flush /
-# stream_ohlc_flush / stream_interval_join / stream_stateful_totals —
-# first driver rows covering agg, dedup, join, AND custom
-# applyInPandasWithState state), geo_range_overlap_bands (new:
+# + r4 (37) + r5 (38); this window takes the 6 NEW streaming lanes
+# (stream_dedup_replayed / stream_session_flush / stream_ohlc_flush /
+# stream_interval_join / stream_stateful_totals / stream_manifest_tail —
+# first driver rows covering agg, dedup, join, custom
+# applyInPandasWithState state, AND the table-format version-offset
+# source), geo_range_overlap_bands (new:
 # quantity-banded range units give 9 bbox-DISJOINT pairs, so the
 # short-circuit finally executes under a driver hash, VERDICT #4 — the
 # mod-grid cells of geo_range_overlap cover the full lattice at every
 # scale and can never produce one), the flagship
 # sentinel, 11 per-module stalest fillers (the coverage invariant), and
-# all 5 r3-era + 27 of the 37 r4-era rows.  The 10 r4 rows that did not
+# all 5 r3-era + 26 of the 37 r4-era rows.  The 11 r4 rows that did not
 # fit (setop_except_all, setop_intersect_all, window_lag_delta,
 # window_running_total, sort_nulls_ordering, agg_having,
 # join_left_counts, agg_distinct, window_value_frames,
-# window_trailing_range — the simplest kernels, each the _all/basic
-# twin of an in-window shape) and the r5
+# window_trailing_range, window_rolling_median — the simplest kernels,
+# each the _all/basic twin of an in-window shape) and the r5
 # remainder stay continuously proven by
 # tests/test_oracle_parity.py and rotate in next round.  Swapped out:
 # the r9 window's 49 hash-green rows (kernels untouched).
@@ -63,6 +64,7 @@ _PRIORITY = [
     "stream_ohlc_flush",
     "stream_interval_join",
     "stream_stateful_totals",
+    "stream_manifest_tail",
     # geo overlay: disjoint-box branch under driver hash for the first
     # time (VERDICT r9 #4)
     "geo_range_overlap_bands",
@@ -113,7 +115,6 @@ _PRIORITY = [
     "join_skew_salted",
     "window_anomaly_zscore",
     "window_ntile_buckets",
-    "window_rolling_median",
 ]
 
 # Queries whose oracles are pure VALUES restatements of expected OUTPUT
