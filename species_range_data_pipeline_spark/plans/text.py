@@ -1747,7 +1747,68 @@ ORDER BY doc_id
 """
 
 
+def warc_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WARC web-ingestion lane driven end-to-end under a driver hash
+    (the one LLM-pipeline family with no driver row through r9): the
+    documents fixture is written as Common Crawl-framed ``.warc.gz``
+    shards by the DISTRIBUTED writer (``sources/warc.py::
+    write_warc_corpus`` — per-record gzip members, xxhash shard routing,
+    atomic publish), read back through the engine's WARC scan
+    (binaryFile + mapInPandas, one task per shard), and reduced to
+    byte-exact per-document evidence (payload byte length + md5).  The
+    oracle restates both over the original table, so any framing,
+    compression-member, HTTP-split, or encoding defect anywhere in the
+    encode->decode loop breaks the hash.
+    """
+    import re
+    import shutil
+    import tempfile
+
+    from ..sources.warc import read_warc, write_warc_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://corpus.example/doc/"), F.col("doc_id")).alias(
+            "url"
+        ),
+        F.encode("text", "UTF-8").alias("body"),
+    )
+    tmp = tempfile.mkdtemp(prefix="warc_roundtrip_")
+    try:
+        # the manifest is the write action: one row per shard (bounded)
+        shards = write_warc_corpus(docs, tmp).count()
+        assert shards >= 1
+        out = (
+            read_warc(spark, tmp)
+            .where(
+                F.col("error").isNull()
+                & (F.col("warc_type") == "response")
+                & (F.col("http_status") == 200)
+            )
+            .select(
+                F.regexp_extract("url", r"/doc/(\d+)$", 1)
+                .cast("long")
+                .alias("doc_id"),
+                F.length("payload").cast("long").alias("n_bytes"),
+                F.md5("payload").alias("payload_md5"),
+            )
+            .localCheckpoint(eager=True)  # materialize BEFORE rmtree
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.orderBy("doc_id")
+
+
+WARC_INGEST_ORACLE = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "warc_ingest_roundtrip": warc_ingest_roundtrip,
     "text_pii_redact": text_pii_redact,
     "dedup_paragraphs": dedup_paragraphs,
     "text_decontaminate": text_decontaminate,
@@ -1774,6 +1835,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "warc_ingest_roundtrip": WARC_INGEST_ORACLE,
     "text_pii_redact": TEXT_PII_REDACT_ORACLE,
     "dedup_paragraphs": DEDUP_PARAGRAPHS_ORACLE,
     "text_decontaminate": TEXT_DECONTAMINATE_ORACLE,

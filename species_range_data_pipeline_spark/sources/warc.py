@@ -303,3 +303,89 @@ def warc_responses_to_documents(warc: DataFrame) -> DataFrame:
             ).alias("text"),
         )
     )
+
+
+# -- WARC writer (the source's encode twin, r10) ---------------------------
+
+def encode_warc_response(
+    url: str,
+    body: bytes,
+    ctype: str = "text/plain; charset=utf-8",
+    date: str = "2024-01-01T00:00:00Z",
+) -> bytes:
+    """One ISO-28500 ``response`` record wrapping an HTTP/1.1 200 message
+    — the encode twin every binary lane carries so the reader can be
+    round-trip-verified without external fixtures."""
+    http = (
+        f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+    head = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\n"
+        "Content-Type: application/http;msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    )
+    return head.encode() + http + b"\r\n\r\n"
+
+
+def write_warc_corpus(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    body_col: str = "body",
+    n_shards: int = 4,
+) -> DataFrame:
+    """Write ``df`` (url string, body binary) as ``out_dir/shard-NNNNN
+    .warc.gz`` in Common Crawl framing (one gzip member per record) and
+    return the shard manifest (path, n_records, n_bytes).
+
+    Same determinism/atomicity discipline as ``write_webdataset``:
+    shard routing is ``xxhash64(url) % n_shards`` with records url-sorted
+    within a shard, gzip members use ``mtime=0`` so a re-render is
+    byte-identical, and shards are staged under a task-unique name and
+    published by atomic rename — a task retry or speculative duplicate
+    republishes identical bytes, never a partial file.
+    """
+    import gzip
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    shard = F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_shards))
+    routed = (
+        df.select(F.col(url_col).alias("url"), F.col(body_col).alias("body"))
+        .withColumn("__shard", shard)
+        .repartition(n_shards, "__shard")
+        .sortWithinPartitions("__shard", "url")
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        by_shard: dict[int, list[bytes]] = {}
+        for pdf in batches:
+            for url, body, sh in zip(pdf["url"], pdf["body"], pdf["__shard"]):
+                by_shard.setdefault(int(sh), []).append(
+                    gzip.compress(
+                        encode_warc_response(url, bytes(body)), mtime=0
+                    )
+                )
+        out = []
+        for sh, members in sorted(by_shard.items()):
+            blob = b"".join(members)
+            final = os.path.join(out_dir, f"shard-{sh:05d}.warc.gz")
+            tmp = final + f".__stage_{uuid.uuid4().hex}"
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, final)  # atomic publish
+            out.append(
+                {"path": final, "n_records": len(members),
+                 "n_bytes": len(blob)}
+            )
+        yield pd.DataFrame(out, columns=["path", "n_records", "n_bytes"])
+
+    return routed.mapInPandas(
+        fn, "path string, n_records long, n_bytes long"
+    )
