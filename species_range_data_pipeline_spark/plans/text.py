@@ -1807,7 +1807,61 @@ ORDER BY doc_id
 """
 
 
+def webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WebDataset shard lane driven end-to-end under a driver hash —
+    the tar-framed twin of ``warc_ingest_roundtrip``: documents are
+    written as key-routed ``shard-NNNNN.tar`` files by the distributed
+    writer (``sources/webdataset.py::write_webdataset`` — xxhash shard
+    routing, key-sorted members, atomic publish), read back through the
+    sample-pivot scan, and reduced to byte-exact per-document evidence.
+    Together the two lanes put BOTH training-corpus container formats
+    (WARC for raw crawl, WebDataset for packed samples) under driver
+    hashes.
+    """
+    import shutil
+    import tempfile
+
+    from ..sources.webdataset import read_webdataset_samples, write_webdataset
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("k"),
+        "text",
+        F.to_json(F.struct("doc_id", "lang")).alias("meta"),
+    )
+    tmp = tempfile.mkdtemp(prefix="wds_roundtrip_")
+    try:
+        write_webdataset(
+            docs, tmp, key_col="k", payload_cols={"text": "txt", "meta": "json"}
+        ).count()  # the manifest is the write action (one row per shard)
+        out = (
+            read_webdataset_samples(spark, tmp)
+            .select(
+                F.col("key").cast("long").alias("doc_id"),
+                F.length("txt").cast("long").alias("n_bytes"),
+                F.md5("txt").alias("text_md5"),
+                F.get_json_object(
+                    F.decode("json", "UTF-8"), "$.lang"
+                ).alias("lang"),
+            )
+            .localCheckpoint(eager=True)  # materialize BEFORE rmtree
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.orderBy("doc_id")
+
+
+WEBDATASET_ROUNDTRIP_ORACLE = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS text_md5,
+       lang
+FROM documents
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "webdataset_roundtrip": webdataset_roundtrip,
     "warc_ingest_roundtrip": warc_ingest_roundtrip,
     "text_pii_redact": text_pii_redact,
     "dedup_paragraphs": dedup_paragraphs,
@@ -1835,6 +1889,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "webdataset_roundtrip": WEBDATASET_ROUNDTRIP_ORACLE,
     "warc_ingest_roundtrip": WARC_INGEST_ORACLE,
     "text_pii_redact": TEXT_PII_REDACT_ORACLE,
     "dedup_paragraphs": DEDUP_PARAGRAPHS_ORACLE,
