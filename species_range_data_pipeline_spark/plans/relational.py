@@ -858,7 +858,177 @@ ORDER BY a_key, b_key
 """
 
 
+def scrape_pipeline_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FRONT DOOR (S1 list fetch -> S3 scrape -> F1
+    availability filter -> S4 zip fetch -> T1 expand -> T3 ASCII decode)
+    driven end-to-end against a REAL in-process HTTP server, under a
+    driver hash (r10: these stages previously had live-socket pytest
+    coverage only, `tests/test_live_http.py`).
+
+    The served content is derived from the NATION fixture so the oracle
+    is cross-engine: one species per nation row (name =
+    lower(replace(n_name,' ','-'))-nationkey), each page carrying one
+    available scenario (zip on the SECOND <li>, the reference's
+    hardcoded index) and one "Image not available" block the F1 filter
+    must drop BEFORE any fetch; each zip holds a 3x2 ASCII grid whose
+    live values are (k, k+1, k+2, k+3, k+5) for nationkey k — so the
+    final per-species (n_scenarios, n_available, n_cells, total) rollup
+    is value-sensitive to every stage: a framing, filter, unzip, or
+    decode defect anywhere breaks the hash against
+    ``5*k + 11``.
+
+    The 25-row nation dimension is materialized driver-side to build
+    the server fixture — bounded by construction (a fixed-size
+    dimension, the same class as the k-centroid collects).  Executors
+    fetch from 127.0.0.1, which is exact in local mode; this lane is a
+    local-fixture drive of the HTTP machinery, not a distributed-crawl
+    claim (that posture is the WARC lane's).
+    """
+    import io
+    import threading
+    import urllib.request
+    import zipfile
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from ..pipeline.raster import decode_ascii_members, expand_zip
+    from ..sources.scrape import scrape_scenarios
+    from ..sources.species_list import fetch_species_list
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_name", "n_nationkey"
+    )
+    keys = {
+        f"{r.n_name.lower().replace(' ', '-')}-{r.n_nationkey}": int(
+            r.n_nationkey
+        )
+        for r in nation.collect()
+    }
+    tsv = "".join(f"{sp}\t{sp}\t{sp}\tsrc\n" for sp in sorted(keys))
+
+    def _asc(k: int) -> str:
+        return (
+            "ncols 3\nnrows 2\nxllcorner 0.0\nyllcorner 0.0\n"
+            f"cellsize 1.0\nNODATA_value -9999\n{k} {k + 1} {k + 2}\n"
+            f"{k + 3} -9999 {k + 5}\n"
+        )
+
+    def _page(sp: str) -> str:
+        return (
+            '<html><body><div class="thumbnail-file-group"><h4>GFDL 4.5'
+            ' 2080</h4><div class="thumbnail-file-group-02"><ul>'
+            f'<li><a href="img/{sp}.png">preview</a></li>'
+            f'<li><a href="files/{sp}.zip">download</a></li>'
+            '</ul></div></div>'
+            '<div class="thumbnail-file-group"><h4>HadGEM 8.5 2080</h4>'
+            "<p>Image not available</p>"
+            '<div class="thumbnail-file-group-02"><ul>'
+            '<li><a href="img/none.png">p</a></li>'
+            '<li><a href="files/none.zip">d</a></li>'
+            "</ul></div></div></body></html>"
+        )
+
+    class _Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 (stdlib API name)
+            parts = self.path.strip("/").split("/")
+            if self.path == "/speciesList.txt":
+                body = tsv.encode()
+            elif parts[0] == "atlas" and len(parts) == 2 and parts[1] in keys:
+                body = _page(parts[1]).encode()
+            elif (
+                parts[0] == "files"
+                and parts[-1].endswith(".zip")
+                and parts[-1].removesuffix(".zip") in keys
+            ):
+                sp = parts[-1].removesuffix(".zip")
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w") as zf:
+                    zf.writestr(f"{sp}_pred_2080.txt", _asc(keys[sp]))
+                body = buf.getvalue()
+            else:
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    srv.daemon_threads = True
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    def get_text(url: str) -> str:
+        with urllib.request.urlopen(url, timeout=30) as r:
+            return r.read().decode()
+
+    try:
+        species = fetch_species_list(
+            spark, f"{base}/speciesList.txt", get_text
+        )
+        scenarios = scrape_scenarios(
+            species, get_text, url_template=f"{base}/atlas/{{species}}"
+        )
+        scen_agg = (
+            scenarios.where(F.col("error").isNull())
+            .groupBy("species")
+            .agg(
+                F.count(F.lit(1)).alias("n_scenarios"),
+                F.sum(F.col("available").cast("long")).alias("n_available"),
+            )
+        )
+        import pandas as pd
+
+        def fetch_fn(batches):
+            for pdf in batches:
+                out = []
+                for sp, rel in zip(pdf["species"], pdf["zip_url"]):
+                    with urllib.request.urlopen(
+                        f"{base}/{rel}", timeout=30
+                    ) as r:
+                        out.append({"path": f"{sp}.zip", "content": r.read()})
+                yield pd.DataFrame(out, columns=["path", "content"])
+
+        archives = (
+            scenarios.where(F.col("available"))
+            .select("species", "zip_url")
+            .mapInPandas(fetch_fn, "path string, content binary")
+        )
+        cells = decode_ascii_members(expand_zip(archives))
+        cell_agg = (
+            cells.where(F.col("error").isNull())
+            .groupBy(
+                F.regexp_extract("file", r"^(.*)_pred_2080\.txt$", 1).alias(
+                    "species"
+                )
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_cells"),
+                F.sum("value").alias("total"),
+            )
+        )
+        out = scen_agg.join(cell_agg, "species").localCheckpoint(eager=True)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    return out.orderBy("species")
+
+
+SCRAPE_PIPELINE_LIVE_ORACLE = """
+SELECT lower(replace(n_name, ' ', '-')) || '-' || n_nationkey AS species,
+       CAST(2 AS BIGINT) AS n_scenarios,
+       CAST(1 AS BIGINT) AS n_available,
+       CAST(5 AS BIGINT) AS n_cells,
+       CAST(5 * n_nationkey + 11 AS DOUBLE) AS total
+FROM nation
+ORDER BY species
+"""
+
+
 QUERIES = {
+    "scrape_pipeline_live": scrape_pipeline_live,
     "join_lateral_topk": join_lateral_topk,
     "join_interval_overlap": join_interval_overlap,
     "flagship_threshold_rollup": flagship_threshold_rollup,
@@ -886,6 +1056,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "scrape_pipeline_live": SCRAPE_PIPELINE_LIVE_ORACLE,
     "join_lateral_topk": JOIN_LATERAL_TOPK_SQL,
     "join_interval_overlap": JOIN_INTERVAL_OVERLAP_ORACLE,
     "flagship_threshold_rollup": FLAGSHIP_ORACLE,
