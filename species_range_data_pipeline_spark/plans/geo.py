@@ -823,7 +823,91 @@ ORDER BY species_a, species_b
 """
 
 
+def geo_shapefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GDAL-free shapefile lane (the reference's vector interchange
+    format, ``species_range_etl.py:127-131``) driven end-to-end under a
+    driver hash: dissolve the threshold-50 ranges to multipolygons,
+    write a REAL .shp/.shx/.dbf/.prj sidecar set, re-read it through the
+    engine's distributed shapefile scan, and recompute each species'
+    area from the ROUND-TRIPPED geometry.  On the unit-cell lattice the
+    dissolved area equals the distinct cell count exactly, so the oracle
+    is a plain relational restatement — any ring-order, winding,
+    containment-grouping, or dbf-attribute defect in encode OR decode
+    breaks the hash.
+
+    The 3-row dissolved dimension is materialized driver-side for the
+    writer (bounded by construction: one row per return flag).
+    """
+    import shutil
+    import tempfile
+
+    from ..functions.wkb import decode as wkb_decode
+    from ..operators.polygonize import dissolve
+    from ..sources.shapefile import read_shapefile, write_shapefile
+
+    cells = _cells_from_lineitem(spark, sf_dir).where(
+        F.col("threshold_s") == "50"
+    )
+    d = dissolve(cells, by=["species"], num_partitions=3).select(
+        "species", "geometry"
+    )
+    rows = d.collect()  # 3 return flags — fixed-size dimension
+    tmp = tempfile.mkdtemp(prefix="shp_roundtrip_")
+    try:
+        write_shapefile(
+            [
+                (wkb_decode(bytes(r.geometry))[1], {"species": r.species})
+                for r in sorted(rows, key=lambda r: r.species)
+            ],
+            f"{tmp}/ranges.shp",
+        )
+        back = read_shapefile(spark, tmp)
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def area_udf(wkb):
+            from ..functions.wkb import wkb_area
+
+            return wkb.map(
+                lambda b: wkb_area(bytes(b)) if b is not None else None
+            )
+
+        out = (
+            back.where(F.col("error").isNull())
+            .select(
+                F.col("attrs")["species"].alias("species"),
+                area_udf("geometry").alias("area"),
+            )
+            .groupBy("species")
+            .agg(
+                F.count(F.lit(1)).alias("n_records"),
+                F.round(F.sum("area"), 6).alias("area"),
+            )
+            .localCheckpoint(eager=True)  # materialize BEFORE rmtree
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.orderBy("species")
+
+
+GEO_SHAPEFILE_ROUNDTRIP_ORACLE = f"""
+SELECT species,
+       CAST(1 AS BIGINT) AS n_records,
+       round(CAST(count(*) AS DOUBLE), 6) AS area
+FROM (
+    SELECT DISTINCT l_returnflag AS species,
+           l_orderkey % {_GRID} AS row,
+           l_partkey % {_GRID} AS col
+    FROM lineitem
+    WHERE l_quantity / 50.0 >= 0.5
+)
+GROUP BY species
+ORDER BY species
+"""
+
+
 QUERIES = {
+    "geo_shapefile_roundtrip": geo_shapefile_roundtrip,
     "geo_raster_regrid": geo_raster_regrid,
     "geo_spatial_join_bin": geo_spatial_join_bin,
     "geo_haversine_nearest": geo_haversine_nearest,
@@ -837,6 +921,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "geo_shapefile_roundtrip": GEO_SHAPEFILE_ROUNDTRIP_ORACLE,
     "geo_raster_regrid": GEO_REGRID_ORACLE,
     "geo_spatial_join_bin": GEO_SPATIAL_JOIN_ORACLE,
     "geo_haversine_nearest": GEO_HAVERSINE_ORACLE,
