@@ -906,7 +906,148 @@ ORDER BY species
 """
 
 
+def geo_container_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining two geo container formats driven end-to-end under
+    one driver hash — the vector .gpkg (sqlite) and the raster tiled-LZW
+    GeoTIFF — completing the r10 roundtrip set (WARC, WebDataset,
+    shapefile landed earlier this round):
+
+    - gpkg half: the dissolved threshold-50 multipolygons are written as
+      a spec-conformant single-layer GeoPackage, re-read through the
+      distributed scan, and each species' area recomputed from the
+      round-tripped WKB — the unit-lattice identity area == distinct
+      cell count is the oracle.
+    - tif half: each species' cell set is encoded as a 32x32 LZW-
+      compressed TILED GeoTIFF (the interesting code path: tile padding
+      + LZW) with cell value row*32+col, decoded back through the
+      binaryFile lane, and reduced to (count, value checksum) — exact in
+      float32 since every value < 2^24.
+
+    Driver-side materialization is the lattice-bounded cell set
+    (<= 3 x 32 x 32 rows at ANY scale) and the 3-row dissolved
+    dimension — both bounded by construction.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..functions.wkb import decode as wkb_decode
+    from ..operators.polygonize import dissolve
+    from ..pipeline.geotiff import decode_geotiff_members, encode_geotiff
+    from ..sources.geopackage import read_geopackage, write_geopackage
+
+    cells = (
+        _cells_from_lineitem(spark, sf_dir)
+        .where(F.col("threshold_s") == "50")
+        .select("species", "row", "col")
+        .distinct()
+    )
+    d = dissolve(
+        cells.withColumn("threshold_s", F.lit("50")),
+        by=["species"],
+        num_partitions=3,
+    ).select("species", "geometry")
+    geo_rows = sorted(d.collect(), key=lambda r: r.species)  # 3 flags
+    cell_rows = cells.collect()  # lattice-bounded (<= 3*32*32)
+    by_species: dict[str, list] = {}
+    for r in cell_rows:
+        by_species.setdefault(r.species, []).append(
+            (int(r.row), int(r.col), float(r.row * _GRID + r.col))
+        )
+    tmp = tempfile.mkdtemp(prefix="geo_container_")
+    try:
+        write_geopackage(
+            [
+                (bytes(r.geometry), {"species": r.species})
+                for r in geo_rows
+            ],
+            os.path.join(tmp, "ranges.gpkg"),
+        )
+        header = {
+            "ncols": _GRID, "nrows": _GRID, "xllcorner": 0.0,
+            "yllcorner": 0.0, "cellsize": 1.0, "nodata_value": -9999.0,
+        }
+        for sp, cs in sorted(by_species.items()):
+            with open(os.path.join(tmp, f"{sp}.tif"), "wb") as fh:
+                fh.write(
+                    encode_geotiff(header, cs, compression=5, tile=(16, 16))
+                )
+
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def area_udf(wkb):
+            from ..functions.wkb import wkb_area
+
+            return wkb.map(
+                lambda b: wkb_area(bytes(b)) if b is not None else None
+            )
+
+        gpkg = (
+            read_geopackage(spark, tmp)
+            .where(F.col("error").isNull())
+            .select(
+                F.col("attrs")["species"].alias("species"),
+                area_udf("geometry").alias("area"),
+            )
+            .groupBy("species")
+            .agg(F.round(F.sum("area"), 6).alias("metric"))
+            .select(
+                F.lit("gpkg").alias("fmt"),
+                "species",
+                F.col("metric").cast("long").alias("n_cells"),
+                "metric",
+            )
+        )
+        tifs = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.tif")
+            .load(tmp)
+            .select("path", "content")
+        )
+        tif = (
+            decode_geotiff_members(tifs, name_col="path")
+            .where(F.col("error").isNull())
+            .groupBy(
+                F.regexp_extract(
+                    "file", r"([^/]+)\.tif$", 1
+                ).alias("species")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_cells"),
+                F.round(F.sum("value"), 6).alias("metric"),
+            )
+            .select(F.lit("tif").alias("fmt"), "species", "n_cells", "metric")
+        )
+        out = gpkg.unionByName(tif).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.orderBy("fmt", "species")
+
+
+GEO_CONTAINER_ROUNDTRIP_ORACLE = f"""
+WITH cells AS (
+    SELECT DISTINCT l_returnflag AS species,
+           l_orderkey % {_GRID} AS row,
+           l_partkey % {_GRID} AS col
+    FROM lineitem
+    WHERE l_quantity / 50.0 >= 0.5
+)
+SELECT 'gpkg' AS fmt, species,
+       count(*) AS n_cells,
+       round(CAST(count(*) AS DOUBLE), 6) AS metric
+FROM cells GROUP BY species
+UNION ALL
+SELECT 'tif' AS fmt, species,
+       count(*) AS n_cells,
+       round(CAST(sum(row * {_GRID} + col) AS DOUBLE), 6) AS metric
+FROM cells GROUP BY species
+ORDER BY fmt, species
+"""
+
+
 QUERIES = {
+    "geo_container_roundtrip": geo_container_roundtrip,
     "geo_shapefile_roundtrip": geo_shapefile_roundtrip,
     "geo_raster_regrid": geo_raster_regrid,
     "geo_spatial_join_bin": geo_spatial_join_bin,
@@ -921,6 +1062,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "geo_container_roundtrip": GEO_CONTAINER_ROUNDTRIP_ORACLE,
     "geo_shapefile_roundtrip": GEO_SHAPEFILE_ROUNDTRIP_ORACLE,
     "geo_raster_regrid": GEO_REGRID_ORACLE,
     "geo_spatial_join_bin": GEO_SPATIAL_JOIN_ORACLE,

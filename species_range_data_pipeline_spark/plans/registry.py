@@ -46,20 +46,21 @@ _MODULE_NAMES = [
 # twin), scrape_pipeline_live (the reference front door S1->T3 against
 # a real in-process HTTP server, nation-derived oracle),
 # geo_shapefile_roundtrip (the .shp/.shx/.dbf/.prj lane round-tripped
-# to the unit-lattice area identity), geo_range_overlap_bands (new:
+# to the unit-lattice area identity), geo_container_roundtrip (the
+# GeoPackage + tiled-LZW GeoTIFF twins), geo_range_overlap_bands (new:
 # quantity-banded range units give 9 bbox-DISJOINT pairs, so the
 # short-circuit finally executes under a driver hash, VERDICT #4 — the
 # mod-grid cells of geo_range_overlap cover the full lattice at every
 # scale and can never produce one), the flagship
 # sentinel, 11 per-module stalest fillers (the coverage invariant), and
-# all 5 r3-era + 22 of the 37 r4-era rows.  The 15 r4 rows that did not
+# all 5 r3-era + 21 of the 37 r4-era rows.  The 16 r4 rows that did not
 # fit (setop_except_all, setop_intersect_all, window_lag_delta,
 # window_running_total, sort_nulls_ordering, agg_having,
 # join_left_counts, agg_distinct, window_value_frames,
 # window_trailing_range, window_rolling_median, window_ntile_buckets,
-# agg_grouping_sets, join_range_bands, agg_approx_distinct — the
-# simplest kernels, each the _all/basic twin of an in-window shape) and
-# the r5 remainder stay continuously proven by
+# agg_grouping_sets, join_range_bands, agg_approx_distinct,
+# agg_percentiles — the simplest kernels, each the _all/basic twin of
+# an in-window shape) and the r5 remainder stay continuously proven by
 # tests/test_oracle_parity.py and rotate in next round.  Swapped out:
 # the r9 window's 49 hash-green rows (kernels untouched).
 _PRIORITY = [
@@ -85,6 +86,7 @@ _PRIORITY = [
     "webdataset_roundtrip",   # tar-shard container twin, FIRST driver row (r10)
     "scrape_pipeline_live",   # S1/S3/F1/S4/T1/T3 front door over live HTTP, FIRST driver row (r10)
     "geo_shapefile_roundtrip", # shapefile encode->decode->area, FIRST driver row (r10)
+    "geo_container_roundtrip", # gpkg + tiled-LZW GeoTIFF roundtrips, FIRST driver row (r10)
     "bpe_train_merges",       # bpe, r8
     "dataset_mixture",        # packing, r5
     "retrieval_rrf_fusion",   # retrieval (module's only query), r9
@@ -118,7 +120,6 @@ _PRIORITY = [
     "q20_excess_shipments",
     "q22_dormant_customers",
     # --- r4-era rows: advanced ---
-    "agg_percentiles",
     "agg_salted_twophase",
     "join_skew_salted",
     "window_anomaly_zscore",
