@@ -652,7 +652,11 @@ def geo_range_overlap_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit("high")
                 ),
             ).alias("species"),
-            (F.col("l_quantity").cast("int") - 1).alias("row"),
+            # floor() on BOTH sides (ADVICE r10): Spark cast('int')
+            # truncates while DuckDB CAST(.. AS INTEGER) rounds
+            # half-even, so the lattice mapping would diverge on any
+            # non-integral quantity; floor is engine-neutral.
+            (F.floor("l_quantity").cast("int") - 1).alias("row"),
             (F.col("l_partkey") % _GRID).cast("int").alias("col"),
         )
     )
@@ -664,7 +668,7 @@ WITH cells AS (
     SELECT DISTINCT l_returnflag || '_' ||
                CASE WHEN l_quantity <= 16 THEN 'low' ELSE 'high' END
                AS species,
-           CAST(l_quantity AS INTEGER) - 1 AS row,
+           CAST(floor(l_quantity) AS INTEGER) - 1 AS row,
            l_partkey % {_GRID} AS col
     FROM lineitem
     WHERE l_quantity <= 32

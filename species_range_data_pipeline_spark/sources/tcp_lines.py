@@ -62,6 +62,76 @@ from pyspark.sql.types import StringType, StructField, StructType
 TCP_LINES_SCHEMA = StructType([StructField("value", StringType(), True)])
 
 _SPOOL_FILE = "spool-00000.txt"
+_SPOOL_ID_FILE = "spool.id"
+_SPOOL_LOCK_FILE = "spool.lock"
+
+
+def _acquire_spool_lock(spool_dir: str) -> str:
+    """Exclusive pid lock on the spool directory (ADVICE r10: nothing
+    prevented two receivers — two queries, or a zombie from a
+    not-fully-stopped prior run — from interleaving appends and
+    corrupting line-boundary offsets).  O_EXCL create; a lock whose pid
+    is dead is stale (crashed owner) and is stolen, a live pid fails
+    fast."""
+    path = os.path.join(spool_dir, _SPOOL_LOCK_FILE)
+    for _ in range(2):
+        try:
+            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+            with os.fdopen(fd, "w") as fh:
+                fh.write(str(os.getpid()))
+            return path
+        except FileExistsError:
+            try:
+                holder = int(open(path).read().strip() or "-1")
+            except (OSError, ValueError):
+                holder = -1
+            alive = False
+            if holder > 0:
+                try:
+                    os.kill(holder, 0)
+                    alive = True
+                except ProcessLookupError:
+                    alive = False
+                except PermissionError:
+                    alive = True  # exists, owned by someone else
+            if alive:
+                raise RuntimeError(
+                    f"tcp_lines spool {spool_dir!r} is locked by live pid"
+                    f" {holder}: another receiver (or a not-yet-stopped"
+                    " prior query) owns it; concurrent appends would"
+                    " corrupt line-boundary offsets"
+                )
+            try:  # stale lock from a crashed owner: steal and retry
+                os.unlink(path)
+            except FileNotFoundError:
+                pass
+    raise RuntimeError(f"could not acquire spool lock at {path!r}")
+
+
+def _spool_identity(spool_dir: str) -> str:
+    """Stable per-spool identity marker, persisted beside the spool and
+    carried inside every offset, so a checkpoint that OUTLIVES its spool
+    (dir deleted/recreated) is detected instead of silently serving
+    empty or misaligned byte ranges (ADVICE r10)."""
+    import uuid
+
+    path = os.path.join(spool_dir, _SPOOL_ID_FILE)
+    try:
+        with open(path) as fh:
+            sid = fh.read().strip()
+        if sid:
+            return sid
+    except FileNotFoundError:
+        pass
+    sid = uuid.uuid4().hex
+    try:  # O_EXCL: two concurrent creators must agree on ONE identity
+        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        with os.fdopen(fd, "w") as fh:
+            fh.write(sid)
+        return sid
+    except FileExistsError:
+        with open(path) as fh:
+            return fh.read().strip()
 
 
 class _SpoolRange(InputPartition):
@@ -74,10 +144,20 @@ class _SpoolRange(InputPartition):
 class _Receiver:
     """Driver-side socket tail -> append-only spool of complete lines."""
 
-    def __init__(self, host: str, port: int, spool_path: str):
+    def __init__(
+        self, host: str, port: int, spool_path: str, on_eof: str = "fail"
+    ):
         self._spool_path = spool_path
-        self._sock = socket.create_connection((host, port), timeout=30)
+        self._lock_path = _acquire_spool_lock(os.path.dirname(spool_path))
+        try:
+            self._sock = socket.create_connection((host, port), timeout=30)
+        except OSError:
+            self._release_lock()
+            raise
         self._lock = threading.Lock()
+        self._on_eof = on_eof
+        self._eof = False
+        self._error: BaseException | None = None
         self._flushed = os.path.getsize(spool_path) if os.path.exists(
             spool_path
         ) else 0
@@ -98,9 +178,14 @@ class _Receiver:
                 while not self._closed:
                     try:
                         chunk = self._sock.recv(65536)
-                    except OSError:
+                    except OSError as exc:
+                        if not self._closed:
+                            with self._lock:
+                                self._error = exc
                         break
                     if not chunk:
+                        with self._lock:
+                            self._eof = True
                         break
                     buf += chunk
                     # append only COMPLETE lines: an offset taken between
@@ -114,6 +199,9 @@ class _Receiver:
                     buf = buf[cut + 1 :]
                     with self._lock:
                         self._flushed += cut + 1
+        except BaseException as exc:  # spool write failure is terminal too
+            with self._lock:
+                self._error = exc
         finally:
             try:
                 self._sock.close()
@@ -121,7 +209,25 @@ class _Receiver:
                 pass
 
     def flushed(self) -> int:
+        """Current replayable offset; RAISES if the feed died (ADVICE
+        r10: a receiver that exits silently leaves latestOffset()
+        plateaued forever — the query runs while ingesting nothing).
+        A clean peer EOF is terminal under ``onEof=fail`` (the default:
+        a live feed should not end) and a plateau under
+        ``onEof=complete`` (bounded drains where the feeder closing the
+        socket IS the end-of-stream signal)."""
         with self._lock:
+            if self._error is not None:
+                raise RuntimeError(
+                    "tcp_lines receiver failed; the feed is dead and the"
+                    " stream would otherwise freeze silently"
+                ) from self._error
+            if self._eof and self._on_eof == "fail":
+                raise RuntimeError(
+                    "tcp_lines feed closed (EOF); restart the query to"
+                    " reconnect, or .option('onEof', 'complete') if the"
+                    " feeder closing the connection means end-of-stream"
+                )
             return self._flushed
 
     def close(self) -> None:
@@ -132,6 +238,13 @@ class _Receiver:
             pass
         try:
             self._sock.close()
+        except OSError:
+            pass
+        self._release_lock()
+
+    def _release_lock(self) -> None:
+        try:
+            os.unlink(self._lock_path)
         except OSError:
             pass
 
@@ -147,9 +260,35 @@ class TcpLinesStreamReader(DataSourceStreamReader):
                 " and .option('spool', <executor-readable dir>)"
             )
         os.makedirs(spool_dir, exist_ok=True)
+        self._spool_dir = spool_dir
         self._spool_path = os.path.join(spool_dir, _SPOOL_FILE)
         self._max_parts = int(options.get("maxPartitions", "4"))
-        self._receiver = _Receiver(host, int(port), self._spool_path)
+        on_eof = options.get("onEof", "fail")
+        if on_eof not in ("fail", "complete"):
+            raise ValueError(
+                "tcp_lines .option('onEof') must be 'fail' (a live feed"
+                " dying fails the query) or 'complete' (peer EOF is the"
+                f" end-of-stream signal); got {on_eof!r}"
+            )
+        self._host, self._port, self._on_eof = host, int(port), on_eof
+        # LAZY receiver: Spark constructs this reader in TWO Python
+        # processes — the long-lived offsets runner AND a throwaway
+        # plan worker that only pickles read() (pyspark
+        # sql/worker/plan_data_source_read.py:361).  Only the offsets
+        # runner calls the offset APIs, so deferring socket + spool
+        # lock to first use keeps the plan worker side-effect-free
+        # (eagerly connecting there double-ingested the feed and
+        # deadlocked on the exclusive spool lock).
+        self._receiver: _Receiver | None = None
+        self._spool_id: str | None = None
+
+    def _ensure_receiver(self) -> _Receiver:
+        if self._receiver is None:
+            self._spool_id = _spool_identity(self._spool_dir)
+            self._receiver = _Receiver(
+                self._host, self._port, self._spool_path, on_eof=self._on_eof
+            )
+        return self._receiver
 
     # The reader is pickled to executors for read(); the socket/thread
     # stay behind on the driver.
@@ -164,13 +303,50 @@ class TcpLinesStreamReader(DataSourceStreamReader):
         # receiver CONNECTED (startingVersion=latest semantics, minus
         # the race where lines arriving between connection and this
         # call would be silently skipped)
-        return {"pos": self._receiver.initial}
+        rcv = self._ensure_receiver()
+        return {"pos": rcv.initial, "id": self._spool_id}
 
     def latestOffset(self) -> dict:
-        return {"pos": self._receiver.flushed()}
+        # flushed() raises when the feed is terminally dead (socket
+        # error always; clean EOF under onEof=fail), so a dead feed
+        # fails the query instead of plateauing forever (ADVICE r10).
+        rcv = self._ensure_receiver()
+        return {"pos": rcv.flushed(), "id": self._spool_id}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        self._ensure_receiver()
         lo, hi = int(start["pos"]), int(end["pos"])
+        # Checkpoint-outlived-spool guards (ADVICE r10): a recreated
+        # spool carries a fresh identity, and committed offsets can
+        # never exceed the bytes actually flushed — either mismatch
+        # means the checkpoint's byte positions no longer address the
+        # data they were taken over, so raise rather than silently
+        # serving empty or misattributed ranges.
+        for off in (start, end):
+            sid = off.get("id")
+            if sid is not None and sid != self._spool_id:
+                raise RuntimeError(
+                    "tcp_lines checkpoint refers to spool identity"
+                    f" {sid!r} but {self._spool_path!r} now has identity"
+                    f" {self._spool_id!r}: the spool was deleted or"
+                    " recreated after the checkpoint was written;"
+                    " replaying these offsets would lose or misattribute"
+                    " lines. Start a fresh checkpoint (or restore the"
+                    " original spool)."
+                )
+        spool_size = (
+            os.path.getsize(self._spool_path)
+            if os.path.exists(self._spool_path)
+            else 0
+        )
+        if max(lo, hi) > spool_size:
+            raise RuntimeError(
+                f"tcp_lines checkpoint offsets ({lo}, {hi}] exceed the"
+                f" current spool size {spool_size} of"
+                f" {self._spool_path!r}: the spool was truncated or"
+                " replaced after the checkpoint was written; the"
+                " no-loss/no-dup replay contract cannot be honoured."
+            )
         if hi <= lo:
             return [_SpoolRange(self._spool_path, lo, lo)]
         n = min(self._max_parts, max(1, (hi - lo) // (64 * 1024) or 1))

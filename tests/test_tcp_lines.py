@@ -275,3 +275,171 @@ def test_tcp_lines_read_roundtrip_fuzz(tmp_path):
         spool.unlink()
 
     _run()
+
+
+def test_tcp_lines_dead_feed_fails_query(spark, tmp_path):
+    """ADVICE r10: a receiver whose connection drops must FAIL the query
+    (latestOffset raises), not plateau forever while ingesting nothing.
+    Default onEof=fail treats even a clean peer close as terminal."""
+    from species_range_data_pipeline_spark.sources.tcp_lines import (
+        register_tcp_lines_source,
+    )
+
+    register_tcp_lines_source(spark)
+    srv = _FeedServer()
+    try:
+        q = (
+            spark.readStream.format("tcp_lines")
+            .option("host", "127.0.0.1")
+            .option("port", srv.port)
+            .option("spool", str(tmp_path / "spool"))
+            .load()
+            .writeStream.format("memory")
+            .queryName("tcp_dead_feed")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        assert _await(lambda: len(srv._queues) > 0)
+        srv.send(["x,1"])
+        srv.close()  # feed dies underneath the running query
+        assert _await(lambda: q.exception() is not None, timeout=60)
+        msg = str(q.exception())
+        assert "tcp_lines" in msg and ("EOF" in msg or "dead" in msg)
+    finally:
+        try:
+            srv.close()
+        except Exception:
+            pass
+
+
+def test_tcp_lines_on_eof_complete_plateaus(spark, tmp_path):
+    """onEof=complete: the feeder closing the socket is the end-of-stream
+    signal — everything sent before the close is delivered, the offset
+    plateaus, and the query stays healthy (no exception)."""
+    from pyspark.sql import functions as F
+
+    from species_range_data_pipeline_spark.sources.tcp_lines import (
+        register_tcp_lines_source,
+    )
+
+    register_tcp_lines_source(spark)
+    srv = _FeedServer()
+    try:
+        q = (
+            spark.readStream.format("tcp_lines")
+            .option("host", "127.0.0.1")
+            .option("port", srv.port)
+            .option("spool", str(tmp_path / "spool"))
+            .option("onEof", "complete")
+            .load()
+            .writeStream.format("memory")
+            .queryName("tcp_eof_complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        assert _await(lambda: len(srv._queues) > 0)
+        srv.send([f"k,{i}" for i in range(25)])
+
+        def _rows():
+            try:
+                return spark.table("tcp_eof_complete").count()
+            except Exception:
+                return 0
+
+        assert _await(lambda: _rows() == 25)
+        srv.close()  # clean EOF: plateau, not failure
+        import time as _t
+
+        _t.sleep(2.0)
+        assert q.exception() is None
+        assert _rows() == 25
+        q.stop()
+    finally:
+        try:
+            srv.close()
+        except Exception:
+            pass
+
+
+def test_tcp_lines_checkpoint_outliving_spool_raises(spark, tmp_path):
+    """ADVICE r10: a checkpoint that outlives its spool (dir deleted and
+    recreated) must raise instead of silently serving misaligned byte
+    ranges — the recreated spool has a fresh identity marker."""
+    import shutil
+
+    from species_range_data_pipeline_spark.sources.tcp_lines import (
+        register_tcp_lines_source,
+    )
+
+    register_tcp_lines_source(spark)
+    spool = str(tmp_path / "spool")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start_query(port):
+        return (
+            spark.readStream.format("tcp_lines")
+            .option("host", "127.0.0.1")
+            .option("port", port)
+            .option("spool", spool)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    srv = _FeedServer()
+    try:
+        q = start_query(srv.port)
+        assert _await(lambda: len(srv._queues) > 0)
+        srv.send([f"a,{i}" for i in range(30)])
+
+        def _sink_count():
+            try:
+                return spark.read.parquet(str(tmp_path / "out")).count()
+            except Exception:
+                return 0
+
+        assert _await(lambda: _sink_count() >= 1)
+        q.stop()
+        srv.close()
+        shutil.rmtree(spool)  # the spool is lost; the checkpoint is not
+        srv2 = _FeedServer()
+        q2 = start_query(srv2.port)
+        assert _await(lambda: q2.exception() is not None, timeout=60)
+        assert "identity" in str(q2.exception())
+        srv2.close()
+    finally:
+        for s in ("srv", "srv2"):
+            try:
+                locals()[s].close()
+            except Exception:
+                pass
+
+
+def test_tcp_lines_spool_lock_exclusive(tmp_path):
+    """ADVICE r10: two receivers on one spool would interleave appends and
+    corrupt line-boundary offsets — the second must fail fast on the live
+    pid lock, and a stale lock (dead pid) is stolen."""
+    import os
+
+    import pytest
+
+    from species_range_data_pipeline_spark.sources.tcp_lines import (
+        _SPOOL_LOCK_FILE,
+        _acquire_spool_lock,
+    )
+
+    spool_dir = str(tmp_path / "spool")
+    os.makedirs(spool_dir)
+    lock = _acquire_spool_lock(spool_dir)
+    with pytest.raises(RuntimeError, match="locked by live pid"):
+        _acquire_spool_lock(spool_dir)
+    os.unlink(lock)
+    # stale lock: a pid that no longer exists is stolen silently
+    with open(os.path.join(spool_dir, _SPOOL_LOCK_FILE), "w") as fh:
+        fh.write("999999999")
+    assert _acquire_spool_lock(spool_dir).endswith(_SPOOL_LOCK_FILE)
