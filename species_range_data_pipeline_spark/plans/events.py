@@ -142,6 +142,126 @@ ORDER BY window_start, event_type
 """
 
 
+def stream_tcp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The replayable TCP line source driven end-to-end under a driver
+    hash (VERDICT r10 next #3: ``sources/tcp_lines.py`` was the one r10
+    source family with pytest evidence only).
+
+    An in-process TCP feeder serves a nation-derived line feed — each
+    nation row emitted ``n_nationkey % 3 + 1`` times as
+    ``"<n_name>,<n_nationkey>"`` — then closes the connection, which
+    under ``onEof=complete`` is the end-of-stream signal: the receiver
+    spools every complete line, the offset plateaus, and the lane waits
+    until the memory sink holds exactly the expected line count (append
+    mode delivers each spooled line exactly once) before stopping the
+    query.  The returned rollup (lines + key-sum per species) is
+    value-sensitive to every hop — socket framing, spool flush,
+    byte-range split, line re-read — and the oracle recomputes it from
+    the nation fixture, so a loss, duplicate, or mis-split anywhere
+    breaks the hash.
+
+    The 25-row nation dimension is materialized driver-side to build the
+    feed (bounded by construction, the ``scrape_pipeline_live``
+    precedent); executors read the spool file directly, as they would on
+    shared storage in cluster mode.
+    """
+    import os
+    import shutil
+    import socketserver
+    import tempfile
+    import threading
+    import time
+
+    from ..sources.tcp_lines import register_tcp_lines_source
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_name", "n_nationkey"
+    )
+    lines = [
+        f"{r.n_name},{r.n_nationkey}"
+        for r in nation.collect()
+        for _ in range(int(r.n_nationkey) % 3 + 1)
+    ]
+    payload = ("\n".join(lines) + "\n").encode()
+    n_expected = len(lines)
+
+    class _Feeder(socketserver.BaseRequestHandler):
+        def handle(self):
+            self.request.sendall(payload)
+            # returning closes the socket: clean EOF = end-of-stream
+            # under onEof=complete
+
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), _Feeder)
+    srv.daemon_threads = True
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+    register_tcp_lines_source(spark)
+    sink = f"stream_tcp_counts_{next(_STREAM_SINK_SEQ)}"
+    tmp = tempfile.mkdtemp(prefix="stream_tcp_")
+    try:
+        q = (
+            spark.readStream.format("tcp_lines")
+            .option("host", "127.0.0.1")
+            .option("port", srv.server_address[1])
+            .option("spool", os.path.join(tmp, "spool"))
+            .option("onEof", "complete")
+            .load()
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = time.time() + 120
+        while spark.table(sink).count() < n_expected:
+            if q.exception() is not None:
+                raise RuntimeError(
+                    f"stream_tcp_counts query failed: {q.exception()}"
+                )
+            if time.time() > deadline:
+                raise RuntimeError(
+                    "stream_tcp_counts: sink has"
+                    f" {spark.table(sink).count()}/{n_expected} lines"
+                    " after 120s — the TCP feed did not drain"
+                )
+            time.sleep(0.2)
+        q.stop()
+        q.awaitTermination()
+        out = spark.table(sink).localCheckpoint(eager=True)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(sink)
+        except Exception:
+            pass
+    parsed = out.select(
+        F.split("value", ",").alias("p")
+    ).select(
+        F.col("p")[0].alias("species"),
+        F.col("p")[1].cast("bigint").alias("key"),
+    )
+    return (
+        parsed.groupBy("species")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("key").alias("key_total"),
+        )
+        .orderBy("species")
+    )
+
+
+STREAM_TCP_COUNTS_ORACLE = """
+SELECT n_name AS species,
+       CAST(n_nationkey % 3 + 1 AS BIGINT) AS n_lines,
+       CAST(n_nationkey * (n_nationkey % 3 + 1) AS BIGINT) AS key_total
+FROM nation
+ORDER BY species
+"""
+
+
 def _staged_event_stream_run(
     spark: SparkSession,
     sf_dir: str,
@@ -1017,6 +1137,7 @@ ORDER BY user_id, event_id
 QUERIES = {
     "window_udaf_ewma": window_udaf_ewma,
     "stream_tumbling_counts": stream_tumbling_counts,
+    "stream_tcp_counts": stream_tcp_counts,
     "stream_dedup_replayed": stream_dedup_replayed,
     "stream_session_flush": stream_session_flush,
     "stream_ohlc_flush": stream_ohlc_flush,
@@ -1037,6 +1158,7 @@ QUERIES = {
 ORACLES = {
     "window_udaf_ewma": WINDOW_UDAF_EWMA_ORACLE,
     "stream_tumbling_counts": STREAM_TUMBLING_ORACLE,
+    "stream_tcp_counts": STREAM_TCP_COUNTS_ORACLE,
     "stream_dedup_replayed": STREAM_DEDUP_REPLAYED_ORACLE,
     "stream_session_flush": STREAM_SESSION_FLUSH_ORACLE,
     "stream_ohlc_flush": STREAM_OHLC_FLUSH_ORACLE,

@@ -33,96 +33,94 @@ _MODULE_NAMES = [
 # tests/test_registry.py): exactly 50 names, every plan module (all 16)
 # represented, every name resolves, every name oracle-backed.
 #
-# Round-10 window (sixth rotation, VERDICT r9 next #2/#4/#5): freshness
-# sweep.  After r9 the backlog of stalest driver rows was r3 (5 queries)
-# + r4 (37) + r5 (38); this window takes the 6 NEW streaming lanes
-# (stream_dedup_replayed / stream_session_flush / stream_ohlc_flush /
-# stream_interval_join / stream_stateful_totals / stream_manifest_tail —
-# first driver rows covering agg, dedup, join, custom
-# applyInPandasWithState state, AND the table-format version-offset
-# source), warc_ingest_roundtrip (the web-ingestion family's first
-# driver row: distributed .warc.gz encode -> WARC scan -> byte-exact
-# per-doc evidence), webdataset_roundtrip (its tar-shard container
-# twin), scrape_pipeline_live (the reference front door S1->T3 against
-# a real in-process HTTP server, nation-derived oracle),
-# geo_shapefile_roundtrip (the .shp/.shx/.dbf/.prj lane round-tripped
-# to the unit-lattice area identity), geo_container_roundtrip (the
-# GeoPackage + tiled-LZW GeoTIFF twins), geo_range_overlap_bands (new:
-# quantity-banded range units give 9 bbox-DISJOINT pairs, so the
-# short-circuit finally executes under a driver hash, VERDICT #4 — the
-# mod-grid cells of geo_range_overlap cover the full lattice at every
-# scale and can never produce one), the flagship
-# sentinel, 11 per-module stalest fillers (the coverage invariant), and
-# all 5 r3-era + 21 of the 37 r4-era rows.  The 16 r4 rows that did not
-# fit (setop_except_all, setop_intersect_all, window_lag_delta,
-# window_running_total, sort_nulls_ordering, agg_having,
-# join_left_counts, agg_distinct, window_value_frames,
-# window_trailing_range, window_rolling_median, window_ntile_buckets,
-# agg_grouping_sets, join_range_bands, agg_approx_distinct,
-# agg_percentiles — the simplest kernels, each the _all/basic twin of
-# an in-window shape) and the r5 remainder stay continuously proven by
-# tests/test_oracle_parity.py and rotate in next round.  Swapped out:
-# the r9 window's 49 hash-green rows (kernels untouched).
+# Round-11 window (seventh rotation, VERDICT r10 next #1/#3): clear the
+# r4/r5 staleness backlog.  After r10 the stalest driver rows were 16
+# r4-era + 30 r5-era; this window takes 44 of those 46 (every r5 row,
+# and 14 of the 16 r4 rows), plus stream_tcp_counts (FIRST driver row
+# for sources/tcp_lines.py — the replayable TCP socket source driven
+# against a live in-process feeder, VERDICT #3), the flagship sentinel,
+# and the 4 per-module coverage fillers the invariant requires
+# (bpe_encode_tokens r9, retrieval_rrf_fusion r10 — also the round's
+# perf A/B watch query, so a fresh driver timing lands beside the A/B,
+# multimodal_ahash_dups r9, graph_triangles r6 — the registry's single
+# stalest non-r4/r5 row).  The two r4 rows that did not fit are
+# setop_except_all and setop_intersect_all, the ALL-semantics twins of
+# setop_except / setop_intersect which both went driver-green in r10 —
+# the narrowest evidence gap available; they lead the r12 window.
+#
+# Round-12 window (planned, VERDICT r10 next #7): setop_except_all,
+# setop_intersect_all, then the r6-era remainder (35 rows after
+# graph_triangles lands here): ab_test_conversion, agg_bitmap_distinct,
+# agg_listagg, agg_minmax_by, agg_stats, basket_brand_pairs, date_funcs,
+# dedup_ngram_jaccard, doc_pack_sequences_sharded, dq_checks, emb_norms,
+# ev_gapfill, ev_ohlc_bars, ev_sliding, geo_haversine_nearest,
+# geo_raster_regrid, geo_reproject_points, hier_rollup,
+# hist_price_buckets, join_nullsafe, layout_zorder, math_funcs,
+# mv_incremental_refresh, q14_promo_share, q18_large_orders,
+# q19_disjunctive_predicates, q7_nation_volume, regexp_group_funcs,
+# sample_weighted, str_funcs, text_quality, text_tfidf_topk,
+# text_token_count, unpivot_measures, window_percent_dist — 37 slots,
+# leaving 13 for the flagship sentinel, coverage fillers, and any
+# r11-built lanes.  That finishes the freshness rotation: after r12 no
+# row's newest driver evidence predates r7.
+#
+# Swapped out: the r10 window's 50 hash-green rows (kernels untouched).
 _PRIORITY = [
-    # flagship sentinel (driver-green r5-r9; also the entry() smoke)
+    # flagship sentinel (driver-green r5-r10; also the entry() smoke)
     "flagship_threshold_rollup",
-    # --- first driver rows: stateful streaming lanes (VERDICT r9 #2) ---
-    "stream_dedup_replayed",
-    "stream_session_flush",
-    "stream_ohlc_flush",
-    "stream_interval_join",
-    "stream_stateful_totals",
-    "stream_manifest_tail",
-    # geo overlay: disjoint-box branch under driver hash for the first
-    # time (VERDICT r9 #4)
-    "geo_range_overlap_bands",
-    # --- per-module stalest fillers (coverage invariant) ---
-    "agg_entropy_gini",       # stats, r5
-    "scd2_customer_history",  # mining, r5
-    "dedup_keep_best",        # quality, r5
-    "filename_parse",         # scalar, r5
-    "dedup_exact",            # text, r5
-    "warc_ingest_roundtrip",  # text/web-ingestion, FIRST driver row (r10)
-    "webdataset_roundtrip",   # tar-shard container twin, FIRST driver row (r10)
-    "scrape_pipeline_live",   # S1/S3/F1/S4/T1/T3 front door over live HTTP, FIRST driver row (r10)
-    "geo_shapefile_roundtrip", # shapefile encode->decode->area, FIRST driver row (r10)
-    "geo_container_roundtrip", # gpkg + tiled-LZW GeoTIFF roundtrips, FIRST driver row (r10)
-    "bpe_train_merges",       # bpe, r8
-    "dataset_mixture",        # packing, r5
-    "retrieval_rrf_fusion",   # retrieval (module's only query), r9
-    "ann_ivf_topk",           # vectors, r5
-    "subtitle_cue_stats",     # media, r5
-    "dedup_clusters",         # graph, r6
-    # --- r3-era rows (stalest in the registry) ---
-    "array_map_funcs",
-    "q10_returned_revenue",
-    "q6_revenue_delta",
-    "subq_above_nation_avg",
-    "subq_exists_late_lines",
-    # --- r4-era rows: relational ---
-    "agg_rollup",
-    "join_full_outer",
-    "join_semi",
-    "q3_shipping_priority",
-    "q5_region_volume",
-    "setop_except",
-    "setop_intersect",
-    "sort_limit_topk",
-    "window_rank_dense",
-    # --- r4-era rows: tpch_extra ---
-    "q8_market_share",
-    "q11_important_balance",
-    "q12_late_priority_lines",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_relationship",
-    "q17_small_quantity_revenue",
-    "q20_excess_shipments",
-    "q22_dormant_customers",
-    # --- r4-era rows: advanced ---
-    "agg_salted_twophase",
-    "join_skew_salted",
-    "window_anomaly_zscore",
+    # FIRST driver row: replayable TCP line source, live feeder end-to-end
+    "stream_tcp_counts",
+    # --- per-module coverage fillers ---
+    "bpe_encode_tokens",       # bpe, r9
+    "retrieval_rrf_fusion",    # retrieval (module's only query), r10; perf A/B watch
+    "multimodal_ahash_dups",   # media, r9
+    "graph_triangles",         # graph, r6 (stalest non-r4/r5 row)
+    # --- r4-era rows (14 of 16; the setop _all twins lead r12) ---
+    "agg_approx_distinct",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_percentiles",
+    "join_left_counts",
+    "join_range_bands",
+    "sort_nulls_ordering",
+    "window_lag_delta",
+    "window_ntile_buckets",
+    "window_rolling_median",
+    "window_running_total",
+    "window_trailing_range",
+    "window_value_frames",
+    # --- r5-era rows (all 30) ---
+    "agg_cube",
+    "cdf_row_changes",
+    "doc_pack_sequences",
+    "doc_quality_funnel",
+    "emb_dedup_components",
+    "ev_funnel",
+    "ev_retention_cohorts",
+    "ev_sessionization",
+    "ev_tumbling",
+    "geo_dissolve_area",
+    "geo_polygonize_components",
+    "geo_spatial_join_bin",
+    "join_asof",
+    "join_interval_overlap",
+    "join_lateral_topk",
+    "json_funcs",
+    "merge_upsert",
+    "pivot_wide_status",
+    "q21_suppliers_kept_waiting",
+    "q2_top_supplier_per_nation",
+    "q9_product_type_profit",
+    "sample_stratified",
+    "setop_union_distinct",
+    "sky_pareto_front",
+    "str_fuzzy_match",
+    "text_bm25_topk",
+    "text_decontaminate",
+    "text_langid",
+    "text_pii_redact",
+    "window_topk_per_group",
 ]
 
 # Queries whose oracles are pure VALUES restatements of expected OUTPUT
