@@ -585,3 +585,84 @@ def test_sink_exactly_once_under_concurrent_speculative_attempts(
             "SELECT count(*) FROM race_t__write_ledger WHERE epoch_id = 'spec-1'"
         )
         assert led == [("2",)]  # one ledger row per partition
+
+
+def test_sink_truncate_epoch_partial_failure_then_retry(spark, pg_socket_dir):
+    """VERDICT r10 next #5 composite: a truncate-mode epoch write that
+    PARTIALLY fails (one partition committed with its ledger row, the
+    other rolled back) must be completable.  An append-mode retry under
+    the SAME epoch writes ONLY the missing partition (the ledger skips
+    the survivor — no duplicates), and a whole-job truncate re-run of
+    the same epoch rebuilds the table exactly once (the truncate-path
+    ledger clear makes every partition write again against the emptied
+    table)."""
+    from species_range_data_pipeline_spark.pipeline.postgres_sink import (
+        write_speciesdata_postgres,
+    )
+
+    with PgConnection("postgres", "postgres", unix_socket_dir=pg_socket_dir) as c:
+        c.query("DROP TABLE IF EXISTS pf_t")
+        c.query("DROP TABLE IF EXISTS pf_t__write_ledger")
+        c.query(
+            "CREATE TABLE pf_t (sid bigint CHECK (sid < 1000000), s text)"
+        )
+
+    def _q(sql: str):
+        with PgConnection(
+            "postgres", "postgres", unix_socket_dir=pg_socket_dir
+        ) as c:
+            return c.query(sql)[1]
+
+    # Explicit 2-slice parallelize pins the physical layout (a union
+    # of two coalesce(1) LocalRelations gets collapsed back into ONE
+    # partition by the optimizer): partition 0 = good rows, partition 1
+    # = rows ending in a CHECK violation.  batch_rows=1 forces partition
+    # 1 through thousands of single-row INSERT round trips before the
+    # failing one, so partition 0's 5-round-trip transaction commits
+    # long before the job dies and cancels running tasks.
+    good = [(1, "a"), (2, "b")]
+    tail_ok = [(10 + i, f"x{i}") for i in range(3000)]
+
+    def _two_part_df(part1_rows):
+        rdd = spark.sparkContext.parallelize([0, 1], 2).flatMap(
+            lambda i: good if i == 0 else part1_rows
+        )
+        return spark.createDataFrame(rdd, "sid long, s string")
+
+    kw = dict(
+        unix_socket_dir=pg_socket_dir, method="insert", batch_rows=1,
+        geometry_col="none", exactly_once_epoch="pf-1",
+    )
+    with pytest.raises(Exception):
+        write_speciesdata_postgres(
+            _two_part_df(tail_ok + [(1000000, "boom")]), "pf_t",
+            mode="truncate", **kw
+        )
+    # partial state: partition 0 committed (data + ledger row),
+    # partition 1 rolled back entirely
+    assert _q("SELECT count(*) FROM pf_t") == [("2",)]
+    assert _q(
+        "SELECT partition_id FROM pf_t__write_ledger"
+        " WHERE epoch_id = 'pf-1' ORDER BY 1"
+    ) == [("0",)]
+
+    # retry of the FIXED logical write under the SAME epoch, in append
+    # mode (a retry must not re-truncate: that would wipe the committed
+    # partition's work): only the missing partition lands
+    fixed = _two_part_df(tail_ok)
+    write_speciesdata_postgres(fixed, "pf_t", mode="append", **kw)
+    assert _q("SELECT count(*) FROM pf_t") == [("3002",)]
+    assert _q("SELECT count(*) FROM pf_t WHERE sid = 1") == [("1",)]  # no dup
+    assert _q(
+        "SELECT count(*) FROM pf_t__write_ledger WHERE epoch_id = 'pf-1'"
+    ) == [("2",)]
+
+    # alternative recovery: whole-job truncate re-run of the same epoch
+    # rebuilds everything exactly once (truncate clears the epoch's
+    # ledger rows with the data, so neither partition is suppressed)
+    write_speciesdata_postgres(fixed, "pf_t", mode="truncate", **kw)
+    assert _q("SELECT count(*) FROM pf_t") == [("3002",)]
+    assert _q("SELECT count(*) FROM pf_t WHERE sid = 1") == [("1",)]
+    assert _q(
+        "SELECT count(*) FROM pf_t__write_ledger WHERE epoch_id = 'pf-1'"
+    ) == [("2",)]
