@@ -82,6 +82,12 @@ HEADLINE = [
     # and per-domain caps — window + same-key groupBy, one exchange each)
     "curation_token_budget",
     "curation_domain_cap",
+    # r11 addition (VERDICT r10 next #6): one streaming lane in the
+    # control-normalized headline frame — the cheapest, most stable of
+    # the stream_* family (4-microbatch availableNow drain into a
+    # memory sink), so streaming-engine regressions surface alongside
+    # the batch rows instead of only in the separate medallion number.
+    "stream_tumbling_counts",
 ]
 
 
