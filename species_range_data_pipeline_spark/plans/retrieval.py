@@ -41,24 +41,34 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
 
-    # lexical: BM25 in integer micro-units (order-stable), ranked
+    # lexical: BM25 in integer micro-units (order-stable), ranked.
+    # Tokenize ONCE per scan and carry dl THROUGH the explode as a
+    # grouping key (functionally dependent on doc_id): the r8-r10 shape
+    # tokenized the corpus three times (stats agg, explode, and a dl
+    # join-back by doc_id) and paid a shuffle join to reattach dl — the
+    # r11 interleaved A/B measured that shape at 1.7x the
+    # q3_shipping_priority control vs its 1.31x capture band, and the
+    # tokenize+join elimination is the plan-side term (SCALE.md rule 45).
     with_dl = docs.select(
-        "doc_id", F.size(_tokens()).cast("long").alias("dl"), "text"
+        "doc_id",
+        F.size(_tokens()).cast("long").alias("dl"),
+        F.filter(
+            _tokens(), lambda w: w.isin(*_BM25_TERMS)
+        ).alias("terms"),
     )
     stats = with_dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_total"),
         F.avg("dl").alias("avgdl"),
     )
-    tok = with_dl.select("doc_id", F.explode(_tokens()).alias("word")).where(
-        F.col("word").isin(_BM25_TERMS)
+    tok = with_dl.select(
+        "doc_id", "dl", F.explode("terms").alias("word")
     )
-    tf = tok.groupBy("doc_id", "word").agg(
+    tf = tok.groupBy("doc_id", "dl", "word").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
     )
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).cast("double").alias("df"))
     term_scores = (
         tf.join(F.broadcast(dfreq), "word")
-        .join(with_dl.select("doc_id", "dl"), "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
