@@ -206,6 +206,8 @@ def main() -> None:
     _SHORT_QUERY_SEC = 2.0
     _SHORT_WARM_PASSES = 4
 
+    jobs: dict[str, int] = {}
+
     def _run_once(fn) -> float | None:
         t0 = time.perf_counter()
         try:
@@ -215,12 +217,25 @@ def main() -> None:
             return None
         return time.perf_counter() - t0
 
+    def _run_once_counted(fn) -> float | None:
+        """One pass with its Spark JOB count recorded (SCALE.md rule 45:
+        on a box whose per-job scheduler overhead drifts, a row is only
+        judgeable against a control of similar job count — so the count
+        is published with the timing)."""
+        tracker = spark.sparkContext.statusTracker()
+        before = set(tracker.getJobIdsForGroup(None) or [])
+        dt = _run_once(fn)
+        if dt is not None:
+            after = set(tracker.getJobIdsForGroup(None) or [])
+            jobs[name] = len(after - before)
+        return dt
+
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             continue
         first = _run_once(fn)
-        warm = [_run_once(fn)] if first is not None else [None]
+        warm = [_run_once_counted(fn)] if first is not None else [None]
         if warm[0] is not None:
             # always take a second warm pass before deciding: one noisy
             # first warm pass over the threshold would otherwise deny a
@@ -319,6 +334,9 @@ def main() -> None:
     full = dict(summary)
     full["queries_cold"] = cold
     full["queries_min"] = mins
+    # per-query Spark job counts (first warm pass): stays out of the
+    # stdout summary to keep the driver-parsed line compact
+    full["queries_jobs"] = jobs
     # BENCH_r07.json lost its headline medians to the driver's tail
     # capture (the full line outgrew the capture window and the FRONT
     # was cut -> parsed: null).  Two defenses (VERDICT r7 missing #2):
