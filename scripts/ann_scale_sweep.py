@@ -1,0 +1,129 @@
+"""10x scale sweep for the similarity-search ladder (r11; companion to
+SCALE.md rules 23/28/46).
+
+The ANN family had design rules (IVF-as-table-layout, PQ bandwidth
+split) and fixture-scale recall pins, but no measured growth curve.
+This sweep builds a 10x embeddings table — 10 vec_id-shifted copies,
+each perturbed by a tiny per-copy offset on a per-copy dimension so
+vectors are distinct while the label (= IVF bucket) structure is
+preserved: buckets grow 10x, nlist and nprobe stay fixed, which is
+exactly the regime where IVF's probe arithmetic (touch nprobe/nlist of
+the corpus) must show — and times the exact/IVF/PQ ladder with
+alternating 1x/10x cells through the noop sink (medians of 3; growth
+exponent e = log10(t10/t1); 1.0 = linear).  Recall@3 of ANN vs the
+same-scale exact brute-force is recomputed AT 10x from the collected
+rows, so the ladder's quality claim is re-proven at the scale it is
+being timed at, not assumed from the fixture pin.
+
+Prints one JSON line per lane plus a recall trailer.
+Usage: python scripts/ann_scale_sweep.py
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from species_range_data_pipeline_spark.catalog import load_table  # noqa: E402
+from species_range_data_pipeline_spark.plans import vectors  # noqa: E402
+from species_range_data_pipeline_spark.session import get_spark  # noqa: E402
+
+SF = "/root/testdata/sf0.1"
+MULT = 10
+LANES = {
+    "cosine_topk": vectors.cosine_topk,        # exact brute baseline
+    "ann_ivf_topk": vectors.ann_ivf_topk,      # coarse-probe IVF
+    "emb_pq_topk": vectors.emb_pq_topk,        # PQ/ADC + exact re-rank
+}
+
+
+def build_scaled(spark, mult: int) -> str:
+    tmp = tempfile.mkdtemp(prefix=f"ann_sweep_{mult}x_")
+    emb = load_table(spark, SF, "embeddings")
+    copies = emb.withColumn(
+        "copy", F.explode(F.array(*[F.lit(i) for i in range(mult)]))
+    )
+    # distinct vectors per copy: nudge dimension (copy-1) by 0.05*copy;
+    # copy 0 stays pristine so the original queries (vec_id < 5) are
+    # byte-identical to the 1x run
+    perturbed = F.transform(
+        "embedding",
+        lambda x, i: F.when(
+            (F.col("copy") > 0) & (i == F.col("copy") - 1),
+            x + F.col("copy").cast("float") * F.lit(0.05),
+        ).otherwise(x),
+    )
+    out = copies.select(
+        (F.col("vec_id") + F.col("copy").cast("long") * F.lit(10**6)).alias(
+            "vec_id"
+        ),
+        perturbed.alias("embedding"),
+        "label",
+    )
+    out.write.parquet(os.path.join(tmp, "embeddings.parquet"))
+    return tmp
+
+
+def timed(fn, spark, sf_dir) -> float:
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def topk_sets(df) -> dict[int, set[int]]:
+    out: dict[int, set[int]] = {}
+    for r in df.collect():
+        out.setdefault(int(r.query_id), set()).add(int(r.cand_id))
+    return out
+
+
+def recall_vs_exact(approx: dict, exact: dict) -> float:
+    hits = sum(len(approx.get(q, set()) & c) for q, c in exact.items())
+    total = sum(len(c) for c in exact.values())
+    return hits / total if total else 0.0
+
+
+def main() -> None:
+    spark = get_spark("ann-scale-sweep")
+    sf10 = build_scaled(spark, MULT)
+    for name, fn in LANES.items():
+        timed(fn, spark, SF)  # warm both scales
+        timed(fn, spark, sf10)
+        cells_1x, cells_10x = [], []
+        for _ in range(3):  # alternating, drift-resistant
+            cells_1x.append(timed(fn, spark, SF))
+            cells_10x.append(timed(fn, spark, sf10))
+        t1 = statistics.median(cells_1x)
+        t10 = statistics.median(cells_10x)
+        print(json.dumps({
+            "lane": name,
+            "t1x_med": round(t1, 3),
+            "t10x_med": round(t10, 3),
+            "growth_exponent": round(math.log10(t10 / t1), 3),
+            "cells_1x": [round(c, 3) for c in cells_1x],
+            "cells_10x": [round(c, 3) for c in cells_10x],
+        }), flush=True)
+
+    exact10 = topk_sets(vectors.cosine_topk(spark, sf10))
+    rec = {
+        "recall_at_3_vs_exact_10x": {
+            nm: round(recall_vs_exact(topk_sets(fn(spark, sf10)), exact10), 3)
+            for nm, fn in LANES.items()
+            if nm != "cosine_topk"
+        },
+        "corpus_rows_10x": load_table(spark, sf10, "embeddings").count(),
+    }
+    print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()
