@@ -262,6 +262,131 @@ ORDER BY species
 """
 
 
+def stream_tcp_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TCP source's CHECKPOINT-RESTART replay path under a driver
+    hash (r11; `stream_tcp_counts` drives the single-run happy path —
+    this lane drives the contract that makes the source more than a
+    demo: stop a query mid-feed, restart it on the same spool +
+    checkpoint against a NEW feeder endpoint, and end with every line
+    exactly once).
+
+    Two feeders serve the nation-derived feed split in half.  Query run
+    1 drains feeder 1 into an exactly-once FILE sink (the memory sink
+    would lose run 1's batches on restart — only the file sink's commit
+    log carries delivered batches across runs) and is stopped.  Query
+    run 2 reuses the checkpoint: committed spool offsets replay nothing,
+    an uncommitted trailing batch is re-emitted and deduplicated by the
+    sink's batchId log, the receiver reconnects (to the second feeder's
+    port — endpoint moves are a restart-time option change, the spool
+    identity guard still holds), and the second half appends beyond the
+    checkpointed offset.  The final parquet is the full multiset exactly
+    once; the same per-species rollup as ``stream_tcp_counts`` then
+    hashes against the same nation oracle — a lost, duplicated, or
+    misattributed line in EITHER run, or a replay that double-lands,
+    breaks the hash.
+    """
+    import os
+    import shutil
+    import socketserver
+    import tempfile
+    import threading
+    import time
+
+    from ..sources.tcp_lines import register_tcp_lines_source
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_name", "n_nationkey"
+    )
+    lines = [
+        f"{r.n_name},{r.n_nationkey}"
+        for r in nation.collect()
+        for _ in range(int(r.n_nationkey) % 3 + 1)
+    ]
+    halves = [lines[: len(lines) // 2], lines[len(lines) // 2 :]]
+
+    def _feeder(payload_lines):
+        payload = ("\n".join(payload_lines) + "\n").encode()
+
+        class _H(socketserver.BaseRequestHandler):
+            def handle(self):
+                self.request.sendall(payload)
+
+        srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), _H)
+        srv.daemon_threads = True
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv
+
+    register_tcp_lines_source(spark)
+    tmp = tempfile.mkdtemp(prefix="stream_tcp_restart_")
+    out_dir = os.path.join(tmp, "out")
+
+    def _sink_count() -> int:
+        try:
+            return spark.read.parquet(out_dir).count()
+        except Exception:
+            return 0
+
+    def _run_until(port: int, target: int) -> None:
+        q = (
+            spark.readStream.format("tcp_lines")
+            .option("host", "127.0.0.1")
+            .option("port", port)
+            .option("spool", os.path.join(tmp, "spool"))
+            .option("onEof", "complete")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while _sink_count() < target:
+                if q.exception() is not None:
+                    raise RuntimeError(
+                        f"stream_tcp_restart query failed: {q.exception()}"
+                    )
+                if time.time() > deadline:
+                    raise RuntimeError(
+                        f"stream_tcp_restart: sink has {_sink_count()}"
+                        f"/{target} lines after 120s"
+                    )
+                time.sleep(0.2)
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    try:
+        srv1 = _feeder(halves[0])
+        try:
+            _run_until(srv1.server_address[1], len(halves[0]))
+        finally:
+            srv1.shutdown()
+            srv1.server_close()
+        srv2 = _feeder(halves[1])
+        try:
+            _run_until(srv2.server_address[1], len(lines))
+        finally:
+            srv2.shutdown()
+            srv2.server_close()
+        out = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    parsed = out.select(F.split("value", ",").alias("p")).select(
+        F.col("p")[0].alias("species"),
+        F.col("p")[1].cast("bigint").alias("key"),
+    )
+    return (
+        parsed.groupBy("species")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("key").alias("key_total"),
+        )
+        .orderBy("species")
+    )
+
+
 def _staged_event_stream_run(
     spark: SparkSession,
     sf_dir: str,
@@ -1138,6 +1263,7 @@ QUERIES = {
     "window_udaf_ewma": window_udaf_ewma,
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_tcp_counts": stream_tcp_counts,
+    "stream_tcp_restart": stream_tcp_restart,
     "stream_dedup_replayed": stream_dedup_replayed,
     "stream_session_flush": stream_session_flush,
     "stream_ohlc_flush": stream_ohlc_flush,
@@ -1159,6 +1285,10 @@ ORACLES = {
     "window_udaf_ewma": WINDOW_UDAF_EWMA_ORACLE,
     "stream_tumbling_counts": STREAM_TUMBLING_ORACLE,
     "stream_tcp_counts": STREAM_TCP_COUNTS_ORACLE,
+    # the restart lane ends with the same exactly-once multiset, so the
+    # same nation-derived oracle pins it (different machinery under
+    # test: checkpoint replay + sink batchId dedup + reconnect)
+    "stream_tcp_restart": STREAM_TCP_COUNTS_ORACLE,
     "stream_dedup_replayed": STREAM_DEDUP_REPLAYED_ORACLE,
     "stream_session_flush": STREAM_SESSION_FLUSH_ORACLE,
     "stream_ohlc_flush": STREAM_OHLC_FLUSH_ORACLE,
