@@ -60,8 +60,9 @@ _MODULE_NAMES = [
 # q19_disjunctive_predicates, q7_nation_volume, regexp_group_funcs,
 # sample_weighted, str_funcs, text_quality, text_tfidf_topk,
 # text_token_count, unpivot_measures, window_percent_dist — 37 slots,
-# leaving 13 for the flagship sentinel, coverage fillers, and any
-# r11-built lanes.  That finishes the freshness rotation: after r12 no
+# leaving 13 for the flagship sentinel, coverage fillers, and the
+# r11-built stream_tcp_restart (checkpoint-restart replay lane, first
+# driver row owed).  That finishes the freshness rotation: after r12 no
 # row's newest driver evidence predates r7.
 #
 # Swapped out: the r10 window's 50 hash-green rows (kernels untouched).
