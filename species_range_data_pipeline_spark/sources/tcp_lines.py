@@ -46,6 +46,7 @@ Schema: ``value string`` (parse downstream, like Spark's text sources).
 
 from __future__ import annotations
 
+import fcntl
 import os
 import socket
 import threading
@@ -64,48 +65,60 @@ TCP_LINES_SCHEMA = StructType([StructField("value", StringType(), True)])
 _SPOOL_FILE = "spool-00000.txt"
 _SPOOL_ID_FILE = "spool.id"
 _SPOOL_LOCK_FILE = "spool.lock"
+_SPOOL_HWM_FILE = "spool.hwm"
 
 
-def _acquire_spool_lock(spool_dir: str) -> str:
-    """Exclusive pid lock on the spool directory (ADVICE r10: nothing
-    prevented two receivers — two queries, or a zombie from a
-    not-fully-stopped prior run — from interleaving appends and
-    corrupting line-boundary offsets).  O_EXCL create; a lock whose pid
-    is dead is stale (crashed owner) and is stolen, a live pid fails
-    fast."""
-    path = os.path.join(spool_dir, _SPOOL_LOCK_FILE)
-    for _ in range(2):
+class _SpoolLock:
+    """Exclusive receiver lock: ``flock(LOCK_EX | LOCK_NB)`` on a
+    persistently held fd (ADVICE r11, both mediums).  The kernel releases
+    the lock when the holding process dies, so there is no staleness
+    heuristic at all — which removes (a) the unlink/recreate TOCTOU where
+    two stealers of one dead lock could both end up holding it, and (b)
+    the host-local ``os.kill(pid, 0)`` probe that misjudged locks held
+    from another host (or was wedged by local pid reuse).  The lock file
+    is never unlinked (unlink re-introduces the inode-swap race); its
+    ``hostname:pid`` content is diagnostics for the fail-fast message
+    only, never consulted for liveness.
+    """
+
+    def __init__(self, spool_dir: str):
+        self.path = os.path.join(spool_dir, _SPOOL_LOCK_FILE)
+        self._fd: int | None = os.open(self.path, os.O_RDWR | os.O_CREAT, 0o644)
         try:
-            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-            with os.fdopen(fd, "w") as fh:
-                fh.write(str(os.getpid()))
-            return path
-        except FileExistsError:
+            fcntl.flock(self._fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            holder = "unknown"
             try:
-                holder = int(open(path).read().strip() or "-1")
-            except (OSError, ValueError):
-                holder = -1
-            alive = False
-            if holder > 0:
-                try:
-                    os.kill(holder, 0)
-                    alive = True
-                except ProcessLookupError:
-                    alive = False
-                except PermissionError:
-                    alive = True  # exists, owned by someone else
-            if alive:
-                raise RuntimeError(
-                    f"tcp_lines spool {spool_dir!r} is locked by live pid"
-                    f" {holder}: another receiver (or a not-yet-stopped"
-                    " prior query) owns it; concurrent appends would"
-                    " corrupt line-boundary offsets"
-                )
-            try:  # stale lock from a crashed owner: steal and retry
-                os.unlink(path)
-            except FileNotFoundError:
+                raw = os.pread(self._fd, 256, 0)
+                if raw.strip():
+                    holder = raw.decode("utf-8", "replace").strip()
+            except OSError:
                 pass
-    raise RuntimeError(f"could not acquire spool lock at {path!r}")
+            os.close(self._fd)
+            self._fd = None
+            raise RuntimeError(
+                f"tcp_lines spool {spool_dir!r} is locked by live receiver"
+                f" {holder}: another receiver (or a not-yet-stopped prior"
+                " query) owns it; concurrent appends would corrupt"
+                " line-boundary offsets"
+            ) from None
+        os.ftruncate(self._fd, 0)
+        os.pwrite(
+            self._fd, f"{socket.gethostname()}:{os.getpid()}".encode(), 0
+        )
+
+    def release(self) -> None:
+        if self._fd is not None:
+            try:
+                fcntl.flock(self._fd, fcntl.LOCK_UN)
+            except OSError:
+                pass
+            os.close(self._fd)
+            self._fd = None
+
+
+def _acquire_spool_lock(spool_dir: str) -> _SpoolLock:
+    return _SpoolLock(spool_dir)
 
 
 def _spool_identity(spool_dir: str) -> str:
@@ -148,19 +161,43 @@ class _Receiver:
         self, host: str, port: int, spool_path: str, on_eof: str = "fail"
     ):
         self._spool_path = spool_path
-        self._lock_path = _acquire_spool_lock(os.path.dirname(spool_path))
+        self._hwm_path = os.path.join(
+            os.path.dirname(spool_path), _SPOOL_HWM_FILE
+        )
+        self._spool_lock = _acquire_spool_lock(os.path.dirname(spool_path))
+        self._hwm_fd: int | None = None
         try:
+            size = os.path.getsize(spool_path) if os.path.exists(
+                spool_path
+            ) else 0
+            # High-water-mark guard (ADVICE r11): if the spool FILE was
+            # deleted/truncated while spool.id survived, the identity
+            # check passes and the size-vs-offsets check only trips until
+            # a new feed regrows past the committed offsets — after which
+            # old byte ranges would silently serve misattributed lines.
+            # The receiver records the highest flushed size beside the
+            # identity and refuses to resume over a spool smaller than it.
+            hwm = self._read_hwm()
+            if size < hwm:
+                raise RuntimeError(
+                    f"tcp_lines spool {spool_path!r} is {size} bytes but"
+                    f" its recorded high-water mark is {hwm}: the spool"
+                    " file was truncated or replaced since the last run;"
+                    " resuming would misattribute byte ranges. Start a"
+                    " fresh spool directory (and checkpoint) instead."
+                )
+            self._hwm_fd = os.open(
+                self._hwm_path, os.O_WRONLY | os.O_CREAT, 0o644
+            )
             self._sock = socket.create_connection((host, port), timeout=30)
-        except OSError:
+        except BaseException:
             self._release_lock()
             raise
         self._lock = threading.Lock()
         self._on_eof = on_eof
         self._eof = False
         self._error: BaseException | None = None
-        self._flushed = os.path.getsize(spool_path) if os.path.exists(
-            spool_path
-        ) else 0
+        self._flushed = size
         # The stream's start position is fixed HERE — the moment the
         # connection exists — not at the engine's (async, possibly
         # seconds-later) initialOffset() call: anything the feed sends
@@ -184,6 +221,22 @@ class _Receiver:
                                 self._error = exc
                         break
                     if not chunk:
+                        # Clean peer EOF.  Under onEof=complete the close
+                        # IS the declared end-of-stream, so a final line
+                        # the feeder did not newline-terminate is still
+                        # data — flush it as a line (ADVICE r11) instead
+                        # of silently dropping the buffered tail.  Under
+                        # onEof=fail the EOF fails the query, so a partial
+                        # trailing record stays undelivered by design.
+                        if buf and self._on_eof == "complete":
+                            spool.write(buf + b"\n")
+                            spool.flush()
+                            os.fsync(spool.fileno())
+                            n = len(buf) + 1
+                            buf = b""
+                            with self._lock:
+                                self._flushed += n
+                                self._write_hwm(self._flushed)
                         with self._lock:
                             self._eof = True
                         break
@@ -199,6 +252,7 @@ class _Receiver:
                     buf = buf[cut + 1 :]
                     with self._lock:
                         self._flushed += cut + 1
+                        self._write_hwm(self._flushed)
         except BaseException as exc:  # spool write failure is terminal too
             with self._lock:
                 self._error = exc
@@ -242,11 +296,31 @@ class _Receiver:
             pass
         self._release_lock()
 
-    def _release_lock(self) -> None:
+    def _read_hwm(self) -> int:
         try:
-            os.unlink(self._lock_path)
-        except OSError:
-            pass
+            with open(self._hwm_path) as fh:
+                return int(fh.read().strip() or "0")
+        except (FileNotFoundError, ValueError):
+            return 0
+
+    def _write_hwm(self, value: int) -> None:
+        # fixed-width pwrite on a held fd: monotone values never need a
+        # truncate, and a torn read can only lose trailing digits of a
+        # strictly larger value — never invent a larger one
+        if self._hwm_fd is not None:
+            try:
+                os.pwrite(self._hwm_fd, f"{value:020d}\n".encode(), 0)
+            except OSError:
+                pass  # diagnostics-grade: the guard degrades, never fails
+
+    def _release_lock(self) -> None:
+        if self._hwm_fd is not None:
+            try:
+                os.close(self._hwm_fd)
+            except OSError:
+                pass
+            self._hwm_fd = None
+        self._spool_lock.release()
 
 
 class TcpLinesStreamReader(DataSourceStreamReader):

@@ -47,7 +47,9 @@ class _FeedServer:
         return self._srv.server_address[1]
 
     def send(self, lines: list[str]) -> None:
-        data = ("".join(f"{ln}\n" for ln in lines)).encode()
+        self.send_raw(("".join(f"{ln}\n" for ln in lines)).encode())
+
+    def send_raw(self, data: bytes) -> None:
         with self._lock:
             for q in self._queues:
                 q.append(data)
@@ -421,9 +423,11 @@ def test_tcp_lines_checkpoint_outliving_spool_raises(spark, tmp_path):
 
 
 def test_tcp_lines_spool_lock_exclusive(tmp_path):
-    """ADVICE r10: two receivers on one spool would interleave appends and
-    corrupt line-boundary offsets — the second must fail fast on the live
-    pid lock, and a stale lock (dead pid) is stolen."""
+    """ADVICE r10/r11: two receivers on one spool would interleave appends
+    and corrupt line-boundary offsets — the second must fail fast while
+    the flock is held, and the lock must free itself the moment the
+    holder releases (kernel-owned liveness: no pid heuristic, no steal
+    race, no host-locality assumption)."""
     import os
 
     import pytest
@@ -436,10 +440,125 @@ def test_tcp_lines_spool_lock_exclusive(tmp_path):
     spool_dir = str(tmp_path / "spool")
     os.makedirs(spool_dir)
     lock = _acquire_spool_lock(spool_dir)
-    with pytest.raises(RuntimeError, match="locked by live pid"):
+    with pytest.raises(RuntimeError, match="locked by live receiver"):
         _acquire_spool_lock(spool_dir)
-    os.unlink(lock)
-    # stale lock: a pid that no longer exists is stolen silently
+    lock.release()
+    # a crashed owner's lock is implicitly free: flock dies with its fd,
+    # so reacquisition needs no staleness logic — even with leftover
+    # diagnostic content in the file
     with open(os.path.join(spool_dir, _SPOOL_LOCK_FILE), "w") as fh:
-        fh.write("999999999")
-    assert _acquire_spool_lock(spool_dir).endswith(_SPOOL_LOCK_FILE)
+        fh.write("somehost:999999999")
+    lock2 = _acquire_spool_lock(spool_dir)
+    assert lock2.path.endswith(_SPOOL_LOCK_FILE)
+    lock2.release()
+
+
+def test_tcp_lines_spool_lock_survives_unlocked_writers(tmp_path):
+    """A process that merely OPENS/WRITES the lock file without flocking it
+    (the r10 TOCTOU shape: a stealer recreating the file) cannot displace
+    the holder — the fd-held flock, not the file's existence, is the
+    lock."""
+    import pytest
+
+    from species_range_data_pipeline_spark.sources.tcp_lines import (
+        _acquire_spool_lock,
+    )
+
+    spool_dir = str(tmp_path / "spool")
+    import os
+
+    os.makedirs(spool_dir)
+    lock = _acquire_spool_lock(spool_dir)
+    with open(lock.path, "w") as fh:  # overwrite content, hold no flock
+        fh.write("intruder:1")
+    with pytest.raises(RuntimeError, match="locked by live receiver"):
+        _acquire_spool_lock(spool_dir)
+    lock.release()
+
+
+def test_tcp_lines_eof_flushes_unterminated_final_line(spark, tmp_path):
+    """ADVICE r11: under onEof=complete, EOF is the declared end-of-stream
+    — a final line the feeder never newline-terminated is still data and
+    must be delivered, not silently dropped from the receive buffer."""
+    from species_range_data_pipeline_spark.sources.tcp_lines import (
+        register_tcp_lines_source,
+    )
+
+    register_tcp_lines_source(spark)
+    srv = _FeedServer()
+    try:
+        q = (
+            spark.readStream.format("tcp_lines")
+            .option("host", "127.0.0.1")
+            .option("port", srv.port)
+            .option("spool", str(tmp_path / "spool"))
+            .option("onEof", "complete")
+            .load()
+            .writeStream.format("memory")
+            .queryName("tcp_eof_tail")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        assert _await(lambda: len(srv._queues) > 0)
+        srv.send_raw(b"a,1\nb,2\nc,3")  # final line unterminated
+
+        def _rows():
+            try:
+                return {
+                    r["value"] for r in spark.table("tcp_eof_tail").collect()
+                }
+            except Exception:
+                return set()
+
+        assert _await(lambda: _rows() >= {"a,1", "b,2"})
+        srv.close()  # EOF: the buffered "c,3" must flush as a final line
+        assert _await(lambda: _rows() == {"a,1", "b,2", "c,3"}, timeout=60)
+        assert q.exception() is None
+        q.stop()
+    finally:
+        try:
+            srv.close()
+        except Exception:
+            pass
+
+
+def test_tcp_lines_spool_below_high_water_mark_raises(tmp_path):
+    """ADVICE r11: spool FILE deleted/truncated while spool.id survived —
+    the identity check passes and the offsets-vs-size check only trips
+    until a new feed regrows past the committed offsets.  The recorded
+    high-water mark closes that window: a receiver starting over a spool
+    smaller than the recorded HWM must refuse."""
+    import os
+    import socket as _socket
+
+    import pytest
+
+    from species_range_data_pipeline_spark.sources.tcp_lines import (
+        _SPOOL_FILE,
+        _SPOOL_HWM_FILE,
+        _Receiver,
+    )
+
+    spool_dir = tmp_path / "spool"
+    spool_dir.mkdir()
+    (spool_dir / _SPOOL_FILE).write_bytes(b"a,1\n")  # 4 bytes
+    (spool_dir / _SPOOL_HWM_FILE).write_text(f"{100:020d}\n")
+    srv = _socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    try:
+        with pytest.raises(RuntimeError, match="high-water mark"):
+            _Receiver(
+                "127.0.0.1",
+                srv.getsockname()[1],
+                str(spool_dir / _SPOOL_FILE),
+            )
+        # and the refusing receiver must not leave the spool locked
+        os.unlink(spool_dir / _SPOOL_HWM_FILE)  # clear the planted HWM
+        ok = _Receiver(
+            "127.0.0.1", srv.getsockname()[1], str(spool_dir / _SPOOL_FILE)
+        )
+        ok.close()
+    finally:
+        srv.close()
