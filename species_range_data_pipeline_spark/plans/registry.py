@@ -33,95 +33,82 @@ _MODULE_NAMES = [
 # tests/test_registry.py): exactly 50 names, every plan module (all 16)
 # represented, every name resolves, every name oracle-backed.
 #
-# Round-11 window (seventh rotation, VERDICT r10 next #1/#3): clear the
-# r4/r5 staleness backlog.  After r10 the stalest driver rows were 16
-# r4-era + 30 r5-era; this window takes 44 of those 46 (every r5 row,
-# and 14 of the 16 r4 rows), plus stream_tcp_counts (FIRST driver row
-# for sources/tcp_lines.py — the replayable TCP socket source driven
-# against a live in-process feeder, VERDICT #3), the flagship sentinel,
-# and the 4 per-module coverage fillers the invariant requires
-# (bpe_encode_tokens r9, retrieval_rrf_fusion r10 — also the round's
-# perf A/B watch query, so a fresh driver timing lands beside the A/B,
-# multimodal_ahash_dups r9, graph_triangles r6 — the registry's single
-# stalest non-r4/r5 row).  The two r4 rows that did not fit are
-# setop_except_all and setop_intersect_all, the ALL-semantics twins of
-# setop_except / setop_intersect which both went driver-green in r10 —
-# the narrowest evidence gap available; they lead the r12 window.
+# Round-12 window (eighth rotation, VERDICT r11 next #1): FINISH the
+# freshness rotation.  Takes every row whose newest driver evidence is
+# r6-or-older — the r4-era setop ALL-semantics twins (setop_except_all,
+# setop_intersect_all) plus the 35-row r6-era remainder — plus the two
+# first-driver-row lanes: stream_tcp_restart (the r11-built
+# checkpoint-restart exactly-once replay, the only registry query never
+# windowed) and emb_dedup_components_lsh (the r12-built production
+# SemDeDup lane: LSH banded pairs -> star components, VERDICT r11 next
+# #4).  The flagship sentinel and 4 per-module coverage fillers complete
+# the module invariant (bpe_train_merges r10, multimodal_decode_stats
+# r9, retrieval_rrf_fusion r11 — the retrieval module's only query,
+# q4_order_priority r9 — tpch_extra's stalest row); the remaining 6
+# slots take the stalest r7-era rows.  After this window lands green, no
+# registry query's newest driver evidence predates r7 and driver
+# coverage is 199/199 all-time.
 #
-# Round-12 window (planned, VERDICT r10 next #7): setop_except_all,
-# setop_intersect_all, then the r6-era remainder (35 rows after
-# graph_triangles lands here): ab_test_conversion, agg_bitmap_distinct,
-# agg_listagg, agg_minmax_by, agg_stats, basket_brand_pairs, date_funcs,
-# dedup_ngram_jaccard, doc_pack_sequences_sharded, dq_checks, emb_norms,
-# ev_gapfill, ev_ohlc_bars, ev_sliding, geo_haversine_nearest,
-# geo_raster_regrid, geo_reproject_points, hier_rollup,
-# hist_price_buckets, join_nullsafe, layout_zorder, math_funcs,
-# mv_incremental_refresh, q14_promo_share, q18_large_orders,
-# q19_disjunctive_predicates, q7_nation_volume, regexp_group_funcs,
-# sample_weighted, str_funcs, text_quality, text_tfidf_topk,
-# text_token_count, unpivot_measures, window_percent_dist — 37 slots,
-# leaving 13 for the flagship sentinel, coverage fillers, and the
-# r11-built stream_tcp_restart (checkpoint-restart replay lane, first
-# driver row owed).  That finishes the freshness rotation: after r12 no
-# row's newest driver evidence predates r7.
-#
-# Swapped out: the r10 window's 50 hash-green rows (kernels untouched).
+# Swapped out: the r11 window's 50 hash-green rows (kernels untouched
+# except dedup_minhash_lsh/dedup_paragraphs, whose r12 skew hardening is
+# oracle-pinned locally by test_oracle_parity + sweep_stringify).
 _PRIORITY = [
-    # flagship sentinel (driver-green r5-r10; also the entry() smoke)
+    # flagship sentinel (driver-green r5-r11; also the entry() smoke)
     "flagship_threshold_rollup",
-    # FIRST driver row: replayable TCP line source, live feeder end-to-end
-    "stream_tcp_counts",
+    # FIRST driver rows
+    "stream_tcp_restart",        # r11 checkpoint-restart replay lane
+    "emb_dedup_components_lsh",  # r12 production SemDeDup lane
     # --- per-module coverage fillers ---
-    "bpe_encode_tokens",       # bpe, r9
-    "retrieval_rrf_fusion",    # retrieval (module's only query), r10; perf A/B watch
-    "multimodal_ahash_dups",   # media, r9
-    "graph_triangles",         # graph, r6 (stalest non-r4/r5 row)
-    # --- r4-era rows (14 of 16; the setop _all twins lead r12) ---
-    "agg_approx_distinct",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_percentiles",
-    "join_left_counts",
-    "join_range_bands",
-    "sort_nulls_ordering",
-    "window_lag_delta",
-    "window_ntile_buckets",
-    "window_rolling_median",
-    "window_running_total",
-    "window_trailing_range",
-    "window_value_frames",
-    # --- r5-era rows (all 30) ---
-    "agg_cube",
-    "cdf_row_changes",
-    "doc_pack_sequences",
-    "doc_quality_funnel",
-    "emb_dedup_components",
-    "ev_funnel",
-    "ev_retention_cohorts",
-    "ev_sessionization",
-    "ev_tumbling",
-    "geo_dissolve_area",
-    "geo_polygonize_components",
-    "geo_spatial_join_bin",
-    "join_asof",
-    "join_interval_overlap",
-    "join_lateral_topk",
-    "json_funcs",
-    "merge_upsert",
-    "pivot_wide_status",
-    "q21_suppliers_kept_waiting",
-    "q2_top_supplier_per_nation",
-    "q9_product_type_profit",
-    "sample_stratified",
-    "setop_union_distinct",
-    "sky_pareto_front",
-    "str_fuzzy_match",
-    "text_bm25_topk",
-    "text_decontaminate",
-    "text_langid",
-    "text_pii_redact",
-    "window_topk_per_group",
+    "bpe_train_merges",          # bpe, r10
+    "multimodal_decode_stats",   # media, r9
+    "retrieval_rrf_fusion",      # retrieval (module's only query), r11
+    "q4_order_priority",         # tpch_extra, r9 (module's stalest)
+    # --- r4-era rows (the last two; ALL-semantics setop twins) ---
+    "setop_except_all",
+    "setop_intersect_all",
+    # --- r6-era remainder (all 35) ---
+    "ab_test_conversion",
+    "agg_bitmap_distinct",
+    "agg_listagg",
+    "agg_minmax_by",
+    "agg_stats",
+    "basket_brand_pairs",
+    "date_funcs",
+    "dedup_ngram_jaccard",
+    "doc_pack_sequences_sharded",
+    "dq_checks",
+    "emb_norms",
+    "ev_gapfill",
+    "ev_ohlc_bars",
+    "ev_sliding",
+    "geo_haversine_nearest",
+    "geo_raster_regrid",
+    "geo_reproject_points",
+    "hier_rollup",
+    "hist_price_buckets",
+    "join_nullsafe",
+    "layout_zorder",
+    "math_funcs",
+    "mv_incremental_refresh",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q7_nation_volume",
+    "regexp_group_funcs",
+    "sample_weighted",
+    "str_funcs",
+    "text_quality",
+    "text_tfidf_topk",
+    "text_token_count",
+    "unpivot_measures",
+    "window_percent_dist",
+    # --- r7-era rows (6 stalest; the remaining three lead r13) ---
+    "emb_near_dup_bruteforce",
+    "ev_rollup_two_level",
+    "ev_type_pivot",
+    "json_variant_funcs",
+    "text_fingerprint",
+    "text_token_count_bpe",
 ]
 
 # Queries whose oracles are pure VALUES restatements of expected OUTPUT
@@ -139,6 +126,7 @@ SELF_PINNED = frozenset({
     "bpe_encode_tokens",
     "bpe_train_merges",
     "doc_pack_ffd",
+    "emb_dedup_components_lsh",
     "emb_kmeans",
     "emb_near_dup_lsh",
     "emb_pca_project",

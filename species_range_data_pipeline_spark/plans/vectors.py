@@ -163,6 +163,13 @@ def emb_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = emb_near_dup_bruteforce(spark, sf_dir).select("vec_a", "vec_b")
     comp = connected_components_star(pairs, src="vec_a", dst="vec_b")
+    return _component_summary(comp)
+
+
+def _component_summary(comp: DataFrame) -> DataFrame:
+    """(id, comp) -> one row per cluster: size + sorted member roster.
+    Shared tail of the brute-force oracle twin and the LSH production
+    lane, so the two differ ONLY in pair generation."""
     return (
         comp.groupBy(F.col("comp").alias("cluster_id"))
         .agg(
@@ -176,6 +183,33 @@ def emb_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+def emb_dedup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION SemDeDup path (VERDICT r11 next #4): the exact swap
+    ``emb_dedup_components``' docstring promises — hyperplane-LSH banded
+    pair generation (``operators/similarity.near_dup_lsh``: seeded random
+    hyperplanes, banded signatures, bucket-local candidate join, exact
+    re-score) feeding the IDENTICAL large-star/small-star component +
+    representative tail (``_component_summary``).
+
+    At 100 TB the brute-force twin's all-pairs scan is impossible; this
+    lane's cost is the banded candidate join (bucket-local, like the
+    lexical LSH) plus O(log n) component rounds.  Recall vs the
+    brute-force twin is pinned in tests/test_similarity.py, and the
+    component tail is independently verified there against a pure-Python
+    union-find over the same recalled pair set.  Deterministic (seeded
+    hyperplanes, fixed banding), hence driver-checkable via the
+    scale-keyed VALUES pin in plans/pinned.py.
+    """
+    from ..operators.similarity import near_dup_lsh
+    from .graph import connected_components_star
+
+    pairs = near_dup_lsh(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    ).select("vec_a", "vec_b")
+    comp = connected_components_star(pairs, src="vec_a", dst="vec_b")
+    return _component_summary(comp)
 
 
 EMB_DEDUP_COMPONENTS_ORACLE = """
@@ -586,10 +620,12 @@ QUERIES = {
     "emb_near_dup_bruteforce": emb_near_dup_bruteforce,
     "emb_near_dup_lsh": emb_near_dup_lsh,
     "emb_dedup_components": emb_dedup_components,
+    "emb_dedup_components_lsh": emb_dedup_components_lsh,
     "ann_ivf_topk": ann_ivf_topk,
 }
 
 from .pinned import (  # noqa: E402  (VALUES pins live in their own module)
+    EMB_DEDUP_COMPONENTS_LSH_ORACLE,
     EMB_KMEANS_ORACLE,
     EMB_NEAR_DUP_LSH_ORACLE,
     EMB_PCA_PROJECT_ORACLE,
@@ -607,5 +643,6 @@ ORACLES = {
     "emb_near_dup": EMB_NEAR_DUP_ORACLE,
     "emb_near_dup_bruteforce": EMB_NEAR_DUP_ORACLE,
     "emb_dedup_components": EMB_DEDUP_COMPONENTS_ORACLE,
+    "emb_dedup_components_lsh": EMB_DEDUP_COMPONENTS_LSH_ORACLE,
     "ann_ivf_topk": ANN_IVF_ORACLE,
 }

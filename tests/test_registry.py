@@ -124,6 +124,7 @@ SCALE_KEYED_ORACLES = {
     "text_compression_ratio": ("documents", {500, 5000}),
     "sketch_quantile_bottomk": ("events", {10_000, 100_000}),
     # plans/pinned.py (round-7 graduation of the last rows-only queries)
+    "emb_dedup_components_lsh": ("embeddings", {500, 2000}),
     "emb_kmeans": ("embeddings", {500, 2000}),
     "emb_near_dup_lsh": ("embeddings", {500, 2000}),
     "emb_pca_project": ("embeddings", {500, 2000}),
@@ -156,6 +157,7 @@ SELF_PINNED_GOLDENS = {
     "bpe_train_merges": "tests/test_bpe.py::test_spark_bpe_matches_reference_on_fixture_corpus",
     "doc_pack_ffd": "tests/test_packing.py::test_doc_pack_ffd_matches_reference_and_bounds",
     "emb_kmeans": "tests/test_clustering.py::test_kmeans_matches_numpy_reference",
+    "emb_dedup_components_lsh": "tests/test_similarity.py::test_lsh_components_match_union_find_on_recalled_pairs",
     "emb_near_dup_lsh": "tests/test_similarity.py::test_lsh_near_dup_precision_and_recall",
     "emb_pca_project": "tests/test_clustering.py::test_pca_matches_numpy_reference",
     "emb_pq_topk": "tests/test_similarity.py::test_pq_refined_recall_vs_exact",

@@ -40,6 +40,59 @@ def test_lsh_near_dup_precision_and_recall(spark):
     assert recall >= 0.9, f"recall {recall:.2f} below floor"
 
 
+def test_lsh_components_match_union_find_on_recalled_pairs(spark):
+    """Independent golden for the production SemDeDup lane
+    (emb_dedup_components_lsh, VERDICT r11 next #4): the Spark
+    large-star/small-star component tail over the LSH pair set must
+    equal a pure-Python union-find over the SAME pairs (component
+    correctness on the recalled subgraph), and the lane's clusters must
+    cover >= 90% of the brute-force twin's clustered vectors (the
+    recall the banding admits)."""
+    from species_range_data_pipeline_spark.plans.vectors import (
+        emb_dedup_components,
+        emb_dedup_components_lsh,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    pairs = [
+        (r.vec_a, r.vec_b) for r in near_dup_lsh(emb, 0.4).collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    ref: dict[int, list[int]] = {}
+    for v in parent:
+        ref.setdefault(find(v), []).append(v)
+    want = {
+        (root, len(ms), ",".join(str(m) for m in sorted(ms)))
+        for root, ms in ref.items()
+    }
+    got = {
+        (r.cluster_id, r.n_members, r.members)
+        for r in emb_dedup_components_lsh(spark, SF_CORRECT).collect()
+    }
+    assert got == want
+    # coverage vs the brute-force twin: near-total at the fixture scale
+    brute_members = set()
+    for r in emb_dedup_components(spark, SF_CORRECT).collect():
+        brute_members.update(int(m) for m in r.members.split(","))
+    lsh_members = {int(m) for row in got for m in row[2].split(",")}
+    assert lsh_members <= brute_members  # precision 1.0: no false pairs
+    coverage = len(lsh_members) / len(brute_members)
+    assert coverage >= 0.9, f"clustered-vector coverage {coverage:.2f}"
+
+
 def test_pandas_topk_matches_expression_topk(spark):
     got = [
         (r.query_id, r.cand_id, r.cos_sim, r.rnk)
