@@ -217,17 +217,27 @@ def main() -> None:
             return None
         return time.perf_counter() - t0
 
+    def _all_job_ids() -> set[int]:
+        """Job ids across ALL job groups from the app status store.
+        statusTracker().getJobIdsForGroup(None) only sees the default
+        group (ADVICE r11): streaming lanes run jobs from
+        streaming-engine threads that carry their own group, so their
+        counts undercounted.  Bounded by spark.ui.retainedJobs (1000) —
+        far above any single headline pass; id-set diffing makes
+        eviction of OLD ids harmless."""
+        seq = spark.sparkContext._jsc.sc().statusStore().jobsList(None)
+        jlist = spark._jvm.scala.jdk.javaapi.CollectionConverters.asJava(seq)
+        return {j.jobId() for j in jlist}
+
     def _run_once_counted(fn) -> float | None:
         """One pass with its Spark JOB count recorded (SCALE.md rule 45:
         on a box whose per-job scheduler overhead drifts, a row is only
         judgeable against a control of similar job count — so the count
         is published with the timing)."""
-        tracker = spark.sparkContext.statusTracker()
-        before = set(tracker.getJobIdsForGroup(None) or [])
+        before = _all_job_ids()
         dt = _run_once(fn)
         if dt is not None:
-            after = set(tracker.getJobIdsForGroup(None) or [])
-            jobs[name] = len(after - before)
+            jobs[name] = len(_all_job_ids() - before)
         return dt
 
     for name in HEADLINE:
