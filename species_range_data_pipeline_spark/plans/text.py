@@ -554,19 +554,27 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
 _LSH_BUCKET_CAP = 1000
 
 
-def minhash_lsh_pairs(docs: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFrame:
-    """MinHash+LSH candidate pairs over a (doc_id, text) frame.
+def _lsh_banded(docs: DataFrame, shared: bool = False) -> DataFrame:
+    """(doc_id, band, bucket) band-signature rows — the shared head of the
+    pair generator and the bucket-stats side channel.
 
     shingle explode -> 8 salted min-md5 per doc (MinHash signature) ->
-    4 bands x 2 hashes -> docs sharing any band bucket are candidates.
-    The only joins are within band buckets (the LSH point: at 100 TB this
-    is the difference between a bucket-local join and an all-pairs
-    explosion), and buckets are size-capped via hash sub-sharding.
+    4 bands x 2 hashes.  No distinct() on shingles: min() is
+    duplicate-insensitive, and the groupBy's map-side partial aggregation
+    already collapses everything to 8 hashes per doc per partition — a
+    distinct here would be a second full-width shuffle of the raw shingle
+    strings for nothing.  One band explode instead of a 4-way union (the
+    union re-evaluated the whole shingle->signature lineage per band).
+
+    ``shared=True`` for callers with MULTIPLE consumers of the result:
+    without a materialization barrier Catalyst re-derives the whole
+    scan->shingle->min-hash pipeline per branch (verified: the naive
+    capped pair generator planned two FileScans).  A LAZY localCheckpoint
+    makes the one final action compute signatures once and share them,
+    with no cross-invocation cache reuse (each call builds a fresh RDD —
+    bench passes stay honest).  Same discipline as graph_pagerank's edge
+    cache.
     """
-    # No distinct() on shingles: min() is duplicate-insensitive, and the
-    # groupBy's map-side partial aggregation already collapses everything to
-    # 8 hashes per doc per partition — a distinct here would be a second
-    # full-width shuffle of the raw shingle strings for nothing.
     sh = docs.select("doc_id", _tokens().alias("toks")).select(
         "doc_id", F.explode(_shingles_expr()).alias("shingle")
     )
@@ -583,10 +591,8 @@ def minhash_lsh_pairs(docs: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFrame:
             for j in range(_SLICES_PER_MD5)
         ]
     )
-    # One explode instead of a 4-way union (the union re-evaluated the whole
-    # shingle->signature lineage per band), and bucket-local pair generation
-    # via collect_list instead of a self-join (which evaluated it twice
-    # more).  The signature pipeline now runs exactly once.
+    if shared:
+        sig = sig.localCheckpoint(eager=False)
     per_band = len(_MINHASH_SALTS) * _SLICES_PER_MD5 // _LSH_BANDS
     band_structs = [
         F.struct(
@@ -597,18 +603,24 @@ def minhash_lsh_pairs(docs: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFrame:
         )
         for b in range(_LSH_BANDS)
     ]
-    # The cap needs bucket sizes, and sizes + pair generation are TWO
-    # consumers of the signature table: without a materialization barrier
-    # Catalyst re-derives the whole scan->shingle->min-hash pipeline per
-    # branch (verified: the naive form plans two FileScans).  A LAZY
-    # localCheckpoint makes the one final action compute signatures once
-    # and share them across both branches, with no cross-invocation cache
-    # reuse (each call builds a fresh RDD — bench passes stay honest).
-    # Same discipline as graph_pagerank's edge cache.
-    sig = sig.localCheckpoint(eager=False)
-    banded = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_pairs(docs: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFrame:
+    """MinHash+LSH candidate pairs over a (doc_id, text) frame.
+
+    Docs sharing any band bucket are candidates.  The only joins are
+    within band buckets (the LSH point: at 100 TB this is the difference
+    between a bucket-local join and an all-pairs explosion), and buckets
+    are size-capped via hash sub-sharding — ``dedup_lsh_bucket_stats``
+    is the oracle-backed side channel that makes over-cap buckets
+    visible to operators.
+    """
+    # shared=True: bucket sizes + pair generation are TWO consumers of
+    # the signature table (see _lsh_banded).
+    banded = _lsh_banded(docs, shared=True)
     # Bucket sizes via a constant-buffer count agg (partial-aggregable,
     # skew-immune — unlike collect_list, a billion-row bucket costs one
     # long per partition per bucket).
@@ -642,6 +654,92 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         _ensure_parallel(load_table(spark, sf_dir, "documents"))
     )
+
+
+def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band LSH bucket-population stats — the OBSERVABILITY side
+    channel for the hot-bucket cap (VERDICT r11 next #2: over-cap buckets
+    sub-shard silently in the pair generator; this query is how an
+    operator SEES them).  Per band: candidate buckets (>= 2 docs),
+    singletons, the largest bucket, the exact uncapped candidate-pair
+    volume sum C(n, 2), and how many buckets exceed the sub-shard cap
+    (zero on any non-adversarial corpus — the fixture headroom test pins
+    it).  One constant-buffer aggregation over the banded signatures +
+    one tiny per-band rollup: skew-immune by construction, so it is safe
+    to run on exactly the corpora that would blow up the uncapped pair
+    generator.
+    """
+    banded = _lsh_banded(_ensure_parallel(load_table(spark, sf_dir, "documents")))
+    sizes = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        sizes.groupBy("band")
+        .agg(
+            F.sum(F.when(F.col("n") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_buckets"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_singletons"),
+            F.max("n").alias("max_bucket"),
+            # integer DIV keeps the pair count exact at any magnitude
+            # (n*(n-1) is always even); double division would round
+            # once counts pass 2^53
+            F.sum(F.expr("n * (n - 1) DIV 2")).cast("long")
+            .alias("candidate_pairs"),
+            F.sum(F.when(F.col("n") > _LSH_BUCKET_CAP, 1).otherwise(0))
+            .cast("long")
+            .alias("n_over_cap"),
+        )
+        .orderBy("band")
+    )
+
+
+DEDUP_LSH_BUCKET_STATS_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+    FROM documents
+), idx AS (
+    SELECT doc_id, t,
+           unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+    FROM toks
+), sh AS (
+    SELECT DISTINCT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                ELSE array_to_string(t, ' ') END AS shingle
+    FROM idx
+), hashed AS (
+    SELECT doc_id, md5('s0|' || shingle) AS h0, md5('s1|' || shingle) AS h1
+    FROM sh
+), sig AS (
+    SELECT doc_id,
+           min(substring(h0, 1, 8))  AS mh0, min(substring(h0, 9, 8))  AS mh1,
+           min(substring(h0, 17, 8)) AS mh2, min(substring(h0, 25, 8)) AS mh3,
+           min(substring(h1, 1, 8))  AS mh4, min(substring(h1, 9, 8))  AS mh5,
+           min(substring(h1, 17, 8)) AS mh6, min(substring(h1, 25, 8)) AS mh7
+    FROM hashed GROUP BY doc_id
+), banded AS (
+    SELECT doc_id, 0 AS band, mh0 || '#' || mh1 AS bucket FROM sig
+    UNION ALL SELECT doc_id, 1, mh2 || '#' || mh3 FROM sig
+    UNION ALL SELECT doc_id, 2, mh4 || '#' || mh5 FROM sig
+    UNION ALL SELECT doc_id, 3, mh6 || '#' || mh7 FROM sig
+), sizes AS (
+    SELECT band, bucket, count(*) AS n FROM banded GROUP BY band, bucket
+)
+SELECT band,
+       CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+       max(n) AS max_bucket,
+       CAST(sum(n * (n - 1) / 2) AS BIGINT) AS candidate_pairs,
+       CAST(sum(CASE WHEN n > {_LSH_BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_over_cap
+FROM sizes
+GROUP BY band
+ORDER BY band
+"""
 
 
 DEDUP_MINHASH_ORACLE = """
@@ -1959,6 +2057,7 @@ QUERIES = {
     "text_winnow_fingerprint": text_winnow_fingerprint,
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_lsh_bucket_stats": dedup_lsh_bucket_stats,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
 }
@@ -1987,6 +2086,7 @@ ORACLES = {
     "text_winnow_fingerprint": TEXT_WINNOW_ORACLE,
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "dedup_minhash_lsh": DEDUP_MINHASH_ORACLE,
+    "dedup_lsh_bucket_stats": DEDUP_LSH_BUCKET_STATS_ORACLE,
     "dedup_ngram_jaccard": DEDUP_NGRAM_ORACLE,
     "dedup_simhash": DEDUP_SIMHASH_ORACLE,
 }
