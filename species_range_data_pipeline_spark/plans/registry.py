@@ -49,6 +49,13 @@ _MODULE_NAMES = [
 # registry query's newest driver evidence predates r7 and driver
 # coverage is 199/199 all-time.
 #
+# Round-13 window (planned): the freshness backlog is cleared, so r13
+# starts the steady-state rotation — first driver rows for the r12-built
+# dedup_lsh_bucket_stats, then the three r7-era rows that did not fit
+# here (text_winnow_fingerprint, text_word_topk, xml_roundtrip_parse),
+# then the r8-era tranche (recompute from CORRECTNESS_r01..r12 union at
+# window-build time), flagship sentinel + module fillers as always.
+#
 # Swapped out: the r11 window's 50 hash-green rows (kernels untouched
 # except dedup_minhash_lsh/dedup_paragraphs, whose r12 skew hardening is
 # oracle-pinned locally by test_oracle_parity + sweep_stringify).
