@@ -386,7 +386,8 @@ def corpus_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunking), fused so Catalyst plans the whole pipeline at once — the
     filter prunes before the dedup shuffle, and the dedup output feeds
     the packing window without rematerialization.  At 100 TB the wide
-    exchanges are: one on the fingerprint (dedup), one on source
+    exchanges are: one on the fingerprint (dedup, a mergeable min-struct
+    agg — skew-immune to hot boilerplate fingerprints), one on source
     (packing window); everything else is scan-stage math.
     """
     from .quality import normalized_fingerprint, quality_pass_condition
@@ -399,11 +400,24 @@ def corpus_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens.alias("n_tokens"),
         normalized_fingerprint().alias("fp"),
     )
-    wd = Window.partitionBy("fp").orderBy("doc_id")
+    # First occurrence per fingerprint as a mergeable min(struct) (r12
+    # skew-proofing, the dedup_paragraphs discipline): doc_id leads the
+    # struct so the agg realizes the old window's orderBy(doc_id), and
+    # its uniqueness makes the carried (source, n_tokens) argmin-safe.
+    # A hot boilerplate fingerprint partial-aggregates map-side instead
+    # of landing on one row_number task.
     kept = (
-        passed.withColumn("rn", F.row_number().over(wd))
-        .where(F.col("rn") == 1)
-        .drop("rn", "fp")
+        passed.groupBy("fp")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("doc_id").alias("doc_id"),
+                    F.col("source").alias("source"),
+                    F.col("n_tokens").alias("n_tokens"),
+                )
+            ).alias("w")
+        )
+        .select("w.doc_id", "w.source", "w.n_tokens")
     )
     wp = (
         Window.partitionBy("source")

@@ -463,9 +463,15 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     longest-wins rule was never exercised) so the collapse is observable
     on fixture data; the fingerprint is ``normalized_fingerprint()``
     (md5 of the case-folded, whitespace-collapsed text), and within a
-    fingerprint the longest text wins (ties -> lowest doc_id) via one
-    window — the keep-best rule real cleaning pipelines use instead of
-    "arbitrary survivor".  Scale shape: one hash shuffle on the
+    fingerprint the longest text wins (ties -> lowest doc_id) — the
+    keep-best rule real cleaning pipelines use instead of "arbitrary
+    survivor".  Scale shape (r12 skew-proofing, the dedup_paragraphs
+    discipline): the winner is ONE mergeable
+    ``min(struct(-n_chars, doc_id, lang))`` per fingerprint — struct
+    ordering realizes (n_chars DESC, doc_id ASC), doc_id uniqueness
+    makes trailing fields argmin-safe — so a million-copy boilerplate
+    fingerprint collapses map-side instead of funneling into the single
+    task a ``row_number`` window would give it.  One hash shuffle on the
     fingerprint; the twin construction is a narrow map.
     """
     docs = load_table(spark, sf_dir, "documents").select(
@@ -479,13 +485,19 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     both = docs.unionByName(twin)
     fp = normalized_fingerprint()
-    w = Window.partitionBy("fp").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id").asc()
-    )
     kept = (
         both.withColumn("fp", fp)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        .groupBy("fp")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n_chars")).alias("neg_chars"),
+                    F.col("doc_id").alias("doc_id"),
+                    F.col("lang").alias("lang"),
+                )
+            ).alias("w")
+        )
+        .select(F.col("w.doc_id").alias("doc_id"), F.col("w.lang").alias("lang"))
     )
     return (
         kept.groupBy("lang")

@@ -321,6 +321,25 @@ def test_dedup_paragraphs_two_wide_shuffles(spark):
     assert "partial_min" in plan, plan  # the mergeable first-occurrence agg
 
 
+def test_fingerprint_dedup_has_no_window_on_content_keys(spark):
+    """r12 skew-proofing sweep: every first/best-occurrence pass keyed on
+    CONTENT (fingerprints, chunk text) must be a mergeable min-struct
+    aggregation, never a row_number window — a window puts every copy of
+    a hot boilerplate key into one task at 100 TB.  dedup_keep_best and
+    corpus_pipeline_summary's dedup stage join dedup_paragraphs under
+    this pin (corpus_pipeline_summary keeps its window on `source`, a
+    bounded curated domain — assert it windows on nothing else)."""
+    plan = _plan(spark, "dedup_keep_best")
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan, plan
+    plan = _plan(spark, "corpus_pipeline_summary")
+    assert "partial_min" in plan, plan
+    import re
+
+    for m in re.finditer(r"Arguments: \[[^\]]*windowspecdefinition\(([^,)]*)", plan):
+        assert "source" in m.group(1), f"window keyed on {m.group(1)}\n{plan}"
+
+
 def test_minhash_lsh_capped_single_signature_pass(spark):
     """The r12 hot-bucket cap (VERDICT r11 next #2) must not re-derive
     the scan->shingle->signature pipeline per consumer: signatures are
