@@ -42,6 +42,15 @@ def _plane_lit(plane: np.ndarray) -> Column:
     return F.array(*[F.lit(float(x)) for x in plane])
 
 
+#: Hot-bucket fan-out cap (the plans/text.py `_LSH_BUCKET_CAP` discipline
+#: applied to the embedding side, r12).  Deliberately high: the fixture's
+#: 2-bit bands make ~n/4-sized buckets BY PARAMETERIZATION (the docstring
+#: below says when to widen bands instead), so the cap exists to bound
+#: the adversarial case — a mass-duplicated embedding landing everything
+#: in one bucket — without touching the pinned fixture behavior.
+_EMB_BUCKET_CAP = 100_000
+
+
 def near_dup_candidates(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -50,6 +59,7 @@ def near_dup_candidates(
     n_planes: int = 16,
     bands: int = 8,
     seed: int = 42,
+    cap: int = _EMB_BUCKET_CAP,
 ) -> DataFrame:
     """(id_a, id_b) candidate pairs sharing >=1 LSH band bucket.
 
@@ -65,14 +75,24 @@ def near_dup_candidates(
     fans each vector to its ``bands`` buckets, one groupBy builds the
     buckets; pair generation is bucket-local (same shape as the MinHash LSH
     in plans/text.py, so the same 100 TB argument applies: cost is
-    O(sum bucket^2), bounded by band selectivity, never O(n^2))."""
+    O(sum bucket^2), bounded by band selectivity for the tuned
+    parameterization).  Buckets beyond ``cap`` hash-sub-shard (the
+    plans/text.py r12 hardening): a mass-duplicated embedding cannot blow
+    up the collect_list row or the C(k,2) explode, and degrades to ~one
+    survivor per ~cap-sized shard downstream instead of escaping dedup.
+    The sizes agg and the pair branch share ONE materialization of the
+    narrow (id, 16-bit) signature via a lazy localCheckpoint — at 100 TB
+    re-deriving signatures would re-scan the wide embedding column twice.
+    """
     planes = random_hyperplanes(dim, n_planes, seed)
     v = as_double(vec_col)
     bits = [
         (dot(v, _plane_lit(planes[p])) >= 0).cast("int").alias(f"b{p}")
         for p in range(n_planes)
     ]
-    sig = emb.select(F.col(id_col).alias("id"), *bits)
+    sig = emb.select(F.col(id_col).alias("id"), *bits).localCheckpoint(
+        eager=False
+    )
     per_band = n_planes // bands
     band_structs = [
         F.struct(
@@ -86,8 +106,19 @@ def near_dup_candidates(
     banded = sig.select(
         "id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("id", "bb.band", "bb.bucket")
-    buckets = (
+    sizes = (
         banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+    )
+    shard = F.when(
+        F.col("n") > cap,
+        F.pmod(F.xxhash64("id"), F.ceil(F.col("n") / cap)).cast("int"),
+    ).otherwise(F.lit(0))
+    buckets = (
+        banded.join(sizes, ["band", "bucket"])
+        .select("id", "band", "bucket", shard.alias("shard"))
+        .groupBy("band", "bucket", "shard")
         .agg(F.collect_list("id").alias("ids"))
         .where(F.size("ids") > 1)
     )
@@ -108,6 +139,7 @@ def near_dup_lsh(
     n_planes: int = 16,
     bands: int = 8,
     seed: int = 42,
+    cap: int = _EMB_BUCKET_CAP,
 ) -> DataFrame:
     """LSH candidates -> exact cosine re-score -> pairs >= threshold.
 
@@ -115,7 +147,9 @@ def near_dup_lsh(
     cos_sim); every returned pair is exact (precision 1.0 by construction),
     recall is whatever the banding admits — tests measure it against the
     brute-force plan."""
-    cand = near_dup_candidates(emb, id_col, vec_col, dim, n_planes, bands, seed)
+    cand = near_dup_candidates(
+        emb, id_col, vec_col, dim, n_planes, bands, seed, cap=cap
+    )
     va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (

@@ -74,6 +74,57 @@ def test_lsh_cap_is_inert_below_threshold(spark):
     assert len(default) > 0
 
 
+def test_emb_lsh_hot_bucket_fanout_is_capped(spark):
+    """Embedding-side twin of the MinHash cap: 10^4 IDENTICAL embeddings
+    share every band signature (one bucket per band).  With the cap the
+    bucket sub-shards; per-vector fan-out is bounded by bands * cap and
+    every vector still pairs with someone."""
+    from species_range_data_pipeline_spark.operators.similarity import (
+        near_dup_candidates,
+    )
+
+    n, cap, bands = 10_000, 50, 8
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(j % 7) / 7.0 + 0.1) for j in range(64)]).alias(
+            "embedding"
+        ),
+    )
+    pairs = near_dup_candidates(emb, cap=cap)
+    per_vec = pairs.groupBy("id_a").agg(F.count(F.lit(1)).alias("k"))
+    stats = per_vec.agg(
+        F.max("k").alias("max_k"), F.sum("k").alias("total")
+    ).collect()[0]
+    n_paired = (
+        pairs.select(F.col("id_a").alias("d"))
+        .union(pairs.select(F.col("id_b").alias("d")))
+        .distinct()
+        .count()
+    )
+    assert n_paired == n
+    assert stats["max_k"] <= bands * cap
+    assert stats["total"] < (n * (n - 1)) // 20
+
+
+def test_emb_lsh_cap_is_inert_below_threshold(spark):
+    """Fixture pairs must be identical under the default cap and a cap
+    larger than any bucket (shard constant 0 either way) — the VALUES pin
+    on emb_near_dup_lsh depends on it."""
+    from species_range_data_pipeline_spark.operators.similarity import (
+        near_dup_lsh,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    default = {
+        (r.vec_a, r.vec_b) for r in near_dup_lsh(emb, 0.4).collect()
+    }
+    huge = {
+        (r.vec_a, r.vec_b)
+        for r in near_dup_lsh(emb, 0.4, cap=10**9).collect()
+    }
+    assert default == huge and len(default) > 0
+
+
 def test_fixture_buckets_are_far_below_cap(spark):
     """The oracle's exactness depends on no fixture bucket exceeding the
     cap (over-cap buckets sub-shard, which the SQL oracle does not model).
