@@ -43,12 +43,14 @@ def _plane_lit(plane: np.ndarray) -> Column:
 
 
 #: Hot-bucket fan-out cap (the plans/text.py `_LSH_BUCKET_CAP` discipline
-#: applied to the embedding side, r12).  Deliberately high: the fixture's
-#: 2-bit bands make ~n/4-sized buckets BY PARAMETERIZATION (the docstring
-#: below says when to widen bands instead), so the cap exists to bound
-#: the adversarial case — a mass-duplicated embedding landing everything
-#: in one bucket — without touching the pinned fixture behavior.
-_EMB_BUCKET_CAP = 100_000
+#: applied to the embedding side, r12).  Higher than the text cap because
+#: the fixture's 2-bit bands make ~n/4-sized buckets BY PARAMETERIZATION
+#: (the docstring below says when to widen bands instead): the sf0.1
+#: fixture's largest bucket measures 650, so 4000 keeps >6x headroom for
+#: the VALUES pins (tests/test_dedup_adversarial.py guards the margin)
+#: while bounding any one shard's pair fan-out at C(4000,2) ~ 8e6 — a
+#: mass-duplicated embedding column cannot go quadratic past it.
+_EMB_BUCKET_CAP = 4000
 
 
 def near_dup_candidates(

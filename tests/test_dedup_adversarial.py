@@ -106,6 +106,47 @@ def test_emb_lsh_hot_bucket_fanout_is_capped(spark):
     assert stats["total"] < (n * (n - 1)) // 20
 
 
+def test_emb_fixture_buckets_are_far_below_cap(spark):
+    """The emb_near_dup_lsh / emb_dedup_components_lsh VALUES pins depend
+    on no fixture bucket crossing the sub-shard cap.  Pin the headroom
+    (sf0.01 largest bucket measured 159; sf0.1 650; cap 4000) so fixture
+    regrowth cannot silently cross it."""
+    from species_range_data_pipeline_spark.functions.vectors import (
+        as_double,
+        dot,
+    )
+    from species_range_data_pipeline_spark.operators.similarity import (
+        _EMB_BUCKET_CAP,
+        _plane_lit,
+        random_hyperplanes,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    planes = random_hyperplanes(64, 16, 42)
+    v = as_double("embedding")
+    sig = emb.select(
+        *[
+            (dot(v, _plane_lit(planes[p])) >= 0).cast("int").alias(f"b{p}")
+            for p in range(16)
+        ]
+    )
+    mx = 0
+    for b in range(8):
+        key = F.concat_ws("#", *[f"b{b * 2 + j}" for j in range(2)])
+        top = (
+            sig.groupBy(key.alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n"))
+            .collect()[0][0]
+        )
+        mx = max(mx, top)
+    assert mx * 4 <= _EMB_BUCKET_CAP, (
+        f"fixture's largest embedding-LSH bucket ({mx}) is within 4x of "
+        f"the cap ({_EMB_BUCKET_CAP}); the VALUES pins would diverge if "
+        "it crossed"
+    )
+
+
 def test_emb_lsh_cap_is_inert_below_threshold(spark):
     """Fixture pairs must be identical under the default cap and a cap
     larger than any bucket (shard constant 0 either way) — the VALUES pin
