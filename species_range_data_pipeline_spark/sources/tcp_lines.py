@@ -42,6 +42,9 @@ Usage::
               .option("spool", "/shared/spool/feed1").load())
 
 Schema: ``value string`` (parse downstream, like Spark's text sources).
+``.option("maxBytesPerBatch", N)`` bounds how far each microbatch's
+offset may advance (admission control for slow triggers over fast
+feeds); 0/absent = uncapped.
 """
 
 from __future__ import annotations
@@ -337,6 +340,21 @@ class TcpLinesStreamReader(DataSourceStreamReader):
         self._spool_dir = spool_dir
         self._spool_path = os.path.join(spool_dir, _SPOOL_FILE)
         self._max_parts = int(options.get("maxPartitions", "4"))
+        # Admission control: without a cap, a query restarted after a
+        # long stall (or first started over a large pre-existing backlog)
+        # drains EVERYTHING in one microbatch — unbounded task input and
+        # sink transaction.  With the cap, latestOffset() advances at
+        # most this many bytes past the last offset it returned; the
+        # byte-range/line-boundary convention read() already implements
+        # makes ANY byte position a safe batch boundary (a line belongs
+        # to the batch containing its first byte), so no loss/dup.
+        self._max_batch_bytes = int(options.get("maxBytesPerBatch", "0"))
+        if self._max_batch_bytes < 0:
+            raise ValueError(
+                "tcp_lines .option('maxBytesPerBatch') must be >= 0"
+                " (0 = uncapped)"
+            )
+        self._last_offered: int | None = None
         on_eof = options.get("onEof", "fail")
         if on_eof not in ("fail", "complete"):
             raise ValueError(
@@ -385,7 +403,27 @@ class TcpLinesStreamReader(DataSourceStreamReader):
         # error always; clean EOF under onEof=fail), so a dead feed
         # fails the query instead of plateauing forever (ADVICE r10).
         rcv = self._ensure_receiver()
-        return {"pos": rcv.flushed(), "id": self._spool_id}
+        pos = rcv.flushed()
+        if self._max_batch_bytes:
+            # Admission control: advance at most maxBytesPerBatch past
+            # the previous offer (first offer is based at the
+            # connect-time spool position, which is always >= any
+            # committed offset — the spool cannot grow while no receiver
+            # runs, so this never offers below a checkpoint).  Offers are
+            # monotone; read()'s line-boundary convention makes any byte
+            # position a safe batch edge.  A restart's catch-up batch is
+            # bounded by the crash-time backlog, not by this cap — the
+            # cap governs steady-state batch growth under a slow trigger
+            # or a fast feed.
+            base = (
+                self._last_offered
+                if self._last_offered is not None
+                else rcv.initial
+            )
+            pos = min(pos, base + self._max_batch_bytes)
+            pos = max(pos, base)  # monotonicity under any future edit
+        self._last_offered = pos
+        return {"pos": pos, "id": self._spool_id}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         self._ensure_receiver()
