@@ -51,7 +51,7 @@ _MODULE_NAMES = [
 #
 # Round-13 window (planned): the freshness backlog is cleared, so r13
 # starts the steady-state rotation — first driver rows for the r12-built
-# dedup_lsh_bucket_stats, then the three r7-era rows that did not fit
+# dedup_lsh_bucket_stats and dedup_incremental_minhash, then the three r7-era rows that did not fit
 # here (text_winnow_fingerprint, text_word_topk, xml_roundtrip_parse),
 # then the r8-era tranche (recompute from CORRECTNESS_r01..r12 union at
 # window-build time), flagship sentinel + module fillers as always.

@@ -696,6 +696,107 @@ def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: a NEW batch checked against the EXISTING
+    corpus via shared MinHash band buckets — the nightly-ingest shape a
+    production pipeline runs (dedup the delta, never re-pair the whole
+    corpus).  The fixture split is deterministic: doc_id % 10 >= 8 is the
+    incoming batch, the rest is the standing corpus; "b duplicates a"
+    when they share any band bucket and a.doc_id < b.doc_id (earlier
+    batch members count as corpus for later ones — the streaming-order
+    convention).
+
+    Plan: AGGREGATION-ONLY — no pair explode exists at any scale.  For
+    each (band, bucket) the only candidate that can matter is the bucket
+    MINIMUM (any smaller-id partner implies the bucket min is smaller
+    still), so: one mergeable min(doc_id) per bucket, join back on the
+    bucket key, one min per doc.  Hot boilerplate buckets cost one long
+    per partition instead of C(k, 2) pairs, making this the lane to run
+    on exactly the corpora that need capping in the full pair generator.
+    The banded signature head is shared with dedup_minhash_lsh via ONE
+    lazy localCheckpoint (two consumers); in production the corpus side's
+    signatures would come precomputed from the manifest store, which only
+    removes work relative to this fixture stand-in.
+
+    Output per batch doc: (doc_id, dup_of, is_dup) — dup_of is the
+    smallest shared-bucket partner, engine/oracle-exact.
+    """
+    banded = _lsh_banded(
+        _ensure_parallel(load_table(spark, sf_dir, "documents")), shared=True
+    )
+    mins = banded.groupBy("band", "bucket").agg(
+        F.min("doc_id").alias("bucket_min")
+    )
+    per_doc = (
+        banded.join(mins, ["band", "bucket"])
+        .groupBy("doc_id")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("bucket_min") < F.col("doc_id"), F.col("bucket_min")
+                )
+            ).alias("dup_of")
+        )
+    )
+    return (
+        per_doc.where(F.col("doc_id") % 10 >= 8)
+        .select(
+            "doc_id",
+            "dup_of",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_INCREMENTAL_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+    FROM documents
+), idx AS (
+    SELECT doc_id, t,
+           unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+    FROM toks
+), sh AS (
+    SELECT DISTINCT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                ELSE array_to_string(t, ' ') END AS shingle
+    FROM idx
+), hashed AS (
+    SELECT doc_id, md5('s0|' || shingle) AS h0, md5('s1|' || shingle) AS h1
+    FROM sh
+), sig AS (
+    SELECT doc_id,
+           min(substring(h0, 1, 8))  AS mh0, min(substring(h0, 9, 8))  AS mh1,
+           min(substring(h0, 17, 8)) AS mh2, min(substring(h0, 25, 8)) AS mh3,
+           min(substring(h1, 1, 8))  AS mh4, min(substring(h1, 9, 8))  AS mh5,
+           min(substring(h1, 17, 8)) AS mh6, min(substring(h1, 25, 8)) AS mh7
+    FROM hashed GROUP BY doc_id
+), banded AS (
+    SELECT doc_id, 0 AS band, mh0 || '#' || mh1 AS bucket FROM sig
+    UNION ALL SELECT doc_id, 1, mh2 || '#' || mh3 FROM sig
+    UNION ALL SELECT doc_id, 2, mh4 || '#' || mh5 FROM sig
+    UNION ALL SELECT doc_id, 3, mh6 || '#' || mh7 FROM sig
+), mins AS (
+    SELECT band, bucket, min(doc_id) AS bucket_min
+    FROM banded GROUP BY band, bucket
+), per_doc AS (
+    SELECT b.doc_id,
+           min(CASE WHEN m.bucket_min < b.doc_id THEN m.bucket_min END)
+               AS dup_of
+    FROM banded b
+    JOIN mins m ON m.band = b.band AND m.bucket = b.bucket
+    GROUP BY b.doc_id
+)
+SELECT doc_id, dup_of, dup_of IS NOT NULL AS is_dup
+FROM per_doc
+WHERE doc_id % 10 >= 8
+ORDER BY doc_id
+"""
+
+
 DEDUP_LSH_BUCKET_STATS_ORACLE = f"""
 WITH toks AS (
     SELECT doc_id,
@@ -2058,6 +2159,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_lsh_bucket_stats": dedup_lsh_bucket_stats,
+    "dedup_incremental_minhash": dedup_incremental_minhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
 }
@@ -2087,6 +2189,7 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_ORACLE,
     "dedup_minhash_lsh": DEDUP_MINHASH_ORACLE,
     "dedup_lsh_bucket_stats": DEDUP_LSH_BUCKET_STATS_ORACLE,
+    "dedup_incremental_minhash": DEDUP_INCREMENTAL_ORACLE,
     "dedup_ngram_jaccard": DEDUP_NGRAM_ORACLE,
     "dedup_simhash": DEDUP_SIMHASH_ORACLE,
 }

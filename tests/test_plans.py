@@ -340,6 +340,24 @@ def test_fingerprint_dedup_has_no_window_on_content_keys(spark):
         assert "source" in m.group(1), f"window keyed on {m.group(1)}\n{plan}"
 
 
+def test_incremental_dedup_is_aggregation_only(spark):
+    """dedup_incremental_minhash must contain NO pair fan-out: the only
+    Generate is the band explode, candidates reduce to bucket minimums
+    (partial_min), and no Window node exists — the whole point of the
+    lane is that a hot boilerplate bucket costs one long per partition,
+    so it is runnable on exactly the corpora that need the pair
+    generator's cap."""
+    plan = _plan(spark, "dedup_incremental_minhash")
+    # the only Generates are the 4-element band explode, evaluated once
+    # per consumer of the checkpointed signature (2 tree nodes + 2 detail
+    # headers in formatted output); no pair or token fan-out exists
+    assert plan.count("Generate") <= 4, plan
+    assert "ExistingRDD" in plan, plan  # shared signature materialization
+    assert "partial_min" in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
 def test_minhash_lsh_capped_single_signature_pass(spark):
     """The r12 hot-bucket cap (VERDICT r11 next #2) must not re-derive
     the scan->shingle->signature pipeline per consumer: signatures are
