@@ -44,7 +44,10 @@ Usage::
 Schema: ``value string`` (parse downstream, like Spark's text sources).
 ``.option("maxBytesPerBatch", N)`` bounds how far each microbatch's
 offset may advance (admission control for slow triggers over fast
-feeds); 0/absent = uncapped.
+feeds); 0/absent = uncapped.  Use it with processing-time triggers
+ONLY: under ``Trigger.AvailableNow`` the engine snapshots latestOffset
+once as the drain target, so a capped offer would silently truncate a
+bounded drain to its first N bytes — leave the cap unset there.
 """
 
 from __future__ import annotations
