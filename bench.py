@@ -224,10 +224,24 @@ def main() -> None:
         streaming-engine threads that carry their own group, so their
         counts undercounted.  Bounded by spark.ui.retainedJobs (1000) —
         far above any single headline pass; id-set diffing makes
-        eviction of OLD ids harmless."""
-        seq = spark.sparkContext._jsc.sc().statusStore().jobsList(None)
-        jlist = spark._jvm.scala.jdk.javaapi.CollectionConverters.asJava(seq)
-        return {j.jobId() for j in jlist}
+        eviction of OLD ids harmless.
+
+        The status-store path reaches through private internals
+        (``_jsc``, scala CollectionConverters) that are not stable API
+        (ADVICE r12): fall back to the public
+        ``statusTracker().getJobIdsForGroup(None)`` — default-group-only
+        (streaming lanes undercount again) but it degrades the column
+        instead of crashing the bench on a Spark upgrade."""
+        try:
+            seq = spark.sparkContext._jsc.sc().statusStore().jobsList(None)
+            jlist = spark._jvm.scala.jdk.javaapi.CollectionConverters.asJava(
+                seq
+            )
+            return {j.jobId() for j in jlist}
+        except Exception:
+            return set(
+                spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+            )
 
     def _run_once_counted(fn) -> float | None:
         """One pass with its Spark JOB count recorded (SCALE.md rule 45:

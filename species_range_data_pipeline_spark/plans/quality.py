@@ -17,7 +17,7 @@ cluster resizes).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -452,6 +452,22 @@ ORDER BY stage
 """
 
 
+def _keep_best_winner() -> Column:
+    """Mergeable argmin struct realizing (n_chars DESC NULLS LAST,
+    doc_id ASC) — see ``dedup_keep_best``'s docstring for why the
+    negation is long-space and NULL-coalesced.  Exposed for the
+    null-semantics unit test (ADVICE r12)."""
+    return F.min(
+        F.struct(
+            (
+                -F.coalesce(F.col("n_chars").cast("long"), F.lit(-(2**62)))
+            ).alias("neg_chars"),
+            F.col("doc_id").alias("doc_id"),
+            F.col("lang").alias("lang"),
+        )
+    )
+
+
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup under normalization, keeping the BEST representative.
 
@@ -467,9 +483,13 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-best rule real cleaning pipelines use instead of "arbitrary
     survivor".  Scale shape (r12 skew-proofing, the dedup_paragraphs
     discipline): the winner is ONE mergeable
-    ``min(struct(-n_chars, doc_id, lang))`` per fingerprint — struct
-    ordering realizes (n_chars DESC, doc_id ASC), doc_id uniqueness
-    makes trailing fields argmin-safe — so a million-copy boilerplate
+    ``min(struct(-coalesce(n_chars::long, -2^62), doc_id, lang))`` per
+    fingerprint — struct ordering realizes (n_chars DESC NULLS LAST,
+    doc_id ASC) with the negation in long space (int negation overflows
+    at INT_MIN) and NULL n_chars coalesced to the sort-last sentinel
+    (a bare ``-n_chars`` would make NULL sort FIRST and win, inverting
+    the window semantics — ADVICE r12), doc_id uniqueness makes
+    trailing fields argmin-safe — so a million-copy boilerplate
     fingerprint collapses map-side instead of funneling into the single
     task a ``row_number`` window would give it.  One hash shuffle on the
     fingerprint; the twin construction is a narrow map.
@@ -488,15 +508,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = (
         both.withColumn("fp", fp)
         .groupBy("fp")
-        .agg(
-            F.min(
-                F.struct(
-                    (-F.col("n_chars")).alias("neg_chars"),
-                    F.col("doc_id").alias("doc_id"),
-                    F.col("lang").alias("lang"),
-                )
-            ).alias("w")
-        )
+        .agg(_keep_best_winner().alias("w"))
         .select(F.col("w.doc_id").alias("doc_id"), F.col("w.lang").alias("lang"))
     )
     return (

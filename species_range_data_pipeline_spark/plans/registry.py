@@ -33,89 +33,75 @@ _MODULE_NAMES = [
 # tests/test_registry.py): exactly 50 names, every plan module (all 16)
 # represented, every name resolves, every name oracle-backed.
 #
-# Round-12 window (eighth rotation, VERDICT r11 next #1): FINISH the
-# freshness rotation.  Takes every row whose newest driver evidence is
-# r6-or-older — the r4-era setop ALL-semantics twins (setop_except_all,
-# setop_intersect_all) plus the 35-row r6-era remainder — plus the two
-# first-driver-row lanes: stream_tcp_restart (the r11-built
-# checkpoint-restart exactly-once replay, the only registry query never
-# windowed) and emb_dedup_components_lsh (the r12-built production
-# SemDeDup lane: LSH banded pairs -> star components, VERDICT r11 next
-# #4).  The flagship sentinel and 4 per-module coverage fillers complete
-# the module invariant (bpe_train_merges r10, multimodal_decode_stats
-# r9, retrieval_rrf_fusion r11 — the retrieval module's only query,
-# q4_order_priority r9 — tpch_extra's stalest row); the remaining 6
-# slots take the stalest r7-era rows.  After this window lands green, no
-# registry query's newest driver evidence predates r7 and driver
-# coverage is 199/199 all-time.
+# From round 13 the window is GENERATED, not hand-curated (VERDICT r12
+# next #7): ``python scripts/build_next_window.py`` computes it from the
+# committed CORRECTNESS_r*.json union (flagship sentinel first, then
+# never-windowed queries, then stalest-first fill, then a module-coverage
+# fix-up), and tests/test_registry.py::test_priority_matches_window_builder
+# pins this block to the script's output for the committed artifacts.
+# _WINDOW_BUILT_FROM records the newest artifact round consumed; the test
+# also asserts it equals the newest committed round, so a new round's
+# session MUST regenerate this block (run the script, paste its output
+# here, done) before the suite goes green.
 #
-# Round-13 window (planned): the freshness backlog is cleared, so r13
-# starts the steady-state rotation — first driver rows for the r12-built
-# dedup_lsh_bucket_stats and dedup_incremental_minhash, then the three r7-era rows that did not fit
-# here (text_winnow_fingerprint, text_word_topk, xml_roundtrip_parse),
-# then the r8-era tranche (recompute from CORRECTNESS_r01..r12 union at
-# window-build time), flagship sentinel + module fillers as always.
-#
-# Swapped out: the r11 window's 50 hash-green rows (kernels untouched
-# except dedup_minhash_lsh/dedup_paragraphs, whose r12 skew hardening is
-# oracle-pinned locally by test_oracle_parity + sweep_stringify).
+# Round-13 window (ninth rotation; built from CORRECTNESS_r01..r12):
+# first driver rows for the r12-built dedup_lsh_bucket_stats and
+# dedup_incremental_minhash (after which driver coverage is 201/201
+# all-time), then the r7-era trio, the r8-era tranche, module fillers
+# (media/tpch_extra/bpe/retrieval had no r9-or-staler row), and the
+# stalest r9-era rows.
+_WINDOW_BUILT_FROM = 12  # newest CORRECTNESS artifact consumed
 _PRIORITY = [
-    # flagship sentinel (driver-green r5-r11; also the entry() smoke)
-    "flagship_threshold_rollup",
-    # FIRST driver rows
-    "stream_tcp_restart",        # r11 checkpoint-restart replay lane
-    "emb_dedup_components_lsh",  # r12 production SemDeDup lane
-    # --- per-module coverage fillers ---
-    "bpe_train_merges",          # bpe, r10
-    "multimodal_decode_stats",   # media, r9
-    "retrieval_rrf_fusion",      # retrieval (module's only query), r11
-    "q4_order_priority",         # tpch_extra, r9 (module's stalest)
-    # --- r4-era rows (the last two; ALL-semantics setop twins) ---
-    "setop_except_all",
-    "setop_intersect_all",
-    # --- r6-era remainder (all 35) ---
-    "ab_test_conversion",
-    "agg_bitmap_distinct",
-    "agg_listagg",
-    "agg_minmax_by",
-    "agg_stats",
-    "basket_brand_pairs",
-    "date_funcs",
-    "dedup_ngram_jaccard",
-    "doc_pack_sequences_sharded",
-    "dq_checks",
-    "emb_norms",
-    "ev_gapfill",
-    "ev_ohlc_bars",
-    "ev_sliding",
-    "geo_haversine_nearest",
-    "geo_raster_regrid",
-    "geo_reproject_points",
-    "hier_rollup",
-    "hist_price_buckets",
-    "join_nullsafe",
-    "layout_zorder",
-    "math_funcs",
-    "mv_incremental_refresh",
-    "q14_promo_share",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q7_nation_volume",
-    "regexp_group_funcs",
-    "sample_weighted",
-    "str_funcs",
-    "text_quality",
-    "text_tfidf_topk",
-    "text_token_count",
-    "unpivot_measures",
-    "window_percent_dist",
-    # --- r7-era rows (6 stalest; the remaining three lead r13) ---
-    "emb_near_dup_bruteforce",
-    "ev_rollup_two_level",
-    "ev_type_pivot",
-    "json_variant_funcs",
-    "text_fingerprint",
-    "text_token_count_bpe",
+    "flagship_threshold_rollup",  # r12 (relational)
+    "dedup_incremental_minhash",  # FIRST driver row (text)
+    "dedup_lsh_bucket_stats",  # FIRST driver row (text)
+    "text_winnow_fingerprint",  # r7 (text)
+    "text_word_topk",  # r7 (text)
+    "xml_roundtrip_parse",  # r7 (scalar)
+    "doc_pack_ffd",  # r8 (packing)
+    "emb_kmeans",  # r8 (vectors)
+    "emb_pca_project",  # r8 (vectors)
+    "geo_point_in_polygon",  # r8 (geo)
+    "map_funcs",  # r8 (scalar)
+    "sketch_cms_brand_counts",  # r8 (stats)
+    "sketch_hll_distinct",  # r8 (stats)
+    "subtitle_cue_stats",  # r10 (media)
+    "q11_important_balance",  # r10 (tpch_extra)
+    "bpe_encode_tokens",  # r11 (bpe)
+    "retrieval_rrf_fusion",  # r12 (retrieval)
+    "cosine_topk",  # r9 (vectors)
+    "curation_domain_cap",  # r9 (quality)
+    "curation_token_budget",  # r9 (quality)
+    "dataset_interleave_epochs",  # r9 (packing)
+    "dedup_clusters_star",  # r9 (graph)
+    "dedup_minhash_lsh",  # r9 (text)
+    "dedup_paragraphs",  # r9 (text)
+    "dedup_repeated_ngrams",  # r9 (text)
+    "dedup_simhash",  # r9 (text)
+    "dedup_substring_cut",  # r9 (text)
+    "dq_outliers_iqr",  # r9 (quality)
+    "emb_label_centroids",  # r9 (vectors)
+    "emb_near_dup",  # r9 (vectors)
+    "emb_near_dup_lsh",  # r9 (vectors)
+    "emb_pq_topk",  # r9 (vectors)
+    "emb_quantize_topk",  # r9 (vectors)
+    "error_routing",  # r9 (scalar)
+    "ev_pattern_consecutive",  # r9 (mining)
+    "ev_time_weighted_avg",  # r9 (events)
+    "geo_dissolve_area_m2",  # r9 (geo)
+    "geo_range_overlap",  # r9 (geo)
+    "graph_pagerank",  # r9 (graph)
+    "hier_rollup_sql",  # r9 (graph)
+    "join_anti_idempotent",  # r9 (relational)
+    "json_udtf_dynamic",  # r9 (scalar)
+    "null_cond_funcs",  # r9 (scalar)
+    "profile_orders",  # r9 (quality)
+    "q1_pricing_summary",  # r9 (relational)
+    "sample_balanced_classes",  # r9 (quality)
+    "sample_hash_bucket",  # r9 (advanced)
+    "sketch_quantile_bottomk",  # r9 (stats)
+    "stream_tumbling_counts",  # r9 (events)
+    "text_bigram_lm",  # r9 (text)
 ]
 
 # Queries whose oracles are pure VALUES restatements of expected OUTPUT

@@ -343,19 +343,46 @@ class TcpLinesStreamReader(DataSourceStreamReader):
         self._spool_dir = spool_dir
         self._spool_path = os.path.join(spool_dir, _SPOOL_FILE)
         self._max_parts = int(options.get("maxPartitions", "4"))
-        # Admission control: without a cap, a query restarted after a
-        # long stall (or first started over a large pre-existing backlog)
-        # drains EVERYTHING in one microbatch — unbounded task input and
-        # sink transaction.  With the cap, latestOffset() advances at
-        # most this many bytes past the last offset it returned; the
-        # byte-range/line-boundary convention read() already implements
-        # makes ANY byte position a safe batch boundary (a line belongs
-        # to the batch containing its first byte), so no loss/dup.
+        # Admission control for STEADY-STATE growth only: latestOffset()
+        # advances at most this many bytes past the last offset it
+        # returned in THIS reader's lifetime, so a slow trigger over a
+        # fast feed produces bounded microbatches instead of ever-growing
+        # ones.  The byte-range/line-boundary convention read()
+        # implements makes ANY byte position a safe batch boundary (a
+        # line belongs to the batch containing its first byte), so the
+        # cap never loses or duplicates lines.  It does NOT bound a
+        # restart's catch-up batch: _last_offered resets with the reader,
+        # and the first offer is based at the connect-time spool position
+        # (>= any committed offset), so the checkpoint-to-connect backlog
+        # drains in one batch regardless of the cap (the honest trade —
+        # basing the first offer below the spool position would require
+        # knowing the checkpoint offset, which the engine only reveals
+        # later via partitions()).
         self._max_batch_bytes = int(options.get("maxBytesPerBatch", "0"))
         if self._max_batch_bytes < 0:
             raise ValueError(
                 "tcp_lines .option('maxBytesPerBatch') must be >= 0"
                 " (0 = uncapped)"
+            )
+        if self._max_batch_bytes:
+            # Runtime signal for the AvailableNow interaction (ADVICE
+            # r12 medium): Spark's AvailableNow wrapper snapshots
+            # latestOffset ONCE as the drain target, so a capped offer
+            # truncates a bounded drain to its first maxBytesPerBatch
+            # bytes with no error.  The trigger is not visible from the
+            # reader, so the strongest honest guard is a loud,
+            # always-on warning at construction (it lands in the driver
+            # log of every capped query, including AvailableNow ones).
+            import warnings
+
+            warnings.warn(
+                "tcp_lines: maxBytesPerBatch is set — use processing-"
+                "time triggers ONLY. Under Trigger.AvailableNow the "
+                "engine snapshots latestOffset once as the drain "
+                "target, so the cap silently truncates the drain to "
+                f"its first {self._max_batch_bytes} bytes. Unset the "
+                "cap for bounded drains.",
+                stacklevel=2,
             )
         self._last_offered: int | None = None
         on_eof = options.get("onEof", "fail")

@@ -121,3 +121,35 @@ def test_token_budget_histogram_boundary_bucket_is_split(spark):
     # fully-kept higher bucket: n_kept strictly between 1 and 4
     (lang, n_total, n_kept, budget, used, checksum) = ref[0]
     assert n_total == 5 and 1 < n_kept < 5
+
+
+def test_keep_best_winner_null_and_overflow_semantics(spark):
+    """The keep-best argmin must realize n_chars DESC **NULLS LAST**
+    (ADVICE r12): a bare ``-n_chars`` makes a NULL neg_chars sort FIRST
+    in struct comparison and win, inverting the window semantics; int
+    negation also overflows at INT_MIN.  Pin both: the NULL-n_chars row
+    loses to any real length, and INT_MIN survives negation."""
+    from pyspark.sql import functions as F
+
+    from species_range_data_pipeline_spark.plans.quality import (
+        _keep_best_winner,
+    )
+
+    rows = [
+        (1, None, "en"),   # NULL length: must LOSE
+        (2, 10, "de"),     # longest real: must WIN
+        (3, 5, "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, n_chars int, lang string")
+    got = df.agg(_keep_best_winner().alias("w")).select("w.doc_id").first()[0]
+    assert got == 2
+
+    int_min = -(2**31)
+    df2 = spark.createDataFrame(
+        [(1, int_min, "en"), (2, None, "de")],
+        "doc_id int, n_chars int, lang string",
+    )
+    got2 = df2.agg(_keep_best_winner().alias("w")).select(
+        "w.doc_id", "w.lang"
+    ).first()
+    assert tuple(got2) == (1, "en")  # INT_MIN beats NULL, no overflow

@@ -43,6 +43,40 @@ def test_priority_is_exactly_the_driver_window():
     assert list(registry.all_queries())[:50] == registry._PRIORITY
 
 
+def test_priority_matches_window_builder():
+    """The window is generated, not hand-curated (VERDICT r12 next #7).
+
+    ``scripts/build_next_window.py`` derives the 50-slot window from the
+    committed CORRECTNESS_r*.json evidence union; this pin asserts (a)
+    ``_PRIORITY`` is exactly the script's output for the artifacts up to
+    ``_WINDOW_BUILT_FROM``, and (b) ``_WINDOW_BUILT_FROM`` is the newest
+    committed artifact round — so when the driver lands a new round's
+    artifact, the next session must regenerate the block (run the
+    script, paste) before the suite is green.  Freshness can no longer
+    drift by hand-editing.
+    """
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo / "scripts"))
+    try:
+        import build_next_window as bnw
+    finally:
+        sys.path.pop(0)
+
+    rounds = bnw.committed_rounds(str(repo))
+    assert rounds, "no CORRECTNESS artifacts committed"
+    assert registry._WINDOW_BUILT_FROM == rounds[-1], (
+        f"window built from r{registry._WINDOW_BUILT_FROM} but newest "
+        f"committed artifact is r{rounds[-1]} — regenerate _PRIORITY with "
+        "scripts/build_next_window.py"
+    )
+    newest = bnw.newest_green(str(repo), registry._WINDOW_BUILT_FROM)
+    mod_of, eligible = bnw.registry_inputs()
+    assert registry._PRIORITY == bnw.build_window(newest, mod_of, eligible)
+
+
 def test_first50_window_spans_every_module():
     first50 = list(registry.all_queries())[:50]
     mod_of = _module_of()

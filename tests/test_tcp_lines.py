@@ -652,3 +652,28 @@ def test_tcp_lines_max_bytes_per_batch_end_to_end(spark, tmp_path):
             srv.close()
         except Exception:
             pass
+
+
+def test_tcp_lines_cap_warns_at_construction(tmp_path):
+    """ADVICE r12 (medium): maxBytesPerBatch truncates a
+    Trigger.AvailableNow drain (the engine snapshots latestOffset once
+    as the drain target) and the trigger is invisible from the reader —
+    so setting the cap must emit a loud runtime warning at reader
+    construction, and an uncapped reader must stay silent."""
+    import warnings
+
+    from species_range_data_pipeline_spark.sources.tcp_lines import (
+        TcpLinesStreamReader,
+    )
+
+    opts = {"host": "127.0.0.1", "port": "1", "spool": str(tmp_path / "s")}
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        TcpLinesStreamReader({**opts, "maxBytesPerBatch": "64"})
+    msgs = [str(w.message) for w in caught]
+    assert any("AvailableNow" in m and "truncates" in m for m in msgs)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        TcpLinesStreamReader(opts)
+    assert [str(w.message) for w in caught] == []
