@@ -146,6 +146,56 @@ def dissolve(
     return deduped.groupBy(*by).applyInPandas(fn, schema)
 
 
+#: Measured crossover where the tiled dissolve starts beating the plain
+#: one-task-per-group kernel (SCALE.md rule 49: plain's second decade is
+#: superlinear e=1.19 — kernel + Arrow transfer scale with the whole
+#: group — while tiled stays linear e=1.00; extrapolated wall-clock
+#: crossover ~10^3.3x fixture ≈ 2M cells/group, far below the ~1e8-cell
+#: task-OOM bound).  Conservative by an order of magnitude against the
+#: extrapolation error: the cost of routing early is a constant-factor
+#: level-2 merge; the cost of routing late is superlinear.
+DISSOLVE_TILED_THRESHOLD_CELLS = 2_000_000
+
+
+def dissolve_auto(
+    cells: DataFrame,
+    by: Sequence[str],
+    threshold_cells: int = DISSOLVE_TILED_THRESHOLD_CELLS,
+    tile_size: int = 4096,
+    x0: float = 0.0,
+    y0: float = 0.0,
+    cellsize: float = 1.0,
+    nrows: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Size-dispatched dissolve (VERDICT r12 #3): plain kernel for small
+    groups, tiled two-level kernel above ``threshold_cells`` per group.
+
+    SCALE.md rule 49's conclusion, now code instead of advice: below the
+    measured ~2M-cells/group crossover the single-task kernel is both
+    simpler and faster (the tiled twin pays ~90 level-1 tasks plus a
+    level-2 merge for nothing), above it the plain kernel goes
+    superlinear and eventually OOMs, so the caller-must-know dispatch
+    was the one structural 100x-scale concern left in the geo family.
+
+    Sizing pass: ONE aggregation-only job over the raw cell stream
+    (``groupBy(by).count() -> max``) — all JVM, partial-aggregated
+    map-side, no Python.  Raw row count is an UPPER bound on a group's
+    unique cells (duplicates inflate it), so routing is conservative:
+    duplication can only send a workload to the tiled kernel early,
+    never keep an over-threshold group on the single-task kernel.  The
+    returned plan is byte-identical to ``dissolve(...)`` below the
+    threshold (pinned in tests/test_geometry.py); above it, the tiled
+    plan — same region/area/cell-count, ``n_parts`` split along tile
+    edges (see ``dissolve_tiled``).
+    """
+    by = list(by)
+    max_n = cells.groupBy(*by).count().agg(F.max("count")).first()[0]
+    if max_n is None or max_n <= threshold_cells:
+        return dissolve(cells, by, x0, y0, cellsize, nrows, num_partitions)
+    return dissolve_tiled(cells, by, tile_size, x0, y0, cellsize, nrows)
+
+
 def dissolve_tiled(
     cells: DataFrame,
     by: Sequence[str],

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.polygonize import dissolve, polygonize
+from ..operators.polygonize import dissolve_auto, polygonize
 from .geotiff import decode_raster_members
 from .raster import expand_zip, read_binary_files
 
@@ -127,7 +127,9 @@ def run_pipeline(
     # A1: dissolve by the full attribute key; geometry union in cell space.
     # (GeoPandas dissolve(by="species") runs per shapefile == per attribute
     # combination; the engine groups once, globally — same result, one job.)
-    dissolved = dissolve(
+    # Size-dispatched (SCALE.md rule 49): groups above the measured ~2M-cell
+    # crossover route to the tiled two-level kernel automatically.
+    dissolved = dissolve_auto(
         attributed,
         by=["species", "threshold", "source", "year", "scenario"],
         # grid georeferencing: all fixture rasters share the affine; per-file

@@ -724,6 +724,16 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = _lsh_banded(
         _ensure_parallel(load_table(spark, sf_dir, "documents")), shared=True
     )
+    return _bucket_min_incremental(banded)
+
+
+def _bucket_min_incremental(banded: DataFrame) -> DataFrame:
+    """The aggregation-only tail of the incremental dedup lane, over any
+    (doc_id, band, bucket) signature relation: one mergeable min per
+    bucket, join back, one min per doc, filter to the incoming batch
+    (doc_id % 10 >= 8, the fixture convention).  Shared by the
+    fixture-recomputed lane and the manifest-fed production variant so
+    their semantics cannot diverge."""
     mins = banded.groupBy("band", "bucket").agg(
         F.min("doc_id").alias("bucket_min")
     )
@@ -747,6 +757,63 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def persist_corpus_signatures(
+    docs: DataFrame, path: str, mode: str = "overwrite", txn: int | None = None
+) -> int:
+    """Ingest-time half of the incremental-dedup contract (VERDICT r12
+    next #2): compute the corpus's banded MinHash signatures ONCE, at
+    ingest, and commit them to a manifest table at ``path`` — so nightly
+    batch dedup reads (doc_id, band, bucket) rows instead of re-reading
+    and re-shingling the corpus text.  At 100 TB the signature table is
+    ~3 small columns x 4 rows/doc vs the full text bytes: the re-scan
+    this removes IS the dominant cost of the naive incremental lane.
+    Returns the committed manifest version.  ``txn`` makes streaming
+    ingest idempotent (replayed commits no-op, the Delta txn contract).
+    """
+    from ..sources.manifest_table import write_manifest_table
+
+    return write_manifest_table(
+        _lsh_banded(docs), path, mode=mode, txn=txn
+    )
+
+
+def incremental_banded_lineage(
+    spark: SparkSession, sf_dir: str, signatures_path: str
+) -> DataFrame:
+    """Pre-barrier lineage of the manifest-fed incremental dedup: corpus
+    (doc_id, band, bucket) rows read from the persisted signature table,
+    unioned with batch rows computed from the batch's text.  Exposed
+    separately so the plan can be pinned: the ONLY scan touching
+    ``documents`` text is the batch side — zero corpus-side text bytes
+    (tests/test_text_properties.py asserts exactly one text-bearing
+    scan in this plan)."""
+    from ..sources.manifest_table import read_manifest_table
+
+    batch = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 10 >= 8
+    )
+    corpus = read_manifest_table(spark, signatures_path).select(
+        "doc_id", "band", "bucket"
+    )
+    return corpus.unionByName(_lsh_banded(_ensure_parallel(batch)))
+
+
+def dedup_incremental_minhash_manifest(
+    spark: SparkSession, sf_dir: str, signatures_path: str
+) -> DataFrame:
+    """Manifest-fed incremental ingest dedup — the production variant of
+    ``dedup_incremental_minhash``: identical output rows (pinned against
+    the oracle-backed lane), with the corpus side read from the
+    signature table ``persist_corpus_signatures`` wrote at ingest
+    instead of recomputed from text.  One lazy localCheckpoint shares
+    the unioned signature relation across its two consumers (bucket
+    mins + join back), same discipline as the recomputed lane."""
+    banded = incremental_banded_lineage(
+        spark, sf_dir, signatures_path
+    ).localCheckpoint(eager=False)
+    return _bucket_min_incremental(banded)
 
 
 DEDUP_INCREMENTAL_ORACLE = """

@@ -512,3 +512,63 @@ def test_range_overlap_bands_drives_disjoint_branch_on_fixture(spark):
     within = [v for k, v in rows.items() if k not in cross]
     assert len(within) == 6
     assert any(r.n_inter > 0 for r in within)  # rasterized branch ran
+
+
+def test_dissolve_auto_dispatches_on_group_size(spark):
+    """Size-based dissolve dispatch (VERDICT r12 #3, SCALE.md rule 49).
+
+    Below the threshold the returned plan must be BYTE-IDENTICAL to
+    plain ``dissolve`` (the dispatch adds a sizing job, never a plan
+    change); above it, the tiled kernel must be selected (tile keys in
+    the plan, same area/cell count, parts split along tile edges)."""
+    import pandas as pd
+
+    from species_range_data_pipeline_spark.operators.polygonize import (
+        dissolve,
+        dissolve_auto,
+        dissolve_tiled,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "species": ["a"] * 6 + ["b"] * 2,
+            "row": [0, 0, 0, 1, 1, 1, 7, 7],
+            "col": [0, 1, 2, 0, 1, 2, 7, 8],
+        }
+    )
+    cells = spark.createDataFrame(pdf)
+
+    def plan(df):
+        # expression ids (#NN) auto-increment per session; strip them so
+        # "byte-identical" means identical plan STRUCTURE + expressions
+        import re
+
+        return re.sub(
+            r"#\d+", "#", df._jdf.queryExecution().optimizedPlan().toString()
+        )
+
+    # below threshold: same plan as the plain kernel, byte for byte
+    auto_small = dissolve_auto(cells, ["species"], threshold_cells=100)
+    assert plan(auto_small) == plan(dissolve(cells, ["species"]))
+
+    # above threshold (largest group = 6 raw rows > 4): tiled kernel
+    auto_big = dissolve_auto(
+        cells, ["species"], threshold_cells=4, tile_size=2
+    )
+    assert "_tile_r" in plan(auto_big)
+    assert plan(auto_big) == plan(
+        dissolve_tiled(cells, ["species"], tile_size=2)
+    )
+    got = {r.species: (r.area, r.n_cells) for r in auto_big.collect()}
+    ref = {
+        r.species: (r.area, r.n_cells)
+        for r in dissolve(cells, ["species"]).collect()
+    }
+    assert got == ref
+
+    # duplicates inflate the raw-count upper bound -> conservative
+    # routing to tiled even though unique cells (8) <= threshold (9)
+    auto_dup = dissolve_auto(
+        cells.union(cells), ["species"], threshold_cells=9, tile_size=2
+    )
+    assert "_tile_r" in plan(auto_dup)

@@ -138,3 +138,83 @@ def test_substring_cut_within_doc_repeat_not_flagged(spark):
     )
     rows = {r.doc_id: r for r in substring_cut(docs).collect()}
     assert rows[0].n_kept == rows[0].n_tokens == 12
+
+
+def test_incremental_dedup_manifest_fed_scans_no_corpus_text(spark, tmp_path):
+    """Production incremental dedup (VERDICT r12 next #2): corpus-side
+    banded MinHash signatures persisted to a manifest table at ingest;
+    the nightly batch lane reads THEM, never the corpus text.  Pins (a)
+    identical rows to the oracle-backed recomputed lane, and (b) the
+    plan: exactly ONE text-bearing FileScan — the batch side, carrying
+    the batch predicate — so corpus-side documents.text bytes scanned
+    is zero by construction."""
+    from pyspark.sql import functions as F
+
+    from species_range_data_pipeline_spark.catalog import load_table
+    from species_range_data_pipeline_spark.plans.text import (
+        dedup_incremental_minhash,
+        dedup_incremental_minhash_manifest,
+        incremental_banded_lineage,
+        persist_corpus_signatures,
+    )
+
+    from .conftest import SF_SMOKE
+
+    path = str(tmp_path / "sigs")
+    corpus = load_table(spark, SF_SMOKE, "documents").where(
+        F.col("doc_id") % 10 < 8
+    )
+    assert persist_corpus_signatures(corpus, path) == 0  # first version
+
+    ref = [tuple(r) for r in dedup_incremental_minhash(spark, SF_SMOKE).collect()]
+    got = [
+        tuple(r)
+        for r in dedup_incremental_minhash_manifest(
+            spark, SF_SMOKE, path
+        ).collect()
+    ]
+    assert got == ref and len(got) > 0
+
+    plan = (
+        incremental_banded_lineage(spark, SF_SMOKE, path)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    text_scans = [
+        ln for ln in plan.splitlines() if "FileScan" in ln and "text#" in ln
+    ]
+    assert len(text_scans) == 1, plan  # batch side only
+    assert "% 10) >= 8" in text_scans[0]  # and it IS the batch side
+    sig_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan" in ln and "band#" in ln and "bucket#" in ln
+    ]
+    assert len(sig_scans) == 1 and "text#" not in sig_scans[0]
+
+
+def test_persist_corpus_signatures_txn_replay_noops(spark, tmp_path):
+    """Streaming-ingest idempotency: a replayed commit (same txn) must
+    no-op, so signature ingest composes with exactly-once sinks."""
+    from pyspark.sql import functions as F
+
+    from species_range_data_pipeline_spark.catalog import load_table
+    from species_range_data_pipeline_spark.plans.text import (
+        persist_corpus_signatures,
+    )
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        read_manifest_table,
+    )
+
+    from .conftest import SF_SMOKE
+
+    path = str(tmp_path / "sigs")
+    corpus = load_table(spark, SF_SMOKE, "documents").where(
+        F.col("doc_id") % 10 < 8
+    )
+    v1 = persist_corpus_signatures(corpus, path, mode="append", txn=1)
+    n1 = read_manifest_table(spark, path).count()
+    v2 = persist_corpus_signatures(corpus, path, mode="append", txn=1)
+    assert v2 == v1  # replay no-ops at the same version
+    assert read_manifest_table(spark, path).count() == n1
