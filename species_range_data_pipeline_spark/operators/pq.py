@@ -137,20 +137,35 @@ def pq_topk(
     n_queries*refine ids back to the table — at 100 TB, the point: the
     full vectors are fetched for a few dozen rows per query, not
     scanned).  Output column becomes the exact ``cos_sim``."""
-    sample_rows = (
-        emb.orderBy(id_col).limit(train_n).select(vec_col).collect()
+    # ONE collect serves both train sample and query vectors when every
+    # query id falls inside the sample prefix (the common case: queries
+    # are probes drawn from the table head) — the second collect job
+    # only runs for out-of-prefix queries (VERDICT r12 #6: the two
+    # collects were back-to-back jobs on the same prefix scan).
+    head_rows = (
+        emb.orderBy(id_col).limit(train_n).select(id_col, vec_col).collect()
     )
-    sample = _normalize(np.array([r[0] for r in sample_rows], dtype=np.float64))
+    sample = _normalize(
+        np.array([r[1] for r in head_rows], dtype=np.float64)
+    )
     books = train_pq_codebooks(sample, m=m, k=k_codes)
     _, _, dsub = books.shape
 
-    q_rows = (
-        emb.where(F.col(id_col).isin(query_ids))
-        .select(id_col, vec_col)
-        .collect()
+    by_id = {r[0]: r[1] for r in head_rows}
+    missing = [i for i in query_ids if i not in by_id]
+    if missing:
+        by_id.update(
+            (r[0], r[1])
+            for r in emb.where(F.col(id_col).isin(missing))
+            .select(id_col, vec_col)
+            .collect()
+        )
+    q_ids = np.array(
+        [i for i in query_ids if i in by_id], dtype=np.int64
     )
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    q_mat = _normalize(np.array([r[1] for r in q_rows], dtype=np.float64))
+    q_mat = _normalize(
+        np.array([by_id[i] for i in q_ids], dtype=np.float64)
+    )
     # ADC tables: lut[q, mi, ci] = ||q_sub - centroid||^2
     n_q = q_mat.shape[0]
     lut = np.empty((n_q, m, k_codes), dtype=np.float64)
@@ -167,21 +182,41 @@ def pq_topk(
         ]
     )
     midx = np.arange(m)
+    # Map-side top-N pre-reduction: a batch only ever contributes its
+    # own best N rows per query to the global top-N (same total order —
+    # rounded approx_cos DESC, cand_id ASC — as the ranking window), so
+    # the scorer emits at most n_batches*n_q*N rows into the window
+    # shuffle instead of n_candidates*n_q.  At 100 TB this is the
+    # difference between shuffling the whole scored codes table into
+    # per-query partitions and shuffling a few rows per Arrow batch.
+    keep_n = k if refine is None else max(k, refine)
 
     def score(batches):
         import pandas as pd
 
         for pdf in batches:
-            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            codes = np.array(list(pdf["codes"]), dtype=np.int64)
+            all_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            all_codes = np.array(list(pdf["codes"]), dtype=np.int64)
             for qi in range(n_q):
+                # self-match exclusion must happen BEFORE the top-N cut,
+                # or the query's own (top-scoring) row eats a slot and
+                # the downstream filter leaves N-1 contributions
+                mask = all_ids != q_ids[qi]
+                c_ids, codes = all_ids[mask], all_codes[mask]
                 d2 = lut[qi][midx[None, :], codes].sum(1)
+                # unit vectors: ||a-b||^2 = 2 - 2cos.  Round BEFORE the
+                # top-N cut: the window ranks the rounded column, so the
+                # batch-local order must be the window's order exactly.
+                approx = np.round(1.0 - d2 / 2.0, 6)
+                if len(c_ids) > keep_n:
+                    top = np.lexsort((c_ids, -approx))[:keep_n]
+                else:
+                    top = slice(None)
                 yield pd.DataFrame(
                     {
-                        "query_id": np.full(len(c_ids), q_ids[qi]),
-                        "cand_id": c_ids,
-                        # unit vectors: ||a-b||^2 = 2 - 2cos
-                        "approx_cos": np.round(1.0 - d2 / 2.0, 6),
+                        "query_id": np.full(len(approx[top]), q_ids[qi]),
+                        "cand_id": c_ids[top],
+                        "approx_cos": approx[top],
                     }
                 )
 
@@ -192,11 +227,16 @@ def pq_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_cos").desc(), F.col("cand_id")
     )
+    # the result is n_queries*k rows: a global orderBy would pay a range
+    # partitioner SAMPLING job plus a shuffle for a handful of rows —
+    # sort the single coalesced partition instead (same row order)
+    def _tiny_sorted(df):
+        return df.coalesce(1).sortWithinPartitions("query_id", "rnk")
+
     if refine is None:
-        return (
+        return _tiny_sorted(
             scored.withColumn("rnk", F.row_number().over(w).cast("long"))
             .where(F.col("rnk") <= k)
-            .orderBy("query_id", "rnk")
         )
     from ..functions.vectors import as_double, cosine
 
@@ -224,8 +264,7 @@ def pq_topk(
     wr = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id")
     )
-    return (
+    return _tiny_sorted(
         reranked.withColumn("rnk", F.row_number().over(wr).cast("long"))
         .where(F.col("rnk") <= k)
-        .orderBy("query_id", "rnk")
     )
