@@ -339,6 +339,22 @@ def main() -> None:
     }
     # r7 grew the set again (PQ ANN, simhash, metric geo, multimodal);
     # r4_comparable_total remains the round-over-round comparison basis.
+    # Streaming rows are judged by RATIO to the same-run graph_pagerank
+    # median, never by absolutes (BASELINE.md normalization rule: their
+    # cost is microbatch/checkpoint floor, and same-tree absolutes
+    # disagree 1.5x across sessions).  Publish the ratios in the
+    # artifact so the judgment needs no side script (VERDICT r12 #8).
+    streaming_normalized: dict[str, float] = {}
+    _ctrl = timings.get("graph_pagerank")
+    if _ctrl:
+        for name, sec in timings.items():
+            if name.startswith("stream_"):
+                streaming_normalized[name] = round(sec / _ctrl, 3)
+        if streaming.get("streaming_medallion_sec"):
+            streaming_normalized["streaming_medallion"] = round(
+                streaming["streaming_medallion_sec"] / _ctrl, 3
+            )
+
     summary = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
@@ -353,6 +369,7 @@ def main() -> None:
         "queries_min": mins,
         "queries_cold": cold,
         **streaming,
+        "streaming_normalized": streaming_normalized,
         "sf": sf,
     }
     full = dict(summary)

@@ -48,6 +48,7 @@ from species_range_data_pipeline_spark.operators.polygonize import (  # noqa: E4
     dissolve,
     dissolve_tiled,
     polygonize,
+    polygonize_tiled,
 )
 from species_range_data_pipeline_spark.plans.geo import (  # noqa: E402
     _GRID,
@@ -283,6 +284,48 @@ def main() -> None:
                     "tiled wins once per-group unique cells outgrow one "
                     "task; at 10x each group has 10 replica tiles -> 90 "
                     "level-1 tasks vs plain's 9"
+                ),
+            }
+        ),
+        flush=True,
+    )
+
+
+    # --- polygonize vs polygonize_tiled (r13: the stitching twin) ---
+    # Invariant first: the tiled kernel must produce the same component
+    # counts as plain at 10x (stitch correctness on CROSS-tile components
+    # is pinned separately in tests/test_geometry.py — this lattice's +1
+    # gap means no component crosses a tile line, isolating the
+    # task-granularity term the twin exists for).
+    pt10 = {
+        (r["species"], r["threshold_s"]): r["n_components"]
+        for r in polygonize_tiled(c10().distinct(), BY, tile_size=_GRID + 1)
+        .groupBy(*BY)
+        .agg(F.count(F.lit(1)).alias("n_components"))
+        .collect()
+    }
+    assert pt10 == p10, "polygonize_tiled component counts diverge at 10x"
+    rec_tiled = sweep(
+        "geo_polygonize_tiled",
+        lambda: polygonize_tiled(c1().distinct(), BY, tile_size=_GRID + 1),
+        lambda: polygonize_tiled(c10().distinct(), BY, tile_size=_GRID + 1),
+        extra={"tile_size": _GRID + 1},
+    )
+    plain_poly_10x = [
+        timed(lambda: polygonize(c10().distinct(), BY, num_partitions=9))
+        for _ in range(3)
+    ]
+    print(
+        json.dumps(
+            {
+                "lane": "polygonize_tiled_crossover",
+                "tiled_10x_med": rec_tiled["t10x_med"],
+                "plain_10x_med": round(statistics.median(plain_poly_10x), 3),
+                "note": (
+                    "plain runs one boundary-walk task per group (9); "
+                    "tiled runs one per (group, replica tile) (90) plus "
+                    "the stitch cogroup — same crossover logic as "
+                    "dissolve (SCALE.md rule 49)"
                 ),
             }
         ),
