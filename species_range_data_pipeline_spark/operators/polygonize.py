@@ -146,6 +146,39 @@ def dissolve(
     return deduped.groupBy(*by).applyInPandas(fn, schema)
 
 
+def polygonize_auto(
+    cells: DataFrame,
+    group_cols: Sequence[str],
+    threshold_cells: int | None = None,
+    tile_size: int = 4096,
+    x0: float = 0.0,
+    y0: float = 0.0,
+    cellsize: float = 1.0,
+    nrows: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Size-dispatched polygonize — ``dissolve_auto``'s twin for T4
+    (SCALE.md rule 52): the same one-aggregation sizing job routes
+    groups above the rule-49 crossover to ``polygonize_tiled``.  Below
+    the threshold the returned plan is byte-identical to ``polygonize``;
+    above it, component ids switch to the tiled kernel's deterministic
+    min-cell assignment (the plain kernel's ids are arrival-order-
+    dependent anyway, so no consumer may rely on them)."""
+    group_cols = list(group_cols)
+    if threshold_cells is None:
+        threshold_cells = DISSOLVE_TILED_THRESHOLD_CELLS
+    max_n = (
+        cells.groupBy(*group_cols).count().agg(F.max("count")).first()[0]
+    )
+    if max_n is None or max_n <= threshold_cells:
+        return polygonize(
+            cells, group_cols, x0, y0, cellsize, nrows, num_partitions
+        )
+    return polygonize_tiled(
+        cells, group_cols, tile_size, x0, y0, cellsize, nrows
+    )
+
+
 def polygonize_tiled(
     cells: DataFrame,
     group_cols: Sequence[str],

@@ -653,3 +653,50 @@ def test_polygonize_tiled_matches_on_lineitem_lattice(spark):
     assert plain.keys() == tiled.keys() and plain
     for k in plain:
         assert sorted(plain[k]) == sorted(tiled[k]), k
+
+
+def test_polygonize_auto_dispatches_on_group_size(spark):
+    """polygonize_auto mirrors dissolve_auto (SCALE.md rule 52): plan
+    byte-identical to the plain kernel below the threshold, the tiled
+    stitching kernel above it, same component partition either way."""
+    import pandas as pd
+
+    from species_range_data_pipeline_spark.operators.polygonize import (
+        polygonize,
+        polygonize_auto,
+        polygonize_tiled,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "species": ["a"] * 6 + ["b"] * 2,
+            "row": [0, 0, 0, 1, 1, 1, 7, 7],
+            "col": [0, 1, 2, 0, 1, 2, 7, 8],
+        }
+    )
+    cells = spark.createDataFrame(pdf)
+
+    def plan(df):
+        import re
+
+        return re.sub(
+            r"#\d+", "#", df._jdf.queryExecution().optimizedPlan().toString()
+        )
+
+    auto_small = polygonize_auto(cells, ["species"], threshold_cells=100)
+    assert plan(auto_small) == plan(polygonize(cells, ["species"]))
+
+    auto_big = polygonize_auto(
+        cells, ["species"], threshold_cells=4, tile_size=2
+    )
+    assert plan(auto_big) == plan(
+        polygonize_tiled(cells, ["species"], tile_size=2)
+    )
+    got = sorted(
+        (r.species, r.n_cells, r.area) for r in auto_big.collect()
+    )
+    ref = sorted(
+        (r.species, r.n_cells, r.area)
+        for r in polygonize(cells, ["species"]).collect()
+    )
+    assert got == ref
