@@ -38,3 +38,26 @@ def bpe_tokens(col: Column | str = "text") -> Column:
 def bpe_token_count(col: Column | str = "text") -> Column:
     """Token-budget estimate: the count of BPE-style pre-tokens."""
     return F.size(bpe_tokens(col)).cast("long")
+
+
+def nfc_normalize_udf(col):
+    """Column form of Unicode NFC normalization (Arrow-vectorized).
+
+    Spark SQL has no normalization builtin, so this is the canonical
+    scan-stage Python kernel: one Arrow batch in, one out, no shuffle,
+    no state.  Python's ``unicodedata`` and DuckDB's ``nfc_normalize``
+    (utf8proc) both implement UAX #15 NFC, so the oracle twin matches
+    byte-for-byte.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    def _norm(s):
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t)
+            if isinstance(t, str)
+            else None
+        )
+
+    return pandas_udf(_norm, "string")(col)

@@ -24,6 +24,9 @@ Scale notes:
   (``explode(sequence(...))``) — a narrow, pipelined operation: no shuffle
   is paid for the replication, only for the final (tiny) per-source
   rollup.
+- ``dataset_shuffle_shards`` is the deterministic global training
+  shuffle: ONE exchange on the shard key (the move a shard writer pays
+  anyway), positions assigned by a per-shard sort on the Knuth key.
 
 Determinism discipline (same as ``quality.sample_stratified``): sampling
 decisions use exact integer arithmetic on ``doc_id`` (a Knuth
@@ -315,6 +318,76 @@ ORDER BY t.source
 """
 
 
+#: shard count for the deterministic global shuffle (a stand-in for the
+#: real fleet's output-file count; any value works, the rule is sf-free)
+_SHUFFLE_SHARDS = 8
+
+
+def dataset_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle + shard assignment: every
+    LLM data pipeline's LAST step before the trainer reads the corpus
+    (docs must arrive in a seed-reproducible pseudo-random order, split
+    into N balanced shard files).  The reference stops at artifact
+    tables (``species_range_etl.py:271-276`` loads in input order); a
+    100 TB run needs exactly this.
+
+    The shuffle key is the Knuth multiplicative hash of ``doc_id`` —
+    exact integer arithmetic, so the SAME document lands in the SAME
+    shard at the SAME position in any engine at any parallelism (seeded
+    ``orderBy(rand())`` would be engine- and partitioning-dependent and
+    unverifiable).  shard = key mod N; position = rank of key within the
+    shard.
+
+    Scale shape: ONE wide exchange — the window's
+    ``hashpartitioning(shard)`` — which IS the physical move a shard
+    writer pays anyway (``repartition(shard).sortWithinPartitions(key)``
+    followed by a partitioned write); the multiplicative hash keeps the
+    shards count-balanced (fixture: 62-63 docs per shard of 8), so no
+    shard straggles.  Nothing else shuffles: the key is computed in the
+    scan stage and the final ``orderBy`` is presentation-only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # decimal(38) Knuth spread, same overflow discipline as
+    # dataset_mixture: int64 * _KNUTH raises under ANSI at doc_id ~3.5e9,
+    # which a 100 TB id range exceeds; decimal multiply/mod is exact in
+    # both engines, then the mod-2^32 result fits long.
+    keyed = docs.select(
+        "doc_id",
+        (
+            (F.col("doc_id").cast("decimal(38,0)") * _KNUTH)
+            % F.lit(4294967296)
+        )
+        .cast("long")
+        .alias("skey"),
+    )
+    w = Window.partitionBy(F.col("skey") % _SHUFFLE_SHARDS).orderBy(
+        "skey", "doc_id"
+    )
+    return (
+        keyed.select(
+            (F.col("skey") % _SHUFFLE_SHARDS).cast("int").alias("shard"),
+            F.row_number().over(w).cast("long").alias("pos"),
+            "doc_id",
+        )
+        .orderBy("shard", "pos")
+    )
+
+
+DATASET_SHUFFLE_SHARDS_ORACLE = f"""
+WITH keyed AS (
+    SELECT doc_id,
+           ((CAST(doc_id AS HUGEINT) * {_KNUTH}) % 4294967296) AS skey
+    FROM documents
+)
+SELECT CAST(skey % {_SHUFFLE_SHARDS} AS INT) AS shard,
+       row_number() OVER (PARTITION BY skey % {_SHUFFLE_SHARDS}
+                          ORDER BY skey, doc_id) AS pos,
+       doc_id
+FROM keyed
+ORDER BY shard, pos
+"""
+
+
 def ffd_bins(tokens: list[int], budget: int) -> list[int]:
     """First-fit-decreasing bin loads for one group (pure function, also
     the test reference).  Items above the budget get their own bin."""
@@ -494,6 +567,7 @@ QUERIES = {
     "doc_pack_ffd": doc_pack_ffd,
     "doc_pack_sequences_sharded": doc_pack_sequences_sharded,
     "corpus_pipeline_summary": corpus_pipeline_summary,
+    "dataset_shuffle_shards": dataset_shuffle_shards,
 }
 
 from .pinned import DOC_PACK_FFD_ORACLE  # noqa: E402
@@ -507,4 +581,5 @@ ORACLES = {
     # packing by construction — it shares the oracle verbatim
     "doc_pack_sequences_sharded": DOC_PACK_SEQUENCES_ORACLE,
     "corpus_pipeline_summary": CORPUS_PIPELINE_ORACLE,
+    "dataset_shuffle_shards": DATASET_SHUFFLE_SHARDS_ORACLE,
 }

@@ -53,8 +53,11 @@ _MODULE_NAMES = [
 _WINDOW_BUILT_FROM = 12  # newest CORRECTNESS artifact consumed
 _PRIORITY = [
     "flagship_threshold_rollup",  # r12 (relational)
+    "dataset_shuffle_shards",  # FIRST driver row (packing)
     "dedup_incremental_minhash",  # FIRST driver row (text)
     "dedup_lsh_bucket_stats",  # FIRST driver row (text)
+    "retrieval_mmr_diversify",  # FIRST driver row (retrieval)
+    "text_normalize_unicode",  # FIRST driver row (text)
     "text_winnow_fingerprint",  # r7 (text)
     "text_word_topk",  # r7 (text)
     "xml_roundtrip_parse",  # r7 (scalar)
@@ -68,7 +71,7 @@ _PRIORITY = [
     "subtitle_cue_stats",  # r10 (media)
     "q11_important_balance",  # r10 (tpch_extra)
     "bpe_encode_tokens",  # r11 (bpe)
-    "retrieval_rrf_fusion",  # r12 (retrieval)
+    "corr_measures",  # r9 (mining)
     "cosine_topk",  # r9 (vectors)
     "curation_domain_cap",  # r9 (quality)
     "curation_token_budget",  # r9 (quality)
@@ -99,9 +102,6 @@ _PRIORITY = [
     "q1_pricing_summary",  # r9 (relational)
     "sample_balanced_classes",  # r9 (quality)
     "sample_hash_bucket",  # r9 (advanced)
-    "sketch_quantile_bottomk",  # r9 (stats)
-    "stream_tumbling_counts",  # r9 (events)
-    "text_bigram_lm",  # r9 (text)
 ]
 
 # Queries whose oracles are pure VALUES restatements of expected OUTPUT

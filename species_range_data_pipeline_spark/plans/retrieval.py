@@ -199,10 +199,191 @@ ORDER BY rnk
 """
 
 
+#: MMR knobs: candidate pool per query, picks per query.  λ is fixed at
+#: 0.5, which lets the objective collapse to exact integer arithmetic
+#: (argmax of 0.5·rel − 0.5·max_sim == argmax of rel_micro − max_sim_micro).
+_MMR_TOPN = 16
+_MMR_K = 6
+
+
+def retrieval_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein SIGIR'98): per query, greedily pick the candidate that
+    maximizes ``λ·relevance − (1−λ)·max-similarity-to-already-picked``.
+    The curation shape behind diverse few-shot selection and
+    redundancy-free hard-negative mining — plain cosine top-k returns k
+    near-copies of the best hit; MMR is the standard fix.
+
+    Queries are ``vec_id % 100 == 0`` (scales with the corpus),
+    candidates everything else.  All scores are exact integers
+    (``round(cos·1e6)``), ties broken by ``vec_id``, so the greedy
+    trajectory is engine-exact and the DuckDB oracle replays it with a
+    recursive CTE.
+
+    Scale shape: the ONLY corpus-sized stage is the candidate cut — one
+    scan scored against broadcast queries, one window partitioned by
+    query (at 100 TB you swap this head for the ``ann_ivf_topk`` ladder;
+    the MMR tail is head-agnostic).  Everything after is
+    candidate-sized: pairwise sims are ``N²`` per query with N=16
+    (bounded by construction, never corpus²), and each greedy round is a
+    bounded join + per-query argmax window over queries×N rows.  The
+    K−1 driver rounds chain lazily (one action); each round's union is
+    lazily localCheckpoint-ed so the plan stays linear in K, the same
+    discipline as ``hier_rollup``'s pointer-jump loop.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cs = emb.where(F.col("vec_id") % 100 != 0)
+
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("rel_micro").desc(), "vec_id"
+    )
+    cands = (
+        cs.crossJoin(F.broadcast(qs))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(as_double("embedding"), as_double("qv")) * 1e6)
+            .cast("long")
+            .alias("rel_micro"),
+            "embedding",
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= _MMR_TOPN)
+        .select("query_id", "vec_id", "rel_micro", "embedding")
+        .localCheckpoint(eager=False)
+    )
+    a, b = cands.alias("a"), cands.alias("b")
+    pair_sims = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            F.round(
+                cosine(as_double(F.col("a.embedding")),
+                       as_double(F.col("b.embedding")))
+                * 1e6
+            )
+            .cast("long")
+            .alias("sim_micro"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    slim = cands.select("query_id", "vec_id", "rel_micro")
+
+    selected = (
+        slim.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.lit(1).cast("long").alias("rank"),
+            "vec_id",
+            "rel_micro",
+        )
+    )
+    for r in range(2, _MMR_K + 1):
+        max_sim = (
+            pair_sims.join(
+                selected.select(
+                    "query_id", F.col("vec_id").alias("b_id")
+                ),
+                ["query_id", "b_id"],
+            )
+            .groupBy(
+                F.col("query_id").alias("ms_query_id"), F.col("a_id")
+            )
+            .agg(F.max("sim_micro").alias("max_sim"))
+        )
+        wpick = Window.partitionBy("query_id").orderBy(
+            (F.col("rel_micro") - F.col("max_sim")).desc(), "vec_id"
+        )
+        pick = (
+            slim.join(selected, ["query_id", "vec_id"], "left_anti")
+            .join(
+                max_sim,
+                (F.col("query_id") == F.col("ms_query_id"))
+                & (F.col("vec_id") == F.col("a_id")),
+            )
+            .withColumn("rn", F.row_number().over(wpick))
+            .where(F.col("rn") == 1)
+            .select(
+                "query_id",
+                F.lit(r).cast("long").alias("rank"),
+                "vec_id",
+                "rel_micro",
+            )
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=False)
+    return selected.orderBy("query_id", "rank")
+
+
+RETRIEVAL_MMR_ORACLE = f"""
+WITH RECURSIVE qs AS (
+    SELECT vec_id AS query_id, embedding AS qv
+    FROM embeddings WHERE vec_id % 100 = 0
+), scored AS (
+    SELECT q.query_id, c.vec_id,
+           CAST(round(list_cosine_similarity(
+               c.embedding::DOUBLE[], q.qv::DOUBLE[]) * 1000000) AS BIGINT)
+               AS rel_micro
+    FROM qs q JOIN embeddings c ON c.vec_id % 100 <> 0
+), cands AS (
+    SELECT query_id, vec_id, rel_micro FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY rel_micro DESC, vec_id) AS rn
+        FROM scored) WHERE rn <= {_MMR_TOPN}
+), pair_sims AS (
+    SELECT a.query_id, a.vec_id AS a_id, b.vec_id AS b_id,
+           CAST(round(list_cosine_similarity(
+               ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) * 1000000)
+               AS BIGINT) AS sim_micro
+    FROM cands a
+    JOIN cands b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = b.vec_id
+), sel AS (
+    SELECT query_id, CAST(1 AS BIGINT) AS rank, vec_id, rel_micro,
+           [vec_id] AS chosen
+    FROM (SELECT query_id, vec_id, rel_micro,
+                 row_number() OVER (PARTITION BY query_id
+                     ORDER BY rel_micro DESC, vec_id) AS rn
+          FROM cands) WHERE rn = 1
+    UNION ALL
+    SELECT query_id, rank + 1, vec_id, rel_micro,
+           list_append(chosen, vec_id)
+    FROM (
+        SELECT s.query_id, s.rank, c.vec_id, c.rel_micro, s.chosen,
+               row_number() OVER (
+                   PARTITION BY s.query_id
+                   ORDER BY c.rel_micro - (
+                       SELECT max(p.sim_micro) FROM pair_sims p
+                       WHERE p.query_id = s.query_id AND p.a_id = c.vec_id
+                         AND list_contains(s.chosen, p.b_id)) DESC,
+                   c.vec_id) AS rn
+        FROM sel s
+        JOIN cands c ON c.query_id = s.query_id
+                    AND NOT list_contains(s.chosen, c.vec_id)
+        WHERE s.rank < {_MMR_K}
+    ) WHERE rn = 1
+)
+SELECT query_id, rank, vec_id, rel_micro FROM sel
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "retrieval_rrf_fusion": retrieval_rrf_fusion,
+    "retrieval_mmr_diversify": retrieval_mmr_diversify,
 }
 
 ORACLES = {
     "retrieval_rrf_fusion": RETRIEVAL_RRF_ORACLE,
+    "retrieval_mmr_diversify": RETRIEVAL_MMR_ORACLE,
 }

@@ -2201,8 +2201,66 @@ ORDER BY doc_id
 """
 
 
+#: decomposed-unicode suffix appended to every doc before normalizing, so
+#: the lane exercises real NFC work on the (ASCII-only) fixture corpus:
+#: combining acute (U+0301), ANGSTROM SIGN (U+212B -> U+00C5 under NFC),
+#: combining diaeresis (U+0308).  Written as escapes so no editor or VCS
+#: layer can silently re-normalize the source file.
+_NFC_SUFFIX = " cafe\u0301 \u212Bngstro\u0308m"
+
+
+def text_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the first transform of every text
+    curation pipeline (mixed-form corpora double-count shingles and
+    split token statistics unless canonicalized; cf. the normalization
+    step ahead of dedup in Gopher/CCNet-style cleaning).
+
+    The fixture corpus is ASCII, so each doc is augmented with a fixed
+    decomposed-unicode suffix (identical expression in the oracle) to
+    make the kernel do real composition work; output pins the
+    char-count contraction and the md5 of the normalized UTF-8 bytes.
+
+    Scale shape: scan-stage only — one ArrowEvalPython kernel
+    (``functions/text.nfc_normalize_udf``), zero shuffles beyond the
+    presentation ``orderBy``; at 100 TB this is embarrassingly parallel
+    and Arrow-batched, the same posture as the URL/HTML kernels.
+    """
+    from ..functions.text import nfc_normalize_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(F.col("text"), F.lit(_NFC_SUFFIX))
+    normed = docs.select(
+        "doc_id",
+        F.length(aug).cast("long").alias("n_before"),
+        nfc_normalize_udf(aug).alias("norm"),
+    )
+    return normed.select(
+        "doc_id",
+        "n_before",
+        F.length("norm").cast("long").alias("n_after"),
+        F.md5(F.encode("norm", "UTF-8")).alias("norm_md5"),
+    ).orderBy("doc_id")
+
+
+TEXT_NORMALIZE_UNICODE_ORACLE = """
+WITH aug AS (
+    SELECT doc_id,
+           text || ' cafe' || chr(769) || ' ' || chr(8491)
+                || 'ngstro' || chr(776) || 'm' AS a
+    FROM documents
+)
+SELECT doc_id,
+       CAST(length(a) AS BIGINT) AS n_before,
+       CAST(length(nfc_normalize(a)) AS BIGINT) AS n_after,
+       md5(nfc_normalize(a)) AS norm_md5
+FROM aug
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "webdataset_roundtrip": webdataset_roundtrip,
+    "text_normalize_unicode": text_normalize_unicode,
     "warc_ingest_roundtrip": warc_ingest_roundtrip,
     "text_pii_redact": text_pii_redact,
     "dedup_paragraphs": dedup_paragraphs,
@@ -2233,6 +2291,7 @@ QUERIES = {
 
 ORACLES = {
     "webdataset_roundtrip": WEBDATASET_ROUNDTRIP_ORACLE,
+    "text_normalize_unicode": TEXT_NORMALIZE_UNICODE_ORACLE,
     "warc_ingest_roundtrip": WARC_INGEST_ORACLE,
     "text_pii_redact": TEXT_PII_REDACT_ORACLE,
     "dedup_paragraphs": DEDUP_PARAGRAPHS_ORACLE,
