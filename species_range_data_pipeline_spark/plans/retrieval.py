@@ -199,6 +199,36 @@ ORDER BY rnk
 """
 
 
+def _mmr_candidates(emb: DataFrame) -> DataFrame:
+    """The only corpus-sized stage of the MMR lane, exposed for the plan
+    pin in tests/test_retrieval_mmr.py (the lane's own final explain
+    hides it behind the lazy-checkpoint boundary): one scan scored
+    against BROADCAST queries (BroadcastNestedLoopJoin — never a
+    cartesian, never a corpus x corpus shuffle join) cut to
+    ``_MMR_TOPN`` per query by one window."""
+    qs = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cs = emb.where(F.col("vec_id") % 100 != 0)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("rel_micro").desc(), "vec_id"
+    )
+    return (
+        cs.crossJoin(F.broadcast(qs))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(as_double("embedding"), as_double("qv")) * 1e6)
+            .cast("long")
+            .alias("rel_micro"),
+            "embedding",
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= _MMR_TOPN)
+        .select("query_id", "vec_id", "rel_micro", "embedding")
+    )
+
+
 #: MMR knobs: candidate pool per query, picks per query.  λ is fixed at
 #: 0.5, which lets the objective collapse to exact integer arithmetic
 #: (argmax of 0.5·rel − 0.5·max_sim == argmax of rel_micro − max_sim_micro).
@@ -231,29 +261,11 @@ def retrieval_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     lazily localCheckpoint-ed so the plan stays linear in K, the same
     discipline as ``hier_rollup``'s pointer-jump loop.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    qs = emb.where(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    cs = emb.where(F.col("vec_id") % 100 != 0)
-
+    cands = _mmr_candidates(
+        load_table(spark, sf_dir, "embeddings")
+    ).localCheckpoint(eager=False)
     wq = Window.partitionBy("query_id").orderBy(
         F.col("rel_micro").desc(), "vec_id"
-    )
-    cands = (
-        cs.crossJoin(F.broadcast(qs))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(cosine(as_double("embedding"), as_double("qv")) * 1e6)
-            .cast("long")
-            .alias("rel_micro"),
-            "embedding",
-        )
-        .withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= _MMR_TOPN)
-        .select("query_id", "vec_id", "rel_micro", "embedding")
-        .localCheckpoint(eager=False)
     )
     a, b = cands.alias("a"), cands.alias("b")
     pair_sims = (

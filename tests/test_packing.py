@@ -133,3 +133,48 @@ def test_sharded_packing_identical_to_single_window(spark):
         .distinct().groupBy("source").count()
     )
     assert n_shards.agg(F.max("count")).first()[0] > 1
+
+
+def test_shuffle_shards_is_balanced_permutation(spark):
+    """The global shuffle must (a) emit every doc exactly once, (b) keep
+    shard sizes within 1 of even (the Knuth spread's job), (c) assign
+    dense 1..n positions per shard, and (d) actually permute (output
+    order differs from doc_id order — a broken identity key would still
+    pass parity if the oracle broke the same way)."""
+    from species_range_data_pipeline_spark.plans.packing import (
+        _SHUFFLE_SHARDS,
+        dataset_shuffle_shards,
+    )
+
+    rows = dataset_shuffle_shards(spark, SF_CORRECT).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert sorted(ids) == list(range(len(ids)))
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r["shard"]].append(r["pos"])
+    assert set(by_shard) == set(range(_SHUFFLE_SHARDS))
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) - min(sizes) <= 1
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    shard0 = [r["doc_id"] for r in rows if r["shard"] == 0]
+    assert shard0 != sorted(shard0), "shard order must not be doc_id order"
+
+
+def test_shuffle_shards_single_exchange(spark):
+    """ONE wide exchange — the hashpartitioning(shard) the shard writer
+    pays anyway; the presentation sort is a range partitioning, not a
+    second hash shuffle."""
+    import contextlib
+    import io
+
+    from species_range_data_pipeline_spark.plans.packing import (
+        dataset_shuffle_shards,
+    )
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dataset_shuffle_shards(spark, SF_CORRECT).explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan

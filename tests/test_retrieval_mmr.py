@@ -1,0 +1,119 @@
+"""MMR diversified retrieval: independent pure-Python replay of the
+greedy trajectory (third implementation besides the Spark plan and the
+recursive-CTE DuckDB oracle), plus the diversification property plain
+top-k cannot have and the scale-posture plan pins."""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow.parquet as pq
+
+from species_range_data_pipeline_spark.plans.retrieval import (
+    _MMR_K,
+    _MMR_TOPN,
+    retrieval_mmr_diversify,
+)
+
+from .conftest import SF_CORRECT
+
+
+def _cos_micro(a, b) -> int:
+    """round(cosine * 1e6) with the engines' sequential-fold accumulation
+    order (fp64 left fold, not numpy pairwise)."""
+    dot = n2a = n2b = 0.0
+    for x, y in zip(a, b):
+        x, y = float(x), float(y)
+        dot += x * y
+        n2a += x * x
+        n2b += y * y
+    return round(dot / (math.sqrt(n2a) * math.sqrt(n2b)) * 1e6)
+
+
+def _reference_mmr(sf_dir: str):
+    """Greedy MMR replayed in plain Python from the parquet fixture."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    vecs = {
+        int(i): list(map(float, e))
+        for i, e in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+    }
+    queries = sorted(v for v in vecs if v % 100 == 0)
+    out = []
+    for q in queries:
+        rel = {
+            c: _cos_micro(vecs[c], vecs[q]) for c in vecs if c % 100 != 0
+        }
+        cands = sorted(rel, key=lambda c: (-rel[c], c))[:_MMR_TOPN]
+        chosen = [min(cands, key=lambda c: (-rel[c], c))]
+        while len(chosen) < _MMR_K:
+            rest = [c for c in cands if c not in chosen]
+            best = min(
+                rest,
+                key=lambda c: (
+                    -(
+                        rel[c]
+                        - max(_cos_micro(vecs[c], vecs[s]) for s in chosen)
+                    ),
+                    c,
+                ),
+            )
+            chosen.append(best)
+        out.extend(
+            (q, rank + 1, c, rel[c]) for rank, c in enumerate(chosen)
+        )
+    return out
+
+
+def test_mmr_matches_pure_python_reference(spark):
+    got = [
+        (r["query_id"], r["rank"], r["vec_id"], r["rel_micro"])
+        for r in retrieval_mmr_diversify(spark, SF_CORRECT).collect()
+    ]
+    assert got == _reference_mmr(SF_CORRECT)
+
+
+def test_mmr_diversifies_vs_plain_topk(spark):
+    """The reason the lane exists: for at least one query, MMR's pick set
+    must differ from the plain relevance top-K (otherwise the greedy
+    penalty never bound and the lane is top-k with extra steps)."""
+    rows = retrieval_mmr_diversify(spark, SF_CORRECT).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert all(len(v) == _MMR_K for v in by_q.values())
+    diverged = 0
+    for picks in by_q.values():
+        assert len({r["vec_id"] for r in picks}) == _MMR_K
+        # rank-1 is always the global relevance argmax; if every later
+        # pick also followed pure relevance the rel_micro sequence down
+        # the ranks would be non-increasing — a strict increase means
+        # the similarity penalty actually re-ordered the picks
+        rels = [r["rel_micro"] for r in sorted(picks, key=lambda r: r["rank"])]
+        if rels != sorted(rels, reverse=True):
+            diverged += 1
+    assert diverged > 0, "MMR never deviated from relevance order"
+
+
+def test_mmr_corpus_stage_is_broadcast_only(spark):
+    """Scale posture: the only corpus-sized join is the candidate cut
+    against BROADCAST queries — a BroadcastNestedLoopJoin, never a
+    CartesianProduct and never a corpus-x-corpus shuffle join.  Pinned
+    on the exposed head (the lane's own explain hides it behind the
+    lazy-checkpoint boundary)."""
+    import contextlib
+    import io
+
+    from species_range_data_pipeline_spark.catalog import load_table
+    from species_range_data_pipeline_spark.plans.retrieval import (
+        _mmr_candidates,
+    )
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _mmr_candidates(load_table(spark, SF_CORRECT, "embeddings")).explain(
+            "formatted"
+        )
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -218,3 +218,25 @@ def test_persist_corpus_signatures_txn_replay_noops(spark, tmp_path):
     v2 = persist_corpus_signatures(corpus, path, mode="append", txn=1)
     assert v2 == v1  # replay no-ops at the same version
     assert read_manifest_table(spark, path).count() == n1
+
+
+def test_nfc_kernel_composes_and_passes_nulls(spark):
+    """Unit pin for functions/text.nfc_normalize_udf: decomposed e+acute
+    and ANGSTROM SIGN compose to single codepoints, ASCII is untouched,
+    null stays null (the oracle's nfc_normalize(NULL) contract)."""
+    from pyspark.sql import functions as F
+
+    from species_range_data_pipeline_spark.functions.text import (
+        nfc_normalize_udf,
+    )
+
+    df = spark.createDataFrame(
+        [("cafe\u0301",), ("\u212B",), ("plain ascii",), (None,)],
+        ["s"],
+    )
+    got = [
+        r["n"]
+        for r in df.select(nfc_normalize_udf(F.col("s")).alias("n"))
+        .collect()
+    ]
+    assert got == ["caf\u00e9", "\u00c5", "plain ascii", None]
