@@ -88,6 +88,12 @@ HEADLINE = [
     # memory sink), so streaming-engine regressions surface alongside
     # the batch rows instead of only in the separate medallion number.
     "stream_tumbling_counts",
+    # r13 additions: the deterministic global training shuffle (one
+    # exchange, the shard writer's own repartition) and MMR diversified
+    # retrieval (broadcast candidate cut + K-1 lazy-checkpointed greedy
+    # rounds — the job-count-heavy lane shape, like pagerank).
+    "dataset_shuffle_shards",
+    "retrieval_mmr_diversify",
 ]
 
 

@@ -117,3 +117,22 @@ def test_mmr_corpus_stage_is_broadcast_only(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_mmr_rounds_twin_identical_to_kernel(spark):
+    """The unregistered JVM round-loop twin must reproduce the kernel
+    lane row-for-row (the dissolve/dissolve_tiled discipline: two
+    execution strategies, one semantics)."""
+    from species_range_data_pipeline_spark.plans.retrieval import (
+        retrieval_mmr_diversify_rounds,
+    )
+
+    kern = [
+        tuple(r)
+        for r in retrieval_mmr_diversify(spark, SF_CORRECT).collect()
+    ]
+    rounds = [
+        tuple(r)
+        for r in retrieval_mmr_diversify_rounds(spark, SF_CORRECT).collect()
+    ]
+    assert kern == rounds
