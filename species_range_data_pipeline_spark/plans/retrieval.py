@@ -322,9 +322,15 @@ def retrieval_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     alternations, equivalence asserted first).  Barrier count, not
     data, so the kernel form is the headline.
     """
-    cands = _mmr_candidates(
-        load_table(spark, sf_dir, "embeddings")
-    ).localCheckpoint(eager=False)
+    return _mmr_tail(_mmr_candidates(load_table(spark, sf_dir, "embeddings")))
+
+
+def _mmr_tail(cands: DataFrame) -> DataFrame:
+    """Head-agnostic MMR tail: candidate frame in (query_id, vec_id,
+    rel_micro, embedding), diversified picks out.  Shared verbatim by
+    the exact-head registered lane and the IVF-head production variant
+    so their greedy semantics cannot diverge."""
+    cands = cands.localCheckpoint(eager=False)
     slim = cands.select("query_id", "vec_id", "rel_micro")
     return (
         slim.groupBy("query_id")
@@ -334,6 +340,93 @@ def retrieval_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id long, rank long, vec_id long, rel_micro long",
         )
         .orderBy("query_id", "rank")
+    )
+
+
+def _mmr_candidates_ivf(emb: DataFrame, nprobe: int = 4) -> DataFrame:
+    """The 100 TB candidate head: IVF-probed instead of exhaustive.
+    Coarse centroids (one per label, the ``ann_ivf_topk`` quantizer —
+    a posexplode + (cluster, dim) average, map-side combined), top-
+    ``nprobe`` probe per query, exact fold cosine INSIDE probed buckets
+    only, cut to ``_MMR_TOPN``.  The scored frame is |queries| x
+    |probed buckets| instead of |queries| x |corpus| — the same pruning
+    argument as `plans/vectors.ann_ivf_topk`.
+
+    nprobe is the recall dial and MUST be chosen against a measured
+    recall target: on the fixture's coarse quantizer (10 label cells,
+    weakly aligned with cosine neighborhoods at the 16-NN horizon)
+    candidate recall vs the exact head measures 0.30 / 0.55 / 0.91 at
+    nprobe 2 / 4 / 8 — the monotone curve and the default's floor are
+    pinned in tests/test_retrieval_mmr.py.  At production scale the
+    quantizer is k-means-trained with nlist >> 10 (operators/
+    clustering.py), where the same dial is much cheaper per point of
+    recall."""
+    cent = (
+        emb.select(
+            "label", F.posexplode(as_double("embedding")).alias("i", "x")
+        )
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("v"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "v"))),
+                lambda s: s["v"],
+            ).alias("cvec")
+        )
+        .withColumnRenamed("label", "cluster")
+    )
+    qs = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), "cluster"
+    )
+    probed = (
+        qs.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qv",
+            "cluster",
+            F.round(cosine(as_double("qv"), F.col("cvec")), 6).alias("ccos"),
+        )
+        .withColumn("crnk", F.row_number().over(wp))
+        .where(F.col("crnk") <= nprobe)
+        .select("query_id", "qv", "cluster")
+    )
+    cand = emb.where(F.col("vec_id") % 100 != 0).select(
+        "vec_id", "embedding", F.col("label").alias("cluster")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("rel_micro").desc(), "vec_id"
+    )
+    return (
+        probed.join(cand, "cluster")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(as_double("embedding"), as_double("qv")) * 1e6)
+            .cast("long")
+            .alias("rel_micro"),
+            "embedding",
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= _MMR_TOPN)
+        .select("query_id", "vec_id", "rel_micro", "embedding")
+    )
+
+
+def retrieval_mmr_diversify_ivf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The production-scale MMR: IVF-probed candidate head feeding the
+    SAME greedy tail (``_mmr_tail``).  Unregistered (approximate
+    candidates cannot be exactly oracled); structure + recall vs the
+    exact lane are pinned in tests/test_retrieval_mmr.py — the same
+    discipline as `emb_dedup_components` (exact, oracled) vs
+    `emb_dedup_components_lsh` (production, recall-measured)."""
+    return _mmr_tail(
+        _mmr_candidates_ivf(load_table(spark, sf_dir, "embeddings"))
     )
 
 
