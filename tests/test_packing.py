@@ -178,3 +178,49 @@ def test_shuffle_shards_single_exchange(spark):
     plan = buf.getvalue()
     assert plan.count("hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_shuffle_shards_partitioned_write_layout(spark, tmp_path):
+    """The claim "the exchange IS the shard writer's own repartition",
+    executed: repartition on shard + partitionBy write produces one
+    Hive-layout directory per shard whose rows, in file order, are
+    exactly the lane's pos order for that shard."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from species_range_data_pipeline_spark.plans.packing import (
+        _SHUFFLE_SHARDS,
+        dataset_shuffle_shards,
+    )
+
+    out = dataset_shuffle_shards(spark, SF_CORRECT)
+    dest = os.path.join(str(tmp_path), "shards")
+    (
+        out.repartition(_SHUFFLE_SHARDS, "shard")
+        .sortWithinPartitions("pos")
+        .write.partitionBy("shard")
+        .parquet(dest)
+    )
+    dirs = sorted(
+        d for d in os.listdir(dest) if d.startswith("shard=")
+    )
+    assert dirs == [f"shard={i}" for i in range(_SHUFFLE_SHARDS)]
+    expected = {
+        s: [r["doc_id"] for r in rows]
+        for s, rows in (
+            (s, sorted(g, key=lambda r: r["pos"]))
+            for s, g in _group_by_shard(out.collect()).items()
+        )
+    }
+    for i in range(_SHUFFLE_SHARDS):
+        back = spark.read.parquet(os.path.join(dest, f"shard={i}"))
+        got = [r["doc_id"] for r in back.orderBy("pos").collect()]
+        assert got == expected[i]
+
+
+def _group_by_shard(rows):
+    out = defaultdict(list)
+    for r in rows:
+        out[r["shard"]].append(r)
+    return out
