@@ -57,6 +57,7 @@ _PRIORITY = [
     "dedup_incremental_minhash",  # FIRST driver row (text)
     "dedup_lsh_bucket_stats",  # FIRST driver row (text)
     "retrieval_mmr_diversify",  # FIRST driver row (retrieval)
+    "text_decontaminate_purge",  # FIRST driver row (text)
     "text_normalize_unicode",  # FIRST driver row (text)
     "text_winnow_fingerprint",  # r7 (text)
     "text_word_topk",  # r7 (text)
@@ -68,10 +69,10 @@ _PRIORITY = [
     "map_funcs",  # r8 (scalar)
     "sketch_cms_brand_counts",  # r8 (stats)
     "sketch_hll_distinct",  # r8 (stats)
+    "sample_hash_bucket",  # r9 (advanced)
     "subtitle_cue_stats",  # r10 (media)
     "q11_important_balance",  # r10 (tpch_extra)
     "bpe_encode_tokens",  # r11 (bpe)
-    "corr_measures",  # r9 (mining)
     "cosine_topk",  # r9 (vectors)
     "curation_domain_cap",  # r9 (quality)
     "curation_token_budget",  # r9 (quality)
@@ -101,7 +102,6 @@ _PRIORITY = [
     "profile_orders",  # r9 (quality)
     "q1_pricing_summary",  # r9 (relational)
     "sample_balanced_classes",  # r9 (quality)
-    "sample_hash_bucket",  # r9 (advanced)
 ]
 
 # Queries whose oracles are pure VALUES restatements of expected OUTPUT

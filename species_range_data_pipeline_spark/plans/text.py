@@ -1467,6 +1467,24 @@ ORDER BY rnk
 """
 
 
+def _hashed_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, gram) with gram = 64-bit hash of each 8-token window,
+    built IN THE SCAN STAGE with variadic ``xxhash64(t[i-1..i+6])`` — no
+    gram string ever materializes (the measured 2.4× term in
+    `text_decontaminate`'s docstring).  Shared head of both
+    decontamination directions."""
+    toks = docs.select("doc_id", _tokens().alias("t"))
+    return toks.where(F.size("t") >= 8).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t)-7), i -> "
+                "xxhash64(t[i-1],t[i],t[i+1],t[i+2],t[i+3],t[i+4],t[i+5],t[i+6]))"
+            )
+        ).alias("gram"),
+    )
+
+
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination: exact 8-gram overlap between a held-out
     split and the training split — the screening pass every LLM data
@@ -1488,20 +1506,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     this screening count does not.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", _tokens().alias("t"))
-    grams = (
-        toks.where(F.size("t") >= 8)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(t)-7), i -> "
-                    "xxhash64(t[i-1],t[i],t[i+1],t[i+2],t[i+3],t[i+4],t[i+5],t[i+6]))"
-                )
-            ).alias("gram"),
-        )
-        .distinct()
-    )
+    grams = _hashed_grams(docs).distinct()
     ev = grams.where(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("eval_doc"), "gram"
     )
@@ -1517,6 +1522,62 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("eval_doc")
     )
+
+
+def text_decontaminate_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION decontamination direction: which TRAINING docs
+    must be purged because they contain held-out 8-grams.  The real
+    asymmetry at 100 TB is benchmark ≪ corpus (an eval suite is MBs),
+    and this plan exploits it: the eval gram set is deduplicated
+    (eval-sized shuffle) and BROADCAST, the corpus-side grams are
+    filtered map-side by a BroadcastHashJoin — corpus gram rows are
+    NEVER shuffled — and the only corpus-keyed exchange is the final
+    per-doc aggregate over MATCHED rows, which contamination rarity
+    keeps tiny.  Compare `text_decontaminate` (the screening report per
+    eval doc): there both splits are corpus-scale and the gram-keyed
+    shuffle join IS the algorithm; here the broadcast kills it.  Same
+    scan-stage variadic-hash gram head (``_hashed_grams``), shared so
+    the two directions cannot drift.
+
+    Output: (train_doc, n_leaked_grams) for contaminated training docs
+    — the purge list a curation pipeline anti-joins against.
+    """
+    grams = _hashed_grams(load_table(spark, sf_dir, "documents"))
+    ev = (
+        grams.where(F.col("doc_id") % 10 == 0).select("gram").distinct()
+    )
+    tr = grams.where(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("train_doc"), "gram"
+    )
+    return (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("train_doc")
+        .agg(F.countDistinct("gram").alias("n_leaked_grams"))
+        .orderBy("train_doc")
+    )
+
+
+TEXT_DECONTAMINATE_PURGE_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+    FROM documents
+), idx AS (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+    FROM toks WHERE len(t) >= 8
+), g AS (
+    SELECT DISTINCT doc_id, array_to_string(array_slice(t, i, i + 7), ' ') AS gram
+    FROM idx
+)
+SELECT t.doc_id AS train_doc,
+       count(DISTINCT t.gram) AS n_leaked_grams
+FROM g t
+JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0) e
+  ON t.gram = e.gram
+WHERE t.doc_id % 10 <> 0
+GROUP BY 1
+ORDER BY train_doc
+"""
 
 
 TEXT_DECONTAMINATE_ORACLE = """
@@ -2265,6 +2326,7 @@ QUERIES = {
     "text_pii_redact": text_pii_redact,
     "dedup_paragraphs": dedup_paragraphs,
     "text_decontaminate": text_decontaminate,
+    "text_decontaminate_purge": text_decontaminate_purge,
     "dedup_repeated_ngrams": dedup_repeated_ngrams,
     "dedup_substring_cut": dedup_substring_cut,
     "text_quality_classifier": text_quality_classifier,
@@ -2296,6 +2358,7 @@ ORACLES = {
     "text_pii_redact": TEXT_PII_REDACT_ORACLE,
     "dedup_paragraphs": DEDUP_PARAGRAPHS_ORACLE,
     "text_decontaminate": TEXT_DECONTAMINATE_ORACLE,
+    "text_decontaminate_purge": TEXT_DECONTAMINATE_PURGE_ORACLE,
     "dedup_repeated_ngrams": DEDUP_REPEATED_NGRAMS_ORACLE,
     "dedup_substring_cut": DEDUP_SUBSTRING_CUT_ORACLE,
     "text_quality_classifier": TEXT_QUALITY_CLASSIFIER_ORACLE,

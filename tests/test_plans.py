@@ -512,3 +512,13 @@ def test_ensure_parallel_no_rdd_conversion(spark, monkeypatch):
     monkeypatch.setattr(DataFrame, "rdd", property(_boom))
     for name in ("dedup_minhash_lsh", "dedup_substring_cut", "dedup_simhash"):
         QUERIES[name](spark, SF_CORRECT)
+
+
+def test_decontaminate_purge_broadcasts_benchmark_side(spark):
+    """The production decontamination direction must filter corpus grams
+    by a BROADCAST of the (small) eval gram set — a BroadcastHashJoin,
+    never a gram-keyed SortMergeJoin of the corpus side (the asymmetry
+    the lane exists to exploit)."""
+    plan = _plan(spark, "text_decontaminate_purge")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
