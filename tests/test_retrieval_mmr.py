@@ -192,3 +192,87 @@ def test_mmr_ivf_head_structure_and_recall_dial(spark):
             6,
         ]
         assert {r["vec_id"] for r in picks} <= default_cands[q]
+
+
+# ---- kernel property test (no Spark: the raw cogroup function) ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _py_greedy(rel: dict, sims: dict, k: int):
+    """Straight-line reference greedy (independent of the kernel's
+    min-key formulation)."""
+    order = sorted(rel, key=lambda v: (-rel[v], v))
+    chosen = [order[0]]
+    while len(chosen) < min(k, len(order)):
+        best, best_key = None, None
+        for c in order:
+            if c in chosen:
+                continue
+            score = rel[c] - max(sims[(c, s)] for s in chosen)
+            key = (-score, c)
+            if best_key is None or key < best_key:
+                best, best_key = c, key
+        chosen.append(best)
+    return chosen
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=10).flatmap(
+        lambda n: st.tuples(
+            # rel scores from a TINY value pool so ties are the norm,
+            # not the exception (the adversarial case for greedy order)
+            st.lists(
+                st.integers(min_value=-3, max_value=3),
+                min_size=n,
+                max_size=n,
+            ),
+            st.lists(
+                st.integers(min_value=-3, max_value=3),
+                min_size=n * (n - 1),
+                max_size=n * (n - 1),
+            ),
+        )
+    )
+)
+def test_mmr_kernel_matches_reference_under_ties(data):
+    """The cogroup kernel's greedy must equal an independent reference
+    on heavy-tie integer inputs — ties in both rel and the penalized
+    score MUST break by vec_id, the contract the recursive-CTE oracle
+    and the JVM twin both implement."""
+    import pandas as pd
+
+    from species_range_data_pipeline_spark.plans.retrieval import (
+        _MMR_K,
+        _mmr_greedy_kernel,
+    )
+
+    rels, simvals = data
+    n = len(rels)
+    ids = list(range(1, n + 1))
+    rel = dict(zip(ids, rels))
+    pairs = [(a, b) for a in ids for b in ids if a != b]
+    sims = dict(zip(pairs, simvals))
+    # symmetrize: cosine sims are symmetric in production and in the
+    # pair_sims frame (both directions materialized with equal values)
+    for a, b in pairs:
+        sims[(b, a)] = sims[(a, b)]
+
+    cdf = pd.DataFrame(
+        {"query_id": [7] * n, "vec_id": ids, "rel_micro": rels}
+    )
+    pdf = pd.DataFrame(
+        {
+            "query_id": [7] * len(pairs),
+            "a_id": [a for a, _ in pairs],
+            "b_id": [b for _, b in pairs],
+            "sim_micro": [sims[p] for p in pairs],
+        }
+    )
+    out = _mmr_greedy_kernel(cdf, pdf)
+    expected = _py_greedy(rel, sims, _MMR_K)
+    assert list(out["vec_id"]) == expected
+    assert list(out["rank"]) == list(range(1, len(expected) + 1))
+    assert list(out["rel_micro"]) == [rel[c] for c in expected]
