@@ -48,6 +48,17 @@ def nfc_normalize_udf(col):
     no state.  Python's ``unicodedata`` and DuckDB's ``nfc_normalize``
     (utf8proc) both implement UAX #15 NFC, so the oracle twin matches
     byte-for-byte.
+
+    UNICODE-VERSION CAVEAT (ADVICE r13): byte parity assumes both
+    engines carry compatible Unicode character databases — a code point
+    added or reclassified between the CPython and utf8proc UCD versions
+    could normalize differently.  UAX #15 guarantees NFC results are
+    STABLE for assigned code points (normalization stability policy),
+    so the exposure is only unassigned-in-one-engine code points; the
+    oracle-checked lane (``text_normalize_unicode``) therefore restricts
+    its augmented suffix to long-assigned, normalization-stable code
+    points (NFC-changing: Å→Å, decomposed e+◌́→é), and any fixture
+    extension must keep that restriction.
     """
     from pyspark.sql.functions import pandas_udf
 

@@ -44,64 +44,65 @@ _MODULE_NAMES = [
 # session MUST regenerate this block (run the script, paste its output
 # here, done) before the suite goes green.
 #
-# Round-13 window (ninth rotation; built from CORRECTNESS_r01..r12):
-# first driver rows for the r12-built dedup_lsh_bucket_stats and
-# dedup_incremental_minhash (after which driver coverage is 201/201
-# all-time), then the r7-era trio, the r8-era tranche, module fillers
-# (media/tpch_extra/bpe/retrieval had no r9-or-staler row), and the
-# stalest r9-era rows.
-_WINDOW_BUILT_FROM = 12  # newest CORRECTNESS artifact consumed
+# Round-14 window (tenth rotation; built from CORRECTNESS_r01..r13):
+# first driver rows for the newly-registered production lanes
+# retrieval_mmr_diversify_ivf (the 100-TB MMR candidate head) and
+# dedup_incremental_minhash_manifest (signatures from the manifest
+# store), then the ENTIRE r9-era tranche (VERDICT r13 next #4 — after
+# this round the freshness floor moves to r10), then the stalest
+# r10-era rows (module fillers resolved within them).
+_WINDOW_BUILT_FROM = 13  # newest CORRECTNESS artifact consumed
 _PRIORITY = [
-    "flagship_threshold_rollup",  # r12 (relational)
-    "dataset_shuffle_shards",  # FIRST driver row (packing)
-    "dedup_incremental_minhash",  # FIRST driver row (text)
-    "dedup_lsh_bucket_stats",  # FIRST driver row (text)
-    "retrieval_mmr_diversify",  # FIRST driver row (retrieval)
-    "text_decontaminate_purge",  # FIRST driver row (text)
-    "text_normalize_unicode",  # FIRST driver row (text)
-    "text_winnow_fingerprint",  # r7 (text)
-    "text_word_topk",  # r7 (text)
-    "xml_roundtrip_parse",  # r7 (scalar)
-    "doc_pack_ffd",  # r8 (packing)
-    "emb_kmeans",  # r8 (vectors)
-    "emb_pca_project",  # r8 (vectors)
-    "geo_point_in_polygon",  # r8 (geo)
-    "map_funcs",  # r8 (scalar)
-    "sketch_cms_brand_counts",  # r8 (stats)
-    "sketch_hll_distinct",  # r8 (stats)
-    "sample_hash_bucket",  # r9 (advanced)
-    "subtitle_cue_stats",  # r10 (media)
-    "q11_important_balance",  # r10 (tpch_extra)
-    "bpe_encode_tokens",  # r11 (bpe)
-    "cosine_topk",  # r9 (vectors)
-    "curation_domain_cap",  # r9 (quality)
-    "curation_token_budget",  # r9 (quality)
-    "dataset_interleave_epochs",  # r9 (packing)
-    "dedup_clusters_star",  # r9 (graph)
-    "dedup_minhash_lsh",  # r9 (text)
-    "dedup_paragraphs",  # r9 (text)
-    "dedup_repeated_ngrams",  # r9 (text)
-    "dedup_simhash",  # r9 (text)
-    "dedup_substring_cut",  # r9 (text)
-    "dq_outliers_iqr",  # r9 (quality)
-    "emb_label_centroids",  # r9 (vectors)
-    "emb_near_dup",  # r9 (vectors)
-    "emb_near_dup_lsh",  # r9 (vectors)
-    "emb_pq_topk",  # r9 (vectors)
-    "emb_quantize_topk",  # r9 (vectors)
-    "error_routing",  # r9 (scalar)
-    "ev_pattern_consecutive",  # r9 (mining)
-    "ev_time_weighted_avg",  # r9 (events)
-    "geo_dissolve_area_m2",  # r9 (geo)
-    "geo_range_overlap",  # r9 (geo)
-    "graph_pagerank",  # r9 (graph)
-    "hier_rollup_sql",  # r9 (graph)
-    "join_anti_idempotent",  # r9 (relational)
-    "json_udtf_dynamic",  # r9 (scalar)
-    "null_cond_funcs",  # r9 (scalar)
-    "profile_orders",  # r9 (quality)
-    "q1_pricing_summary",  # r9 (relational)
-    "sample_balanced_classes",  # r9 (quality)
+    "flagship_threshold_rollup",  # r13 (relational)
+    "dedup_incremental_minhash_manifest",  # FIRST driver row (text)
+    "retrieval_mmr_diversify_ivf",  # FIRST driver row (retrieval)
+    "agg_count_if_bool",  # r9 (stats)
+    "agg_string_concat",  # r9 (stats)
+    "corpus_pipeline_summary",  # r9 (packing)
+    "corr_measures",  # r9 (mining)
+    "sketch_quantile_bottomk",  # r9 (stats)
+    "stream_tumbling_counts",  # r9 (events)
+    "text_bigram_lm",  # r9 (text)
+    "text_chunk_udtf",  # r9 (text)
+    "text_compression_ratio",  # r9 (quality)
+    "text_perplexity",  # r9 (text)
+    "text_pii_scrub",  # r9 (quality)
+    "text_quality_classifier",  # r9 (text)
+    "text_repetition",  # r9 (text)
+    "window_udaf_ewma",  # r9 (events)
+    "multimodal_ahash_dups",  # r11 (media)
+    "bpe_train_merges",  # r12 (bpe)
+    "agg_salted_twophase",  # r10 (advanced)
+    "ann_ivf_topk",  # r10 (vectors)
+    "array_map_funcs",  # r10 (advanced)
+    "dataset_mixture",  # r10 (packing)
+    "dedup_clusters",  # r10 (graph)
+    "dedup_exact",  # r10 (text)
+    "dedup_keep_best",  # r10 (quality)
+    "filename_parse",  # r10 (scalar)
+    "geo_container_roundtrip",  # r10 (geo)
+    "geo_range_overlap_bands",  # r10 (geo)
+    "geo_shapefile_roundtrip",  # r10 (geo)
+    "join_full_outer",  # r10 (relational)
+    "join_semi",  # r10 (relational)
+    "join_skew_salted",  # r10 (advanced)
+    "q10_returned_revenue",  # r10 (advanced)
+    "q12_late_priority_lines",  # r10 (tpch_extra)
+    "q13_customer_distribution",  # r10 (tpch_extra)
+    "q15_top_supplier",  # r10 (tpch_extra)
+    "q16_supplier_part_relationship",  # r10 (tpch_extra)
+    "q17_small_quantity_revenue",  # r10 (tpch_extra)
+    "q20_excess_shipments",  # r10 (tpch_extra)
+    "q22_dormant_customers",  # r10 (tpch_extra)
+    "q3_shipping_priority",  # r10 (relational)
+    "q5_region_volume",  # r10 (relational)
+    "q6_revenue_delta",  # r10 (advanced)
+    "q8_market_share",  # r10 (tpch_extra)
+    "scd2_customer_history",  # r10 (mining)
+    "scrape_pipeline_live",  # r10 (relational)
+    "setop_except",  # r10 (relational)
+    "setop_intersect",  # r10 (relational)
+    "sort_limit_topk",  # r10 (relational)
 ]
 
 # Queries whose oracles are pure VALUES restatements of expected OUTPUT

@@ -816,6 +816,49 @@ def dedup_incremental_minhash_manifest(
     return _bucket_min_incremental(banded)
 
 
+#: One signature-manifest scratch dir per (session, fixture dir): the
+#: registered wrapper below pays the ingest half once per session and
+#: every later call reads the committed table — the production shape,
+#: where ingest writes signatures continuously and the nightly dedup
+#: only ever reads them.
+_SIG_MANIFEST_CACHE: dict[str, str] = {}
+
+
+def dedup_incremental_minhash_manifest_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registered driver entry for the manifest-fed incremental dedup
+    (VERDICT r13 next #3): self-contained ``(spark, sf_dir)`` form of
+    ``dedup_incremental_minhash_manifest``.  First call per session runs
+    the INGEST half — ``persist_corpus_signatures`` commits the standing
+    corpus's (doc_id, band, bucket) rows (doc_id % 10 < 8, the fixture's
+    corpus/batch split) to a scratch manifest table — then the dedup
+    half reads those signatures and touches documents.text only on the
+    batch side (plan pinned in tests/test_text_properties.py: exactly
+    one text-bearing FileScan, carrying the batch predicate).
+
+    Output is row-identical to the recomputed lane, so the DuckDB
+    oracle is shared verbatim (``DEDUP_INCREMENTAL_ORACLE``): the
+    driver's hash check covers the full write→commit→snapshot-read→
+    dedup path, not just the aggregation tail.
+    """
+    import os
+    import tempfile
+
+    key = os.path.abspath(sf_dir)
+    path = _SIG_MANIFEST_CACHE.get(key)
+    if path is None:
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="spark_graft_sigs_"), "signatures"
+        )
+        corpus = load_table(spark, sf_dir, "documents").where(
+            F.col("doc_id") % 10 < 8
+        )
+        persist_corpus_signatures(corpus, path)
+        _SIG_MANIFEST_CACHE[key] = path
+    return dedup_incremental_minhash_manifest(spark, sf_dir, path)
+
+
 DEDUP_INCREMENTAL_ORACLE = """
 WITH toks AS (
     SELECT doc_id,
@@ -1538,6 +1581,16 @@ def text_decontaminate_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle join IS the algorithm; here the broadcast kills it.  Same
     scan-stage variadic-hash gram head (``_hashed_grams``), shared so
     the two directions cannot drift.
+
+    FIXTURE CAVEAT (ADVICE r13): the ``doc_id % 10 == 0`` eval split is
+    a 10%-of-corpus STAND-IN for an externally-supplied eval suite —
+    small enough to broadcast at every fixture scale, but it grows with
+    the corpus, so the forced ``F.broadcast(ev)`` premise holds by
+    construction only when the eval set is independently bounded (a
+    real benchmark is).  Feeding a corpus-scale frame as ``ev`` would
+    OOM the driver rather than fall back to a shuffle join; at that
+    shape use ``text_decontaminate``, whose gram-keyed shuffle join is
+    built for two corpus-scale sides.
 
     Output: (train_doc, n_leaked_grams) for contaminated training docs
     — the purge list a curation pipeline anti-joins against.
@@ -2347,6 +2400,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_lsh_bucket_stats": dedup_lsh_bucket_stats,
     "dedup_incremental_minhash": dedup_incremental_minhash,
+    "dedup_incremental_minhash_manifest": dedup_incremental_minhash_manifest_query,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
 }
@@ -2379,6 +2433,7 @@ ORACLES = {
     "dedup_minhash_lsh": DEDUP_MINHASH_ORACLE,
     "dedup_lsh_bucket_stats": DEDUP_LSH_BUCKET_STATS_ORACLE,
     "dedup_incremental_minhash": DEDUP_INCREMENTAL_ORACLE,
+    "dedup_incremental_minhash_manifest": DEDUP_INCREMENTAL_ORACLE,
     "dedup_ngram_jaccard": DEDUP_NGRAM_ORACLE,
     "dedup_simhash": DEDUP_SIMHASH_ORACLE,
 }

@@ -20,14 +20,18 @@ from .conftest import SF_CORRECT
 
 def _cos_micro(a, b) -> int:
     """round(cosine * 1e6) with the engines' sequential-fold accumulation
-    order (fp64 left fold, not numpy pairwise)."""
+    order (fp64 left fold, not numpy pairwise) AND the engines' rounding
+    mode: Spark and DuckDB round half AWAY FROM ZERO, while Python's
+    round() is banker's half-to-even — an exact .5 boundary would make
+    a round()-based reference diverge from both engines (ADVICE r13)."""
     dot = n2a = n2b = 0.0
     for x, y in zip(a, b):
         x, y = float(x), float(y)
         dot += x * y
         n2a += x * x
         n2b += y * y
-    return round(dot / (math.sqrt(n2a) * math.sqrt(n2b)) * 1e6)
+    v = dot / (math.sqrt(n2a) * math.sqrt(n2b)) * 1e6
+    return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
 
 
 def _reference_mmr(sf_dir: str):
@@ -192,6 +196,118 @@ def test_mmr_ivf_head_structure_and_recall_dial(spark):
             6,
         ]
         assert {r["vec_id"] for r in picks} <= default_cands[q]
+
+
+def test_mmr_ivf_head_prunes_corpus_via_cluster_hash_join(spark):
+    """Scale posture of the REGISTERED IVF lane (VERDICT r13 next #2):
+    the corpus side must enter through an EQUI hash join on the cluster
+    key (bucket prune — only probed buckets are scored), never a
+    per-query corpus scan.  The only nested-loop is queries × centroids,
+    both bounded (|queries| fixed by contract, |centroids| = nlist)."""
+    import contextlib
+    import io
+
+    from species_range_data_pipeline_spark.catalog import load_table
+    from species_range_data_pipeline_spark.plans.retrieval import (
+        _mmr_candidates_ivf,
+    )
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _mmr_candidates_ivf(
+            load_table(spark, SF_CORRECT, "embeddings")
+        ).explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # cand join keyed on cluster
+    # exactly one nested-loop — the bounded query×centroid probe; count
+    # the tree form only (formatted explain repeats nodes in the detail
+    # section, so count the numbered detail header instead)
+    assert plan.count(") BroadcastNestedLoopJoin") == 1, plan
+
+
+def test_mmr_ivf_matches_pure_python_reference(spark):
+    """Independent replay of the ENTIRE registered IVF lane in plain
+    Python from the parquet fixture (third implementation besides the
+    Spark plan and the recursive-CTE oracle): per-label mean centroids,
+    top-nprobe probe (rounded cosine, cluster tie-break), exact cosine
+    inside probed buckets, top-N cut, then the same greedy MMR."""
+    from species_range_data_pipeline_spark.plans.retrieval import (
+        _MMR_IVF_NPROBE,
+        retrieval_mmr_diversify_ivf,
+    )
+
+    t = pq.read_table(f"{SF_CORRECT}/embeddings.parquet")
+    vecs, labels = {}, {}
+    for i, e, lb in zip(
+        t["vec_id"].to_pylist(),
+        t["embedding"].to_pylist(),
+        t["label"].to_pylist(),
+    ):
+        vecs[int(i)] = list(map(float, e))
+        labels[int(i)] = int(lb)
+    dims = len(next(iter(vecs.values())))
+    # per-label mean centroid, fp64 accumulation in vec order is NOT
+    # required: avg is order-sensitive in principle, but the engines
+    # agree after round(6) on the probe cosine (the ann_ivf_topk
+    # precedent); the reference uses plain sum/n
+    by_label: dict[int, list] = {}
+    for v, lb in labels.items():
+        by_label.setdefault(lb, []).append(v)
+    cents = {
+        lb: [
+            sum(vecs[v][d] for v in members) / len(members)
+            for d in range(dims)
+        ]
+        for lb, members in by_label.items()
+    }
+
+    def _cos6(a, b):
+        dot = n2a = n2b = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            n2a += x * x
+            n2b += y * y
+        v = dot / (math.sqrt(n2a) * math.sqrt(n2b)) * 1e6
+        r = math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+        return r / 1e6
+
+    queries = sorted(v for v in vecs if v % 100 == 0)
+    expected = []
+    for q in queries:
+        probed = sorted(
+            cents, key=lambda lb: (-_cos6(vecs[q], cents[lb]), lb)
+        )[:_MMR_IVF_NPROBE]
+        pool = [
+            c
+            for c in vecs
+            if c % 100 != 0 and labels[c] in probed
+        ]
+        rel = {c: _cos_micro(vecs[c], vecs[q]) for c in pool}
+        cands = sorted(rel, key=lambda c: (-rel[c], c))[:_MMR_TOPN]
+        chosen = [cands[0]]
+        while len(chosen) < min(_MMR_K, len(cands)):
+            rest = [c for c in cands if c not in chosen]
+            best = min(
+                rest,
+                key=lambda c: (
+                    -(
+                        rel[c]
+                        - max(_cos_micro(vecs[c], vecs[s]) for s in chosen)
+                    ),
+                    c,
+                ),
+            )
+            chosen.append(best)
+        expected.extend(
+            (q, rank + 1, c, rel[c]) for rank, c in enumerate(chosen)
+        )
+
+    got = [
+        (r["query_id"], r["rank"], r["vec_id"], r["rel_micro"])
+        for r in retrieval_mmr_diversify_ivf(spark, SF_CORRECT).collect()
+    ]
+    assert got == expected
 
 
 # ---- kernel property test (no Spark: the raw cogroup function) ----
