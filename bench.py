@@ -94,6 +94,15 @@ HEADLINE = [
     # rounds — the job-count-heavy lane shape, like pagerank).
     "dataset_shuffle_shards",
     "retrieval_mmr_diversify",
+    # r14 additions (VERDICT r13 next #2/#3): the IVF-headed MMR — the
+    # registered 100-TB candidate path (centroid probe + cluster-keyed
+    # hash join instead of the exact head's full-corpus broadcast scan)
+    # — and the manifest-fed incremental dedup, whose FIRST pass per
+    # session pays the signature-ingest half (cold column) while warm
+    # passes read the committed manifest (the nightly production shape:
+    # ingest amortized, dedup reads signatures only).
+    "retrieval_mmr_diversify_ivf",
+    "dedup_incremental_minhash_manifest",
 ]
 
 
@@ -172,6 +181,54 @@ def bench_streaming_medallion(spark, sf_dir: str) -> dict:
     }
 
 
+def bench_stream_noop_drain(spark) -> float:
+    """The streaming-floor probe (r14, VERDICT r13 next #1): one
+    availableNow drain with the SAME machinery as the stream_* lanes —
+    a 4-file parquet stage, ``maxFilesPerTrigger=1`` (so 4 genuine
+    microbatches with offset/commit-log writes), complete-mode memory
+    sink — over a 4-row no-op frame, i.e. zero data work.  Its wall
+    time IS the microbatch/checkpoint floor the stream lanes are
+    dominated by, measured in the same session on the same box.
+
+    Why this exists: the r13 gate breach showed ``stream_sec /
+    graph_pagerank`` is not box-speed-invariant — the numerator is
+    floor-dominated and the denominator compute-dominated, so a fast
+    box inflates the ratio with no regression anywhere (r14 A/B:
+    pagerank swung 1.67→2.72 s across sessions while the stream lane's
+    steady median sat at 7.6 s both times).  Dividing floor by floor
+    cancels the box's scheduler/fsync speed instead.
+    """
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="bench_stream_floor_")
+    try:
+        t0 = time.perf_counter()
+        spark.range(4).repartition(4).write.parquet(f"{tmp}/in")
+        name = f"bench_noop_drain_{int(t0 * 1000) % 1_000_000_000}"
+        q = (
+            spark.readStream.schema("id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in")
+            .groupBy()
+            .count()
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        spark.table(name).collect()
+        return round(time.perf_counter() - t0, 3)
+    except Exception as e:  # must not kill the batch bench output
+        print(f"bench: stream_noop_drain FAILED: {e}", file=sys.stderr)
+        return 0.0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -196,6 +253,15 @@ def main() -> None:
     # pressure) degrades it and min-of-2 cannot save a reading whose
     # both trials are late in the session.
     streaming = bench_streaming_medallion(spark, sf_dir)
+    # streaming-floor probe: cold pass discarded (one-time stream-engine
+    # init reads ~3x steady), median of 3 steady passes published
+    bench_stream_noop_drain(spark)
+    _floor_passes = [bench_stream_noop_drain(spark) for _ in range(3)]
+    stream_floor = (
+        round(statistics.median(_floor_passes), 3)
+        if all(_floor_passes)
+        else 0.0
+    )
 
     # Cold pass + warm passes per query.  Round-4 showed a one-shot
     # reading measures session history (GC / Python-worker-pool churn),
@@ -360,6 +426,24 @@ def main() -> None:
             streaming_normalized["streaming_medallion"] = round(
                 streaming["streaming_medallion_sec"] / _ctrl, 3
             )
+    # r14 (VERDICT r13 next #1): the pagerank-normalized ratios above are
+    # kept for historical continuity but are NOT the gate — a compute
+    # control in the denominator of a floor-dominated lane breaks on a
+    # fast box (the r13 false-positive).  The judged field is
+    # streaming_floor_normalized: each stream lane divided by the
+    # same-run no-op availableNow drain (identical microbatch machinery,
+    # zero data work), floor over floor, box-speed-invariant.
+    streaming_floor_normalized: dict[str, float] = {}
+    if stream_floor:
+        for name, sec in timings.items():
+            if name.startswith("stream_"):
+                streaming_floor_normalized[name] = round(
+                    sec / stream_floor, 3
+                )
+        if streaming.get("streaming_medallion_sec"):
+            streaming_floor_normalized["streaming_medallion"] = round(
+                streaming["streaming_medallion_sec"] / stream_floor, 3
+            )
 
     summary = {
         "metric": "headline_queries_total_wall",
@@ -375,7 +459,9 @@ def main() -> None:
         "queries_min": mins,
         "queries_cold": cold,
         **streaming,
+        "stream_noop_drain_sec": stream_floor,
         "streaming_normalized": streaming_normalized,
+        "streaming_floor_normalized": streaming_floor_normalized,
         "sf": sf,
     }
     full = dict(summary)
