@@ -159,14 +159,23 @@ def polygonize_auto(
 ) -> DataFrame:
     """Size-dispatched polygonize — ``dissolve_auto``'s twin for T4
     (SCALE.md rule 52): the same one-aggregation sizing job routes
-    groups above the rule-49 crossover to ``polygonize_tiled``.  Below
-    the threshold the returned plan is byte-identical to ``polygonize``;
-    above it, component ids switch to the tiled kernel's deterministic
-    min-cell assignment (the plain kernel's ids are arrival-order-
-    dependent anyway, so no consumer may rely on them)."""
+    groups above the MEASURED polygonize crossover to
+    ``polygonize_tiled``.  Below the threshold the returned plan is
+    byte-identical to ``polygonize``; above it, component ids switch to
+    the tiled kernel's deterministic min-cell assignment (the plain
+    kernel's ids are arrival-order-dependent anyway, so no consumer may
+    rely on them).
+
+    The default threshold is ``POLYGONIZE_TILED_THRESHOLD_CELLS`` —
+    polygonize's OWN measured crossover (r14,
+    ``scripts/polygonize_crossover_sweep.py``), not dissolve's: the
+    boundary walk plus per-component stitching makes the tiled twin's
+    constant factor cheaper relative to plain than dissolve's, so the
+    curves meet ~20x earlier (~100k cells/group vs dissolve's
+    extrapolated ~2M)."""
     group_cols = list(group_cols)
     if threshold_cells is None:
-        threshold_cells = DISSOLVE_TILED_THRESHOLD_CELLS
+        threshold_cells = POLYGONIZE_TILED_THRESHOLD_CELLS
     max_n = (
         cells.groupBy(*group_cols).count().agg(F.max("count")).first()[0]
     )
@@ -388,6 +397,20 @@ def polygonize_tiled(
 #: extrapolation error: the cost of routing early is a constant-factor
 #: level-2 merge; the cost of routing late is superlinear.
 DISSOLVE_TILED_THRESHOLD_CELLS = 2_000_000
+
+#: MEASURED crossover for polygonize (r14, VERDICT r13 next #5 —
+#: previously this dispatch borrowed dissolve's extrapolated ~2M).
+#: `scripts/polygonize_crossover_sweep.py`, gapped-lattice replication
+#: through the SECOND decade with component-count identity asserted at
+#: both scales: second-decade exponents plain e=1.217 (one Python task
+#: per group — kernel + Arrow transfer scale with the whole group) vs
+#: tiled e=1.019 (per-tile work constant, only tile count grows), and
+#: the curves MEET at the 100x arm itself — plain 51.44 s vs tiled
+#: 51.63 s at 102,400 cells/group (within 0.4%), power-law
+#: intersection at ~104k.  Threshold set AT the measured crossover:
+#: routing early costs the constant-factor level-2 stitch (1.6x at
+#: 10k cells/group), routing late costs the superlinear plain curve.
+POLYGONIZE_TILED_THRESHOLD_CELLS = 100_000
 
 
 def dissolve_auto(
