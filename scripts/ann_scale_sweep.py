@@ -52,13 +52,15 @@ def build_scaled(spark, mult: int) -> str:
     copies = emb.withColumn(
         "copy", F.explode(F.array(*[F.lit(i) for i in range(mult)]))
     )
-    # distinct vectors per copy: nudge dimension (copy-1) by 0.05*copy;
-    # copy 0 stays pristine so the original queries (vec_id < 5) are
-    # byte-identical to the 1x run
+    # distinct vectors per copy: nudge dimension (copy-1) % 64 by
+    # 0.05*copy; copy 0 stays pristine so the original queries
+    # (vec_id < 5) are byte-identical to the 1x run.  The mod keeps the
+    # dimension in range for the 100x arm (dims = 64 < copies); the
+    # nudge MAGNITUDE is still copy-unique, so vectors stay distinct.
     perturbed = F.transform(
         "embedding",
         lambda x, i: F.when(
-            (F.col("copy") > 0) & (i == F.col("copy") - 1),
+            (F.col("copy") > 0) & (i == (F.col("copy") - 1) % 64),
             x + F.col("copy").cast("float") * F.lit(0.05),
         ).otherwise(x),
     )
@@ -92,8 +94,49 @@ def recall_vs_exact(approx: dict, exact: dict) -> float:
     return hits / total if total else 0.0
 
 
+def decade2(spark) -> None:
+    """Second-decade arm (VERDICT r13 next #7): 10x vs 100x, so the
+    100-TB extrapolation for the ladder ordering rests on two measured
+    decades instead of one.  Same protocol: alternating cells, medians
+    of 3, noop sink; recall@3 of the ANN lanes is recomputed against
+    the same-scale exact scan AT 100x."""
+    sf10 = build_scaled(spark, 10)
+    sf100 = build_scaled(spark, 100)
+    for name, fn in LANES.items():
+        timed(fn, spark, sf10)  # warm both scales
+        timed(fn, spark, sf100)
+        cells_10x, cells_100x = [], []
+        for _ in range(3):
+            cells_10x.append(timed(fn, spark, sf10))
+            cells_100x.append(timed(fn, spark, sf100))
+        t10 = statistics.median(cells_10x)
+        t100 = statistics.median(cells_100x)
+        print(json.dumps({
+            "lane": name,
+            "t10x_med": round(t10, 3),
+            "t100x_med": round(t100, 3),
+            "second_decade_exponent": round(math.log10(t100 / t10), 3),
+            "cells_10x": [round(c, 3) for c in cells_10x],
+            "cells_100x": [round(c, 3) for c in cells_100x],
+        }), flush=True)
+    exact100 = topk_sets(vectors.cosine_topk(spark, sf100))
+    print(json.dumps({
+        "recall_at_3_vs_exact_100x": {
+            nm: round(
+                recall_vs_exact(topk_sets(fn(spark, sf100)), exact100), 3
+            )
+            for nm, fn in LANES.items()
+            if nm != "cosine_topk"
+        },
+        "corpus_rows_100x": load_table(spark, sf100, "embeddings").count(),
+    }), flush=True)
+
+
 def main() -> None:
     spark = get_spark("ann-scale-sweep")
+    if "--decade2" in sys.argv:
+        decade2(spark)
+        return
     sf10 = build_scaled(spark, MULT)
     for name, fn in LANES.items():
         timed(fn, spark, SF)  # warm both scales

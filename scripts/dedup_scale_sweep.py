@@ -86,8 +86,46 @@ def timed(fn, spark, sf_dir) -> tuple[float, int]:
     return time.perf_counter() - t0, 0
 
 
+def decade2(spark) -> None:
+    """Second-decade arm (VERDICT r13 next #7): 10x vs 100x documents,
+    so the LSH-cap and sub-linearity claims rest on two measured
+    decades instead of one extrapolated from the first.  Same
+    vowel-permutation copy mutation (120 distinct permutations cover
+    the 100 copies), same protocol: alternating cells, medians of 3,
+    noop sink.  The guard-disabled and behavioral-no-op arms are 10x
+    findings (rule 46) and are not re-run here."""
+    import math
+
+    sf10 = build_scaled(spark, 10)
+    sf100 = build_scaled(spark, 100)
+    for name, fn in LANES.items():
+        rows_10x = fn(spark, sf10).count()  # sanity + warm
+        rows_100x = fn(spark, sf100).count()
+        timed(fn, spark, sf10)  # warm the materialized shape too
+        timed(fn, spark, sf100)
+        cells_10x, cells_100x = [], []
+        for _ in range(3):
+            cells_10x.append(timed(fn, spark, sf10)[0])
+            cells_100x.append(timed(fn, spark, sf100)[0])
+        t10 = statistics.median(cells_10x)
+        t100 = statistics.median(cells_100x)
+        print(json.dumps({
+            "lane": name,
+            "t10x_med": round(t10, 3),
+            "t100x_med": round(t100, 3),
+            "second_decade_exponent": round(math.log10(t100 / t10), 3),
+            "rows_10x": rows_10x,
+            "rows_100x": rows_100x,
+            "cells_10x": [round(c, 3) for c in cells_10x],
+            "cells_100x": [round(c, 3) for c in cells_100x],
+        }), flush=True)
+
+
 def main() -> None:
     spark = get_spark("dedup-scale-sweep")
+    if "--decade2" in sys.argv:
+        decade2(spark)
+        return
     sf10 = build_scaled(spark, MULT)
     results = []
     for name, fn in LANES.items():
