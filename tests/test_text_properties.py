@@ -140,6 +140,50 @@ def test_substring_cut_within_doc_repeat_not_flagged(spark):
     assert rows[0].n_kept == rows[0].n_tokens == 12
 
 
+def test_incremental_dedup_manifest_registered_wrapper(spark):
+    """The REGISTERED (spark, sf_dir) form (r14): first call pays the
+    signature-ingest half into a session-scoped scratch manifest, later
+    calls reuse it (the production shape — ingest amortized).  Pins
+    (a) row identity with the oracle-backed recomputed lane, (b) the
+    cache: second construction resolves the SAME manifest path and
+    writes no new manifest version."""
+    from species_range_data_pipeline_spark.plans.text import (
+        _SIG_MANIFEST_CACHE,
+        dedup_incremental_minhash,
+        dedup_incremental_minhash_manifest_query,
+    )
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        table_versions,
+    )
+
+    from .conftest import SF_SMOKE
+
+    _SIG_MANIFEST_CACHE.clear()  # isolate from other tests in-session
+    ref = [
+        tuple(r) for r in dedup_incremental_minhash(spark, SF_SMOKE).collect()
+    ]
+    got1 = [
+        tuple(r)
+        for r in dedup_incremental_minhash_manifest_query(
+            spark, SF_SMOKE
+        ).collect()
+    ]
+    assert got1 == ref and len(got1) > 0
+    import os
+
+    path1 = _SIG_MANIFEST_CACHE[os.path.abspath(SF_SMOKE)]
+    v1 = table_versions(path1)
+    got2 = [
+        tuple(r)
+        for r in dedup_incremental_minhash_manifest_query(
+            spark, SF_SMOKE
+        ).collect()
+    ]
+    assert got2 == ref
+    assert _SIG_MANIFEST_CACHE[os.path.abspath(SF_SMOKE)] == path1
+    assert table_versions(path1) == v1  # no re-ingest
+
+
 def test_incremental_dedup_manifest_fed_scans_no_corpus_text(spark, tmp_path):
     """Production incremental dedup (VERDICT r12 next #2): corpus-side
     banded MinHash signatures persisted to a manifest table at ingest;
