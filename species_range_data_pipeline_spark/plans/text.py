@@ -766,9 +766,14 @@ def persist_corpus_signatures(
     next #2): compute the corpus's banded MinHash signatures ONCE, at
     ingest, and commit them to a manifest table at ``path`` — so nightly
     batch dedup reads (doc_id, band, bucket) rows instead of re-reading
-    and re-shingling the corpus text.  At 100 TB the signature table is
-    ~3 small columns x 4 rows/doc vs the full text bytes: the re-scan
-    this removes IS the dominant cost of the naive incremental lane.
+    and re-shingling the corpus text.  The win is a document-LENGTH
+    bandwidth argument (SCALE.md rule 57): signatures are O(1) bytes/doc
+    while text is O(len), so at production doc sizes (10-100 KB) the
+    byte ratio is 50-500x and the removed re-scan dominates the naive
+    lane; at the fixture's ~1 KB docs the measured ratio is only 2.1x
+    and the warm wall-time win is within noise (1.02x, interleaved A/B
+    `scripts/incremental_manifest_ab.py`) — the fixture validates the
+    PLUMBING (zero corpus-text scans, plan-pinned), not the speedup.
     Returns the committed manifest version.  ``txn`` makes streaming
     ingest idempotent (replayed commits no-op, the Delta txn contract).
     """
