@@ -140,6 +140,65 @@ def test_substring_cut_within_doc_repeat_not_flagged(spark):
     assert rows[0].n_kept == rows[0].n_tokens == 12
 
 
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=39),  # doc_id: dense, so
+            # the %10>=8 batch split and cross-doc bucket sharing both
+            # actually occur
+            st.integers(min_value=0, max_value=2),  # band
+            st.integers(min_value=0, max_value=4),  # bucket: tiny pool
+            # so shared buckets are the norm, not the exception
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_bucket_min_incremental_matches_pair_join_reference(spark, rows):
+    """The aggregation-only incremental dedup tail's load-bearing claim
+    (``_bucket_min_incremental``: "the only candidate that can matter is
+    the bucket MINIMUM") pinned by property against the brute-force
+    definition — dup_of(b) = min{a < b sharing any (band, bucket)} —
+    on adversarial banded relations: heavy bucket collisions, duplicate
+    (doc, band, bucket) rows, docs present in several buckets, empty
+    batch splits."""
+    from species_range_data_pipeline_spark.plans.text import (
+        _bucket_min_incremental,
+    )
+
+    banded = spark.createDataFrame(
+        rows, "doc_id long, band int, bucket int"
+    )
+    got = {
+        r["doc_id"]: (r["dup_of"], r["is_dup"])
+        for r in _bucket_min_incremental(banded).collect()
+    }
+
+    by_bucket: dict[tuple, set] = {}
+    for d, band, bucket in rows:
+        by_bucket.setdefault((band, bucket), set()).add(d)
+    docs = {d for d, _, _ in rows}
+    expected = {}
+    for b in sorted(docs):
+        if b % 10 < 8:
+            continue
+        partners = {
+            a
+            for members in by_bucket.values()
+            if b in members
+            for a in members
+            if a < b
+        }
+        dup_of = min(partners) if partners else None
+        expected[b] = (dup_of, dup_of is not None)
+    assert got == expected
+
+
 def test_incremental_dedup_manifest_registered_wrapper(spark):
     """The REGISTERED (spark, sf_dir) form (r14): first call pays the
     signature-ingest half into a session-scoped scratch manifest, later
