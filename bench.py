@@ -219,7 +219,11 @@ def bench_stream_noop_drain(spark) -> float:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):  # ADVICE r14: a hung drain must
+            q.stop()                     # fail, not publish ~600s as the
+            raise RuntimeError(          # streaming floor
+                "noop drain did not terminate within 600s"
+            )
         spark.table(name).collect()
         return round(time.perf_counter() - t0, 3)
     except Exception as e:  # must not kill the batch bench output

@@ -44,65 +44,63 @@ _MODULE_NAMES = [
 # session MUST regenerate this block (run the script, paste its output
 # here, done) before the suite goes green.
 #
-# Round-14 window (tenth rotation; built from CORRECTNESS_r01..r13):
-# first driver rows for the newly-registered production lanes
-# retrieval_mmr_diversify_ivf (the 100-TB MMR candidate head) and
-# dedup_incremental_minhash_manifest (signatures from the manifest
-# store), then the ENTIRE r9-era tranche (VERDICT r13 next #4 — after
-# this round the freshness floor moves to r10), then the stalest
-# r10-era rows (module fillers resolved within them).
-_WINDOW_BUILT_FROM = 13  # newest CORRECTNESS artifact consumed
+# Round-15 window (eleventh rotation; built from CORRECTNESS_r01..r14):
+# the ENTIRE r10-era tranche (VERDICT r14 next #1 — 14 queries incl.
+# 6 streaming lanes; after this round the freshness floor moves to
+# r11), then the stalest r11/r12 rows with module fillers resolved
+# within them (media/retrieval/bpe fix-ups at r12/r13).
+_WINDOW_BUILT_FROM = 14  # newest CORRECTNESS artifact consumed
 _PRIORITY = [
-    "flagship_threshold_rollup",  # r13 (relational)
-    "dedup_incremental_minhash_manifest",  # FIRST driver row (text)
-    "retrieval_mmr_diversify_ivf",  # FIRST driver row (retrieval)
-    "agg_count_if_bool",  # r9 (stats)
-    "agg_string_concat",  # r9 (stats)
-    "corpus_pipeline_summary",  # r9 (packing)
-    "corr_measures",  # r9 (mining)
-    "sketch_quantile_bottomk",  # r9 (stats)
-    "stream_tumbling_counts",  # r9 (events)
-    "text_bigram_lm",  # r9 (text)
-    "text_chunk_udtf",  # r9 (text)
-    "text_compression_ratio",  # r9 (quality)
-    "text_perplexity",  # r9 (text)
-    "text_pii_scrub",  # r9 (quality)
-    "text_quality_classifier",  # r9 (text)
-    "text_repetition",  # r9 (text)
-    "window_udaf_ewma",  # r9 (events)
-    "multimodal_ahash_dups",  # r11 (media)
-    "bpe_train_merges",  # r12 (bpe)
-    "agg_salted_twophase",  # r10 (advanced)
-    "ann_ivf_topk",  # r10 (vectors)
-    "array_map_funcs",  # r10 (advanced)
-    "dataset_mixture",  # r10 (packing)
-    "dedup_clusters",  # r10 (graph)
-    "dedup_exact",  # r10 (text)
-    "dedup_keep_best",  # r10 (quality)
-    "filename_parse",  # r10 (scalar)
-    "geo_container_roundtrip",  # r10 (geo)
-    "geo_range_overlap_bands",  # r10 (geo)
-    "geo_shapefile_roundtrip",  # r10 (geo)
-    "join_full_outer",  # r10 (relational)
-    "join_semi",  # r10 (relational)
-    "join_skew_salted",  # r10 (advanced)
-    "q10_returned_revenue",  # r10 (advanced)
-    "q12_late_priority_lines",  # r10 (tpch_extra)
-    "q13_customer_distribution",  # r10 (tpch_extra)
-    "q15_top_supplier",  # r10 (tpch_extra)
-    "q16_supplier_part_relationship",  # r10 (tpch_extra)
-    "q17_small_quantity_revenue",  # r10 (tpch_extra)
-    "q20_excess_shipments",  # r10 (tpch_extra)
-    "q22_dormant_customers",  # r10 (tpch_extra)
-    "q3_shipping_priority",  # r10 (relational)
-    "q5_region_volume",  # r10 (relational)
-    "q6_revenue_delta",  # r10 (advanced)
-    "q8_market_share",  # r10 (tpch_extra)
-    "scd2_customer_history",  # r10 (mining)
-    "scrape_pipeline_live",  # r10 (relational)
-    "setop_except",  # r10 (relational)
-    "setop_intersect",  # r10 (relational)
-    "sort_limit_topk",  # r10 (relational)
+    "flagship_threshold_rollup",  # r14 (relational)
+    "agg_entropy_gini",  # r10 (stats)
+    "agg_rollup",  # r10 (relational)
+    "stream_dedup_replayed",  # r10 (events)
+    "stream_interval_join",  # r10 (events)
+    "stream_manifest_tail",  # r10 (events)
+    "stream_ohlc_flush",  # r10 (events)
+    "stream_session_flush",  # r10 (events)
+    "stream_stateful_totals",  # r10 (events)
+    "subq_above_nation_avg",  # r10 (advanced)
+    "subq_exists_late_lines",  # r10 (advanced)
+    "warc_ingest_roundtrip",  # r10 (text)
+    "webdataset_roundtrip",  # r10 (text)
+    "window_anomaly_zscore",  # r10 (advanced)
+    "window_rank_dense",  # r10 (relational)
+    "multimodal_decode_stats",  # r12 (media)
+    "retrieval_rrf_fusion",  # r12 (retrieval)
+    "bpe_encode_tokens",  # r13 (bpe)
+    "agg_grouping_sets",  # r11 (advanced)
+    "agg_having",  # r11 (relational)
+    "agg_percentiles",  # r11 (advanced)
+    "cdf_row_changes",  # r11 (stats)
+    "doc_pack_sequences",  # r11 (packing)
+    "doc_quality_funnel",  # r11 (quality)
+    "emb_dedup_components",  # r11 (vectors)
+    "ev_funnel",  # r11 (advanced)
+    "ev_retention_cohorts",  # r11 (events)
+    "ev_sessionization",  # r11 (events)
+    "ev_tumbling",  # r11 (events)
+    "geo_dissolve_area",  # r11 (geo)
+    "geo_polygonize_components",  # r11 (geo)
+    "geo_spatial_join_bin",  # r11 (geo)
+    "graph_triangles",  # r11 (graph)
+    "join_asof",  # r11 (advanced)
+    "join_interval_overlap",  # r11 (relational)
+    "join_lateral_topk",  # r11 (relational)
+    "join_left_counts",  # r11 (relational)
+    "join_range_bands",  # r11 (advanced)
+    "json_funcs",  # r11 (scalar)
+    "merge_upsert",  # r11 (stats)
+    "pivot_wide_status",  # r11 (advanced)
+    "q21_suppliers_kept_waiting",  # r11 (tpch_extra)
+    "q2_top_supplier_per_nation",  # r11 (tpch_extra)
+    "q9_product_type_profit",  # r11 (tpch_extra)
+    "sample_stratified",  # r11 (quality)
+    "setop_union_distinct",  # r11 (relational)
+    "sky_pareto_front",  # r11 (mining)
+    "sort_nulls_ordering",  # r11 (relational)
+    "str_fuzzy_match",  # r11 (scalar)
+    "stream_tcp_counts",  # r11 (events)
 ]
 
 # Queries whose oracles are pure VALUES restatements of expected OUTPUT

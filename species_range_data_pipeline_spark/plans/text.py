@@ -825,8 +825,25 @@ def dedup_incremental_minhash_manifest(
 #: registered wrapper below pays the ingest half once per session and
 #: every later call reads the committed table — the production shape,
 #: where ingest writes signatures continuously and the nightly dedup
-#: only ever reads them.
-_SIG_MANIFEST_CACHE: dict[str, str] = {}
+#: only ever reads them.  Keyed on (Spark application id, fixture
+#: abspath) — NOT path alone (ADVICE r14): a new session against the
+#: same path must re-ingest, otherwise changed fixture data silently
+#: reuses stale signatures.  Scratch dirs are removed at interpreter
+#: exit (they are mkdtemp temp space, never user data).
+_SIG_MANIFEST_CACHE: dict[tuple[str, str], str] = {}
+_SIG_SCRATCH_DIRS: list[str] = []
+
+
+def _sig_scratch_cleanup() -> None:
+    import shutil
+
+    while _SIG_SCRATCH_DIRS:
+        shutil.rmtree(_SIG_SCRATCH_DIRS.pop(), ignore_errors=True)
+
+
+import atexit as _atexit
+
+_atexit.register(_sig_scratch_cleanup)
 
 
 def dedup_incremental_minhash_manifest_query(
@@ -850,12 +867,12 @@ def dedup_incremental_minhash_manifest_query(
     import os
     import tempfile
 
-    key = os.path.abspath(sf_dir)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     path = _SIG_MANIFEST_CACHE.get(key)
     if path is None:
-        path = os.path.join(
-            tempfile.mkdtemp(prefix="spark_graft_sigs_"), "signatures"
-        )
+        scratch = tempfile.mkdtemp(prefix="spark_graft_sigs_")
+        _SIG_SCRATCH_DIRS.append(scratch)
+        path = os.path.join(scratch, "signatures")
         corpus = load_table(spark, sf_dir, "documents").where(
             F.col("doc_id") % 10 < 8
         )
@@ -1572,7 +1589,9 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def text_decontaminate_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_decontaminate_purge(
+    spark: SparkSession, sf_dir: str, eval_docs: DataFrame | None = None
+) -> DataFrame:
     """The PRODUCTION decontamination direction: which TRAINING docs
     must be purged because they contain held-out 8-grams.  The real
     asymmetry at 100 TB is benchmark ≪ corpus (an eval suite is MBs),
@@ -1587,26 +1606,33 @@ def text_decontaminate_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-stage variadic-hash gram head (``_hashed_grams``), shared so
     the two directions cannot drift.
 
-    FIXTURE CAVEAT (ADVICE r13): the ``doc_id % 10 == 0`` eval split is
-    a 10%-of-corpus STAND-IN for an externally-supplied eval suite —
-    small enough to broadcast at every fixture scale, but it grows with
-    the corpus, so the forced ``F.broadcast(ev)`` premise holds by
-    construction only when the eval set is independently bounded (a
-    real benchmark is).  Feeding a corpus-scale frame as ``ev`` would
-    OOM the driver rather than fall back to a shuffle join; at that
-    shape use ``text_decontaminate``, whose gram-keyed shuffle join is
-    built for two corpus-scale sides.
+    BROADCAST PREMISE (VERDICT r14 #2): the forced ``F.broadcast``
+    hint is justified ONLY because the eval side is independently
+    bounded — a real benchmark suite is MBs regardless of corpus size.
+    The production shape is therefore an EXTERNALLY-SUPPLIED
+    ``eval_docs`` DataFrame of ``(doc_id, text)`` (the benchmark
+    suite); when it is passed, the ENTIRE corpus is the training side
+    and the broadcast payload is benchmark-sized by construction.
+    When ``eval_docs`` is None (the registered fixture lane, oracle
+    unchanged), a deterministic ``doc_id % 10 == 0`` split stands in —
+    10% of the corpus, which scales WITH the corpus, so the hint holds
+    only at fixture scale there.  Never feed a corpus-scale frame as
+    ``eval_docs``: the forced hint would OOM the driver rather than
+    degrade to a shuffle join — at that shape use
+    ``text_decontaminate``, whose gram-keyed shuffle join is built for
+    two corpus-scale sides.
 
     Output: (train_doc, n_leaked_grams) for contaminated training docs
     — the purge list a curation pipeline anti-joins against.
     """
     grams = _hashed_grams(load_table(spark, sf_dir, "documents"))
-    ev = (
-        grams.where(F.col("doc_id") % 10 == 0).select("gram").distinct()
-    )
-    tr = grams.where(F.col("doc_id") % 10 != 0).select(
-        F.col("doc_id").alias("train_doc"), "gram"
-    )
+    if eval_docs is None:
+        ev = grams.where(F.col("doc_id") % 10 == 0).select("gram").distinct()
+        tr = grams.where(F.col("doc_id") % 10 != 0)
+    else:
+        ev = _hashed_grams(eval_docs).select("gram").distinct()
+        tr = grams
+    tr = tr.select(F.col("doc_id").alias("train_doc"), "gram")
     return (
         tr.join(F.broadcast(ev), "gram")
         .groupBy("train_doc")
@@ -2324,7 +2350,12 @@ ORDER BY doc_id
 #: the lane exercises real NFC work on the (ASCII-only) fixture corpus:
 #: combining acute (U+0301), ANGSTROM SIGN (U+212B -> U+00C5 under NFC),
 #: combining diaeresis (U+0308).  Written as escapes so no editor or VCS
-#: layer can silently re-normalize the source file.
+#: layer can silently re-normalize the source file.  RESTRICTION (ADVICE
+#: r13, pinned): only long-assigned, normalization-STABLE code points may
+#: appear here \u2014 cross-engine byte parity rides on CPython unicodedata
+#: and DuckDB utf8proc agreeing, which UAX #15's stability policy
+#: guarantees for assigned code points only (see
+#: functions/text.py::nfc_normalize_udf's caveat).
 _NFC_SUFFIX = " cafe\u0301 \u212Bngstro\u0308m"
 
 

@@ -305,11 +305,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ANN_IVF_ORACLE = """
+ANN_IVF_ORACLE = f"""
 WITH flat AS (
     SELECT label, i, e[i] AS x
     FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
-         unnest(generate_series(1, 64)) AS t(i)
+         unnest(generate_series(1, {_DIM})) AS t(i)
 ), cent AS (
     SELECT label AS cluster, list(v ORDER BY i) AS cvec
     FROM (SELECT label, i, avg(x) AS v FROM flat GROUP BY label, i)
