@@ -103,6 +103,11 @@ HEADLINE = [
     # ingest amortized, dedup reads signatures only).
     "retrieval_mmr_diversify_ivf",
     "dedup_incremental_minhash_manifest",
+    # r15 addition (VERDICT r14 next #3): the size-dispatched MMR lane —
+    # exact branch at fixture scale (query count under the broadcast
+    # cap), so its warm cost should track retrieval_mmr_diversify plus
+    # the one aggregation-only sizing job.
+    "retrieval_mmr_auto",
 ]
 
 

@@ -132,10 +132,92 @@ def decade2(spark) -> None:
     }), flush=True)
 
 
+def nlist_arm(spark) -> None:
+    """nlist sweep at FIXED corpus (VERDICT r14 next #5): the last
+    argued-not-measured claim in the ANN family — "at production scale
+    the quantizer is k-means-trained with nlist >> 10, where the same
+    [nprobe] dial is much cheaper per point of recall" — measured.
+
+    Protocol: the 10x corpus (bucket structure preserved), re-quantized
+    by k-means at nlist in {10, 32, 100} (3 Lloyd rounds,
+    operators/clustering.kmeans_assign — the production quantizer, not
+    the fixture's label stand-in), each relabeled table written once;
+    then per nlist, TWO probe modes timed in alternating cells through
+    the noop sink: nprobe PROPORTIONAL (20% of nlist — fixed scored
+    fraction, the regime where recall should rise at ~flat cost) and
+    nprobe FIXED at 2 (falling scored fraction — the regime where cost
+    should fall as nlist grows).  Recall@3 vs the same-table exact scan
+    is recomputed per cell-config from collected rows."""
+    sf10 = build_scaled(spark, 10)
+    emb = load_table(spark, sf10, "embeddings")
+    exact = topk_sets(vectors.cosine_topk(spark, sf10))
+
+    from species_range_data_pipeline_spark.operators.clustering import (
+        kmeans_assign,
+    )
+
+    for nlist in (10, 32, 100):
+        t0 = time.perf_counter()
+        assign, _ = kmeans_assign(emb, k=nlist, iters=3)
+        relab = (
+            emb.drop("label")
+            .join(
+                assign.selectExpr(
+                    "id AS vec_id", "CAST(cluster AS BIGINT) AS label"
+                ),
+                "vec_id",
+            )
+            .select("vec_id", "embedding", "label")
+        )
+        tmp = tempfile.mkdtemp(prefix=f"ann_nlist_{nlist}_")
+        relab.write.parquet(os.path.join(tmp, "embeddings.parquet"))
+        train_sec = time.perf_counter() - t0
+
+        modes = {"prop": max(2, round(nlist * 0.2)), "fixed2": 2}
+        walls = {m: [] for m in modes}
+        for m, np_ in modes.items():  # warm each config once
+            timed(lambda s, d: vectors.ann_ivf_topk(s, d, nprobe=np_),
+                  spark, tmp)
+        for _ in range(3):
+            for m, np_ in modes.items():
+                walls[m].append(
+                    timed(
+                        lambda s, d: vectors.ann_ivf_topk(s, d, nprobe=np_),
+                        spark,
+                        tmp,
+                    )
+                )
+        rec = {
+            m: round(
+                recall_vs_exact(
+                    topk_sets(vectors.ann_ivf_topk(spark, tmp, nprobe=np_)),
+                    exact,
+                ),
+                3,
+            )
+            for m, np_ in modes.items()
+        }
+        print(json.dumps({
+            "nlist": nlist,
+            "nprobe": modes,
+            "kmeans_train_sec": round(train_sec, 3),
+            "medians": {
+                m: round(statistics.median(v), 3) for m, v in walls.items()
+            },
+            "cells": {
+                m: [round(x, 3) for x in v] for m, v in walls.items()
+            },
+            "recall_at_3_vs_exact": rec,
+        }), flush=True)
+
+
 def main() -> None:
     spark = get_spark("ann-scale-sweep")
     if "--decade2" in sys.argv:
         decade2(spark)
+        return
+    if "--nlist" in sys.argv:
+        nlist_arm(spark)
         return
     sf10 = build_scaled(spark, MULT)
     for name, fn in LANES.items():

@@ -45,13 +45,16 @@ _MODULE_NAMES = [
 # here, done) before the suite goes green.
 #
 # Round-15 window (eleventh rotation; built from CORRECTNESS_r01..r14):
-# the ENTIRE r10-era tranche (VERDICT r14 next #1 — 14 queries incl.
-# 6 streaming lanes; after this round the freshness floor moves to
-# r11), then the stalest r11/r12 rows with module fillers resolved
-# within them (media/retrieval/bpe fix-ups at r12/r13).
+# first driver row for the newly-registered retrieval_mmr_auto (the
+# size-dispatched MMR lane, VERDICT r14 next #3), then the ENTIRE
+# r10-era tranche (VERDICT r14 next #1 — 14 queries incl. 6 streaming
+# lanes; after this round the freshness floor moves to r11), then the
+# stalest r11/r12 rows with module fillers resolved within them
+# (media/bpe fix-ups at r12/r13).
 _WINDOW_BUILT_FROM = 14  # newest CORRECTNESS artifact consumed
 _PRIORITY = [
     "flagship_threshold_rollup",  # r14 (relational)
+    "retrieval_mmr_auto",  # FIRST driver row (retrieval)
     "agg_entropy_gini",  # r10 (stats)
     "agg_rollup",  # r10 (relational)
     "stream_dedup_replayed",  # r10 (events)
@@ -67,8 +70,8 @@ _PRIORITY = [
     "window_anomaly_zscore",  # r10 (advanced)
     "window_rank_dense",  # r10 (relational)
     "multimodal_decode_stats",  # r12 (media)
-    "retrieval_rrf_fusion",  # r12 (retrieval)
     "bpe_encode_tokens",  # r13 (bpe)
+    "agg_distinct",  # r11 (relational)
     "agg_grouping_sets",  # r11 (advanced)
     "agg_having",  # r11 (relational)
     "agg_percentiles",  # r11 (advanced)
@@ -100,7 +103,6 @@ _PRIORITY = [
     "sky_pareto_front",  # r11 (mining)
     "sort_nulls_ordering",  # r11 (relational)
     "str_fuzzy_match",  # r11 (scalar)
-    "stream_tcp_counts",  # r11 (events)
 ]
 
 # Queries whose oracles are pure VALUES restatements of expected OUTPUT

@@ -239,9 +239,12 @@ ORDER BY cluster_id
 """
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse centroids (one per label), probe top-2, search
-    only probed buckets, exact re-rank inside them.
+def ann_ivf_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int = _NPROBE
+) -> DataFrame:
+    """IVF-style ANN: coarse centroids (one per label), probe top-``nprobe``
+    (default 2 — the registered contract), search only probed buckets,
+    exact re-rank inside them.
 
     The centroid build is a posexplode + (cluster, dim) average — one
     shuffle over nlist*dim rows regardless of table size (partial aggregation
@@ -277,7 +280,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cluster"))
     probed = qc.withColumn("crnk", F.row_number().over(wq)).where(
-        F.col("crnk") <= _NPROBE
+        F.col("crnk") <= nprobe
     )
     # --- search: exact cosine inside probed buckets only ---
     cand = emb.select(

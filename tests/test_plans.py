@@ -522,3 +522,67 @@ def test_decontaminate_purge_broadcasts_benchmark_side(spark):
     plan = _plan(spark, "text_decontaminate_purge")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_decontaminate_purge_external_eval_suite(spark):
+    """The production signature (VERDICT r14 #3 list / next #2): purge
+    takes an externally-supplied benchmark ``eval_docs`` frame — the
+    shape whose independent boundedness JUSTIFIES the forced broadcast
+    — and the WHOLE corpus is then the train side.  Plan keeps the
+    BroadcastHashJoin pin; values cross-checked against DuckDB on the
+    same external-eval shape (train = all docs, eval = the supplied
+    subset)."""
+    import contextlib
+    import io
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from species_range_data_pipeline_spark.catalog import load_table
+    from species_range_data_pipeline_spark.plans.text import (
+        text_decontaminate_purge,
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    ev = docs.where(F.col("doc_id") % 31 == 5).select("doc_id", "text")
+    out = text_decontaminate_purge(spark, SF_CORRECT, eval_docs=ev)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+    got = [(r["train_doc"], r["n_leaked_grams"]) for r in out.collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_CORRECT}/documents.parquet'"
+    )
+    exp = con.execute(
+        r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                                ' ') AS t
+            FROM documents
+        ), idx AS (
+            SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+            FROM toks WHERE len(t) >= 8
+        ), g AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(array_slice(t, i, i + 7), ' ') AS gram
+            FROM idx
+        )
+        SELECT t.doc_id AS train_doc, count(DISTINCT t.gram) AS n
+        FROM g t
+        JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 31 = 5) e
+          ON t.gram = e.gram
+        GROUP BY 1 ORDER BY train_doc
+        """
+    ).fetchall()
+    assert got == [(int(d), int(n)) for d, n in exp]
+    # every eval doc sits in the corpus too, so it must flag itself
+    ev_ids = {r["doc_id"] for r in ev.select("doc_id").collect()}
+    assert ev_ids <= {d for d, _ in got}

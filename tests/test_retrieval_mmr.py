@@ -392,3 +392,121 @@ def test_mmr_kernel_matches_reference_under_ties(data):
     assert list(out["vec_id"]) == expected
     assert list(out["rank"]) == list(range(1, len(expected) + 1))
     assert list(out["rel_micro"]) == [rel[c] for c in expected]
+
+
+def test_mmr_exact_head_query_broadcast_is_bounded(spark, monkeypatch):
+    """VERDICT r14 #3: the exact head's broadcast query set is HARD-
+    CAPPED at ``_MMR_MAX_QUERIES`` via a distributed top-N, so the
+    broadcast payload and scored frame are linear in the corpus by
+    construction.  Shrink the cap to 2 and the head must score exactly
+    the 2 lowest query ids; the plan must carry the TakeOrderedAndProject
+    cut (never a single-partition global sort)."""
+    import contextlib
+    import io
+
+    from species_range_data_pipeline_spark import plans
+    from species_range_data_pipeline_spark.catalog import load_table
+    from species_range_data_pipeline_spark.plans import retrieval
+    from species_range_data_pipeline_spark.plans.retrieval import (
+        _mmr_candidates,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    all_q = sorted(
+        r["vec_id"] for r in emb.where("vec_id % 100 = 0").collect()
+    )
+    assert len(all_q) < retrieval._MMR_MAX_QUERIES, (
+        "fixture must stay under the cap or registered output changes"
+    )
+
+    monkeypatch.setattr(retrieval, "_MMR_MAX_QUERIES", 2)
+    capped = _mmr_candidates(emb)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        capped.explain("formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan, plan
+    got_q = {r["query_id"] for r in capped.collect()}
+    assert got_q == set(all_q[:2])
+
+
+def test_mmr_ivf_cached_quantizer_scanfree_and_identical(spark):
+    """VERDICT r14 #4: the registered IVF lane trains the coarse
+    quantizer once per (session, fixture) and replays it as a
+    LocalRelation — warm calls must be byte-identical to the cold call,
+    and the warm candidate head's plan must carry the centroid table as
+    a local scan (no quantizer aggregation jobs), with strictly fewer
+    parquet scans than the inline-trained head."""
+    import contextlib
+    import io
+
+    from species_range_data_pipeline_spark.catalog import load_table
+    from species_range_data_pipeline_spark.plans.retrieval import (
+        _IVF_CENT_CACHE,
+        _ivf_centroids_cached,
+        _mmr_candidates_ivf,
+        retrieval_mmr_diversify_ivf,
+    )
+
+    cold = [
+        tuple(r) for r in retrieval_mmr_diversify_ivf(spark, SF_CORRECT).collect()
+    ]
+    assert _IVF_CENT_CACHE, "first registered call must populate the cache"
+    warm = [
+        tuple(r) for r in retrieval_mmr_diversify_ivf(spark, SF_CORRECT).collect()
+    ]
+    assert cold == warm
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    cent = _ivf_centroids_cached(spark, SF_CORRECT, emb)
+
+    def _plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    warm_plan = _plan_of(_mmr_candidates_ivf(emb, cent=cent))
+    inline_plan = _plan_of(_mmr_candidates_ivf(emb))
+    # the replayed quantizer enters as driver-local data (classic-mode
+    # createDataFrame renders it Scan ExistingRDD; connect would render
+    # LocalTableScan) — either way it must NOT be a parquet re-scan +
+    # re-aggregation of embeddings, so the warm head carries strictly
+    # fewer parquet scans than the inline-trained head
+    assert (
+        "Scan ExistingRDD" in warm_plan or "LocalTableScan" in warm_plan
+    ), warm_plan
+    assert warm_plan.count("Scan parquet") < inline_plan.count("Scan parquet")
+
+
+def test_mmr_auto_dispatches_exact_below_cap_ivf_above(spark, monkeypatch):
+    """``retrieval_mmr_auto`` (VERDICT r14 #3): at fixture scale the
+    query count sits under ``_MMR_MAX_QUERIES``, so the auto lane must
+    be row-identical to the exact lane (and so shares its oracle);
+    shrinking the cap below the fixture query count must flip the
+    dispatch to the IVF head, row-identical to the registered IVF
+    lane."""
+    from species_range_data_pipeline_spark.plans import retrieval
+    from species_range_data_pipeline_spark.plans.retrieval import (
+        retrieval_mmr_auto,
+        retrieval_mmr_diversify_ivf,
+    )
+
+    exact = [
+        tuple(r) for r in retrieval_mmr_diversify(spark, SF_CORRECT).collect()
+    ]
+    auto = [
+        tuple(r) for r in retrieval_mmr_auto(spark, SF_CORRECT).collect()
+    ]
+    assert auto == exact
+
+    ivf = [
+        tuple(r)
+        for r in retrieval_mmr_diversify_ivf(spark, SF_CORRECT).collect()
+    ]
+    monkeypatch.setattr(retrieval, "_MMR_MAX_QUERIES", 2)
+    routed = [
+        tuple(r) for r in retrieval_mmr_auto(spark, SF_CORRECT).collect()
+    ]
+    assert routed == ivf
+    assert ivf != exact  # the dispatch is a real semantic boundary
