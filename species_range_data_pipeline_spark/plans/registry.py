@@ -45,16 +45,19 @@ _MODULE_NAMES = [
 # here, done) before the suite goes green.
 #
 # Round-15 window (eleventh rotation; built from CORRECTNESS_r01..r14):
-# first driver row for the newly-registered retrieval_mmr_auto (the
-# size-dispatched MMR lane, VERDICT r14 next #3), then the ENTIRE
-# r10-era tranche (VERDICT r14 next #1 — 14 queries incl. 6 streaming
-# lanes; after this round the freshness floor moves to r11), then the
-# stalest r11/r12 rows with module fillers resolved within them
-# (media/bpe fix-ups at r12/r13).
+# first driver rows for the newly-registered retrieval_mmr_auto (the
+# size-dispatched MMR lane, VERDICT r14 next #3) and
+# text_decontaminate_purge_external (the purge lane's production
+# signature, VERDICT r14 next #2), then the ENTIRE r10-era tranche
+# (VERDICT r14 next #1 — 14 queries incl. 6 streaming lanes; after
+# this round the freshness floor moves to r11), then the stalest
+# r11/r12 rows with module fillers resolved within them (media/bpe
+# fix-ups at r12/r13).
 _WINDOW_BUILT_FROM = 14  # newest CORRECTNESS artifact consumed
 _PRIORITY = [
     "flagship_threshold_rollup",  # r14 (relational)
     "retrieval_mmr_auto",  # FIRST driver row (retrieval)
+    "text_decontaminate_purge_external",  # FIRST driver row (text)
     "agg_entropy_gini",  # r10 (stats)
     "agg_rollup",  # r10 (relational)
     "stream_dedup_replayed",  # r10 (events)
@@ -102,7 +105,6 @@ _PRIORITY = [
     "setop_union_distinct",  # r11 (relational)
     "sky_pareto_front",  # r11 (mining)
     "sort_nulls_ordering",  # r11 (relational)
-    "str_fuzzy_match",  # r11 (scalar)
 ]
 
 # Queries whose oracles are pure VALUES restatements of expected OUTPUT

@@ -1664,6 +1664,47 @@ ORDER BY train_doc
 """
 
 
+def text_decontaminate_purge_external(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The purge lane's PRODUCTION signature driven through the driver
+    gate (VERDICT r14 next #2): an externally-supplied benchmark suite
+    as ``eval_docs`` — here stood in by a FIXED-SIZE slice of the
+    documents table (``doc_id % 31 == 5``, ~3% and independent of the
+    corpus split) — against the ENTIRE corpus as the training side.
+    Unlike the fixture-split lane, the broadcast side's boundedness is
+    a property of the supplied frame, not of a corpus-fraction
+    predicate, and eval docs that live in the corpus flag THEMSELVES
+    (a real pipeline wants exactly that: verbatim benchmark copies in
+    the training set are the worst leak).  Same gram head, same
+    BroadcastHashJoin pin (tests/test_plans.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 31 == 5).select("doc_id", "text")
+    return text_decontaminate_purge(spark, sf_dir, eval_docs=ev)
+
+
+TEXT_DECONTAMINATE_PURGE_EXTERNAL_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+    FROM documents
+), idx AS (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+    FROM toks WHERE len(t) >= 8
+), g AS (
+    SELECT DISTINCT doc_id, array_to_string(array_slice(t, i, i + 7), ' ') AS gram
+    FROM idx
+)
+SELECT t.doc_id AS train_doc,
+       count(DISTINCT t.gram) AS n_leaked_grams
+FROM g t
+JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 31 = 5) e
+  ON t.gram = e.gram
+GROUP BY 1
+ORDER BY train_doc
+"""
+
+
 TEXT_DECONTAMINATE_ORACLE = """
 WITH toks AS (
     SELECT doc_id,
@@ -2416,6 +2457,7 @@ QUERIES = {
     "dedup_paragraphs": dedup_paragraphs,
     "text_decontaminate": text_decontaminate,
     "text_decontaminate_purge": text_decontaminate_purge,
+    "text_decontaminate_purge_external": text_decontaminate_purge_external,
     "dedup_repeated_ngrams": dedup_repeated_ngrams,
     "dedup_substring_cut": dedup_substring_cut,
     "text_quality_classifier": text_quality_classifier,
@@ -2449,6 +2491,7 @@ ORACLES = {
     "dedup_paragraphs": DEDUP_PARAGRAPHS_ORACLE,
     "text_decontaminate": TEXT_DECONTAMINATE_ORACLE,
     "text_decontaminate_purge": TEXT_DECONTAMINATE_PURGE_ORACLE,
+    "text_decontaminate_purge_external": TEXT_DECONTAMINATE_PURGE_EXTERNAL_ORACLE,
     "dedup_repeated_ngrams": DEDUP_REPEATED_NGRAMS_ORACLE,
     "dedup_substring_cut": DEDUP_SUBSTRING_CUT_ORACLE,
     "text_quality_classifier": TEXT_QUALITY_CLASSIFIER_ORACLE,

@@ -510,3 +510,54 @@ def test_mmr_auto_dispatches_exact_below_cap_ivf_above(spark, monkeypatch):
     ]
     assert routed == ivf
     assert ivf != exact  # the dispatch is a real semantic boundary
+    monkeypatch.setattr(retrieval, "_MMR_MAX_QUERIES", 1024)
+
+    # below the cap the returned PLAN is byte-identical to the exact
+    # lane (the dissolve_auto discipline: dispatch adds a sizing job,
+    # never a plan difference), modulo auto-incremented expression ids
+    import re
+
+    def _norm(df):
+        s = df._jdf.queryExecution().optimizedPlan().toString()
+        s = re.sub(r"#\d+", "#", s)  # expression ids
+        # lambda-variable names carry a session-global counter too
+        # (lambda x_158# vs x_42#) — normalize it the same way
+        return re.sub(r"\b(lambda [a-z]+)_\d+", r"\1_", s)
+
+    assert _norm(retrieval_mmr_auto(spark, SF_CORRECT)) == _norm(
+        retrieval_mmr_diversify(spark, SF_CORRECT)
+    )
+
+
+def test_mmr_ivf_warm_call_drops_quantizer_jobs(spark):
+    """The amortization claim as a job-count pin (VERDICT r14 #4 /
+    BASELINE.md r15 note): with the session cache cleared, the first
+    registered IVF call pays the quantizer-build jobs; the second call
+    must replay the cached quantizer and run STRICTLY fewer jobs (the
+    build is 3 of the cold lane's jobs) with identical rows."""
+    from species_range_data_pipeline_spark.plans import retrieval
+
+    sc = spark.sparkContext
+    retrieval._IVF_CENT_CACHE.clear()
+    try:
+        sc.setJobGroup("ivf_cold", "cold ivf lane")
+        cold_rows = [
+            tuple(r)
+            for r in retrieval.retrieval_mmr_diversify_ivf(
+                spark, SF_CORRECT
+            ).collect()
+        ]
+        sc.setJobGroup("ivf_warm", "warm ivf lane")
+        warm_rows = [
+            tuple(r)
+            for r in retrieval.retrieval_mmr_diversify_ivf(
+                spark, SF_CORRECT
+            ).collect()
+        ]
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert warm_rows == cold_rows
+    tracker = sc.statusTracker()
+    cold_jobs = len(tracker.getJobIdsForGroup("ivf_cold"))
+    warm_jobs = len(tracker.getJobIdsForGroup("ivf_warm"))
+    assert cold_jobs - warm_jobs >= 2, (cold_jobs, warm_jobs)
