@@ -672,7 +672,8 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.where(F.col("l_returnflag") == "R")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # customer is SF-proportional — no forced hint (rule 59)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(rev, 2).alias("lost_revenue"))
@@ -706,7 +707,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-01-01"))
             & (F.col("l_shipdate") < F.lit("1997-01-01"))
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))  # rule 59
         .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month"))
         .agg(
             F.round(
@@ -751,7 +752,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))  # rule 59
         .select(
             "c_custkey",
             "c_name",
@@ -872,8 +873,10 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        # customer/supplier are SF-proportional — no forced hint (rule
+        # 59); the two nation views stay hinted (25 rows)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .where(F.col("supp_nation") < F.col("cust_nation"))
@@ -927,10 +930,11 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: revenue under an OR of three (brand, size, quantity)
     conjunct bundles.  Catalyst extracts the common `l_partkey = p_partkey`
     equi-key and pushes the brand/size disjunction to the part scan; the OR
-    itself evaluates post-join — one broadcast join, one scan each side."""
+    itself evaluates post-join — one partkey-equi join (auto-broadcast
+    at fixture scale, shuffle beyond — rule 59), one scan each side."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))  # rule 59
     bundle = (
         (
             (F.col("p_brand") == "Brand#1")

@@ -1043,9 +1043,10 @@ def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cohort = the day of a user's FIRST event; each later active day counts
     into (cohort_day, day_offset) — day granularity because the events
     fixture spans one month.  Two aggregates:
-    per-user min(ts) (user-cardinality output, broadcast back), then the
-    distinct (user, week) activity grid grouped into the retention matrix.
-    One fact shuffle on user_id, one tiny matrix shuffle.
+    per-user min(ts) (user-cardinality output, joined back on user_id —
+    no forced broadcast, rule 59), then the distinct (user, week)
+    activity grid grouped into the retention matrix.  One fact shuffle
+    on user_id, one tiny matrix shuffle.
     """
     events = load_table(spark, sf_dir, "events")
     first_seen = events.groupBy("user_id").agg(
@@ -1055,7 +1056,11 @@ def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("day", F.col("ts")).alias("active_day")
     ).distinct()
     return (
-        activity.join(F.broadcast(first_seen), "user_id")
+        # first_seen is user-cardinality (grows with the corpus) — no
+        # forced hint (rule 59): both sides are user-keyed, so beyond
+        # the auto-broadcast threshold this is a co-partitioned shuffle
+        # join, never a driver OOM
+        activity.join(first_seen, "user_id")
         .groupBy(
             F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
             F.datediff(F.col("active_day"), F.col("cohort_day"))

@@ -555,7 +555,10 @@ def hier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_HIER_MAX_DEPTH):
         state = (
             state.join(
-                F.broadcast(parents), F.col("cur") == F.col("child"), "left"
+                # the parent map is customer-cardinality — no forced
+                # hint (rule 59); each round is a child-keyed equi join
+                # that shuffle-joins beyond the auto-broadcast threshold
+                parents, F.col("cur") == F.col("child"), "left"
             )
             .select(
                 "c_custkey",
@@ -651,13 +654,16 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     once because its vertices appear in ascending order.
 
     Scale notes (100 TB): the co-occurrence groupBy is the only wide
-    shuffle (distinct (orderkey, s1, s2) triples); the surviving edge set
-    is node-bounded and broadcast into both the wedge-build and the
-    wedge-close join, so the triangle phase is two broadcast hash joins
-    with zero exchange.  For graphs whose edge set outgrows a broadcast,
-    orient wedges by DEGREE instead of id (compact-forward) — it bounds
-    per-vertex wedge fan-out by sqrt(|E|) and turns both joins into
-    shuffle joins on the wedge midpoint/endpoints.
+    shuffle (distinct (orderkey, s1, s2) triples); at fixture scale the
+    optimizer auto-broadcasts the co-occurrence-thresholded edge set
+    into both the wedge-build and the wedge-close join, making the
+    triangle phase two broadcast hash joins with zero exchange.  The
+    hints are deliberately NOT forced (rule 59): the edge set grows
+    with the graph, so beyond the auto-broadcast threshold both joins
+    degrade to shuffle joins on the wedge midpoint/endpoints; for
+    graphs at that scale, additionally orient wedges by DEGREE instead
+    of id (compact-forward) to bound per-vertex wedge fan-out by
+    sqrt(|E|).
 
     Reference parity: the reference has no graph surface at all (SURVEY.md
     §2.1) — this is a north-star extension exercising the iterative/join
@@ -676,16 +682,22 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = cooccur.where(F.col("n_orders") >= _TRI_MIN_COOCCUR).select("a", "b")
     edges = edges.persist()
+    # The edge set grows with the graph, so neither triangle join
+    # carries a forced broadcast hint (rule 59): at fixture scale the
+    # optimizer auto-broadcasts the persisted edge frame; beyond the
+    # threshold both joins degrade to shuffle joins on the wedge
+    # midpoint/endpoints — the compact-forward posture the docstring
+    # describes — instead of OOMing the driver on a forced build side.
     wedges = (
         edges.alias("e1")
         .join(
-            F.broadcast(edges.alias("e2")),
+            edges.alias("e2"),
             F.col("e1.b") == F.col("e2.a"),
         )
         .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c"))
     )
     triangles = wedges.join(
-        F.broadcast(edges.select(F.col("a").alias("ta"), F.col("b").alias("tc"))),
+        edges.select(F.col("a").alias("ta"), F.col("b").alias("tc")),
         (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
     )
     n_nodes = (

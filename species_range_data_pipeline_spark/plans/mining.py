@@ -45,7 +45,7 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     baskets = (
         lineitem.join(
-            F.broadcast(part.select("p_partkey", "p_brand")),
+            part.select("p_partkey", "p_brand"),  # SF-proportional: no hint (rule 59)
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy("l_orderkey")

@@ -243,7 +243,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(customer.where(F.col("c_mktsegment") == "BUILDING")),
+            # customer is SF-proportional — no forced hint (rule 59)
+            customer.where(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .where((F.col("o_orderdate") < cutoff) & (F.col("l_shipdate") > cutoff))
@@ -295,9 +296,11 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supplier),
+            # customer/supplier are SF-proportional — no forced hint
+            # (rule 59); nation/region below stay hinted (25/5 rows)
+            supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

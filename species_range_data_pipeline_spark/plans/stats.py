@@ -356,8 +356,11 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
+    # customer is SF-proportional: no forced broadcast hint (the
+    # optimizer auto-broadcasts under the threshold at fixture scale
+    # and degrades to a shuffle join beyond it — SCALE.md rule 59)
     joined = orders.join(
-        F.broadcast(customer.select("c_custkey", "c_nationkey")),
+        customer.select("c_custkey", "c_nationkey"),
         F.col("o_custkey") == F.col("c_custkey"),
     )
     per_nation = joined.groupBy("c_nationkey").agg(

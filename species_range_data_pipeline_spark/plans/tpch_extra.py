@@ -143,13 +143,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        # customer/supplier are SF-proportional — no forced hint (rule
+        # 59); the nation-derived frames stay hinted (<=25 rows)
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(
             F.broadcast(asia_cust_nations),
             F.col("c_nationkey") == F.col("cust_nationkey"),
             "left_semi",
         )
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("supp_nationkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -207,13 +209,15 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("p_retailprice") * 0.5 * F.col("l_quantity")
     )
     return (
-        lineitem.join(F.broadcast(blue), F.col("l_partkey") == F.col("p_partkey"))
+        # part/supplier frames are SF-proportional — no forced hint
+        # (rule 59); nation below stays hinted
+        lineitem.join(blue, F.col("l_partkey") == F.col("p_partkey"))
         .join(
-            F.broadcast(part.select(F.col("p_partkey").alias("pp"), "p_retailprice")),
+            part.select(F.col("p_partkey").alias("pp"), "p_retailprice"),
             F.col("l_partkey") == F.col("pp"),
         )
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -268,11 +272,13 @@ def q16_supplier_part_relationship(spark: SparkSession, sf_dir: str) -> DataFram
     return (
         lineitem.select("l_partkey", "l_suppkey")
         .join(
-            F.broadcast(complaint_supp),
+            # supplier/part fractions are SF-proportional — no forced
+            # hint (rule 59)
+            complaint_supp,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
-        .join(F.broadcast(kept_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(kept_parts, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(
@@ -428,7 +434,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(max_rev))
         .where(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier is SF-proportional — no forced hint (rule 59)
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.col("s_suppkey"),
             "s_name",
@@ -459,7 +466,10 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Average yearly revenue lost if small-quantity Brand#1 orders were not
     taken: lines with quantity below 20% of their part's average quantity.
-    The per-part threshold aggregate is part-cardinality -> broadcast; the
+    The per-part threshold aggregate is part-cardinality — SF-proportional,
+    so it carries NO forced broadcast hint (rule 59: the optimizer
+    auto-broadcasts it at fixture scale and shuffle-joins co-partitioned
+    on partkey beyond the threshold); the
     brand filter semi-joins the fact FIRST so the threshold aggregate only
     sees Brand#1 lines.
     """
@@ -467,7 +477,11 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     brand_parts = part.where(F.col("p_brand") == "Brand#1").select("p_partkey")
     brand_lines = lineitem.join(
-        F.broadcast(brand_parts),
+        # part fraction / per-part aggregate are SF-proportional — no
+        # forced hint (rule 59); both joins are partkey-equi so the
+        # optimizer shuffle-joins them co-partitioned beyond the
+        # auto-broadcast threshold
+        brand_parts,
         F.col("l_partkey") == F.col("p_partkey"),
         "left_semi",
     )
@@ -476,7 +490,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         brand_lines.join(
-            F.broadcast(thresholds.withColumnRenamed("l_partkey", "t_partkey")),
+            thresholds.withColumnRenamed("l_partkey", "t_partkey"),
             F.col("l_partkey") == F.col("t_partkey"),
         )
         .where(F.col("l_quantity") < F.col("qty_threshold"))
@@ -503,7 +517,9 @@ def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Suppliers who shipped more than 45 units of some 'red' part during
     1996 — part-name IN-list, per-(supplier, part) HAVING aggregate,
-    supplier semi join.  The aggregate output is small -> broadcast semi.
+    supplier semi join.  The HAVING aggregate output is supplier-
+    cardinality (SF-proportional), so the semi join carries no forced
+    hint (rule 59) — small at fixture scale, shuffle-semi beyond it.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
@@ -511,7 +527,7 @@ def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     red_parts = part.where(F.col("p_name").startswith("red")).select("p_partkey")
     heavy = (
         lineitem.where(F.year("l_shipdate") == 1996)
-        .join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(red_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")  # rule 59
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .where(F.col("qty") > 45.0)
@@ -520,7 +536,8 @@ def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         supplier.join(
-            F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+            # per-supplier aggregate is SF-proportional — no hint (rule 59)
+            heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
         )
         .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
         .orderBy("s_suppkey")
@@ -564,7 +581,7 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("late_cutoff", F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
         .where(F.col("l_shipdate") > F.col("late_cutoff"))
-        .join(F.broadcast(n3_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n3_supp, F.col("l_suppkey") == F.col("s_suppkey"))  # supplier fraction: no hint (rule 59)
         .select("l_orderkey", "l_suppkey", "s_name", "late_cutoff")
     )
     others = lineitem.select(
