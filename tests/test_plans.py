@@ -50,6 +50,14 @@ def test_filters_reach_parquet_scan(spark, name, pushed):
         ("q10_returned_revenue", 2),  # customer, nation
         ("q14_promo_share", 1),  # part
         ("subq_above_nation_avg", 1),  # decorrelated nation-avg side
+        # rule 59 regression guards: these lanes lost their FORCED
+        # hints (SF-proportional sides), so the broadcasts below are
+        # the optimizer's own choice under the auto-broadcast
+        # threshold — de-hinting must not change the fixture plan
+        ("q8_market_share", 4),  # customer, supplier, 2 nation views
+        ("q16_supplier_part_relationship", 2),  # supp fraction, part fraction
+        ("q17_small_quantity_revenue", 2),  # brand parts, per-part thresholds
+        ("ev_retention_cohorts", 1),  # per-user first-seen
     ],
 )
 def test_dimension_joins_broadcast(spark, name, n_broadcast):
