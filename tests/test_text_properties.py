@@ -230,7 +230,11 @@ def test_incremental_dedup_manifest_registered_wrapper(spark):
     assert got1 == ref and len(got1) > 0
     import os
 
-    path1 = _SIG_MANIFEST_CACHE[os.path.abspath(SF_SMOKE)]
+    # cache key includes the Spark application id (ADVICE r14: a new
+    # session against the same path must re-ingest, not reuse stale
+    # signatures)
+    key = (spark.sparkContext.applicationId, os.path.abspath(SF_SMOKE))
+    path1 = _SIG_MANIFEST_CACHE[key]
     v1 = table_versions(path1)
     got2 = [
         tuple(r)
@@ -239,7 +243,7 @@ def test_incremental_dedup_manifest_registered_wrapper(spark):
         ).collect()
     ]
     assert got2 == ref
-    assert _SIG_MANIFEST_CACHE[os.path.abspath(SF_SMOKE)] == path1
+    assert _SIG_MANIFEST_CACHE[key] == path1
     assert table_versions(path1) == v1  # no re-ingest
 
 
