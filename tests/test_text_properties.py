@@ -347,3 +347,24 @@ def test_nfc_kernel_composes_and_passes_nulls(spark):
         .collect()
     ]
     assert got == ["caf\u00e9", "\u00c5", "plain ascii", None]
+
+
+def test_sig_scratch_cleanup_removes_dirs(tmp_path):
+    """ADVICE r14: the signature-manifest scratch dirs must be removed
+    at interpreter exit; the atexit hook drains the registry and
+    tolerates already-missing paths."""
+    import os
+
+    from species_range_data_pipeline_spark.plans.text import (
+        _SIG_SCRATCH_DIRS,
+        _sig_scratch_cleanup,
+    )
+
+    d1 = tmp_path / "sigs_a"
+    d1.mkdir()
+    (d1 / "part").write_text("x")
+    _SIG_SCRATCH_DIRS.append(str(d1))
+    _SIG_SCRATCH_DIRS.append(str(tmp_path / "already_gone"))
+    _sig_scratch_cleanup()
+    assert not _SIG_SCRATCH_DIRS
+    assert not os.path.exists(d1)
