@@ -330,12 +330,61 @@ def encode_warc_response(
     return head.encode() + http + b"\r\n\r\n"
 
 
+#: Target on-disk bytes per .warc.gz shard when the caller lets the
+#: writer size the shard count (Common Crawl ships ~1 GiB shards; a
+#: bounded shard is ALSO what keeps the read path legal — read_warc's
+#: binaryFile scan materializes one whole shard per row, so shard size,
+#: not corpus size, is the per-task memory bound on both halves).
+WARC_TARGET_SHARD_BYTES = 1 << 30
+
+
+def _estimated_input_bytes(df: DataFrame) -> int | None:
+    """Sum of the on-disk bytes under ``df``'s file scan (None for
+    in-memory frames or non-stat-able storage).  An ESTIMATE for shard
+    sizing — parquet-compressed input vs gzip WARC output differ by a
+    modest constant, which only shifts shard sizes, never correctness."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    import os
+    from urllib.parse import unquote, urlparse
+
+    total = 0
+    for uri in files:
+        p = unquote(urlparse(uri).path) if "://" in uri else uri
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return None
+    return total
+
+
+def _auto_shards(
+    df: DataFrame, target_bytes: int, floor: int = 4
+) -> int:
+    """Shard count sized so each shard holds ~``target_bytes`` of input:
+    the dissolve_auto discipline applied to container writers (SCALE.md
+    rule 60).  A FIXED default shard count is a 100x-scale bug — at
+    100 TB, 4 shards means 25 TB per write task and a 25 TB binaryFile
+    row on read; sizing from input bytes bounds both BY CONSTRUCTION.
+    Falls back to ``floor`` when the input is not stat-able (in-memory
+    fixtures)."""
+    est = _estimated_input_bytes(df)
+    if not est:
+        return floor
+    return max(floor, -(-est // target_bytes))
+
+
 def write_warc_corpus(
     df: DataFrame,
     out_dir: str,
     url_col: str = "url",
     body_col: str = "body",
-    n_shards: int = 4,
+    n_shards: int | None = None,
+    target_shard_bytes: int = WARC_TARGET_SHARD_BYTES,
 ) -> DataFrame:
     """Write ``df`` (url string, body binary) as ``out_dir/shard-NNNNN
     .warc.gz`` in Common Crawl framing (one gzip member per record) and
@@ -347,6 +396,13 @@ def write_warc_corpus(
     byte-identical, and shards are staged under a task-unique name and
     published by atomic rename — a task retry or speculative duplicate
     republishes identical bytes, never a partial file.
+
+    Scale posture (r15, SCALE.md rule 60): ``n_shards=None`` sizes the
+    shard count from the input's on-disk bytes so each shard holds
+    ~``target_shard_bytes`` (fixture inputs hit the floor of 4 —
+    byte-identical to the old fixed default), and members are STREAMED
+    to the staged file as batches arrive — task memory is one gzip
+    member, never a whole shard.
     """
     import gzip
     import os
@@ -354,6 +410,8 @@ def write_warc_corpus(
 
     from pyspark.sql import functions as F
 
+    if n_shards is None:
+        n_shards = _auto_shards(df, target_shard_bytes)
     os.makedirs(out_dir, exist_ok=True)
     shard = F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_shards))
     routed = (
@@ -364,25 +422,35 @@ def write_warc_corpus(
     )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        by_shard: dict[int, list[bytes]] = {}
+        attempt = uuid.uuid4().hex
+        # sh -> (final path, staged handle, [n_records, n_bytes]);
+        # members stream straight to disk in arrival order (the
+        # partition is (__shard, url)-sorted), so bytes are identical
+        # to the old accumulate-then-write form at O(member) memory
+        staged: dict[int, tuple] = {}
         for pdf in batches:
             for url, body, sh in zip(pdf["url"], pdf["body"], pdf["__shard"]):
-                by_shard.setdefault(int(sh), []).append(
-                    gzip.compress(
-                        encode_warc_response(url, bytes(body)), mtime=0
+                sh = int(sh)
+                if sh not in staged:
+                    final = os.path.join(out_dir, f"shard-{sh:05d}.warc.gz")
+                    staged[sh] = (
+                        final,
+                        open(f"{final}.__stage_{attempt}", "wb"),
+                        [0, 0],
                     )
+                final, fh, stats = staged[sh]
+                member = gzip.compress(
+                    encode_warc_response(url, bytes(body)), mtime=0
                 )
+                fh.write(member)
+                stats[0] += 1
+                stats[1] += len(member)
         out = []
-        for sh, members in sorted(by_shard.items()):
-            blob = b"".join(members)
-            final = os.path.join(out_dir, f"shard-{sh:05d}.warc.gz")
-            tmp = final + f".__stage_{uuid.uuid4().hex}"
-            with open(tmp, "wb") as f:
-                f.write(blob)
-            os.replace(tmp, final)  # atomic publish
+        for sh, (final, fh, stats) in sorted(staged.items()):
+            fh.close()
+            os.replace(f"{final}.__stage_{attempt}", final)  # atomic publish
             out.append(
-                {"path": final, "n_records": len(members),
-                 "n_bytes": len(blob)}
+                {"path": final, "n_records": stats[0], "n_bytes": stats[1]}
             )
         yield pd.DataFrame(out, columns=["path", "n_records", "n_bytes"])
 

@@ -62,7 +62,7 @@ def write_webdataset(
     out_dir: str,
     key_col: str,
     payload_cols: dict[str, str],
-    n_shards: int = 4,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Write ``df`` as ``out_dir/shard-NNNNN.tar`` and return the manifest.
 
@@ -70,8 +70,16 @@ def write_webdataset(
     ``{"text": "txt", "meta": "json"}``); string columns are UTF-8
     encoded, binary columns pass through.  Shard routing is
     ``xxhash64(key) % n_shards`` (deterministic; any engine re-derives
-    it), and samples are key-sorted within a shard.
+    it), and samples are key-sorted within a shard.  The tar stream is
+    already written incrementally (task memory = one sample);
+    ``n_shards=None`` sizes the shard count from the input's on-disk
+    bytes (SCALE.md rule 60 — fixture inputs hit the floor of 4, the
+    old fixed default) so shard size is bounded at any corpus size.
     """
+    if n_shards is None:
+        from .warc import WARC_TARGET_SHARD_BYTES, _auto_shards
+
+        n_shards = _auto_shards(df, WARC_TARGET_SHARD_BYTES)
     os.makedirs(out_dir, exist_ok=True)
     cols = [key_col, *payload_cols]
     shard = F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_shards))

@@ -369,3 +369,43 @@ def test_write_warc_corpus_roundtrip_deterministic_and_atomic(spark, tmp_path):
     assert len(rows) == 37
     got = {r.url: r.text for r in rows}
     assert got["https://x.example/d/5"] == "text 5 é\n with bytes"
+
+
+def test_auto_shard_sizing_bounds_shard_bytes(spark, tmp_path):
+    """SCALE.md rule 60: with n_shards=None the writer sizes the shard
+    count from the input's on-disk bytes so per-shard (and therefore
+    per-task and per-binaryFile-row) size is bounded by construction —
+    a fixed shard count would put the whole corpus growth into shard
+    size.  Parquet-backed input with a tiny byte target must fan out
+    beyond the floor of 4; an in-memory frame (not stat-able) falls
+    back to the floor."""
+    from pyspark.sql import functions as F
+
+    from species_range_data_pipeline_spark.sources.warc import (
+        _auto_shards,
+        write_warc_corpus,
+    )
+
+    src = str(tmp_path / "docs.parquet")
+    spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("payload "), F.col("id")).alias("text"),
+    ).write.parquet(src)
+    docs = spark.read.parquet(src).select(
+        F.concat(F.lit("https://x.example/d/"), "doc_id").alias("url"),
+        F.encode("text", "UTF-8").alias("body"),
+    )
+
+    assert _auto_shards(docs, target_bytes=1 << 30) == 4  # floor
+    n = _auto_shards(docs, target_bytes=256)
+    assert n > 4
+
+    mem = spark.createDataFrame(
+        [("https://x/1", b"a")], "url string, body binary"
+    )
+    assert _auto_shards(mem, target_bytes=256) == 4  # not stat-able
+
+    out = str(tmp_path / "sharded")
+    m = write_warc_corpus(docs, out, target_shard_bytes=256).collect()
+    assert len(m) == n  # every shard routed and published
+    assert sum(r.n_records for r in m) == 200
