@@ -53,58 +53,58 @@ _MODULE_NAMES = [
 # this round the freshness floor moves to r11), then the stalest
 # r11/r12 rows with module fillers resolved within them (media/bpe
 # fix-ups at r12/r13).
-_WINDOW_BUILT_FROM = 14  # newest CORRECTNESS artifact consumed
+_WINDOW_BUILT_FROM = 15  # newest CORRECTNESS artifact consumed
 _PRIORITY = [
-    "flagship_threshold_rollup",  # r14 (relational)
-    "retrieval_mmr_auto",  # FIRST driver row (retrieval)
-    "text_decontaminate_purge_external",  # FIRST driver row (text)
-    "agg_entropy_gini",  # r10 (stats)
-    "agg_rollup",  # r10 (relational)
-    "stream_dedup_replayed",  # r10 (events)
-    "stream_interval_join",  # r10 (events)
-    "stream_manifest_tail",  # r10 (events)
-    "stream_ohlc_flush",  # r10 (events)
-    "stream_session_flush",  # r10 (events)
-    "stream_stateful_totals",  # r10 (events)
-    "subq_above_nation_avg",  # r10 (advanced)
-    "subq_exists_late_lines",  # r10 (advanced)
-    "warc_ingest_roundtrip",  # r10 (text)
-    "webdataset_roundtrip",  # r10 (text)
-    "window_anomaly_zscore",  # r10 (advanced)
-    "window_rank_dense",  # r10 (relational)
-    "multimodal_decode_stats",  # r12 (media)
-    "bpe_encode_tokens",  # r13 (bpe)
-    "agg_distinct",  # r11 (relational)
-    "agg_grouping_sets",  # r11 (advanced)
-    "agg_having",  # r11 (relational)
-    "agg_percentiles",  # r11 (advanced)
-    "cdf_row_changes",  # r11 (stats)
-    "doc_pack_sequences",  # r11 (packing)
-    "doc_quality_funnel",  # r11 (quality)
-    "emb_dedup_components",  # r11 (vectors)
-    "ev_funnel",  # r11 (advanced)
-    "ev_retention_cohorts",  # r11 (events)
-    "ev_sessionization",  # r11 (events)
-    "ev_tumbling",  # r11 (events)
-    "geo_dissolve_area",  # r11 (geo)
-    "geo_polygonize_components",  # r11 (geo)
-    "geo_spatial_join_bin",  # r11 (geo)
-    "graph_triangles",  # r11 (graph)
-    "join_asof",  # r11 (advanced)
-    "join_interval_overlap",  # r11 (relational)
-    "join_lateral_topk",  # r11 (relational)
-    "join_left_counts",  # r11 (relational)
-    "join_range_bands",  # r11 (advanced)
-    "json_funcs",  # r11 (scalar)
-    "merge_upsert",  # r11 (stats)
-    "pivot_wide_status",  # r11 (advanced)
-    "q21_suppliers_kept_waiting",  # r11 (tpch_extra)
-    "q2_top_supplier_per_nation",  # r11 (tpch_extra)
-    "q9_product_type_profit",  # r11 (tpch_extra)
-    "sample_stratified",  # r11 (quality)
-    "setop_union_distinct",  # r11 (relational)
-    "sky_pareto_front",  # r11 (mining)
-    "sort_nulls_ordering",  # r11 (relational)
+    "flagship_threshold_rollup",  # r15 (relational)
+    "agg_approx_distinct",  # r11 (advanced)
+    "agg_cube",  # r11 (advanced)
+    "str_fuzzy_match",  # r11 (scalar)
+    "stream_tcp_counts",  # r11 (events)
+    "text_bm25_topk",  # r11 (text)
+    "text_decontaminate",  # r11 (text)
+    "text_langid",  # r11 (text)
+    "text_pii_redact",  # r11 (text)
+    "window_lag_delta",  # r11 (relational)
+    "window_ntile_buckets",  # r11 (advanced)
+    "window_rolling_median",  # r11 (advanced)
+    "window_running_total",  # r11 (relational)
+    "window_topk_per_group",  # r11 (relational)
+    "window_trailing_range",  # r11 (advanced)
+    "window_value_frames",  # r11 (advanced)
+    "retrieval_rrf_fusion",  # r12 (retrieval)
+    "subtitle_cue_stats",  # r13 (media)
+    "bpe_train_merges",  # r14 (bpe)
+    "agg_minmax_by",  # r12 (stats)
+    "agg_stats",  # r12 (stats)
+    "basket_brand_pairs",  # r12 (mining)
+    "date_funcs",  # r12 (scalar)
+    "dedup_ngram_jaccard",  # r12 (text)
+    "doc_pack_sequences_sharded",  # r12 (packing)
+    "dq_checks",  # r12 (quality)
+    "emb_dedup_components_lsh",  # r12 (vectors)
+    "emb_near_dup_bruteforce",  # r12 (vectors)
+    "emb_norms",  # r12 (vectors)
+    "ev_gapfill",  # r12 (events)
+    "ev_ohlc_bars",  # r12 (events)
+    "ev_rollup_two_level",  # r12 (events)
+    "ev_sliding",  # r12 (events)
+    "ev_type_pivot",  # r12 (events)
+    "geo_haversine_nearest",  # r12 (geo)
+    "geo_raster_regrid",  # r12 (geo)
+    "geo_reproject_points",  # r12 (geo)
+    "hier_rollup",  # r12 (graph)
+    "hist_price_buckets",  # r12 (mining)
+    "join_nullsafe",  # r12 (advanced)
+    "json_variant_funcs",  # r12 (scalar)
+    "layout_zorder",  # r12 (mining)
+    "math_funcs",  # r12 (scalar)
+    "mv_incremental_refresh",  # r12 (stats)
+    "q14_promo_share",  # r12 (advanced)
+    "q18_large_orders",  # r12 (advanced)
+    "q19_disjunctive_predicates",  # r12 (advanced)
+    "q4_order_priority",  # r12 (tpch_extra)
+    "q7_nation_volume",  # r12 (advanced)
+    "regexp_group_funcs",  # r12 (scalar)
 ]
 
 # Queries whose oracles are pure VALUES restatements of expected OUTPUT

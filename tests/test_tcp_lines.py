@@ -565,9 +565,10 @@ def test_tcp_lines_spool_below_high_water_mark_raises(tmp_path):
 
 
 def test_tcp_lines_max_bytes_per_batch_caps_offers(tmp_path):
-    """Admission control (r12): latestOffset advances at most
-    maxBytesPerBatch past the previous offer — monotone, chunked, based
-    at the connect-time spool position for the first offer."""
+    """Admission control (r12, amended r16): the FIRST offer is never
+    capped (it is the offset Trigger.AvailableNow snapshots as its
+    drain target — VERDICT r15 #3), then latestOffset advances at most
+    maxBytesPerBatch past the previous offer — monotone, chunked."""
     from species_range_data_pipeline_spark.sources.tcp_lines import (
         TcpLinesStreamReader,
     )
@@ -592,12 +593,16 @@ def test_tcp_lines_max_bytes_per_batch_caps_offers(tmp_path):
 
     reader._receiver = FakeReceiver()
     reader._spool_id = "test"
+    # first offer: full backlog, cap NOT applied
+    assert reader.latestOffset()["pos"] == 1000
+    # steady state: the feed races ahead, offers chunk at +100
+    reader._receiver._flushed = 1500
     offers = [reader.latestOffset()["pos"] for _ in range(4)]
-    assert offers == [100, 200, 300, 400]
-    reader._receiver._flushed = 430  # feed slows below the cap
-    assert reader.latestOffset()["pos"] == 430
-    reader._receiver._flushed = 420  # never regress below a prior offer
-    assert reader.latestOffset()["pos"] == 430
+    assert offers == [1100, 1200, 1300, 1400]
+    reader._receiver._flushed = 1430  # feed slows below the cap
+    assert reader.latestOffset()["pos"] == 1430
+    reader._receiver._flushed = 1420  # never regress below a prior offer
+    assert reader.latestOffset()["pos"] == 1430
 
 
 def test_tcp_lines_max_bytes_per_batch_end_to_end(spark, tmp_path):
@@ -628,6 +633,17 @@ def test_tcp_lines_max_bytes_per_batch_end_to_end(spark, tmp_path):
             .start()
         )
         assert _await(lambda: len(srv._queues) > 0)
+        # Wait for the reader's FIRST offer to commit (batch 0) before
+        # sending any lines: the first offer is deliberately uncapped
+        # (AvailableNow-snapshot safety, r16), so lines arriving before
+        # it would drain in one big batch and break the multi-batch
+        # assertion below.  After batch 0 every offer is capped at +64.
+        assert _await(
+            lambda: (ckpt / "offsets").exists()
+            and any(
+                not f.startswith(".") for f in os.listdir(ckpt / "offsets")
+            )
+        )
         srv.send([f"key,{i:04d}" for i in range(50)])  # 9 bytes/line
 
         def _rows():
@@ -654,26 +670,58 @@ def test_tcp_lines_max_bytes_per_batch_end_to_end(spark, tmp_path):
             pass
 
 
-def test_tcp_lines_cap_warns_at_construction(tmp_path):
-    """ADVICE r12 (medium): maxBytesPerBatch truncates a
-    Trigger.AvailableNow drain (the engine snapshots latestOffset once
-    as the drain target) and the trigger is invisible from the reader —
-    so setting the cap must emit a loud runtime warning at reader
-    construction, and an uncapped reader must stay silent."""
+def test_tcp_lines_available_now_drain_not_truncated(tmp_path):
+    """VERDICT r15 #3: Trigger.AvailableNow snapshots latestOffset
+    exactly ONCE as the drain target (pyspark's runner dispatches only
+    initialOffset/latestOffset/partitions/commit, so the trigger is
+    invisible to the reader).  This replays that exact call protocol
+    against a capped reader over a real spool file and asserts the
+    single snapshot covers the FULL backlog — i.e. the cap can no
+    longer silently truncate a bounded drain (the old construction-time
+    UserWarning is gone because the hazard is gone by construction).
+    """
     import warnings
 
     from species_range_data_pipeline_spark.sources.tcp_lines import (
         TcpLinesStreamReader,
     )
 
-    opts = {"host": "127.0.0.1", "port": "1", "spool": str(tmp_path / "s")}
-    with warnings.catch_warnings(record=True) as caught:
-        warnings.simplefilter("always")
-        TcpLinesStreamReader({**opts, "maxBytesPerBatch": "64"})
-    msgs = [str(w.message) for w in caught]
-    assert any("AvailableNow" in m and "truncates" in m for m in msgs)
+    lines = [f"key,{i:04d}" for i in range(50)]  # 9 bytes each
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    spool_file = spool / "feed.spool"
+    spool_file.write_bytes(("".join(f"{ln}\n" for ln in lines)).encode())
 
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        TcpLinesStreamReader(opts)
-    assert [str(w.message) for w in caught] == []
+        reader = TcpLinesStreamReader(
+            {
+                "host": "127.0.0.1",
+                "port": "1",
+                "spool": str(spool),
+                "maxBytesPerBatch": "64",  # far below the 450-byte backlog
+            }
+        )
+    assert [str(w.message) for w in caught] == []  # no warning path left
+
+    class FakeReceiver:
+        # a drain scenario: 450 bytes arrived between connect (initial=0,
+        # e.g. the checkpointed start offset is 0) and the snapshot
+        initial = 0
+
+        def flushed(self):
+            return spool_file.stat().st_size
+
+    reader._receiver = FakeReceiver()
+    reader._spool_id = "test"
+    reader._spool_path = str(spool_file)
+
+    # the AvailableNow protocol: ONE latestOffset call = the drain target
+    snapshot = reader.latestOffset()
+    assert snapshot["pos"] == 450  # full backlog, not initial + 64
+
+    got = []
+    for part in reader.partitions({"pos": 0, "id": "test"}, snapshot):
+        got.extend(v for (v,) in reader.read(part))
+    assert got == lines  # every line delivered, exactly once, in order
+    reader.commit(snapshot)
