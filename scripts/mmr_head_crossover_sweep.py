@@ -5,8 +5,8 @@
 (cost ~ quantizer(corpus) + |queries| x |corpus| x nprobe/nlist) on the
 size of the query set — the quadratic driver VERDICT r14 #3 flagged.
 This sweep measures the crossover on the fixture corpus: fixed sf0.1
-embeddings (6 000 vectors), query density varied via the head's
-``query_mod`` knob (mod 100 / 20 / 6 -> 60 / 300 / 1 000 queries, all
+embeddings (2 000 vectors), query density varied via the head's
+``query_mod`` knob (mod 100 / 20 / 6 -> 20 / 100 / 334 queries, all
 under the exact head's ``_MMR_MAX_QUERIES`` hard cap), arms interleaved
 within each cell (box-drift discipline, SCALE.md rule 45), candidate
 frames materialized through the noop sink (rule: never .count() — column
@@ -39,7 +39,7 @@ from species_range_data_pipeline_spark.plans.retrieval import (  # noqa: E402
 from species_range_data_pipeline_spark.session import get_spark  # noqa: E402
 
 SF = "/root/testdata/sf0.1"
-MODS = (100, 20, 6)  # -> 60 / 300 / 1000 queries at 6000 vectors
+MODS = (100, 20, 6)  # -> 20 / 100 / 334 queries at 2000 vectors
 
 
 def _noop(df) -> float:

@@ -218,11 +218,15 @@ def _mmr_candidates(emb: DataFrame, query_mod: int = 100) -> DataFrame:
     TakeOrderedAndProject: per-partition heads merged on the driver —
     never a single-partition global sort), making the broadcast
     ≤ cap × dim doubles BY CONSTRUCTION.  The cap is slack at every
-    fixture scale (sf0.1 has 60 queries), so registered results and the
+    fixture scale (sf0.1 has 20 queries), so registered results and the
     oracle are unchanged; a production workload whose query list
     exceeds the cap belongs on ``_mmr_candidates_ivf`` (whose head
     streams queries and broadcasts only nlist centroids — see
-    ``retrieval_mmr_auto``)."""
+    ``retrieval_mmr_auto``).  Direct callers: the limit would silently
+    drop queries past the cap, so ``retrieval_mmr_diversify`` asserts
+    the cap is not binding before building this head (ADVICE r15) —
+    any new direct caller must do the same or route through
+    ``retrieval_mmr_auto``."""
     qs = (
         emb.where(F.col("vec_id") % query_mod == 0)
         .select(
@@ -260,7 +264,7 @@ _MMR_K = 6
 #: Hard bound on the exact head's broadcast query set (VERDICT r14 #3):
 #: caps the broadcast at cap × dim doubles (~512 KB at dim 64) and the
 #: scored frame at cap × |corpus| — linear in the corpus, never
-#: quadratic.  Slack at every fixture scale (60 queries at sf0.1), so
+#: quadratic.  Slack at every fixture scale (20 queries at sf0.1), so
 #: registered output and oracle are unchanged; workloads above the cap
 #: dispatch to the IVF head (``retrieval_mmr_auto``).
 _MMR_MAX_QUERIES = 1024
@@ -351,8 +355,33 @@ def retrieval_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.7× slower at sf0.1 (2.53 s vs 4.21 s medians, 5 interleaved
     alternations, equivalence asserted first).  Barrier count, not
     data, so the kernel form is the headline.
+
+    Cap guard (ADVICE r15): the exact head hard-caps its broadcast
+    query set at ``_MMR_MAX_QUERIES``; past the cap it would silently
+    return results for only the lowest-id queries.  This lane asserts
+    the cap is not binding with one early-exit sizing job
+    (``limit(cap+1).count()`` — the scan stops as soon as cap+1 query
+    rows are found, so the job's cost is bounded by the cap, not the
+    corpus) and raises with a route to ``retrieval_mmr_auto`` instead
+    of truncating.  Both fixture scales (5 / 20 queries) are far under
+    the cap, so registered output is unchanged.
     """
-    return _mmr_tail(_mmr_candidates(load_table(spark, sf_dir, "embeddings")))
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_queries = (
+        emb.where(F.col("vec_id") % 100 == 0)
+        .limit(_MMR_MAX_QUERIES + 1)
+        .count()
+    )
+    if n_queries > _MMR_MAX_QUERIES:
+        raise ValueError(
+            "retrieval_mmr_diversify: query set exceeds the exact head's"
+            f" broadcast cap (_MMR_MAX_QUERIES={_MMR_MAX_QUERIES});"
+            " truncating it silently would drop queries. Use"
+            " retrieval_mmr_auto, which dispatches workloads above the"
+            " cap to the IVF-probed head (streaming query side, only"
+            " nlist centroids broadcast)."
+        )
+    return _mmr_tail(_mmr_candidates(emb))
 
 
 def _mmr_tail(cands: DataFrame) -> DataFrame:
@@ -548,7 +577,7 @@ def retrieval_mmr_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     never routes to a slower branch — callers above the threshold gain
     both feasibility and wall clock, trading the measured recall dial
     (0.55 mean candidate recall at the default nprobe=4).  Both fixture
-    scales sit far under the cap (6 / 20 queries), so the registered
+    scales sit far under the cap (5 / 20 queries), so the registered
     lane always takes the exact branch and shares
     ``RETRIEVAL_MMR_ORACLE`` verbatim."""
     emb = load_table(spark, sf_dir, "embeddings")

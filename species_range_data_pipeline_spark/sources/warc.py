@@ -365,17 +365,49 @@ def _estimated_input_bytes(df: DataFrame) -> int | None:
 def _auto_shards(
     df: DataFrame, target_bytes: int, floor: int = 4
 ) -> int:
-    """Shard count sized so each shard holds ~``target_bytes`` of input:
-    the dissolve_auto discipline applied to container writers (SCALE.md
-    rule 60).  A FIXED default shard count is a 100x-scale bug — at
-    100 TB, 4 shards means 25 TB per write task and a 25 TB binaryFile
-    row on read; sizing from input bytes bounds both BY CONSTRUCTION.
-    Falls back to ``floor`` when the input is not stat-able (in-memory
-    fixtures)."""
+    """Shard count sized so each shard holds ~``target_bytes`` of
+    OUTPUT: the dissolve_auto discipline applied to container writers
+    (SCALE.md rule 60).  A FIXED default shard count is a 100x-scale
+    bug — at 100 TB, 4 shards means 25 TB per write task and a 25 TB
+    binaryFile row on read; sizing from input bytes bounds both BY
+    CONSTRUCTION.  Falls back to ``floor`` when the input is not
+    stat-able (in-memory fixtures).
+
+    Safety factor (ADVICE r15): the stat-able quantity is
+    parquet-COMPRESSED input bytes while the bound that matters is
+    container-OUTPUT bytes (gzip WARC / tar), which can exceed the
+    parquet size — parquet's columnar encodings routinely beat a
+    per-record gzip member on the same text.  Sizing against
+    ``target_bytes // 2`` tolerates up to 2x input->output expansion
+    before a shard overshoots the target, and the writers additionally
+    hard-assert every published shard under binaryFile's 2 GiB row cap
+    (``_check_shard_bytes``) so an adversarial corpus fails loudly at
+    write time, never unreadably at read time."""
     est = _estimated_input_bytes(df)
     if not est:
         return floor
-    return max(floor, -(-est // target_bytes))
+    return max(floor, -(-est // max(1, target_bytes // 2)))
+
+
+#: binaryFile materializes one whole file per row in a spark row buffer
+#: backed by a java byte[] — files at or above 2^31 bytes are
+#: unreadable.  Writers assert published shards under this cap.
+_BINARYFILE_MAX_BYTES = (1 << 31) - 1
+
+
+def _check_shard_bytes(path: str, n_bytes: int) -> None:
+    """Loud write-time guard for the read path's 2 GiB binaryFile row
+    cap (ADVICE r15): a shard that overflows the cap is unreadable by
+    ``read_warc``/``read_webdataset``, so refusing to publish it is the
+    error-over-silent-corruption contract every sink here follows."""
+    if n_bytes >= _BINARYFILE_MAX_BYTES:
+        raise RuntimeError(
+            f"container shard {path!r} would be {n_bytes} bytes, at or"
+            f" above the binaryFile 2 GiB row cap"
+            f" ({_BINARYFILE_MAX_BYTES}); the read path cannot"
+            " materialize it. Raise n_shards (or lower"
+            " target_shard_bytes) and re-run."
+        )
 
 
 def write_warc_corpus(
@@ -428,31 +460,60 @@ def write_warc_corpus(
         # partition is (__shard, url)-sorted), so bytes are identical
         # to the old accumulate-then-write form at O(member) memory
         staged: dict[int, tuple] = {}
-        for pdf in batches:
-            for url, body, sh in zip(pdf["url"], pdf["body"], pdf["__shard"]):
-                sh = int(sh)
-                if sh not in staged:
-                    final = os.path.join(out_dir, f"shard-{sh:05d}.warc.gz")
-                    staged[sh] = (
-                        final,
-                        open(f"{final}.__stage_{attempt}", "wb"),
-                        [0, 0],
+        published = False
+        try:
+            for pdf in batches:
+                for url, body, sh in zip(
+                    pdf["url"], pdf["body"], pdf["__shard"]
+                ):
+                    sh = int(sh)
+                    if sh not in staged:
+                        final = os.path.join(
+                            out_dir, f"shard-{sh:05d}.warc.gz"
+                        )
+                        staged[sh] = (
+                            final,
+                            open(f"{final}.__stage_{attempt}", "wb"),
+                            [0, 0],
+                        )
+                    final, fh, stats = staged[sh]
+                    member = gzip.compress(
+                        encode_warc_response(url, bytes(body)), mtime=0
                     )
-                final, fh, stats = staged[sh]
-                member = gzip.compress(
-                    encode_warc_response(url, bytes(body)), mtime=0
+                    fh.write(member)
+                    stats[0] += 1
+                    stats[1] += len(member)
+            # validate EVERY shard before publishing ANY: a cap breach
+            # must leave zero published files, so the finally below can
+            # sweep all the staged partials
+            for final, _fh, stats in staged.values():
+                _check_shard_bytes(final, stats[1])
+            out = []
+            for sh, (final, fh, stats) in sorted(staged.items()):
+                fh.close()
+                os.replace(
+                    f"{final}.__stage_{attempt}", final
+                )  # atomic publish
+                out.append(
+                    {"path": final, "n_records": stats[0], "n_bytes": stats[1]}
                 )
-                fh.write(member)
-                stats[0] += 1
-                stats[1] += len(member)
-        out = []
-        for sh, (final, fh, stats) in sorted(staged.items()):
-            fh.close()
-            os.replace(f"{final}.__stage_{attempt}", final)  # atomic publish
-            out.append(
-                {"path": final, "n_records": stats[0], "n_bytes": stats[1]}
-            )
-        yield pd.DataFrame(out, columns=["path", "n_records", "n_bytes"])
+            published = True
+            yield pd.DataFrame(out, columns=["path", "n_records", "n_bytes"])
+        finally:
+            if not published:
+                # mid-partition failure (ADVICE r15): close every staged
+                # handle and unlink the .__stage_* leftovers so a retry
+                # never accumulates orphaned partials in the published
+                # directory (readers skip them, but they are garbage)
+                for final, fh, _stats in staged.values():
+                    try:
+                        fh.close()
+                    except OSError:
+                        pass
+                    try:
+                        os.unlink(f"{final}.__stage_{attempt}")
+                    except OSError:
+                        pass
 
     return routed.mapInPandas(
         fn, "path string, n_records long, n_bytes long"

@@ -99,42 +99,70 @@ def write_webdataset(
         # are key-sorted, metadata-zeroed), so last-rename-wins is safe
         import uuid
 
+        from .warc import _check_shard_bytes
+
         os.makedirs(out_dir, exist_ok=True)
         attempt = uuid.uuid4().hex[:8]
         tars: dict[int, tuple[str, tarfile.TarFile, list[int]]] = {}
-        for pdf in batches:
-            for rec in pdf.to_dict("records"):
-                sh = int(rec["__shard"])
-                if sh not in tars:
-                    path = os.path.join(out_dir, f"shard-{sh:05d}.tar")
-                    tars[sh] = (
-                        path,
-                        tarfile.open(f"{path}.tmp-{attempt}", "w"),
-                        [0, 0],
-                    )
-                path, tf, stats = tars[sh]
-                key = str(rec[key_col])
-                for col, ext in exts.items():
-                    val = rec[col]
-                    data = (
-                        val
-                        if isinstance(val, (bytes, bytearray))
-                        else str(val).encode("utf-8")
-                    )
-                    info = tarfile.TarInfo(name=f"{key}.{ext}")
-                    info.size = len(data)
-                    info.mtime = 0  # byte-stable shards
-                    tf.addfile(info, io.BytesIO(bytes(data)))
-                stats[0] += 1
-        out = []
-        for sh, (path, tf, stats) in sorted(tars.items()):
-            tf.close()
-            os.replace(f"{path}.tmp-{attempt}", path)  # atomic publish
-            out.append(
-                {"shard": path, "n_samples": stats[0],
-                 "n_bytes": os.path.getsize(path)}
+        published = False
+        try:
+            for pdf in batches:
+                for rec in pdf.to_dict("records"):
+                    sh = int(rec["__shard"])
+                    if sh not in tars:
+                        path = os.path.join(out_dir, f"shard-{sh:05d}.tar")
+                        tars[sh] = (
+                            path,
+                            tarfile.open(f"{path}.tmp-{attempt}", "w"),
+                            [0, 0],
+                        )
+                    path, tf, stats = tars[sh]
+                    key = str(rec[key_col])
+                    for col, ext in exts.items():
+                        val = rec[col]
+                        data = (
+                            val
+                            if isinstance(val, (bytes, bytearray))
+                            else str(val).encode("utf-8")
+                        )
+                        info = tarfile.TarInfo(name=f"{key}.{ext}")
+                        info.size = len(data)
+                        info.mtime = 0  # byte-stable shards
+                        tf.addfile(info, io.BytesIO(bytes(data)))
+                    stats[0] += 1
+            # close + validate EVERY shard against the binaryFile 2 GiB
+            # read cap before publishing ANY (ADVICE r15): a breach must
+            # leave zero published files for the finally sweep
+            sizes: dict[int, int] = {}
+            for sh, (path, tf, _stats) in tars.items():
+                tf.close()
+                sizes[sh] = os.path.getsize(f"{path}.tmp-{attempt}")
+                _check_shard_bytes(path, sizes[sh])
+            out = []
+            for sh, (path, tf, stats) in sorted(tars.items()):
+                os.replace(f"{path}.tmp-{attempt}", path)  # atomic publish
+                out.append(
+                    {"shard": path, "n_samples": stats[0],
+                     "n_bytes": sizes[sh]}
+                )
+            published = True
+            yield pd.DataFrame(
+                out, columns=[f.name for f in MANIFEST_SCHEMA.fields]
             )
-        yield pd.DataFrame(out, columns=[f.name for f in MANIFEST_SCHEMA.fields])
+        finally:
+            if not published:
+                # mid-partition failure: close staged handles and unlink
+                # the .tmp-* partials so retries never accumulate
+                # garbage in the published directory (ADVICE r15)
+                for path, tf, _stats in tars.values():
+                    try:
+                        tf.close()
+                    except OSError:
+                        pass
+                    try:
+                        os.unlink(f"{path}.tmp-{attempt}")
+                    except OSError:
+                        pass
 
     return routed.mapInPandas(fn, MANIFEST_SCHEMA)
 

@@ -479,6 +479,21 @@ def test_mmr_ivf_cached_quantizer_scanfree_and_identical(spark):
     assert warm_plan.count("Scan parquet") < inline_plan.count("Scan parquet")
 
 
+def test_mmr_exact_lane_raises_when_cap_binds(spark, monkeypatch):
+    """ADVICE r15: the exact head's ``limit(_MMR_MAX_QUERIES)`` would
+    silently drop queries past the cap for a direct caller of
+    ``retrieval_mmr_diversify`` — the lane must refuse loudly and route
+    the caller to ``retrieval_mmr_auto`` instead of returning
+    incomplete results."""
+    import pytest
+
+    from species_range_data_pipeline_spark.plans import retrieval
+
+    monkeypatch.setattr(retrieval, "_MMR_MAX_QUERIES", 2)
+    with pytest.raises(ValueError, match="retrieval_mmr_auto"):
+        retrieval_mmr_diversify(spark, SF_CORRECT)
+
+
 def test_mmr_auto_dispatches_exact_below_cap_ivf_above(spark, monkeypatch):
     """``retrieval_mmr_auto`` (VERDICT r14 #3): at fixture scale the
     query count sits under ``_MMR_MAX_QUERIES``, so the auto lane must

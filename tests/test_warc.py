@@ -407,5 +407,109 @@ def test_auto_shard_sizing_bounds_shard_bytes(spark, tmp_path):
 
     out = str(tmp_path / "sharded")
     m = write_warc_corpus(docs, out, target_shard_bytes=256).collect()
-    assert len(m) == n  # every shard routed and published
+    # every NON-EMPTY shard published (hash routing can leave a few of
+    # the n buckets empty; empty shards publish no file), no record lost
+    assert 4 < len(m) <= n
     assert sum(r.n_records for r in m) == 200
+
+
+def test_auto_shard_sizing_applies_output_safety_factor(spark, tmp_path):
+    """ADVICE r15: _auto_shards stats parquet-COMPRESSED input bytes
+    while the real bound is container-OUTPUT bytes (gzip WARC / tar),
+    so it must size against target/2 — tolerating 2x input->output
+    expansion before a shard overshoots the target."""
+    from pyspark.sql import functions as F
+
+    from species_range_data_pipeline_spark.sources.warc import (
+        _auto_shards,
+        _estimated_input_bytes,
+    )
+
+    src = str(tmp_path / "docs.parquet")
+    spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("payload "), F.col("id")).alias("text"),
+    ).write.parquet(src)
+    docs = spark.read.parquet(src)
+
+    est = _estimated_input_bytes(docs)
+    assert est and est > 0
+    # shards = ceil(est / (target // 2)), floored at 4
+    target = 256
+    expected = max(4, -(-est // (target // 2)))
+    assert _auto_shards(docs, target_bytes=target) == expected
+    assert expected >= -(-est // target)  # never fewer than unfactored
+
+
+def test_shard_byte_cap_guard():
+    """ADVICE r15: writers refuse to publish a shard at or above
+    binaryFile's 2 GiB row cap — loud at write time, never unreadable
+    at read time."""
+    import pytest
+
+    from species_range_data_pipeline_spark.sources.warc import (
+        _BINARYFILE_MAX_BYTES,
+        _check_shard_bytes,
+    )
+
+    _check_shard_bytes("ok.warc.gz", _BINARYFILE_MAX_BYTES - 1)
+    with pytest.raises(RuntimeError, match="2 GiB row cap"):
+        _check_shard_bytes("big.warc.gz", _BINARYFILE_MAX_BYTES)
+
+
+def test_warc_writer_failure_sweeps_staged_partials(spark, tmp_path):
+    """ADVICE r15: a mid-partition failure must close every staged
+    handle and unlink the .__stage_* partials — a retried/failed write
+    leaves ZERO files (staged or published) in the output directory."""
+    import pytest
+
+    from species_range_data_pipeline_spark.sources.warc import (
+        write_warc_corpus,
+    )
+
+    # body=None explodes inside the member encode, after the first
+    # rows have already streamed to staged handles (url-sorted: the
+    # poison row sorts last in its shard)
+    bad = spark.createDataFrame(
+        [(f"https://x.example/d/{i}", b"payload") for i in range(8)]
+        + [("https://x.example/zzz", None)],
+        "url string, body binary",
+    )
+    out = tmp_path / "warc_fail"
+    with pytest.raises(Exception):
+        write_warc_corpus(bad, str(out), n_shards=2).collect()
+    leftovers = sorted(p.name for p in out.iterdir())
+    assert leftovers == [], leftovers
+
+
+def test_webdataset_writer_failure_sweeps_staged_partials(spark, tmp_path):
+    """Same sweep contract for the tar writer's .tmp-* stage files: a
+    publish failure partway through the shard loop must leave zero
+    staged partials behind (a directory squatting on one shard's final
+    name makes that shard's atomic rename raise)."""
+    import pytest
+
+    from species_range_data_pipeline_spark.sources.webdataset import (
+        write_webdataset,
+    )
+
+    rows = [(f"k{i}", b"payload") for i in range(64)]
+    df = spark.createDataFrame(rows, "key string, blob binary")
+    out = tmp_path / "wds_fail"
+    out.mkdir()
+    # with 64 hashed keys over 2 shards, both shards are non-empty;
+    # shard 1's publish hits the squatter and raises after shard 0
+    # already published
+    (out / "shard-00001.tar").mkdir()
+    with pytest.raises(Exception):
+        write_webdataset(
+            df,
+            str(out),
+            key_col="key",
+            payload_cols={"blob": "bin"},
+            n_shards=2,
+        ).collect()
+    staged = sorted(
+        p.name for p in out.iterdir() if ".tmp-" in p.name
+    )
+    assert staged == [], staged
