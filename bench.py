@@ -488,6 +488,25 @@ def main() -> None:
     # driver-parsed artifact always contains the headline numbers.
     (REPO / "BENCH_LOCAL.json").write_text(json.dumps(full, indent=1) + "\n")
     print(json.dumps(summary))
+    # VERDICT r15 #8: the driver records only the TAIL of stdout, and
+    # the full summary line above outgrew a 2000-char window (r15 lost
+    # its first ~30 warm medians to the cut).  The LAST line is a
+    # compact twin — totals + every per-row warm median + the judged
+    # streaming gates, separators-tightened (~1.3k chars for 45 rows) —
+    # so whatever window the driver keeps, the headline numbers parse.
+    compact = {
+        "metric": "bench_compact",
+        "warm_total": summary["value"],
+        "unit": "sec",
+        "r4_comparable_total": summary["r4_comparable_total"],
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "streaming_floor_normalized": streaming_floor_normalized,
+        "worst_rows": sorted(
+            timings, key=lambda k: timings[k], reverse=True
+        )[:5],
+        "sf": sf,
+    }
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 

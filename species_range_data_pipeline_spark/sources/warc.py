@@ -342,7 +342,15 @@ def _estimated_input_bytes(df: DataFrame) -> int | None:
     """Sum of the on-disk bytes under ``df``'s file scan (None for
     in-memory frames or non-stat-able storage).  An ESTIMATE for shard
     sizing — parquet-compressed input vs gzip WARC output differ by a
-    modest constant, which only shifts shard sizes, never correctness."""
+    modest constant, which only shifts shard sizes, never correctness.
+
+    Caveat (measured, scripts/container_read_sweep.py r16): a frame
+    whose row count was BLOWN UP between the scan and the write
+    (explode, crossJoin replication) still reports the small source
+    file's bytes — the estimate cannot see generated growth.  Callers
+    with such frames must stage to parquet first or pass ``n_shards``
+    explicitly; the writers' ``_check_shard_bytes`` cap remains the
+    hard backstop either way."""
     try:
         files = df.inputFiles()
     except Exception:

@@ -1,0 +1,339 @@
+"""Read-only Delta-layout reader (VERDICT r15 next #6).
+
+The fixture log is written BY THE TESTS (no Delta writer exists in the
+package, by design): parquet data files via Spark/pyarrow plus
+hand-written ``_delta_log/*.json`` commits following the public Delta
+protocol spec — add/remove replay, partitionValues, URL-encoded paths,
+stats zone maps, and every refusal boundary the module documents.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from species_range_data_pipeline_spark.sources.delta_log import (
+    delta_log_versions,
+    delta_scan_files,
+    read_delta_table,
+)
+
+_PROTOCOL = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+
+
+def _schema_string(fields):
+    return json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": n, "type": t, "nullable": True, "metadata": {}}
+                for n, t in fields
+            ],
+        }
+    )
+
+
+def _meta(fields, partition_cols=(), configuration=None):
+    return {
+        "metaData": {
+            "id": "00000000-0000-0000-0000-000000000000",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _schema_string(fields),
+            "partitionColumns": list(partition_cols),
+            "configuration": configuration or {},
+        }
+    }
+
+
+def _commit(table, version, actions):
+    log = os.path.join(table, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    with open(os.path.join(log, f"{version:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+
+def _data_file(table, rel, cols: dict, stats: dict | None = None):
+    """Write a parquet data file at ``rel`` and return its add action."""
+    fpath = os.path.join(table, rel)
+    if os.path.dirname(fpath):
+        os.makedirs(os.path.dirname(fpath), exist_ok=True)
+    pq.write_table(pa.table(cols), fpath)
+    add = {
+        "path": rel,
+        "partitionValues": {},
+        "size": os.path.getsize(fpath),
+        "modificationTime": 0,
+        "dataChange": True,
+    }
+    if stats is not None:
+        add["stats"] = json.dumps(stats)
+    return {"add": add}
+
+
+def _basic_table(tmp_path, name="t"):
+    table = str(tmp_path / name)
+    os.makedirs(table, exist_ok=True)
+    fields = [("k", "long"), ("v", "string")]
+    a1 = _data_file(
+        table,
+        "part-0001.parquet",
+        {"k": [1, 2, 3], "v": ["a", "b", "c"]},
+        stats={
+            "numRecords": 3,
+            "minValues": {"k": 1},
+            "maxValues": {"k": 3},
+            "nullCount": {"k": 0, "v": 0},
+        },
+    )
+    a2 = _data_file(
+        table,
+        "part-0002.parquet",
+        {"k": [10, 11], "v": ["x", "y"]},
+        stats={
+            "numRecords": 2,
+            "minValues": {"k": 10},
+            "maxValues": {"k": 11},
+            "nullCount": {"k": 0, "v": 0},
+        },
+    )
+    _commit(table, 0, [_PROTOCOL, _meta(fields), a1, a2])
+    return table, a1, a2
+
+
+def test_snapshot_read_and_time_travel(spark, tmp_path):
+    """Adds-minus-removes replay: the latest snapshot drops the removed
+    file, VERSION AS OF 0 still sees it."""
+    table, a1, a2 = _basic_table(tmp_path)
+    # v1: compact away part-0001 into part-0003 (same rows, one remove)
+    a3 = _data_file(
+        table, "part-0003.parquet", {"k": [1, 2, 3], "v": ["a", "b", "c"]}
+    )
+    _commit(
+        table,
+        1,
+        [
+            {"remove": {"path": "part-0001.parquet", "dataChange": False}},
+            a3,
+        ],
+    )
+
+    assert delta_log_versions(table) == [0, 1]
+    latest = {
+        (r.k, r.v) for r in read_delta_table(spark, table).collect()
+    }
+    assert latest == {(1, "a"), (2, "b"), (3, "c"), (10, "x"), (11, "y")}
+    files_latest = {os.path.basename(f) for f in delta_scan_files(table)}
+    assert files_latest == {"part-0002.parquet", "part-0003.parquet"}
+    files_v0 = {os.path.basename(f) for f in delta_scan_files(table, 0)}
+    assert files_v0 == {"part-0001.parquet", "part-0002.parquet"}
+    v0 = {(r.k, r.v) for r in read_delta_table(spark, table, version=0).collect()}
+    assert v0 == latest  # same logical rows pre/post compaction
+
+
+def test_stats_zone_maps_prune_files(spark, tmp_path):
+    """add.stats minValues/maxValues feed the manifest pruner: a filter
+    outside a file's range skips the file without opening it, and the
+    surviving predicate still applies exactly."""
+    table, a1, a2 = _basic_table(tmp_path)
+    pruned = delta_scan_files(table, filters=[("k", ">=", 10)])
+    assert [os.path.basename(f) for f in pruned] == ["part-0002.parquet"]
+    got = {
+        (r.k, r.v)
+        for r in read_delta_table(
+            spark, table, filters=[("k", ">=", 10)]
+        ).collect()
+    }
+    assert got == {(10, "x"), (11, "y")}
+    # filter inside the kept file's range still filters rows exactly
+    got = {
+        (r.k, r.v)
+        for r in read_delta_table(
+            spark, table, filters=[("k", "=", 11)]
+        ).collect()
+    }
+    assert got == {(11, "y")}
+    # everything pruned -> empty frame, full schema
+    empty = read_delta_table(spark, table, filters=[("k", ">", 99)])
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["k", "v"]
+
+
+def test_partitioned_table_restores_typed_columns(spark, tmp_path):
+    """Partition values live only in the log (string-serialized); the
+    read restores them as typed columns in schema order via the
+    broadcast basename map, and a partition filter prunes files."""
+    table = str(tmp_path / "p")
+    os.makedirs(os.path.join(table, "y=2020"), exist_ok=True)
+    os.makedirs(os.path.join(table, "y=2021"), exist_ok=True)
+    fields = [("k", "long"), ("y", "integer"), ("v", "string")]
+    adds = []
+    for year, ks in (("2020", [1, 2]), ("2021", [3, 4])):
+        rel = f"y={year}/part-{year}.parquet"
+        a = _data_file(
+            table,
+            rel,
+            {"k": ks, "v": [f"{year}-{k}" for k in ks]},
+            stats={
+                "numRecords": 2,
+                "minValues": {"k": min(ks)},
+                "maxValues": {"k": max(ks)},
+                "nullCount": {"k": 0, "v": 0},
+            },
+        )
+        a["add"]["partitionValues"] = {"y": year}
+        adds.append(a)
+    _commit(table, 0, [_PROTOCOL, _meta(fields, partition_cols=["y"]), *adds])
+
+    df = read_delta_table(spark, table)
+    assert [f.name for f in df.schema.fields] == ["k", "y", "v"]
+    assert dict(df.dtypes)["y"] == "int"
+    got = {(r.k, r.y, r.v) for r in df.collect()}
+    assert got == {
+        (1, 2020, "2020-1"),
+        (2, 2020, "2020-2"),
+        (3, 2021, "2021-3"),
+        (4, 2021, "2021-4"),
+    }
+    # partition filter prunes at the FILE level (typed [v, v] range)
+    pruned = delta_scan_files(table, filters=[("y", "=", 2021)])
+    assert [os.path.basename(f) for f in pruned] == ["part-2021.parquet"]
+    got = {
+        (r.k, r.y)
+        for r in read_delta_table(
+            spark, table, filters=[("y", "=", 2021)]
+        ).collect()
+    }
+    assert got == {(3, 2021), (4, 2021)}
+
+
+def test_null_partition_value_and_url_encoded_path(spark, tmp_path):
+    table = str(tmp_path / "n")
+    os.makedirs(os.path.join(table, "sub dir"), exist_ok=True)
+    fields = [("k", "long"), ("g", "string")]
+    a = _data_file(table, "sub dir/f1.parquet", {"k": [7]})
+    a["add"]["path"] = "sub%20dir/f1.parquet"  # URL-encoded, per spec
+    a["add"]["partitionValues"] = {"g": None}  # NULL partition
+    _commit(table, 0, [_PROTOCOL, _meta(fields, partition_cols=["g"]), a])
+    rows = read_delta_table(spark, table).collect()
+    assert [(r.k, r.g) for r in rows] == [(7, None)]
+    # a not_null filter on the partition column prunes the file outright
+    assert delta_scan_files(table, filters=[("g", "not_null", None)]) == []
+
+
+def test_refusals_are_loud(spark, tmp_path):
+    """Every unsupported layout feature raises, never mis-reads."""
+    # minReaderVersion > 1
+    t1 = str(tmp_path / "r1")
+    os.makedirs(t1, exist_ok=True)
+    a = _data_file(t1, "f.parquet", {"k": [1]})
+    _commit(
+        t1,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
+            _meta([("k", "long")]),
+            a,
+        ],
+    )
+    with pytest.raises(NotImplementedError, match="minReaderVersion=3"):
+        read_delta_table(spark, t1)
+
+    # deletion vector on an add (even under a lying protocol)
+    t2 = str(tmp_path / "r2")
+    os.makedirs(t2, exist_ok=True)
+    a = _data_file(t2, "f.parquet", {"k": [1]})
+    a["add"]["deletionVector"] = {"storageType": "u", "pathOrInlineDv": "x"}
+    _commit(t2, 0, [_PROTOCOL, _meta([("k", "long")]), a])
+    with pytest.raises(NotImplementedError, match="deletion vector"):
+        read_delta_table(spark, t2)
+
+    # column mapping
+    t3 = str(tmp_path / "r3")
+    os.makedirs(t3, exist_ok=True)
+    a = _data_file(t3, "f.parquet", {"k": [1]})
+    _commit(
+        t3,
+        0,
+        [
+            _PROTOCOL,
+            _meta(
+                [("k", "long")],
+                configuration={"delta.columnMapping.mode": "name"},
+            ),
+            a,
+        ],
+    )
+    with pytest.raises(NotImplementedError, match="column mapping"):
+        read_delta_table(spark, t3)
+
+    # checkpoint present
+    t4, *_ = _basic_table(tmp_path, "r4")
+    with open(
+        os.path.join(t4, "_delta_log", "_last_checkpoint"), "w"
+    ) as fh:
+        fh.write('{"version": 0, "size": 4}')
+    with pytest.raises(NotImplementedError, match="checkpoint"):
+        read_delta_table(spark, t4)
+
+    # non-contiguous log (commit 0 vacuumed away)
+    t5 = str(tmp_path / "r5")
+    os.makedirs(t5, exist_ok=True)
+    a = _data_file(t5, "f.parquet", {"k": [1]})
+    _commit(t5, 1, [_PROTOCOL, _meta([("k", "long")]), a])
+    with pytest.raises(NotImplementedError, match="contiguous"):
+        read_delta_table(spark, t5)
+
+    # absolute data-file path (shallow clone)
+    t6 = str(tmp_path / "r6")
+    os.makedirs(t6, exist_ok=True)
+    a = _data_file(t6, "f.parquet", {"k": [1]})
+    a["add"]["path"] = "file:///elsewhere/f.parquet"
+    _commit(t6, 0, [_PROTOCOL, _meta([("k", "long")]), a])
+    with pytest.raises(NotImplementedError, match="absolute"):
+        read_delta_table(spark, t6)
+
+    # not a delta table at all
+    with pytest.raises(FileNotFoundError, match="_delta_log"):
+        read_delta_table(spark, str(tmp_path / "nope"))
+
+
+def test_last_add_wins_and_commitinfo_ignored(spark, tmp_path):
+    """Re-adding an existing path replaces its metadata (the spec's
+    last-writer-wins per path); commitInfo/txn actions are inert."""
+    table = str(tmp_path / "w")
+    os.makedirs(table, exist_ok=True)
+    fields = [("k", "long")]
+    a = _data_file(table, "f.parquet", {"k": [1, 2]})
+    _commit(
+        table,
+        0,
+        [
+            _PROTOCOL,
+            _meta(fields),
+            a,
+            {"commitInfo": {"operation": "WRITE"}},
+            {"txn": {"appId": "app", "version": 1}},
+        ],
+    )
+    # v1 rewrites the same path in place (new rows)
+    pq.write_table(
+        pa.table({"k": [5, 6, 7]}), os.path.join(table, "f.parquet")
+    )
+    a2 = {
+        "add": {
+            "path": "f.parquet",
+            "partitionValues": {},
+            "size": os.path.getsize(os.path.join(table, "f.parquet")),
+            "modificationTime": 1,
+            "dataChange": True,
+        }
+    }
+    _commit(table, 1, [a2, {"commitInfo": {"operation": "REPLACE"}}])
+    got = sorted(r.k for r in read_delta_table(spark, table).collect())
+    assert got == [5, 6, 7]
+    assert len(delta_scan_files(table)) == 1
