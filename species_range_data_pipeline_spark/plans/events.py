@@ -933,7 +933,19 @@ def ev_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     The day spine is generated from the observed min/max (1-row aggregate,
     broadcast into the cross join with the distinct-type dimension); daily
     aggregates left-join onto the grid.  At scale the grid is tiny compared
-    to the fact table — the only fact shuffle is the daily groupBy.
+    to the fact table — the only fact shuffle is the daily groupBy, and
+    (r16) the only fact SCAN is the daily groupBy too: bounds and the
+    type dimension are re-derived from the lazily-checkpointed ``daily``
+    frame (min/max of truncated days == truncated min/max of ts;
+    distinct types survive aggregation), where the r10–r15 shape
+    re-scanned the fact table for each — 3 full scans per run, which at
+    100 TB is 3x the dominant cost.  Measured honestly at fixture scale
+    (r16 interleaved A/B, 10 alternations, equality asserted first):
+    0.88x — the checkpoint materialization costs ~12% locally where
+    fact scans are nearly free, the price of the 3x scan cut; jobs
+    unchanged at 7.  The r15 bench-row inflation itself adjudicated as
+    box, not plan (scripts/r16_stall_rows_ab.py: min 1.05x its r10 row
+    at unchanged jobs).
     """
     events = load_table(spark, sf_dir, "events")
     daily = events.groupBy(
@@ -941,15 +953,14 @@ def ev_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
-    )
-    bounds = events.agg(
-        F.date_trunc("day", F.min("ts")).alias("d0"),
-        F.date_trunc("day", F.max("ts")).alias("d1"),
+    ).localCheckpoint(eager=False)  # day x type rows: tiny, reused 3x
+    bounds = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
     )
     days = bounds.select(
         F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
     )
-    types = events.select("event_type").distinct()
+    types = daily.select("event_type").distinct()
     return (
         days.crossJoin(F.broadcast(types))
         .join(daily, ["day", "event_type"], "left")
