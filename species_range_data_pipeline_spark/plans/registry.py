@@ -57,6 +57,7 @@ _WINDOW_BUILT_FROM = 15  # newest CORRECTNESS artifact consumed
 _PRIORITY = [
     "flagship_threshold_rollup",  # r15 (relational)
     "delta_read_snapshot",  # FIRST driver row (stats)
+    "iceberg_read_snapshot",  # FIRST driver row (stats)
     "agg_approx_distinct",  # r11 (advanced)
     "agg_cube",  # r11 (advanced)
     "str_fuzzy_match",  # r11 (scalar)
@@ -104,7 +105,6 @@ _PRIORITY = [
     "q18_large_orders",  # r12 (advanced)
     "q19_disjunctive_predicates",  # r12 (advanced)
     "q4_order_priority",  # r12 (tpch_extra)
-    "q7_nation_volume",  # r12 (advanced)
 ]
 
 # Queries whose oracles are pure VALUES restatements of expected OUTPUT

@@ -869,10 +869,269 @@ ORDER BY snapshot, o_orderpriority
 """
 
 
+def iceberg_read_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-layout interop under a driver hash — the append-history
+    twin of ``delta_read_snapshot`` (which covers delete+rewrite on a
+    Delta log): an Iceberg Hadoop-layout table is staged from the
+    orders fixture per the public table spec — ``vN.metadata.json`` +
+    version-hint, snapshot manifest LISTS and manifests as real Avro
+    OCFs (rendered by the engine's own ``avro_ocf.write_avro``), and
+    COMPLETE parquet data files (identity-partition column stored
+    in-file, the spec's key difference from hive/Delta layouts) — then
+    read back through ``sources/iceberg_log.py::read_iceberg_table``:
+
+    - snapshot 1: every ``o_orderkey % 3 == 0`` order, one data file
+      per ``o_orderstatus`` identity partition;
+    - snapshot 2: appends the ``% 3 == 1`` slice (snapshot-1 files
+      carried as EXISTING entries, new files as ADDED — the manifest
+      statuses a real writer emits).
+
+    The result rolls up BOTH snapshots per status, so the hash pins
+    snapshot isolation and the manifest-entry status semantics; the
+    oracle recomputes both states relationally.  Scale: the manifest
+    walk is metadata-sized, the read is ONE parquet scan per snapshot
+    with no partition-reconstruction join (files are complete).
+    """
+    import glob
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.avro_ocf import write_avro
+    from ..sources.iceberg_log import read_iceberg_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_read_snapshot_")
+    table = os.path.join(root, "table")
+    mdir = os.path.join(table, "metadata")
+    ddir = os.path.join(table, "data")
+    os.makedirs(mdir)
+    os.makedirs(ddir)
+    try:
+        statuses = sorted(
+            r["o_orderstatus"]
+            for r in orders.select("o_orderstatus").distinct().collect()
+        )  # bounded dimension (3 values) — the centroids/codebook rule
+
+        def _stage(slice_df: DataFrame, tag: str) -> list[tuple[str, str, int]]:
+            """One COMPLETE parquet per status; [(path, status, rows)]."""
+            out = []
+            for st in statuses:
+                part = slice_df.where(F.col("o_orderstatus") == st)
+                n = part.count()
+                if n == 0:
+                    continue
+                stage = os.path.join(root, f"stage_{tag}_{st}")
+                part.coalesce(1).write.parquet(stage)
+                (src,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+                dst = os.path.join(ddir, f"{tag}-{st}.parquet")
+                shutil.copyfile(src, dst)
+                out.append((dst, st, n))
+            return out
+
+        mlist_schema = {
+            "type": "record",
+            "name": "manifest_file",
+            "fields": [
+                {"name": "manifest_path", "type": "string"},
+                {"name": "manifest_length", "type": "long"},
+                {"name": "partition_spec_id", "type": "int"},
+                {"name": "content", "type": "int"},
+                {"name": "added_snapshot_id", "type": "long"},
+            ],
+        }
+        man_schema = {
+            "type": "record",
+            "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int"},
+                {
+                    "name": "snapshot_id",
+                    "type": ["null", "long"],
+                    "default": None,
+                },
+                {
+                    "name": "data_file",
+                    "type": {
+                        "type": "record",
+                        "name": "r2",
+                        "fields": [
+                            {"name": "content", "type": "int"},
+                            {"name": "file_path", "type": "string"},
+                            {"name": "file_format", "type": "string"},
+                            {
+                                "name": "partition",
+                                "type": {
+                                    "type": "record",
+                                    "name": "r102",
+                                    "fields": [
+                                        {
+                                            "name": "o_orderstatus",
+                                            "type": ["null", "string"],
+                                            "default": None,
+                                        }
+                                    ],
+                                },
+                            },
+                            {"name": "record_count", "type": "long"},
+                            {"name": "file_size_in_bytes", "type": "long"},
+                        ],
+                    },
+                },
+            ],
+        }
+
+        def _manifest(name: str, entries) -> str:
+            p = os.path.join(mdir, name)
+            write_avro(
+                [
+                    {
+                        "status": st,
+                        "snapshot_id": None,
+                        "data_file": {
+                            "content": 0,
+                            "file_path": fp,
+                            "file_format": "PARQUET",
+                            "partition": {"o_orderstatus": pv},
+                            "record_count": n,
+                            "file_size_in_bytes": os.path.getsize(fp),
+                        },
+                    }
+                    for st, fp, pv, n in entries
+                ],
+                man_schema,
+                p,
+            )
+            return p
+
+        def _snapshot(snap_id: int, manifests: list[str]) -> dict:
+            mlist = os.path.join(mdir, f"snap-{snap_id}.avro")
+            write_avro(
+                [
+                    {
+                        "manifest_path": m,
+                        "manifest_length": os.path.getsize(m),
+                        "partition_spec_id": 0,
+                        "content": 0,
+                        "added_snapshot_id": snap_id,
+                    }
+                    for m in manifests
+                ],
+                mlist_schema,
+                mlist,
+            )
+            return {
+                "snapshot-id": snap_id,
+                "timestamp-ms": 1700000000000 + snap_id,
+                "manifest-list": mlist,
+                "summary": {"operation": "append"},
+            }
+
+        base = _stage(orders.where(F.col("o_orderkey") % 3 == 0), "s1")
+        m1 = _manifest("m1.avro", [(1, fp, st, n) for fp, st, n in base])
+        appended = _stage(orders.where(F.col("o_orderkey") % 3 == 1), "s2")
+        m2 = _manifest(
+            "m2.avro",
+            [(0, fp, st, n) for fp, st, n in base]  # existing
+            + [(1, fp, st, n) for fp, st, n in appended],  # added
+        )
+        snaps = [_snapshot(100, [m1]), _snapshot(200, [m2])]
+        iceberg_fields = [
+            {"id": 1, "name": "o_orderkey", "required": False, "type": "long"},
+            {
+                "id": 2,
+                "name": "o_orderstatus",
+                "required": False,
+                "type": "string",
+            },
+            {"id": 3, "name": "cents", "required": False, "type": "long"},
+        ]
+        with open(os.path.join(mdir, "v1.metadata.json"), "w") as fh:
+            _json.dump(
+                {
+                    "format-version": 2,
+                    "table-uuid": "0" * 32,
+                    "location": table,
+                    "last-column-id": 3,
+                    "schemas": [
+                        {
+                            "type": "struct",
+                            "schema-id": 0,
+                            "fields": iceberg_fields,
+                        }
+                    ],
+                    "current-schema-id": 0,
+                    "partition-specs": [
+                        {
+                            "spec-id": 0,
+                            "fields": [
+                                {
+                                    "name": "o_orderstatus",
+                                    "transform": "identity",
+                                    "source-id": 2,
+                                    "field-id": 1000,
+                                }
+                            ],
+                        }
+                    ],
+                    "default-spec-id": 0,
+                    "snapshots": snaps,
+                    "current-snapshot-id": 200,
+                },
+                fh,
+            )
+        with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+            fh.write("1")
+
+        def _rollup(df: DataFrame, label: str) -> DataFrame:
+            return df.groupBy("o_orderstatus").agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("cents").alias("sum_cents"),
+            ).select(F.lit(label).alias("snapshot"), "*")
+
+        result = (
+            _rollup(
+                read_iceberg_table(spark, table, snapshot_id=100), "s1"
+            )
+            .unionByName(_rollup(read_iceberg_table(spark, table), "latest"))
+            .orderBy("snapshot", "o_orderstatus")
+        )
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ICEBERG_READ_SNAPSHOT_ORACLE = """
+WITH o AS (
+    SELECT o_orderkey, o_orderstatus,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+), snaps AS (
+    SELECT 's1' AS snapshot, o_orderstatus, cents
+    FROM o WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 'latest', o_orderstatus, cents
+    FROM o WHERE o_orderkey % 3 IN (0, 1)
+)
+SELECT snapshot, o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM snaps
+GROUP BY snapshot, o_orderstatus
+ORDER BY snapshot, o_orderstatus
+"""
+
+
 QUERIES = {
     "ab_test_conversion": ab_test_conversion,
     "cdf_row_changes": cdf_row_changes,
     "delta_read_snapshot": delta_read_snapshot,
+    "iceberg_read_snapshot": iceberg_read_snapshot,
     "sketch_cms_brand_counts": sketch_cms_brand_counts,
     "agg_entropy_gini": agg_entropy_gini,
     "agg_bitmap_distinct": agg_bitmap_distinct,
@@ -896,6 +1155,7 @@ ORACLES = {
     "ab_test_conversion": AB_TEST_ORACLE,
     "cdf_row_changes": CDF_ROW_CHANGES_ORACLE,
     "delta_read_snapshot": DELTA_READ_SNAPSHOT_ORACLE,
+    "iceberg_read_snapshot": ICEBERG_READ_SNAPSHOT_ORACLE,
     "agg_entropy_gini": AGG_ENTROPY_GINI_ORACLE,
     "agg_bitmap_distinct": AGG_BITMAP_DISTINCT_ORACLE,
     "agg_stats": AGG_STATS_ORACLE,

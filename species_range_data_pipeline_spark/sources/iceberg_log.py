@@ -1,0 +1,343 @@
+"""Read-only reader for the Apache Iceberg table LAYOUT (metadata JSON +
+Avro manifest lists + Avro manifests + parquet data files).
+
+The second half of the engine's open-format interop story (the first is
+``sources/delta_log.py``): a user's existing lakehouse table in the
+Iceberg Hadoop layout can be SCANNED without conversion.  The layout is
+walked exactly as the public Iceberg table spec defines it —
+
+    metadata/version-hint.text            -> current metadata version
+    metadata/v<N>.metadata.json           -> schema, specs, snapshots
+    snapshot.manifest-list (.avro)        -> manifest file inventory
+    manifest (.avro)                      -> data-file entries + stats
+    data files (.parquet)                 -> complete rows
+
+— and the Avro halves are decoded by the engine's own pure-Python OCF
+reader (``sources/avro_ocf.parse_avro``), so no Iceberg or Avro runtime
+is required.  Unlike Hive/Delta layouts, Iceberg data files are
+COMPLETE (identity-partition source columns are stored in the files),
+so the read is ONE parquet scan with the table schema — no partition
+reconstruction joins at all; identity-partition values from the
+manifest entries feed the manifest-table pruner
+(``manifest_table._prune_files``) as exact [v, v] zone maps, so a
+filter on a partition column skips files without opening anything.
+
+Honest support boundary — everything below raises loudly, never
+returns wrong rows:
+
+- **format-version 1 and 2 only**; v3+ is refused.
+- **No row-level deletes**: a delete manifest (``content=1`` in the
+  manifest list) or a delete data file (``content != 0`` in an entry)
+  is refused — reading the data files while ignoring deletes would
+  resurrect deleted rows.
+- **Parquet data files only** (``file_format`` must be PARQUET).
+- **Name-based column resolution**: parquet columns are matched to the
+  table schema by NAME, not Iceberg field id.  A table whose columns
+  were RENAMED via the field-id indirection would mis-resolve, so if
+  the metadata carries more than one historical schema the reader
+  refuses unless all schemas agree on (id -> name) for the current
+  schema's fields.
+- **Hadoop table layout only** (version-hint.text / vN.metadata.json);
+  catalog-managed metadata pointers are out of scope.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from urllib.parse import unquote, urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401  (parity with delta_log)
+
+from .avro_ocf import parse_avro
+from .manifest_table import _filters_to_predicate, _prune_files
+
+_METADATA_RE = re.compile(r"^v(\d+)\.metadata\.json$")
+
+
+def _metadata_path(path: str) -> str:
+    mdir = os.path.join(path, "metadata")
+    if not os.path.isdir(mdir):
+        raise FileNotFoundError(
+            f"{path!r} has no metadata/ directory — not an Iceberg Hadoop"
+            " table layout"
+        )
+    hint = os.path.join(mdir, "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as fh:
+            v = int(fh.read().strip())
+        p = os.path.join(mdir, f"v{v}.metadata.json")
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"version-hint.text names version {v} but {p!r} is absent"
+            )
+        return p
+    versions = sorted(
+        int(m.group(1))
+        for m in (_METADATA_RE.match(n) for n in os.listdir(mdir))
+        if m
+    )
+    if not versions:
+        raise FileNotFoundError(
+            f"no vN.metadata.json under {mdir!r} (catalog-managed tables"
+            " are out of scope — this reader walks the Hadoop layout)"
+        )
+    return os.path.join(mdir, f"v{versions[-1]}.metadata.json")
+
+
+def _load_metadata(path: str) -> dict:
+    with open(_metadata_path(path)) as fh:
+        meta = json.load(fh)
+    fv = meta.get("format-version", 1)
+    if fv not in (1, 2):
+        raise NotImplementedError(
+            f"Iceberg format-version {fv} at {path!r}; this reader"
+            " implements versions 1 and 2 only."
+        )
+    return meta
+
+
+def _current_schema(meta: dict, path: str) -> dict:
+    if "schemas" in meta:
+        schemas = meta["schemas"]
+        sid = meta.get("current-schema-id", 0)
+        (schema,) = [s for s in schemas if s.get("schema-id", 0) == sid]
+        if len(schemas) > 1:
+            # name-based resolution guard: every historical schema must
+            # agree with the current one on (field id -> name), else a
+            # rename happened and parquet files written under the old
+            # name would silently mis-resolve
+            current_names = {
+                f["id"]: f["name"] for f in schema["fields"]
+            }
+            for s in schemas:
+                for f in s["fields"]:
+                    if (
+                        f["id"] in current_names
+                        and f["name"] != current_names[f["id"]]
+                    ):
+                        raise NotImplementedError(
+                            f"Iceberg table at {path!r} renamed column"
+                            f" id {f['id']} ({f['name']!r} ->"
+                            f" {current_names[f['id']]!r}); this reader"
+                            " resolves parquet columns by NAME and"
+                            " would mis-read files written before the"
+                            " rename."
+                        )
+        return schema
+    return meta["schema"]  # format-version 1
+
+
+def _spark_type(t):
+    """Iceberg schema type -> Spark DataType."""
+    from pyspark.sql import types as T
+
+    if isinstance(t, str):
+        prim = {
+            "boolean": T.BooleanType(),
+            "int": T.IntegerType(),
+            "long": T.LongType(),
+            "float": T.FloatType(),
+            "double": T.DoubleType(),
+            "date": T.DateType(),
+            "time": T.LongType(),  # microseconds since midnight
+            "timestamp": T.TimestampNTZType(),
+            "timestamptz": T.TimestampType(),
+            "string": T.StringType(),
+            "uuid": T.StringType(),
+            "binary": T.BinaryType(),
+        }
+        if t in prim:
+            return prim[t]
+        m = re.match(r"^decimal\((\d+),\s*(\d+)\)$", t)
+        if m:
+            return T.DecimalType(int(m.group(1)), int(m.group(2)))
+        m = re.match(r"^fixed\[(\d+)\]$", t)
+        if m:
+            return T.BinaryType()
+        raise NotImplementedError(f"Iceberg type {t!r} not supported")
+    kind = t["type"]
+    if kind == "struct":
+        return _struct_type(t)
+    if kind == "list":
+        return T.ArrayType(
+            _spark_type(t["element"]), not t.get("element-required", False)
+        )
+    if kind == "map":
+        return T.MapType(
+            _spark_type(t["key"]),
+            _spark_type(t["value"]),
+            not t.get("value-required", False),
+        )
+    raise NotImplementedError(f"Iceberg type {t!r} not supported")
+
+
+def _struct_type(schema: dict):
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField(
+                f["name"], _spark_type(f["type"]), not f.get("required", False)
+            )
+            for f in schema["fields"]
+        ]
+    )
+
+
+def _resolve(path: str, uri: str) -> str:
+    """Manifest/data-file URI -> local filesystem path."""
+    if "://" in uri:
+        parsed = urlparse(uri)
+        if parsed.scheme != "file":
+            raise NotImplementedError(
+                f"non-local data-file URI {uri!r}; only file:// (or"
+                " table-relative) paths are readable here."
+            )
+        return unquote(parsed.path)
+    if uri.startswith("/"):
+        return uri
+    return os.path.join(path, uri)
+
+
+def iceberg_snapshots(path: str) -> list[dict]:
+    """The metadata's snapshot list (id, timestamp, manifest list)."""
+    return list(_load_metadata(path).get("snapshots") or [])
+
+
+def _select_snapshot(meta: dict, path: str, snapshot_id: int | None) -> dict:
+    snaps = meta.get("snapshots") or []
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id")
+        if snapshot_id in (None, -1):
+            return {}  # empty table: no snapshot yet
+    matches = [s for s in snaps if s["snapshot-id"] == snapshot_id]
+    if not matches:
+        raise ValueError(
+            f"snapshot {snapshot_id} not in {path!r}"
+            f" (have {[s['snapshot-id'] for s in snaps]})"
+        )
+    return matches[0]
+
+
+def _identity_partition_names(meta: dict) -> dict[int, list[str]]:
+    """spec-id -> identity-transform partition field names."""
+    specs = meta.get("partition-specs")
+    if specs is None:  # format-version 1 single spec
+        specs = [
+            {
+                "spec-id": meta.get("default-spec-id", 0),
+                "fields": meta.get("partition-spec", []),
+            }
+        ]
+    return {
+        s.get("spec-id", 0): [
+            f["name"] for f in s["fields"] if f["transform"] == "identity"
+        ]
+        for s in specs
+    }
+
+
+def _manifest_entries(path: str, snapshot: dict):
+    """Yield (data_file dict, spec_id) for every LIVE entry reachable
+    from the snapshot, enforcing the no-deletes / parquet-only rules."""
+    if not snapshot:
+        return
+    mlist_path = _resolve(path, snapshot["manifest-list"])
+    with open(mlist_path, "rb") as fh:
+        _, manifests = parse_avro(fh.read())
+    for m in manifests:
+        if m.get("content", 0) == 1:
+            raise NotImplementedError(
+                f"Iceberg table at {path!r} has a DELETE manifest"
+                f" ({m['manifest_path']!r}); row-level deletes are not"
+                " applied by this reader — reading the data files alone"
+                " would resurrect deleted rows."
+            )
+        man_path = _resolve(path, m["manifest_path"])
+        with open(man_path, "rb") as fh:
+            _, entries = parse_avro(fh.read())
+        for e in entries:
+            if e.get("status") == 2:  # DELETED entry: file left the table
+                continue
+            df = e["data_file"]
+            if df.get("content", 0) != 0:
+                raise NotImplementedError(
+                    f"delete data file {df['file_path']!r} (content="
+                    f"{df['content']}); row-level deletes unsupported."
+                )
+            if str(df.get("file_format", "")).upper() != "PARQUET":
+                raise NotImplementedError(
+                    f"data file {df['file_path']!r} has format"
+                    f" {df.get('file_format')!r}; only PARQUET data"
+                    " files are readable here."
+                )
+            yield df, m.get("partition_spec_id", 0)
+
+
+def iceberg_scan_files(
+    path: str, snapshot_id: int | None = None, filters=None
+) -> list[str]:
+    """The absolute data-file list a filtered read would open — the
+    ``manifest_scan_files`` analogue for an Iceberg layout.  Exact
+    identity-partition values (typed natively by the Avro decode) feed
+    the manifest pruner as [v, v] ranges; non-identity transforms
+    (bucket/truncate/days/...) contribute no pruning but lose no
+    correctness, because Iceberg data files are complete."""
+    meta = _load_metadata(path)
+    snapshot = _select_snapshot(meta, path, snapshot_id)
+    id_names = _identity_partition_names(meta)
+    files, stats, nulls, rows = [], {}, {}, {}
+    for df, spec_id in _manifest_entries(path, snapshot):
+        fpath = _resolve(path, df["file_path"])
+        files.append(fpath)
+        if df.get("record_count") is not None:
+            rows[fpath] = df["record_count"]
+        franges: dict[str, list] = {}
+        part = df.get("partition") or {}
+        for name in id_names.get(spec_id, []):
+            if name not in part:
+                continue
+            if part[name] is not None:
+                franges[name] = [part[name], part[name]]
+                nulls.setdefault(fpath, {})[name] = 0
+            else:
+                # NULL partition: every row is null in name (the same
+                # n_null >= n_rows proof the delta reader encodes; 1/1
+                # sentinel when the entry carries no record_count)
+                rows.setdefault(fpath, 1)
+                nulls.setdefault(fpath, {})[name] = rows[fpath]
+        stats[fpath] = franges
+    return _prune_files(sorted(files), stats, {}, nulls, rows, filters or [])
+
+
+def read_iceberg_table(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    filters=None,
+) -> DataFrame:
+    """Batch-read the Iceberg-layout table's snapshot (default: the
+    metadata's current snapshot; pass ``snapshot_id`` for time travel),
+    with optional partition file skipping via ``filters`` (the manifest
+    table's ``[(col, op, value), ...]`` grammar; surviving filters are
+    also applied as DataFrame predicates, so results are exact).
+
+    Scale shape: ONE parquet scan over the surviving files with the
+    table schema — Iceberg data files are complete, so there is no
+    partition-reconstruction join at all; Catalyst predicate pushdown
+    and column pruning apply to the scan as usual.  The manifest walk
+    is metadata-sized (driver-side Avro decode of the snapshot's
+    manifest list + manifests), never data-sized.
+    """
+    meta = _load_metadata(path)
+    schema = _struct_type(_current_schema(meta, path))
+    files = iceberg_scan_files(path, snapshot_id, filters)
+    pred = _filters_to_predicate(filters)
+    if not files:
+        df = spark.createDataFrame([], schema)
+    else:
+        df = spark.read.schema(schema).parquet(*files)
+    return df if pred is None else df.where(pred)

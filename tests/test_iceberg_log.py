@@ -1,0 +1,388 @@
+"""Read-only Iceberg-layout reader (`sources/iceberg_log.py`).
+
+The fixture tables are written BY THE TESTS following the public
+Iceberg table spec's Hadoop layout: ``metadata/version-hint.text`` +
+``vN.metadata.json``, snapshot manifest lists and manifests as real
+Avro OCF files (rendered by the engine's own ``avro_ocf.write_avro``),
+and complete parquet data files (identity-partition columns stored IN
+the files, per the spec).  No Iceberg runtime anywhere.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from species_range_data_pipeline_spark.sources.avro_ocf import write_avro
+from species_range_data_pipeline_spark.sources.iceberg_log import (
+    iceberg_scan_files,
+    iceberg_snapshots,
+    read_iceberg_table,
+)
+
+# -- minimal spec-shaped Avro schemas (the fields the spec requires and
+#    the reader consumes; extra spec fields are optional in OCF) --------
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": "long"},
+    ],
+}
+
+
+def _manifest_schema(partition_fields):
+    part = {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {"name": n, "type": ["null", t], "default": None}
+            for n, t in partition_fields
+        ],
+    }
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int"},
+            {"name": "file_path", "type": "string"},
+            {"name": "file_format", "type": "string"},
+            {"name": "partition", "type": part},
+            {"name": "record_count", "type": "long"},
+            {"name": "file_size_in_bytes", "type": "long"},
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+            {"name": "data_file", "type": data_file},
+        ],
+    }
+
+
+def _schema_fields():
+    return [
+        {"id": 1, "name": "k", "required": False, "type": "long"},
+        {"id": 2, "name": "year", "required": False, "type": "int"},
+        {"id": 3, "name": "v", "required": False, "type": "string"},
+    ]
+
+
+class _Builder:
+    """Assemble an Iceberg Hadoop-layout table on disk."""
+
+    def __init__(self, root: str, format_version: int = 2):
+        self.root = root
+        self.fv = format_version
+        self.snapshots: list[dict] = []
+        self._n = 0
+        os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+
+    def data_file(self, name: str, ks, year):
+        """Complete parquet data file (partition column stored in-file)."""
+        p = os.path.join(self.root, "data", name)
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array(ks, pa.int64()),
+                    "year": pa.array([year] * len(ks), pa.int32()),
+                    "v": [f"{year}-{k}" for k in ks],
+                }
+            ),
+            p,
+        )
+        return p
+
+    def manifest(self, name: str, entries, partition_fields=(("year", "int"),)):
+        """entries: [(status, file_path, partition dict, n_rows, content)]"""
+        recs = [
+            {
+                "status": st,
+                "snapshot_id": None,
+                "data_file": {
+                    "content": content,
+                    "file_path": fp,
+                    "file_format": "PARQUET",
+                    "partition": part,
+                    "record_count": n,
+                    "file_size_in_bytes": os.path.getsize(fp)
+                    if os.path.exists(fp)
+                    else 0,
+                },
+            }
+            for st, fp, part, n, content in entries
+        ]
+        p = os.path.join(self.root, "metadata", name)
+        write_avro(recs, _manifest_schema(partition_fields), p)
+        return p
+
+    def snapshot(self, snap_id: int, manifests, contents=None):
+        mlist = os.path.join(
+            self.root, "metadata", f"snap-{snap_id}.avro"
+        )
+        contents = contents or [0] * len(manifests)
+        write_avro(
+            [
+                {
+                    "manifest_path": m,
+                    "manifest_length": os.path.getsize(m),
+                    "partition_spec_id": 0,
+                    "content": c,
+                    "added_snapshot_id": snap_id,
+                }
+                for m, c in zip(manifests, contents)
+            ],
+            _MANIFEST_LIST_SCHEMA,
+            mlist,
+        )
+        self.snapshots.append(
+            {
+                "snapshot-id": snap_id,
+                "timestamp-ms": 1700000000000 + snap_id,
+                "manifest-list": mlist,
+                "summary": {"operation": "append"},
+            }
+        )
+
+    def commit(self, current_snapshot_id=None, schemas=None, extra=None):
+        self._n += 1
+        meta: dict = {
+            "format-version": self.fv,
+            "table-uuid": "00000000-0000-0000-0000-000000000000",
+            "location": self.root,
+            "last-column-id": 3,
+            "snapshots": self.snapshots,
+        }
+        if current_snapshot_id is not None:
+            meta["current-snapshot-id"] = current_snapshot_id
+        if self.fv == 2:
+            meta["schemas"] = schemas or [
+                {
+                    "type": "struct",
+                    "schema-id": 0,
+                    "fields": _schema_fields(),
+                }
+            ]
+            meta["current-schema-id"] = (schemas or [{}])[-1].get(
+                "schema-id", 0
+            )
+            meta["partition-specs"] = [
+                {
+                    "spec-id": 0,
+                    "fields": [
+                        {
+                            "name": "year",
+                            "transform": "identity",
+                            "source-id": 2,
+                            "field-id": 1000,
+                        }
+                    ],
+                }
+            ]
+            meta["default-spec-id"] = 0
+        else:
+            meta["schema"] = {"type": "struct", "fields": _schema_fields()}
+            meta["partition-spec"] = [
+                {
+                    "name": "year",
+                    "transform": "identity",
+                    "source-id": 2,
+                    "field-id": 1000,
+                }
+            ]
+        if extra:
+            meta.update(extra)
+        with open(
+            os.path.join(self.root, "metadata", f"v{self._n}.metadata.json"),
+            "w",
+        ) as fh:
+            json.dump(meta, fh)
+        with open(
+            os.path.join(self.root, "metadata", "version-hint.text"), "w"
+        ) as fh:
+            fh.write(str(self._n))
+
+
+def _two_snapshot_table(tmp_path, name="t"):
+    b = _Builder(str(tmp_path / name))
+    f20 = b.data_file("f2020.parquet", [1, 2], 2020)
+    f21 = b.data_file("f2021.parquet", [3, 4], 2021)
+    m1 = b.manifest(
+        "m1.avro",
+        [
+            (1, f20, {"year": 2020}, 2, 0),
+            (1, f21, {"year": 2021}, 2, 0),
+        ],
+    )
+    b.snapshot(100, [m1])
+    # snapshot 200 rewrites 2020: old entry DELETED, replacement ADDED
+    f20b = b.data_file("f2020b.parquet", [5, 6], 2020)
+    m2 = b.manifest(
+        "m2.avro",
+        [
+            (2, f20, {"year": 2020}, 2, 0),  # status=2: left the table
+            (0, f21, {"year": 2021}, 2, 0),  # existing
+            (1, f20b, {"year": 2020}, 2, 0),  # added
+        ],
+    )
+    b.snapshot(200, [m2])
+    b.commit(current_snapshot_id=200)
+    return b
+
+
+def test_snapshot_read_time_travel_and_pruning(spark, tmp_path):
+    b = _two_snapshot_table(tmp_path)
+    t = b.root
+
+    assert [s["snapshot-id"] for s in iceberg_snapshots(t)] == [100, 200]
+    latest = {(r.k, r.year, r.v) for r in read_iceberg_table(spark, t).collect()}
+    assert latest == {
+        (5, 2020, "2020-5"),
+        (6, 2020, "2020-6"),
+        (3, 2021, "2021-3"),
+        (4, 2021, "2021-4"),
+    }
+    old = {
+        (r.k, r.year)
+        for r in read_iceberg_table(spark, t, snapshot_id=100).collect()
+    }
+    assert old == {(1, 2020), (2, 2020), (3, 2021), (4, 2021)}
+
+    # identity-partition pruning: year filter opens one file
+    pruned = iceberg_scan_files(t, filters=[("year", "=", 2021)])
+    assert [os.path.basename(f) for f in pruned] == ["f2021.parquet"]
+    got = {
+        (r.k, r.year)
+        for r in read_iceberg_table(
+            spark, t, filters=[("year", "=", 2021)]
+        ).collect()
+    }
+    assert got == {(3, 2021), (4, 2021)}
+    # everything pruned -> empty frame with the table schema
+    empty = read_iceberg_table(spark, t, filters=[("year", ">", 3000)])
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["k", "year", "v"]
+
+    with pytest.raises(ValueError, match="snapshot 999"):
+        read_iceberg_table(spark, t, snapshot_id=999)
+
+
+def test_format_version_1_layout(spark, tmp_path):
+    b = _Builder(str(tmp_path / "v1"), format_version=1)
+    f = b.data_file("f.parquet", [7, 8], 2022)
+    m = b.manifest("m.avro", [(1, f, {"year": 2022}, 2, 0)])
+    b.snapshot(1, [m])
+    b.commit(current_snapshot_id=1)
+    got = {(r.k, r.year) for r in read_iceberg_table(spark, b.root).collect()}
+    assert got == {(7, 2022), (8, 2022)}
+    assert iceberg_scan_files(b.root, filters=[("year", "=", 1999)]) == []
+
+
+def test_empty_table_and_missing_layout(spark, tmp_path):
+    b = _Builder(str(tmp_path / "empty"))
+    b.commit(current_snapshot_id=None)
+    df = read_iceberg_table(spark, b.root)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["k", "year", "v"]
+    with pytest.raises(FileNotFoundError, match="metadata"):
+        read_iceberg_table(spark, str(tmp_path / "nope"))
+
+
+def test_refusals_are_loud(spark, tmp_path):
+    # format-version 3
+    b = _Builder(str(tmp_path / "fv3"))
+    b.commit(current_snapshot_id=None, extra={"format-version": 3})
+    with pytest.raises(NotImplementedError, match="format-version 3"):
+        read_iceberg_table(spark, b.root)
+
+    # delete manifest in the manifest list (content=1)
+    b = _Builder(str(tmp_path / "delm"))
+    f = b.data_file("f.parquet", [1], 2020)
+    m = b.manifest("m.avro", [(1, f, {"year": 2020}, 1, 0)])
+    b.snapshot(1, [m], contents=[1])
+    b.commit(current_snapshot_id=1)
+    with pytest.raises(NotImplementedError, match="DELETE manifest"):
+        read_iceberg_table(spark, b.root)
+
+    # delete data file (content=2, equality deletes)
+    b = _Builder(str(tmp_path / "deldf"))
+    f = b.data_file("f.parquet", [1], 2020)
+    m = b.manifest("m.avro", [(1, f, {"year": 2020}, 1, 2)])
+    b.snapshot(1, [m])
+    b.commit(current_snapshot_id=1)
+    with pytest.raises(NotImplementedError, match="delete data file"):
+        read_iceberg_table(spark, b.root)
+
+    # non-parquet data file
+    b = _Builder(str(tmp_path / "orc"))
+    f = b.data_file("f.parquet", [1], 2020)
+    recs_path = b.manifest("m.avro", [(1, f, {"year": 2020}, 1, 0)])
+    # rewrite the manifest with file_format=ORC
+    from species_range_data_pipeline_spark.sources.avro_ocf import parse_avro
+
+    with open(recs_path, "rb") as fh:
+        schema, recs = parse_avro(fh.read())
+    recs[0]["data_file"]["file_format"] = "ORC"
+    write_avro(recs, _manifest_schema((("year", "int"),)), recs_path)
+    b.snapshot(1, [recs_path])
+    b.commit(current_snapshot_id=1)
+    with pytest.raises(NotImplementedError, match="PARQUET"):
+        read_iceberg_table(spark, b.root)
+
+    # rename via field-id indirection across historical schemas
+    b = _Builder(str(tmp_path / "rename"))
+    old_fields = [dict(f) for f in _schema_fields()]
+    old_fields[2] = {"id": 3, "name": "val", "required": False, "type": "string"}
+    b.commit(
+        current_snapshot_id=None,
+        schemas=[
+            {"type": "struct", "schema-id": 0, "fields": old_fields},
+            {"type": "struct", "schema-id": 1, "fields": _schema_fields()},
+        ],
+    )
+    with pytest.raises(NotImplementedError, match="renamed column"):
+        read_iceberg_table(spark, b.root)
+
+    # non-local data-file URI
+    b = _Builder(str(tmp_path / "s3"))
+    m = b.manifest(
+        "m.avro", [(1, "s3://bucket/f.parquet", {"year": 2020}, 1, 0)]
+    )
+    b.snapshot(1, [m])
+    b.commit(current_snapshot_id=1)
+    with pytest.raises(NotImplementedError, match="non-local"):
+        read_iceberg_table(spark, b.root)
+
+
+def test_null_partition_value_prunes_not_null(spark, tmp_path):
+    b = _Builder(str(tmp_path / "nullp"))
+    p = os.path.join(b.root, "data", "f.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([9], pa.int64()),
+                "year": pa.array([None], pa.int32()),
+                "v": ["x"],
+            }
+        ),
+        p,
+    )
+    m = b.manifest("m.avro", [(1, p, {"year": None}, 1, 0)])
+    b.snapshot(1, [m])
+    b.commit(current_snapshot_id=1)
+    rows = read_iceberg_table(spark, b.root).collect()
+    assert [(r.k, r.year) for r in rows] == [(9, None)]
+    assert iceberg_scan_files(b.root, filters=[("year", "not_null", None)]) == []
