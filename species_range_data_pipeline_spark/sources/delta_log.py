@@ -15,10 +15,13 @@ filters are re-applied as DataFrame predicates so results are exact.
 Honest support boundary (VERDICT r15 next #6) — everything below raises
 loudly, never returns wrong rows:
 
-- **JSON commits only, contiguous from version 0.**  Parquet
-  checkpoints (``_last_checkpoint`` / ``*.checkpoint.parquet``) are NOT
-  parsed; a log whose early JSON commits were cleaned up after
-  checkpointing cannot be replayed and is refused.
+- **JSON commits plus CLASSIC parquet checkpoints** (r16: single-file
+  ``N.checkpoint.parquet`` and multi-part ``N.checkpoint.M.P.parquet``
+  are loaded via pyarrow — a checkpoint IS the snapshot at its version,
+  so a log whose earlier JSON commits were cleaned up still replays
+  from the newest complete checkpoint at or below the target).  The
+  JSON tail after the chosen starting point must be contiguous; v2
+  uuid-named checkpoints and sidecars are refused.
 - **Reader protocol version 1 only.**  ``minReaderVersion > 1`` (and
   the table features it gates: column mapping, deletion vectors,
   timestampNtz, v2 checkpoints) is refused; an ``add`` carrying a
@@ -53,26 +56,61 @@ from .manifest_table import _filters_to_predicate, _prune_files
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 
 
-def delta_log_versions(path: str) -> list[int]:
-    """Sorted commit versions present as JSON files under ``_delta_log``."""
+#: classic checkpoints: single-file N.checkpoint.parquet or multi-part
+#: N.checkpoint.M.P.parquet (part M of P, 1-based)
+_CHECKPOINT_RE = re.compile(
+    r"^(\d{20})\.checkpoint(?:\.(\d{10})\.(\d{10}))?\.parquet$"
+)
+
+
+def _scan_log_dir(path: str) -> tuple[list[int], dict[int, list[str]]]:
+    """(sorted JSON commit versions, checkpoint version -> part files).
+
+    Only COMPLETE classic checkpoints are returned (all P parts
+    present); unknown ``*.checkpoint*`` shapes (the v2 uuid-named
+    layout and its sidecars) are refused loudly rather than skipped —
+    a v2-checkpoint table's JSON history may be incomplete, so
+    ignoring the file could silently replay a truncated log."""
     log_dir = os.path.join(path, "_delta_log")
     if not os.path.isdir(log_dir):
         raise FileNotFoundError(
             f"{path!r} has no _delta_log directory — not a Delta table layout"
         )
-    versions = []
+    versions: list[int] = []
+    parts: dict[int, dict[int, tuple[int, str]]] = {}
     for name in os.listdir(log_dir):
         m = _COMMIT_RE.match(name)
         if m:
             versions.append(int(m.group(1)))
-        elif name == "_last_checkpoint" or ".checkpoint" in name:
-            raise NotImplementedError(
-                f"Delta table at {path!r} has a checkpoint ({name}); this"
-                " reader replays JSON commits only and cannot guarantee"
-                " the pre-checkpoint commits still exist. Unsupported —"
-                " read it with a full Delta implementation."
+            continue
+        c = _CHECKPOINT_RE.match(name)
+        if c:
+            v = int(c.group(1))
+            part = int(c.group(2)) if c.group(2) else 1
+            total = int(c.group(3)) if c.group(3) else 1
+            parts.setdefault(v, {})[part] = (
+                total,
+                os.path.join(log_dir, name),
             )
-    return sorted(versions)
+            continue
+        if ".checkpoint" in name and name != "_last_checkpoint":
+            raise NotImplementedError(
+                f"Delta table at {path!r} has an unrecognized checkpoint"
+                f" layout ({name!r} — v2/uuid-named checkpoints require"
+                " minReaderVersion 3); this reader replays JSON commits"
+                " plus CLASSIC parquet checkpoints only."
+            )
+    checkpoints: dict[int, list[str]] = {}
+    for v, by_part in parts.items():
+        total = next(iter(by_part.values()))[0]
+        if set(by_part) == set(range(1, total + 1)):
+            checkpoints[v] = [p for _, (_t, p) in sorted(by_part.items())]
+    return sorted(versions), checkpoints
+
+
+def delta_log_versions(path: str) -> list[int]:
+    """Sorted commit versions present as JSON files under ``_delta_log``."""
+    return _scan_log_dir(path)[0]
 
 
 def _check_protocol(action: dict, path: str) -> None:
@@ -95,28 +133,110 @@ def _check_metadata(action: dict, path: str) -> None:
         )
 
 
-def _replay(path: str, version: int | None = None) -> dict:
-    """Replay the log through ``version`` (default: latest) into a
-    snapshot dict: live files (path -> add action), schema JSON,
-    partition columns."""
-    versions = delta_log_versions(path)
-    if not versions:
-        raise FileNotFoundError(f"no commit files under {path!r}/_delta_log")
-    if versions[0] != 0 or versions != list(range(versions[-1] + 1)):
+def _admit_add(add: dict, path: str, live: dict[str, dict]) -> None:
+    """Validate one add action (DV / absolute-path refusals) and fold it
+    into the live-file map (last add per path wins)."""
+    if add.get("deletionVector"):
         raise NotImplementedError(
-            f"Delta log at {path!r} is not contiguous from version 0"
-            f" (found {versions[:3]}...{versions[-1]}); earlier commits"
-            " were likely checkpointed away — unsupported."
+            f"file {add['path']!r} in {path!r} carries a deletion"
+            " vector; unsupported (reading the file without it would"
+            " resurrect deleted rows)."
         )
-    v = versions[-1] if version is None else version
-    if v not in versions:
-        raise ValueError(f"version {v} not in {versions}")
+    rel = unquote(add["path"])
+    if rel.startswith("/") or "://" in rel:
+        raise NotImplementedError(
+            f"absolute data-file path {rel!r} (shallow clone?); only"
+            " table-relative paths are supported."
+        )
+    live[rel] = add
+
+
+def _load_checkpoint(part_files: list[str], path: str) -> dict:
+    """Classic parquet checkpoint parts -> partial snapshot state.
+
+    The checkpoint IS the snapshot at its version: its add rows are the
+    complete live-file set (remove rows are expired tombstones kept for
+    vacuum, with no effect on a batch read), and the protocol/metaData
+    rows carry the same payloads as their JSON actions."""
+    import pyarrow.parquet as pq
 
     live: dict[str, dict] = {}
     schema_json: str | None = None
     partition_cols: list[str] = []
+    for part in part_files:
+        table = pq.read_table(part)
+        for row in table.to_pylist():
+            proto = row.get("protocol")
+            if proto and proto.get("minReaderVersion") is not None:
+                _check_protocol(proto, path)
+            meta = row.get("metaData")
+            if meta and meta.get("schemaString"):
+                conf = meta.get("configuration")
+                if isinstance(conf, list):  # map type -> kv tuple list
+                    conf = dict(conf)
+                _check_metadata({**meta, "configuration": conf}, path)
+                schema_json = meta["schemaString"]
+                partition_cols = list(meta.get("partitionColumns") or [])
+            add = row.get("add")
+            if add and add.get("path"):
+                pv = add.get("partitionValues")
+                if isinstance(pv, list):  # map type -> kv tuple list
+                    pv = dict(pv)
+                _admit_add({**add, "partitionValues": pv}, path, live)
+    return {
+        "live": live,
+        "schema_json": schema_json,
+        "partition_cols": partition_cols,
+    }
+
+
+def _replay(path: str, version: int | None = None) -> dict:
+    """Replay the log through ``version`` (default: latest) into a
+    snapshot dict: live files (path -> add action), schema JSON,
+    partition columns.  Starts from the newest COMPLETE classic parquet
+    checkpoint at or below the target version when one exists (so a
+    log whose early JSON commits were cleaned up after checkpointing
+    still replays), else from version 0; either way the JSON tail must
+    be contiguous up to the target."""
+    versions, checkpoints = _scan_log_dir(path)
+    if not versions and not checkpoints:
+        raise FileNotFoundError(
+            f"no commit files under {path!r}/_delta_log"
+        )
+    newest = max(versions[-1] if versions else -1, max(checkpoints, default=-1))
+    if version is not None and not 0 <= version <= newest:
+        raise ValueError(
+            f"version {version} out of range for {path!r}"
+            f" (newest committed version is {newest})"
+        )
+    v = newest if version is None else version
+    usable = [cv for cv in checkpoints if cv <= v]
+    start_cv = max(usable, default=None)
+
+    if start_cv is not None:
+        snap = _load_checkpoint(checkpoints[start_cv], path)
+        tail_start = start_cv + 1
+    else:
+        snap = {"live": {}, "schema_json": None, "partition_cols": []}
+        tail_start = 0
+    tail = list(range(tail_start, v + 1))
+    missing = [rnd for rnd in tail if rnd not in set(versions)]
+    if missing:
+        base = (
+            f"checkpoint {start_cv}" if start_cv is not None else "version 0"
+        )
+        raise NotImplementedError(
+            f"Delta log at {path!r} cannot reach version {v}: JSON"
+            f" commits {missing[:3]}{'...' if len(missing) > 3 else ''}"
+            f" are absent between {base} and the target (cleaned up"
+            " without a covering classic checkpoint)."
+        )
+
+    live: dict[str, dict] = snap["live"]
+    schema_json: str | None = snap["schema_json"]
+    partition_cols: list[str] = snap["partition_cols"]
     log_dir = os.path.join(path, "_delta_log")
-    for rnd in range(v + 1):
+    for rnd in tail:
         with open(os.path.join(log_dir, f"{rnd:020d}.json")) as fh:
             for line in fh:
                 line = line.strip()
@@ -132,22 +252,7 @@ def _replay(path: str, version: int | None = None) -> dict:
                         action["metaData"].get("partitionColumns") or []
                     )
                 elif "add" in action:
-                    add = action["add"]
-                    if add.get("deletionVector"):
-                        raise NotImplementedError(
-                            f"file {add['path']!r} in {path!r} carries a"
-                            " deletion vector; unsupported (reading the"
-                            " file without it would resurrect deleted"
-                            " rows)."
-                        )
-                    rel = unquote(add["path"])
-                    if rel.startswith("/") or "://" in rel:
-                        raise NotImplementedError(
-                            f"absolute data-file path {rel!r} (shallow"
-                            " clone?); only table-relative paths are"
-                            " supported."
-                        )
-                    live[rel] = add
+                    _admit_add(action["add"], path, live)
                 elif "remove" in action:
                     live.pop(unquote(action["remove"]["path"]), None)
                 # commitInfo / txn / cdc / domainMetadata: no effect on

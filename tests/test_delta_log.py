@@ -271,13 +271,12 @@ def test_refusals_are_loud(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="column mapping"):
         read_delta_table(spark, t3)
 
-    # checkpoint present
+    # v2 uuid-named checkpoint layout (requires reader v3 machinery)
     t4, *_ = _basic_table(tmp_path, "r4")
-    with open(
-        os.path.join(t4, "_delta_log", "_last_checkpoint"), "w"
-    ) as fh:
-        fh.write('{"version": 0, "size": 4}')
-    with pytest.raises(NotImplementedError, match="checkpoint"):
+    v2name = f"{0:020d}.checkpoint.80a083e8-7026-4e79-81be-000000000000.parquet"
+    with open(os.path.join(t4, "_delta_log", v2name), "wb") as fh:
+        fh.write(b"")
+    with pytest.raises(NotImplementedError, match="unrecognized checkpoint"):
         read_delta_table(spark, t4)
 
     # non-contiguous log (commit 0 vacuumed away)
@@ -285,7 +284,7 @@ def test_refusals_are_loud(spark, tmp_path):
     os.makedirs(t5, exist_ok=True)
     a = _data_file(t5, "f.parquet", {"k": [1]})
     _commit(t5, 1, [_PROTOCOL, _meta([("k", "long")]), a])
-    with pytest.raises(NotImplementedError, match="contiguous"):
+    with pytest.raises(NotImplementedError, match="cannot reach version"):
         read_delta_table(spark, t5)
 
     # absolute data-file path (shallow clone)
@@ -337,3 +336,159 @@ def test_last_add_wins_and_commitinfo_ignored(spark, tmp_path):
     got = sorted(r.k for r in read_delta_table(spark, table).collect())
     assert got == [5, 6, 7]
     assert len(delta_scan_files(table)) == 1
+
+
+def _write_classic_checkpoint(table, version, adds, fields, parts=1):
+    """Spec-shaped classic checkpoint parquet: one action per row, struct
+    columns, partitionValues as a real parquet MAP (what delta writers
+    emit — to_pylist yields kv tuple lists, the shape the reader must
+    re-dict)."""
+    pv_map = pa.map_(pa.string(), pa.string())
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pv_map),
+            ("size", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+        ]
+    )
+    proto_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    rows = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+         "metaData": None, "add": None},
+        {"protocol": None,
+         "metaData": {
+             "id": "0" * 32,
+             "schemaString": _schema_string(fields),
+             "partitionColumns": [],
+             "configuration": [],
+         },
+         "add": None},
+    ] + [
+        {"protocol": None, "metaData": None,
+         "add": {"path": rel, "partitionValues": list(pv.items()),
+                 "size": 1, "dataChange": True, "stats": stats}}
+        for rel, pv, stats in adds
+    ]
+    schema = pa.schema(
+        [("protocol", proto_t), ("metaData", meta_t), ("add", add_t)]
+    )
+    tbl = pa.Table.from_pylist(rows, schema=schema)
+    log = os.path.join(table, "_delta_log")
+    if parts == 1:
+        pq.write_table(tbl, os.path.join(log, f"{version:020d}.checkpoint.parquet"))
+    else:
+        per = max(1, len(rows) // parts)
+        for i in range(parts):
+            lo = i * per
+            hi = len(rows) if i == parts - 1 else (i + 1) * per
+            pq.write_table(
+                tbl.slice(lo, hi - lo),
+                os.path.join(
+                    log,
+                    f"{version:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet",
+                ),
+            )
+
+
+def test_checkpoint_replay_after_log_cleanup(spark, tmp_path):
+    """A classic checkpoint IS the snapshot at its version: with the
+    pre-checkpoint JSON commits deleted (log cleanup), the latest
+    snapshot still replays from checkpoint + JSON tail; time travel
+    BELOW the checkpoint refuses loudly."""
+    table, a1, a2 = _basic_table(tmp_path, "ckpt")
+    fields = [("k", "long"), ("v", "string")]
+    # v1 removes part-0001; checkpoint at v1 holds the live set
+    _commit(table, 1, [{"remove": {"path": "part-0001.parquet",
+                                   "dataChange": True}}])
+    _write_classic_checkpoint(
+        table, 1,
+        [("part-0002.parquet", {}, json.dumps(
+            {"numRecords": 2, "minValues": {"k": 10},
+             "maxValues": {"k": 11}, "nullCount": {"k": 0}}))],
+        fields,
+    )
+    # v2 adds another file via a JSON commit after the checkpoint
+    a3 = _data_file(
+        table,
+        "part-0003.parquet",
+        {"k": [20], "v": ["z"]},
+        stats={"numRecords": 1, "minValues": {"k": 20},
+               "maxValues": {"k": 20}, "nullCount": {"k": 0}},
+    )
+    _commit(table, 2, [a3])
+    # log cleanup: pre-checkpoint JSON commits vanish
+    os.unlink(os.path.join(table, "_delta_log", f"{0:020d}.json"))
+    os.unlink(os.path.join(table, "_delta_log", f"{1:020d}.json"))
+    with open(os.path.join(table, "_delta_log", "_last_checkpoint"), "w") as fh:
+        fh.write('{"version": 1, "size": 3}')
+
+    got = {(r.k, r.v) for r in read_delta_table(spark, table).collect()}
+    assert got == {(10, "x"), (11, "y"), (20, "z")}
+    # checkpoint-carried stats still prune (kv-tuple map decode path)
+    assert [os.path.basename(f) for f in delta_scan_files(
+        table, filters=[("k", "<", 15)])] == ["part-0002.parquet"]
+    # versions below the checkpoint are unreachable -> loud
+    with pytest.raises(NotImplementedError, match="cannot reach version 0"):
+        read_delta_table(spark, table, version=0)
+    # a requested version beyond the newest commit is a plain ValueError
+    with pytest.raises(ValueError, match="out of range"):
+        read_delta_table(spark, table, version=9)
+
+
+def test_multipart_checkpoint_and_partition_map(spark, tmp_path):
+    """Multi-part classic checkpoints (N.checkpoint.M.P.parquet) load
+    across parts, and MAP-typed partitionValues re-dict into typed
+    partition columns."""
+    table = str(tmp_path / "mp")
+    os.makedirs(os.path.join(table, "_delta_log"), exist_ok=True)
+    os.makedirs(os.path.join(table, "y=2020"), exist_ok=True)
+    os.makedirs(os.path.join(table, "y=2021"), exist_ok=True)
+    fields = [("k", "long"), ("y", "integer"), ("v", "string")]
+    for year, ks in (("2020", [1, 2]), ("2021", [3, 4])):
+        pq.write_table(
+            pa.table({"k": pa.array(ks, pa.int64()),
+                      "v": [f"{year}-{k}" for k in ks]}),
+            os.path.join(table, f"y={year}", f"f{year}.parquet"),
+        )
+    # checkpoint at v0 is the only log content (no JSON at all)
+    pv_adds = [
+        (f"y={year}/f{year}.parquet", {"y": year}, json.dumps(
+            {"numRecords": 2}))
+        for year in ("2020", "2021")
+    ]
+    _write_classic_checkpoint(table, 0, pv_adds, fields, parts=2)
+    # partitionColumns must come from the checkpoint metaData: patch it
+    # by rewriting part 1 with partition columns set
+    import pyarrow.parquet as _pq
+
+    log = os.path.join(table, "_delta_log")
+    p1 = os.path.join(log, f"{0:020d}.checkpoint.{1:010d}.{2:010d}.parquet")
+    t1 = _pq.read_table(p1).to_pylist()
+    for row in t1:
+        if row["metaData"] and row["metaData"].get("schemaString"):
+            row["metaData"]["partitionColumns"] = ["y"]
+            row["metaData"]["configuration"] = []
+            row["metaData"]["id"] = "0" * 32
+    _pq.write_table(
+        pa.Table.from_pylist(t1, schema=_pq.read_schema(p1)), p1
+    )
+
+    df = read_delta_table(spark, table)
+    assert dict(df.dtypes)["y"] == "int"
+    got = {(r.k, r.y, r.v) for r in df.collect()}
+    assert got == {(1, 2020, "2020-1"), (2, 2020, "2020-2"),
+                   (3, 2021, "2021-3"), (4, 2021, "2021-4")}
+    pruned = delta_scan_files(table, filters=[("y", "=", 2020)])
+    assert [os.path.basename(f) for f in pruned] == ["f2020.parquet"]
