@@ -404,3 +404,64 @@ def read_delta_table(
             )
         )
     return df if pred is None else df.where(pred)
+
+
+def delta_version_as_of(path: str, timestamp: float) -> int:
+    """TIMESTAMP AS OF resolution over a Delta log: the newest version
+    committed at or before ``timestamp`` (epoch seconds).  Commit times
+    use each commit's ``commitInfo.timestamp`` (milliseconds, the field
+    delta writers record) when present, else the commit file's mtime —
+    the same fallback ladder the engine's manifest table uses.  Only
+    JSON-visible commits are resolvable: versions reachable solely
+    through a checkpoint carry no commit file to date, so a timestamp
+    older than the oldest JSON commit raises rather than guessing."""
+    versions, _ = _scan_log_dir(path)
+    log_dir = os.path.join(path, "_delta_log")
+    best = None
+    for v in versions:
+        commit = os.path.join(log_dir, f"{v:020d}.json")
+        t = None
+        with open(commit) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "commitInfo" in action:
+                    ms = action["commitInfo"].get("timestamp")
+                    if ms is not None:
+                        t = ms / 1000.0
+                    break
+        if t is None:
+            t = os.path.getmtime(commit)
+        if t <= timestamp:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no JSON-visible version of {path!r} existed at epoch"
+            f" {timestamp} (oldest replayable commits may have been"
+            " checkpointed away)"
+        )
+    return best
+
+
+def register_delta_view(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    version: int | None = None,
+    as_of: float | None = None,
+    filters=None,
+) -> DataFrame:
+    """Register the Delta-layout table's snapshot as a temp view so
+    ``spark.sql`` can reference it by name — the same catalog sugar
+    ``register_manifest_view`` provides for the engine's own format;
+    ``version``/``as_of`` give SQL users time travel.  Returns the
+    DataFrame."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of, not both")
+        version = delta_version_as_of(path, as_of)
+    df = read_delta_table(spark, path, version=version, filters=filters)
+    df.createOrReplaceTempView(name)
+    return df

@@ -341,3 +341,41 @@ def read_iceberg_table(
     else:
         df = spark.read.schema(schema).parquet(*files)
     return df if pred is None else df.where(pred)
+
+
+def iceberg_snapshot_as_of(path: str, timestamp: float) -> int:
+    """TIMESTAMP AS OF resolution over the snapshot log: the newest
+    snapshot whose ``timestamp-ms`` is at or before ``timestamp``
+    (epoch seconds).  Raises if the table's first snapshot is later."""
+    best = None
+    for s in iceberg_snapshots(path):
+        if s["timestamp-ms"] / 1000.0 <= timestamp:
+            best = s["snapshot-id"]
+    if best is None:
+        raise ValueError(
+            f"no snapshot of {path!r} existed at epoch {timestamp}"
+        )
+    return best
+
+
+def register_iceberg_view(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    snapshot_id: int | None = None,
+    as_of: float | None = None,
+    filters=None,
+) -> DataFrame:
+    """Register the Iceberg-layout table's snapshot as a temp view —
+    the same catalog sugar as ``register_manifest_view`` /
+    ``register_delta_view``; ``snapshot_id``/``as_of`` give SQL users
+    time travel.  Returns the DataFrame."""
+    if as_of is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id OR as_of, not both")
+        snapshot_id = iceberg_snapshot_as_of(path, as_of)
+    df = read_iceberg_table(
+        spark, path, snapshot_id=snapshot_id, filters=filters
+    )
+    df.createOrReplaceTempView(name)
+    return df

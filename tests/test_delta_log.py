@@ -492,3 +492,120 @@ def test_multipart_checkpoint_and_partition_map(spark, tmp_path):
                    (3, 2021, "2021-3"), (4, 2021, "2021-4")}
     pruned = delta_scan_files(table, filters=[("y", "=", 2020)])
     assert [os.path.basename(f) for f in pruned] == ["f2020.parquet"]
+
+
+def test_timestamp_as_of_and_sql_view(spark, tmp_path):
+    """TIMESTAMP AS OF resolution from commitInfo timestamps (ms) with
+    an mtime fallback, plus the register_delta_view catalog sugar."""
+    from species_range_data_pipeline_spark.sources.delta_log import (
+        delta_version_as_of,
+        register_delta_view,
+    )
+
+    table, a1, a2 = _basic_table(tmp_path, "tt")
+    # stamp v0 via commitInfo (1000 s); v1 carries NO commitInfo, so its
+    # time falls back to the commit file's mtime (2000 s)
+    log = os.path.join(table, "_delta_log")
+    with open(os.path.join(log, f"{0:020d}.json"), "a") as fh:
+        fh.write(json.dumps({"commitInfo": {"timestamp": 1000_000}}) + "\n")
+    a3 = _data_file(table, "part-0003.parquet", {"k": [99], "v": ["q"]})
+    _commit(table, 1, [a3])
+    os.utime(os.path.join(log, f"{1:020d}.json"), (2000, 2000))
+
+    assert delta_version_as_of(table, 1500) == 0
+    assert delta_version_as_of(table, 2500) == 1
+    with pytest.raises(ValueError, match="existed at epoch"):
+        delta_version_as_of(table, 500)
+
+    register_delta_view(spark, "dl_tt_v0", table, as_of=1500)
+    register_delta_view(spark, "dl_tt_v1", table)
+    n0 = spark.sql("SELECT count(*) AS n FROM dl_tt_v0").collect()[0].n
+    n1 = spark.sql("SELECT count(*) AS n FROM dl_tt_v1").collect()[0].n
+    assert (n0, n1) == (5, 6)
+    with pytest.raises(ValueError, match="not both"):
+        register_delta_view(spark, "x", table, version=0, as_of=1500)
+
+
+def test_replay_property_vs_reference(tmp_path):
+    """Hypothesis: for ANY add/remove action sequence split across any
+    commit boundaries, with a classic checkpoint injected at any
+    version, the reader's live-file set equals a brute-force Python
+    replay of the full action list."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from species_range_data_pipeline_spark.sources.delta_log import (
+        delta_scan_files,
+    )
+
+    paths = [f"f{i}.parquet" for i in range(6)]
+    action = st.tuples(st.sampled_from(["add", "remove"]), st.sampled_from(paths))
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        actions=st.lists(action, min_size=1, max_size=24),
+        n_commits=st.integers(min_value=1, max_value=5),
+        data=st.data(),
+    )
+    def check(actions, n_commits, data):
+        import shutil as _sh
+        import tempfile as _tf
+
+        table = _tf.mkdtemp(dir=str(tmp_path), prefix="prop_")
+        try:
+            fields = [("k", "long")]
+            # split actions into n_commits contiguous chunks
+            cuts = sorted(
+                data.draw(
+                    st.lists(
+                        st.integers(0, len(actions)),
+                        min_size=n_commits - 1,
+                        max_size=n_commits - 1,
+                    )
+                )
+            )
+            chunks, lo = [], 0
+            for c in [*cuts, len(actions)]:
+                chunks.append(actions[lo:c])
+                lo = c
+            ckpt_at = data.draw(
+                st.one_of(st.none(), st.integers(0, len(chunks) - 1))
+            )
+            live_ref: set[str] = set()
+            for v, chunk in enumerate(chunks):
+                acts = [_PROTOCOL, _meta(fields)] if v == 0 else []
+                for kind, p in chunk:
+                    if kind == "add":
+                        acts.append(
+                            {"add": {"path": p, "partitionValues": {},
+                                     "size": 1, "modificationTime": 0,
+                                     "dataChange": True}}
+                        )
+                        live_ref.add(p)
+                    else:
+                        acts.append(
+                            {"remove": {"path": p, "dataChange": True}}
+                        )
+                        live_ref.discard(p)
+                _commit(table, v, acts)
+                if ckpt_at == v:
+                    _write_classic_checkpoint(
+                        table, v,
+                        [(p, {}, json.dumps({"numRecords": 1}))
+                         for p in sorted(live_ref)],
+                        fields,
+                    )
+            got = {os.path.basename(f) for f in delta_scan_files(table)}
+            assert got == live_ref
+            # and with the pre-checkpoint JSON commits cleaned up
+            if ckpt_at is not None:
+                for v in range(ckpt_at):
+                    os.unlink(
+                        os.path.join(table, "_delta_log", f"{v:020d}.json")
+                    )
+                got = {os.path.basename(f) for f in delta_scan_files(table)}
+                assert got == live_ref
+        finally:
+            _sh.rmtree(table, ignore_errors=True)
+
+    check()

@@ -386,3 +386,35 @@ def test_null_partition_value_prunes_not_null(spark, tmp_path):
     rows = read_iceberg_table(spark, b.root).collect()
     assert [(r.k, r.year) for r in rows] == [(9, None)]
     assert iceberg_scan_files(b.root, filters=[("year", "not_null", None)]) == []
+
+
+def test_timestamp_as_of_and_sql_view(spark, tmp_path):
+    """TIMESTAMP AS OF over the snapshot log's timestamp-ms, plus the
+    register_iceberg_view catalog sugar."""
+    from species_range_data_pipeline_spark.sources.iceberg_log import (
+        iceberg_snapshot_as_of,
+        register_iceberg_view,
+    )
+
+    b = _two_snapshot_table(tmp_path, "tt")
+    t = b.root
+    # builder stamps timestamp-ms = 1700000000000 + snap_id
+    t100 = (1700000000000 + 100) / 1000.0
+    t200 = (1700000000000 + 200) / 1000.0
+    assert iceberg_snapshot_as_of(t, t100) == 100
+    assert iceberg_snapshot_as_of(t, t200 + 5) == 200
+    with pytest.raises(ValueError, match="existed at epoch"):
+        iceberg_snapshot_as_of(t, t100 - 5)
+
+    register_iceberg_view(spark, "ib_tt_old", t, as_of=t100)
+    register_iceberg_view(spark, "ib_tt_new", t)
+    old_ks = {
+        r.k for r in spark.sql("SELECT k FROM ib_tt_old").collect()
+    }
+    new_ks = {
+        r.k for r in spark.sql("SELECT k FROM ib_tt_new").collect()
+    }
+    assert old_ks == {1, 2, 3, 4}
+    assert new_ks == {3, 4, 5, 6}
+    with pytest.raises(ValueError, match="not both"):
+        register_iceberg_view(spark, "x", t, snapshot_id=100, as_of=t100)
