@@ -173,10 +173,10 @@ def _sql(args) -> int:
         from .catalog import load_tables
 
         load_tables(spark, args.sf_dir)
-    from .sources.manifest_table import register_manifest_view
+    from .catalog import register_table_view
 
     for name, path in specs:
-        register_manifest_view(spark, name, path)
+        register_table_view(spark, name, path)
     try:
         df = spark.sql(args.query)
         if args.explain:
@@ -300,7 +300,8 @@ def main(argv: list[str] | None = None) -> int:
     sq.add_argument("--sf-dir", help="register the fixture parquet tables from this dir")
     sq.add_argument(
         "--table", action="append", metavar="NAME=PATH",
-        help="register a manifest table as a view (repeatable)",
+        help="register an on-disk table as a view (repeatable; format"
+        " sniffed: manifest table, Delta layout, or Iceberg layout)",
     )
     sq.add_argument("--limit", type=int, default=100, help="max rows printed")
     sq.add_argument(

@@ -178,3 +178,38 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         tables[name] = df
     return tables
+
+
+def register_table_view(
+    spark: SparkSession, name: str, path: str
+) -> DataFrame:
+    """Register ANY on-disk table layout the engine can read as a temp
+    view, sniffing the format from the directory shape (the CLI's
+    ``--table NAME=PATH`` dispatcher, also usable as a library entry):
+
+    - ``_delta_log/`` present        -> Delta layout (read-only)
+    - ``metadata/*.metadata.json``   -> Iceberg Hadoop layout (read-only)
+    - otherwise                      -> the engine's own manifest table
+
+    The sniff reads directory entries only — no data files are opened
+    to decide.  Each reader keeps its own refusal boundaries; this
+    helper adds none.
+    """
+    import glob as _glob
+    import os as _os
+
+    if _os.path.isdir(_os.path.join(path, "_delta_log")):
+        from .sources.delta_log import register_delta_view
+
+        return register_delta_view(spark, name, path)
+    mdir = _os.path.join(path, "metadata")
+    if _os.path.isdir(mdir) and (
+        _os.path.exists(_os.path.join(mdir, "version-hint.text"))
+        or _glob.glob(_os.path.join(mdir, "v*.metadata.json"))
+    ):
+        from .sources.iceberg_log import register_iceberg_view
+
+        return register_iceberg_view(spark, name, path)
+    from .sources.manifest_table import register_manifest_view
+
+    return register_manifest_view(spark, name, path)

@@ -609,3 +609,32 @@ def test_replay_property_vs_reference(tmp_path):
             _sh.rmtree(table, ignore_errors=True)
 
     check()
+
+
+def test_cli_sql_sniffs_layouts(tmp_path, capsys, spark):
+    """`--table NAME=PATH` on the sql subcommand sniffs the directory
+    shape: Delta layout, Iceberg layout, and the engine's manifest
+    table all register through catalog.register_table_view."""
+    from species_range_data_pipeline_spark.__main__ import main
+    from species_range_data_pipeline_spark.sources.manifest_table import (
+        write_manifest_table,
+    )
+    from tests.test_iceberg_log import _two_snapshot_table
+
+    dl, *_ = _basic_table(tmp_path, "dl")
+    ib = _two_snapshot_table(tmp_path, "ib").root
+    mt = str(tmp_path / "mt")
+    write_manifest_table(spark.range(0, 3).selectExpr("id"), mt)
+
+    rc = main([
+        "sql",
+        "SELECT (SELECT count(*) FROM d) AS n_delta,"
+        " (SELECT count(*) FROM i) AS n_iceberg,"
+        " (SELECT count(*) FROM m) AS n_manifest",
+        "--table", f"d={dl}",
+        "--table", f"i={ib}",
+        "--table", f"m={mt}",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.replace(" ", "")
+    assert "|5" in out and "|4" in out and "|3" in out
