@@ -465,3 +465,73 @@ def register_delta_view(
     df = read_delta_table(spark, path, version=version, filters=filters)
     df.createOrReplaceTempView(name)
     return df
+
+
+def delta_files_table(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The snapshot's file-level metadata as a queryable DataFrame — the
+    ``manifest_table.files_table`` shape over a Delta layout: one row
+    per live data file with its log-recorded size, row count, stats
+    ranges, and partition values.  Pure metadata (log replay + the
+    add actions' own fields) — ops tooling audits a 100 TB table
+    without opening a data file."""
+    snap = _replay(path, version)
+    rows = []
+    for rel in sorted(snap["live"]):
+        add = snap["live"][rel]
+        st = json.loads(add["stats"]) if add.get("stats") else {}
+        mins = st.get("minValues") or {}
+        maxs = st.get("maxValues") or {}
+        rows.append(
+            (
+                os.path.join(path, rel),
+                st.get("numRecords"),
+                add.get("size"),
+                {c: str(v) for c, v in mins.items()},
+                {c: str(v) for c, v in maxs.items()},
+                {c: int(n) for c, n in (st.get("nullCount") or {}).items()},
+                {c: v for c, v in (add.get("partitionValues") or {}).items()},
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "file string, n_rows long, size_bytes long, "
+        "col_min map<string,string>, col_max map<string,string>, "
+        "null_counts map<string,int>, partition_values map<string,string>",
+    )
+
+
+def delta_table_history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY over the JSON-visible commits: one row per
+    commit with its commitInfo operation/timestamp (nulls where a
+    writer recorded none) and the commit's add/remove action counts.
+    Versions reachable only through a checkpoint have no commit file
+    and are therefore absent — the honest cut, stated here rather than
+    guessed around."""
+    versions, _ = _scan_log_dir(path)
+    log_dir = os.path.join(path, "_delta_log")
+    rows = []
+    for v in versions:
+        op = None
+        ts_ms = None
+        n_add = n_remove = 0
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "commitInfo" in action:
+                    op = action["commitInfo"].get("operation")
+                    ts_ms = action["commitInfo"].get("timestamp")
+                elif "add" in action:
+                    n_add += 1
+                elif "remove" in action:
+                    n_remove += 1
+        rows.append((v, op, ts_ms, n_add, n_remove))
+    return spark.createDataFrame(
+        rows,
+        "version long, operation string, timestamp_ms long,"
+        " n_added long, n_removed long",
+    )

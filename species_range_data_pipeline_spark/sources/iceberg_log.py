@@ -379,3 +379,51 @@ def register_iceberg_view(
     )
     df.createOrReplaceTempView(name)
     return df
+
+
+def iceberg_files_table(
+    spark: SparkSession, path: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """The snapshot's file-level metadata as a queryable DataFrame —
+    Iceberg's own ``table.files`` metadata-table shape, reconstructed
+    from the manifest walk: one row per live data file with its
+    manifest-recorded row count, byte size, and partition values.
+    Pure metadata: Avro manifests only, no data file opened."""
+    meta = _load_metadata(path)
+    snapshot = _select_snapshot(meta, path, snapshot_id)
+    rows = []
+    for df, spec_id in _manifest_entries(path, snapshot):
+        rows.append(
+            (
+                _resolve(path, df["file_path"]),
+                df.get("record_count"),
+                df.get("file_size_in_bytes"),
+                int(spec_id),
+                {
+                    k: (None if v is None else str(v))
+                    for k, v in (df.get("partition") or {}).items()
+                },
+            )
+        )
+    rows.sort()
+    return spark.createDataFrame(
+        rows,
+        "file string, n_rows long, size_bytes long, spec_id int,"
+        " partition_values map<string,string>",
+    )
+
+
+def iceberg_table_history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY over the snapshot log: one row per snapshot
+    with its timestamp and summary operation."""
+    rows = [
+        (
+            s["snapshot-id"],
+            s.get("timestamp-ms"),
+            (s.get("summary") or {}).get("operation"),
+        )
+        for s in iceberg_snapshots(path)
+    ]
+    return spark.createDataFrame(
+        rows, "snapshot_id long, timestamp_ms long, operation string"
+    )

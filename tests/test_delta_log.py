@@ -638,3 +638,32 @@ def test_cli_sql_sniffs_layouts(tmp_path, capsys, spark):
     assert rc == 0
     out = capsys.readouterr().out.replace(" ", "")
     assert "|5" in out and "|4" in out and "|3" in out
+
+
+def test_files_table_and_history(spark, tmp_path):
+    """Metadata-only observability: files_table rows carry log-recorded
+    stats/partition values, history carries commitInfo + action counts."""
+    from species_range_data_pipeline_spark.sources.delta_log import (
+        delta_files_table,
+        delta_table_history,
+    )
+
+    table, a1, a2 = _basic_table(tmp_path, "ft")
+    log = os.path.join(table, "_delta_log")
+    with open(os.path.join(log, f"{0:020d}.json"), "a") as fh:
+        fh.write(json.dumps({"commitInfo": {"operation": "WRITE",
+                                            "timestamp": 1234000}}) + "\n")
+    _commit(table, 1, [{"remove": {"path": "part-0001.parquet",
+                                   "dataChange": True}}])
+
+    ft = {r.file: r for r in delta_files_table(spark, table).collect()}
+    assert set(os.path.basename(f) for f in ft) == {"part-0002.parquet"}
+    row = ft[os.path.join(table, "part-0002.parquet")]
+    assert row.n_rows == 2 and row.col_min["k"] == "10"
+    assert row.null_counts["k"] == 0 and row.partition_values == {}
+
+    hist = {r.version: r for r in delta_table_history(spark, table).collect()}
+    assert hist[0].operation == "WRITE" and hist[0].timestamp_ms == 1234000
+    assert (hist[0].n_added, hist[0].n_removed) == (2, 0)
+    assert hist[1].operation is None
+    assert (hist[1].n_added, hist[1].n_removed) == (0, 1)

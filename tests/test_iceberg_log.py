@@ -418,3 +418,25 @@ def test_timestamp_as_of_and_sql_view(spark, tmp_path):
     assert new_ks == {3, 4, 5, 6}
     with pytest.raises(ValueError, match="not both"):
         register_iceberg_view(spark, "x", t, snapshot_id=100, as_of=t100)
+
+
+def test_files_table_and_history(spark, tmp_path):
+    """Metadata-only observability over the manifest walk."""
+    from species_range_data_pipeline_spark.sources.iceberg_log import (
+        iceberg_files_table,
+        iceberg_table_history,
+    )
+
+    b = _two_snapshot_table(tmp_path, "ft")
+    ft = {os.path.basename(r.file): r
+          for r in iceberg_files_table(spark, b.root).collect()}
+    assert set(ft) == {"f2020b.parquet", "f2021.parquet"}
+    assert ft["f2021.parquet"].n_rows == 2
+    assert ft["f2021.parquet"].partition_values == {"year": "2021"}
+    old = {os.path.basename(r.file)
+           for r in iceberg_files_table(spark, b.root, snapshot_id=100).collect()}
+    assert old == {"f2020.parquet", "f2021.parquet"}
+
+    hist = [tuple(r) for r in iceberg_table_history(spark, b.root).collect()]
+    assert hist == [(100, 1700000000100, "append"),
+                    (200, 1700000000200, "append")]
