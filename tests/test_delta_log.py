@@ -667,3 +667,35 @@ def test_files_table_and_history(spark, tmp_path):
     assert (hist[0].n_added, hist[0].n_removed) == (2, 0)
     assert hist[1].operation is None
     assert (hist[1].n_added, hist[1].n_removed) == (0, 1)
+
+
+def test_partitioned_read_plan_is_one_scan_plus_broadcast(spark, tmp_path):
+    """Plan pin (the engine's scan-count discipline): the partitioned
+    Delta read is ONE parquet scan joined to the log-sized partition
+    map by BROADCAST hash join — never a SortMergeJoin exchange, never
+    a per-partition scan union."""
+    import contextlib
+    import io
+
+    table = str(tmp_path / "plan")
+    fields = [("k", "long"), ("y", "integer")]
+    adds = []
+    for year, ks in (("2020", [1, 2]), ("2021", [3, 4])):
+        rel = f"y={year}/p{year}.parquet"
+        a = _data_file(table, rel, {"k": ks})
+        a["add"]["partitionValues"] = {"y": year}
+        adds.append(a)
+    _commit(table, 0, [_PROTOCOL, _meta(fields, partition_cols=["y"]), *adds])
+
+    df = read_delta_table(spark, table)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    import re as _re
+
+    # formatted explain prints each node twice (tree + detail section);
+    # count the numbered detail headers = actual plan nodes
+    assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -440,3 +440,22 @@ def test_files_table_and_history(spark, tmp_path):
     hist = [tuple(r) for r in iceberg_table_history(spark, b.root).collect()]
     assert hist == [(100, 1700000000100, "append"),
                     (200, 1700000000200, "append")]
+
+
+def test_read_plan_is_one_scan_no_join(spark, tmp_path):
+    """Plan pin: Iceberg data files are complete, so the read is ONE
+    parquet scan with zero joins of any kind — partition columns come
+    from the files themselves."""
+    import contextlib
+    import io
+
+    b = _two_snapshot_table(tmp_path, "plan")
+    df = read_iceberg_table(spark, b.root)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
