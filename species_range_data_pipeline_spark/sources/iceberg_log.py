@@ -277,6 +277,62 @@ def _manifest_entries(path: str, snapshot: dict):
             yield df, m.get("partition_spec_id", 0)
 
 
+def _decode_bound(raw, ice_type):
+    """Iceberg single-value BINARY serialization -> Python value, for
+    the bound types a zone map can compare (spec Appendix D):
+    little-endian fixed-width ints/floats, UTF-8 strings, ISO-rendered
+    date (days since epoch, decoded to the ISO string so it compares
+    like a filter literal).  Types outside this set return None — the
+    bound is simply not used for pruning (never wrong, just less
+    skipping)."""
+    import struct as _struct
+
+    if raw is None or not isinstance(ice_type, str):
+        return None
+    b = bytes(raw)
+    try:
+        if ice_type == "int" and len(b) == 4:
+            return _struct.unpack("<i", b)[0]
+        if ice_type == "long" and len(b) == 8:
+            return _struct.unpack("<q", b)[0]
+        if ice_type == "float" and len(b) == 4:
+            return _struct.unpack("<f", b)[0]
+        if ice_type == "double" and len(b) == 8:
+            return _struct.unpack("<d", b)[0]
+        if ice_type == "string":
+            return b.decode("utf-8")
+        if ice_type == "date" and len(b) == 4:
+            import datetime as _dt
+
+            days = _struct.unpack("<i", b)[0]
+            return (
+                _dt.date(1970, 1, 1) + _dt.timedelta(days=days)
+            ).isoformat()
+        if ice_type == "boolean" and len(b) == 1:
+            return bool(b[0])
+    except (ValueError, OverflowError):
+        return None
+    return None
+
+
+def _bounds_map(raw) -> dict:
+    """An entry's map<int, ...> field (bounds, null counts).  Avro has
+    no int-keyed maps, so Iceberg writes these as an ARRAY of
+    {key, value} records (the k*_v* logical-map encoding); a plain
+    string-keyed Avro map and pre-decoded dicts are accepted too."""
+    if not raw:
+        return {}
+    if isinstance(raw, dict):
+        return {int(k): v for k, v in raw.items()}
+    out = {}
+    for item in raw:
+        if isinstance(item, dict):
+            out[int(item["key"])] = item["value"]
+        else:  # (key, value) tuple
+            out[int(item[0])] = item[1]
+    return out
+
+
 def iceberg_scan_files(
     path: str, snapshot_id: int | None = None, filters=None
 ) -> list[str]:
@@ -285,10 +341,17 @@ def iceberg_scan_files(
     identity-partition values (typed natively by the Avro decode) feed
     the manifest pruner as [v, v] ranges; non-identity transforms
     (bucket/truncate/days/...) contribute no pruning but lose no
-    correctness, because Iceberg data files are complete."""
+    correctness, because Iceberg data files are complete.  Manifest
+    column stats prune too (r16): ``lower_bounds``/``upper_bounds``
+    (field-id -> single-value binary, decoded per the spec's
+    serialization) become zone maps, and ``null_value_counts`` +
+    ``value_counts`` back is_null/not_null proofs — the same skipping
+    surface the Delta reader gets from ``add.stats``."""
     meta = _load_metadata(path)
     snapshot = _select_snapshot(meta, path, snapshot_id)
     id_names = _identity_partition_names(meta)
+    schema = _current_schema(meta, path)
+    by_id = {f["id"]: f for f in schema["fields"]}
     files, stats, nulls, rows = [], {}, {}, {}
     for df, spec_id in _manifest_entries(path, snapshot):
         fpath = _resolve(path, df["file_path"])
@@ -296,6 +359,21 @@ def iceberg_scan_files(
         if df.get("record_count") is not None:
             rows[fpath] = df["record_count"]
         franges: dict[str, list] = {}
+        # column stats: decoded bounds become [min, max] zone maps
+        lowers = _bounds_map(df.get("lower_bounds"))
+        uppers = _bounds_map(df.get("upper_bounds"))
+        for fid in set(lowers) & set(uppers):
+            field = by_id.get(fid)
+            if field is None:
+                continue
+            lo = _decode_bound(lowers[fid], field["type"])
+            hi = _decode_bound(uppers[fid], field["type"])
+            if lo is not None and hi is not None:
+                franges[field["name"]] = [lo, hi]
+        for fid, n in _bounds_map(df.get("null_value_counts")).items():
+            field = by_id.get(fid)
+            if field is not None and isinstance(n, int):
+                nulls.setdefault(fpath, {})[field["name"]] = n
         part = df.get("partition") or {}
         for name in id_names.get(spec_id, []):
             if name not in part:

@@ -459,3 +459,185 @@ def test_read_plan_is_one_scan_no_join(spark, tmp_path):
 
     assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_replay_property_vs_reference(tmp_path):
+    """Hypothesis: for ANY sequence of snapshot file-sets expressed as
+    manifests with spec-correct entry statuses (added/existing/deleted),
+    the reader's live-file set at every snapshot equals the reference
+    set the generator tracked — including multi-manifest snapshots."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    files = [f"data/f{i}.parquet" for i in range(6)]
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        # each snapshot: which files are live after it
+        live_sets=st.lists(
+            st.sets(st.sampled_from(files), min_size=0, max_size=6),
+            min_size=1,
+            max_size=5,
+        ),
+        split=st.booleans(),  # one manifest vs two per snapshot
+    )
+    def check(live_sets, split):
+        import shutil as _sh
+        import tempfile as _tf
+
+        root = _tf.mkdtemp(dir=str(tmp_path), prefix="prop_")
+        try:
+            b = _Builder(root)
+            # materialize every referenced file once (complete rows)
+            paths = {}
+            for i, f in enumerate(files):
+                paths[f] = b.data_file(os.path.basename(f), [i], 2020)
+            prev: set[str] = set()
+            for si, live in enumerate(live_sets):
+                entries = []
+                for f in sorted(live):
+                    status = 0 if f in prev else 1  # existing vs added
+                    entries.append(
+                        (status, paths[f], {"year": 2020}, 1, 0)
+                    )
+                for f in sorted(prev - live):
+                    entries.append((2, paths[f], {"year": 2020}, 1, 0))
+                if split and len(entries) > 1:
+                    mid = len(entries) // 2
+                    m = [
+                        b.manifest(f"m{si}a.avro", entries[:mid]),
+                        b.manifest(f"m{si}b.avro", entries[mid:]),
+                    ]
+                else:
+                    m = [b.manifest(f"m{si}.avro", entries)]
+                b.snapshot(1000 + si, m)
+                prev = set(live)
+            b.commit(current_snapshot_id=1000 + len(live_sets) - 1)
+            for si, live in enumerate(live_sets):
+                got = {
+                    os.path.basename(f)
+                    for f in iceberg_scan_files(root, snapshot_id=1000 + si)
+                }
+                assert got == {os.path.basename(paths[f]) for f in live}
+        finally:
+            _sh.rmtree(root, ignore_errors=True)
+
+    check()
+
+
+def test_column_bounds_prune_files(spark, tmp_path):
+    """Manifest lower_bounds/upper_bounds (field-id -> single-value
+    binary, the spec's array-of-{key,value}-records map encoding)
+    decode into zone maps: a filter on a NON-partition column prunes
+    files without opening them, and null_value_counts back the
+    is_null/not_null proofs."""
+    import struct
+
+    b = _Builder(str(tmp_path / "bounds"))
+    f1 = b.data_file("f1.parquet", [1, 2], 2020)
+    f2 = b.data_file("f2.parquet", [100, 200], 2020)
+
+    kv_bytes = {
+        "type": "array",
+        "items": {
+            "type": "record",
+            "name": "kb",
+            "fields": [
+                {"name": "key", "type": "int"},
+                {"name": "value", "type": "bytes"},
+            ],
+        },
+    }
+    kv_long = {
+        "type": "array",
+        "items": {
+            "type": "record",
+            "name": "kl",
+            "fields": [
+                {"name": "key", "type": "int"},
+                {"name": "value", "type": "long"},
+            ],
+        },
+    }
+    part = {
+        "type": "record",
+        "name": "r102",
+        "fields": [{"name": "year", "type": ["null", "int"],
+                    "default": None}],
+    }
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int"},
+            {"name": "file_path", "type": "string"},
+            {"name": "file_format", "type": "string"},
+            {"name": "partition", "type": part},
+            {"name": "record_count", "type": "long"},
+            {"name": "file_size_in_bytes", "type": "long"},
+            {"name": "lower_bounds", "type": ["null", kv_bytes],
+             "default": None},
+            {"name": "upper_bounds", "type": ["null", kv_bytes],
+             "default": None},
+            {"name": "null_value_counts", "type": ["null", kv_long],
+             "default": None},
+        ],
+    }
+    man_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"],
+             "default": None},
+            {"name": "data_file", "type": data_file},
+        ],
+    }
+
+    def lb(lo_k):  # field id 1 = k (long, little-endian 8 bytes)
+        return [{"key": 1, "value": struct.pack("<q", lo_k)}]
+
+    recs = []
+    for fp, (lo_k, hi_k) in ((f1, (1, 2)), (f2, (100, 200))):
+        recs.append(
+            {
+                "status": 1,
+                "snapshot_id": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": fp,
+                    "file_format": "PARQUET",
+                    "partition": {"year": 2020},
+                    "record_count": 2,
+                    "file_size_in_bytes": os.path.getsize(fp),
+                    "lower_bounds": lb(lo_k),
+                    "upper_bounds": [
+                        {"key": 1, "value": struct.pack("<q", hi_k)}
+                    ],
+                    "null_value_counts": [{"key": 1, "value": 0},
+                                          {"key": 3, "value": 2}],
+                },
+            }
+        )
+    m = os.path.join(b.root, "metadata", "m.avro")
+    write_avro(recs, man_schema, m)
+    b.snapshot(1, [m])
+    b.commit(current_snapshot_id=1)
+
+    # non-partition column k prunes on decoded bounds
+    pruned = iceberg_scan_files(b.root, filters=[("k", ">=", 50)])
+    assert [os.path.basename(f) for f in pruned] == ["f2.parquet"]
+    pruned = iceberg_scan_files(b.root, filters=[("k", "<=", 10)])
+    assert [os.path.basename(f) for f in pruned] == ["f1.parquet"]
+    # null_value_counts: k has zero nulls -> is_null prunes everything;
+    # v (field id 3) is all-null (2 of 2) -> not_null prunes everything
+    assert iceberg_scan_files(b.root, filters=[("k", "is_null", None)]) == []
+    assert iceberg_scan_files(b.root, filters=[("v", "not_null", None)]) == []
+    # the filtered READ is still exact through the surviving file
+    got = {
+        r.k
+        for r in read_iceberg_table(
+            spark, b.root, filters=[("k", ">=", 50)]
+        ).collect()
+    }
+    assert got == {100, 200}
