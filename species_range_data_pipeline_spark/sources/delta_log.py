@@ -113,6 +113,24 @@ def delta_log_versions(path: str) -> list[int]:
     return _scan_log_dir(path)[0]
 
 
+def decoded_file_basename():
+    """The scanned data file's DECODED basename, as a Column —
+    ``input_file_name()`` returns the Hadoop Path URI, which
+    percent-encodes space/%/control bytes (non-ASCII and '+' pass
+    through literally), so a raw basename would silently mismatch a
+    driver-side join key for any file name holding one of those
+    (ADVICE r16: every row of that file vanished).  '+' is pre-escaped
+    because ``url_decode`` speaks form-encoding, where a bare '+'
+    means space."""
+    return F.url_decode(
+        F.regexp_replace(
+            F.element_at(F.split(F.input_file_name(), "/"), -1),
+            r"\+",
+            "%2B",
+        )
+    )
+
+
 def _check_protocol(action: dict, path: str) -> None:
     v = action.get("minReaderVersion", 1)
     if v > 1:
@@ -299,6 +317,7 @@ def delta_scan_files(
     schema = StructType.fromJson(json.loads(snap["schema_json"]))
     types = {f.name: f.dataType for f in schema.fields}
     files, stats, nulls, rows = [], {}, {}, {}
+    all_null: dict[str, set] = {}
     for rel, add in sorted(snap["live"].items()):
         fpath = os.path.join(path, rel)
         files.append(fpath)
@@ -317,17 +336,20 @@ def delta_scan_files(
             tv = _typed_partition_value(raw_v, types[col])
             if tv is None:
                 # NULL partition: every row is null in col, whatever the
-                # row count.  The pruner's all-null proof is
-                # n_null >= n_rows, so when stats carry no numRecords we
-                # encode the (true) claim with the 1/1 sentinel.
-                if fpath not in rows:
-                    rows[fpath] = 1
-                nulls.setdefault(fpath, {})[col] = rows[fpath]
+                # row count — a per-column proof the pruner consumes
+                # directly (ADVICE r16: the old 1/1 row-count sentinel
+                # poisoned OTHER columns' not_null checks when stats
+                # carried nullCount but no numRecords).
+                all_null.setdefault(fpath, set()).add(col)
+                if fpath in rows:
+                    nulls.setdefault(fpath, {})[col] = rows[fpath]
             else:
                 franges[col] = [tv, tv]
                 nulls.setdefault(fpath, {})[col] = 0
         stats[fpath] = franges
-    return _prune_files(files, stats, {}, nulls, rows, filters or [])
+    return _prune_files(
+        files, stats, {}, nulls, rows, filters or [], all_null=all_null
+    )
 
 
 def read_delta_table(
@@ -389,10 +411,7 @@ def read_delta_table(
         pv_df = spark.createDataFrame(pv_rows, pv_schema)
         types = {f.name: f.dataType for f in schema.fields}
         df = (
-            df.withColumn(
-                "__delta_file",
-                F.element_at(F.split(F.input_file_name(), "/"), -1),
-            )
+            df.withColumn("__delta_file", decoded_file_basename())
             .join(F.broadcast(pv_df), "__delta_file")
             .select(
                 *[

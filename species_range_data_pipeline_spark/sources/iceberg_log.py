@@ -17,10 +17,14 @@ reader (``sources/avro_ocf.parse_avro``), so no Iceberg or Avro runtime
 is required.  Unlike Hive/Delta layouts, Iceberg data files are
 COMPLETE (identity-partition source columns are stored in the files),
 so the read is ONE parquet scan with the table schema — no partition
-reconstruction joins at all; identity-partition values from the
-manifest entries feed the manifest-table pruner
-(``manifest_table._prune_files``) as exact [v, v] zone maps, so a
-filter on a partition column skips files without opening anything.
+reconstruction joins at all (tables migrated via add_files/Hive import
+whose files LACK the identity source columns are detected by footer
+probes and restored from the manifest tuples via a broadcast map join,
+never silently read as NULL — see ``read_iceberg_table``);
+identity-partition values from the manifest entries feed the
+manifest-table pruner (``manifest_table._prune_files``) as exact
+[v, v] zone maps, so a filter on a partition column skips files
+without opening anything.
 
 Honest support boundary — everything below raises loudly, never
 returns wrong rows:
@@ -49,7 +53,7 @@ import re
 from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F  # noqa: F401  (parity with delta_log)
+from pyspark.sql import functions as F
 
 from .avro_ocf import parse_avro
 from .manifest_table import _filters_to_predicate, _prune_files
@@ -112,6 +116,7 @@ def _current_schema(meta: dict, path: str) -> dict:
             current_names = {
                 f["id"]: f["name"] for f in schema["fields"]
             }
+            name_to_id = {f["name"]: f["id"] for f in schema["fields"]}
             for s in schemas:
                 for f in s["fields"]:
                     if (
@@ -125,6 +130,24 @@ def _current_schema(meta: dict, path: str) -> dict:
                             " resolves parquet columns by NAME and"
                             " would mis-read files written before the"
                             " rename."
+                        )
+                    # the converse hazard (ADVICE r16): a column DROPPED
+                    # and re-added under the same NAME gets a new field
+                    # id, the per-id check above never fires, and
+                    # name-based resolution would silently read the old
+                    # (semantically different) column from pre-drop files
+                    if (
+                        f["name"] in name_to_id
+                        and f["id"] != name_to_id[f["name"]]
+                    ):
+                        raise NotImplementedError(
+                            f"Iceberg table at {path!r} reused column"
+                            f" name {f['name']!r} across field ids"
+                            f" ({f['id']} historical vs"
+                            f" {name_to_id[f['name']]} current — a"
+                            " drop/re-add); this reader resolves parquet"
+                            " columns by NAME and would mis-read files"
+                            " written under the retired field."
                         )
         return schema
     return meta["schema"]  # format-version 1
@@ -222,8 +245,13 @@ def _select_snapshot(meta: dict, path: str, snapshot_id: int | None) -> dict:
     return matches[0]
 
 
-def _identity_partition_names(meta: dict) -> dict[int, list[str]]:
-    """spec-id -> identity-transform partition field names."""
+def _identity_partition_fields(meta: dict) -> dict[int, list[tuple[str, int]]]:
+    """spec-id -> [(partition FIELD name, source field id), ...] for the
+    identity-transform fields.  The manifest partition tuple is keyed by
+    the spec field's NAME, but the value belongs to the SOURCE column —
+    resolved via source-id (ADVICE r16: keying zone maps by the spec
+    field name mis-attached the [v, v] range whenever the spec name
+    diverged from the source column's name)."""
     specs = meta.get("partition-specs")
     if specs is None:  # format-version 1 single spec
         specs = [
@@ -234,7 +262,9 @@ def _identity_partition_names(meta: dict) -> dict[int, list[str]]:
         ]
     return {
         s.get("spec-id", 0): [
-            f["name"] for f in s["fields"] if f["transform"] == "identity"
+            (f["name"], f["source-id"])
+            for f in s["fields"]
+            if f["transform"] == "identity"
         ]
         for s in specs
     }
@@ -349,10 +379,11 @@ def iceberg_scan_files(
     surface the Delta reader gets from ``add.stats``."""
     meta = _load_metadata(path)
     snapshot = _select_snapshot(meta, path, snapshot_id)
-    id_names = _identity_partition_names(meta)
+    id_fields = _identity_partition_fields(meta)
     schema = _current_schema(meta, path)
     by_id = {f["id"]: f for f in schema["fields"]}
     files, stats, nulls, rows = [], {}, {}, {}
+    all_null: dict[str, set] = {}
     for df, spec_id in _manifest_entries(path, snapshot):
         fpath = _resolve(path, df["file_path"])
         files.append(fpath)
@@ -375,20 +406,143 @@ def iceberg_scan_files(
             if field is not None and isinstance(n, int):
                 nulls.setdefault(fpath, {})[field["name"]] = n
         part = df.get("partition") or {}
-        for name in id_names.get(spec_id, []):
-            if name not in part:
+        for pname, source_id in id_fields.get(spec_id, []):
+            src = by_id.get(source_id)
+            if src is None or pname not in part:
+                # source column dropped from the current schema (or an
+                # entry missing the tuple field): contribute no pruning
                 continue
-            if part[name] is not None:
-                franges[name] = [part[name], part[name]]
-                nulls.setdefault(fpath, {})[name] = 0
+            col = src["name"]
+            if part[pname] is not None:
+                franges[col] = [part[pname], part[pname]]
+                nulls.setdefault(fpath, {})[col] = 0
             else:
-                # NULL partition: every row is null in name (the same
-                # n_null >= n_rows proof the delta reader encodes; 1/1
-                # sentinel when the entry carries no record_count)
-                rows.setdefault(fpath, 1)
-                nulls.setdefault(fpath, {})[name] = rows[fpath]
+                # NULL partition: every row is null in col — a per-column
+                # proof consumed by the pruner directly (ADVICE r16: the
+                # old 1/1 row-count sentinel poisoned OTHER columns'
+                # not_null checks when the entry carried null counts but
+                # no record_count)
+                all_null.setdefault(fpath, set()).add(col)
+                if fpath in rows:
+                    nulls.setdefault(fpath, {})[col] = rows[fpath]
         stats[fpath] = franges
-    return _prune_files(sorted(files), stats, {}, nulls, rows, filters or [])
+    return _prune_files(
+        sorted(files), stats, {}, nulls, rows, filters or [], all_null=all_null
+    )
+
+
+def _probe_identity_columns(
+    path: str,
+    files: list[str],
+    info: dict[str, tuple[int, dict]],
+    needed: dict[int, list[tuple[str, str]]],
+) -> int | None:
+    """Footer-probe the first and last surviving data file per spec for
+    the spec's identity-partition SOURCE columns.  Returns the spec id
+    whose files uniformly lack ALL of them (the add_files/Hive-migration
+    layout — caller restores values from the manifest tuples), ``None``
+    when every probe shows complete files (the spec-compliant layout).
+    Mixed evidence raises: silently-null partition columns are the
+    wrong-rows failure this reader refuses."""
+    import pyarrow.parquet as pq
+
+    specs_present = sorted({info[f][0] for f in files if f in info})
+    missing_specs = []
+    for sid in specs_present:
+        cols = {c for _, c in needed.get(sid, [])}
+        if not cols:
+            continue
+        spec_files = sorted(f for f in files if info.get(f, (None,))[0] == sid)
+        states = set()
+        for probe in {spec_files[0], spec_files[-1]}:
+            phys = set(pq.read_schema(probe).names)
+            states.add(frozenset(cols - phys))
+        if len(states) > 1:
+            raise NotImplementedError(
+                f"Iceberg table at {path!r}: data files of spec {sid}"
+                f" disagree on holding identity-partition columns"
+                f" {sorted(cols)} (probes found {sorted(map(sorted, states))});"
+                " a mixed layout cannot be read without returning"
+                " silently-null partition values."
+            )
+        missing = next(iter(states))
+        if not missing:
+            continue
+        if missing != cols:
+            raise NotImplementedError(
+                f"Iceberg table at {path!r}: spec {sid} data files hold"
+                f" some identity-partition columns but lack"
+                f" {sorted(missing)}; partial layouts are refused (the"
+                " missing columns would read as silent NULLs)."
+            )
+        missing_specs.append(sid)
+    if not missing_specs:
+        return None
+    if len(missing_specs) > 1 or len(specs_present) > 1:
+        raise NotImplementedError(
+            f"Iceberg table at {path!r}: identity-partition columns are"
+            f" absent from the data files of spec(s) {missing_specs} but"
+            f" the snapshot spans specs {specs_present}; multi-spec"
+            " restoration is not implemented — rewrite the table or read"
+            " per-spec."
+        )
+    return missing_specs[0]
+
+
+def _read_with_restored_partitions(
+    spark: SparkSession,
+    files: list[str],
+    info: dict[str, tuple[int, dict]],
+    pairs: list[tuple[str, str]],
+    schema,
+) -> DataFrame:
+    """Read migrated data files (identity source columns NOT in-file)
+    and restore the partition values from the manifest tuples — the
+    Delta reader's reconstruction shape: ONE parquet scan plus a
+    BROADCAST (decoded basename -> values) map join, log-sized never
+    data-sized.  Basename uniqueness is asserted driver-side."""
+    from pyspark.sql.types import StructType
+
+    from .delta_log import decoded_file_basename
+
+    restored_cols = [c for _, c in pairs]
+    data_schema = StructType(
+        [f for f in schema.fields if f.name not in restored_cols]
+    )
+    base_of = {os.path.basename(f): f for f in files}
+    if len(base_of) != len(files):
+        raise ValueError(
+            "duplicate data-file basenames; cannot key the"
+            " partition-value restore join."
+        )
+    from pyspark.sql.types import StringType, StructField
+
+    types = {f.name: f.dataType for f in schema.fields}
+    pv_struct = StructType(
+        [StructField("__ice_file", StringType(), False)]
+        + [StructField(f"__pv_{c}", types[c], True) for c in restored_cols]
+    )
+    pv_rows = [
+        tuple(
+            [os.path.basename(f)]
+            + [info[f][1].get(pname) for pname, _c in pairs]
+        )
+        for f in files
+    ]
+    pv_df = spark.createDataFrame(pv_rows, pv_struct)
+    df = spark.read.schema(data_schema).parquet(*files)
+    return (
+        df.withColumn("__ice_file", decoded_file_basename())
+        .join(F.broadcast(pv_df), "__ice_file")
+        .select(
+            *[
+                F.col(f"__pv_{f.name}").alias(f.name)
+                if f.name in restored_cols
+                else F.col(f.name)
+                for f in schema.fields
+            ]
+        )
+    )
 
 
 def read_iceberg_table(
@@ -409,15 +563,59 @@ def read_iceberg_table(
     and column pruning apply to the scan as usual.  The manifest walk
     is metadata-sized (driver-side Avro decode of the snapshot's
     manifest list + manifests), never data-sized.
+
+    Migrated-table boundary (ADVICE r16): tables imported via
+    ``add_files``/Hive migration legitimately hold data files WITHOUT
+    the identity-partition source columns (the values lived in the
+    directory layout).  ``spark.read.schema()`` would silently fill
+    those columns with NULL — and a re-applied partition filter would
+    then drop every row — so when the snapshot has identity partitions
+    the first and last data file per spec are footer-probed (two
+    metadata-sized reads per spec, not per file): complete files take
+    the one-scan path above; a spec whose probes uniformly LACK all its
+    identity source columns is read without them and the values are
+    restored from the manifest partition tuples via a broadcast
+    (decoded-basename -> value) map join, the Delta reader's
+    reconstruction shape; anything mixed (per-spec probes disagree,
+    some-but-not-all columns present, or several specs with identity
+    partitions when one needs restoring) raises loudly rather than
+    returning silently-null partition columns.  Files between the two
+    probes are assumed layout-uniform with them — the stated sampling
+    boundary.
     """
     meta = _load_metadata(path)
-    schema = _struct_type(_current_schema(meta, path))
+    schema_dict = _current_schema(meta, path)
+    schema = _struct_type(schema_dict)
     files = iceberg_scan_files(path, snapshot_id, filters)
     pred = _filters_to_predicate(filters)
     if not files:
         df = spark.createDataFrame([], schema)
-    else:
-        df = spark.read.schema(schema).parquet(*files)
+        return df if pred is None else df.where(pred)
+
+    id_fields = _identity_partition_fields(meta)
+    by_id = {f["id"]: f for f in schema_dict["fields"]}
+    # spec -> identity (partition field name, resolved source column)
+    needed = {
+        sid: [
+            (pname, by_id[source_id]["name"])
+            for pname, source_id in pairs
+            if source_id in by_id
+        ]
+        for sid, pairs in id_fields.items()
+    }
+    if any(needed.get(sid) for sid in needed):
+        snapshot = _select_snapshot(meta, path, snapshot_id)
+        info = {
+            _resolve(path, d["file_path"]): (sid, d.get("partition") or {})
+            for d, sid in _manifest_entries(path, snapshot)
+        }
+        restore = _probe_identity_columns(path, files, info, needed)
+        if restore is not None:
+            df = _read_with_restored_partitions(
+                spark, files, info, needed[restore], schema
+            )
+            return df if pred is None else df.where(pred)
+    df = spark.read.schema(schema).parquet(*files)
     return df if pred is None else df.where(pred)
 
 

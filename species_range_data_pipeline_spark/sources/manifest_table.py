@@ -293,12 +293,23 @@ def _prune_files(
     nulls: dict[str, dict],
     rows: dict[str, int],
     filters,
+    all_null: dict[str, set] | None = None,
 ) -> list[str]:
+    """``all_null`` (optional): file -> columns PROVABLY all-null in that
+    file without a row count — e.g. a NULL partition value, which makes
+    the column null in every row whatever ``numRecords`` says.  Encoding
+    the proof per-column (ADVICE r16) instead of fabricating a 1-row
+    sentinel keeps other columns' ``n_null >= n_rows`` checks honest, and
+    is strictly stronger: a range/equality filter on an all-null column
+    can never match (SQL comparisons with NULL are not true), so the
+    file is skipped there too."""
+    all_null = all_null or {}
     kept = []
     for f in files:
         fstats = stats.get(f, {})
         fblooms = blooms.get(f, {})
         fnulls = nulls.get(f, {})
+        fallnull = all_null.get(f, set())
         keep = True
         for col, op, value in filters:
             if op not in _SKIP_OPS:
@@ -311,15 +322,20 @@ def _prune_files(
                 if op == "is_null" and n_null == 0:
                     keep = False  # provably no nulls in this file
                     break
-                if (
-                    op == "not_null"
-                    and n_null is not None
-                    and n_rows is not None
-                    and n_null >= n_rows
+                if op == "not_null" and (
+                    col in fallnull
+                    or (
+                        n_null is not None
+                        and n_rows is not None
+                        and n_null >= n_rows
+                    )
                 ):
                     keep = False  # every value is null
                     break
                 continue
+            if col in fallnull:
+                keep = False  # range/eq probe on an all-null column
+                break
             rng = fstats.get(col)
             if rng is not None and not _range_may_match(rng[0], rng[1], op, value):
                 keep = False

@@ -699,3 +699,62 @@ def test_partitioned_read_plan_is_one_scan_plus_broadcast(spark, tmp_path):
     assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_null_partition_proof_does_not_poison_other_columns(spark, tmp_path):
+    """ADVICE r16: a NULL partition value used to fabricate a 1-row
+    count sentinel, so any OTHER column with nullCount >= 1 satisfied
+    the pruner's all-null proof (n_null >= n_rows) when stats carried
+    nullCount but no numRecords — the file was wrongly pruned despite
+    holding non-null rows.  The proof is now per-column."""
+    table = str(tmp_path / "np")
+    fields = [("k", "long"), ("g", "string")]
+    a = _data_file(
+        table,
+        "f1.parquet",
+        {"k": pa.array([1, None, 3], pa.int64())},
+        stats={"nullCount": {"k": 1}},  # nullCount but NO numRecords
+    )
+    a["add"]["partitionValues"] = {"g": None}
+    _commit(table, 0, [_PROTOCOL, _meta(fields, partition_cols=["g"]), a])
+
+    # k holds non-null rows: a not_null probe must KEEP the file
+    kept = delta_scan_files(table, filters=[("k", "not_null", None)])
+    assert [os.path.basename(f) for f in kept] == ["f1.parquet"]
+    rows = {
+        (r.k, r.g)
+        for r in read_delta_table(
+            spark, table, filters=[("k", "not_null", None)]
+        ).collect()
+    }
+    assert rows == {(1, None), (3, None)}
+    # the NULL-partition column itself still prunes — and the per-column
+    # proof is stronger: equality/range probes on it prune too (SQL
+    # comparisons with NULL are never true)
+    assert delta_scan_files(table, filters=[("g", "not_null", None)]) == []
+    assert delta_scan_files(table, filters=[("g", "=", "x")]) == []
+
+
+def test_special_character_basenames_survive_partition_join(spark, tmp_path):
+    """ADVICE r16: input_file_name() returns the percent-encoded Hadoop
+    URI, so a basename holding a space/%/'+' mismatched the raw
+    driver-side join key and every row of that file silently vanished.
+    The join key is now URI-decoded."""
+    from urllib.parse import quote
+
+    table = str(tmp_path / "sc")
+    fields = [("k", "long"), ("y", "integer")]
+    adds = []
+    for year, name, ks in (
+        ("2020", "part a%b.parquet", [1, 2]),
+        ("2021", "part+c d.parquet", [3]),
+    ):
+        rel = f"y={year}/{name}"
+        a = _data_file(table, rel, {"k": pa.array(ks, pa.int64())})
+        a["add"]["path"] = f"y={year}/{quote(name)}"  # spec: URL-encoded
+        a["add"]["partitionValues"] = {"y": year}
+        adds.append(a)
+    _commit(table, 0, [_PROTOCOL, _meta(fields, partition_cols=["y"]), *adds])
+
+    got = {(r.k, r.y) for r in read_delta_table(spark, table).collect()}
+    assert got == {(1, 2020), (2, 2020), (3, 2021)}

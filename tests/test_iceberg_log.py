@@ -641,3 +641,279 @@ def test_column_bounds_prune_files(spark, tmp_path):
         ).collect()
     }
     assert got == {100, 200}
+
+
+def test_null_partition_proof_does_not_poison_other_columns(spark, tmp_path):
+    """ADVICE r16: a NULL identity-partition value used to fabricate a
+    1-row record count, so any OTHER column with null_value_counts >= 1
+    satisfied the pruner's all-null proof when the entry carried null
+    counts but no record_count.  The proof is now per-column."""
+    root = str(tmp_path / "np")
+    b = _Builder(root)
+    fp = os.path.join(root, "data", "f0.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([1, None, 3], pa.int64()),
+                "year": pa.array([None, None, None], pa.int32()),
+                "v": pa.array(["a", "b", "c"]),
+            }
+        ),
+        fp,
+    )
+    # hand-rolled manifest: OPTIONAL record_count (absent) plus
+    # null_value_counts in the spec's k*_v* logical-map encoding
+    man_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {
+                            "name": "partition",
+                            "type": {
+                                "type": "record",
+                                "name": "r102",
+                                "fields": [
+                                    {
+                                        "name": "year",
+                                        "type": ["null", "int"],
+                                        "default": None,
+                                    }
+                                ],
+                            },
+                        },
+                        {
+                            "name": "record_count",
+                            "type": ["null", "long"],
+                            "default": None,
+                        },
+                        {"name": "file_size_in_bytes", "type": "long"},
+                        {
+                            "name": "null_value_counts",
+                            "type": [
+                                "null",
+                                {
+                                    "type": "array",
+                                    "items": {
+                                        "type": "record",
+                                        "name": "k117_v118",
+                                        "fields": [
+                                            {"name": "key", "type": "int"},
+                                            {"name": "value", "type": "long"},
+                                        ],
+                                    },
+                                },
+                            ],
+                            "default": None,
+                        },
+                    ],
+                },
+            },
+        ],
+    }
+    mp = os.path.join(root, "metadata", "m0.avro")
+    write_avro(
+        [
+            {
+                "status": 1,
+                "snapshot_id": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": fp,
+                    "file_format": "PARQUET",
+                    "partition": {"year": None},
+                    "record_count": None,  # absent: the ADVICE trigger
+                    "file_size_in_bytes": os.path.getsize(fp),
+                    # k has ONE null (of three rows) — under the old 1/1
+                    # sentinel this wrongly proved k all-null
+                    "null_value_counts": [{"key": 1, "value": 1}],
+                },
+            }
+        ],
+        man_schema,
+        mp,
+    )
+    b.snapshot(100, [mp])
+    b.commit(current_snapshot_id=100)
+
+    # k holds non-null rows: a not_null probe must KEEP the file
+    kept = iceberg_scan_files(root, filters=[("k", "not_null", None)])
+    assert [os.path.basename(f) for f in kept] == ["f0.parquet"]
+    # the NULL-partition column itself still prunes — and stronger,
+    # equality probes on the all-null column prune too
+    assert iceberg_scan_files(root, filters=[("year", "not_null", None)]) == []
+    assert iceberg_scan_files(root, filters=[("year", "=", 2020)]) == []
+
+
+def test_spec_field_name_resolves_via_source_id(spark, tmp_path):
+    """ADVICE r16: identity zone maps were keyed by the partition FIELD
+    name; a spec field named differently from its source column attached
+    the [v, v] range to the wrong column (and could wrongly prune a
+    table column sharing the spec field's name).  Resolution now goes
+    source-id -> current schema name."""
+    root = str(tmp_path / "sid")
+    b = _Builder(root)
+    f20 = b.data_file("f2020.parquet", [1, 2], 2020)
+    f21 = b.data_file("f2021.parquet", [3, 4], 2021)
+    m1 = b.manifest(
+        "m1.avro",
+        [
+            (1, f20, {"yr": 2020}, 2, 0),
+            (1, f21, {"yr": 2021}, 2, 0),
+        ],
+        partition_fields=(("yr", "int"),),
+    )
+    b.snapshot(100, [m1])
+    b.commit(
+        current_snapshot_id=100,
+        extra={
+            "partition-specs": [
+                {
+                    "spec-id": 0,
+                    "fields": [
+                        {
+                            # spec field name DIVERGES from source column
+                            "name": "yr",
+                            "transform": "identity",
+                            "source-id": 2,  # column "year"
+                            "field-id": 1000,
+                        }
+                    ],
+                }
+            ]
+        },
+    )
+    # the filter names the TABLE column; pruning must work via source-id
+    kept = iceberg_scan_files(root, filters=[("year", "=", 2021)])
+    assert [os.path.basename(f) for f in kept] == ["f2021.parquet"]
+    got = {
+        (r.k, r.year)
+        for r in read_iceberg_table(
+            spark, root, filters=[("year", "=", 2021)]
+        ).collect()
+    }
+    assert got == {(3, 2021), (4, 2021)}
+
+
+def test_name_reuse_across_field_ids_refused(spark, tmp_path):
+    """ADVICE r16: a column dropped then re-added under the same NAME
+    gets a new field id; the per-id rename guard never fired and
+    name-based parquet resolution would silently read the retired
+    column's data from pre-drop files.  Now refused."""
+    root = str(tmp_path / "reuse")
+    b = _Builder(root)
+    f20 = b.data_file("f2020.parquet", [1, 2], 2020)
+    m1 = b.manifest("m1.avro", [(1, f20, {"year": 2020}, 2, 0)])
+    b.snapshot(100, [m1])
+    b.commit(
+        current_snapshot_id=100,
+        schemas=[
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": _schema_fields(),  # "v" under field id 3
+            },
+            {
+                "type": "struct",
+                "schema-id": 1,
+                "fields": [
+                    {"id": 1, "name": "k", "required": False, "type": "long"},
+                    {
+                        "id": 2,
+                        "name": "year",
+                        "required": False,
+                        "type": "int",
+                    },
+                    # "v" re-added under a NEW field id after a drop
+                    {"id": 4, "name": "v", "required": False, "type": "string"},
+                ],
+            },
+        ],
+    )
+    with pytest.raises(NotImplementedError, match="reused column name"):
+        read_iceberg_table(spark, root)
+
+
+def test_migrated_table_restores_partition_values(spark, tmp_path):
+    """ADVICE r16: tables migrated via add_files/Hive import lack the
+    identity-partition source columns in the data files;
+    spark.read.schema() silently filled them with NULL (and a re-applied
+    partition filter dropped every row).  The footer probe now detects
+    the layout and restores values from the manifest partition tuples
+    via a broadcast basename map join."""
+    root = str(tmp_path / "mig")
+    b = _Builder(root)
+    files = {}
+    for year, ks in ((2020, [1, 2]), (2021, [3, 4])):
+        fp = os.path.join(root, "data", f"m{year}.parquet")
+        pq.write_table(  # NO year column: the migrated layout
+            pa.table(
+                {
+                    "k": pa.array(ks, pa.int64()),
+                    "v": [f"{year}-{k}" for k in ks],
+                }
+            ),
+            fp,
+        )
+        files[year] = fp
+    m1 = b.manifest(
+        "m1.avro",
+        [
+            (1, files[2020], {"year": 2020}, 2, 0),
+            (1, files[2021], {"year": 2021}, 2, 0),
+        ],
+    )
+    b.snapshot(100, [m1])
+    b.commit(current_snapshot_id=100)
+
+    df = read_iceberg_table(spark, root)
+    assert [f.name for f in df.schema.fields] == ["k", "year", "v"]
+    got = {(r.k, r.year, r.v) for r in df.collect()}
+    assert got == {
+        (1, 2020, "2020-1"),
+        (2, 2020, "2020-2"),
+        (3, 2021, "2021-3"),
+        (4, 2021, "2021-4"),
+    }
+    # the re-applied partition filter keeps (not drops) the right rows
+    got = {
+        (r.k, r.year)
+        for r in read_iceberg_table(
+            spark, root, filters=[("year", "=", 2021)]
+        ).collect()
+    }
+    assert got == {(3, 2021), (4, 2021)}
+
+
+def test_migrated_table_mixed_layout_refused(spark, tmp_path):
+    """One complete file + one missing the identity source column under
+    the same spec: refused loudly (silently-null partition values are
+    the wrong-rows failure)."""
+    root = str(tmp_path / "mix")
+    b = _Builder(root)
+    complete = b.data_file("a_complete.parquet", [1, 2], 2020)
+    stripped = os.path.join(root, "data", "z_stripped.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array([3], pa.int64()), "v": ["x"]}), stripped
+    )
+    m1 = b.manifest(
+        "m1.avro",
+        [
+            (1, complete, {"year": 2020}, 2, 0),
+            (1, stripped, {"year": 2021}, 1, 0),
+        ],
+    )
+    b.snapshot(100, [m1])
+    b.commit(current_snapshot_id=100)
+    with pytest.raises(NotImplementedError, match="disagree"):
+        read_iceberg_table(spark, root)
