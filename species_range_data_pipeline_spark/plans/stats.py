@@ -1127,11 +1127,308 @@ ORDER BY snapshot, o_orderstatus
 """
 
 
+def iceberg_read_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 merge-on-read interop under a driver hash (VERDICT
+    r16 next #2) — the row-level-delete twin of ``iceberg_read_snapshot``
+    (append history): an Iceberg Hadoop-layout table is staged from the
+    orders fixture with TWO snapshots,
+
+    - snapshot 1: every ``o_orderkey % 3 == 0`` order, one COMPLETE
+      parquet data file per ``o_orderstatus`` identity partition, rows
+      written in ascending ``o_orderkey`` order (so row positions are
+      deterministic);
+    - snapshot 2: a DELETE manifest (``content=1`` in the manifest
+      list) whose position-delete file — ordinary parquet of
+      ``(file_path, pos)`` per the spec — masks every row with
+      ``o_orderkey % 7 == 0``, the data manifests carried as EXISTING;
+
+    then read back through ``read_iceberg_table``: the mask is applied
+    as a BROADCAST left-anti join on ``_metadata.file_path``/
+    ``row_index`` (``iceberg_log._apply_position_deletes``), so the
+    result rolls up BOTH snapshots per status and the hash pins that
+    position deletes subtract exactly the masked rows while time travel
+    before the delete still sees them.  The oracle recomputes both
+    states relationally (``% 7 != 0`` is the delete predicate).  Scale:
+    one data scan + a log-sized broadcast delete side; the staged table
+    is deleted before returning (the cdf_row_changes discipline).
+    """
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from ..sources.avro_ocf import write_avro
+    from ..sources.iceberg_log import read_iceberg_table
+
+    pdf = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .where(F.col("o_orderkey") % 3 == 0)
+        .toPandas()
+        .sort_values("o_orderkey", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_read_deletes_")
+    table = os.path.join(root, "table")
+    mdir = os.path.join(table, "metadata")
+    ddir = os.path.join(table, "data")
+    os.makedirs(mdir)
+    os.makedirs(ddir)
+    try:
+        # --- stage: one position-ordered data file per status, and the
+        # (file_path, pos) delete rows for o_orderkey % 7 == 0
+        data_entries = []  # (file_path, status, n_rows)
+        del_rows: list[tuple[str, int]] = []
+        for st, grp in pdf.groupby("o_orderstatus", sort=True):
+            grp = grp.reset_index(drop=True)
+            fp = os.path.join(ddir, f"s1-{st}.parquet")
+            _pq.write_table(
+                _pa.table(
+                    {
+                        "o_orderkey": _pa.array(
+                            grp["o_orderkey"], _pa.int64()
+                        ),
+                        "o_orderstatus": _pa.array(grp["o_orderstatus"]),
+                        "cents": _pa.array(grp["cents"], _pa.int64()),
+                    }
+                ),
+                fp,
+            )
+            data_entries.append((fp, st, len(grp)))
+            for pos in grp.index[grp["o_orderkey"] % 7 == 0]:
+                del_rows.append((fp, int(pos)))
+        pd_path = os.path.join(ddir, "pos-deletes.parquet")
+        _pq.write_table(
+            _pa.table(
+                {
+                    "file_path": _pa.array([f for f, _ in del_rows]),
+                    "pos": _pa.array([p for _, p in del_rows], _pa.int64()),
+                }
+            ),
+            pd_path,
+        )
+
+        man_schema = {
+            "type": "record",
+            "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int"},
+                {
+                    "name": "snapshot_id",
+                    "type": ["null", "long"],
+                    "default": None,
+                },
+                {
+                    "name": "data_file",
+                    "type": {
+                        "type": "record",
+                        "name": "r2",
+                        "fields": [
+                            {"name": "content", "type": "int"},
+                            {"name": "file_path", "type": "string"},
+                            {"name": "file_format", "type": "string"},
+                            {
+                                "name": "partition",
+                                "type": {
+                                    "type": "record",
+                                    "name": "r102",
+                                    "fields": [
+                                        {
+                                            "name": "o_orderstatus",
+                                            "type": ["null", "string"],
+                                            "default": None,
+                                        }
+                                    ],
+                                },
+                            },
+                            {"name": "record_count", "type": "long"},
+                            {"name": "file_size_in_bytes", "type": "long"},
+                        ],
+                    },
+                },
+            ],
+        }
+        mlist_schema = {
+            "type": "record",
+            "name": "manifest_file",
+            "fields": [
+                {"name": "manifest_path", "type": "string"},
+                {"name": "manifest_length", "type": "long"},
+                {"name": "partition_spec_id", "type": "int"},
+                {"name": "content", "type": "int"},
+                {"name": "added_snapshot_id", "type": "long"},
+            ],
+        }
+
+        def _manifest(name, entries, content):
+            p = os.path.join(mdir, name)
+            write_avro(
+                [
+                    {
+                        "status": st,
+                        "snapshot_id": None,
+                        "data_file": {
+                            "content": content,
+                            "file_path": fp,
+                            "file_format": "PARQUET",
+                            "partition": {"o_orderstatus": pv},
+                            "record_count": n,
+                            "file_size_in_bytes": os.path.getsize(fp),
+                        },
+                    }
+                    for st, fp, pv, n in entries
+                ],
+                man_schema,
+                p,
+            )
+            return p
+
+        def _snapshot(snap_id, manifests, contents):
+            mlist = os.path.join(mdir, f"snap-{snap_id}.avro")
+            write_avro(
+                [
+                    {
+                        "manifest_path": m,
+                        "manifest_length": os.path.getsize(m),
+                        "partition_spec_id": 0,
+                        "content": c,
+                        "added_snapshot_id": snap_id,
+                    }
+                    for m, c in zip(manifests, contents)
+                ],
+                mlist_schema,
+                mlist,
+            )
+            return {
+                "snapshot-id": snap_id,
+                "timestamp-ms": 1700000000000 + snap_id,
+                "manifest-list": mlist,
+                "summary": {
+                    "operation": "append" if snap_id == 100 else "delete"
+                },
+            }
+
+        m1 = _manifest(
+            "m1.avro", [(1, fp, st, n) for fp, st, n in data_entries], 0
+        )
+        m1b = _manifest(
+            "m1b.avro", [(0, fp, st, n) for fp, st, n in data_entries], 0
+        )
+        md = _manifest(
+            "md.avro", [(1, pd_path, None, len(del_rows))], 1
+        )
+        snaps = [
+            _snapshot(100, [m1], [0]),
+            _snapshot(200, [m1b, md], [0, 1]),
+        ]
+        with open(os.path.join(mdir, "v1.metadata.json"), "w") as fh:
+            _json.dump(
+                {
+                    "format-version": 2,
+                    "table-uuid": "0" * 32,
+                    "location": table,
+                    "last-column-id": 3,
+                    "schemas": [
+                        {
+                            "type": "struct",
+                            "schema-id": 0,
+                            "fields": [
+                                {
+                                    "id": 1,
+                                    "name": "o_orderkey",
+                                    "required": False,
+                                    "type": "long",
+                                },
+                                {
+                                    "id": 2,
+                                    "name": "o_orderstatus",
+                                    "required": False,
+                                    "type": "string",
+                                },
+                                {
+                                    "id": 3,
+                                    "name": "cents",
+                                    "required": False,
+                                    "type": "long",
+                                },
+                            ],
+                        }
+                    ],
+                    "current-schema-id": 0,
+                    "partition-specs": [
+                        {
+                            "spec-id": 0,
+                            "fields": [
+                                {
+                                    "name": "o_orderstatus",
+                                    "transform": "identity",
+                                    "source-id": 2,
+                                    "field-id": 1000,
+                                }
+                            ],
+                        }
+                    ],
+                    "default-spec-id": 0,
+                    "snapshots": snaps,
+                    "current-snapshot-id": 200,
+                },
+                fh,
+            )
+        with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+            fh.write("1")
+
+        def _rollup(df: DataFrame, label: str) -> DataFrame:
+            return df.groupBy("o_orderstatus").agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("cents").alias("sum_cents"),
+            ).select(F.lit(label).alias("snapshot"), "*")
+
+        result = (
+            _rollup(
+                read_iceberg_table(spark, table, snapshot_id=100), "s1"
+            )
+            .unionByName(_rollup(read_iceberg_table(spark, table), "latest"))
+            .orderBy("snapshot", "o_orderstatus")
+        )
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ICEBERG_READ_DELETES_ORACLE = """
+WITH o AS (
+    SELECT o_orderkey, o_orderstatus,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+), snaps AS (
+    SELECT 's1' AS snapshot, o_orderstatus, cents
+    FROM o WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 'latest', o_orderstatus, cents
+    FROM o WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0
+)
+SELECT snapshot, o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM snaps
+GROUP BY snapshot, o_orderstatus
+ORDER BY snapshot, o_orderstatus
+"""
+
+
 QUERIES = {
     "ab_test_conversion": ab_test_conversion,
     "cdf_row_changes": cdf_row_changes,
     "delta_read_snapshot": delta_read_snapshot,
     "iceberg_read_snapshot": iceberg_read_snapshot,
+    "iceberg_read_deletes": iceberg_read_deletes,
     "sketch_cms_brand_counts": sketch_cms_brand_counts,
     "agg_entropy_gini": agg_entropy_gini,
     "agg_bitmap_distinct": agg_bitmap_distinct,
@@ -1156,6 +1453,7 @@ ORACLES = {
     "cdf_row_changes": CDF_ROW_CHANGES_ORACLE,
     "delta_read_snapshot": DELTA_READ_SNAPSHOT_ORACLE,
     "iceberg_read_snapshot": ICEBERG_READ_SNAPSHOT_ORACLE,
+    "iceberg_read_deletes": ICEBERG_READ_DELETES_ORACLE,
     "agg_entropy_gini": AGG_ENTROPY_GINI_ORACLE,
     "agg_bitmap_distinct": AGG_BITMAP_DISTINCT_ORACLE,
     "agg_stats": AGG_STATS_ORACLE,

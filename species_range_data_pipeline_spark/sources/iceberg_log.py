@@ -30,10 +30,13 @@ Honest support boundary — everything below raises loudly, never
 returns wrong rows:
 
 - **format-version 1 and 2 only**; v3+ is refused.
-- **No row-level deletes**: a delete manifest (``content=1`` in the
-  manifest list) or a delete data file (``content != 0`` in an entry)
-  is refused — reading the data files while ignoring deletes would
-  resurrect deleted rows.
+- **v2 POSITION deletes are applied** (r17): position-delete files —
+  ordinary parquet of ``(file_path, pos)`` — are read and masked out
+  via a broadcast anti-join on ``_metadata.file_path``/``row_index``
+  (``_apply_position_deletes``).  **Equality deletes are refused**:
+  applying them needs sequence-number-scoped value comparison this
+  reader does not implement, and ignoring them would resurrect
+  deleted rows.
 - **Parquet data files only** (``file_format`` must be PARQUET).
 - **Name-based column resolution**: parquet columns are matched to the
   table schema by NAME, not Iceberg field id.  A table whose columns
@@ -270,22 +273,20 @@ def _identity_partition_fields(meta: dict) -> dict[int, list[tuple[str, int]]]:
     }
 
 
-def _manifest_entries(path: str, snapshot: dict):
-    """Yield (data_file dict, spec_id) for every LIVE entry reachable
-    from the snapshot, enforcing the no-deletes / parquet-only rules."""
+def _walk_entries(path: str, snapshot: dict):
+    """Yield (kind, data_file dict, spec_id) for every LIVE entry
+    reachable from the snapshot — kind is ``'data'`` or ``'posdel'``
+    (a v2 position-delete file).  Equality deletes and non-parquet
+    files are refused: applying them needs value comparison semantics
+    this reader does not implement, and ignoring them would resurrect
+    deleted rows."""
     if not snapshot:
         return
     mlist_path = _resolve(path, snapshot["manifest-list"])
     with open(mlist_path, "rb") as fh:
         _, manifests = parse_avro(fh.read())
     for m in manifests:
-        if m.get("content", 0) == 1:
-            raise NotImplementedError(
-                f"Iceberg table at {path!r} has a DELETE manifest"
-                f" ({m['manifest_path']!r}); row-level deletes are not"
-                " applied by this reader — reading the data files alone"
-                " would resurrect deleted rows."
-            )
+        is_delete_manifest = m.get("content", 0) == 1
         man_path = _resolve(path, m["manifest_path"])
         with open(man_path, "rb") as fh:
             _, entries = parse_avro(fh.read())
@@ -293,10 +294,25 @@ def _manifest_entries(path: str, snapshot: dict):
             if e.get("status") == 2:  # DELETED entry: file left the table
                 continue
             df = e["data_file"]
-            if df.get("content", 0) != 0:
+            content = df.get("content", 0)
+            if content == 2:
                 raise NotImplementedError(
-                    f"delete data file {df['file_path']!r} (content="
-                    f"{df['content']}); row-level deletes unsupported."
+                    f"equality-delete file {df['file_path']!r} in"
+                    f" {path!r}; equality deletes are not applied by"
+                    " this reader (position deletes are) — reading the"
+                    " data files alone would resurrect deleted rows."
+                )
+            if content not in (0, 1):
+                raise NotImplementedError(
+                    f"file {df['file_path']!r} has unknown content code"
+                    f" {content}; refusing rather than guessing."
+                )
+            if is_delete_manifest != (content == 1):
+                raise NotImplementedError(
+                    f"manifest {m['manifest_path']!r} content flag"
+                    f" disagrees with entry content code"
+                    f" ({is_delete_manifest=}, {content=}); corrupt"
+                    " metadata is refused."
                 )
             if str(df.get("file_format", "")).upper() != "PARQUET":
                 raise NotImplementedError(
@@ -304,7 +320,29 @@ def _manifest_entries(path: str, snapshot: dict):
                     f" {df.get('file_format')!r}; only PARQUET data"
                     " files are readable here."
                 )
-            yield df, m.get("partition_spec_id", 0)
+            yield (
+                "posdel" if content == 1 else "data",
+                df,
+                m.get("partition_spec_id", 0),
+            )
+
+
+def _manifest_entries(path: str, snapshot: dict):
+    """Yield (data_file dict, spec_id) for every LIVE DATA entry."""
+    for kind, df, spec_id in _walk_entries(path, snapshot):
+        if kind == "data":
+            yield df, spec_id
+
+
+def _position_delete_files(path: str, snapshot: dict) -> list[str]:
+    """Absolute paths of the snapshot's v2 position-delete files
+    (ordinary parquet of ``(file_path, pos)`` per the spec; the
+    optional ``row`` payload is ignored — only the key matters)."""
+    return sorted(
+        _resolve(path, df["file_path"])
+        for kind, df, _sid in _walk_entries(path, snapshot)
+        if kind == "posdel"
+    )
 
 
 def _decode_bound(raw, ice_type):
@@ -431,6 +469,54 @@ def iceberg_scan_files(
     )
 
 
+def _apply_position_deletes(
+    spark: SparkSession, df: DataFrame, delete_files: list[str]
+) -> DataFrame:
+    """Filter out rows masked by v2 position-delete files: a BROADCAST
+    LEFT ANTI join on (normalized data-file path, row position).
+
+    Scale shape: the delete files are log-scoped (a merge-on-read
+    writer keeps them small and compacts them away), so the delete
+    side broadcasts; the data side stays ONE parquet scan with two
+    metadata columns (``_metadata.file_path``/``row_index``) — stock
+    Spark, no extra shuffle.  Keys: the scan's ``_metadata.file_path``
+    is the percent-encoded Hadoop URI, so it is scheme-stripped and
+    URI-decoded; the delete rows' ``file_path`` is the writer's plain
+    location string, so it is scheme-stripped only.  Joining on the
+    FULL path (not the basename) means a delete row aimed at a
+    removed/rewritten file simply never matches — position deletes
+    apply by exact file identity, and Iceberg never reuses a data-file
+    path, so sequence-number bookkeeping is not needed for position
+    (it is for equality deletes, which this reader refuses)."""
+    data_path = F.url_decode(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:(//)?", ""
+            ),
+            r"\+",
+            "%2B",
+        )
+    )
+    dels = spark.read.parquet(*delete_files).select(
+        F.regexp_replace(F.col("file_path"), "^file:(//)?", "").alias(
+            "__del_path"
+        ),
+        F.col("pos").alias("__del_pos"),
+    )
+    cols = df.columns
+    return (
+        df.withColumn("__row_path", data_path)
+        .withColumn("__row_pos", F.col("_metadata.row_index"))
+        .join(
+            F.broadcast(dels),
+            (F.col("__row_path") == F.col("__del_path"))
+            & (F.col("__row_pos") == F.col("__del_pos")),
+            "left_anti",
+        )
+        .select(*cols)
+    )
+
+
 def _probe_identity_columns(
     path: str,
     files: list[str],
@@ -495,6 +581,7 @@ def _read_with_restored_partitions(
     info: dict[str, tuple[int, dict]],
     pairs: list[tuple[str, str]],
     schema,
+    delete_files: list[str] | None = None,
 ) -> DataFrame:
     """Read migrated data files (identity source columns NOT in-file)
     and restore the partition values from the manifest tuples — the
@@ -531,9 +618,13 @@ def _read_with_restored_partitions(
     ]
     pv_df = spark.createDataFrame(pv_rows, pv_struct)
     df = spark.read.schema(data_schema).parquet(*files)
+    df = df.withColumn("__ice_file", decoded_file_basename())
+    if delete_files:
+        # position deletes apply to the raw scan (the _metadata columns
+        # the anti-join keys on live only there), before restoration
+        df = _apply_position_deletes(spark, df, delete_files)
     return (
-        df.withColumn("__ice_file", decoded_file_basename())
-        .join(F.broadcast(pv_df), "__ice_file")
+        df.join(F.broadcast(pv_df), "__ice_file")
         .select(
             *[
                 F.col(f"__pv_{f.name}").alias(f.name)
@@ -592,6 +683,8 @@ def read_iceberg_table(
         df = spark.createDataFrame([], schema)
         return df if pred is None else df.where(pred)
 
+    snapshot = _select_snapshot(meta, path, snapshot_id)
+    dels = _position_delete_files(path, snapshot)
     id_fields = _identity_partition_fields(meta)
     by_id = {f["id"]: f for f in schema_dict["fields"]}
     # spec -> identity (partition field name, resolved source column)
@@ -604,7 +697,6 @@ def read_iceberg_table(
         for sid, pairs in id_fields.items()
     }
     if any(needed.get(sid) for sid in needed):
-        snapshot = _select_snapshot(meta, path, snapshot_id)
         info = {
             _resolve(path, d["file_path"]): (sid, d.get("partition") or {})
             for d, sid in _manifest_entries(path, snapshot)
@@ -612,10 +704,12 @@ def read_iceberg_table(
         restore = _probe_identity_columns(path, files, info, needed)
         if restore is not None:
             df = _read_with_restored_partitions(
-                spark, files, info, needed[restore], schema
+                spark, files, info, needed[restore], schema, dels
             )
             return df if pred is None else df.where(pred)
     df = spark.read.schema(schema).parquet(*files)
+    if dels:
+        df = _apply_position_deletes(spark, df, dels)
     return df if pred is None else df.where(pred)
 
 

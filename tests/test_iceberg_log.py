@@ -308,22 +308,25 @@ def test_refusals_are_loud(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="format-version 3"):
         read_iceberg_table(spark, b.root)
 
-    # delete manifest in the manifest list (content=1)
+    # manifest-list content flag disagreeing with the entry content
+    # code (a delete manifest holding a plain data file): corrupt
+    # metadata, refused rather than guessed around
     b = _Builder(str(tmp_path / "delm"))
     f = b.data_file("f.parquet", [1], 2020)
     m = b.manifest("m.avro", [(1, f, {"year": 2020}, 1, 0)])
     b.snapshot(1, [m], contents=[1])
     b.commit(current_snapshot_id=1)
-    with pytest.raises(NotImplementedError, match="DELETE manifest"):
+    with pytest.raises(NotImplementedError, match="content flag disagrees"):
         read_iceberg_table(spark, b.root)
 
-    # delete data file (content=2, equality deletes)
+    # equality-delete file (content=2): still refused (position deletes
+    # are applied since r17; equality semantics are not implemented)
     b = _Builder(str(tmp_path / "deldf"))
     f = b.data_file("f.parquet", [1], 2020)
     m = b.manifest("m.avro", [(1, f, {"year": 2020}, 1, 2)])
-    b.snapshot(1, [m])
+    b.snapshot(1, [m], contents=[1])
     b.commit(current_snapshot_id=1)
-    with pytest.raises(NotImplementedError, match="delete data file"):
+    with pytest.raises(NotImplementedError, match="equality-delete"):
         read_iceberg_table(spark, b.root)
 
     # non-parquet data file
@@ -917,3 +920,112 @@ def test_migrated_table_mixed_layout_refused(spark, tmp_path):
     b.commit(current_snapshot_id=100)
     with pytest.raises(NotImplementedError, match="disagree"):
         read_iceberg_table(spark, root)
+
+
+def _mor_table(tmp_path, name="mor"):
+    """v2 merge-on-read table: snapshot 100 = 6 rows across two data
+    files; snapshot 200 adds a position-delete file masking k=2,4
+    (positions 1,3 of f2020) and k=6 (position 1 of f2021), plus one
+    delete row aimed at a path not in the snapshot (must no-op)."""
+    b = _Builder(str(tmp_path / name))
+    f20 = b.data_file("f2020.parquet", [1, 2, 3, 4], 2020)
+    f21 = b.data_file("f2021.parquet", [5, 6], 2021)
+    m1 = b.manifest(
+        "m1.avro",
+        [
+            (1, f20, {"year": 2020}, 4, 0),
+            (1, f21, {"year": 2021}, 2, 0),
+        ],
+    )
+    b.snapshot(100, [m1])
+    pd_path = os.path.join(b.root, "data", "pd1.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": [
+                    f20,
+                    f20,
+                    f21,
+                    os.path.join(b.root, "data", "rewritten-away.parquet"),
+                ],
+                "pos": pa.array([1, 3, 1, 0], pa.int64()),
+            }
+        ),
+        pd_path,
+    )
+    md = b.manifest("md.avro", [(1, pd_path, {"year": None}, 4, 1)])
+    b.snapshot(200, [m1, md], contents=[0, 1])
+    b.commit(current_snapshot_id=200)
+    return b
+
+
+def test_position_deletes_applied(spark, tmp_path):
+    """v2 merge-on-read position deletes: masked rows vanish from the
+    current snapshot, time travel before the delete still sees them,
+    and a delete row aimed at a file outside the snapshot no-ops."""
+    b = _mor_table(tmp_path)
+
+    latest = {(r.k, r.year) for r in read_iceberg_table(spark, b.root).collect()}
+    assert latest == {(1, 2020), (3, 2020), (5, 2021)}
+
+    old = {r.k for r in read_iceberg_table(spark, b.root, snapshot_id=100).collect()}
+    assert old == {1, 2, 3, 4, 5, 6}
+
+    # partition pruning + the delete mask compose
+    got = {
+        r.k
+        for r in read_iceberg_table(
+            spark, b.root, filters=[("year", "=", 2020)]
+        ).collect()
+    }
+    assert got == {1, 3}
+
+
+def test_position_delete_plan_is_broadcast_anti_join(spark, tmp_path):
+    """Plan pin: the delete mask is a BROADCAST left-anti join — ONE
+    scan of the data files plus the log-sized delete-file scan on the
+    broadcast side; never a SortMergeJoin exchange."""
+    import contextlib
+    import io
+    import re as _re
+
+    b = _mor_table(tmp_path, "morplan")
+    df = read_iceberg_table(spark, b.root)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan  # data + deletes
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_position_deletes_compose_with_migrated_restore(spark, tmp_path):
+    """Position deletes apply on the raw scan even when the table also
+    needs migrated-layout partition restoration."""
+    root = str(tmp_path / "mormig")
+    b = _Builder(root)
+    fp = os.path.join(root, "data", "m2020.parquet")
+    pq.write_table(  # migrated: NO year column in-file
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3], pa.int64()),
+                "v": ["a", "b", "c"],
+            }
+        ),
+        fp,
+    )
+    m1 = b.manifest("m1.avro", [(1, fp, {"year": 2020}, 3, 0)])
+    b.snapshot(100, [m1])
+    pd_path = os.path.join(root, "data", "pd.parquet")
+    pq.write_table(
+        pa.table({"file_path": [fp], "pos": pa.array([1], pa.int64())}),
+        pd_path,
+    )
+    md = b.manifest("md.avro", [(1, pd_path, {"year": None}, 1, 1)])
+    b.snapshot(200, [m1, md], contents=[0, 1])
+    b.commit(current_snapshot_id=200)
+
+    got = {(r.k, r.year, r.v) for r in read_iceberg_table(spark, root).collect()}
+    assert got == {(1, 2020, "a"), (3, 2020, "c")}
