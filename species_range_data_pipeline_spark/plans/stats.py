@@ -1127,6 +1127,190 @@ ORDER BY snapshot, o_orderstatus
 """
 
 
+def delta_read_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta deletion-vector interop under a driver hash (VERDICT r16
+    next #3) — the merge-on-read twin of ``delta_read_snapshot`` (which
+    covers remove/add rewrite history): a Delta-layout table is staged
+    from the orders fixture with a protocol-v3 ``deletionVectors`` log,
+
+    - v0: one COMPLETE parquet data file per ``o_orderpriority``
+      partition, rows written in ascending ``o_orderkey`` order (so
+      row positions are deterministic);
+    - v1: each file's version is replaced (same-commit remove + add)
+      by one carrying a DELETION VECTOR masking every row with
+      ``o_orderkey % 7 == 0`` — real spec-shaped DVs: Z85-encoded
+      storageType='u' files with CRC-checked RoaringBitmapArray
+      payloads for most partitions, and an INLINE ('i') descriptor for
+      the lexicographically first partition so both storage types sit
+      under the hash.
+
+    Read back through ``read_delta_table``: the masked positions are
+    filtered via a broadcast anti-join on ``_metadata.row_index``
+    (``delta_log._apply_deletion_vectors``), composed with the
+    partition-value restore join.  The rollup pins BOTH versions, so
+    the hash covers the (path, DV uid) action keying, the Z85 +
+    roaring decode (``sources/dv.py``), and time travel across a DV
+    commit; the oracle recomputes both states relationally.
+    """
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from ..sources.delta_log import read_delta_table
+    from ..sources.dv import make_inline_descriptor, make_uuid_descriptor
+
+    pdf = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .toPandas()
+        .sort_values("o_orderkey", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    root = tempfile.mkdtemp(prefix="delta_read_dv_")
+    table = os.path.join(root, "table")
+    os.makedirs(os.path.join(table, "_delta_log"))
+    try:
+        schema_json = _json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": n,
+                        "type": t,
+                        "nullable": True,
+                        "metadata": {},
+                    }
+                    for n, t in (
+                        ("o_orderkey", "long"),
+                        ("o_orderpriority", "string"),
+                        ("cents", "long"),
+                    )
+                ],
+            }
+        )
+
+        def _commit(version: int, actions: list[dict]) -> None:
+            p = os.path.join(
+                table, "_delta_log", f"{version:020d}.json"
+            )
+            with open(p, "w") as fh:
+                for a in actions:
+                    fh.write(_json.dumps(a) + "\n")
+
+        adds = []  # (rel, priority, positions-to-mask)
+        for i, (prio, grp) in enumerate(
+            pdf.groupby("o_orderpriority", sort=True)
+        ):
+            grp = grp.reset_index(drop=True)
+            rel = f"o_orderpriority={prio}/part-{i:04d}.parquet"
+            fpath = os.path.join(table, rel)
+            os.makedirs(os.path.dirname(fpath), exist_ok=True)
+            _pq.write_table(
+                _pa.table(
+                    {
+                        "o_orderkey": _pa.array(
+                            grp["o_orderkey"], _pa.int64()
+                        ),
+                        "cents": _pa.array(grp["cents"], _pa.int64()),
+                    }
+                ),
+                fpath,
+            )
+            mask = [int(p) for p in grp.index[grp["o_orderkey"] % 7 == 0]]
+            adds.append((rel, prio, mask))
+
+        def _add(rel: str, prio: str, dv: dict | None) -> dict:
+            a = {
+                "path": rel,
+                "partitionValues": {"o_orderpriority": prio},
+                "size": os.path.getsize(os.path.join(table, rel)),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+            if dv is not None:
+                a["deletionVector"] = dv
+            return {"add": a}
+
+        _commit(
+            0,
+            [
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["deletionVectors"],
+                        "writerFeatures": ["deletionVectors"],
+                    }
+                },
+                {
+                    "metaData": {
+                        "id": "0" * 32,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": schema_json,
+                        "partitionColumns": ["o_orderpriority"],
+                        "configuration": {},
+                    }
+                },
+                *[_add(rel, prio, None) for rel, prio, _m in adds],
+            ],
+        )
+        # v1: every file's version replaced by one carrying its DV
+        # (inline for the first partition, 'u' files for the rest)
+        actions = []
+        for j, (rel, prio, mask) in enumerate(adds):
+            dv = (
+                make_inline_descriptor(mask)
+                if j == 0
+                else make_uuid_descriptor(table, mask)
+            )
+            actions.append(_add(rel, prio, dv))
+            actions.append({"remove": {"path": rel, "dataChange": True}})
+        _commit(1, actions)
+
+        def _rollup(df: DataFrame, label: str) -> DataFrame:
+            return df.groupBy("o_orderpriority").agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("cents").alias("sum_cents"),
+            ).select(F.lit(label).alias("snapshot"), "*")
+
+        result = (
+            _rollup(read_delta_table(spark, table, version=0), "v0")
+            .unionByName(_rollup(read_delta_table(spark, table), "latest"))
+            .orderBy("snapshot", "o_orderpriority")
+        )
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+DELTA_READ_DV_ORACLE = """
+WITH o AS (
+    SELECT o_orderkey, o_orderpriority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+), snaps AS (
+    SELECT 'v0' AS snapshot, o_orderpriority, cents FROM o
+    UNION ALL
+    SELECT 'latest', o_orderpriority, cents
+    FROM o WHERE o_orderkey % 7 <> 0
+)
+SELECT snapshot, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM snaps
+GROUP BY snapshot, o_orderpriority
+ORDER BY snapshot, o_orderpriority
+"""
+
+
 def iceberg_read_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg v2 merge-on-read interop under a driver hash (VERDICT
     r16 next #2) — the row-level-delete twin of ``iceberg_read_snapshot``
@@ -1429,6 +1613,7 @@ QUERIES = {
     "delta_read_snapshot": delta_read_snapshot,
     "iceberg_read_snapshot": iceberg_read_snapshot,
     "iceberg_read_deletes": iceberg_read_deletes,
+    "delta_read_dv": delta_read_dv,
     "sketch_cms_brand_counts": sketch_cms_brand_counts,
     "agg_entropy_gini": agg_entropy_gini,
     "agg_bitmap_distinct": agg_bitmap_distinct,
@@ -1454,6 +1639,7 @@ ORACLES = {
     "delta_read_snapshot": DELTA_READ_SNAPSHOT_ORACLE,
     "iceberg_read_snapshot": ICEBERG_READ_SNAPSHOT_ORACLE,
     "iceberg_read_deletes": ICEBERG_READ_DELETES_ORACLE,
+    "delta_read_dv": DELTA_READ_DV_ORACLE,
     "agg_entropy_gini": AGG_ENTROPY_GINI_ORACLE,
     "agg_bitmap_distinct": AGG_BITMAP_DISTINCT_ORACLE,
     "agg_stats": AGG_STATS_ORACLE,

@@ -22,11 +22,18 @@ loudly, never returns wrong rows:
   from the newest complete checkpoint at or below the target).  The
   JSON tail after the chosen starting point must be contiguous; v2
   uuid-named checkpoints and sidecars are refused.
-- **Reader protocol version 1 only.**  ``minReaderVersion > 1`` (and
-  the table features it gates: column mapping, deletion vectors,
-  timestampNtz, v2 checkpoints) is refused; an ``add`` carrying a
-  ``deletionVector`` is refused even under a lying protocol, and a
-  ``metaData.configuration`` with column mapping enabled is refused.
+- **Reader protocol version 1, plus the deletionVectors feature.**
+  DVs are decoded (Z85 + 64-bit RoaringBitmapArray, ``sources/dv.py``)
+  and the masked row positions filtered out on read — a broadcast
+  anti-join on ``_metadata.row_index`` below a position budget, an
+  Arrow-batched filter over broadcast COMPRESSED bitmaps above it.
+  ``minReaderVersion=3`` is accepted iff ``readerFeatures`` is within
+  ``{deletionVectors}``; anything else (column mapping, timestampNtz,
+  v2 checkpoints — and ``minReaderVersion=2``) is refused, as is a
+  ``metaData.configuration`` with column mapping enabled.  File
+  actions replay keyed by (path, DV uid) per the spec, so a
+  same-commit remove/add DV rewrite reconstructs in either file
+  order.
 - **Read-only.**  No writer exists here by design — the engine's own
   table format (manifest_table) is the write path; this module exists
   so an external Delta-layout table can be SCANNED without conversion.
@@ -133,12 +140,21 @@ def decoded_file_basename():
 
 def _check_protocol(action: dict, path: str) -> None:
     v = action.get("minReaderVersion", 1)
-    if v > 1:
-        raise NotImplementedError(
-            f"Delta table at {path!r} requires minReaderVersion={v}; this"
-            " reader implements protocol version 1 only (no column"
-            " mapping, deletion vectors, or v2 checkpoints)."
-        )
+    if v <= 1:
+        return
+    feats = action.get("readerFeatures")
+    if v == 3 and feats is not None and set(feats) <= {"deletionVectors"}:
+        return  # r17: DVs are decoded and applied on read
+    # v=2 (column mapping), v=3 with features beyond deletionVectors,
+    # and a malformed v=3 protocol that omits readerFeatures (the spec
+    # requires it — without the list the table's needs are unknowable)
+    raise NotImplementedError(
+        f"Delta table at {path!r} requires minReaderVersion={v}"
+        f" with readerFeatures={sorted(feats) if feats else feats}; this"
+        " reader implements protocol version 1 plus the deletionVectors"
+        " table feature only (no column mapping, timestampNtz, or v2"
+        " checkpoints)."
+    )
 
 
 def _check_metadata(action: dict, path: str) -> None:
@@ -151,22 +167,37 @@ def _check_metadata(action: dict, path: str) -> None:
         )
 
 
-def _admit_add(add: dict, path: str, live: dict[str, dict]) -> None:
-    """Validate one add action (DV / absolute-path refusals) and fold it
-    into the live-file map (last add per path wins)."""
-    if add.get("deletionVector"):
+def _dv_uid(action: dict):
+    """The descriptor identity the Delta spec keys file actions by:
+    (path, DV unique id) — so a same-commit remove(path, old DV) +
+    add(path, new DV) pair reconstructs correctly in EITHER file
+    order (keying by path alone would drop the file whenever the add
+    preceded the remove)."""
+    dv = action.get("deletionVector")
+    if not dv or not dv.get("storageType"):
+        # absent, or a checkpoint's all-null struct rendering of absent
+        return None
+    if dv.get("storageType") not in ("u", "i", "p"):
         raise NotImplementedError(
-            f"file {add['path']!r} in {path!r} carries a deletion"
-            " vector; unsupported (reading the file without it would"
-            " resurrect deleted rows)."
+            f"deletion-vector storageType {dv.get('storageType')!r} is"
+            " not in the spec (expected 'u', 'i', or 'p')."
         )
+    return (dv.get("storageType"), dv.get("pathOrInlineDv"), dv.get("offset"))
+
+
+def _admit_add(add: dict, path: str, live: dict) -> None:
+    """Validate one add action (absolute-path refusal, DV descriptor
+    shape) and fold it into the live map keyed by (path, DV uid) per
+    the spec's reconstruction rule; the caller collapses to one entry
+    per path afterwards.  Deletion vectors are ADMITTED (r17) — the
+    read path decodes and applies them (``sources/dv.py``)."""
     rel = unquote(add["path"])
     if rel.startswith("/") or "://" in rel:
         raise NotImplementedError(
             f"absolute data-file path {rel!r} (shallow clone?); only"
             " table-relative paths are supported."
         )
-    live[rel] = add
+    live[(rel, _dv_uid(add))] = add
 
 
 def _load_checkpoint(part_files: list[str], path: str) -> dict:
@@ -272,7 +303,8 @@ def _replay(path: str, version: int | None = None) -> dict:
                 elif "add" in action:
                     _admit_add(action["add"], path, live)
                 elif "remove" in action:
-                    live.pop(unquote(action["remove"]["path"]), None)
+                    rm = action["remove"]
+                    live.pop((unquote(rm["path"]), _dv_uid(rm)), None)
                 # commitInfo / txn / cdc / domainMetadata: no effect on
                 # the snapshot a batch read sees
     if schema_json is None:
@@ -280,8 +312,21 @@ def _replay(path: str, version: int | None = None) -> dict:
             f"Delta log at {path!r} has no metaData action — cannot"
             " resolve a schema."
         )
+    # collapse the spec's (path, DV uid) keying back to one live add per
+    # path — a well-formed log removes the old (path, DV) pair when it
+    # rewrites a file's DV, so a duplicate here is writer corruption and
+    # reading EITHER version would be wrong rows
+    collapsed: dict[str, dict] = {}
+    for (rel, _uid), add in live.items():
+        if rel in collapsed:
+            raise ValueError(
+                f"Delta log at {path!r} leaves two live versions of"
+                f" {rel!r} (different deletion vectors, neither removed);"
+                " refusing a corrupt snapshot."
+            )
+        collapsed[rel] = add
     return {
-        "live": live,
+        "live": collapsed,
         "schema_json": schema_json,
         "partition_cols": partition_cols,
     }
@@ -352,6 +397,105 @@ def delta_scan_files(
     )
 
 
+#: above this many total deleted positions (summed descriptor
+#: cardinalities — log-sized information), the DV mask switches from a
+#: driver-exploded broadcast anti-join (all-JVM, zero Python in the hot
+#: path) to an Arrow-batched filter over BROADCAST COMPRESSED bitmaps
+#: decoded lazily per executor — the 100 TB shape, where materializing
+#: every position driver-side would be data-sized, not log-sized.
+_DV_BROADCAST_MAX_POSITIONS = 2_000_000
+
+
+def _apply_deletion_vectors(
+    spark: SparkSession, df: DataFrame, path: str, dv_map: dict[str, dict]
+) -> DataFrame:
+    """Mask rows deleted by the files' deletion vectors.  ``dv_map``
+    maps the ABSOLUTE data-file path (the decoded form of the scan's
+    ``_metadata.file_path``) to its descriptor.  Small tables: decode
+    driver-side and broadcast-anti-join on (path, row position) — the
+    same plan shape as the Iceberg position-delete mask.  Large DV
+    sets: ship the compressed bitmaps (roaring stays ~bytes-per-run)
+    in a broadcast and filter with an Arrow-batched pandas UDF that
+    decodes each file's bitmap once per executor, on demand."""
+    from .dv import dv_positions, load_dv_bytes
+
+    data_path = F.url_decode(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:(//)?", ""
+            ),
+            r"\+",
+            "%2B",
+        )
+    )
+    total = sum(d.get("cardinality") or 0 for d in dv_map.values())
+    cols = df.columns
+    if total <= _DV_BROADCAST_MAX_POSITIONS:
+        rows = [
+            (f, int(p))
+            for f, d in dv_map.items()
+            for p in dv_positions(path, d)
+        ]
+        dels = spark.createDataFrame(
+            rows, "__del_path string, __del_pos long"
+        )
+        return (
+            df.withColumn("__row_path", data_path)
+            .withColumn("__row_pos", F.col("_metadata.row_index"))
+            .join(
+                F.broadcast(dels),
+                (F.col("__row_path") == F.col("__del_path"))
+                & (F.col("__row_pos") == F.col("__del_pos")),
+                "left_anti",
+            )
+            .select(*cols)
+        )
+
+    blobs = {f: load_dv_bytes(path, d) for f, d in dv_map.items()}
+    bc = spark.sparkContext.broadcast(blobs)
+
+    def _keep_fn(fp, pos):
+        import numpy as np
+        import pandas as pd
+        from urllib.parse import unquote as _unq
+
+        from .dv import decode_rbm_array as _dec
+
+        cache: dict[str, object] = _keep_fn.__dict__.setdefault("_c", {})
+        keep = np.ones(len(fp), dtype=bool)
+        vals = pos.to_numpy(dtype=np.int64, na_value=-1).astype(np.uint64)
+        for f in fp.unique():
+            key = _unq(
+                f[7:] if f.startswith("file://") else
+                f[5:] if f.startswith("file:") else f
+            )
+            blob = bc.value.get(key)
+            if blob is None:
+                continue
+            if key not in cache:
+                cache[key] = _dec(blob)
+            sorted_pos = cache[key]
+            m = (fp == f).to_numpy()
+            v = vals[m]
+            i = np.searchsorted(sorted_pos, v)
+            hit = (i < len(sorted_pos)) & (
+                sorted_pos[np.minimum(i, len(sorted_pos) - 1)] == v
+            )
+            keep[m] = ~hit
+        return pd.Series(keep)
+
+    from pyspark.sql.pandas.functions import PandasUDFType
+
+    _dv_keep = F.pandas_udf(_keep_fn, "boolean", PandasUDFType.SCALAR)
+
+    return (
+        df.withColumn("__row_path", F.col("_metadata.file_path"))
+        .withColumn("__row_pos", F.col("_metadata.row_index"))
+        .where(_dv_keep(F.col("__row_path"), F.col("__row_pos")))
+        .select(*cols)
+    )
+
+
 def read_delta_table(
     spark: SparkSession,
     path: str,
@@ -390,6 +534,16 @@ def read_delta_table(
         [f for f in schema.fields if f.name not in pcols]
     )
     df = spark.read.schema(data_schema).parquet(*files)
+
+    # deletion-vector mask applies on the raw scan (the _metadata
+    # columns it keys on live only there), before partition restore
+    dv_map = {}
+    for f in files:
+        dvd = snap["live"][os.path.relpath(f, path)].get("deletionVector")
+        if dvd and dvd.get("storageType"):
+            dv_map[f] = dvd
+    if dv_map:
+        df = _apply_deletion_vectors(spark, df, path, dv_map)
 
     if pcols:
         base_of = {os.path.basename(f): f for f in files}

@@ -243,13 +243,36 @@ def test_refusals_are_loud(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="minReaderVersion=3"):
         read_delta_table(spark, t1)
 
-    # deletion vector on an add (even under a lying protocol)
+    # minReaderVersion=3 carrying a feature beyond deletionVectors
+    t1b = str(tmp_path / "r1b")
+    os.makedirs(t1b, exist_ok=True)
+    a = _data_file(t1b, "f.parquet", {"k": [1]})
+    _commit(
+        t1b,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors", "columnMapping"],
+                }
+            },
+            _meta([("k", "long")]),
+            a,
+        ],
+    )
+    with pytest.raises(NotImplementedError, match="columnMapping"):
+        read_delta_table(spark, t1b)
+
+    # deletion vector with an out-of-spec storageType (even under a
+    # lying protocol: the add itself is validated)
     t2 = str(tmp_path / "r2")
     os.makedirs(t2, exist_ok=True)
     a = _data_file(t2, "f.parquet", {"k": [1]})
-    a["add"]["deletionVector"] = {"storageType": "u", "pathOrInlineDv": "x"}
+    a["add"]["deletionVector"] = {"storageType": "z", "pathOrInlineDv": "x"}
     _commit(t2, 0, [_PROTOCOL, _meta([("k", "long")]), a])
-    with pytest.raises(NotImplementedError, match="deletion vector"):
+    with pytest.raises(NotImplementedError, match="storageType"):
         read_delta_table(spark, t2)
 
     # column mapping
@@ -758,3 +781,153 @@ def test_special_character_basenames_survive_partition_join(spark, tmp_path):
 
     got = {(r.k, r.y) for r in read_delta_table(spark, table).collect()}
     assert got == {(1, 2020), (2, 2020), (3, 2021)}
+
+
+_PROTOCOL_DV = {
+    "protocol": {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"],
+    }
+}
+
+
+def _dv_table(tmp_path, name="dv"):
+    """v0: two files (k 1..4 / k 10..13); v1: a DV masks positions 1,3
+    of f1 (k=2,4) — written ADD-BEFORE-REMOVE in the commit to pin the
+    spec's (path, DV uid) action keying; v2: an INLINE DV masks
+    position 0 of f2 (k=10)."""
+    from species_range_data_pipeline_spark.sources.dv import (
+        make_inline_descriptor,
+        make_uuid_descriptor,
+    )
+
+    table = str(tmp_path / name)
+    os.makedirs(table, exist_ok=True)
+    fields = [("k", "long"), ("v", "string")]
+    a1 = _data_file(
+        table, "f1.parquet", {"k": [1, 2, 3, 4], "v": ["a", "b", "c", "d"]}
+    )
+    a2 = _data_file(table, "f2.parquet", {"k": [10, 11, 12, 13],
+                                          "v": ["w", "x", "y", "z"]})
+    _commit(table, 0, [_PROTOCOL_DV, _meta(fields), a1, a2])
+
+    d1 = make_uuid_descriptor(table, [1, 3])
+    add_dv = {"add": dict(a1["add"], deletionVector=d1)}
+    rm_old = {"remove": {"path": "f1.parquet", "dataChange": True}}
+    _commit(table, 1, [add_dv, rm_old])  # add BEFORE remove, deliberately
+
+    d2 = make_inline_descriptor([0])
+    add_dv2 = {"add": dict(a2["add"], deletionVector=d2)}
+    rm_old2 = {"remove": {"path": "f2.parquet", "dataChange": True}}
+    _commit(table, 2, [rm_old2, add_dv2])
+    return table
+
+
+def test_deletion_vectors_masked_on_read(spark, tmp_path):
+    """File- and inline-stored DVs mask exactly their positions; time
+    travel before the DV still sees every row; the same-commit
+    remove/add pair reconstructs in either JSON order."""
+    table = _dv_table(tmp_path)
+
+    got = {(r.k, r.v) for r in read_delta_table(spark, table).collect()}
+    assert got == {(1, "a"), (3, "c"), (11, "x"), (12, "y"), (13, "z")}
+
+    v0 = {r.k for r in read_delta_table(spark, table, version=0).collect()}
+    assert v0 == {1, 2, 3, 4, 10, 11, 12, 13}
+    v1 = {r.k for r in read_delta_table(spark, table, version=1).collect()}
+    assert v1 == {1, 3, 10, 11, 12, 13}
+
+
+def test_deletion_vectors_arrow_path_matches_join_path(spark, tmp_path):
+    """Forcing the over-budget Arrow-batched bitmap filter produces the
+    same rows as the broadcast anti-join path."""
+    from species_range_data_pipeline_spark.sources import delta_log
+
+    table = _dv_table(tmp_path, "dvarrow")
+    expected = {(r.k, r.v) for r in read_delta_table(spark, table).collect()}
+
+    old = delta_log._DV_BROADCAST_MAX_POSITIONS
+    delta_log._DV_BROADCAST_MAX_POSITIONS = 0
+    try:
+        got = {(r.k, r.v) for r in read_delta_table(spark, table).collect()}
+    finally:
+        delta_log._DV_BROADCAST_MAX_POSITIONS = old
+    assert got == expected == {
+        (1, "a"), (3, "c"), (11, "x"), (12, "y"), (13, "z")
+    }
+
+
+def test_deletion_vectors_compose_with_partitions(spark, tmp_path):
+    """DV mask + partition-column restoration + partition pruning."""
+    from species_range_data_pipeline_spark.sources.dv import (
+        make_uuid_descriptor,
+    )
+
+    table = str(tmp_path / "dvp")
+    os.makedirs(os.path.join(table, "y=2020"), exist_ok=True)
+    fields = [("k", "long"), ("y", "integer")]
+    a = _data_file(table, "y=2020/p.parquet", {"k": [1, 2, 3]})
+    a["add"]["partitionValues"] = {"y": "2020"}
+    b = _data_file(table, "y=2021/q.parquet", {"k": [7, 8]})
+    b["add"]["partitionValues"] = {"y": "2021"}
+    _commit(
+        table, 0, [_PROTOCOL_DV, _meta(fields, partition_cols=["y"]), a, b]
+    )
+    d = make_uuid_descriptor(table, [1])  # masks k=2
+    _commit(
+        table,
+        1,
+        [
+            {"remove": {"path": "y=2020/p.parquet", "dataChange": True}},
+            {"add": dict(a["add"], deletionVector=d)},
+        ],
+    )
+    got = {(r.k, r.y) for r in read_delta_table(spark, table).collect()}
+    assert got == {(1, 2020), (3, 2020), (7, 2021), (8, 2021)}
+    got = {
+        (r.k, r.y)
+        for r in read_delta_table(
+            spark, table, filters=[("y", "=", 2020)]
+        ).collect()
+    }
+    assert got == {(1, 2020), (3, 2020)}
+
+
+def test_corrupt_dv_is_loud(spark, tmp_path):
+    """A DV whose bytes fail the CRC raises at read planning — never a
+    silent wrong row set."""
+    table = _dv_table(tmp_path, "dvbad")
+    (dv_file,) = [
+        os.path.join(table, n)
+        for n in os.listdir(table)
+        if n.startswith("deletion_vector_")
+    ]
+    blob = bytearray(open(dv_file, "rb").read())
+    blob[10] ^= 0xFF
+    open(dv_file, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="checksum"):
+        read_delta_table(spark, table).collect()
+
+
+def test_two_live_dv_versions_refused(tmp_path):
+    """A log that leaves two live (path, DV) pairs for one path is
+    writer corruption — refused, since either answer is wrong rows."""
+    from species_range_data_pipeline_spark.sources.delta_log import _replay
+    from species_range_data_pipeline_spark.sources.dv import (
+        make_inline_descriptor,
+    )
+
+    table = str(tmp_path / "dvdup")
+    os.makedirs(table, exist_ok=True)
+    a = _data_file(table, "f.parquet", {"k": [1, 2]})
+    _commit(table, 0, [_PROTOCOL_DV, _meta([("k", "long")]), a])
+    # v1 adds a DV'd version WITHOUT removing the bare one
+    _commit(
+        table,
+        1,
+        [{"add": dict(a["add"], deletionVector=make_inline_descriptor([0]))}],
+    )
+    with pytest.raises(ValueError, match="two live versions"):
+        _replay(table)
