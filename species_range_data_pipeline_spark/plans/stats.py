@@ -1127,6 +1127,203 @@ ORDER BY snapshot, o_orderstatus
 """
 
 
+def delta_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed interop over a foreign ``_delta_log`` under a
+    driver hash (VERDICT r16 next #4) — ``cdf_row_changes``' twin for
+    the Delta layout, reconstructed from the commit log alone via
+    ``delta_log.read_delta_changes`` (the manifest feed's multiset
+    algebra).  The staged history exercises every step shape:
+
+    - v0: one data file per ``o_orderpriority`` partition (position-
+      ordered, protocol v3 + deletionVectors);
+    - v1: the ``1-URGENT`` file removed — a pure-delete step;
+    - v2: the ``2-HIGH`` file REWRITTEN with ``cents`` doubled where
+      ``o_orderkey % 10 == 0`` — the net-multiset-diff step (carried
+      rows must cancel; each update = delete pre-image + insert
+      post-image);
+    - v3: a DELETION VECTOR on the ``3-MEDIUM`` file masking rows with
+      ``o_orderkey % 11 == 0`` — the DV-aware step (removed-under-old-
+      DV vs added-under-new-DV nets to exactly the newly-masked rows).
+
+    The result rolls up the feed per (version, change type); the
+    oracle restates all three steps relationally.  Scale: each step
+    reads only the files it touched; the diff is one shuffle.
+    """
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from ..sources.delta_log import read_delta_changes
+    from ..sources.dv import make_uuid_descriptor
+
+    pdf = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .toPandas()
+        .sort_values("o_orderkey", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    root = tempfile.mkdtemp(prefix="delta_read_changes_")
+    table = os.path.join(root, "table")
+    os.makedirs(os.path.join(table, "_delta_log"))
+    try:
+        schema_json = _json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {"name": n, "type": t, "nullable": True, "metadata": {}}
+                    for n, t in (
+                        ("o_orderkey", "long"),
+                        ("o_orderpriority", "string"),
+                        ("cents", "long"),
+                    )
+                ],
+            }
+        )
+
+        def _commit(version: int, actions: list[dict]) -> None:
+            p = os.path.join(table, "_delta_log", f"{version:020d}.json")
+            with open(p, "w") as fh:
+                for a in actions:
+                    fh.write(_json.dumps(a) + "\n")
+
+        def _write(rel: str, grp) -> None:
+            fpath = os.path.join(table, rel)
+            os.makedirs(os.path.dirname(fpath), exist_ok=True)
+            _pq.write_table(
+                _pa.table(
+                    {
+                        "o_orderkey": _pa.array(
+                            grp["o_orderkey"], _pa.int64()
+                        ),
+                        "cents": _pa.array(grp["cents"], _pa.int64()),
+                    }
+                ),
+                fpath,
+            )
+
+        def _add(rel: str, prio: str, dv: dict | None = None) -> dict:
+            a = {
+                "path": rel,
+                "partitionValues": {"o_orderpriority": prio},
+                "size": os.path.getsize(os.path.join(table, rel)),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+            if dv is not None:
+                a["deletionVector"] = dv
+            return {"add": a}
+
+        groups = {
+            prio: grp.reset_index(drop=True)
+            for prio, grp in pdf.groupby("o_orderpriority", sort=True)
+        }
+        rel_of = {
+            prio: f"o_orderpriority={prio}/part-{i:04d}.parquet"
+            for i, prio in enumerate(sorted(groups))
+        }
+        for prio, grp in groups.items():
+            _write(rel_of[prio], grp)
+        _commit(
+            0,
+            [
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["deletionVectors"],
+                        "writerFeatures": ["deletionVectors"],
+                    }
+                },
+                {
+                    "metaData": {
+                        "id": "0" * 32,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": schema_json,
+                        "partitionColumns": ["o_orderpriority"],
+                        "configuration": {},
+                    }
+                },
+                *[_add(rel_of[p], p) for p in sorted(groups)],
+            ],
+        )
+        # v1: pure delete of the urgent partition's file
+        _commit(
+            1,
+            [{"remove": {"path": rel_of["1-URGENT"], "dataChange": True}}],
+        )
+        # v2: rewrite 2-HIGH with cents doubled where key % 10 == 0
+        high = groups["2-HIGH"].copy()
+        high.loc[high["o_orderkey"] % 10 == 0, "cents"] *= 2
+        rel_high2 = "o_orderpriority=2-HIGH/part-rewrite.parquet"
+        _write(rel_high2, high)
+        _commit(
+            2,
+            [
+                _add(rel_high2, "2-HIGH"),
+                {"remove": {"path": rel_of["2-HIGH"], "dataChange": True}},
+            ],
+        )
+        # v3: DV on 3-MEDIUM masking key % 11 == 0 positions
+        med = groups["3-MEDIUM"]
+        mask = [int(p) for p in med.index[med["o_orderkey"] % 11 == 0]]
+        dv = make_uuid_descriptor(table, mask)
+        _commit(
+            3,
+            [
+                _add(rel_of["3-MEDIUM"], "3-MEDIUM", dv),
+                {"remove": {"path": rel_of["3-MEDIUM"], "dataChange": True}},
+            ],
+        )
+
+        result = (
+            read_delta_changes(spark, table, 0)
+            .groupBy("_commit_version", "_change_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .orderBy("_commit_version", "_change_type")
+        )
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+DELTA_READ_CHANGES_ORACLE = """
+WITH o AS (
+    SELECT o_orderkey, o_orderpriority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+), ch AS (
+    SELECT 1 AS v, 'delete' AS ct, cents FROM o
+    WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT 2, 'delete', cents FROM o
+    WHERE o_orderpriority = '2-HIGH' AND o_orderkey % 10 = 0
+    UNION ALL
+    SELECT 2, 'insert', cents * 2 FROM o
+    WHERE o_orderpriority = '2-HIGH' AND o_orderkey % 10 = 0
+    UNION ALL
+    SELECT 3, 'delete', cents FROM o
+    WHERE o_orderpriority = '3-MEDIUM' AND o_orderkey % 11 = 0
+)
+SELECT CAST(v AS INTEGER) AS _commit_version, ct AS _change_type,
+       count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM ch
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def delta_read_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta deletion-vector interop under a driver hash (VERDICT r16
     next #3) — the merge-on-read twin of ``delta_read_snapshot`` (which
@@ -1614,6 +1811,7 @@ QUERIES = {
     "iceberg_read_snapshot": iceberg_read_snapshot,
     "iceberg_read_deletes": iceberg_read_deletes,
     "delta_read_dv": delta_read_dv,
+    "delta_read_changes": delta_read_changes,
     "sketch_cms_brand_counts": sketch_cms_brand_counts,
     "agg_entropy_gini": agg_entropy_gini,
     "agg_bitmap_distinct": agg_bitmap_distinct,
@@ -1640,6 +1838,7 @@ ORACLES = {
     "iceberg_read_snapshot": ICEBERG_READ_SNAPSHOT_ORACLE,
     "iceberg_read_deletes": ICEBERG_READ_DELETES_ORACLE,
     "delta_read_dv": DELTA_READ_DV_ORACLE,
+    "delta_read_changes": DELTA_READ_CHANGES_ORACLE,
     "agg_entropy_gini": AGG_ENTROPY_GINI_ORACLE,
     "agg_bitmap_distinct": AGG_BITMAP_DISTINCT_ORACLE,
     "agg_stats": AGG_STATS_ORACLE,

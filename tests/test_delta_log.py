@@ -931,3 +931,127 @@ def test_two_live_dv_versions_refused(tmp_path):
     )
     with pytest.raises(ValueError, match="two live versions"):
         _replay(table)
+
+
+def _feed_table(tmp_path, name="feed"):
+    """v0: f1(k 1..3) + f2(k 10,11); v1: append f3(k 20); v2: rewrite
+    f1 -> f1b (k=2 dropped, 1/3 carried, 4 added); v3: DV on f2 masks
+    position 0 (k=10)."""
+    from species_range_data_pipeline_spark.sources.dv import (
+        make_uuid_descriptor,
+    )
+
+    table = str(tmp_path / name)
+    os.makedirs(table, exist_ok=True)
+    fields = [("k", "long"), ("v", "string")]
+    a1 = _data_file(table, "f1.parquet", {"k": [1, 2, 3], "v": ["a", "b", "c"]})
+    a2 = _data_file(table, "f2.parquet", {"k": [10, 11], "v": ["x", "y"]})
+    _commit(table, 0, [_PROTOCOL_DV, _meta(fields), a1, a2])
+    a3 = _data_file(table, "f3.parquet", {"k": [20], "v": ["t"]})
+    _commit(table, 1, [a3])
+    a1b = _data_file(
+        table, "f1b.parquet", {"k": [1, 3, 4], "v": ["a", "c", "d"]}
+    )
+    _commit(
+        table,
+        2,
+        [a1b, {"remove": {"path": "f1.parquet", "dataChange": True}}],
+    )
+    d = make_uuid_descriptor(table, [0])
+    _commit(
+        table,
+        3,
+        [
+            {"add": dict(a2["add"], deletionVector=d)},
+            {"remove": {"path": "f2.parquet", "dataChange": True}},
+        ],
+    )
+    return table
+
+
+def test_change_feed_over_foreign_delta_log(spark, tmp_path):
+    """read_delta_changes reconstructs row-level changes from the log
+    alone: appends stream through, a rewrite nets out carried rows, and
+    a DV step surfaces exactly its newly-masked rows as deletes."""
+    from species_range_data_pipeline_spark.sources.delta_log import (
+        read_delta_changes,
+    )
+
+    table = _feed_table(tmp_path)
+    feed = read_delta_changes(spark, table, 0).collect()
+    got = {(r.k, r.v, r._change_type, r._commit_version) for r in feed}
+    assert got == {
+        (20, "t", "insert", 1),
+        (2, "b", "delete", 2),
+        (4, "d", "insert", 2),
+        (10, "x", "delete", 3),
+    }
+    # sub-range: only the rewrite step
+    sub = read_delta_changes(spark, table, 1, 2).collect()
+    assert {(r.k, r._change_type) for r in sub} == {
+        (2, "delete"),
+        (4, "insert"),
+    }
+    with pytest.raises(ValueError, match="must exceed"):
+        read_delta_changes(spark, table, 3, 3)
+
+
+def test_change_feed_replays_to_snapshot(spark, tmp_path):
+    """Replay identity: multiset(snapshot(v)) + inserts - deletes over
+    (v, v'] equals multiset(snapshot(v')) for every version pair — the
+    same invariant the engine's own manifest feed pins."""
+    from collections import Counter
+
+    from species_range_data_pipeline_spark.sources.delta_log import (
+        read_delta_changes,
+    )
+
+    table = _feed_table(tmp_path, "feedid")
+
+    def rows_at(v):
+        return Counter(
+            (r.k, r.v)
+            for r in read_delta_table(spark, table, version=v).collect()
+        )
+
+    for frm in (0, 1, 2):
+        for to in range(frm + 1, 4):
+            state = Counter(rows_at(frm))
+            for r in read_delta_changes(spark, table, frm, to).collect():
+                key = (r.k, r.v)
+                if r._change_type == "insert":
+                    state[key] += 1
+                else:
+                    state[key] -= 1
+                    if state[key] == 0:
+                        del state[key]
+            assert state == rows_at(to), (frm, to)
+
+
+def test_midlog_rename_refused_add_column_reads(spark, tmp_path):
+    """Schema evolution boundary: a mid-log RENAME (illegal without
+    column mapping) is refused loudly instead of silently nulling the
+    renamed column; a legal ADD COLUMN still reads with nulls."""
+    table = str(tmp_path / "evo")
+    os.makedirs(table, exist_ok=True)
+    a = _data_file(table, "f0.parquet", {"k": [1, 2], "v": ["a", "b"]})
+    _commit(table, 0, [_PROTOCOL, _meta([("k", "long"), ("v", "string")]), a])
+    # v1: metadata-only RENAME v -> w (no column mapping)
+    _commit(table, 1, [_meta([("k", "long"), ("w", "string")])])
+    with pytest.raises(NotImplementedError, match="rename/drop"):
+        read_delta_table(spark, table).collect()
+    # version 0 still reads under its own schema
+    v0 = {(r.k, r.v) for r in read_delta_table(spark, table, version=0).collect()}
+    assert v0 == {(1, "a"), (2, "b")}
+
+    # legal evolution: ADD COLUMN, old files fill with null
+    table2 = str(tmp_path / "evo2")
+    os.makedirs(table2, exist_ok=True)
+    a = _data_file(table2, "f0.parquet", {"k": [1]})
+    _commit(table2, 0, [_PROTOCOL, _meta([("k", "long")]), a])
+    b = _data_file(table2, "f1.parquet", {"k": [2], "extra": [9]})
+    _commit(
+        table2, 1, [_meta([("k", "long"), ("extra", "long")]), b]
+    )
+    got = {(r.k, r.extra) for r in read_delta_table(spark, table2).collect()}
+    assert got == {(1, None), (2, 9)}
