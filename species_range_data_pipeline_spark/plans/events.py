@@ -643,6 +643,129 @@ ORDER BY v.user_id, view_id, click_id
 """
 
 
+def stream_delta_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FOREIGN-Delta-log streaming source driven end-to-end under a
+    driver hash (VERDICT r16 next #7): the events fixture is staged as
+    FOUR append commits of a hand-written ``_delta_log`` (the public
+    protocol layout — the same staging discipline as
+    ``delta_read_snapshot``) and tailed with the version-offset source
+    (``sources/delta_stream.py`` — one microbatch per commit, input
+    partitions = exactly the files each commit added, never a rescan).
+    A complete-mode tumbling aggregate accumulates across the four
+    version-batches and the drained memory sink is oracled like any
+    batch query — ``stream_manifest_tail``'s twin with the external
+    layout under test instead of the engine's own format.
+    """
+    import glob
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.delta_stream import register_delta_stream_source
+
+    register_delta_stream_source(spark)
+    sink = f"stream_delta_tail_{next(_STREAM_SINK_SEQ)}"
+    tmp = tempfile.mkdtemp(prefix="stream_delta_tail_")
+    try:
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "value"
+        )
+        table = os.path.join(tmp, "tbl")
+        os.makedirs(os.path.join(table, "_delta_log"))
+        for i in range(4):  # 4 commits -> 4 version-offset microbatches
+            stage = os.path.join(tmp, f"stage{i}")
+            events.where(F.col("event_id") % 4 == i).coalesce(
+                1
+            ).write.parquet(stage)
+            (src,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+            rel = f"part-{i:04d}.parquet"
+            shutil.copyfile(src, os.path.join(table, rel))
+            actions = []
+            if i == 0:
+                actions.append(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 1,
+                            "minWriterVersion": 2,
+                        }
+                    }
+                )
+                actions.append(
+                    {
+                        "metaData": {
+                            "id": "0" * 32,
+                            "format": {
+                                "provider": "parquet",
+                                "options": {},
+                            },
+                            "schemaString": events.schema.json(),
+                            "partitionColumns": [],
+                            "configuration": {},
+                        }
+                    }
+                )
+            actions.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": {},
+                        "size": os.path.getsize(os.path.join(table, rel)),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+            with open(
+                os.path.join(table, "_delta_log", f"{i:020d}.json"), "w"
+            ) as fh:
+                for a in actions:
+                    fh.write(_json.dumps(a) + "\n")
+
+        stream = (
+            spark.readStream.format("delta_tail")
+            .option("path", table)
+            .load()
+        )
+        agg = stream.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.table(sink)
+            .select(
+                F.date_format("w.start", _FMT).alias("window_start"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(sink)
+        except Exception:
+            pass
+    return out.orderBy("window_start", "event_type")
+
+
+# identical aggregate contract to stream_tumbling_counts — this lane
+# differs in the SOURCE under test (foreign _delta_log version tailing)
+STREAM_DELTA_TAIL_ORACLE = STREAM_TUMBLING_ORACLE
+
+
 def stream_manifest_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TABLE-FORMAT streaming source driven end-to-end under a
     driver hash: the events fixture is committed as FOUR versions of a
@@ -1286,6 +1409,7 @@ QUERIES = {
     "stream_interval_join": stream_interval_join,
     "stream_stateful_totals": stream_stateful_totals,
     "stream_manifest_tail": stream_manifest_tail,
+    "stream_delta_tail": stream_delta_tail,
     "ev_tumbling": ev_tumbling,
     "ev_time_weighted_avg": ev_time_weighted_avg,
     "ev_ohlc_bars": ev_ohlc_bars,
@@ -1311,6 +1435,7 @@ ORACLES = {
     "stream_interval_join": STREAM_INTERVAL_JOIN_ORACLE,
     "stream_stateful_totals": STREAM_STATEFUL_TOTALS_ORACLE,
     "stream_manifest_tail": STREAM_MANIFEST_TAIL_ORACLE,
+    "stream_delta_tail": STREAM_DELTA_TAIL_ORACLE,
     "ev_tumbling": EV_TUMBLING_ORACLE,
     "ev_time_weighted_avg": EV_TWA_ORACLE,
     "ev_ohlc_bars": EV_OHLC_ORACLE,
