@@ -44,67 +44,66 @@ _MODULE_NAMES = [
 # session MUST regenerate this block (run the script, paste its output
 # here, done) before the suite goes green.
 #
-# Round-15 window (eleventh rotation; built from CORRECTNESS_r01..r14):
-# first driver rows for the newly-registered retrieval_mmr_auto (the
-# size-dispatched MMR lane, VERDICT r14 next #3) and
-# text_decontaminate_purge_external (the purge lane's production
-# signature, VERDICT r14 next #2), then the ENTIRE r10-era tranche
-# (VERDICT r14 next #1 — 14 queries incl. 6 streaming lanes; after
-# this round the freshness floor moves to r11), then the stalest
-# r11/r12 rows with module fillers resolved within them (media/bpe
-# fix-ups at r12/r13).
-_WINDOW_BUILT_FROM = 15  # newest CORRECTNESS artifact consumed
+# Round-17 window (thirteenth rotation; built from CORRECTNESS_r01..r16):
+# first driver rows for the four r17 lakehouse-interop lanes —
+# iceberg_read_deletes (v2 position deletes), delta_read_dv (deletion
+# vectors), delta_read_changes (foreign-log CDF), stream_delta_tail
+# (foreign-log streaming source) — then the ENTIRE r12-era tranche
+# (VERDICT r16 next #1 — 17 queries incl. stream_tcp_restart; after
+# this round the freshness floor moves to r13), then the stalest r13
+# rows with module fillers resolved within them.
+_WINDOW_BUILT_FROM = 16  # newest CORRECTNESS artifact consumed
 _PRIORITY = [
-    "flagship_threshold_rollup",  # r15 (relational)
-    "delta_read_snapshot",  # FIRST driver row (stats)
-    "iceberg_read_snapshot",  # FIRST driver row (stats)
-    "agg_approx_distinct",  # r11 (advanced)
-    "agg_cube",  # r11 (advanced)
-    "str_fuzzy_match",  # r11 (scalar)
-    "stream_tcp_counts",  # r11 (events)
-    "text_bm25_topk",  # r11 (text)
-    "text_decontaminate",  # r11 (text)
-    "text_langid",  # r11 (text)
-    "text_pii_redact",  # r11 (text)
-    "window_lag_delta",  # r11 (relational)
-    "window_ntile_buckets",  # r11 (advanced)
-    "window_rolling_median",  # r11 (advanced)
-    "window_running_total",  # r11 (relational)
-    "window_topk_per_group",  # r11 (relational)
-    "window_trailing_range",  # r11 (advanced)
-    "window_value_frames",  # r11 (advanced)
-    "retrieval_rrf_fusion",  # r12 (retrieval)
-    "subtitle_cue_stats",  # r13 (media)
-    "bpe_train_merges",  # r14 (bpe)
-    "agg_minmax_by",  # r12 (stats)
-    "agg_stats",  # r12 (stats)
-    "basket_brand_pairs",  # r12 (mining)
-    "date_funcs",  # r12 (scalar)
-    "dedup_ngram_jaccard",  # r12 (text)
-    "doc_pack_sequences_sharded",  # r12 (packing)
-    "dq_checks",  # r12 (quality)
-    "emb_dedup_components_lsh",  # r12 (vectors)
-    "emb_near_dup_bruteforce",  # r12 (vectors)
-    "emb_norms",  # r12 (vectors)
-    "ev_gapfill",  # r12 (events)
-    "ev_ohlc_bars",  # r12 (events)
-    "ev_rollup_two_level",  # r12 (events)
-    "ev_sliding",  # r12 (events)
-    "ev_type_pivot",  # r12 (events)
-    "geo_haversine_nearest",  # r12 (geo)
-    "geo_raster_regrid",  # r12 (geo)
-    "geo_reproject_points",  # r12 (geo)
-    "hier_rollup",  # r12 (graph)
-    "hist_price_buckets",  # r12 (mining)
-    "join_nullsafe",  # r12 (advanced)
-    "json_variant_funcs",  # r12 (scalar)
-    "layout_zorder",  # r12 (mining)
-    "math_funcs",  # r12 (scalar)
-    "mv_incremental_refresh",  # r12 (stats)
-    "q14_promo_share",  # r12 (advanced)
-    "q18_large_orders",  # r12 (advanced)
-    "q19_disjunctive_predicates",  # r12 (advanced)
-    "q4_order_priority",  # r12 (tpch_extra)
+    "flagship_threshold_rollup",  # r16 (relational)
+    "delta_read_changes",  # FIRST driver row (stats)
+    "delta_read_dv",  # FIRST driver row (stats)
+    "iceberg_read_deletes",  # FIRST driver row (stats)
+    "stream_delta_tail",  # FIRST driver row (events)
+    "ab_test_conversion",  # r12 (stats)
+    "agg_bitmap_distinct",  # r12 (stats)
+    "agg_listagg",  # r12 (advanced)
+    "q7_nation_volume",  # r12 (advanced)
+    "regexp_group_funcs",  # r12 (scalar)
+    "sample_weighted",  # r12 (quality)
+    "setop_except_all",  # r12 (relational)
+    "setop_intersect_all",  # r12 (relational)
+    "str_funcs",  # r12 (scalar)
+    "stream_tcp_restart",  # r12 (events)
+    "text_fingerprint",  # r12 (text)
+    "text_quality",  # r12 (text)
+    "text_tfidf_topk",  # r12 (text)
+    "text_token_count",  # r12 (text)
+    "text_token_count_bpe",  # r12 (text)
+    "unpivot_measures",  # r12 (advanced)
+    "window_percent_dist",  # r12 (stats)
+    "retrieval_mmr_diversify",  # r13 (retrieval)
+    "q11_important_balance",  # r13 (tpch_extra)
+    "multimodal_ahash_dups",  # r14 (media)
+    "bpe_encode_tokens",  # r15 (bpe)
+    "dataset_shuffle_shards",  # r13 (packing)
+    "dedup_clusters_star",  # r13 (graph)
+    "dedup_incremental_minhash",  # r13 (text)
+    "dedup_lsh_bucket_stats",  # r13 (text)
+    "dedup_minhash_lsh",  # r13 (text)
+    "dedup_paragraphs",  # r13 (text)
+    "dedup_repeated_ngrams",  # r13 (text)
+    "dedup_simhash",  # r13 (text)
+    "dedup_substring_cut",  # r13 (text)
+    "doc_pack_ffd",  # r13 (packing)
+    "dq_outliers_iqr",  # r13 (quality)
+    "emb_kmeans",  # r13 (vectors)
+    "emb_label_centroids",  # r13 (vectors)
+    "emb_near_dup",  # r13 (vectors)
+    "emb_near_dup_lsh",  # r13 (vectors)
+    "emb_pca_project",  # r13 (vectors)
+    "emb_pq_topk",  # r13 (vectors)
+    "emb_quantize_topk",  # r13 (vectors)
+    "error_routing",  # r13 (scalar)
+    "ev_pattern_consecutive",  # r13 (mining)
+    "ev_time_weighted_avg",  # r13 (events)
+    "geo_dissolve_area_m2",  # r13 (geo)
+    "geo_point_in_polygon",  # r13 (geo)
+    "geo_range_overlap",  # r13 (geo)
 ]
 
 # Queries whose oracles are pure VALUES restatements of expected OUTPUT
