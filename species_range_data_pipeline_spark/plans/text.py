@@ -1880,19 +1880,27 @@ def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     RefinedWeb drop repeated spans, keeping the rest of the doc).
 
     Plan: hashed 6-token windows (scan-stage VARIADIC xxhash64, SCALE.md
-    rule 13) -> grams seen in >= 2 docs -> join back to flag every start
-    position whose window is shared -> flagged starts COLLECT per doc
-    (tiny int lists) -> one doc_id join back to the token arrays -> the
-    cut itself is pure per-doc array math in the scan stage: covered
-    positions are the union of [fpos, fpos+5] ranges, kept positions are
-    ``array_except(sequence(1, n), covered)`` (hash-set lookup, order of
-    the left operand preserved), and the cleaned string re-assembles
-    with transform + element_at.  The wide operations are the gram
-    shuffle (8-byte keys), the per-doc flag collect, and the doc_id
-    join; nothing token-level ever shuffles.  (The previous shape
-    exploded every token through a (doc_id, pos) join + ordered window +
-    collect_list reassembly — 2.5s at sf0.1 and the slowest headline
-    query; this form shuffles flags instead of tokens.)
+    rule 13) -> ONE shuffle of the windows by gram, where a min/max
+    window function flags every start whose gram is seen in >= 2
+    distinct docs (r17: the previous shape aggregated the grams AND
+    joined the windows back to the survivors — the same window set
+    shuffled by the same key twice; the rule-45 interleaved A/B
+    measured the window form at 0.84x median / 0.80x min with two
+    fewer jobs and byte-equal output) -> flagged starts COLLECT per
+    doc (tiny int lists) -> one doc_id join back to the token arrays
+    -> the cut itself is pure per-doc array math in the scan stage:
+    covered positions are the union of [fpos, fpos+5] ranges, kept
+    positions are ``array_except(sequence(1, n), covered)`` (hash-set
+    lookup, order of the left operand preserved), and the cleaned
+    string re-assembles with transform + element_at.  The wide
+    operations are the single gram shuffle (8-byte keys), the per-doc
+    flag collect, and the doc_id join; nothing token-level ever
+    shuffles.  Skew note: a boilerplate gram shared by many docs forms
+    one window group, which WindowExec buffers with disk spill above
+    its in-memory threshold — the adversarial identical-docs corpus is
+    pinned in tests/test_dedup_adversarial.py; a corpus whose hottest
+    gram outgrows one task's disk is the documented boundary (the old
+    agg+join shape merely moved the same key heat to a join reducer).
 
     Output is order-insensitive evidence: token counts before/after and
     the md5 of the cleaned text — the oracle rebuilds the identical
@@ -1914,16 +1922,16 @@ def substring_cut(docs: DataFrame, W: int = 6) -> DataFrame:
             F.expr(f"transform(sequence(1, size(t)-{W - 1}), i -> xxhash64({args}))")
         ).alias("start", "gram"),
     )
-    # "seen in >= 2 distinct docs" == min(doc_id) != max(doc_id): one
-    # partial-aggregating shuffle instead of distinct + count-distinct
-    shared = (
-        starts.groupBy("gram")
-        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+    # "seen in >= 2 distinct docs" == min(doc_id) != max(doc_id), as a
+    # window over the single gram shuffle: every occurrence row carries
+    # its own flag, so no join back is needed (r17 — the old
+    # groupBy + join shuffled the same window set by gram twice)
+    wg = Window.partitionBy("gram")
+    flags = (
+        starts.withColumn("d0", F.min("doc_id").over(wg))
+        .withColumn("d1", F.max("doc_id").over(wg))
         .where(F.col("d0") != F.col("d1"))
-        .select("gram")
-    )
-    flags = starts.join(shared, "gram").select(
-        "doc_id", F.col("start").alias("fpos")
+        .select("doc_id", F.col("start").alias("fpos"))
     )
     per_doc = flags.groupBy("doc_id").agg(F.collect_list("fpos").alias("fps"))
     # fps are 0-based posexplode indices; kept_pos below is 1-based

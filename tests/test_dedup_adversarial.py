@@ -211,3 +211,19 @@ def test_fixture_buckets_are_far_below_cap(spark):
         f"fixture's largest LSH bucket ({max_bucket}) is within 10x of the "
         f"cap ({_LSH_BUCKET_CAP}); the oracle would diverge if it crossed"
     )
+
+
+def test_substring_cut_hot_gram_corpus_completes_and_cuts(spark):
+    """The r17 single-shuffle substring_cut flags shared grams with a
+    min/max window over the gram partition; a boilerplate corpus puts
+    EVERY window of 10^3 identical docs into the same gram groups (the
+    hottest-group shape — WindowExec buffers each group with disk
+    spill).  Pin that the plan completes on that shape and cuts every
+    duplicated span: identical docs keep zero tokens."""
+    from species_range_data_pipeline_spark.plans.text import substring_cut
+
+    n = 1_000
+    out = substring_cut(_near_identical_corpus(spark, n)).collect()
+    assert len(out) == n
+    assert all(r.n_tokens == 40 for r in out)
+    assert all(r.n_kept == 0 for r in out)  # every 6-gram is shared
