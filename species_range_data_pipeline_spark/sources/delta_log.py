@@ -831,10 +831,11 @@ def delta_files_table(
 ) -> DataFrame:
     """The snapshot's file-level metadata as a queryable DataFrame — the
     ``manifest_table.files_table`` shape over a Delta layout: one row
-    per live data file with its log-recorded size, row count, stats
-    ranges, and partition values.  Pure metadata (log replay + the
-    add actions' own fields) — ops tooling audits a 100 TB table
-    without opening a data file."""
+    per live data file with its log-recorded size, row count (physical
+    — subtract ``dv_deleted_rows``, the deletion vector's cardinality,
+    for live rows), stats ranges, and partition values.  Pure metadata
+    (log replay + the add actions' own fields) — ops tooling audits a
+    100 TB table without opening a data file."""
     snap = _replay(path, version)
     rows = []
     for rel in sorted(snap["live"]):
@@ -842,6 +843,7 @@ def delta_files_table(
         st = json.loads(add["stats"]) if add.get("stats") else {}
         mins = st.get("minValues") or {}
         maxs = st.get("maxValues") or {}
+        dv = add.get("deletionVector") or {}
         rows.append(
             (
                 os.path.join(path, rel),
@@ -851,13 +853,15 @@ def delta_files_table(
                 {c: str(v) for c, v in maxs.items()},
                 {c: int(n) for c, n in (st.get("nullCount") or {}).items()},
                 {c: v for c, v in (add.get("partitionValues") or {}).items()},
+                dv.get("cardinality"),
             )
         )
     return spark.createDataFrame(
         rows,
         "file string, n_rows long, size_bytes long, "
         "col_min map<string,string>, col_max map<string,string>, "
-        "null_counts map<string,int>, partition_values map<string,string>",
+        "null_counts map<string,int>, partition_values map<string,string>, "
+        "dv_deleted_rows long",
     )
 
 

@@ -684,6 +684,32 @@ def test_files_table_and_history(spark, tmp_path):
     row = ft[os.path.join(table, "part-0002.parquet")]
     assert row.n_rows == 2 and row.col_min["k"] == "10"
     assert row.null_counts["k"] == 0 and row.partition_values == {}
+    assert row.dv_deleted_rows is None  # no deletion vector on this file
+
+    # a DV'd file reports its masked-row count (physical n_rows stays)
+    from species_range_data_pipeline_spark.sources.dv import (
+        make_inline_descriptor,
+    )
+
+    add_dv = {
+        "add": {
+            "path": "part-0002.parquet",
+            "partitionValues": {},
+            "size": 1,
+            "modificationTime": 0,
+            "dataChange": True,
+            "stats": json.dumps({"numRecords": 2}),
+            "deletionVector": make_inline_descriptor([0]),
+        }
+    }
+    _commit(table, 2, [add_dv, {"remove": {"path": "part-0002.parquet",
+                                           "dataChange": True}}])
+    ft2 = {
+        os.path.basename(r.file): r
+        for r in delta_files_table(spark, table).collect()
+    }
+    assert ft2["part-0002.parquet"].dv_deleted_rows == 1
+    assert ft2["part-0002.parquet"].n_rows == 2
 
     hist = {r.version: r for r in delta_table_history(spark, table).collect()}
     assert hist[0].operation == "WRITE" and hist[0].timestamp_ms == 1234000
