@@ -1783,6 +1783,293 @@ def iceberg_read_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def iceberg_read_changes_lane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot change data feed over an Iceberg layout
+    under a driver hash — ``delta_read_changes``' twin
+    (``iceberg_log.iceberg_read_changes``, the manifest-walk multiset
+    algebra).  Staged history over the orders fixture:
+
+    - snapshot 100: every ``o_orderkey % 3 == 0`` order, one
+      position-ordered COMPLETE data file per ``o_orderstatus``;
+    - snapshot 200: appends the ``% 3 == 1`` slice (pure-insert step);
+    - snapshot 300: a DELETE manifest whose position-delete file masks
+      every present row with ``o_orderkey % 7 == 0`` (the
+      delete-coverage-change step: affected files diff under
+      old-vs-new delete sets and carried rows cancel).
+
+    The result rolls up the feed per (snapshot, change type); the
+    oracle restates both steps relationally.
+    """
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from ..sources.avro_ocf import write_avro
+    from ..sources.iceberg_log import iceberg_read_changes
+
+    pdf = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .where(F.col("o_orderkey") % 3 < 2)
+        .toPandas()
+        .sort_values("o_orderkey", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_read_changes_")
+    table = os.path.join(root, "table")
+    mdir = os.path.join(table, "metadata")
+    ddir = os.path.join(table, "data")
+    os.makedirs(mdir)
+    os.makedirs(ddir)
+    try:
+        def _stage(slice_pdf, tag):
+            out = []
+            dels = []
+            for st, grp in slice_pdf.groupby("o_orderstatus", sort=True):
+                grp = grp.reset_index(drop=True)
+                fp = os.path.join(ddir, f"{tag}-{st}.parquet")
+                _pq.write_table(
+                    _pa.table(
+                        {
+                            "o_orderkey": _pa.array(
+                                grp["o_orderkey"], _pa.int64()
+                            ),
+                            "o_orderstatus": _pa.array(grp["o_orderstatus"]),
+                            "cents": _pa.array(grp["cents"], _pa.int64()),
+                        }
+                    ),
+                    fp,
+                )
+                out.append((fp, st, len(grp)))
+                for pos in grp.index[grp["o_orderkey"] % 7 == 0]:
+                    dels.append((fp, int(pos)))
+            return out, dels
+
+        s1, d1 = _stage(pdf[pdf["o_orderkey"] % 3 == 0], "s1")
+        s2, d2 = _stage(pdf[pdf["o_orderkey"] % 3 == 1], "s2")
+        del_rows = d1 + d2
+        pd_path = os.path.join(ddir, "pos-deletes.parquet")
+        _pq.write_table(
+            _pa.table(
+                {
+                    "file_path": _pa.array([f for f, _ in del_rows]),
+                    "pos": _pa.array(
+                        [p for _, p in del_rows], _pa.int64()
+                    ),
+                }
+            ),
+            pd_path,
+        )
+
+        man_schema = {
+            "type": "record",
+            "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int"},
+                {
+                    "name": "snapshot_id",
+                    "type": ["null", "long"],
+                    "default": None,
+                },
+                {
+                    "name": "data_file",
+                    "type": {
+                        "type": "record",
+                        "name": "r2",
+                        "fields": [
+                            {"name": "content", "type": "int"},
+                            {"name": "file_path", "type": "string"},
+                            {"name": "file_format", "type": "string"},
+                            {
+                                "name": "partition",
+                                "type": {
+                                    "type": "record",
+                                    "name": "r102",
+                                    "fields": [
+                                        {
+                                            "name": "o_orderstatus",
+                                            "type": ["null", "string"],
+                                            "default": None,
+                                        }
+                                    ],
+                                },
+                            },
+                            {"name": "record_count", "type": "long"},
+                            {"name": "file_size_in_bytes", "type": "long"},
+                        ],
+                    },
+                },
+            ],
+        }
+        mlist_schema = {
+            "type": "record",
+            "name": "manifest_file",
+            "fields": [
+                {"name": "manifest_path", "type": "string"},
+                {"name": "manifest_length", "type": "long"},
+                {"name": "partition_spec_id", "type": "int"},
+                {"name": "content", "type": "int"},
+                {"name": "added_snapshot_id", "type": "long"},
+            ],
+        }
+
+        def _manifest(name, entries, content):
+            p = os.path.join(mdir, name)
+            write_avro(
+                [
+                    {
+                        "status": st,
+                        "snapshot_id": None,
+                        "data_file": {
+                            "content": content,
+                            "file_path": fp,
+                            "file_format": "PARQUET",
+                            "partition": {"o_orderstatus": pv},
+                            "record_count": n,
+                            "file_size_in_bytes": os.path.getsize(fp),
+                        },
+                    }
+                    for st, fp, pv, n in entries
+                ],
+                man_schema,
+                p,
+            )
+            return p
+
+        def _snapshot(snap_id, manifests, contents):
+            mlist = os.path.join(mdir, f"snap-{snap_id}.avro")
+            write_avro(
+                [
+                    {
+                        "manifest_path": m,
+                        "manifest_length": os.path.getsize(m),
+                        "partition_spec_id": 0,
+                        "content": c,
+                        "added_snapshot_id": snap_id,
+                    }
+                    for m, c in zip(manifests, contents)
+                ],
+                mlist_schema,
+                mlist,
+            )
+            return {
+                "snapshot-id": snap_id,
+                "timestamp-ms": 1700000000000 + snap_id,
+                "manifest-list": mlist,
+                "summary": {"operation": "append"},
+            }
+
+        m1 = _manifest("m1.avro", [(1, fp, st, n) for fp, st, n in s1], 0)
+        m2 = _manifest(
+            "m2.avro",
+            [(0, fp, st, n) for fp, st, n in s1]
+            + [(1, fp, st, n) for fp, st, n in s2],
+            0,
+        )
+        md = _manifest("md.avro", [(1, pd_path, None, len(del_rows))], 1)
+        snaps = [
+            _snapshot(100, [m1], [0]),
+            _snapshot(200, [m2], [0]),
+            _snapshot(300, [m2, md], [0, 1]),
+        ]
+        with open(os.path.join(mdir, "v1.metadata.json"), "w") as fh:
+            _json.dump(
+                {
+                    "format-version": 2,
+                    "table-uuid": "0" * 32,
+                    "location": table,
+                    "last-column-id": 3,
+                    "schemas": [
+                        {
+                            "type": "struct",
+                            "schema-id": 0,
+                            "fields": [
+                                {
+                                    "id": 1,
+                                    "name": "o_orderkey",
+                                    "required": False,
+                                    "type": "long",
+                                },
+                                {
+                                    "id": 2,
+                                    "name": "o_orderstatus",
+                                    "required": False,
+                                    "type": "string",
+                                },
+                                {
+                                    "id": 3,
+                                    "name": "cents",
+                                    "required": False,
+                                    "type": "long",
+                                },
+                            ],
+                        }
+                    ],
+                    "current-schema-id": 0,
+                    "partition-specs": [
+                        {
+                            "spec-id": 0,
+                            "fields": [
+                                {
+                                    "name": "o_orderstatus",
+                                    "transform": "identity",
+                                    "source-id": 2,
+                                    "field-id": 1000,
+                                }
+                            ],
+                        }
+                    ],
+                    "default-spec-id": 0,
+                    "snapshots": snaps,
+                    "current-snapshot-id": 300,
+                },
+                fh,
+            )
+        with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+            fh.write("1")
+
+        result = (
+            iceberg_read_changes(spark, table, 100)
+            .groupBy("_snapshot_id", "_change_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .orderBy("_snapshot_id", "_change_type")
+        )
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ICEBERG_READ_CHANGES_ORACLE = """
+WITH o AS (
+    SELECT o_orderkey, o_orderstatus,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+), ch AS (
+    SELECT 200 AS sid, 'insert' AS ct, cents FROM o
+    WHERE o_orderkey % 3 = 1
+    UNION ALL
+    SELECT 300, 'delete', cents FROM o
+    WHERE o_orderkey % 3 < 2 AND o_orderkey % 7 = 0
+)
+SELECT CAST(sid AS BIGINT) AS _snapshot_id, ct AS _change_type,
+       count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM ch
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 ICEBERG_READ_DELETES_ORACLE = """
 WITH o AS (
     SELECT o_orderkey, o_orderstatus,
@@ -1812,6 +2099,7 @@ QUERIES = {
     "iceberg_read_deletes": iceberg_read_deletes,
     "delta_read_dv": delta_read_dv,
     "delta_read_changes": delta_read_changes,
+    "iceberg_read_changes": iceberg_read_changes_lane,
     "sketch_cms_brand_counts": sketch_cms_brand_counts,
     "agg_entropy_gini": agg_entropy_gini,
     "agg_bitmap_distinct": agg_bitmap_distinct,
@@ -1839,6 +2127,7 @@ ORACLES = {
     "iceberg_read_deletes": ICEBERG_READ_DELETES_ORACLE,
     "delta_read_dv": DELTA_READ_DV_ORACLE,
     "delta_read_changes": DELTA_READ_CHANGES_ORACLE,
+    "iceberg_read_changes": ICEBERG_READ_CHANGES_ORACLE,
     "agg_entropy_gini": AGG_ENTROPY_GINI_ORACLE,
     "agg_bitmap_distinct": AGG_BITMAP_DISTINCT_ORACLE,
     "agg_stats": AGG_STATS_ORACLE,

@@ -24,9 +24,12 @@ loudly, never returns wrong rows:
   uuid-named checkpoints and sidecars are refused.
 - **Reader protocol version 1, plus the deletionVectors feature.**
   DVs are decoded (Z85 + 64-bit RoaringBitmapArray, ``sources/dv.py``)
-  and the masked row positions filtered out on read — a broadcast
-  anti-join on ``_metadata.row_index`` below a position budget, an
-  Arrow-batched filter over broadcast COMPRESSED bitmaps above it.
+  and the masked row positions filtered out on read by an
+  Arrow-batched filter on ``_metadata.row_index`` over broadcast
+  COMPRESSED bitmaps, applied only to the DV'd files' scan (clean
+  files scan separately, untaxed); an all-JVM anti-join variant was
+  built, measured slower at every rung, and deleted
+  (scripts/dv_path_crossover_sweep.py).
   ``minReaderVersion=3`` is accepted iff ``readerFeatures`` is within
   ``{deletionVectors}``; anything else (column mapping, timestampNtz,
   v2 checkpoints — and ``minReaderVersion=2``) is refused, as is a
@@ -397,60 +400,35 @@ def delta_scan_files(
     )
 
 
-#: above this many total deleted positions (summed descriptor
-#: cardinalities — log-sized information), the DV mask switches from a
-#: driver-exploded broadcast anti-join (all-JVM, zero Python in the hot
-#: path) to an Arrow-batched filter over BROADCAST COMPRESSED bitmaps
-#: decoded lazily per executor — the 100 TB shape, where materializing
-#: every position driver-side would be data-sized, not log-sized.
-_DV_BROADCAST_MAX_POSITIONS = 2_000_000
-
-
 def _apply_deletion_vectors(
-    spark: SparkSession, df: DataFrame, path: str, dv_map: dict[str, dict]
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    dv_map: dict[str, dict],
 ) -> DataFrame:
     """Mask rows deleted by the files' deletion vectors.  ``dv_map``
     maps the ABSOLUTE data-file path (the decoded form of the scan's
-    ``_metadata.file_path``) to its descriptor.  Small tables: decode
-    driver-side and broadcast-anti-join on (path, row position) — the
-    same plan shape as the Iceberg position-delete mask.  Large DV
-    sets: ship the compressed bitmaps (roaring stays ~bytes-per-run)
-    in a broadcast and filter with an Arrow-batched pandas UDF that
-    decodes each file's bitmap once per executor, on demand."""
-    from .dv import dv_positions, load_dv_bytes
+    ``_metadata.file_path``) to its descriptor.
 
-    data_path = F.url_decode(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.col("_metadata.file_path"), "^file:(//)?", ""
-            ),
-            r"\+",
-            "%2B",
-        )
-    )
-    total = sum(d.get("cardinality") or 0 for d in dv_map.values())
+    One path, chosen by measurement: the COMPRESSED bitmaps (roaring
+    stays ~bytes-per-run) ride a broadcast and an Arrow-batched pandas
+    UDF filters on ``_metadata.row_index``, decoding each file's
+    bitmap once per executor on demand.  A driver-exploded
+    (path, pos) broadcast anti-join was built and measured first
+    (scripts/dv_path_crossover_sweep.py): it LOST at every rung — 2.1x
+    at 400 positions over 8M rows (its best case on paper: the
+    driver-explode + row-broadcast fixed cost dominates) through 10x
+    at 800k positions — so the all-JVM variant was deleted rather than
+    kept behind a dispatch.  Broadcast payload is log-sized at any
+    scale; per-row cost is two metadata columns through an Arrow
+    batch, parallel across executors; the caller scans DV'd files
+    SEPARATELY from clean ones, so the mask never taxes rows that
+    have no mask to check.  (The Iceberg position-delete mask keeps
+    its JVM anti-join: its positions arrive as parquet read BY SPARK —
+    no driver explode exists on that path.)"""
+    from .dv import load_dv_bytes
+
     cols = df.columns
-    if total <= _DV_BROADCAST_MAX_POSITIONS:
-        rows = [
-            (f, int(p))
-            for f, d in dv_map.items()
-            for p in dv_positions(path, d)
-        ]
-        dels = spark.createDataFrame(
-            rows, "__del_path string, __del_pos long"
-        )
-        return (
-            df.withColumn("__row_path", data_path)
-            .withColumn("__row_pos", F.col("_metadata.row_index"))
-            .join(
-                F.broadcast(dels),
-                (F.col("__row_path") == F.col("__del_path"))
-                & (F.col("__row_pos") == F.col("__del_pos")),
-                "left_anti",
-            )
-            .select(*cols)
-        )
-
     blobs = {f: load_dv_bytes(path, d) for f, d in dv_map.items()}
     bc = spark.sparkContext.broadcast(blobs)
 
@@ -575,17 +553,33 @@ def _read_files(
                 " silently null the renamed data."
             )
 
-    df = spark.read.schema(data_schema).parquet(*files)
-
-    # deletion-vector mask applies on the raw scan (the _metadata
-    # columns it keys on live only there), before partition restore
-    dv_map = {}
+    # deletion-vector mask: DV'd files are scanned SEPARATELY from
+    # clean ones (each file still read exactly once — the union is of
+    # disjoint file sets), so the mask never taxes rows that have no
+    # mask to check; it applies on the raw scan because the _metadata
+    # columns it keys on live only there, before partition restore.
+    dv_map: dict[str, dict] = {}
     for f in files:
         dvd = adds_by_rel[os.path.relpath(f, path)].get("deletionVector")
         if dvd and dvd.get("storageType"):
             dv_map[f] = dvd
-    if dv_map:
-        df = _apply_deletion_vectors(spark, df, path, dv_map)
+    if not dv_map:
+        df = spark.read.schema(data_schema).parquet(*files)
+    else:
+        masked = _apply_deletion_vectors(
+            spark,
+            spark.read.schema(data_schema).parquet(*sorted(dv_map)),
+            path,
+            dv_map,
+        )
+        clean = [f for f in files if f not in dv_map]
+        df = (
+            masked
+            if not clean
+            else spark.read.schema(data_schema)
+            .parquet(*clean)
+            .unionByName(masked)
+        )
 
     if pcols:
         base_of = {os.path.basename(f): f for f in files}

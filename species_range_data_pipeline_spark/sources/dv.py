@@ -103,6 +103,8 @@ def _decode_rbm32(buf: bytes, off: int) -> tuple[np.ndarray, int]:
         off += nrun_bytes
         has_offsets = n >= 4
     elif cookie == _SERIAL_COOKIE_NO_RUN:
+        if off + 8 > len(buf):
+            raise ValueError("roaring bitmap truncated before size field")
         n = struct.unpack_from("<I", buf, off + 4)[0]
         off += 8
         runflags = b"\x00" * ((n + 7) // 8)

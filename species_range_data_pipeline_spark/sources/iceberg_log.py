@@ -713,6 +713,159 @@ def read_iceberg_table(
     return df if pred is None else df.where(pred)
 
 
+def iceberg_read_changes(
+    spark: SparkSession,
+    path: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Row-level change data feed between Iceberg snapshots: every
+    insert and delete the table saw after ``from_snapshot_id`` up to
+    ``to_snapshot_id`` (default: current), as the table's columns plus
+    ``_change_type`` ('insert' | 'delete') and ``_snapshot_id`` — the
+    Delta-layout feed's twin (``delta_log.read_delta_changes``), built
+    from the manifest walk alone.
+
+    Each snapshot step diffs (a) the live DATA-file sets and (b) the
+    POSITION-DELETE-file sets: a data file whose delete coverage
+    changed (a new delete file names it) is read under the old delete
+    set on the removed side and under the new set on the added side,
+    so a merge-on-read DELETE surfaces exactly its newly-masked rows
+    (carried rows cancel in the signed-union net multiset diff — the
+    same one-shuffle algebra as the manifest and Delta feeds).  Which
+    data files a changed delete file touches is resolved by reading
+    its ``file_path`` column driver-side (delete files are log-scoped
+    by the MoR contract).
+
+    Boundaries, loud: the metadata's ``snapshots`` list is treated as
+    the LINEAR history (branched/tagged histories whose
+    parent-snapshot-id chain disagrees with list order are refused);
+    equality deletes are refused by the shared manifest walk; MapType
+    columns cannot be grouped and raise; migrated layouts (identity
+    source columns absent from the files) are not diffable here.
+
+    Cost scales with data TOUCHED per step, not table size — measured
+    for the Delta twin in SCALE.md rule 62; the shape here is
+    identical.
+    """
+    from pyspark.sql.types import MapType
+
+    meta = _load_metadata(path)
+    snaps = list(meta.get("snapshots") or [])
+    ids = [s["snapshot-id"] for s in snaps]
+    # linear-history guard: every snapshot's parent (when recorded)
+    # must be its list predecessor
+    for i, s in enumerate(snaps):
+        parent = s.get("parent-snapshot-id")
+        if parent is not None and (i == 0 or parent != ids[i - 1]):
+            raise NotImplementedError(
+                f"snapshot {s['snapshot-id']} of {path!r} has parent"
+                f" {parent}, which is not its predecessor in the"
+                " snapshot list — branched histories are not diffable"
+                " as a linear feed."
+            )
+    if to_snapshot_id is None:
+        to_snapshot_id = meta.get("current-snapshot-id")
+    if from_snapshot_id not in ids or to_snapshot_id not in ids:
+        raise ValueError(f"snapshot ids must be among {ids}")
+    i_from, i_to = ids.index(from_snapshot_id), ids.index(to_snapshot_id)
+    if i_to <= i_from:
+        raise ValueError(
+            f"to_snapshot_id {to_snapshot_id} must come after"
+            f" from_snapshot_id {from_snapshot_id}"
+        )
+    schema_dict = _current_schema(meta, path)
+    schema = _struct_type(schema_dict)
+    if any(isinstance(f.dataType, MapType) for f in schema.fields):
+        raise NotImplementedError(
+            "change feed needs group-by-all-columns; MapType columns are"
+            " not comparable in Spark — drop or cast the map column"
+        )
+    cols = schema.names
+
+    def _state(snap: dict) -> tuple[set[str], set[str]]:
+        data, dels = set(), set()
+        for kind, d, _sid in _walk_entries(path, snap):
+            (data if kind == "data" else dels).add(
+                _resolve(path, d["file_path"])
+            )
+        return data, dels
+
+    def _touched_by(delete_files: set[str]) -> set[str]:
+        import pyarrow.parquet as pq
+
+        touched: set[str] = set()
+        for df in delete_files:
+            col = pq.read_table(df, columns=["file_path"]).column(
+                "file_path"
+            )
+            touched |= {_resolve(path, str(v)) for v in col.unique()}
+        return touched
+
+    def _side(files: list[str], delete_files: set[str]) -> DataFrame:
+        df = spark.read.schema(schema).parquet(*files)
+        if delete_files:
+            df = _apply_position_deletes(spark, df, sorted(delete_files))
+        return df
+
+    out: DataFrame | None = None
+    prev_data, prev_dels = _state(snaps[i_from])
+    for i in range(i_from + 1, i_to + 1):
+        cur_data, cur_dels = _state(snaps[i])
+        changed_dels = (cur_dels - prev_dels) | (prev_dels - cur_dels)
+        affected = _touched_by(changed_dels) if changed_dels else set()
+        removed = sorted((prev_data - cur_data) | (affected & prev_data & cur_data))
+        added = sorted((cur_data - prev_data) | (affected & prev_data & cur_data))
+        snap_id = ids[i]
+        if removed or added:
+            if not removed:
+                step = _side(added, cur_dels).select(
+                    *cols, F.lit("insert").alias("_change_type")
+                )
+            elif not added:
+                step = _side(removed, prev_dels).select(
+                    *cols, F.lit("delete").alias("_change_type")
+                )
+            else:
+                r = _side(removed, prev_dels).select(
+                    *cols, F.lit(-1).alias("__sign")
+                )
+                a = _side(added, cur_dels).select(
+                    *cols, F.lit(1).alias("__sign")
+                )
+                net = (
+                    r.unionByName(a)
+                    .groupBy(*cols)
+                    .agg(F.sum("__sign").alias("__net"))
+                )
+                step = (
+                    net.where(F.col("__net") != 0)
+                    .select(
+                        *cols,
+                        F.when(F.col("__net") > 0, F.lit("insert"))
+                        .otherwise(F.lit("delete"))
+                        .alias("_change_type"),
+                        F.explode(
+                            F.sequence(F.lit(1), F.abs(F.col("__net")))
+                        ).alias("__i"),
+                    )
+                    .drop("__i")
+                )
+            step = step.withColumn(
+                "_snapshot_id", F.lit(snap_id).cast("long")
+            )
+            out = step if out is None else out.unionByName(step)
+        prev_data, prev_dels = cur_data, cur_dels
+    if out is None:
+        empty = spark.createDataFrame([], schema)
+        out = empty.select(
+            "*",
+            F.lit("insert").alias("_change_type"),
+            F.lit(0).cast("long").alias("_snapshot_id"),
+        ).limit(0)
+    return out
+
+
 def iceberg_snapshot_as_of(path: str, timestamp: float) -> int:
     """TIMESTAMP AS OF resolution over the snapshot log: the newest
     snapshot whose ``timestamp-ms`` is at or before ``timestamp``

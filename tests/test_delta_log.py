@@ -866,23 +866,31 @@ def test_deletion_vectors_masked_on_read(spark, tmp_path):
     assert v1 == {1, 3, 10, 11, 12, 13}
 
 
-def test_deletion_vectors_arrow_path_matches_join_path(spark, tmp_path):
-    """Forcing the over-budget Arrow-batched bitmap filter produces the
-    same rows as the broadcast anti-join path."""
-    from species_range_data_pipeline_spark.sources import delta_log
+def test_deletion_vector_mask_scans_split_clean_from_masked(spark, tmp_path):
+    """Plan pin: only DV'd files pay the mask — at version 1 (one DV'd
+    file + one clean) the plan is TWO parquet scans with the Arrow
+    bitmap filter on exactly one side; a DV-free snapshot stays ONE
+    scan with no Python anywhere."""
+    import contextlib
+    import io
+    import re as _re
 
-    table = _dv_table(tmp_path, "dvarrow")
-    expected = {(r.k, r.v) for r in read_delta_table(spark, table).collect()}
+    table = _dv_table(tmp_path, "dvplan")
 
-    old = delta_log._DV_BROADCAST_MAX_POSITIONS
-    delta_log._DV_BROADCAST_MAX_POSITIONS = 0
-    try:
-        got = {(r.k, r.v) for r in read_delta_table(spark, table).collect()}
-    finally:
-        delta_log._DV_BROADCAST_MAX_POSITIONS = old
-    assert got == expected == {
-        (1, "a"), (3, "c"), (11, "x"), (12, "y"), (13, "z")
-    }
+    def plan_of(version):
+        df = read_delta_table(spark, table, version=version)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    p1 = plan_of(1)
+    assert len(_re.findall(r"\(\d+\) Scan parquet", p1)) == 2, p1
+    assert len(_re.findall(r"\(\d+\) ArrowEvalPython", p1)) == 1, p1
+
+    p0 = plan_of(0)
+    assert len(_re.findall(r"\(\d+\) Scan parquet", p0)) == 1, p0
+    assert "ArrowEvalPython" not in p0, p0
 
 
 def test_deletion_vectors_compose_with_partitions(spark, tmp_path):

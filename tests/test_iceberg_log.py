@@ -1029,3 +1029,135 @@ def test_position_deletes_compose_with_migrated_restore(spark, tmp_path):
 
     got = {(r.k, r.year, r.v) for r in read_iceberg_table(spark, root).collect()}
     assert got == {(1, 2020, "a"), (3, 2020, "c")}
+
+
+def _mor_history(tmp_path, name="morhist"):
+    """s100: f20(k 1..4, 2020) + f21(k 5..6, 2021); s150: append
+    f22(k 7..8, 2022); s200: position deletes mask k=2,4 (f20) and k=6
+    (f21); s250: compaction materializes f21's delete (f21 -> f21b
+    holding just k=5, delete file carried) — a step whose net change
+    feed must be EMPTY."""
+    b = _Builder(str(tmp_path / name))
+    f20 = b.data_file("f2020.parquet", [1, 2, 3, 4], 2020)
+    f21 = b.data_file("f2021.parquet", [5, 6], 2021)
+    m1 = b.manifest(
+        "m1.avro",
+        [(1, f20, {"year": 2020}, 4, 0), (1, f21, {"year": 2021}, 2, 0)],
+    )
+    b.snapshot(100, [m1])
+    f22 = b.data_file("f2022.parquet", [7, 8], 2022)
+    m2 = b.manifest(
+        "m2.avro",
+        [
+            (0, f20, {"year": 2020}, 4, 0),
+            (0, f21, {"year": 2021}, 2, 0),
+            (1, f22, {"year": 2022}, 2, 0),
+        ],
+    )
+    b.snapshot(150, [m2])
+    pd_path = os.path.join(b.root, "data", "pd1.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": [f20, f20, f21],
+                "pos": pa.array([1, 3, 1], pa.int64()),
+            }
+        ),
+        pd_path,
+    )
+    md = b.manifest("md.avro", [(1, pd_path, {"year": None}, 3, 1)])
+    b.snapshot(200, [m2, md], contents=[0, 1])
+    # s250: compaction of f21 under its delete -> f21b(k=5)
+    f21b = b.data_file("f2021b.parquet", [5], 2021)
+    m3 = b.manifest(
+        "m3.avro",
+        [
+            (0, f20, {"year": 2020}, 4, 0),
+            (2, f21, {"year": 2021}, 2, 0),  # DELETED entry
+            (1, f21b, {"year": 2021}, 1, 0),
+            (0, f22, {"year": 2022}, 2, 0),
+        ],
+    )
+    b.snapshot(250, [m3, md], contents=[0, 1])
+    b.commit(current_snapshot_id=250)
+    return b
+
+
+def test_iceberg_change_feed(spark, tmp_path):
+    """Appends stream through, a delete-manifest step surfaces exactly
+    the newly-masked rows, and a compaction that merely materializes an
+    existing delete nets to zero changes."""
+    from species_range_data_pipeline_spark.sources.iceberg_log import (
+        iceberg_read_changes,
+    )
+
+    b = _mor_history(tmp_path)
+    feed = iceberg_read_changes(spark, b.root, 100).collect()
+    got = {(r.k, r._change_type, r._snapshot_id) for r in feed}
+    assert got == {
+        (7, "insert", 150),
+        (8, "insert", 150),
+        (2, "delete", 200),
+        (4, "delete", 200),
+        (6, "delete", 200),
+    }
+    # sub-range: just the delete step
+    sub = iceberg_read_changes(spark, b.root, 150, 200).collect()
+    assert {(r.k, r._change_type) for r in sub} == {
+        (2, "delete"),
+        (4, "delete"),
+        (6, "delete"),
+    }
+    # the compaction-only step nets to an empty feed
+    empty = iceberg_read_changes(spark, b.root, 200, 250).collect()
+    assert empty == []
+    with pytest.raises(ValueError, match="must come after"):
+        iceberg_read_changes(spark, b.root, 200, 100)
+
+
+def test_iceberg_change_feed_replays_to_snapshot(spark, tmp_path):
+    """Replay identity across every snapshot pair: multiset(snap a) +
+    inserts - deletes over (a, b] == multiset(snap b)."""
+    from collections import Counter
+
+    from species_range_data_pipeline_spark.sources.iceberg_log import (
+        iceberg_read_changes,
+    )
+
+    b = _mor_history(tmp_path, "morhistid")
+    ids = [100, 150, 200, 250]
+
+    def rows_at(sid):
+        return Counter(
+            (r.k, r.year, r.v)
+            for r in read_iceberg_table(spark, b.root, snapshot_id=sid).collect()
+        )
+
+    for i, frm in enumerate(ids[:-1]):
+        for to in ids[i + 1:]:
+            state = Counter(rows_at(frm))
+            for r in iceberg_read_changes(spark, b.root, frm, to).collect():
+                key = (r.k, r.year, r.v)
+                if r._change_type == "insert":
+                    state[key] += 1
+                else:
+                    state[key] -= 1
+                    if state[key] == 0:
+                        del state[key]
+            assert state == rows_at(to), (frm, to)
+
+
+def test_iceberg_change_feed_branched_history_refused(spark, tmp_path):
+    from species_range_data_pipeline_spark.sources.iceberg_log import (
+        iceberg_read_changes,
+    )
+
+    b = _Builder(str(tmp_path / "branch"))
+    f20 = b.data_file("f2020.parquet", [1], 2020)
+    m1 = b.manifest("m1.avro", [(1, f20, {"year": 2020}, 1, 0)])
+    b.snapshot(100, [m1])
+    b.snapshot(200, [m1])
+    b.snapshots[1]["parent-snapshot-id"] = 999  # not its predecessor
+    b.commit(current_snapshot_id=200)
+    with pytest.raises(NotImplementedError, match="branched"):
+        iceberg_read_changes(spark, b.root, 100)
