@@ -766,6 +766,223 @@ def stream_delta_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_DELTA_TAIL_ORACLE = STREAM_TUMBLING_ORACLE
 
 
+def stream_iceberg_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Iceberg-layout streaming source driven end-to-end under a
+    driver hash — ``stream_delta_tail``'s twin for the snapshot-offset
+    source (``sources/iceberg_stream.py``): the events fixture is
+    staged as FOUR append snapshots of a hand-written Hadoop layout
+    (metadata JSON + real Avro manifest lists/manifests via the
+    engine's own ``avro_ocf.write_avro``, unpartitioned spec), tailed
+    with one microbatch per snapshot (input partitions = exactly the
+    files each snapshot added, never a rescan), drained through the
+    same complete-mode tumbling aggregate, and oracled like any batch
+    query.
+    """
+    import glob
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.avro_ocf import write_avro
+    from ..sources.iceberg_stream import register_iceberg_stream_source
+
+    register_iceberg_stream_source(spark)
+    sink = f"stream_iceberg_tail_{next(_STREAM_SINK_SEQ)}"
+    tmp = tempfile.mkdtemp(prefix="stream_iceberg_tail_")
+    try:
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "value"
+        )
+        table = os.path.join(tmp, "tbl")
+        mdir = os.path.join(table, "metadata")
+        ddir = os.path.join(table, "data")
+        os.makedirs(mdir)
+        os.makedirs(ddir)
+        man_schema = {
+            "type": "record",
+            "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int"},
+                {
+                    "name": "snapshot_id",
+                    "type": ["null", "long"],
+                    "default": None,
+                },
+                {
+                    "name": "data_file",
+                    "type": {
+                        "type": "record",
+                        "name": "r2",
+                        "fields": [
+                            {"name": "content", "type": "int"},
+                            {"name": "file_path", "type": "string"},
+                            {"name": "file_format", "type": "string"},
+                            {
+                                "name": "partition",
+                                "type": {
+                                    "type": "record",
+                                    "name": "r102",
+                                    "fields": [],
+                                },
+                            },
+                            {"name": "record_count", "type": "long"},
+                            {"name": "file_size_in_bytes", "type": "long"},
+                        ],
+                    },
+                },
+            ],
+        }
+        mlist_schema = {
+            "type": "record",
+            "name": "manifest_file",
+            "fields": [
+                {"name": "manifest_path", "type": "string"},
+                {"name": "manifest_length", "type": "long"},
+                {"name": "partition_spec_id", "type": "int"},
+                {"name": "content", "type": "int"},
+                {"name": "added_snapshot_id", "type": "long"},
+            ],
+        }
+        files: list[tuple[str, int]] = []  # (path, rows) staged so far
+        snaps = []
+        for i in range(4):  # 4 snapshots -> 4 offset microbatches
+            stage = os.path.join(tmp, f"stage{i}")
+            part = events.where(F.col("event_id") % 4 == i)
+            n = part.count()
+            part.coalesce(1).write.parquet(stage)
+            (src,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+            dst = os.path.join(ddir, f"f{i}.parquet")
+            shutil.copyfile(src, dst)
+            files.append((dst, n))
+            m = os.path.join(mdir, f"m{i}.avro")
+            write_avro(
+                [
+                    {
+                        "status": 1 if j == len(files) - 1 else 0,
+                        "snapshot_id": None,
+                        "data_file": {
+                            "content": 0,
+                            "file_path": fp,
+                            "file_format": "PARQUET",
+                            "partition": {},
+                            "record_count": rows,
+                            "file_size_in_bytes": os.path.getsize(fp),
+                        },
+                    }
+                    for j, (fp, rows) in enumerate(files)
+                ],
+                man_schema,
+                m,
+            )
+            mlist = os.path.join(mdir, f"snap-{i}.avro")
+            write_avro(
+                [
+                    {
+                        "manifest_path": m,
+                        "manifest_length": os.path.getsize(m),
+                        "partition_spec_id": 0,
+                        "content": 0,
+                        "added_snapshot_id": 100 + i,
+                    }
+                ],
+                mlist_schema,
+                mlist,
+            )
+            snaps.append(
+                {
+                    "snapshot-id": 100 + i,
+                    "timestamp-ms": 1700000000000 + i,
+                    "manifest-list": mlist,
+                    "summary": {"operation": "append"},
+                }
+            )
+        ice_type = {
+            "bigint": "long",
+            "double": "double",
+            "string": "string",
+            "timestamp_ntz": "timestamp",
+            "timestamp": "timestamptz",
+        }
+        with open(os.path.join(mdir, "v1.metadata.json"), "w") as fh:
+            _json.dump(
+                {
+                    "format-version": 2,
+                    "table-uuid": "0" * 32,
+                    "location": table,
+                    "last-column-id": 4,
+                    "schemas": [
+                        {
+                            "type": "struct",
+                            "schema-id": 0,
+                            "fields": [
+                                {
+                                    "id": j + 1,
+                                    "name": name,
+                                    "required": False,
+                                    "type": ice_type[dtype],
+                                }
+                                for j, (name, dtype) in enumerate(
+                                    events.dtypes
+                                )
+                            ],
+                        }
+                    ],
+                    "current-schema-id": 0,
+                    "partition-specs": [{"spec-id": 0, "fields": []}],
+                    "default-spec-id": 0,
+                    "snapshots": snaps,
+                    "current-snapshot-id": 103,
+                },
+                fh,
+            )
+        with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+            fh.write("1")
+
+        stream = (
+            spark.readStream.format("iceberg_tail")
+            .option("path", table)
+            .load()
+        )
+        agg = stream.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.table(sink)
+            .select(
+                F.date_format("w.start", _FMT).alias("window_start"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(sink)
+        except Exception:
+            pass
+    return out.orderBy("window_start", "event_type")
+
+
+# same aggregate contract; the SOURCE under test is the Iceberg
+# snapshot-offset tail
+STREAM_ICEBERG_TAIL_ORACLE = STREAM_TUMBLING_ORACLE
+
+
 def stream_manifest_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TABLE-FORMAT streaming source driven end-to-end under a
     driver hash: the events fixture is committed as FOUR versions of a
@@ -1410,6 +1627,7 @@ QUERIES = {
     "stream_stateful_totals": stream_stateful_totals,
     "stream_manifest_tail": stream_manifest_tail,
     "stream_delta_tail": stream_delta_tail,
+    "stream_iceberg_tail": stream_iceberg_tail,
     "ev_tumbling": ev_tumbling,
     "ev_time_weighted_avg": ev_time_weighted_avg,
     "ev_ohlc_bars": ev_ohlc_bars,
@@ -1436,6 +1654,7 @@ ORACLES = {
     "stream_stateful_totals": STREAM_STATEFUL_TOTALS_ORACLE,
     "stream_manifest_tail": STREAM_MANIFEST_TAIL_ORACLE,
     "stream_delta_tail": STREAM_DELTA_TAIL_ORACLE,
+    "stream_iceberg_tail": STREAM_ICEBERG_TAIL_ORACLE,
     "ev_tumbling": EV_TUMBLING_ORACLE,
     "ev_time_weighted_avg": EV_TWA_ORACLE,
     "ev_ohlc_bars": EV_OHLC_ORACLE,

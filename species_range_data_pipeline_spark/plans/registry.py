@@ -45,11 +45,11 @@ _MODULE_NAMES = [
 # here, done) before the suite goes green.
 #
 # Round-17 window (thirteenth rotation; built from CORRECTNESS_r01..r16):
-# first driver rows for the five r17 lakehouse-interop lanes —
+# first driver rows for the six r17 lakehouse-interop lanes —
 # iceberg_read_deletes (v2 position deletes), delta_read_dv (deletion
 # vectors), delta_read_changes + iceberg_read_changes (foreign-layout
-# CDF twins), stream_delta_tail (foreign-log streaming source) —
-# then the ENTIRE r12-era tranche
+# CDF twins), stream_delta_tail + stream_iceberg_tail (foreign-layout
+# streaming sources) — then the ENTIRE r12-era tranche
 # (VERDICT r16 next #1 — 17 queries incl. stream_tcp_restart; after
 # this round the freshness floor moves to r13), then the stalest r13
 # rows with module fillers resolved within them.
@@ -61,6 +61,7 @@ _PRIORITY = [
     "iceberg_read_changes",  # FIRST driver row (stats)
     "iceberg_read_deletes",  # FIRST driver row (stats)
     "stream_delta_tail",  # FIRST driver row (events)
+    "stream_iceberg_tail",  # FIRST driver row (events)
     "ab_test_conversion",  # r12 (stats)
     "agg_bitmap_distinct",  # r12 (stats)
     "agg_listagg",  # r12 (advanced)
@@ -104,7 +105,6 @@ _PRIORITY = [
     "ev_pattern_consecutive",  # r13 (mining)
     "ev_time_weighted_avg",  # r13 (events)
     "geo_dissolve_area_m2",  # r13 (geo)
-    "geo_point_in_polygon",  # r13 (geo)
 ]
 
 # Queries whose oracles are pure VALUES restatements of expected OUTPUT
