@@ -367,6 +367,15 @@ def _write_classic_checkpoint(table, version, adds, fields, parts=1):
     emit — to_pylist yields kv tuple lists, the shape the reader must
     re-dict)."""
     pv_map = pa.map_(pa.string(), pa.string())
+    dv_t = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
+    )
     add_t = pa.struct(
         [
             ("path", pa.string()),
@@ -374,6 +383,7 @@ def _write_classic_checkpoint(table, version, adds, fields, parts=1):
             ("size", pa.int64()),
             ("dataChange", pa.bool_()),
             ("stats", pa.string()),
+            ("deletionVector", dv_t),
         ]
     )
     meta_t = pa.struct(
@@ -400,9 +410,10 @@ def _write_classic_checkpoint(table, version, adds, fields, parts=1):
          "add": None},
     ] + [
         {"protocol": None, "metaData": None,
-         "add": {"path": rel, "partitionValues": list(pv.items()),
-                 "size": 1, "dataChange": True, "stats": stats}}
-        for rel, pv, stats in adds
+         "add": {"path": a[0], "partitionValues": list(a[1].items()),
+                 "size": 1, "dataChange": True, "stats": a[2],
+                 "deletionVector": a[3] if len(a) > 3 else None}}
+        for a in adds
     ]
     schema = pa.schema(
         [("protocol", proto_t), ("metaData", meta_t), ("add", add_t)]
@@ -1089,3 +1100,141 @@ def test_midlog_rename_refused_add_column_reads(spark, tmp_path):
     )
     got = {(r.k, r.extra) for r in read_delta_table(spark, table2).collect()}
     assert got == {(1, None), (2, 9)}
+
+
+def test_checkpoint_carries_deletion_vectors(spark, tmp_path):
+    """A classic checkpoint whose add rows carry DV structs replays the
+    mask after the pre-checkpoint JSON is cleaned up."""
+    from species_range_data_pipeline_spark.sources.dv import (
+        make_uuid_descriptor,
+    )
+
+    table = str(tmp_path / "ckdv")
+    os.makedirs(table, exist_ok=True)
+    fields = [("k", "long")]
+    a = _data_file(table, "f.parquet", {"k": [1, 2, 3]})
+    _commit(table, 0, [_PROTOCOL_DV, _meta(fields), a])
+    d = make_uuid_descriptor(table, [1])  # masks k=2
+    _commit(
+        table,
+        1,
+        [
+            {"add": dict(a["add"], deletionVector=d)},
+            {"remove": {"path": "f.parquet", "dataChange": True}},
+        ],
+    )
+    _write_classic_checkpoint(
+        table,
+        1,
+        [("f.parquet", {}, json.dumps({"numRecords": 3}), d)],
+        fields,
+    )
+    for v in range(1):
+        os.unlink(os.path.join(table, "_delta_log", f"{v:020d}.json"))
+    got = {r.k for r in read_delta_table(spark, table).collect()}
+    assert got == {1, 3}
+
+
+def test_replay_property_with_dv_rewrites(tmp_path):
+    """Hypothesis: for ANY well-formed action history including DV
+    rewrites — each a same-commit remove(old uid)/add(new uid) pair,
+    with ALL of a commit's actions arbitrarily permuted — the replayed
+    (path -> DV uid) map equals a brute-force reference.  This is the
+    spec's (path, DV uid) action keying under fire: keying by path
+    alone breaks whenever a permutation puts an add before its paired
+    remove."""
+    import itertools as _it
+    import shutil as _sh
+    import tempfile as _tf
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from species_range_data_pipeline_spark.sources.delta_log import (
+        _dv_uid,
+        _replay,
+    )
+    from species_range_data_pipeline_spark.sources.dv import (
+        make_inline_descriptor,
+    )
+
+    paths = [f"f{i}.parquet" for i in range(4)]
+    action = st.tuples(
+        st.sampled_from(["add", "remove", "dv"]), st.sampled_from(paths)
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        actions=st.lists(action, min_size=1, max_size=16),
+        n_commits=st.integers(min_value=1, max_value=4),
+        data=st.data(),
+    )
+    def check(actions, n_commits, data):
+        table = _tf.mkdtemp(dir=str(tmp_path), prefix="dvprop_")
+        try:
+            fields = [("k", "long")]
+            cuts = sorted(
+                data.draw(
+                    st.lists(
+                        st.integers(0, len(actions)),
+                        min_size=n_commits - 1,
+                        max_size=n_commits - 1,
+                    )
+                )
+            )
+            chunks, lo = [], 0
+            for c in [*cuts, len(actions)]:
+                chunks.append(actions[lo:c])
+                lo = c
+            ref: dict[str, dict | None] = {}  # live path -> descriptor
+            counter = _it.count()
+
+            def _add_json(p, desc):
+                add = {"path": p, "partitionValues": {}, "size": 1,
+                       "modificationTime": 0, "dataChange": True}
+                if desc is not None:
+                    add["deletionVector"] = desc
+                return {"add": add}
+
+            def _remove_json(p, desc):
+                rm = {"path": p, "dataChange": True}
+                if desc is not None:
+                    rm["deletionVector"] = desc
+                return {"remove": rm}
+
+            for v, chunk in enumerate(chunks):
+                seen: set[str] = set()
+                acts = []
+                for kind, p in chunk:
+                    if p in seen:
+                        continue  # at most one file action set per path
+                    seen.add(p)
+                    if kind == "add":
+                        if p in ref:
+                            acts.append(_remove_json(p, ref[p]))
+                        acts.append(_add_json(p, None))
+                        ref[p] = None
+                    elif kind == "remove":
+                        if p in ref:
+                            acts.append(_remove_json(p, ref.pop(p)))
+                    else:  # dv rewrite — only meaningful on a live file
+                        if p in ref:
+                            desc = make_inline_descriptor([next(counter)])
+                            acts.append(_remove_json(p, ref[p]))
+                            acts.append(_add_json(p, desc))
+                            ref[p] = desc
+                acts = list(data.draw(st.permutations(acts)))
+                if v == 0:
+                    acts = [_PROTOCOL_DV, _meta(fields), *acts]
+                _commit(table, v, acts)
+            snap = _replay(table)
+            got = {rel: _dv_uid(add) for rel, add in snap["live"].items()}
+            want = {
+                p: _dv_uid({"deletionVector": d} if d else {})
+                for p, d in ref.items()
+            }
+            assert got == want
+        finally:
+            _sh.rmtree(table, ignore_errors=True)
+
+    check()
