@@ -16,6 +16,14 @@ judged against rule 45's 1.3x bar on both the full-session median and
 the last-half (steady-state) median, with MIN and per-cell job counts
 recorded so an unchanged-plan claim is checkable in the artifact.
 
+CORRECTION (r17): the first cut of this script normalized the suspect
+with 1.178 — the R8 table's row — against the control's R10 value,
+overstating the pre-change drift as 1.47x/1.39x ("plan-suspect").
+With the consistent R10 pair below, that same session reads 1.29x
+median / 1.17x steady (borderline).  The plan fix it triggered stands
+on its own interleaved old-vs-new measurement (0.84x median, byte-
+equal output, 11 -> 9 jobs); post-change this script reads 1.09-1.13x across sessions.
+
 Usage: python scripts/r17_substring_cut_ab.py [alternations]
 Prints one JSON line.
 """
@@ -39,7 +47,7 @@ CONTROL = "q21_suppliers_kept_waiting"  # 11 jobs, same as the suspect
 SUSPECT = "dedup_substring_cut"
 #: r10 BASELINE medians (BENCH_LOCAL_r10.json, the current absolute table)
 R10 = {
-    "dedup_substring_cut": 1.178,
+    "dedup_substring_cut": 1.345,
     "q21_suppliers_kept_waiting": 1.247,
 }
 
