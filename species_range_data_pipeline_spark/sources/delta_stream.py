@@ -140,7 +140,16 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         lo, hi = int(start["version"]), int(end["version"])
         parts: list[InputPartition] = []
         if self._pcols is None:
-            self._pcols = _replay(self._path)["partition_cols"]
+            # seed from the snapshot at the batch-START version, not
+            # LATEST (ADVICE r17): a stream starting mid-log must
+            # reconstruct partitionValues for versions before a later
+            # metaData change under the OLD partition-column list (the
+            # in-range metaData actions below then advance it in step)
+            self._pcols = (
+                _replay(self._path, version=lo)["partition_cols"]
+                if lo >= 0
+                else []
+            )
         for v in range(lo + 1, hi + 1):
             adds, changed = [], False
             for action in self._commit_actions(v):
@@ -197,6 +206,21 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         types = {f.name: f.dataType for f in schema.fields}
         target = to_arrow_schema(schema)
         table = pq.read_table(partition.path)
+        # schema-evolution guard, matching the batch path's footer probe
+        # (ADVICE r17): a file holding a column the committed schema
+        # lacks is an out-of-spec RENAME/DROP — null-padding the renamed
+        # column (the else-branch below) would silently drop its data.
+        # Stray in-file copies of partition columns are tolerated: the
+        # log is authoritative for their values.
+        allowed = {f.name for f in schema.fields}
+        unknown = [n for n in table.column_names if n not in allowed]
+        if unknown:
+            raise NotImplementedError(
+                f"data file {partition.path!r} holds column(s)"
+                f" {unknown} absent from the committed schema; without"
+                " column mapping only ADD COLUMN is legal evolution, so"
+                " this is a rename/drop this reader cannot resolve."
+            )
         cols = []
         for field in target:
             if field.name in partition.pvalues:

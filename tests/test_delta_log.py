@@ -1210,7 +1210,13 @@ def test_replay_property_with_dv_rewrites(tmp_path):
                         continue  # at most one file action set per path
                     seen.add(p)
                     if kind == "add":
-                        if p in ref:
+                        # re-adding a live DV-less file keeps the SAME
+                        # (path, None) key: the spec forbids a commit
+                        # holding both a remove and an add under one
+                        # (path, DV uid) — reconstruction would be
+                        # order-dependent — so a well-formed writer
+                        # emits just the add (last-add-wins overwrite)
+                        if p in ref and ref[p] is not None:
                             acts.append(_remove_json(p, ref[p]))
                         acts.append(_add_json(p, None))
                         ref[p] = None
@@ -1238,3 +1244,80 @@ def test_replay_property_with_dv_rewrites(tmp_path):
             _sh.rmtree(table, ignore_errors=True)
 
     check()
+
+
+def test_missing_dv_blob_raises_instead_of_resurrecting(spark, tmp_path):
+    """The masked scan contains ONLY DV'd files, so a blob-map miss is
+    always a key-normalization bug (ADVICE r17): the mask UDF must
+    refuse loudly rather than silently keep (resurrect) every deleted
+    row of that file."""
+    from species_range_data_pipeline_spark.sources.delta_log import (
+        _apply_deletion_vectors,
+    )
+    from species_range_data_pipeline_spark.sources.dv import (
+        make_inline_descriptor,
+    )
+
+    table = str(tmp_path / "miss")
+    os.makedirs(table, exist_ok=True)
+    fpath = os.path.join(table, "f1.parquet")
+    pq.write_table(pa.table({"k": [1, 2, 3]}), fpath)
+    scan = spark.read.parquet(fpath)
+    # dv_map keyed under a DIFFERENT path than the scan's file_path
+    bad = _apply_deletion_vectors(
+        spark,
+        scan,
+        table,
+        {os.path.join(table, "elsewhere.parquet"): make_inline_descriptor([0])},
+    )
+    with pytest.raises(Exception, match="resurrect"):
+        bad.collect()
+
+
+def test_empty_dv_masks_nothing(spark, tmp_path):
+    """A cardinality-0 deletion vector keeps every row (and must not
+    crash the executor mask on the empty position array — ADVICE r17)."""
+    from species_range_data_pipeline_spark.sources.dv import (
+        make_inline_descriptor,
+    )
+
+    table = str(tmp_path / "dv0")
+    os.makedirs(table, exist_ok=True)
+    fields = [("k", "long")]
+    a1 = _data_file(table, "f1.parquet", {"k": [1, 2, 3]})
+    _commit(table, 0, [_PROTOCOL_DV, _meta(fields), a1])
+    add_dv = {"add": dict(a1["add"], deletionVector=make_inline_descriptor([]))}
+    _commit(
+        table,
+        1,
+        [add_dv, {"remove": {"path": "f1.parquet", "dataChange": True}}],
+    )
+    got = sorted(r.k for r in read_delta_table(spark, table).collect())
+    assert got == [1, 2, 3]
+
+
+def test_dv_broadcast_cap_refuses_before_loading(spark, tmp_path):
+    """Descriptors declaring more total serialized bytes than
+    DV_BROADCAST_CAP_BYTES refuse the read BEFORE any blob is loaded
+    (VERDICT r17 wrong #1) — the pointed-to DV file need not even
+    exist for the refusal to fire."""
+    table = str(tmp_path / "dvcap")
+    os.makedirs(table, exist_ok=True)
+    fields = [("k", "long")]
+    a1 = _data_file(table, "f1.parquet", {"k": [1, 2, 3]})
+    _commit(table, 0, [_PROTOCOL_DV, _meta(fields), a1])
+    huge = {
+        "storageType": "u",
+        "pathOrInlineDv": "ab^-aKj^aaaaaaaaaaaaaaaaaaaa",
+        "offset": 1,
+        "sizeInBytes": 2**40,
+        "cardinality": 2**30,
+    }
+    add_dv = {"add": dict(a1["add"], deletionVector=huge)}
+    _commit(
+        table,
+        1,
+        [add_dv, {"remove": {"path": "f1.parquet", "dataChange": True}}],
+    )
+    with pytest.raises(NotImplementedError, match="broadcast cap"):
+        read_delta_table(spark, table)

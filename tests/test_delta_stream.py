@@ -218,3 +218,58 @@ def test_delta_tail_schema_evolution_pads_nulls(spark, tmp_path):
     os.remove(os.path.join(table, "_delta_log", f"{0:020d}.json"))
     with pytest.raises(ValueError, match="no JSON commit"):
         reader.partitions({"version": -1}, {"version": 1})
+
+
+def test_delta_tail_rejects_unknown_file_columns(spark, tmp_path):
+    """A file holding a column the committed schema lacks is an
+    out-of-spec RENAME/DROP: the per-file reader refuses (ADVICE r17)
+    instead of null-padding the renamed column like the legal
+    ADD-COLUMN case — matching the batch path's footer probe."""
+    from pyspark.sql.types import StructType
+
+    table = str(tmp_path / "badcol")
+    os.makedirs(table, exist_ok=True)
+    a0 = _data_file(table, "f0.parquet", {"k": [1], "old_name": [9]})
+    _commit(table, 0, [_PROTOCOL, _meta([("k", "long"), ("new_name", "long")]), a0])
+    schema = StructType.fromJson(
+        json.loads(_schema_string([("k", "long"), ("new_name", "long")]))
+    )
+    reader = DeltaTailStreamReader({"path": table}, schema)
+    (part,) = reader.partitions({"version": -1}, {"version": 0})
+    with pytest.raises(NotImplementedError, match="rename/drop"):
+        list(reader.read(part))
+
+
+def test_delta_tail_mid_log_start_seeds_batch_start_pcols(spark, tmp_path):
+    """A stream starting mid-log reconstructs partitionValues for its
+    batch range under the partition-column list AT THE BATCH-START
+    version, not the latest snapshot's (ADVICE r17: a later metaData
+    change — reachable via skipChangeCommits — would otherwise drop
+    the old partition column from every reconstructed row)."""
+    from pyspark.sql.types import StructType
+
+    table, fields = _partitioned_table(tmp_path, "midlog")
+    # v2: repartition to UNPARTITIONED (metaData change + rewrite)
+    comp = _data_file(
+        table, "flat.parquet", {"k": [1, 2, 3, 4], "y": [2020, 2020, 2021, 2021]}
+    )
+    _commit(
+        table,
+        2,
+        [
+            _meta(fields, []),
+            comp,
+            {"remove": {"path": "y=2020/f0.parquet", "dataChange": True}},
+            {"remove": {"path": "y=2021/f1.parquet", "dataChange": True}},
+            {"remove": {"path": "y=2021/f2.parquet", "dataChange": True}},
+        ],
+    )
+    schema = StructType.fromJson(json.loads(_schema_string(fields)))
+    # batch covers ONLY v1, a version partitioned by y
+    reader = DeltaTailStreamReader(
+        {"path": table, "startingVersion": 1, "skipChangeCommits": "true"},
+        schema,
+    )
+    parts = reader.partitions({"version": 0}, {"version": 1})
+    rows = [t for p in parts for b in reader.read(p) for t in b.to_pylist()]
+    assert [(r["k"], r["y"]) for r in rows] == [(4, 2021)]
