@@ -2091,6 +2091,188 @@ ORDER BY snapshot, o_orderstatus
 """
 
 
+def delta_read_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name-mode column-mapping interop under a driver hash (VERDICT
+    r17 next #2) — the rename-history twin of ``delta_read_dv``: a
+    Delta-layout table is staged from the orders fixture with
+    ``delta.columnMapping.mode=name`` (minReaderVersion=2),
+
+    - v0: one parquet data file per ``o_orderpriority`` partition
+      written under PHYSICAL column names (``col-k``/``col-c``), with
+      ``add.stats`` and ``partitionValues`` keyed by physical names
+      and ``metaData.partitionColumns`` logical — exactly the split
+      the public protocol's column-mapping section prescribes;
+    - v1: RENAME ``cents`` -> ``cents_total`` (a metaData-only commit:
+      the logical name changes, ``delta.columnMapping.physicalName``
+      stays ``col-c``) — illegal evolution without mapping, the exact
+      layout the pre-r18 reader refused.
+
+    Read back through ``read_delta_table`` at BOTH versions: the scan
+    reads physical names and aliases to logical, the partition restore
+    resolves the physical-keyed partitionValues, and a zone-map filter
+    on the renamed logical column prunes through the mapping
+    (pruned-file list pinned in ``tests/test_delta_log.py``).  The
+    rollup pins both snapshots under one hash; the oracle recomputes
+    them relationally (the rename changes NAMES, never values).
+    """
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from ..sources.delta_log import read_delta_table
+
+    pdf = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .toPandas()
+        .sort_values("o_orderkey", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    root = tempfile.mkdtemp(prefix="delta_read_cm_")
+    table = os.path.join(root, "table")
+    os.makedirs(os.path.join(table, "_delta_log"))
+    try:
+        def _schema_json(cents_logical: str) -> str:
+            fields = [
+                ("o_orderkey", "col-k", "long", 1),
+                ("o_orderpriority", "col-p", "string", 2),
+                (cents_logical, "col-c", "long", 3),
+            ]
+            return _json.dumps(
+                {
+                    "type": "struct",
+                    "fields": [
+                        {
+                            "name": lg,
+                            "type": t,
+                            "nullable": True,
+                            "metadata": {
+                                "delta.columnMapping.physicalName": ph,
+                                "delta.columnMapping.id": i,
+                            },
+                        }
+                        for lg, ph, t, i in fields
+                    ],
+                }
+            )
+
+        def _meta(cents_logical: str) -> dict:
+            return {
+                "metaData": {
+                    "id": "0" * 32,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _schema_json(cents_logical),
+                    "partitionColumns": ["o_orderpriority"],
+                    "configuration": {
+                        "delta.columnMapping.mode": "name",
+                        "delta.columnMapping.maxColumnId": "3",
+                    },
+                }
+            }
+
+        def _commit(version: int, actions: list[dict]) -> None:
+            pth = os.path.join(table, "_delta_log", f"{version:020d}.json")
+            with open(pth, "w") as fh:
+                for a in actions:
+                    fh.write(_json.dumps(a) + "\n")
+
+        adds = []
+        for i, (prio, grp) in enumerate(
+            pdf.groupby("o_orderpriority", sort=True)
+        ):
+            grp = grp.reset_index(drop=True)
+            rel = f"o_orderpriority={prio}/part-{i:04d}.parquet"
+            fpath = os.path.join(table, rel)
+            os.makedirs(os.path.dirname(fpath), exist_ok=True)
+            _pq.write_table(
+                _pa.table(
+                    {
+                        "col-k": _pa.array(grp["o_orderkey"], _pa.int64()),
+                        "col-c": _pa.array(grp["cents"], _pa.int64()),
+                    }
+                ),
+                fpath,
+            )
+            adds.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": {"col-p": prio},
+                        "size": os.path.getsize(fpath),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                        "stats": _json.dumps(
+                            {
+                                "numRecords": int(len(grp)),
+                                "minValues": {
+                                    "col-k": int(grp["o_orderkey"].min()),
+                                    "col-c": int(grp["cents"].min()),
+                                },
+                                "maxValues": {
+                                    "col-k": int(grp["o_orderkey"].max()),
+                                    "col-c": int(grp["cents"].max()),
+                                },
+                                "nullCount": {"col-k": 0, "col-c": 0},
+                            }
+                        ),
+                    }
+                }
+            )
+        _commit(
+            0,
+            [
+                {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+                _meta("cents"),
+                *adds,
+            ],
+        )
+        _commit(1, [_meta("cents_total")])  # RENAME cents -> cents_total
+
+        def _rollup(df: DataFrame, cents_col: str, label: str) -> DataFrame:
+            return df.groupBy("o_orderpriority").agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(cents_col).alias("sum_cents"),
+            ).select(F.lit(label).alias("snapshot"), "*")
+
+        result = (
+            _rollup(read_delta_table(spark, table, version=0), "cents", "v0")
+            .unionByName(
+                _rollup(read_delta_table(spark, table), "cents_total", "renamed")
+            )
+            .orderBy("snapshot", "o_orderpriority")
+        )
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+DELTA_READ_COLUMN_MAPPING_ORACLE = """
+WITH o AS (
+    SELECT o_orderkey, o_orderpriority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+), snaps AS (
+    SELECT 'v0' AS snapshot, o_orderpriority, cents FROM o
+    UNION ALL
+    SELECT 'renamed', o_orderpriority, cents FROM o
+)
+SELECT snapshot, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM snaps
+GROUP BY snapshot, o_orderpriority
+ORDER BY snapshot, o_orderpriority
+"""
+
+
 QUERIES = {
     "ab_test_conversion": ab_test_conversion,
     "cdf_row_changes": cdf_row_changes,
@@ -2098,6 +2280,7 @@ QUERIES = {
     "iceberg_read_snapshot": iceberg_read_snapshot,
     "iceberg_read_deletes": iceberg_read_deletes,
     "delta_read_dv": delta_read_dv,
+    "delta_read_column_mapping": delta_read_column_mapping,
     "delta_read_changes": delta_read_changes,
     "iceberg_read_changes": iceberg_read_changes_lane,
     "sketch_cms_brand_counts": sketch_cms_brand_counts,
@@ -2126,6 +2309,7 @@ ORACLES = {
     "iceberg_read_snapshot": ICEBERG_READ_SNAPSHOT_ORACLE,
     "iceberg_read_deletes": ICEBERG_READ_DELETES_ORACLE,
     "delta_read_dv": DELTA_READ_DV_ORACLE,
+    "delta_read_column_mapping": DELTA_READ_COLUMN_MAPPING_ORACLE,
     "delta_read_changes": DELTA_READ_CHANGES_ORACLE,
     "iceberg_read_changes": ICEBERG_READ_CHANGES_ORACLE,
     "agg_entropy_gini": AGG_ENTROPY_GINI_ORACLE,

@@ -22,7 +22,8 @@ loudly, never returns wrong rows:
   from the newest complete checkpoint at or below the target).  The
   JSON tail after the chosen starting point must be contiguous; v2
   uuid-named checkpoints and sidecars are refused.
-- **Reader protocol version 1, plus the deletionVectors feature.**
+- **Reader protocol versions 1-2, plus the deletionVectors and
+  columnMapping (name-mode) features.**
   DVs are decoded (Z85 + 64-bit RoaringBitmapArray, ``sources/dv.py``)
   and the masked row positions filtered out on read by an
   Arrow-batched filter on ``_metadata.row_index`` over broadcast
@@ -31,12 +32,15 @@ loudly, never returns wrong rows:
   built, measured slower at every rung, and deleted
   (scripts/dv_path_crossover_sweep.py).
   ``minReaderVersion=3`` is accepted iff ``readerFeatures`` is within
-  ``{deletionVectors}``; anything else (column mapping, timestampNtz,
-  v2 checkpoints — and ``minReaderVersion=2``) is refused, as is a
-  ``metaData.configuration`` with column mapping enabled.  File
-  actions replay keyed by (path, DV uid) per the spec, so a
-  same-commit remove/add DV rewrite reconstructs in either file
-  order.
+  ``{deletionVectors, columnMapping}``; anything else (timestampNtz,
+  v2 checkpoints) is refused.  NAME-mode column mapping (r18) resolves
+  each top-level field's ``delta.columnMapping.physicalName`` metadata:
+  data files, stats, and partitionValues are read under PHYSICAL names
+  and aliased back to logical names at scan time, so RENAME/DROP
+  COLUMN histories read correctly; ID-mode (parquet field-id
+  resolution) and NESTED physical names are refused.  File actions
+  replay keyed by (path, DV uid) per the spec, so a same-commit
+  remove/add DV rewrite reconstructs in either file order.
 - **Read-only.**  No writer exists here by design — the engine's own
   table format (manifest_table) is the write path; this module exists
   so an external Delta-layout table can be SCANNED without conversion.
@@ -155,31 +159,100 @@ def decoded_file_basename():
 
 def _check_protocol(action: dict, path: str) -> None:
     v = action.get("minReaderVersion", 1)
-    if v <= 1:
-        return
+    if v <= 2:
+        return  # v2 = column mapping, resolved at scan time (r18)
     feats = action.get("readerFeatures")
-    if v == 3 and feats is not None and set(feats) <= {"deletionVectors"}:
-        return  # r17: DVs are decoded and applied on read
-    # v=2 (column mapping), v=3 with features beyond deletionVectors,
-    # and a malformed v=3 protocol that omits readerFeatures (the spec
-    # requires it — without the list the table's needs are unknowable)
+    if (
+        v == 3
+        and feats is not None
+        and set(feats) <= {"deletionVectors", "columnMapping"}
+    ):
+        return  # r17: DVs decoded on read; r18: name-mode mapping
+    # v=3 with features beyond the implemented pair, and a malformed
+    # v=3 protocol that omits readerFeatures (the spec requires it —
+    # without the list the table's needs are unknowable)
     raise NotImplementedError(
         f"Delta table at {path!r} requires minReaderVersion={v}"
         f" with readerFeatures={sorted(feats) if feats else feats}; this"
         " reader implements protocol version 1 plus the deletionVectors"
-        " table feature only (no column mapping, timestampNtz, or v2"
-        " checkpoints)."
+        " and columnMapping (name-mode) table features only (no"
+        " timestampNtz or v2 checkpoints)."
     )
 
 
 def _check_metadata(action: dict, path: str) -> None:
     conf = action.get("configuration") or {}
     mode = conf.get("delta.columnMapping.mode", "none")
-    if mode != "none":
+    if mode not in ("none", "name"):
         raise NotImplementedError(
             f"Delta table at {path!r} uses column mapping mode {mode!r};"
-            " only mode 'none' (physical = logical names) is supported."
+            " modes 'none' and 'name' are supported ('id' needs parquet"
+            " field-id resolution this reader does not implement)."
         )
+
+
+def _column_mapping(snap: dict, path: str) -> dict[str, str] | None:
+    """Top-level LOGICAL -> PHYSICAL column-name map when the snapshot's
+    configuration enables name-mode column mapping, else ``None``.
+
+    Per the public protocol's column-mapping section: physical names
+    live in each schema field's ``delta.columnMapping.physicalName``
+    metadata; data files, ``add.stats``, and ``add.partitionValues``
+    are written under PHYSICAL names, while ``metaData.partitionColumns``
+    and user-facing queries speak LOGICAL names.  RENAME COLUMN changes
+    only the logical name (physicalName is stable), DROP COLUMN just
+    removes the field — both become legal evolution under mapping, so
+    the no-mapping footer rename/drop guard is relaxed on this path.
+
+    Boundary, loud: NESTED struct fields carrying a physicalName that
+    differs from their field name are refused — this reader aliases
+    physical -> logical at the top level of the scan only."""
+    mode = (snap.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode == "none":
+        return None
+
+    def _refuse_nested(t, where: str) -> None:
+        if not isinstance(t, dict):
+            return
+        kind = t.get("type")
+        if kind == "struct":
+            for f in t.get("fields", []):
+                md = f.get("metadata") or {}
+                phys = md.get("delta.columnMapping.physicalName")
+                if phys is not None and phys != f["name"]:
+                    raise NotImplementedError(
+                        f"Delta table at {path!r} maps NESTED field"
+                        f" {where}.{f['name']!r} to physical name"
+                        f" {phys!r}; only top-level column mapping is"
+                        " implemented."
+                    )
+                _refuse_nested(f.get("type"), f"{where}.{f['name']}")
+        elif kind == "array":
+            _refuse_nested(t.get("elementType"), where)
+        elif kind == "map":
+            _refuse_nested(t.get("keyType"), where)
+            _refuse_nested(t.get("valueType"), where)
+
+    mapping: dict[str, str] = {}
+    for f in json.loads(snap["schema_json"])["fields"]:
+        md = f.get("metadata") or {}
+        mapping[f["name"]] = md.get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+        _refuse_nested(f.get("type"), f["name"])
+    return mapping
+
+
+def _log_key(pv: dict, logical: str, mapping: dict[str, str] | None):
+    """Value of a log-side map (``partitionValues`` / stats) for a
+    LOGICAL column: mapped writers key these by physical name; the
+    logical name is accepted as a fallback for pre-strictness logs."""
+    if mapping is None:
+        return pv.get(logical)
+    phys = mapping.get(logical, logical)
+    return pv[phys] if phys in pv else pv.get(logical)
 
 
 def _dv_uid(action: dict):
@@ -227,6 +300,7 @@ def _load_checkpoint(part_files: list[str], path: str) -> dict:
     live: dict[str, dict] = {}
     schema_json: str | None = None
     partition_cols: list[str] = []
+    configuration: dict = {}
     for part in part_files:
         table = pq.read_table(part)
         for row in table.to_pylist():
@@ -241,6 +315,7 @@ def _load_checkpoint(part_files: list[str], path: str) -> dict:
                 _check_metadata({**meta, "configuration": conf}, path)
                 schema_json = meta["schemaString"]
                 partition_cols = list(meta.get("partitionColumns") or [])
+                configuration = dict(conf or {})
             add = row.get("add")
             if add and add.get("path"):
                 pv = add.get("partitionValues")
@@ -251,6 +326,7 @@ def _load_checkpoint(part_files: list[str], path: str) -> dict:
         "live": live,
         "schema_json": schema_json,
         "partition_cols": partition_cols,
+        "configuration": configuration,
     }
 
 
@@ -281,7 +357,12 @@ def _replay(path: str, version: int | None = None) -> dict:
         snap = _load_checkpoint(checkpoints[start_cv], path)
         tail_start = start_cv + 1
     else:
-        snap = {"live": {}, "schema_json": None, "partition_cols": []}
+        snap = {
+            "live": {},
+            "schema_json": None,
+            "partition_cols": [],
+            "configuration": {},
+        }
         tail_start = 0
     tail = list(range(tail_start, v + 1))
     missing = [rnd for rnd in tail if rnd not in set(versions)]
@@ -299,6 +380,7 @@ def _replay(path: str, version: int | None = None) -> dict:
     live: dict[str, dict] = snap["live"]
     schema_json: str | None = snap["schema_json"]
     partition_cols: list[str] = snap["partition_cols"]
+    configuration: dict = dict(snap.get("configuration") or {})
     log_dir = os.path.join(path, "_delta_log")
     for rnd in tail:
         with open(os.path.join(log_dir, f"{rnd:020d}.json")) as fh:
@@ -314,6 +396,9 @@ def _replay(path: str, version: int | None = None) -> dict:
                     schema_json = action["metaData"]["schemaString"]
                     partition_cols = list(
                         action["metaData"].get("partitionColumns") or []
+                    )
+                    configuration = dict(
+                        action["metaData"].get("configuration") or {}
                     )
                 elif "add" in action:
                     _admit_add(action["add"], path, live)
@@ -344,6 +429,7 @@ def _replay(path: str, version: int | None = None) -> dict:
         "live": collapsed,
         "schema_json": schema_json,
         "partition_cols": partition_cols,
+        "configuration": configuration,
     }
 
 
@@ -376,6 +462,11 @@ def delta_scan_files(
     snap = _replay(path, version)
     schema = StructType.fromJson(json.loads(snap["schema_json"]))
     types = {f.name: f.dataType for f in schema.fields}
+    mapping = _column_mapping(snap, path)
+    # column-mapped logs key stats and partitionValues by PHYSICAL name;
+    # the pruner (and the filter grammar) speak logical — translate, and
+    # drop keys for columns no longer in the schema (legal DROP COLUMN)
+    phys2log = {p: l for l, p in (mapping or {}).items()}
     files, stats, nulls, rows = [], {}, {}, {}
     all_null: dict[str, set] = {}
     for rel, add in sorted(snap["live"].items()):
@@ -388,11 +479,17 @@ def delta_scan_files(
             mins = st.get("minValues") or {}
             maxs = st.get("maxValues") or {}
             for col in set(mins) & set(maxs):
-                franges[col] = [mins[col], maxs[col]]
+                franges[phys2log.get(col, col)] = [mins[col], maxs[col]]
             if st.get("numRecords") is not None:
                 rows[fpath] = st["numRecords"]
-            nulls[fpath] = dict(st.get("nullCount") or {})
+            nulls[fpath] = {
+                phys2log.get(c, c): n
+                for c, n in (st.get("nullCount") or {}).items()
+            }
         for col, raw_v in (add.get("partitionValues") or {}).items():
+            col = phys2log.get(col, col)
+            if col not in types:
+                continue  # value for a dropped column: nothing to prune
             tv = _typed_partition_value(raw_v, types[col])
             if tv is None:
                 # NULL partition: every row is null in col, whatever the
@@ -542,7 +639,15 @@ def read_delta_table(
         df = spark.createDataFrame([], schema)
         return df if pred is None else df.where(pred)
     adds_by_rel = {os.path.relpath(f, path): snap["live"][os.path.relpath(f, path)] for f in files}
-    df = _read_files(spark, path, schema, pcols, adds_by_rel, files)
+    df = _read_files(
+        spark,
+        path,
+        schema,
+        pcols,
+        adds_by_rel,
+        files,
+        mapping=_column_mapping(snap, path),
+    )
     return df if pred is None else df.where(pred)
 
 
@@ -553,40 +658,52 @@ def _read_files(
     pcols: list[str],
     adds_by_rel: dict[str, dict],
     files: list[str],
+    mapping: dict[str, str] | None = None,
 ) -> DataFrame:
     """The snapshot-file read shape shared by ``read_delta_table`` and
     the change feed: ONE parquet scan of ``files`` (non-partition
     columns only), the deletion-vector mask on the raw scan, then the
-    broadcast (basename -> partitionValues) restore join."""
+    broadcast (basename -> partitionValues) restore join.  With
+    name-mode column ``mapping`` (logical -> physical) the scan reads
+    the files' PHYSICAL column names and aliases them back to logical
+    immediately after the mask — one projection, no extra pass."""
     from pyspark.sql.types import StringType, StructField, StructType
 
-    # data files store only the non-partition columns
+    # data files store only the non-partition columns (under their
+    # physical names when column mapping is on)
+    data_fields = [f for f in schema.fields if f.name not in pcols]
+    phys = (lambda n: mapping.get(n, n)) if mapping else (lambda n: n)
     data_schema = StructType(
-        [f for f in schema.fields if f.name not in pcols]
+        [StructField(phys(f.name), f.dataType, f.nullable) for f in data_fields]
     )
 
     # schema-evolution guard (VERDICT r16 wrong #1): reading old files
     # under the newest schemaString relies on Delta's nullable-ADD rule.
-    # Without column mapping (the only mode admitted here) ADD is the
-    # only legal column evolution — so a file holding a column the
-    # current schema lacks means an out-of-spec RENAME or DROP, and
-    # reading on would silently null the renamed column's data.  The
-    # footers are probed driver-side (metadata-sized per file); stray
-    # in-file copies of partition columns are tolerated because the log
-    # is authoritative for their values.
-    import pyarrow.parquet as _pq
+    # Without column mapping ADD is the only legal column evolution —
+    # so a file holding a column the current schema lacks means an
+    # out-of-spec RENAME or DROP, and reading on would silently null
+    # the renamed column's data.  The footers are probed driver-side
+    # (metadata-sized per file); stray in-file copies of partition
+    # columns are tolerated because the log is authoritative for their
+    # values.  UNDER column mapping the guard is off: RENAME keeps the
+    # physical name (still resolved), and a stray physical column is a
+    # legal DROP's residue, correctly ignored by the explicit schema.
+    if mapping is None:
+        import pyarrow.parquet as _pq
 
-    allowed = {f.name for f in data_schema.fields} | set(pcols)
-    for f in files:
-        unknown = [n for n in _pq.read_schema(f).names if n not in allowed]
-        if unknown:
-            raise NotImplementedError(
-                f"data file {f!r} holds column(s) {unknown} absent from"
-                " the current schema; without column mapping only ADD"
-                " COLUMN is legal evolution, so this is a rename/drop"
-                " this reader cannot resolve — reading on would"
-                " silently null the renamed data."
-            )
+        allowed = {f.name for f in data_schema.fields} | set(pcols)
+        for f in files:
+            unknown = [
+                n for n in _pq.read_schema(f).names if n not in allowed
+            ]
+            if unknown:
+                raise NotImplementedError(
+                    f"data file {f!r} holds column(s) {unknown} absent"
+                    " from the current schema; without column mapping"
+                    " only ADD COLUMN is legal evolution, so this is a"
+                    " rename/drop this reader cannot resolve — reading"
+                    " on would silently null the renamed data."
+                )
 
     # deletion-vector mask: DV'd files are scanned SEPARATELY from
     # clean ones (each file still read exactly once — the union is of
@@ -619,6 +736,10 @@ def _read_files(
             .parquet(*clean)
             .unionByName(masked)
         )
+    if mapping:
+        df = df.select(
+            *[F.col(phys(f.name)).alias(f.name) for f in data_fields]
+        )
 
     if pcols:
         base_of = {os.path.basename(f): f for f in files}
@@ -632,7 +753,12 @@ def _read_files(
             rel = os.path.relpath(f, path)
             add = adds_by_rel[rel]
             pv = add.get("partitionValues") or {}
-            pv_rows.append((os.path.basename(f), *[pv.get(c) for c in pcols]))
+            pv_rows.append(
+                (
+                    os.path.basename(f),
+                    *[_log_key(pv, c, mapping) for c in pcols],
+                )
+            )
         pv_schema = StructType(
             [StructField("__delta_file", StringType(), False)]
             + [StructField(f"__pv_{c}", StringType(), True) for c in pcols]
@@ -723,6 +849,9 @@ def read_delta_changes(
                 " column"
             )
         pcols = after["partition_cols"]
+        # physical names are stable across RENAMEs, so the step's after-
+        # snapshot mapping resolves BOTH sides' files correctly
+        mapping = _column_mapping(after, path)
         b_uid = {rel: _dv_uid(a) for rel, a in before["live"].items()}
         a_uid = {rel: _dv_uid(a) for rel, a in after["live"].items()}
         removed = sorted(
@@ -743,6 +872,7 @@ def read_delta_changes(
                 pcols,
                 {rel: live[rel] for rel in rels},
                 [os.path.join(path, rel) for rel in rels],
+                mapping=mapping,
             )
 
         if not removed:
@@ -870,6 +1000,8 @@ def delta_files_table(
     (log replay + the add actions' own fields) — ops tooling audits a
     100 TB table without opening a data file."""
     snap = _replay(path, version)
+    mapping = _column_mapping(snap, path)
+    p2l = {p: l for l, p in (mapping or {}).items()}
     rows = []
     for rel in sorted(snap["live"]):
         add = snap["live"][rel]
@@ -882,10 +1014,16 @@ def delta_files_table(
                 os.path.join(path, rel),
                 st.get("numRecords"),
                 add.get("size"),
-                {c: str(v) for c, v in mins.items()},
-                {c: str(v) for c, v in maxs.items()},
-                {c: int(n) for c, n in (st.get("nullCount") or {}).items()},
-                {c: v for c, v in (add.get("partitionValues") or {}).items()},
+                {p2l.get(c, c): str(v) for c, v in mins.items()},
+                {p2l.get(c, c): str(v) for c, v in maxs.items()},
+                {
+                    p2l.get(c, c): int(n)
+                    for c, n in (st.get("nullCount") or {}).items()
+                },
+                {
+                    p2l.get(c, c): v
+                    for c, v in (add.get("partitionValues") or {}).items()
+                },
                 dv.get("cardinality"),
             )
         )

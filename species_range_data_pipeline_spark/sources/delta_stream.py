@@ -60,6 +60,20 @@ from .delta_log import (
 )
 
 
+def _refuse_column_mapping(configuration: dict | None, path: str) -> None:
+    """The batch reader resolves name-mode column mapping (r18); this
+    per-file streaming reader does not yet — its partitionValues and
+    file columns would silently mis-resolve under physical names, so a
+    mapped table refuses loudly here."""
+    mode = (configuration or {}).get("delta.columnMapping.mode", "none")
+    if mode != "none":
+        raise NotImplementedError(
+            f"delta_tail cannot stream column-mapped table {path!r}"
+            f" (mode {mode!r}); use the batch read_delta_table /"
+            " read_delta_changes readers, which resolve the mapping."
+        )
+
+
 class _DeltaFile(InputPartition):
     def __init__(self, path: str, schema_json: str, pvalues: dict):
         self.path = path
@@ -80,7 +94,9 @@ class DeltaTailDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("delta_tail requires .option('path', ...)")
-        return StructType.fromJson(json.loads(_replay(path)["schema_json"]))
+        snap = _replay(path)
+        _refuse_column_mapping(snap.get("configuration"), path)
+        return StructType.fromJson(json.loads(snap["schema_json"]))
 
     def streamReader(self, schema) -> "DeltaTailStreamReader":
         return DeltaTailStreamReader(self.options, schema)
@@ -145,11 +161,14 @@ class DeltaTailStreamReader(DataSourceStreamReader):
             # reconstruct partitionValues for versions before a later
             # metaData change under the OLD partition-column list (the
             # in-range metaData actions below then advance it in step)
-            self._pcols = (
-                _replay(self._path, version=lo)["partition_cols"]
-                if lo >= 0
-                else []
-            )
+            if lo >= 0:
+                seed = _replay(self._path, version=lo)
+                _refuse_column_mapping(
+                    seed.get("configuration"), self._path
+                )
+                self._pcols = seed["partition_cols"]
+            else:
+                self._pcols = []
         for v in range(lo + 1, hi + 1):
             adds, changed = [], False
             for action in self._commit_actions(v):
@@ -157,6 +176,9 @@ class DeltaTailStreamReader(DataSourceStreamReader):
                     _check_protocol(action["protocol"], self._path)
                 elif "metaData" in action:
                     _check_metadata(action["metaData"], self._path)
+                    _refuse_column_mapping(
+                        action["metaData"].get("configuration"), self._path
+                    )
                     self._pcols = list(
                         action["metaData"].get("partitionColumns") or []
                     )

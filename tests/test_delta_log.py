@@ -243,7 +243,8 @@ def test_refusals_are_loud(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="minReaderVersion=3"):
         read_delta_table(spark, t1)
 
-    # minReaderVersion=3 carrying a feature beyond deletionVectors
+    # minReaderVersion=3 carrying a feature beyond the implemented
+    # pair (deletionVectors + columnMapping are both admitted from r18)
     t1b = str(tmp_path / "r1b")
     os.makedirs(t1b, exist_ok=True)
     a = _data_file(t1b, "f.parquet", {"k": [1]})
@@ -255,14 +256,14 @@ def test_refusals_are_loud(spark, tmp_path):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors", "columnMapping"],
+                    "readerFeatures": ["deletionVectors", "timestampNtz"],
                 }
             },
             _meta([("k", "long")]),
             a,
         ],
     )
-    with pytest.raises(NotImplementedError, match="columnMapping"):
+    with pytest.raises(NotImplementedError, match="timestampNtz"):
         read_delta_table(spark, t1b)
 
     # deletion vector with an out-of-spec storageType (even under a
@@ -275,7 +276,8 @@ def test_refusals_are_loud(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="storageType"):
         read_delta_table(spark, t2)
 
-    # column mapping
+    # column mapping: ID mode needs parquet field-id resolution and
+    # is refused (name mode reads — test_column_mapping_* below)
     t3 = str(tmp_path / "r3")
     os.makedirs(t3, exist_ok=True)
     a = _data_file(t3, "f.parquet", {"k": [1]})
@@ -286,12 +288,12 @@ def test_refusals_are_loud(spark, tmp_path):
             _PROTOCOL,
             _meta(
                 [("k", "long")],
-                configuration={"delta.columnMapping.mode": "name"},
+                configuration={"delta.columnMapping.mode": "id"},
             ),
             a,
         ],
     )
-    with pytest.raises(NotImplementedError, match="column mapping"):
+    with pytest.raises(NotImplementedError, match="column mapping mode"):
         read_delta_table(spark, t3)
 
     # v2 uuid-named checkpoint layout (requires reader v3 machinery)
@@ -1320,4 +1322,203 @@ def test_dv_broadcast_cap_refuses_before_loading(spark, tmp_path):
         [add_dv, {"remove": {"path": "f1.parquet", "dataChange": True}}],
     )
     with pytest.raises(NotImplementedError, match="broadcast cap"):
+        read_delta_table(spark, table)
+
+
+# --- name-mode column mapping (r18) ---------------------------------------
+
+_PROTOCOL_CM = {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+
+
+def _meta_mapped(fields, partition_cols=()):
+    """metaData for a name-mode column-mapped table: ``fields`` is
+    [(logical, physical, type), ...]; schemaString fields carry the
+    spec's ``delta.columnMapping.physicalName``/``id`` metadata and
+    ``partitionColumns`` stay LOGICAL (the delta-spark convention)."""
+    schema = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": lg,
+                "type": t,
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.physicalName": ph,
+                    "delta.columnMapping.id": i + 1,
+                },
+            }
+            for i, (lg, ph, t) in enumerate(fields)
+        ],
+    }
+    return {
+        "metaData": {
+            "id": "00000000-0000-0000-0000-000000000000",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": list(partition_cols),
+            "configuration": {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": str(len(fields)),
+            },
+        }
+    }
+
+
+def _mapped_table(tmp_path, name="cm"):
+    """v0: partitioned mapped table (logical k/y/v -> physical col-1/
+    col-2/col-3), data files under PHYSICAL names, partitionValues and
+    stats keyed by PHYSICAL names; v1: RENAME v -> val (physicalName
+    stable); v2: DROP k (files still carry col-1)."""
+    table = str(tmp_path / name)
+    os.makedirs(table, exist_ok=True)
+    adds = []
+    for year, ks in (("2020", [1, 2]), ("2021", [3, 4])):
+        rel = f"y={year}/part-{year}.parquet"
+        a = _data_file(
+            table,
+            rel,
+            {"col-1": ks, "col-3": [f"{year}-{k}" for k in ks]},
+            stats={
+                "numRecords": 2,
+                "minValues": {"col-1": min(ks)},
+                "maxValues": {"col-1": max(ks)},
+                "nullCount": {"col-1": 0, "col-3": 0},
+            },
+        )
+        a["add"]["partitionValues"] = {"col-2": year}
+        adds.append(a)
+    f0 = [("k", "col-1", "long"), ("y", "col-2", "integer"),
+          ("v", "col-3", "string")]
+    _commit(table, 0, [_PROTOCOL_CM, _meta_mapped(f0, ["y"]), *adds])
+    f1 = [("k", "col-1", "long"), ("y", "col-2", "integer"),
+          ("val", "col-3", "string")]
+    _commit(table, 1, [_meta_mapped(f1, ["y"])])  # RENAME v -> val
+    f2 = [("y", "col-2", "integer"), ("val", "col-3", "string")]
+    _commit(table, 2, [_meta_mapped(f2, ["y"])])  # DROP k
+    return table
+
+
+def test_column_mapping_rename_and_drop_read(spark, tmp_path):
+    """Name-mode column mapping (VERDICT r17 next #2): data files,
+    stats, and partitionValues are written under PHYSICAL names; the
+    read resolves them back to logical names, so RENAME COLUMN and
+    DROP COLUMN histories — illegal without mapping — read correctly
+    at every version."""
+    table = _mapped_table(tmp_path)
+
+    v0 = read_delta_table(spark, table, version=0)
+    assert [f.name for f in v0.schema.fields] == ["k", "y", "v"]
+    assert {(r.k, r.y, r.v) for r in v0.collect()} == {
+        (1, 2020, "2020-1"),
+        (2, 2020, "2020-2"),
+        (3, 2021, "2021-3"),
+        (4, 2021, "2021-4"),
+    }
+
+    v1 = read_delta_table(spark, table, version=1)  # post-RENAME
+    assert [f.name for f in v1.schema.fields] == ["k", "y", "val"]
+    assert {(r.k, r.val) for r in v1.collect()} == {
+        (1, "2020-1"), (2, "2020-2"), (3, "2021-3"), (4, "2021-4"),
+    }
+
+    latest = read_delta_table(spark, table)  # post-DROP: col-1 ignored
+    assert [f.name for f in latest.schema.fields] == ["y", "val"]
+    assert {(r.y, r.val) for r in latest.collect()} == {
+        (2020, "2020-1"), (2020, "2020-2"),
+        (2021, "2021-3"), (2021, "2021-4"),
+    }
+
+
+def test_column_mapping_zone_maps_and_partition_prune(spark, tmp_path):
+    """The subtle part the verdict flagged: physical-keyed add.stats
+    and partitionValues must feed the pruner under LOGICAL names — a
+    filter on the renamed logical column and one on the partition
+    column both skip files without opening anything."""
+    table = _mapped_table(tmp_path, "cmprune")
+
+    pruned = delta_scan_files(table, version=1, filters=[("k", ">=", 3)])
+    assert [os.path.basename(f) for f in pruned] == ["part-2021.parquet"]
+    pruned = delta_scan_files(table, version=1, filters=[("y", "=", 2020)])
+    assert [os.path.basename(f) for f in pruned] == ["part-2020.parquet"]
+    got = {
+        (r.k, r.y, r.val)
+        for r in read_delta_table(
+            spark, table, version=1, filters=[("k", "<", 3), ("y", "=", 2020)]
+        ).collect()
+    }
+    assert got == {(1, 2020, "2020-1"), (2, 2020, "2020-2")}
+
+
+def test_column_mapping_composes_with_deletion_vectors(spark, tmp_path):
+    """Mapping + merge-on-read: a DV masks physical-file positions and
+    the surviving rows still come back under logical names."""
+    from species_range_data_pipeline_spark.sources.dv import (
+        make_inline_descriptor,
+    )
+
+    table = str(tmp_path / "cmdv")
+    os.makedirs(table, exist_ok=True)
+    fields = [("k", "col-1", "long"), ("v", "col-2", "string")]
+    a = _data_file(
+        table, "f1.parquet", {"col-1": [1, 2, 3], "col-2": ["a", "b", "c"]}
+    )
+    proto = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors", "columnMapping"],
+            "writerFeatures": ["deletionVectors", "columnMapping"],
+        }
+    }
+    _commit(table, 0, [proto, _meta_mapped(fields), a])
+    add_dv = {"add": dict(a["add"], deletionVector=make_inline_descriptor([1]))}
+    _commit(
+        table, 1,
+        [add_dv, {"remove": {"path": "f1.parquet", "dataChange": True}}],
+    )
+    got = {(r.k, r.v) for r in read_delta_table(spark, table).collect()}
+    assert got == {(1, "a"), (3, "c")}
+
+
+def test_column_mapping_nested_physical_name_refused(spark, tmp_path):
+    """Nested struct fields with a physicalName differing from the
+    field name are beyond the top-level aliasing this reader does —
+    refused loudly, never silently mis-resolved."""
+    table = str(tmp_path / "cmnest")
+    os.makedirs(table, exist_ok=True)
+    nested = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "s",
+                "nullable": True,
+                "metadata": {"delta.columnMapping.physicalName": "col-1"},
+                "type": {
+                    "type": "struct",
+                    "fields": [
+                        {
+                            "name": "inner",
+                            "type": "long",
+                            "nullable": True,
+                            "metadata": {
+                                "delta.columnMapping.physicalName": "col-9"
+                            },
+                        }
+                    ],
+                },
+            }
+        ],
+    }
+    meta = {
+        "metaData": {
+            "id": "0" * 32,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(nested),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name"},
+        }
+    }
+    a = _data_file(table, "f1.parquet", {"col-1": [1]})
+    _commit(table, 0, [_PROTOCOL_CM, meta, a])
+    with pytest.raises(NotImplementedError, match="NESTED"):
         read_delta_table(spark, table)

@@ -273,3 +273,32 @@ def test_delta_tail_mid_log_start_seeds_batch_start_pcols(spark, tmp_path):
     parts = reader.partitions({"version": 0}, {"version": 1})
     rows = [t for p in parts for b in reader.read(p) for t in b.to_pylist()]
     assert [(r["k"], r["y"]) for r in rows] == [(4, 2021)]
+
+
+def test_delta_tail_refuses_column_mapped_table(spark, tmp_path):
+    """The per-file streaming reader does not resolve column mapping
+    (the batch readers do): a mapped table refuses loudly instead of
+    mis-resolving physical names."""
+    from pyspark.sql.types import StructType
+
+    table = str(tmp_path / "cmref")
+    os.makedirs(table, exist_ok=True)
+    meta = {
+        "metaData": {
+            "id": "0" * 32,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _schema_string([("k", "long")]),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name"},
+        }
+    }
+    a0 = _data_file(table, "f0.parquet", {"k": [1]})
+    _commit(
+        table,
+        0,
+        [{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}, meta, a0],
+    )
+    schema = StructType.fromJson(json.loads(_schema_string([("k", "long")])))
+    reader = DeltaTailStreamReader({"path": table}, schema)
+    with pytest.raises(NotImplementedError, match="column-mapped"):
+        reader.partitions({"version": -1}, {"version": 0})
