@@ -2273,12 +2273,345 @@ ORDER BY snapshot, o_orderpriority
 """
 
 
+def iceberg_read_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 EQUALITY-delete interop under a driver hash (VERDICT
+    r17 next #3) — the value-keyed twin of ``iceberg_read_deletes``
+    (position deletes): an Iceberg Hadoop-layout table is staged from
+    the orders fixture with THREE snapshots,
+
+    - snapshot 100 (data sequence number 1): every ``o_orderkey % 3 ==
+      0`` order, one parquet file per ``o_orderstatus`` identity
+      partition;
+    - snapshot 200 (seq 2): an equality-delete file
+      (``content=2``, ``equality_ids=[1]`` -> the ``o_orderkey``
+      column) holding every present key with ``o_orderkey % 5 == 0``;
+    - snapshot 300 (seq 3): an APPEND that RE-INSERTS the deleted keys
+      with doubled cents — the Flink/CDC upsert pattern.  Its data
+      sequence number (3) exceeds the delete's (2), so the spec's
+      strictly-smaller scoping keeps these rows even though their keys
+      match the delete values — the exact rule a naive unscoped
+      anti-join gets wrong.
+
+    Read back through ``read_iceberg_table`` at all three snapshots
+    (``iceberg_log._apply_equality_deletes``: broadcast null-safe
+    anti-join + broadcast (file -> sequence number) map join); the
+    rollup pins time travel across the delete AND the scoping; the
+    oracle recomputes the three states relationally.  Sequence numbers
+    ride the manifest-LIST entries and inherit per the spec.
+    """
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from ..sources.avro_ocf import write_avro
+    from ..sources.iceberg_log import read_iceberg_table
+
+    pdf = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .where(F.col("o_orderkey") % 3 == 0)
+        .toPandas()
+        .sort_values("o_orderkey", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_read_eq_deletes_")
+    table = os.path.join(root, "table")
+    mdir = os.path.join(table, "metadata")
+    ddir = os.path.join(table, "data")
+    os.makedirs(mdir)
+    os.makedirs(ddir)
+    try:
+        def _write(name: str, grp) -> str:
+            fp = os.path.join(ddir, name)
+            _pq.write_table(
+                _pa.table(
+                    {
+                        "o_orderkey": _pa.array(
+                            grp["o_orderkey"], _pa.int64()
+                        ),
+                        "o_orderstatus": _pa.array(grp["o_orderstatus"]),
+                        "cents": _pa.array(grp["cents"], _pa.int64()),
+                    }
+                ),
+                fp,
+            )
+            return fp
+
+        data_entries = []  # (file_path, status, n_rows)
+        for st, grp in pdf.groupby("o_orderstatus", sort=True):
+            grp = grp.reset_index(drop=True)
+            fp = _write(f"s1-{st}.parquet", grp)
+            data_entries.append((fp, st, len(grp)))
+
+        # equality-delete file: the keys to delete (values, not
+        # positions — the whole point of the format)
+        killed = pdf[pdf["o_orderkey"] % 5 == 0]
+        ed_path = os.path.join(ddir, "eq-deletes.parquet")
+        _pq.write_table(
+            _pa.table(
+                {"o_orderkey": _pa.array(killed["o_orderkey"], _pa.int64())}
+            ),
+            ed_path,
+        )
+
+        # snapshot 300's re-insert of the killed keys, cents doubled
+        revived = killed.copy()
+        revived["cents"] *= 2
+        rv_path = _write("s3-revived.parquet", revived)
+
+        man_schema = {
+            "type": "record",
+            "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int"},
+                {
+                    "name": "snapshot_id",
+                    "type": ["null", "long"],
+                    "default": None,
+                },
+                {
+                    "name": "sequence_number",
+                    "type": ["null", "long"],
+                    "default": None,
+                },
+                {
+                    "name": "data_file",
+                    "type": {
+                        "type": "record",
+                        "name": "r2",
+                        "fields": [
+                            {"name": "content", "type": "int"},
+                            {"name": "file_path", "type": "string"},
+                            {"name": "file_format", "type": "string"},
+                            {
+                                "name": "partition",
+                                "type": {
+                                    "type": "record",
+                                    "name": "r102",
+                                    "fields": [
+                                        {
+                                            "name": "o_orderstatus",
+                                            "type": ["null", "string"],
+                                            "default": None,
+                                        }
+                                    ],
+                                },
+                            },
+                            {"name": "record_count", "type": "long"},
+                            {"name": "file_size_in_bytes", "type": "long"},
+                            {
+                                "name": "equality_ids",
+                                "type": [
+                                    "null",
+                                    {"type": "array", "items": "int"},
+                                ],
+                                "default": None,
+                            },
+                        ],
+                    },
+                },
+            ],
+        }
+        mlist_schema = {
+            "type": "record",
+            "name": "manifest_file",
+            "fields": [
+                {"name": "manifest_path", "type": "string"},
+                {"name": "manifest_length", "type": "long"},
+                {"name": "partition_spec_id", "type": "int"},
+                {"name": "content", "type": "int"},
+                {
+                    "name": "sequence_number",
+                    "type": ["null", "long"],
+                    "default": None,
+                },
+                {"name": "added_snapshot_id", "type": "long"},
+            ],
+        }
+
+        def _manifest(name, entries, content, eq_ids=None):
+            p = os.path.join(mdir, name)
+            write_avro(
+                [
+                    {
+                        "status": st,
+                        "snapshot_id": None,
+                        "sequence_number": None,  # inherit from the list
+                        "data_file": {
+                            "content": content,
+                            "file_path": fp,
+                            "file_format": "PARQUET",
+                            "partition": {"o_orderstatus": pv},
+                            "record_count": n,
+                            "file_size_in_bytes": os.path.getsize(fp),
+                            "equality_ids": eq_ids,
+                        },
+                    }
+                    for st, fp, pv, n in entries
+                ],
+                man_schema,
+                p,
+            )
+            return p
+
+        def _snapshot(snap_id, manifests, contents, seqs, op):
+            mlist = os.path.join(mdir, f"snap-{snap_id}.avro")
+            write_avro(
+                [
+                    {
+                        "manifest_path": m,
+                        "manifest_length": os.path.getsize(m),
+                        "partition_spec_id": 0,
+                        "content": c,
+                        "sequence_number": sq,
+                        "added_snapshot_id": snap_id,
+                    }
+                    for m, c, sq in zip(manifests, contents, seqs)
+                ],
+                mlist_schema,
+                mlist,
+            )
+            return {
+                "snapshot-id": snap_id,
+                "timestamp-ms": 1700000000000 + snap_id,
+                "manifest-list": mlist,
+                "summary": {"operation": op},
+            }
+
+        m1 = _manifest(
+            "m1.avro", [(1, fp, st, n) for fp, st, n in data_entries], 0
+        )
+        md = _manifest(
+            "md.avro",
+            [(1, ed_path, None, len(killed))],
+            2,
+            eq_ids=[1],
+        )
+        m3 = _manifest(
+            "m3.avro", [(1, rv_path, None, len(revived))], 0
+        )
+        snaps = [
+            _snapshot(100, [m1], [0], [1], "append"),
+            _snapshot(200, [m1, md], [0, 1], [1, 2], "delete"),
+            _snapshot(300, [m1, md, m3], [0, 1, 0], [1, 2, 3], "append"),
+        ]
+        with open(os.path.join(mdir, "v1.metadata.json"), "w") as fh:
+            _json.dump(
+                {
+                    "format-version": 2,
+                    "table-uuid": "0" * 32,
+                    "location": table,
+                    "last-column-id": 3,
+                    "schemas": [
+                        {
+                            "type": "struct",
+                            "schema-id": 0,
+                            "fields": [
+                                {
+                                    "id": 1,
+                                    "name": "o_orderkey",
+                                    "required": False,
+                                    "type": "long",
+                                },
+                                {
+                                    "id": 2,
+                                    "name": "o_orderstatus",
+                                    "required": False,
+                                    "type": "string",
+                                },
+                                {
+                                    "id": 3,
+                                    "name": "cents",
+                                    "required": False,
+                                    "type": "long",
+                                },
+                            ],
+                        }
+                    ],
+                    "current-schema-id": 0,
+                    "partition-specs": [
+                        {
+                            "spec-id": 0,
+                            "fields": [
+                                {
+                                    "name": "o_orderstatus",
+                                    "transform": "identity",
+                                    "source-id": 2,
+                                    "field-id": 1000,
+                                }
+                            ],
+                        }
+                    ],
+                    "default-spec-id": 0,
+                    "snapshots": snaps,
+                    "current-snapshot-id": 300,
+                },
+                fh,
+            )
+        with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+            fh.write("1")
+
+        def _rollup(df: DataFrame, label: str) -> DataFrame:
+            return df.groupBy("o_orderstatus").agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("cents").alias("sum_cents"),
+            ).select(F.lit(label).alias("snapshot"), "*")
+
+        result = (
+            _rollup(read_iceberg_table(spark, table, snapshot_id=100), "s1")
+            .unionByName(
+                _rollup(
+                    read_iceberg_table(spark, table, snapshot_id=200), "s2"
+                )
+            )
+            .unionByName(_rollup(read_iceberg_table(spark, table), "latest"))
+            .orderBy("snapshot", "o_orderstatus")
+        )
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ICEBERG_READ_EQ_DELETES_ORACLE = """
+WITH o AS (
+    SELECT o_orderkey, o_orderstatus,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderkey % 3 = 0
+), snaps AS (
+    SELECT 's1' AS snapshot, o_orderstatus, cents FROM o
+    UNION ALL
+    SELECT 's2', o_orderstatus, cents FROM o WHERE o_orderkey % 5 <> 0
+    UNION ALL
+    SELECT 'latest', o_orderstatus, cents FROM o WHERE o_orderkey % 5 <> 0
+    UNION ALL
+    SELECT 'latest', o_orderstatus, cents * 2
+    FROM o WHERE o_orderkey % 5 = 0
+)
+SELECT snapshot, o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM snaps
+GROUP BY snapshot, o_orderstatus
+ORDER BY snapshot, o_orderstatus
+"""
+
+
 QUERIES = {
     "ab_test_conversion": ab_test_conversion,
     "cdf_row_changes": cdf_row_changes,
     "delta_read_snapshot": delta_read_snapshot,
     "iceberg_read_snapshot": iceberg_read_snapshot,
     "iceberg_read_deletes": iceberg_read_deletes,
+    "iceberg_read_eq_deletes": iceberg_read_eq_deletes,
     "delta_read_dv": delta_read_dv,
     "delta_read_column_mapping": delta_read_column_mapping,
     "delta_read_changes": delta_read_changes,
@@ -2308,6 +2641,7 @@ ORACLES = {
     "delta_read_snapshot": DELTA_READ_SNAPSHOT_ORACLE,
     "iceberg_read_snapshot": ICEBERG_READ_SNAPSHOT_ORACLE,
     "iceberg_read_deletes": ICEBERG_READ_DELETES_ORACLE,
+    "iceberg_read_eq_deletes": ICEBERG_READ_EQ_DELETES_ORACLE,
     "delta_read_dv": DELTA_READ_DV_ORACLE,
     "delta_read_column_mapping": DELTA_READ_COLUMN_MAPPING_ORACLE,
     "delta_read_changes": DELTA_READ_CHANGES_ORACLE,

@@ -33,10 +33,16 @@ returns wrong rows:
 - **v2 POSITION deletes are applied** (r17): position-delete files —
   ordinary parquet of ``(file_path, pos)`` — are read and masked out
   via a broadcast anti-join on ``_metadata.file_path``/``row_index``
-  (``_apply_position_deletes``).  **Equality deletes are refused**:
-  applying them needs sequence-number-scoped value comparison this
-  reader does not implement, and ignoring them would resurrect
-  deleted rows.
+  (``_apply_position_deletes``).
+- **v2 EQUALITY deletes are applied** (r18): per equality-id column
+  set, a broadcast left-anti join on null-safe equality, scoped by
+  DATA SEQUENCE NUMBER (a delete applies only to data files with
+  strictly smaller sequence numbers, so compactions and upsert
+  re-inserts after the delete keep their rows); sequence numbers
+  follow the spec's manifest-inheritance rule.  Not composed with
+  migrated-layout partition restoration, and the CHANGE FEED still
+  refuses equality deletes (diffing their coverage needs value-level
+  per-step resolution) — both refuse loudly.
 - **Parquet data files only** (``file_format`` must be PARQUET).
 - **Name-based column resolution**: parquet columns are matched to the
   table schema by NAME, not Iceberg field id.  A table whose columns
@@ -273,13 +279,21 @@ def _identity_partition_fields(meta: dict) -> dict[int, list[tuple[str, int]]]:
     }
 
 
+_KIND_OF_CONTENT = {0: "data", 1: "posdel", 2: "eqdel"}
+
+
 def _walk_entries(path: str, snapshot: dict):
-    """Yield (kind, data_file dict, spec_id) for every LIVE entry
-    reachable from the snapshot — kind is ``'data'`` or ``'posdel'``
-    (a v2 position-delete file).  Equality deletes and non-parquet
-    files are refused: applying them needs value comparison semantics
-    this reader does not implement, and ignoring them would resurrect
-    deleted rows."""
+    """Yield (kind, data_file dict, spec_id, data_sequence_number) for
+    every LIVE entry reachable from the snapshot — kind is ``'data'``,
+    ``'posdel'`` (v2 position-delete file), or ``'eqdel'`` (v2
+    equality-delete file).  Sequence numbers follow the spec's
+    inheritance rule: an entry with a null ``sequence_number`` and
+    status ADDED(1) inherits the manifest-list entry's
+    ``sequence_number``; an EXISTING entry must carry its own (the
+    writer is required to materialize it when rewriting manifests) —
+    a null there is refused rather than guessed, because equality
+    deletes scope by this number.  Format-v1 layouts have no sequence
+    numbers (and no delete files); their entries yield 0."""
     if not snapshot:
         return
     mlist_path = _resolve(path, snapshot["manifest-list"])
@@ -287,6 +301,7 @@ def _walk_entries(path: str, snapshot: dict):
         _, manifests = parse_avro(fh.read())
     for m in manifests:
         is_delete_manifest = m.get("content", 0) == 1
+        man_seq = m.get("sequence_number")
         man_path = _resolve(path, m["manifest_path"])
         with open(man_path, "rb") as fh:
             _, entries = parse_avro(fh.read())
@@ -295,19 +310,12 @@ def _walk_entries(path: str, snapshot: dict):
                 continue
             df = e["data_file"]
             content = df.get("content", 0)
-            if content == 2:
-                raise NotImplementedError(
-                    f"equality-delete file {df['file_path']!r} in"
-                    f" {path!r}; equality deletes are not applied by"
-                    " this reader (position deletes are) — reading the"
-                    " data files alone would resurrect deleted rows."
-                )
-            if content not in (0, 1):
+            if content not in _KIND_OF_CONTENT:
                 raise NotImplementedError(
                     f"file {df['file_path']!r} has unknown content code"
                     f" {content}; refusing rather than guessing."
                 )
-            if is_delete_manifest != (content == 1):
+            if is_delete_manifest != (content in (1, 2)):
                 raise NotImplementedError(
                     f"manifest {m['manifest_path']!r} content flag"
                     f" disagrees with entry content code"
@@ -320,16 +328,31 @@ def _walk_entries(path: str, snapshot: dict):
                     f" {df.get('file_format')!r}; only PARQUET data"
                     " files are readable here."
                 )
+            seq = e.get("sequence_number")
+            if seq is None:
+                if e.get("status", 1) == 1 and man_seq is not None:
+                    seq = man_seq  # spec inheritance for ADDED entries
+                elif man_seq is None:
+                    seq = 0  # format-v1 layout: no sequence numbers
+                else:
+                    raise NotImplementedError(
+                        f"EXISTING manifest entry for"
+                        f" {df['file_path']!r} carries no sequence"
+                        " number; the spec requires writers to"
+                        " materialize it, and equality deletes scope"
+                        " by it — refusing rather than guessing."
+                    )
             yield (
-                "posdel" if content == 1 else "data",
+                _KIND_OF_CONTENT[content],
                 df,
                 m.get("partition_spec_id", 0),
+                seq,
             )
 
 
 def _manifest_entries(path: str, snapshot: dict):
     """Yield (data_file dict, spec_id) for every LIVE DATA entry."""
-    for kind, df, spec_id in _walk_entries(path, snapshot):
+    for kind, df, spec_id, _seq in _walk_entries(path, snapshot):
         if kind == "data":
             yield df, spec_id
 
@@ -340,9 +363,43 @@ def _position_delete_files(path: str, snapshot: dict) -> list[str]:
     optional ``row`` payload is ignored — only the key matters)."""
     return sorted(
         _resolve(path, df["file_path"])
-        for kind, df, _sid in _walk_entries(path, snapshot)
+        for kind, df, _sid, _seq in _walk_entries(path, snapshot)
         if kind == "posdel"
     )
+
+
+def _equality_delete_files(
+    path: str, snapshot: dict
+) -> list[tuple[str, int, list[int]]]:
+    """The snapshot's v2 equality-delete files as
+    ``(absolute path, data sequence number, equality field ids)`` —
+    parquet files holding the delete predicate VALUES under the
+    equality-id columns, applying to data files with STRICTLY smaller
+    data sequence numbers (spec scoping: a file compacted or appended
+    after the delete must keep its rows)."""
+    out = []
+    for kind, df, _sid, seq in _walk_entries(path, snapshot):
+        if kind != "eqdel":
+            continue
+        ids = list(df.get("equality_ids") or [])
+        if not ids:
+            raise NotImplementedError(
+                f"equality-delete file {df['file_path']!r} carries no"
+                " equality_ids; refusing rather than guessing the"
+                " delete predicate columns."
+            )
+        out.append((_resolve(path, df["file_path"]), int(seq), ids))
+    return sorted(out)
+
+
+def _data_file_sequence_numbers(path: str, snapshot: dict) -> dict[str, int]:
+    """Absolute data-file path -> data sequence number (for equality-
+    delete scoping)."""
+    return {
+        _resolve(path, df["file_path"]): int(seq)
+        for kind, df, _sid, seq in _walk_entries(path, snapshot)
+        if kind == "data"
+    }
 
 
 def _decode_bound(raw, ice_type):
@@ -517,6 +574,87 @@ def _apply_position_deletes(
     )
 
 
+def _apply_equality_deletes(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    snapshot: dict,
+    schema_dict: dict,
+    eq_dels: list[tuple[str, int, list[int]]],
+    files: list[str],
+) -> DataFrame:
+    """Filter out rows masked by v2 equality-delete files: per
+    equality-id column set, a BROADCAST LEFT ANTI join on NULL-SAFE
+    equality of those columns, scoped by sequence number — a delete
+    with data sequence number S applies only to data files with
+    STRICTLY smaller data sequence numbers (spec rule; get this wrong
+    and a compaction or upsert re-insert after the delete loses rows).
+
+    Scale shape: delete files are log-scoped (Flink/CDC writers keep
+    them small and compaction folds them away), so every delete side
+    broadcasts; the data side stays ONE scan that picks up its per-row
+    data sequence number from a broadcast (basename -> seq) map join —
+    log-sized, never data-sized — and pays one anti join per DISTINCT
+    equality-id set (almost always exactly one: the writer's key
+    columns).  Equality ids naming fields absent from the current
+    schema are refused rather than silently matched on nothing.
+
+    The per-row key is the scan's ``_metadata.file_path`` (normalized
+    the same way the position-delete mask normalizes it), NOT
+    ``input_file_name()`` — the delete sides make the plan
+    multi-source, and Spark's PreReadCheck rejects input_file_name
+    over more than one file source."""
+    name_of = {f["id"]: f["name"] for f in schema_dict["fields"]}
+    seq_of = _data_file_sequence_numbers(path, snapshot)
+    seq_rows = [(os.path.abspath(f), seq_of[f]) for f in files]
+    seq_df = spark.createDataFrame(
+        seq_rows, "__seq_path string, __data_seq long"
+    )
+    cols = df.columns
+    data_path = F.url_decode(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:(//)?", ""
+            ),
+            r"\+",
+            "%2B",
+        )
+    )
+    df = df.withColumn("__seq_path", data_path).join(
+        F.broadcast(seq_df), "__seq_path"
+    )
+
+    by_ids: dict[tuple[int, ...], list[tuple[str, int]]] = {}
+    for fp, seq, ids in eq_dels:
+        by_ids.setdefault(tuple(sorted(ids)), []).append((fp, seq))
+    for ids, dfiles in sorted(by_ids.items()):
+        names = []
+        for fid in ids:
+            if fid not in name_of:
+                raise NotImplementedError(
+                    f"equality-delete files in {path!r} key on field id"
+                    f" {fid}, which is not in the current schema; the"
+                    " delete predicate cannot be resolved."
+                )
+            names.append(name_of[fid])
+        sides = [
+            spark.read.parquet(fp).select(
+                *[F.col(n).alias(f"__del_{n}") for n in names],
+                F.lit(seq).cast("long").alias("__del_seq"),
+            )
+            for fp, seq in sorted(dfiles)
+        ]
+        dels_df = sides[0]
+        for side in sides[1:]:
+            dels_df = dels_df.unionByName(side)
+        cond = F.col("__data_seq") < F.col("__del_seq")
+        for n in names:
+            # spec: equality deletes match NULL to NULL
+            cond = cond & F.col(n).eqNullSafe(F.col(f"__del_{n}"))
+        df = df.join(F.broadcast(dels_df), cond, "left_anti")
+    return df.select(*cols)
+
+
 def _probe_identity_columns(
     path: str,
     files: list[str],
@@ -685,6 +823,7 @@ def read_iceberg_table(
 
     snapshot = _select_snapshot(meta, path, snapshot_id)
     dels = _position_delete_files(path, snapshot)
+    eq_dels = _equality_delete_files(path, snapshot)
     id_fields = _identity_partition_fields(meta)
     by_id = {f["id"]: f for f in schema_dict["fields"]}
     # spec -> identity (partition field name, resolved source column)
@@ -703,6 +842,14 @@ def read_iceberg_table(
         }
         restore = _probe_identity_columns(path, files, info, needed)
         if restore is not None:
+            if eq_dels:
+                raise NotImplementedError(
+                    f"Iceberg table at {path!r} combines a migrated"
+                    " (add_files/Hive) layout needing partition"
+                    " restoration WITH equality deletes; that"
+                    " composition is not implemented — rewrite the"
+                    " table or compact the deletes away."
+                )
             df = _read_with_restored_partitions(
                 spark, files, info, needed[restore], schema, dels
             )
@@ -710,6 +857,10 @@ def read_iceberg_table(
     df = spark.read.schema(schema).parquet(*files)
     if dels:
         df = _apply_position_deletes(spark, df, dels)
+    if eq_dels:
+        df = _apply_equality_deletes(
+            spark, df, path, snapshot, schema_dict, eq_dels, files
+        )
     return df if pred is None else df.where(pred)
 
 
@@ -785,7 +936,19 @@ def iceberg_read_changes(
 
     def _state(snap: dict) -> tuple[set[str], set[str]]:
         data, dels = set(), set()
-        for kind, d, _sid in _walk_entries(path, snap):
+        for kind, d, _sid, _seq in _walk_entries(path, snap):
+            if kind == "eqdel":
+                # diffing delete COVERAGE needs value-level resolution
+                # of which rows each equality delete masks per step —
+                # not implemented; silently treating it as a position
+                # delete would mis-read its (value, not position) rows
+                raise NotImplementedError(
+                    f"equality-delete file {d['file_path']!r} in the"
+                    " change-feed range; the Iceberg feed diffs"
+                    " position-delete coverage only — read snapshots"
+                    " directly (read_iceberg_table applies equality"
+                    " deletes) or compact the deletes away."
+                )
             (data if kind == "data" else dels).add(
                 _resolve(path, d["file_path"])
             )

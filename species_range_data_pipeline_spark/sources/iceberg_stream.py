@@ -154,7 +154,10 @@ class IcebergTailStreamReader(DataSourceStreamReader):
             if i < 0:
                 return set(), set()
             data, dels = set(), set()
-            for kind, d, _sid in _walk_entries(self._path, snaps[i]):
+            for kind, d, _sid, _seq in _walk_entries(self._path, snaps[i]):
+                # equality deletes count as change coverage like
+                # position deletes do: any delete-file change trips the
+                # append-only guard below, which is exactly right
                 (data if kind == "data" else dels).add(
                     _resolve(self._path, d["file_path"])
                 )

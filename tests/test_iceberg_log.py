@@ -35,6 +35,7 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "manifest_length", "type": "long"},
         {"name": "partition_spec_id", "type": "int"},
         {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": ["null", "long"], "default": None},
         {"name": "added_snapshot_id", "type": "long"},
     ],
 }
@@ -59,6 +60,11 @@ def _manifest_schema(partition_fields):
             {"name": "partition", "type": part},
             {"name": "record_count", "type": "long"},
             {"name": "file_size_in_bytes", "type": "long"},
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int"}],
+                "default": None,
+            },
         ],
     }
     return {
@@ -67,6 +73,11 @@ def _manifest_schema(partition_fields):
         "fields": [
             {"name": "status", "type": "int"},
             {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+            {
+                "name": "sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+            },
             {"name": "data_file", "type": data_file},
         ],
     }
@@ -106,12 +117,23 @@ class _Builder:
         )
         return p
 
-    def manifest(self, name: str, entries, partition_fields=(("year", "int"),)):
-        """entries: [(status, file_path, partition dict, n_rows, content)]"""
+    def manifest(
+        self,
+        name: str,
+        entries,
+        partition_fields=(("year", "int"),),
+        seqs=None,
+        equality_ids=None,
+    ):
+        """entries: [(status, file_path, partition dict, n_rows, content)];
+        ``seqs``/``equality_ids``: optional per-entry lists (None items
+        leave the field null — entry seq then inherits from the
+        manifest list per the spec)."""
         recs = [
             {
                 "status": st,
                 "snapshot_id": None,
+                "sequence_number": None if seqs is None else seqs[i],
                 "data_file": {
                     "content": content,
                     "file_path": fp,
@@ -121,19 +143,23 @@ class _Builder:
                     "file_size_in_bytes": os.path.getsize(fp)
                     if os.path.exists(fp)
                     else 0,
+                    "equality_ids": None
+                    if equality_ids is None
+                    else equality_ids[i],
                 },
             }
-            for st, fp, part, n, content in entries
+            for i, (st, fp, part, n, content) in enumerate(entries)
         ]
         p = os.path.join(self.root, "metadata", name)
         write_avro(recs, _manifest_schema(partition_fields), p)
         return p
 
-    def snapshot(self, snap_id: int, manifests, contents=None):
+    def snapshot(self, snap_id: int, manifests, contents=None, seqs=None):
         mlist = os.path.join(
             self.root, "metadata", f"snap-{snap_id}.avro"
         )
         contents = contents or [0] * len(manifests)
+        mseqs = seqs or [None] * len(manifests)
         write_avro(
             [
                 {
@@ -141,9 +167,10 @@ class _Builder:
                     "manifest_length": os.path.getsize(m),
                     "partition_spec_id": 0,
                     "content": c,
+                    "sequence_number": sq,
                     "added_snapshot_id": snap_id,
                 }
-                for m, c in zip(manifests, contents)
+                for m, c, sq in zip(manifests, contents, mseqs)
             ],
             _MANIFEST_LIST_SCHEMA,
             mlist,
@@ -319,14 +346,18 @@ def test_refusals_are_loud(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="content flag disagrees"):
         read_iceberg_table(spark, b.root)
 
-    # equality-delete file (content=2): still refused (position deletes
-    # are applied since r17; equality semantics are not implemented)
+    # equality-delete file missing its equality_ids: the delete
+    # predicate columns are unknowable — refused (applied deletes are
+    # covered by test_equality_deletes_*)
     b = _Builder(str(tmp_path / "deldf"))
     f = b.data_file("f.parquet", [1], 2020)
-    m = b.manifest("m.avro", [(1, f, {"year": 2020}, 1, 2)])
-    b.snapshot(1, [m], contents=[1])
+    ed = os.path.join(b.root, "data", "eq.parquet")
+    pq.write_table(pa.table({"k": pa.array([1], pa.int64())}), ed)
+    md = b.manifest("md.avro", [(1, ed, {"year": None}, 1, 2)])
+    m = b.manifest("m.avro", [(1, f, {"year": 2020}, 1, 0)])
+    b.snapshot(1, [m, md], contents=[0, 1], seqs=[1, 2])
     b.commit(current_snapshot_id=1)
-    with pytest.raises(NotImplementedError, match="equality-delete"):
+    with pytest.raises(NotImplementedError, match="equality_ids"):
         read_iceberg_table(spark, b.root)
 
     # non-parquet data file
@@ -1161,3 +1192,153 @@ def test_iceberg_change_feed_branched_history_refused(spark, tmp_path):
     b.commit(current_snapshot_id=200)
     with pytest.raises(NotImplementedError, match="branched"):
         iceberg_read_changes(spark, b.root, 100)
+
+
+# --- v2 equality deletes (r18) ---------------------------------------------
+
+
+def _eq_delete_file(b, name, cols: dict):
+    p = os.path.join(b.root, "data", name)
+    pq.write_table(pa.table(cols), p)
+    return p
+
+
+def test_equality_deletes_masked_with_sequence_scoping(spark, tmp_path):
+    """Equality deletes subtract rows matching the delete file's key
+    values — but ONLY from data files with strictly smaller data
+    sequence numbers, so a row re-inserted AFTER the delete (the
+    Flink/CDC upsert pattern) survives; time travel before the delete
+    still sees everything.  Sequence numbers are inherited from the
+    manifest-list entries per the spec."""
+    from species_range_data_pipeline_spark.sources.iceberg_log import (
+        read_iceberg_table,
+    )
+
+    b = _Builder(str(tmp_path / "eq"))
+    f20 = b.data_file("f2020.parquet", [1, 2, 3, 4], 2020)
+    f21 = b.data_file("f2021.parquet", [5, 6, 7, 8], 2021)
+    m1 = b.manifest(
+        "m1.avro",
+        [(1, f20, {"year": 2020}, 4, 0), (1, f21, {"year": 2021}, 4, 0)],
+    )
+    b.snapshot(1, [m1], contents=[0], seqs=[1])
+
+    ed = _eq_delete_file(
+        b, "eqdel.parquet", {"k": pa.array([2, 6, 100], pa.int64())}
+    )
+    md = b.manifest(
+        "md.avro",
+        [(1, ed, {"year": None}, 3, 2)],
+        equality_ids=[[1]],
+    )
+    b.snapshot(2, [m1, md], contents=[0, 1], seqs=[1, 2])
+
+    # snap 3: k=2 re-inserted at seq 3 (> delete seq 2) -> survives
+    f20b = b.data_file("f2020b.parquet", [2], 2020)
+    m3 = b.manifest("m3.avro", [(1, f20b, {"year": 2020}, 1, 0)])
+    b.snapshot(3, [m1, md, m3], contents=[0, 1, 0], seqs=[1, 2, 3])
+    b.commit(current_snapshot_id=3)
+
+    s1 = {r.k for r in read_iceberg_table(spark, b.root, snapshot_id=1).collect()}
+    assert s1 == {1, 2, 3, 4, 5, 6, 7, 8}
+    s2 = {r.k for r in read_iceberg_table(spark, b.root, snapshot_id=2).collect()}
+    assert s2 == {1, 3, 4, 5, 7, 8}
+    latest = [
+        (r.k, r.year)
+        for r in read_iceberg_table(spark, b.root).collect()
+    ]
+    assert sorted(latest) == [
+        (1, 2020), (2, 2020), (3, 2020), (4, 2020),
+        (5, 2021), (7, 2021), (8, 2021),
+    ]
+
+
+def test_equality_deletes_multi_column_and_null_match(spark, tmp_path):
+    """Multi-column equality ids delete only full-tuple matches, and a
+    NULL in the delete row matches NULL in the data (the spec's
+    null-safe equality)."""
+    from species_range_data_pipeline_spark.sources.iceberg_log import (
+        read_iceberg_table,
+    )
+
+    b = _Builder(str(tmp_path / "eqm"))
+    p = os.path.join(b.root, "data", "f.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 2, None], pa.int64()),
+                "year": pa.array([2020, 2021, 2020, 2020], pa.int32()),
+                "v": ["a", "b", "c", "d"],
+            }
+        ),
+        p,
+    )
+    m1 = b.manifest("m1.avro", [(1, p, {"year": None}, 4, 0)])
+    ed = _eq_delete_file(
+        b,
+        "eqdel.parquet",
+        {
+            "k": pa.array([1, None], pa.int64()),
+            "year": pa.array([2020, 2020], pa.int32()),
+        },
+    )
+    md = b.manifest(
+        "md.avro", [(1, ed, {"year": None}, 2, 2)], equality_ids=[[1, 2]]
+    )
+    b.snapshot(1, [m1, md], contents=[0, 1], seqs=[1, 2])
+    b.commit(current_snapshot_id=1)
+
+    got = {(r.k, r.v) for r in read_iceberg_table(spark, b.root).collect()}
+    # (1, 2020) and (NULL, 2020) deleted; (1, 2021) and (2, 2020) stay
+    assert got == {(1, "b"), (2, "c")}
+
+
+def test_equality_deletes_compose_with_position_deletes(spark, tmp_path):
+    """Both delete kinds in one snapshot: position deletes mask their
+    exact (file, pos) rows, equality deletes mask their key matches."""
+    from species_range_data_pipeline_spark.sources.iceberg_log import (
+        read_iceberg_table,
+    )
+
+    b = _Builder(str(tmp_path / "eqpos"))
+    f20 = b.data_file("f2020.parquet", [1, 2, 3, 4], 2020)
+    m1 = b.manifest("m1.avro", [(1, f20, {"year": 2020}, 4, 0)])
+    pd_path = os.path.join(b.root, "data", "posdel.parquet")
+    pq.write_table(
+        pa.table(
+            {"file_path": [f20], "pos": pa.array([0], pa.int64())}
+        ),
+        pd_path,
+    )
+    ed = _eq_delete_file(b, "eqdel.parquet", {"k": pa.array([3], pa.int64())})
+    md = b.manifest(
+        "md.avro",
+        [(1, pd_path, {"year": None}, 1, 1), (1, ed, {"year": None}, 1, 2)],
+        equality_ids=[None, [1]],
+    )
+    b.snapshot(1, [m1, md], contents=[0, 1], seqs=[1, 2])
+    b.commit(current_snapshot_id=1)
+
+    got = {r.k for r in read_iceberg_table(spark, b.root).collect()}
+    assert got == {2, 4}  # pos 0 (k=1) and k=3 both masked
+
+
+def test_change_feed_refuses_equality_deletes(spark, tmp_path):
+    """The snapshot diff feed cannot express equality-delete coverage
+    changes as file-set algebra — refused loudly, never a wrong diff."""
+    from species_range_data_pipeline_spark.sources.iceberg_log import (
+        iceberg_read_changes,
+    )
+
+    b = _Builder(str(tmp_path / "eqcf"))
+    f20 = b.data_file("f2020.parquet", [1, 2], 2020)
+    m1 = b.manifest("m1.avro", [(1, f20, {"year": 2020}, 2, 0)])
+    b.snapshot(1, [m1], contents=[0], seqs=[1])
+    ed = _eq_delete_file(b, "eqdel.parquet", {"k": pa.array([1], pa.int64())})
+    md = b.manifest(
+        "md.avro", [(1, ed, {"year": None}, 1, 2)], equality_ids=[[1]]
+    )
+    b.snapshot(2, [m1, md], contents=[0, 1], seqs=[1, 2])
+    b.commit(current_snapshot_id=2)
+    with pytest.raises(NotImplementedError, match="equality-delete"):
+        iceberg_read_changes(spark, b.root, 1).collect()
