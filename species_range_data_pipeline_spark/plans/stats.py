@@ -2605,6 +2605,187 @@ ORDER BY snapshot, o_orderstatus
 """
 
 
+def delta_read_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta V2 UUID-NAMED CHECKPOINT interop under a driver hash
+    (VERDICT r17 next #6): a Delta-layout table is staged from the
+    orders fixture whose ONLY record of its early history is a v2
+    checkpoint —
+
+    - v0: one parquet file per ``o_orderpriority`` partition;
+    - a v2 checkpoint at version 0 (``0...0.checkpoint.<uuid>.parquet``
+      holding checkpointMetadata/protocol/metaData plus a ``sidecar``
+      action; the add actions live in a sidecar parquet under
+      ``_delta_log/_sidecars/`` per the public spec), after which the
+      v0 JSON commit is DELETED (log cleanup);
+    - v1: a JSON commit removing the ``1-URGENT`` partition's file.
+
+    Read back through ``read_delta_table`` at version 0 (reconstructed
+    purely from the checkpoint + sidecar) and latest (checkpoint +
+    JSON tail); the rollup pins both under one hash.  The oracle
+    recomputes the two states relationally.
+    """
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as _pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from ..sources.delta_log import read_delta_table
+
+    pdf = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .toPandas()
+        .sort_values("o_orderkey", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    root = tempfile.mkdtemp(prefix="delta_read_v2ck_")
+    table = os.path.join(root, "table")
+    log = os.path.join(table, "_delta_log")
+    os.makedirs(os.path.join(log, "_sidecars"))
+    try:
+        schema_json = _json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {"name": n, "type": t, "nullable": True, "metadata": {}}
+                    for n, t in (
+                        ("o_orderkey", "long"),
+                        ("o_orderpriority", "string"),
+                        ("cents", "long"),
+                    )
+                ],
+            }
+        )
+        adds = []
+        rel_of = {}
+        for i, (prio, grp) in enumerate(
+            pdf.groupby("o_orderpriority", sort=True)
+        ):
+            grp = grp.reset_index(drop=True)
+            rel = f"o_orderpriority={prio}/part-{i:04d}.parquet"
+            rel_of[prio] = rel
+            fpath = os.path.join(table, rel)
+            os.makedirs(os.path.dirname(fpath), exist_ok=True)
+            _pq.write_table(
+                _pa.table(
+                    {
+                        "o_orderkey": _pa.array(
+                            grp["o_orderkey"], _pa.int64()
+                        ),
+                        "cents": _pa.array(grp["cents"], _pa.int64()),
+                    }
+                ),
+                fpath,
+            )
+            adds.append(
+                {
+                    "path": rel,
+                    "partitionValues": {"o_orderpriority": prio},
+                    "size": os.path.getsize(fpath),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            )
+
+        uid = "7b9c1de2-58f3-4a21-9f60-aaaaaaaaaaaa"
+        sc_name = f"{uid}-sidecar-1.parquet"
+        _pq.write_table(
+            _pa.Table.from_pandas(
+                _pd.DataFrame({"add": adds, "remove": [None] * len(adds)}),
+                preserve_index=False,
+            ),
+            os.path.join(log, "_sidecars", sc_name),
+        )
+        main = _pd.DataFrame(
+            {
+                "checkpointMetadata": [{"version": 0}, None, None, None],
+                "protocol": [
+                    None,
+                    {"minReaderVersion": 1, "minWriterVersion": 2},
+                    None,
+                    None,
+                ],
+                "metaData": [
+                    None,
+                    None,
+                    {
+                        "id": "0" * 32,
+                        "format": {"provider": "parquet"},
+                        "schemaString": schema_json,
+                        "partitionColumns": ["o_orderpriority"],
+                    },
+                    None,
+                ],
+                "sidecar": [
+                    None,
+                    None,
+                    None,
+                    {"path": sc_name, "sizeInBytes": 1},
+                ],
+            }
+        )
+        _pq.write_table(
+            _pa.Table.from_pandas(main, preserve_index=False),
+            os.path.join(log, f"{0:020d}.checkpoint.{uid}.parquet"),
+        )
+        # the v0 JSON never needs to exist: cleanup already happened
+        with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+            fh.write(
+                _json.dumps(
+                    {
+                        "remove": {
+                            "path": rel_of["1-URGENT"],
+                            "dataChange": True,
+                        }
+                    }
+                )
+                + "\n"
+            )
+
+        def _rollup(df: DataFrame, label: str) -> DataFrame:
+            return df.groupBy("o_orderpriority").agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("cents").alias("sum_cents"),
+            ).select(F.lit(label).alias("snapshot"), "*")
+
+        result = (
+            _rollup(read_delta_table(spark, table, version=0), "v0")
+            .unionByName(_rollup(read_delta_table(spark, table), "latest"))
+            .orderBy("snapshot", "o_orderpriority")
+        )
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+DELTA_READ_V2_CHECKPOINT_ORACLE = """
+WITH o AS (
+    SELECT o_orderpriority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+), snaps AS (
+    SELECT 'v0' AS snapshot, o_orderpriority, cents FROM o
+    UNION ALL
+    SELECT 'latest', o_orderpriority, cents
+    FROM o WHERE o_orderpriority <> '1-URGENT'
+)
+SELECT snapshot, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM snaps
+GROUP BY snapshot, o_orderpriority
+ORDER BY snapshot, o_orderpriority
+"""
+
+
 QUERIES = {
     "ab_test_conversion": ab_test_conversion,
     "cdf_row_changes": cdf_row_changes,
@@ -2614,6 +2795,7 @@ QUERIES = {
     "iceberg_read_eq_deletes": iceberg_read_eq_deletes,
     "delta_read_dv": delta_read_dv,
     "delta_read_column_mapping": delta_read_column_mapping,
+    "delta_read_v2_checkpoint": delta_read_v2_checkpoint,
     "delta_read_changes": delta_read_changes,
     "iceberg_read_changes": iceberg_read_changes_lane,
     "sketch_cms_brand_counts": sketch_cms_brand_counts,
@@ -2644,6 +2826,7 @@ ORACLES = {
     "iceberg_read_eq_deletes": ICEBERG_READ_EQ_DELETES_ORACLE,
     "delta_read_dv": DELTA_READ_DV_ORACLE,
     "delta_read_column_mapping": DELTA_READ_COLUMN_MAPPING_ORACLE,
+    "delta_read_v2_checkpoint": DELTA_READ_V2_CHECKPOINT_ORACLE,
     "delta_read_changes": DELTA_READ_CHANGES_ORACLE,
     "iceberg_read_changes": ICEBERG_READ_CHANGES_ORACLE,
     "agg_entropy_gini": AGG_ENTROPY_GINI_ORACLE,

@@ -19,9 +19,12 @@ loudly, never returns wrong rows:
   ``N.checkpoint.parquet`` and multi-part ``N.checkpoint.M.P.parquet``
   are loaded via pyarrow — a checkpoint IS the snapshot at its version,
   so a log whose earlier JSON commits were cleaned up still replays
-  from the newest complete checkpoint at or below the target).  The
-  JSON tail after the chosen starting point must be contiguous; v2
-  uuid-named checkpoints and sidecars are refused.
+  from the newest complete checkpoint at or below the target), and
+  V2 UUID-NAMED parquet checkpoints with sidecars (r18: the
+  ``checkpointMetadata`` version is validated against the file name
+  and ``sidecar`` actions are resolved under ``_delta_log/_sidecars/``).
+  The JSON tail after the chosen starting point must be contiguous;
+  JSON-rendered v2 checkpoints are refused.
 - **Reader protocol versions 1-2, plus the deletionVectors and
   columnMapping (name-mode) features.**
   DVs are decoded (Z85 + 64-bit RoaringBitmapArray, ``sources/dv.py``)
@@ -88,15 +91,25 @@ _CHECKPOINT_RE = re.compile(
     r"^(\d{20})\.checkpoint(?:\.(\d{10})\.(\d{10}))?\.parquet$"
 )
 
+#: v2 checkpoints: N.checkpoint.<uniqueId>.parquet, whose actions may be
+#: inlined or referenced through ``sidecar`` rows pointing into
+#: ``_delta_log/_sidecars/``; the JSON-rendered variant stays refused
+#: (falls through to the unrecognized-checkpoint raise)
+_V2_CHECKPOINT_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.([0-9a-fA-F-]{8,36})\.parquet$"
+)
+
 
 def _scan_log_dir(path: str) -> tuple[list[int], dict[int, list[str]]]:
     """(sorted JSON commit versions, checkpoint version -> part files).
 
-    Only COMPLETE classic checkpoints are returned (all P parts
-    present); unknown ``*.checkpoint*`` shapes (the v2 uuid-named
-    layout and its sidecars) are refused loudly rather than skipped —
-    a v2-checkpoint table's JSON history may be incomplete, so
-    ignoring the file could silently replay a truncated log."""
+    Checkpoint values are ``("classic", part_files)`` — only COMPLETE
+    classic checkpoints are returned (all P parts present) — or
+    ``("v2", [file])`` for the uuid-named v2 layout (r18; sidecars are
+    resolved at load).  Unknown ``*.checkpoint*`` shapes (e.g. the
+    JSON-rendered v2 variant) are refused loudly rather than skipped —
+    such a table's JSON history may be incomplete, so ignoring the
+    file could silently replay a truncated log."""
     log_dir = os.path.join(path, "_delta_log")
     if not os.path.isdir(log_dir):
         raise FileNotFoundError(
@@ -104,6 +117,7 @@ def _scan_log_dir(path: str) -> tuple[list[int], dict[int, list[str]]]:
         )
     versions: list[int] = []
     parts: dict[int, dict[int, tuple[int, str]]] = {}
+    v2s: dict[int, list[str]] = {}
     for name in os.listdir(log_dir):
         m = _COMMIT_RE.match(name)
         if m:
@@ -119,18 +133,31 @@ def _scan_log_dir(path: str) -> tuple[list[int], dict[int, list[str]]]:
                 os.path.join(log_dir, name),
             )
             continue
+        c2 = _V2_CHECKPOINT_RE.match(name)
+        if c2:
+            v2s.setdefault(int(c2.group(1)), []).append(
+                os.path.join(log_dir, name)
+            )
+            continue
         if ".checkpoint" in name and name != "_last_checkpoint":
             raise NotImplementedError(
                 f"Delta table at {path!r} has an unrecognized checkpoint"
-                f" layout ({name!r} — v2/uuid-named checkpoints require"
-                " minReaderVersion 3); this reader replays JSON commits"
-                " plus CLASSIC parquet checkpoints only."
+                f" layout ({name!r}); this reader replays JSON commits"
+                " plus CLASSIC and v2 uuid-named PARQUET checkpoints"
+                " only."
             )
-    checkpoints: dict[int, list[str]] = {}
+    checkpoints: dict[int, tuple[str, list[str]]] = {}
+    # same-version twins are equivalent snapshots: any one v2 file is
+    # complete, and a classic checkpoint is preferred when both exist
+    for v, names in v2s.items():
+        checkpoints[v] = ("v2", [sorted(names)[0]])
     for v, by_part in parts.items():
         total = next(iter(by_part.values()))[0]
         if set(by_part) == set(range(1, total + 1)):
-            checkpoints[v] = [p for _, (_t, p) in sorted(by_part.items())]
+            checkpoints[v] = (
+                "classic",
+                [p for _, (_t, p) in sorted(by_part.items())],
+            )
     return sorted(versions), checkpoints
 
 
@@ -165,18 +192,18 @@ def _check_protocol(action: dict, path: str) -> None:
     if (
         v == 3
         and feats is not None
-        and set(feats) <= {"deletionVectors", "columnMapping"}
+        and set(feats) <= {"deletionVectors", "columnMapping", "v2Checkpoint"}
     ):
-        return  # r17: DVs decoded on read; r18: name-mode mapping
+        return  # r17: DVs on read; r18: name mapping + v2 checkpoints
     # v=3 with features beyond the implemented pair, and a malformed
     # v=3 protocol that omits readerFeatures (the spec requires it —
     # without the list the table's needs are unknowable)
     raise NotImplementedError(
         f"Delta table at {path!r} requires minReaderVersion={v}"
         f" with readerFeatures={sorted(feats) if feats else feats}; this"
-        " reader implements protocol version 1 plus the deletionVectors"
-        " and columnMapping (name-mode) table features only (no"
-        " timestampNtz or v2 checkpoints)."
+        " reader implements protocol version 1 plus the deletionVectors,"
+        " columnMapping (name-mode), and v2Checkpoint table features"
+        " only (no timestampNtz)."
     )
 
 
@@ -297,37 +324,101 @@ def _load_checkpoint(part_files: list[str], path: str) -> dict:
     rows carry the same payloads as their JSON actions."""
     import pyarrow.parquet as pq
 
-    live: dict[str, dict] = {}
-    schema_json: str | None = None
-    partition_cols: list[str] = []
-    configuration: dict = {}
+    state = _empty_snapshot_state()
     for part in part_files:
-        table = pq.read_table(part)
-        for row in table.to_pylist():
-            proto = row.get("protocol")
-            if proto and proto.get("minReaderVersion") is not None:
-                _check_protocol(proto, path)
-            meta = row.get("metaData")
-            if meta and meta.get("schemaString"):
-                conf = meta.get("configuration")
-                if isinstance(conf, list):  # map type -> kv tuple list
-                    conf = dict(conf)
-                _check_metadata({**meta, "configuration": conf}, path)
-                schema_json = meta["schemaString"]
-                partition_cols = list(meta.get("partitionColumns") or [])
-                configuration = dict(conf or {})
-            add = row.get("add")
-            if add and add.get("path"):
-                pv = add.get("partitionValues")
-                if isinstance(pv, list):  # map type -> kv tuple list
-                    pv = dict(pv)
-                _admit_add({**add, "partitionValues": pv}, path, live)
+        for row in pq.read_table(part).to_pylist():
+            _fold_checkpoint_action_row(row, path, state)
+    return state
+
+
+def _empty_snapshot_state() -> dict:
     return {
-        "live": live,
-        "schema_json": schema_json,
-        "partition_cols": partition_cols,
-        "configuration": configuration,
+        "live": {},
+        "schema_json": None,
+        "partition_cols": [],
+        "configuration": {},
     }
+
+
+def _fold_checkpoint_action_row(row: dict, path: str, state: dict) -> None:
+    """Fold one checkpoint parquet row's protocol/metaData/add payload
+    into the partial snapshot ``state`` — shared by the classic and v2
+    loaders.  Remove rows are expired tombstones kept for vacuum, with
+    no effect on a batch read; pyarrow renders parquet MAP columns as
+    key/value tuple lists, normalized here."""
+    proto = row.get("protocol")
+    if proto and proto.get("minReaderVersion") is not None:
+        _check_protocol(proto, path)
+    meta = row.get("metaData")
+    if meta and meta.get("schemaString"):
+        conf = meta.get("configuration")
+        if isinstance(conf, list):  # map type -> kv tuple list
+            conf = dict(conf)
+        _check_metadata({**meta, "configuration": conf}, path)
+        state["schema_json"] = meta["schemaString"]
+        state["partition_cols"] = list(meta.get("partitionColumns") or [])
+        state["configuration"] = dict(conf or {})
+    add = row.get("add")
+    if add and add.get("path"):
+        pv = add.get("partitionValues")
+        if isinstance(pv, list):  # map type -> kv tuple list
+            pv = dict(pv)
+        _admit_add({**add, "partitionValues": pv}, path, state["live"])
+
+
+def _load_v2_checkpoint(ckpt_file: str, path: str, version: int) -> dict:
+    """V2 uuid-named parquet checkpoint -> partial snapshot state
+    (VERDICT r17 next #6), per the public spec's v2Checkpoint section:
+    the top-level file holds a ``checkpointMetadata`` action whose
+    ``version`` must equal the file-name version (validated — a copied
+    or misnamed checkpoint is refused), optionally some file actions
+    inlined, and ``sidecar`` actions naming parquet files under
+    ``_delta_log/_sidecars/`` that carry the remaining add/remove
+    actions.  Like classic checkpoints, remove rows are expired
+    tombstones a batch read ignores."""
+    import pyarrow.parquet as pq
+
+    state = _empty_snapshot_state()
+    sidecars: list[str] = []
+    seen_version: int | None = None
+    for row in pq.read_table(ckpt_file).to_pylist():
+        cm = row.get("checkpointMetadata")
+        if cm and cm.get("version") is not None:
+            seen_version = int(cm["version"])
+        sc = row.get("sidecar")
+        if sc and sc.get("path"):
+            rel = unquote(sc["path"])
+            if "://" in rel or rel.startswith("/"):
+                raise NotImplementedError(
+                    f"v2 checkpoint sidecar at absolute/remote path"
+                    f" {rel!r}; only files under _delta_log/_sidecars/"
+                    " are readable here."
+                )
+            sidecars.append(
+                os.path.join(path, "_delta_log", "_sidecars", rel)
+            )
+        _fold_checkpoint_action_row(row, path, state)
+    if seen_version is None:
+        raise ValueError(
+            f"v2 checkpoint {ckpt_file!r} has no checkpointMetadata"
+            " action; the spec requires one — refusing a file of"
+            " unknown provenance."
+        )
+    if seen_version != version:
+        raise ValueError(
+            f"v2 checkpoint {ckpt_file!r} declares version"
+            f" {seen_version}, but its file name says {version};"
+            " refusing inconsistent metadata."
+        )
+    for sf in sidecars:
+        if not os.path.exists(sf):
+            raise FileNotFoundError(
+                f"v2 checkpoint sidecar {sf!r} is missing; the"
+                " checkpoint cannot be reconstructed."
+            )
+        for row in pq.read_table(sf).to_pylist():
+            _fold_checkpoint_action_row(row, path, state)
+    return state
 
 
 def _replay(path: str, version: int | None = None) -> dict:
@@ -354,7 +445,12 @@ def _replay(path: str, version: int | None = None) -> dict:
     start_cv = max(usable, default=None)
 
     if start_cv is not None:
-        snap = _load_checkpoint(checkpoints[start_cv], path)
+        kind, ckpt_files = checkpoints[start_cv]
+        snap = (
+            _load_checkpoint(ckpt_files, path)
+            if kind == "classic"
+            else _load_v2_checkpoint(ckpt_files[0], path, start_cv)
+        )
         tail_start = start_cv + 1
     else:
         snap = {

@@ -296,11 +296,13 @@ def test_refusals_are_loud(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="column mapping mode"):
         read_delta_table(spark, t3)
 
-    # v2 uuid-named checkpoint layout (requires reader v3 machinery)
+    # JSON-rendered v2 checkpoint: an unrecognized checkpoint shape
+    # (parquet v2 checkpoints are read since r18 —
+    # test_v2_checkpoint_* below)
     t4, *_ = _basic_table(tmp_path, "r4")
-    v2name = f"{0:020d}.checkpoint.80a083e8-7026-4e79-81be-000000000000.parquet"
-    with open(os.path.join(t4, "_delta_log", v2name), "wb") as fh:
-        fh.write(b"")
+    v2name = f"{0:020d}.checkpoint.80a083e8-7026-4e79-81be-000000000000.json"
+    with open(os.path.join(t4, "_delta_log", v2name), "w") as fh:
+        fh.write("{}")
     with pytest.raises(NotImplementedError, match="unrecognized checkpoint"):
         read_delta_table(spark, t4)
 
@@ -1522,3 +1524,143 @@ def test_column_mapping_nested_physical_name_refused(spark, tmp_path):
     _commit(table, 0, [_PROTOCOL_CM, meta, a])
     with pytest.raises(NotImplementedError, match="NESTED"):
         read_delta_table(spark, table)
+
+
+# --- v2 uuid-named checkpoints (r18) ---------------------------------------
+
+
+def _write_v2_checkpoint(table, version, rows, sidecar_rows=None, uid="80a083e8-7026-4e79-81be-0000000000b1"):
+    """Write a v2 checkpoint parquet (plus one sidecar when given).
+    ``rows``/``sidecar_rows`` are lists of single-key action dicts the
+    way the log JSON spells them."""
+    import pandas as pd
+
+    log = os.path.join(table, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+
+    def _clean(v):
+        # pandas->arrow renders {} as an empty STRUCT, which parquet
+        # cannot hold; real checkpoints use MAP columns there.  None
+        # round-trips to the same "absent" meaning for the loader.
+        if isinstance(v, dict):
+            return {k: _clean(x) for k, x in v.items()} if v else None
+        return v
+
+    def _frame(actions, extra_cols):
+        cols = {c: [] for c in extra_cols}
+        for a in actions:
+            for c in extra_cols:
+                cols[c].append(_clean(a.get(c)))
+        return pd.DataFrame(cols)
+
+    main_cols = ["checkpointMetadata", "sidecar", "protocol", "metaData", "add"]
+    main = rows[:]
+    if sidecar_rows is not None:
+        sc_name = f"{uid}-sidecar-1.parquet"
+        os.makedirs(os.path.join(log, "_sidecars"), exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(
+                _frame(sidecar_rows, ["add", "remove"]),
+                preserve_index=False,
+            ),
+            os.path.join(log, "_sidecars", sc_name),
+        )
+        main.append({"sidecar": {"path": sc_name, "sizeInBytes": 1}})
+    pq.write_table(
+        pa.Table.from_pandas(_frame(main, main_cols), preserve_index=False),
+        os.path.join(log, f"{version:020d}.checkpoint.{uid}.parquet"),
+    )
+
+
+def test_v2_checkpoint_replay_after_log_cleanup(spark, tmp_path):
+    """A table checkpointed only in the v2 uuid-named format after log
+    cleanup (JSON tail only) reads correctly: the checkpoint's inlined
+    metaData/protocol plus sidecar add actions reconstruct the
+    snapshot, and the JSON tail replays on top (VERDICT r17 next #6)."""
+    table = str(tmp_path / "v2ck")
+    os.makedirs(table, exist_ok=True)
+    fields = [("k", "long"), ("v", "string")]
+    a1 = _data_file(table, "f1.parquet", {"k": [1, 2], "v": ["a", "b"]})
+    a2 = _data_file(table, "f2.parquet", {"k": [3], "v": ["c"]})
+    # pretend v0 added f1+junk and v1 removed junk / added f2: the v2
+    # checkpoint at version 1 holds the live set {f1, f2}
+    _write_v2_checkpoint(
+        table,
+        1,
+        rows=[
+            {"checkpointMetadata": {"version": 1}},
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": _meta(fields)["metaData"]},
+        ],
+        sidecar_rows=[a1, a2],
+    )
+    # JSON tail: v2 appends f3 (versions 0-1 were cleaned up)
+    a3 = _data_file(table, "f3.parquet", {"k": [9], "v": ["z"]})
+    _commit(table, 2, [a3])
+
+    got = {(r.k, r.v) for r in read_delta_table(spark, table).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c"), (9, "z")}
+    # checkpoint-only version (no JSON) reads too
+    v1 = {r.k for r in read_delta_table(spark, table, version=1).collect()}
+    assert v1 == {1, 2, 3}
+    # versions before the checkpoint are honestly unreachable
+    with pytest.raises(NotImplementedError, match="cannot reach"):
+        read_delta_table(spark, table, version=0)
+
+
+def test_v2_checkpoint_inlined_actions_no_sidecar(spark, tmp_path):
+    """A v2 checkpoint may inline its file actions instead of using
+    sidecars."""
+    table = str(tmp_path / "v2inline")
+    os.makedirs(table, exist_ok=True)
+    fields = [("k", "long")]
+    a1 = _data_file(table, "f1.parquet", {"k": [5, 6]})
+    _write_v2_checkpoint(
+        table,
+        0,
+        rows=[
+            {"checkpointMetadata": {"version": 0}},
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": _meta(fields)["metaData"]},
+            a1,
+        ],
+    )
+    got = sorted(r.k for r in read_delta_table(spark, table).collect())
+    assert got == [5, 6]
+
+
+def test_v2_checkpoint_version_mismatch_and_missing_sidecar(spark, tmp_path):
+    """checkpointMetadata.version must equal the file-name version, and
+    a missing sidecar file refuses the reconstruction."""
+    table = str(tmp_path / "v2bad")
+    os.makedirs(table, exist_ok=True)
+    fields = [("k", "long")]
+    a1 = _data_file(table, "f1.parquet", {"k": [1]})
+    _write_v2_checkpoint(
+        table,
+        3,
+        rows=[
+            {"checkpointMetadata": {"version": 2}},  # lies about itself
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": _meta(fields)["metaData"]},
+            a1,
+        ],
+    )
+    with pytest.raises(ValueError, match="declares version"):
+        read_delta_table(spark, table)
+
+    table2 = str(tmp_path / "v2bad2")
+    os.makedirs(table2, exist_ok=True)
+    a1 = _data_file(table2, "f1.parquet", {"k": [1]})
+    _write_v2_checkpoint(
+        table2,
+        0,
+        rows=[
+            {"checkpointMetadata": {"version": 0}},
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": _meta([("k", "long")])["metaData"]},
+            {"sidecar": {"path": "not-there.parquet", "sizeInBytes": 1}},
+        ],
+    )
+    with pytest.raises(FileNotFoundError, match="sidecar"):
+        read_delta_table(spark, table2)
