@@ -57,6 +57,27 @@ ALLOWED: dict[str, dict[str, str]] = {
         "target": "global target (1 row)",
         "plan": "per-source plan; source domain fixed",
     },
+    "sources/delta_log.py": {
+        "pv_df": "one row per live data file (log-sized; the log IS the"
+                 " driver-held metadata — a million-file table is a"
+                 " million small rows, never data-sized)",
+    },
+    "sources/iceberg_log.py": {
+        "dels": "position-delete rows: log-scoped by the MoR contract"
+                " (writers keep them small; compaction folds them away)",
+        "dels_df": "equality-delete rows: log-scoped by the same MoR"
+                   " contract",
+        "seq_df": "one (file, sequence-number) row per surviving data"
+                  " file — manifest-sized",
+        "pv_df": "one (basename, partition values) row per data file —"
+                 " manifest-sized (migrated-table restore)",
+    },
+    "streaming/events.py": {
+        "dim": "stream-side dimension enrichment: the caller's lookup"
+               " dim (user/station attributes), fixed-domain by the"
+               " enrich contract — the streaming form of the fixed-dim"
+               " P3 join",
+    },
     "plans/vectors.py": {
         "queries": "fixed query head (vec_id < 5)",
         "cent": "nlist coarse centroids",
@@ -119,7 +140,7 @@ _CALL = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
 
 def _sites() -> dict[str, set[str]]:
     found: dict[str, set[str]] = {}
-    for sub in ("plans", "operators"):
+    for sub in ("plans", "operators", "sources", "pipeline", "streaming"):
         for path in sorted((PKG / sub).glob("*.py")):
             rel = f"{sub}/{path.name}"
             names = set(_CALL.findall(path.read_text()))
