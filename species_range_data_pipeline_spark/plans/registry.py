@@ -53,58 +53,66 @@ _MODULE_NAMES = [
 # (VERDICT r16 next #1 — 17 queries incl. stream_tcp_restart; after
 # this round the freshness floor moves to r13), then the stalest r13
 # rows with module fillers resolved within them.
-_WINDOW_BUILT_FROM = 16  # newest CORRECTNESS artifact consumed
+# Round-18 window (fourteenth rotation; built from CORRECTNESS_r01..r17):
+# first driver rows for the five r18 lakehouse lanes —
+# delta_read_column_mapping (name-mode mapping), delta_read_v2_checkpoint
+# (uuid checkpoints + sidecars), iceberg_read_eq_deletes (equality
+# deletes, sequence-scoped), stream_delta_cdf_tail (streaming change
+# data feed) — then the ENTIRE r13-era freshness tranche (VERDICT r17
+# next #1 — 23 queries; after this round the floor moves to r14), then
+# the stalest r14 rows with module fillers resolved within them.
+_WINDOW_BUILT_FROM = 17  # newest CORRECTNESS artifact consumed
 _PRIORITY = [
-    "flagship_threshold_rollup",  # r16 (relational)
-    "delta_read_changes",  # FIRST driver row (stats)
-    "delta_read_dv",  # FIRST driver row (stats)
-    "iceberg_read_changes",  # FIRST driver row (stats)
-    "iceberg_read_deletes",  # FIRST driver row (stats)
-    "stream_delta_tail",  # FIRST driver row (events)
-    "stream_iceberg_tail",  # FIRST driver row (events)
-    "ab_test_conversion",  # r12 (stats)
-    "agg_bitmap_distinct",  # r12 (stats)
-    "agg_listagg",  # r12 (advanced)
-    "q7_nation_volume",  # r12 (advanced)
-    "regexp_group_funcs",  # r12 (scalar)
-    "sample_weighted",  # r12 (quality)
-    "setop_except_all",  # r12 (relational)
-    "setop_intersect_all",  # r12 (relational)
-    "str_funcs",  # r12 (scalar)
-    "stream_tcp_restart",  # r12 (events)
-    "text_fingerprint",  # r12 (text)
-    "text_quality",  # r12 (text)
-    "text_tfidf_topk",  # r12 (text)
-    "text_token_count",  # r12 (text)
-    "text_token_count_bpe",  # r12 (text)
-    "unpivot_measures",  # r12 (advanced)
-    "window_percent_dist",  # r12 (stats)
-    "retrieval_mmr_diversify",  # r13 (retrieval)
-    "q11_important_balance",  # r13 (tpch_extra)
-    "multimodal_ahash_dups",  # r14 (media)
-    "bpe_encode_tokens",  # r15 (bpe)
-    "dataset_shuffle_shards",  # r13 (packing)
-    "dedup_clusters_star",  # r13 (graph)
-    "dedup_incremental_minhash",  # r13 (text)
-    "dedup_lsh_bucket_stats",  # r13 (text)
-    "dedup_minhash_lsh",  # r13 (text)
-    "dedup_paragraphs",  # r13 (text)
-    "dedup_repeated_ngrams",  # r13 (text)
-    "dedup_simhash",  # r13 (text)
-    "dedup_substring_cut",  # r13 (text)
-    "doc_pack_ffd",  # r13 (packing)
-    "dq_outliers_iqr",  # r13 (quality)
-    "emb_kmeans",  # r13 (vectors)
-    "emb_label_centroids",  # r13 (vectors)
-    "emb_near_dup",  # r13 (vectors)
-    "emb_near_dup_lsh",  # r13 (vectors)
-    "emb_pca_project",  # r13 (vectors)
-    "emb_pq_topk",  # r13 (vectors)
-    "emb_quantize_topk",  # r13 (vectors)
-    "error_routing",  # r13 (scalar)
-    "ev_pattern_consecutive",  # r13 (mining)
-    "ev_time_weighted_avg",  # r13 (events)
-    "geo_dissolve_area_m2",  # r13 (geo)
+    "flagship_threshold_rollup",  # r17 (relational)
+    "delta_read_column_mapping",  # FIRST driver row (stats)
+    "delta_read_v2_checkpoint",  # FIRST driver row (stats)
+    "iceberg_read_eq_deletes",  # FIRST driver row (stats)
+    "stream_delta_cdf_tail",  # FIRST driver row (events)
+    "cosine_topk",  # r13 (vectors)
+    "curation_domain_cap",  # r13 (quality)
+    "curation_token_budget",  # r13 (quality)
+    "dataset_interleave_epochs",  # r13 (packing)
+    "geo_point_in_polygon",  # r13 (geo)
+    "geo_range_overlap",  # r13 (geo)
+    "graph_pagerank",  # r13 (graph)
+    "hier_rollup_sql",  # r13 (graph)
+    "join_anti_idempotent",  # r13 (relational)
+    "json_udtf_dynamic",  # r13 (scalar)
+    "map_funcs",  # r13 (scalar)
+    "null_cond_funcs",  # r13 (scalar)
+    "profile_orders",  # r13 (quality)
+    "q1_pricing_summary",  # r13 (relational)
+    "sample_balanced_classes",  # r13 (quality)
+    "sample_hash_bucket",  # r13 (advanced)
+    "sketch_cms_brand_counts",  # r13 (stats)
+    "sketch_hll_distinct",  # r13 (stats)
+    "text_decontaminate_purge",  # r13 (text)
+    "text_normalize_unicode",  # r13 (text)
+    "text_winnow_fingerprint",  # r13 (text)
+    "text_word_topk",  # r13 (text)
+    "xml_roundtrip_parse",  # r13 (scalar)
+    "retrieval_mmr_diversify_ivf",  # r14 (retrieval)
+    "multimodal_decode_stats",  # r15 (media)
+    "bpe_train_merges",  # r16 (bpe)
+    "ann_ivf_topk",  # r14 (vectors)
+    "array_map_funcs",  # r14 (advanced)
+    "corpus_pipeline_summary",  # r14 (packing)
+    "corr_measures",  # r14 (mining)
+    "dataset_mixture",  # r14 (packing)
+    "dedup_clusters",  # r14 (graph)
+    "dedup_exact",  # r14 (text)
+    "dedup_incremental_minhash_manifest",  # r14 (text)
+    "dedup_keep_best",  # r14 (quality)
+    "filename_parse",  # r14 (scalar)
+    "geo_container_roundtrip",  # r14 (geo)
+    "geo_range_overlap_bands",  # r14 (geo)
+    "geo_shapefile_roundtrip",  # r14 (geo)
+    "join_full_outer",  # r14 (relational)
+    "join_semi",  # r14 (relational)
+    "join_skew_salted",  # r14 (advanced)
+    "q10_returned_revenue",  # r14 (advanced)
+    "q12_late_priority_lines",  # r14 (tpch_extra)
+    "q13_customer_distribution",  # r14 (tpch_extra)
 ]
 
 # Queries whose oracles are pure VALUES restatements of expected OUTPUT
