@@ -1139,6 +1139,302 @@ def stream_iceberg_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_ICEBERG_TAIL_ORACLE = STREAM_TUMBLING_ORACLE
 
 
+def stream_iceberg_cdf_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Iceberg-layout streaming CHANGE DATA FEED driven end-to-end
+    under a driver hash — ``stream_delta_cdf_tail``'s twin for the
+    snapshot-offset source (``sources/iceberg_cdf_stream.py``: the
+    batch manifest-walk multiset-diff algebra composed with snapshot-id
+    offsets).  Staged Hadoop-layout history over the events fixture
+    (real Avro manifests via the engine's own ``avro_ocf.write_avro``,
+    unpartitioned spec, pandas-staged data files so position-delete row
+    indexes are deterministic):
+
+    - snapshot 100: insert the ``event_id % 3 == 0`` slice (f0);
+    - snapshot 200: insert the ``% 3 == 1`` slice (f1);
+    - snapshot 300: a DELETE manifest whose position-delete file masks
+      every present row with ``event_id % 7 == 0`` (the
+      delete-coverage-change step: affected files diff under
+      old-vs-new delete sets in ONE fold task, carried rows cancel);
+    - snapshot 400: drop f1 from the data manifest (its still-live
+      rows stream as deletes under the OLD delete set — the rows
+      already masked at 300 must not resurrect).
+
+    The drained append-mode sink is rolled up per (snapshot, change
+    type, event type) and oracled relationally — deterministic because
+    the feed is an exact multiset, whatever the microbatch boundaries.
+    """
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from ..sources.avro_ocf import write_avro
+    from ..sources.iceberg_cdf_stream import (
+        register_iceberg_cdf_stream_source,
+    )
+
+    register_iceberg_cdf_stream_source(spark)
+    sink = f"stream_iceberg_cdf_{next(_STREAM_SINK_SEQ)}"
+    tmp = tempfile.mkdtemp(prefix="stream_iceberg_cdf_")
+    try:
+        pdf = (
+            load_table(spark, sf_dir, "events")
+            .select(
+                "event_id",
+                "event_type",
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            )
+            .where(F.col("event_id") % 3 < 2)
+            .toPandas()
+            .sort_values("event_id", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        table = os.path.join(tmp, "tbl")
+        mdir = os.path.join(table, "metadata")
+        ddir = os.path.join(table, "data")
+        os.makedirs(mdir)
+        os.makedirs(ddir)
+
+        def _stage(slice_pdf, name):
+            grp = slice_pdf.reset_index(drop=True)
+            fp = os.path.join(ddir, name)
+            _pq.write_table(
+                _pa.table(
+                    {
+                        "event_id": _pa.array(grp["event_id"], _pa.int64()),
+                        "event_type": _pa.array(grp["event_type"]),
+                        "cents": _pa.array(grp["cents"], _pa.int64()),
+                    }
+                ),
+                fp,
+            )
+            dels = [
+                (fp, int(pos))
+                for pos in grp.index[grp["event_id"] % 7 == 0]
+            ]
+            return fp, len(grp), dels
+
+        f0, n0, d0 = _stage(pdf[pdf["event_id"] % 3 == 0], "f0.parquet")
+        f1, n1, d1 = _stage(pdf[pdf["event_id"] % 3 == 1], "f1.parquet")
+        del_rows = d0 + d1
+        pd_path = os.path.join(ddir, "pos-deletes.parquet")
+        _pq.write_table(
+            _pa.table(
+                {
+                    "file_path": _pa.array([f for f, _ in del_rows]),
+                    "pos": _pa.array([p for _, p in del_rows], _pa.int64()),
+                }
+            ),
+            pd_path,
+        )
+
+        man_schema = {
+            "type": "record",
+            "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int"},
+                {
+                    "name": "snapshot_id",
+                    "type": ["null", "long"],
+                    "default": None,
+                },
+                {
+                    "name": "data_file",
+                    "type": {
+                        "type": "record",
+                        "name": "r2",
+                        "fields": [
+                            {"name": "content", "type": "int"},
+                            {"name": "file_path", "type": "string"},
+                            {"name": "file_format", "type": "string"},
+                            {
+                                "name": "partition",
+                                "type": {
+                                    "type": "record",
+                                    "name": "r102",
+                                    "fields": [],
+                                },
+                            },
+                            {"name": "record_count", "type": "long"},
+                            {"name": "file_size_in_bytes", "type": "long"},
+                        ],
+                    },
+                },
+            ],
+        }
+        mlist_schema = {
+            "type": "record",
+            "name": "manifest_file",
+            "fields": [
+                {"name": "manifest_path", "type": "string"},
+                {"name": "manifest_length", "type": "long"},
+                {"name": "partition_spec_id", "type": "int"},
+                {"name": "content", "type": "int"},
+                {"name": "added_snapshot_id", "type": "long"},
+            ],
+        }
+
+        def _manifest(name, entries, content):
+            p = os.path.join(mdir, name)
+            write_avro(
+                [
+                    {
+                        "status": st,
+                        "snapshot_id": None,
+                        "data_file": {
+                            "content": content,
+                            "file_path": fp,
+                            "file_format": "PARQUET",
+                            "partition": {},
+                            "record_count": n,
+                            "file_size_in_bytes": os.path.getsize(fp),
+                        },
+                    }
+                    for st, fp, n in entries
+                ],
+                man_schema,
+                p,
+            )
+            return p
+
+        def _snapshot(snap_id, manifests, contents):
+            mlist = os.path.join(mdir, f"snap-{snap_id}.avro")
+            write_avro(
+                [
+                    {
+                        "manifest_path": m,
+                        "manifest_length": os.path.getsize(m),
+                        "partition_spec_id": 0,
+                        "content": c,
+                        "added_snapshot_id": snap_id,
+                    }
+                    for m, c in zip(manifests, contents)
+                ],
+                mlist_schema,
+                mlist,
+            )
+            return {
+                "snapshot-id": snap_id,
+                "timestamp-ms": 1700000000000 + snap_id,
+                "manifest-list": mlist,
+                "summary": {"operation": "append"},
+            }
+
+        m1 = _manifest("m1.avro", [(1, f0, n0)], 0)
+        m2 = _manifest("m2.avro", [(0, f0, n0), (1, f1, n1)], 0)
+        md = _manifest("md.avro", [(1, pd_path, len(del_rows))], 1)
+        m3 = _manifest("m3.avro", [(0, f0, n0)], 0)
+        snaps = [
+            _snapshot(100, [m1], [0]),
+            _snapshot(200, [m2], [0]),
+            _snapshot(300, [m2, md], [0, 1]),
+            _snapshot(400, [m3, md], [0, 1]),
+        ]
+        with open(os.path.join(mdir, "v1.metadata.json"), "w") as fh:
+            _json.dump(
+                {
+                    "format-version": 2,
+                    "table-uuid": "0" * 32,
+                    "location": table,
+                    "last-column-id": 3,
+                    "schemas": [
+                        {
+                            "type": "struct",
+                            "schema-id": 0,
+                            "fields": [
+                                {
+                                    "id": 1,
+                                    "name": "event_id",
+                                    "required": False,
+                                    "type": "long",
+                                },
+                                {
+                                    "id": 2,
+                                    "name": "event_type",
+                                    "required": False,
+                                    "type": "string",
+                                },
+                                {
+                                    "id": 3,
+                                    "name": "cents",
+                                    "required": False,
+                                    "type": "long",
+                                },
+                            ],
+                        }
+                    ],
+                    "current-schema-id": 0,
+                    "partition-specs": [{"spec-id": 0, "fields": []}],
+                    "default-spec-id": 0,
+                    "snapshots": snaps,
+                    "current-snapshot-id": 400,
+                },
+                fh,
+            )
+        with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+            fh.write("1")
+
+        stream = (
+            spark.readStream.format("iceberg_cdf_tail")
+            .option("path", table)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.table(sink)
+            .groupBy("_snapshot_id", "_change_type", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(sink)
+        except Exception:
+            pass
+    return out.orderBy("_snapshot_id", "_change_type", "event_type")
+
+
+STREAM_ICEBERG_CDF_ORACLE = """
+WITH e AS (
+    SELECT event_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+    WHERE event_id % 3 < 2
+), ch AS (
+    SELECT 100 AS sid, 'insert' AS ct, event_type, cents
+    FROM e WHERE event_id % 3 = 0
+    UNION ALL
+    SELECT 200, 'insert', event_type, cents FROM e WHERE event_id % 3 = 1
+    UNION ALL
+    SELECT 300, 'delete', event_type, cents FROM e WHERE event_id % 7 = 0
+    UNION ALL
+    SELECT 400, 'delete', event_type, cents
+    FROM e WHERE event_id % 3 = 1 AND event_id % 7 <> 0
+)
+SELECT CAST(sid AS BIGINT) AS _snapshot_id, ct AS _change_type,
+       event_type, count(*) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM ch
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
 def stream_manifest_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TABLE-FORMAT streaming source driven end-to-end under a
     driver hash: the events fixture is committed as FOUR versions of a
@@ -1785,6 +2081,7 @@ QUERIES = {
     "stream_delta_tail": stream_delta_tail,
     "stream_delta_cdf_tail": stream_delta_cdf_tail,
     "stream_iceberg_tail": stream_iceberg_tail,
+    "stream_iceberg_cdf_tail": stream_iceberg_cdf_tail,
     "ev_tumbling": ev_tumbling,
     "ev_time_weighted_avg": ev_time_weighted_avg,
     "ev_ohlc_bars": ev_ohlc_bars,
@@ -1813,6 +2110,7 @@ ORACLES = {
     "stream_delta_tail": STREAM_DELTA_TAIL_ORACLE,
     "stream_delta_cdf_tail": STREAM_DELTA_CDF_ORACLE,
     "stream_iceberg_tail": STREAM_ICEBERG_TAIL_ORACLE,
+    "stream_iceberg_cdf_tail": STREAM_ICEBERG_CDF_ORACLE,
     "ev_tumbling": EV_TUMBLING_ORACLE,
     "ev_time_weighted_avg": EV_TWA_ORACLE,
     "ev_ohlc_bars": EV_OHLC_ORACLE,

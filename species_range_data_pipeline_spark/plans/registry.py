@@ -57,8 +57,9 @@ _MODULE_NAMES = [
 # first driver rows for the five r18 lakehouse lanes —
 # delta_read_column_mapping (name-mode mapping), delta_read_v2_checkpoint
 # (uuid checkpoints + sidecars), iceberg_read_eq_deletes (equality
-# deletes, sequence-scoped), stream_delta_cdf_tail (streaming change
-# data feed) — then the ENTIRE r13-era freshness tranche (VERDICT r17
+# deletes, sequence-scoped), stream_delta_cdf_tail and
+# stream_iceberg_cdf_tail (streaming change data feeds, both layouts)
+# — then the ENTIRE r13-era freshness tranche (VERDICT r17
 # next #1 — 23 queries; after this round the floor moves to r14), then
 # the stalest r14 rows with module fillers resolved within them.
 _WINDOW_BUILT_FROM = 17  # newest CORRECTNESS artifact consumed
@@ -68,6 +69,7 @@ _PRIORITY = [
     "delta_read_v2_checkpoint",  # FIRST driver row (stats)
     "iceberg_read_eq_deletes",  # FIRST driver row (stats)
     "stream_delta_cdf_tail",  # FIRST driver row (events)
+    "stream_iceberg_cdf_tail",  # FIRST driver row (events)
     "cosine_topk",  # r13 (vectors)
     "curation_domain_cap",  # r13 (quality)
     "curation_token_budget",  # r13 (quality)
@@ -112,7 +114,6 @@ _PRIORITY = [
     "join_skew_salted",  # r14 (advanced)
     "q10_returned_revenue",  # r14 (advanced)
     "q12_late_priority_lines",  # r14 (tpch_extra)
-    "q13_customer_distribution",  # r14 (tpch_extra)
 ]
 
 # Queries whose oracles are pure VALUES restatements of expected OUTPUT
