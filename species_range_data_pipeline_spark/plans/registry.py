@@ -54,19 +54,22 @@ _MODULE_NAMES = [
 # this round the freshness floor moves to r13), then the stalest r13
 # rows with module fillers resolved within them.
 # Round-18 window (fourteenth rotation; built from CORRECTNESS_r01..r17):
-# first driver rows for the five r18 lakehouse lanes —
+# first driver rows for the six r18 lakehouse lanes —
 # delta_read_column_mapping (name-mode mapping), delta_read_v2_checkpoint
-# (uuid checkpoints + sidecars), iceberg_read_eq_deletes (equality
-# deletes, sequence-scoped), stream_delta_cdf_tail and
-# stream_iceberg_cdf_tail (streaming change data feeds, both layouts)
-# — then the ENTIRE r13-era freshness tranche (VERDICT r17
-# next #1 — 23 queries; after this round the floor moves to r14), then
-# the stalest r14 rows with module fillers resolved within them.
+# (uuid checkpoints + sidecars), delta_write_roundtrip (the Delta
+# WRITER: spec commits + checkpoint, read back through the repo's own
+# reader), iceberg_read_eq_deletes (equality deletes, sequence-scoped),
+# stream_delta_cdf_tail and stream_iceberg_cdf_tail (streaming change
+# data feeds, both layouts) — then the ENTIRE r13-era freshness tranche
+# (VERDICT r17 next #1 — 23 queries; after this round the floor moves
+# to r14), then the stalest r14 rows with module fillers resolved
+# within them.
 _WINDOW_BUILT_FROM = 17  # newest CORRECTNESS artifact consumed
 _PRIORITY = [
     "flagship_threshold_rollup",  # r17 (relational)
     "delta_read_column_mapping",  # FIRST driver row (stats)
     "delta_read_v2_checkpoint",  # FIRST driver row (stats)
+    "delta_write_roundtrip",  # FIRST driver row (stats)
     "iceberg_read_eq_deletes",  # FIRST driver row (stats)
     "stream_delta_cdf_tail",  # FIRST driver row (events)
     "stream_iceberg_cdf_tail",  # FIRST driver row (events)
@@ -94,9 +97,9 @@ _PRIORITY = [
     "text_word_topk",  # r13 (text)
     "xml_roundtrip_parse",  # r13 (scalar)
     "retrieval_mmr_diversify_ivf",  # r14 (retrieval)
+    "q12_late_priority_lines",  # r14 (tpch_extra)
     "multimodal_decode_stats",  # r15 (media)
     "bpe_train_merges",  # r16 (bpe)
-    "ann_ivf_topk",  # r14 (vectors)
     "array_map_funcs",  # r14 (advanced)
     "corpus_pipeline_summary",  # r14 (packing)
     "corr_measures",  # r14 (mining)
@@ -113,7 +116,6 @@ _PRIORITY = [
     "join_semi",  # r14 (relational)
     "join_skew_salted",  # r14 (advanced)
     "q10_returned_revenue",  # r14 (advanced)
-    "q12_late_priority_lines",  # r14 (tpch_extra)
 ]
 
 # Queries whose oracles are pure VALUES restatements of expected OUTPUT

@@ -2786,6 +2786,90 @@ ORDER BY snapshot, o_orderpriority
 """
 
 
+def delta_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Delta-layout WRITER driven end-to-end under a driver hash
+    (``sources/delta_write.py`` — the interop export sink): the orders
+    fixture is written as a real Delta table through the full commit
+    machinery and read back by the repo's own foreign-log reader, so
+    the hash pins writer and reader against each other AND against the
+    relational oracle.  History exercised:
+
+    - v0: append the ``o_orderkey % 2 == 0`` slice, partitioned by
+      ``o_orderstatus`` (Spark distributed write; partition values
+      ride the log, footer-derived stats ride ``add.stats``);
+    - v1: append the ``% 2 == 1`` slice;
+    - checkpoint at v1 (classic parquet + ``_last_checkpoint``);
+    - v2: OVERWRITE with the ``% 3 == 0`` slice (tombstones every
+      live file) — so the final read replays checkpoint + JSON tail.
+
+    The read back is FILTERED on the partition column (only the
+    ``'F'`` files are opened — zone-map/partition pruning over
+    self-written stats) and rolled up; the oracle restates the final
+    snapshot relationally.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.delta_log import read_delta_table
+    from ..sources.delta_write import (
+        write_delta_checkpoint,
+        write_delta_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="delta_write_roundtrip_")
+    table = os.path.join(root, "table")
+    try:
+        write_delta_table(
+            orders.where(F.col("o_orderkey") % 2 == 0),
+            table,
+            partition_by=["o_orderstatus"],
+        )
+        write_delta_table(
+            orders.where(F.col("o_orderkey") % 2 == 1),
+            table,
+            partition_by=["o_orderstatus"],
+        )
+        write_delta_checkpoint(table)
+        write_delta_table(
+            orders.where(F.col("o_orderkey") % 3 == 0),
+            table,
+            mode="overwrite",
+            partition_by=["o_orderstatus"],
+        )
+        result = (
+            read_delta_table(
+                spark, table, filters=[("o_orderstatus", "=", "F")]
+            )
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+DELTA_WRITE_ROUNDTRIP_ORACLE = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM orders
+WHERE o_orderkey % 3 = 0 AND o_orderstatus = 'F'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
     "ab_test_conversion": ab_test_conversion,
     "cdf_row_changes": cdf_row_changes,
@@ -2797,6 +2881,7 @@ QUERIES = {
     "delta_read_column_mapping": delta_read_column_mapping,
     "delta_read_v2_checkpoint": delta_read_v2_checkpoint,
     "delta_read_changes": delta_read_changes,
+    "delta_write_roundtrip": delta_write_roundtrip,
     "iceberg_read_changes": iceberg_read_changes_lane,
     "sketch_cms_brand_counts": sketch_cms_brand_counts,
     "agg_entropy_gini": agg_entropy_gini,
@@ -2828,6 +2913,7 @@ ORACLES = {
     "delta_read_column_mapping": DELTA_READ_COLUMN_MAPPING_ORACLE,
     "delta_read_v2_checkpoint": DELTA_READ_V2_CHECKPOINT_ORACLE,
     "delta_read_changes": DELTA_READ_CHANGES_ORACLE,
+    "delta_write_roundtrip": DELTA_WRITE_ROUNDTRIP_ORACLE,
     "iceberg_read_changes": ICEBERG_READ_CHANGES_ORACLE,
     "agg_entropy_gini": AGG_ENTROPY_GINI_ORACLE,
     "agg_bitmap_distinct": AGG_BITMAP_DISTINCT_ORACLE,

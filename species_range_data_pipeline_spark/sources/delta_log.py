@@ -44,9 +44,12 @@ loudly, never returns wrong rows:
   resolution) and NESTED physical names are refused.  File actions
   replay keyed by (path, DV uid) per the spec, so a same-commit
   remove/add DV rewrite reconstructs in either file order.
-- **Read-only.**  No writer exists here by design — the engine's own
-  table format (manifest_table) is the write path; this module exists
-  so an external Delta-layout table can be SCANNED without conversion.
+- **This module stays read-only.**  The engine's own table format
+  (manifest_table) is the native write path; the interop EXPORT sink
+  lives in ``sources/delta_write.py`` (r18 — spec-shaped commits,
+  footer-derived stats, optimistic concurrency, classic checkpoints),
+  so results can be handed to an external Delta-reading stack and this
+  reader has a first-party producer to round-trip against.
 
 Layout facts relied on (all from the public Delta protocol spec /
 delta-io reference implementation): commit files are zero-padded
