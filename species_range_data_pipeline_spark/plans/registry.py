@@ -54,16 +54,16 @@ _MODULE_NAMES = [
 # this round the freshness floor moves to r13), then the stalest r13
 # rows with module fillers resolved within them.
 # Round-18 window (fourteenth rotation; built from CORRECTNESS_r01..r17):
-# first driver rows for the six r18 lakehouse lanes —
+# first driver rows for the seven r18 lakehouse lanes —
 # delta_read_column_mapping (name-mode mapping), delta_read_v2_checkpoint
-# (uuid checkpoints + sidecars), delta_write_roundtrip (the Delta
-# WRITER: spec commits + checkpoint, read back through the repo's own
-# reader), iceberg_read_eq_deletes (equality deletes, sequence-scoped),
-# stream_delta_cdf_tail and stream_iceberg_cdf_tail (streaming change
-# data feeds, both layouts) — then the ENTIRE r13-era freshness tranche
-# (VERDICT r17 next #1 — 23 queries; after this round the floor moves
-# to r14), then the stalest r14 rows with module fillers resolved
-# within them.
+# (uuid checkpoints + sidecars), delta_write_roundtrip and
+# iceberg_write_roundtrip (the WRITERS: spec commits/snapshots + stats,
+# read back through the repo's own readers), iceberg_read_eq_deletes
+# (equality deletes, sequence-scoped), stream_delta_cdf_tail and
+# stream_iceberg_cdf_tail (streaming change data feeds, both layouts)
+# — then the ENTIRE r13-era freshness tranche (VERDICT r17 next #1 —
+# 23 queries; after this round the floor moves to r14), then the
+# stalest r14 rows with module fillers resolved within them.
 _WINDOW_BUILT_FROM = 17  # newest CORRECTNESS artifact consumed
 _PRIORITY = [
     "flagship_threshold_rollup",  # r17 (relational)
@@ -71,6 +71,7 @@ _PRIORITY = [
     "delta_read_v2_checkpoint",  # FIRST driver row (stats)
     "delta_write_roundtrip",  # FIRST driver row (stats)
     "iceberg_read_eq_deletes",  # FIRST driver row (stats)
+    "iceberg_write_roundtrip",  # FIRST driver row (stats)
     "stream_delta_cdf_tail",  # FIRST driver row (events)
     "stream_iceberg_cdf_tail",  # FIRST driver row (events)
     "cosine_topk",  # r13 (vectors)
@@ -115,7 +116,6 @@ _PRIORITY = [
     "join_full_outer",  # r14 (relational)
     "join_semi",  # r14 (relational)
     "join_skew_salted",  # r14 (advanced)
-    "q10_returned_revenue",  # r14 (advanced)
 ]
 
 # Queries whose oracles are pure VALUES restatements of expected OUTPUT

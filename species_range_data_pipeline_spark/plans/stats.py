@@ -2870,6 +2870,77 @@ ORDER BY o_orderstatus
 """
 
 
+def iceberg_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Iceberg-layout WRITER driven end-to-end under a driver hash
+    (``sources/iceberg_write.py`` — ``delta_write_roundtrip``'s twin):
+    the orders fixture is written as a real Hadoop-layout Iceberg v2
+    table (Spark distributed write with COMPLETE data files, Avro
+    manifests carrying footer-derived bounds, identity partitioning)
+    and read back by the repo's own reader.  History exercised:
+
+    - snapshot 1: append the ``o_orderkey % 2 == 0`` slice,
+      partitioned by ``o_orderstatus``;
+    - snapshot 2: append the ``% 2 == 1`` slice (manifest-list reuse —
+      the fast-append shape);
+    - snapshot 3: OVERWRITE with the ``% 3 == 0`` slice (history kept;
+      old files leave the live set).
+
+    The read back is FILTERED on the partition column (manifest-tuple
+    pruning over self-written metadata opens only the ``'F'`` files)
+    and rolled up; the oracle restates the final snapshot.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.iceberg_log import read_iceberg_table
+    from ..sources.iceberg_write import write_iceberg_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_write_roundtrip_")
+    table = os.path.join(root, "table")
+    try:
+        write_iceberg_table(
+            orders.where(F.col("o_orderkey") % 2 == 0),
+            table,
+            partition_by=["o_orderstatus"],
+        )
+        write_iceberg_table(
+            orders.where(F.col("o_orderkey") % 2 == 1),
+            table,
+            partition_by=["o_orderstatus"],
+        )
+        write_iceberg_table(
+            orders.where(F.col("o_orderkey") % 3 == 0),
+            table,
+            mode="overwrite",
+            partition_by=["o_orderstatus"],
+        )
+        result = (
+            read_iceberg_table(
+                spark, table, filters=[("o_orderstatus", "=", "F")]
+            )
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# same final snapshot as the Delta writer lane — the machinery under
+# test differs (Avro manifests + snapshot metadata vs JSON commit log)
+ICEBERG_WRITE_ROUNDTRIP_ORACLE = DELTA_WRITE_ROUNDTRIP_ORACLE
+
+
 QUERIES = {
     "ab_test_conversion": ab_test_conversion,
     "cdf_row_changes": cdf_row_changes,
@@ -2882,6 +2953,7 @@ QUERIES = {
     "delta_read_v2_checkpoint": delta_read_v2_checkpoint,
     "delta_read_changes": delta_read_changes,
     "delta_write_roundtrip": delta_write_roundtrip,
+    "iceberg_write_roundtrip": iceberg_write_roundtrip,
     "iceberg_read_changes": iceberg_read_changes_lane,
     "sketch_cms_brand_counts": sketch_cms_brand_counts,
     "agg_entropy_gini": agg_entropy_gini,
@@ -2914,6 +2986,7 @@ ORACLES = {
     "delta_read_v2_checkpoint": DELTA_READ_V2_CHECKPOINT_ORACLE,
     "delta_read_changes": DELTA_READ_CHANGES_ORACLE,
     "delta_write_roundtrip": DELTA_WRITE_ROUNDTRIP_ORACLE,
+    "iceberg_write_roundtrip": ICEBERG_WRITE_ROUNDTRIP_ORACLE,
     "iceberg_read_changes": ICEBERG_READ_CHANGES_ORACLE,
     "agg_entropy_gini": AGG_ENTROPY_GINI_ORACLE,
     "agg_bitmap_distinct": AGG_BITMAP_DISTINCT_ORACLE,

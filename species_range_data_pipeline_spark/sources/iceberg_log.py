@@ -3,7 +3,11 @@ Avro manifest lists + Avro manifests + parquet data files).
 
 The second half of the engine's open-format interop story (the first is
 ``sources/delta_log.py``): a user's existing lakehouse table in the
-Iceberg Hadoop layout can be SCANNED without conversion.  The layout is
+Iceberg Hadoop layout can be SCANNED without conversion.  The interop
+EXPORT sink lives in ``sources/iceberg_write.py`` (r18 — spec-shaped
+snapshots, Avro manifests with footer-derived bounds, optimistic
+concurrency), so results can be handed to an external Iceberg-reading
+stack and this reader has a first-party producer to round-trip against.  The layout is
 walked exactly as the public Iceberg table spec defines it —
 
     metadata/version-hint.text            -> current metadata version

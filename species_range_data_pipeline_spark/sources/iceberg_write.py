@@ -1,0 +1,631 @@
+"""Writer for the Iceberg Hadoop table LAYOUT — ``delta_write``'s twin
+(the engine's own manifest_table stays the native write path; this is
+the interop EXPORT sink, and the first-party producer the repo's
+``iceberg_log`` reader round-trips against).
+
+Everything follows the public Iceberg table spec (format-version 2) —
+manifests and manifest lists are REAL Avro OCF files rendered by the
+engine's own ``avro_ocf.write_avro``, no Iceberg runtime anywhere:
+
+    write_iceberg_table(df, path, mode="append", partition_by=["c"])
+
+- **Data files are written by Spark itself** and are COMPLETE per the
+  spec (identity-partition source columns stay IN the files).  The
+  partition directory layout comes from ``partitionBy`` on DUPLICATED
+  shadow columns (``__ice_part_<c>``), so Spark strips the shadows and
+  keeps the originals — the manifest partition tuples are parsed back
+  from the directory names.  Zero-row task files are dropped.
+- **Manifest entries carry footer-derived stats**: ``record_count``,
+  ``null_value_counts``/``value_counts``, and ``lower_bounds``/
+  ``upper_bounds`` under the spec's single-value binary serialization
+  (little-endian ints/floats, UTF-8 strings) — so written tables prune
+  in this repo's reader (``iceberg_scan_files``) and any stats-aware
+  external reader.  Types whose binary rendering is ambiguous
+  contribute counts only, never a wrong bound.
+- **Commits are optimistic**: the next ``vN.metadata.json`` is claimed
+  with an atomic O_EXCL create; a racing writer's win surfaces as
+  FileExistsError and the commit retries against re-read state, then
+  ``version-hint.text`` is updated.  Sequence numbers follow the v2
+  rules (``last-sequence-number`` + 1 per commit, manifest-list entries
+  stamped so ADDED entries inherit).
+- **Appends reuse history**: the new snapshot's manifest list carries
+  the previous snapshot's manifest entries verbatim (no rewrite — the
+  spec's fast-append shape) plus one new manifest of ADDED files;
+  overwrite starts a fresh manifest list (old files simply leave the
+  live set, which the change feed reads as deletes).
+- **Modes**: ``append`` (schema and partitioning must match — loud
+  refusal, no silent evolution), ``overwrite``, ``error``.
+- Boundaries, loud: nested Spark types (array/map/struct) and
+  partition columns outside {int, long, string, boolean, date} are
+  refused — manifests for them need complex Avro shapes this writer
+  does not emit.
+
+Scale shape: the data write is a plain distributed Spark parquet write
+(no Python in the row loop); driver work is per-FILE (footer probe +
+rename + one Avro manifest), metadata-sized; an append never rewrites
+existing manifests, so commit cost is the new files' count, not the
+table's.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import struct
+import time
+import uuid
+from urllib.parse import unquote
+
+from pyspark.sql import DataFrame
+
+from .avro_ocf import parse_avro, write_avro
+from .iceberg_log import _current_schema, _load_metadata, _metadata_path
+
+_COMMIT_ATTEMPTS = 10
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+_SHADOW = "__ice_part_"
+
+#: Spark simpleString -> Iceberg primitive type
+_ICE_TYPE = {
+    "boolean": "boolean",
+    "int": "int",
+    "bigint": "long",
+    "float": "float",
+    "double": "double",
+    "date": "date",
+    "timestamp_ntz": "timestamp",
+    "timestamp": "timestamptz",
+    "string": "string",
+    "binary": "binary",
+}
+
+#: Iceberg primitive -> Avro type for the partition tuple record
+_PARTITION_AVRO = {
+    "int": "int",
+    "long": "long",
+    "string": "string",
+    "boolean": "boolean",
+    "date": "int",  # days since epoch per the spec
+}
+
+
+def _ice_type_of(field) -> str:
+    s = field.dataType.simpleString()
+    if s in _ICE_TYPE:
+        return _ICE_TYPE[s]
+    if s.startswith("decimal("):
+        return s  # decimal(p,s) spells identically in both
+    raise NotImplementedError(
+        f"column {field.name!r} has Spark type {s!r}; this Iceberg"
+        " writer emits primitive manifest shapes only — cast or drop"
+        " nested/unsupported columns."
+    )
+
+
+def _schema_fields_of(df: DataFrame) -> list[dict]:
+    return [
+        {"id": i + 1, "name": f.name, "required": False,
+         "type": _ice_type_of(f)}
+        for i, f in enumerate(df.schema.fields)
+    ]
+
+
+def _encode_bound(v, ice_type: str) -> bytes | None:
+    """Python value -> Iceberg single-value binary (spec Appendix D),
+    the exact inverse of the reader's ``_decode_bound``."""
+    import datetime as _dt
+
+    try:
+        if ice_type == "int":
+            return struct.pack("<i", int(v))
+        if ice_type == "long":
+            return struct.pack("<q", int(v))
+        if ice_type == "float":
+            return struct.pack("<f", float(v))
+        if ice_type == "double":
+            return struct.pack("<d", float(v))
+        if ice_type == "string":
+            s = v.decode("utf-8") if isinstance(v, bytes) else str(v)
+            return s.encode("utf-8")
+        if ice_type == "boolean":
+            return b"\x01" if v else b"\x00"
+        if ice_type == "date":
+            if isinstance(v, _dt.date):
+                days = (v - _dt.date(1970, 1, 1)).days
+            else:
+                return None
+            return struct.pack("<i", days)
+    except (ValueError, OverflowError, UnicodeDecodeError, struct.error):
+        return None
+    return None
+
+
+def _file_manifest_stats(fpath: str, fields: list[dict]) -> dict:
+    """Footer-derived manifest-entry stats for one data file:
+    record_count, value/null counts, and encoded lower/upper bounds."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(fpath)
+    by_name = {f["name"]: f for f in fields}
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    values: dict = {}
+    complete: set = set()
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for c in range(rg.num_columns):
+            col = rg.column(c)
+            name = col.path_in_schema
+            if "." in name or name not in by_name:
+                continue
+            st = col.statistics
+            fid = by_name[name]["id"]
+            # spec: value_counts includes nulls — i.e. the row count
+            values[fid] = values.get(fid, 0) + rg.num_rows
+            if st is None or not st.has_null_count:
+                nulls.pop(fid, None)
+                complete.discard(name)
+                continue
+            nulls[fid] = nulls.get(fid, 0) + st.null_count
+            if not st.has_min_max:
+                complete.discard(name)
+                continue
+            lo = st.min
+            hi = st.max
+            if name in mins:
+                mins[name] = min(mins[name], lo)
+                maxs[name] = max(maxs[name], hi)
+            else:
+                mins[name] = lo
+                maxs[name] = hi
+                if g == 0:
+                    complete.add(name)
+    lower, upper = [], []
+    for name in sorted(complete):
+        f = by_name[name]
+        lo = _encode_bound(mins[name], f["type"])
+        hi = _encode_bound(maxs[name], f["type"])
+        if lo is not None and hi is not None:
+            lower.append({"key": f["id"], "value": lo})
+            upper.append({"key": f["id"], "value": hi})
+    return {
+        "record_count": md.num_rows,
+        "value_counts": [
+            {"key": k, "value": v} for k, v in sorted(values.items())
+        ],
+        "null_value_counts": [
+            {"key": k, "value": v} for k, v in sorted(nulls.items())
+        ],
+        "lower_bounds": lower or None,
+        "upper_bounds": upper or None,
+    }
+
+
+def _manifest_avro_schema(pcols: list[tuple[str, str]]) -> dict:
+    """Manifest-entry Avro schema with the identity partition tuple
+    for ``pcols`` ([(name, iceberg type)]) and the stats maps in the
+    spec's k_v array-of-record encoding."""
+
+    def _kv(name: str, value_type) -> dict:
+        return {
+            "name": name,
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": f"k_v_{name}",
+                        "fields": [
+                            {"name": "key", "type": "int"},
+                            {"name": "value", "type": value_type},
+                        ],
+                    },
+                },
+            ],
+            "default": None,
+        }
+
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {
+                "name": "snapshot_id",
+                "type": ["null", "long"],
+                "default": None,
+            },
+            {
+                "name": "sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+            },
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {
+                            "name": "partition",
+                            "type": {
+                                "type": "record",
+                                "name": "r102",
+                                "fields": [
+                                    {
+                                        "name": n,
+                                        "type": [
+                                            "null",
+                                            _PARTITION_AVRO[t],
+                                        ],
+                                        "default": None,
+                                    }
+                                    for n, t in pcols
+                                ],
+                            },
+                        },
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                        _kv("value_counts", "long"),
+                        _kv("null_value_counts", "long"),
+                        _kv("lower_bounds", "bytes"),
+                        _kv("upper_bounds", "bytes"),
+                    ],
+                },
+            },
+        ],
+    }
+
+
+_MANIFEST_LIST_AVRO = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": ["null", "long"], "default": None},
+        {"name": "added_snapshot_id", "type": "long"},
+    ],
+}
+
+
+def _partition_tuple(rel: str, pcols: list[tuple[str, str]]) -> dict:
+    """Identity partition tuple from the staged file's shadow-column
+    directory path, coerced to the column types."""
+    raw: dict = {}
+    for comp in rel.split(os.sep)[1:-1]:  # [0] is the data/ root
+        if "=" not in comp:
+            raise ValueError(
+                f"staged file path {rel!r} has a non-partition"
+                f" directory component {comp!r}"
+            )
+        k, _, v = comp.partition("=")
+        k = unquote(k)
+        if not k.startswith(_SHADOW):
+            raise ValueError(f"unexpected partition directory {comp!r}")
+        raw[k[len(_SHADOW):]] = None if v == _HIVE_NULL else unquote(v)
+    out: dict = {}
+    for name, ice in pcols:
+        if name not in raw:
+            raise ValueError(
+                f"staged file {rel!r} lacks partition value for {name!r}"
+            )
+        v = raw[name]
+        if v is None:
+            out[name] = None
+        elif ice in ("int", "long"):
+            out[name] = int(v)
+        elif ice == "boolean":
+            out[name] = v.lower() == "true"
+        elif ice == "date":
+            import datetime as _dt
+
+            out[name] = (
+                _dt.date.fromisoformat(v) - _dt.date(1970, 1, 1)
+            ).days
+        else:
+            out[name] = v
+    return out
+
+
+def _stage_data_files(
+    df: DataFrame, path: str, pcols: list[str]
+) -> list[str]:
+    """Distributed-write COMPLETE data files under ``path``/data and
+    return their table-relative paths (shadow partition dirs kept for
+    tuple parsing; the files themselves hold every real column)."""
+    from pyspark.sql import functions as F
+
+    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex[:12]}")
+    out = df
+    for c in pcols:
+        out = out.withColumn(_SHADOW + c, F.col(c))
+    writer = out.write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*[_SHADOW + c for c in pcols])
+    writer.parquet(staging)
+    import pyarrow.parquet as pq
+
+    rels: list[str] = []
+    try:
+        for dirpath, _dirs, names in os.walk(staging):
+            for name in names:
+                if not (
+                    name.startswith("part-") and name.endswith(".parquet")
+                ):
+                    continue
+                src = os.path.join(dirpath, name)
+                if pq.read_metadata(src).num_rows == 0:
+                    continue
+                rel = os.path.join(
+                    "data", os.path.relpath(src, staging)
+                )
+                dst = os.path.join(path, rel)
+                if os.path.exists(dst):
+                    raise FileExistsError(
+                        f"data file collision at {dst!r}"
+                    )
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(src, dst)
+                rels.append(rel)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return sorted(rels)
+
+
+def _table_meta(path: str) -> tuple[int, dict | None]:
+    """(next metadata version N for vN.metadata.json, current meta).
+
+    The committed state is what ``version-hint.text`` points at, but
+    the NEXT version must clear every vN already on disk — a racing
+    writer may have claimed a higher N without updating the hint yet
+    (the HadoopTableOperations probe-past-the-hint rule)."""
+    mdir = os.path.join(path, "metadata")
+    if not os.path.isdir(mdir):
+        return 1, None
+    try:
+        _metadata_path(path)
+    except FileNotFoundError:
+        return 1, None
+    import re as _re
+
+    claimed = [
+        int(m.group(1))
+        for m in (
+            _re.match(r"^v(\d+)\.metadata\.json$", n)
+            for n in os.listdir(mdir)
+        )
+        if m
+    ]
+    return max(claimed) + 1, _load_metadata(path)
+
+
+def write_iceberg_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Write ``df`` as a new snapshot of the Iceberg Hadoop-layout
+    table at ``path`` and return the snapshot id.  See the module
+    docstring for staging, stats, and the concurrency contract."""
+    if mode not in ("append", "overwrite", "error"):
+        raise ValueError(f"unsupported mode {mode!r}")
+    pcol_names = list(partition_by or [])
+    missing = [c for c in pcol_names if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition column(s) {missing} not in DataFrame")
+
+    fields = _schema_fields_of(df)
+    by_name = {f["name"]: f for f in fields}
+    pcols = []
+    for c in pcol_names:
+        ice = by_name[c]["type"]
+        if ice not in _PARTITION_AVRO:
+            raise NotImplementedError(
+                f"partition column {c!r} has Iceberg type {ice!r};"
+                f" supported identity partition types:"
+                f" {sorted(_PARTITION_AVRO)}."
+            )
+        pcols.append((c, ice))
+
+    _next, meta = _table_meta(path)
+    if meta is not None:
+        if mode == "error":
+            raise FileExistsError(
+                f"Iceberg table at {path!r} already exists (mode='error')"
+            )
+        if mode == "append":
+            cur = _current_schema(meta, path)
+            if [(f["name"], f["type"]) for f in cur["fields"]] != [
+                (f["name"], f["type"]) for f in fields
+            ]:
+                raise ValueError(
+                    f"append schema mismatch at {path!r}: table"
+                    f" {cur['fields']} vs DataFrame {fields};"
+                    " overwrite to change schema."
+                )
+            specs = {
+                s["spec-id"]: s for s in meta.get("partition-specs", [])
+            }
+            spec = specs.get(meta.get("default-spec-id", 0), {})
+            cur_pcols = [
+                f["name"]
+                for f in spec.get("fields", [])
+                if f.get("transform") == "identity"
+            ]
+            if cur_pcols != pcol_names:
+                raise ValueError(
+                    f"append partitioning mismatch at {path!r}: table"
+                    f" {cur_pcols} vs requested {pcol_names}."
+                )
+        fields = _current_schema(meta, path)["fields"] if mode == "append" \
+            else fields
+        by_name = {f["name"]: f for f in fields}
+        pcols = [(c, by_name[c]["type"]) for c in pcol_names]
+
+    os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
+    rels = _stage_data_files(df, path, pcol_names)
+    snapshot_id = int(time.time() * 1000) * 1000 + (
+        uuid.uuid4().int % 1000
+    )
+    now_ms = int(time.time() * 1000)
+
+    entries = []
+    for rel in rels:
+        fpath = os.path.join(path, rel)
+        stats = _file_manifest_stats(fpath, fields)
+        entries.append(
+            {
+                "status": 1,  # ADDED: sequence number inherits
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": rel.replace(os.sep, "/"),
+                    "file_format": "PARQUET",
+                    "partition": _partition_tuple(rel, pcols),
+                    "file_size_in_bytes": os.path.getsize(fpath),
+                    **stats,
+                },
+            }
+        )
+    manifest = os.path.join(
+        path, "metadata", f"m-{uuid.uuid4().hex}.avro"
+    )
+    write_avro(entries, _manifest_avro_schema(pcols), manifest)
+
+    last_err: Exception | None = None
+    for _ in range(_COMMIT_ATTEMPTS):
+        version, meta = _table_meta(path)
+        prev_snaps = list((meta or {}).get("snapshots") or [])
+        if meta is not None and mode == "overwrite":
+            cur = _current_schema(meta, path)
+            if [(f["name"], f["type"]) for f in cur["fields"]] != [
+                (f["name"], f["type"]) for f in fields
+            ]:
+                # a schema-changing overwrite cannot keep history: the
+                # single schemas entry written here would mis-resolve
+                # the old snapshots' files — start the history fresh
+                prev_snaps = []
+        seq = int((meta or {}).get("last-sequence-number") or 0) + 1
+        carried: list[dict] = []
+        if mode == "append" and meta is not None and prev_snaps:
+            cur_id = meta.get("current-snapshot-id")
+            (cur_snap,) = [
+                s for s in prev_snaps if s["snapshot-id"] == cur_id
+            ] or [prev_snaps[-1]]
+            mlist_path = cur_snap["manifest-list"]
+            mlist_abs = (
+                mlist_path
+                if os.path.isabs(mlist_path)
+                else os.path.join(path, mlist_path)
+            )
+            with open(mlist_abs, "rb") as fh:
+                _, carried = parse_avro(fh.read())
+
+        mlist = os.path.join(
+            path, "metadata", f"snap-{snapshot_id}-{version}.avro"
+        )
+        write_avro(
+            [
+                *[
+                    {
+                        "manifest_path": c["manifest_path"],
+                        "manifest_length": c["manifest_length"],
+                        "partition_spec_id": c.get(
+                            "partition_spec_id", 0
+                        ),
+                        "content": c.get("content", 0),
+                        "sequence_number": c.get("sequence_number"),
+                        "added_snapshot_id": c.get(
+                            "added_snapshot_id", snapshot_id
+                        ),
+                    }
+                    for c in carried
+                ],
+                {
+                    "manifest_path": manifest,
+                    "manifest_length": os.path.getsize(manifest),
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "sequence_number": seq,
+                    "added_snapshot_id": snapshot_id,
+                },
+            ],
+            _MANIFEST_LIST_AVRO,
+            mlist,
+        )
+        # history is KEPT across overwrite (time travel + the change
+        # feed's live-set diff both read the old snapshots; an
+        # overwrite's removals are simply files absent from the new
+        # manifest list)
+        parent = prev_snaps[-1]["snapshot-id"] if prev_snaps else None
+        snapshot = {
+            "snapshot-id": snapshot_id,
+            "timestamp-ms": now_ms,
+            "sequence-number": seq,
+            "manifest-list": mlist,
+            "summary": {
+                "operation": "append" if mode == "append" else "overwrite"
+            },
+        }
+        if parent is not None:
+            snapshot["parent-snapshot-id"] = parent
+        new_meta = {
+            "format-version": 2,
+            "table-uuid": (meta or {}).get("table-uuid")
+            or str(uuid.uuid4()),
+            "location": path,
+            "last-sequence-number": seq,
+            "last-column-id": max(f["id"] for f in fields),
+            "schemas": [
+                {"type": "struct", "schema-id": 0, "fields": fields}
+            ],
+            "current-schema-id": 0,
+            "partition-specs": [
+                {
+                    "spec-id": 0,
+                    "fields": [
+                        {
+                            "name": c,
+                            "transform": "identity",
+                            "source-id": by_name[c]["id"],
+                            "field-id": 1000 + i,
+                        }
+                        for i, (c, _t) in enumerate(pcols)
+                    ],
+                }
+            ],
+            "default-spec-id": 0,
+            "snapshots": prev_snaps + [snapshot],
+            "current-snapshot-id": snapshot_id,
+        }
+        mpath = os.path.join(path, "metadata", f"v{version}.metadata.json")
+        try:
+            fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:  # a racing writer won this version
+            last_err = e
+            os.unlink(mlist)
+            continue
+        with os.fdopen(fd, "w") as fh:
+            json.dump(new_meta, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        with open(
+            os.path.join(path, "metadata", "version-hint.text"), "w"
+        ) as fh:
+            fh.write(str(version))
+        return snapshot_id
+    raise RuntimeError(
+        f"could not commit to {path!r} after {_COMMIT_ATTEMPTS}"
+        f" optimistic attempts (concurrent writers?): {last_err}"
+    )
