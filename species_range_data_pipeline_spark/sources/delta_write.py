@@ -188,7 +188,15 @@ def _stage_data_files(
                 src = os.path.join(dirpath, name)
                 if pq.read_metadata(src).num_rows == 0:
                     continue  # an empty task's file carries no data
-                rel = os.path.relpath(src, staging)
+                # table-wide-unique basename: Spark reuses a task's
+                # part-NNNNN-jobuuid name across the partition dirs it
+                # writes, and the reader keys its partition-value
+                # restore join by basename
+                unique = f"part-{uuid.uuid4().hex}.parquet"
+                rel = os.path.join(
+                    os.path.dirname(os.path.relpath(src, staging)),
+                    unique,
+                )
                 dst = os.path.join(path, rel)
                 if os.path.exists(dst):
                     raise FileExistsError(
@@ -276,6 +284,33 @@ def write_delta_table(
                     f"append partitioning mismatch at {path!r}: table"
                     f" {snap['partition_cols']} vs requested {pcols}."
                 )
+
+    # Hive staging conflates empty-string and the literal
+    # default-partition sentinel with NULL in the directory name, and
+    # Delta data files do NOT carry the partition column to recover
+    # the truth from — refuse those values loudly (one column-pruned
+    # validation pass over the payload's string partition columns)
+    # rather than silently writing them back as NULL.
+    str_pcols = [
+        f.name
+        for f in df.schema.fields
+        if f.name in pcols and f.dataType.simpleString() == "string"
+    ]
+    if str_pcols:
+        from pyspark.sql import functions as F
+
+        cond = None
+        for c in str_pcols:
+            piece = (F.col(c) == "") | (F.col(c) == _HIVE_NULL)
+            cond = piece if cond is None else (cond | piece)
+        if df.where(cond).take(1):
+            raise ValueError(
+                f"partition column(s) {str_pcols} contain an empty"
+                f" string or the literal {_HIVE_NULL!r} — the Hive"
+                " directory layout conflates these with NULL and Delta"
+                " data files cannot recover the value; filter or remap"
+                " them before writing."
+            )
 
     os.makedirs(path, exist_ok=True)
     rels = _stage_data_files(df, path, pcols)

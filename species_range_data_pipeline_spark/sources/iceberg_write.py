@@ -297,10 +297,23 @@ _MANIFEST_LIST_AVRO = {
 }
 
 
-def _partition_tuple(rel: str, pcols: list[tuple[str, str]]) -> dict:
-    """Identity partition tuple from the staged file's shadow-column
-    directory path, coerced to the column types."""
-    raw: dict = {}
+def _partition_tuple(fpath: str, rel: str,
+                     pcols: list[tuple[str, str]]) -> dict:
+    """Identity partition tuple for one COMPLETE staged data file,
+    derived from the file's OWN footer statistics (min == max for the
+    identity column; all-null -> null tuple value) — never from the
+    Hive directory name, which conflates empty strings and the literal
+    default-partition sentinel with NULL (Spark's
+    ``getPartitionPathString`` convention).  A file whose footer shows
+    a MIXED column (nulls alongside values — exactly what that
+    conflation produces when '' rows and NULL rows land in the same
+    default-partition directory) is refused rather than guessed.
+    Columns whose parquet stats are unusable fall back to the
+    directory name (numeric/date types, where the conflation cannot
+    occur)."""
+    import pyarrow.parquet as pq
+
+    raw_dir: dict = {}
     for comp in rel.split(os.sep)[1:-1]:  # [0] is the data/ root
         if "=" not in comp:
             raise ValueError(
@@ -311,14 +324,69 @@ def _partition_tuple(rel: str, pcols: list[tuple[str, str]]) -> dict:
         k = unquote(k)
         if not k.startswith(_SHADOW):
             raise ValueError(f"unexpected partition directory {comp!r}")
-        raw[k[len(_SHADOW):]] = None if v == _HIVE_NULL else unquote(v)
+        raw_dir[k[len(_SHADOW):]] = None if v == _HIVE_NULL else unquote(v)
+
+    md = pq.read_metadata(fpath)
+    names = {n: i for i, n in enumerate(md.schema.names)}
     out: dict = {}
     for name, ice in pcols:
-        if name not in raw:
+        if name not in raw_dir:
             raise ValueError(
                 f"staged file {rel!r} lacks partition value for {name!r}"
             )
-        v = raw[name]
+        c = names.get(name)
+        lo = hi = None
+        nulls = rows = 0
+        usable = c is not None and md.num_row_groups > 0
+        for g in range(md.num_row_groups if usable else 0):
+            col = md.row_group(g).column(c)
+            st = col.statistics
+            rows += md.row_group(g).num_rows
+            if st is None or not st.has_null_count:
+                usable = False
+                break
+            nulls += st.null_count
+            if st.null_count < md.row_group(g).num_rows:
+                if not st.has_min_max:
+                    usable = False
+                    break
+                glo, ghi = st.min, st.max
+                lo = glo if lo is None else min(lo, glo)
+                hi = ghi if hi is None else max(hi, ghi)
+        if usable:
+            if nulls == rows:
+                out[name] = None
+                continue
+            if nulls > 0:
+                raise ValueError(
+                    f"staged file {rel!r} mixes NULL and non-NULL"
+                    f" values in identity partition column {name!r} —"
+                    " Hive staging conflated an empty-string (or"
+                    " default-partition sentinel) value with NULL;"
+                    " such partition values are not representable in"
+                    " this layout."
+                )
+            if lo != hi:
+                raise ValueError(
+                    f"staged file {rel!r} holds multiple values"
+                    f" ({lo!r}..{hi!r}) for identity partition column"
+                    f" {name!r}; staging must group by partition."
+                )
+            if ice == "date":
+                import datetime as _dt
+
+                out[name] = (lo - _dt.date(1970, 1, 1)).days
+            elif ice == "string":
+                out[name] = (
+                    lo.decode("utf-8") if isinstance(lo, bytes) else str(lo)
+                )
+            elif ice in ("int", "long"):
+                out[name] = int(lo)
+            else:
+                out[name] = lo
+            continue
+        # footer unusable: fall back to the directory name
+        v = raw_dir[name]
         if v is None:
             out[name] = None
         elif ice in ("int", "long"):
@@ -365,8 +433,13 @@ def _stage_data_files(
                 src = os.path.join(dirpath, name)
                 if pq.read_metadata(src).num_rows == 0:
                     continue
+                # table-wide-unique basename (Spark reuses a task's
+                # part name across the partition dirs it writes; the
+                # reader's migrated-layout restore keys by basename)
                 rel = os.path.join(
-                    "data", os.path.relpath(src, staging)
+                    "data",
+                    os.path.dirname(os.path.relpath(src, staging)),
+                    f"part-{uuid.uuid4().hex}.parquet",
                 )
                 dst = os.path.join(path, rel)
                 if os.path.exists(dst):
@@ -492,7 +565,7 @@ def write_iceberg_table(
                     "content": 0,
                     "file_path": rel.replace(os.sep, "/"),
                     "file_format": "PARQUET",
-                    "partition": _partition_tuple(rel, pcols),
+                    "partition": _partition_tuple(fpath, rel, pcols),
                     "file_size_in_bytes": os.path.getsize(fpath),
                     **stats,
                 },

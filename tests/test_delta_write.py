@@ -195,3 +195,36 @@ def test_change_feed_over_self_written_history(spark, tmp_path):
     )
     # v1 inserts k=2; v2 overwrite nets to: delete k=1 (k=2 carried)
     assert got == [(1, "delete", 2), (2, "insert", 1)]
+
+
+def test_partition_value_escaping_roundtrip(spark, tmp_path):
+    """Hive-escaped partition values (spaces, %XX lookalikes, =, /,
+    control chars) round-trip exactly through the directory encoding."""
+    nasty = ["a b", "a%20b", "a=b", "a/b", "a:b", "100%", "x%y",
+             "a#b", "  ", "a\tb", None, "nul\x01ctl"]
+    rows = [(i, v) for i, v in enumerate(nasty)]
+    tbl = str(tmp_path / "t")
+    write_delta_table(
+        spark.createDataFrame(rows, "k long, part string"),
+        tbl,
+        partition_by=["part"],
+    )
+    got = sorted(
+        (r.k, r.part) for r in read_delta_table(spark, tbl).collect()
+    )
+    assert got == sorted(rows, key=lambda t: t[0])
+
+
+def test_empty_string_partition_value_refused(spark, tmp_path):
+    """Hive staging conflates '' (and the literal default-partition
+    sentinel) with NULL, and Delta files cannot recover the value —
+    the write refuses instead of silently nulling."""
+    for bad in ["", "__HIVE_DEFAULT_PARTITION__"]:
+        with pytest.raises(ValueError, match="conflates"):
+            write_delta_table(
+                spark.createDataFrame(
+                    [(1, bad), (2, "x")], "k long, part string"
+                ),
+                str(tmp_path / f"t{len(bad)}"),
+                partition_by=["part"],
+            )

@@ -157,3 +157,45 @@ def test_streaming_tail_over_self_written_appends(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(r.k for r in spark.read.parquet(out).collect()) == [1, 2]
+
+
+def test_partition_value_escaping_roundtrip_and_empty_string(
+    spark, tmp_path
+):
+    """Partition tuples come from the files' OWN footers, so values
+    the Hive directory encoding mangles ('' included, when it lands
+    in its own file) round-trip exactly — and pruning on them stays
+    truthful."""
+    nasty = ["a b", "a%20b", "a=b", "100%", "a\tb", None, ""]
+    rows = [(i, v) for i, v in enumerate(nasty)]
+    tbl = str(tmp_path / "t")
+    # one task per value: '' and NULL land in separate files, so the
+    # footer disambiguates what the shared directory name conflates
+    df = spark.createDataFrame(rows, "k long, part string").repartition(
+        len(nasty), "k"
+    )
+    write_iceberg_table(df, tbl, partition_by=["part"])
+    got = sorted(
+        (r.k, r.part) for r in read_iceberg_table(spark, tbl).collect()
+    )
+    assert got == sorted(rows, key=lambda t: t[0])
+    empty = iceberg_scan_files(tbl, filters=[("part", "=", "")])
+    ks = sorted(
+        k
+        for f in empty
+        for k in pq.read_table(f, columns=["k"]).column("k").to_pylist()
+    )
+    assert 6 in ks  # the '' row's file survives the prune
+
+
+def test_mixed_empty_and_null_partition_file_refused(spark, tmp_path):
+    """A single staged file holding BOTH '' and NULL rows of an
+    identity partition column (the Hive default-partition conflation)
+    is refused rather than guessed."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "x")], "k long, part string"
+    ).coalesce(1)
+    with pytest.raises(ValueError, match="conflated"):
+        write_iceberg_table(
+            df, str(tmp_path / "t"), partition_by=["part"]
+        )
