@@ -54,8 +54,9 @@ _MODULE_NAMES = [
 # this round the freshness floor moves to r13), then the stalest r13
 # rows with module fillers resolved within them.
 # Round-18 window (fourteenth rotation; built from CORRECTNESS_r01..r17):
-# first driver rows for the seven r18 lakehouse lanes —
-# delta_read_column_mapping (name-mode mapping), delta_read_v2_checkpoint
+# first driver rows for the eight r18 lakehouse lanes —
+# delta_read_column_mapping + delta_read_column_mapping_id (name- and
+# id-mode mapping, field-id verified), delta_read_v2_checkpoint
 # (uuid checkpoints + sidecars), delta_write_roundtrip and
 # iceberg_write_roundtrip (the WRITERS: spec commits/snapshots + stats,
 # read back through the repo's own readers), iceberg_read_eq_deletes
@@ -68,6 +69,7 @@ _WINDOW_BUILT_FROM = 17  # newest CORRECTNESS artifact consumed
 _PRIORITY = [
     "flagship_threshold_rollup",  # r17 (relational)
     "delta_read_column_mapping",  # FIRST driver row (stats)
+    "delta_read_column_mapping_id",  # FIRST driver row (stats)
     "delta_read_v2_checkpoint",  # FIRST driver row (stats)
     "delta_write_roundtrip",  # FIRST driver row (stats)
     "iceberg_read_eq_deletes",  # FIRST driver row (stats)
@@ -115,7 +117,6 @@ _PRIORITY = [
     "geo_shapefile_roundtrip",  # r14 (geo)
     "join_full_outer",  # r14 (relational)
     "join_semi",  # r14 (relational)
-    "join_skew_salted",  # r14 (advanced)
 ]
 
 # Queries whose oracles are pure VALUES restatements of expected OUTPUT

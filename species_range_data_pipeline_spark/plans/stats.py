@@ -2273,6 +2273,176 @@ ORDER BY snapshot, o_orderpriority
 """
 
 
+def delta_read_column_mapping_id(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ID-mode column-mapping interop under a driver hash —
+    ``delta_read_column_mapping``'s twin for the mode whose source of
+    truth is the PARQUET FIELD ID: the same staged rename history
+    (physical ``col-k``/``col-p``/``col-c``, physical-keyed stats and
+    partitionValues, logical partitionColumns), but
+    ``delta.columnMapping.mode=id`` and every data file's footer
+    carries ``PARQUET:field_id`` metadata matching the schema's
+    ``delta.columnMapping.id``.  The read resolves by physical name
+    and VERIFIES each scanned file's footer ids agree (mismatched or
+    absent ids refuse — pinned in ``tests/test_delta_log.py``); the
+    rollup pins both snapshots, the oracle recomputes them
+    relationally.
+    """
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from ..sources.delta_log import read_delta_table
+
+    pdf = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .toPandas()
+        .sort_values("o_orderkey", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    root = tempfile.mkdtemp(prefix="delta_read_cm_id_")
+    table = os.path.join(root, "table")
+    os.makedirs(os.path.join(table, "_delta_log"))
+    try:
+        def _schema_json(cents_logical: str) -> str:
+            fields = [
+                ("o_orderkey", "col-k", "long", 1),
+                ("o_orderpriority", "col-p", "string", 2),
+                (cents_logical, "col-c", "long", 3),
+            ]
+            return _json.dumps(
+                {
+                    "type": "struct",
+                    "fields": [
+                        {
+                            "name": lg,
+                            "type": t,
+                            "nullable": True,
+                            "metadata": {
+                                "delta.columnMapping.physicalName": ph,
+                                "delta.columnMapping.id": i,
+                            },
+                        }
+                        for lg, ph, t, i in fields
+                    ],
+                }
+            )
+
+        def _meta(cents_logical: str) -> dict:
+            return {
+                "metaData": {
+                    "id": "0" * 32,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _schema_json(cents_logical),
+                    "partitionColumns": ["o_orderpriority"],
+                    "configuration": {
+                        "delta.columnMapping.mode": "id",
+                        "delta.columnMapping.maxColumnId": "3",
+                    },
+                }
+            }
+
+        def _commit(version: int, actions: list[dict]) -> None:
+            pth = os.path.join(table, "_delta_log", f"{version:020d}.json")
+            with open(pth, "w") as fh:
+                for a in actions:
+                    fh.write(_json.dumps(a) + "\n")
+
+        adds = []
+        for i, (prio, grp) in enumerate(
+            pdf.groupby("o_orderpriority", sort=True)
+        ):
+            grp = grp.reset_index(drop=True)
+            rel = f"o_orderpriority={prio}/part-{i:04d}.parquet"
+            fpath = os.path.join(table, rel)
+            os.makedirs(os.path.dirname(fpath), exist_ok=True)
+            arrays = {
+                "col-k": _pa.array(grp["o_orderkey"], _pa.int64()),
+                "col-c": _pa.array(grp["cents"], _pa.int64()),
+            }
+            schema = _pa.schema(
+                [
+                    _pa.field(
+                        n,
+                        arrays[n].type,
+                        metadata={
+                            b"PARQUET:field_id": str(fid).encode()
+                        },
+                    )
+                    for n, fid in (("col-k", 1), ("col-c", 3))
+                ]
+            )
+            _pq.write_table(
+                _pa.table(arrays, schema=schema), fpath
+            )
+            adds.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": {"col-p": prio},
+                        "size": os.path.getsize(fpath),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                        "stats": _json.dumps(
+                            {
+                                "numRecords": int(len(grp)),
+                                "minValues": {
+                                    "col-k": int(grp["o_orderkey"].min()),
+                                    "col-c": int(grp["cents"].min()),
+                                },
+                                "maxValues": {
+                                    "col-k": int(grp["o_orderkey"].max()),
+                                    "col-c": int(grp["cents"].max()),
+                                },
+                                "nullCount": {"col-k": 0, "col-c": 0},
+                            }
+                        ),
+                    }
+                }
+            )
+        _commit(
+            0,
+            [
+                {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+                _meta("cents"),
+                *adds,
+            ],
+        )
+        _commit(1, [_meta("cents_total")])  # RENAME cents -> cents_total
+
+        def _rollup(df: DataFrame, cents_col: str, label: str) -> DataFrame:
+            return df.groupBy("o_orderpriority").agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(cents_col).alias("sum_cents"),
+            ).select(F.lit(label).alias("snapshot"), "*")
+
+        result = (
+            _rollup(read_delta_table(spark, table, version=0), "cents", "v0")
+            .unionByName(
+                _rollup(read_delta_table(spark, table), "cents_total", "renamed")
+            )
+            .orderBy("snapshot", "o_orderpriority")
+        )
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# identical values to the name-mode lane — the machinery under test is
+# the field-id verification path
+DELTA_READ_COLUMN_MAPPING_ID_ORACLE = DELTA_READ_COLUMN_MAPPING_ORACLE
+
+
 def iceberg_read_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg v2 EQUALITY-delete interop under a driver hash (VERDICT
     r17 next #3) — the value-keyed twin of ``iceberg_read_deletes``
@@ -2950,6 +3120,7 @@ QUERIES = {
     "iceberg_read_eq_deletes": iceberg_read_eq_deletes,
     "delta_read_dv": delta_read_dv,
     "delta_read_column_mapping": delta_read_column_mapping,
+    "delta_read_column_mapping_id": delta_read_column_mapping_id,
     "delta_read_v2_checkpoint": delta_read_v2_checkpoint,
     "delta_read_changes": delta_read_changes,
     "delta_write_roundtrip": delta_write_roundtrip,
@@ -2983,6 +3154,7 @@ ORACLES = {
     "iceberg_read_eq_deletes": ICEBERG_READ_EQ_DELETES_ORACLE,
     "delta_read_dv": DELTA_READ_DV_ORACLE,
     "delta_read_column_mapping": DELTA_READ_COLUMN_MAPPING_ORACLE,
+    "delta_read_column_mapping_id": DELTA_READ_COLUMN_MAPPING_ID_ORACLE,
     "delta_read_v2_checkpoint": DELTA_READ_V2_CHECKPOINT_ORACLE,
     "delta_read_changes": DELTA_READ_CHANGES_ORACLE,
     "delta_write_roundtrip": DELTA_WRITE_ROUNDTRIP_ORACLE,

@@ -36,12 +36,15 @@ loudly, never returns wrong rows:
   (scripts/dv_path_crossover_sweep.py).
   ``minReaderVersion=3`` is accepted iff ``readerFeatures`` is within
   ``{deletionVectors, columnMapping}``; anything else (timestampNtz,
-  v2 checkpoints) is refused.  NAME-mode column mapping (r18) resolves
-  each top-level field's ``delta.columnMapping.physicalName`` metadata:
-  data files, stats, and partitionValues are read under PHYSICAL names
-  and aliased back to logical names at scan time, so RENAME/DROP
-  COLUMN histories read correctly; ID-mode (parquet field-id
-  resolution) and NESTED physical names are refused.  File actions
+  v2 checkpoints) is refused.  COLUMN MAPPING (r18, name AND id modes)
+  resolves each top-level field's ``delta.columnMapping.physicalName``
+  metadata: data files, stats, and partitionValues are read under
+  PHYSICAL names and aliased back to logical names at scan time, so
+  RENAME/DROP COLUMN histories read correctly; in ID mode (where the
+  spec's source of truth is the parquet field id) every scanned file's
+  footer field ids are verified to AGREE with the recorded physical
+  names — disagreement, or a file with no ids, refuses rather than
+  mis-reads.  NESTED physical names are refused.  File actions
   replay keyed by (path, DV uid) per the spec, so a same-commit
   remove/add DV rewrite reconstructs in either file order.
 - **This module stays read-only.**  The engine's own table format
@@ -205,19 +208,18 @@ def _check_protocol(action: dict, path: str) -> None:
         f"Delta table at {path!r} requires minReaderVersion={v}"
         f" with readerFeatures={sorted(feats) if feats else feats}; this"
         " reader implements protocol version 1 plus the deletionVectors,"
-        " columnMapping (name-mode), and v2Checkpoint table features"
-        " only (no timestampNtz)."
+        " columnMapping (name and id modes), and v2Checkpoint table"
+        " features only (no timestampNtz)."
     )
 
 
 def _check_metadata(action: dict, path: str) -> None:
     conf = action.get("configuration") or {}
     mode = conf.get("delta.columnMapping.mode", "none")
-    if mode not in ("none", "name"):
+    if mode not in ("none", "name", "id"):
         raise NotImplementedError(
             f"Delta table at {path!r} uses column mapping mode {mode!r};"
-            " modes 'none' and 'name' are supported ('id' needs parquet"
-            " field-id resolution this reader does not implement)."
+            " modes 'none', 'name', and 'id' are supported."
         )
 
 
@@ -273,6 +275,41 @@ def _column_mapping(snap: dict, path: str) -> dict[str, str] | None:
         )
         _refuse_nested(f.get("type"), f["name"])
     return mapping
+
+
+def _mapping_field_ids(snap: dict, path: str) -> dict[str, int] | None:
+    """PHYSICAL column name -> Delta column-mapping field id, when the
+    snapshot uses ID-mode mapping (else ``None``).
+
+    In id mode the spec's source of truth is the parquet field id, not
+    the column name — but every conforming writer also records
+    ``delta.columnMapping.physicalName`` and writes the parquet column
+    UNDER that name with the field id attached.  This reader therefore
+    resolves by physical name (one shared code path with name mode)
+    and VERIFIES per scanned file that the footer's field ids agree
+    (``_read_files``) — a file whose ids disagree with the recorded
+    physical names would be silently mis-read by name and is refused
+    instead.  A field missing ``delta.columnMapping.id`` is refused
+    (the spec requires it in id mode)."""
+    mode = (snap.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode != "id":
+        return None
+    ids: dict[str, int] = {}
+    for f in json.loads(snap["schema_json"])["fields"]:
+        md = f.get("metadata") or {}
+        fid = md.get("delta.columnMapping.id")
+        phys = md.get("delta.columnMapping.physicalName", f["name"])
+        if fid is None:
+            raise NotImplementedError(
+                f"Delta table at {path!r} uses id-mode column mapping"
+                f" but field {f['name']!r} carries no"
+                " delta.columnMapping.id; the spec requires it —"
+                " refusing rather than guessing."
+            )
+        ids[phys] = int(fid)
+    return ids
 
 
 def _log_key(pv: dict, logical: str, mapping: dict[str, str] | None):
@@ -746,6 +783,7 @@ def read_delta_table(
         adds_by_rel,
         files,
         mapping=_column_mapping(snap, path),
+        field_ids=_mapping_field_ids(snap, path),
     )
     return df if pred is None else df.where(pred)
 
@@ -758,6 +796,7 @@ def _read_files(
     adds_by_rel: dict[str, dict],
     files: list[str],
     mapping: dict[str, str] | None = None,
+    field_ids: dict[str, int] | None = None,
 ) -> DataFrame:
     """The snapshot-file read shape shared by ``read_delta_table`` and
     the change feed: ONE parquet scan of ``files`` (non-partition
@@ -803,6 +842,37 @@ def _read_files(
                     " rename/drop this reader cannot resolve — reading"
                     " on would silently null the renamed data."
                 )
+    elif field_ids is not None:
+        # ID-mode verification (r18): the spec's source of truth is the
+        # parquet field id.  Resolution happens by physical name (the
+        # name-mode path), so every scanned file's footer must AGREE:
+        # each physical column present in the file carries the field id
+        # the schema records for that physical name.  Disagreement (or
+        # a file with no field ids at all — id mode requires them) is a
+        # silent-mis-read hazard and refuses.  Files may legally LACK a
+        # column added after they were written (null-padded downstream).
+        import pyarrow.parquet as _pq
+
+        for f in files:
+            arrow = _pq.read_schema(f)
+            ids_in_file: dict[str, int] = {}
+            for af in arrow:
+                md = af.metadata or {}
+                raw = md.get(b"PARQUET:field_id")
+                if raw is not None:
+                    ids_in_file[af.name] = int(raw)
+            for pname, fid in field_ids.items():
+                if pname not in arrow.names:
+                    continue  # column appended after this file: legal
+                got = ids_in_file.get(pname)
+                if got != fid:
+                    raise NotImplementedError(
+                        f"id-mode column mapping: data file {f!r}"
+                        f" records field id {got!r} for physical column"
+                        f" {pname!r} but the schema says {fid};"
+                        " name-based resolution would mis-read this"
+                        " file — refusing."
+                    )
 
     # deletion-vector mask: DV'd files are scanned SEPARATELY from
     # clean ones (each file still read exactly once — the union is of
@@ -951,6 +1021,7 @@ def read_delta_changes(
         # physical names are stable across RENAMEs, so the step's after-
         # snapshot mapping resolves BOTH sides' files correctly
         mapping = _column_mapping(after, path)
+        step_field_ids = _mapping_field_ids(after, path)
         b_uid = {rel: _dv_uid(a) for rel, a in before["live"].items()}
         a_uid = {rel: _dv_uid(a) for rel, a in after["live"].items()}
         removed = sorted(
@@ -972,6 +1043,7 @@ def read_delta_changes(
                 {rel: live[rel] for rel in rels},
                 [os.path.join(path, rel) for rel in rels],
                 mapping=mapping,
+                field_ids=step_field_ids,
             )
 
         if not removed:

@@ -276,8 +276,9 @@ def test_refusals_are_loud(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="storageType"):
         read_delta_table(spark, t2)
 
-    # column mapping: ID mode needs parquet field-id resolution and
-    # is refused (name mode reads — test_column_mapping_* below)
+    # column mapping: ID mode reads since r18, but a schema field
+    # without the spec-required delta.columnMapping.id is refused
+    # (conforming id-mode tests — test_column_mapping_id_* below)
     t3 = str(tmp_path / "r3")
     os.makedirs(t3, exist_ok=True)
     a = _data_file(t3, "f.parquet", {"k": [1]})
@@ -293,7 +294,9 @@ def test_refusals_are_loud(spark, tmp_path):
             a,
         ],
     )
-    with pytest.raises(NotImplementedError, match="column mapping mode"):
+    with pytest.raises(
+        NotImplementedError, match="delta.columnMapping.id"
+    ):
         read_delta_table(spark, t3)
 
     # JSON-rendered v2 checkpoint: an unrecognized checkpoint shape
@@ -1664,3 +1667,124 @@ def test_v2_checkpoint_version_mismatch_and_missing_sidecar(spark, tmp_path):
     )
     with pytest.raises(FileNotFoundError, match="sidecar"):
         read_delta_table(spark, table2)
+
+
+# --- id-mode column mapping (r18) -----------------------------------------
+
+
+def _meta_mapped_id(fields, partition_cols=()):
+    """metaData for an ID-mode column-mapped table: ``fields`` is
+    [(logical, physical, type, field_id), ...]."""
+    schema = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": lg,
+                "type": t,
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.physicalName": ph,
+                    "delta.columnMapping.id": fid,
+                },
+            }
+            for lg, ph, t, fid in fields
+        ],
+    }
+    return {
+        "metaData": {
+            "id": "00000000-0000-0000-0000-000000000000",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": list(partition_cols),
+            "configuration": {
+                "delta.columnMapping.mode": "id",
+                "delta.columnMapping.maxColumnId": str(len(fields)),
+            },
+        }
+    }
+
+
+def _data_file_with_ids(table, rel, cols: dict, ids: dict):
+    """Write a parquet data file whose footer carries parquet field
+    ids (``ids``: column name -> id), returning its add action."""
+    fpath = os.path.join(table, rel)
+    if os.path.dirname(fpath):
+        os.makedirs(os.path.dirname(fpath), exist_ok=True)
+    arrays = {k: pa.array(v) for k, v in cols.items()}
+    schema = pa.schema(
+        [
+            pa.field(
+                name,
+                arrays[name].type,
+                metadata={b"PARQUET:field_id": str(ids[name]).encode()}
+                if name in ids
+                else None,
+            )
+            for name in cols
+        ]
+    )
+    pq.write_table(pa.table(arrays, schema=schema), fpath)
+    return {
+        "add": {
+            "path": rel,
+            "partitionValues": {},
+            "size": os.path.getsize(fpath),
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+    }
+
+
+def test_column_mapping_id_mode_reads_and_rename(spark, tmp_path):
+    """ID-mode mapping: physical-name resolution verified against the
+    files' parquet field ids — a conforming table (ids agree) reads
+    correctly, including across a RENAME commit."""
+    table = str(tmp_path / "idm")
+    os.makedirs(table, exist_ok=True)
+    a = _data_file_with_ids(
+        table,
+        "f1.parquet",
+        {"col-1": [1, 2], "col-2": ["a", "b"]},
+        {"col-1": 1, "col-2": 2},
+    )
+    f0 = [("k", "col-1", "long", 1), ("v", "col-2", "string", 2)]
+    _commit(table, 0, [_PROTOCOL_CM, _meta_mapped_id(f0), a])
+    f1 = [("k", "col-1", "long", 1), ("val", "col-2", "string", 2)]
+    _commit(table, 1, [_meta_mapped_id(f1)])  # RENAME v -> val
+
+    v0 = read_delta_table(spark, table, version=0)
+    assert {(r.k, r.v) for r in v0.collect()} == {(1, "a"), (2, "b")}
+    latest = read_delta_table(spark, table)
+    assert [f.name for f in latest.schema.fields] == ["k", "val"]
+    assert {(r.k, r.val) for r in latest.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_column_mapping_id_mode_mismatched_field_id_refused(
+    spark, tmp_path
+):
+    """A file whose footer field id disagrees with the schema's id for
+    that physical name would be silently mis-read by name — refused."""
+    table = str(tmp_path / "idm")
+    os.makedirs(table, exist_ok=True)
+    a = _data_file_with_ids(
+        table,
+        "f1.parquet",
+        {"col-1": [1], "col-2": ["a"]},
+        {"col-1": 2, "col-2": 1},  # swapped ids
+    )
+    f0 = [("k", "col-1", "long", 1), ("v", "col-2", "string", 2)]
+    _commit(table, 0, [_PROTOCOL_CM, _meta_mapped_id(f0), a])
+    with pytest.raises(NotImplementedError, match="field id"):
+        read_delta_table(spark, table).collect()
+
+
+def test_column_mapping_id_mode_file_without_ids_refused(spark, tmp_path):
+    """An id-mode table whose data file carries NO parquet field ids
+    cannot be verified — refused rather than resolved by name alone."""
+    table = str(tmp_path / "idm")
+    os.makedirs(table, exist_ok=True)
+    a = _data_file(table, "f1.parquet", {"col-1": [1]})
+    f0 = [("k", "col-1", "long", 1)]
+    _commit(table, 0, [_PROTOCOL_CM, _meta_mapped_id(f0), a])
+    with pytest.raises(NotImplementedError, match="field id"):
+        read_delta_table(spark, table).collect()
