@@ -54,12 +54,14 @@ _MODULE_NAMES = [
 # this round the freshness floor moves to r13), then the stalest r13
 # rows with module fillers resolved within them.
 # Round-18 window (fourteenth rotation; built from CORRECTNESS_r01..r17):
-# first driver rows for the eight r18 lakehouse lanes —
+# first driver rows for the ten r18 lakehouse lanes —
 # delta_read_column_mapping + delta_read_column_mapping_id (name- and
 # id-mode mapping, field-id verified), delta_read_v2_checkpoint
 # (uuid checkpoints + sidecars), delta_write_roundtrip and
 # iceberg_write_roundtrip (the WRITERS: spec commits/snapshots + stats,
-# read back through the repo's own readers), iceberg_read_eq_deletes
+# read back through the repo's own readers), delta_dml_cow +
+# iceberg_dml_mor (copy-on-write DELETE/UPDATE and merge-on-read
+# position-delete DELETE over self-written tables), iceberg_read_eq_deletes
 # (equality deletes, sequence-scoped), stream_delta_cdf_tail and
 # stream_iceberg_cdf_tail (streaming change data feeds, both layouts)
 # — then the ENTIRE r13-era freshness tranche (VERDICT r17 next #1 —
@@ -68,10 +70,12 @@ _MODULE_NAMES = [
 _WINDOW_BUILT_FROM = 17  # newest CORRECTNESS artifact consumed
 _PRIORITY = [
     "flagship_threshold_rollup",  # r17 (relational)
+    "delta_dml_cow",  # FIRST driver row (stats)
     "delta_read_column_mapping",  # FIRST driver row (stats)
     "delta_read_column_mapping_id",  # FIRST driver row (stats)
     "delta_read_v2_checkpoint",  # FIRST driver row (stats)
     "delta_write_roundtrip",  # FIRST driver row (stats)
+    "iceberg_dml_mor",  # FIRST driver row (stats)
     "iceberg_read_eq_deletes",  # FIRST driver row (stats)
     "iceberg_write_roundtrip",  # FIRST driver row (stats)
     "stream_delta_cdf_tail",  # FIRST driver row (events)
@@ -115,8 +119,6 @@ _PRIORITY = [
     "geo_container_roundtrip",  # r14 (geo)
     "geo_range_overlap_bands",  # r14 (geo)
     "geo_shapefile_roundtrip",  # r14 (geo)
-    "join_full_outer",  # r14 (relational)
-    "join_semi",  # r14 (relational)
 ]
 
 # Queries whose oracles are pure VALUES restatements of expected OUTPUT

@@ -3111,6 +3111,145 @@ def iceberg_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 ICEBERG_WRITE_ROUNDTRIP_ORACLE = DELTA_WRITE_ROUNDTRIP_ORACLE
 
 
+def delta_dml_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DML over a self-written Delta layout under a
+    driver hash (``sources/delta_dml.py``): the orders fixture is
+    written partitioned by ``o_orderstatus``, then
+
+    - DELETE WHERE ``o_orderkey < 1000`` (touched files rewritten
+      without their matching rows — untouched files never opened);
+    - UPDATE SET ``cents = cents * 2`` WHERE ``o_orderkey < 2000``
+      (survivors in 1000..1999 doubled in place).
+
+    The final snapshot is read back through the foreign-log reader and
+    rolled up; the oracle restates delete-then-update relationally.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.delta_dml import delta_delete_where, delta_update_where
+    from ..sources.delta_log import read_delta_table
+    from ..sources.delta_write import write_delta_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="delta_dml_cow_")
+    table = os.path.join(root, "table")
+    try:
+        write_delta_table(orders, table, partition_by=["o_orderstatus"])
+        delta_delete_where(spark, table, [("o_orderkey", "<", 1000)])
+        delta_update_where(
+            spark,
+            table,
+            [("o_orderkey", "<", 2000)],
+            {"cents": F.col("cents") * 2},
+        )
+        result = (
+            read_delta_table(spark, table)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+DELTA_DML_COW_ORACLE = """
+WITH o AS (
+    SELECT o_orderkey, o_orderstatus,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderkey >= 1000
+)
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CASE WHEN o_orderkey < 2000 THEN cents * 2
+                     ELSE cents END) AS BIGINT) AS sum_cents
+FROM o
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def iceberg_dml_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DML over a self-written Iceberg layout under a
+    driver hash (``iceberg_write.iceberg_delete_where``): the orders
+    fixture is written partitioned by ``o_orderstatus``, a DELETE
+    WHERE ``o_orderkey < 1000`` lands as a v2 POSITION-DELETE file at
+    the new sequence number (no data file rewritten), and a
+    post-delete append re-inserts a known slice — which must ESCAPE
+    the mask by sequence-number scoping.  The final snapshot is read
+    back (delete mask applied by the reader) and rolled up; the
+    oracle restates mask + re-insert relationally.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.iceberg_log import read_iceberg_table
+    from ..sources.iceberg_write import (
+        iceberg_delete_where,
+        write_iceberg_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="iceberg_dml_mor_")
+    table = os.path.join(root, "table")
+    try:
+        write_iceberg_table(
+            orders, table, partition_by=["o_orderstatus"]
+        )
+        iceberg_delete_where(spark, table, [("o_orderkey", "<", 1000)])
+        write_iceberg_table(
+            orders.where(F.col("o_orderkey") < 500),
+            table,
+            partition_by=["o_orderstatus"],
+        )
+        result = (
+            read_iceberg_table(spark, table)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ICEBERG_DML_MOR_ORACLE = """
+WITH o AS (
+    SELECT o_orderkey, o_orderstatus,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+), live AS (
+    SELECT * FROM o WHERE o_orderkey >= 1000
+    UNION ALL
+    SELECT * FROM o WHERE o_orderkey < 500  -- re-insert escapes the mask
+)
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM live
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
     "ab_test_conversion": ab_test_conversion,
     "cdf_row_changes": cdf_row_changes,
@@ -3125,6 +3264,8 @@ QUERIES = {
     "delta_read_changes": delta_read_changes,
     "delta_write_roundtrip": delta_write_roundtrip,
     "iceberg_write_roundtrip": iceberg_write_roundtrip,
+    "delta_dml_cow": delta_dml_cow,
+    "iceberg_dml_mor": iceberg_dml_mor,
     "iceberg_read_changes": iceberg_read_changes_lane,
     "sketch_cms_brand_counts": sketch_cms_brand_counts,
     "agg_entropy_gini": agg_entropy_gini,
@@ -3159,6 +3300,8 @@ ORACLES = {
     "delta_read_changes": DELTA_READ_CHANGES_ORACLE,
     "delta_write_roundtrip": DELTA_WRITE_ROUNDTRIP_ORACLE,
     "iceberg_write_roundtrip": ICEBERG_WRITE_ROUNDTRIP_ORACLE,
+    "delta_dml_cow": DELTA_DML_COW_ORACLE,
+    "iceberg_dml_mor": ICEBERG_DML_MOR_ORACLE,
     "iceberg_read_changes": ICEBERG_READ_CHANGES_ORACLE,
     "agg_entropy_gini": AGG_ENTROPY_GINI_ORACLE,
     "agg_bitmap_distinct": AGG_BITMAP_DISTINCT_ORACLE,

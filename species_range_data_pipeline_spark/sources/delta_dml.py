@@ -1,0 +1,292 @@
+"""Copy-on-write DML for the Delta table LAYOUT — DELETE and UPDATE
+over tables the engine (or any spec writer) produced, composing the
+reader (`delta_log`) and the writer (`delta_write`):
+
+    delta_delete_where(spark, path, [("k", ">", 100)])
+    delta_update_where(spark, path, [("part", "=", "a")],
+                       {"v": F.col("v") * 2})
+
+Both follow the two-phase copy-on-write shape the reference Delta
+implementation uses:
+
+1. **Find** the files that actually hold matching rows: zone-map +
+   partition pruning narrows to candidates without opening anything
+   (``delta_scan_files`` — partition-column terms are EXACT at file
+   granularity, so candidates satisfy them wholesale), then ONE
+   column-pruned scan of the candidates collects the distinct
+   ``_metadata.file_path`` values where the remaining data-column
+   terms hold — files a conservative zone map admitted but that hold
+   no matching row are left untouched (no write amplification from
+   pruning slack).  A predicate with NO data-column terms needs no
+   scan at all: every candidate file matches wholesale, so a DELETE
+   drops the files without rewriting a byte.
+2. **Rewrite** only the touched files: their survivors (DELETE) or
+   their rows with assignments applied to the matches (UPDATE) are
+   staged through the writer's distributed machinery under the same
+   partitioning, and ONE commit tombstones the touched files and adds
+   the replacements — atomic per the protocol, concurrent readers
+   keep seeing the old snapshot until the commit lands.
+
+Deletion vectors on touched files are absorbed: the rewrite reads
+through the DV mask, so the replacement file simply has no DV.
+Boundaries, loud: column-mapped tables are refused (the rewrite would
+write logical column names into a physical-name layout), UPDATE of a
+partition column is refused (it moves rows across files — use an
+overwrite), and an empty filter list is refused (a full-table DELETE
+is an overwrite with nothing, say so explicitly).
+
+Scale shape: phase 1 is a metadata prune plus one column-pruned scan
+of candidate files only; phase 2 rewrites exactly the touched files
+(the classic copy-on-write amplification — a single-row delete in a
+1 GB file rewrites that file; that is this layout's contract, and
+merge-on-read is the Iceberg module's job).  The commit is O(1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .delta_log import (
+    _column_mapping,
+    _filters_to_predicate,
+    _read_files,
+    _replay,
+    _scan_log_dir,
+    delta_scan_files,
+)
+from .delta_write import (
+    _COMMIT_ATTEMPTS,
+    _file_stats,
+    _partition_values_of,
+    _stage_data_files,
+    _table_state,
+    _try_write_commit,
+)
+
+
+def _current_version(path: str) -> int:
+    versions, checkpoints = _scan_log_dir(path)
+    return max([*versions, *checkpoints.keys()], default=0)
+
+
+def _split_terms(filters, pcols: set) -> tuple[list, list]:
+    """(partition-column terms, data-column terms)."""
+    part, data = [], []
+    for t in filters:
+        (part if t[0] in pcols else data).append(t)
+    return part, data
+
+
+def _prepare(spark: SparkSession, path: str, filters):
+    """Shared phase-1: replay, refusals, candidate prune, touched-file
+    resolution.  Returns (snap, schema, pcols, data_pred,
+    touched_rels) — ``data_pred`` is None when every candidate file
+    matches wholesale."""
+    from pyspark.sql.types import StructType
+
+    if not filters:
+        raise ValueError(
+            "DML requires a non-empty filter list; a full-table"
+            " rewrite is an explicit overwrite."
+        )
+    snap = _replay(path)
+    if _column_mapping(snap, path) is not None:
+        raise NotImplementedError(
+            f"DML on column-mapped table {path!r} is not implemented:"
+            " the rewrite would write logical column names into a"
+            " physical-name layout."
+        )
+    schema = StructType.fromJson(json.loads(snap["schema_json"]))
+    pcols = list(snap["partition_cols"])
+    _part_terms, data_terms = _split_terms(filters, set(pcols))
+    candidates = delta_scan_files(path, filters=filters)
+    if not candidates:
+        return snap, schema, pcols, None, []
+    data_pred = _filters_to_predicate(data_terms)
+    if data_pred is None:
+        # no data-column terms: every candidate matches wholesale
+        rels = [os.path.relpath(f, path) for f in candidates]
+        return snap, schema, pcols, None, sorted(rels)
+    from pyspark.sql.types import StructType as _ST
+
+    data_schema = _ST(
+        [f for f in schema.fields if f.name not in pcols]
+    )
+    hits = (
+        spark.read.schema(data_schema)
+        .parquet(*candidates)
+        .where(data_pred)
+        .select(F.col("_metadata.file_path").alias("f"))
+        .distinct()
+        .collect()
+    )
+    import re as _re
+    from urllib.parse import unquote
+
+    rels = []
+    for r in hits:
+        # the scan's file_path is a (sometimes single-slash) file URI
+        # with percent-encoded specials — same normalization as the
+        # readers' delete-mask key
+        p = unquote(_re.sub("^file:(//)?", "", r.f))
+        rels.append(os.path.relpath(p, os.path.abspath(path)))
+    return snap, schema, pcols, data_pred, sorted(rels)
+
+
+def _read_touched(
+    spark: SparkSession, path: str, snap: dict, schema, pcols, touched
+) -> DataFrame:
+    """The touched files' rows under the full schema (partition values
+    restored, DV masks applied) — the rewrite's input."""
+    return _read_files(
+        spark,
+        path,
+        schema,
+        pcols,
+        {rel: snap["live"][rel] for rel in touched},
+        [os.path.join(path, rel) for rel in touched],
+    )
+
+
+def _rewrite_commit(
+    path: str,
+    snap: dict,
+    schema,
+    pcols: list[str],
+    touched: list[str],
+    replacement: DataFrame | None,
+    operation: str,
+) -> int:
+    """Stage ``replacement`` (None = pure file drop) and commit
+    removes(touched) + adds(new files) atomically via the writer's
+    optimistic machinery."""
+    from urllib.parse import quote
+
+    rels = (
+        _stage_data_files(replacement, path, pcols)
+        if replacement is not None
+        else []
+    )
+    data_fields = [f for f in schema.fields if f.name not in pcols]
+    now_ms = int(time.time() * 1000)
+    adds = [
+        {
+            "add": {
+                "path": quote(rel.replace(os.sep, "/"), safe="/="),
+                "partitionValues": _partition_values_of(rel, pcols),
+                "size": os.path.getsize(os.path.join(path, rel)),
+                "modificationTime": now_ms,
+                "dataChange": True,
+                "stats": _file_stats(
+                    os.path.join(path, rel), data_fields
+                ),
+            }
+        }
+        for rel in rels
+    ]
+    removes = [
+        {
+            "remove": {
+                "path": quote(rel, safe="/="),
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+            }
+        }
+        for rel in touched
+    ]
+    commit_info = {
+        "commitInfo": {
+            "timestamp": now_ms,
+            "operation": operation,
+            "operationParameters": {},
+        }
+    }
+    last = None
+    for _ in range(_COMMIT_ATTEMPTS):
+        version, _snap = _table_state(path)
+        try:
+            _try_write_commit(
+                path, version, [commit_info, *removes, *adds]
+            )
+            return version
+        except FileExistsError as e:  # racing writer won this version
+            last = e
+    raise RuntimeError(
+        f"could not commit DML to {path!r} after {_COMMIT_ATTEMPTS}"
+        f" attempts: {last}"
+    )
+
+
+def delta_delete_where(spark: SparkSession, path: str, filters) -> int:
+    """DELETE FROM the Delta-layout table WHERE ``filters`` (the
+    manifest grammar, AND) — copy-on-write: touched files are
+    rewritten without their matching rows; a predicate carrying only
+    partition-column terms drops whole files without rewriting.
+    Returns the committed version (unchanged current version if
+    nothing matched)."""
+    snap, schema, pcols, data_pred, touched = _prepare(
+        spark, path, filters
+    )
+    if not touched:
+        return _current_version(path)
+    if data_pred is None:
+        # whole-file deletes: no rewrite, no read
+        return _rewrite_commit(
+            path, snap, schema, pcols, touched, None, "DELETE"
+        )
+    survivors = _read_touched(
+        spark, path, snap, schema, pcols, touched
+    ).where(~F.coalesce(data_pred, F.lit(False)))
+    return _rewrite_commit(
+        path, snap, schema, pcols, touched, survivors, "DELETE"
+    )
+
+
+def delta_update_where(
+    spark: SparkSession,
+    path: str,
+    filters,
+    assignments: Mapping[str, Column],
+) -> int:
+    """UPDATE the Delta-layout table SET ``assignments`` WHERE
+    ``filters`` — copy-on-write: touched files are rewritten with the
+    assignments applied to their matching rows, other rows carried
+    verbatim.  Returns the committed version."""
+    snap0 = _replay(path)
+    cols = {
+        f["name"] for f in json.loads(snap0["schema_json"])["fields"]
+    }
+    unknown = [c for c in assignments if c not in cols]
+    if unknown:
+        raise ValueError(f"assignment to unknown column(s) {unknown}")
+    moved = [c for c in assignments if c in set(snap0["partition_cols"])]
+    if moved:
+        raise NotImplementedError(
+            f"UPDATE of partition column(s) {moved} moves rows across"
+            " files; rewrite via overwrite instead."
+        )
+    snap, schema, pcols, data_pred, touched = _prepare(
+        spark, path, filters
+    )
+    if not touched:
+        return _current_version(path)
+    df = _read_touched(spark, path, snap, schema, pcols, touched)
+    hit = (
+        F.coalesce(data_pred, F.lit(False))
+        if data_pred is not None
+        else F.lit(True)  # partition-only predicate: whole file hits
+    )
+    for col, expr in assignments.items():
+        df = df.withColumn(col, F.when(hit, expr).otherwise(F.col(col)))
+    # keep the table's column order (withColumn appends nothing new,
+    # but be explicit for the staged write)
+    df = df.select(*[f.name for f in schema.fields])
+    return _rewrite_commit(
+        path, snap, schema, pcols, touched, df, "UPDATE"
+    )

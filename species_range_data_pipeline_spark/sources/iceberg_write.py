@@ -702,3 +702,215 @@ def write_iceberg_table(
         f"could not commit to {path!r} after {_COMMIT_ATTEMPTS}"
         f" optimistic attempts (concurrent writers?): {last_err}"
     )
+
+
+def iceberg_delete_where(spark, path: str, filters) -> int:
+    """MERGE-ON-READ DELETE for the Iceberg layout: rows matching
+    ``filters`` (the manifest grammar, AND) are masked by a NEW v2
+    POSITION-DELETE file — no data file is rewritten (the
+    copy-on-write counterpart is the Delta module's job).  Returns the
+    new snapshot id (or the current one if nothing matched).
+
+    Shape per the spec: one scan of the PRUNED candidate files (data
+    files are complete, so the full predicate — partition terms
+    included — applies in-file) collects matching
+    ``(_metadata.file_path, row_index)`` pairs; they are written as a
+    sorted ``(file_path, pos)`` parquet delete file, registered under
+    a ``content=1`` delete manifest appended to the carried manifest
+    list, at the NEW sequence number — so it scopes over every
+    existing data file (strictly-smaller rule) and a later compaction
+    or append correctly escapes it.  The repo's own reader, change
+    feed, and streaming CDF all consume the result; cost is the
+    matching rows, never the table.
+    """
+    from pyspark.sql import functions as F
+
+    from .iceberg_log import (
+        _filters_to_predicate,
+        _struct_type,
+        iceberg_scan_files,
+    )
+
+    if not filters:
+        raise ValueError(
+            "DELETE requires a non-empty filter list; dropping every"
+            " row is an explicit overwrite."
+        )
+    _next, meta = _table_meta(path)
+    if meta is None:
+        raise FileNotFoundError(f"no Iceberg table at {path!r}")
+    cur_schema = _current_schema(meta, path)
+    candidates = iceberg_scan_files(path, filters=filters)
+    snaps = list(meta.get("snapshots") or [])
+    cur_id = meta.get("current-snapshot-id")
+    if not candidates:
+        return cur_id
+    pred = _filters_to_predicate(filters)
+    # the scan's file URI -> the plain absolute path the read-side
+    # mask compares against (scheme strip + percent decode; '+' is
+    # pre-escaped because url_decode speaks form-encoding)
+    plain = F.url_decode(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:(//)?", ""
+            ),
+            r"\+",
+            "%2B",
+        )
+    )
+    dels = (
+        spark.read.schema(_struct_type(cur_schema))
+        .parquet(*candidates)
+        .where(pred)
+        .select(
+            plain.alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+    )
+    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex[:12]}")
+    (
+        dels.coalesce(1)
+        .sortWithinPartitions("file_path", "pos")
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    import pyarrow.parquet as pq
+
+    del_rel = None
+    n_rows = 0
+    try:
+        for name in os.listdir(staging):
+            if name.startswith("part-") and name.endswith(".parquet"):
+                src = os.path.join(staging, name)
+                n_rows = pq.read_metadata(src).num_rows
+                if n_rows == 0:
+                    break
+                del_rel = os.path.join(
+                    "data", f"delete-{uuid.uuid4().hex}.parquet"
+                )
+                os.makedirs(
+                    os.path.join(path, "data"), exist_ok=True
+                )
+                os.replace(src, os.path.join(path, del_rel))
+                break
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    if del_rel is None:
+        return cur_id  # zone maps admitted candidates, none matched
+
+    specs = {s["spec-id"]: s for s in meta.get("partition-specs", [])}
+    spec = specs.get(meta.get("default-spec-id", 0), {"fields": []})
+    by_id = {f["id"]: f for f in cur_schema["fields"]}
+    pcols = [
+        (f["name"], by_id[f["source-id"]]["type"])
+        for f in spec.get("fields", [])
+        if f.get("transform") == "identity" and f["source-id"] in by_id
+    ]
+    del_abs = os.path.join(path, del_rel)
+    snapshot_id = int(time.time() * 1000) * 1000 + (
+        uuid.uuid4().int % 1000
+    )
+    manifest = os.path.join(path, "metadata", f"m-{uuid.uuid4().hex}.avro")
+    write_avro(
+        [
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,
+                "data_file": {
+                    "content": 1,  # POSITION DELETES
+                    "file_path": del_rel.replace(os.sep, "/"),
+                    "file_format": "PARQUET",
+                    "partition": {c: None for c, _t in pcols},
+                    "record_count": n_rows,
+                    "file_size_in_bytes": os.path.getsize(del_abs),
+                    "value_counts": None,
+                    "null_value_counts": None,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                },
+            }
+        ],
+        _manifest_avro_schema(pcols),
+        manifest,
+    )
+
+    last_err: Exception | None = None
+    for _ in range(_COMMIT_ATTEMPTS):
+        version, meta = _table_meta(path)
+        prev_snaps = list((meta or {}).get("snapshots") or [])
+        seq = int((meta or {}).get("last-sequence-number") or 0) + 1
+        cur_id2 = (meta or {}).get("current-snapshot-id")
+        (cur_snap,) = [
+            s for s in prev_snaps if s["snapshot-id"] == cur_id2
+        ] or [prev_snaps[-1]]
+        mlist_path = cur_snap["manifest-list"]
+        mlist_abs = (
+            mlist_path
+            if os.path.isabs(mlist_path)
+            else os.path.join(path, mlist_path)
+        )
+        with open(mlist_abs, "rb") as fh:
+            _, carried = parse_avro(fh.read())
+        mlist = os.path.join(
+            path, "metadata", f"snap-{snapshot_id}-{version}.avro"
+        )
+        write_avro(
+            [
+                *[
+                    {
+                        "manifest_path": c["manifest_path"],
+                        "manifest_length": c["manifest_length"],
+                        "partition_spec_id": c.get("partition_spec_id", 0),
+                        "content": c.get("content", 0),
+                        "sequence_number": c.get("sequence_number"),
+                        "added_snapshot_id": c.get(
+                            "added_snapshot_id", snapshot_id
+                        ),
+                    }
+                    for c in carried
+                ],
+                {
+                    "manifest_path": manifest,
+                    "manifest_length": os.path.getsize(manifest),
+                    "partition_spec_id": 0,
+                    "content": 1,  # delete manifest
+                    "sequence_number": seq,
+                    "added_snapshot_id": snapshot_id,
+                },
+            ],
+            _MANIFEST_LIST_AVRO,
+            mlist,
+        )
+        snapshot = {
+            "snapshot-id": snapshot_id,
+            "parent-snapshot-id": prev_snaps[-1]["snapshot-id"],
+            "timestamp-ms": int(time.time() * 1000),
+            "sequence-number": seq,
+            "manifest-list": mlist,
+            "summary": {"operation": "delete"},
+        }
+        new_meta = dict(meta)
+        new_meta["last-sequence-number"] = seq
+        new_meta["snapshots"] = prev_snaps + [snapshot]
+        new_meta["current-snapshot-id"] = snapshot_id
+        mpath = os.path.join(path, "metadata", f"v{version}.metadata.json")
+        try:
+            fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            last_err = e
+            os.unlink(mlist)
+            continue
+        with os.fdopen(fd, "w") as fh:
+            json.dump(new_meta, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        with open(
+            os.path.join(path, "metadata", "version-hint.text"), "w"
+        ) as fh:
+            fh.write(str(version))
+        return snapshot_id
+    raise RuntimeError(
+        f"could not commit DELETE to {path!r} after {_COMMIT_ATTEMPTS}"
+        f" optimistic attempts (concurrent writers?): {last_err}"
+    )

@@ -1,0 +1,197 @@
+"""DML over the open lakehouse layouts: copy-on-write DELETE/UPDATE
+for Delta (`sources/delta_dml.py`) and merge-on-read DELETE for
+Iceberg (`iceberg_write.iceberg_delete_where`) — touched-file
+minimality, whole-file drops, DV absorption, partition-column
+refusals, and change-feed visibility of the DML commits.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from species_range_data_pipeline_spark.sources.delta_dml import (
+    delta_delete_where,
+    delta_update_where,
+)
+from species_range_data_pipeline_spark.sources.delta_log import (
+    read_delta_changes,
+    read_delta_table,
+)
+from species_range_data_pipeline_spark.sources.delta_write import (
+    write_delta_table,
+)
+from species_range_data_pipeline_spark.sources.iceberg_log import (
+    iceberg_read_changes,
+    read_iceberg_table,
+)
+from species_range_data_pipeline_spark.sources.iceberg_write import (
+    iceberg_delete_where,
+    write_iceberg_table,
+)
+
+
+def _seed_delta(spark, tmp_path, name="t"):
+    tbl = str(tmp_path / name)
+    rows = [(k, "lo" if k < 50 else "hi", float(k)) for k in range(100)]
+    write_delta_table(
+        spark.createDataFrame(rows, "k long, part string, v double"),
+        tbl,
+        partition_by=["part"],
+    )
+    return tbl
+
+
+def test_delta_delete_rewrites_only_touched_files(spark, tmp_path):
+    tbl = _seed_delta(spark, tmp_path)
+    before = {
+        rel: None
+        for rel in os.listdir(os.path.join(tbl, "part=hi"))
+    }
+    v = delta_delete_where(spark, tbl, [("k", "=", 7)])
+    assert v == 1
+    got = sorted(r.k for r in read_delta_table(spark, tbl).collect())
+    assert got == [k for k in range(100) if k != 7]
+    # the hi partition's files were never touched
+    assert {
+        rel for rel in os.listdir(os.path.join(tbl, "part=hi"))
+    } == set(before)
+
+
+def test_delta_delete_partition_only_drops_whole_files(spark, tmp_path):
+    """A predicate with only partition-column terms removes files
+    without rewriting a byte: the commit has removes and NO adds."""
+    tbl = _seed_delta(spark, tmp_path)
+    v = delta_delete_where(spark, tbl, [("part", "=", "lo")])
+    with open(os.path.join(tbl, "_delta_log", f"{v:020d}.json")) as fh:
+        actions = [json.loads(line) for line in fh if line.strip()]
+    kinds = [next(iter(a)) for a in actions]
+    assert "remove" in kinds and "add" not in kinds
+    got = sorted(r.k for r in read_delta_table(spark, tbl).collect())
+    assert got == list(range(50, 100))
+
+
+def test_delta_update_where(spark, tmp_path):
+    tbl = _seed_delta(spark, tmp_path)
+    delta_update_where(
+        spark, tbl, [("k", "<", 3)], {"v": F.col("v") + 1000.0}
+    )
+    got = {r.k: r.v for r in read_delta_table(spark, tbl).collect()}
+    assert got[0] == 1000.0 and got[2] == 1002.0 and got[3] == 3.0
+    # time travel still shows the pre-update rows
+    old = {
+        r.k: r.v
+        for r in read_delta_table(spark, tbl, version=0).collect()
+    }
+    assert old[0] == 0.0
+
+
+def test_delta_dml_refusals(spark, tmp_path):
+    tbl = _seed_delta(spark, tmp_path)
+    with pytest.raises(ValueError, match="non-empty"):
+        delta_delete_where(spark, tbl, [])
+    with pytest.raises(NotImplementedError, match="partition column"):
+        delta_update_where(
+            spark, tbl, [("k", "=", 1)], {"part": F.lit("zz")}
+        )
+    with pytest.raises(ValueError, match="unknown column"):
+        delta_update_where(
+            spark, tbl, [("k", "=", 1)], {"nope": F.lit(1)}
+        )
+
+
+def test_delta_delete_feeds_change_feed(spark, tmp_path):
+    tbl = _seed_delta(spark, tmp_path)
+    delta_delete_where(spark, tbl, [("k", "=", 7)])
+    changes = [
+        (r.k, r._change_type)
+        for r in read_delta_changes(spark, tbl, 0).collect()
+        if r._commit_version == 1
+    ]
+    assert changes == [(7, "delete")]
+
+
+def test_delta_delete_no_match_is_noop(spark, tmp_path):
+    tbl = _seed_delta(spark, tmp_path)
+    v = delta_delete_where(spark, tbl, [("k", "=", 10_000)])
+    assert v == 0  # unchanged current version, no new commit
+    assert read_delta_table(spark, tbl).count() == 100
+
+
+def test_iceberg_mor_delete_masks_without_rewrite(spark, tmp_path):
+    tbl = str(tmp_path / "ice")
+    rows = [(k, "lo" if k < 50 else "hi", float(k)) for k in range(100)]
+    write_iceberg_table(
+        spark.createDataFrame(rows, "k long, part string, v double"),
+        tbl,
+        partition_by=["part"],
+    )
+    data_before = {
+        os.path.join(dp, n): os.path.getmtime(os.path.join(dp, n))
+        for dp, _d, ns in os.walk(os.path.join(tbl, "data"))
+        for n in ns
+        if "delete-" not in n
+    }
+    sid = iceberg_delete_where(spark, tbl, [("k", "<", 3)])
+    got = sorted(r.k for r in read_iceberg_table(spark, tbl).collect())
+    assert got == list(range(3, 100))
+    # no data file rewritten — only a delete file appeared
+    data_after = {
+        os.path.join(dp, n): os.path.getmtime(os.path.join(dp, n))
+        for dp, _d, ns in os.walk(os.path.join(tbl, "data"))
+        for n in ns
+        if "delete-" not in n
+    }
+    assert data_after == data_before
+    # the change feed reads the masked rows as deletes
+    snaps = [
+        s
+        for s in __import__(
+            "species_range_data_pipeline_spark.sources.iceberg_log",
+            fromlist=["iceberg_snapshots"],
+        ).iceberg_snapshots(tbl)
+    ]
+    first = snaps[0]["snapshot-id"]
+    changes = sorted(
+        (r.k, r._change_type)
+        for r in iceberg_read_changes(spark, tbl, first).collect()
+        if r._snapshot_id == sid
+    )
+    assert changes == [(0, "delete"), (1, "delete"), (2, "delete")]
+
+
+def test_iceberg_mor_delete_then_append_escapes_mask(spark, tmp_path):
+    """Sequence-number scoping: a row re-inserted AFTER the delete
+    keeps its value (the delete applies only to strictly smaller data
+    sequence numbers)."""
+    tbl = str(tmp_path / "ice")
+    write_iceberg_table(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)], "k long, part string, v double"
+        ),
+        tbl,
+    )
+    iceberg_delete_where(spark, tbl, [("k", "=", 1)])
+    write_iceberg_table(
+        spark.createDataFrame(
+            [(1, "a2", 10.0)], "k long, part string, v double"
+        ),
+        tbl,
+    )
+    got = sorted(
+        (r.k, r.part) for r in read_iceberg_table(spark, tbl).collect()
+    )
+    assert got == [(1, "a2"), (2, "b")]
+
+
+def test_iceberg_mor_delete_no_match_is_noop(spark, tmp_path):
+    tbl = str(tmp_path / "ice")
+    s1 = write_iceberg_table(
+        spark.createDataFrame([(1, "a", 1.0)], "k long, part string, v double"),
+        tbl,
+    )
+    assert iceberg_delete_where(spark, tbl, [("k", "=", 99)]) == s1
+    assert read_iceberg_table(spark, tbl).count() == 1
