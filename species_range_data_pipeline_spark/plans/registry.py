@@ -54,14 +54,16 @@ _MODULE_NAMES = [
 # this round the freshness floor moves to r13), then the stalest r13
 # rows with module fillers resolved within them.
 # Round-18 window (fourteenth rotation; built from CORRECTNESS_r01..r17):
-# first driver rows for the ten r18 lakehouse lanes —
+# first driver rows for the eleven r18 lakehouse lanes —
 # delta_read_column_mapping + delta_read_column_mapping_id (name- and
 # id-mode mapping, field-id verified), delta_read_v2_checkpoint
 # (uuid checkpoints + sidecars), delta_write_roundtrip and
 # iceberg_write_roundtrip (the WRITERS: spec commits/snapshots + stats,
 # read back through the repo's own readers), delta_dml_cow +
 # iceberg_dml_mor (copy-on-write DELETE/UPDATE and merge-on-read
-# position-delete DELETE over self-written tables), iceberg_read_eq_deletes
+# position-delete DELETE over self-written tables),
+# lakehouse_compaction (Delta OPTIMIZE + Iceberg compaction, masks
+# materialized, zero logical change), iceberg_read_eq_deletes
 # (equality deletes, sequence-scoped), stream_delta_cdf_tail and
 # stream_iceberg_cdf_tail (streaming change data feeds, both layouts)
 # — then the ENTIRE r13-era freshness tranche (VERDICT r17 next #1 —
@@ -78,6 +80,7 @@ _PRIORITY = [
     "iceberg_dml_mor",  # FIRST driver row (stats)
     "iceberg_read_eq_deletes",  # FIRST driver row (stats)
     "iceberg_write_roundtrip",  # FIRST driver row (stats)
+    "lakehouse_compaction",  # FIRST driver row (stats)
     "stream_delta_cdf_tail",  # FIRST driver row (events)
     "stream_iceberg_cdf_tail",  # FIRST driver row (events)
     "cosine_topk",  # r13 (vectors)
@@ -118,7 +121,6 @@ _PRIORITY = [
     "filename_parse",  # r14 (scalar)
     "geo_container_roundtrip",  # r14 (geo)
     "geo_range_overlap_bands",  # r14 (geo)
-    "geo_shapefile_roundtrip",  # r14 (geo)
 ]
 
 # Queries whose oracles are pure VALUES restatements of expected OUTPUT

@@ -3250,6 +3250,102 @@ ORDER BY o_orderstatus
 """
 
 
+def lakehouse_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance ops over self-written lakehouse tables under ONE
+    driver hash — Delta OPTIMIZE (``delta_dml.delta_optimize``:
+    bin-packing rewrite under dataChange=false, deletion vectors
+    materialized) and Iceberg compaction
+    (``iceberg_write.iceberg_compact``: merge-on-read masks folded
+    away, fresh manifest list, history kept).  Each layout:
+
+    - write the orders slice partitioned by ``o_orderstatus`` in MANY
+      small files (repartition(8) before the write);
+    - Delta: DELETE one key then OPTIMIZE; Iceberg: MoR-DELETE one
+      key range then COMPACT;
+    - read back and roll up with a ``layout`` tag.
+
+    Compaction must change NOTHING logically — the oracle is the same
+    relational rollup for both layouts (post-delete), so any row the
+    maintenance op loses or resurrects breaks the hash.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.delta_dml import delta_delete_where, delta_optimize
+    from ..sources.delta_log import read_delta_table
+    from ..sources.delta_write import write_delta_table
+    from ..sources.iceberg_log import read_iceberg_table
+    from ..sources.iceberg_write import (
+        iceberg_compact,
+        iceberg_delete_where,
+        write_iceberg_table,
+    )
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .repartition(8)
+    )
+    root = tempfile.mkdtemp(prefix="lakehouse_compaction_")
+    try:
+        dtbl = os.path.join(root, "delta")
+        write_delta_table(orders, dtbl, partition_by=["o_orderstatus"])
+        delta_delete_where(spark, dtbl, [("o_orderkey", "<", 1000)])
+        delta_optimize(spark, dtbl)
+        d = (
+            read_delta_table(spark, dtbl)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .select(F.lit("delta").alias("layout"), "*")
+        )
+
+        itbl = os.path.join(root, "iceberg")
+        write_iceberg_table(
+            orders, itbl, partition_by=["o_orderstatus"]
+        )
+        iceberg_delete_where(spark, itbl, [("o_orderkey", "<", 1000)])
+        iceberg_compact(spark, itbl)
+        i = (
+            read_iceberg_table(spark, itbl)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .select(F.lit("iceberg").alias("layout"), "*")
+        )
+        result = d.unionByName(i).orderBy("layout", "o_orderstatus")
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+LAKEHOUSE_COMPACTION_ORACLE = """
+WITH o AS (
+    SELECT o_orderstatus,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderkey >= 1000
+), roll AS (
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM o GROUP BY o_orderstatus
+)
+SELECT l.layout, r.o_orderstatus, r.n_orders, r.sum_cents
+FROM roll r CROSS JOIN (VALUES ('delta'), ('iceberg')) AS l(layout)
+ORDER BY l.layout, r.o_orderstatus
+"""
+
+
 QUERIES = {
     "ab_test_conversion": ab_test_conversion,
     "cdf_row_changes": cdf_row_changes,
@@ -3266,6 +3362,7 @@ QUERIES = {
     "iceberg_write_roundtrip": iceberg_write_roundtrip,
     "delta_dml_cow": delta_dml_cow,
     "iceberg_dml_mor": iceberg_dml_mor,
+    "lakehouse_compaction": lakehouse_compaction,
     "iceberg_read_changes": iceberg_read_changes_lane,
     "sketch_cms_brand_counts": sketch_cms_brand_counts,
     "agg_entropy_gini": agg_entropy_gini,
@@ -3302,6 +3399,7 @@ ORACLES = {
     "iceberg_write_roundtrip": ICEBERG_WRITE_ROUNDTRIP_ORACLE,
     "delta_dml_cow": DELTA_DML_COW_ORACLE,
     "iceberg_dml_mor": ICEBERG_DML_MOR_ORACLE,
+    "lakehouse_compaction": LAKEHOUSE_COMPACTION_ORACLE,
     "iceberg_read_changes": ICEBERG_READ_CHANGES_ORACLE,
     "agg_entropy_gini": AGG_ENTROPY_GINI_ORACLE,
     "agg_bitmap_distinct": AGG_BITMAP_DISTINCT_ORACLE,

@@ -154,6 +154,24 @@ def _read_touched(
     )
 
 
+def _remove_action(
+    live_add: dict, rel: str, now_ms: int, data_change: bool
+) -> dict:
+    """A remove action that tombstones the live (path, DV uid) pair —
+    carrying the live add's deletionVector descriptor when present."""
+    from urllib.parse import quote
+
+    rm = {
+        "path": quote(rel, safe="/="),
+        "deletionTimestamp": now_ms,
+        "dataChange": data_change,
+    }
+    dv = (live_add or {}).get("deletionVector")
+    if dv and dv.get("storageType"):
+        rm["deletionVector"] = dv
+    return rm
+
+
 def _rewrite_commit(
     path: str,
     snap: dict,
@@ -190,14 +208,11 @@ def _rewrite_commit(
         }
         for rel in rels
     ]
+    # the replay keys file actions by (path, DV uid) per the spec, so
+    # a remove of a DV'd file must carry the SAME descriptor — a bare
+    # remove would leave the (path, DV) pair live and resurrect rows
     removes = [
-        {
-            "remove": {
-                "path": quote(rel, safe="/="),
-                "deletionTimestamp": now_ms,
-                "dataChange": True,
-            }
-        }
+        {"remove": _remove_action(snap["live"][rel], rel, now_ms, True)}
         for rel in touched
     ]
     commit_info = {
@@ -289,4 +304,127 @@ def delta_update_where(
     df = df.select(*[f.name for f in schema.fields])
     return _rewrite_commit(
         path, snap, schema, pcols, touched, df, "UPDATE"
+    )
+
+
+def delta_optimize(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 2**20,
+    partition_filters=None,
+) -> int:
+    """OPTIMIZE (bin-packing compaction) for the Delta layout: within
+    each partition, groups of small live files are rewritten into
+    fewer files approaching ``target_file_bytes``; deletion vectors on
+    compacted files are MATERIALIZED (the rewrite reads through the
+    mask, the replacement carries no DV).  The commit's removes and
+    adds are all ``dataChange=false`` — a physical reorganization with
+    no logical change, which the streaming CDF tail skips from the
+    commit JSON alone and the batch feed nets to zero.
+
+    ``partition_filters`` (the manifest grammar over partition columns
+    only) scopes the compaction; returns the committed version, or the
+    current one when nothing qualifies.
+
+    Scale shape: candidate selection is log-sized; the rewrite reads
+    and writes only the compacted groups' bytes.  At a million small
+    files the win is the whole point — scan tasks drop with the file
+    count, and the zone maps of the merged files stay footer-derived.
+    """
+    from urllib.parse import quote
+
+    from pyspark.sql.types import StructType
+
+    snap = _replay(path)
+    if _column_mapping(snap, path) is not None:
+        raise NotImplementedError(
+            f"OPTIMIZE on column-mapped table {path!r} is not"
+            " implemented: the rewrite would write logical column"
+            " names into a physical-name layout."
+        )
+    schema = StructType.fromJson(json.loads(snap["schema_json"]))
+    pcols = list(snap["partition_cols"])
+    if partition_filters:
+        bad = [t[0] for t in partition_filters if t[0] not in pcols]
+        if bad:
+            raise ValueError(
+                f"OPTIMIZE scope filter on non-partition column(s)"
+                f" {bad}; row-level predicates do not scope a"
+                " compaction."
+            )
+        scoped = set(
+            os.path.relpath(f, path)
+            for f in delta_scan_files(path, filters=partition_filters)
+        )
+    else:
+        scoped = set(snap["live"])
+
+    # group small live files by their partition tuple
+    groups: dict[tuple, list[str]] = {}
+    for rel in sorted(scoped):
+        add = snap["live"][rel]
+        if (add.get("size") or 0) >= target_file_bytes:
+            continue
+        pv = add.get("partitionValues") or {}
+        key = tuple(pv.get(c) for c in pcols)
+        groups.setdefault(key, []).append(rel)
+    touched = sorted(
+        rel
+        for rels in groups.values()
+        if len(rels) > 1
+        for rel in rels
+    )
+    if not touched:
+        return _current_version(path)
+
+    compacted = _read_touched(spark, path, snap, schema, pcols, touched)
+    # one output file per partition group (bins under target size)
+    n_groups = sum(1 for rels in groups.values() if len(rels) > 1)
+    if pcols:
+        compacted = compacted.repartition(n_groups, *pcols)
+    else:
+        compacted = compacted.coalesce(1)
+
+    rels = _stage_data_files(compacted, path, pcols)
+    data_fields = [f for f in schema.fields if f.name not in pcols]
+    now_ms = int(time.time() * 1000)
+    adds = [
+        {
+            "add": {
+                "path": quote(rel.replace(os.sep, "/"), safe="/="),
+                "partitionValues": _partition_values_of(rel, pcols),
+                "size": os.path.getsize(os.path.join(path, rel)),
+                "modificationTime": now_ms,
+                "dataChange": False,
+                "stats": _file_stats(
+                    os.path.join(path, rel), data_fields
+                ),
+            }
+        }
+        for rel in rels
+    ]
+    removes = [
+        {"remove": _remove_action(snap["live"][rel], rel, now_ms, False)}
+        for rel in touched
+    ]
+    commit_info = {
+        "commitInfo": {
+            "timestamp": now_ms,
+            "operation": "OPTIMIZE",
+            "operationParameters": {},
+        }
+    }
+    last = None
+    for _ in range(_COMMIT_ATTEMPTS):
+        version, _snap = _table_state(path)
+        try:
+            _try_write_commit(
+                path, version, [commit_info, *removes, *adds]
+            )
+            return version
+        except FileExistsError as e:
+            last = e
+    raise RuntimeError(
+        f"could not commit OPTIMIZE to {path!r} after"
+        f" {_COMMIT_ATTEMPTS} attempts: {last}"
     )

@@ -362,16 +362,20 @@ def write_delta_table(
                 *adds,
             ]
         elif mode == "overwrite":
-            removes = [
-                {
-                    "remove": {
-                        "path": quote(rel, safe="/="),
-                        "deletionTimestamp": now_ms,
-                        "dataChange": True,
-                    }
+            # the replay keys file actions by (path, DV uid): a remove
+            # of a DV'd file must carry the same descriptor, else the
+            # pair stays live and its rows resurrect
+            removes = []
+            for rel in sorted(snap["live"]):
+                rm = {
+                    "path": quote(rel, safe="/="),
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
                 }
-                for rel in sorted(snap["live"])
-            ]
+                dv = snap["live"][rel].get("deletionVector")
+                if dv and dv.get("storageType"):
+                    rm["deletionVector"] = dv
+                removes.append({"remove": rm})
             actions = [commit_info, meta_action, *removes, *adds]
         else:
             actions = [commit_info, *adds]

@@ -914,3 +914,46 @@ def iceberg_delete_where(spark, path: str, filters) -> int:
         f"could not commit DELETE to {path!r} after {_COMMIT_ATTEMPTS}"
         f" optimistic attempts (concurrent writers?): {last_err}"
     )
+
+
+def iceberg_compact(spark, path: str) -> int:
+    """Compaction (``rewrite_data_files``) for the Iceberg layout:
+    the CURRENT snapshot — position- and equality-delete masks applied
+    — is rewritten into one data file per identity partition and
+    committed as an overwrite snapshot whose manifest list carries NO
+    delete manifests: accumulated merge-on-read masks are materialized
+    and fold away, exactly the "compaction folds deletes away"
+    contract the read-side sweeps assume (SCALE.md rules 62/65).
+
+    History is kept (the schema is unchanged by construction), so
+    time travel still reaches the pre-compaction snapshots, and the
+    change feed's live-set diff across the compaction step nets to
+    ZERO rows (carried rows cancel; the masked rows were already
+    logically absent).  The new files land at the NEW sequence
+    number, so they correctly escape any older equality deletes.
+
+    Scale shape: reads and rewrites the live table once — a
+    maintenance op priced like a full scan plus a full write; run it
+    partition-scoped via the writer's machinery when that matters.
+    Returns the new snapshot id.
+    """
+    from .iceberg_log import read_iceberg_table
+
+    _next, meta = _table_meta(path)
+    if meta is None:
+        raise FileNotFoundError(f"no Iceberg table at {path!r}")
+    cur = _current_schema(meta, path)
+    specs = {s["spec-id"]: s for s in meta.get("partition-specs", [])}
+    spec = specs.get(meta.get("default-spec-id", 0), {"fields": []})
+    by_id = {f["id"]: f for f in cur["fields"]}
+    pcols = [
+        by_id[f["source-id"]]["name"]
+        for f in spec.get("fields", [])
+        if f.get("transform") == "identity" and f["source-id"] in by_id
+    ]
+    df = read_iceberg_table(spark, path)
+    df = df.repartition(max(1, len(pcols) or 1), *pcols) if pcols \
+        else df.coalesce(1)
+    return write_iceberg_table(
+        df, path, mode="overwrite", partition_by=pcols
+    )

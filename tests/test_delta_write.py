@@ -228,3 +228,35 @@ def test_empty_string_partition_value_refused(spark, tmp_path):
                 str(tmp_path / f"t{len(bad)}"),
                 partition_by=["part"],
             )
+
+
+def test_overwrite_tombstones_dv_files(spark, tmp_path):
+    """Overwriting a table whose live file carries a deletion vector
+    must tombstone the (path, DV uid) pair — a bare remove would leave
+    the DV'd file live and resurrect its rows."""
+    from species_range_data_pipeline_spark.sources.dv import (
+        make_inline_descriptor,
+    )
+
+    tbl = str(tmp_path / "t")
+    write_delta_table(
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]).coalesce(1), tbl
+    )
+    import pyarrow.parquet as pq
+
+    from species_range_data_pipeline_spark.sources.delta_log import _replay
+
+    snap = _replay(tbl)
+    (rel0,) = list(snap["live"])
+    add0 = dict(snap["live"][rel0])
+    add0["deletionVector"] = make_inline_descriptor([0])
+    add0["dataChange"] = True
+    with open(os.path.join(tbl, "_delta_log", f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"add": add0}) + "\n")
+        fh.write(
+            json.dumps({"remove": {"path": rel0, "dataChange": True}})
+            + "\n"
+        )
+    assert sorted(r.k for r in read_delta_table(spark, tbl).collect()) == [2]
+    write_delta_table(_df(spark, [(9, "z", 9.0)]), tbl, mode="overwrite")
+    assert sorted(r.k for r in read_delta_table(spark, tbl).collect()) == [9]

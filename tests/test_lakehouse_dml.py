@@ -195,3 +195,168 @@ def test_iceberg_mor_delete_no_match_is_noop(spark, tmp_path):
     )
     assert iceberg_delete_where(spark, tbl, [("k", "=", 99)]) == s1
     assert read_iceberg_table(spark, tbl).count() == 1
+
+
+def test_delta_optimize_compacts_without_logical_change(spark, tmp_path):
+    """OPTIMIZE merges small files per partition under dataChange=false
+    actions; rows are unchanged, the file count drops, and a DV'd
+    file's mask is materialized away."""
+    from species_range_data_pipeline_spark.sources.delta_dml import (
+        delta_optimize,
+    )
+
+    tbl = str(tmp_path / "t")
+    rows = [(k, "lo" if k < 50 else "hi", float(k)) for k in range(100)]
+    df = spark.createDataFrame(
+        rows, "k long, part string, v double"
+    ).repartition(10)
+    write_delta_table(df, tbl, partition_by=["part"])
+
+    def _files():
+        return {
+            os.path.join(dp, n)
+            for dp, _d, ns in os.walk(tbl)
+            for n in ns
+            if n.endswith(".parquet") and "_delta_log" not in dp
+        }
+
+    n_before = len(_files())
+    assert n_before > 2
+    v = delta_optimize(spark, tbl)
+    with open(os.path.join(tbl, "_delta_log", f"{v:020d}.json")) as fh:
+        actions = [json.loads(line) for line in fh if line.strip()]
+    for a in actions:
+        if "add" in a:
+            assert a["add"]["dataChange"] is False
+        if "remove" in a:
+            assert a["remove"]["dataChange"] is False
+    live = {
+        os.path.relpath(f, tbl)
+        for f in __import__(
+            "species_range_data_pipeline_spark.sources.delta_log",
+            fromlist=["delta_scan_files"],
+        ).delta_scan_files(tbl)
+    }
+    assert len(live) == 2  # one compacted file per partition
+    got = sorted(r.k for r in read_delta_table(spark, tbl).collect())
+    assert got == list(range(100))
+    # the streaming CDF tail skips the compaction commit entirely
+    from species_range_data_pipeline_spark.sources.delta_cdf_stream import (
+        DeltaCdfTailStreamReader,
+        _cdf_schema,
+    )
+
+    reader = DeltaCdfTailStreamReader(
+        {"path": tbl},
+        _cdf_schema(read_delta_table(spark, tbl).schema),
+    )
+    parts = reader.partitions({"version": 0}, {"version": v})
+    assert parts == []
+
+
+def test_delta_optimize_materializes_deletion_vectors(spark, tmp_path):
+    """A DV'd small file entering a compaction group comes out as a
+    clean file with the masked rows gone for good."""
+    from species_range_data_pipeline_spark.sources.delta_dml import (
+        delta_optimize,
+    )
+    from species_range_data_pipeline_spark.sources.dv import (
+        make_inline_descriptor,
+    )
+
+    tbl = str(tmp_path / "t")
+    write_delta_table(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "a", 2.0)], "k long, part string, v double"
+        ).coalesce(1),
+        tbl,
+    )
+    write_delta_table(
+        spark.createDataFrame(
+            [(3, "b", 3.0)], "k long, part string, v double"
+        ).coalesce(1),
+        tbl,
+    )
+    # attach a DV masking row 0 (k=1) of the first file
+    import pyarrow.parquet as pq
+
+    snap = __import__(
+        "species_range_data_pipeline_spark.sources.delta_log",
+        fromlist=["_replay"],
+    )._replay(tbl)
+    # the two-row file (k=1,2) — file names are uuid-unique, so pick
+    # by footer row count, not sort order
+    (rel0,) = [
+        rel
+        for rel in snap["live"]
+        if pq.read_metadata(os.path.join(tbl, rel)).num_rows == 2
+    ]
+    add0 = dict(snap["live"][rel0])
+    add0["deletionVector"] = make_inline_descriptor([0])
+    add0["dataChange"] = True
+    with open(os.path.join(tbl, "_delta_log", f"{2:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"add": add0}) + "\n")
+        fh.write(
+            json.dumps(
+                {"remove": {"path": rel0, "dataChange": True}}
+            )
+            + "\n"
+        )
+    assert sorted(
+        r.k for r in read_delta_table(spark, tbl).collect()
+    ) == [2, 3]
+    delta_optimize(spark, tbl)
+    snap2 = __import__(
+        "species_range_data_pipeline_spark.sources.delta_log",
+        fromlist=["_replay"],
+    )._replay(tbl)
+    assert all(
+        not (a.get("deletionVector") or {}).get("storageType")
+        for a in snap2["live"].values()
+    )
+    assert sorted(
+        r.k for r in read_delta_table(spark, tbl).collect()
+    ) == [2, 3]
+
+
+def test_iceberg_compact_folds_deletes_away(spark, tmp_path):
+    """Compaction materializes the MoR masks: the new snapshot has no
+    delete manifests, rows are unchanged, and the feed step across the
+    compaction nets to zero."""
+    from species_range_data_pipeline_spark.sources.iceberg_log import (
+        _walk_entries,
+        iceberg_snapshots,
+    )
+    from species_range_data_pipeline_spark.sources.iceberg_write import (
+        iceberg_compact,
+    )
+
+    tbl = str(tmp_path / "ice")
+    rows = [(k, "lo" if k < 50 else "hi", float(k)) for k in range(100)]
+    write_iceberg_table(
+        spark.createDataFrame(rows, "k long, part string, v double"),
+        tbl,
+        partition_by=["part"],
+    )
+    pre_sid = iceberg_delete_where(spark, tbl, [("k", "<", 3)])
+    sid = iceberg_compact(spark, tbl)
+    got = sorted(r.k for r in read_iceberg_table(spark, tbl).collect())
+    assert got == list(range(3, 100))
+    snaps = iceberg_snapshots(tbl)
+    current = [s for s in snaps if s["snapshot-id"] == sid][0]
+    kinds = {
+        kind for kind, _d, _s, _q in _walk_entries(tbl, current)
+    }
+    assert kinds == {"data"}  # no delete files survive
+    # feed across the compaction step nets to zero rows
+    changes = [
+        r
+        for r in iceberg_read_changes(spark, tbl, pre_sid).collect()
+        if r._snapshot_id == sid
+    ]
+    assert changes == []
+    # time travel still reaches the pre-compaction snapshot
+    assert sorted(
+        r.k
+        for r in read_iceberg_table(spark, tbl, snapshot_id=pre_sid).collect()
+    ) == list(range(3, 100))
