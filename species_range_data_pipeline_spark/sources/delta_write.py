@@ -409,11 +409,38 @@ def _latest_protocol(path: str) -> dict:
     return proto or {"minReaderVersion": 1, "minWriterVersion": 2}
 
 
+def _json_tail_tombstones(path: str, live: dict) -> list[dict]:
+    """Unexpired remove tombstones for the checkpoint: the newest
+    remove action per path in the readable JSON tail whose path is not
+    currently live (a spec reader keeps these for VACUUM bookkeeping;
+    batch reads ignore them).  Tombstones already inside an earlier
+    checkpoint are out of reach of this writer and age out naturally."""
+    versions, _ = _scan_log_dir(path)
+    removed: dict[str, dict] = {}
+    for v in versions:
+        fp = os.path.join(path, "_delta_log", f"{v:020d}.json")
+        with open(fp) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "remove" in action:
+                    removed[unquote(action["remove"]["path"])] = action[
+                        "remove"
+                    ]
+                elif "add" in action:
+                    removed.pop(unquote(action["add"]["path"]), None)
+    return [rm for rel, rm in sorted(removed.items()) if rel not in live]
+
+
 def write_delta_checkpoint(path: str) -> int:
     """Render the latest snapshot as a CLASSIC single-file parquet
     checkpoint (``N.checkpoint.parquet`` + ``_last_checkpoint``) and
     return its version.  After this, JSON commits at or below N may be
-    cleaned up and the table still replays from the checkpoint."""
+    cleaned up and the table still replays from the checkpoint.
+    Remove tombstones from the JSON tail ride along for spec readers'
+    VACUUM bookkeeping (this repo's batch reads ignore them)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -423,6 +450,7 @@ def write_delta_checkpoint(path: str) -> int:
     version = max([*versions, *checkpoints.keys()])
     snap = _replay(path)
     proto = _latest_protocol(path)
+    tombstones = _json_tail_tombstones(path, snap["live"])
 
     dv_type = pa.struct(
         [
@@ -480,6 +508,16 @@ def write_delta_checkpoint(path: str) -> int:
                     ]
                 ),
             ),
+            (
+                "remove",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("deletionTimestamp", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
         ]
     )
     rows: list[dict] = [
@@ -517,6 +555,19 @@ def write_delta_checkpoint(path: str) -> int:
                     "deletionVector": (
                         dv if dv and dv.get("storageType") else None
                     ),
+                },
+            }
+        )
+    for rm in tombstones:
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": None,
+                "remove": {
+                    "path": rm.get("path"),
+                    "deletionTimestamp": rm.get("deletionTimestamp"),
+                    "dataChange": bool(rm.get("dataChange", True)),
                 },
             }
         )

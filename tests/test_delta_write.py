@@ -260,3 +260,22 @@ def test_overwrite_tombstones_dv_files(spark, tmp_path):
     assert sorted(r.k for r in read_delta_table(spark, tbl).collect()) == [2]
     write_delta_table(_df(spark, [(9, "z", 9.0)]), tbl, mode="overwrite")
     assert sorted(r.k for r in read_delta_table(spark, tbl).collect()) == [9]
+
+
+def test_checkpoint_carries_remove_tombstones(spark, tmp_path):
+    """The checkpoint includes unexpired remove tombstones from the
+    JSON tail (spec readers keep them for VACUUM bookkeeping); batch
+    replay still reads only the live set."""
+    import pyarrow.parquet as pq
+
+    tbl = str(tmp_path / "t")
+    write_delta_table(_df(spark, [(1, "a", 1.0)]), tbl)
+    write_delta_table(_df(spark, [(9, "z", 9.0)]), tbl, mode="overwrite")
+    v = write_delta_checkpoint(tbl)
+    ckpt = os.path.join(tbl, "_delta_log", f"{v:020d}.checkpoint.parquet")
+    rows = pq.read_table(ckpt).to_pylist()
+    removes = [r["remove"] for r in rows if r.get("remove") and r["remove"].get("path")]
+    assert len(removes) == 1  # v0's overwritten file
+    for x in (0, 1):
+        os.unlink(os.path.join(tbl, "_delta_log", f"{x:020d}.json"))
+    assert sorted(r.k for r in read_delta_table(spark, tbl).collect()) == [9]
