@@ -428,3 +428,79 @@ def delta_optimize(
         f"could not commit OPTIMIZE to {path!r} after"
         f" {_COMMIT_ATTEMPTS} attempts: {last}"
     )
+
+
+def delta_vacuum(
+    path: str,
+    retention_ms: int = 7 * 24 * 3600 * 1000,
+    dry_run: bool = False,
+) -> list[str]:
+    """VACUUM for the Delta layout: physically delete data files under
+    the table directory that are NOT referenced by the CURRENT
+    snapshot and whose tombstone ``deletionTimestamp`` (file mtime as
+    the fallback for untracked strays) is older than ``retention_ms``.
+    Returns the deleted (or, with ``dry_run``, deletable) paths,
+    table-relative.
+
+    Contract caveats, exactly the reference implementation's: TIME
+    TRAVEL to versions whose files were vacuumed stops working (the
+    log still replays; the read fails at the missing file), and a
+    retention shorter than any concurrent reader's snapshot horizon
+    can break that reader — the default is the spec's 7 days, and
+    shrinking it is the caller's explicit, documented decision.
+    Paths under ``_delta_log`` and directories starting with ``_`` or
+    ``.`` (staging areas) are never touched.
+
+    Scale shape: one directory walk + one log replay — metadata-sized
+    driver work; deletion is per-unreferenced-file.
+    """
+    if retention_ms < 0:
+        raise ValueError("retention_ms must be >= 0")
+    snap = _replay(path)
+    live = set(snap["live"])
+    # newest tombstone timestamp per removed path from the JSON tail
+    tombstone_ms: dict[str, int] = {}
+    versions, _ckpts = _scan_log_dir(path)
+    from urllib.parse import unquote as _unq
+
+    for v in versions:
+        fp = os.path.join(path, "_delta_log", f"{v:020d}.json")
+        with open(fp) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "remove" in action:
+                    rm = action["remove"]
+                    ts = rm.get("deletionTimestamp")
+                    if ts is not None:
+                        tombstone_ms[_unq(rm["path"])] = int(ts)
+    now_ms = int(time.time() * 1000)
+    deleted: list[str] = []
+    for dirpath, dirnames, names in os.walk(path):
+        rel_dir = os.path.relpath(dirpath, path)
+        dirnames[:] = [
+            d for d in dirnames if not d.startswith(("_", "."))
+        ]
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            rel = (
+                name
+                if rel_dir == "."
+                else os.path.join(rel_dir, name)
+            )
+            if rel in live:
+                continue
+            ts = tombstone_ms.get(rel)
+            if ts is None:
+                ts = int(
+                    os.path.getmtime(os.path.join(path, rel)) * 1000
+                )
+            if now_ms - ts < retention_ms:
+                continue
+            deleted.append(rel)
+            if not dry_run:
+                os.unlink(os.path.join(path, rel))
+    return sorted(deleted)

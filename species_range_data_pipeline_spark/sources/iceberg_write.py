@@ -957,3 +957,80 @@ def iceberg_compact(spark, path: str) -> int:
     return write_iceberg_table(
         df, path, mode="overwrite", partition_by=pcols
     )
+
+
+def iceberg_expire_snapshots(path: str, keep_last: int = 1) -> list[str]:
+    """Snapshot expiry for the Iceberg layout: keep the newest
+    ``keep_last`` snapshots, commit a metadata version with the
+    history pruned, and physically delete every file (data, delete,
+    manifest, manifest list) reachable ONLY from the expired
+    snapshots.  Returns the deleted paths.
+
+    Contract caveats, the reference implementation's: time travel to
+    an expired snapshot id raises, and a streaming tail whose
+    checkpointed offset expired fails with the fresh-checkpoint
+    instruction (both already the readers' contract).  The pruned
+    metadata commits through the same optimistic O_EXCL claim as any
+    write, so racing writers are safe.
+
+    Scale shape: a manifest walk per snapshot (metadata-sized) plus
+    per-expired-file deletion — never a data read.
+    """
+    from .iceberg_log import _walk_entries, _resolve
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+
+    def _reachable(meta, snaps) -> set[str]:
+        out: set[str] = set()
+        for s in snaps:
+            mlist = _resolve(path, s["manifest-list"])
+            out.add(mlist)
+            with open(mlist, "rb") as fh:
+                _, manifests = parse_avro(fh.read())
+            for m in manifests:
+                out.add(_resolve(path, m["manifest_path"]))
+            for _kind, d, _sid, _seq in _walk_entries(path, s):
+                out.add(_resolve(path, d["file_path"]))
+        return out
+
+    last_err: Exception | None = None
+    for _ in range(_COMMIT_ATTEMPTS):
+        version, meta = _table_meta(path)
+        if meta is None:
+            raise FileNotFoundError(f"no Iceberg table at {path!r}")
+        snaps = list(meta.get("snapshots") or [])
+        if len(snaps) <= keep_last:
+            return []
+        kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+        # the oldest kept snapshot loses its (expired) parent pointer
+        kept = [dict(kept[0]), *kept[1:]]
+        kept[0].pop("parent-snapshot-id", None)
+        keep_files = _reachable(meta, kept)
+        drop_files = _reachable(meta, expired) - keep_files
+        new_meta = dict(meta)
+        new_meta["snapshots"] = kept
+        mpath = os.path.join(
+            path, "metadata", f"v{version}.metadata.json"
+        )
+        try:
+            fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            last_err = e
+            continue
+        with os.fdopen(fd, "w") as fh:
+            json.dump(new_meta, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        with open(
+            os.path.join(path, "metadata", "version-hint.text"), "w"
+        ) as fh:
+            fh.write(str(version))
+        for f in sorted(drop_files):
+            if os.path.exists(f):
+                os.unlink(f)
+        return sorted(drop_files)
+    raise RuntimeError(
+        f"could not commit snapshot expiry to {path!r} after"
+        f" {_COMMIT_ATTEMPTS} attempts: {last_err}"
+    )

@@ -360,3 +360,93 @@ def test_iceberg_compact_folds_deletes_away(spark, tmp_path):
         r.k
         for r in read_iceberg_table(spark, tbl, snapshot_id=pre_sid).collect()
     ) == list(range(3, 100))
+
+
+def test_delta_vacuum_removes_only_expired_unreferenced(spark, tmp_path):
+    """VACUUM deletes unreferenced files past retention; the current
+    snapshot is untouched, time travel to the vacuumed version breaks
+    (the documented contract), and the default retention deletes
+    nothing fresh."""
+    from species_range_data_pipeline_spark.sources.delta_dml import (
+        delta_vacuum,
+    )
+
+    tbl = _seed_delta(spark, tmp_path)
+    write_delta_table(
+        spark.createDataFrame(
+            [(999, "zz", 9.0)], "k long, part string, v double"
+        ),
+        tbl,
+        mode="overwrite",
+    )
+    # default 7-day retention: fresh tombstones survive
+    assert delta_vacuum(tbl) == []
+    gone = delta_vacuum(tbl, retention_ms=0)
+    assert gone and all(g.startswith("part=") for g in gone)
+    assert sorted(
+        r.k for r in read_delta_table(spark, tbl).collect()
+    ) == [999]
+    with pytest.raises(Exception):
+        read_delta_table(spark, tbl, version=0).collect()
+    # idempotent second pass
+    assert delta_vacuum(tbl, retention_ms=0) == []
+
+
+def test_delta_vacuum_dry_run_and_guardrails(spark, tmp_path):
+    from species_range_data_pipeline_spark.sources.delta_dml import (
+        delta_vacuum,
+    )
+
+    tbl = _seed_delta(spark, tmp_path)
+    write_delta_table(
+        spark.createDataFrame(
+            [(999, "zz", 9.0)], "k long, part string, v double"
+        ),
+        tbl,
+        mode="overwrite",
+    )
+    would = delta_vacuum(tbl, retention_ms=0, dry_run=True)
+    assert would
+    for rel in would:  # dry run deleted nothing
+        assert os.path.exists(os.path.join(tbl, rel))
+    with pytest.raises(ValueError, match=">= 0"):
+        delta_vacuum(tbl, retention_ms=-1)
+
+
+def test_iceberg_expire_snapshots(spark, tmp_path):
+    """Expiry keeps the newest snapshots, prunes the metadata history,
+    deletes files reachable only from expired snapshots, and leaves
+    the current read intact; an expired snapshot id then refuses."""
+    from species_range_data_pipeline_spark.sources.iceberg_log import (
+        iceberg_snapshots,
+    )
+    from species_range_data_pipeline_spark.sources.iceberg_write import (
+        iceberg_expire_snapshots,
+    )
+
+    tbl = str(tmp_path / "ice")
+    s1 = write_iceberg_table(
+        spark.createDataFrame([(1, "a", 1.0)], "k long, part string, v double"),
+        tbl,
+    )
+    write_iceberg_table(
+        spark.createDataFrame([(2, "b", 2.0)], "k long, part string, v double"),
+        tbl,
+    )
+    s3 = write_iceberg_table(
+        spark.createDataFrame([(9, "z", 9.0)], "k long, part string, v double"),
+        tbl,
+        mode="overwrite",
+    )
+    dropped = iceberg_expire_snapshots(tbl, keep_last=1)
+    assert dropped  # the pre-overwrite data files + their manifests
+    snaps = iceberg_snapshots(tbl)
+    assert [s["snapshot-id"] for s in snaps] == [s3]
+    assert "parent-snapshot-id" not in snaps[0]
+    assert sorted(
+        r.k for r in read_iceberg_table(spark, tbl).collect()
+    ) == [9]
+    with pytest.raises(ValueError):
+        read_iceberg_table(spark, tbl, snapshot_id=s1).collect()
+    # nothing further to expire
+    assert iceberg_expire_snapshots(tbl, keep_last=1) == []
