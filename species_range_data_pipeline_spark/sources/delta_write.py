@@ -248,15 +248,48 @@ def _table_state(path: str):
     return latest + 1, _replay(path)
 
 
+def _merged_schema_json(table_schema_json: str, df, path: str) -> str:
+    """Schema-evolution merge for an append (the ``mergeSchema``
+    contract): the table's fields keep their order and types; NEW
+    DataFrame columns append as nullable fields (old files null-pad —
+    the reader's legal-ADD rule); a column the DataFrame omits stays
+    in the schema (its new files null-pad on read); a TYPE change
+    refuses."""
+    table = json.loads(table_schema_json)
+    by_name = {f["name"]: f for f in table["fields"]}
+    df_fields = json.loads(df.schema.json())["fields"]
+    for f in df_fields:
+        old = by_name.get(f["name"])
+        if old is not None and json.dumps(
+            old["type"], sort_keys=True
+        ) != json.dumps(f["type"], sort_keys=True):
+            raise ValueError(
+                f"append type change for column {f['name']!r} at"
+                f" {path!r}: table {old['type']} vs DataFrame"
+                f" {f['type']}; schema evolution adds columns, never"
+                " retypes them — overwrite to change types."
+            )
+    merged = list(table["fields"]) + [
+        {**f, "nullable": True}
+        for f in df_fields
+        if f["name"] not in by_name
+    ]
+    return json.dumps({"type": "struct", "fields": merged})
+
+
 def write_delta_table(
     df: DataFrame,
     path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Write ``df`` as a commit to the Delta-layout table at ``path``
     and return the committed version.  See the module docstring for
-    modes, staging, stats, and the concurrency contract."""
+    modes, staging, stats, and the concurrency contract.
+    ``merge_schema=True`` lets an append ADD nullable columns (and
+    omit existing ones) — the mergeSchema contract; type changes
+    still refuse."""
     if mode not in ("append", "overwrite", "error"):
         raise ValueError(f"unsupported mode {mode!r}")
     pcols = list(partition_by or [])
@@ -264,6 +297,7 @@ def write_delta_table(
     if missing:
         raise ValueError(f"partition column(s) {missing} not in DataFrame")
 
+    evolved_schema_json: str | None = None
     next_version, snap = _table_state(path)
     if snap is not None:
         if mode == "error":
@@ -274,11 +308,21 @@ def write_delta_table(
             if _schema_key(snap["schema_json"]) != _schema_key(
                 df.schema.json()
             ):
-                raise ValueError(
-                    f"append schema mismatch at {path!r}: table"
-                    f" {snap['schema_json']} vs DataFrame"
-                    f" {df.schema.json()}; overwrite to change schema."
+                if not merge_schema:
+                    raise ValueError(
+                        f"append schema mismatch at {path!r}: table"
+                        f" {snap['schema_json']} vs DataFrame"
+                        f" {df.schema.json()}; pass merge_schema=True"
+                        " to add columns, or overwrite to change"
+                        " schema."
+                    )
+                merged = _merged_schema_json(
+                    snap["schema_json"], df, path
                 )
+                if _schema_key(merged) != _schema_key(
+                    snap["schema_json"]
+                ):
+                    evolved_schema_json = merged
             if list(snap["partition_cols"]) != pcols:
                 raise ValueError(
                     f"append partitioning mismatch at {path!r}: table"
@@ -379,6 +423,15 @@ def write_delta_table(
             actions = [commit_info, meta_action, *removes, *adds]
         else:
             actions = [commit_info, *adds]
+            if evolved_schema_json is not None:
+                # the evolved schema rides the SAME commit as its data
+                evo_meta = {
+                    "metaData": {
+                        **meta_action["metaData"],
+                        "schemaString": evolved_schema_json,
+                    }
+                }
+                actions = [commit_info, evo_meta, *adds]
         try:
             _try_write_commit(path, version, actions)
             return version

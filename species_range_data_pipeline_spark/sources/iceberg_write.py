@@ -486,10 +486,14 @@ def write_iceberg_table(
     path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Write ``df`` as a new snapshot of the Iceberg Hadoop-layout
     table at ``path`` and return the snapshot id.  See the module
-    docstring for staging, stats, and the concurrency contract."""
+    docstring for staging, stats, and the concurrency contract.
+    ``merge_schema=True`` lets an append ADD columns (fresh field ids
+    past ``last-column-id``; old files null-pad on read) and omit
+    existing ones; type changes still refuse."""
     if mode not in ("append", "overwrite", "error"):
         raise ValueError(f"unsupported mode {mode!r}")
     pcol_names = list(partition_by or [])
@@ -516,16 +520,43 @@ def write_iceberg_table(
             raise FileExistsError(
                 f"Iceberg table at {path!r} already exists (mode='error')"
             )
+        evolved_fields: list[dict] | None = None
         if mode == "append":
             cur = _current_schema(meta, path)
             if [(f["name"], f["type"]) for f in cur["fields"]] != [
                 (f["name"], f["type"]) for f in fields
             ]:
-                raise ValueError(
-                    f"append schema mismatch at {path!r}: table"
-                    f" {cur['fields']} vs DataFrame {fields};"
-                    " overwrite to change schema."
-                )
+                if not merge_schema:
+                    raise ValueError(
+                        f"append schema mismatch at {path!r}: table"
+                        f" {cur['fields']} vs DataFrame {fields};"
+                        " pass merge_schema=True to add columns, or"
+                        " overwrite to change schema."
+                    )
+                cur_by_name = {f["name"]: f for f in cur["fields"]}
+                for f in fields:
+                    old = cur_by_name.get(f["name"])
+                    if old is not None and old["type"] != f["type"]:
+                        raise ValueError(
+                            f"append type change for column"
+                            f" {f['name']!r} at {path!r}: table"
+                            f" {old['type']} vs DataFrame {f['type']};"
+                            " schema evolution adds columns, never"
+                            " retypes them."
+                        )
+                next_id = int(meta.get("last-column-id") or 0)
+                evolved_fields = list(cur["fields"])
+                for f in fields:
+                    if f["name"] not in cur_by_name:
+                        next_id += 1
+                        evolved_fields.append(
+                            {
+                                "id": next_id,
+                                "name": f["name"],
+                                "required": False,
+                                "type": f["type"],
+                            }
+                        )
             specs = {
                 s["spec-id"]: s for s in meta.get("partition-specs", [])
             }
@@ -540,8 +571,12 @@ def write_iceberg_table(
                     f"append partitioning mismatch at {path!r}: table"
                     f" {cur_pcols} vs requested {pcol_names}."
                 )
-        fields = _current_schema(meta, path)["fields"] if mode == "append" \
-            else fields
+        if mode == "append":
+            fields = (
+                evolved_fields
+                if evolved_fields is not None
+                else _current_schema(meta, path)["fields"]
+            )
         by_name = {f["name"]: f for f in fields}
         pcols = [(c, by_name[c]["type"]) for c in pcol_names]
 

@@ -279,3 +279,40 @@ def test_checkpoint_carries_remove_tombstones(spark, tmp_path):
     for x in (0, 1):
         os.unlink(os.path.join(tbl, "_delta_log", f"{x:020d}.json"))
     assert sorted(r.k for r in read_delta_table(spark, tbl).collect()) == [9]
+
+
+def test_merge_schema_append_adds_and_omits_columns(spark, tmp_path):
+    """merge_schema=True: an append may ADD nullable columns (old
+    files null-pad) and OMIT existing ones (its files null-pad); a
+    type change still refuses."""
+    tbl = str(tmp_path / "t")
+    write_delta_table(_df(spark, [(1, "a", 1.0)]), tbl)
+    write_delta_table(
+        spark.createDataFrame(
+            [(2, "b", 2.0, 7)], "k long, part string, v double, extra long"
+        ),
+        tbl,
+        merge_schema=True,
+    )
+    write_delta_table(
+        spark.createDataFrame([(3,)], "k long"), tbl, merge_schema=True
+    )
+    got = sorted(
+        (r.k, r.part, r.v, r.extra)
+        for r in read_delta_table(spark, tbl).collect()
+    )
+    assert got == [
+        (1, "a", 1.0, None),
+        (2, "b", 2.0, 7),
+        (3, None, None, None),
+    ]
+    with pytest.raises(ValueError, match="type change"):
+        write_delta_table(
+            spark.createDataFrame([(4, 1.5)], "k long, part double"),
+            tbl,
+            merge_schema=True,
+        )
+    with pytest.raises(ValueError, match="merge_schema"):
+        write_delta_table(
+            spark.createDataFrame([(4, "x")], "k long, other string"), tbl
+        )

@@ -199,3 +199,39 @@ def test_mixed_empty_and_null_partition_file_refused(spark, tmp_path):
         write_iceberg_table(
             df, str(tmp_path / "t"), partition_by=["part"]
         )
+
+
+def test_merge_schema_append_adds_columns_with_fresh_ids(spark, tmp_path):
+    """merge_schema=True: appended columns get fresh field ids past
+    last-column-id; old files null-pad on read; type changes refuse."""
+    tbl = str(tmp_path / "t")
+    write_iceberg_table(_df(spark, [(1, "a", 1.0)]), tbl)
+    write_iceberg_table(
+        spark.createDataFrame(
+            [(2, "b", 2.0, 7)], "k long, part string, v double, extra long"
+        ),
+        tbl,
+        merge_schema=True,
+    )
+    got = sorted(
+        (r.k, r.part, r.extra)
+        for r in read_iceberg_table(spark, tbl).collect()
+    )
+    assert got == [(1, "a", None), (2, "b", 7)]
+    from species_range_data_pipeline_spark.sources.iceberg_log import (
+        _current_schema,
+        _load_metadata,
+    )
+
+    meta = _load_metadata(tbl)
+    fields = _current_schema(meta, tbl)["fields"]
+    assert [(f["name"], f["id"]) for f in fields] == [
+        ("k", 1), ("part", 2), ("v", 3), ("extra", 4),
+    ]
+    assert meta["last-column-id"] == 4
+    with pytest.raises(ValueError, match="type change"):
+        write_iceberg_table(
+            spark.createDataFrame([(4, 1.5)], "k long, part double"),
+            tbl,
+            merge_schema=True,
+        )
