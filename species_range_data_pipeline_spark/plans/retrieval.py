@@ -50,13 +50,23 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r11 interleaved A/B measured that shape at 1.7x the
     # q3_shipping_priority control vs its 1.31x capture band, and the
     # tokenize+join elimination is the plan-side term (SCALE.md rule 45).
+    #
+    # r18 (guide §2.4/§1.2): tokenize-once needs the SUBTREE shared, not
+    # just the DataFrame — with_dl fed stats, tf, and (via tf) dfreq as
+    # three separate lineages, so the r17 plan still scanned+tokenized
+    # the corpus three times.  with_dl is now materialized once (lazy
+    # localCheckpoint; (doc_id, dl, 5-term-filtered terms) is far
+    # smaller than the corpus text), and df attaches as a window count
+    # over the aggregated tf frame instead of a groupBy+broadcast-join
+    # of a second tf lineage — one corpus pass, and every later stage
+    # moves (doc, term)-aggregated rows only.
     with_dl = docs.select(
         "doc_id",
         F.size(_tokens()).cast("long").alias("dl"),
         F.filter(
             _tokens(), lambda w: w.isin(*_BM25_TERMS)
         ).alias("terms"),
-    )
+    ).localCheckpoint(eager=False)
     stats = with_dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_total"),
         F.avg("dl").alias("avgdl"),
@@ -67,9 +77,9 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "dl", "word").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
     )
-    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    wd = Window.partitionBy("word")
     term_scores = (
-        tf.join(F.broadcast(dfreq), "word")
+        tf.withColumn("df", F.count(F.lit(1)).over(wd).cast("double"))
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",

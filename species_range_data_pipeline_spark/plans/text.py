@@ -1209,10 +1209,16 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tokens materialize as a column FIRST (the inline-expression trap:
     re-evaluating the tokenizer per array access is the 20× regression this
     repo already hit once), bigrams come from one posexplode + window lead
-    within each doc, and the conditional probability is bigram_count /
-    unigram_count via a broadcast join of the (small) unigram aggregate.
-    Two shuffles over token rows (bigram groupBy, per-doc window); the
-    probability join moves only aggregated counts.
+    within each doc, and the conditional probability divides by a
+    window-sum of the SAME aggregated bigram frame (``sum(n_bigram) OVER
+    (PARTITION BY w1)``) instead of a groupBy+broadcast-join of a second
+    lineage of it.  r18 (guide §2.4/§1.2): DataFrame reuse does NOT share
+    subtrees in the physical plan — the old ``bigrams.join(unigrams)``
+    re-ran scan→explode→window→groupBy for the unigram side, tokenizing
+    the corpus twice (two Generates, two token exchanges, two window
+    sorts in the r17 plan).  The window form keeps ONE corpus pass; the
+    only post-aggregate exchange moves (w1, w2, n_bigram) rows — vocab²
+    bounded, corpus-independent.
     """
     from pyspark.sql import Window
 
@@ -1225,11 +1231,9 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_bigram"))
     )
-    unigrams = (
-        bigrams.groupBy("w1").agg(F.sum("n_bigram").alias("n_prefix"))
-    )
+    wp = Window.partitionBy("w1")
     return (
-        bigrams.join(F.broadcast(unigrams), "w1")
+        bigrams.withColumn("n_prefix", F.sum("n_bigram").over(wp))
         .where(F.col("n_bigram") >= 30)
         .select(
             "w1",
@@ -1251,9 +1255,16 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the model (no smoothing term to keep cross-engine deterministic).
     The LM probability is an exact rational (bigram/prefix counts), so
     both engines take log2 of IDENTICAL doubles; only the per-doc sum
-    order differs (~1e-13), rounded away at 3 decimals.  Plan: the same
-    two token shuffles as `text_bigram_lm` plus a doc-bigram aggregate;
-    the LM join moves aggregated counts only.
+    order differs (~1e-13), rounded away at 3 decimals.  Plan (r18,
+    guide §2.4/§1.2): ONE token pass — the r17 shape referenced
+    ``pairs`` from both ``doc_bigrams`` and ``corpus`` and ``corpus``
+    from both ``lm`` and ``prefix``, so the scan→explode→window subtree
+    replayed three times (three Generates in the plan).  Now the corpus
+    LM counts are exact rollups of the per-doc aggregate
+    (``n_bigram = sum(m)`` over (w1, w2); ``n_prefix = sum(m)`` over
+    w1, both as windows over the already-aggregated frame), so
+    every post-tokenize stage moves aggregated counts only and the LM
+    probability attaches with no join at all.
     """
     from pyspark.sql import Window
 
@@ -1266,14 +1277,15 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_bigrams = pairs.groupBy("doc_id", "w1", "w2").agg(
         F.count(F.lit(1)).alias("m")
     )
-    corpus = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_bigram"))
-    prefix = corpus.groupBy("w1").agg(F.sum("n_bigram").alias("n_prefix"))
-    lm = corpus.join(F.broadcast(prefix), "w1").select(
-        "w1", "w2", (F.col("n_bigram") / F.col("n_prefix")).alias("p")
+    wbg = Window.partitionBy("w1", "w2")
+    wpf = Window.partitionBy("w1")
+    scored = (
+        doc_bigrams.withColumn("n_bigram", F.sum("m").over(wbg))
+        .withColumn("n_prefix", F.sum("m").over(wpf))
+        .withColumn("p", F.col("n_bigram") / F.col("n_prefix"))
     )
     return (
-        doc_bigrams.join(lm, ["w1", "w2"])
-        .groupBy("doc_id")
+        scored.groupBy("doc_id")
         .agg(
             F.sum("m").alias("n_bigrams"),
             F.round(
@@ -1571,7 +1583,13 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     this screening count does not.
     """
     docs = load_table(spark, sf_dir, "documents")
-    grams = _hashed_grams(docs).distinct()
+    # r18 (guide §2.4/§1.2): the distinct (doc, gram) set feeds BOTH split
+    # sides, and DataFrame reuse does not share physical subtrees — the
+    # r17 plan tokenized+hashed+distinct-shuffled the corpus TWICE (one
+    # scan→Generate→HashAggregate chain per side).  Materialize it once
+    # (lazy localCheckpoint, the MMR-lane discipline) so the gram build —
+    # the only corpus-sized stage — runs exactly once per call.
+    grams = _hashed_grams(docs).distinct().localCheckpoint(eager=False)
     ev = grams.where(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("eval_doc"), "gram"
     )

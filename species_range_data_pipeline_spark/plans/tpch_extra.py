@@ -558,14 +558,32 @@ ORDER BY s_suppkey
 
 
 def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q21 shape: EXISTS + NOT EXISTS chain (semi join then anti join).
+    """Q21 shape: EXISTS + NOT EXISTS chain, realized as ONE aggregation.
 
     For finished ('F') orders: NATION_3 suppliers whose line shipped late
     (>30 days after order date), where the order had another supplier's
     line, but NO other supplier shipped late — the sole blame case.
-    Both the semi and the anti join hash on orderkey with suppkey/date
-    residuals; supplier and nation broadcast.
+
+    r18 rewrite (guide §1.2/§2.4): the r17 semi+anti form scanned
+    lineitem THREE times and ran two lineitem-wide joins (broadcast at
+    fixture scale — over the 8 GB relation cap at 100 TB, where both
+    would degrade to full orderkey shuffles of the fact table).  The
+    EXISTS/NOT-EXISTS pair is a per-order property, so it folds into
+    per-(order, supplier) late-line counts plus two window counts over
+    the aggregated frame:
+
+      EXISTS other-supplier line      ⟺  n_supp >= 2
+      NOT EXISTS other late supplier  ⟺  n_late_supp == 1 (l1 is late)
+
+    and numwait contributes the blamed supplier's late_cnt (one per l1
+    row, exactly the old count).  One lineitem scan, ONE orderkey-keyed
+    exchange (the explicit repartition that both the groupBy — orderkey
+    is a prefix of its keys — and the windows reuse); everything after
+    is (order, supplier)-aggregated.  Equivalence: oracle unchanged,
+    parity-pinned at sf0.01/sf0.001.
     """
+    from pyspark.sql import Window
+
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     supplier = load_table(spark, sf_dir, "supplier")
@@ -574,37 +592,41 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nation.where(F.col("n_name") == "NATION_3")),
         F.col("s_nationkey") == F.col("n_nationkey"),
     ).select("s_suppkey", "s_name")
-    base = (
-        lineitem.join(
-            orders.where(F.col("o_orderstatus") == "F"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
+    lines = lineitem.join(
+        orders.where(F.col("o_orderstatus") == "F"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        ).alias("late"),
+    )
+    per_supp = (
+        lines.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("late_cnt")
         )
-        .withColumn("late_cutoff", F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
-        .where(F.col("l_shipdate") > F.col("late_cutoff"))
-        .join(n3_supp, F.col("l_suppkey") == F.col("s_suppkey"))  # supplier fraction: no hint (rule 59)
-        .select("l_orderkey", "l_suppkey", "s_name", "late_cutoff")
     )
-    others = lineitem.select(
-        F.col("l_orderkey").alias("o2_orderkey"),
-        F.col("l_suppkey").alias("o2_suppkey"),
-        F.col("l_shipdate").alias("o2_shipdate"),
-    )
-    with_other = base.join(
-        others,
-        (F.col("l_orderkey") == F.col("o2_orderkey"))
-        & (F.col("l_suppkey") != F.col("o2_suppkey")),
-        "left_semi",
-    )
-    no_other_late = with_other.join(
-        others,
-        (F.col("l_orderkey") == F.col("o2_orderkey"))
-        & (F.col("l_suppkey") != F.col("o2_suppkey"))
-        & (F.col("o2_shipdate") > F.col("late_cutoff")),
-        "left_anti",
+    wo = Window.partitionBy("l_orderkey")
+    blamed = per_supp.select(
+        "l_suppkey",
+        "late_cnt",
+        F.count(F.lit(1)).over(wo).alias("n_supp"),
+        F.sum(F.when(F.col("late_cnt") > 0, 1).otherwise(0))
+        .over(wo)
+        .alias("n_late_supp"),
+    ).where(
+        (F.col("late_cnt") > 0)
+        & (F.col("n_supp") >= 2)
+        & (F.col("n_late_supp") == 1)
     )
     return (
-        no_other_late.groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        blamed.join(n3_supp, F.col("l_suppkey") == F.col("s_suppkey"))  # supplier fraction: no hint (rule 59)
+        .groupBy("s_name")
+        .agg(F.sum("late_cnt").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )

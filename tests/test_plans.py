@@ -191,10 +191,33 @@ def test_spatial_join_is_hash_not_nested_loop(spark):
 
 def test_decontaminate_shuffles_hashes_not_gram_strings(spark):
     """The gram column entering the distinct/join is the 64-bit xxhash64 of
-    the token window; no concat-built gram string exists in the plan."""
+    the token window; no concat-built gram string exists in the plan.
+
+    r18: the distinct gram set is materialized ONCE (lazy localCheckpoint
+    — guide §2.4, the corpus was tokenized+hashed+distinct-shuffled twice
+    before), so the hash pin moves to the gram-head subplan and the final
+    plan is pinned to read the SAME materialized RDD on both join sides
+    (exactly one corpus pass, no parquet rescan)."""
+    import contextlib
+    import io
+
+    from species_range_data_pipeline_spark.catalog import load_table
+    from species_range_data_pipeline_spark.plans.text import _hashed_grams
+
+    head = _hashed_grams(load_table(spark, SF_CORRECT, "documents")).distinct()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        head.explain("formatted")
+    head_plan = buf.getvalue()
+    assert "xxhash64" in head_plan
+    assert "concat_ws" not in head_plan
+
     plan = _plan(spark, "text_decontaminate")
-    assert "xxhash64" in plan
     assert "concat_ws" not in plan
+    # both split sides read the one checkpointed gram RDD; the corpus
+    # parquet is never scanned twice
+    assert "localCheckpoint" in plan, plan
+    assert "Scan parquet" not in plan, plan
 
 
 def test_ohlc_single_aggregate_pass(spark):
