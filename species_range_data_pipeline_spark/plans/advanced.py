@@ -803,35 +803,61 @@ def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel: users who viewed, then clicked AFTER the first view,
     then purchased AFTER that click.  Per-user min-ts chaining — one
     aggregation, conditional on the previous stage's timestamp; no joins,
-    no self-unions (the naive N-stage self-join funnel shuffles N times)."""
+    no self-unions (the naive N-stage self-join funnel shuffles N times).
+
+    r18 (guide §1.2/§2.4): the stage chain used to be three per-user
+    aggregates bridged by two joins, with per_user / clicks / purchases
+    each a separate lineage — SIX events scans and three user shuffles
+    in the r17 plan.  The chaining condition only needs each user's
+    click/purchase timestamps relative to aggregates of the SAME group,
+    so one user-keyed aggregate collects them (sorted arrays; partial
+    agg map-side) and the stage mins fall out as array expressions:
+    t_click = min of clicks after t_view, t_purchase = min of purchases
+    after t_click.  One scan (type-pruned at the parquet footer), one
+    user exchange, one global rollup — identical three counts.
+    """
     events = load_table(spark, sf_dir, "events")
-    per_user = events.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
-    )
-    clicks = events.where(F.col("event_type") == "click").select(
-        "user_id", F.col("ts").alias("cts")
-    )
-    purchases = events.where(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").alias("pts")
-    )
-    first_click = (
-        clicks.join(per_user, "user_id")
-        .where(F.col("cts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("cts").alias("t_click"))
-    )
-    first_purchase = (
-        purchases.join(first_click, "user_id")
-        .where(F.col("pts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("pts").alias("t_purchase"))
-    )
-    return (
-        per_user.agg(
-            F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_viewed")
+    per_user = (
+        events.where(
+            F.col("event_type").isin("view", "click", "purchase")
         )
-        .crossJoin(first_click.agg(F.count(F.lit(1)).alias("n_clicked")))
-        .crossJoin(first_purchase.agg(F.count(F.lit(1)).alias("n_purchased")))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts"))
+            ).alias("t_view"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("event_type") == "click", F.col("ts"))
+                )
+            ).alias("clicks"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("event_type") == "purchase", F.col("ts"))
+                )
+            ).alias("purchases"),
+        )
+    )
+    t_click = F.array_min(
+        F.filter("clicks", lambda c: c > F.col("t_view"))
+    )
+    staged = per_user.select(
+        "t_view",
+        t_click.alias("t_click"),
+        "purchases",
+    ).select(
+        "t_view",
+        "t_click",
+        F.array_min(
+            F.filter("purchases", lambda p: p > F.col("t_click"))
+        ).alias("t_purchase"),
+    )
+    return staged.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_viewed"),
+        F.count(F.when(F.col("t_click").isNotNull(), 1)).alias("n_clicked"),
+        F.count(
+            F.when(F.col("t_purchase").isNotNull(), 1)
+        ).alias("n_purchased"),
     )
 
 

@@ -718,10 +718,19 @@ def _range_overlap_from_cells(
         F.min("col").alias("min_c"),
         F.max("col").alias("max_c"),
     )
+    # r18 (guide §2.4/§1.2): d feeds BOTH self-join sides and BOTH the
+    # disjoint and rasterizing branches, and DataFrame reuse does not
+    # share physical subtrees — the r17 plan replayed the whole
+    # dissolve lineage (lineitem scan + cell shuffle + polygonize
+    # kernel) FOUR times (8 lineitem scans in the captured plan).
+    # d is species-dimension-sized (one WKB row per species), so one
+    # lazy localCheckpoint makes every downstream reference read the
+    # same materialized rows: the dissolve runs exactly once.
     d = (
         dissolve(cells, by=["species"], num_partitions=num_partitions)
         .select("species", "geometry")
         .join(F.broadcast(boxes), "species")
+        .localCheckpoint(eager=False)
     )
     a = d.select(
         F.col("species").alias("species_a"), F.col("geometry").alias("geom_a"),

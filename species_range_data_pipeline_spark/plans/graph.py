@@ -670,14 +670,32 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     family at a shape (self-join chains) TPC-H never hits.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
-    per_order = lineitem.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
-    ).distinct()
+    # r18 (guide §2.4/§1.2): the co-occurrence pairs used to come from a
+    # per_order self-join — two full scan+distinct lineages of lineitem
+    # plus the join's orderkey exchanges.  The basket_brand_pairs
+    # pattern replaces it: ONE (orderkey → sorted distinct supplier
+    # set) aggregate (map-side partial collect_set), C(k,2) pairs
+    # emitted locally with nested array transforms — one lineitem scan,
+    # one wide shuffle, identical (a < b, per-order-distinct) pairs.
+    baskets = (
+        lineitem.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+        )
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("s")).alias("supps"))
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("supps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("supps"), i + 2, F.size(F.col("supps"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     cooccur = (
-        per_order.alias("x")
-        .join(per_order.alias("y"), "ok")
-        .where(F.col("x.s") < F.col("y.s"))
-        .groupBy(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
+        baskets.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
     edges = cooccur.where(F.col("n_orders") >= _TRI_MIN_COOCCUR).select("a", "b")

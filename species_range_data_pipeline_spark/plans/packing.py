@@ -204,7 +204,18 @@ def dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines and cluster sizes.
     """
     docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_orig"))
+    # r18 (guide §2.4): counts fed both min_n and rates as separate
+    # lineages, so the corpus was scanned three times (twice through
+    # this aggregate, once for the keep pass).  The source-cardinality
+    # aggregate is materialized once (lazy localCheckpoint); two scans
+    # — rate-build and keep — is the floor for a rate-then-apply shape
+    # (the rates depend on ALL rows, so they cannot fuse into the keep
+    # pass).
+    counts = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_orig"))
+        .localCheckpoint(eager=False)
+    )
     min_n = counts.agg(F.min("n_orig").alias("min_n"))
     rates = counts.crossJoin(F.broadcast(min_n)).select(
         "source",
@@ -264,8 +275,14 @@ def dataset_interleave_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized.
     """
     toks = _doc_tokens(spark, sf_dir)
-    per_src = toks.groupBy("source").agg(
-        F.sum("n_tokens").cast("long").alias("src_tokens")
+    # r18 (guide §2.4): per_src fed both target and plan as separate
+    # lineages — three tokenize passes over the corpus.  Checkpointing
+    # the source-cardinality aggregate leaves two (plan-build and
+    # replicate), the floor for a plan-then-apply shape.
+    per_src = (
+        toks.groupBy("source")
+        .agg(F.sum("n_tokens").cast("long").alias("src_tokens"))
+        .localCheckpoint(eager=False)
     )
     target = per_src.agg(F.max("src_tokens").alias("target_tokens"))
     plan = per_src.crossJoin(F.broadcast(target)).select(

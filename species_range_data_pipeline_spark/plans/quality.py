@@ -162,37 +162,52 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rules: (1) referential integrity — lineitems whose order key has no
     parent order (anti join); (2) primary-key uniqueness — duplicated
     (orderkey, linenumber) pairs; (3) domain — negative or zero quantities;
-    (4) nullability — null ship dates.  Violation counts land in one
-    unioned result instead of four jobs; the anti-join and group-by legs
-    keep their own pushdown-friendly shapes, and the two scalar rules
-    (domain, nullability) fold into ONE conditional-count scan (r9).
+    (4) nullability — null ship dates.
+
+    r18 (guide §1.2/§2.4): all four rules now ride ONE lineitem scan,
+    ONE orderkey exchange, and ONE final rollup (previously three scans
+    + two wide exchanges — the anti-join leg, the PK groupBy leg, and
+    the fused scalar leg from r9 were separate lineages).  The explicit
+    orderkey repartition satisfies both the (orderkey, linenumber)
+    groupBy — orderkey is a prefix of its keys — and the orphan check's
+    join clustering; the orphan rule becomes a null-parent flag from a
+    left join against the DISTINCT order keys (duplicate-parent-safe,
+    like the anti join; a null orderkey never equi-matches, so
+    dirty-key rows still count as orphans), and every rule folds into
+    one conditional rollup unpivoted with stack().
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    orphans = (
-        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
-        .agg(F.count(F.lit(1)).alias("violations"))
-        .select(F.lit("fk_lineitem_orders").alias("rule"), "violations")
+    pairs = (
+        lineitem.select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("l_quantity") <= 0).alias("bad_qty"),
+            F.count_if(F.col("l_shipdate").isNull()).alias("bad_ship"),
+        )
     )
-    dup_pk = (
-        lineitem.groupBy("l_orderkey", "l_linenumber")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") > 1)
-        .agg(F.count(F.lit(1)).cast("long").alias("violations"))
-        .select(F.lit("pk_unique_lineitem").alias("rule"), "violations")
-    )
-    # domain + nullability are plain conditional counts: ONE shared scan
-    # (two avoidable full passes over the fact table at 100 TB otherwise),
-    # unpivoted to rule rows with stack()
-    scalar_rules = lineitem.agg(
-        F.count_if(F.col("l_quantity") <= 0).alias("qty_positive"),
-        F.count_if(F.col("l_shipdate").isNull()).alias("shipdate_not_null"),
-    ).selectExpr(
-        "stack(2, 'qty_positive', qty_positive,"
-        " 'shipdate_not_null', shipdate_not_null) AS (rule, violations)"
-    )
+    okeys = orders.select("o_orderkey").distinct()
     return (
-        orphans.unionByName(dup_pk).unionByName(scalar_rules)
+        pairs.join(okeys, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("o_orderkey").isNull(), F.col("n"))),
+                F.lit(0),
+            ).cast("long").alias("fk_lineitem_orders"),
+            F.count_if(F.col("n") > 1).alias("pk_unique_lineitem"),
+            F.coalesce(F.sum("bad_qty"), F.lit(0))
+            .cast("long").alias("qty_positive"),
+            F.coalesce(F.sum("bad_ship"), F.lit(0))
+            .cast("long").alias("shipdate_not_null"),
+        )
+        .selectExpr(
+            "stack(4, 'fk_lineitem_orders', fk_lineitem_orders,"
+            " 'pk_unique_lineitem', pk_unique_lineitem,"
+            " 'qty_positive', qty_positive,"
+            " 'shipdate_not_null', shipdate_not_null) AS (rule, violations)"
+        )
         .orderBy("rule")
     )
 

@@ -285,10 +285,19 @@ def _mmr_pair_sims(cands: DataFrame) -> DataFrame:
     ``_MMR_TOPN``, bounded by construction — never corpus²).  Kept
     JVM-side deliberately: the fp64 sequential-fold cosine here is the
     exact arithmetic the DuckDB oracle reproduces; a numpy kernel's
-    pairwise summation could flip a round(·1e6) boundary."""
+    pairwise summation could flip a round(·1e6) boundary.
+
+    r18 (guide §3.1): the self-join's both sides are the checkpointed
+    candidate frame — an ExistingRDD whose size Catalyst cannot
+    estimate, so the planner fell back to a sort-merge join (two
+    exchanges + two sorts of the candidate frame).  The frame is
+    bounded BY CONSTRUCTION at _MMR_MAX_QUERIES × _MMR_TOPN rows (both
+    hard caps, see _mmr_candidates), so the build side is forced
+    broadcast: no candidate exchange, no sorts — the only remaining
+    tail shuffle is the cogroup's query_id clustering."""
     a, b = cands.alias("a"), cands.alias("b")
     return a.join(
-        b,
+        F.broadcast(b),
         (F.col("a.query_id") == F.col("b.query_id"))
         & (F.col("a.vec_id") != F.col("b.vec_id")),
     ).select(

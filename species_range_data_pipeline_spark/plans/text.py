@@ -216,21 +216,26 @@ ORDER BY doc_id
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf: term frequency x ln(N/df), top-3 terms per doc (doc_id < 20).
 
-    Three aggregates, all with map-side partials: tf per (doc, word), df per
-    word, corpus size N (a 1-row broadcast).  The word-level df join is the
-    only wide shuffle; at 100 TB the df table is vocabulary-sized (millions,
-    not billions) and broadcastable."""
+    tf per (doc, word) with map-side partials; df per word attaches as a
+    WINDOW count over the aggregated tf frame (r18, guide §2.4: the old
+    ``tf.groupBy(word)`` df was a second lineage of tf, so the corpus
+    was scanned+tokenized twice — the window moves (doc, word)-
+    aggregated rows once by word instead); corpus size N is a 1-row
+    broadcast.  The doc_id < 20 cut applies AFTER the window so df
+    counts the whole corpus, exactly as before."""
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
     tok = (
         docs.select("doc_id", F.explode(_tokens()).alias("word"))
         .where(F.col("word") != "")
     )
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("n_dw"))
-    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("n_docs_with"))
     n_total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    wd = Window.partitionBy("word")
     scored = (
-        tf.where(F.col("doc_id") < 20)
-        .join(F.broadcast(dfreq), "word")
+        tf.withColumn("n_docs_with", F.count(F.lit(1)).over(wd))
+        .where(F.col("doc_id") < 20)
         .crossJoin(F.broadcast(n_total))
         .select(
             "doc_id",
@@ -240,7 +245,6 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
-    from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
     return (
@@ -1019,9 +1023,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The brute-force ground truth LSH approximates: shingle self-join counts
     the intersection, |A|+|B|-|A∩B| gives the union.  Only pairs sharing at
     least one shingle materialize (the join does the candidate pruning).
+
+    r18 (guide §2.4): the distinct shingle set feeds sizes AND both
+    self-join sides — four scan+shingle+distinct lineages in the r17
+    plan.  One lazy localCheckpoint makes the shingle build (the only
+    corpus-sized stage) run exactly once per call.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = _doc_shingles(docs).distinct()
+    sh = _doc_shingles(docs).distinct().localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -1440,12 +1449,16 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) summed over query
     terms, with the Lucene idf variant ln((N - df + 0.5)/(df + 0.5) + 1).
 
-    Plan shape: tf over (doc, term) is one shuffle on token rows filtered
-    to the query terms BEFORE the explode-side aggregation (the term
-    filter prunes ~90% of tokens pre-shuffle); df and the corpus stats
-    (N, avgdl) are tiny aggregates broadcast into the scoring join, and
-    doc length joins on doc_id.  At 100 TB the only wide exchange is the
-    (doc, term) groupBy — everything else is broadcast.
+    Plan shape (r18, guide §2.4/§1.2 — the retrieval_rrf_fusion lexical
+    head, shared discipline): ONE corpus tokenize pass.  with_dl
+    (doc_id, dl, 5-term-filtered tokens) is materialized once (lazy
+    localCheckpoint); stats aggregate it, dl rides THROUGH the explode
+    as a grouping key (no dl join-back), and df attaches as a window
+    count over the aggregated tf frame (no second tf lineage).  The r17
+    shape tokenized the corpus four times (stats, tok, the dl
+    join-back, and dfreq's replay of tf).  At 100 TB the only wide
+    exchange is the (doc, term) groupBy; the df window moves (doc,
+    term)-aggregated rows only.
 
     Float parity: per-term scores are rounded to integer micro-units and
     summed as BIGINT so the per-doc sum is independent of term order
@@ -1455,22 +1468,21 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     with_dl = docs.select(
-        "doc_id", F.size(_tokens()).cast("long").alias("dl"), "text"
-    )
+        "doc_id",
+        F.size(_tokens()).cast("long").alias("dl"),
+        F.filter(_tokens(), lambda w: w.isin(*_BM25_TERMS)).alias("terms"),
+    ).localCheckpoint(eager=False)
     stats = with_dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_total"),
         F.avg("dl").alias("avgdl"),
     )
-    tok = with_dl.select(
-        "doc_id", F.explode(_tokens()).alias("word")
-    ).where(F.col("word").isin(_BM25_TERMS))
-    tf = tok.groupBy("doc_id", "word").agg(
+    tok = with_dl.select("doc_id", "dl", F.explode("terms").alias("word"))
+    tf = tok.groupBy("doc_id", "dl", "word").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
     )
-    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    wd = Window.partitionBy("word")
     scored = (
-        tf.join(F.broadcast(dfreq), "word")
-        .join(with_dl.select("doc_id", "dl"), "doc_id")
+        tf.withColumn("df", F.count(F.lit(1)).over(wd).cast("double"))
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",

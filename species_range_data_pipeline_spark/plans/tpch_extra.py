@@ -415,6 +415,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Top revenue supplier(s) for 1996Q1.  Revenue is rounded to cents
     BEFORE the max comparison in both engines so the equality is on
     identical rounded values, not raw float sums.
+
+    r18 (guide §2.4): the revenue view fed both the scalar-max subquery
+    and the join-back as two lineages — two full lineitem scans.  The
+    supplier-cardinality aggregate is materialized once (lazy
+    localCheckpoint) so the max and the join read the same rows.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
@@ -429,6 +434,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("total_revenue")
         )
+        .localCheckpoint(eager=False)
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
@@ -462,16 +468,14 @@ ORDER BY s_suppkey
 
 
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q17 shape: correlated AVG subquery decorrelated to aggregate+join.
+    """Q17 shape: correlated AVG subquery decorrelated to a window.
 
     Average yearly revenue lost if small-quantity Brand#1 orders were not
     taken: lines with quantity below 20% of their part's average quantity.
-    The per-part threshold aggregate is part-cardinality — SF-proportional,
-    so it carries NO forced broadcast hint (rule 59: the optimizer
-    auto-broadcasts it at fixture scale and shuffle-joins co-partitioned
-    on partkey beyond the threshold); the
-    brand filter semi-joins the fact FIRST so the threshold aggregate only
-    sees Brand#1 lines.
+    The per-part threshold is a window average over partkey (r18 — see
+    the inline note; formerly an aggregate + join-back that scanned the
+    brand lines twice); the brand filter semi-joins the fact FIRST so
+    the threshold window only sees Brand#1 lines.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
@@ -485,13 +489,19 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey") == F.col("p_partkey"),
         "left_semi",
     )
-    thresholds = brand_lines.groupBy("l_partkey").agg(
-        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
-    )
+    # r18 (guide §2.4): the decorrelated aggregate+join-back referenced
+    # brand_lines twice — two lineitem scans, each paying the brand
+    # semi-join.  The per-part threshold is a WINDOW average over the
+    # same partkey clustering the join would have shuffled for, so one
+    # pass computes and applies it.  Exact-equivalence note: l_quantity
+    # is integral, so sum/count (and therefore avg) are order-exact —
+    # the window's accumulation order cannot flip the comparison.
+    from pyspark.sql import Window
+
+    wpart = Window.partitionBy("l_partkey")
     return (
-        brand_lines.join(
-            thresholds.withColumnRenamed("l_partkey", "t_partkey"),
-            F.col("l_partkey") == F.col("t_partkey"),
+        brand_lines.withColumn(
+            "qty_threshold", F.avg("l_quantity").over(wpart) * 0.2
         )
         .where(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(

@@ -40,12 +40,12 @@ ALLOWED: dict[str, dict[str, str]] = {
         "nation": "fixed dim (25 rows)",
         "region": "fixed dim (5 rows)",
     },
+    # r18: dfreq/unigrams/prefix hints removed with their second corpus
+    # lineages — those denominators are now window sums over the
+    # already-aggregated frames (no join, no broadcast).
     "plans/text.py": {
-        "dfreq": "doc-freq of the 5 fixed BM25 terms",
         "n_total": "global count (1 row)",
         "stats": "global corpus stats (1 row)",
-        "unigrams": "Zipf word-type table (rule 55: types, not corpus mass)",
-        "prefix": "Zipf word-type table (rule 55)",
         "ev": "eval gram set; bounded when eval_docs is an external "
               "benchmark (the documented premise); fixture split is the "
               "documented stand-in",
@@ -118,11 +118,12 @@ ALLOWED: dict[str, dict[str, str]] = {
         "buckets": "per-priority-bucket aggregate; fixed domain",
     },
     "plans/retrieval.py": {
-        "dfreq": "doc-freq of the 5 fixed BM25 terms",
         "stats": "global corpus stats (1 row)",
         "qvec": "single query vector (1 row)",
         "qs": "query head hard-capped at _MMR_MAX_QUERIES",
         "cent": "nlist coarse centroids",
+        "b": "MMR pair-sims build side: candidate frame hard-capped at "
+             "_MMR_MAX_QUERIES x _MMR_TOPN rows by construction",
     },
     "operators/ann_index.py": {
         "cent": "nlist coarse centroids",

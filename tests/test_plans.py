@@ -56,7 +56,9 @@ def test_filters_reach_parquet_scan(spark, name, pushed):
         # threshold — de-hinting must not change the fixture plan
         ("q8_market_share", 4),  # customer, supplier, 2 nation views
         ("q16_supplier_part_relationship", 2),  # supp fraction, part fraction
-        ("q17_small_quantity_revenue", 2),  # brand parts, per-part thresholds
+        ("q17_small_quantity_revenue", 1),  # brand parts (r18: the per-part
+        # threshold became a window over the same partkey clustering, so
+        # its broadcast — and the second lineitem scan — are gone)
         ("ev_retention_cohorts", 1),  # per-user first-seen
     ],
 )
