@@ -380,9 +380,15 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.select("c_custkey", "c_nationkey"),
         F.col("o_custkey") == F.col("c_custkey"),
     )
+    # r18 (guide §2.4): per_nation feeds both the per-nation estimates
+    # and the merged total as separate lineages — the orders⋈customer
+    # join and sketch aggregation ran twice.  The nation-cardinality
+    # sketch frame is materialized once (lazy localCheckpoint); the
+    # rollup-without-rescan property the docstring sells is now also
+    # what the plan does.
     per_nation = joined.groupBy("c_nationkey").agg(
         F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sk")
-    )
+    ).localCheckpoint(eager=False)
     per = per_nation.select(
         F.col("c_nationkey").cast("long").alias("nationkey"),
         F.hll_sketch_estimate("sk").alias("n_customers_est"),

@@ -1829,13 +1829,17 @@ def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same hashed-gram discipline as ``text_decontaminate`` (SCALE.md rule
     13): each window becomes a VARIADIC ``xxhash64`` in the scan stage —
     the gram string is never built, the corpus-wide gram table shuffles
-    8-byte keys.  ``count(DISTINCT doc_id) >= 2`` marks shared grams, one
-    equi-join back attributes them, and docs with no shared window keep a
-    zero row via the left join.  Counts are hash-exact short of a 64-bit
-    collision; the oracle computes the identical counts over the raw gram
-    strings, so the comparison also re-proves the hash preserved equality
-    semantics on this corpus.
+    8-byte keys.  Sharedness is a WINDOW count over the distinct (doc,
+    gram) set (r18, guide §2.4: the old shared-gram aggregate + join-back
+    + left-join zero fill referenced the gram set three times — three
+    scan+explode+distinct lineages; the window form is one corpus pass,
+    one gram exchange, one doc rollup, zero joins — docs with no shared
+    window get their zero from count_if).  Counts are hash-exact short
+    of a 64-bit collision; the oracle computes the identical counts over
+    the raw gram strings, so the comparison also re-proves the hash
+    preserved equality semantics on this corpus.
     """
+    from pyspark.sql import Window
     W = 6
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", _tokens().alias("t"))
@@ -1850,26 +1854,20 @@ def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    per_doc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
-    shared = (
-        grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("nd"))  # (doc, gram) is distinct already
-        .where(F.col("nd") >= 2)
-        .select("gram")
-    )
-    dup_per_doc = (
-        grams.join(shared, "gram")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
-    )
+    wg = Window.partitionBy("gram")
     return (
-        per_doc.join(dup_per_doc, "doc_id", "left")
+        grams.withColumn("nd", F.count(F.lit(1)).over(wg))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count_if(F.col("nd") >= 2).alias("n_dup_windows"),
+        )
         .select(
             "doc_id",
             "n_windows",
-            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            "n_dup_windows",
             F.round(
-                F.coalesce("n_dup_windows", F.lit(0)) / F.col("n_windows"), 4
+                F.col("n_dup_windows") / F.col("n_windows"), 4
             ).alias("dup_ratio"),
         )
         .orderBy("doc_id")
