@@ -248,6 +248,12 @@ def dq_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear interpolation.  At 100 TB swap the exact percentile for
     approx_percentile (t-digest) — the plan shape (agg → broadcast
     back-join → filter) is unchanged.
+
+    r18 note: a one-pass window-percentile form (quartiles OVER
+    (PARTITION BY event_type), fences and rollup in the same pass) was
+    built, measured 2.09× the two-phase shape in an interleaved A/B
+    (WindowExec buffers the whole partition per row batch; the saved
+    scan is cheaper), and reverted — guide §1.1's empirical loop.
     """
     events = load_table(spark, sf_dir, "events")
     pct = F.expr("percentile(value, array(0.25, 0.75))")
