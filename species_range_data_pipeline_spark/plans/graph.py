@@ -698,14 +698,25 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
-    edges = cooccur.where(F.col("n_orders") >= _TRI_MIN_COOCCUR).select("a", "b")
-    edges = edges.persist()
+    # r18: the edge frame used to be persist()-ed and then unpersist()-ed
+    # at BUILD time (before the returned plan ever ran), so the n_nodes/
+    # n_edges counts used the cache but every EXECUTION of the returned
+    # frame recomputed the whole co-occurrence build once per reference —
+    # three lineitem scans per run.  A lazy localCheckpoint is per-call
+    # state with no unpersist footgun: the counts below materialize it,
+    # and the wedge build, wedge close, and final aggregate all read the
+    # same materialized rows.
+    edges = (
+        cooccur.where(F.col("n_orders") >= _TRI_MIN_COOCCUR)
+        .select("a", "b")
+        .localCheckpoint(eager=False)
+    )
     # The edge set grows with the graph, so neither triangle join
-    # carries a forced broadcast hint (rule 59): at fixture scale the
-    # optimizer auto-broadcasts the persisted edge frame; beyond the
-    # threshold both joins degrade to shuffle joins on the wedge
-    # midpoint/endpoints — the compact-forward posture the docstring
-    # describes — instead of OOMing the driver on a forced build side.
+    # carries a forced broadcast hint (rule 59): beyond the
+    # auto-broadcast threshold both joins degrade to shuffle joins on
+    # the wedge midpoint/endpoints — the compact-forward posture the
+    # docstring describes — instead of OOMing the driver on a forced
+    # build side.
     wedges = (
         edges.alias("e1")
         .join(
@@ -725,13 +736,11 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
     )
     n_edges = edges.count()
-    out = triangles.agg(
+    return triangles.agg(
         F.lit(n_nodes).cast("long").alias("n_nodes"),
         F.lit(n_edges).cast("long").alias("n_edges"),
         F.count(F.lit(1)).alias("n_triangles"),
     )
-    edges.unpersist()
-    return out
 
 
 GRAPH_TRIANGLES_ORACLE = """

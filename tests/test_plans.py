@@ -619,3 +619,64 @@ def test_decontaminate_purge_external_eval_suite(spark):
     # every eval doc sits in the corpus too, so it must flag itself
     ev_ids = {r["doc_id"] for r in ev.select("doc_id").collect()}
     assert ev_ids <= {d for d, _ in got}
+
+
+# --- r18 optimization-round plan pins: the deduplicated-lineage shapes ---
+
+
+def test_q21_single_wide_exchange_one_lineitem_scan(spark):
+    """r18 rewrite: EXISTS/NOT-EXISTS as per-(order, supplier) aggregate
+    + window counts.  One lineitem scan, ONE orderkey hash exchange
+    (the explicit repartition reused by groupBy and windows), no
+    lineitem-wide joins."""
+    plan = _plan(spark, "q21_suppliers_kept_waiting")
+    assert plan.count("lineitem.parquet") == 1  # one scan (Location line)
+    # wide exchanges: the orderkey repartition + the final s_name agg;
+    # no semi/anti joins remain
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
+    assert plan.count("hashpartitioning(l_orderkey#") == 1, plan
+
+
+def test_ev_funnel_single_pass_no_joins(spark):
+    """r18 rewrite: the three funnel stages ride ONE user-keyed
+    aggregate (conditional sorted arrays); no stage joins, one events
+    scan."""
+    plan = _plan(spark, "ev_funnel")
+    assert "Join" not in plan, plan
+    assert plan.count("events.parquet") == 1  # one scan (Location line)
+
+
+def test_dq_checks_one_scan_one_orderkey_exchange(spark):
+    """r18 rewrite: all four DQ rules ride one lineitem scan; the
+    explicit orderkey repartition is the only lineitem-wide exchange."""
+    plan = _plan(spark, "dq_checks")
+    assert plan.count("lineitem.parquet") == 1  # one scan (Location line)
+    assert plan.count("hashpartitioning(l_orderkey#") == 1, plan
+
+
+def test_graph_triangles_edges_materialized_once(spark):
+    """r18 rewrite: (a) co-occurrence pairs come from one per-order
+    collect_set + local C(k,2) explode, no per-order self-join; (b) the
+    edge frame is a lazy localCheckpoint, so the EXECUTED plan's three
+    edge references read one materialized RDD — the old persist() was
+    unpersist()-ed at build time, leaving every run to recompute the
+    co-occurrence build three times (three lineitem scans per run)."""
+    plan = _plan(spark, "graph_triangles")
+    assert "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+
+
+def test_dedup_repeated_ngrams_one_gram_pass_no_joins(spark):
+    """r18 rewrite: gram sharedness is a window count over the single
+    distinct gram set; no shared-gram join-back, one documents scan."""
+    plan = _plan(spark, "dedup_repeated_ngrams")
+    assert "Join" not in plan, plan
+    assert plan.count("documents.parquet") == 1  # one scan (Location line)
+
+
+def test_bigram_lm_single_tokenize_pass(spark):
+    """r18 rewrite: the unigram denominator is a window sum over the
+    aggregated bigram frame — one documents scan, no broadcast join."""
+    plan = _plan(spark, "text_bigram_lm")
+    assert plan.count("documents.parquet") == 1  # one scan (Location line)
+    assert "Join" not in plan, plan
