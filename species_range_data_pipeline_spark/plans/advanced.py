@@ -806,53 +806,62 @@ def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     no self-unions (the naive N-stage self-join funnel shuffles N times).
 
     r18 (guide §1.2/§2.4): the stage chain used to be three per-user
-    aggregates bridged by two joins, with per_user / clicks / purchases
-    each a separate lineage — SIX events scans and three user shuffles
-    in the r17 plan.  The chaining condition only needs each user's
-    click/purchase timestamps relative to aggregates of the SAME group,
-    so one user-keyed aggregate collects them (sorted arrays; partial
-    agg map-side) and the stage mins fall out as array expressions:
-    t_click = min of clicks after t_view, t_purchase = min of purchases
-    after t_click.  One scan (type-pruned at the parquet footer), one
-    user exchange, one global rollup — identical three counts.
+    aggregates bridged by two joins — SIX events scans and three user
+    shuffles in the r17 plan.  One scan and one user exchange suffice
+    because the chaining condition only compares each event to
+    aggregates of the SAME user.
+
+    r19 (guide §5, VERDICT r18 #5): the r18 single-aggregate form
+    ``collect_list``-ed every click/purchase timestamp per user —
+    aggregation buffers do not spill mid-group, so one hot user (a
+    bot with 10⁷ events) is an executor OOM at scale.  The stage mins
+    now chain as three stacked window expressions over
+    ``PARTITION BY user_id`` (t_view = min view ts; t_click = min click
+    ts after t_view; t_purchase = min purchase ts after t_click):
+    WindowExec buffers each user's rows in a spillable array, so a hot
+    key degrades to disk instead of OOM.  Still one scan (type-pruned
+    at the parquet footer) and ONE user exchange — the three windows
+    and the per-user dedup aggregate all reuse the same partitioning —
+    plus the global rollup.  Identical three counts.
     """
+    from pyspark.sql import Window
+
     events = load_table(spark, sf_dir, "events")
-    per_user = (
+    w = Window.partitionBy("user_id")
+    is_type = lambda t: F.col("event_type") == t  # noqa: E731
+    staged = (
         events.where(
             F.col("event_type").isin("view", "click", "purchase")
         )
-        .groupBy("user_id")
-        .agg(
+        .select("user_id", "event_type", "ts")
+        .withColumn(
+            "t_view", F.min(F.when(is_type("view"), F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "t_click",
             F.min(
-                F.when(F.col("event_type") == "view", F.col("ts"))
-            ).alias("t_view"),
-            F.array_sort(
-                F.collect_list(
-                    F.when(F.col("event_type") == "click", F.col("ts"))
+                F.when(
+                    is_type("click") & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
                 )
-            ).alias("clicks"),
-            F.array_sort(
-                F.collect_list(
-                    F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    is_type("purchase") & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
                 )
-            ).alias("purchases"),
+            ).over(w),
         )
     )
-    t_click = F.array_min(
-        F.filter("clicks", lambda c: c > F.col("t_view"))
+    per_user = staged.groupBy("user_id").agg(
+        F.min("t_view").alias("t_view"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_purchase").alias("t_purchase"),
     )
-    staged = per_user.select(
-        "t_view",
-        t_click.alias("t_click"),
-        "purchases",
-    ).select(
-        "t_view",
-        "t_click",
-        F.array_min(
-            F.filter("purchases", lambda p: p > F.col("t_click"))
-        ).alias("t_purchase"),
-    )
-    return staged.agg(
+    return per_user.agg(
         F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_viewed"),
         F.count(F.when(F.col("t_click").isNotNull(), 1)).alias("n_clicked"),
         F.count(

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.materialize import materialize_once
 from ..functions.vectors import as_double, cosine
 from .text import _BM25_B, _BM25_K1, _BM25_TERMS, _tokens
 from .vectors import _DIM as _EMB_DIM
@@ -56,17 +57,28 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three separate lineages, so the r17 plan still scanned+tokenized
     # the corpus three times.  with_dl is now materialized once (lazy
     # localCheckpoint; (doc_id, dl, 5-term-filtered terms) is far
-    # smaller than the corpus text), and df attaches as a window count
-    # over the aggregated tf frame instead of a groupBy+broadcast-join
-    # of a second tf lineage — one corpus pass, and every later stage
-    # moves (doc, term)-aggregated rows only.
-    with_dl = docs.select(
-        "doc_id",
-        F.size(_tokens()).cast("long").alias("dl"),
-        F.filter(
-            _tokens(), lambda w: w.isin(*_BM25_TERMS)
-        ).alias("terms"),
-    ).localCheckpoint(eager=False)
+    # smaller than the corpus text).
+    #
+    # r19 (guide §2.5, VERDICT/ADVICE r18): the r18 df attached as
+    # ``count OVER (PARTITION BY word)`` — with |_BM25_TERMS| = 5
+    # distinct words the whole tf frame hash-collapsed onto ≤5 tasks
+    # and one WindowExec buffered each term's full document list: a
+    # parallelism collapse at 100 TB.  tf is now materialized once and
+    # df is a 5-row ``groupBy("word")`` aggregate (map-side partials,
+    # full parallelism) broadcast-joined back — the one-tokenize win
+    # stays (dfreq replays from tf's stored blocks, never the corpus),
+    # the collapse goes.  Explicit broadcast hint: the checkpointed tf
+    # has no Catalyst stats, so the 5-row build side would otherwise
+    # plan as a sort-merge join.
+    with_dl = materialize_once(
+        docs.select(
+            "doc_id",
+            F.size(_tokens()).cast("long").alias("dl"),
+            F.filter(
+                _tokens(), lambda w: w.isin(*_BM25_TERMS)
+            ).alias("terms"),
+        )
+    )
     stats = with_dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_total"),
         F.avg("dl").alias("avgdl"),
@@ -74,12 +86,16 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = with_dl.select(
         "doc_id", "dl", F.explode("terms").alias("word")
     )
-    tf = tok.groupBy("doc_id", "dl", "word").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
+    tf = materialize_once(
+        tok.groupBy("doc_id", "dl", "word").agg(
+            F.count(F.lit(1)).cast("double").alias("tf")
+        )
     )
-    wd = Window.partitionBy("word")
+    dfreq = tf.groupBy("word").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
     term_scores = (
-        tf.withColumn("df", F.count(F.lit(1)).over(wd).cast("double"))
+        tf.join(F.broadcast(dfreq), "word")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",

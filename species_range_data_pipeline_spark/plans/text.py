@@ -216,26 +216,41 @@ ORDER BY doc_id
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf: term frequency x ln(N/df), top-3 terms per doc (doc_id < 20).
 
-    tf per (doc, word) with map-side partials; df per word attaches as a
-    WINDOW count over the aggregated tf frame (r18, guide §2.4: the old
-    ``tf.groupBy(word)`` df was a second lineage of tf, so the corpus
-    was scanned+tokenized twice — the window moves (doc, word)-
-    aggregated rows once by word instead); corpus size N is a 1-row
-    broadcast.  The doc_id < 20 cut applies AFTER the window so df
-    counts the whole corpus, exactly as before."""
+    tf per (doc, word) with map-side partials, materialized ONCE (lazy
+    localCheckpoint — one corpus tokenize, the r18 invariant kept); df
+    per word is a ``groupBy("word")`` aggregate over the stored tf
+    blocks (map-side partials — a hot stopword collapses per task
+    before the exchange), and the bounded requested side (tf rows of
+    the ≤20 target docs) broadcast-joins INTO it.  The r18 form
+    attached df as ``count OVER (PARTITION BY word)`` — WindowExec
+    buffers each word's full posting list in one task, so a stopword
+    partition held ~n_docs rows (VERDICT r18 #4: skew collapse at
+    100 TB); the aggregate+broadcast shape moves only vocab-sized
+    counts and never buffers an unbounded key.  df still counts the
+    WHOLE corpus (the doc_id < 20 cut touches only the probe side);
+    corpus size N is a 1-row broadcast."""
     from pyspark.sql import Window
+
+    from ..functions.materialize import materialize_once
 
     docs = load_table(spark, sf_dir, "documents")
     tok = (
         docs.select("doc_id", F.explode(_tokens()).alias("word"))
         .where(F.col("word") != "")
     )
-    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("n_dw"))
+    tf = materialize_once(
+        tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("n_dw"))
+    )
     n_total = docs.agg(F.count(F.lit(1)).alias("n_total"))
-    wd = Window.partitionBy("word")
+    dfreq = tf.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_docs_with")
+    )
+    # probe side bounded by construction (words of ≤20 docs): explicit
+    # broadcast hint (checkpointed tf has no Catalyst stats); dfreq
+    # streams through the hash join with no extra exchange
+    probe = tf.where(F.col("doc_id") < 20)
     scored = (
-        tf.withColumn("n_docs_with", F.count(F.lit(1)).over(wd))
-        .where(F.col("doc_id") < 20)
+        dfreq.join(F.broadcast(probe), "word")
         .crossJoin(F.broadcast(n_total))
         .select(
             "doc_id",
@@ -1264,18 +1279,23 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the model (no smoothing term to keep cross-engine deterministic).
     The LM probability is an exact rational (bigram/prefix counts), so
     both engines take log2 of IDENTICAL doubles; only the per-doc sum
-    order differs (~1e-13), rounded away at 3 decimals.  Plan (r18,
-    guide §2.4/§1.2): ONE token pass — the r17 shape referenced
-    ``pairs`` from both ``doc_bigrams`` and ``corpus`` and ``corpus``
-    from both ``lm`` and ``prefix``, so the scan→explode→window subtree
-    replayed three times (three Generates in the plan).  Now the corpus
-    LM counts are exact rollups of the per-doc aggregate
-    (``n_bigram = sum(m)`` over (w1, w2); ``n_prefix = sum(m)`` over
-    w1, both as windows over the already-aggregated frame), so
-    every post-tokenize stage moves aggregated counts only and the LM
-    probability attaches with no join at all.
+    order differs (~1e-13), rounded away at 3 decimals.
+
+    Plan (r18 one-pass + r19 de-skew): ONE token pass — the per-doc
+    bigram aggregate is materialized once (lazy localCheckpoint), so no
+    subtree replays (the r17 shape tokenized three times).  The corpus
+    LM is an exact rollup of that aggregate: ``n_bigram = sum(m)``
+    GROUP BY (w1, w2) with map-side partials, ``n_prefix`` a window sum
+    over the (w1, w2)-AGGREGATED lm frame — that window's partitions
+    are vocab-bounded (≤ distinct successors of one w1), the
+    text_bigram_lm shape ADVICE r18 endorsed, unlike the r18 windows
+    over doc_bigrams whose partitions were corpus-dependent (a stopword
+    bigram appears in ~every doc, so one task buffered ~n_docs rows).
+    The LM attaches with ONE (w1, w2)-keyed join, AQE-skew-splittable.
     """
     from pyspark.sql import Window
+
+    from ..functions.materialize import materialize_once
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.posexplode(_tokens()).alias("pos", "w1"))
@@ -1283,16 +1303,21 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = toks.withColumn("w2", F.lead("w1").over(w)).where(
         F.col("w2").isNotNull()
     )
-    doc_bigrams = pairs.groupBy("doc_id", "w1", "w2").agg(
-        F.count(F.lit(1)).alias("m")
+    doc_bigrams = materialize_once(
+        pairs.groupBy("doc_id", "w1", "w2").agg(
+            F.count(F.lit(1)).alias("m")
+        )
     )
-    wbg = Window.partitionBy("w1", "w2")
-    wpf = Window.partitionBy("w1")
-    scored = (
-        doc_bigrams.withColumn("n_bigram", F.sum("m").over(wbg))
-        .withColumn("n_prefix", F.sum("m").over(wpf))
+    lm = (
+        doc_bigrams.groupBy("w1", "w2")
+        .agg(F.sum("m").alias("n_bigram"))
+        .withColumn(
+            "n_prefix", F.sum("n_bigram").over(Window.partitionBy("w1"))
+        )
         .withColumn("p", F.col("n_bigram") / F.col("n_prefix"))
+        .select("w1", "w2", "p")
     )
+    scored = doc_bigrams.join(lm, ["w1", "w2"])
     return (
         scored.groupBy("doc_id")
         .agg(
@@ -1449,16 +1474,21 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) summed over query
     terms, with the Lucene idf variant ln((N - df + 0.5)/(df + 0.5) + 1).
 
-    Plan shape (r18, guide §2.4/§1.2 — the retrieval_rrf_fusion lexical
-    head, shared discipline): ONE corpus tokenize pass.  with_dl
-    (doc_id, dl, 5-term-filtered tokens) is materialized once (lazy
-    localCheckpoint); stats aggregate it, dl rides THROUGH the explode
-    as a grouping key (no dl join-back), and df attaches as a window
-    count over the aggregated tf frame (no second tf lineage).  The r17
-    shape tokenized the corpus four times (stats, tok, the dl
-    join-back, and dfreq's replay of tf).  At 100 TB the only wide
-    exchange is the (doc, term) groupBy; the df window moves (doc,
-    term)-aggregated rows only.
+    Plan shape (r18 one-pass + r19 de-skew, guide §2.4/§1.2/§2.5 — the
+    retrieval_rrf_fusion lexical head, shared discipline): ONE corpus
+    tokenize pass.  with_dl (doc_id, dl, 5-term-filtered tokens) is
+    materialized once (lazy localCheckpoint); stats aggregate it, dl
+    rides THROUGH the explode as a grouping key (no dl join-back), and
+    the (doc, term) tf aggregate is materialized once too.  df then
+    attaches as a tiny ``groupBy("word")`` aggregate (|_BM25_TERMS| = 5
+    rows, map-side partials) broadcast-joined back.  The r18 form
+    computed df as ``count OVER (PARTITION BY word)`` — with 5 distinct
+    words the whole tf frame hash-collapsed onto ≤5 tasks and each
+    term's full document list was buffered by one WindowExec
+    (VERDICT/ADVICE r18: a parallelism collapse at 100 TB); the
+    broadcast join keeps map-side partial aggregation and full
+    parallelism.  At 100 TB the only wide exchange is the (doc, term)
+    groupBy.
 
     Float parity: per-term scores are rounded to integer micro-units and
     summed as BIGINT so the per-doc sum is independent of term order
@@ -1466,23 +1496,33 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    from ..functions.materialize import materialize_once
+
     docs = load_table(spark, sf_dir, "documents")
-    with_dl = docs.select(
-        "doc_id",
-        F.size(_tokens()).cast("long").alias("dl"),
-        F.filter(_tokens(), lambda w: w.isin(*_BM25_TERMS)).alias("terms"),
-    ).localCheckpoint(eager=False)
+    with_dl = materialize_once(
+        docs.select(
+            "doc_id",
+            F.size(_tokens()).cast("long").alias("dl"),
+            F.filter(_tokens(), lambda w: w.isin(*_BM25_TERMS)).alias("terms"),
+        )
+    )
     stats = with_dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_total"),
         F.avg("dl").alias("avgdl"),
     )
     tok = with_dl.select("doc_id", "dl", F.explode("terms").alias("word"))
-    tf = tok.groupBy("doc_id", "dl", "word").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
+    tf = materialize_once(
+        tok.groupBy("doc_id", "dl", "word").agg(
+            F.count(F.lit(1)).cast("double").alias("tf")
+        )
     )
-    wd = Window.partitionBy("word")
+    # term-bounded by construction (≤ |_BM25_TERMS| rows): explicit
+    # broadcast hint because the checkpointed tf has no Catalyst stats
+    dfreq = tf.groupBy("word").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
     scored = (
-        tf.withColumn("df", F.count(F.lit(1)).over(wd).cast("double"))
+        tf.join(F.broadcast(dfreq), "word")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
@@ -1829,22 +1869,29 @@ def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same hashed-gram discipline as ``text_decontaminate`` (SCALE.md rule
     13): each window becomes a VARIADIC ``xxhash64`` in the scan stage —
     the gram string is never built, the corpus-wide gram table shuffles
-    8-byte keys.  Sharedness is a WINDOW count over the distinct (doc,
-    gram) set (r18, guide §2.4: the old shared-gram aggregate + join-back
-    + left-join zero fill referenced the gram set three times — three
-    scan+explode+distinct lineages; the window form is one corpus pass,
-    one gram exchange, one doc rollup, zero joins — docs with no shared
-    window get their zero from count_if).  Counts are hash-exact short
+    8-byte keys.  The distinct (doc, gram) set is materialized ONCE
+    (lazy localCheckpoint — one corpus pass, the r18 invariant);
+    sharedness is a per-gram count AGGREGATE over the stored blocks
+    (map-side partials) joined back by gram.  The r18 form used
+    ``count OVER (PARTITION BY gram)`` — WindowExec buffers each gram's
+    whole partition in one task, so a boilerplate gram shared by ~all
+    docs made one task hold ~n_docs rows (VERDICT r18 #4); the
+    aggregate collapses hot grams per task BEFORE its exchange, and the
+    join-back is AQE-skew-splittable (a join can split one giant key
+    across tasks; a window cannot).  No broadcast: the gram domain is
+    corpus-sized.  Docs with no shared window still appear — every
+    (doc, gram) row survives the inner join (nd ≥ 1 by construction)
+    and count_if supplies the zero.  Counts are hash-exact short
     of a 64-bit collision; the oracle computes the identical counts over
     the raw gram strings, so the comparison also re-proves the hash
     preserved equality semantics on this corpus.
     """
-    from pyspark.sql import Window
+    from ..functions.materialize import materialize_once
     W = 6
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", _tokens().alias("t"))
     args = ",".join(f"t[i{'+' + str(j - 1) if j else '-1'}]" for j in range(W))
-    grams = (
+    grams = materialize_once(
         toks.where(F.size("t") >= W)
         .select(
             "doc_id",
@@ -1854,9 +1901,9 @@ def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    wg = Window.partitionBy("gram")
+    nd = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
     return (
-        grams.withColumn("nd", F.count(F.lit(1)).over(wg))
+        grams.join(nd, "gram")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),

@@ -277,11 +277,30 @@ def test_pack_sequences_one_wide_shuffle(spark):
 def test_rrf_fusion_broadcasts_small_sides(spark):
     # df/corpus-stats/rate tables and the single query vector broadcast;
     # the only sort-merge join is the doc-keyed full-outer fusion (both
-    # sides rank outputs, neither broadcastable at corpus scale)
+    # sides rank outputs, neither broadcastable at corpus scale).
+    # r19 (VERDICT r18 #3): df must NOT attach as a window partitioned
+    # by word — _BM25_TERMS has 5 values, so that window hash-collapses
+    # the whole tf frame onto <=5 tasks; it is a 5-row aggregate
+    # broadcast-joined back instead.
     plan = _plan(spark, "retrieval_rrf_fusion")
     assert plan.count("BroadcastExchange") >= 3, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("SortMergeJoin FullOuter") == 1, plan
+    assert "windowspecdefinition(word#" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bm25_tfidf_df_attaches_by_broadcast_join_not_hot_window(spark):
+    """r19 (VERDICT r18 #3/#4): in text_bm25_topk the df window's key
+    domain is 5 terms (parallelism collapse); in text_tfidf_topk it is
+    the open vocabulary (a stopword partition buffers ~n_docs rows in
+    one WindowExec task).  Both now aggregate df with map-side partials
+    and broadcast-join the BOUNDED side back; the only windows left are
+    the rank windows."""
+    for name in ("text_bm25_topk", "text_tfidf_topk"):
+        plan = _plan(spark, name)
+        assert "windowspecdefinition(word#" not in plan, (name, plan)
+        assert "BroadcastHashJoin" in plan, (name, plan)
 
 
 def test_dedup_keep_best_single_fingerprint_shuffle(spark):
@@ -638,12 +657,18 @@ def test_q21_single_wide_exchange_one_lineitem_scan(spark):
 
 
 def test_ev_funnel_single_pass_no_joins(spark):
-    """r18 rewrite: the three funnel stages ride ONE user-keyed
-    aggregate (conditional sorted arrays); no stage joins, one events
-    scan."""
+    """r18 rewrite: the three funnel stages ride one events scan and one
+    user exchange, no stage joins.  r19 (VERDICT r18 #5): per-user state
+    must be SPILLABLE — no collect_list (agg buffers can't spill
+    mid-group; a bot user with 10^7 events OOMs an executor), the stage
+    mins chain as windows over user_id instead."""
     plan = _plan(spark, "ev_funnel")
     assert "Join" not in plan, plan
     assert plan.count("events.parquet") == 1  # one scan (Location line)
+    assert "collect_list" not in plan, plan
+    # the three stacked windows and the per-user dedup agg reuse ONE
+    # user_id exchange
+    assert plan.count("hashpartitioning(user_id#") == 1, plan
 
 
 def test_dq_checks_one_scan_one_orderkey_exchange(spark):
@@ -666,12 +691,20 @@ def test_graph_triangles_edges_materialized_once(spark):
     assert "ExistingRDD" in plan, plan
 
 
-def test_dedup_repeated_ngrams_one_gram_pass_no_joins(spark):
-    """r18 rewrite: gram sharedness is a window count over the single
-    distinct gram set; no shared-gram join-back, one documents scan."""
+def test_dedup_repeated_ngrams_one_gram_pass_no_hot_key_window(spark):
+    """r18: one corpus pass (the distinct gram set materializes once —
+    zero parquet scans in the executed plan, both references read the
+    same RDD).  r19 (VERDICT r18 #4): sharedness must NOT be a window
+    partitioned by gram (WindowExec buffers a boilerplate gram's whole
+    ~n_docs partition in one task); it is a per-gram aggregate (map-side
+    partials) joined back — a join AQE can skew-split, a window cannot."""
     plan = _plan(spark, "dedup_repeated_ngrams")
-    assert "Join" not in plan, plan
-    assert plan.count("documents.parquet") == 1  # one scan (Location line)
+    assert "documents.parquet" not in plan, plan  # gram set built once
+    # both gram-set references read one RDD (formatted explain lists
+    # each scan twice: tree + details)
+    assert plan.count("Scan ExistingRDD") == 4, plan
+    assert "Window" not in plan, plan
+    assert "Join" in plan, plan
 
 
 def test_bigram_lm_single_tokenize_pass(spark):
