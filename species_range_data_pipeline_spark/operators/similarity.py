@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.vectors import as_double, cosine, dot
+from ..functions.materialize import materialize_once
 
 
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
@@ -92,8 +93,8 @@ def near_dup_candidates(
         (dot(v, _plane_lit(planes[p])) >= 0).cast("int").alias(f"b{p}")
         for p in range(n_planes)
     ]
-    sig = emb.select(F.col(id_col).alias("id"), *bits).localCheckpoint(
-        eager=False
+    sig = materialize_once(
+        emb.select(F.col(id_col).alias("id"), *bits)
     )
     per_band = n_planes // bands
     band_structs = [

@@ -42,6 +42,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.materialize import materialize_once
 from .text import _tokens
 
 #: merges to learn for the driver query (enough to show multi-char
@@ -122,7 +123,7 @@ def train_merges(
         merges.append((step, best["l"], best["r"], int(best["n"])))
         cur = cur.select(
             "wc", _merge_pair(F.col("syms"), best["l"], best["r"]).alias("syms")
-        ).localCheckpoint(eager=False)
+        ).transform(materialize_once)
     return merges
 
 

@@ -54,6 +54,7 @@ ORDER BY window_start, event_type
 
 
 from ..streaming.state import drain_available_now
+from ..functions.materialize import materialize_once
 
 import itertools as _itertools
 
@@ -1742,7 +1743,7 @@ def ev_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
-    ).localCheckpoint(eager=False)  # day x type rows: tiny, reused 3x
+    ).transform(materialize_once)  # day x type rows: tiny, reused 3x
     bounds = daily.agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
     )

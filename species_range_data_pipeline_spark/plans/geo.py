@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.polygonize import dissolve, polygonize
+from ..functions.materialize import materialize_once
 
 _GRID = 32
 
@@ -730,7 +731,7 @@ def _range_overlap_from_cells(
         dissolve(cells, by=["species"], num_partitions=num_partitions)
         .select("species", "geometry")
         .join(F.broadcast(boxes), "species")
-        .localCheckpoint(eager=False)
+        .transform(materialize_once)
     )
     a = d.select(
         F.col("species").alias("species_a"), F.col("geometry").alias("geom_a"),

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.materialize import materialize_once
 from .text import dedup_ngram_jaccard
 
 _MAX_ITERS = 30
@@ -709,7 +710,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         cooccur.where(F.col("n_orders") >= _TRI_MIN_COOCCUR)
         .select("a", "b")
-        .localCheckpoint(eager=False)
+        .transform(materialize_once)
     )
     # The edge set grows with the graph, so neither triangle join
     # carries a forced broadcast hint (rule 59): beyond the

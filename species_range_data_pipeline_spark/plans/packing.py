@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.materialize import materialize_once
 from .text import _tokens
 
 #: tokens per packed training sequence (a context-window budget)
@@ -214,7 +215,7 @@ def dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (
         docs.groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_orig"))
-        .localCheckpoint(eager=False)
+        .transform(materialize_once)
     )
     min_n = counts.agg(F.min("n_orig").alias("min_n"))
     rates = counts.crossJoin(F.broadcast(min_n)).select(
@@ -282,7 +283,7 @@ def dataset_interleave_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_src = (
         toks.groupBy("source")
         .agg(F.sum("n_tokens").cast("long").alias("src_tokens"))
-        .localCheckpoint(eager=False)
+        .transform(materialize_once)
     )
     target = per_src.agg(F.max("src_tokens").alias("target_tokens"))
     plan = per_src.crossJoin(F.broadcast(target)).select(

@@ -433,7 +433,7 @@ def _mmr_tail(cands: DataFrame) -> DataFrame:
     rel_micro, embedding), diversified picks out.  Shared verbatim by
     the exact-head registered lane and the IVF-head production variant
     so their greedy semantics cannot diverge."""
-    cands = cands.localCheckpoint(eager=False)
+    cands = cands.transform(materialize_once)
     slim = cands.select("query_id", "vec_id", "rel_micro")
     return (
         slim.groupBy("query_id")
@@ -646,11 +646,11 @@ def retrieval_mmr_diversify_rounds(
     kernel lane."""
     cands = _mmr_candidates(
         load_table(spark, sf_dir, "embeddings")
-    ).localCheckpoint(eager=False)
+    ).transform(materialize_once)
     wq = Window.partitionBy("query_id").orderBy(
         F.col("rel_micro").desc(), "vec_id"
     )
-    pair_sims = _mmr_pair_sims(cands).localCheckpoint(eager=False)
+    pair_sims = _mmr_pair_sims(cands).transform(materialize_once)
     slim = cands.select("query_id", "vec_id", "rel_micro")
 
     selected = (
@@ -695,7 +695,7 @@ def retrieval_mmr_diversify_rounds(
                 "rel_micro",
             )
         )
-        selected = selected.unionByName(pick).localCheckpoint(eager=False)
+        selected = selected.unionByName(pick).transform(materialize_once)
     return selected.orderBy("query_id", "rank")
 
 

@@ -22,6 +22,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.materialize import materialize_once
 
 
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -399,7 +400,7 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # what the plan does.
     per_nation = joined.groupBy("c_nationkey").agg(
         F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sk")
-    ).localCheckpoint(eager=False)
+    ).transform(materialize_once)
     per = per_nation.select(
         F.col("c_nationkey").cast("long").alias("nationkey"),
         F.hll_sketch_estimate("sk").alias("n_customers_est"),

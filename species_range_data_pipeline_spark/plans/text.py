@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.materialize import materialize_once
 
 
 def _size_conf_bytes(spark: SparkSession, key: str, default: int) -> int:
@@ -230,8 +231,6 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHOLE corpus (the doc_id < 20 cut touches only the probe side);
     corpus size N is a 1-row broadcast."""
     from pyspark.sql import Window
-
-    from ..functions.materialize import materialize_once
 
     docs = load_table(spark, sf_dir, "documents")
     tok = (
@@ -611,7 +610,7 @@ def _lsh_banded(docs: DataFrame, shared: bool = False) -> DataFrame:
         ]
     )
     if shared:
-        sig = sig.localCheckpoint(eager=False)
+        sig = sig.transform(materialize_once)
     per_band = len(_MINHASH_SALTS) * _SLICES_PER_MD5 // _LSH_BANDS
     band_structs = [
         F.struct(
@@ -836,7 +835,7 @@ def dedup_incremental_minhash_manifest(
     mins + join back), same discipline as the recomputed lane."""
     banded = incremental_banded_lineage(
         spark, sf_dir, signatures_path
-    ).localCheckpoint(eager=False)
+    ).transform(materialize_once)
     return _bucket_min_incremental(banded)
 
 
@@ -1045,7 +1044,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized stage) run exactly once per call.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = _doc_shingles(docs).distinct().localCheckpoint(eager=False)
+    sh = _doc_shingles(docs).distinct().transform(materialize_once)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -1295,8 +1294,6 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    from ..functions.materialize import materialize_once
-
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.posexplode(_tokens()).alias("pos", "w1"))
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -1496,8 +1493,6 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    from ..functions.materialize import materialize_once
-
     docs = load_table(spark, sf_dir, "documents")
     with_dl = materialize_once(
         docs.select(
@@ -1641,7 +1636,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan→Generate→HashAggregate chain per side).  Materialize it once
     # (lazy localCheckpoint, the MMR-lane discipline) so the gram build —
     # the only corpus-sized stage — runs exactly once per call.
-    grams = _hashed_grams(docs).distinct().localCheckpoint(eager=False)
+    grams = _hashed_grams(docs).distinct().transform(materialize_once)
     ev = grams.where(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("eval_doc"), "gram"
     )
@@ -1886,7 +1881,6 @@ def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw gram strings, so the comparison also re-proves the hash
     preserved equality semantics on this corpus.
     """
-    from ..functions.materialize import materialize_once
     W = 6
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", _tokens().alias("t"))

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.materialize import materialize_once
 
 
 def q2_top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -434,7 +435,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("total_revenue")
         )
-        .localCheckpoint(eager=False)
+        .transform(materialize_once)
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (

@@ -46,6 +46,10 @@ ALLOWED: dict[str, dict[str, str]] = {
     "plans/text.py": {
         "n_total": "global count (1 row)",
         "stats": "global corpus stats (1 row)",
+        # r19 (VERDICT r18 #3/#4): the de-skewed df join-backs
+        "dfreq": "per-term df over _BM25_TERMS (<=5 rows by construction)",
+        "probe": "tf rows of the <=20 requested docs (doc_id < 20 cut; "
+                 "bounded by the query's own output contract)",
         "ev": "eval gram set; bounded when eval_docs is an external "
               "benchmark (the documented premise); fixture split is the "
               "documented stand-in",
@@ -119,6 +123,7 @@ ALLOWED: dict[str, dict[str, str]] = {
     },
     "plans/retrieval.py": {
         "stats": "global corpus stats (1 row)",
+        "dfreq": "per-term df over _BM25_TERMS (<=5 rows by construction)",
         "qvec": "single query vector (1 row)",
         "qs": "query head hard-capped at _MMR_MAX_QUERIES",
         "cent": "nlist coarse centroids",

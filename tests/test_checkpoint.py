@@ -52,3 +52,37 @@ def test_restartable_run_resumes_where_it_stopped(spark, tmp_path):
     back = spark.read.parquet(sink)
     assert back.count() == n_total
     assert back.select("o_orderkey").distinct().count() == n_total
+
+
+def test_materialize_once_blocks_bounded(spark):
+    """r19 (VERDICT r18 #7): materialize_once (lazy localCheckpoint)
+    frames are released by the ContextCleaner once the DataFrame becomes
+    unreachable and a GC runs — a loop of lane invocations must not grow
+    executor block-manager storage without bound.  50 invocations of a
+    checkpointing lane, references dropped each time, then GC: the
+    persistent-RDD registry must come back to a small constant, not ~50
+    entries."""
+    import gc
+    import time
+
+    from species_range_data_pipeline_spark.plans import registry
+
+    fn = registry.all_queries()["dedup_repeated_ngrams"]
+    for _ in range(50):
+        df = fn(spark, SF_SMOKE)
+        df.write.format("noop").mode("overwrite").save()
+        del df
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    # release is GC-driven (documented in functions/materialize.py):
+    # drop Python refs, force both GCs, and poll for the async cleaner
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        if n_persistent() <= 10:
+            break
+        time.sleep(1)
+    assert n_persistent() <= 10, n_persistent()
