@@ -69,58 +69,63 @@ _MODULE_NAMES = [
 # — then the ENTIRE r13-era freshness tranche (VERDICT r17 next #1 —
 # 23 queries; after this round the floor moves to r14), then the
 # stalest r14 rows with module fillers resolved within them.
-_WINDOW_BUILT_FROM = 17  # newest CORRECTNESS artifact consumed
+#
+# r19 rotation (the same mechanical protocol): all r18 lakehouse
+# first-rows went green, so the floor is now r14 — the window is the
+# flagship sentinel plus the stalest-first r14/r15 tranche with the
+# module fillers the builder resolved (media/bpe/scalar).
+_WINDOW_BUILT_FROM = 18  # newest CORRECTNESS artifact consumed
 _PRIORITY = [
-    "flagship_threshold_rollup",  # r17 (relational)
-    "delta_dml_cow",  # FIRST driver row (stats)
-    "delta_read_column_mapping",  # FIRST driver row (stats)
-    "delta_read_column_mapping_id",  # FIRST driver row (stats)
-    "delta_read_v2_checkpoint",  # FIRST driver row (stats)
-    "delta_write_roundtrip",  # FIRST driver row (stats)
-    "iceberg_dml_mor",  # FIRST driver row (stats)
-    "iceberg_read_eq_deletes",  # FIRST driver row (stats)
-    "iceberg_write_roundtrip",  # FIRST driver row (stats)
-    "lakehouse_compaction",  # FIRST driver row (stats)
-    "stream_delta_cdf_tail",  # FIRST driver row (events)
-    "stream_iceberg_cdf_tail",  # FIRST driver row (events)
-    "cosine_topk",  # r13 (vectors)
-    "curation_domain_cap",  # r13 (quality)
-    "curation_token_budget",  # r13 (quality)
-    "dataset_interleave_epochs",  # r13 (packing)
-    "geo_point_in_polygon",  # r13 (geo)
-    "geo_range_overlap",  # r13 (geo)
-    "graph_pagerank",  # r13 (graph)
-    "hier_rollup_sql",  # r13 (graph)
-    "join_anti_idempotent",  # r13 (relational)
-    "json_udtf_dynamic",  # r13 (scalar)
-    "map_funcs",  # r13 (scalar)
-    "null_cond_funcs",  # r13 (scalar)
-    "profile_orders",  # r13 (quality)
-    "q1_pricing_summary",  # r13 (relational)
-    "sample_balanced_classes",  # r13 (quality)
-    "sample_hash_bucket",  # r13 (advanced)
-    "sketch_cms_brand_counts",  # r13 (stats)
-    "sketch_hll_distinct",  # r13 (stats)
-    "text_decontaminate_purge",  # r13 (text)
-    "text_normalize_unicode",  # r13 (text)
-    "text_winnow_fingerprint",  # r13 (text)
-    "text_word_topk",  # r13 (text)
-    "xml_roundtrip_parse",  # r13 (scalar)
-    "retrieval_mmr_diversify_ivf",  # r14 (retrieval)
-    "q12_late_priority_lines",  # r14 (tpch_extra)
-    "multimodal_decode_stats",  # r15 (media)
-    "bpe_train_merges",  # r16 (bpe)
-    "array_map_funcs",  # r14 (advanced)
-    "corpus_pipeline_summary",  # r14 (packing)
-    "corr_measures",  # r14 (mining)
-    "dataset_mixture",  # r14 (packing)
-    "dedup_clusters",  # r14 (graph)
-    "dedup_exact",  # r14 (text)
-    "dedup_incremental_minhash_manifest",  # r14 (text)
-    "dedup_keep_best",  # r14 (quality)
-    "filename_parse",  # r14 (scalar)
-    "geo_container_roundtrip",  # r14 (geo)
-    "geo_range_overlap_bands",  # r14 (geo)
+    "flagship_threshold_rollup",  # r18 (relational)
+    "agg_count_if_bool",  # r14 (stats)
+    "agg_salted_twophase",  # r14 (advanced)
+    "agg_string_concat",  # r14 (stats)
+    "ann_ivf_topk",  # r14 (vectors)
+    "geo_shapefile_roundtrip",  # r14 (geo)
+    "join_full_outer",  # r14 (relational)
+    "join_semi",  # r14 (relational)
+    "join_skew_salted",  # r14 (advanced)
+    "q10_returned_revenue",  # r14 (advanced)
+    "q13_customer_distribution",  # r14 (tpch_extra)
+    "q15_top_supplier",  # r14 (tpch_extra)
+    "q16_supplier_part_relationship",  # r14 (tpch_extra)
+    "q17_small_quantity_revenue",  # r14 (tpch_extra)
+    "q20_excess_shipments",  # r14 (tpch_extra)
+    "q22_dormant_customers",  # r14 (tpch_extra)
+    "q3_shipping_priority",  # r14 (relational)
+    "q5_region_volume",  # r14 (relational)
+    "q6_revenue_delta",  # r14 (advanced)
+    "q8_market_share",  # r14 (tpch_extra)
+    "scd2_customer_history",  # r14 (mining)
+    "scrape_pipeline_live",  # r14 (relational)
+    "setop_except",  # r14 (relational)
+    "setop_intersect",  # r14 (relational)
+    "sketch_quantile_bottomk",  # r14 (stats)
+    "sort_limit_topk",  # r14 (relational)
+    "stream_tumbling_counts",  # r14 (events)
+    "text_bigram_lm",  # r14 (text)
+    "text_chunk_udtf",  # r14 (text)
+    "text_compression_ratio",  # r14 (quality)
+    "text_perplexity",  # r14 (text)
+    "text_pii_scrub",  # r14 (quality)
+    "text_quality_classifier",  # r14 (text)
+    "text_repetition",  # r14 (text)
+    "window_udaf_ewma",  # r14 (events)
+    "graph_triangles",  # r15 (graph)
+    "retrieval_mmr_auto",  # r15 (retrieval)
+    "json_funcs",  # r15 (scalar)
+    "subtitle_cue_stats",  # r16 (media)
+    "bpe_encode_tokens",  # r17 (bpe)
+    "agg_rollup",  # r15 (relational)
+    "cdf_row_changes",  # r15 (stats)
+    "doc_pack_sequences",  # r15 (packing)
+    "doc_quality_funnel",  # r15 (quality)
+    "emb_dedup_components",  # r15 (vectors)
+    "ev_funnel",  # r15 (advanced)
+    "ev_retention_cohorts",  # r15 (events)
+    "ev_sessionization",  # r15 (events)
+    "ev_tumbling",  # r15 (events)
+    "geo_dissolve_area",  # r15 (geo)
 ]
 
 # Queries whose oracles are pure VALUES restatements of expected OUTPUT

@@ -27,6 +27,31 @@ def spark():
 
 
 @pytest.fixture(scope="session")
+def registry_plans(spark):
+    """ONE construction + formatted-explain of every registered query at
+    SF_CORRECT, shared by the registry-wide audit tests (r19, VERDICT
+    r18 #1): constructing the full registry executes the eager lanes
+    (streaming drains, iterative graph rounds, BPE training), so each
+    independent full pass costs ~3 min — the r18 suite paid it three
+    times (runnable-plan, cartesian/row-python census, driver-sortable
+    schemas) plus once per ``_plan`` pin.  Returns
+    ``{name: (schema, formatted_plan_text)}``."""
+    import contextlib
+    import io
+
+    from species_range_data_pipeline_spark.plans import registry
+
+    out = {}
+    for name, fn in registry.all_queries().items():
+        df = fn(spark, SF_CORRECT)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        out[name] = (df.schema, buf.getvalue())
+    return out
+
+
+@pytest.fixture(scope="session")
 def duck():
     import duckdb
 

@@ -8,6 +8,7 @@ oracles on non-adversarial input.
 """
 
 from __future__ import annotations
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -147,6 +148,7 @@ def test_emb_fixture_buckets_are_far_below_cap(spark):
     )
 
 
+@pytest.mark.slow  # r19 slow tier: inertness sweep; the cap-enforced adversarial tests stay default
 def test_emb_lsh_cap_is_inert_below_threshold(spark):
     """Fixture pairs must be identical under the default cap and a cap
     larger than any bucket (shard constant 0 either way) — the VALUES pin

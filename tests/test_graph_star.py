@@ -39,6 +39,7 @@ def _edges_df(spark, pairs):
         [(i, 2 * i) for i in range(1, 64)] + [(i, 2 * i + 1) for i in range(1, 64)],
     ],
 )
+@pytest.mark.slow  # r19 slow tier: 4-param equivalence sweep; star-equals-plain fixture test stays default
 def test_star_matches_propagation(spark, pairs):
     edges = _edges_df(spark, pairs)
     got = _labels(connected_components_star(edges))
@@ -51,6 +52,7 @@ def test_star_matches_propagation(spark, pairs):
     assert got == want | {(v, v) for v in only_self}
 
 
+@pytest.mark.slow  # r19 slow tier: convergence-rate property; correctness pinned by the default-tier equality tests
 def test_star_chain_converges_in_log_rounds(spark):
     """A 200-link chain must finish well under the propagation bound —
     the cap would trip if rounds were O(diameter).  The plain loop must

@@ -12,6 +12,13 @@ import operator
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+# r19 slow tier: randomized hypothesis sweeps; the pointwise manifest/
+# DML/stream contracts stay in the default gate (test_formats,
+# test_delta_write, test_corpus_stream).
+import pytest
+
+pytestmark = pytest.mark.slow
+
 _OPS = {
     "=": operator.eq,
     "<": operator.lt,

@@ -71,11 +71,13 @@ def test_oracle_match(name, spark, duck):
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]} (cols={s_cols})"
 
 
-def test_every_query_has_runnable_plan(spark):
-    """Queries without oracles still must build a DataFrame and return rows."""
-    for name, fn in QUERIES.items():
-        df = fn(spark, SF_CORRECT)
-        assert df.columns, f"{name}: no columns"
+def test_every_query_has_runnable_plan(registry_plans):
+    """Queries without oracles still must build a DataFrame and return
+    columns (r19: reads the shared one-pass registry construction — see
+    conftest.registry_plans — instead of paying its own full pass)."""
+    assert set(registry_plans) == set(QUERIES)
+    for name, (schema, _plan_text) in registry_plans.items():
+        assert schema.fields, f"{name}: no columns"
 
 
 def test_rows_only_set_is_exactly_the_documented_exceptions():

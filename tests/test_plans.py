@@ -17,12 +17,27 @@ from .conftest import SF_CORRECT
 QUERIES = registry.all_queries()
 
 
+#: filled by the autouse module fixture below from the session-shared
+#: one-pass registry construction (conftest.registry_plans); every
+#: ``_plan`` pin reads the shared text instead of re-constructing the
+#: query (r19, VERDICT r18 #1 — the suite paid the full-registry
+#: construction once per audit test plus once per pin).
+_SHARED_PLANS: dict = {}
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _share_registry_plans(registry_plans):
+    _SHARED_PLANS.update(registry_plans)
+
+
 def _plan(spark, name):
     """explain('formatted') text — the compact toString truncates long
     PushedFilters lists."""
     import contextlib
     import io
 
+    if name in _SHARED_PLANS:
+        return _SHARED_PLANS[name][1]
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         QUERIES[name](spark, SF_CORRECT).explain("formatted")

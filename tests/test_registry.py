@@ -126,7 +126,7 @@ def test_rows_only_queries_nonempty_and_deterministic(spark, name):
     assert rows1 == rows2
 
 
-def test_oracled_query_schemas_are_driver_sortable(spark):
+def test_oracled_query_schemas_are_driver_sortable(registry_plans):
     """The driver's canonicalizer pandas-sorts across ALL output columns
     before hashing; a top-level array/map/struct column dies with
     ``unhashable type`` (the round-6 ``emb_label_centroids`` ERR).  Any
@@ -134,10 +134,9 @@ def test_oracled_query_schemas_are_driver_sortable(spark):
     must resolve to scalar-only top-level columns."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
-    queries = registry.all_queries()
     offenders = []
     for name in registry.all_oracles():
-        schema = queries[name](spark, SF_CORRECT).schema
+        schema = registry_plans[name][0]
         bad = [
             f.name
             for f in schema.fields

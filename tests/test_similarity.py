@@ -8,6 +8,7 @@
 """
 
 from __future__ import annotations
+import pytest
 
 from species_range_data_pipeline_spark.catalog import load_table
 from species_range_data_pipeline_spark.operators.similarity import (
@@ -40,6 +41,7 @@ def test_lsh_near_dup_precision_and_recall(spark):
     assert recall >= 0.9, f"recall {recall:.2f} below floor"
 
 
+@pytest.mark.slow  # r19 slow tier: union-find reference sweep; precision/recall + oracle lanes stay default
 def test_lsh_components_match_union_find_on_recalled_pairs(spark):
     """Independent golden for the production SemDeDup lane
     (emb_dedup_components_lsh, VERDICT r11 next #4): the Spark

@@ -76,6 +76,7 @@ def _ref_simhash(toks: list[str]) -> str:
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(corpus=_CORPUS)
+@pytest.mark.slow  # r19 slow tier: pure-python re-derivation; dedup_substring_cut oracle parity stays default
 def test_substring_cut_matches_pure_python_reference(spark, corpus):
     from species_range_data_pipeline_spark.plans.text import substring_cut
 
@@ -96,6 +97,7 @@ def test_substring_cut_matches_pure_python_reference(spark, corpus):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(corpus=_CORPUS)
+@pytest.mark.slow  # r19 slow tier: pure-python re-derivation; dedup_simhash oracle parity stays default
 def test_simhash_matches_pure_python_reference(spark, corpus):
     from species_range_data_pipeline_spark.plans.text import simhash_signatures
 
@@ -159,6 +161,7 @@ def test_substring_cut_within_doc_repeat_not_flagged(spark):
         max_size=60,
     )
 )
+@pytest.mark.slow  # r19 slow tier: pair-join reference; incremental-manifest oracle lanes stay default
 def test_bucket_min_incremental_matches_pair_join_reference(spark, rows):
     """The aggregation-only incremental dedup tail's load-bearing claim
     (``_bucket_min_incremental``: "the only candidate that can matter is
